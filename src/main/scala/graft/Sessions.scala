@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine session config so Verify, Bench, and tests agree.
+  *
+  * Scale posture: AQE on (runtime re-plan, skew-join splitting, dynamic
+  * coalescing), shuffle partitions sized to the local core count (on a real
+  * cluster this would be executors×cores×2-3; AQE coalesces down from
+  * there), UTC session time for oracle parity, nanos-as-long so the events
+  * table's TIMESTAMP(NANOS) parquet is readable.
+  */
+object Sessions {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

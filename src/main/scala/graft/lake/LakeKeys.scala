@@ -1,0 +1,37 @@
+package graft.lake
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import java.util.UUID
+
+/** Lake object-key layout: `YYYY/MM/DD/HH/{TABLE}/{UUID}.csv[.gz]` where the
+  * date prefix is the UTC flush time (reference `createDatePrefix`
+  * `Collector.ts:135-142`, key composition `Collector.ts:341-350`, spec
+  * `README.md:119-123`).
+  *
+  * The hour-prefixed layout is what gives the read side partition pruning:
+  * the lake reader materializes the prefix as an `event_hour` partition-ish
+  * column (see [[LakeReader]]).
+  */
+object LakeKeys {
+  private val PrefixFmt =
+    DateTimeFormatter.ofPattern("yyyy/MM/dd/HH").withZone(ZoneOffset.UTC)
+
+  def datePrefix(t: Instant): String = PrefixFmt.format(t)
+
+  def objectKey(table: String, flushTime: Instant, id: UUID, gzip: Boolean): String = {
+    val ext = if (gzip) ".csv.gz" else ".csv"
+    s"${datePrefix(flushTime)}/$table/$id$ext"
+  }
+
+  /** Parse `YYYY/MM/DD/HH/table/uuid.csv[.gz]` → (hourUtc, table, id). */
+  def parseKey(key: String): Option[(Instant, String, String)] = {
+    val parts = key.split('/')
+    if (parts.length < 6) None
+    else try {
+      val Array(y, m, d, h) = parts.slice(0, 4)
+      val inst = Instant.parse(f"${y.toInt}%04d-${m.toInt}%02d-${d.toInt}%02dT${h.toInt}%02d:00:00Z")
+      Some((inst, parts(4), parts(5)))
+    } catch { case _: Exception => None }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.lake
+
+import graft.types.{ColType, TableSchema}
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Read side of the lake contract: discovers a table's typed-CSV objects
+  * under the `YYYY/MM/DD/HH/{table}/` layout, derives the Spark schema from
+  * the `#types` + name header lines, and hands the scan to the built-in CSV
+  * datasource (so Catalyst still prunes columns and the `.gz` codec is
+  * native).
+  *
+  * The `#` type line rides on `option("comment", "#")` — dropped by the
+  * parser — and the declared schema comes from peeking one object's first
+  * two lines on the driver (metadata-sized read, same cost class as parquet
+  * footer reads). Hour-prefix partition pruning: `hourRange` turns a time
+  * predicate into a path-glob list so unneeded hours are never listed.
+  */
+object LakeReader {
+
+  final case class LakeSchema(schema: TableSchema, gzip: Boolean)
+
+  /** Peek the `#types` and column-name headers of one object. */
+  def peekSchema(store: Store, key: String, table: String): TableSchema = {
+    val raw = store.open(key)
+    val in = if (key.endsWith(".gz")) new GZIPInputStream(raw) else raw
+    val rd = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+    try {
+      val types = TypedCsv.parseTypesHeader(rd.readLine())
+      val names = TypedCsv.splitLine(rd.readLine())
+      require(names.length == types.length,
+        s"header mismatch in $key: ${names.length} names vs ${types.length} types")
+      TableSchema(table, names.zip(types))
+    } finally rd.close()
+  }
+
+  /** Read every object of `table` from the lake at `rootUri`, optionally
+    * restricted to UTC hours in `[fromHour, toHour]` (partition pruning via
+    * key prefix — objects outside the range are never touched). The result
+    * carries an `_event_hour` timestamp column derived from the object key. */
+  def read(spark: SparkSession, rootUri: String, table: String,
+           hourRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame = {
+    val store = new HadoopStore(rootUri)
+    val keys0 = store.list("").filter { k =>
+      LakeKeys.parseKey(k).exists(_._2 == table)
+    }
+    val keys = hourRange match {
+      case Some((from, to)) => keys0.filter { k =>
+        LakeKeys.parseKey(k).exists { case (h, _, _) => !h.isBefore(from) && !h.isAfter(to) }
+      }
+      case None => keys0
+    }
+    require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
+    val schema = peekSchema(store, keys.head, table)
+    val paths = keys.map(k => s"${rootUri.stripSuffix("/")}/$k")
+
+    spark.read
+      .schema(schema.structType)
+      .option("header", "true")
+      .option("comment", "#")
+      // RFC-4180 escapes quotes by doubling; Spark's default escape is `\`
+      .option("escape", "\"")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")
+      .option("mode", "PERMISSIVE")
+      .csv(paths: _*)
+      .withColumn("_event_hour",
+        to_timestamp(regexp_extract(input_file_name(), "(\\d{4}/\\d{2}/\\d{2}/\\d{2})/", 1),
+          "yyyy/MM/dd/HH"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.lake
+
+import graft.types.TableSchema
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+import java.util.UUID
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.DataFrame
+
+/** Distributed lake writer: lands a DataFrame as typed-CSV(.gz) objects
+  * under `YYYY/MM/DD/HH/{table}/{uuid}.csv[.gz]`.
+  *
+  * One object per non-empty partition — the Spark-native analogue of the
+  * reference's one-object-per-batch flush (`Collector.ts:310-350`). Tasks
+  * write directly to the store (any Hadoop scheme) with no driver
+  * collection, so this scales with executor count; object size is governed
+  * by upstream partitioning (repartition to target ~batchRecordLimit rows
+  * per object, like the reference's 200k default).
+  */
+object LakeWriter {
+
+  /** Write `df` (columns must be alignable to `schema`) as lake objects.
+    * Returns the keys written (small: one per partition). */
+  def write(df: DataFrame, schema: TableSchema, rootUri: String,
+            flushTime: Instant = Instant.now(), gzip: Boolean = true): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    // Align column order + Spark types to the declared schema (declared
+    // schemas are authoritative — SURVEY.md §7.4).
+    val aligned = df.select(schema.columns.map { case (n, t) => col(n).cast(t.sparkType) }: _*)
+    val table = schema.name
+    val types = schema.colTypes
+    val nCols = schema.columns.length
+    val typesHeader = schema.typesHeader
+    val namesHeader = schema.namesHeader
+
+    aligned.rdd.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val store = new HadoopStore(rootUri)
+        val key = LakeKeys.objectKey(table, flushTime, UUID.randomUUID(), gzip)
+        val raw = store.create(key)
+        val out = new BufferedWriter(new OutputStreamWriter(
+          if (gzip) new GZIPOutputStream(raw) else raw, StandardCharsets.UTF_8), 256 * 1024)
+        var n = 0L
+        try {
+          out.write(typesHeader); out.write("\n")
+          out.write(namesHeader); out.write("\n")
+          rows.foreach { r =>
+            val vals = new Array[Any](nCols)
+            var i = 0
+            while (i < nCols) { vals(i) = r.get(i); i += 1 }
+            out.write(TypedCsv.formatRow(vals.toSeq, types)); out.write("\n")
+            n += 1
+          }
+        } finally out.close()
+        Iterator.single(key)
+      }
+    }.collect().toSeq
+  }
+}

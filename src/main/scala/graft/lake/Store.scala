@@ -1,0 +1,66 @@
+package graft.lake
+
+import java.io.{InputStream, OutputStream}
+import java.net.URI
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Abstract key→byte-stream sink, the analogue of the reference's `Store`
+  * interface (`/root/reference/lib/store/Store.ts:4-9`: `put(key, stream)`).
+  *
+  * One implementation serves every Hadoop-supported scheme (`file://`,
+  * `s3a://`, `hdfs://`), which subsumes the reference's `StoreFS`
+  * (`StoreFS.ts`) and `StoreS3` (`StoreS3.ts`): on a real cluster the same
+  * code path lands objects in S3 via the S3A committer.
+  */
+trait Store extends Serializable {
+  /** Stream `data` to `key`, creating parent dirs as needed. */
+  def put(key: String, data: InputStream): Unit
+  /** Open an output stream at `key` (preferred: avoids buffering). */
+  def create(key: String): OutputStream
+  def open(key: String): InputStream
+  def list(prefix: String): Seq[String]
+  def exists(key: String): Boolean
+  /** Root URI as a string, for Spark datasource paths. */
+  def rootUri: String
+}
+
+/** Hadoop-FileSystem-backed store rooted at `root` (e.g. `file:///tmp/lake`
+  * or `s3a://bucket/prefix`). */
+final class HadoopStore(val rootUri: String) extends Store {
+  @transient private lazy val conf = new Configuration()
+  @transient private lazy val fs   = FileSystem.get(new URI(rootUri), conf)
+  private def p(key: String) =
+    if (key.isEmpty) new Path(new URI(rootUri)) else new Path(new Path(new URI(rootUri)), key)
+
+  override def create(key: String): OutputStream = fs.create(p(key), true)
+
+  override def put(key: String, data: InputStream): Unit = {
+    val out = create(key)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = data.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = data.read(buf) }
+    } finally { out.close(); data.close() }
+  }
+
+  override def open(key: String): InputStream = fs.open(p(key))
+
+  override def list(prefix: String): Seq[String] = {
+    val base = p(prefix)
+    if (!fs.exists(base)) Seq.empty
+    else {
+      val it = fs.listFiles(base, true)
+      val out = Seq.newBuilder[String]
+      val rootPath = new Path(new URI(rootUri)).toUri.getPath.stripSuffix("/")
+      while (it.hasNext) {
+        val f = it.next().getPath.toUri.getPath
+        out += f.stripPrefix(rootPath).stripPrefix("/")
+      }
+      out.result()
+    }
+  }
+
+  override def exists(key: String): Boolean = fs.exists(p(key))
+}

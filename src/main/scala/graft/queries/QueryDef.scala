@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: the Spark implementation plus (when the semantics
+  * are ANSI-SQL-expressible) the equivalent DuckDB oracle SQL. Queries with
+  * no oracle get the driver's weaker rows-only check. */
+final case class QueryDef(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The events table carries TIMESTAMP(NANOS) parquet columns, which Spark
+    // reads only as long nanos (spark.sql.legacy.parquet.nanosAsLong=true —
+    // set by graft.Sessions). Convert to TimestampType (micro precision) so
+    // downstream time functions are uniform.
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        acc.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case (acc, _) => acc
+    }
+  }
+
+  /** Register temp views so `spark.sql` queries can use bare table names. */
+  def views(spark: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}

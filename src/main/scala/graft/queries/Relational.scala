@@ -1,0 +1,614 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational query surface declared in SURVEY.md §2B: scans,
+  * projection/filter, every join type, aggregation (incl. rollup/cube/
+  * grouping sets/approx-distinct), window functions, sort/limit/top-k, set
+  * ops, scalar string/date/conditional/JSON functions, subqueries.
+  *
+  * Every query is written for scale: filters/projections that push to the
+  * parquet scan, broadcast hints on dimension tables, aggregate-before-join
+  * where cardinality allows, and deterministic total output ordering (so the
+  * oracle hash-compare is stable). Double-valued aggregates are rounded on
+  * both sides — partial-aggregation order differs between engines at the
+  * 1e-12 level.
+  */
+object Relational {
+  import Tables.t
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---------------------------------------------------------------------
+    // Aggregation: full-scan groupBy with multiple aggregates (map-side
+    // partial agg + 2-phase final — Catalyst does this automatically).
+    "q01_pricing_summary" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+            round(avg($"l_quantity"), 4).as("avg_qty"),
+            round(avg($"l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Projection + predicates (range, BETWEEN, <) — all pushed to parquet.
+    "q02_filter_project" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+                  $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
+                  $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+          // cents as BIGINT: identical IEEE ops on both engines, no float
+          // tie-rounding hazard in the compare (round() HALF_UP vs the
+          // oracle's banker's rounding differs exactly on .xx5 products)
+          .select($"l_orderkey", $"l_linenumber",
+            floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100 + 0.5)
+              .cast("long").as("net_price_cents"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS net_price_cents
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Multi-way equi-join with broadcast dims (TPC-H Q5 shape): fact tables
+    // shuffle on join keys; region/nation/supplier broadcast so only
+    // customer⋈orders⋈lineitem shuffles.
+    "q03_join_revenue_nation" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val customer = t(s, dir, "customer")
+        val orders = t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+                  $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        val lineitem = t(s, dir, "lineitem")
+        val supplier = t(s, dir, "supplier")
+        val nation = t(s, dir, "nation")
+        val region = t(s, dir, "region").filter($"r_name" === "ASIA")
+        customer
+          .join(orders, $"c_custkey" === $"o_custkey")
+          .join(lineitem, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(supplier), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Left-semi join (EXISTS): the filter side is aggregated to distinct
+    // keys by the semi-join itself — no fact-side row multiplication.
+    "q04_semi_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val orders = t(s, dir, "orders")
+        val big = t(s, dir, "lineitem").filter($"l_quantity" > 45).select($"l_orderkey")
+        orders.join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+          .groupBy($"o_orderpriority").agg(count(lit(1)).as("order_count"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Left-anti join (NOT EXISTS).
+    "q05_anti_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").select($"o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Left-outer join + two-level aggregation (TPC-H Q13 distribution).
+    "q06_outer_join_custdist" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val perCust = t(s, dir, "customer")
+          .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+          .groupBy($"c_custkey").agg(count($"o_orderkey").as("c_count"))
+        perCust.groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |  GROUP BY c_custkey) t
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Full-outer join of two pre-aggregated sides (aggregate-before-join:
+    // both inputs shrink to ≤ #nations rows before the join).
+    "q07_full_outer_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val sup = t(s, dir, "supplier").groupBy($"s_nationkey".as("k"))
+          .agg(count(lit(1)).as("n_suppliers"))
+        val cus = t(s, dir, "customer").groupBy($"c_nationkey".as("k2"))
+          .agg(count(lit(1)).as("n_customers"))
+        sup.join(cus, $"k" === $"k2", "full_outer")
+          .select(coalesce($"k", $"k2").as("nationkey"), $"n_suppliers", $"n_customers")
+          .orderBy($"nationkey")
+      },
+      Some("""WITH s AS (SELECT s_nationkey AS k, count(*) AS n_suppliers FROM supplier GROUP BY 1),
+             |     c AS (SELECT c_nationkey AS k, count(*) AS n_customers FROM customer GROUP BY 1)
+             |SELECT coalesce(s.k, c.k) AS nationkey, n_suppliers, n_customers
+             |FROM s FULL OUTER JOIN c ON s.k = c.k ORDER BY nationkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Cross join (tiny × tiny only — anything else is a bug at scale).
+    "q08_cross_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val a = t(s, dir, "region").select($"r_name".as("ra"))
+        val b = t(s, dir, "region").select($"r_name".as("rb"))
+        a.crossJoin(b).orderBy($"ra", $"rb")
+      },
+      Some("""SELECT a.r_name AS ra, b.r_name AS rb
+             |FROM region a CROSS JOIN region b ORDER BY ra, rb""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Window: per-group top-k via row_number (partial sort per partition —
+    // never a global sort of the fact table).
+    "q09_window_topk" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"o_orderpriority", $"o_orderkey", $"o_totalprice", $"rn")
+          .orderBy($"o_orderpriority", $"rn")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Window: running frame + lag/lead. Frame order is a total order so the
+    // running sum is a deterministic left fold (bit-identical to the
+    // oracle's sequential sum).
+    "q10_window_running" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        t(s, dir, "orders")
+          .withColumn("running_spend",
+            round(sum($"o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .withColumn("prev_order", lag($"o_orderkey", 1).over(w))
+          .withColumn("next_order", lead($"o_orderkey", 1).over(w))
+          .select($"o_custkey", $"o_orderkey", $"running_spend", $"prev_order", $"next_order")
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+             |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+             |  lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Window: rank / dense_rank / percent_rank over a global ordering on a
+    // small aggregated input.
+    "q11_window_ranks" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val perNation = t(s, dir, "supplier")
+          .groupBy($"s_nationkey").agg(round(sum($"s_acctbal"), 2).as("total_bal"))
+        val w = Window.orderBy($"total_bal".desc, $"s_nationkey")
+        perNation
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .select($"s_nationkey", $"total_bal", $"rnk", $"drnk")
+          .orderBy($"rnk", $"s_nationkey")
+      },
+      Some("""SELECT s_nationkey, total_bal,
+             |  rank() OVER (ORDER BY total_bal DESC, s_nationkey) AS rnk,
+             |  dense_rank() OVER (ORDER BY total_bal DESC, s_nationkey) AS drnk
+             |FROM (SELECT s_nationkey, round(sum(s_acctbal), 2) AS total_bal
+             |      FROM supplier GROUP BY s_nationkey) t
+             |ORDER BY rnk, s_nationkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Global sort + limit with total tie-break (TakeOrderedAndProject — a
+    // per-partition top-k then a driver merge of k·p rows, not a full sort).
+    "q12_sort_limit" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+          .limit(100)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Distinct (dropDuplicates = groupBy on all columns; partial-agg prunes
+    // duplicates map-side before the shuffle).
+    "q13_distinct" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer").select($"c_mktsegment", $"c_nationkey")
+          .dropDuplicates("c_mktsegment", "c_nationkey")
+          .orderBy($"c_mktsegment", $"c_nationkey")
+      },
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+             |ORDER BY c_mktsegment, c_nationkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Set operations: INTERSECT / EXCEPT / UNION ALL over key sets.
+    "q14_set_ops" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val custkeys  = t(s, dir, "customer").select($"c_custkey".as("k"))
+        val orderCust = t(s, dir, "orders").select($"o_custkey".as("k"))
+        val withOrders = custkeys.intersect(orderCust)
+          .agg(count(lit(1)).as("n")).select(lit("with_orders").as("grp"), $"n")
+        val noOrders = custkeys.except(orderCust)
+          .agg(count(lit(1)).as("n")).select(lit("without_orders").as("grp"), $"n")
+        withOrders.unionByName(noOrders).orderBy($"grp")
+      },
+      Some("""WITH wo AS (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders),
+             |     no AS (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+             |SELECT 'with_orders' AS grp, count(*) AS n FROM wo
+             |UNION ALL
+             |SELECT 'without_orders' AS grp, count(*) AS n FROM no
+             |ORDER BY grp""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // unionByName across heterogeneous sources.
+    "q15_union_by_name" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select(lit("customer").as("kind"), $"c_custkey".as("key"), $"c_name".as("name"))
+        val p = t(s, dir, "supplier")
+          .select($"s_name".as("name"), lit("supplier").as("kind"), $"s_suppkey".as("key"))
+        c.unionByName(p).orderBy($"kind", $"key")
+      },
+      Some("""SELECT 'customer' AS kind, c_custkey AS key, c_name AS name FROM customer
+             |UNION ALL
+             |SELECT 'supplier' AS kind, s_suppkey AS key, s_name AS name FROM supplier
+             |ORDER BY kind, key""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // ROLLUP: hierarchical subtotals; NULLS FIRST pinned on both sides (the
+    // engines' default null ordering differs).
+    "q16_rollup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders").join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .rollup($"c_mktsegment", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .orderBy($"c_mktsegment".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN customer ON c_custkey = o_custkey
+             |GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+             |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // CUBE over two low-cardinality dimensions.
+    "q17_cube" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+          .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // GROUPING SETS via the SQL surface.
+    "q18_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        Tables.views(s, dir, "lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+                |FROM lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // String functions: lower/upper/substring/length/concat/split/
+    // regexp_extract/trim — all codegen'd built-ins.
+    "q19_string_funcs" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .select(
+            $"p_partkey",
+            lower($"p_name").as("lname"),
+            upper($"p_brand").as("ubrand"),
+            substring($"p_type", 1, 4).as("type4"),
+            length($"p_name").cast("long").as("name_len"),
+            concat($"p_brand", lit(":"), $"p_type").as("brand_type"),
+            element_at(split($"p_name", " "), 1).as("first_word"),
+            regexp_extract($"p_brand", "([0-9]+)", 1).as("brand_num"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+             |  substring(p_type, 1, 4) AS type4,
+             |  CAST(length(p_name) AS BIGINT) AS name_len,
+             |  p_brand || ':' || p_type AS brand_type,
+             |  string_split(p_name, ' ')[1] AS first_word,
+             |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Date/time functions: trunc, extract parts, date arithmetic, format.
+    "q20_date_funcs" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .select(
+            $"o_orderkey",
+            date_trunc("month", $"o_orderdate").as("order_month"),
+            year($"o_orderdate").cast("long").as("y"),
+            month($"o_orderdate").cast("long").as("m"),
+            dayofmonth($"o_orderdate").cast("long").as("d"),
+            date_format($"o_orderdate", "yyyy-MM-dd").as("iso_day"),
+            date_add(to_date($"o_orderdate"), 30).cast("timestamp").as("plus30"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  date_trunc('month', o_orderdate) AS order_month,
+             |  CAST(year(o_orderdate) AS BIGINT) AS y,
+             |  CAST(month(o_orderdate) AS BIGINT) AS m,
+             |  CAST(day(o_orderdate) AS BIGINT) AS d,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+             |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Time-bucketed aggregation over the event stream table (the batch
+    // equivalent of a tumbling window).
+    "q21_events_hourly" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(date_trunc("hour", $"ts").as("hr"), $"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+          .orderBy($"hr", $"event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
+             |  round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Sliding window (1h window, 30m slide) in batch: each event lands in
+    // exactly two buckets — Spark's window() vs the oracle's two-bucket
+    // union.
+    "q22_events_sliding" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy(window($"ts", "1 hour", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+          .select($"w.start".as("win_start"), $"n", $"sum_value")
+          .orderBy($"win_start")
+      },
+      Some("""WITH b AS (
+             |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start, value FROM events
+             |  UNION ALL
+             |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value FROM events)
+             |SELECT win_start, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM b GROUP BY win_start ORDER BY win_start""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Conditional expressions: CASE WHEN / coalesce / nullif.
+    "q23_conditional" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .select(
+            $"c_custkey",
+            when($"c_acctbal" < 0, "negative")
+              .when($"c_acctbal" < 5000, "mid").otherwise("high").as("bal_bucket"),
+            coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("OTHER")).as("seg"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_acctbal < 0 THEN 'negative'
+             |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_bucket,
+             |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // JSON extraction from the events.props payload column.
+    "q24_json_extract" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select(get_json_object($"props", "$.k").cast("long").as("k"))
+          .groupBy($"k").agg(count(lit(1)).as("n"))
+          .orderBy($"k")
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+             |FROM events GROUP BY k ORDER BY k""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Correlated EXISTS subquery through the SQL surface (late-shipping
+    // orders).
+    "q25_exists_subquery" -> QueryDef(
+      (s, dir) => {
+        Tables.views(s, dir, "orders", "lineitem")
+        s.sql("""SELECT o_orderpriority, count(*) AS n
+                |FROM orders
+                |WHERE EXISTS (SELECT 1 FROM lineitem
+                |              WHERE l_orderkey = o_orderkey
+                |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+                |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Scalar IN-subquery + HAVING.
+    "q26_having" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_suppkey")
+          .agg(count(lit(1)).as("n_items"), round(sum($"l_quantity"), 2).as("total_qty"))
+          .filter($"n_items" > 50)
+          .orderBy($"l_suppkey")
+      },
+      Some("""SELECT l_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+             |FROM lineitem GROUP BY l_suppkey HAVING count(*) > 50
+             |ORDER BY l_suppkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Exact multi-column count(distinct) (expands to two-phase agg).
+    "q27_count_distinct" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(countDistinct($"o_custkey").as("n_cust"),
+               count(lit(1)).as("n_orders"),
+               round(min($"o_totalprice"), 2).as("min_price"),
+               round(max($"o_totalprice"), 2).as("max_price"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders,
+             |  round(min(o_totalprice), 2) AS min_price, round(max(o_totalprice), 2) AS max_price
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Approximate distinct (HLL++). Not bit-comparable to DuckDB's sketch →
+    // rows-only check; exactness is covered by q27.
+    "q28_approx_distinct" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+               approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
+    // ---------------------------------------------------------------------
+    // Gap-based sessionization in batch SQL (lag + cumulative flag): the
+    // batch mirror of streaming session windows.
+    "q29_sessionize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        t(s, dir, "events")
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_session",
+            when($"prev_ts".isNull ||
+                 ($"ts".cast("long") - $"prev_ts".cast("long")) > 1800, 1L).otherwise(0L))
+          .groupBy($"user_id")
+          .agg(sum($"new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts,
+             |         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events)
+             |SELECT user_id,
+             |  CAST(sum(CASE WHEN prev_ts IS NULL
+             |            OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             |  count(*) AS n_events
+             |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Array ops: split + explode + re-aggregate (word histogram).
+    "q30_explode_words" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(explode(split($"text", " ")).as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("n"))
+          .orderBy($"word")
+      },
+      Some("""SELECT word, count(*) AS n FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+             |GROUP BY word ORDER BY word""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Predicate pushdown showcase: IN / BETWEEN / LIKE all reach the scan.
+    "q31_predicates" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "part")
+          .filter($"p_brand".isin("Brand#1", "Brand#5", "Brand#12") &&
+                  $"p_size".between(1, 25) && $"p_name".like("%red%"))
+          .select($"p_partkey", $"p_brand", $"p_size", $"p_name")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_brand, p_size, p_name FROM part
+             |WHERE p_brand IN ('Brand#1', 'Brand#5', 'Brand#12')
+             |  AND p_size BETWEEN 1 AND 25 AND p_name LIKE '%red%'
+             |ORDER BY p_partkey""".stripMargin))
+  )
+}
