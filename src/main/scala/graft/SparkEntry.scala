@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{QueryDef, Relational}
+import graft.queries.{Pipeline, QueryDef, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.queries.{QueryDef, Relational}
 object SparkEntry {
 
   /** All declared queries, keyed by name. */
-  def all: Map[String, QueryDef] = Relational.defs
+  def all: Map[String, QueryDef] = Relational.defs ++ Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels for the custom Catalyst expressions (the expression nodes
+  * themselves live in [[org.apache.spark.sql.graft.exprs]] — see the note
+  * there). Public so generated code can call them directly. */
+object HashImpls {
+  /** 2^31-1 (Mersenne): small enough that `acc*31 + cp` never overflows. */
+  final val Mod: Long = 2147483647L
+  final val Seed: Long = 42L
+
+  /** Polynomial rolling hash (Karp-Rabin) over Unicode code points with the
+    * fixed recurrence `acc = (acc*31 + cp) mod 2^31-1`, seed 7. Chosen to be
+    * reproducible in plain SQL on any engine (the DuckDB oracle computes the
+    * identical fold), unlike murmur/xxhash which are engine-specific. */
+  def rollingHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 7L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** xxhash64 of a UTF8String's bytes (Spark's own XXH64 kernel). */
+  def hashToken(t: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      t.getBaseObject, t.getBaseOffset, t.numBytes, Seed)
+
+  /** 64-bit SimHash over an array of string tokens: each token votes ±1 on
+    * every bit of its xxhash64; the fingerprint takes the sign. Near-dup
+    * texts differ in few tokens → few bit flips → small Hamming distance. */
+  def simHash64(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hashToken(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** MinHash signature: K min-wise hashes over the element set in ONE pass
+    * (vs K `array_min(transform(...))` trees = K passes). Permutations are
+    * the universal family g_k(h) = a_k*h + b_k (wrapping 64-bit, compared
+    * unsigned), a_k/b_k from a split-mix LCG of (seed, k). */
+  def minHash(elems: ArrayData, k: Int, seed: Long): ArrayData = {
+    val as = new Array[Long](k); val bs = new Array[Long](k)
+    var s = seed
+    var j = 0
+    while (j < k) {
+      s = s * 6364136223846793005L + 1442695040888963407L; as(j) = s | 1L
+      s = s * 6364136223846793005L + 1442695040888963407L; bs(j) = s
+      j += 1
+    }
+    val mins = Array.fill(k)(-1L) // unsigned max
+    val n = elems.numElements()
+    var i = 0
+    while (i < n) {
+      if (!elems.isNullAt(i)) {
+        val h = hashToken(elems.getUTF8String(i))
+        var kk = 0
+        while (kk < k) {
+          val g = as(kk) * h + bs(kk)
+          if (java.lang.Long.compareUnsigned(g, mins(kk)) < 0) mins(kk) = g
+          kk += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Column-API entry points for the custom expressions. */
+object HashFunctions {
+  def rolling_hash(c: Column): Column = org.apache.spark.sql.graft.exprs.rolling_hash(c)
+  def simhash64(c: Column): Column = org.apache.spark.sql.graft.exprs.simhash64(c)
+  def minhash(c: Column, k: Int, seed: Long = 1L): Column =
+    org.apache.spark.sql.graft.exprs.minhash(c, k, seed)
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for training-data pipelines, all composed
+  * from codegen'd built-ins (no UDFs): tokenization, shingling, language-ID
+  * scoring, quality heuristics. Everything here is per-row compute — no
+  * shuffle, scales linearly with input.
+  */
+object Text {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish lexical tokens: letter runs, digit runs, single punctuation. */
+  def lexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Distinct n-gram shingles over the token array (the unit set for
+    * Jaccard/MinHash dedup). `transform` + `slice` keeps it one codegen'd
+    * pass; `array_distinct` makes it a set. */
+  def shingles(toks: Column, n: Int): Column = {
+    val joined = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    array_distinct(joined)
+  }
+
+  def shinglesOfText(text: Column, n: Int): Column = shingles(tokens(text), n)
+
+  /** Tiny deterministic stopword inventories per language. Real language-ID
+    * uses char n-gram models; this heuristic is deliberately simple enough
+    * to reproduce in ANSI SQL so the oracle can verify the plumbing. */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  /** Number of distinct stopwords of `words` present in the text (word-
+    * boundary matching via padded LIKE). */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    words.map(w => when(padded.contains(s" $w "), 1L).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** Predicted language: the stopword set with the most hits wins (ties →
+    * lexicographically-first language); no hits at all → 'unknown'. */
+  def langId(text: Column): Column = {
+    val scored = StopwordSets.map { case (lang, ws) => (lang, stopwordHits(text, ws)) }
+    val best = scored.map { case (lang, s) =>
+      struct(s.as("score"), lit(lang).as("lang"))
+    }
+    // greatest(...) on (score asc, lang desc) structs: max score; on ties the
+    // struct comparison prefers the larger lang, so invert by ordering langs
+    // descending in the tiebreak column.
+    val winner = greatest(
+      scored.map { case (lang, s) => struct(s.as("score"), lit(-StopwordSets.indexWhere(_._1 == lang)).as("nlang")) }: _*)
+    val langByIndex = StopwordSets.map(_._1).zipWithIndex
+      .foldLeft(lit("unknown")) { case (acc, (lang, i)) =>
+        when(winner.getField("nlang") === -i, lit(lang)).otherwise(acc)
+      }
+    when(winner.getField("score") === 0, lit("unknown")).otherwise(langByIndex)
+  }
+
+  /** Quality heuristics: char/word counts, mean word length, alpha ratio,
+    * stopword ratio — standard pre-training corpus filters. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("long")
+    val nWords = size(toks).cast("long")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    val stop = stopwordHits(text, StopwordSets.flatMap(_._2))
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      // integer micro-units: cross-engine float-safe (see q02 note)
+      "mean_word_len_milli" ->
+        when(nWords > 0, floor((nChars - (nWords - 1)) * lit(1000.0) / nWords + 0.5).cast("long")).otherwise(lit(0L)),
+      "alpha_ratio_milli" ->
+        when(nChars > 0, floor(alpha * lit(1000.0) / nChars + 0.5).cast("long")).otherwise(lit(0L)),
+      "stopword_hits" -> stop)
+  }
+}

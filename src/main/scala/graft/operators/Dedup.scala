@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.functions.{HashFunctions, Text}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard (exact pairwise), MinHash+LSH (approximate candidate generation
+  * + exact verification), SimHash (Hamming banding).
+  *
+  * Scale design:
+  *  - exact: one hash-shuffle, map-side partial agg prunes most duplicates
+  *    before the exchange.
+  *  - Jaccard: the shared-shingle self-join is exact but blows up on
+  *    high-frequency shingles → `maxShingleFreq` caps the posting-list
+  *    length (stop-shingle removal, the standard trade-off).
+  *  - MinHash: signature is per-row compute (custom single-pass
+  *    expression); only (bands × N) small rows shuffle. Band count is
+  *    chosen so P[miss | j ≥ threshold] is negligible, then candidates are
+  *    verified with exact Jaccard — output = true pairs w.h.p.
+  *  - SimHash: 64-bit fingerprint per row; near-dup candidates via 4×16-bit
+  *    band equality (Hamming ≤ 3 guarantee by pigeonhole when using 4
+  *    bands), verified with bit_count(xor).
+  */
+object Dedup {
+
+  /** Exact dedup: groups of byte-identical `col`, keeping the min id as the
+    * canonical representative. */
+  def exact(df: DataFrame, idCol: String, col: String): DataFrame =
+    df.groupBy(md5(org.apache.spark.sql.functions.col(col)).as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard pairs with similarity ≥ `threshold`, via the
+    * shared-shingle inverted-index join. `maxShingleFreq` drops shingles
+    * shared by more than that many docs (0 = keep all → fully exact). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.8,
+                   maxShingleFreq: Int = 0): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(Text.shinglesOfText(col(textCol), shingleN)).as("sh"))
+    val posting = if (maxShingleFreq > 0) {
+      // stop-shingle removal: inverted lists longer than the cap contribute
+      // O(len^2) candidate pairs for near-zero signal
+      sh.withColumn("f", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+        .filter(col("f") <= maxShingleFreq).drop("f")
+    } else sh
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = posting.as("a")
+      .join(posting.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
+      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
+      .withColumn("jaccard_milli",
+        floor(col("inter") * 1000.0 / (col("a_sz") + col("b_sz") - col("inter")) + 0.5).cast("long"))
+      .filter(col("jaccard_milli") >= (threshold * 1000).toLong)
+      .select("a_id", "b_id", "jaccard_milli")
+  }
+
+  /** MinHash+LSH near-dup pairs: signature (single-pass custom expression) →
+    * band buckets → candidate join → exact-Jaccard verification ≥
+    * `threshold`. With bands=32, rowsPerBand=4: P[miss at j=0.8] =
+    * (1-0.8^4)^32 ≈ 5e-8 — the verified output is the true pair set w.h.p.,
+    * at O(bands·N) shuffle instead of the inverted index's worst case. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.8,
+                   bands: Int = 32, rowsPerBand: Int = 4,
+                   seed: Long = 1L): DataFrame = {
+    val k = bands * rowsPerBand
+    val base = df.select(col(idCol).as("id"),
+      Text.shinglesOfText(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", HashFunctions.minhash(col("sh"), k, seed))
+    // band key = xxhash64 of the signature slice (band index disambiguates)
+    val banded = base.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sh").as("a_sh"), col("b.sh").as("b_sh"))
+      .dropDuplicates("a_id", "b_id")
+    cands
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
+      .withColumn("jaccard_milli",
+        floor(col("inter") * 1000.0 /
+          (size(col("a_sh")) + size(col("b_sh")) - col("inter")) + 0.5).cast("long"))
+      .filter(col("jaccard_milli") >= (threshold * 1000).toLong)
+      .select("a_id", "b_id", "jaccard_milli")
+  }
+
+  /** 64-bit SimHash fingerprints. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      HashFunctions.simhash64(Text.tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
+    * 16-bit band collision (exact for maxHamming ≤ 3 with 4 bands, by
+    * pigeonhole) then verified with bit_count(xor). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(df, idCol, textCol)
+    val banded = fp.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.simhash").as("a_fp"), col("b.simhash").as("b_fp"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+}

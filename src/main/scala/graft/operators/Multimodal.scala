@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed in partition-sized batches.
+  *
+  * The real decode kernels (image/audio codecs) are STUBBED — the container
+  * has no media libraries — behind [[MediaDecoder]]; everything Spark-side
+  * (schema, batching via mapPartitions over a typed Dataset — the Scala
+  * analogue of mapInPandas, partition pruning, binary functions) is real
+  * and tested. Swapping in a real decoder is a one-object change.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRecord(media_id: Long, mime: String, payload: Array[Byte])
+  /** Decoded features (what a real decoder would emit per frame/clip). */
+  final case class MediaFeatures(media_id: Long, mime: String, n_bytes: Long,
+                                 width: Int, height: Int, feature: Array[Float])
+
+  /** Pluggable decode kernel. Runs once per record inside a partition batch;
+    * implementations should amortize codec init per PARTITION, not per row
+    * (see [[decodeFeatures]]). */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte], mime: String): (Int, Int, Array[Float])
+  }
+
+  /** Deterministic fake decoder: "dimensions" and an 8-dim "feature" derived
+    * from payload bytes. Replace with a real codec in production. */
+  object StubDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], mime: String): (Int, Int, Array[Float]) = {
+      val n = payload.length
+      val feat = new Array[Float](8)
+      var i = 0
+      while (i < n) { feat(i % 8) += (payload(i) & 0xFF) / 255.0f; i += 1 }
+      (16 + n % 64, 16 + n % 48, feat)
+    }
+  }
+
+  /** Synthesize a media table from any table with an id + string column —
+    * gives the binary-column pipeline real data to flow. */
+  def synthesize(df: DataFrame, idCol: String, payloadFrom: String): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        lit("application/x-fake").as("mime"),
+        col(payloadFrom).cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Batch decode: one decoder instance per partition (codec init amortized
+    * across the partition — the batching contract of mapInPandas), rows
+    * streamed through it. */
+  def decodeFeatures(media: Dataset[MediaRecord],
+                     decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init point (real impl: open codec context here)
+      rows.map { r =>
+        val (w, h, feat) = decoder.decode(r.payload, r.mime)
+        MediaFeatures(r.media_id, r.mime, r.payload.length.toLong, w, h, feat)
+      }
+    }
+  }
+
+  /** Pure-SQL binary metadata path (no decoder): content hash, size, magic
+    * prefix — the part of media processing that IS expressible relationally
+    * and therefore oracle-checkable. */
+  def binaryStats(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      sha2(col("payload"), 256).as("sha256"),
+      hex(substring(col("payload"), 1, 8)).as("magic_hex"))
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, as a training-data pipeline needs both:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the full corpus; one pass, no shuffle of the corpus, then
+  *    a per-query top-k window. The correctness baseline.
+  *  - [[srpTopK]]: signed-random-projection LSH — each vector gets a B-bit
+  *    signature from the signs of B fixed pseudo-random hyperplane dots;
+  *    candidates are vectors sharing a signature band with the query; exact
+  *    cosine re-ranks within buckets. At 100 TB the corpus never joins
+  *    itself — it shuffles only by short bucket keys.
+  *
+  * Cosine is computed in double precision as a sequential fold
+  * (`zip_with` + `aggregate`) so results are bit-reproducible across
+  * engines (matches DuckDB's list_cosine_similarity on DOUBLE[]).
+  */
+object Similarity {
+
+  /** `cosine(a, b)` over two array<double> columns — codegen'd higher-order
+    * functions, sequential left-fold accumulation. */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dot  = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na   = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb   = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  private def asDouble(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+
+  /** Exact top-k neighbors for each query vector. `queries` is expected to
+    * be small (it is broadcast); `corpus` streams through unshuffled. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(embCol)).as("q_emb")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a cheap integer hash mapped to [-0.5, 0.5). Fixed by construction —
+    * no fitted state to persist, any executor recomputes it identically. */
+  private def planeCoef(plane: Int, dim: org.apache.spark.sql.Column) = {
+    val h = hash(lit(plane), dim) // murmur3 int
+    (h.cast("double") / lit(4294967296.0))
+  }
+
+  /** B-bit SRP signature of an array<double> column. */
+  def srpSignature(emb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+    val dots = (0 until bits).map { p =>
+      // dot(plane_p, v) as a fold over (value, index) pairs
+      aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (v, i) => v * planeCoef(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    dots.zipWithIndex.map { case (d, i) =>
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: bucket by SRP signature bands, exact cosine within
+    * candidate buckets. `bands` bands of `bitsPerBand` bits; a pair is a
+    * candidate if any band matches. */
+  def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bands: Int = 8, bitsPerBand: Int = 4,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bits = bands * bitsPerBand
+    def withBands(df: DataFrame, id: String, emb: String) = {
+      val sig = srpSignature(col(emb), bits)
+      df.select(col(id), asDouble(col(emb)).as(emb), sig.as("sig"))
+        .select(col(id), col(emb), posexplode(
+          array((0 until bands).map(b =>
+            shiftrightunsigned(col("sig"), b * bitsPerBand)
+              .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    }
+    val q = broadcast(withBands(queries.toDF(), idCol, embCol)
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed(embCol, "q_emb"))
+    val c = withBands(corpus, idCol, embCol)
+      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(embCol, "c_emb")
+    val cands = q.join(c, Seq("band", "bkey"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cands
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

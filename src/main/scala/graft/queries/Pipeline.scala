@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.functions.{HashFunctions, Text}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators as verifiable queries (SURVEY.md §2B
+  * "extensions" row + the builder brief): deduplication (exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash), embedding similarity search, text
+  * analysis (language-ID, quality, token counts, fingerprints), multimodal
+  * binary plumbing, and a lake-codec round-trip.
+  *
+  * Oracle notes: the DuckDB SQL is generated from the same Scala constants
+  * (stopword lists, shingle size, thresholds) as the Spark plan, so the two
+  * sides cannot drift. Ratio-valued outputs are integer milli-units
+  * (floor(x*1000+0.5)) — exact cross-engine comparison, no float rounding
+  * hazard. Approximate operators (SimHash pairs, SRP-LSH ANN) get rows-only
+  * checks; their exact counterparts (Jaccard pairs, brute-force ANN) are
+  * the oracle-checked ground truth, and MinHash is verified against the
+  * EXACT Jaccard oracle — its banded recall at the 0.8 threshold leaves
+  * P[miss] ≈ 5e-8, so agreement is expected, not hoped for.
+  */
+object Pipeline {
+  import Tables.t
+
+  private val ShingleN = 3
+  private val JaccardThreshold = 0.8
+
+  /** Tokenizer in DuckDB terms — must mirror [[Text.tokens]]. */
+  private val sqlTokens = """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  /** Shared-shingle exact Jaccard pair SQL (mirrors [[Dedup.jaccardPairs]]). */
+  private val jaccardOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $sqlTokens AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${ShingleN - 1}], ' ') AS sh
+       |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - ${ShingleN - 1}, 0) + 1)) AS i) g),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  CAST(floor(inter * 1000.0 / (sa.sz + sb.sz - inter) + 0.5) AS BIGINT) AS jaccard_milli
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = a_id
+       |JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE floor(inter * 1000.0 / (sa.sz + sb.sz - inter) + 0.5) >= ${(JaccardThreshold * 1000).toInt}
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Stopword-hit expression in DuckDB terms — mirrors [[Text.stopwordHits]]. */
+  private def sqlHits(words: Seq[String]): String =
+    words.map(w => s"CAST(((' ' || lower(text) || ' ') LIKE '% $w %') AS BIGINT)").mkString(" + ")
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------- dedup
+    "d01_dedup_exact" -> QueryDef(
+      (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
+    "d02_jaccard_pairs" -> QueryDef(
+      (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        ShingleN, JaccardThreshold).orderBy("a_id", "b_id"),
+      Some(jaccardOracle)),
+
+    // MinHash+LSH candidates verified with exact Jaccard — checked against
+    // the SAME exact oracle (recall argument in the header).
+    "d03_minhash_pairs" -> QueryDef(
+      (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        ShingleN, JaccardThreshold).orderBy("a_id", "b_id"),
+      Some(jaccardOracle)),
+
+    "d04_simhash" -> QueryDef(
+      (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id"),
+      None),
+
+    "d05_simhash_pairs" -> QueryDef(
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("a_id", "b_id"),
+      None),
+
+    // -------------------------------------------------------- similarity
+    "d06_knn_bruteforce" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+             |          FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+             |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qe, ce) AS cosine
+             |      FROM q, c WHERE query_id <> neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |      FROM s)
+             |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cosine, 6) AS cosine
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    "d07_knn_srp" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.srpTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ------------------------------------------------------ text analysis
+    "t01_text_stats" -> QueryDef(
+      (s, dir) => {
+        val cols = Text.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+        t(s, dir, "documents").select((col("doc_id") +: cols): _*).orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, text, $sqlTokens AS w FROM documents)
+              |SELECT doc_id,
+              |  CAST(length(text) AS BIGINT) AS n_chars,
+              |  CAST(len(w) AS BIGINT) AS n_words,
+              |  CASE WHEN len(w) > 0
+              |    THEN CAST(floor((length(text) - (len(w) - 1)) * 1000.0 / len(w) + 0.5) AS BIGINT)
+              |    ELSE 0 END AS mean_word_len_milli,
+              |  CASE WHEN length(text) > 0
+              |    THEN CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000.0 / length(text) + 0.5) AS BIGINT)
+              |    ELSE 0 END AS alpha_ratio_milli,
+              |  ${sqlHits(Text.StopwordSets.flatMap(_._2).distinct)} AS stopword_hits
+              |FROM tk ORDER BY doc_id""".stripMargin)),
+
+    "t02_langid" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id"),
+      Some {
+        val scores = Text.StopwordSets.map { case (lang, ws) => lang -> s"(${sqlHits(ws)})" }
+        val Seq((l1, s1), (l2, s2), (l3, s3), (l4, s4)) = scores
+        s"""SELECT doc_id,
+           |  CASE WHEN $s1 = 0 AND $s2 = 0 AND $s3 = 0 AND $s4 = 0 THEN 'unknown'
+           |       WHEN $s1 >= $s2 AND $s1 >= $s3 AND $s1 >= $s4 THEN '$l1'
+           |       WHEN $s2 >= $s3 AND $s2 >= $s4 THEN '$l2'
+           |       WHEN $s3 >= $s4 THEN '$l3'
+           |       ELSE '$l4' END AS pred_lang
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    "t03_token_count" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("ws_tokens"),
+          size(Text.lexTokens(col("text"))).cast("long").as("lex_tokens"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(len($sqlTokens) AS BIGINT) AS ws_tokens,
+              |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS lex_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Custom Catalyst expression (RollingHash) vs the oracle computing the
+    // identical fold with list_reduce — the expression's contract is
+    // SQL-reproducibility.
+    "t04_fingerprint" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), HashFunctions.rolling_hash(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(7::BIGINT, list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+             |    (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // -------------------------------------------------------- multimodal
+    "m01_binary_stats" -> QueryDef(
+      (s, dir) => Multimodal.binaryStats(
+        Multimodal.synthesize(t(s, dir, "documents"), "doc_id", "text").toDF())
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+             |  sha256(text) AS sha256,
+             |  hex(left(text, 8)) AS magic_hex
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    "m02_decode_features" -> QueryDef(
+      (s, dir) => Multimodal.decodeFeatures(
+        Multimodal.synthesize(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select(col("media_id"), col("n_bytes"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          floor(element_at(col("feature"), 1) * 1000 + 0.5).cast("long").as("f0_milli"))
+        .orderBy("media_id"),
+      None),
+
+    // ----------------------------------------------- lake codec round-trip
+    // events → typed-CSV lake objects → read back → aggregate; the oracle
+    // aggregates the ORIGINAL parquet, so any codec loss would mismatch.
+    "l01_lake_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import graft.lake.{LakeReader, LakeWriter}
+        import graft.types.{ColType, TableSchema}
+        val schema = TableSchema("events_rt", Seq(
+          "event_id" -> ColType.CInteger, "ts" -> ColType.CTime,
+          "user_id" -> ColType.CInteger, "event_type" -> ColType.CString,
+          "value" -> ColType.CFloat, "props" -> ColType.CString))
+        val root = s"file:///tmp/graft-lake-rt/${java.util.UUID.randomUUID()}"
+        LakeWriter.write(t(s, dir, "events").repartition(4), schema, root)
+        LakeReader.read(s, root, "events_rt")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+            round(sum(col("value")), 2).as("sum_value"),
+            max(get_json_object(col("props"), "$.k").cast("long")).as("max_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+             |  min(event_id) AS min_id, max(event_id) AS max_id,
+             |  round(sum(value), 2) AS sum_value,
+             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}
