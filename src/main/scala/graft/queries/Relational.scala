@@ -137,14 +137,16 @@ object Relational {
       (s, dir) => {
         import s.implicits._
         t(s, dir, "customer")
-          .join(t(s, dir, "orders").select($"o_custkey"),
+          .join(t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+              .select($"o_custkey"),
             col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
           .orderBy($"c_mktsegment")
       },
       Some("""SELECT c_mktsegment, count(*) AS n_customers
              |FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     // ---------------------------------------------------------------------

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming query surface (SURVEY.md §2B streaming row): windowed
+  * aggregations with watermarks, late-data drop, streaming dedup, and
+  * stream-static enrichment — thin declarative combinators over Structured
+  * Streaming so semantics live in one place.
+  *
+  * State-size posture at scale: every operator here requires a watermark,
+  * so state stores are bounded by (watermark horizon × key cardinality),
+  * never by stream length.
+  */
+object StreamOps {
+
+  /** Tumbling-window aggregation with late-data drop. */
+  def tumbling(events: DataFrame, tsCol: String, watermark: String,
+               width: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), width) +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Sliding-window aggregation. */
+  def sliding(events: DataFrame, tsCol: String, watermark: String,
+              width: String, slide: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), width, slide) +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Session windows (gap-based), the streaming mirror of q29_sessionize. */
+  def sessions(events: DataFrame, tsCol: String, watermark: String,
+               gap: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap) +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Streaming exact dedup by key within the watermark horizon — the
+    * streaming face of [[graft.operators.Dedup.exact]]. State is bounded:
+    * ids older than the watermark are evicted. */
+  def dedup(events: DataFrame, tsCol: String, watermark: String, idCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Stream-static enrichment join: the static side is a dimension table
+    * (broadcast per micro-batch — no stream-side shuffle). */
+  def enrich(events: DataFrame, dim: DataFrame, cond: Column,
+             joinType: String = "left_outer"): DataFrame =
+    events.join(broadcast(dim), cond, joinType)
+}

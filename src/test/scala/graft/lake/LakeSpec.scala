@@ -1,0 +1,62 @@
+package graft.lake
+
+import graft.SparkSuite
+import graft.types.{ColType, TableSchema}
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+class LakeSpec extends SparkSuite {
+
+  private def freshRoot() =
+    s"file://${Files.createTempDirectory("graft-lake-spec").toFile.getAbsolutePath}"
+
+  private val schema = TableSchema("ev", Seq(
+    "id" -> ColType.CInteger, "v" -> ColType.CFloat, "tag" -> ColType.CString))
+
+  test("distributed writer: one object per partition, all rows preserved") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (0 until 1000).map(i => (i.toLong, i / 3.0, s"t$i")).toDF("id", "v", "tag")
+    val keys = LakeWriter.write(df.repartition(4), schema, root,
+      Instant.parse("2024-06-01T12:00:00Z"))
+    assert(keys.size == 4)
+    assert(keys.forall(_.startsWith("2024/06/01/12/ev/")))
+    val back = LakeReader.read(spark, root, "ev")
+    assert(back.count() == 1000)
+    assert(back.agg(sum("id")).collect()(0).getLong(0) == (0L until 1000L).sum)
+  }
+
+  test("hour-prefix pruning: objects outside the range are never read") {
+    import spark.implicits._
+    val root = freshRoot()
+    val mk = (tag: String) => Seq((1L, 0.5, tag)).toDF("id", "v", "tag").coalesce(1)
+    LakeWriter.write(mk("early"), schema, root, Instant.parse("2024-06-01T08:00:00Z"))
+    LakeWriter.write(mk("late"), schema, root, Instant.parse("2024-06-01T20:00:00Z"))
+    val all = LakeReader.read(spark, root, "ev")
+    assert(all.count() == 2)
+    val pruned = LakeReader.read(spark, root, "ev",
+      hourRange = Some((Instant.parse("2024-06-01T19:00:00Z"), Instant.parse("2024-06-01T23:00:00Z"))))
+    assert(pruned.select("tag").collect().map(_.getString(0)).toSeq == Seq("late"))
+    // _event_hour is derived from the key prefix
+    assert(pruned.select("_event_hour").collect()(0).getTimestamp(0).toInstant
+      == Instant.parse("2024-06-01T20:00:00Z"))
+  }
+
+  test("reader tolerates README type aliases in #types headers") {
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    val out = new java.io.PrintWriter(store.create("2024/01/01/00/legacy/aaaaaaaa-0000-0000-0000-000000000000.csv"))
+    out.println("#text,timestampz,int")
+    out.println("name,at,n")
+    out.println("x,2024-01-01T00:30:00.000Z,7")
+    out.close()
+    val df = LakeReader.read(spark, root, "legacy")
+    val r = df.collect()(0)
+    assert(r.getAs[String]("name") == "x")
+    assert(r.getAs[Long]("n") == 7L)
+    assert(r.getAs[java.sql.Timestamp]("at").toInstant == Instant.parse("2024-01-01T00:30:00Z"))
+  }
+}

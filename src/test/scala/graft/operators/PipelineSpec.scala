@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.functions.{HashFunctions, Text}
+
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSuite {
+
+  lazy val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet").cache()
+
+  test("minhash+LSH pairs == exact jaccard pairs (sf0.001)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text").cache()
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text").cache()
+    assert(exact.count() > 0, "fixture should contain near-dups")
+    assert(exact.except(lsh).isEmpty && lsh.except(exact).isEmpty)
+  }
+
+  test("simhash: near-dups land at small Hamming distance, unrelated far") {
+    import spark.implicits._
+    val near = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different words about spark shuffles and partition pruning plans"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhash(near, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) <= 6)
+    assert(ham(fp(1L), fp(3L)) > 12)
+  }
+
+  test("exact dedup groups byte-identical docs") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2)
+    assert(out.find(_._3 == 2L).get._2 == 1L) // keeps min id
+  }
+
+  test("brute-force cosine top-k: identical vector ranks first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 1L)
+    assert(top(1).getAs[Long]("neighbor_id") == 2L)
+  }
+
+  test("SRP ANN achieves usable recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "neighbor_id")
+    val srp = Similarity.srpTopK(emb, queries, 5).select("query_id", "neighbor_id")
+    val recall = bf.intersect(srp).count().toDouble / bf.count()
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("langid picks the language whose stopwords dominate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "el perro y la casa de que si"),
+      (3L, "le chat et les maisons des villes"),
+      (4L, "der hund und das haus ist hier"),
+      (5L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", Text.langId($"text").as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de", 5L -> "unknown"))
+  }
+
+  test("rolling_hash is stable and order-sensitive") {
+    import spark.implicits._
+    val out = Seq(Tuple1("ab"), Tuple1("ba"), Tuple1("ab")).toDF("text")
+      .select(HashFunctions.rolling_hash($"text")).collect().map(_.getLong(0))
+    assert(out(0) == out(2))
+    assert(out(0) != out(1))
+    assert(out(0) == (((7L * 31 + 'a') % 2147483647L) * 31 + 'b') % 2147483647L)
+  }
+
+  test("multimodal: stub decode preserves batch shape and metadata") {
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(media)
+    val row = feats.filter(_.media_id == 0L).collect()(0)
+    assert(row.n_bytes == 128L) // documents fixture: doc 0 has 128 chars (ASCII)
+    assert(row.feature.length == 8)
+    assert(feats.count() == docs.count())
+  }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.collector.{FlushInfo, FlushTrigger}
+import graft.lake.LakeReader
+import graft.types.{ColType, TableSchema}
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+class StreamingSpec extends SparkSuite {
+  import scala.collection.mutable
+
+  private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+
+  test("LakeSink lands micro-batches as lake objects with FlushInfo") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = s"file://${Files.createTempDirectory("graft-sink-spec").toFile.getAbsolutePath}"
+    val schema = TableSchema("stream_ev", Seq(
+      "event_id" -> ColType.CInteger, "ts" -> ColType.CTime,
+      "user_id" -> ColType.CInteger, "value" -> ColType.CFloat))
+    val ms = MemoryStream[Ev]
+    val flushes = mutable.Buffer.empty[FlushInfo]
+    val q = LakeSink.writer(ms.toDF(), schema, root, recordLimit = 100,
+      onFlush = flushes.synchronized { flushes += _ })
+      .trigger(Trigger.AvailableNow()).start()
+    ms.addData((0 until 250).map(i =>
+      Ev(i, ts("2024-07-01T00:00:00Z"), i % 7, i * 1.5)))
+    q.awaitTermination(60000)
+    assert(flushes.nonEmpty)
+    assert(flushes.map(_.trigger).distinct == Seq(FlushTrigger.RecordLimit))
+    val back = LakeReader.read(spark, root, "stream_ev")
+    assert(back.count() == 250)
+    assert(back.agg(countDistinct("user_id")).collect()(0).getLong(0) == 7)
+  }
+
+  test("tumbling window with watermark drops late data") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val agg = StreamOps.tumbling(ms.toDF(), "ts", "10 minutes", "5 minutes",
+      keys = Seq.empty, aggs = Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("tumbling_out").start()
+    // batch 1: two on-time events in [00:00, 00:05)
+    ms.addData(Ev(1, ts("2024-07-01T00:01:00Z"), 1, 1.0),
+               Ev(2, ts("2024-07-01T00:03:00Z"), 1, 1.0))
+    q.processAllAvailable()
+    // batch 2: advance watermark far ahead, then a LATE event for the old window
+    ms.addData(Ev(3, ts("2024-07-01T01:00:00Z"), 1, 1.0))
+    q.processAllAvailable()
+    ms.addData(Ev(4, ts("2024-07-01T00:02:00Z"), 1, 1.0)) // late by ~1h > watermark
+    q.processAllAvailable()
+    ms.addData(Ev(5, ts("2024-07-01T02:00:00Z"), 1, 1.0)) // push watermark to close 01:00
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumbling_out")
+      .select(col("window.start").as("ws"), col("n")).collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1))).toMap
+    // late event 4 was dropped: window 00:00 closed with n=2
+    assert(rows("2024-07-01T00:00:00Z") == 2L)
+    assert(rows("2024-07-01T01:00:00Z") == 1L)
+  }
+
+  test("streaming dedup within watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamOps.dedup(ms.toDF(), "ts", "1 hour", Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    ms.addData(Ev(1, ts("2024-07-01T00:00:00Z"), 1, 1.0),
+               Ev(1, ts("2024-07-01T00:00:30Z"), 1, 1.0), // dup id
+               Ev(2, ts("2024-07-01T00:01:00Z"), 2, 2.0))
+    q.processAllAvailable()
+    ms.addData(Ev(1, ts("2024-07-01T00:05:00Z"), 1, 1.0)) // dup again, within horizon
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("stream-static enrichment join stays broadcast") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val ms = MemoryStream[Ev]
+    val joined = StreamOps.enrich(ms.toDF().withColumnRenamed("user_id", "uid"), dim,
+      col("uid") === col("user_id"), "left_outer")
+      .select("event_id", "tier")
+    val sq2 = joined.writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    ms.addData(Ev(10, ts("2024-07-01T00:00:00Z"), 1, 1.0),
+               Ev(11, ts("2024-07-01T00:00:00Z"), 9, 1.0))
+    sq2.processAllAvailable()
+    sq2.stop()
+    val out = spark.table("enrich_out").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(10L) == "gold")
+    assert(out(11L) == null)
+  }
+}
