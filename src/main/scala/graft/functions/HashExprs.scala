@@ -87,6 +87,38 @@ object HashImpls {
     }
     new GenericArrayData(mins)
   }
+
+  /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
+    * splitmix64 finalizer mapped to [-0.5, 0.5). Pure function of its
+    * arguments — any executor recomputes it identically, no fitted state. */
+  private def planeCoef(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    z.toDouble / 1.8446744073709552E19
+  }
+
+  /** Signed-random-projection signature: bit p = sign of dot(plane_p, v).
+    * All `bits` dot products accumulate in ONE pass over the vector (vs a
+    * per-bit `aggregate(zip_with(...))` tree = `bits` passes). */
+  def srpSignature(vec: ArrayData, bits: Int): Long = {
+    val n = vec.numElements()
+    val dots = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) {
+        val v = vec.getDouble(i)
+        var p = 0
+        while (p < bits) { dots(p) += v * planeCoef(p, i); p += 1 }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < bits) { if (dots(p) >= 0) sig |= (1L << p); p += 1 }
+    sig
+  }
 }
 
 /** Column-API entry points for the custom expressions. */
@@ -95,4 +127,6 @@ object HashFunctions {
   def simhash64(c: Column): Column = org.apache.spark.sql.graft.exprs.simhash64(c)
   def minhash(c: Column, k: Int, seed: Long = 1L): Column =
     org.apache.spark.sql.graft.exprs.minhash(c, k, seed)
+  def srp_sig(c: Column, bits: Int): Column =
+    org.apache.spark.sql.graft.exprs.srp_sig(c, bits)
 }

@@ -72,19 +72,26 @@ object Dedup {
     val k = bands * rowsPerBand
     val base = df.select(col(idCol).as("id"),
       Text.shinglesOfText(col(textCol), shingleN).as("sh"))
+    // Slim banded self-join: only (id, band, bkey) rows cross the shuffle —
+    // never the shingle arrays (replicating those ×bands is the classic LSH
+    // scale bug). Shingles are re-attached to the (few) surviving candidate
+    // pairs by two id-joins; recomputing them costs one extra scan, far
+    // cheaper at 100 TB than shipping arrays through a banded exchange.
+    val banded = base
       .withColumn("sig", HashFunctions.minhash(col("sh"), k, seed))
-    // band key = xxhash64 of the signature slice (band index disambiguates)
-    val banded = base.select(col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val cands = banded.as("a")
+    val candIds = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.sh").as("a_sh"), col("b.sh").as("b_sh"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    val cands = candIds
+      .join(base.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
     cands
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
       .withColumn("jaccard_milli",

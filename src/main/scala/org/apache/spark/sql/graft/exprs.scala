@@ -55,12 +55,27 @@ object exprs {
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   }
 
+  /** `srp_sig(array<double>, bits) -> bigint` — single-pass signed-random-
+    * projection LSH signature (see [[graft.functions.HashImpls.srpSignature]]). */
+  case class SrpSig(child: Expression, bits: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      HashImpls.srpSignature(v.asInstanceOf[ArrayData], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.srpSignature($c, $bits)")
+    override protected def withNewChildInternal(c: Expression): SrpSig = copy(child = c)
+  }
+
   def rolling_hash(c: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(c)))
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
   def minhash(c: Column, k: Int, seed: Long): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), k, seed))
+  def srp_sig(c: Column, bits: Int): Column =
+    ExpressionUtils.column(SrpSig(ExpressionUtils.expression(c), bits))
 
   /** Register the custom expressions for the SQL surface
     * (`SELECT rolling_hash(text) ...`). */
