@@ -88,6 +88,32 @@ object HashImpls {
     new GenericArrayData(mins)
   }
 
+  /** Distinct n-gram shingles over a token array in ONE pass: sliding
+    * windows joined with " ", first-occurrence order preserved (the same
+    * contract as `array_distinct(transform(sequence(...), slice+array_join))`
+    * — which evaluates the token subexpression once per window in
+    * interpreted HOF mode, an O(L²) re-tokenization this kernel avoids).
+    * Shorter-than-n inputs yield the empty set. */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](cnt * 2)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < cnt) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(UTF8String.concatWs(sep, parts: _*)) // concatWs skips nulls, like array_join
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
     * splitmix64 finalizer mapped to [-0.5, 0.5). Pure function of its
     * arguments — any executor recomputes it identically, no fitted state. */

@@ -19,14 +19,12 @@ object Text {
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
   /** Distinct n-gram shingles over the token array (the unit set for
-    * Jaccard/MinHash dedup). `transform` + `slice` keeps it one codegen'd
-    * pass; `array_distinct` makes it a set. */
-  def shingles(toks: Column, n: Int): Column = {
-    val joined = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => array_join(slice(toks, i, lit(n)), " "))
-    array_distinct(joined)
-  }
+    * Jaccard/MinHash dedup). A single-pass custom expression: the HOF
+    * composition (`array_distinct(transform(sequence, slice+array_join))`)
+    * runs interpreted and re-evaluates the token subexpression per window —
+    * O(L²) per document; the kernel is one compiled pass. */
+  def shingles(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graft.exprs.shingles(toks, n)
 
   def shinglesOfText(text: Column, n: Int): Column = shingles(tokens(text), n)
 

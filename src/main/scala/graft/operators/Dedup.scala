@@ -40,13 +40,19 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
       explode(Text.shinglesOfText(col(textCol), shingleN)).as("sh"))
     val posting = if (maxShingleFreq > 0) {
-      // stop-shingle removal: inverted lists longer than the cap contribute
-      // O(len^2) candidate pairs for near-zero signal
-      sh.withColumn("f", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-        .filter(col("f") <= maxShingleFreq).drop("f")
+      // Stop-shingle removal: inverted lists longer than the cap contribute
+      // O(len²) candidate pairs for near-zero signal. The over-cap list is
+      // tiny by construction (only shingles in >cap docs), so aggregate it
+      // with map-side combine and broadcast-anti-join it away — NOT a window
+      // over the full posting table, which would shuffle every posting row
+      // by shingle a second time.
+      val stop = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+        .filter(col("f") > maxShingleFreq).select("sh")
+      sh.join(broadcast(stop), Seq("sh"), "left_anti")
     } else sh
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // Jaccard over the retained (non-stop) shingle sets: sizes come from the
+    // same capped posting table the intersections do.
+    val sizes = posting.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = posting.as("a")
       .join(posting.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
@@ -70,15 +76,14 @@ object Dedup {
                    bands: Int = 32, rowsPerBand: Int = 4,
                    seed: Long = 1L): DataFrame = {
     val k = bands * rowsPerBand
-    val base = df.select(col(idCol).as("id"),
-      Text.shinglesOfText(col(textCol), shingleN).as("sh"))
     // Slim banded self-join: only (id, band, bkey) rows cross the shuffle —
     // never the shingle arrays (replicating those ×bands is the classic LSH
-    // scale bug). Shingles are re-attached to the (few) surviving candidate
-    // pairs by two id-joins; recomputing them costs one extra scan, far
-    // cheaper at 100 TB than shipping arrays through a banded exchange.
-    val banded = base
-      .withColumn("sig", HashFunctions.minhash(col("sh"), k, seed))
+    // scale bug). The shingle→signature pipeline is one projection, consumed
+    // exactly once; no cache needed (caching the shingled corpus at 100 TB
+    // would itself be the scale bug).
+    val banded = df
+      .select(col(idCol).as("id"),
+        HashFunctions.minhash(Text.shinglesOfText(col(textCol), shingleN), k, seed).as("sig"))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
@@ -89,9 +94,16 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    // Exact-Jaccard verification re-shingles ONLY the surviving candidates:
+    // candIds is small (near-dup pairs), so AQE broadcasts it and the corpus
+    // streams through both probes unshuffled; shingling happens on the few
+    // matched rows, not the whole corpus a second and third time.
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("txt"))
     val cands = candIds
-      .join(base.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(base.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .join(texts.select(col("id").as("a_id"), col("txt").as("a_txt")), "a_id")
+      .join(texts.select(col("id").as("b_id"), col("txt").as("b_txt")), "b_id")
+      .withColumn("a_sh", Text.shinglesOfText(col("a_txt"), shingleN))
+      .withColumn("b_sh", Text.shinglesOfText(col("b_txt"), shingleN))
     cands
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
       .withColumn("jaccard_milli",

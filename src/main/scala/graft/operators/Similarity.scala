@@ -50,36 +50,19 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a cheap integer hash mapped to [-0.5, 0.5). Fixed by construction —
-    * no fitted state to persist, any executor recomputes it identically. */
-  private def planeCoef(plane: Int, dim: org.apache.spark.sql.Column) = {
-    val h = hash(lit(plane), dim) // murmur3 int
-    (h.cast("double") / lit(4294967296.0))
-  }
-
-  /** B-bit SRP signature of an array<double> column. */
-  def srpSignature(emb: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
-    val dots = (0 until bits).map { p =>
-      // dot(plane_p, v) as a fold over (value, index) pairs
-      aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (v, i) => v * planeCoef(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-    }
-    dots.zipWithIndex.map { case (d, i) =>
-      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
-
   /** Approximate top-k: bucket by SRP signature bands, exact cosine within
     * candidate buckets. `bands` bands of `bitsPerBand` bits; a pair is a
-    * candidate if any band matches. */
+    * candidate if any band matches. The B-bit signature is the single-pass
+    * [[graft.functions.HashImpls.srpSignature]] Catalyst expression — all B
+    * hyperplane dot products accumulate in one compiled sweep of the vector
+    * (a per-bit `aggregate(zip_with(...))` fold would be B interpreted
+    * passes). */
   def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bands: Int = 8, bitsPerBand: Int = 4,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val bits = bands * bitsPerBand
     def withBands(df: DataFrame, id: String, emb: String) = {
-      val sig = srpSignature(col(emb), bits)
+      val sig = graft.functions.HashFunctions.srp_sig(asDouble(col(emb)), bits)
       df.select(col(id), asDouble(col(emb)).as(emb), sig.as("sig"))
         .select(col(id), col(emb), posexplode(
           array((0 until bands).map(b =>

@@ -26,21 +26,35 @@ object Pipeline {
 
   private val ShingleN = 3
   private val JaccardThreshold = 0.8
+  /** Stop-shingle cap for the registered d02: shingles shared by more docs
+    * than this are dropped from the Jaccard universe (posting lists longer
+    * than the cap contribute O(len²) candidate pairs for near-zero signal —
+    * the standard exact-dedup scale guard). Mirrored in the oracle SQL. */
+  private val MaxShingleFreq = 1000
 
   /** Tokenizer in DuckDB terms — must mirror [[Text.tokens]]. */
   private val sqlTokens = """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
 
-  /** Shared-shingle exact Jaccard pair SQL (mirrors [[Dedup.jaccardPairs]]). */
-  private val jaccardOracle: String =
+  /** Shared-shingle exact Jaccard pair SQL (mirrors [[Dedup.jaccardPairs]]);
+    * `cap > 0` reproduces the stop-shingle removal (Jaccard over the
+    * retained shingle sets, sizes included). */
+  private def jaccardOracle(cap: Int): String = {
+    val posting =
+      if (cap > 0)
+        s"""posting AS (
+           |  SELECT doc_id, sh FROM sh
+           |  WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) > $cap)),""".stripMargin
+      else "posting AS (SELECT doc_id, sh FROM sh),"
     s"""WITH toks AS (
        |  SELECT doc_id, $sqlTokens AS w FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${ShingleN - 1}], ' ') AS sh
        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - ${ShingleN - 1}, 0) + 1)) AS i) g),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |$posting
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM posting GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM posting a JOIN posting b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT a_id, b_id,
        |  CAST(floor(inter * 1000.0 / (sa.sz + sb.sz - inter) + 0.5) AS BIGINT) AS jaccard_milli
@@ -49,6 +63,7 @@ object Pipeline {
        |JOIN sizes sb ON sb.doc_id = b_id
        |WHERE floor(inter * 1000.0 / (sa.sz + sb.sz - inter) + 0.5) >= ${(JaccardThreshold * 1000).toInt}
        |ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** Stopword-hit expression in DuckDB terms — mirrors [[Text.stopwordHits]]. */
   private def sqlHits(words: Seq[String]): String =
@@ -65,15 +80,15 @@ object Pipeline {
 
     "d02_jaccard_pairs" -> QueryDef(
       (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        ShingleN, JaccardThreshold).orderBy("a_id", "b_id"),
-      Some(jaccardOracle)),
+        ShingleN, JaccardThreshold, MaxShingleFreq).orderBy("a_id", "b_id"),
+      Some(jaccardOracle(MaxShingleFreq))),
 
     // MinHash+LSH candidates verified with exact Jaccard — checked against
-    // the SAME exact oracle (recall argument in the header).
+    // the exact (uncapped) oracle (recall argument in the header).
     "d03_minhash_pairs" -> QueryDef(
       (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         ShingleN, JaccardThreshold).orderBy("a_id", "b_id"),
-      Some(jaccardOracle)),
+      Some(jaccardOracle(0))),
 
     "d04_simhash" -> QueryDef(
       (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")

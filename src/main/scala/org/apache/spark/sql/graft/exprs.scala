@@ -55,6 +55,19 @@ object exprs {
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   }
 
+  /** `shingles(array<string>, n) -> array<string>` — distinct n-gram
+    * shingles in one pass (see [[graft.functions.HashImpls.shingles]]). */
+  case class Shingles(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      HashImpls.shingles(v.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.shingles($c, $n)")
+    override protected def withNewChildInternal(c: Expression): Shingles = copy(child = c)
+  }
+
   /** `srp_sig(array<double>, bits) -> bigint` — single-pass signed-random-
     * projection LSH signature (see [[graft.functions.HashImpls.srpSignature]]). */
   case class SrpSig(child: Expression, bits: Int)
@@ -74,15 +87,32 @@ object exprs {
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
   def minhash(c: Column, k: Int, seed: Long): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), k, seed))
+  def shingles(c: Column, n: Int): Column =
+    ExpressionUtils.column(Shingles(ExpressionUtils.expression(c), n))
   def srp_sig(c: Column, bits: Int): Column =
     ExpressionUtils.column(SrpSig(ExpressionUtils.expression(c), bits))
 
-  /** Register the custom expressions for the SQL surface
-    * (`SELECT rolling_hash(text) ...`). */
+  /** Register the custom expressions for the SQL surface, so every Column
+    * entry point above has a `SELECT`-able twin:
+    * `rolling_hash(text)`, `simhash64(arr)`, `shingles(arr, 3)`,
+    * `minhash(arr, 128, 1)`, `srp_sig(vec, 32)`. Int/long parameters must be
+    * foldable literals (they parameterize codegen). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash")
+    def lit(e: Expression, what: String): Long = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toLong
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got: $other")
+    }
     reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("shingles",
+      es => Shingles(es.head, lit(es(1), "shingles n").toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash",
+      es => MinHashSig(es.head, lit(es(1), "minhash k").toInt,
+        if (es.size > 2) lit(es(2), "minhash seed") else 1L), "scala_udf")
+    reg.createOrReplaceTempFunction("srp_sig",
+      es => SrpSig(es.head, lit(es(1), "srp_sig bits").toInt), "scala_udf")
   }
 }
