@@ -242,8 +242,10 @@ object Relational {
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // ---------------------------------------------------------------------
-    // Window: rank / dense_rank / percent_rank over a global ordering on a
-    // small aggregated input.
+    // Window: rank / dense_rank / percent_rank / ntile over a global
+    // ordering on a small aggregated input. percent_rank = (rank-1)/(n-1) —
+    // identical double operands on both engines, so the raw double is
+    // hash-stable; milli-units keep the habit anyway.
     "q11_window_ranks" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -253,14 +255,19 @@ object Relational {
         perNation
           .withColumn("rnk", rank().over(w))
           .withColumn("drnk", dense_rank().over(w))
-          .select($"s_nationkey", $"total_bal", $"rnk", $"drnk")
+          .withColumn("pr_milli", floor(percent_rank().over(w) * 1000 + 0.5).cast("long"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .select($"s_nationkey", $"total_bal", $"rnk", $"drnk", $"pr_milli", $"quartile")
           .orderBy($"rnk", $"s_nationkey")
       },
       Some("""SELECT s_nationkey, total_bal,
-             |  rank() OVER (ORDER BY total_bal DESC, s_nationkey) AS rnk,
-             |  dense_rank() OVER (ORDER BY total_bal DESC, s_nationkey) AS drnk
+             |  rank() OVER w AS rnk,
+             |  dense_rank() OVER w AS drnk,
+             |  CAST(floor(percent_rank() OVER w * 1000 + 0.5) AS BIGINT) AS pr_milli,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
              |FROM (SELECT s_nationkey, round(sum(s_acctbal), 2) AS total_bal
              |      FROM supplier GROUP BY s_nationkey) t
+             |WINDOW w AS (ORDER BY total_bal DESC, s_nationkey)
              |ORDER BY rnk, s_nationkey""".stripMargin)),
 
     // ---------------------------------------------------------------------
@@ -596,6 +603,114 @@ object Relational {
       Some("""SELECT word, count(*) AS n FROM (
              |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
              |GROUP BY word ORDER BY word""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // stddev (sample + population) and deterministic first/last per group.
+    // Spark's groupBy first()/last() are order-nondeterministic by contract,
+    // so the deterministic form is first/last over an explicitly ordered,
+    // fully-framed window — then any agg of the (per-group-constant) result.
+    "q32_stddev_first_last" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_orderdate", $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .withColumn("first_order", first($"o_orderkey").over(w))
+          .withColumn("last_order", last($"o_orderkey").over(w))
+          .groupBy($"o_orderpriority")
+          .agg(
+            round(stddev($"o_totalprice"), 2).as("sd_samp"),
+            round(stddev_pop($"o_totalprice"), 2).as("sd_pop"),
+            min($"first_order").as("first_order"),
+            min($"last_order").as("last_order"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  round(stddev_samp(o_totalprice), 2) AS sd_samp,
+             |  round(stddev_pop(o_totalprice), 2) AS sd_pop,
+             |  min(first_o) AS first_order, min(last_o) AS last_order,
+             |  count(*) AS n
+             |FROM (
+             |  SELECT o_orderpriority, o_totalprice,
+             |    first_value(o_orderkey) OVER w AS first_o,
+             |    last_value(o_orderkey) OVER w AS last_o
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Right-outer join: every customer kept whether or not they ordered
+    // (the mirror of q06's left join, exercised in its own right per the
+    // reference contract "inner/left/right/full").
+    "q33_right_outer_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey", "right_outer")
+          .groupBy($"c_mktsegment")
+          .agg(count($"o_orderkey").as("n_orders"),
+               countDistinct($"c_custkey").as("n_customers"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+             |  count(DISTINCT c_custkey) AS n_customers
+             |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // RANGE window frame: trailing-30-day spend per customer. The frame is
+    // value-based (seconds since epoch), so peers with equal order dates all
+    // enter the frame together — semantics ROWS frames can't express.
+    "q34_range_frame" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // o_orderdate is TIMESTAMP_NTZ; range frames need a numeric ordering
+        // key → epoch seconds via an NTZ→TZ cast (identity: session TZ=UTC).
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".cast("timestamp").cast("long"))
+          .rangeBetween(-30L * 86400, Window.currentRow)
+        t(s, dir, "orders")
+          .withColumn("n_orders_30d", count(lit(1)).over(w))
+          .withColumn("spend_30d", round(sum($"o_totalprice").over(w), 2))
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"n_orders_30d", $"spend_30d")
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  count(*) OVER w AS n_orders_30d,
+             |  round(sum(o_totalprice) OVER w, 2) AS spend_30d
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY floor(epoch(o_orderdate))
+             |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // JSON → typed map: from_json on events.props, then map_keys /
+    // element_at / array_contains — the natural query over a JSON payload
+    // column (q24 covers the path-extraction flavor).
+    "q35_json_map_ops" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val m = from_json($"props", org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+        t(s, dir, "events")
+          .select($"event_id", m.as("m"))
+          .select(
+            $"event_id",
+            array_join(array_sort(map_keys($"m")), ",").as("keys_csv"),
+            size(map_keys($"m")).cast("long").as("n_keys"),
+            element_at($"m", "k").cast("long").as("k_val"),
+            array_contains(map_keys($"m"), "k").as("has_k"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+             |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             |  list_contains(json_keys(props), 'k') AS has_k
+             |FROM events ORDER BY event_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
     // Predicate pushdown showcase: IN / BETWEEN / LIKE all reach the scan.
