@@ -37,13 +37,19 @@ final case class FlushInfo(table: String, id: UUID, trigger: FlushTrigger,
   * CHANGELOG 0.1.1), gzip on by default, 200k-record / 1h flush thresholds
   * (`Collector.ts:177-179`). `schemas` additionally allows declaring a table
   * up-front, making the schema authoritative instead of first-record
-  * inferred (SURVEY.md §7.4 delta 1 — inference remains the fallback). */
+  * inferred (SURVEY.md §7.4 delta 1 — inference remains the fallback).
+  * `batchByteLimit` backs the Backpressure flush trigger: the reference
+  * detects pressure when its downstream `Writable` buffer fills
+  * (`Collector.ts:19-20,278-280`); our spool is a synchronous local file, so
+  * the equivalent pressure signal is the spooled-byte volume of the batch —
+  * a bound on local disk held per table. */
 final case class CollectorConfig(
     columnTypes: Map[String, Map[String, ColType]] = Map.empty,
     schemas: Map[String, TableSchema] = Map.empty,
     batchZip: Boolean = true,
     batchRecordLimit: Long = 200000L,
-    batchAgeLimitMillis: Long = 3600000L)
+    batchAgeLimitMillis: Long = 3600000L,
+    batchByteLimit: Long = 256L * 1024 * 1024)
 
 /** Driver-side event Collector with the reference's exact semantics:
   * records spool straight to a local temp file (O(1) heap per record,
@@ -67,6 +73,7 @@ final class Collector(store: Store, config: CollectorConfig = CollectorConfig())
       val writer: BufferedWriter,
       val started: Long) {
     var records: Long = 0L
+    var bytes: Long = 0L // pre-compression spooled volume (backpressure gauge)
   }
 
   private val batches = mutable.HashMap.empty[String, Batch]
@@ -96,10 +103,12 @@ final class Collector(store: Store, config: CollectorConfig = CollectorConfig())
       val resolved = Wildcard.resolve(table, token)
       val batch = batches.getOrElseUpdate(resolved, createBatch(table, resolved, record))
       writeRecord(batch, record)
-      // Trigger checks in the reference's priority order (record limit then
-      // age; age is lazy — only examined when the next record arrives,
-      // `Collector.ts:278-287`).
-      if (batch.records >= config.batchRecordLimit)
+      // Trigger checks in the reference's priority order (backpressure →
+      // record limit → age; age is lazy — only examined when the next record
+      // arrives, `Collector.ts:278-287`).
+      if (batch.bytes >= config.batchByteLimit)
+        flushBatch(batch, FlushTrigger.Backpressure)
+      else if (batch.records >= config.batchRecordLimit)
         flushBatch(batch, FlushTrigger.RecordLimit)
       else if (System.currentTimeMillis() - batch.started >= config.batchAgeLimitMillis)
         flushBatch(batch, FlushTrigger.AgeLimit)
@@ -131,9 +140,11 @@ final class Collector(store: Store, config: CollectorConfig = CollectorConfig())
   private def writeRecord(batch: Batch, record: Seq[(String, Any)]): Unit = {
     val byName = record.toMap
     val vals = batch.schema.columnNames.map(n => byName.getOrElse(n, null))
-    batch.writer.write(TypedCsv.formatRow(vals, batch.schema.colTypes))
+    val row = TypedCsv.formatRow(vals, batch.schema.colTypes)
+    batch.writer.write(row)
     batch.writer.write("\n")
     batch.records += 1
+    batch.bytes += row.length + 1
   }
 
   private def flushBatch(batch: Batch, trigger: FlushTrigger): Unit = {

@@ -19,6 +19,18 @@ object LakeKeys {
 
   def datePrefix(t: Instant): String = PrefixFmt.format(t)
 
+  /** Every `YYYY/MM/DD/HH` prefix whose hour intersects `[from, to]` — the
+    * listing plan for a pruned read: list exactly these directories, never
+    * the whole lake (at 100 TB the full recursive listing is itself a
+    * driver bottleneck). */
+  def hourPrefixes(from: Instant, to: Instant): Seq[String] = {
+    import java.time.temporal.ChronoUnit
+    val start = from.truncatedTo(ChronoUnit.HOURS)
+    val end = to.truncatedTo(ChronoUnit.HOURS)
+    Iterator.iterate(start)(_.plus(1, ChronoUnit.HOURS))
+      .takeWhile(!_.isAfter(end)).map(datePrefix).toSeq
+  }
+
   def objectKey(table: String, flushTime: Instant, id: UUID, gzip: Boolean): String = {
     val ext = if (gzip) ".csv.gz" else ".csv"
     s"${datePrefix(flushTime)}/$table/$id$ext"

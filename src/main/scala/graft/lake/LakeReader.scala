@@ -41,19 +41,25 @@ object LakeReader {
 
   /** Read every object of `table` from the lake at `rootUri`, optionally
     * restricted to UTC hours in `[fromHour, toHour]` (partition pruning via
-    * key prefix — objects outside the range are never touched). The result
-    * carries an `_event_hour` timestamp column derived from the object key. */
+    * key prefix — out-of-range hours are never even LISTED: the listing plan
+    * is the per-hour `YYYY/MM/DD/HH/table/` directories composed from the
+    * range, not a full-lake recursive walk). The result carries an
+    * `_event_hour` timestamp column derived from the object key. */
   def read(spark: SparkSession, rootUri: String, table: String,
-           hourRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame = {
-    val store = new HadoopStore(rootUri)
-    val keys0 = store.list("").filter { k =>
-      LakeKeys.parseKey(k).exists(_._2 == table)
-    }
+           hourRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame =
+    readFrom(spark, new HadoopStore(rootUri), table, hourRange)
+
+  /** [[read]] against an explicit [[Store]] (injectable for tests). */
+  def readFrom(spark: SparkSession, store: Store, table: String,
+               hourRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame = {
+    val rootUri = store.rootUri
     val keys = hourRange match {
-      case Some((from, to)) => keys0.filter { k =>
-        LakeKeys.parseKey(k).exists { case (h, _, _) => !h.isBefore(from) && !h.isAfter(to) }
-      }
-      case None => keys0
+      case Some((from, to)) =>
+        LakeKeys.hourPrefixes(from, to)
+          .flatMap(pfx => store.list(s"$pfx/$table"))
+          .filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
+      case None =>
+        store.list("").filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
     }
     require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
     val schema = peekSchema(store, keys.head, table)

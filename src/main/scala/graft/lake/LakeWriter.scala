@@ -22,10 +22,20 @@ import org.apache.spark.sql.DataFrame
   */
 object LakeWriter {
 
+  /** One landed lake object: its key, batch id (the key's uuid), and the
+    * exact row count it holds. */
+  final case class WrittenObject(key: String, id: UUID, records: Long)
+
   /** Write `df` (columns must be alignable to `schema`) as lake objects.
-    * Returns the keys written (small: one per partition). */
+    * Each task streams its partition straight to the store and — when
+    * `maxRecordsPerObject > 0` — rolls to a fresh object every time the
+    * limit fills, so object size is enforced exactly in ONE pass with no
+    * pre-count and no repartition (the analogue of the reference's
+    * record-limit flush, `Collector.ts:281-283`). Returns one
+    * [[WrittenObject]] per object (small: ~one per partition). */
   def write(df: DataFrame, schema: TableSchema, rootUri: String,
-            flushTime: Instant = Instant.now(), gzip: Boolean = true): Seq[String] = {
+            flushTime: Instant = Instant.now(), gzip: Boolean = true,
+            maxRecordsPerObject: Long = 0L): Seq[WrittenObject] = {
     import org.apache.spark.sql.functions.col
     // Align column order + Spark types to the declared schema (declared
     // schemas are authoritative — SURVEY.md §7.4).
@@ -40,23 +50,38 @@ object LakeWriter {
       if (!rows.hasNext) Iterator.empty
       else {
         val store = new HadoopStore(rootUri)
-        val key = LakeKeys.objectKey(table, flushTime, UUID.randomUUID(), gzip)
-        val raw = store.create(key)
-        val out = new BufferedWriter(new OutputStreamWriter(
-          if (gzip) new GZIPOutputStream(raw) else raw, StandardCharsets.UTF_8), 256 * 1024)
+        val written = Seq.newBuilder[WrittenObject]
+        var id: UUID = null
+        var key: String = null
+        var out: BufferedWriter = null
         var n = 0L
-        try {
+        def open(): Unit = {
+          id = UUID.randomUUID()
+          key = LakeKeys.objectKey(table, flushTime, id, gzip)
+          val raw = store.create(key)
+          out = new BufferedWriter(new OutputStreamWriter(
+            if (gzip) new GZIPOutputStream(raw) else raw, StandardCharsets.UTF_8), 256 * 1024)
           out.write(typesHeader); out.write("\n")
           out.write(namesHeader); out.write("\n")
+          n = 0L
+        }
+        open()
+        try {
           rows.foreach { r =>
+            if (maxRecordsPerObject > 0 && n >= maxRecordsPerObject) {
+              out.close(); written += WrittenObject(key, id, n)
+              open()
+            }
             val vals = new Array[Any](nCols)
             var i = 0
             while (i < nCols) { vals(i) = r.get(i); i += 1 }
             out.write(TypedCsv.formatRow(vals.toSeq, types)); out.write("\n")
             n += 1
           }
-        } finally out.close()
-        Iterator.single(key)
+          out.close(); written += WrittenObject(key, id, n)
+          out = null
+        } finally if (out != null) out.close() // error path: close, don't record
+        written.result().iterator
       }
     }.collect().toSeq
   }

@@ -5,7 +5,6 @@ import graft.lake.LakeWriter
 import graft.types.TableSchema
 
 import java.time.Instant
-import java.util.UUID
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
@@ -29,28 +28,45 @@ import org.apache.spark.sql.Row
   */
 object LakeSink {
 
-  /** Attach a lake sink to a streaming DataFrame. Caller starts the query. */
+  /** Attach a lake sink to a streaming DataFrame. Caller starts the query.
+    *
+    * Micro-batch hygiene: the batch is persisted once, counted off the
+    * cache, reshaped (repartition up so no writer exceeds the record limit;
+    * coalesce down for small batches but never below `writerFloor` tasks —
+    * a sub-limit batch must not serialize through one writer), and written
+    * in a single pass. [[LakeWriter]] rolls objects at the record limit and
+    * reports exact per-object counts, so each `FlushInfo` carries the real
+    * object id (the key's uuid) and its real row count. */
   def writer(df: DataFrame, schema: TableSchema, rootUri: String,
              gzip: Boolean = true,
              recordLimit: Long = 200000L,
              ageLimit: java.time.Duration = java.time.Duration.ofHours(1),
+             writerFloor: Int = 4,
              onFlush: FlushInfo => Unit = _ => ()): DataStreamWriter[Row] = {
     df.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(ageLimit.toMillis))
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (!batch.isEmpty) {
-          val n = batch.count()
-          val parts = math.max(1L, (n + recordLimit - 1) / recordLimit).toInt
-          val sized = if (n > recordLimit) batch.repartition(parts) else batch.coalesce(1)
-          val t0 = System.currentTimeMillis()
-          val keys = LakeWriter.write(sized, schema, rootUri, Instant.now(), gzip)
-          val trigger = if (n >= recordLimit) FlushTrigger.RecordLimit else FlushTrigger.AgeLimit
-          keys.foreach { k =>
-            onFlush(FlushInfo(schema.name, UUID.randomUUID(), trigger,
-              n / math.max(1, keys.size), System.currentTimeMillis() - t0, k))
+        val cached = batch.persist()
+        try {
+          val n = cached.count()
+          if (n > 0) {
+            val parts = ((n + recordLimit - 1) / recordLimit).toInt
+            val cur = cached.rdd.getNumPartitions
+            val sized =
+              if (parts > cur) cached.repartition(parts)
+              else cached.coalesce(math.max(math.min(writerFloor, cur), parts))
+            val trigger =
+              if (n >= recordLimit) FlushTrigger.RecordLimit else FlushTrigger.AgeLimit
+            val t0 = System.currentTimeMillis()
+            val written = LakeWriter.write(sized, schema, rootUri, Instant.now(), gzip,
+              maxRecordsPerObject = recordLimit)
+            val age = System.currentTimeMillis() - t0
+            written.foreach { w =>
+              onFlush(FlushInfo(schema.name, w.id, trigger, w.records, age, w.key))
+            }
           }
-        }
+        } finally { cached.unpersist(); () }
       }
   }
 

@@ -91,6 +91,25 @@ class CollectorSpec extends SparkSuite {
     c.stop()
   }
 
+  test("backpressure trigger: spooled-byte limit flushes before record limit") {
+    val (store, _) = freshStore()
+    // ~18 bytes/row → the 200-byte spool cap fills after ~11 rows, far
+    // before the record limit; priority order is backpressure first
+    // (Collector.ts:278-287).
+    val c = new Collector(store, CollectorConfig(
+      batchByteLimit = 200, batchRecordLimit = 10000, batchZip = false))
+    val flushes = mutable.Buffer.empty[FlushInfo]
+    val errors = mutable.Buffer.empty[Throwable]
+    c.onFlush(flushes += _); c.onError(errors += _)
+    for (i <- 0 until 100)
+      c.track("t", Collector.rec("i" -> i.toLong, "blob" -> f"payload-$i%04d"))
+    c.stop()
+    assert(errors.isEmpty)
+    assert(flushes.count(_.trigger == FlushTrigger.Backpressure) >= 5)
+    assert(flushes.count(_.trigger == FlushTrigger.RecordLimit) == 0)
+    assert(flushes.map(_.records).sum == 100L)
+  }
+
   test("track after stop surfaces on onError, never throws") {
     val (store, _) = freshStore()
     val c = new Collector(store, CollectorConfig())

@@ -20,13 +20,26 @@ class LakeSpec extends SparkSuite {
     import spark.implicits._
     val root = freshRoot()
     val df = (0 until 1000).map(i => (i.toLong, i / 3.0, s"t$i")).toDF("id", "v", "tag")
-    val keys = LakeWriter.write(df.repartition(4), schema, root,
+    val written = LakeWriter.write(df.repartition(4), schema, root,
       Instant.parse("2024-06-01T12:00:00Z"))
-    assert(keys.size == 4)
-    assert(keys.forall(_.startsWith("2024/06/01/12/ev/")))
+    assert(written.size == 4)
+    assert(written.forall(_.key.startsWith("2024/06/01/12/ev/")))
+    assert(written.map(_.records).sum == 1000L)
+    assert(written.forall(w => w.key.contains(w.id.toString)))
     val back = LakeReader.read(spark, root, "ev")
     assert(back.count() == 1000)
     assert(back.agg(sum("id")).collect()(0).getLong(0) == (0L until 1000L).sum)
+  }
+
+  test("writer rolls objects at maxRecordsPerObject within a partition") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (0 until 1000).map(i => (i.toLong, i / 3.0, s"t$i")).toDF("id", "v", "tag")
+    val written = LakeWriter.write(df.coalesce(1), schema, root,
+      Instant.parse("2024-06-01T12:00:00Z"), maxRecordsPerObject = 300L)
+    assert(written.size == 4) // 300+300+300+100
+    assert(written.map(_.records).sorted == Seq(100L, 300L, 300L, 300L))
+    assert(LakeReader.read(spark, root, "ev").count() == 1000)
   }
 
   test("hour-prefix pruning: objects outside the range are never read") {
@@ -43,6 +56,31 @@ class LakeSpec extends SparkSuite {
     // _event_hour is derived from the key prefix
     assert(pruned.select("_event_hour").collect()(0).getTimestamp(0).toInstant
       == Instant.parse("2024-06-01T20:00:00Z"))
+  }
+
+  test("pruned read lists only in-range hour prefixes, never the whole lake") {
+    import scala.collection.mutable
+    import spark.implicits._
+    val root = freshRoot()
+    val mk = (tag: String) => Seq((1L, 0.5, tag)).toDF("id", "v", "tag").coalesce(1)
+    LakeWriter.write(mk("early"), schema, root, Instant.parse("2024-06-01T08:00:00Z"))
+    LakeWriter.write(mk("late"), schema, root, Instant.parse("2024-06-01T20:00:00Z"))
+    final class RecordingStore(inner: Store) extends Store {
+      val listed = mutable.Buffer.empty[String]
+      def put(key: String, data: java.io.InputStream): Unit = inner.put(key, data)
+      def create(key: String) = inner.create(key)
+      def open(key: String) = inner.open(key)
+      def list(prefix: String) = { listed += prefix; inner.list(prefix) }
+      def exists(key: String) = inner.exists(key)
+      def rootUri = inner.rootUri
+    }
+    val store = new RecordingStore(new HadoopStore(root))
+    val pruned = LakeReader.readFrom(spark, store, "ev",
+      hourRange = Some((Instant.parse("2024-06-01T19:30:00Z"), Instant.parse("2024-06-01T21:10:00Z"))))
+    assert(pruned.select("tag").collect().map(_.getString(0)).toSeq == Seq("late"))
+    // exactly the 19:00/20:00/21:00 hour dirs were listed — no "" full walk
+    assert(store.listed.toSet == Set(
+      "2024/06/01/19/ev", "2024/06/01/20/ev", "2024/06/01/21/ev"))
   }
 
   test("reader tolerates README type aliases in #types headers") {

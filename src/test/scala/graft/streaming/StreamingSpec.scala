@@ -69,6 +69,37 @@ class StreamingSpec extends SparkSuite {
     assert(rows("2024-07-01T01:00:00Z") == 1L)
   }
 
+  test("session windows split on gap and close via watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val agg = StreamOps.sessions(ms.toDF(), "ts", "10 minutes", "30 minutes",
+      keys = Seq(col("user_id")), aggs = Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("sessions_out").start()
+    // user 1: 00:00 and 00:10 fall in one session (gap < 30m); 01:00 starts
+    // a new one (50m > gap) — mirrors q29_sessionize's semantics.
+    ms.addData(Ev(1, ts("2024-07-01T00:00:00Z"), 1, 1.0),
+               Ev(2, ts("2024-07-01T00:10:00Z"), 1, 1.0),
+               Ev(3, ts("2024-07-01T01:00:00Z"), 1, 1.0))
+    q.processAllAvailable()
+    // advance the watermark past 01:30 (last session end) + 10m horizon so
+    // append mode emits the closed sessions
+    ms.addData(Ev(4, ts("2024-07-01T03:00:00Z"), 2, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions_out")
+      .select(col("user_id"), col("session_window.start").as("ws"),
+        col("session_window.end").as("we"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString,
+        r.getTimestamp(2).toInstant.toString, r.getLong(3))).toSet
+    // session end = last event + gap; the late-closing user-2 session is
+    // still open (watermark never passed it) → exactly user 1's two sessions
+    assert(rows == Set(
+      (1L, "2024-07-01T00:00:00Z", "2024-07-01T00:40:00Z", 2L),
+      (1L, "2024-07-01T01:00:00Z", "2024-07-01T01:30:00Z", 1L)))
+  }
+
   test("streaming dedup within watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
