@@ -125,6 +125,24 @@ object HashImpls {
     z.toDouble / 1.8446744073709552E19
   }
 
+  /** Cosine similarity of two equal-length array<double> vectors as the
+    * canonical sequential fold `dot/(√Σa²·√Σb²)` — the same operation order
+    * as the `aggregate(zip_with(...))` Column fold and DuckDB's
+    * list_cosine_similarity, so results are bit-reproducible across engines
+    * (the dedup/ANN oracle contract), in one compiled pass instead of three
+    * interpreted HOF folds. */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Signed-random-projection signature: bit p = sign of dot(plane_p, v).
     * All `bits` dot products accumulate in ONE pass over the vector (vs a
     * per-bit `aggregate(zip_with(...))` tree = `bits` passes). */
@@ -155,4 +173,6 @@ object HashFunctions {
     org.apache.spark.sql.graft.exprs.minhash(c, k, seed)
   def srp_sig(c: Column, bits: Int): Column =
     org.apache.spark.sql.graft.exprs.srp_sig(c, bits)
+  def cosine_sim(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.exprs.cosine_sim(a, b)
 }

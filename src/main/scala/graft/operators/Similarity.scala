@@ -22,14 +22,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** `cosine(a, b)` over two array<double> columns — codegen'd higher-order
-    * functions, sequential left-fold accumulation. */
-  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val dot  = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na   = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb   = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  /** `cosine(a, b)` over two array<double> columns: the single-pass
+    * [[graft.functions.HashImpls.cosineSim]] expression — the same
+    * sequential-fold arithmetic as an `aggregate(zip_with(...))` chain (and
+    * DuckDB's list_cosine_similarity), but one compiled sweep instead of
+    * three interpreted HOF passes per pair. */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.HashFunctions.cosine_sim(a, b)
 
   private def asDouble(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
 
@@ -48,6 +47,58 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Exact embedding near-dup pairs: every (a < b) pair with cosine ≥
+    * `threshold`, in integer milli-units. Deliberately quadratic — the
+    * correctness baseline the banded [[srpNearDupPairs]] is verified
+    * against; at corpus scale use the banded path. The corpus broadcasts
+    * once against itself (no shuffle), each pair costs one compiled cosine. */
+  def cosinePairs(corpus: DataFrame, threshold: Double,
+                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("a_id"), asDouble(col(embCol)).as("a_emb"))
+    val b = corpus.select(col(idCol).as("b_id"), asDouble(col(embCol)).as("b_emb"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cos_milli",
+        floor(cosine(col("a_emb"), col("b_emb")) * 1000 + 0.5).cast("long"))
+      .filter(col("cos_milli") >= (threshold * 1000).toLong)
+      .select("a_id", "b_id", "cos_milli")
+  }
+
+  /** SRP-banded embedding near-dup pairs: candidates share at least one
+    * signature band, then exact cosine verifies ≥ `threshold`. Only
+    * (id, band, bkey) rows cross the shuffle — embeddings are re-attached to
+    * the few surviving candidates (the same 100-TB shape as
+    * [[graft.operators.Dedup.minhashPairs]]). With 16 bands × 4 bits and a
+    * 0.95 threshold, P[bit agree] = 1 − θ/π ≈ 0.90 ⇒ P[miss a true pair] =
+    * (1 − 0.9⁴)¹⁶ ≈ 3e-8 — agreement with the exact baseline is expected,
+    * not hoped for. */
+  def srpNearDupPairs(corpus: DataFrame, threshold: Double,
+                      bands: Int = 16, bitsPerBand: Int = 4,
+                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bits = bands * bitsPerBand
+    val banded = corpus
+      .select(col(idCol).as("id"),
+        graft.functions.HashFunctions.srp_sig(asDouble(col(embCol)), bits).as("sig"))
+      .select(col("id"), posexplode(
+        array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * bitsPerBand)
+            .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val candIds = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val embs = corpus.select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"))
+    candIds
+      .join(embs.select(col("id").as("a_id"), col("emb").as("a_emb")), "a_id")
+      .join(embs.select(col("id").as("b_id"), col("emb").as("b_emb")), "b_id")
+      .withColumn("cos_milli",
+        floor(cosine(col("a_emb"), col("b_emb")) * 1000 + 0.5).cast("long"))
+      .filter(col("cos_milli") >= (threshold * 1000).toLong)
+      .select("a_id", "b_id", "cos_milli")
   }
 
   /** Approximate top-k: bucket by SRP signature bands, exact cosine within

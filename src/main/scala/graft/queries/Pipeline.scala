@@ -65,6 +65,39 @@ object Pipeline {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Near-dup cosine threshold for d08/d09 (milli-units in the output). */
+  private val CosineThreshold = 0.95
+
+  /** Embeddings corpus with planted near-dups: perturbed copies (second
+    * half of the vector scaled ×1.05) of the first 50 vectors, ids offset
+    * by 1,000,000. Mirrored exactly by [[cosinePairOracle]]'s CTE. */
+  private def plantedEmbeddings(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+    val planted = base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(slice(col("embedding"), 1, 32),
+          transform(slice(col("embedding"), 33, 32), x => x * 1.05)).as("embedding"))
+    base.unionByName(planted)
+  }
+
+  /** Exact near-dup pair SQL over the same planted corpus (mirrors
+    * [[Similarity.cosinePairs]] on [[plantedEmbeddings]]). */
+  private val cosinePairOracle: String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |planted AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_concat(emb[1:32], list_transform(emb[33:64], x -> x * 1.05)) AS emb
+       |  FROM base WHERE vec_id < 50),
+       |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+       |p AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    list_cosine_similarity(a.emb, b.emb) AS c
+       |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, CAST(floor(c * 1000 + 0.5) AS BIGINT) AS cos_milli
+       |FROM p WHERE floor(c * 1000 + 0.5) >= ${(CosineThreshold * 1000).toInt}
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Stopword-hit expression in DuckDB terms — mirrors [[Text.stopwordHits]]. */
   private def sqlHits(words: Seq[String]): String =
     words.map(w => s"CAST(((' ' || lower(text) || ' ') LIKE '% $w %') AS BIGINT)").mkString(" + ")
@@ -125,6 +158,23 @@ object Pipeline {
           .orderBy("query_id", "rank")
       },
       None),
+
+    // Embedding-cosine near-dup. The synthetic embeddings carry no natural
+    // near-dups (max pairwise cosine ≈ 0.51), so the corpus is augmented
+    // in-query with perturbed copies of the first 50 vectors (second half
+    // scaled ×1.05 → cosine ≈ 0.9997) — identical augmentation in the
+    // oracle SQL, so ground truth is planted and verifiable at any SF.
+    // d08 = exact quadratic baseline; d09 = SRP-banded scale path, checked
+    // against the SAME exact oracle (recall argument at srpNearDupPairs).
+    "d08_embedding_neardup" -> QueryDef(
+      (s, dir) => Similarity.cosinePairs(plantedEmbeddings(s, dir), CosineThreshold)
+        .orderBy("a_id", "b_id"),
+      Some(cosinePairOracle)),
+
+    "d09_embedding_neardup_lsh" -> QueryDef(
+      (s, dir) => Similarity.srpNearDupPairs(plantedEmbeddings(s, dir), CosineThreshold)
+        .orderBy("a_id", "b_id"),
+      Some(cosinePairOracle)),
 
     // ------------------------------------------------------ text analysis
     "t01_text_stats" -> QueryDef(

@@ -5,7 +5,7 @@ import graft.functions.HashImpls
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -81,6 +81,22 @@ object exprs {
     override protected def withNewChildInternal(c: Expression): SrpSig = copy(child = c)
   }
 
+  /** `cosine_sim(array<double>, array<double>) -> double` — sequential-fold
+    * cosine, bit-reproducible vs the oracle (see
+    * [[graft.functions.HashImpls.cosineSim]]). */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashImpls.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpls.cosineSim($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
   def rolling_hash(c: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(c)))
   def simhash64(c: Column): Column =
@@ -91,6 +107,8 @@ object exprs {
     ExpressionUtils.column(Shingles(ExpressionUtils.expression(c), n))
   def srp_sig(c: Column, bits: Int): Column =
     ExpressionUtils.column(SrpSig(ExpressionUtils.expression(c), bits))
+  def cosine_sim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Register the custom expressions for the SQL surface, so every Column
     * entry point above has a `SELECT`-able twin:
@@ -114,5 +132,7 @@ object exprs {
         if (es.size > 2) lit(es(2), "minhash seed") else 1L), "scala_udf")
     reg.createOrReplaceTempFunction("srp_sig",
       es => SrpSig(es.head, lit(es(1), "srp_sig bits").toInt), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSim(es.head, es(1)), "scala_udf")
   }
 }

@@ -52,6 +52,21 @@ class PipelineSpec extends SparkSuite {
     assert(top(1).getAs[Long]("neighbor_id") == 2L)
   }
 
+  test("SRP-banded near-dup pairs == exact cosine pairs on planted dups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 200L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    // plant: ids 1000+i are perturbed copies of i (cosine ≈ 0.999)
+    val planted = (0L until 20L).map { i =>
+      (1000L + i, base(i.toInt)._2.map(v => v * 1.001f + 0.002f))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val exact = Similarity.cosinePairs(corpus, 0.95).cache()
+    val lsh = Similarity.srpNearDupPairs(corpus, 0.95).cache()
+    assert(exact.count() == 20, "every planted pair and nothing else")
+    assert(exact.except(lsh).isEmpty && lsh.except(exact).isEmpty)
+  }
+
   test("SRP ANN achieves usable recall vs brute force on real embeddings") {
     val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
