@@ -81,6 +81,16 @@ final class Collector(store: Store, config: CollectorConfig = CollectorConfig())
   private val flushListeners = mutable.ArrayBuffer.empty[FlushInfo => Unit]
   private val errorListeners = mutable.ArrayBuffer.empty[Throwable => Unit]
 
+  /** Store uploads run off the caller thread (the reference's flush is
+    * fire-and-forget from `track`, `Collector.ts:280-286`): a single daemon
+    * flush thread keeps `track` non-blocking while preserving emission
+    * order (documented delta: the reference allows concurrent per-table
+    * flushes; the scale path for parallel uploads is
+    * [[graft.streaming.LakeSink]]). */
+  private val flushPool = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => { val t = new Thread(r, "graft-collector-flush"); t.setDaemon(true); t })
+  private val pending = mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
+
   def onFlush(f: FlushInfo => Unit): Unit = synchronized { flushListeners += f }
   def onError(f: Throwable => Unit): Unit = synchronized { errorListeners += f }
 
@@ -150,26 +160,41 @@ final class Collector(store: Store, config: CollectorConfig = CollectorConfig())
   private def flushBatch(batch: Batch, trigger: FlushTrigger): Unit = {
     // Remove first: the next track() opens a fresh batch (`Collector.ts:315`).
     batches.remove(batch.table)
-    try {
-      batch.writer.close()
-      val key = LakeKeys.objectKey(batch.table, Instant.now(), batch.id, config.batchZip)
-      store.put(key, new FileInputStream(batch.tempFile))
-      val info = FlushInfo(batch.table, batch.id, trigger, batch.records,
-        System.currentTimeMillis() - batch.started, key)
-      synchronized(flushListeners.toList).foreach(_.apply(info))
-    } catch { case NonFatal(e) => emitError(e) }
-    finally { batch.tempFile.delete(); () } // always dispose (`Collector.ts:352-362`)
+    pending.filterInPlace(!_.isDone)
+    pending += flushPool.submit(new Runnable {
+      def run(): Unit =
+        try {
+          batch.writer.close()
+          val key = LakeKeys.objectKey(batch.table, Instant.now(), batch.id, config.batchZip)
+          store.put(key, new FileInputStream(batch.tempFile))
+          val info = FlushInfo(batch.table, batch.id, trigger, batch.records,
+            System.currentTimeMillis() - batch.started, key)
+          Collector.this.synchronized(flushListeners.toList).foreach(_.apply(info))
+        } catch { case NonFatal(e) => emitError(e) }
+        finally { batch.tempFile.delete(); () } // always dispose (`Collector.ts:352-362`)
+    })
   }
 
   /** Graceful drain: disable intake, flush every pending batch with trigger
-    * `Stop`, detach listeners (`Collector.ts:182-200`). */
-  def stop(): Unit = synchronized {
-    if (stopped) return
-    stopped = true
-    batches.values.toList.foreach(b => flushBatch(b, FlushTrigger.Stop))
-    // listeners purged after drain, like the reference's signal purge
-    flushListeners.clear()
-    errorListeners.clear()
+    * `Stop`, await every in-flight upload (the reference's
+    * `Promise.allSettled`, `Collector.ts:182-200`), then detach listeners.
+    * The await happens OUTSIDE the monitor — flush tasks briefly take it to
+    * snapshot listeners. */
+  def stop(): Unit = {
+    val toAwait = synchronized {
+      if (stopped) return
+      stopped = true
+      batches.values.toList.foreach(b => flushBatch(b, FlushTrigger.Stop))
+      pending.toList
+    }
+    toAwait.foreach(f => try { f.get(); () } catch { case NonFatal(e) => emitError(e) })
+    synchronized {
+      // listeners purged after drain, like the reference's signal purge
+      flushListeners.clear()
+      errorListeners.clear()
+      pending.clear()
+    }
+    flushPool.shutdown()
   }
 }
 

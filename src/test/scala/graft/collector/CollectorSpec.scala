@@ -86,9 +86,9 @@ class CollectorSpec extends SparkSuite {
     Thread.sleep(80)
     assert(flushes.isEmpty) // lazy: no timer
     c.track("t", Collector.rec("a" -> 2L))
+    c.stop() // awaits the async flush; no batch left → no extra Stop flush
     assert(flushes.map(_.trigger) == Seq(FlushTrigger.AgeLimit))
     assert(flushes.head.records == 2L)
-    c.stop()
   }
 
   test("backpressure trigger: spooled-byte limit flushes before record limit") {

@@ -28,11 +28,12 @@ class StreamingSpec extends SparkSuite {
       "user_id" -> ColType.CInteger, "value" -> ColType.CFloat))
     val ms = MemoryStream[Ev]
     val flushes = mutable.Buffer.empty[FlushInfo]
+    // data lands BEFORE start: AvailableNow snapshots offsets at start time
+    ms.addData((0 until 250).map(i =>
+      Ev(i, ts("2024-07-01T00:00:00Z"), i % 7, i * 1.5)))
     val q = LakeSink.writer(ms.toDF(), schema, root, recordLimit = 100,
       onFlush = flushes.synchronized { flushes += _ })
       .trigger(Trigger.AvailableNow()).start()
-    ms.addData((0 until 250).map(i =>
-      Ev(i, ts("2024-07-01T00:00:00Z"), i % 7, i * 1.5)))
     q.awaitTermination(60000)
     assert(flushes.nonEmpty)
     assert(flushes.map(_.trigger).distinct == Seq(FlushTrigger.RecordLimit))
