@@ -49,6 +49,47 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer of `nlist`
+    * deterministically-sampled corpus vectors partitions the corpus into
+    * cells; each query probes its `nprobe` nearest cells and re-ranks
+    * candidates with exact cosine.
+    *
+    * Scale shape: the centroids are the only fitted state — bounded by
+    * `nlist`, collected once on the driver and inlined as literals, so cell
+    * assignment is per-row compute on an UNSHUFFLED corpus scan (no
+    * centroid join, no explode). Candidate selection is a broadcast join of
+    * the (tiny) probe list against the assigned corpus: the corpus never
+    * self-joins and shuffles only by the matched cell rows. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 32, nprobe: Int = 4,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
+    // Coarse quantizer: the nlist lowest-id vectors (a deterministic sample;
+    // ids are uncorrelated with geometry). Driver-side collect is bounded by
+    // nlist — this is model state, not data.
+    val cents: Array[(Long, Seq[Double])] = c.orderBy("neighbor_id").limit(nlist)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def centScores(emb: org.apache.spark.sql.Column) = array(cents.map { case (cid, v) =>
+      struct(cosine(emb, typedLit(v)).as("cos"), lit(cid).as("cid"))
+    }: _*)
+    // cell assignment = per-row argmax over the literal centroid set
+    val assigned = c.withColumn("cid", array_max(centScores(col("c_emb"))).getField("cid"))
+    // each query probes its nprobe closest cells (per-row top-n, no shuffle)
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(embCol)).as("q_emb"))
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(centScores(col("q_emb")))), 1, nprobe)))
+      .select(col("query_id"), col("q_emb"), col("probe.cid").as("cid"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(probes).join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Exact embedding near-dup pairs: every (a < b) pair with cosine ≥
     * `threshold`, in integer milli-units. Deliberately quadratic — the
     * correctness baseline the banded [[srpNearDupPairs]] is verified

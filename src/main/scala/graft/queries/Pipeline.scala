@@ -159,6 +159,16 @@ object Pipeline {
       },
       None),
 
+    // IVF ANN: coarse-quantizer cells + probe re-rank (the second scale
+    // path next to SRP-LSH; recall vs brute force asserted in PipelineSpec).
+    "d10_knn_ivf" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // Embedding-cosine near-dup. The synthetic embeddings carry no natural
     // near-dups (max pairwise cosine ≈ 0.51), so the corpus is augmented
     // in-query with perturbed copies of the first 50 vectors (second half

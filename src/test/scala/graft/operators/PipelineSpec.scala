@@ -76,6 +76,15 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVF ANN achieves usable recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5).select("query_id", "neighbor_id")
+    val ivf = Similarity.ivfTopK(emb, queries, 5).select("query_id", "neighbor_id")
+    val recall = bf.intersect(ivf).count().toDouble / bf.count()
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("langid picks the language whose stopwords dominate") {
     import spark.implicits._
     val df = Seq(
