@@ -48,27 +48,65 @@ object LakeSink {
       .trigger(Trigger.ProcessingTime(ageLimit.toMillis))
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val cached = batch.persist()
+        try landBatch(cached, cached.count(), schema, rootUri, gzip, recordLimit,
+          writerFloor, onFlush)
+        finally { cached.unpersist(); () }
+      }
+  }
+
+  /** Multi-table routing sink: `tableCol` carries each record's resolved
+    * table name (the wildcard-family case at scale — `Collector.ts:95-96`
+    * resolves `$`→token per record, so the table name is DATA, not
+    * topology). Each micro-batch splits by table off one cached pass and
+    * lands per-table objects with per-table schemas. The distinct-table
+    * collect is bounded by family cardinality (metadata-sized). */
+  def routedWriter(df: DataFrame, tableCol: String, schemaFor: String => TableSchema,
+                   rootUri: String,
+                   gzip: Boolean = true,
+                   recordLimit: Long = 200000L,
+                   ageLimit: java.time.Duration = java.time.Duration.ofHours(1),
+                   writerFloor: Int = 4,
+                   onFlush: FlushInfo => Unit = _ => ()): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions.col
+    df.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(ageLimit.toMillis))
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val cached = batch.persist()
         try {
-          val n = cached.count()
-          if (n > 0) {
-            val parts = ((n + recordLimit - 1) / recordLimit).toInt
-            val cur = cached.rdd.getNumPartitions
-            val sized =
-              if (parts > cur) cached.repartition(parts)
-              else cached.coalesce(math.max(math.min(writerFloor, cur), parts))
-            val trigger =
-              if (n >= recordLimit) FlushTrigger.RecordLimit else FlushTrigger.AgeLimit
-            val t0 = System.currentTimeMillis()
-            val written = LakeWriter.write(sized, schema, rootUri, Instant.now(), gzip,
-              maxRecordsPerObject = recordLimit)
-            val age = System.currentTimeMillis() - t0
-            written.foreach { w =>
-              onFlush(FlushInfo(schema.name, w.id, trigger, w.records, age, w.key))
-            }
+          val counts = cached.groupBy(col(tableCol)).count().collect()
+            .map(r => r.getString(0) -> r.getLong(1))
+          counts.foreach { case (table, n) =>
+            val sub = cached.filter(col(tableCol) === table).drop(tableCol)
+            landBatch(sub, n, schemaFor(table), rootUri, gzip, recordLimit,
+              writerFloor, onFlush)
           }
         } finally { cached.unpersist(); () }
       }
   }
+
+  /** Shared micro-batch landing: reshape (repartition up so no writer
+    * exceeds the record limit; coalesce down but never below `writerFloor`)
+    * and write in one pass with exact per-object accounting. */
+  private def landBatch(batch: DataFrame, n: Long, schema: TableSchema,
+                        rootUri: String, gzip: Boolean, recordLimit: Long,
+                        writerFloor: Int, onFlush: FlushInfo => Unit): Unit =
+    if (n > 0) {
+      val parts = ((n + recordLimit - 1) / recordLimit).toInt
+      val cur = batch.rdd.getNumPartitions
+      val sized =
+        if (parts > cur) batch.repartition(parts)
+        else batch.coalesce(math.max(math.min(writerFloor, cur), parts))
+      val trigger =
+        if (n >= recordLimit) FlushTrigger.RecordLimit else FlushTrigger.AgeLimit
+      val t0 = System.currentTimeMillis()
+      val written = LakeWriter.write(sized, schema, rootUri, Instant.now(), gzip,
+        maxRecordsPerObject = recordLimit)
+      val age = System.currentTimeMillis() - t0
+      written.foreach { w =>
+        onFlush(FlushInfo(schema.name, w.id, trigger, w.records, age, w.key))
+      }
+    }
 
   /** Start with availableNow semantics (drain whatever is buffered, then
     * keep running on the age-limit timer). */

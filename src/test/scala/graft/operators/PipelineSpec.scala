@@ -107,6 +107,25 @@ class PipelineSpec extends SparkSuite {
     assert(out(0) == (((7L * 31 + 'a') % 2147483647L) * 31 + 'b') % 2147483647L)
   }
 
+  test("SQL-registered custom functions match the Column API") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.exprs.register(spark)
+    Seq(Tuple1("the quick brown fox")).toDF("text").createOrReplaceTempView("sqlfn_t")
+    val r = spark.sql(
+      """SELECT rolling_hash(text) AS h,
+        |  shingles(split(text, ' '), 2) AS sh,
+        |  minhash(split(text, ' '), 4, 1)[0] AS m,
+        |  simhash64(split(text, ' ')) AS f,
+        |  srp_sig(array(1.0d, -2.0d, 0.5d), 8) AS p,
+        |  cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c
+        |FROM sqlfn_t""".stripMargin).collect()(0)
+    val viaCol = Seq(Tuple1("the quick brown fox")).toDF("text")
+      .select(HashFunctions.rolling_hash($"text")).collect()(0).getLong(0)
+    assert(r.getAs[Long]("h") == viaCol)
+    assert(r.getSeq[String](1) == Seq("the quick", "quick brown", "brown fox"))
+    assert(r.getAs[Double]("c") == 1.0)
+  }
+
   test("multimodal: stub decode preserves batch shape and metadata") {
     val media = Multimodal.synthesize(docs, "doc_id", "text")
     val feats = Multimodal.decodeFeatures(media)

@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+case class REv(table: String, event_id: Long, v: Double)
 
 class StreamingSpec extends SparkSuite {
   import scala.collection.mutable
@@ -40,6 +41,29 @@ class StreamingSpec extends SparkSuite {
     val back = LakeReader.read(spark, root, "stream_ev")
     assert(back.count() == 250)
     assert(back.agg(countDistinct("user_id")).collect()(0).getLong(0) == 7)
+  }
+
+  test("routed sink splits a wildcard-family stream into per-table objects") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = s"file://${Files.createTempDirectory("graft-routed-spec").toFile.getAbsolutePath}"
+    def schemaFor(t: String) = TableSchema(t, Seq(
+      "event_id" -> ColType.CInteger, "v" -> ColType.CFloat))
+    val ms = MemoryStream[REv]
+    // wildcard family game_event_$: tokens "pool" (every 3rd) and "main"
+    ms.addData((0 until 60).map(i =>
+      REv(s"game_event_${if (i % 3 == 0) "pool" else "main"}", i, i * 0.5)))
+    val flushes = mutable.Buffer.empty[FlushInfo]
+    val q = LakeSink.routedWriter(ms.toDF(), "table", schemaFor, root,
+      onFlush = f => flushes.synchronized { flushes += f })
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(flushes.map(_.table).toSet == Set("game_event_pool", "game_event_main"))
+    assert(flushes.filter(_.table == "game_event_pool").map(_.records).sum == 20L)
+    val pool = LakeReader.read(spark, root, "game_event_pool")
+    val main = LakeReader.read(spark, root, "game_event_main")
+    assert(pool.count() == 20 && main.count() == 40)
+    assert(pool.columns.toSeq.take(2) == Seq("event_id", "v")) // tableCol dropped
   }
 
   test("tumbling window with watermark drops late data") {
