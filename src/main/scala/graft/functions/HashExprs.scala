@@ -143,10 +143,13 @@ object HashImpls {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Signed-random-projection signature: bit p = sign of dot(plane_p, v).
-    * All `bits` dot products accumulate in ONE pass over the vector (vs a
-    * per-bit `aggregate(zip_with(...))` tree = `bits` passes). */
-  def srpSignature(vec: ArrayData, bits: Int): Long = {
+  /** Signed-random-projection signature word: bit p = sign of
+    * dot(plane_{planeOffset+p}, v). All `bits` (≤ 64) dot products
+    * accumulate in ONE pass over the vector (vs a per-bit
+    * `aggregate(zip_with(...))` tree = `bits` passes). `planeOffset`
+    * selects a disjoint plane family so signatures wider than 64 bits
+    * compose words at offsets 0, 64, 128, …. */
+  def srpSignature(vec: ArrayData, bits: Int, planeOffset: Int): Long = {
     val n = vec.numElements()
     val dots = new Array[Double](bits)
     var i = 0
@@ -154,7 +157,7 @@ object HashImpls {
       if (!vec.isNullAt(i)) {
         val v = vec.getDouble(i)
         var p = 0
-        while (p < bits) { dots(p) += v * planeCoef(p, i); p += 1 }
+        while (p < bits) { dots(p) += v * planeCoef(planeOffset + p, i); p += 1 }
       }
       i += 1
     }
@@ -171,8 +174,8 @@ object HashFunctions {
   def simhash64(c: Column): Column = org.apache.spark.sql.graft.exprs.simhash64(c)
   def minhash(c: Column, k: Int, seed: Long = 1L): Column =
     org.apache.spark.sql.graft.exprs.minhash(c, k, seed)
-  def srp_sig(c: Column, bits: Int): Column =
-    org.apache.spark.sql.graft.exprs.srp_sig(c, bits)
+  def srp_sig(c: Column, bits: Int, planeOffset: Int = 0): Column =
+    org.apache.spark.sql.graft.exprs.srp_sig(c, bits, planeOffset)
   def cosine_sim(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.exprs.cosine_sim(a, b)
 }

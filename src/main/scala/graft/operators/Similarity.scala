@@ -110,21 +110,35 @@ object Similarity {
     * signature band, then exact cosine verifies ≥ `threshold`. Only
     * (id, band, bkey) rows cross the shuffle — embeddings are re-attached to
     * the few surviving candidates (the same 100-TB shape as
-    * [[graft.operators.Dedup.minhashPairs]]). With 16 bands × 4 bits and a
-    * 0.95 threshold, P[bit agree] = 1 − θ/π ≈ 0.90 ⇒ P[miss a true pair] =
-    * (1 − 0.9⁴)¹⁶ ≈ 3e-8 — agreement with the exact baseline is expected,
-    * not hoped for. */
+    * [[graft.operators.Dedup.minhashPairs]]).
+    *
+    * Band sizing is the scale knob: short band keys hash the corpus into
+    * few buckets and the bucket self-join degrades quadratically (8-bit
+    * keys = 256 buckets/band was measured 70× better than 4-bit keys = 16
+    * buckets on a dup-heavy 10k corpus). Wider bands need >64 signature
+    * bits, so the signature is composed of multiple 64-bit SRP words over
+    * disjoint plane families. Recall at the defaults (16 bands × 8 bits,
+    * τ = 0.95): P[bit agree] = 1 − θ/π ≈ 0.90 ⇒ P[miss] = (1 − 0.9⁸)¹⁶ ≈
+    * 1e-4 at the threshold boundary, and ≈ 1e-20 for the ~0.999-cosine
+    * pairs dedup actually targets. */
   def srpNearDupPairs(corpus: DataFrame, threshold: Double,
-                      bands: Int = 16, bitsPerBand: Int = 4,
+                      bands: Int = 16, bitsPerBand: Int = 8,
                       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(64 % bitsPerBand == 0, "bands must not straddle 64-bit signature words")
     val bits = bands * bitsPerBand
+    val nWords = (bits + 63) / 64
+    val emb = asDouble(col(embCol))
+    val sigWords = (0 until nWords).map { w =>
+      graft.functions.HashFunctions.srp_sig(emb, math.min(64, bits - w * 64), w * 64).as(s"sig$w")
+    }
+    val bandCols = (0 until bands).map { b =>
+      val g = b * bitsPerBand
+      shiftrightunsigned(col(s"sig${g / 64}"), g % 64)
+        .bitwiseAND(lit((1L << bitsPerBand) - 1))
+    }
     val banded = corpus
-      .select(col(idCol).as("id"),
-        graft.functions.HashFunctions.srp_sig(asDouble(col(embCol)), bits).as("sig"))
-      .select(col("id"), posexplode(
-        array((0 until bands).map(b =>
-          shiftrightunsigned(col("sig"), b * bitsPerBand)
-            .bitwiseAND(lit((1L << bitsPerBand) - 1))): _*)))
+      .select((col(idCol).as("id") +: sigWords): _*)
+      .select(col("id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     val candIds = banded.as("a")
       .join(banded.as("b"),

@@ -68,16 +68,19 @@ object exprs {
     override protected def withNewChildInternal(c: Expression): Shingles = copy(child = c)
   }
 
-  /** `srp_sig(array<double>, bits) -> bigint` — single-pass signed-random-
-    * projection LSH signature (see [[graft.functions.HashImpls.srpSignature]]). */
-  case class SrpSig(child: Expression, bits: Int)
+  /** `srp_sig(array<double>, bits[, planeOffset]) -> bigint` — single-pass
+    * signed-random-projection LSH signature word (see
+    * [[graft.functions.HashImpls.srpSignature]]); signatures wider than 64
+    * bits compose words at plane offsets 0, 64, 128, …. */
+  case class SrpSig(child: Expression, bits: Int, planeOffset: Int = 0)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
-      HashImpls.srpSignature(v.asInstanceOf[ArrayData], bits)
+      HashImpls.srpSignature(v.asInstanceOf[ArrayData], bits, planeOffset)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.srpSignature($c, $bits)")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashImpls.srpSignature($c, $bits, $planeOffset)")
     override protected def withNewChildInternal(c: Expression): SrpSig = copy(child = c)
   }
 
@@ -105,8 +108,8 @@ object exprs {
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), k, seed))
   def shingles(c: Column, n: Int): Column =
     ExpressionUtils.column(Shingles(ExpressionUtils.expression(c), n))
-  def srp_sig(c: Column, bits: Int): Column =
-    ExpressionUtils.column(SrpSig(ExpressionUtils.expression(c), bits))
+  def srp_sig(c: Column, bits: Int, planeOffset: Int = 0): Column =
+    ExpressionUtils.column(SrpSig(ExpressionUtils.expression(c), bits, planeOffset))
   def cosine_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
@@ -131,7 +134,8 @@ object exprs {
       es => MinHashSig(es.head, lit(es(1), "minhash k").toInt,
         if (es.size > 2) lit(es(2), "minhash seed") else 1L), "scala_udf")
     reg.createOrReplaceTempFunction("srp_sig",
-      es => SrpSig(es.head, lit(es(1), "srp_sig bits").toInt), "scala_udf")
+      es => SrpSig(es.head, lit(es(1), "srp_sig bits").toInt,
+        if (es.size > 2) lit(es(2), "srp_sig planeOffset").toInt else 0), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSim(es.head, es(1)), "scala_udf")
   }
