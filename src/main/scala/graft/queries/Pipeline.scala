@@ -35,18 +35,19 @@ object Pipeline {
   /** Tokenizer in DuckDB terms — must mirror [[Text.tokens]]. */
   private val sqlTokens = """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
 
-  /** Shared-shingle exact Jaccard pair SQL (mirrors [[Dedup.jaccardPairs]]);
-    * `cap > 0` reproduces the stop-shingle removal (Jaccard over the
-    * retained shingle sets, sizes included). */
-  private def jaccardOracle(cap: Int): String = {
+  /** CTE chain computing capped-universe Jaccard pairs ≥ threshold from a
+    * `(doc_id, text)` source relation `src` (mirrors [[Dedup.jaccardPairs]]'
+    * semantics — the prefix-filter plan computes the identical result set).
+    * Terminal CTE: `jpairs(a_id, b_id, jaccard_milli)`. */
+  private def jaccardCtes(cap: Int, src: String): String = {
     val posting =
       if (cap > 0)
         s"""posting AS (
            |  SELECT doc_id, sh FROM sh
            |  WHERE sh NOT IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) > $cap)),""".stripMargin
       else "posting AS (SELECT doc_id, sh FROM sh),"
-    s"""WITH toks AS (
-       |  SELECT doc_id, $sqlTokens AS w FROM documents),
+    s"""toks AS (
+       |  SELECT doc_id, $sqlTokens AS w FROM $src),
        |sh AS (
        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${ShingleN - 1}], ' ') AS sh
        |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - ${ShingleN - 1}, 0) + 1)) AS i) g),
@@ -55,15 +56,19 @@ object Pipeline {
        |pairs AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
        |  FROM posting a JOIN posting b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT a_id, b_id,
-       |  CAST(floor(inter * 1000.0 / (sa.sz + sb.sz - inter) + 0.5) AS BIGINT) AS jaccard_milli
-       |FROM pairs
-       |JOIN sizes sa ON sa.doc_id = a_id
-       |JOIN sizes sb ON sb.doc_id = b_id
-       |WHERE floor(inter * 1000.0 / (sa.sz + sb.sz - inter) + 0.5) >= ${(JaccardThreshold * 1000).toInt}
-       |ORDER BY a_id, b_id""".stripMargin
+       |  GROUP BY 1, 2),
+       |jpairs AS (
+       |  SELECT a_id, b_id,
+       |    CAST(floor(inter * 1000.0 / (sa.sz + sb.sz - inter) + 0.5) AS BIGINT) AS jaccard_milli
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE floor(inter * 1000.0 / (sa.sz + sb.sz - inter) + 0.5) >= ${(JaccardThreshold * 1000).toInt})""".stripMargin
   }
+
+  private def jaccardOracle(cap: Int): String =
+    s"""WITH ${jaccardCtes(cap, "documents")}
+       |SELECT a_id, b_id, jaccard_milli FROM jpairs ORDER BY a_id, b_id""".stripMargin
 
   /** Near-dup cosine threshold for d08/d09 (milli-units in the output). */
   private val CosineThreshold = 0.95
@@ -101,6 +106,42 @@ object Pipeline {
   /** Stopword-hit expression in DuckDB terms — mirrors [[Text.stopwordHits]]. */
   private def sqlHits(words: Seq[String]): String =
     words.map(w => s"CAST(((' ' || lower(text) || ' ') LIKE '% $w %') AS BIGINT)").mkString(" + ")
+
+  /** Language-ID CASE expression in DuckDB terms — mirrors [[Text.langId]]
+    * (max stopword score wins, ties to the earlier language, no hits →
+    * 'unknown'). Shared by t02 and the curation pipeline. */
+  private def langCaseSql: String = {
+    val scores = Text.StopwordSets.map { case (lang, ws) => lang -> s"(${sqlHits(ws)})" }
+    val Seq((l1, s1), (l2, s2), (l3, s3), (l4, s4)) = scores
+    s"""CASE WHEN $s1 = 0 AND $s2 = 0 AND $s3 = 0 AND $s4 = 0 THEN 'unknown'
+       |     WHEN $s1 >= $s2 AND $s1 >= $s3 AND $s1 >= $s4 THEN '$l1'
+       |     WHEN $s2 >= $s3 AND $s2 >= $s4 THEN '$l2'
+       |     WHEN $s3 >= $s4 THEN '$l3'
+       |     ELSE '$l4' END""".stripMargin
+  }
+
+  /** Alpha-ratio (milli) expression in DuckDB terms — mirrors
+    * [[Text.qualityColumns]]'s `alpha_ratio_milli`. */
+  private val alphaMilliSql: String =
+    """CASE WHEN length(text) > 0
+      |  THEN CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000.0 / length(text) + 0.5) AS BIGINT)
+      |  ELSE 0 END""".stripMargin
+
+  /** Oracle for the end-to-end curation pipeline (quality → language →
+    * exact dedup → near-dup removal), each stage mirroring its Spark
+    * operator. */
+  private def curationOracle: String =
+    s"""WITH quality AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE CAST(len($sqlTokens) AS BIGINT) >= 10
+       |    AND ($alphaMilliSql) >= 500
+       |    AND ($langCaseSql) = 'en'),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+       |kept AS (SELECT doc_id, text FROM quality WHERE doc_id IN (SELECT doc_id FROM keep)),
+       |${jaccardCtes(MaxShingleFreq, "kept")},
+       |nd AS (SELECT DISTINCT b_id AS doc_id FROM jpairs)
+       |SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+       |ORDER BY doc_id""".stripMargin
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -209,17 +250,8 @@ object Pipeline {
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id"),
-      Some {
-        val scores = Text.StopwordSets.map { case (lang, ws) => lang -> s"(${sqlHits(ws)})" }
-        val Seq((l1, s1), (l2, s2), (l3, s3), (l4, s4)) = scores
-        s"""SELECT doc_id,
-           |  CASE WHEN $s1 = 0 AND $s2 = 0 AND $s3 = 0 AND $s4 = 0 THEN 'unknown'
-           |       WHEN $s1 >= $s2 AND $s1 >= $s3 AND $s1 >= $s4 THEN '$l1'
-           |       WHEN $s2 >= $s3 AND $s2 >= $s4 THEN '$l2'
-           |       WHEN $s3 >= $s4 THEN '$l3'
-           |       ELSE '$l4' END AS pred_lang
-           |FROM documents ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""SELECT doc_id, $langCaseSql AS pred_lang
+              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "t03_token_count" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
@@ -265,6 +297,28 @@ object Pipeline {
           floor(element_at(col("feature"), 1) * 1000 + 0.5).cast("long").as("f0_milli"))
         .orderBy("media_id"),
       None),
+
+    // --------------------------------------------------- curation capstone
+    // The end-to-end training-data use case: quality gates → language
+    // filter → exact dedup (min-id keeper) → near-dup removal (greedy:
+    // drop the higher id of each surviving Jaccard pair). Every stage is
+    // the already-verified operator; the oracle mirrors the whole chain.
+    "p01_corpus_curation" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val qc = Text.qualityColumns(col("text")).toMap
+        val quality = docs.filter(
+          qc("n_words") >= 10 && qc("alpha_ratio_milli") >= 500 &&
+            Text.langId(col("text")) === "en")
+        val keep = Dedup.exact(quality, "doc_id", "text").select(col("keep_id").as("doc_id"))
+        val kept = quality.join(keep, Seq("doc_id"), "left_semi")
+        val nearDropped = Dedup.jaccardPairs(kept, "doc_id", "text",
+          ShingleN, JaccardThreshold, MaxShingleFreq)
+          .select(col("b_id").as("doc_id")).distinct()
+        kept.join(nearDropped, Seq("doc_id"), "left_anti")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(curationOracle)),
 
     // ----------------------------------------------- lake codec round-trip
     // events → typed-CSV lake objects → read back → aggregate; the oracle
