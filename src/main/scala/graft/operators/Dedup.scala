@@ -146,6 +146,43 @@ object Dedup {
       .select("a_id", "b_id", "jaccard_milli")
   }
 
+  /** Connected components of the near-dup pair graph: each doc that appears
+    * in at least one pair is labeled with the minimum doc id reachable from
+    * it — the canonical keeper of its dup cluster. Iterative min-label
+    * propagation (the Pregel pattern as DataFrame joins): each round every
+    * node takes the min of its own and its neighbors' labels; converges in
+    * O(graph diameter) rounds, which for dup clusters is tiny. Each round
+    * is one join + one aggregation — no driver-side data beyond the
+    * convergence count. (Long-chain graphs would want the pointer-jumping
+    * variant — O(log n) rounds — which this deliberately is not; dedup
+    * graphs are dense clusters, not paths.) */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().persist()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("v"), col("label").as("vlabel")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("vlabel")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("component_id"))
+  }
+
   /** 64-bit SimHash fingerprints. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),

@@ -298,6 +298,25 @@ object Pipeline {
         .orderBy("media_id"),
       None),
 
+    // Near-dup clusters: connected components of the d02 pair graph, each
+    // doc labeled with its cluster's min id (the keeper). The oracle is a
+    // recursive CTE computing the identical reachability closure.
+    "d11_dedup_clusters" -> QueryDef(
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          ShingleN, JaccardThreshold, MaxShingleFreq))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${jaccardCtes(MaxShingleFreq, "documents")},
+              |edges AS (
+              |  SELECT a_id AS u, b_id AS v FROM jpairs
+              |  UNION SELECT b_id, a_id FROM jpairs),
+              |cc(node, label) AS (
+              |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+              |  UNION
+              |  SELECT e.u, c.label FROM edges e JOIN cc c ON c.node = e.v)
+              |SELECT node AS doc_id, min(label) AS component_id
+              |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin)),
+
     // --------------------------------------------------- curation capstone
     // The end-to-end training-data use case: quality gates → language
     // filter → exact dedup (min-id keeper) → near-dup removal (greedy:

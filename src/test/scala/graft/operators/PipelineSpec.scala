@@ -30,6 +30,15 @@ class PipelineSpec extends SparkSuite {
     assert(ham(fp(1L), fp(3L)) > 12)
   }
 
+  test("connected components: chains merge, min id labels the cluster") {
+    import spark.implicits._
+    // two clusters: a 4-chain {1-2, 2-3, 3-4} and a pair {10-11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("exact dedup groups byte-identical docs") {
     import spark.implicits._
     val df = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
