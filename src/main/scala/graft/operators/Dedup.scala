@@ -52,22 +52,20 @@ object Dedup {
     val tm = (threshold * 1000).toLong // integer milli-threshold: exact ⌈τ·sz⌉
     val sh = df.select(col(idCol).as("id"),
       explode(Text.shinglesOfText(col(textCol), shingleN)).as("sh"))
-    val posting = if (maxShingleFreq > 0) {
-      // Stop-shingle removal: inverted lists longer than the cap contribute
-      // O(len²) candidate pairs for near-zero signal. The over-cap list is
-      // tiny by construction (only shingles in >cap docs), so aggregate it
-      // with map-side combine and broadcast-anti-join it away — NOT a window
-      // over the full posting table, which would shuffle every posting row
-      // by shingle a second time.
-      val stop = sh.groupBy("sh").agg(count(lit(1)).as("f"))
-        .filter(col("f") > maxShingleFreq).select("sh")
-      sh.join(broadcast(stop), Seq("sh"), "left_anti")
-    } else sh
+    // Per-posting frequency annotation needs one shuffle by shingle no
+    // matter how it's computed, so a count-over-window does it in exactly
+    // that shuffle (a groupBy+join would shuffle the posting table by
+    // shingle twice). The stop-shingle cap rides the same pass: inverted
+    // lists longer than the cap contribute O(len²) candidate pairs for
+    // near-zero signal, so they're dropped — from sizes and intersections
+    // alike (the Jaccard universe is the retained sets).
+    val withF = sh.withColumn("f",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+    val posting = if (maxShingleFreq > 0) withF.filter(col("f") <= maxShingleFreq) else withF
     // Global rarest-first order (freq, then shingle) ranked within each doc;
     // one shuffle by id serves both window computations.
-    val freq = posting.groupBy("sh").agg(count(lit(1)).as("f"))
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    val ranked = posting.join(freq, "sh")
+    val ranked = posting
       .withColumn("r", row_number().over(wDoc.orderBy(col("f"), col("sh"))))
       .withColumn("sz", count(lit(1)).over(wDoc))
     // prefix length = sz − ⌈τ·sz⌉ + 1, integer-exact: ⌈tm·sz/1000⌉
@@ -158,11 +156,18 @@ object Dedup {
     * graphs are dense clusters, not paths.) */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
                           maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // The pair list is referenced twice (symmetric closure) and per
+    // iteration — persist it so an expensive producer (e.g. the Jaccard
+    // join) runs once. Pair lists are small by construction (near-dups).
+    val p = pairs.persist()
+    val edges = p.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(p.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().persist()
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
+    // Seed with round 0 fused into the init: label = min(self, neighbors).
+    // Cliques (the common dup-cluster shape) converge immediately and pay
+    // exactly one convergence-check round.
+    var labels = edges.groupBy(col("u").as("node"))
+      .agg(least(min(col("v")), first(col("u"))).as("label")).persist()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -179,7 +184,7 @@ object Dedup {
       labels = next
       i += 1
     }
-    edges.unpersist()
+    edges.unpersist(); p.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("component_id"))
   }
 

@@ -298,13 +298,15 @@ object Pipeline {
         .orderBy("media_id"),
       None),
 
-    // Near-dup clusters: connected components of the d02 pair graph, each
-    // doc labeled with its cluster's min id (the keeper). The oracle is a
-    // recursive CTE computing the identical reachability closure.
+    // Near-dup clusters: connected components of the near-dup pair graph,
+    // each doc labeled with its cluster's min id (the keeper). Pairs come
+    // from the MinHash path — the scale default, verified hash-identical to
+    // exact Jaccard (d03 vs d02) — while the oracle is a recursive CTE over
+    // the exact reachability closure.
     "d11_dedup_clusters" -> QueryDef(
       (s, dir) => Dedup.connectedComponents(
-        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          ShingleN, JaccardThreshold, MaxShingleFreq))
+        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          ShingleN, JaccardThreshold))
         .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE ${jaccardCtes(MaxShingleFreq, "documents")},
               |edges AS (
@@ -326,13 +328,20 @@ object Pipeline {
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val qc = Text.qualityColumns(col("text")).toMap
+        // Persist the stage boundary: everything downstream (exact dedup,
+        // the Jaccard chain's several self-references, the final anti-join)
+        // would otherwise re-run the full quality+langid scan per reference.
+        // The survivors are a fraction of the corpus — the cache is the
+        // cheap side of that trade at any scale.
         val quality = docs.filter(
           qc("n_words") >= 10 && qc("alpha_ratio_milli") >= 500 &&
-            Text.langId(col("text")) === "en")
+            Text.langId(col("text")) === "en").persist()
         val keep = Dedup.exact(quality, "doc_id", "text").select(col("keep_id").as("doc_id"))
-        val kept = quality.join(keep, Seq("doc_id"), "left_semi")
-        val nearDropped = Dedup.jaccardPairs(kept, "doc_id", "text",
-          ShingleN, JaccardThreshold, MaxShingleFreq)
+        val kept = quality.join(keep, Seq("doc_id"), "left_semi").persist()
+        // Near-dup stage uses the MinHash path — the scale default, verified
+        // hash-identical to exact Jaccard (d03 vs d02 share an oracle).
+        val nearDropped = Dedup.minhashPairs(kept, "doc_id", "text",
+          ShingleN, JaccardThreshold)
           .select(col("b_id").as("doc_id")).distinct()
         kept.join(nearDropped, Seq("doc_id"), "left_anti")
           .select("doc_id").orderBy("doc_id")
