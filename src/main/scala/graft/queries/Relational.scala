@@ -713,6 +713,25 @@ object Relational {
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // Pivot (long → wide) with EXPLICIT pivot values: the values-omitted
+    // form launches a hidden distinct-scan job before planning — a scale
+    // anti-pattern the API makes easy to avoid.
+    "q36_pivot" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS F,
+             |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS O,
+             |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS P
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // Predicate pushdown showcase: IN / BETWEEN / LIKE all reach the scan.
     "q31_predicates" -> QueryDef(
       (s, dir) => {
