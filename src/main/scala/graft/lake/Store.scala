@@ -22,6 +22,8 @@ trait Store extends Serializable {
   def open(key: String): InputStream
   def list(prefix: String): Seq[String]
   def exists(key: String): Boolean
+  /** Remove `key` (idempotent: missing keys are a no-op). */
+  def delete(key: String): Unit
   /** Root URI as a string, for Spark datasource paths. */
   def rootUri: String
 }
@@ -63,4 +65,6 @@ final class HadoopStore(val rootUri: String) extends Store {
   }
 
   override def exists(key: String): Boolean = fs.exists(p(key))
+
+  override def delete(key: String): Unit = { fs.delete(p(key), false); () }
 }

@@ -551,14 +551,17 @@ object Relational {
 
     // ---------------------------------------------------------------------
     // Approximate distinct (HLL++). Not bit-comparable to DuckDB's sketch →
-    // rows-only check; exactness is covered by q27.
+    // rows-only check; exactness is covered by q27. rsd 0.02 (~2^12
+    // registers/sketch): the whole point of the sketch is trading precision
+    // for memory — rsd 0.01 quadruples register arrays for a digit that
+    // q27 answers exactly when needed.
     "q28_approx_distinct" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
-          .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
-               approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+          .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+               approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
           .orderBy($"l_returnflag")
       },
       None),

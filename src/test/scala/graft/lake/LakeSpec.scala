@@ -72,6 +72,7 @@ class LakeSpec extends SparkSuite {
       def open(key: String) = inner.open(key)
       def list(prefix: String) = { listed += prefix; inner.list(prefix) }
       def exists(key: String) = inner.exists(key)
+      def delete(key: String): Unit = inner.delete(key)
       def rootUri = inner.rootUri
     }
     val store = new RecordingStore(new HadoopStore(root))
@@ -81,6 +82,28 @@ class LakeSpec extends SparkSuite {
     // exactly the 19:00/20:00/21:00 hour dirs were listed — no "" full walk
     assert(store.listed.toSet == Set(
       "2024/06/01/19/ev", "2024/06/01/20/ev", "2024/06/01/21/ev"))
+  }
+
+  test("compaction merges small objects, preserves rows, removes old keys") {
+    import spark.implicits._
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    // 8 tiny objects of 50 rows each (one flush per "hour batch" shape)
+    (0 until 8).foreach { b =>
+      val df = (0 until 50).map(i => ((b * 50 + i).toLong, i / 2.0, s"t$b-$i"))
+        .toDF("id", "v", "tag").coalesce(1)
+      LakeWriter.write(df, schema, root, Instant.parse("2024-06-01T10:00:00Z"))
+    }
+    assert(store.list("").count(_.contains("/ev/")) == 8)
+    val report = LakeMaintenance.compact(spark, store, "ev",
+      targetRecords = 200L, flushTime = Instant.parse("2024-06-01T10:00:00Z"))
+    assert(report.oldObjects == 8)
+    assert(report.records == 400L)
+    assert(report.newObjects == 2) // 400 rows at 200/object
+    assert(store.list("").count(_.contains("/ev/")) == 2)
+    val back = LakeReader.read(spark, root, "ev")
+    assert(back.count() == 400)
+    assert(back.agg(sum("id")).collect()(0).getLong(0) == (0L until 400L).sum)
   }
 
   test("reader tolerates README type aliases in #types headers") {
