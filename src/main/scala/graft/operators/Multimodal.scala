@@ -66,6 +66,59 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a media payload. */
+  final case class MediaFrame(media_id: Long, frame_no: Int, payload: Array[Byte])
+
+  /** Frame sampling: `nFrames` evenly-strided `frameBytes` slices per
+    * payload (a real implementation decodes the container and grabs
+    * keyframes — the slicing stub is DETERMINISTIC so the whole batching
+    * path is oracle-checkable; see the m03 query). Same per-partition
+    * batching contract as [[decodeFeatures]]. */
+  def sampleFrames(media: Dataset[MediaRecord],
+                   nFrames: Int = 3, frameBytes: Int = 16): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.payload.length
+        val stride = math.max((n - frameBytes) / math.max(nFrames - 1, 1), 0)
+        (0 until nFrames).map { k =>
+          val off = math.min(k * stride, n)
+          MediaFrame(r.media_id, k,
+            java.util.Arrays.copyOfRange(r.payload, off, math.min(off + frameBytes, n)))
+        }
+      }
+    }
+  }
+
+  /** Resize: payload → payload at (w, h), metadata updated. The pixel
+    * kernel is stubbed (deterministic byte resampling at the target byte
+    * budget); the Spark side — batch shape, schema, partition-amortized
+    * codec init — is the real contract. */
+  trait MediaResizer extends Serializable {
+    def resize(payload: Array[Byte], mime: String, w: Int, h: Int): Array[Byte]
+  }
+
+  object StubResizer extends MediaResizer {
+    def resize(payload: Array[Byte], mime: String, w: Int, h: Int): Array[Byte] = {
+      val target = math.max(w * h / 64, 1)
+      val out = new Array[Byte](target)
+      val n = payload.length
+      var i = 0
+      while (i < target) { out(i) = if (n == 0) 0 else payload((i.toLong * n / target).toInt); i += 1 }
+      out
+    }
+  }
+
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int,
+             resizer: MediaResizer = StubResizer): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => MediaRecord(r.media_id, r.mime, resizer.resize(r.payload, r.mime, w, h)))
+    }
+  }
+
   /** Pure-SQL binary metadata path (no decoder): content hash, size, magic
     * prefix — the part of media processing that IS expressible relationally
     * and therefore oracle-checkable. */

@@ -348,6 +348,28 @@ object Pipeline {
       },
       Some(curationOracle)),
 
+    // Frame sampling through the batched media path: the slicing stub is
+    // deterministic, so the oracle reproduces the exact byte windows —
+    // verifying schema, batching, and stride math end-to-end.
+    "m03_frame_sample" -> QueryDef(
+      (s, dir) => Multimodal.sampleFrames(
+        Multimodal.synthesize(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+          hex(col("payload")).as("frame_hex"))
+        .orderBy("media_id", "frame_no"),
+      // DuckDB can't slice BLOBs; the fixture text is pure ASCII (asserted:
+      // octet_length(encode(text)) == length(text) at every SF), so char
+      // substring == byte window and encode() yields the same bytes.
+      Some("""WITH f AS (
+             |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n, text
+             |  FROM documents),
+             |k AS (SELECT unnest(range(0, 3)) AS frame_no)
+             |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+             |  hex(encode(substring(text,
+             |    CAST(1 + frame_no * greatest((n - 16) // 2, 0) AS INT), 16))) AS frame_hex
+             |FROM f, k ORDER BY media_id, frame_no""".stripMargin)),
+
     // ----------------------------------------------- lake codec round-trip
     // events → typed-CSV lake objects → read back → aggregate; the oracle
     // aggregates the ORIGINAL parquet, so any codec loss would mismatch.

@@ -135,6 +135,23 @@ class PipelineSpec extends SparkSuite {
     assert(r.getAs[Double]("c") == 1.0)
   }
 
+  test("multimodal: resize hits the target byte budget deterministically") {
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    val small = Multimodal.resize(media, 32, 32).collect()
+    assert(small.forall(_.payload.length == 32 * 32 / 64))
+    val again = Multimodal.resize(media, 32, 32).collect()
+    assert(small.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
+  }
+
+  test("multimodal: frame sampling yields nFrames strided windows") {
+    val media = Multimodal.synthesize(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, nFrames = 3, frameBytes = 16)
+    assert(frames.count() == docs.count() * 3)
+    val f0 = frames.filter(_.media_id == 0L).collect().sortBy(_.frame_no)
+    assert(f0.map(_.frame_no).toSeq == Seq(0, 1, 2))
+    assert(f0.forall(_.payload.length == 16)) // doc 0 is 128 bytes, all full
+  }
+
   test("multimodal: stub decode preserves batch shape and metadata") {
     val media = Multimodal.synthesize(docs, "doc_id", "text")
     val feats = Multimodal.decodeFeatures(media)
