@@ -110,6 +110,28 @@ class CollectorSpec extends SparkSuite {
     assert(flushes.map(_.records).sum == 100L)
   }
 
+  test("store failure during async flush surfaces on onError, temp file disposed") {
+    val failing = new graft.lake.Store {
+      def put(key: String, data: java.io.InputStream): Unit = {
+        data.close(); throw new java.io.IOException("store down")
+      }
+      def create(key: String) = throw new java.io.IOException("store down")
+      def open(key: String) = throw new java.io.IOException("store down")
+      def list(prefix: String) = Seq.empty
+      def exists(key: String) = false
+      def delete(key: String): Unit = ()
+      def rootUri = "memory://failing"
+    }
+    val c = new Collector(failing, CollectorConfig(batchZip = false))
+    val errors = mutable.Buffer.empty[Throwable]
+    val flushes = mutable.Buffer.empty[FlushInfo]
+    c.onError(errors += _); c.onFlush(flushes += _)
+    c.track("t", Collector.rec("a" -> 1L))
+    c.stop() // awaits the async flush and its error
+    assert(flushes.isEmpty)
+    assert(errors.nonEmpty && errors.head.getMessage == "store down")
+  }
+
   test("track after stop surfaces on onError, never throws") {
     val (store, _) = freshStore()
     val c = new Collector(store, CollectorConfig())

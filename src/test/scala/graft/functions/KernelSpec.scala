@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kernel-level properties for the custom expression implementations —
+  * plain JVM, no SparkSession (the expression wiring is covered by the
+  * query suite and the SQL-registration test). */
+class KernelSpec extends AnyFunSuite {
+
+  private def sarr(ss: Seq[String]) =
+    new GenericArrayData(ss.map(UTF8String.fromString).toArray[Any])
+  private def darr(ds: Seq[Double]) = new GenericArrayData(ds.toArray[Any])
+  private def strings(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[String] =
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+
+  test("shingles kernel == naive sliding-distinct (fuzz)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val toks = Seq.fill(rnd.nextInt(12))(s"w${rnd.nextInt(5)}")
+      for (n <- 1 to 4) {
+        val naive = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq.distinct
+        assert(strings(HashImpls.shingles(sarr(toks), n)) == naive,
+          s"toks=$toks n=$n")
+      }
+    }
+  }
+
+  test("cosineSim kernel == sequential fold (fuzz)") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 200) {
+      val d = rnd.nextInt(48) + 1
+      val a = Seq.fill(d)(rnd.nextGaussian())
+      val b = Seq.fill(d)(rnd.nextGaussian())
+      val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x))
+      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x * x))
+      assert(HashImpls.cosineSim(darr(a), darr(b)) == dot / (na * nb))
+    }
+  }
+
+  test("minhash signature is set-semantic: order- and duplicate-invariant") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 100) {
+      val base = Seq.fill(rnd.nextInt(20) + 1)(s"s${rnd.nextInt(50)}")
+      val shuffled = rnd.shuffle(base ++ base.take(3))
+      val s1 = HashImpls.minHash(sarr(base), 64, 1L)
+      val s2 = HashImpls.minHash(sarr(shuffled), 64, 1L)
+      assert((0 until 64).forall(i => s1.getLong(i) == s2.getLong(i)))
+    }
+  }
+
+  test("srp signature: scale-invariant, negation flips every bit") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 100) {
+      val v = Seq.fill(32)(rnd.nextGaussian())
+      val sig = HashImpls.srpSignature(darr(v), 64, 0)
+      assert(HashImpls.srpSignature(darr(v.map(_ * 7.5)), 64, 0) == sig)
+      assert(HashImpls.srpSignature(darr(v.map(-_)), 64, 0) == ~sig)
+      // disjoint plane families: different offsets give independent words
+      assert(HashImpls.srpSignature(darr(v), 64, 64) != sig)
+    }
+  }
+}
