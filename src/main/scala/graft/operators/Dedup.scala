@@ -62,12 +62,16 @@ object Dedup {
     val withF = sh.withColumn("f",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
     val posting = if (maxShingleFreq > 0) withF.filter(col("f") <= maxShingleFreq) else withF
-    // Global rarest-first order (freq, then shingle) ranked within each doc;
-    // one shuffle by id serves both window computations.
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    // Global rarest-first order (freq, then shingle) ranked within each doc.
+    // Both window columns share one partition+order spec (sz uses the full
+    // frame), so they evaluate in a single sorted WindowExec — one shuffle
+    // by id, one sort.
+    val W = org.apache.spark.sql.expressions.Window
+    val wDoc = W.partitionBy("id").orderBy(col("f"), col("sh"))
     val ranked = posting
-      .withColumn("r", row_number().over(wDoc.orderBy(col("f"), col("sh"))))
-      .withColumn("sz", count(lit(1)).over(wDoc))
+      .withColumn("r", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(
+        wDoc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
     // prefix length = sz − ⌈τ·sz⌉ + 1, integer-exact: ⌈tm·sz/1000⌉
     val prefix = ranked
       .filter(col("r") <= col("sz") - floor((col("sz") * tm + 999) / 1000) + 1)
@@ -89,10 +93,12 @@ object Dedup {
     candIds
       .join(sets.select(col("id").as("a_id"), col("shs").as("a_sh")), "a_id")
       .join(sets.select(col("id").as("b_id"), col("shs").as("b_sh")), "b_id")
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
+      // single-pass compiled set-Jaccard: same arithmetic as
+      // floor(|∩|·1000/|∪| + 0.5) via array_intersect, minus the
+      // interpreted per-pair array allocation — verification is the
+      // dominant cost on dup-heavy corpora (pair count, not corpus size)
       .withColumn("jaccard_milli",
-        floor(col("inter") * 1000.0 /
-          (size(col("a_sh")) + size(col("b_sh")) - col("inter")) + 0.5).cast("long"))
+        HashFunctions.jaccard_milli(col("a_sh"), col("b_sh")))
       .filter(col("jaccard_milli") >= tm)
       .select("a_id", "b_id", "jaccard_milli")
   }
@@ -125,21 +131,23 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    // Exact-Jaccard verification re-shingles ONLY the surviving candidates:
-    // candIds is small (near-dup pairs), so AQE broadcasts it and the corpus
-    // streams through both probes unshuffled; shingling happens on the few
-    // matched rows, not the whole corpus a second and third time.
-    val texts = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    // Exact-Jaccard verification shingles ONLY candidate docs, each ONCE:
+    // a semi-join against the candidate id set bounds the shingling (the
+    // corpus streams through unshuffled; AQE broadcasts the id set), and
+    // per-doc sets are computed before the pair joins — on dup-heavy data a
+    // doc sits in many pairs, and shingling per PAIR multiplies that work
+    // by the pair degree.
+    val candDocs = candIds.select(col("a_id").as("id"))
+      .union(candIds.select(col("b_id").as("id"))).distinct()
+    val sets = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+      .join(candDocs, Seq("id"), "left_semi")
+      .select(col("id"), Text.shinglesOfText(col("txt"), shingleN).as("sh"))
     val cands = candIds
-      .join(texts.select(col("id").as("a_id"), col("txt").as("a_txt")), "a_id")
-      .join(texts.select(col("id").as("b_id"), col("txt").as("b_txt")), "b_id")
-      .withColumn("a_sh", Text.shinglesOfText(col("a_txt"), shingleN))
-      .withColumn("b_sh", Text.shinglesOfText(col("b_txt"), shingleN))
+      .join(sets.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sets.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
     cands
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
       .withColumn("jaccard_milli",
-        floor(col("inter") * 1000.0 /
-          (size(col("a_sh")) + size(col("b_sh")) - col("inter")) + 0.5).cast("long"))
+        HashFunctions.jaccard_milli(col("a_sh"), col("b_sh")))
       .filter(col("jaccard_milli") >= (threshold * 1000).toLong)
       .select("a_id", "b_id", "jaccard_milli")
   }
@@ -209,9 +217,11 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.simhash").as("a_fp"), col("b.simhash").as("b_fp"))
-      .dropDuplicates("a_id", "b_id")
+      // Hamming check is a per-row xor — run it BEFORE the dedup shuffle so
+      // only true pairs (not every band collision) cross the exchange.
       .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a_id", "b_id")
       .select("a_id", "b_id", "hamming")
   }
 }

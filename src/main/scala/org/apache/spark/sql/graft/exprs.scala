@@ -84,6 +84,22 @@ object exprs {
     override protected def withNewChildInternal(c: Expression): SrpSig = copy(child = c)
   }
 
+  /** `jaccard_milli(array<string>, array<string>) -> bigint` — exact set
+    * Jaccard in milli-units, one hash-set pass (see
+    * [[graft.functions.HashImpls.jaccardMilli]]). */
+  case class JaccardMilli(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashImpls.jaccardMilli(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpls.jaccardMilli($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardMilli =
+      copy(left = l, right = r)
+  }
+
   /** `cosine_sim(array<double>, array<double>) -> double` — sequential-fold
     * cosine, bit-reproducible vs the oracle (see
     * [[graft.functions.HashImpls.cosineSim]]). */
@@ -112,6 +128,8 @@ object exprs {
     ExpressionUtils.column(SrpSig(ExpressionUtils.expression(c), bits, planeOffset))
   def cosine_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def jaccard_milli(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaccardMilli(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Register the custom expressions for the SQL surface, so every Column
     * entry point above has a `SELECT`-able twin:
@@ -138,5 +156,7 @@ object exprs {
         if (es.size > 2) lit(es(2), "srp_sig planeOffset").toInt else 0), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSim(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_milli",
+      es => JaccardMilli(es.head, es(1)), "scala_udf")
   }
 }

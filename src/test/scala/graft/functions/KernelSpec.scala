@@ -40,6 +40,17 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardMilli kernel == array_intersect formula (fuzz)") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 300) {
+      val a = Seq.fill(rnd.nextInt(30) + 1)(s"s${rnd.nextInt(40)}").distinct
+      val b = Seq.fill(rnd.nextInt(30) + 1)(s"s${rnd.nextInt(40)}").distinct
+      val inter = a.toSet.intersect(b.toSet).size
+      val expect = math.floor(inter * 1000.0 / (a.size + b.size - inter) + 0.5).toLong
+      assert(HashImpls.jaccardMilli(sarr(a), sarr(b)) == expect, s"a=$a b=$b")
+    }
+  }
+
   test("minhash signature is set-semantic: order- and duplicate-invariant") {
     val rnd = new scala.util.Random(13)
     for (_ <- 1 to 100) {
