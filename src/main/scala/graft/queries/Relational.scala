@@ -735,6 +735,46 @@ object Relational {
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // Unpivot (wide → long), the inverse of q36 — over a pre-aggregated
+    // input so the melt is metadata-sized.
+    "q37_unpivot" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(round(sum($"l_quantity"), 2).as("qty"),
+               round(sum($"l_extendedprice"), 2).as("price"))
+          .unpivot(Array($"l_returnflag"), Array($"qty", $"price"), "metric", "value")
+          .orderBy($"l_returnflag", $"metric")
+      },
+      Some("""WITH a AS (
+             |  SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+             |         round(sum(l_extendedprice), 2) AS price
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+             |UNION ALL
+             |SELECT l_returnflag, 'price' AS metric, price AS value FROM a
+             |ORDER BY l_returnflag, metric""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Ordered string aggregation: collect_list is unordered by contract, so
+    // the deterministic form sorts the collected array before joining.
+    "q38_string_agg" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(concat_ws(",", array_sort(collect_list($"n_name"))).as("nations"),
+               count(lit(1)).as("n_nations"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |  count(*) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // Predicate pushdown showcase: IN / BETWEEN / LIKE all reach the scan.
     "q31_predicates" -> QueryDef(
       (s, dir) => {
