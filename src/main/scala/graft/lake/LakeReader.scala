@@ -63,7 +63,11 @@ object LakeReader {
     }
     require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
     val schema = peekSchema(store, keys.head, table)
-    val paths = keys.map(k => s"${rootUri.stripSuffix("/")}/$k")
+    // Hand Spark the distinct hour/table DIRECTORIES, not every object:
+    // at lake scale the per-object path array (millions of entries) is
+    // itself a driver burden; directory count is bounded by hours × tables.
+    val dirs = keys.map(k => k.substring(0, k.lastIndexOf('/'))).distinct
+    val paths = dirs.map(d => s"${rootUri.stripSuffix("/")}/$d")
 
     spark.read
       .schema(schema.structType)

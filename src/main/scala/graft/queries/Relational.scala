@@ -475,13 +475,15 @@ object Relational {
             $"c_custkey",
             when($"c_acctbal" < 0, "negative")
               .when($"c_acctbal" < 5000, "mid").otherwise("high").as("bal_bucket"),
-            coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("OTHER")).as("seg"))
+            coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("OTHER")).as("seg"),
+            floor(abs($"c_acctbal") * 100 + 0.5).cast("long").as("abs_bal_cents"))
           .orderBy($"c_custkey")
       },
       Some("""SELECT c_custkey,
              |  CASE WHEN c_acctbal < 0 THEN 'negative'
              |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_bucket,
-             |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg
+             |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+             |  CAST(floor(abs(c_acctbal) * 100 + 0.5) AS BIGINT) AS abs_bal_cents
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
     // ---------------------------------------------------------------------
