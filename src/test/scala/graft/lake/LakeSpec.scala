@@ -106,6 +106,20 @@ class LakeSpec extends SparkSuite {
     assert(back.agg(sum("id")).collect()(0).getLong(0) == (0L until 400L).sum)
   }
 
+  test("hourPrefixes spans day/month boundaries and truncates to hours") {
+    import graft.lake.LakeKeys.hourPrefixes
+    assert(hourPrefixes(
+      Instant.parse("2024-06-30T22:40:00Z"), Instant.parse("2024-07-01T01:10:00Z"))
+      == Seq("2024/06/30/22", "2024/06/30/23", "2024/07/01/00", "2024/07/01/01"))
+    // sub-hour range: single prefix
+    assert(hourPrefixes(
+      Instant.parse("2024-06-01T05:01:00Z"), Instant.parse("2024-06-01T05:59:00Z"))
+      == Seq("2024/06/01/05"))
+    // inverted range: empty
+    assert(hourPrefixes(
+      Instant.parse("2024-06-02T00:00:00Z"), Instant.parse("2024-06-01T00:00:00Z")).isEmpty)
+  }
+
   test("reader tolerates README type aliases in #types headers") {
     val root = freshRoot()
     val store = new HadoopStore(root)

@@ -43,6 +43,28 @@ class StreamingSpec extends SparkSuite {
     assert(back.agg(countDistinct("user_id")).collect()(0).getLong(0) == 7)
   }
 
+  test("sink volume: 200k rows roll into record-limit-bounded objects") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = s"file://${Files.createTempDirectory("graft-vol-spec").toFile.getAbsolutePath}"
+    val schema = TableSchema("vol_ev", Seq(
+      "event_id" -> ColType.CInteger, "ts" -> ColType.CTime,
+      "user_id" -> ColType.CInteger, "value" -> ColType.CFloat))
+    val ms = MemoryStream[Ev]
+    (0 until 4).foreach { b =>
+      ms.addData((0 until 50000).map(i =>
+        Ev(b * 50000L + i, ts("2024-07-01T00:00:00Z"), i % 97, i * 0.25)))
+    }
+    val flushes = mutable.Buffer.empty[FlushInfo]
+    val q = LakeSink.writer(ms.toDF(), schema, root, recordLimit = 60000L,
+      onFlush = f => flushes.synchronized { flushes += f })
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(flushes.map(_.records).sum == 200000L)
+    assert(flushes.forall(_.records <= 60000L)) // roll limit enforced exactly
+    assert(LakeReader.read(spark, root, "vol_ev").count() == 200000L)
+  }
+
   test("routed sink splits a wildcard-family stream into per-table objects") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
