@@ -520,6 +520,35 @@ object Relational {
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // Correlated SCALAR subquery: customers above their nation's average
+    // balance. Balances go through integer cents first so the correlated
+    // average is an exact rational on both engines — a float-threshold
+    // comparison against a raw double avg would be order-sensitive at the
+    // boundary.
+    "q39_scalar_subquery" -> QueryDef(
+      (s, dir) => {
+        Tables.views(s, dir, "customer")
+        s.sql("""WITH cents AS (
+                |  SELECT c_custkey, c_nationkey,
+                |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+                |  FROM customer)
+                |SELECT c_nationkey, count(*) AS n_above
+                |FROM cents c
+                |WHERE bal > (SELECT avg(bal) FROM cents c2
+                |             WHERE c2.c_nationkey = c.c_nationkey)
+                |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+      },
+      Some("""WITH cents AS (
+             |  SELECT c_custkey, c_nationkey,
+             |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+             |  FROM customer)
+             |SELECT c_nationkey, count(*) AS n_above
+             |FROM cents c
+             |WHERE bal > (SELECT avg(bal) FROM cents c2
+             |             WHERE c2.c_nationkey = c.c_nationkey)
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // Scalar IN-subquery + HAVING.
     "q26_having" -> QueryDef(
       (s, dir) => {
