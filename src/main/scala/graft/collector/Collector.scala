@@ -154,21 +154,41 @@ final class Collector(store: Store, config: CollectorConfig = CollectorConfig())
     batch.writer.write(row)
     batch.writer.write("\n")
     batch.records += 1
-    batch.bytes += row.length + 1
+    batch.bytes += utf8Length(row) + 1
+  }
+
+  /** UTF-8 encoded length without allocating (the spool is UTF-8, so the
+    * backpressure gauge must count encoded bytes — char count undercounts
+    * non-ASCII text up to 3×). */
+  private def utf8Length(s: String): Long = {
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      n += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3) // surrogate pairs: 3+3 = 4 ✓
+      i += 1
+    }
+    n
   }
 
   private def flushBatch(batch: Batch, trigger: FlushTrigger): Unit = {
     // Remove first: the next track() opens a fresh batch (`Collector.ts:315`).
     batches.remove(batch.table)
+    // The flush TIME (→ the object's hour prefix) and the batch age are
+    // captured at trigger time, not upload time — under flush-thread
+    // backlog the upload may run in a later hour, and the key must reflect
+    // when the batch was flushed (reference: key composed in flushBatch,
+    // `Collector.ts:341-350`).
+    val flushedAt = Instant.now()
+    val age = System.currentTimeMillis() - batch.started
     pending.filterInPlace(!_.isDone)
     pending += flushPool.submit(new Runnable {
       def run(): Unit =
         try {
           batch.writer.close()
-          val key = LakeKeys.objectKey(batch.table, Instant.now(), batch.id, config.batchZip)
+          val key = LakeKeys.objectKey(batch.table, flushedAt, batch.id, config.batchZip)
           store.put(key, new FileInputStream(batch.tempFile))
-          val info = FlushInfo(batch.table, batch.id, trigger, batch.records,
-            System.currentTimeMillis() - batch.started, key)
+          val info = FlushInfo(batch.table, batch.id, trigger, batch.records, age, key)
           Collector.this.synchronized(flushListeners.toList).foreach(_.apply(info))
         } catch { case NonFatal(e) => emitError(e) }
         finally { batch.tempFile.delete(); () } // always dispose (`Collector.ts:352-362`)

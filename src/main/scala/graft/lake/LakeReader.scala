@@ -52,7 +52,6 @@ object LakeReader {
   /** [[read]] against an explicit [[Store]] (injectable for tests). */
   def readFrom(spark: SparkSession, store: Store, table: String,
                hourRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame = {
-    val rootUri = store.rootUri
     val keys = hourRange match {
       case Some((from, to)) =>
         LakeKeys.hourPrefixes(from, to)
@@ -61,13 +60,26 @@ object LakeReader {
       case None =>
         store.list("").filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
     }
-    require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
-    val schema = peekSchema(store, keys.head, table)
     // Hand Spark the distinct hour/table DIRECTORIES, not every object:
     // at lake scale the per-object path array (millions of entries) is
     // itself a driver burden; directory count is bounded by hours × tables.
-    val dirs = keys.map(k => k.substring(0, k.lastIndexOf('/'))).distinct
-    val paths = dirs.map(d => s"${rootUri.stripSuffix("/")}/$d")
+    readPaths(spark, store, table, keys,
+      keys.map(k => k.substring(0, k.lastIndexOf('/'))).distinct)
+  }
+
+  /** Read EXACTLY the given object keys (a listing snapshot) — no
+    * re-listing, no directory expansion. Used by compaction, where reading
+    * more than the snapshot would duplicate concurrently-flushed rows. */
+  def readKeys(spark: SparkSession, store: Store, table: String,
+               keys: Seq[String]): DataFrame =
+    readPaths(spark, store, table, keys, keys)
+
+  private def readPaths(spark: SparkSession, store: Store, table: String,
+                        keys: Seq[String], relPaths: Seq[String]): DataFrame = {
+    val rootUri = store.rootUri
+    require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
+    val schema = peekSchema(store, keys.head, table)
+    val paths = relPaths.map(d => s"${rootUri.stripSuffix("/")}/$d")
 
     spark.read
       .schema(schema.structType)

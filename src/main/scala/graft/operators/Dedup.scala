@@ -37,9 +37,10 @@ object Dedup {
     *
     * Plan: prefix-filtered inverted-index join (the AllPairs/PPJoin family
     * — Bayardo et al. WWW'07, Xiao et al. WWW'08). Under a global
-    * rarest-first shingle order, a pair with J ≥ τ MUST share one of the
-    * first `sz − ⌈τ·sz⌉ + 1` shingles of each side (prefix-filter lemma
-    * with required overlap α = ⌈τ/(1+τ)·(szₐ+sz_b)⌉ ≥ ⌈τ·szₓ⌉), so only
+    * rarest-first shingle order, a pair with J ≥ τ' MUST share one of the
+    * first `sz − ⌈τ'·sz⌉ + 1` shingles of each side (prefix-filter lemma
+    * with required overlap α = ⌈τ'/(1+τ')·(szₐ+sz_b)⌉ ≥ ⌈τ'·szₓ⌉; τ' is
+    * the rounded-output boundary (threshold·1000 − 0.5)/1000), so only
     * those prefixes — the globally rarest ~(1−τ) fraction — are indexed
     * and self-joined. Candidates then verify with exact Jaccard over the
     * full sets. Joining full posting lists is quadratic in list length; the
@@ -72,16 +73,22 @@ object Dedup {
       .withColumn("r", row_number().over(wDoc))
       .withColumn("sz", count(lit(1)).over(
         wDoc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
-    // prefix length = sz − ⌈τ·sz⌉ + 1, integer-exact: ⌈tm·sz/1000⌉
+    // The OUTPUT predicate is the rounded milli-Jaccard:
+    // floor(J·1000 + 0.5) ≥ tm  ⟺  J ≥ τ' = (tm − 0.5)/1000 — strictly
+    // below τ. The prefix and length filters must therefore be computed at
+    // τ', not τ, or pairs with J ∈ [τ', τ) (which the output and the oracle
+    // include) would be pruned from the candidate set. Integer-exact:
+    // ⌈τ'·sz⌉ = ⌈(2·tm − 1)·sz / 2000⌉.
+    val tm2 = 2 * tm - 1
     val prefix = ranked
-      .filter(col("r") <= col("sz") - floor((col("sz") * tm + 999) / 1000) + 1)
+      .filter(col("r") <= col("sz") - floor((col("sz") * tm2 + 1999) / 2000) + 1)
       .select("id", "sh", "sz")
     val candIds = prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
-          // length filter: J ≥ τ requires τ·|a| ≤ |b| and τ·|b| ≤ |a|
-          col("a.sz") * tm <= col("b.sz") * 1000 &&
-          col("b.sz") * tm <= col("a.sz") * 1000)
+          // length filter: J ≥ τ' requires τ'·|a| ≤ |b| and τ'·|b| ≤ |a|
+          col("a.sz") * tm2 <= col("b.sz") * 2000 &&
+          col("b.sz") * tm2 <= col("a.sz") * 2000)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     // Exact verification over the full (capped-universe) sets of candidate
@@ -165,17 +172,21 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
                           maxIter: Int = 25): DataFrame = {
     // The pair list is referenced twice (symmetric closure) and per
-    // iteration — persist it so an expensive producer (e.g. the Jaccard
-    // join) runs once. Pair lists are small by construction (near-dups).
-    val p = pairs.persist()
+    // iteration — materialize it once with localCheckpoint so an expensive
+    // producer (e.g. the banded Jaccard join) runs once; checkpointing also
+    // truncates the loop's growing lineage, and the ContextCleaner frees
+    // the blocks when the result is consumed (persist() would leak them in
+    // the cache manager for the session's lifetime). Pair lists are small
+    // by construction (near-dups).
+    val p = pairs.localCheckpoint() // run the pair producer exactly once
     val edges = p.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(p.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     // Seed with round 0 fused into the init: label = min(self, neighbors).
     // Cliques (the common dup-cluster shape) converge immediately and pay
     // exactly one convergence-check round.
     var labels = edges.groupBy(col("u").as("node"))
-      .agg(least(min(col("v")), first(col("u"))).as("label")).persist()
+      .agg(least(min(col("v")), first(col("u"))).as("label")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -185,14 +196,12 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint()
       changed = next.join(labels.select(col("node"), col("label").as("old")), "node")
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       i += 1
     }
-    edges.unpersist(); p.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("component_id"))
   }
 

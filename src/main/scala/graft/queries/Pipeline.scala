@@ -138,7 +138,7 @@ object Pipeline {
        |    AND ($langCaseSql) = 'en'),
        |keep AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
        |kept AS (SELECT doc_id, text FROM quality WHERE doc_id IN (SELECT doc_id FROM keep)),
-       |${jaccardCtes(MaxShingleFreq, "kept")},
+       |${jaccardCtes(0, "kept")},
        |nd AS (SELECT DISTINCT b_id AS doc_id FROM jpairs)
        |SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM nd)
        |ORDER BY doc_id""".stripMargin
@@ -300,15 +300,15 @@ object Pipeline {
 
     // Near-dup clusters: connected components of the near-dup pair graph,
     // each doc labeled with its cluster's min id (the keeper). Pairs come
-    // from the MinHash path — the scale default, verified hash-identical to
-    // exact Jaccard (d03 vs d02) — while the oracle is a recursive CTE over
-    // the exact reachability closure.
+    // from the MinHash path — the scale default, which verifies against
+    // UNCAPPED exact Jaccard (d03's oracle) — so the reachability oracle
+    // uses the uncapped universe too.
     "d11_dedup_clusters" -> QueryDef(
       (s, dir) => Dedup.connectedComponents(
         Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           ShingleN, JaccardThreshold))
         .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE ${jaccardCtes(MaxShingleFreq, "documents")},
+      Some(s"""WITH RECURSIVE ${jaccardCtes(0, "documents")},
               |edges AS (
               |  SELECT a_id AS u, b_id AS v FROM jpairs
               |  UNION SELECT b_id, a_id FROM jpairs),
@@ -328,18 +328,22 @@ object Pipeline {
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         val qc = Text.qualityColumns(col("text")).toMap
-        // Persist the stage boundary: everything downstream (exact dedup,
-        // the Jaccard chain's several self-references, the final anti-join)
-        // would otherwise re-run the full quality+langid scan per reference.
-        // The survivors are a fraction of the corpus — the cache is the
-        // cheap side of that trade at any scale.
+        // Materialize the stage boundary with localCheckpoint: everything
+        // downstream (exact dedup, the near-dup chain's several
+        // self-references, the final anti-join) would otherwise re-run the
+        // full quality+langid scan per reference. Unlike persist(), the
+        // checkpointed blocks are freed by the ContextCleaner once the
+        // query's result is consumed — no per-run cache leak. (On a real
+        // cluster, prefer reliable checkpoint() for executor-loss
+        // tolerance.)
         val quality = docs.filter(
           qc("n_words") >= 10 && qc("alpha_ratio_milli") >= 500 &&
-            Text.langId(col("text")) === "en").persist()
+            Text.langId(col("text")) === "en").localCheckpoint()
         val keep = Dedup.exact(quality, "doc_id", "text").select(col("keep_id").as("doc_id"))
-        val kept = quality.join(keep, Seq("doc_id"), "left_semi").persist()
-        // Near-dup stage uses the MinHash path — the scale default, verified
-        // hash-identical to exact Jaccard (d03 vs d02 share an oracle).
+        val kept = quality.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+        // Near-dup stage uses the MinHash path — the scale default, which
+        // verifies against UNCAPPED exact Jaccard (d03's oracle); the
+        // curation oracle's near-dup CTE is uncapped to match.
         val nearDropped = Dedup.minhashPairs(kept, "doc_id", "text",
           ShingleN, JaccardThreshold)
           .select(col("b_id").as("doc_id")).distinct()

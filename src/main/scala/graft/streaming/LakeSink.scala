@@ -74,9 +74,14 @@ object LakeSink {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val cached = batch.persist()
         try {
+          // Null route names are invalid input (the reference's track
+          // requires a table): count them for the log, land the rest.
           val counts = cached.groupBy(col(tableCol)).count().collect()
-            .map(r => r.getString(0) -> r.getLong(1))
-          counts.foreach { case (table, n) =>
+            .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1))
+          counts.find(_._1 == null).foreach { case (_, n) =>
+            System.err.println(s"[graft.LakeSink] dropping $n record(s) with null '$tableCol'")
+          }
+          counts.filter(_._1 != null).foreach { case (table, n) =>
             val sub = cached.filter(col(tableCol) === table).drop(tableCol)
             landBatch(sub, n, schemaFor(table), rootUri, gzip, recordLimit,
               writerFloor, onFlush)
