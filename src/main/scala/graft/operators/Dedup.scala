@@ -202,6 +202,10 @@ object Dedup {
       labels = next
       i += 1
     }
+    // wrong labels must not be returned silently: a graph with diameter >
+    // maxIter needs a larger budget (or the pointer-jumping variant)
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds ($changed labels still changing)")
     labels.select(col("node").as("doc_id"), col("label").as("component_id"))
   }
 
