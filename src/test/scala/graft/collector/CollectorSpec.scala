@@ -146,6 +146,25 @@ class CollectorSpec extends SparkSuite {
     c2.track("t", Collector.rec("a" -> 2L)) // post-stop: listeners purged, must not throw
   }
 
+  test("concurrent producers: all records land exactly once across threads") {
+    val (store, _) = freshStore()
+    val c = new Collector(store, CollectorConfig(batchRecordLimit = 500, batchZip = false))
+    val flushes = mutable.Buffer.empty[FlushInfo]
+    val errors = mutable.Buffer.empty[Throwable]
+    c.onFlush(flushes += _); c.onError(errors += _)
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        for (i <- 0 until 1000)
+          c.track("conc", Collector.rec("t" -> t.toLong, "i" -> i.toLong))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    c.stop()
+    assert(errors.isEmpty)
+    assert(flushes.map(_.records).sum == 8000L)
+    assert(flushes.count(_.trigger == FlushTrigger.RecordLimit) == 16)
+  }
+
   test("gzip batches decompress to the same typed CSV and read back via Spark") {
     val (store, dir) = freshStore()
     val c = new Collector(store, CollectorConfig(

@@ -43,6 +43,23 @@ class StreamingSpec extends SparkSuite {
     assert(back.agg(countDistinct("user_id")).collect()(0).getLong(0) == 7)
   }
 
+  test("rate source drives a windowed aggregation (declared source smoke)") {
+    val agg = StreamOps.tumbling(
+      spark.readStream.format("rate").option("rowsPerSecond", "500").load(),
+      "timestamp", "0 seconds", "1 second",
+      keys = Seq.empty, aggs = Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.outputMode("update").format("memory")
+      .queryName("rate_out").start()
+    val deadline = System.currentTimeMillis() + 30000
+    var rows = 0L
+    while (rows == 0 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      rows = spark.table("rate_out").count()
+    }
+    q.stop()
+    assert(rows > 0, "rate source produced no windows within 30s")
+  }
+
   test("sink volume: 200k rows roll into record-limit-bounded objects") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
