@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions path must yield the same SQL surface as the imperative
+  * exprs.register: build a session WITH the extensions installed and
+  * evaluate each function. `spark.sql.extensions` is a STATIC conf — read
+  * from the SparkContext at its creation — so a suite run with a
+  * pre-existing context must install through `builder.withExtensions`
+  * (the same code path getOrCreate feeds config-loaded classes into).
+  * The prior default session is cleared first and restored after; the
+  * underlying SparkContext is shared. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions installs the SQL functions via SparkSessionExtensions") {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT rolling_hash('ab') AS h,
+          |  shingles(array('a','b','c'), 2) AS sh,
+          |  minhash(array('a','b'), 4)[0] AS m,
+          |  simhash64(array('a','b')) AS f,
+          |  srp_sig(array(1.0d, -2.0d), 8, 0) AS p,
+          |  cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c,
+          |  jaccard_milli(array('a','b','c'), array('b','c','d')) AS j
+          |FROM range(1)""".stripMargin).collect()(0)
+      assert(r.getAs[Long]("h") ==
+        (((7L * 31 + 'a') % 2147483647L) * 31 + 'b') % 2147483647L)
+      assert(r.getSeq[String](1) == Seq("a b", "b c"))
+      assert(r.getAs[Double]("c") == 1.0)
+      assert(r.getAs[Long]("j") == 500L) // |∩|=2, |∪|=4
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prior.foreach { s => SparkSession.setDefaultSession(s); SparkSession.setActiveSession(s) }
+    }
+  }
+}
