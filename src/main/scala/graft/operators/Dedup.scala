@@ -31,6 +31,16 @@ object Dedup {
     df.groupBy(md5(org.apache.spark.sql.functions.col(col)).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Normalized exact dedup: case-folded, whitespace-collapsed content hash
+    * — catches re-encodes/reflows that byte-exact dedup misses while
+    * staying a pure one-shuffle group-by (the standard first pass before
+    * near-dup detection). */
+  def exactNormalized(df: DataFrame, idCol: String, col: String): DataFrame =
+    df.groupBy(
+        md5(regexp_replace(trim(lower(org.apache.spark.sql.functions.col(col))), "\\s+", " "))
+          .as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Exact n-gram Jaccard pairs with similarity ≥ `threshold`.
     * `maxShingleFreq` drops shingles shared by more than that many docs
     * (0 = keep all; the Jaccard universe is the retained shingle sets).

@@ -94,7 +94,11 @@ object Similarity {
     * `threshold`, in integer milli-units. Deliberately quadratic — the
     * correctness baseline the banded [[srpNearDupPairs]] is verified
     * against; at corpus scale use the banded path. The corpus broadcasts
-    * once against itself (no shuffle), each pair costs one compiled cosine. */
+    * once against itself (no shuffle), each pair costs one compiled cosine.
+    * (If an exact quadratic at cluster scale were truly required, the next
+    * step is block tiling — partition the corpus into B blocks, join the
+    * B·(B+1)/2 block pairs, and run dense per-tile kernels — trading the
+    * per-pair join-row overhead for GEMM-shaped compute.) */
   def cosinePairs(corpus: DataFrame, threshold: Double,
                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val a = corpus.select(col(idCol).as("a_id"), asDouble(col(embCol)).as("a_emb"))

@@ -152,6 +152,13 @@ object Pipeline {
       Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
              |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
 
+    "d12_dedup_normalized" -> QueryDef(
+      (s, dir) => Dedup.exactNormalized(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash"),
+      Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+             |  min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
     "d02_jaccard_pairs" -> QueryDef(
       (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         ShingleN, JaccardThreshold, MaxShingleFreq).orderBy("a_id", "b_id"),
