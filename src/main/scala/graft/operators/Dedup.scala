@@ -63,16 +63,22 @@ object Dedup {
     val tm = (threshold * 1000).toLong // integer milli-threshold: exact ⌈τ·sz⌉
     val sh = df.select(col(idCol).as("id"),
       explode(Text.shinglesOfText(col(textCol), shingleN)).as("sh"))
-    // Per-posting frequency annotation needs one shuffle by shingle no
-    // matter how it's computed, so a count-over-window does it in exactly
-    // that shuffle (a groupBy+join would shuffle the posting table by
-    // shingle twice). The stop-shingle cap rides the same pass: inverted
+    // Frequency annotation, skew-safe at corpus scale: a count-over-window
+    // by shingle would pin every posting of a viral shingle into ONE window
+    // partition (windows are not AQE-splittable). Instead: (1) aggregate
+    // frequencies with map-side combine; (2) drop over-cap (viral) postings
+    // via a broadcast anti-join BEFORE any by-shingle shuffle — inverted
     // lists longer than the cap contribute O(len²) candidate pairs for
-    // near-zero signal, so they're dropped — from sizes and intersections
-    // alike (the Jaccard universe is the retained sets).
-    val withF = sh.withColumn("f",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-    val posting = if (maxShingleFreq > 0) withF.filter(col("f") <= maxShingleFreq) else withF
+    // near-zero signal, and they're removed from sizes and intersections
+    // alike (the Jaccard universe is the retained sets); (3) annotate the
+    // survivors with a by-shingle join whose per-key size is then bounded
+    // by the cap.
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+    val capped = if (maxShingleFreq > 0) {
+      val stop = freq.filter(col("f") > maxShingleFreq).select("sh")
+      sh.join(broadcast(stop), Seq("sh"), "left_anti")
+    } else sh
+    val posting = capped.join(freq, "sh")
     // Global rarest-first order (freq, then shingle) ranked within each doc.
     // Both window columns share one partition+order spec (sz uses the full
     // frame), so they evaluate in a single sorted WindowExec — one shuffle
