@@ -146,6 +146,20 @@ class CollectorSpec extends SparkSuite {
     c2.track("t", Collector.rec("a" -> 2L)) // post-stop: listeners purged, must not throw
   }
 
+  test("missing record fields spool as empty CSV and read back as null") {
+    val (store, dir) = freshStore()
+    val c = new Collector(store, CollectorConfig(
+      schemas = Map("nt" -> graft.types.TableSchema("nt", Seq(
+        "id" -> ColType.CInteger, "opt" -> ColType.CString, "v" -> ColType.CFloat)))))
+    c.track("nt", Collector.rec("id" -> 1L, "opt" -> "here", "v" -> 0.5))
+    c.track("nt", Collector.rec("id" -> 2L, "v" -> 1.5)) // opt absent
+    c.stop()
+    val back = LakeReader.read(spark, s"file://${dir.getAbsolutePath}", "nt")
+    val r2 = back.filter(org.apache.spark.sql.functions.col("id") === 2L).collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("opt")))
+    assert(r2.getAs[Double]("v") == 1.5)
+  }
+
   test("concurrent producers: all records land exactly once across threads") {
     val (store, _) = freshStore()
     val c = new Collector(store, CollectorConfig(batchRecordLimit = 500, batchZip = false))

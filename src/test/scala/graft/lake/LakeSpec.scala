@@ -120,6 +120,22 @@ class LakeSpec extends SparkSuite {
       Instant.parse("2024-06-02T00:00:00Z"), Instant.parse("2024-06-01T00:00:00Z")).isEmpty)
   }
 
+  test("reader tolerates malformed rows (PERMISSIVE: nulls, not failure)") {
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    val out = new java.io.PrintWriter(store.create("2024/01/01/00/mal/aaaaaaaa-0000-0000-0000-000000000001.csv"))
+    out.println("#INTEGER,FLOAT")
+    out.println("n,v")
+    out.println("1,0.5")
+    out.println("not_a_number,zzz") // malformed
+    out.println("3,1.5")
+    out.close()
+    val df = LakeReader.read(spark, root, "mal")
+    assert(df.count() == 3)
+    assert(df.filter(org.apache.spark.sql.functions.col("n").isNull).count() == 1)
+    assert(df.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0) == 4L)
+  }
+
   test("reader tolerates README type aliases in #types headers") {
     val root = freshRoot()
     val store = new HadoopStore(root)
