@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{HashFunctions, Text}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{AsOf, Dedup, Multimodal, Similarity}
 
 import org.apache.spark.sql.functions._
 
@@ -325,6 +325,32 @@ object Pipeline {
               |  SELECT e.u, c.label FROM edges e JOIN cc c ON c.node = e.v)
               |SELECT node AS doc_id, min(label) AS component_id
               |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin)),
+
+    // As-of join: each view event paired with the user's most recent
+    // purchase at-or-before it — verified against DuckDB's NATIVE ASOF
+    // JOIN (build rows are unique per (user, ts) in the fixture).
+    "q40_asof_join" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            floor(col("value") * 100 + 0.5).cast("long").as("pval_cents"))
+        AsOf.join(views, purchases, Seq("user_id"), "ts", "ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts").as("last_purchase_ts"),
+            col("asof_pval_cents").as("last_purchase_cents"))
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+             |p AS (SELECT user_id, ts AS pts,
+             |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS pval_cents
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT v.event_id, v.user_id, v.ts,
+             |  p.pts AS last_purchase_ts, p.pval_cents AS last_purchase_cents
+             |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.pts
+             |ORDER BY v.event_id""".stripMargin)),
 
     // --------------------------------------------------- curation capstone
     // The end-to-end training-data use case: quality gates → language

@@ -94,6 +94,26 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("as-of join: at-or-before match, forward fill, null when no state") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, 10L, ts("2024-07-01T00:05:00Z")), // after state@00:01 → matches it
+      (2L, 10L, ts("2024-07-01T00:10:00Z")), // after state@00:10 (equal ts) → matches 00:10
+      (3L, 10L, ts("2024-07-01T00:00:30Z")), // before any state → null
+      (4L, 99L, ts("2024-07-01T01:00:00Z"))  // keyed user with no state → null
+    ).toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (10L, ts("2024-07-01T00:01:00Z"), 100L),
+      (10L, ts("2024-07-01T00:10:00Z"), 200L)
+    ).toDF("user_id", "ts", "v")
+    val out = AsOf.join(probe, build, Seq("user_id"), "ts", "ts")
+      .select($"event_id", $"asof_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(1L -> 100L, 2L -> 200L, 3L -> -1L, 4L -> -1L))
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+
   test("langid picks the language whose stopwords dominate") {
     import spark.implicits._
     val df = Seq(
