@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join — pair each point with every interval containing
+  * it, with no equi-key. Spark plans the raw inequality condition as a
+  * nested-loop join (quadratic); the scale shape is BUCKETING: quantize
+  * the range dimension, replicate each interval to the buckets it spans
+  * (bounded by interval length / bucket width), map each point to its one
+  * bucket, equi-join on bucket, and post-filter with the exact predicate.
+  * One shuffle by bucket key; each qualifying (point, interval) pair is
+  * produced exactly once because a point lives in exactly one bucket.
+  * DuckDB evaluates the same query with its native range-join — the q41
+  * oracle. */
+object RangeJoin {
+
+  /** All (point, interval) pairs with `startTs ≤ point < endTs`. Both
+    * timestamp columns must be TimestampType; point and interval column
+    * sets must not collide. `bucketSeconds` trades interval replication
+    * (length/bucket) against bucket population — set it near the typical
+    * interval length. */
+  def pointInInterval(points: DataFrame, pointTs: String,
+                      intervals: DataFrame, startTs: String, endTs: String,
+                      bucketSeconds: Long = 3600L): DataFrame = {
+    val p = points.withColumn("_b",
+      floor(col(pointTs).cast("long") / bucketSeconds))
+    val iv = intervals.withColumn("_b",
+      explode(sequence(floor(col(startTs).cast("long") / bucketSeconds),
+        floor(col(endTs).cast("long") / bucketSeconds))))
+    p.join(iv, Seq("_b"))
+      .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
+      .drop("_b")
+  }
+}

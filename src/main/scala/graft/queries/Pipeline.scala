@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{HashFunctions, Text}
-import graft.operators.{AsOf, Dedup, Multimodal, Similarity}
+import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Similarity}
 
 import org.apache.spark.sql.functions._
 
@@ -351,6 +351,32 @@ object Pipeline {
              |  p.pts AS last_purchase_ts, p.pval_cents AS last_purchase_cents
              |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.pts
              |ORDER BY v.event_id""".stripMargin)),
+
+    // Range join: clicks landing inside each signup's 2-hour window —
+    // bucketed equi-join + exact post-filter on the Spark side, DuckDB's
+    // native range join as the oracle. No equi-key exists; intervals
+    // overlap, so pairs are genuinely many-to-many.
+    "q41_range_join" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("ts"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        val windows = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("iv_id"), col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+        RangeJoin.pointInInterval(clicks, "ts", windows, "start_ts", "end_ts")
+          .groupBy("iv_id")
+          .agg(count(lit(1)).as("n_clicks"), sum(col("cents")).as("sum_cents"))
+          .orderBy("iv_id")
+      },
+      Some("""WITH c AS (SELECT event_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |          FROM events WHERE event_type = 'click'),
+             |w AS (SELECT event_id AS iv_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+             |      FROM events WHERE event_type = 'signup')
+             |SELECT iv_id, count(*) AS n_clicks, CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM w JOIN c ON c.ts >= w.start_ts AND c.ts < w.end_ts
+             |GROUP BY iv_id ORDER BY iv_id""".stripMargin)),
 
     // --------------------------------------------------- curation capstone
     // The end-to-end training-data use case: quality gates → language

@@ -112,6 +112,23 @@ class PipelineSpec extends SparkSuite {
     assert(out == Map(1L -> 100L, 2L -> 200L, 3L -> -1L, 4L -> -1L))
   }
 
+  test("range join: containment exact across bucket boundaries, no dup pairs") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, ts("2024-07-01T00:30:00Z")), // inside iv A only
+      (2L, ts("2024-07-01T01:30:00Z")), // inside A and B (overlap), crosses bucket
+      (3L, ts("2024-07-01T02:00:00Z")), // == A's end (exclusive) → B only
+      (4L, ts("2024-07-01T05:00:00Z"))  // outside all
+    ).toDF("pid", "ts")
+    val ivs = Seq(
+      ("A", ts("2024-07-01T00:00:00Z"), ts("2024-07-01T02:00:00Z")),
+      ("B", ts("2024-07-01T01:00:00Z"), ts("2024-07-01T03:00:00Z"))
+    ).toDF("iv", "start_ts", "end_ts")
+    val out = RangeJoin.pointInInterval(points, "ts", ivs, "start_ts", "end_ts")
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "A"), (2L, "A"), (2L, "B"), (3L, "B")))
+  }
+
   private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
 
   test("langid picks the language whose stopwords dominate") {
