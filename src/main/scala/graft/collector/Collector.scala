@@ -159,13 +159,18 @@ final class Collector(store: Store, config: CollectorConfig = CollectorConfig())
 
   /** UTF-8 encoded length without allocating (the spool is UTF-8, so the
     * backpressure gauge must count encoded bytes — char count undercounts
-    * non-ASCII text up to 3×). */
+    * non-ASCII text up to 3×). Supplementary code points (surrogate pairs)
+    * encode in 4 bytes: the high surrogate counts 4, the low 0. */
   private def utf8Length(s: String): Long = {
     var n = 0L
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      n += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3) // surrogate pairs: 3+3 = 4 ✓
+      n += (if (c < 0x80) 1
+            else if (c < 0x800) 2
+            else if (Character.isHighSurrogate(c)) 4
+            else if (Character.isLowSurrogate(c)) 0
+            else 3)
       i += 1
     }
     n

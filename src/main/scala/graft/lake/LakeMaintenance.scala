@@ -15,15 +15,19 @@ import org.apache.spark.sql.SparkSession
   * distributed write through [[LakeWriter]] (which rolls objects at the
   * target size), then deletion of the replaced objects.
   *
-  * Crash behavior: new objects land before old keys are deleted, so a
-  * failure mid-compaction leaves duplicates (at-least-once), never loss —
-  * the same durability bias as the reference's flush (store first, dispose
-  * after, `Collector.ts:310-339`). Concurrency: the read consumes EXACTLY
-  * the listed key snapshot, so objects flushed while compaction runs are
-  * neither rewritten nor deleted — they simply survive untouched.
-  * Rewritten objects land under the `flushTime` hour, which defaults to
-  * the range start (when given) so compacted rows stay inside the pruned
-  * window.
+  * Semantics preserved per hour: objects are compacted WITHIN their hour
+  * prefix (one rewrite per hour group), so `_event_hour` and
+  * hour-range-pruned reads see exactly the rows they did before —
+  * collapsing a multi-hour range into one hour would silently move rows
+  * out of pruned windows.
+  *
+  * Crash behavior: each hour's new objects land before that hour's old
+  * keys are deleted, so a failure mid-compaction leaves duplicates
+  * (at-least-once), never loss — the same durability bias as the
+  * reference's flush (store first, dispose after, `Collector.ts:310-339`).
+  * Concurrency: the read consumes EXACTLY the listed key snapshot, so
+  * objects flushed while compaction runs are neither rewritten nor
+  * deleted — they simply survive untouched.
   */
 object LakeMaintenance {
 
@@ -33,7 +37,6 @@ object LakeMaintenance {
   def compact(spark: SparkSession, store: Store, table: String,
               hourRange: Option[(Instant, Instant)] = None,
               targetRecords: Long = 200000L,
-              flushTime: Instant = null,
               gzip: Boolean = true): CompactionReport = {
     val oldKeys = hourRange match {
       case Some((from, to)) =>
@@ -44,22 +47,27 @@ object LakeMaintenance {
         store.list("").filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
     }
     if (oldKeys.isEmpty) return CompactionReport(0, 0, 0L, Seq.empty)
-    val outTime = Option(flushTime)
-      .orElse(hourRange.map(_._1))
-      .getOrElse(LakeKeys.parseKey(oldKeys.min).map(_._1).getOrElse(Instant.now()))
-    // Read the SNAPSHOT, not a re-listing: a concurrent flush between the
-    // listing and the read would otherwise be rewritten but not deleted —
-    // permanent duplication, not the benign crash-duplication above.
-    val df = LakeReader.readKeys(spark, store, table, oldKeys).drop("_event_hour")
     val schema = LakeReader.peekSchema(store, oldKeys.head, table)
-    // Size the write: ceil(total/target) tasks, each rolling at the target.
-    val n = df.count()
-    val parts = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
-    val written = LakeWriter.write(
-      df.repartition(parts), schema, store.rootUri, outTime, gzip,
-      maxRecordsPerObject = targetRecords)
-    oldKeys.foreach(store.delete)
-    CompactionReport(oldKeys.size, written.size, written.map(_.records).sum,
-      written.map(_.key))
+    val byHour = oldKeys.groupBy(k => LakeKeys.parseKey(k).get._1).toSeq.sortBy(_._1)
+    var newObjects = 0
+    var records = 0L
+    val newKeys = Seq.newBuilder[String]
+    byHour.foreach { case (hour, hourKeys) =>
+      // Read the SNAPSHOT, not a re-listing: a concurrent flush between
+      // the listing and the read would otherwise be rewritten but not
+      // deleted — permanent duplication, not the benign crash-duplication
+      // above.
+      val df = LakeReader.readKeys(spark, store, table, hourKeys).drop("_event_hour")
+      val n = df.count()
+      val parts = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
+      val written = LakeWriter.write(
+        df.repartition(parts), schema, store.rootUri, hour, gzip,
+        maxRecordsPerObject = targetRecords)
+      hourKeys.foreach(store.delete)
+      newObjects += written.size
+      records += written.map(_.records).sum
+      newKeys ++= written.map(_.key)
+    }
+    CompactionReport(oldKeys.size, newObjects, records, newKeys.result())
   }
 }

@@ -22,36 +22,42 @@ object AsOf {
 
   /** Join `build`'s attributes onto `probe` as-of `probe.probeTs` ≥
     * `build.buildTs` per `keys`. Build's timestamp and attribute columns
-    * come back prefixed with `buildPrefix`. */
+    * come back prefixed with `buildPrefix`.
+    *
+    * All build attributes travel as ONE struct and the struct is
+    * forward-filled — filling columns independently would mix values
+    * across build rows whenever the matched row carries a null attribute
+    * (an older row's non-null value would leak through, diverging from
+    * as-of semantics). The struct is null exactly on probe rows, so a
+    * null fill result means "no state yet". */
   def join(probe: DataFrame, build: DataFrame, keys: Seq[String],
            probeTs: String, buildTs: String, buildPrefix: String = "asof_"): DataFrame = {
     val pCols = probe.columns.toSeq.filterNot(keys.contains)
     val bCols = build.columns.toSeq.filterNot(c => keys.contains(c) || c == buildTs)
     val pTypes = probe.schema.fields.map(f => f.name -> f.dataType).toMap
-    val bTypes = build.schema.fields.map(f => f.name -> f.dataType).toMap
-    val outB = (buildTs +: bCols).map(buildPrefix + _)
+    val stateOf = struct((col(buildTs).as(buildTs) +: bCols.map(c => col(c).as(c))): _*)
+    val stateType = org.apache.spark.sql.types.StructType(
+      build.schema(buildTs) +: bCols.map(build.schema.apply))
 
     val pSide = probe.select(
       keys.map(col) ++
         Seq(col(probeTs).as("_t"), lit(1).as("_p")) ++
         pCols.map(col) ++
-        Seq(lit(null).cast(bTypes(buildTs)).as(buildPrefix + buildTs)) ++
-        bCols.map(c => lit(null).cast(bTypes(c)).as(buildPrefix + c)): _*)
+        Seq(lit(null).cast(stateType).as("_state")): _*)
     val bSide = build.select(
       keys.map(col) ++
         Seq(col(buildTs).as("_t"), lit(0).as("_p")) ++
         pCols.map(c => lit(null).cast(pTypes(c)).as(c)) ++
-        Seq(col(buildTs).as(buildPrefix + buildTs)) ++
-        bCols.map(c => col(c).as(buildPrefix + c)): _*)
+        Seq(stateOf.as("_state")): _*)
 
     // build sorts before probe at equal timestamps (_p: 0 < 1) → "at or
     // before"; the full-history frame makes the fill a running last().
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_t"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pSide.unionByName(bSide)
-      .select(keys.map(col) ++ Seq(col("_p")) ++ pCols.map(col) ++
-        outB.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("_state", last(col("_state"), ignoreNulls = true).over(w))
       .filter(col("_p") === 1)
-      .drop("_p")
+      .select(keys.map(col) ++ pCols.map(col) ++
+        (buildTs +: bCols).map(c => col("_state").getField(c).as(buildPrefix + c)): _*)
   }
 }

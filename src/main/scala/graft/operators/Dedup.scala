@@ -34,10 +34,13 @@ object Dedup {
   /** Normalized exact dedup: case-folded, whitespace-collapsed content hash
     * — catches re-encodes/reflows that byte-exact dedup misses while
     * staying a pure one-shuffle group-by (the standard first pass before
-    * near-dup detection). */
+    * near-dup detection). The whitespace class is EXPLICIT (not `\s`)
+    * because Java and RE2 disagree on `\s` membership (vertical tab) and
+    * the oracle must collapse the identical set. */
   def exactNormalized(df: DataFrame, idCol: String, col: String): DataFrame =
     df.groupBy(
-        md5(regexp_replace(trim(lower(org.apache.spark.sql.functions.col(col))), "\\s+", " "))
+        md5(regexp_replace(trim(lower(org.apache.spark.sql.functions.col(col))),
+          "[ \\t\\n\\x0B\\f\\r]+", " "))
           .as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
@@ -73,10 +76,14 @@ object Dedup {
     // alike (the Jaccard universe is the retained sets); (3) annotate the
     // survivors with a by-shingle join whose per-key size is then bounded
     // by the cap.
+    // No forced broadcast on the stop list: its cardinality is unbounded
+    // (a web-scale corpus puts every common n-gram over the cap) — AQE
+    // broadcasts it when small and falls back to a shuffled anti-join
+    // (skew-splittable) when not.
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
     val capped = if (maxShingleFreq > 0) {
       val stop = freq.filter(col("f") > maxShingleFreq).select("sh")
-      sh.join(broadcast(stop), Seq("sh"), "left_anti")
+      sh.join(stop, Seq("sh"), "left_anti")
     } else sh
     val posting = capped.join(freq, "sh")
     // Global rarest-first order (freq, then shingle) ranked within each doc.

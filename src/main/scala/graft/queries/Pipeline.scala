@@ -155,7 +155,7 @@ object Pipeline {
     "d12_dedup_normalized" -> QueryDef(
       (s, dir) => Dedup.exactNormalized(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("content_hash"),
-      Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+      Some("""SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS content_hash,
              |  min(doc_id) AS keep_id, count(*) AS n_copies
              |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
 

@@ -131,32 +131,42 @@ object exprs {
   def jaccard_milli(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardMilli(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  /** Register the custom expressions for the SQL surface, so every Column
-    * entry point above has a `SELECT`-able twin:
-    * `rolling_hash(text)`, `simhash64(arr)`, `shingles(arr, 3)`,
-    * `minhash(arr, 128, 1)`, `srp_sig(vec, 32)`. Int/long parameters must be
-    * foldable literals (they parameterize codegen). */
+  private def intLit(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  /** The single SQL function registry — (name, usage, builder) — consumed
+    * by both [[register]] (imperative, existing session) and
+    * [[graft.GraftExtensions]] (`spark.sql.extensions`), so the two
+    * surfaces cannot drift. Int/long parameters must be foldable literals
+    * (they parameterize codegen). */
+  val functionBuilders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash", "rolling_hash(str) - SQL-reproducible document fingerprint",
+      es => RollingHash(es.head)),
+    ("simhash64", "simhash64(array<string>) - 64-bit SimHash",
+      es => SimHash64(es.head)),
+    ("shingles", "shingles(array<string>, n) - distinct n-gram shingles",
+      es => Shingles(es.head, intLit(es(1), "shingles n").toInt)),
+    ("minhash", "minhash(array<string>, k[, seed]) - MinHash signature",
+      es => MinHashSig(es.head, intLit(es(1), "minhash k").toInt,
+        if (es.size > 2) intLit(es(2), "minhash seed") else 1L)),
+    ("srp_sig", "srp_sig(array<double>, bits[, planeOffset]) - SRP LSH signature word",
+      es => SrpSig(es.head, intLit(es(1), "srp_sig bits").toInt,
+        if (es.size > 2) intLit(es(2), "srp_sig planeOffset").toInt else 0)),
+    ("cosine_sim", "cosine_sim(array<double>, array<double>) - cosine similarity",
+      es => CosineSim(es.head, es(1))),
+    ("jaccard_milli", "jaccard_milli(array<string>, array<string>) - set Jaccard in milli-units",
+      es => JaccardMilli(es.head, es(1))))
+
+  /** Register every custom expression on an existing session, so each
+    * Column entry point above has a `SELECT`-able twin. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def lit(e: Expression, what: String): Long = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toLong
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v
-      case other => throw new IllegalArgumentException(
-        s"$what must be an integer literal, got: $other")
+    functionBuilders.foreach { case (name, _, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
-    reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("shingles",
-      es => Shingles(es.head, lit(es(1), "shingles n").toInt), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash",
-      es => MinHashSig(es.head, lit(es(1), "minhash k").toInt,
-        if (es.size > 2) lit(es(2), "minhash seed") else 1L), "scala_udf")
-    reg.createOrReplaceTempFunction("srp_sig",
-      es => SrpSig(es.head, lit(es(1), "srp_sig bits").toInt,
-        if (es.size > 2) lit(es(2), "srp_sig planeOffset").toInt else 0), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_sim",
-      es => CosineSim(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("jaccard_milli",
-      es => JaccardMilli(es.head, es(1)), "scala_udf")
   }
 }

@@ -95,12 +95,13 @@ class LakeSpec extends SparkSuite {
       LakeWriter.write(df, schema, root, Instant.parse("2024-06-01T10:00:00Z"))
     }
     assert(store.list("").count(_.contains("/ev/")) == 8)
-    val report = LakeMaintenance.compact(spark, store, "ev",
-      targetRecords = 200L, flushTime = Instant.parse("2024-06-01T10:00:00Z"))
+    val report = LakeMaintenance.compact(spark, store, "ev", targetRecords = 200L)
     assert(report.oldObjects == 8)
     assert(report.records == 400L)
     assert(report.newObjects == 2) // 400 rows at 200/object
     assert(store.list("").count(_.contains("/ev/")) == 2)
+    // rewritten objects stay under their original hour prefix
+    assert(report.newKeys.forall(_.startsWith("2024/06/01/10/ev/")))
     val back = LakeReader.read(spark, root, "ev")
     assert(back.count() == 400)
     assert(back.agg(sum("id")).collect()(0).getLong(0) == (0L until 400L).sum)

@@ -112,6 +112,21 @@ class PipelineSpec extends SparkSuite {
     assert(out == Map(1L -> 100L, 2L -> 200L, 3L -> -1L, 4L -> -1L))
   }
 
+  test("as-of join: matched row's null attribute stays null (no stale leak)") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, ts("2024-07-01T01:00:00Z"))).toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (10L, ts("2024-07-01T00:01:00Z"), Some(100L)),
+      (10L, ts("2024-07-01T00:30:00Z"), Option.empty[Long]) // matched row, null v
+    ).toDF("user_id", "ts", "v")
+    val r = AsOf.join(probe, build, Seq("user_id"), "ts", "ts")
+      .select($"asof_ts", $"asof_v").collect()(0)
+    // the MATCHED state is the 00:30 row with null v — an older non-null
+    // value must not leak through the fill
+    assert(r.getTimestamp(0).toInstant == java.time.Instant.parse("2024-07-01T00:30:00Z"))
+    assert(r.isNullAt(1))
+  }
+
   test("range join: containment exact across bucket boundaries, no dup pairs") {
     import spark.implicits._
     val points = Seq(
