@@ -164,6 +164,20 @@ object HashImpls {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** [[cosineSim]] over plain double arrays (identical fold order) — the
+    * dense-tile kernel used by the blocked exact all-pairs path. */
+  def cosineSimArrays(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Signed-random-projection signature word: bit p = sign of
     * dot(plane_{planeOffset+p}, v). All `bits` (≤ 64) dot products
     * accumulate in ONE pass over the vector (vs a per-bit

@@ -91,23 +91,50 @@ object Similarity {
   }
 
   /** Exact embedding near-dup pairs: every (a < b) pair with cosine ≥
-    * `threshold`, in integer milli-units. Deliberately quadratic — the
-    * correctness baseline the banded [[srpNearDupPairs]] is verified
-    * against; at corpus scale use the banded path. The corpus broadcasts
-    * once against itself (no shuffle), each pair costs one compiled cosine.
-    * (If an exact quadratic at cluster scale were truly required, the next
-    * step is block tiling — partition the corpus into B blocks, join the
-    * B·(B+1)/2 block pairs, and run dense per-tile kernels — trading the
-    * per-pair join-row overhead for GEMM-shaped compute.) */
+    * `threshold`, in integer milli-units. Deliberately quadratic in
+    * COMPUTE — the correctness baseline the banded [[srpNearDupPairs]] is
+    * verified against — but tiled so the quadratic part is dense kernel
+    * work, not join machinery: the corpus groups into `blocks` tiles (one
+    * shuffle), the B·(B+1)/2 tile pairs join as B² rows, and a compiled
+    * loop scores each tile pair (each unordered vector pair visited
+    * exactly once: i<j within a tile, min-id orientation across tiles).
+    * Per-pair arithmetic is the identical sequential fold as
+    * [[graft.functions.HashImpls.cosineSim]], so the oracle contract is
+    * unchanged. Size `blocks` so a tile pair fits task memory. */
   def cosinePairs(corpus: DataFrame, threshold: Double,
-                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("a_id"), asDouble(col(embCol)).as("a_emb"))
-    val b = corpus.select(col(idCol).as("b_id"), asDouble(col(embCol)).as("b_emb"))
-    a.crossJoin(b).filter(col("a_id") < col("b_id"))
-      .withColumn("cos_milli",
-        floor(cosine(col("a_emb"), col("b_emb")) * 1000 + 0.5).cast("long"))
-      .filter(col("cos_milli") >= (threshold * 1000).toLong)
-      .select("a_id", "b_id", "cos_milli")
+                  idCol: String = "vec_id", embCol: String = "embedding",
+                  blocks: Int = 32): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tm = (threshold * 1000).toLong
+    val tiles = corpus
+      .select(col(idCol).cast("long").as("id"), asDouble(col(embCol)).as("emb"),
+        pmod(col(idCol).cast("long"), lit(blocks.toLong)).cast("int").as("bid"))
+      .as[(Long, Seq[Double], Int)]
+      .groupByKey(_._3)
+      .mapGroups { (bid, it) => (bid, it.map(t => (t._1, t._2.toArray)).toArray) }
+    tiles.toDF("abid", "avs").join(tiles.toDF("bbid", "bvs"), col("abid") <= col("bbid"))
+      .as[(Int, Array[(Long, Array[Double])], Int, Array[(Long, Array[Double])])]
+      .flatMap { case (abid, avs, bbid, bvs) =>
+        val out = Seq.newBuilder[(Long, Long, Long)]
+        val same = abid == bbid
+        var i = 0
+        while (i < avs.length) {
+          val (ida, va) = avs(i)
+          var j = if (same) i + 1 else 0
+          while (j < bvs.length) {
+            val (idb, vb) = bvs(j)
+            val milli = math.floor(
+              graft.functions.HashImpls.cosineSimArrays(va, vb) * 1000 + 0.5).toLong
+            if (milli >= tm)
+              out += (if (ida < idb) (ida, idb, milli) else (idb, ida, milli))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("a_id", "b_id", "cos_milli")
   }
 
   /** SRP-banded embedding near-dup pairs: candidates share at least one
