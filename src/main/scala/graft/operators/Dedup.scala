@@ -247,17 +247,24 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    banded.as("a")
+    // Both full fingerprints ride the banded rows (they're one long each),
+    // so a pair colliding in several bands is kept only on its FIRST
+    // matching band — computed per-row from the xor, which removes the
+    // per-pair dropDuplicates exchange entirely (the classic LSH dedup).
+    val joined = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.simhash").as("a_fp"), col("b.simhash").as("b_fp"))
-      // Hamming check is a per-row xor — run it BEFORE the dedup shuffle so
-      // only true pairs (not every band collision) cross the exchange.
-      .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("a_id", "b_id")
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("a.band").as("band"),
+        col("a.simhash").bitwiseXOR(col("b.simhash")).as("xor"))
+    def bandMatches(k: Int) =
+      shiftrightunsigned(col("xor"), k * 16).bitwiseAND(lit(0xFFFFL)) === 0
+    val firstMatch = (0 until 3).foldRight(lit(3): org.apache.spark.sql.Column) {
+      (k, acc) => when(bandMatches(k), lit(k)).otherwise(acc)
+    }
+    joined
+      .withColumn("hamming", bit_count(col("xor")).cast("long"))
+      .filter(col("band") === firstMatch && col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
 }
