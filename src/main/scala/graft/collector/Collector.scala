@@ -159,18 +159,22 @@ final class Collector(store: Store, config: CollectorConfig = CollectorConfig())
 
   /** UTF-8 encoded length without allocating (the spool is UTF-8, so the
     * backpressure gauge must count encoded bytes — char count undercounts
-    * non-ASCII text up to 3×). Supplementary code points (surrogate pairs)
-    * encode in 4 bytes: the high surrogate counts 4, the low 0. */
+    * non-ASCII text up to 3×). A well-formed surrogate pair encodes in 4
+    * bytes; an UNPAIRED surrogate is written as the 1-byte replacement
+    * char by the JDK encoder and is counted as such. */
   private def utf8Length(s: String): Long = {
     var n = 0L
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      n += (if (c < 0x80) 1
-            else if (c < 0x800) 2
-            else if (Character.isHighSurrogate(c)) 4
-            else if (Character.isLowSurrogate(c)) 0
-            else 3)
+      if (c < 0x80) n += 1
+      else if (c < 0x800) n += 2
+      else if (Character.isHighSurrogate(c) &&
+               i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1))) {
+        n += 4; i += 1 // consume the pair
+      }
+      else if (Character.isSurrogate(c)) n += 1 // unpaired → '?' (1 byte)
+      else n += 3
       i += 1
     }
     n

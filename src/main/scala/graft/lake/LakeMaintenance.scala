@@ -49,25 +49,34 @@ object LakeMaintenance {
     if (oldKeys.isEmpty) return CompactionReport(0, 0, 0L, Seq.empty)
     val schema = LakeReader.peekSchema(store, oldKeys.head, table)
     val byHour = oldKeys.groupBy(k => LakeKeys.parseKey(k).get._1).toSeq.sortBy(_._1)
-    var newObjects = 0
-    var records = 0L
-    val newKeys = Seq.newBuilder[String]
-    byHour.foreach { case (hour, hourKeys) =>
-      // Read the SNAPSHOT, not a re-listing: a concurrent flush between
-      // the listing and the read would otherwise be rewritten but not
-      // deleted — permanent duplication, not the benign crash-duplication
-      // above.
-      val df = LakeReader.readKeys(spark, store, table, hourKeys).drop("_event_hour")
-      val n = df.count()
-      val parts = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
-      val written = LakeWriter.write(
-        df.repartition(parts), schema, store.rootUri, hour, gzip,
-        maxRecordsPerObject = targetRecords)
-      hourKeys.foreach(store.delete)
-      newObjects += written.size
-      records += written.map(_.records).sum
-      newKeys ++= written.map(_.key)
-    }
-    CompactionReport(oldKeys.size, newObjects, records, newKeys.result())
+    // Hour groups compact as CONCURRENT Spark jobs (bounded pool): a
+    // long-lived table has hundreds of hour groups, and serializing their
+    // small count+write job pairs would leave the cluster idle between
+    // them.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, byHour.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = byHour.map { case (hour, hourKeys) =>
+        Future {
+          // Read the SNAPSHOT, not a re-listing: a concurrent flush
+          // between the listing and the read would otherwise be rewritten
+          // but not deleted — permanent duplication, not the benign
+          // crash-duplication above.
+          val df = LakeReader.readKeys(spark, store, table, hourKeys).drop("_event_hour")
+          val n = df.count()
+          val parts = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
+          val written = LakeWriter.write(
+            df.repartition(parts), schema, store.rootUri, hour, gzip,
+            maxRecordsPerObject = targetRecords)
+          hourKeys.foreach(store.delete)
+          written
+        }
+      }
+      val written = futures.flatMap(Await.result(_, Duration.Inf))
+      CompactionReport(oldKeys.size, written.size, written.map(_.records).sum,
+        written.map(_.key))
+    } finally pool.shutdown()
   }
 }

@@ -32,6 +32,9 @@ object AsOf {
     * null fill result means "no state yet". */
   def join(probe: DataFrame, build: DataFrame, keys: Seq[String],
            probeTs: String, buildTs: String, buildPrefix: String = "asof_"): DataFrame = {
+    val reserved = Seq("_t", "_p", "_state")
+    require(!(probe.columns ++ build.columns).exists(reserved.contains),
+      s"column names ${reserved.mkString(", ")} are reserved by AsOf.join")
     val pCols = probe.columns.toSeq.filterNot(keys.contains)
     val bCols = build.columns.toSeq.filterNot(c => keys.contains(c) || c == buildTs)
     val pTypes = probe.schema.fields.map(f => f.name -> f.dataType).toMap

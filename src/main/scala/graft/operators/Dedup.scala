@@ -69,13 +69,12 @@ object Dedup {
     // Frequency annotation, skew-safe at corpus scale: a count-over-window
     // by shingle would pin every posting of a viral shingle into ONE window
     // partition (windows are not AQE-splittable). Instead: (1) aggregate
-    // frequencies with map-side combine; (2) drop over-cap (viral) postings
-    // via a broadcast anti-join BEFORE any by-shingle shuffle — inverted
-    // lists longer than the cap contribute O(len²) candidate pairs for
-    // near-zero signal, and they're removed from sizes and intersections
-    // alike (the Jaccard universe is the retained sets); (3) annotate the
-    // survivors with a by-shingle join whose per-key size is then bounded
-    // by the cap.
+    // frequencies with map-side combine; (2) anti-join the over-cap
+    // (viral) shingle list away — inverted lists longer than the cap
+    // contribute O(len²) candidate pairs for near-zero signal, and they're
+    // removed from sizes and intersections alike (the Jaccard universe is
+    // the retained sets); (3) annotate the survivors with a by-shingle
+    // join whose per-key size is then bounded by the cap.
     // No forced broadcast on the stop list: its cardinality is unbounded
     // (a web-scale corpus puts every common n-gram over the cap) — AQE
     // broadcasts it when small and falls back to a shuffled anti-join

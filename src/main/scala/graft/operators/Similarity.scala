@@ -106,10 +106,23 @@ object Similarity {
                   blocks: Int = 32): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // The tile kernel encodes ids as longs (every engine table keys by
+    // long); fail fast with a clear message rather than a null-encoder
+    // crash deep inside a task.
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType)
+        .contains(corpus.schema(idCol).dataType),
+      s"cosinePairs requires an integral id column; '$idCol' is ${corpus.schema(idCol).dataType}")
     val tm = (threshold * 1000).toLong
     val tiles = corpus
+      // null id/embedding rows are dropped, matching the expression path's
+      // null-propagating filter semantics
+      .filter(col(idCol).isNotNull && col(embCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), asDouble(col(embCol)).as("emb"),
-        pmod(col(idCol).cast("long"), lit(blocks.toLong)).cast("int").as("bid"))
+        // hash-assign tiles: pmod on raw ids degenerates on strided or
+        // power-of-two id distributions (one tile swallows the corpus)
+        pmod(xxhash64(col(idCol).cast("long")), lit(blocks.toLong)).cast("int").as("bid"))
       .as[(Long, Seq[Double], Int)]
       .groupByKey(_._3)
       .mapGroups { (bid, it) => (bid, it.map(t => (t._1, t._2.toArray)).toArray) }
@@ -124,10 +137,12 @@ object Similarity {
           var j = if (same) i + 1 else 0
           while (j < bvs.length) {
             val (idb, vb) = bvs(j)
-            val milli = math.floor(
-              graft.functions.HashImpls.cosineSimArrays(va, vb) * 1000 + 0.5).toLong
-            if (milli >= tm)
-              out += (if (ida < idb) (ida, idb, milli) else (idb, ida, milli))
+            if (ida != idb) { // strict a < b: duplicate ids never self-pair
+              val milli = math.floor(
+                graft.functions.HashImpls.cosineSimArrays(va, vb) * 1000 + 0.5).toLong
+              if (milli >= tm)
+                out += (if (ida < idb) (ida, idb, milli) else (idb, ida, milli))
+            }
             j += 1
           }
           i += 1
