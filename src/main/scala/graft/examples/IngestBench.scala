@@ -32,5 +32,10 @@ object IngestBench {
     val totalSecs = (System.nanoTime() - t0) / 1e9
     println(f"INGEST records=$n track_secs=$trackSecs%.2f track_rec_per_sec=${n / trackSecs}%.0f " +
       f"total_secs=$totalSecs%.2f flushed=$flushed")
+    // clean the temp lake (gzipped output would otherwise accumulate in /tmp)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(dir)
   }
 }

@@ -63,8 +63,11 @@ object LakeMaintenance {
           // Read the SNAPSHOT, not a re-listing: a concurrent flush
           // between the listing and the read would otherwise be rewritten
           // but not deleted — permanent duplication, not the benign
-          // crash-duplication above.
-          val df = LakeReader.readKeys(spark, store, table, hourKeys).drop("_event_hour")
+          // crash-duplication above. localCheckpoint materializes the
+          // (gunzipped) snapshot once; the sizing count and the write both
+          // run off the checkpoint instead of re-scanning the objects.
+          val df = LakeReader.readKeys(spark, store, table, hourKeys)
+            .drop("_event_hour").localCheckpoint()
           val n = df.count()
           val parts = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
           val written = LakeWriter.write(
@@ -77,6 +80,15 @@ object LakeMaintenance {
       val written = futures.flatMap(Await.result(_, Duration.Inf))
       CompactionReport(oldKeys.size, written.size, written.map(_.records).sum,
         written.map(_.key))
+    } catch { case e: Throwable =>
+      // On a failed hour group, no sibling may keep mutating the lake
+      // after compact() has thrown: cancel queued groups and WAIT for
+      // in-flight ones before propagating (otherwise a retry's listing
+      // races lingering writes/deletes — the duplication this method's
+      // snapshot read exists to prevent).
+      pool.shutdownNow()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      throw e
     } finally pool.shutdown()
   }
 }

@@ -109,11 +109,10 @@ object Similarity {
     // The tile kernel encodes ids as longs (every engine table keys by
     // long); fail fast with a clear message rather than a null-encoder
     // crash deep inside a task.
-    require(Set[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
-        org.apache.spark.sql.types.ShortType)
-        .contains(corpus.schema(idCol).dataType),
-      s"cosinePairs requires an integral id column; '$idCol' is ${corpus.schema(idCol).dataType}")
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(corpus.schema(idCol).dataType)
+    }, s"cosinePairs requires an integral id column; '$idCol' is ${corpus.schema(idCol).dataType}")
     val tm = (threshold * 1000).toLong
     val tiles = corpus
       // null id/embedding rows are dropped, matching the expression path's
@@ -125,7 +124,13 @@ object Similarity {
         pmod(xxhash64(col(idCol).cast("long")), lit(blocks.toLong)).cast("int").as("bid"))
       .as[(Long, Seq[Double], Int)]
       .groupByKey(_._3)
-      .mapGroups { (bid, it) => (bid, it.map(t => (t._1, t._2.toArray)).toArray) }
+      // canonical id order WITHIN each tile: the self-join's two sides are
+      // independent evaluations whose shuffle-fetch order is not
+      // deterministic on a cluster — the same-tile upper-triangle walk
+      // (i < j) is only correct if both sides agree on element order
+      .mapGroups { (bid, it) =>
+        (bid, it.map(t => (t._1, t._2.toArray)).toArray.sortBy(_._1))
+      }
     tiles.toDF("abid", "avs").join(tiles.toDF("bbid", "bvs"), col("abid") <= col("bbid"))
       .as[(Int, Array[(Long, Array[Double])], Int, Array[(Long, Array[Double])])]
       .flatMap { case (abid, avs, bbid, bvs) =>
