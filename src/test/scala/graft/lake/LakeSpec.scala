@@ -107,6 +107,30 @@ class LakeSpec extends SparkSuite {
     assert(back.agg(sum("id")).collect()(0).getLong(0) == (0L until 400L).sum)
   }
 
+  test("compaction preserves hour attribution across a multi-hour range") {
+    import spark.implicits._
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    // 3 hours × 4 tiny objects of 10 rows
+    for (h <- 0 until 3; b <- 0 until 4) {
+      val df = (0 until 10).map(i => ((h * 40 + b * 10 + i).toLong, i / 2.0, s"h$h"))
+        .toDF("id", "v", "tag").coalesce(1)
+      LakeWriter.write(df, schema, root, Instant.parse(f"2024-06-01T1$h%d:00:00Z"))
+    }
+    val report = LakeMaintenance.compact(spark, store, "ev", targetRecords = 100L)
+    assert(report.oldObjects == 12 && report.records == 120L)
+    // every hour keeps its own (single, merged) object under its prefix
+    for (h <- 0 until 3) {
+      val hourKeys = report.newKeys.filter(_.startsWith(f"2024/06/01/1$h%d/ev/"))
+      assert(hourKeys.size == 1, s"hour 1$h: $hourKeys")
+    }
+    // hour-pruned reads see exactly the rows they did before compaction
+    val pruned = LakeReader.read(spark, root, "ev",
+      hourRange = Some((Instant.parse("2024-06-01T11:00:00Z"), Instant.parse("2024-06-01T11:59:00Z"))))
+    assert(pruned.count() == 40)
+    assert(pruned.select("tag").distinct().collect().map(_.getString(0)).toSeq == Seq("h1"))
+  }
+
   test("hourPrefixes spans day/month boundaries and truncates to hours") {
     import graft.lake.LakeKeys.hourPrefixes
     assert(hourPrefixes(
