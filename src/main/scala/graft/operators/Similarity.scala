@@ -215,7 +215,7 @@ object Similarity {
     * (a per-bit `aggregate(zip_with(...))` fold would be B interpreted
     * passes). */
   def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              bands: Int = 8, bitsPerBand: Int = 4,
+              bands: Int = 12, bitsPerBand: Int = 4,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val bits = bands * bitsPerBand
     def withBands(df: DataFrame, id: String, emb: String) = {
