@@ -21,13 +21,29 @@ import org.apache.spark.sql.SparkSession
   * collapsing a multi-hour range into one hour would silently move rows
   * out of pruned windows.
   *
-  * Crash behavior: each hour's new objects land before that hour's old
-  * keys are deleted, so a failure mid-compaction leaves duplicates
+  * Commit protocol: each hour group's new objects are written under a
+  * job-scoped `_staging/` prefix and PUBLISHED (renamed into place) only
+  * after that group's Spark job has succeeded, using exactly the keys the
+  * successful task attempts reported — so a failed, retried, or
+  * speculative task attempt can never leak a partial object into the
+  * table (its keys are deleted in the task's error path AND never
+  * published). The staging prefix is removed when compact() returns,
+  * success or failure. Crash behavior: new objects publish before the
+  * old keys are deleted, so a crash mid-publish leaves duplicates
   * (at-least-once), never loss — the same durability bias as the
   * reference's flush (store first, dispose after, `Collector.ts:310-339`).
+  *
   * Concurrency: the read consumes EXACTLY the listed key snapshot, so
   * objects flushed while compaction runs are neither rewritten nor
-  * deleted — they simply survive untouched.
+  * deleted — they simply survive untouched. Concurrent READERS are a
+  * different contract: a scan planned while compact() publishes and
+  * deletes can observe old+new objects (transient duplicates) or hit a
+  * deleted file mid-scan. [[LakeReader.readFrom]] sets
+  * `ignoreMissingFiles` so racing scans degrade to skipping the deleted
+  * (rewritten) object rather than failing; deployments that need
+  * exactly-once reads during maintenance should either schedule
+  * compaction in a reader-quiet window or keep a retention grace period
+  * before deleting old keys.
   */
 object LakeMaintenance {
 
@@ -47,6 +63,7 @@ object LakeMaintenance {
         store.list("").filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
     }
     if (oldKeys.isEmpty) return CompactionReport(0, 0, 0L, Seq.empty)
+    val staging = s"_staging/${java.util.UUID.randomUUID()}"
     val schema = LakeReader.peekSchema(store, oldKeys.head, table)
     val byHour = oldKeys.groupBy(k => LakeKeys.parseKey(k).get._1).toSeq.sortBy(_._1)
     // Hour groups compact as CONCURRENT Spark jobs (bounded pool): a
@@ -70,11 +87,19 @@ object LakeMaintenance {
             .drop("_event_hour").localCheckpoint()
           val n = df.count()
           val parts = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
-          val written = LakeWriter.write(
+          val staged = LakeWriter.write(
             df.repartition(parts), schema, store.rootUri, hour, gzip,
-            maxRecordsPerObject = targetRecords)
+            maxRecordsPerObject = targetRecords, keyPrefix = s"$staging/")
+          // Publish: the job succeeded, so `staged` is exactly the
+          // successful attempts' output — move those keys (and only
+          // those) into place, then retire the old objects.
+          val published = staged.map { w =>
+            val dst = w.key.stripPrefix(s"$staging/")
+            store.rename(w.key, dst)
+            w.copy(key = dst)
+          }
           hourKeys.foreach(store.delete)
-          written
+          published
         }
       }
       val written = futures.flatMap(Await.result(_, Duration.Inf))
@@ -89,6 +114,10 @@ object LakeMaintenance {
       pool.shutdownNow()
       pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
       throw e
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      // Success or failure, no unpublished attempt output may linger.
+      try store.deletePrefix(staging) catch { case _: Throwable => () }
+    }
   }
 }

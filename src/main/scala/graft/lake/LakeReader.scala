@@ -63,19 +63,27 @@ object LakeReader {
     // Hand Spark the distinct hour/table DIRECTORIES, not every object:
     // at lake scale the per-object path array (millions of entries) is
     // itself a driver burden; directory count is bounded by hours × tables.
+    // ignoreMissingFiles: a scan racing LakeMaintenance.compact may plan an
+    // object that compaction deletes before the task reads it — skip it
+    // (its rows were republished in a compacted object) instead of failing.
     readPaths(spark, store, table, keys,
-      keys.map(k => k.substring(0, k.lastIndexOf('/'))).distinct)
+      keys.map(k => k.substring(0, k.lastIndexOf('/'))).distinct,
+      ignoreMissing = true)
   }
 
   /** Read EXACTLY the given object keys (a listing snapshot) — no
     * re-listing, no directory expansion. Used by compaction, where reading
-    * more than the snapshot would duplicate concurrently-flushed rows. */
+    * more than the snapshot would duplicate concurrently-flushed rows.
+    * Missing files are an ERROR here (never skipped): compaction deletes
+    * the snapshot's keys after rewriting, so silently dropping one would
+    * turn into data loss, not a transient duplicate. */
   def readKeys(spark: SparkSession, store: Store, table: String,
                keys: Seq[String]): DataFrame =
-    readPaths(spark, store, table, keys, keys)
+    readPaths(spark, store, table, keys, keys, ignoreMissing = false)
 
   private def readPaths(spark: SparkSession, store: Store, table: String,
-                        keys: Seq[String], relPaths: Seq[String]): DataFrame = {
+                        keys: Seq[String], relPaths: Seq[String],
+                        ignoreMissing: Boolean): DataFrame = {
     val rootUri = store.rootUri
     require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
     val schema = peekSchema(store, keys.head, table)
@@ -89,6 +97,7 @@ object LakeReader {
       .option("escape", "\"")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")
       .option("mode", "PERMISSIVE")
+      .option("ignoreMissingFiles", ignoreMissing.toString)
       .csv(paths: _*)
       .withColumn("_event_hour",
         to_timestamp(regexp_extract(input_file_name(), "(\\d{4}/\\d{2}/\\d{2}/\\d{2})/", 1),

@@ -32,10 +32,18 @@ object LakeWriter {
     * limit fills, so object size is enforced exactly in ONE pass with no
     * pre-count and no repartition (the analogue of the reference's
     * record-limit flush, `Collector.ts:281-283`). Returns one
-    * [[WrittenObject]] per object (small: ~one per partition). */
+    * [[WrittenObject]] per object (small: ~one per partition).
+    *
+    * Commit discipline: a task attempt that fails mid-write DELETES every
+    * object it created (the in-progress one and any it already rolled)
+    * before propagating, so retried or speculative attempts cannot leave
+    * orphan or duplicate objects behind — only keys reported by the
+    * successful attempt exist. `keyPrefix` (e.g. a staging prefix) is
+    * prepended to every object key; compaction uses it to publish
+    * atomically-per-object via rename after the job succeeds. */
   def write(df: DataFrame, schema: TableSchema, rootUri: String,
             flushTime: Instant = Instant.now(), gzip: Boolean = true,
-            maxRecordsPerObject: Long = 0L): Seq[WrittenObject] = {
+            maxRecordsPerObject: Long = 0L, keyPrefix: String = ""): Seq[WrittenObject] = {
     import org.apache.spark.sql.functions.col
     // Align column order + Spark types to the declared schema (declared
     // schemas are authoritative — SURVEY.md §7.4).
@@ -57,7 +65,7 @@ object LakeWriter {
         var n = 0L
         def open(): Unit = {
           id = UUID.randomUUID()
-          key = LakeKeys.objectKey(table, flushTime, id, gzip)
+          key = keyPrefix + LakeKeys.objectKey(table, flushTime, id, gzip)
           val raw = store.create(key)
           out = new BufferedWriter(new OutputStreamWriter(
             if (gzip) new GZIPOutputStream(raw) else raw, StandardCharsets.UTF_8), 256 * 1024)
@@ -80,7 +88,17 @@ object LakeWriter {
           }
           out.close(); written += WrittenObject(key, id, n)
           out = null
-        } finally if (out != null) out.close() // error path: close, don't record
+        } catch { case e: Throwable =>
+          // Abort this ATTEMPT cleanly: close and delete the in-progress
+          // object and everything the attempt already rolled — a retry (or
+          // the speculative twin) re-writes the whole partition, so any key
+          // this attempt leaves behind is permanent duplication.
+          if (out != null) { try out.close() catch { case _: Throwable => () }; out = null }
+          (written.result().map(_.key) :+ key).foreach { k =>
+            try store.delete(k) catch { case _: Throwable => () }
+          }
+          throw e
+        }
         written.result().iterator
       }
     }.collect().toSeq

@@ -24,6 +24,13 @@ trait Store extends Serializable {
   def exists(key: String): Boolean
   /** Remove `key` (idempotent: missing keys are a no-op). */
   def delete(key: String): Unit
+  /** Move `src` to `dst` (copy+delete where the backend has no rename —
+    * S3-style stores). Used by compaction's publish step. */
+  def rename(src: String, dst: String): Unit = {
+    put(dst, open(src)); delete(src)
+  }
+  /** Remove every key under `prefix` (idempotent). */
+  def deletePrefix(prefix: String): Unit = list(prefix).foreach(delete)
   /** Root URI as a string, for Spark datasource paths. */
   def rootUri: String
 }
@@ -67,4 +74,15 @@ final class HadoopStore(val rootUri: String) extends Store {
   override def exists(key: String): Boolean = fs.exists(p(key))
 
   override def delete(key: String): Unit = { fs.delete(p(key), false); () }
+
+  override def rename(src: String, dst: String): Unit = {
+    val d = p(dst)
+    fs.mkdirs(d.getParent) // HDFS/local rename requires an existing parent
+    if (!fs.rename(p(src), d)) super.rename(src, dst) // e.g. cross-volume
+  }
+
+  override def deletePrefix(prefix: String): Unit = {
+    val base = p(prefix)
+    if (fs.exists(base)) { fs.delete(base, true); () }
+  }
 }

@@ -37,6 +37,13 @@ object AsOf {
       s"column names ${reserved.mkString(", ")} are reserved by AsOf.join")
     val pCols = probe.columns.toSeq.filterNot(keys.contains)
     val bCols = build.columns.toSeq.filterNot(c => keys.contains(c) || c == buildTs)
+    // Output collision guard: a probe column spelled like a prefixed build
+    // output would yield duplicate names that only fail on later selection.
+    val outCols = (buildTs +: bCols).map(buildPrefix + _)
+    val clash = probe.columns.toSeq.intersect(outCols)
+    require(clash.isEmpty,
+      s"probe columns ${clash.mkString(", ")} collide with as-of output columns " +
+        s"(buildPrefix=$buildPrefix)")
     val pTypes = probe.schema.fields.map(f => f.name -> f.dataType).toMap
     val stateOf = struct((col(buildTs).as(buildTs) +: bCols.map(c => col(c).as(c))): _*)
     val stateType = org.apache.spark.sql.types.StructType(

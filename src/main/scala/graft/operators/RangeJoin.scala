@@ -23,6 +23,8 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, pointTs: String,
                       intervals: DataFrame, startTs: String, endTs: String,
                       bucketSeconds: Long = 3600L): DataFrame = {
+    require(!(points.columns ++ intervals.columns).contains("_b"),
+      "column name _b is reserved by RangeJoin.pointInInterval")
     val p = points.withColumn("_b",
       floor(col(pointTs).cast("long") / bucketSeconds))
     val iv = intervals.withColumn("_b",

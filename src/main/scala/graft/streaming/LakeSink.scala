@@ -59,14 +59,24 @@ object LakeSink {
     * resolves `$`→token per record, so the table name is DATA, not
     * topology). Each micro-batch splits by table off one cached pass and
     * lands per-table objects with per-table schemas. The distinct-table
-    * collect is bounded by family cardinality (metadata-sized). */
+    * collect is bounded by family cardinality (metadata-sized).
+    *
+    * Records with a NULL route name are invalid input (the reference's
+    * `track` requires a table, `Collector.ts:205-214`). They are never
+    * silently lost: when `deadLetterTable` is set they land there (same
+    * columns, minus the route column) for later inspection; otherwise
+    * `onDropped` fires with the per-batch count — the routing analogue of
+    * `Collector.onError`'s signal-never-throw contract. */
   def routedWriter(df: DataFrame, tableCol: String, schemaFor: String => TableSchema,
                    rootUri: String,
                    gzip: Boolean = true,
                    recordLimit: Long = 200000L,
                    ageLimit: java.time.Duration = java.time.Duration.ofHours(1),
                    writerFloor: Int = 4,
-                   onFlush: FlushInfo => Unit = _ => ()): DataStreamWriter[Row] = {
+                   onFlush: FlushInfo => Unit = _ => (),
+                   deadLetterTable: Option[String] = None,
+                   onDropped: Long => Unit = n =>
+                     System.err.println(s"[graft.LakeSink] dropped $n record(s) with null route")): DataStreamWriter[Row] = {
     import org.apache.spark.sql.functions.col
     df.writeStream
       .outputMode("append")
@@ -74,12 +84,16 @@ object LakeSink {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val cached = batch.persist()
         try {
-          // Null route names are invalid input (the reference's track
-          // requires a table): count them for the log, land the rest.
           val counts = cached.groupBy(col(tableCol)).count().collect()
             .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1))
           counts.find(_._1 == null).foreach { case (_, n) =>
-            System.err.println(s"[graft.LakeSink] dropping $n record(s) with null '$tableCol'")
+            deadLetterTable match {
+              case Some(dlt) =>
+                val sub = cached.filter(col(tableCol).isNull).drop(tableCol)
+                landBatch(sub, n, schemaFor(dlt), rootUri, gzip, recordLimit,
+                  writerFloor, onFlush)
+              case None => onDropped(n)
+            }
           }
           counts.filter(_._1 != null).foreach { case (table, n) =>
             val sub = cached.filter(col(tableCol) === table).drop(tableCol)

@@ -42,6 +42,23 @@ class LakeSpec extends SparkSuite {
     assert(LakeReader.read(spark, root, "ev").count() == 1000)
   }
 
+  test("failed write attempt deletes every object it created (no orphans)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    val boom = udf((i: Long) =>
+      if (i == 25L) throw new RuntimeException("boom") else s"t$i")
+    val df = (0 until 100).map(i => (i.toLong, i / 2.0)).toDF("id", "v")
+      .withColumn("tag", boom(col("id")))
+    intercept[Exception] {
+      // roll at 10 → by row 25 the attempt has 2 committed objects plus an
+      // in-progress one; ALL must be gone after the failure
+      LakeWriter.write(df.coalesce(1), schema, root,
+        Instant.parse("2024-06-01T12:00:00Z"), maxRecordsPerObject = 10L)
+    }
+    assert(store.list("").isEmpty, "failed attempt left orphan objects")
+  }
+
   test("hour-prefix pruning: objects outside the range are never read") {
     import spark.implicits._
     val root = freshRoot()
@@ -102,6 +119,9 @@ class LakeSpec extends SparkSuite {
     assert(store.list("").count(_.contains("/ev/")) == 2)
     // rewritten objects stay under their original hour prefix
     assert(report.newKeys.forall(_.startsWith("2024/06/01/10/ev/")))
+    // the publish step consumed the staging area completely
+    assert(store.list("_staging").isEmpty, "staging keys survived compaction")
+    assert(report.newKeys.forall(store.exists))
     val back = LakeReader.read(spark, root, "ev")
     assert(back.count() == 400)
     assert(back.agg(sum("id")).collect()(0).getLong(0) == (0L until 400L).sum)

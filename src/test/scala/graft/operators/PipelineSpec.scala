@@ -144,6 +144,24 @@ class PipelineSpec extends SparkSuite {
     assert(out == Set((1L, "A"), (2L, "A"), (2L, "B"), (3L, "B")))
   }
 
+  test("as-of and range joins reject reserved/colliding column names") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, ts("2024-07-01T00:05:00Z"), 7L))
+      .toDF("event_id", "user_id", "ts", "asof_v") // collides with output asof_v
+    val build = Seq((10L, ts("2024-07-01T00:01:00Z"), 100L)).toDF("user_id", "ts", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.join(probe, build, Seq("user_id"), "ts", "ts")
+    }
+    assert(e1.getMessage.contains("asof_v"))
+    val points = Seq((1L, ts("2024-07-01T00:30:00Z"), 0L)).toDF("pid", "ts", "_b")
+    val ivs = Seq(("A", ts("2024-07-01T00:00:00Z"), ts("2024-07-01T02:00:00Z")))
+      .toDF("iv", "start_ts", "end_ts")
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, "ts", ivs, "start_ts", "end_ts")
+    }
+    assert(e2.getMessage.contains("_b"))
+  }
+
   private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
 
   test("langid picks the language whose stopwords dominate") {

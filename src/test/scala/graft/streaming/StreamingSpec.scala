@@ -105,6 +105,43 @@ class StreamingSpec extends SparkSuite {
     assert(pool.columns.toSeq.take(2) == Seq("event_id", "v")) // tableCol dropped
   }
 
+  test("routed sink lands null-route records in the dead-letter table") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = s"file://${Files.createTempDirectory("graft-dlq-spec").toFile.getAbsolutePath}"
+    def schemaFor(t: String) = TableSchema(t, Seq(
+      "event_id" -> ColType.CInteger, "v" -> ColType.CFloat))
+    val ms = MemoryStream[REv]
+    ms.addData((0 until 30).map(i =>
+      REv(if (i % 10 == 0) null else "game_event_main", i, i * 0.5)))
+    val q = LakeSink.routedWriter(ms.toDF(), "table", schemaFor, root,
+      deadLetterTable = Some("_dead_letter"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(LakeReader.read(spark, root, "game_event_main").count() == 27)
+    val dl = LakeReader.read(spark, root, "_dead_letter")
+    assert(dl.count() == 3) // nothing silently lost
+    assert(dl.select("event_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 10L, 20L))
+  }
+
+  test("routed sink reports null-route drops through onDropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = s"file://${Files.createTempDirectory("graft-drop-spec").toFile.getAbsolutePath}"
+    def schemaFor(t: String) = TableSchema(t, Seq(
+      "event_id" -> ColType.CInteger, "v" -> ColType.CFloat))
+    val ms = MemoryStream[REv]
+    ms.addData((0 until 20).map(i =>
+      REv(if (i < 5) null else "game_event_main", i, i * 0.5)))
+    val dropped = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = LakeSink.routedWriter(ms.toDF(), "table", schemaFor, root,
+      onDropped = dropped.addAndGet(_))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(dropped.get() == 5L)
+    assert(LakeReader.read(spark, root, "game_event_main").count() == 15)
+  }
+
   test("tumbling window with watermark drops late data") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
