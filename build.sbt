@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs all executor threads in this one JVM: size the heap for
+  // the whole engine, not a driver-only default — 8g across 32 task
+  // threads (~250 MB each) spends bench time in GC, not in the engine.
+  // Measured at sf0.1 (62-query bench): 8g ≈ 80s, 16g pre-touched ≈ 54s.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Pre-size and pre-fault the heap: growing from the tiny -Xms default —
+  // or first-touch page faults on a large committed heap — lands
+  // unpredictable multi-second stalls inside whichever queries run first.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -203,6 +203,102 @@ object HashImpls {
   }
 }
 
+/** Precompiled stopword lookup for single-pass language scoring.
+  *
+  * Semantics contract (mirrored by the oracle SQL): a word of a group
+  * "hits" iff `' ' || lower(text) || ' '` contains `' ' || word || ' '` —
+  * i.e. iff some single-space-delimited chunk of `lower(text)` equals the
+  * word; repeated occurrences count once. The Column formulation
+  * (`contains` per word) rescans — and re-lowercases — the full text once
+  * per word (20× for the 4×5 language inventories); this kernel lowercases
+  * once and walks the bytes once, scoring every group in that single pass.
+  * UTF-8-safe: the space byte 0x20 never occurs inside a multi-byte
+  * sequence, so byte-level chunking cannot split a code point.
+  *
+  * Groups are capped at 64 words (hits are a per-group bitmask so distinct
+  * words count once); the inventories here are 5 words/language.
+  */
+final class StopwordMatcher(labels: Array[String], groups: Array[Array[String]])
+    extends Serializable {
+  require(labels.length == groups.length, "one label per group")
+  require(groups.forall(_.length <= 64), "≤64 words per group (bitmask)")
+  val numGroups: Int = groups.length
+
+  @transient private lazy val labelU: Array[UTF8String] =
+    labels.map(UTF8String.fromString)
+  @transient private lazy val unknownU: UTF8String = UTF8String.fromString("unknown")
+  /** word → every (group << 8 | bit) membership — a word may appear in
+    * several inventories (e.g. "la" is both Spanish and French). Words are
+    * lowercase by construction. */
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]](64)
+    var g = 0
+    while (g < groups.length) {
+      var w = 0
+      while (w < groups(g).length) {
+        val key = UTF8String.fromString(groups(g)(w).toLowerCase)
+        val prev = m.get(key)
+        val entry = (g << 8) | w
+        m.put(key, if (prev == null) Array(entry) else prev :+ entry)
+        w += 1
+      }
+      g += 1
+    }
+    m
+  }
+  @transient private lazy val maxWordBytes: Int =
+    if (groups.forall(_.isEmpty)) 0
+    else groups.flatten.map(UTF8String.fromString(_).numBytes).max
+
+  /** Distinct-hit count per group, one pass over the text. */
+  def scores(text: UTF8String): Array[Long] = {
+    val masks = new Array[Long](numGroups)
+    val lower = text.toLowerCase
+    val bytes = lower.getBytes
+    val n = bytes.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val len = i - start
+        if (len > 0 && len <= maxWordBytes) {
+          val hits = lookup.get(UTF8String.fromBytes(bytes, start, len))
+          if (hits != null) {
+            var h = 0
+            while (h < hits.length) {
+              masks(hits(h) >> 8) |= 1L << (hits(h) & 0xff)
+              h += 1
+            }
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](numGroups)
+    var g = 0
+    while (g < numGroups) { out(g) = java.lang.Long.bitCount(masks(g)).toLong; g += 1 }
+    out
+  }
+
+  /** [[scores]] boxed for the expression's ArrayType output. */
+  def scoresArray(text: UTF8String): ArrayData = new GenericArrayData(scores(text))
+
+  /** Argmax label: highest score wins, ties go to the earlier group, all
+    * zero → "unknown" — the [[graft.functions.Text.langId]] contract. */
+  def label(text: UTF8String): UTF8String = {
+    val sc = scores(text)
+    var best = -1
+    var bestScore = 0L
+    var g = 0
+    while (g < sc.length) {
+      if (sc(g) > bestScore) { bestScore = sc(g); best = g } // strict: ties keep earlier
+      g += 1
+    }
+    if (best < 0) unknownU else labelU(best)
+  }
+}
+
 /** Column-API entry points for the custom expressions. */
 object HashFunctions {
   def rolling_hash(c: Column): Column = org.apache.spark.sql.graft.exprs.rolling_hash(c)

@@ -37,32 +37,20 @@ object Text {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "de" -> Seq("der", "die", "und", "das", "ist"))
 
-  /** Number of distinct stopwords of `words` present in the text (word-
-    * boundary matching via padded LIKE). */
-  def stopwordHits(text: Column, words: Seq[String]): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    words.map(w => when(padded.contains(s" $w "), 1L).otherwise(0L))
-      .reduce(_ + _)
-  }
+  /** Number of distinct stopwords of `words` present in the text — word-
+    * boundary semantics of the padded-LIKE formula (`' '||lower(text)||' '`
+    * contains `' '||w||' '`), computed by the single-pass
+    * [[StopwordMatcher]] kernel: the Column composition rescans (and
+    * re-lowercases) the text once per word — 20 passes for the combined
+    * inventory. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    element_at(org.apache.spark.sql.graft.exprs.stopword_scores(text, Seq(words)), 1)
 
   /** Predicted language: the stopword set with the most hits wins (ties →
-    * lexicographically-first language); no hits at all → 'unknown'. */
-  def langId(text: Column): Column = {
-    val scored = StopwordSets.map { case (lang, ws) => (lang, stopwordHits(text, ws)) }
-    val best = scored.map { case (lang, s) =>
-      struct(s.as("score"), lit(lang).as("lang"))
-    }
-    // greatest(...) on (score asc, lang desc) structs: max score; on ties the
-    // struct comparison prefers the larger lang, so invert by ordering langs
-    // descending in the tiebreak column.
-    val winner = greatest(
-      scored.map { case (lang, s) => struct(s.as("score"), lit(-StopwordSets.indexWhere(_._1 == lang)).as("nlang")) }: _*)
-    val langByIndex = StopwordSets.map(_._1).zipWithIndex
-      .foldLeft(lit("unknown")) { case (acc, (lang, i)) =>
-        when(winner.getField("nlang") === -i, lit(lang)).otherwise(acc)
-      }
-    when(winner.getField("score") === 0, lit("unknown")).otherwise(langByIndex)
-  }
+    * earlier language in [[StopwordSets]]); no hits at all → 'unknown'.
+    * Single kernel pass scoring all four inventories at once. */
+  def langId(text: Column): Column =
+    org.apache.spark.sql.graft.exprs.lang_id(text, StopwordSets)
 
   /** Quality heuristics: char/word counts, mean word length, alpha ratio,
     * stopword ratio — standard pre-training corpus filters. */

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.functions.HashFunctions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, cluster-layout-independent sampling for training-data
+  * pipelines.
+  *
+  * `df.sample()` / `TABLESAMPLE` draw from a per-partition seeded RNG: the
+  * selected rows change with partitioning, task scheduling, and cluster
+  * size — unacceptable for reproducible corpus splits. Here membership is a
+  * pure function of a row key: `rolling_hash(key) mod 1000 < rate‰`. The
+  * same key lands on the same side of every split, on any cluster, in any
+  * engine — the rolling hash is the SQL-reproducible fold the t04 oracle
+  * replays in DuckDB — so sampled corpora are verifiable end-to-end.
+  *
+  * Scale shape: a stateless per-row filter — no shuffle, no driver data
+  * path, pushdown-friendly surrounding columns; exactly what a 100 TB
+  * train/val/test split needs.
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, 1000) from a row key. */
+  def bucketMilli(key: Column): Column =
+    pmod(HashFunctions.rolling_hash(key.cast("string")), lit(1000))
+
+  /** Keep ~`rateMilli`/1000 of rows, keyed deterministically. */
+  def hashSample(df: DataFrame, key: Column, rateMilli: Int): DataFrame =
+    df.filter(bucketMilli(key) < rateMilli)
+
+  /** Stratified deterministic sampling: per-stratum keep rates (in milli),
+    * e.g. keep purchases at 500‰ but views at 100‰. Strata absent from the
+    * map fall back to `defaultRateMilli`. */
+  def stratified(df: DataFrame, key: Column, stratum: Column,
+                 rates: Map[String, Int], defaultRateMilli: Int = 0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRateMilli)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.filter(bucketMilli(key) < rate)
+  }
+
+  /** Disjoint deterministic split `(train, holdout)` at `holdoutMilli`/1000:
+    * the same key always lands on the same side, across runs and clusters. */
+  def split(df: DataFrame, key: Column, holdoutMilli: Int): (DataFrame, DataFrame) = {
+    val b = bucketMilli(key)
+    (df.filter(b >= holdoutMilli), df.filter(b < holdoutMilli))
+  }
+}

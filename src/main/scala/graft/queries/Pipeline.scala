@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{HashFunctions, Text}
-import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Similarity}
+import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity}
 
 import org.apache.spark.sql.functions._
 
@@ -432,6 +432,30 @@ object Pipeline {
              |  hex(encode(substring(text,
              |    CAST(1 + frame_no * greatest((n - 16) // 2, 0) AS INT), 16))) AS frame_hex
              |FROM f, k ORDER BY media_id, frame_no""".stripMargin)),
+
+    // ------------------------------------------------ deterministic sample
+    // Stratified reproducible sampling (see [[Sampling]]): membership is a
+    // pure function of the row key, so the drawn corpus is identical on
+    // any cluster layout AND reproducible by the oracle — the rolling-hash
+    // fold is the same one t04 verifies in DuckDB. sample()/TABLESAMPLE
+    // can't do this (per-partition RNG).
+    "q44_hash_sample" -> QueryDef(
+      (s, dir) => Sampling.stratified(t(s, dir, "events"),
+          col("event_id"), col("event_type"),
+          Map("purchase" -> 500, "view" -> 100), defaultRateMilli = 50)
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id")),
+      Some("""WITH h AS (
+             |  SELECT event_id, event_type,
+             |    list_reduce(
+             |      list_prepend(7::BIGINT, list_transform(
+             |        string_split(CAST(event_id AS VARCHAR), ''), c -> ord(c)::BIGINT)),
+             |      (acc, c) -> (acc * 31 + c) % 2147483647) % 1000 AS bucket
+             |  FROM events)
+             |SELECT event_id, event_type FROM h
+             |WHERE bucket < CASE event_type WHEN 'purchase' THEN 500
+             |                               WHEN 'view' THEN 100 ELSE 50 END
+             |ORDER BY event_id""".stripMargin)),
 
     // ----------------------------------------------- lake codec round-trip
     // events → typed-CSV lake objects → read back → aggregate; the oracle

@@ -806,6 +806,66 @@ object Relational {
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // Exact percentiles (interpolated, quantile type-7 — the definition
+    // both engines share). Values go through integer cents so both sides
+    // interpolate over identical doubles; outputs milli-rounded. Scale
+    // note: exact percentile materializes each group's values — fine for
+    // low-cardinality groups like this; for 100-TB wide groups use the
+    // sketch path (q43).
+    "q42_percentile_exact" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"l_returnflag",
+            floor($"l_extendedprice" * 100 + 0.5).cast("long").as("cents"))
+          .groupBy($"l_returnflag")
+          .agg(expr("percentile(cents, array(0.5, 0.9, 0.99))").as("ps"),
+               count(lit(1)).as("n"))
+          .select($"l_returnflag",
+            floor(element_at($"ps", 1) * 1000 + 0.5).cast("long").as("p50_milli"),
+            floor(element_at($"ps", 2) * 1000 + 0.5).cast("long").as("p90_milli"),
+            floor(element_at($"ps", 3) * 1000 + 0.5).cast("long").as("p99_milli"),
+            $"n")
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag,
+             |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |q AS (SELECT l_returnflag,
+             |        quantile_cont(cents, [0.5, 0.9, 0.99]) AS ps,
+             |        count(*) AS n
+             |      FROM c GROUP BY 1)
+             |SELECT l_returnflag,
+             |  CAST(floor(ps[1] * 1000 + 0.5) AS BIGINT) AS p50_milli,
+             |  CAST(floor(ps[2] * 1000 + 0.5) AS BIGINT) AS p90_milli,
+             |  CAST(floor(ps[3] * 1000 + 0.5) AS BIGINT) AS p99_milli,
+             |  n
+             |FROM q ORDER BY l_returnflag""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Approximate percentile (Greenwald-Khanna sketch): the 100-TB path —
+    // bounded memory per group regardless of group size, mergeable partial
+    // sketches. Not bit-comparable to DuckDB's sketch → rows-only, with
+    // q42 as the exact ground truth (same pattern as q27/q28).
+    "q43_percentile_approx" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .select($"l_returnflag",
+            floor($"l_extendedprice" * 100 + 0.5).cast("long").as("cents"))
+          .groupBy($"l_returnflag")
+          .agg(percentile_approx($"cents", array(lit(0.5), lit(0.9), lit(0.99)),
+            lit(1000)).as("ps_approx"))
+          .select($"l_returnflag",
+            element_at($"ps_approx", 1).as("p50_approx"),
+            element_at($"ps_approx", 2).as("p90_approx"),
+            element_at($"ps_approx", 3).as("p99_approx"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
+    // ---------------------------------------------------------------------
     // Predicate pushdown showcase: IN / BETWEEN / LIKE all reach the scan.
     "q31_predicates" -> QueryDef(
       (s, dir) => {

@@ -42,6 +42,22 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-stream inner join within a time interval: a left row joins
+    * right rows with a matching key whose timestamp lies in
+    * `[leftTs - before, leftTs + after]`. Both sides carry watermarks and
+    * the join condition carries the time bound — that pair is what lets
+    * Spark evict buffered rows once the watermark passes the bound; a
+    * stream-stream join without it accumulates state forever. */
+  def intervalJoin(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   watermark: String, keyCond: Column,
+                   before: String, after: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        keyCond &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
+
   /** Stream-static enrichment join: the static side is a dimension table
     * (broadcast per micro-batch — no stream-side shuffle). */
   def enrich(events: DataFrame, dim: DataFrame, cond: Column,

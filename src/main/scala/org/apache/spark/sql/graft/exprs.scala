@@ -84,6 +84,52 @@ object exprs {
     override protected def withNewChildInternal(c: Expression): SrpSig = copy(child = c)
   }
 
+  /** `stopword_scores(str) -> array<bigint>` — per-group count of DISTINCT
+    * stopwords present, word-boundary semantics identical to the padded-
+    * LIKE Column formula (see [[graft.functions.StopwordMatcher]]): one
+    * lowercase + one byte pass scores every group, vs one full-text
+    * `contains` scan per word. */
+  case class StopwordScores(child: Expression, groups: Seq[Seq[String]])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val matcher =
+      new graft.functions.StopwordMatcher(groups.indices.map(_.toString).toArray,
+        groups.map(_.toArray).toArray)
+    override def nullSafeEval(v: Any): Any =
+      matcher.scoresArray(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = ctx.addReferenceObj("matcher", matcher,
+        classOf[graft.functions.StopwordMatcher].getName)
+      defineCodeGen(ctx, ev, c => s"$m.scoresArray($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): StopwordScores =
+      copy(child = c)
+  }
+
+  /** `lang_id(str) -> str` — argmax stopword group label (ties → earlier
+    * group, no hits → 'unknown') in the same single pass. Returning the
+    * label directly keeps the projection to ONE kernel call — a
+    * scores-array argmax via `greatest(struct...)` would re-reference the
+    * array expression once per language. */
+  case class LangId(child: Expression, groups: Seq[(String, Seq[String])])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    @transient private lazy val matcher =
+      new graft.functions.StopwordMatcher(groups.map(_._1).toArray,
+        groups.map(_._2.toArray).toArray)
+    override def nullSafeEval(v: Any): Any =
+      matcher.label(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = ctx.addReferenceObj("matcher", matcher,
+        classOf[graft.functions.StopwordMatcher].getName)
+      defineCodeGen(ctx, ev, c => s"$m.label($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): LangId =
+      copy(child = c)
+  }
+
   /** `jaccard_milli(array<string>, array<string>) -> bigint` — exact set
     * Jaccard in milli-units, one hash-set pass (see
     * [[graft.functions.HashImpls.jaccardMilli]]). */
@@ -130,6 +176,10 @@ object exprs {
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def jaccard_milli(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardMilli(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def stopword_scores(c: Column, groups: Seq[Seq[String]]): Column =
+    ExpressionUtils.column(StopwordScores(ExpressionUtils.expression(c), groups))
+  def lang_id(c: Column, groups: Seq[(String, Seq[String])]): Column =
+    ExpressionUtils.column(LangId(ExpressionUtils.expression(c), groups))
 
   private def intLit(e: Expression, what: String): Long = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toLong
@@ -159,7 +209,22 @@ object exprs {
     ("cosine_sim", "cosine_sim(array<double>, array<double>) - cosine similarity",
       es => CosineSim(es.head, es(1))),
     ("jaccard_milli", "jaccard_milli(array<string>, array<string>) - set Jaccard in milli-units",
-      es => JaccardMilli(es.head, es(1))))
+      es => JaccardMilli(es.head, es(1))),
+    ("stopword_scores", "stopword_scores(str, array<string>...) - distinct-hit count per word group",
+      es => StopwordScores(es.head, es.tail.map(stringSeqLit(_, "stopword_scores group")))),
+    ("lang_id", "lang_id(str) - stopword-argmax language label over the built-in inventories",
+      es => LangId(es.head, graft.functions.Text.StopwordSets)))
+
+  /** Evaluate a foldable `array<string>` argument (e.g. `array('a','b')`)
+    * to its Scala value — group inventories parameterize the compiled
+    * matcher, so like the int params above they must be literals. */
+  private def stringSeqLit(e: Expression, what: String): Seq[String] = {
+    if (!e.foldable || !e.dataType.isInstanceOf[ArrayType])
+      throw new IllegalArgumentException(
+        s"$what must be a foldable array<string> literal, got: $e")
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString).toSeq
+  }
 
   /** Register every custom expression on an existing session, so each
     * Column entry point above has a `SELECT`-able twin. */

@@ -62,6 +62,34 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("stopword matcher == padded-LIKE formula (fuzz incl. unicode/whitespace)") {
+    val groups = Text.StopwordSets
+    val m = new StopwordMatcher(groups.map(_._1).toArray, groups.map(_._2.toArray).toArray)
+    def refHits(text: String, words: Seq[String]): Long = {
+      val padded = " " + text.toLowerCase + " "
+      words.count(w => padded.contains(s" $w ")).toLong
+    }
+    def refLang(text: String): String = {
+      val scored = groups.map { case (l, ws) => (l, refHits(text, ws)) }
+      val best = scored.maxBy(_._2) // maxBy keeps the earliest on ties
+      if (best._2 == 0) "unknown" else best._1
+    }
+    val vocab = groups.flatMap(_._2) ++ Seq("THE", "Über", "the\tand", "le ", "", "x",
+      "de", "naïve", "das;", "y")
+    val seps = Seq(" ", "  ", "\t", "\n", "  ")
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 500) {
+      val text = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(seps(rnd.nextInt(seps.size)))
+      val got = m.scores(UTF8String.fromString(text))
+      groups.zipWithIndex.foreach { case ((_, ws), g) =>
+        assert(got(g) == refHits(text, ws), s"text=<$text> group=$g")
+      }
+      assert(m.label(UTF8String.fromString(text)).toString == refLang(text),
+        s"text=<$text>")
+    }
+  }
+
   test("srp signature: scale-invariant, negation flips every bit") {
     val rnd = new scala.util.Random(17)
     for (_ <- 1 to 100) {

@@ -11,7 +11,7 @@ class QueriesSpec extends SparkSuite {
     val noOracle = SparkEntry.all.collect { case (k, QueryDef(_, None)) => k }.toSet
     // approximate / engine-specific-hash operators only
     assert(noOracle == Set("q28_approx_distinct", "d04_simhash", "d05_simhash_pairs",
-      "d07_knn_srp", "d10_knn_ivf", "m02_decode_features"))
+      "d07_knn_srp", "d10_knn_ivf", "m02_decode_features", "q43_percentile_approx"))
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -14,6 +14,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 case class REv(table: String, event_id: Long, v: Double)
+case class Pur(pid: Long, pts: Timestamp, puser: Long)
 
 class StreamingSpec extends SparkSuite {
   import scala.collection.mutable
@@ -215,6 +216,28 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable()
     q.stop()
     assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("stream-stream interval join matches within the bound only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purch = MemoryStream[Pur]
+    val joined = StreamOps.intervalJoin(
+      views.toDF(), "ts", purch.toDF(), "pts", "10 minutes",
+      col("user_id") === col("puser"), before = "0 seconds", after = "1 hour")
+      .select("event_id", "pid")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin_out").start()
+    views.addData(Ev(1, ts("2024-07-01T00:00:00Z"), 1, 0.0),
+                  Ev(2, ts("2024-07-01T00:05:00Z"), 2, 0.0))
+    purch.addData(Pur(100, ts("2024-07-01T00:30:00Z"), 1),  // within 1h of view 1
+                  Pur(101, ts("2024-07-01T02:00:00Z"), 2))  // outside view 2's bound
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L)))
   }
 
   test("stream-static enrichment join stays broadcast") {
