@@ -433,6 +433,50 @@ object Pipeline {
              |    CAST(1 + frame_no * greatest((n - 16) // 2, 0) AS INT), 16))) AS frame_hex
              |FROM f, k ORDER BY media_id, frame_no""".stripMargin)),
 
+    // ------------------------------------------------------------- TF-IDF
+    // Per-document top-3 salient terms by tf·idf. idf here is the RAW
+    // inverse frequency N/df — kept rational so tf·N·1000/df is integer-
+    // exact on both engines (log-smoothed idf has the same plan shape but
+    // ln() differs in final ulps across libms, which an exact hash compare
+    // can't tolerate). Plan: explode → (doc,term) counts → term df —
+    // two shuffles — then a per-doc top-k window, never a global sort.
+    "t05_tfidf" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val n = docs.count() // corpus size: one cheap metadata-ish job
+        val terms = docs.select(col("doc_id"),
+          explode(Text.tokens(col("text"))).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("tfidf_milli").desc, col("term"))
+        tf.join(dfreq, "term")
+          .withColumn("tfidf_milli",
+            floor(col("tf") * lit(n) * 1000 / col("df") + 0.5).cast("long"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("tfidf_milli"))
+          .orderBy("doc_id", "rk")
+      },
+      Some(s"""WITH terms AS (
+              |  SELECT doc_id, unnest($sqlTokens) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+              |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              |n AS (SELECT count(*) AS n FROM documents),
+              |scored AS (
+              |  SELECT doc_id, term,
+              |    CAST(floor(tf * n * 1000 / df + 0.5) AS BIGINT) AS tfidf_milli
+              |  FROM tf JOIN dfreq USING (term), n),
+              |ranked AS (
+              |  SELECT doc_id, term, tfidf_milli,
+              |    row_number() OVER (PARTITION BY doc_id
+              |                       ORDER BY tfidf_milli DESC, term) AS rk
+              |  FROM scored)
+              |SELECT doc_id, rk, term, tfidf_milli FROM ranked
+              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     // ------------------------------------------------ deterministic sample
     // Stratified reproducible sampling (see [[Sampling]]): membership is a
     // pure function of the row key, so the drawn corpus is identical on

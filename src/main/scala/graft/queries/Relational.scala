@@ -866,6 +866,29 @@ object Relational {
       None),
 
     // ---------------------------------------------------------------------
+    // Salted join (explicit skew mitigation — see [[graft.operators.Skew]]):
+    // the result is EXACTLY a plain inner join, which is what the oracle
+    // verifies; only the shuffle layout changes (hot key spread over 8
+    // salts). Quantities ride as integer centi-units so the re-aggregation
+    // is associative bit-for-bit.
+    "q45_salted_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val fact = t(s, dir, "lineitem")
+          .select($"l_suppkey", floor($"l_quantity" * 100 + 0.5).cast("long").as("qty_c"))
+        val dim = t(s, dir, "supplier")
+          .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+        graft.operators.Skew.saltedJoin(fact, dim, "l_suppkey", salts = 8)
+          .groupBy($"s_nationkey")
+          .agg(count(lit(1)).as("n_items"), sum($"qty_c").as("qty_centi"))
+          .orderBy($"s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_items,
+             |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_centi
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // Predicate pushdown showcase: IN / BETWEEN / LIKE all reach the scan.
     "q31_predicates" -> QueryDef(
       (s, dir) => {

@@ -1,7 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed input for the custom-state operators. */
+case class Keyed(key: Long, ts: Timestamp)
+/** Internal per-key state for [[StreamOps.inactivitySummaries]]. */
+case class ActivityState(n: Long, firstTs: Long, lastTs: Long)
+/** One summary per key activity burst, emitted when the key goes quiet. */
+case class ActivitySummary(key: Long, n_events: Long, first_ts: Timestamp, last_ts: Timestamp)
 
 /** Streaming query surface (SURVEY.md §2B streaming row): windowed
   * aggregations with watermarks, late-data drop, streaming dedup, and
@@ -57,6 +67,45 @@ object StreamOps {
         keyCond &&
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
+
+  /** Custom keyed state via `flatMapGroupsWithState` — the escape hatch
+    * when the built-in windows can't express the state machine. Counts a
+    * key's events and emits ONE summary when the key has been quiet for
+    * `gapMs` (an inactivity session, like [[sessions]], but with
+    * arbitrary user state available for richer machines). State is evicted
+    * on emission, and the event-time timeout is anchored to the watermark —
+    * per-key state lives at most (gap + watermark horizon) past the key's
+    * last event, never unbounded. */
+  def inactivitySummaries(events: Dataset[Keyed], watermark: String,
+                          gapMs: Long): Dataset[ActivitySummary] = {
+    implicit val stateEnc = Encoders.product[ActivityState]
+    implicit val outEnc = Encoders.product[ActivitySummary]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[ActivityState, ActivitySummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[Keyed], state: GroupState[ActivityState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ActivitySummary(key, s.n,
+              new Timestamp(s.firstTs), new Timestamp(s.lastTs)))
+          } else {
+            var s = state.getOption.getOrElse(
+              ActivityState(0L, Long.MaxValue, Long.MinValue))
+            it.foreach { e =>
+              val t = e.ts.getTime
+              s = ActivityState(s.n + 1, math.min(s.firstTs, t), math.max(s.lastTs, t))
+            }
+            state.update(s)
+            // must be beyond the current watermark or Spark rejects it —
+            // a key already quiet for > gap times out at the next tick
+            state.setTimeoutTimestamp(
+              math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs + 1))
+            Iterator.empty
+          }
+      }
+  }
 
   /** Stream-static enrichment join: the static side is a dimension table
     * (broadcast per micro-batch — no stream-side shuffle). */

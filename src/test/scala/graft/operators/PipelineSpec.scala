@@ -94,6 +94,28 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("salted join == plain join; hot key spread over several salts") {
+    import spark.implicits._
+    // heavily skewed fact: one hot key with 10k rows, cold keys with 1
+    val fact = ((1 to 10000).map(i => (7L, i.toLong)) ++
+      (1 to 50).map(i => (i.toLong % 5, i.toLong * 100))).toDF("k", "v")
+    val dim = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"))
+      .toDF("k", "name")
+    val plain = fact.join(dim, "k")
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 8)
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // the hot key's rows really do carry several distinct salts
+    val spread = fact.withColumn("_salt",
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .filter($"k" === 7L).select("_salt").distinct().count()
+    assert(spread >= 4, s"hot key used only $spread of 8 salts")
+    // salted two-level aggregation reproduces the exact integer sums
+    val sums = Skew.saltedSum(fact, Seq("k"), "v", salts = 8, resultName = "total")
+    val expect = fact.groupBy("k").agg(sum($"v").as("total"))
+    assert(sums.except(expect).isEmpty && expect.except(sums).isEmpty)
+  }
+
   test("as-of join: at-or-before match, forward fill, null when no state") {
     import spark.implicits._
     val probe = Seq(

@@ -240,6 +240,32 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set((1L, 100L)))
   }
 
+  test("flatMapGroupsWithState: inactivity summary emits on timeout, state evicted") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Keyed]
+    val out = StreamOps.inactivitySummaries(ms.toDS(), "10 minutes",
+      gapMs = 30L * 60 * 1000)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("fmgws_out").start()
+    // user 1: burst of two events
+    ms.addData(Keyed(1, ts("2024-07-01T00:00:00Z")),
+               Keyed(1, ts("2024-07-01T00:10:00Z")))
+    q.processAllAvailable()
+    // user 2 far in the future: watermark (02:50) passes user 1's timeout
+    // (last event 00:10 + 30m gap = 00:40) → user 1's summary emits
+    ms.addData(Keyed(2, ts("2024-07-01T03:00:00Z")))
+    q.processAllAvailable()
+    // one more tick so the timeout fires in a batch after the watermark moved
+    ms.addData(Keyed(2, ts("2024-07-01T03:05:00Z")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fmgws_out").as[ActivitySummary].collect()
+      .map(a => (a.key, a.n_events, a.first_ts.toInstant.toString,
+        a.last_ts.toInstant.toString)).toSet
+    assert(rows == Set((1L, 2L, "2024-07-01T00:00:00Z", "2024-07-01T00:10:00Z")))
+  }
+
   test("stream-static enrichment join stays broadcast") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
