@@ -71,6 +71,34 @@ object LakeReader {
       ignoreMissing = true)
   }
 
+  /** The lake as a STREAMING source: monitor `table`'s hour directories and
+    * process objects as flushes land — the read-side complement of
+    * [[graft.streaming.LakeSink]], closing the loop (collector → lake →
+    * streaming consumer). Built on the file streaming source, so discovery,
+    * offset tracking (which objects are already processed), and exactly-once
+    * per-file semantics are Spark's own. The schema must be declared (a
+    * stream can start on an empty lake — peek [[peekSchema]] when objects
+    * exist). `maxFilesPerTrigger` bounds micro-batch size for backfills over
+    * years of hours. */
+  def readStreamOf(spark: SparkSession, rootUri: String, table: String,
+                   schema: TableSchema,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val base = spark.readStream
+      .schema(schema.structType)
+      .option("header", "true")
+      .option("comment", "#")
+      .option("escape", "\"")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")
+      .option("mode", "PERMISSIVE")
+    val tuned = maxFilesPerTrigger.fold(base)(n =>
+      base.option("maxFilesPerTrigger", n.toString))
+    tuned
+      .csv(s"${rootUri.stripSuffix("/")}/*/*/*/*/$table/*")
+      .withColumn("_event_hour",
+        to_timestamp(regexp_extract(input_file_name(), "(\\d{4}/\\d{2}/\\d{2}/\\d{2})/", 1),
+          "yyyy/MM/dd/HH"))
+  }
+
   /** Read EXACTLY the given object keys (a listing snapshot) — no
     * re-listing, no directory expansion. Used by compaction, where reading
     * more than the snapshot would duplicate concurrently-flushed rows.

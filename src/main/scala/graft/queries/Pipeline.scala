@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{HashFunctions, Text}
-import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity}
+import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Upsert}
 
 import org.apache.spark.sql.functions._
 
@@ -500,6 +500,22 @@ object Pipeline {
              |WHERE bucket < CASE event_type WHEN 'purchase' THEN 500
              |                               WHEN 'view' THEN 100 ELSE 50 END
              |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------- latest-by-key view
+    // Upsert view over the append-only event log: current state per user =
+    // the row with the max (ts, event_id). One shuffle + per-partition
+    // top-1 — the standard CDC "latest record wins" materialization.
+    "q46_latest_by_key" -> QueryDef(
+      (s, dir) => Upsert.latest(t(s, dir, "events"),
+          Seq("user_id"), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+             |  event_type AS last_type
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
     // ----------------------------------------------- lake codec round-trip
     // events → typed-CSV lake objects → read back → aggregate; the oracle

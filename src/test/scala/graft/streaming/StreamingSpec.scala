@@ -240,6 +240,33 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set((1L, 100L)))
   }
 
+  test("lake as streaming source: new objects discovered incrementally") {
+    import graft.lake.LakeWriter
+    import spark.implicits._
+    val root = s"file://${Files.createTempDirectory("graft-lake-src").toFile.getAbsolutePath}"
+    val schema = TableSchema("events_s", Seq(
+      "event_id" -> ColType.CInteger, "ts" -> ColType.CTime,
+      "user_id" -> ColType.CInteger, "value" -> ColType.CFloat))
+    def batch(from: Int, n: Int) = (from until from + n)
+      .map(i => Ev(i, ts("2024-07-01T00:00:00Z"), i % 5, i * 1.0)).toDF()
+    LakeWriter.write(batch(0, 100), schema, root)
+    val stream = LakeReader.readStreamOf(spark, root, "events_s", schema)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete").format("memory")
+      .queryName("lake_src_out").start()
+    q.processAllAvailable()
+    assert(spark.table("lake_src_out").agg(sum("n")).collect()(0).getLong(0) == 100)
+    // a later flush lands new objects: the SAME query discovers them
+    LakeWriter.write(batch(100, 50), schema, root)
+    q.processAllAvailable()
+    assert(spark.table("lake_src_out").agg(sum("n")).collect()(0).getLong(0) == 150)
+    q.stop()
+    // _event_hour partition column parses from the object keys
+    val hours = LakeReader.read(spark, root, "events_s")
+      .select("_event_hour").distinct().collect()
+    assert(hours.length == 1 && hours(0).getTimestamp(0) != null)
+  }
+
   test("flatMapGroupsWithState: inactivity summary emits on timeout, state evicted") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
