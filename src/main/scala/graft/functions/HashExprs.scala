@@ -222,6 +222,12 @@ final class StopwordMatcher(labels: Array[String], groups: Array[Array[String]])
     extends Serializable {
   require(labels.length == groups.length, "one label per group")
   require(groups.forall(_.length <= 64), "≤64 words per group (bitmask)")
+  // The single-pass chunk scan can only match single tokens: a phrase key
+  // ("of the") can never equal a space-delimited chunk, so reject it here
+  // rather than silently scoring 0 (the padded-LIKE formula DID match
+  // phrases; use it directly if that's ever needed).
+  require(groups.forall(_.forall(w => !w.contains(' ') && w.nonEmpty)),
+    "stopwords must be single non-empty tokens (no spaces)")
   val numGroups: Int = groups.length
 
   @transient private lazy val labelU: Array[UTF8String] =
@@ -246,9 +252,11 @@ final class StopwordMatcher(labels: Array[String], groups: Array[Array[String]])
     }
     m
   }
+  // over the LOWERCASED keys: lowercase can change byte length (e.g. İ →
+  // i̇ grows 2→3 bytes) and the scan guard compares against chunk bytes
   @transient private lazy val maxWordBytes: Int =
     if (groups.forall(_.isEmpty)) 0
-    else groups.flatten.map(UTF8String.fromString(_).numBytes).max
+    else groups.flatten.map(w => UTF8String.fromString(w.toLowerCase).numBytes).max
 
   /** Distinct-hit count per group, one pass over the text. */
   def scores(text: UTF8String): Array[Long] = {

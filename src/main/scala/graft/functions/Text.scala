@@ -44,13 +44,17 @@ object Text {
     * re-lowercases) the text once per word — 20 passes for the combined
     * inventory. */
   def stopwordHits(text: Column, words: Seq[String]): Column =
-    element_at(org.apache.spark.sql.graft.exprs.stopword_scores(text, Seq(words)), 1)
+    // null text scores 0, as the when/otherwise formulation did
+    coalesce(
+      element_at(org.apache.spark.sql.graft.exprs.stopword_scores(text, Seq(words)), 1),
+      lit(0L))
 
   /** Predicted language: the stopword set with the most hits wins (ties →
-    * earlier language in [[StopwordSets]]); no hits at all → 'unknown'.
-    * Single kernel pass scoring all four inventories at once. */
+    * earlier language in [[StopwordSets]]); no hits at all — including null
+    * text — → 'unknown'. Single kernel pass scoring all four inventories
+    * at once. */
   def langId(text: Column): Column =
-    org.apache.spark.sql.graft.exprs.lang_id(text, StopwordSets)
+    coalesce(org.apache.spark.sql.graft.exprs.lang_id(text, StopwordSets), lit("unknown"))
 
   /** Quality heuristics: char/word counts, mean word length, alpha ratio,
     * stopword ratio — standard pre-training corpus filters. */
@@ -59,7 +63,10 @@ object Text {
     val nChars = length(text).cast("long")
     val nWords = size(toks).cast("long")
     val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
-    val stop = stopwordHits(text, StopwordSets.flatMap(_._2))
+    // .distinct: "la" is in both the es and fr inventories — the combined
+    // count must score each distinct WORD once (the oracle's sqlHits list
+    // is deduped the same way; without this, one " la " counts 2 vs 1)
+    val stop = stopwordHits(text, StopwordSets.flatMap(_._2).distinct)
     Seq(
       "n_chars" -> nChars,
       "n_words" -> nWords,

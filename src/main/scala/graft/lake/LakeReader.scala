@@ -25,6 +25,17 @@ object LakeReader {
 
   final case class LakeSchema(schema: TableSchema, gzip: Boolean)
 
+  /** The lake CSV codec contract, in one place so the batch and streaming
+    * readers cannot drift: name header + `#types` comment line, RFC-4180
+    * doubled-quote escaping, ISO-8601 timestamps. */
+  private val CodecOptions: Map[String, String] = Map(
+    "header" -> "true",
+    "comment" -> "#",
+    // RFC-4180 escapes quotes by doubling; Spark's default escape is `\`
+    "escape" -> "\"",
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX",
+    "mode" -> "PERMISSIVE")
+
   /** Peek the `#types` and column-name headers of one object. */
   def peekSchema(store: Store, key: String, table: String): TableSchema = {
     val raw = store.open(key)
@@ -79,17 +90,22 @@ object LakeReader {
     * per-file semantics are Spark's own. The schema must be declared (a
     * stream can start on an empty lake — peek [[peekSchema]] when objects
     * exist). `maxFilesPerTrigger` bounds micro-batch size for backfills over
-    * years of hours. */
+    * years of hours.
+    *
+    * Compaction contract: do NOT run [[LakeMaintenance.compact]] on hours a
+    * streaming consumer has not finished — the source tracks files, so a
+    * compacted object is discovered as NEW data (its rows re-ingested) and
+    * a deleted original can fail an in-flight micro-batch. Compact only
+    * behind every consumer's processing frontier (the usual arrangement:
+    * compaction trails by a retention window), or set
+    * `spark.sql.files.ignoreMissingFiles` on the consuming session to
+    * degrade the delete race to a skip. */
   def readStreamOf(spark: SparkSession, rootUri: String, table: String,
                    schema: TableSchema,
                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val base = spark.readStream
       .schema(schema.structType)
-      .option("header", "true")
-      .option("comment", "#")
-      .option("escape", "\"")
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")
-      .option("mode", "PERMISSIVE")
+      .options(CodecOptions)
     val tuned = maxFilesPerTrigger.fold(base)(n =>
       base.option("maxFilesPerTrigger", n.toString))
     tuned
@@ -119,12 +135,7 @@ object LakeReader {
 
     spark.read
       .schema(schema.structType)
-      .option("header", "true")
-      .option("comment", "#")
-      // RFC-4180 escapes quotes by doubling; Spark's default escape is `\`
-      .option("escape", "\"")
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")
-      .option("mode", "PERMISSIVE")
+      .options(CodecOptions)
       .option("ignoreMissingFiles", ignoreMissing.toString)
       .csv(paths: _*)
       .withColumn("_event_hour",

@@ -20,6 +20,8 @@ object Upsert {
     * order). */
   def latest(df: DataFrame, keys: Seq[String], version: Column,
              tiebreaks: Column*): DataFrame = {
+    require(!df.columns.contains("_rn"),
+      "input must not already contain the reserved _rn column")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((version.desc +: tiebreaks.map(_.desc)): _*)
     df.withColumn("_rn", row_number().over(w))

@@ -113,7 +113,8 @@ object Pipeline {
   private def langCaseSql: String = {
     val scores = Text.StopwordSets.map { case (lang, ws) => lang -> s"(${sqlHits(ws)})" }
     val Seq((l1, s1), (l2, s2), (l3, s3), (l4, s4)) = scores
-    s"""CASE WHEN $s1 = 0 AND $s2 = 0 AND $s3 = 0 AND $s4 = 0 THEN 'unknown'
+    s"""CASE WHEN text IS NULL THEN 'unknown'
+       |     WHEN $s1 = 0 AND $s2 = 0 AND $s3 = 0 AND $s4 = 0 THEN 'unknown'
        |     WHEN $s1 >= $s2 AND $s1 >= $s3 AND $s1 >= $s4 THEN '$l1'
        |     WHEN $s2 >= $s3 AND $s2 >= $s4 THEN '$l2'
        |     WHEN $s3 >= $s4 THEN '$l3'

@@ -70,12 +70,14 @@ object StreamOps {
 
   /** Custom keyed state via `flatMapGroupsWithState` — the escape hatch
     * when the built-in windows can't express the state machine. Counts a
-    * key's events and emits ONE summary when the key has been quiet for
-    * `gapMs` (an inactivity session, like [[sessions]], but with
-    * arbitrary user state available for richer machines). State is evicted
-    * on emission, and the event-time timeout is anchored to the watermark —
-    * per-key state lives at most (gap + watermark horizon) past the key's
-    * last event, never unbounded. */
+    * key's events and emits ONE summary per activity burst once the key has
+    * been quiet for `gapMs` (an inactivity session, like [[sessions]], but
+    * with arbitrary user state available for richer machines). A burst
+    * closes either by event-time timeout or by a later burst arriving first
+    * (timeouts only fire at batch boundaries, so the data path must split
+    * on gaps too). State is evicted on timeout, and the timeout is anchored
+    * to the watermark — per-key state lives at most (gap + watermark
+    * horizon) past the key's last event, never unbounded. */
   def inactivitySummaries(events: Dataset[Keyed], watermark: String,
                           gapMs: Long): Dataset[ActivitySummary] = {
     implicit val stateEnc = Encoders.product[ActivityState]
@@ -91,10 +93,25 @@ object StreamOps {
             Iterator(ActivitySummary(key, s.n,
               new Timestamp(s.firstTs), new Timestamp(s.lastTs)))
           } else {
+            // Fold events in event-time order and SPLIT on gaps: a second
+            // burst can arrive before the first burst's timeout ever fires
+            // (timeouts only run at batch boundaries), so gap detection
+            // cannot rely on the timeout alone. Bursts closed by a later
+            // burst emit here; the final burst stays open in state. Events
+            // reordered ACROSS batches (within the watermark) fold into
+            // whichever session is open — the timeout floor below keeps
+            // every emission at/after the watermark horizon, so late events
+            // the watermark still admits find their session un-emitted.
+            val times = it.map(_.ts.getTime).toArray.sorted
             var s = state.getOption.getOrElse(
               ActivityState(0L, Long.MaxValue, Long.MinValue))
-            it.foreach { e =>
-              val t = e.ts.getTime
+            val out = scala.collection.mutable.ArrayBuffer.empty[ActivitySummary]
+            times.foreach { t =>
+              if (s.n > 0 && t > s.lastTs + gapMs) {
+                out += ActivitySummary(key, s.n,
+                  new Timestamp(s.firstTs), new Timestamp(s.lastTs))
+                s = ActivityState(0L, Long.MaxValue, Long.MinValue)
+              }
               s = ActivityState(s.n + 1, math.min(s.firstTs, t), math.max(s.lastTs, t))
             }
             state.update(s)
@@ -102,7 +119,7 @@ object StreamOps {
             // a key already quiet for > gap times out at the next tick
             state.setTimeoutTimestamp(
               math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs + 1))
-            Iterator.empty
+            out.iterator
           }
       }
   }

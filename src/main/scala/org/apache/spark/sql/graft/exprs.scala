@@ -219,11 +219,19 @@ object exprs {
     * to its Scala value — group inventories parameterize the compiled
     * matcher, so like the int params above they must be literals. */
   private def stringSeqLit(e: Expression, what: String): Seq[String] = {
-    if (!e.foldable || !e.dataType.isInstanceOf[ArrayType])
+    val ok = e.foldable && (e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (!ok)
       throw new IllegalArgumentException(
         s"$what must be a foldable array<string> literal, got: $e")
-    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      .toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString).toSeq
+    val arr = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val out = arr.toObjectArray(StringType).map {
+      case null => throw new IllegalArgumentException(s"$what must not contain NULL")
+      case u: UTF8String => u.toString
+    }
+    out.toSeq
   }
 
   /** Register every custom expression on an existing session, so each

@@ -94,6 +94,33 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("langid/stopword hits: null text scores 'unknown'/0; phrases rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat and the dog"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id", Text.langId($"text").as("lang"),
+      Text.stopwordHits($"text", Seq("the", "and")).as("hits"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "en", 2L), (2L, "unknown", 0L)))
+    // multi-token entries can never match the chunk scan — reject loudly
+    intercept[IllegalArgumentException] {
+      new graft.functions.StopwordMatcher(Array("g"), Array(Array("of the")))
+        .scores(org.apache.spark.unsafe.types.UTF8String.fromString("x"))
+    }
+  }
+
+  test("upsert latest: one row per key by (version, tiebreak); _rn reserved") {
+    import spark.implicits._
+    val log = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 20L, "c"), (2L, 5L, "d"))
+      .toDF("k", "ver", "payload")
+    val got = Upsert.latest(log, Seq("k"), col("ver"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((1L, "c"), (2L, "d"))) // ties broken by payload desc
+    intercept[IllegalArgumentException] {
+      Upsert.latest(log.withColumn("_rn", lit(1)), Seq("k"), col("ver"))
+    }
+  }
+
   test("salted join == plain join; hot key spread over several salts") {
     import spark.implicits._
     // heavily skewed fact: one hot key with 10k rows, cold keys with 1

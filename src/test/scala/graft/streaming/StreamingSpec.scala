@@ -293,6 +293,27 @@ class StreamingSpec extends SparkSuite {
     assert(rows == Set((1L, 2L, "2024-07-01T00:00:00Z", "2024-07-01T00:10:00Z")))
   }
 
+  test("flatMapGroupsWithState: bursts in one batch split on the gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Keyed]
+    val out = StreamOps.inactivitySummaries(ms.toDS(), "10 minutes",
+      gapMs = 30L * 60 * 1000)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("fmgws_split_out").start()
+    // two bursts of key 1 arrive in the SAME micro-batch, 6h apart: the
+    // first must emit from the data path (no timeout has fired yet)
+    ms.addData(Keyed(1, ts("2024-07-01T00:00:00Z")),
+               Keyed(1, ts("2024-07-01T00:05:00Z")),
+               Keyed(1, ts("2024-07-01T06:00:00Z")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fmgws_split_out").as[ActivitySummary].collect()
+      .map(a => (a.key, a.n_events, a.first_ts.toInstant.toString,
+        a.last_ts.toInstant.toString)).toSet
+    assert(rows == Set((1L, 2L, "2024-07-01T00:00:00Z", "2024-07-01T00:05:00Z")))
+  }
+
   test("stream-static enrichment join stays broadcast") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
