@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII redaction for training corpora: replace common identifier shapes
+  * with stable placeholder tokens before text ships to a training set —
+  * a per-row, shuffle-free transform that composes with the quality /
+  * dedup stages of the curation pipeline.
+  *
+  * Patterns deliberately use the portable regex subset (explicit character
+  * classes, bounded quantifiers; no `\d`/`\w` shorthands, no lookaround)
+  * that means the SAME pattern string behaves identically under Java's
+  * regex engine (Spark) and RE2-family engines (the DuckDB oracle, most
+  * log pipelines). Real deployments extend [[Patterns]]; the mechanism —
+  * counted + replaced per pattern, verified by hash — is what's engineered.
+  */
+object Redact {
+
+  /** (token, pattern) in application order. */
+  val Patterns: Seq[(String, String)] = Seq(
+    "<EMAIL>" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+    "<PHONE>" -> "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}")
+
+  /** Text with every pattern occurrence replaced by its token. */
+  def redact(text: Column): Column =
+    Patterns.foldLeft(text) { case (acc, (token, re)) =>
+      regexp_replace(acc, re, token)
+    }
+
+  /** Occurrence count of one pattern. */
+  def count(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+}

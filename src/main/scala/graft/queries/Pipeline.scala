@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{HashFunctions, Text}
+import graft.functions.{HashFunctions, Redact, Text}
 import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Upsert}
 
 import org.apache.spark.sql.functions._
@@ -501,6 +501,39 @@ object Pipeline {
              |WHERE bucket < CASE event_type WHEN 'purchase' THEN 500
              |                               WHEN 'view' THEN 100 ELSE 50 END
              |ORDER BY event_id""".stripMargin)),
+
+    // ------------------------------------------------------ PII redaction
+    // The fixture text carries no natural PII, so each doc gets ONE planted
+    // email and ONE planted phone (derived from doc_id — deterministic at
+    // any SF, mirrored in the oracle, the d08 planted-pair pattern). The
+    // hash of the redacted text verifies the exact replacement spans, not
+    // just the counts.
+    "t06_redact_pii" -> QueryDef(
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"), lit("@mail.example.org or "),
+            (pmod(col("doc_id"), lit(900)) + 100).cast("string"), lit("-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+        planted.select(col("doc_id"),
+            Redact.count(col("text"), Redact.Patterns(0)._2).as("n_emails"),
+            Redact.count(col("text"), Redact.Patterns(1)._2).as("n_phones"),
+            md5(Redact.redact(col("text"))).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH planted AS (
+              |  SELECT doc_id,
+              |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.org or ' ||
+              |    CAST(doc_id % 900 + 100 AS VARCHAR) || '-555-' ||
+              |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text, '${Redact.Patterns(0)._2}')) AS BIGINT) AS n_emails,
+              |  CAST(len(regexp_extract_all(text, '${Redact.Patterns(1)._2}')) AS BIGINT) AS n_phones,
+              |  md5(regexp_replace(regexp_replace(text,
+              |    '${Redact.Patterns(0)._2}', '<EMAIL>', 'g'),
+              |    '${Redact.Patterns(1)._2}', '<PHONE>', 'g')) AS redacted_md5
+              |FROM planted ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------- latest-by-key view
     // Upsert view over the append-only event log: current state per user =

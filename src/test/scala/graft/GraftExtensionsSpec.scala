@@ -28,13 +28,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  simhash64(array('a','b')) AS f,
           |  srp_sig(array(1.0d, -2.0d), 8, 0) AS p,
           |  cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c,
-          |  jaccard_milli(array('a','b','c'), array('b','c','d')) AS j
+          |  jaccard_milli(array('a','b','c'), array('b','c','d')) AS j,
+          |  stopword_scores('the cat and more', array('the','and'), array('cat','of')) AS sw,
+          |  lang_id('the cat and the dog of it') AS lid
           |FROM range(1)""".stripMargin).collect()(0)
       assert(r.getAs[Long]("h") ==
         (((7L * 31 + 'a') % 2147483647L) * 31 + 'b') % 2147483647L)
       assert(r.getSeq[String](1) == Seq("a b", "b c"))
       assert(r.getAs[Double]("c") == 1.0)
       assert(r.getAs[Long]("j") == 500L) // |∩|=2, |∪|=4
+      assert(r.getSeq[Long](r.fieldIndex("sw")) == Seq(2L, 1L))
+      assert(r.getAs[String]("lid") == "en")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
