@@ -28,7 +28,21 @@ object Redact {
       regexp_replace(acc, re, token)
     }
 
-  /** Occurrence count of one pattern. */
+  /** Raw occurrence count of one pattern on the given text. NOTE: measured
+    * on `text` as passed — when patterns can overlap (a phone shape inside
+    * an email local part), raw counts don't reconcile with the tokens
+    * [[redact]] emits; use [[counts]] for numbers that do. */
   def count(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern)).cast("long")
+
+  /** Per-pattern occurrence counts, each measured with all EARLIER patterns
+    * already redacted — the same precedence [[redact]] applies, so these
+    * reconcile exactly with the emitted tokens even when shapes overlap. */
+  def counts(text: Column): Seq[(String, Column)] =
+    Patterns.zipWithIndex.map { case ((token, re), i) =>
+      val prior = Patterns.take(i).foldLeft(text) { case (acc, (tk, p)) =>
+        regexp_replace(acc, p, tk)
+      }
+      token -> regexp_count(prior, lit(re)).cast("long")
+    }
 }

@@ -515,9 +515,12 @@ object Pipeline {
             lit(" contact u"), col("doc_id").cast("string"), lit("@mail.example.org or "),
             (pmod(col("doc_id"), lit(900)) + 100).cast("string"), lit("-555-"),
             lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+        val Seq((_, nEmails), (_, nPhones)) = Redact.counts(col("text"))
         planted.select(col("doc_id"),
-            Redact.count(col("text"), Redact.Patterns(0)._2).as("n_emails"),
-            Redact.count(col("text"), Redact.Patterns(1)._2).as("n_phones"),
+            nEmails.as("n_emails"),
+            // counted after email redaction (redact()'s precedence), so
+            // counts reconcile with emitted tokens even on overlap
+            nPhones.as("n_phones"),
             md5(Redact.redact(col("text"))).as("redacted_md5"))
           .orderBy("doc_id")
       },
@@ -529,7 +532,9 @@ object Pipeline {
               |  FROM documents)
               |SELECT doc_id,
               |  CAST(len(regexp_extract_all(text, '${Redact.Patterns(0)._2}')) AS BIGINT) AS n_emails,
-              |  CAST(len(regexp_extract_all(text, '${Redact.Patterns(1)._2}')) AS BIGINT) AS n_phones,
+              |  CAST(len(regexp_extract_all(regexp_replace(text,
+              |    '${Redact.Patterns(0)._2}', '<EMAIL>', 'g'),
+              |    '${Redact.Patterns(1)._2}')) AS BIGINT) AS n_phones,
               |  md5(regexp_replace(regexp_replace(text,
               |    '${Redact.Patterns(0)._2}', '<EMAIL>', 'g'),
               |    '${Redact.Patterns(1)._2}', '<PHONE>', 'g')) AS redacted_md5
