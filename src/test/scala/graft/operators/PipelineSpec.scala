@@ -94,6 +94,22 @@ class PipelineSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("typed Aggregator (Welford variance) matches var_samp as partial+final agg") {
+    import spark.implicits._
+    val v = udaf(graft.functions.VarianceAgg)
+    val orders = spark.read.parquet(s"${sf("sf0.01")}/orders.parquet")
+      .repartition(8) // force several partials so merge() really runs
+    val got = orders.groupBy($"o_orderpriority")
+      .agg(v($"o_totalprice").as("welford"), var_samp($"o_totalprice").as("builtin"))
+      .collect()
+    assert(got.length > 1)
+    got.foreach { r =>
+      val (w, b) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(w - b) <= 1e-9 * math.max(math.abs(b), 1.0),
+        s"${r.getString(0)}: welford=$w builtin=$b")
+    }
+  }
+
   test("langid/stopword hits: null text scores 'unknown'/0; phrases rejected") {
     import spark.implicits._
     val df = Seq((1L, "the cat and the dog"), (2L, null.asInstanceOf[String]))
