@@ -4,9 +4,10 @@ import graft.{Sessions, SparkEntry}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-3 profiling scratchpad: per-query warm timings at sf0.1 for the
-  * bench tail, plus plan dumps for the suspects (q35 from_json arity,
-  * t02 stopword scans). Not part of the library surface.
+/** Profiling harness: cold + warm per-query timings at sf0.1 for any named
+  * queries (defaults to the current bench tail), plus a plan dump for the
+  * from_json arity check. Cold−warm separates one-time costs (IO, codegen)
+  * from engine steady state. Not part of the library surface.
   */
 object ProfileR3 {
   def time[A](label: String)(f: => A): A = {
@@ -23,9 +24,9 @@ object ProfileR3 {
     val spark = Sessions.local()
     val dir = "/root/testdata/sf0.1"
     val targets = if (args.nonEmpty) args.toSeq
-      else Seq("t02_langid", "t01_text_stats", "q35_json_map_ops",
-        "p01_corpus_curation", "d02_jaccard_pairs", "d11_dedup_clusters",
-        "q34_range_frame", "t03_token_count")
+      else Seq("d02_jaccard_pairs", "d11_dedup_clusters", "p01_corpus_curation",
+        "d03_minhash_pairs", "q42_percentile_exact", "t05_tfidf",
+        "t06_redact_pii", "q46_latest_by_key")
     // warm (IO + codegen)
     targets.foreach { n =>
       time(s"cold:$n")(runNoop(SparkEntry.queries(n)(spark, dir)))

@@ -32,8 +32,12 @@ object Pipeline {
     * the standard exact-dedup scale guard). Mirrored in the oracle SQL. */
   private val MaxShingleFreq = 1000
 
-  /** Tokenizer in DuckDB terms — must mirror [[Text.tokens]]. */
-  private val sqlTokens = """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+  /** Tokenizer in DuckDB terms — must mirror [[Text.tokens]]. The
+    * whitespace class is EXPLICIT, not `\s`: Java (Spark's regex engine)
+    * counts vertical tab in `\s`, RE2 (DuckDB's) does not — the same
+    * dialect trap [[Dedup.exactNormalized]] documents. */
+  private val sqlTokens =
+    """list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0)"""
 
   /** CTE chain computing capped-universe Jaccard pairs ≥ threshold from a
     * `(doc_id, text)` source relation `src` (mirrors [[Dedup.jaccardPairs]]'
@@ -269,7 +273,7 @@ object Pipeline {
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
               |  CAST(len($sqlTokens) AS BIGINT) AS ws_tokens,
-              |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS lex_tokens
+              |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS lex_tokens
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Custom Catalyst expression (RollingHash) vs the oracle computing the
@@ -335,9 +339,13 @@ object Pipeline {
         val ev = t(s, dir, "events")
         val views = ev.filter(col("event_type") === "view")
           .select("event_id", "user_id", "ts")
+        // pre-aggregate to ONE build row per (user, ts): with duplicate
+        // timestamps both Spark's ordered forward-fill and DuckDB's ASOF
+        // pick an arbitrary winner — max() pins the tie identically on
+        // both sides (AsOf.join's documented uniqueness contract)
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"),
-            floor(col("value") * 100 + 0.5).cast("long").as("pval_cents"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(floor(col("value") * 100 + 0.5).cast("long")).as("pval_cents"))
         AsOf.join(views, purchases, Seq("user_id"), "ts", "ts")
           .select(col("event_id"), col("user_id"), col("ts"),
             col("asof_ts").as("last_purchase_ts"),
@@ -346,8 +354,8 @@ object Pipeline {
       },
       Some("""WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
              |p AS (SELECT user_id, ts AS pts,
-             |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS pval_cents
-             |      FROM events WHERE event_type = 'purchase')
+             |        max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS pval_cents
+             |      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
              |SELECT v.event_id, v.user_id, v.ts,
              |  p.pts AS last_purchase_ts, p.pval_cents AS last_purchase_cents
              |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.pts

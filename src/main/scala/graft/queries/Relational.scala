@@ -14,7 +14,11 @@ import org.apache.spark.sql.expressions.Window
   * where cardinality allows, and deterministic total output ordering (so the
   * oracle hash-compare is stable). Double-valued aggregates are rounded on
   * both sides — partial-aggregation order differs between engines at the
-  * 1e-12 level.
+  * 1e-12 level. Residual (documented) hazard: `round(x, 2)` itself is
+  * engine-defined exactly at a representation tie (Spark rounds the
+  * shortest decimal rendering, DuckDB the scaled binary — they differ on
+  * doubles like 1.00499999999999989); outputs where that matters go
+  * through integer cents instead (the q02 pattern).
   */
 object Relational {
   import Tables.t
@@ -487,7 +491,11 @@ object Relational {
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
     // ---------------------------------------------------------------------
-    // JSON extraction from the events.props payload column.
+    // JSON extraction from the events.props payload column. Cast contract:
+    // props.k is integral JSON by the TESTDATA schema — on arbitrary JSON
+    // the engines' string→BIGINT casts diverge (Spark truncates/NULLs,
+    // DuckDB rounds/errors), so a general-purpose pipeline would validate
+    // the digit shape before casting.
     "q24_json_extract" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -753,10 +761,17 @@ object Relational {
     "q36_pivot" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        // coalesce: a pivot cell with no rows is NULL in Spark but 0 under
+        // the oracle's count(*) FILTER — all cells are populated at every
+        // current SF, but sparser data must not flip the compare
         t(s, dir, "orders")
           .groupBy($"o_orderpriority")
           .pivot("o_orderstatus", Seq("F", "O", "P"))
           .agg(count(lit(1)))
+          .select($"o_orderpriority",
+            coalesce($"F", lit(0L)).as("F"),
+            coalesce($"O", lit(0L)).as("O"),
+            coalesce($"P", lit(0L)).as("P"))
           .orderBy($"o_orderpriority")
       },
       Some("""SELECT o_orderpriority,
