@@ -111,6 +111,16 @@ final class Collector(store: Store, config: CollectorConfig = CollectorConfig())
     if (stopped) { emitError(new IllegalStateException(s"track('$table') after stop()")); return }
     try {
       val resolved = Wildcard.resolve(table, token)
+      // A resolved name with a '/' (or other non-segment character) would
+      // land keys whose positional parse attributes the data to a DIFFERENT
+      // table — unreadable as written. Signal, never throw (the error
+      // contract), and drop the record.
+      if (!graft.lake.LakeKeys.isValidTableName(resolved)) {
+        emitError(new IllegalArgumentException(
+          s"resolved table name '$resolved' is not a valid lake key segment " +
+            s"(table='$table', token=$token)"))
+        return
+      }
       val batch = batches.getOrElseUpdate(resolved, createBatch(table, resolved, record))
       writeRecord(batch, record)
       // Trigger checks in the reference's priority order (backpressure →

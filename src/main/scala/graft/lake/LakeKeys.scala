@@ -31,6 +31,15 @@ object LakeKeys {
       .takeWhile(!_.isAfter(end)).map(datePrefix).toSeq
   }
 
+  /** A table name valid as ONE key segment: no `/` (a slash would shift
+    * [[parseKey]]'s positional fields, landing the data under a DIFFERENT
+    * table and making it invisible to its own reads) and no path-special
+    * names. Table names sit at the key's fifth segment, so they cannot
+    * collide with root-level prefixes like `_staging/`. */
+  def isValidTableName(table: String): Boolean =
+    table.nonEmpty && table != "." && table != ".." &&
+      table.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.' || c == '$')
+
   def objectKey(table: String, flushTime: Instant, id: UUID, gzip: Boolean): String = {
     val ext = if (gzip) ".csv.gz" else ".csv"
     s"${datePrefix(flushTime)}/$table/$id$ext"

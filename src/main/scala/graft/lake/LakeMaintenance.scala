@@ -74,9 +74,16 @@ object LakeMaintenance {
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, byHour.size))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // One job group for every hour-group job: interrupting a pool thread
+    // only detaches the WAITER — the Spark job keeps running and would
+    // write staging objects after the failure path deletes the prefix.
+    // Cancelling the group kills the jobs themselves.
+    val jobGroup = s"graft-compact-$staging"
     try {
       val futures = byHour.map { case (hour, hourKeys) =>
         Future {
+          spark.sparkContext.setJobGroup(jobGroup,
+            s"compact $table ${LakeKeys.datePrefix(hour)}", interruptOnCancel = true)
           // Read the SNAPSHOT, not a re-listing: a concurrent flush
           // between the listing and the read would otherwise be rewritten
           // but not deleted — permanent duplication, not the benign
@@ -107,10 +114,12 @@ object LakeMaintenance {
         written.map(_.key))
     } catch { case e: Throwable =>
       // On a failed hour group, no sibling may keep mutating the lake
-      // after compact() has thrown: cancel queued groups and WAIT for
-      // in-flight ones before propagating (otherwise a retry's listing
-      // races lingering writes/deletes — the duplication this method's
-      // snapshot read exists to prevent).
+      // after compact() has thrown: cancel the sibling SPARK JOBS (not
+      // just their waiting threads), drop queued groups, and WAIT for
+      // in-flight ones before propagating (otherwise a retry's listing —
+      // or the finally's staging cleanup — races lingering writes/deletes,
+      // the duplication this method's snapshot read exists to prevent).
+      try spark.sparkContext.cancelJobGroup(jobGroup) catch { case _: Throwable => () }
       pool.shutdownNow()
       pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
       throw e

@@ -33,6 +33,18 @@ object LakeReader {
     "comment" -> "#",
     // RFC-4180 escapes quotes by doubling; Spark's default escape is `\`
     "escape" -> "\"",
+    // RFC-4180 quoted fields may contain newlines (the writer emits them);
+    // without multiLine the parser splits such records into garbage rows.
+    // Cost: a multiLine CSV file is not SPLITTABLE — acceptable here
+    // because lake objects are bounded by the record limit, so the file is
+    // already the parallelism unit.
+    "multiLine" -> "true",
+    // Validate each object's name header against the declared schema
+    // instead of binding columns by position: tables without a declared
+    // schema re-infer column ORDER per batch (reference semantics), and a
+    // positional bind would silently scramble drifted objects' columns.
+    // With this, drift fails the scan loudly.
+    "enforceSchema" -> "false",
     "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX",
     "mode" -> "PERMISSIVE")
 

@@ -34,17 +34,22 @@ object LakeWriter {
     * record-limit flush, `Collector.ts:281-283`). Returns one
     * [[WrittenObject]] per object (small: ~one per partition).
     *
-    * Commit discipline: a task attempt that fails mid-write DELETES every
+    * Commit discipline: a task attempt that FAILS IN-JVM deletes every
     * object it created (the in-progress one and any it already rolled)
-    * before propagating, so retried or speculative attempts cannot leave
-    * orphan or duplicate objects behind — only keys reported by the
-    * successful attempt exist. `keyPrefix` (e.g. a staging prefix) is
-    * prepended to every object key; compaction uses it to publish
-    * atomically-per-object via rename after the job succeeds. */
+    * before propagating. That does not cover a hard-killed executor (no
+    * JVM left to clean up) or a speculative twin that runs to completion
+    * (no exception) — failure modes only a staged publish closes: write
+    * with `keyPrefix` under a non-readable `_staging/` prefix and rename
+    * exactly the returned keys into place after the job succeeds, as
+    * [[graft.streaming.LakeSink]] and [[LakeMaintenance.compact]] do.
+    * Direct `write()` to final keys is for bounded batch jobs where a
+    * rerun-after-cleanup is acceptable. */
   def write(df: DataFrame, schema: TableSchema, rootUri: String,
             flushTime: Instant = Instant.now(), gzip: Boolean = true,
             maxRecordsPerObject: Long = 0L, keyPrefix: String = ""): Seq[WrittenObject] = {
     import org.apache.spark.sql.functions.col
+    require(LakeKeys.isValidTableName(schema.name),
+      s"table name '${schema.name}' is not a valid key segment (see LakeKeys.isValidTableName)")
     // Align column order + Spark types to the declared schema (declared
     // schemas are authoritative — SURVEY.md §7.4).
     val aligned = df.select(schema.columns.map { case (n, t) => col(n).cast(t.sparkType) }: _*)
@@ -73,8 +78,9 @@ object LakeWriter {
           out.write(namesHeader); out.write("\n")
           n = 0L
         }
-        open()
         try {
+          open() // inside the cleanup scope: a failed FIRST create/header
+                 // write must delete its partial object like any other
           rows.foreach { r =>
             if (maxRecordsPerObject > 0 && n >= maxRecordsPerObject) {
               out.close(); written += WrittenObject(key, id, n)
@@ -94,7 +100,7 @@ object LakeWriter {
           // the speculative twin) re-writes the whole partition, so any key
           // this attempt leaves behind is permanent duplication.
           if (out != null) { try out.close() catch { case _: Throwable => () }; out = null }
-          (written.result().map(_.key) :+ key).foreach { k =>
+          (written.result().map(_.key) ++ Option(key)).foreach { k =>
             try store.delete(k) catch { case _: Throwable => () }
           }
           throw e

@@ -26,10 +26,15 @@ object TypedCsv {
   def formatTime(i: Instant): String = TimeFmt.format(i)
 
   /** RFC-4180 field quoting: quote when the field contains comma, quote, CR
-    * or LF; embedded quotes doubled (`README.md:129`). */
+    * or LF; embedded quotes doubled (`README.md:129`). One quoting rule
+    * BEYOND RFC-4180's minimum: a field beginning with `#` is also quoted —
+    * the read side skips `#`-prefixed LINES as the types header, so an
+    * unquoted leading `#` in the first column would make a data row
+    * indistinguishable from a header line and silently vanish on read. */
   def quoteField(s: String): String =
     if (s == null) ""
-    else if (s.indexOf(',') >= 0 || s.indexOf('"') >= 0 || s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0)
+    else if (s.indexOf(',') >= 0 || s.indexOf('"') >= 0 || s.indexOf('\n') >= 0 ||
+             s.indexOf('\r') >= 0 || s.startsWith("#"))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 

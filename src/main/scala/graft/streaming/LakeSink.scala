@@ -49,7 +49,7 @@ object LakeSink {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val cached = batch.persist()
         try landBatch(cached, cached.count(), schema, rootUri, gzip, recordLimit,
-          writerFloor, onFlush)
+          writerFloor, onFlush, epochId)
         finally { cached.unpersist(); () }
       }
   }
@@ -91,14 +91,14 @@ object LakeSink {
               case Some(dlt) =>
                 val sub = cached.filter(col(tableCol).isNull).drop(tableCol)
                 landBatch(sub, n, schemaFor(dlt), rootUri, gzip, recordLimit,
-                  writerFloor, onFlush)
+                  writerFloor, onFlush, epochId)
               case None => onDropped(n)
             }
           }
           counts.filter(_._1 != null).foreach { case (table, n) =>
             val sub = cached.filter(col(tableCol) === table).drop(tableCol)
             landBatch(sub, n, schemaFor(table), rootUri, gzip, recordLimit,
-              writerFloor, onFlush)
+              writerFloor, onFlush, epochId)
           }
         } finally { cached.unpersist(); () }
       }
@@ -106,10 +106,27 @@ object LakeSink {
 
   /** Shared micro-batch landing: reshape (repartition up so no writer
     * exceeds the record limit; coalesce down but never below `writerFloor`)
-    * and write in one pass with exact per-object accounting. */
+    * and write in one pass with exact per-object accounting.
+    *
+    * Commit protocol (the piece task-level delete-on-failure can't give):
+    * tasks write under a job-scoped `_staging/` prefix — invisible to
+    * readers, whose key parser rejects it — and only the keys the
+    * SUCCESSFUL attempts reported are renamed into the final layout, so a
+    * hard-killed executor's partial object or a speculative twin that ran
+    * to completion never reaches readable keys. Final object names are
+    * deterministic per (table, epoch, index): when the driver dies after
+    * publishing but before Spark commits the epoch, the replayed epoch
+    * REWRITES the same keys instead of duplicating — idempotent as long as
+    * the replay lands in the same UTC flush hour (a replay that crosses the
+    * hour boundary can duplicate; compaction / [[graft.operators.Upsert]]
+    * are the recovery). FlushInfo.ageMillis on this path is the epoch's
+    * land-to-publish duration (streaming has no per-record arrival clock —
+    * a semantic delta from the Collector's batch age, noted here on
+    * purpose). */
   private def landBatch(batch: DataFrame, n: Long, schema: TableSchema,
                         rootUri: String, gzip: Boolean, recordLimit: Long,
-                        writerFloor: Int, onFlush: FlushInfo => Unit): Unit =
+                        writerFloor: Int, onFlush: FlushInfo => Unit,
+                        epochId: Long): Unit =
     if (n > 0) {
       val parts = ((n + recordLimit - 1) / recordLimit).toInt
       val cur = batch.rdd.getNumPartitions
@@ -119,11 +136,26 @@ object LakeSink {
       val trigger =
         if (n >= recordLimit) FlushTrigger.RecordLimit else FlushTrigger.AgeLimit
       val t0 = System.currentTimeMillis()
-      val written = LakeWriter.write(sized, schema, rootUri, Instant.now(), gzip,
-        maxRecordsPerObject = recordLimit)
-      val age = System.currentTimeMillis() - t0
-      written.foreach { w =>
-        onFlush(FlushInfo(schema.name, w.id, trigger, w.records, age, w.key))
+      val flushTime = Instant.now()
+      val staging = s"_staging/${schema.name}-$epochId-${java.util.UUID.randomUUID()}"
+      val store = new graft.lake.HadoopStore(rootUri)
+      try {
+        val written = LakeWriter.write(sized, schema, rootUri, flushTime, gzip,
+          maxRecordsPerObject = recordLimit, keyPrefix = s"$staging/")
+        val published = written.sortBy(_.key).zipWithIndex.map { case (w, i) =>
+          val id = java.util.UUID.nameUUIDFromBytes(
+            s"${schema.name}:$epochId:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val dst = graft.lake.LakeKeys.objectKey(schema.name, flushTime, id, gzip)
+          store.rename(w.key, dst)
+          w.copy(key = dst, id = id)
+        }
+        val age = System.currentTimeMillis() - t0
+        published.foreach { w =>
+          onFlush(FlushInfo(schema.name, w.id, trigger, w.records, age, w.key))
+        }
+      } finally {
+        // success or failure: no unpublished attempt output may linger
+        try store.deletePrefix(staging) catch { case _: Throwable => () }
       }
     }
 

@@ -132,6 +132,17 @@ class CollectorSpec extends SparkSuite {
     assert(errors.nonEmpty && errors.head.getMessage == "store down")
   }
 
+  test("wildcard token with '/' surfaces on onError; record dropped, no object") {
+    val (store, _) = freshStore()
+    val errors = scala.collection.mutable.Buffer.empty[Throwable]
+    val c = new Collector(store, CollectorConfig(batchZip = false))
+    c.onError(errors.synchronized { errors += _ })
+    c.track("game_event_$", Collector.rec("k" -> 1L), token = Some("pool/eu"))
+    c.stop()
+    assert(errors.exists(_.getMessage.contains("game_event_pool/eu")))
+    assert(store.list("").isEmpty, "no object may land under a malformed key")
+  }
+
   test("track after stop surfaces on onError, never throws") {
     val (store, _) = freshStore()
     val c = new Collector(store, CollectorConfig())

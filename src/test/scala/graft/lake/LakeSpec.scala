@@ -59,6 +59,34 @@ class LakeSpec extends SparkSuite {
     assert(store.list("").isEmpty, "failed attempt left orphan objects")
   }
 
+  test("hostile field shapes round-trip: leading '#', embedded newline/CRLF") {
+    import spark.implicits._
+    val root = freshRoot()
+    val rows = Seq(
+      (1L, 0.5, "#looks-like-a-comment"),
+      (2L, 1.5, "line one\nline two"),
+      (3L, 2.5, "crlf\r\nfield"),
+      (4L, 3.5, "#with,comma\nand newline"))
+    val df = rows.toDF("id", "v", "tag")
+    LakeWriter.write(df.coalesce(1), schema, root, Instant.parse("2024-06-01T12:00:00Z"))
+    val back = LakeReader.read(spark, root, "ev")
+      .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // a leading '#' must not be swallowed as a types-header line, and a
+    // quoted newline must not split the record (multiLine)
+    assert(back == rows.map(r => (r._1, r._3)).toSet)
+  }
+
+  test("writer rejects table names that break the key layout") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5, "x")).toDF("id", "v", "tag")
+    intercept[IllegalArgumentException] {
+      LakeWriter.write(df, TableSchema("ev/eu", schema.columns), freshRoot())
+    }
+    intercept[IllegalArgumentException] {
+      LakeWriter.write(df, TableSchema("..", schema.columns), freshRoot())
+    }
+  }
+
   test("hour-prefix pruning: objects outside the range are never read") {
     import spark.implicits._
     val root = freshRoot()

@@ -42,6 +42,14 @@ class StreamingSpec extends SparkSuite {
     val back = LakeReader.read(spark, root, "stream_ev")
     assert(back.count() == 250)
     assert(back.agg(countDistinct("user_id")).collect()(0).getLong(0) == 7)
+    // staged publish leaves no unpublished attempt output behind, and the
+    // final object ids are the deterministic per-(table, epoch, index)
+    // names a replayed epoch would rewrite idempotently
+    val store = new graft.lake.HadoopStore(root)
+    assert(store.list("_staging").isEmpty, "staging prefix must be cleaned")
+    val expectIds = flushes.indices.map(i => java.util.UUID.nameUUIDFromBytes(
+      s"stream_ev:0:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    assert(flushes.map(_.id).toSet == expectIds.toSet)
   }
 
   test("rate source drives a windowed aggregation (declared source smoke)") {
