@@ -52,6 +52,29 @@ class StreamingSpec extends SparkSuite {
     assert(flushes.map(_.id).toSet == expectIds.toSet)
   }
 
+  test("replayed epoch rewrites the same objects instead of duplicating") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = s"file://${Files.createTempDirectory("graft-replay-spec").toFile.getAbsolutePath}"
+    val schema = TableSchema("replay_ev", Seq(
+      "event_id" -> ColType.CInteger, "ts" -> ColType.CTime,
+      "user_id" -> ColType.CInteger, "value" -> ColType.CFloat))
+    val data = (0 until 120).map(i => Ev(i, ts("2024-07-01T00:00:00Z"), i % 3, i * 1.0))
+    // land the SAME data twice as epoch 0 of two fresh queries (fresh
+    // checkpoint = the replay a driver crash between publish and epoch
+    // commit produces): deterministic per-(table, epoch, index) names must
+    // make the second landing overwrite the first, not double it
+    (1 to 2).foreach { _ =>
+      val ms = MemoryStream[Ev]
+      ms.addData(data)
+      val q = LakeSink.writer(ms.toDF(), schema, root, recordLimit = 100)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    assert(LakeReader.read(spark, root, "replay_ev").count() == 120,
+      "epoch replay within the hour must be idempotent")
+  }
+
   test("rate source drives a windowed aggregation (declared source smoke)") {
     val agg = StreamOps.tumbling(
       spark.readStream.format("rate").option("rowsPerSecond", "500").load(),
