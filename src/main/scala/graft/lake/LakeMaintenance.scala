@@ -54,14 +54,8 @@ object LakeMaintenance {
               hourRange: Option[(Instant, Instant)] = None,
               targetRecords: Long = 200000L,
               gzip: Boolean = true): CompactionReport = {
-    val oldKeys = hourRange match {
-      case Some((from, to)) =>
-        LakeKeys.hourPrefixes(from, to)
-          .flatMap(pfx => store.list(s"$pfx/$table"))
-          .filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
-      case None =>
-        store.list("").filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
-    }
+    // Same pruned listing plan as the reader: never a full-lake walk.
+    val oldKeys = LakeReader.listTableKeys(store, table, hourRange)
     if (oldKeys.isEmpty) return CompactionReport(0, 0, 0L, Seq.empty)
     val staging = s"_staging/${java.util.UUID.randomUUID()}"
     val schema = LakeReader.peekSchema(store, oldKeys.head, table)

@@ -72,17 +72,36 @@ object LakeReader {
            hourRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame =
     readFrom(spark, new HadoopStore(rootUri), table, hourRange)
 
+  /** Discover every object key of `table` without ever walking the whole
+    * lake: ranged reads list exactly the in-range `HH/table/` directories;
+    * unranged reads walk the `YYYY/MM/DD/HH` directory LEVELS (one listing
+    * call per directory, skipping non-numeric roots like `_staging/`) and
+    * then list only this table's own directories — O(hour dirs + this
+    * table's objects). The full-lake recursive walk would enumerate every
+    * OTHER table's objects too, which at warehouse scale is a driver
+    * bottleneck all by itself. */
+  def listTableKeys(store: Store, table: String,
+                    hourRange: Option[(java.time.Instant, java.time.Instant)]): Seq[String] = {
+    def numeric(s: String, w: Int) = s.length == w && s.forall(_.isDigit)
+    val keys = hourRange match {
+      case Some((from, to)) =>
+        LakeKeys.hourPrefixes(from, to).flatMap(pfx => store.list(s"$pfx/$table"))
+      case None =>
+        for {
+          y <- store.listDirs("") if numeric(y, 4)
+          m <- store.listDirs(y) if numeric(m, 2)
+          d <- store.listDirs(s"$y/$m") if numeric(d, 2)
+          h <- store.listDirs(s"$y/$m/$d") if numeric(h, 2)
+          k <- store.list(s"$y/$m/$d/$h/$table")
+        } yield k
+    }
+    keys.filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
+  }
+
   /** [[read]] against an explicit [[Store]] (injectable for tests). */
   def readFrom(spark: SparkSession, store: Store, table: String,
                hourRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame = {
-    val keys = hourRange match {
-      case Some((from, to)) =>
-        LakeKeys.hourPrefixes(from, to)
-          .flatMap(pfx => store.list(s"$pfx/$table"))
-          .filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
-      case None =>
-        store.list("").filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
-    }
+    val keys = listTableKeys(store, table, hourRange)
     // Hand Spark the distinct hour/table DIRECTORIES, not every object:
     // at lake scale the per-object path array (millions of entries) is
     // itself a driver burden; directory count is bounded by hours × tables.

@@ -31,6 +31,11 @@ trait Store extends Serializable {
   }
   /** Remove every key under `prefix` (idempotent). */
   def deletePrefix(prefix: String): Unit = list(prefix).foreach(delete)
+  /** Immediate child DIRECTORY names under `prefix` (non-recursive) — one
+    * listing RPC per level, the delimiter-style listing object stores
+    * offer. Lets readers walk `YYYY/MM/DD/HH` levels without enumerating
+    * every object in the lake. */
+  def listDirs(prefix: String): Seq[String]
   /** Root URI as a string, for Spark datasource paths. */
   def rootUri: String
 }
@@ -84,5 +89,11 @@ final class HadoopStore(val rootUri: String) extends Store {
   override def deletePrefix(prefix: String): Unit = {
     val base = p(prefix)
     if (fs.exists(base)) { fs.delete(base, true); () }
+  }
+
+  override def listDirs(prefix: String): Seq[String] = {
+    val base = p(prefix)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
 }

@@ -120,6 +120,7 @@ class CollectorSpec extends SparkSuite {
       def list(prefix: String) = Seq.empty
       def exists(key: String) = false
       def delete(key: String): Unit = ()
+      def listDirs(prefix: String) = Seq.empty
       def rootUri = "memory://failing"
     }
     val c = new Collector(failing, CollectorConfig(batchZip = false))

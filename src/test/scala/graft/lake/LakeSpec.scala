@@ -118,6 +118,7 @@ class LakeSpec extends SparkSuite {
       def list(prefix: String) = { listed += prefix; inner.list(prefix) }
       def exists(key: String) = inner.exists(key)
       def delete(key: String): Unit = inner.delete(key)
+      def listDirs(prefix: String) = { listed += s"dirs:$prefix"; inner.listDirs(prefix) }
       def rootUri = inner.rootUri
     }
     val store = new RecordingStore(new HadoopStore(root))
@@ -127,6 +128,36 @@ class LakeSpec extends SparkSuite {
     // exactly the 19:00/20:00/21:00 hour dirs were listed — no "" full walk
     assert(store.listed.toSet == Set(
       "2024/06/01/19/ev", "2024/06/01/20/ev", "2024/06/01/21/ev"))
+  }
+
+  test("unranged read walks directory levels, never other tables' objects") {
+    import spark.implicits._
+    val root = freshRoot()
+    val mk = (tag: String) => Seq((1L, 0.5, tag)).toDF("id", "v", "tag").coalesce(1)
+    LakeWriter.write(mk("mine"), schema, root, Instant.parse("2024-06-01T08:00:00Z"))
+    LakeWriter.write(mk("other"), TableSchema("other_ev", schema.columns), root,
+      Instant.parse("2024-06-01T08:00:00Z"))
+    var fullWalks = 0
+    var foreignLists = 0
+    final class GuardStore(inner: Store) extends Store {
+      def put(key: String, data: java.io.InputStream): Unit = inner.put(key, data)
+      def create(key: String) = inner.create(key)
+      def open(key: String) = inner.open(key)
+      def list(prefix: String) = {
+        if (prefix.isEmpty) fullWalks += 1
+        if (prefix.contains("other_ev")) foreignLists += 1
+        inner.list(prefix)
+      }
+      def exists(key: String) = inner.exists(key)
+      def delete(key: String): Unit = inner.delete(key)
+      def listDirs(prefix: String) = inner.listDirs(prefix)
+      def rootUri = inner.rootUri
+    }
+    val got = LakeReader.readFrom(spark, new GuardStore(new HadoopStore(root)), "ev")
+      .select("tag").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("mine"))
+    assert(fullWalks == 0, "unranged read must not do a full-lake recursive walk")
+    assert(foreignLists == 0, "unranged read must not list other tables' objects")
   }
 
   test("compaction merges small objects, preserves rows, removes old keys") {
