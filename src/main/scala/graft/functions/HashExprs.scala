@@ -220,14 +220,7 @@ object HashImpls {
   */
 final class StopwordMatcher(labels: Array[String], groups: Array[Array[String]])
     extends Serializable {
-  require(labels.length == groups.length, "one label per group")
-  require(groups.forall(_.length <= 64), "≤64 words per group (bitmask)")
-  // The single-pass chunk scan can only match single tokens: a phrase key
-  // ("of the") can never equal a space-delimited chunk, so reject it here
-  // rather than silently scoring 0 (the padded-LIKE formula DID match
-  // phrases; use it directly if that's ever needed).
-  require(groups.forall(_.forall(w => !w.contains(' ') && w.nonEmpty)),
-    "stopwords must be single non-empty tokens (no spaces)")
+  StopwordMatcher.validate(labels, groups)
   val numGroups: Int = groups.length
 
   @transient private lazy val labelU: Array[UTF8String] =
@@ -304,6 +297,25 @@ final class StopwordMatcher(labels: Array[String], groups: Array[Array[String]])
       g += 1
     }
     if (best < 0) unknownU else labelU(best)
+  }
+}
+
+object StopwordMatcher {
+  /** Inventory validation, separated from construction so the expression
+    * nodes can run it EAGERLY on the driver at plan-build time: the matcher
+    * itself is `@transient lazy` inside the expressions (it first
+    * initializes at codegen/eval on executors), so without this a bad
+    * inventory would surface as a mid-job task failure instead of an
+    * immediate, readable error where the query was built. */
+  def validate(labels: Array[String], groups: Array[Array[String]]): Unit = {
+    require(labels.length == groups.length, "one label per group")
+    require(groups.forall(_.length <= 64), "≤64 words per group (bitmask)")
+    // The single-pass chunk scan can only match single tokens: a phrase key
+    // ("of the") can never equal a space-delimited chunk, so reject it here
+    // rather than silently scoring 0 (the padded-LIKE formula DID match
+    // phrases; use it directly if that's ever needed).
+    require(groups.forall(_.forall(w => !w.contains(' ') && w.nonEmpty)),
+      "stopwords must be single non-empty tokens (no spaces)")
   }
 }
 

@@ -48,6 +48,19 @@ object LakeReader {
     "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX",
     "mode" -> "PERMISSIVE")
 
+  /** `_event_hour` from the object key's `YYYY/MM/DD/HH` segment. Key hours
+    * are UTC by the write-side contract ([[LakeKeys.objectKey]] formats
+    * with `ZoneOffset.UTC`), so the parse pins the offset EXPLICITLY (`X`
+    * pattern + literal `Z`) instead of inheriting
+    * `spark.sql.session.timeZone`: the repo harness runs UTC sessions, but
+    * a library consumer's session may not, and an implicit parse would
+    * shift every partition hour by the session offset. Shared by the batch
+    * and streaming readers so the two cannot drift. */
+  private def eventHourCol: org.apache.spark.sql.Column =
+    to_timestamp(
+      concat(regexp_extract(input_file_name(), "(\\d{4}/\\d{2}/\\d{2}/\\d{2})/", 1), lit("Z")),
+      "yyyy/MM/dd/HHX")
+
   /** Peek the `#types` and column-name headers of one object. */
   def peekSchema(store: Store, key: String, table: String): TableSchema = {
     val raw = store.open(key)
@@ -141,9 +154,7 @@ object LakeReader {
       base.option("maxFilesPerTrigger", n.toString))
     tuned
       .csv(s"${rootUri.stripSuffix("/")}/*/*/*/*/$table/*")
-      .withColumn("_event_hour",
-        to_timestamp(regexp_extract(input_file_name(), "(\\d{4}/\\d{2}/\\d{2}/\\d{2})/", 1),
-          "yyyy/MM/dd/HH"))
+      .withColumn("_event_hour", eventHourCol)
   }
 
   /** Read EXACTLY the given object keys (a listing snapshot) — no
@@ -169,8 +180,6 @@ object LakeReader {
       .options(CodecOptions)
       .option("ignoreMissingFiles", ignoreMissing.toString)
       .csv(paths: _*)
-      .withColumn("_event_hour",
-        to_timestamp(regexp_extract(input_file_name(), "(\\d{4}/\\d{2}/\\d{2}/\\d{2})/", 1),
-          "yyyy/MM/dd/HH"))
+      .withColumn("_event_hour", eventHourCol)
   }
 }

@@ -46,6 +46,8 @@ object Skew {
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String, salts: Int,
                 resultName: String = "sum"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!df.columns.contains("_salt") && !keys.contains("_salt"),
+      "input must not already contain the reserved _salt column")
     val salted = df.withColumn("_salt",
       pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val partial = salted

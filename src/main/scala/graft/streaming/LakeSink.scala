@@ -42,6 +42,7 @@ object LakeSink {
              recordLimit: Long = 200000L,
              ageLimit: java.time.Duration = java.time.Duration.ofHours(1),
              writerFloor: Int = 4,
+             sinkId: String = "",
              onFlush: FlushInfo => Unit = _ => ()): DataStreamWriter[Row] = {
     df.writeStream
       .outputMode("append")
@@ -49,7 +50,7 @@ object LakeSink {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val cached = batch.persist()
         try landBatch(cached, cached.count(), schema, rootUri, gzip, recordLimit,
-          writerFloor, onFlush, epochId)
+          writerFloor, onFlush, epochId, sinkId)
         finally { cached.unpersist(); () }
       }
   }
@@ -73,6 +74,7 @@ object LakeSink {
                    recordLimit: Long = 200000L,
                    ageLimit: java.time.Duration = java.time.Duration.ofHours(1),
                    writerFloor: Int = 4,
+                   sinkId: String = "",
                    onFlush: FlushInfo => Unit = _ => (),
                    deadLetterTable: Option[String] = None,
                    onDropped: Long => Unit = n =>
@@ -91,14 +93,14 @@ object LakeSink {
               case Some(dlt) =>
                 val sub = cached.filter(col(tableCol).isNull).drop(tableCol)
                 landBatch(sub, n, schemaFor(dlt), rootUri, gzip, recordLimit,
-                  writerFloor, onFlush, epochId)
+                  writerFloor, onFlush, epochId, sinkId)
               case None => onDropped(n)
             }
           }
           counts.filter(_._1 != null).foreach { case (table, n) =>
             val sub = cached.filter(col(tableCol) === table).drop(tableCol)
             landBatch(sub, n, schemaFor(table), rootUri, gzip, recordLimit,
-              writerFloor, onFlush, epochId)
+              writerFloor, onFlush, epochId, sinkId)
           }
         } finally { cached.unpersist(); () }
       }
@@ -119,14 +121,29 @@ object LakeSink {
     * REWRITES the same keys instead of duplicating — idempotent as long as
     * the replay lands in the same UTC flush hour (a replay that crosses the
     * hour boundary can duplicate; compaction / [[graft.operators.Upsert]]
-    * are the recovery). FlushInfo.ageMillis on this path is the epoch's
+    * are the recovery). Two refinements to that determinism:
+    *
+    *  - `sinkId` folds into the name seed. Deterministic names mean two
+    *    CONCURRENT writers landing the same table (separate checkpoints,
+    *    both starting at epoch 0) would silently overwrite each other's
+    *    objects; distinct `sinkId`s (e.g. the checkpoint path) keep their
+    *    key spaces disjoint. It must be STABLE across restarts of the same
+    *    query — a per-run random id would break replay idempotence.
+    *  - A replay that produces FEWER objects than the first attempt would
+    *    leave the first attempt's higher-index objects behind as
+    *    duplicates; after publishing, the probe-delete loop below removes
+    *    same-(sinkId, table, epoch) keys at indices ≥ the published count
+    *    (leftovers are index-contiguous by construction, so probing stops
+    *    at the first missing key).
+    *
+    * FlushInfo.ageMillis on this path is the epoch's
     * land-to-publish duration (streaming has no per-record arrival clock —
     * a semantic delta from the Collector's batch age, noted here on
     * purpose). */
-  private def landBatch(batch: DataFrame, n: Long, schema: TableSchema,
+  private[streaming] def landBatch(batch: DataFrame, n: Long, schema: TableSchema,
                         rootUri: String, gzip: Boolean, recordLimit: Long,
                         writerFloor: Int, onFlush: FlushInfo => Unit,
-                        epochId: Long): Unit =
+                        epochId: Long, sinkId: String = ""): Unit =
     if (n > 0) {
       val parts = ((n + recordLimit - 1) / recordLimit).toInt
       val cur = batch.rdd.getNumPartitions
@@ -142,13 +159,23 @@ object LakeSink {
       try {
         val written = LakeWriter.write(sized, schema, rootUri, flushTime, gzip,
           maxRecordsPerObject = recordLimit, keyPrefix = s"$staging/")
-        val published = written.sortBy(_.key).zipWithIndex.map { case (w, i) =>
+        def epochKey(i: Int): (java.util.UUID, String) = {
           val id = java.util.UUID.nameUUIDFromBytes(
-            s"${schema.name}:$epochId:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val dst = graft.lake.LakeKeys.objectKey(schema.name, flushTime, id, gzip)
+            s"$sinkId:${schema.name}:$epochId:$i"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (id, graft.lake.LakeKeys.objectKey(schema.name, flushTime, id, gzip))
+        }
+        val published = written.sortBy(_.key).zipWithIndex.map { case (w, i) =>
+          val (id, dst) = epochKey(i)
           store.rename(w.key, dst)
           w.copy(key = dst, id = id)
         }
+        // a replay that produced fewer objects than the first attempt must
+        // delete the first attempt's leftover higher-index keys (contiguous
+        // from the published count; stop at the first missing one)
+        var extra = published.length
+        while ({ val (_, k) = epochKey(extra); store.exists(k) && { store.delete(k); true } })
+          extra += 1
         val age = System.currentTimeMillis() - t0
         published.foreach { w =>
           onFlush(FlushInfo(schema.name, w.id, trigger, w.records, age, w.key))

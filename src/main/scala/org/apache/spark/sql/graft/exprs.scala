@@ -91,6 +91,10 @@ object exprs {
     * `contains` scan per word. */
   case class StopwordScores(child: Expression, groups: Seq[Seq[String]])
       extends UnaryExpression with ExpectsInputTypes {
+    // eager: misuse must fail at plan-build time on the driver, not inside
+    // a task when the transient-lazy matcher first initializes
+    graft.functions.StopwordMatcher.validate(
+      groups.indices.map(_.toString).toArray, groups.map(_.toArray).toArray)
     override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     @transient private lazy val matcher =
@@ -114,6 +118,8 @@ object exprs {
     * array expression once per language. */
   case class LangId(child: Expression, groups: Seq[(String, Seq[String])])
       extends UnaryExpression with ExpectsInputTypes {
+    graft.functions.StopwordMatcher.validate(
+      groups.map(_._1).toArray, groups.map(_._2.toArray).toArray)
     override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
     override def dataType: DataType = StringType
     @transient private lazy val matcher =

@@ -90,6 +90,23 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("stopword expressions reject bad inventories at plan-build time") {
+    import org.apache.spark.sql.functions.col
+    // invalid groups must fail HERE, on the driver, while the Column is
+    // being constructed — not later inside a task when the transient-lazy
+    // matcher first initializes
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.exprs.stopword_scores(col("text"), Seq(Seq("of the")))
+    }
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.exprs.lang_id(col("text"), Seq("en" -> Seq("")))
+    }
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.exprs.stopword_scores(col("text"),
+        Seq((1 to 65).map(i => s"w$i")))
+    }
+  }
+
   test("srp signature: scale-invariant, negation flips every bit") {
     val rnd = new scala.util.Random(17)
     for (_ <- 1 to 100) {

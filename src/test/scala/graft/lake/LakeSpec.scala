@@ -103,6 +103,23 @@ class LakeSpec extends SparkSuite {
       == Instant.parse("2024-06-01T20:00:00Z"))
   }
 
+  test("_event_hour is UTC regardless of the session timezone") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = Seq((1L, 0.5, "x")).toDF("id", "v", "tag").coalesce(1)
+    LakeWriter.write(df, schema, root, Instant.parse("2024-06-01T20:00:00Z"))
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // key hours are UTC by the write-side contract; a consumer session
+      // pinned to another zone must not shift the derived partition column
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val got = LakeReader.read(spark, root, "ev")
+        .select("_event_hour").collect()(0).getTimestamp(0).toInstant
+      assert(got == Instant.parse("2024-06-01T20:00:00Z"),
+        s"session-tz-dependent parse shifted the hour to $got")
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+  }
+
   test("pruned read lists only in-range hour prefixes, never the whole lake") {
     import scala.collection.mutable
     import spark.implicits._

@@ -157,6 +157,13 @@ class PipelineSpec extends SparkSuite {
     val sums = Skew.saltedSum(fact, Seq("k"), "v", salts = 8, resultName = "total")
     val expect = fact.groupBy("k").agg(sum($"v").as("total"))
     assert(sums.except(expect).isEmpty && expect.except(sums).isEmpty)
+    // both salted operators reject a pre-existing reserved _salt column
+    intercept[IllegalArgumentException] {
+      Skew.saltedSum(fact.withColumn("_salt", lit(1)), Seq("k"), "v", salts = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact.withColumn("_salt", lit(1)), dim, "k", salts = 8)
+    }
   }
 
   test("as-of join: at-or-before match, forward fill, null when no state") {

@@ -48,7 +48,7 @@ class StreamingSpec extends SparkSuite {
     val store = new graft.lake.HadoopStore(root)
     assert(store.list("_staging").isEmpty, "staging prefix must be cleaned")
     val expectIds = flushes.indices.map(i => java.util.UUID.nameUUIDFromBytes(
-      s"stream_ev:0:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      s":stream_ev:0:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     assert(flushes.map(_.id).toSet == expectIds.toSet)
   }
 
@@ -73,6 +73,45 @@ class StreamingSpec extends SparkSuite {
     }
     assert(LakeReader.read(spark, root, "replay_ev").count() == 120,
       "epoch replay within the hour must be idempotent")
+  }
+
+  test("replay with fewer objects deletes the first attempt's leftovers") {
+    import spark.implicits._
+    val root = s"file://${Files.createTempDirectory("graft-shrink-spec").toFile.getAbsolutePath}"
+    val schema = TableSchema("shrink_ev", Seq(
+      "event_id" -> ColType.CInteger, "ts" -> ColType.CTime,
+      "user_id" -> ColType.CInteger, "value" -> ColType.CFloat))
+    def land(n: Int): Unit = {
+      val df = (0 until n).map(i => Ev(i, ts("2024-07-01T00:00:00Z"), i % 3, i * 1.0))
+        .toDF("event_id", "ts", "user_id", "value")
+      LakeSink.landBatch(df, n.toLong, schema, root, gzip = true,
+        recordLimit = 100L, writerFloor = 1, onFlush = _ => (), epochId = 0L)
+    }
+    land(250) // 3 objects at indices 0..2
+    land(120) // replayed epoch produces only 2 — index 2 must be deleted
+    val store = new graft.lake.HadoopStore(root)
+    val keys = LakeReader.listTableKeys(store, "shrink_ev", None)
+    assert(keys.length == 2, s"leftover objects must be removed, got $keys")
+    assert(LakeReader.read(spark, root, "shrink_ev").count() == 120)
+  }
+
+  test("concurrent writers with distinct sinkIds never overwrite each other") {
+    import spark.implicits._
+    val root = s"file://${Files.createTempDirectory("graft-sinkid-spec").toFile.getAbsolutePath}"
+    val schema = TableSchema("dual_ev", Seq(
+      "event_id" -> ColType.CInteger, "ts" -> ColType.CTime,
+      "user_id" -> ColType.CInteger, "value" -> ColType.CFloat))
+    // two independent queries (separate checkpoints → both at epoch 0)
+    // land the same table; distinct sinkIds keep their key spaces disjoint
+    Seq("ckpt-a" -> 100, "ckpt-b" -> 70).foreach { case (sinkId, n) =>
+      val df = (0 until n).map(i => Ev(i, ts("2024-07-01T00:00:00Z"), i % 3, i * 1.0))
+        .toDF("event_id", "ts", "user_id", "value")
+      LakeSink.landBatch(df, n.toLong, schema, root, gzip = true,
+        recordLimit = 1000L, writerFloor = 1, onFlush = _ => (),
+        epochId = 0L, sinkId = sinkId)
+    }
+    assert(LakeReader.read(spark, root, "dual_ev").count() == 170,
+      "same (table, epoch, index) from two sinkIds must land as distinct objects")
   }
 
   test("rate source drives a windowed aggregation (declared source smoke)") {
