@@ -178,6 +178,72 @@ object HashImpls {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Line-repetition sufficient statistics over a document, one pass:
+    * `[n_lines, n_distinct_lines, line_chars, dup_line_chars]` where lines
+    * split on `\n` (byte 0x0A — never inside a UTF-8 multi-byte sequence),
+    * EMPTY lines are excluded, lengths are in characters (SQL `length()`
+    * semantics), and `dup_line_chars` counts every occurrence of a line
+    * beyond its first — the Gopher-style duplicate-line signals' numerators
+    * and denominators, left raw so callers derive the milli fractions with
+    * the exact arithmetic their oracle mirrors. */
+  def lineStats(text: UTF8String): ArrayData = {
+    val counts = new java.util.HashMap[UTF8String, Array[Long]](16)
+    var nLines = 0L; var lineChars = 0L
+    val bytes = text.getBytes
+    val n = bytes.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == '\n') {
+        if (i > start) {
+          val line = UTF8String.fromBytes(bytes, start, i - start)
+          val len = line.numChars().toLong
+          nLines += 1; lineChars += len
+          val e = counts.get(line)
+          if (e == null) counts.put(line, Array(1L, len)) else e(0) += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var nDistinct = 0L; var dupChars = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      nDistinct += 1; dupChars += (e(0) - 1) * e(1)
+    }
+    new GenericArrayData(Array(nLines, nDistinct, lineChars, dupChars))
+  }
+
+  /** Characters covered by the most frequent token 2-gram:
+    * `max over adjacent pairs of count(pair) · chars("w1 w2")` (0 when the
+    * input has fewer than two tokens). With `n_chars` as the denominator
+    * this is the Gopher "fraction of characters in the most frequent
+    * 2-gram" repetition signal. One pass, one hash map. */
+  def topBigramCover(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    if (n < 2) return 0L
+    val sep = UTF8String.fromString(" ")
+    val counts = new java.util.HashMap[UTF8String, Array[Long]](n * 2)
+    var i = 0
+    while (i < n - 1) {
+      val a = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      val b = if (toks.isNullAt(i + 1)) null else toks.getUTF8String(i + 1)
+      val bg = UTF8String.concatWs(sep, a, b)
+      val e = counts.get(bg)
+      if (e == null) counts.put(bg, Array(1L, bg.numChars().toLong)) else e(0) += 1
+      i += 1
+    }
+    var best = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cover = e(0) * e(1)
+      if (cover > best) best = cover
+    }
+    best
+  }
+
   /** Signed-random-projection signature word: bit p = sign of
     * dot(plane_{planeOffset+p}, v). All `bits` (≤ 64) dot products
     * accumulate in ONE pass over the vector (vs a per-bit

@@ -56,6 +56,17 @@ object Text {
   def langId(text: Column): Column =
     coalesce(org.apache.spark.sql.graft.exprs.lang_id(text, StopwordSets), lit("unknown"))
 
+  /** Raw line-repetition statistics `[n_lines, n_distinct_lines,
+    * line_chars, dup_line_chars]` (non-empty `\n`-split lines, char
+    * lengths) — one compiled pass; see the kernel for the exact contract. */
+  def lineStats(text: Column): Column =
+    org.apache.spark.sql.graft.exprs.line_stats(text)
+
+  /** Characters covered by the most frequent token 2-gram — the numerator
+    * of the Gopher top-2-gram repetition fraction. */
+  def topBigramCover(text: Column): Column =
+    org.apache.spark.sql.graft.exprs.top_bigram_cover(tokens(text))
+
   /** Quality heuristics: char/word counts, mean word length, alpha ratio,
     * stopword ratio — standard pre-training corpus filters. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {

@@ -548,6 +548,80 @@ object Pipeline {
               |    '${Redact.Patterns(1)._2}', '<PHONE>', 'g')) AS redacted_md5
               |FROM planted ORDER BY doc_id""".stripMargin)),
 
+    // -------------------------------------------- repetition signals (t07)
+    // Gopher-style repetition filters: duplicate-line fraction, duplicate-
+    // line char fraction, top-2-gram char fraction — the standard "machine-
+    // generated boilerplate" gates next to t01's quality stats. The fixture
+    // texts are single-line, so each doc gets a deterministic multi-line
+    // page planted in-query (text + a header line + doc_id%4 copies of its
+    // own 40-char prefix — the t06 planted-ground-truth pattern), mirrored
+    // exactly in the oracle. Both kernels are single-pass compiled
+    // expressions; the whole query is per-row, shuffle-free.
+    "t07_repetition" -> QueryDef(
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit("\nhdr "), pmod(col("doc_id"), lit(7)).cast("string"),
+            repeat(concat(lit("\n"), substring(col("text"), 1, 40)),
+              pmod(col("doc_id"), lit(4)).cast("int"))).as("text"))
+        // materialize the stat arrays once per row (a flat projection would
+        // re-evaluate the kernel per derived column)
+        planted.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+            Text.lineStats(col("text")).as("ls"),
+            Text.topBigramCover(col("text")).as("cover"))
+          .select(col("doc_id"),
+            element_at(col("ls"), 1).as("n_lines"),
+            when(element_at(col("ls"), 1) > 0,
+              floor((element_at(col("ls"), 1) - element_at(col("ls"), 2)) * lit(1000.0)
+                / element_at(col("ls"), 1) + 0.5).cast("long"))
+              .otherwise(lit(0L)).as("dup_line_frac_milli"),
+            when(element_at(col("ls"), 3) > 0,
+              floor(element_at(col("ls"), 4) * lit(1000.0)
+                / element_at(col("ls"), 3) + 0.5).cast("long"))
+              .otherwise(lit(0L)).as("dup_line_char_frac_milli"),
+            when(col("n_chars") > 0,
+              floor(col("cover") * lit(1000.0) / col("n_chars") + 0.5).cast("long"))
+              .otherwise(lit(0L)).as("top_bigram_frac_milli"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH planted AS (
+              |  SELECT doc_id,
+              |    text || chr(10) || 'hdr ' || CAST(doc_id % 7 AS VARCHAR) ||
+              |    repeat(chr(10) || substring(text, 1, 40), CAST(doc_id % 4 AS INT)) AS text
+              |  FROM documents),
+              |lines AS (
+              |  SELECT doc_id, x AS line FROM planted,
+              |  LATERAL (SELECT unnest(string_split(text, chr(10))) AS x) g
+              |  WHERE length(x) > 0),
+              |lc AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS ln
+              |       FROM lines GROUP BY 1, 2),
+              |lagg AS (
+              |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+              |    CAST(count(*) AS BIGINT) AS n_distinct,
+              |    CAST(sum(cnt * ln) AS BIGINT) AS line_chars,
+              |    CAST(sum((cnt - 1) * ln) AS BIGINT) AS dup_chars
+              |  FROM lc GROUP BY doc_id),
+              |toks AS (SELECT doc_id, $sqlTokens AS w FROM planted),
+              |bg AS (
+              |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg FROM toks,
+              |  LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i) g),
+              |bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+              |bagg AS (SELECT doc_id, max(cnt * length(bg)) AS cover FROM bc GROUP BY doc_id)
+              |SELECT p.doc_id,
+              |  COALESCE(l.n_lines, 0) AS n_lines,
+              |  CASE WHEN COALESCE(l.n_lines, 0) > 0
+              |    THEN CAST(floor((l.n_lines - l.n_distinct) * 1000.0 / l.n_lines + 0.5) AS BIGINT)
+              |    ELSE 0 END AS dup_line_frac_milli,
+              |  CASE WHEN COALESCE(l.line_chars, 0) > 0
+              |    THEN CAST(floor(l.dup_chars * 1000.0 / l.line_chars + 0.5) AS BIGINT)
+              |    ELSE 0 END AS dup_line_char_frac_milli,
+              |  CASE WHEN length(p.text) > 0 AND b.cover IS NOT NULL
+              |    THEN CAST(floor(b.cover * 1000.0 / length(p.text) + 0.5) AS BIGINT)
+              |    ELSE 0 END AS top_bigram_frac_milli
+              |FROM planted p
+              |LEFT JOIN lagg l ON l.doc_id = p.doc_id
+              |LEFT JOIN bagg b ON b.doc_id = p.doc_id
+              |ORDER BY p.doc_id""".stripMargin)),
+
     // ------------------------------------------------- latest-by-key view
     // Upsert view over the append-only event log: current state per user =
     // the row with the max (ts, event_id). One shuffle + per-partition

@@ -136,6 +136,35 @@ object exprs {
       copy(child = c)
   }
 
+  /** `line_stats(str) -> array<bigint>` — `[n_lines, n_distinct_lines,
+    * line_chars, dup_line_chars]` over non-empty `\n`-split lines in one
+    * pass (see [[graft.functions.HashImpls.lineStats]]); the raw
+    * sufficient statistics for the duplicate-line repetition signals. */
+  case class LineStats(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      HashImpls.lineStats(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.lineStats($c)")
+    override protected def withNewChildInternal(c: Expression): LineStats = copy(child = c)
+  }
+
+  /** `top_bigram_cover(array<string>) -> bigint` — characters covered by
+    * the most frequent adjacent token pair (see
+    * [[graft.functions.HashImpls.topBigramCover]]). */
+  case class TopBigramCover(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      HashImpls.topBigramCover(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.topBigramCover($c)")
+    override protected def withNewChildInternal(c: Expression): TopBigramCover = copy(child = c)
+  }
+
   /** `jaccard_milli(array<string>, array<string>) -> bigint` — exact set
     * Jaccard in milli-units, one hash-set pass (see
     * [[graft.functions.HashImpls.jaccardMilli]]). */
@@ -182,6 +211,10 @@ object exprs {
     ExpressionUtils.column(CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def jaccard_milli(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardMilli(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def line_stats(c: Column): Column =
+    ExpressionUtils.column(LineStats(ExpressionUtils.expression(c)))
+  def top_bigram_cover(c: Column): Column =
+    ExpressionUtils.column(TopBigramCover(ExpressionUtils.expression(c)))
   def stopword_scores(c: Column, groups: Seq[Seq[String]]): Column =
     ExpressionUtils.column(StopwordScores(ExpressionUtils.expression(c), groups))
   def lang_id(c: Column, groups: Seq[(String, Seq[String])]): Column =
@@ -216,6 +249,10 @@ object exprs {
       es => CosineSim(es.head, es(1))),
     ("jaccard_milli", "jaccard_milli(array<string>, array<string>) - set Jaccard in milli-units",
       es => JaccardMilli(es.head, es(1))),
+    ("line_stats", "line_stats(str) - [n_lines, n_distinct_lines, line_chars, dup_line_chars]",
+      es => LineStats(es.head)),
+    ("top_bigram_cover", "top_bigram_cover(array<string>) - chars covered by the top token 2-gram",
+      es => TopBigramCover(es.head)),
     ("stopword_scores", "stopword_scores(str, array<string>...) - distinct-hit count per word group",
       es => StopwordScores(es.head, es.tail.map(stringSeqLit(_, "stopword_scores group")))),
     ("lang_id", "lang_id(str) - stopword-argmax language label over the built-in inventories",

@@ -90,6 +90,39 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("lineStats kernel == naive groupBy reference (fuzz)") {
+    val rnd = new scala.util.Random(23)
+    val pieces = Seq("alpha", "beta γδ", "", "alpha", "x y z", "  ", "über wien")
+    for (_ <- 1 to 300) {
+      val text = Seq.fill(rnd.nextInt(10))(pieces(rnd.nextInt(pieces.size)))
+        .mkString("\n")
+      val lines = text.split("\n", -1).filter(_.nonEmpty)
+      val byLine = lines.groupBy(identity)
+      val expect = Seq(
+        lines.length.toLong,
+        byLine.size.toLong,
+        lines.map(l => l.codePointCount(0, l.length).toLong).sum,
+        byLine.values.map(g => (g.length - 1).toLong * g.head.codePointCount(0, g.head.length)).sum)
+      val got = HashImpls.lineStats(UTF8String.fromString(text))
+      assert((0 until 4).map(got.getLong) == expect, s"text=<$text>")
+    }
+  }
+
+  test("topBigramCover kernel == naive sliding-pair reference (fuzz)") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Seq("a", "bb", "ccc", "dédé", "e")
+    for (_ <- 1 to 300) {
+      val toks = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      val pairs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val expect =
+        if (pairs.isEmpty) 0L
+        else pairs.groupBy(identity).map { case (bg, g) =>
+          g.size.toLong * bg.codePointCount(0, bg.length)
+        }.max
+      assert(HashImpls.topBigramCover(sarr(toks)) == expect, s"toks=$toks")
+    }
+  }
+
   test("stopword expressions reject bad inventories at plan-build time") {
     import org.apache.spark.sql.functions.col
     // invalid groups must fail HERE, on the driver, while the Column is
