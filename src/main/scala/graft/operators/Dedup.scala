@@ -231,6 +231,35 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("component_id"))
   }
 
+  /** Benchmark decontamination: training docs sharing any `shingleN`-gram
+    * with an evaluation/benchmark set must be flagged (and usually dropped)
+    * before training — verbatim eval spans in the corpus inflate benchmark
+    * scores. Returns one row per CONTAMINATED training doc:
+    * `(doc_id, n_bench_docs, n_shared_shingles)` (distinct benchmark docs
+    * hit, distinct shared shingles).
+    *
+    * Scale shape: the training corpus streams through shingle-explode →
+    * broadcast-hash-join with NO shuffle of the corpus itself; only the
+    * matching (doc, bench, shingle) hits — contamination is rare by
+    * construction — reach the final aggregation. The benchmark shingle
+    * table is explicitly `broadcast()`: eval sets are thousands of docs,
+    * metadata-sized next to a 100-TB corpus. `shingleN` defaults to 5 —
+    * long enough that generic phrases don't flag everything, short enough
+    * to catch partial span copies (13 is the common choice for web-scale
+    * corpora; the fixture docs are short). */
+  def decontaminate(train: DataFrame, trainId: String, trainText: String,
+                    bench: DataFrame, benchId: String, benchText: String,
+                    shingleN: Int = 5): DataFrame = {
+    val tSh = train.select(col(trainId).as("doc_id"),
+      explode(Text.shinglesOfText(col(trainText), shingleN)).as("sh"))
+    val bSh = bench.select(col(benchId).as("bench_id"),
+      explode(Text.shinglesOfText(col(benchText), shingleN)).as("sh"))
+    tSh.join(broadcast(bSh), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+        countDistinct(col("sh")).as("n_shared_shingles"))
+  }
+
   /** 64-bit SimHash fingerprints. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),

@@ -186,6 +186,36 @@ object Pipeline {
         .orderBy("a_id", "b_id"),
       None),
 
+    // Benchmark decontamination: flag training docs sharing any 5-gram
+    // with the eval set. The fixture has no external benchmark, so the
+    // eval set is PLANTED as verbatim 12-token spans lifted from every
+    // 50th doc (the real contamination scenario: benchmark items quote
+    // the crawl) — span extraction mirrored exactly in the oracle. Flags
+    // the span sources plus their near-dup twins.
+    "d13_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("doc_id").as("bench_id"),
+            concat_ws(" ", slice(Text.tokens(col("text")), 6, 12)).as("bench_text"))
+        Dedup.decontaminate(docs, "doc_id", "text",
+          bench, "bench_id", "bench_text", shingleN = 5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+              |bsh AS (
+              |  SELECT DISTINCT bench_id, array_to_string(w[i:i+4], ' ') AS sh
+              |  FROM (SELECT doc_id AS bench_id, w[6:17] AS w FROM toks
+              |        WHERE doc_id % 50 = 0) b,
+              |  LATERAL (SELECT unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i) g),
+              |tsh AS (
+              |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+              |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i) g)
+              |SELECT doc_id, count(DISTINCT bench_id) AS n_bench_docs,
+              |  count(DISTINCT sh) AS n_shared_shingles
+              |FROM tsh JOIN bsh USING (sh)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // -------------------------------------------------------- similarity
     "d06_knn_bruteforce" -> QueryDef(
       (s, dir) => {

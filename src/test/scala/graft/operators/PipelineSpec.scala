@@ -16,6 +16,22 @@ class PipelineSpec extends SparkSuite {
     assert(exact.except(lsh).isEmpty && lsh.except(exact).isEmpty)
   }
 
+  test("decontaminate: flags any shared 5-gram, ignores shorter overlap") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // 5-gram overlap
+      (2L, "alpha beta gamma delta unrelated tail words here"), // only 4 shared
+      (3L, "nothing in common with the benchmark at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("bench_id", "bench_text")
+    val got = Dedup.decontaminate(train, "doc_id", "text",
+        bench, "bench_id", "bench_text", shingleN = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 1L)),
+      "exactly doc 1 shares a full 5-gram with the benchmark")
+  }
+
   test("simhash: near-dups land at small Hamming distance, unrelated far") {
     import spark.implicits._
     val near = Seq(
