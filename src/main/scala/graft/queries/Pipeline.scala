@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{HashFunctions, Redact, Text}
-import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Upsert}
+import graft.operators.{AsOf, Clustering, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Upsert}
 
 import org.apache.spark.sql.functions._
 
@@ -268,6 +268,64 @@ object Pipeline {
       (s, dir) => Similarity.srpNearDupPairs(plantedEmbeddings(s, dir), CosineThreshold)
         .orderBy("a_id", "b_id"),
       Some(cosinePairOracle)),
+
+    // Embedding clustering: deterministic cosine argmax over fixed seed
+    // centroids (the k-means assignment step / IVF coarse quantizer —
+    // per-row compute, unshuffled corpus scan). Seeds = the 8 lowest-id
+    // vectors on both sides; full Lloyd iterations are covered by the
+    // PipelineSpec k-means test (the iterative means are float-order-
+    // sensitive, so the hash-exact gate pins the assignment step).
+    "d14_kmeans_assign" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = Clustering.seedCentroids(emb.filter(col("vec_id") < 8), 8)
+        Clustering.assign(emb, cents.toSeq).orderBy("vec_id")
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, emb AS cemb FROM c WHERE vec_id < 8),
+             |scored AS (SELECT c.vec_id, cent.cid,
+             |    list_cosine_similarity(c.emb, cent.cemb) AS cos
+             |  FROM c, cent),
+             |best AS (SELECT vec_id, cid, cos,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+             |  FROM scored)
+             |SELECT vec_id, cid AS cluster_id,
+             |  CAST(floor(cos * 1000 + 0.5) AS BIGINT) AS cos_milli
+             |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // SemDedup (cluster-then-dedup): near-dup removal scoped WITHIN each
+    // cluster — clustering bounds the quadratic pair search. Runs on the
+    // planted near-dup corpus (d08's pattern) so there is real ground
+    // truth to remove; the oracle mirrors assignment + in-cluster pair
+    // drop exactly.
+    "d15_semdedup" -> QueryDef(
+      (s, dir) => {
+        val corpus = plantedEmbeddings(s, dir)
+        val cents = Clustering.seedCentroids(corpus.filter(col("vec_id") < 8), 8)
+        Clustering.semDedup(corpus, cents.toSeq, CosineThreshold).orderBy("vec_id")
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+              |planted AS (
+              |  SELECT vec_id + 1000000 AS vec_id,
+              |    list_concat(emb[1:32], list_transform(emb[33:64], x -> x * 1.05)) AS emb
+              |  FROM base WHERE vec_id < 50),
+              |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+              |cent AS (SELECT vec_id AS cid, emb AS cemb FROM corpus WHERE vec_id < 8),
+              |scored AS (SELECT c.vec_id, c.emb, cent.cid,
+              |    list_cosine_similarity(c.emb, cent.cemb) AS cos
+              |  FROM corpus c, cent),
+              |asg AS (SELECT vec_id, emb, cid FROM (
+              |    SELECT vec_id, emb, cid,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+              |    FROM scored) t WHERE rn = 1),
+              |dropped AS (
+              |  SELECT DISTINCT b.vec_id
+              |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+              |  WHERE floor(list_cosine_similarity(a.emb, b.emb) * 1000 + 0.5)
+              |    >= ${(CosineThreshold * 1000).toInt})
+              |SELECT vec_id, cid AS cluster_id FROM asg
+              |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+              |ORDER BY vec_id""".stripMargin)),
 
     // ------------------------------------------------------ text analysis
     "t01_text_stats" -> QueryDef(

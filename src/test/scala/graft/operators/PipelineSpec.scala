@@ -16,6 +16,48 @@ class PipelineSpec extends SparkSuite {
     assert(exact.except(lsh).isEmpty && lsh.except(exact).isEmpty)
   }
 
+  test("kmeans: Lloyd iterations recover well-separated clusters") {
+    import spark.implicits._
+    // three tight clusters along orthogonal axes (axis = id % 3), plus
+    // jitter in the fourth dimension; the 3 lowest-id seeds span the three
+    // clusters, and the iterations must pull each centroid from its raw
+    // seed vector to the cluster mean (k-means cannot recover from all
+    // seeds landing in ONE cluster — that degenerate draw is out of scope)
+    val mk = (axis: Int, jit: Double) =>
+      Seq.tabulate(4)(d => if (d == axis) 1.0 else if (d == 3) jit else 0.0)
+    val rows = (0 until 18).map(i => (i.toLong, mk(i % 3, 0.01 * (i / 3))))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Clustering.kmeans(df, k = 3, iters = 4)
+    val labels = Clustering.assign(df, cents.toSeq)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every axis's members agree, and different axes get different labels
+    def labelOf(axis: Int) = {
+      val ls = (0 until 18).filter(_ % 3 == axis).map(i => labels(i.toLong)).distinct
+      assert(ls.size == 1, s"axis $axis split across clusters: $ls")
+      ls.head
+    }
+    val (a, b, c) = (labelOf(0), labelOf(1), labelOf(2))
+    assert(Set(a, b, c).size == 3, s"axes collapsed into $a,$b,$c")
+    // assignment cosine is near-perfect once centroids settle on the axes
+    val minCos = Clustering.assign(df, cents.toSeq)
+      .agg(min("cos_milli")).collect()(0).getLong(0)
+    assert(minCos >= 990, s"weak assignment cosine $minCos")
+  }
+
+  test("semDedup keeps exactly the lowest-id member of each near-dup group") {
+    import spark.implicits._
+    val v = Seq(1.0, 0.0, 0.0, 0.0)
+    val dup = Seq(0.999, 0.01, 0.0, 0.0)   // cosine ≈ 0.9999 with v
+    val far = Seq(0.0, 1.0, 0.0, 0.0)
+    // seeds (2 lowest ids) span the two true clusters: 0 → v-axis, 1 → far-axis
+    val df = Seq((0L, v), (1L, far), (5L, dup), (9L, v))
+      .toDF("vec_id", "embedding")
+    val cents = Clustering.seedCentroids(df, 2)
+    val kept = Clustering.semDedup(df, cents.toSeq, 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L), s"kept $kept — 5 and 9 duplicate 0 in-cluster")
+  }
+
   test("decontaminate: flags any shared 5-gram, ignores shorter overlap") {
     import spark.implicits._
     val train = Seq(
