@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{HashFunctions, Redact, Text}
-import graft.operators.{AsOf, Clustering, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Upsert}
+import graft.operators.{AsOf, Clustering, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, Upsert}
 
 import org.apache.spark.sql.functions._
 
@@ -507,6 +507,31 @@ object Pipeline {
           .select("doc_id").orderBy("doc_id")
       },
       Some(curationOracle)),
+
+    // Sequence packing: curated docs → fixed token-budget training bins.
+    // Deterministic contiguous fill within rolling-hash buckets (global
+    // packing is one sequential cumsum = a single-partition window; the
+    // bucketed rule is the parallel, layout-stable variant). The oracle
+    // reproduces the identical hash, order, cumsum, and bin arithmetic.
+    "p02_pack_sequences" -> QueryDef(
+      (s, dir) => Packing.packedBins(t(s, dir, "documents"),
+          "doc_id", "text", capacity = 512L, buckets = 8)
+        .orderBy("bucket", "bin"),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS n_tokens,
+              |    list_reduce(
+              |      list_prepend(7::BIGINT, list_transform(
+              |        string_split(CAST(doc_id AS VARCHAR), ''), c -> ord(c)::BIGINT)),
+              |      (acc, c) -> (acc * 31 + c) % 2147483647) % 8 AS bucket
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, bucket, n_tokens,
+              |    COALESCE(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              |  FROM tk)
+              |SELECT bucket, CAST(floor(cum_before / 512) AS BIGINT) AS bin,
+              |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+              |FROM c GROUP BY 1, 2 ORDER BY bucket, bin""".stripMargin)),
 
     // Frame sampling through the batched media path: the slicing stub is
     // deterministic, so the oracle reproduces the exact byte windows —

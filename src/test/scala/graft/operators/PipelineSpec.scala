@@ -58,6 +58,33 @@ class PipelineSpec extends SparkSuite {
     assert(kept == Set(0L, 1L), s"kept $kept — 5 and 9 duplicate 0 in-cluster")
   }
 
+  test("packing: bins fill contiguously and never start past capacity") {
+    val cap = 100L
+    val packed = Packing.pack(docs, "doc_id", "text", cap, buckets = 4).cache()
+    assert(packed.count() == docs.count(), "every doc gets exactly one bin")
+    // a doc starts in the bin its cumulative offset falls into: reconstruct
+    // cum_before independently and check floor(cum/cap) == bin everywhere
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+    val re = packed.withColumn("cum",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .filter(floor(col("cum") / lit(cap)).cast("long") =!= col("bin"))
+    assert(re.isEmpty, "bin assignment must equal the cumsum rule")
+    // bins are dense per bucket: the last bin's index is bounded exactly by
+    // floor(total/cap) above and floor((total - last_doc)/cap) below
+    val stats = packed.groupBy("bucket")
+      .agg(max("bin").as("mx"), sum("n_tokens").as("tot"), max("n_tokens").as("big"))
+      .collect()
+    stats.foreach { r =>
+      val (mx, tot, big) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(mx <= tot / cap, s"bucket ${r.getLong(0)}: bin past the token total")
+      assert(mx >= (tot - big) / cap,
+        s"bucket ${r.getLong(0)}: sparse bins ($mx for $tot tokens)")
+    }
+  }
+
   test("decontaminate: flags any shared 5-gram, ignores shorter overlap") {
     import spark.implicits._
     val train = Seq(
