@@ -186,6 +186,41 @@ object Pipeline {
         .orderBy("a_id", "b_id"),
       None),
 
+    // Incremental dedup: the steady-state pipeline shape — a new batch
+    // (every 5th doc) screened against the already-deduplicated corpus
+    // (the rest) plus its own earlier arrivals, without any corpus
+    // self-join. LSH + exact verify on the Spark side; the oracle computes
+    // the exact cross-relation Jaccard directly (d03's recall argument
+    // makes agreement expected, not hoped for).
+    "d16_dedup_incremental" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        Dedup.incremental(batch, corpus, "doc_id", "text",
+          ShingleN, JaccardThreshold).orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+              |sh AS (
+              |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${ShingleN - 1}], ' ') AS sh
+              |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - ${ShingleN - 1}, 0) + 1)) AS i) g),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+              |pairs AS (
+              |  SELECT b.doc_id AS b_id, o.doc_id AS o_id, count(*) AS inter
+              |  FROM sh b JOIN sh o ON b.sh = o.sh
+              |  WHERE b.doc_id % 5 = 0 AND b.doc_id <> o.doc_id
+              |    AND (o.doc_id % 5 <> 0 OR o.doc_id < b.doc_id)
+              |  GROUP BY 1, 2),
+              |dropped AS (
+              |  SELECT DISTINCT b_id FROM pairs
+              |  JOIN sizes sb ON sb.doc_id = b_id
+              |  JOIN sizes so ON so.doc_id = o_id
+              |  WHERE floor(inter * 1000.0 / (sb.sz + so.sz - inter) + 0.5)
+              |    >= ${(JaccardThreshold * 1000).toInt})
+              |SELECT doc_id FROM documents
+              |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT b_id FROM dropped)
+              |ORDER BY doc_id""".stripMargin)),
+
     // Benchmark decontamination: flag training docs sharing any 5-gram
     // with the eval set. The fixture has no external benchmark, so the
     // eval set is PLANTED as verbatim 12-token spans lifted from every

@@ -58,6 +58,23 @@ class PipelineSpec extends SparkSuite {
     assert(kept == Set(0L, 1L), s"kept $kept — 5 and 9 duplicate 0 in-cluster")
   }
 
+  test("incremental dedup: corpus dups and earlier-batch dups drop, rest keep") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog by the river bank"
+    val b = "completely unrelated text about catalyst plans and shuffle exchanges"
+    val c = "a third distinct document mentioning watermarks and session windows"
+    val corpus = Seq((1000L, a)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, a), // duplicates the corpus → drop
+      (2L, b), // first arrival of b → keep
+      (3L, b), // duplicates earlier batch doc 2 → drop
+      (4L, c)) // unique → keep
+      .toDF("doc_id", "text")
+    val kept = Dedup.incremental(batch, corpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L), s"kept $kept")
+  }
+
   test("packing: bins fill contiguously and never start past capacity") {
     val cap = 100L
     val packed = Packing.pack(docs, "doc_id", "text", cap, buckets = 4).cache()
