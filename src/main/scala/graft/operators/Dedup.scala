@@ -259,7 +259,13 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val bb = bandedOf(batch)
+    // The batch's banded rows feed THREE consumers (the corpus join and
+    // both sides of the self-join): materialize them once, or the
+    // shingle→minhash projection runs 3×. Safe to pin at any scale — the
+    // banded shape is (id, band, bkey), bands × |batch| slim rows, never
+    // the shingle arrays. The corpus side has exactly one consumer and
+    // streams through unmaterialized.
+    val bb = bandedOf(batch).localCheckpoint()
     val cb = bandedOf(corpus)
     val vsCorpus = bb.as("a")
       .join(cb.as("b"),

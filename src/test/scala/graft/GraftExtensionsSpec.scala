@@ -30,7 +30,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c,
           |  jaccard_milli(array('a','b','c'), array('b','c','d')) AS j,
           |  stopword_scores('the cat and more', array('the','and'), array('cat','of')) AS sw,
-          |  lang_id('the cat and the dog of it') AS lid
+          |  lang_id('the cat and the dog of it') AS lid,
+          |  line_stats('a\nb\na') AS ls,
+          |  top_bigram_cover(array('x','y','x','y')) AS bg
           |FROM range(1)""".stripMargin).collect()(0)
       assert(r.getAs[Long]("h") ==
         (((7L * 31 + 'a') % 2147483647L) * 31 + 'b') % 2147483647L)
@@ -39,6 +41,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("j") == 500L) // |∩|=2, |∪|=4
       assert(r.getSeq[Long](r.fieldIndex("sw")) == Seq(2L, 1L))
       assert(r.getAs[String]("lid") == "en")
+      // 3 lines, 2 distinct, 3 chars total, 1 duplicated char
+      assert(r.getSeq[Long](r.fieldIndex("ls")) == Seq(3L, 2L, 3L, 1L))
+      assert(r.getAs[Long]("bg") == 6L) // "x y" twice × 3 chars
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
