@@ -295,6 +295,52 @@ object Dedup {
     batch.select(col(idCol).as("doc_id")).join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** Bloom-prefiltered incremental EXACT dedup: drop batch rows whose
+    * content is byte-identical to an existing corpus row, then keep one
+    * (min-id) representative per surviving batch hash group — the exact
+    * counterpart of [[incremental]] for the "same page crawled again"
+    * steady state. Returns the kept batch ids as `(doc_id)`.
+    *
+    * The screen is a Bloom filter over corpus content hashes, built with
+    * Spark's distributed `BloomFilterAggregate` (merge-combinable partial
+    * sketches — the same machinery AQE's runtime filters plan) and probed
+    * with the codegen'd `BloomFilterMightContain`; no UDF, and the only
+    * driver-side data is the filter bytes. Sizing: `expectedItems` at `fpp`
+    * → m = ⌈−n·ln p / ln²2⌉ bits (1e9 items at 1% ≈ 1.2 GB — still a
+    * broadcastable one-off; at steady state build ONCE and persist the
+    * bytes next to the corpus instead of re-aggregating per increment).
+    *
+    * Scale shape: each arriving batch probes the filter per-row,
+    * UNSHUFFLED; only Bloom hits (true duplicates + ~fpp false positives)
+    * reach the exact verification semi-join, whose tiny probe side
+    * broadcasts under AQE — the corpus is never reshuffled per increment.
+    * False positives cannot drop good rows: every hit is verified
+    * against the real corpus hashes before a batch row is discarded. */
+  def exactIncremental(batch: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String,
+                       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    import org.apache.spark.sql.graft.exprs
+    val cHash = corpus.select(md5(col(textCol)).as("content_hash"))
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // one corpus pass; null when the corpus is empty (nothing to screen)
+    val bloom = cHash
+      .select(exprs.bloom_agg(col("content_hash"), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val hashed = batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("content_hash"))
+    val confirmed = Option(bloom) match {
+      case None => hashed.limit(0) // empty corpus: no duplicates possible
+      case Some(bytes) =>
+        hashed.filter(exprs.bloom_might_contain(bytes, col("content_hash")))
+          .join(cHash, Seq("content_hash"), "left_semi")
+    }
+    hashed.join(confirmed.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("content_hash").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+  }
+
   /** Benchmark decontamination: training docs sharing any `shingleN`-gram
     * with an evaluation/benchmark set must be flagged (and usually dropped)
     * before training — verbatim eval spans in the corpus inflate benchmark

@@ -47,4 +47,33 @@ object Sampling {
     val b = bucketMilli(key)
     (df.filter(b >= holdoutMilli), df.filter(b < holdoutMilli))
   }
+
+  /** Deterministic mixture resampling: replicate/drop rows so each stratum
+    * approaches a target weight, expressed in milli-copies (1000 = keep as
+    * is, 2500 = 2.5×, 400 = keep 40%). A row with weight `w` yields
+    * `⌊w/1000⌋` full copies plus one more iff its hash bucket falls below
+    * `w mod 1000` — so fractional weights are realized EXACTLY in
+    * expectation and deterministically per key: the same row replicates the
+    * same way on every run, cluster, and engine (this is how a pre-training
+    * data mixture up-weights rare domains/languages without RNG state).
+    *
+    * Output = input columns + `copy` (1-based replica index). Per-row
+    * compute + one `explode`; no shuffle. Strata absent from `weightsMilli`
+    * get `defaultMilli`. */
+  def resampleMixture(df: DataFrame, key: Column, stratum: Column,
+                      weightsMilli: Map[String, Int],
+                      defaultMilli: Int = 1000): DataFrame = {
+    require((weightsMilli.values ++ Seq(defaultMilli)).forall(_ >= 0),
+      "weights must be non-negative")
+    require(!df.columns.contains("copy"), "input already has a 'copy' column")
+    val w = weightsMilli.foldLeft(lit(defaultMilli)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    val copies = (floor(w / 1000) +
+      when(bucketMilli(key) < pmod(w, lit(1000)), 1).otherwise(0)).cast("long")
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0) // guard: sequence(1, 0) would DEscend
+      .withColumn("copy", explode(sequence(lit(1L), col("_copies"))))
+      .drop("_copies")
+  }
 }

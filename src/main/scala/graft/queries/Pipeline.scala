@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{HashFunctions, Redact, Text}
-import graft.operators.{AsOf, Clustering, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, Upsert}
+import graft.operators.{AsOf, Chunking, Clustering, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, Upsert}
 
 import org.apache.spark.sql.functions._
 
@@ -220,6 +220,36 @@ object Pipeline {
               |SELECT doc_id FROM documents
               |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT b_id FROM dropped)
               |ORDER BY doc_id""".stripMargin)),
+
+    // Bloom-prefiltered incremental EXACT dedup (the "same page crawled
+    // again" steady state, d16's exact sibling). Built on Spark's native
+    // BloomFilterAggregate / BloomFilterMightContain — distributed build,
+    // codegen'd probe, no UDF. The fixture has no cross-doc exact dups, so
+    // duplicates are PLANTED: the corpus additionally carries re-id'd
+    // copies of every 15th doc's text (t06's planted-ground-truth pattern)
+    // — those batch docs must drop, everything else survives. Bloom false
+    // positives can't affect the result (every hit is exact-verified), so
+    // the oracle is plain exact SQL.
+    "d17_dedup_bloom" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(15)) === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        Dedup.exactIncremental(batch, corpus, "doc_id", "text",
+          expectedItems = 100000L).orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT text FROM documents WHERE doc_id % 5 <> 0
+             |  UNION ALL SELECT text FROM documents WHERE doc_id % 15 = 0),
+             |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+             |survivors AS (
+             |  SELECT doc_id, md5(text) AS h FROM batch
+             |  WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus))
+             |SELECT min(doc_id) AS doc_id FROM survivors GROUP BY h
+             |ORDER BY doc_id""".stripMargin)),
 
     // Benchmark decontamination: flag training docs sharing any 5-gram
     // with the eval set. The fixture has no external benchmark, so the
@@ -769,6 +799,59 @@ object Pipeline {
               |LEFT JOIN lagg l ON l.doc_id = p.doc_id
               |LEFT JOIN bagg b ON b.doc_id = p.doc_id
               |ORDER BY p.doc_id""".stripMargin)),
+
+    // ------------------------------------------------- chunking (t08)
+    // Overlapping token-window chunking — long documents become multiple
+    // training sequences (window 32, stride 24 → 8-token overlap). Chunk
+    // identity is (doc_id, chunk_no), a pure function of the input; the
+    // md5 pins the exact token window content. Per-row + one explode, no
+    // shuffle.
+    "t08_chunk_tokens" -> QueryDef(
+      (s, dir) => Chunking.tokenChunks(t(s, dir, "documents"), "doc_id", "text",
+          window = 32, stride = 24).orderBy("doc_id", "chunk_no"),
+      Some(s"""WITH tk AS (SELECT doc_id, $sqlTokens AS w FROM documents),
+              |c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM tk
+              |      WHERE len(w) > 0),
+              |idx AS (
+              |  SELECT doc_id, w, n, CAST(i AS BIGINT) AS chunk_no
+              |  FROM c, LATERAL (SELECT unnest(range(0,
+              |    1 + (greatest(n - 32, 0) + 23) // 24)) AS i) g)
+              |SELECT doc_id, chunk_no,
+              |  least(32, n - chunk_no * 24) AS n_tokens,
+              |  md5(array_to_string(w[chunk_no * 24 + 1 : chunk_no * 24 + 32], ' ')) AS chunk_md5
+              |FROM idx ORDER BY doc_id, chunk_no""".stripMargin)),
+
+    // --------------------------------------------- mixture resampling (p03)
+    // Deterministic data-mixture resampling: per-language milli-weights
+    // (es ×2.4, de ×2, en ×1.5, fr ×0.7, everything else ×0.25) realized as
+    // ⌊w⌋ full copies + one more iff the doc's hash bucket < frac(w) — the
+    // same rolling-hash fold q44 verifies, so replication is reproducible
+    // on any cluster AND by the oracle. Per-row + one explode, no shuffle.
+    "p03_resample_mixture" -> QueryDef(
+      (s, dir) => Sampling.resampleMixture(
+          t(s, dir, "documents")
+            .select(col("doc_id"), Text.langId(col("text")).as("pred_lang")),
+          col("doc_id"), col("pred_lang"),
+          Map("en" -> 1500, "es" -> 2400, "fr" -> 700, "de" -> 2000),
+          defaultMilli = 250)
+        .orderBy("doc_id", "copy"),
+      Some(s"""WITH l AS (
+              |  SELECT doc_id, $langCaseSql AS pred_lang,
+              |    list_reduce(
+              |      list_prepend(7::BIGINT, list_transform(
+              |        string_split(CAST(doc_id AS VARCHAR), ''), c -> ord(c)::BIGINT)),
+              |      (acc, c) -> (acc * 31 + c) % 2147483647) % 1000 AS bucket
+              |  FROM documents),
+              |w AS (SELECT doc_id, pred_lang, bucket,
+              |    CASE pred_lang WHEN 'en' THEN 1500 WHEN 'es' THEN 2400
+              |                   WHEN 'fr' THEN 700 WHEN 'de' THEN 2000
+              |                   ELSE 250 END AS wm FROM l),
+              |cp AS (SELECT doc_id, pred_lang,
+              |    wm // 1000 + CASE WHEN bucket < wm % 1000 THEN 1 ELSE 0 END AS copies
+              |  FROM w)
+              |SELECT doc_id, pred_lang, CAST(i AS BIGINT) AS copy
+              |FROM cp, LATERAL (SELECT unnest(range(1, copies + 1)) AS i) g
+              |WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin)),
 
     // ------------------------------------------------- latest-by-key view
     // Upsert view over the append-only event log: current state per user =

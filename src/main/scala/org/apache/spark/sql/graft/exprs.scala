@@ -220,6 +220,29 @@ object exprs {
   def lang_id(c: Column, groups: Seq[(String, Seq[String])]): Column =
     ExpressionUtils.column(LangId(ExpressionUtils.expression(c), groups))
 
+  /** Spark's native runtime-filter Bloom machinery — `BloomFilterAggregate`
+    * to build (distributed, merge-combinable) and `BloomFilterMightContain`
+    * to probe (codegen'd) — is what AQE's InjectRuntimeFilter plans, but it
+    * has no public Column API; bridged here. Both sides hash through
+    * `xxhash64`, matching the aggregate's insert contract, so a filter
+    * built by [[bloom_agg]] is probe-compatible with
+    * [[bloom_might_contain]] by construction. No UDF on either path. */
+  def bloom_agg(c: Column, expectedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(ExpressionUtils.expression(c))),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  def bloom_might_contain(bloom: Array[Byte], c: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloom, BinaryType),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(ExpressionUtils.expression(c)))))
+
   private def intLit(e: Expression, what: String): Long = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toLong
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v
