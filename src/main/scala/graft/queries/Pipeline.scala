@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{HashFunctions, Redact, Text}
-import graft.operators.{AsOf, Chunking, Clustering, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, Upsert}
+import graft.operators.{AsOf, Chunking, Clustering, Dedup, Indexing, Multimodal, Packing, RangeJoin, Sampling, Similarity, Upsert}
 
 import org.apache.spark.sql.functions._
 
@@ -852,6 +852,21 @@ object Pipeline {
               |SELECT doc_id, pred_lang, CAST(i AS BIGINT) AS copy
               |FROM cp, LATERAL (SELECT unnest(range(1, copies + 1)) AS i) g
               |WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin)),
+
+    // --------------------------------------------- global indexing (p04)
+    // Contiguous stable training-example ids, 1..N in doc_id order. The
+    // oracle IS the single-partition global window; the Spark side is the
+    // scale-safe two-pass (range buckets → model-sized offset table →
+    // parallel per-bucket ranks) that produces the identical numbering
+    // without moving the corpus through one task.
+    "p04_global_index" -> QueryDef(
+      (s, dir) => Indexing.globalIndex(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("doc_id"), buckets = 32)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source,
+             |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS global_idx
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ------------------------------------------------- latest-by-key view
     // Upsert view over the append-only event log: current state per user =

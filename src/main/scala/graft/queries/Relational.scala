@@ -904,6 +904,70 @@ object Relational {
              |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // Bucketed co-located join: both sides land as hash-bucketed parquet
+    // (the write-once shuffle), then join on the bucket key — at scale the
+    // join itself needs NO Exchange (BucketingSpec proves it on the plan;
+    // here the write+read+join round-trip is the verified result, the l01
+    // pattern). Money rides as integer centi-units.
+    "q47_bucketed_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+        graft.operators.Bucketing.writeBucketed(s,
+          t(s, dir, "customer").select($"c_custkey", $"c_mktsegment"),
+          "graft_bkt_customer", s"$base/customer", buckets = 8, key = "c_custkey")
+        graft.operators.Bucketing.writeBucketed(s,
+          t(s, dir, "orders")
+            .select($"o_custkey", floor($"o_totalprice" * 100 + 0.5).cast("long").as("price_c")),
+          "graft_bkt_orders", s"$base/orders", buckets = 8, key = "o_custkey")
+        graft.operators.Bucketing.colocatedJoin(s,
+            "graft_bkt_customer", "graft_bkt_orders", "c_custkey", "o_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), sum($"price_c").as("price_centi"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_centi
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Second-moment family: corr / covar_samp / covar_pop are definition-
+    // identical across engines; skewness/kurtosis are NOT (Spark computes
+    // population g1 / excess g2, DuckDB bias-corrected sample versions), so
+    // the oracle derives Spark's definitions from raw central moments
+    // rather than calling DuckDB's skewness()/kurtosis().
+    "q48_stats_moments" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qp"),
+            round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("covar_s"),
+            round(covar_pop($"l_quantity", $"l_extendedprice"), 2).as("covar_p"),
+            round(skewness($"l_extendedprice"), 4).as("skew_price"),
+            round(kurtosis($"l_extendedprice"), 4).as("kurt_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH mu AS (
+             |  SELECT l_returnflag, avg(l_extendedprice) AS m FROM lineitem GROUP BY 1),
+             |mom AS (
+             |  SELECT l.l_returnflag,
+             |    corr(l_quantity, l_extendedprice) AS c,
+             |    covar_samp(l_quantity, l_extendedprice) AS cs,
+             |    covar_pop(l_quantity, l_extendedprice) AS cp,
+             |    avg(pow(l_extendedprice - m, 2)) AS m2,
+             |    avg(pow(l_extendedprice - m, 3)) AS m3,
+             |    avg(pow(l_extendedprice - m, 4)) AS m4
+             |  FROM lineitem l JOIN mu USING (l_returnflag) GROUP BY 1)
+             |SELECT l_returnflag, round(c, 4) AS corr_qp, round(cs, 2) AS covar_s,
+             |  round(cp, 2) AS covar_p,
+             |  round(m3 / pow(m2, 1.5), 4) AS skew_price,
+             |  round(m4 / (m2 * m2) - 3, 4) AS kurt_price
+             |FROM mom ORDER BY l_returnflag""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // Predicate pushdown showcase: IN / BETWEEN / LIKE all reach the scan.
     "q31_predicates" -> QueryDef(
       (s, dir) => {
