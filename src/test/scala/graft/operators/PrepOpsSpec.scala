@@ -66,6 +66,22 @@ class PrepOpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("linearScore: bias on empty docs, per-occurrence additivity, keep flag") {
+    import spark.implicits._
+    val w: Seq[Long] = (0 until 64).map(i => (i * 2654435761L) % 2001L - 1000L)
+    val docs = Seq((1L, ""), (2L, "foo"), (3L, "foo foo"), (4L, "foo bar"))
+      .toDF("doc_id", "text")
+    val got = Scoring.linearScore(docs, "doc_id", "text", w, biasMilli = 50L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((0L, 50L, true))) // no tokens → score = bias
+    val fooW = got(2L)._2 - 50L
+    assert(w.contains(fooW)) // a single token contributes exactly one weight
+    assert(got(3L) == ((2L, 50L + 2 * fooW, 50L + 2 * fooW >= 0))) // per occurrence
+    val barW = got(4L)._2 - 50L - fooW
+    assert(w.contains(barW)) // mixed doc = sum of per-token weights
+    assert(got.values.forall(v => v._3 == (v._2 >= 0L)))
+  }
+
   test("exactIncremental == plain exact anti-join on planted duplicates") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet").cache()
     val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
