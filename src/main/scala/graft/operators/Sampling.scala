@@ -48,6 +48,36 @@ object Sampling {
     (df.filter(b >= holdoutMilli), df.filter(b < holdoutMilli))
   }
 
+  /** Per-stratum quota: keep at most `k` rows per stratum (the per-domain
+    * cap of web-corpus curation — no single site may dominate the mixture),
+    * preferring higher `priority` and breaking ties toward the lower `key`
+    * — a total, deterministic order, so the kept set is reproducible.
+    *
+    * Scale shape: the plain formulation is one `row_number` window
+    * partitioned by stratum — but a window partition is NOT AQE-splittable,
+    * so a viral stratum (one domain with 10⁸ pages) pins to a single task.
+    * `presalts > 1` bounds that: a first window ranks within
+    * (stratum, hash-salt) keeping k per salt — every global top-k row is
+    * necessarily in its salt's top-k, so the final per-stratum window
+    * re-ranks at most `presalts × k` rows per stratum. Result-identical to
+    * the unsalted plan (PrepOpsSpec asserts it); costs one extra shuffle,
+    * buys a hard per-task bound. */
+  def capPerStratum(df: DataFrame, stratum: Column, priority: Column, key: Column,
+                    k: Int, presalts: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("_cap_rk"), "input already has a '_cap_rk' column")
+    val W = org.apache.spark.sql.expressions.Window
+    val pre = if (presalts > 1) {
+      val salt = pmod(HashFunctions.rolling_hash(key.cast("string")), lit(presalts.toLong))
+      val w1 = W.partitionBy(stratum, salt).orderBy(priority.desc, key.asc)
+      df.withColumn("_cap_rk", row_number().over(w1))
+        .filter(col("_cap_rk") <= k).drop("_cap_rk")
+    } else df
+    val w = W.partitionBy(stratum).orderBy(priority.desc, key.asc)
+    pre.withColumn("_cap_rk", row_number().over(w))
+      .filter(col("_cap_rk") <= k).drop("_cap_rk")
+  }
+
   /** Deterministic mixture resampling: replicate/drop rows so each stratum
     * approaches a target weight, expressed in milli-copies (1000 = keep as
     * is, 2500 = 2.5×, 400 = keep 40%). A row with weight `w` yields

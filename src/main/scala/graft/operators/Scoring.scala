@@ -23,21 +23,26 @@ import org.apache.spark.sql.functions._
   * 0.5 without ever computing a float). */
 object Scoring {
 
-  /** Per-doc linear score: `(doc_id, n_tokens, score_milli, keep)` where
+  /** Append `(n_tokens, score_milli, keep)` to `df`, where
     * `score_milli = biasMilli + Σ_tokens weightsMilli[h(token) mod |w|]`
-    * (per occurrence, not per distinct token) and `keep = score ≥ 0`. */
-  def linearScore(df: DataFrame, idCol: String, textCol: String,
+    * (per occurrence, not per distinct token) and `keep = score ≥ 0`.
+    * Input columns pass through so downstream stages (per-source quotas,
+    * joins) need no re-join against the source table. */
+  def linearScore(df: DataFrame, textCol: String,
                   weightsMilli: Seq[Long], biasMilli: Long): DataFrame = {
     require(weightsMilli.nonEmpty, "weight vector must be non-empty")
+    Seq("_score_toks", "n_tokens", "score_milli", "keep").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column"))
     val n = weightsMilli.size
     val w = typedLit(weightsMilli)
-    df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        (lit(biasMilli) + aggregate(
-          transform(col("toks"), t => element_at(w,
+    df.withColumn("_score_toks", Text.tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("_score_toks")).cast("long"))
+      .withColumn("score_milli",
+        lit(biasMilli) + aggregate(
+          transform(col("_score_toks"), t => element_at(w,
             pmod(HashFunctions.rolling_hash(t), lit(n.toLong)).cast("int") + 1)),
-          lit(0L), (acc, x) => acc + x)).as("score_milli"))
+          lit(0L), (acc, x) => acc + x))
       .withColumn("keep", col("score_milli") >= 0L)
+      .drop("_score_toks")
   }
 }

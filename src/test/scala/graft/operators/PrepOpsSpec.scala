@@ -71,7 +71,9 @@ class PrepOpsSpec extends SparkSuite {
     val w: Seq[Long] = (0 until 64).map(i => (i * 2654435761L) % 2001L - 1000L)
     val docs = Seq((1L, ""), (2L, "foo"), (3L, "foo foo"), (4L, "foo bar"))
       .toDF("doc_id", "text")
-    val got = Scoring.linearScore(docs, "doc_id", "text", w, biasMilli = 50L)
+    val out = Scoring.linearScore(docs, "text", w, biasMilli = 50L)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "n_tokens", "score_milli", "keep"))
+    val got = out.select("doc_id", "n_tokens", "score_milli", "keep")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     assert(got(1L) == ((0L, 50L, true))) // no tokens → score = bias
     val fooW = got(2L)._2 - 50L
@@ -80,6 +82,22 @@ class PrepOpsSpec extends SparkSuite {
     val barW = got(4L)._2 - 50L - fooW
     assert(w.contains(barW)) // mixed doc = sum of per-token weights
     assert(got.values.forall(v => v._3 == (v._2 >= 0L)))
+  }
+
+  test("capPerStratum: quota, priority order, ties, and salted == unsalted") {
+    import spark.implicits._
+    // stratum a: 10 rows, priorities 0..9; stratum b: 3 rows sharing one
+    // priority (ties resolve to lower key); stratum c: under quota
+    val rows = (0L until 10L).map(i => ("a", i, i % 5)) ++
+      Seq(("b", 20L, 7L), ("b", 21L, 7L), ("b", 22L, 7L), ("c", 30L, 1L))
+    val df = rows.toDF("src", "id", "prio")
+    def run(presalts: Int) = Sampling.capPerStratum(
+      df, col("src"), col("prio"), col("id"), k = 2, presalts = presalts)
+    val plain = run(0).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // a: prio 4 appears at ids 4 and 9 → both kept; b: tie → ids 20,21; c: all
+    assert(plain == Set(("a", 4L), ("a", 9L), ("b", 20L), ("b", 21L), ("c", 30L)))
+    val salted = run(4).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain) // the skew-bounded plan is result-identical
   }
 
   test("exactIncremental == plain exact anti-join on planted duplicates") {
