@@ -215,13 +215,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("node").as("v"), col("label").as("vlabel")), "v")
         .groupBy(col("u").as("node")).agg(min(col("vlabel")).as("nmin"))
+      // carry the previous label through the checkpoint so the convergence
+      // check is a filter over already-materialized rows — not a second
+      // join + recompute per round (per-round actions dominate iterative
+      // DataFrame loops; one action materializes, the other just scans)
       val next = labels.join(neighborMin, Seq("node"), "left_outer")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("node"), col("label").as("old")), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select("node", "label")
       i += 1
     }
     // wrong labels must not be returned silently: a graph with diameter >
