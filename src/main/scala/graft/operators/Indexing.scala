@@ -49,6 +49,8 @@ object Indexing {
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     // ceil-divide so bucket ids stay in [0, buckets)
     val width = math.max(1L, (hi - lo) / buckets + 1L)
+    // Column `/` is double division; (key − lo) ≤ hi − lo stays exact while
+    // the span is < 2^53 — beyond that, pre-scale keys or bucket by hash.
     val withB = df.withColumn("_gidx_bucket", ((key.cast("long") - lo) / width).cast("long"))
     // bucket table: `buckets` rows — the prefix-sum window here is single-
     // partition BY DESIGN (model-sized state, like a centroid table)
