@@ -99,8 +99,13 @@ object Clustering {
   def semDedup(corpus: DataFrame, cents: Seq[(Long, Seq[Double])], threshold: Double,
                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val tm = (threshold * 1000).toLong
+    // Three consumers (both self-join sides + the final anti-join): without
+    // materialization the anti-join side re-runs the full k×dim cosine
+    // assignment scan (the self-join sides can share an exchange, the
+    // vec_id-partitioned anti-join cannot) — the d16 banded-rows lesson.
     val a = assigned(corpus, cents, idCol, embCol)
       .select(col("vec_id"), col("emb"), col("cluster_id"))
+      .localCheckpoint()
     val dropped = a.as("a")
       .join(a.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&

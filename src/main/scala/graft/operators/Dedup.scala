@@ -329,10 +329,29 @@ object Dedup {
     val cHash = corpus.select(md5(col(textCol)).as("content_hash"))
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate SILENTLY clamps its arguments to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits
+    // (defaults 4e6 / 6.7e7) — sized for AQE's runtime join filters, not a
+    // corpus screen. Without this, a >7M-doc corpus quietly builds a
+    // saturated filter (fpp → 1) and every batch row flows into the verify
+    // join — the degradation is invisible because the result stays correct.
+    // Raise the caps for the build, restore after (the clamp is applied
+    // when the aggregate is constructed, i.e. inside this action).
+    val spark = corpus.sparkSession
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
     // one corpus pass; null when the corpus is empty (nothing to screen)
-    val bloom = cHash
-      .select(exprs.bloom_agg(col("content_hash"), expectedItems, numBits).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    val bloom = try {
+      spark.conf.set(itemsKey, math.max(oldItems.toLong, expectedItems))
+      spark.conf.set(bitsKey, math.max(oldBits.toLong, numBits))
+      cHash
+        .select(exprs.bloom_agg(col("content_hash"), expectedItems, numBits).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    } finally {
+      spark.conf.set(itemsKey, oldItems)
+      spark.conf.set(bitsKey, oldBits)
+    }
     val hashed = batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("content_hash"))
     val confirmed = Option(bloom) match {
       case None => hashed.limit(0) // empty corpus: no duplicates possible

@@ -38,20 +38,33 @@ import org.apache.spark.sql.functions._
   */
 object Indexing {
 
-  /** Append `global_idx` (1-based, contiguous, ordered by `key`) to `df`.
-    * `buckets` bounds the parallel fan-out of the ranking pass (choose
-    * ~ cluster cores; each bucket's rows must fit a task's spillable sort). */
+  /** Append `global_idx` (1-based, contiguous, ordered by `key`, null keys
+    * first — Spark's ascending-sort default, so the numbering matches
+    * `row_number() OVER (ORDER BY key)` row for row) to `df`. `buckets`
+    * bounds the parallel fan-out of the ranking pass (choose ~ cluster
+    * cores; each bucket's rows must fit a task's spillable sort). */
   def globalIndex(df: DataFrame, key: Column, buckets: Int = 64): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(!df.columns.contains("global_idx"), "input already has 'global_idx'")
     val bounds = df.agg(min(key).cast("long").as("lo"), max(key).cast("long").as("hi")).head()
-    if (bounds.isNullAt(0)) return df.withColumn("global_idx", lit(null).cast("long"))
+    if (bounds.isNullAt(0)) return df.withColumn("global_idx",
+      row_number().over(Window.orderBy(key)).cast("long")) // degenerate all-null input: plain window
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    // ceil-divide so bucket ids stay in [0, buckets)
-    val width = math.max(1L, (hi - lo) / buckets + 1L)
-    // Column `/` is double division; (key − lo) ≤ hi − lo stays exact while
-    // the span is < 2^53 — beyond that, pre-scale keys or bucket by hash.
-    val withB = df.withColumn("_gidx_bucket", ((key.cast("long") - lo) / width).cast("long"))
+    // All bucket arithmetic in BigInt/decimal(38,0): a hash-valued key
+    // column legitimately spans nearly the full Long range, where both
+    // `hi - lo` and a double-typed division would silently overflow/round
+    // (a span > 2^63 wraps negative; > 2^53 loses low bits). Decimal ops
+    // are exact and still codegen'd.
+    val span = BigInt(hi) - BigInt(lo)
+    val width = (span / buckets + 1).max(1) // ceil-ish: bucket ids stay in [0, buckets)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // Null keys form bucket -1: they sort first (min bucket id) and join by
+    // a non-null literal, so they keep their rows and take indexes 1..#null
+    // — exactly the global window's NULLS FIRST behavior.
+    val bucketExpr = when(key.isNull, lit(-1L).cast(dec)).otherwise(
+      floor((key.cast("long").cast(dec) - lit(new java.math.BigDecimal(lo)))
+        / lit(new java.math.BigDecimal(width.bigInteger))))
+    val withB = df.withColumn("_gidx_bucket", bucketExpr.cast("long"))
     // bucket table: `buckets` rows — the prefix-sum window here is single-
     // partition BY DESIGN (model-sized state, like a centroid table)
     val offsets = withB.groupBy("_gidx_bucket").agg(count(lit(1)).as("_gidx_n"))

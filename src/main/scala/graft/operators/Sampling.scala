@@ -96,6 +96,7 @@ object Sampling {
     require((weightsMilli.values ++ Seq(defaultMilli)).forall(_ >= 0),
       "weights must be non-negative")
     require(!df.columns.contains("copy"), "input already has a 'copy' column")
+    require(!df.columns.contains("_copies"), "input already has a '_copies' column")
     val w = weightsMilli.foldLeft(lit(defaultMilli)) { case (acc, (s, r)) =>
       when(stratum === s, lit(r)).otherwise(acc)
     }

@@ -160,9 +160,14 @@ object LakeSink {
         val written = LakeWriter.write(sized, schema, rootUri, flushTime, gzip,
           maxRecordsPerObject = recordLimit, keyPrefix = s"$staging/")
         def epochKey(i: Int): (java.util.UUID, String) = {
+          // the default (no sinkId) seed must stay byte-identical to the
+          // pre-sinkId format: a stream that landed epochs under the old
+          // names and restarts on newer code must REWRITE those keys on
+          // replay, not write a disjoint second copy it would never clean
+          val seed = if (sinkId.isEmpty) s"${schema.name}:$epochId:$i"
+                     else s"$sinkId:${schema.name}:$epochId:$i"
           val id = java.util.UUID.nameUUIDFromBytes(
-            s"$sinkId:${schema.name}:$epochId:$i"
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            seed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           (id, graft.lake.LakeKeys.objectKey(schema.name, flushTime, id, gzip))
         }
         val published = written.sortBy(_.key).zipWithIndex.map { case (w, i) =>

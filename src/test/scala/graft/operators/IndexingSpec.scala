@@ -34,6 +34,34 @@ class IndexingSpec extends SparkSuite {
     assert(got.columns.toSeq == Seq("doc_id", "source", "global_idx"))
   }
 
+  test("keys spanning the full Long range (hash-valued keys) stay exact") {
+    import spark.implicits._
+    // xxhash64-shaped keys: extremes plus a spread across the whole range —
+    // `hi - lo` here overflows 64-bit subtraction and breaks double math
+    val keys = Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+      Long.MaxValue - 1, Long.MaxValue) ++
+      (1L to 200L).map(i => i * 92233720368547758L - 4611686018427387904L)
+    val df = keys.toDF("k").repartition(5)
+    val got = Indexing.globalIndex(df, col("k"), buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference(keys))
+  }
+
+  test("null keys keep their rows and number first (NULLS FIRST parity)") {
+    import spark.implicits._
+    val df = Seq(Some(10L), None, Some(20L), None, Some(-5L)).toDF("k")
+    val got = Indexing.globalIndex(df, col("k"), buckets = 4)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(1))
+    // two null rows take indexes {1,2}; non-nulls follow in key order
+    assert(got.filter(_._1.isEmpty).map(_._2).sorted.toSeq == Seq(1L, 2L))
+    assert(got.filter(_._1.isDefined).toMap ==
+      Map(Some(-5L) -> 3L, Some(10L) -> 4L, Some(20L) -> 5L))
+    // degenerate all-null input still numbers 1..N
+    val allNull = Seq[Option[Long]](None, None, None).toDF("k")
+    assert(Indexing.globalIndex(allNull, col("k")).select("global_idx")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("empty input and reserved-column guard") {
     import spark.implicits._
     val empty = Seq.empty[Long].toDF("k")

@@ -47,8 +47,11 @@ class StreamingSpec extends SparkSuite {
     // names a replayed epoch would rewrite idempotently
     val store = new graft.lake.HadoopStore(root)
     assert(store.list("_staging").isEmpty, "staging prefix must be cleaned")
+    // default (no sinkId) keeps the ORIGINAL seed format — byte-identical
+    // names across code versions are what make epoch replay idempotent
+    // for streams that landed objects before sinkId existed
     val expectIds = flushes.indices.map(i => java.util.UUID.nameUUIDFromBytes(
-      s":stream_ev:0:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      s"stream_ev:0:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     assert(flushes.map(_.id).toSet == expectIds.toSet)
   }
 
