@@ -968,6 +968,41 @@ object Relational {
              |FROM mom ORDER BY l_returnflag""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // Time-series gap-fill (resample + forward fill): per-user hourly grid
+    // from first to last observed hour, each point carrying the latest
+    // at-or-before observation. Spark has no native gap-fill; this is the
+    // composed all-builtins plan in [[graft.operators.Timeseries]] — every
+    // stage key-partitioned, no single-partition window. Values ride as
+    // integer cents so the fill is bit-exact cross-engine.
+    "q49_gapfill" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"user_id", $"ts", floor($"value" * 100 + 0.5).cast("long").as("vc"))
+        graft.operators.Timeseries.gapFillHourly(ev, $"user_id", $"ts", $"vc")
+          .select($"key".as("user_id"), $"bucket_ts", $"value".as("v_cents"))
+          .orderBy("user_id", "bucket_ts")
+      },
+      Some("""WITH obs AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h, ts,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+             |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+             |      ORDER BY ts DESC, CAST(floor(value * 100 + 0.5) AS BIGINT) DESC) AS rn
+             |  FROM events),
+             |hl AS (SELECT user_id, h, vc FROM obs WHERE rn = 1),
+             |span AS (SELECT user_id, min(h) AS t0, max(h) AS t1 FROM hl GROUP BY 1),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+             |  FROM span),
+             |j AS (
+             |  SELECT g.user_id, g.h, hl.vc
+             |  FROM grid g LEFT JOIN hl ON hl.user_id = g.user_id AND hl.h = g.h)
+             |SELECT user_id, h AS bucket_ts,
+             |  last_value(vc IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_cents
+             |FROM j ORDER BY user_id, bucket_ts""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // Predicate pushdown showcase: IN / BETWEEN / LIKE all reach the scan.
     "q31_predicates" -> QueryDef(
       (s, dir) => {

@@ -100,6 +100,28 @@ class PrepOpsSpec extends SparkSuite {
     assert(salted == plain) // the skew-bounded plan is result-identical
   }
 
+  test("gapFill: grid completeness, in-bucket last wins, fill across gaps") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val ev = Seq(
+      // user 1: two obs in hour 0 (later one wins), gap over hours 1-2, obs at hour 3
+      (1L, ts("2024-05-01T00:10:00Z"), 100L),
+      (1L, ts("2024-05-01T00:40:00Z"), 200L),
+      (1L, ts("2024-05-01T03:05:00Z"), 300L),
+      // user 2: single observation → single grid point
+      (2L, ts("2024-05-02T07:30:00Z"), 900L)
+    ).toDF("uid", "t", "v")
+    val got = Timeseries.gapFillHourly(ev, col("uid"), col("t"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString, r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      (1L, "2024-05-01T00:00:00Z", 200L), // later in-bucket obs wins
+      (1L, "2024-05-01T01:00:00Z", 200L), // gap hours repeat the prior value
+      (1L, "2024-05-01T02:00:00Z", 200L),
+      (1L, "2024-05-01T03:00:00Z", 300L),
+      (2L, "2024-05-02T07:00:00Z", 900L)))
+  }
+
   test("exactIncremental == plain exact anti-join on planted duplicates") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet").cache()
     val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
