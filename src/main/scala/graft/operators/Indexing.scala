@@ -46,6 +46,16 @@ object Indexing {
   def globalIndex(df: DataFrame, key: Column, buckets: Int = 64): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     require(!df.columns.contains("global_idx"), "input already has 'global_idx'")
+    // Integral keys only, checked loudly: any value whose cast("long") is
+    // null (a non-numeric string, a decimal beyond Long range) would get a
+    // null bucket and silently VANISH through the offsets join.
+    val keyType = df.select(key).schema.head.dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(keyType),
+      s"globalIndex requires an integral key column (got $keyType); " +
+        "hash or rank non-integral keys into a long first")
     val bounds = df.agg(min(key).cast("long").as("lo"), max(key).cast("long").as("hi")).head()
     if (bounds.isNullAt(0)) return df.withColumn("global_idx",
       row_number().over(Window.orderBy(key)).cast("long")) // degenerate all-null input: plain window

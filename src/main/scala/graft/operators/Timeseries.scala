@@ -35,13 +35,15 @@ object Timeseries {
               bucketOf: Column => Column, step: Column): DataFrame = {
     val obs = df.select(key.as("key"), bucketOf(ts).as("bucket_ts"),
       ts.as("_gf_ts"), value.as("value"))
-    // last observation per (key, bucket): rank by (ts, value) desc — the
+    // last observation per (key, bucket) IS an upsert view — one shuffle,
+    // per-partition top-1, (ts, value) descending for a total order. The
     // filter collapses before the next shuffle, so gap-fill cost tracks
-    // BUCKETS, not raw events
-    val w = Window.partitionBy("key", "bucket_ts")
-      .orderBy(col("_gf_ts").desc, col("value").desc)
-    val hourly = obs.withColumn("_gf_rn", row_number().over(w))
-      .filter(col("_gf_rn") === 1).select("key", "bucket_ts", "value")
+    // BUCKETS, not raw events. Materialized once: both the span aggregate
+    // and the grid join consume it (the semDedup multi-consumer lesson).
+    val hourly = Upsert.latest(obs, Seq("key", "bucket_ts"),
+        col("_gf_ts"), col("value"))
+      .select("key", "bucket_ts", "value")
+      .localCheckpoint()
     val grid = hourly.groupBy("key")
       .agg(min("bucket_ts").as("_gf_t0"), max("bucket_ts").as("_gf_t1"))
       .select(col("key"),

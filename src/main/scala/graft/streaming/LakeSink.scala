@@ -181,6 +181,22 @@ object LakeSink {
         var extra = published.length
         while ({ val (_, k) = epochKey(extra); store.exists(k) && { store.delete(k); true } })
           extra += 1
+        // heal objects landed by the short-lived intermediate seed format
+        // (":table:epoch:i" — sinkId folded in without the empty-default
+        // carve-out): same epoch, disjoint key space, so a replay would
+        // otherwise duplicate them instead of rewriting (same hour-boundary
+        // caveat as the loop above)
+        if (sinkId.isEmpty) {
+          def interKey(i: Int): String = {
+            val id = java.util.UUID.nameUUIDFromBytes(
+              s":${schema.name}:$epochId:$i"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            graft.lake.LakeKeys.objectKey(schema.name, flushTime, id, gzip)
+          }
+          var j = 0
+          while ({ val k = interKey(j); store.exists(k) && { store.delete(k); true } })
+            j += 1
+        }
         val age = System.currentTimeMillis() - t0
         published.foreach { w =>
           onFlush(FlushInfo(schema.name, w.id, trigger, w.records, age, w.key))
