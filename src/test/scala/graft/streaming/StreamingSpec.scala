@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSuite
 import graft.collector.{FlushInfo, FlushTrigger}
 import graft.lake.LakeReader
+import graft.operators.Scoring
 import graft.types.{ColType, TableSchema}
 
 import java.nio.file.Files
@@ -385,6 +386,47 @@ class StreamingSpec extends SparkSuite {
       .map(a => (a.key, a.n_events, a.first_ts.toInstant.toString,
         a.last_ts.toInstant.toString)).toSet
     assert(rows == Set((1L, 2L, "2024-07-01T00:00:00Z", "2024-07-01T00:05:00Z")))
+  }
+
+  test("streaming curation: quality gate + Bloom screen + exact anti-join, per-row state-free") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.graft.exprs
+    // Static deduplicated corpus; its Bloom filter is built ONCE in batch
+    // (at steady state: persisted next to the corpus) and probed per
+    // arriving row — the whole curation chain below is stateless, so it
+    // runs identically in a micro-batch stream and needs no watermark.
+    val corpus = Seq((100L, "existing corpus document body"),
+                     (101L, "another corpus document body")).toDF("doc_id", "text")
+    val bloom = corpus
+      .select(exprs.bloom_agg(md5($"text"), 1000L, 8192L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    // weights: every token weighs -1 milli; bias 2 → docs with >2 tokens
+    // fail the quality gate (deterministic, no float in sight)
+    val w = Seq.fill(64)(-1L)
+    val ms = MemoryStream[(Long, String)]
+    val scored = Scoring.linearScore(
+        ms.toDF().toDF("doc_id", "text"), "text", w, biasMilli = 2L)
+      .filter($"keep")
+    // d17's shape on a stream: Bloom misses are DEFINITELY novel and pass
+    // free; only hits (true dups + ~fpp false positives) pay the exact
+    // stream-static anti-join, so a false positive can never drop a row
+    val hit = exprs.bloom_might_contain(bloom, md5($"text"))
+    val verified = scored.filter(hit)
+      .join(corpus.select(md5($"text").as("_ch")), md5($"text") === $"_ch", "left_anti")
+    val curated = scored.filter(!hit).unionByName(verified)
+      .select("doc_id", "text")
+    val q = curated.writeStream.outputMode("append").format("memory")
+      .queryName("curation_out").start()
+    ms.addData(
+      (1L, "short novel"),                    // keep: 2 tokens, novel
+      (2L, "existing corpus document body"),  // low quality AND a dup → drop
+      (3L, "too many tokens in this one"),    // quality fail (6 tokens) → drop
+      (4L, "corpus body"))                    // keep: 2 tokens, novel
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("curation_out").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 4L))
   }
 
   test("stream-static enrichment join stays broadcast") {
