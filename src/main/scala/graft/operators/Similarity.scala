@@ -32,6 +32,35 @@ object Similarity {
 
   private def asDouble(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
 
+  /** Semantic benchmark decontamination — [[Dedup.decontaminate]]'s
+    * embedding-space cousin: flag every training vector whose cosine
+    * against ANY evaluation vector reaches `threshold` (paraphrased or
+    * re-encoded eval material that n-gram overlap misses). Returns one row
+    * per contaminated training vector:
+    * `(vec_id, n_eval_hits, max_cos_milli)`.
+    *
+    * Scale shape: eval sets are metadata-sized next to the corpus, so the
+    * eval side is `broadcast()` and the corpus streams through UNSHUFFLED
+    * — per-row cost is |eval| compiled cosine sweeps, and only the rare
+    * hits reach the aggregation. For eval sets too large to broadcast,
+    * SRP-bucket both sides first ([[srpNearDupPairs]]' banding) and verify
+    * the collisions exactly. */
+  def decontaminateSemantic(train: DataFrame, eval: DataFrame, threshold: Double,
+                            idCol: String = "vec_id", embCol: String = "embedding",
+                            evalIdCol: String = "vec_id", evalEmbCol: String = "embedding"): DataFrame = {
+    val tm = (threshold * 1000).toLong
+    val ev = broadcast(eval.select(col(evalIdCol).as("eval_id"),
+      asDouble(col(evalEmbCol)).as("e_emb")))
+    train.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("t_emb"))
+      .crossJoin(ev)
+      .withColumn("cos_milli",
+        floor(cosine(col("t_emb"), col("e_emb")) * 1000 + 0.5).cast("long"))
+      .filter(col("cos_milli") >= tm)
+      .groupBy("vec_id")
+      .agg(countDistinct(col("eval_id")).as("n_eval_hits"),
+        max(col("cos_milli")).as("max_cos_milli"))
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` is expected to
     * be small (it is broadcast); `corpus` streams through unshuffled. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
