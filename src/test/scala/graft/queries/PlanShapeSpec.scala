@@ -50,4 +50,11 @@ class PlanShapeSpec extends SparkSuite {
     val p = plan("d06_knn_bruteforce")
     assert(p.contains("BroadcastExchange"), "query vectors must broadcast")
   }
+
+  test("semantic decontamination broadcasts the eval side, corpus unshuffled") {
+    val p = plan("d18_decontaminate_semantic")
+    assert(p.contains("BroadcastExchange"), "eval vectors must broadcast")
+    // hits-only aggregation (+ distinct phase) and the final sort
+    assert(shuffles(p) <= 3, s"corpus must reach the join unmoved:\n$p")
+  }
 }
