@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, processed in partition-sized batches.
   *
-  * The real decode kernels (image/audio codecs) are STUBBED — the container
-  * has no media libraries — behind [[MediaDecoder]]; everything Spark-side
-  * (schema, batching via mapPartitions over a typed Dataset — the Scala
-  * analogue of mapInPandas, partition pruning, binary functions) is real
-  * and tested. Swapping in a real decoder is a one-object change.
+  * Decoders are pluggable behind [[MediaDecoder]]. [[ImageIoDecoder]] is a
+  * REAL codec path — `javax.imageio` PNG/GIF/BMP decode, pure JVM, no
+  * native libs (the m02 gate runs PNG encode → decode → raster stats
+  * against an arithmetic oracle). Audio/video codecs aren't in the
+  * container, so [[StubDecoder]] stands in for those mimes; everything
+  * Spark-side (schema, batching via mapPartitions over a typed Dataset —
+  * the Scala analogue of mapInPandas, partition pruning, binary functions)
+  * is identical between the two and real either way.
   */
 object Multimodal {
 
@@ -36,6 +39,65 @@ object Multimodal {
       var i = 0
       while (i < n) { feat(i % 8) += (payload(i) & 0xFF) / 255.0f; i += 1 }
       (16 + n % 64, 16 + n % 48, feat)
+    }
+  }
+
+  /** REAL pure-JVM image decoder: `javax.imageio` (PNG/GIF/BMP readers ship
+    * with the JDK — no native libs). Emits the decoded raster's true
+    * dimensions and, as the feature vector, `[mean, min, max]` of the
+    * first-band samples. Unreadable payloads decode to (-1, -1, empty) —
+    * signal, never throw, the Collector's error contract. */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], mime: String): (Int, Int, Array[Float]) = {
+      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+                catch { case _: java.io.IOException => null }
+      if (img == null) (-1, -1, Array.empty[Float])
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var (sum, mn, mx) = (0.0, Int.MaxValue, Int.MinValue)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, Array((sum / (w.toLong * h)).toFloat, mn.toFloat, mx.toFloat))
+      }
+    }
+  }
+
+  /** Synthesize REAL grayscale PNGs deterministically from an id column:
+    * width `1 + id % 16`, height `1 + id % 12`, every pixel `id % 256` —
+    * dimensions and pixel stats are pure functions of the id, so a decode
+    * of the encoded payload is ORACLE-CHECKABLE by arithmetic (the planted
+    * ground-truth pattern, applied to a genuine codec round-trip). Encoding
+    * runs per partition batch like every media kernel here. */
+  def synthesizePng(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (1 + id % 16).toInt
+        val h = (1 + id % 12).toInt
+        val gray = (id % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, gray); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id, "image/png", bos.toByteArray)
+      }
     }
   }
 
