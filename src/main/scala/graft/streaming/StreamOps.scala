@@ -68,6 +68,29 @@ object StreamOps {
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
           col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
 
+  /** Stream-stream OUTER interval join — [[intervalJoin]]'s match semantics
+    * plus null-padded rows for the outer side's non-matches. A non-match is
+    * only provable once no qualifying row can still arrive, so Spark emits
+    * the null-padded row when the WATERMARK passes the row's join window —
+    * outer results trail the stream by the watermark delay by design (the
+    * documented contract; StreamingSpec replays it). State stays bounded
+    * exactly as in the inner case: both sides evict at watermark + bound.
+    * `joinType`: `leftOuter`, `rightOuter`, or `fullOuter`. */
+  def intervalJoinOuter(left: DataFrame, leftTs: String,
+                        right: DataFrame, rightTs: String,
+                        watermark: String, keyCond: Column,
+                        before: String, after: String,
+                        joinType: String = "leftOuter"): DataFrame = {
+    require(Set("leftOuter", "rightOuter", "fullOuter").contains(joinType),
+      s"joinType must be leftOuter/rightOuter/fullOuter, got '$joinType'")
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        keyCond &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"),
+        joinType)
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState` — the escape hatch
     * when the built-in windows can't express the state machine. Counts a
     * key's events and emits ONE summary per activity burst once the key has

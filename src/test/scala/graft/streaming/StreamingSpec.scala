@@ -314,6 +314,38 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set((1L, 100L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: null-padded non-matches emit only after the watermark passes the join window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purch = MemoryStream[Pur]
+    val joined = StreamOps.intervalJoinOuter(
+      views.toDF(), "ts", purch.toDF(), "pts", "10 minutes",
+      col("user_id") === col("puser"), before = "0 seconds", after = "1 hour")
+      .select("event_id", "pid")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin_outer_out").start()
+    views.addData(Ev(1, ts("2024-07-01T00:00:00Z"), 1, 0.0),  // will match
+                  Ev(2, ts("2024-07-01T00:05:00Z"), 2, 0.0))  // never matches
+    purch.addData(Pur(100, ts("2024-07-01T00:30:00Z"), 1))
+    q.processAllAvailable()
+    // the watermark hasn't passed view 2's window [00:05, 01:05] yet: the
+    // match may stream out, but the null-padded non-match must NOT —
+    // a premature emit here would be retracted-row semantics Spark doesn't
+    // have, i.e. wrong data
+    def rows() = spark.table("ssjoin_outer_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows() == Set((1L, 100L)))
+    // advance event time on BOTH streams so the watermark (min of the two)
+    // clears 01:05 + 10min; the no-data micro-batch that follows evicts
+    // view 2's buffered row and emits it null-padded
+    views.addData(Ev(9, ts("2024-07-01T03:00:00Z"), 9, 0.0))
+    purch.addData(Pur(900, ts("2024-07-01T03:00:00Z"), 9))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows() == Set((1L, 100L), (2L, -1L), (9L, 900L)))
+  }
+
   test("lake as streaming source: new objects discovered incrementally") {
     import graft.lake.LakeWriter
     import spark.implicits._
