@@ -37,11 +37,15 @@ object Chunking {
       .filter(col("n") > 0) // empty docs yield no chunks
     // chunks past the first: ceil(max(n − W, 0)/S) — the inner clamp keeps
     // the division non-negative (engines disagree on negative integer
-    // division: floor vs truncate), so the oracle can mirror it verbatim
-    val extra = floor(
-      (greatest(col("n") - lit(window), lit(0L)) + lit(stride - 1)) / lit(stride))
+    // division: floor vs truncate), so the oracle can mirror it verbatim.
+    // DIV (integral division), not floor(a / b): Spark's `/` on longs is
+    // DOUBLE division, exact only while the dividend stays below 2^53 —
+    // fine for token counts, but DIV is exact for ALL long inputs.
     base
-      .withColumn("chunk_no", explode(sequence(lit(0L), extra)))
+      .withColumn("_ceil_num",
+        greatest(col("n") - lit(window), lit(0L)) + lit(stride - 1L))
+      .withColumn("chunk_no", explode(sequence(lit(0L), expr(s"_ceil_num DIV $stride"))))
+      .drop("_ceil_num")
       .select(col("doc_id"), col("chunk_no"),
         least(lit(window.toLong), col("n") - col("chunk_no") * stride).as("n_tokens"),
         md5(array_join(

@@ -25,10 +25,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Serializes [[exactIncremental]]'s Bloom-cap conf raise/restore within
-    * a JVM (the confs are session-global). */
-  private val bloomBuildLock = new Object
-
   /** Exact dedup: groups of byte-identical `col`, keeping the min id as the
     * canonical representative. */
   def exact(df: DataFrame, idCol: String, col: String): DataFrame =
@@ -339,30 +335,25 @@ object Dedup {
     // corpus screen. Without this, a >7M-doc corpus quietly builds a
     // saturated filter (fpp → 1) and every batch row flows into the verify
     // join — the degradation is invisible because the result stays correct.
-    // Raise the caps for the build, restore after (the clamp is applied
-    // when the aggregate is constructed, i.e. inside this action). The
-    // raise/restore is a session-global conf mutation, so concurrent
-    // builds in one JVM serialize on the lock below — without it, an
-    // interleaved call could read a raised value as "old" and restore it
-    // permanently, or have its own raise undone before its job submits
-    // (a silently saturated filter). Cross-JVM sessions are unaffected.
+    // The caps are raised on a THROWAWAY child session (same SparkContext,
+    // separate SQLConf) that runs only the build job: the caller's session
+    // confs are never touched, so concurrent queries in it — including AQE
+    // runtime bloom filters reading these very keys — can't observe the
+    // raise, and no lock or restore is needed (a raise/restore on the
+    // shared session was the round-4 shape; the advisor flagged the
+    // visibility window).
     val spark = corpus.sparkSession
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val buildSession = spark.newSession()
+    buildSession.conf.set(itemsKey,
+      math.max(buildSession.conf.get(itemsKey).toLong, expectedItems))
+    buildSession.conf.set(bitsKey,
+      math.max(buildSession.conf.get(bitsKey).toLong, numBits))
     // one corpus pass; null when the corpus is empty (nothing to screen)
-    val bloom = bloomBuildLock.synchronized {
-      val (oldItems, oldBits) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
-      try {
-        spark.conf.set(itemsKey, math.max(oldItems.toLong, expectedItems))
-        spark.conf.set(bitsKey, math.max(oldBits.toLong, numBits))
-        cHash
-          .select(exprs.bloom_agg(col("content_hash"), expectedItems, numBits).as("bf"))
-          .head().getAs[Array[Byte]]("bf")
-      } finally {
-        spark.conf.set(itemsKey, oldItems)
-        spark.conf.set(bitsKey, oldBits)
-      }
-    }
+    val bloom = exprs.onSession(buildSession, cHash)
+      .select(exprs.bloom_agg(col("content_hash"), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
     val hashed = batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("content_hash"))
     val confirmed = Option(bloom) match {
       case None => hashed.limit(0) // empty corpus: no duplicates possible

@@ -912,16 +912,22 @@ object Relational {
     "q47_bucketed_join" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+        // per-(sf, process) path AND catalog names (the l01/l02 pattern):
+        // concurrent sessions — bench + verify, or two harness runs at
+        // different SFs — must not clobber each other's bucket files or
+        // catalog entries mid-read
+        val slot = s"${new java.io.File(dir).getName}_${ProcessHandle.current().pid()}"
+          .replaceAll("[^A-Za-z0-9_]", "_")
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$slot"
         graft.operators.Bucketing.writeBucketed(s,
           t(s, dir, "customer").select($"c_custkey", $"c_mktsegment"),
-          "graft_bkt_customer", s"$base/customer", buckets = 8, key = "c_custkey")
+          s"graft_bkt_customer_$slot", s"$base/customer", buckets = 8, key = "c_custkey")
         graft.operators.Bucketing.writeBucketed(s,
           t(s, dir, "orders")
             .select($"o_custkey", floor($"o_totalprice" * 100 + 0.5).cast("long").as("price_c")),
-          "graft_bkt_orders", s"$base/orders", buckets = 8, key = "o_custkey")
+          s"graft_bkt_orders_$slot", s"$base/orders", buckets = 8, key = "o_custkey")
         graft.operators.Bucketing.colocatedJoin(s,
-            "graft_bkt_customer", "graft_bkt_orders", "c_custkey", "o_custkey")
+            s"graft_bkt_customer_$slot", s"graft_bkt_orders_$slot", "c_custkey", "o_custkey")
           .groupBy($"c_mktsegment")
           .agg(count(lit(1)).as("n_orders"), sum($"price_c").as("price_centi"))
           .orderBy($"c_mktsegment")

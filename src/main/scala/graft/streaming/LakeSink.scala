@@ -185,8 +185,11 @@ object LakeSink {
         // (":table:epoch:i" — sinkId folded in without the empty-default
         // carve-out): same epoch, disjoint key space, so a replay would
         // otherwise duplicate them instead of rewriting (same hour-boundary
-        // caveat as the loop above)
-        if (sinkId.isEmpty) {
+        // caveat as the loop above). Runs REGARDLESS of the configured
+        // sinkId — a stream that landed intermediate-format epochs and
+        // restarts with a sinkId newly configured must still clean them —
+        // and is a no-op (one exists() probe) when no such objects exist.
+        locally {
           def interKey(i: Int): String = {
             val id = java.util.UUID.nameUUIDFromBytes(
               s":${schema.name}:$epochId:$i"

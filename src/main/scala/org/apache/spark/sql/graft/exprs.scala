@@ -236,6 +236,22 @@ object exprs {
         org.apache.spark.sql.catalyst.expressions.Literal(numBits))
         .toAggregateExpression())
 
+  /** Re-bind a DataFrame's logical plan onto another session of the same
+    * SparkContext — the supported pattern for running one query under
+    * session-scoped conf overrides (e.g. [[graft.operators.Dedup
+    * .exactIncremental]]'s Bloom-cap raise) without mutating the caller's
+    * session, whose confs other concurrent queries are reading. Uses the
+    * `private[sql]` classic `Dataset.ofRows` bridge, hence hosted here. */
+  def onSession(session: org.apache.spark.sql.SparkSession,
+                df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      // the ANALYZED plan: already resolved against the source session's
+      // catalog, so temp-view references survive the re-bind (the target
+      // session's temp-view namespace is separate and likely empty)
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.analyzed)
+
   def bloom_might_contain(bloom: Array[Byte], c: Column): Column =
     ExpressionUtils.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
