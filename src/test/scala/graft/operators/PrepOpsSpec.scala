@@ -146,4 +146,21 @@ class PrepOpsSpec extends SparkSuite {
     val got = Dedup.exactIncremental(batch, docs.limit(0), "doc_id", "text")
     assert(got.count() == batch.select(md5(col("text"))).distinct().count())
   }
+
+  test("exactIncremental's Bloom-cap raise never touches the caller session") {
+    // the build runs on a throwaway child session; a sizing far past the
+    // AQE default caps (4e6 items / 6.7e7 bits) must leave the caller's
+    // runtime-bloom confs byte-identical — concurrent AQE runtime-filter
+    // queries read these keys mid-build
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (items0, bits0) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val n = Dedup.exactIncremental(batch, corpus, "doc_id", "text",
+      expectedItems = 50000000L).count()
+    assert(n > 0)
+    assert(spark.conf.get(itemsKey) == items0 && spark.conf.get(bitsKey) == bits0)
+  }
 }

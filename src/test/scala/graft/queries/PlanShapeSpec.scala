@@ -58,6 +58,25 @@ class PlanShapeSpec extends SparkSuite {
     assert(shuffles(p) <= 3, s"corpus must reach the join unmoved:\n$p")
   }
 
+  test("SRP ANN broadcasts the banded queries; corpus bands stream into the join unshuffled") {
+    val p = plan("d07_knn_srp")
+    assert(p.contains("BroadcastExchange"), s"banded query side must broadcast:\n$p")
+    // candidate-volume shuffles only: dedup of (query, neighbor) pairs +
+    // the top-k window + the final sort — never the corpus itself
+    assert(shuffles(p) <= 3, s"corpus must reach the band join unmoved:\n$p")
+  }
+
+  test("IVF ANN assigns cells per-row from literal centroids and broadcasts the probe list") {
+    val p = plan("d10_knn_ivf")
+    assert(p.contains("BroadcastExchange"), s"probe list must broadcast:\n$p")
+    assert(shuffles(p) <= 2, s"corpus assignment must stay an unshuffled scan:\n$p")
+  }
+
+  test("m02 PNG encode/decode is a per-row pipeline with only the final sort exchange") {
+    val p = plan("m02_decode_features")
+    assert(shuffles(p) <= 1, s"codec round-trip must not shuffle:\n$p")
+  }
+
   // ------------------------------------------------- relational headliners
   // (round-4 judge item: the survey's §2B scale claims, pinned on plans)
 
