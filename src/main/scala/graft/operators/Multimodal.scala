@@ -48,6 +48,12 @@ object Multimodal {
     * first-band samples. Unreadable payloads decode to (-1, -1, empty) —
     * signal, never throw, the Collector's error contract. */
   object ImageIoDecoder extends MediaDecoder {
+    // ImageIO defaults to DISK-backed stream caches — one temp file per
+    // image read/write. In-memory payloads need no spill; flipping the
+    // JVM-global flag removes a file create+delete from every codec call.
+    // Runs when this singleton first loads on a JVM — i.e. once per
+    // executor, before any decode.
+    javax.imageio.ImageIO.setUseCache(false)
     def decode(payload: Array[Byte], mime: String): (Int, Int, Array[Float]) = {
       val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
                 catch { case _: java.io.IOException => null }
@@ -81,6 +87,7 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp files
       ids.map { id =>
         val w = (1 + id % 16).toInt
         val h = (1 + id % 12).toInt
