@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** One raised-cap Bloom-build session per SparkContext (see
+    * [[exactIncremental]]) — cached so the per-batch steady state doesn't
+    * construct a SessionState per call. */
+  private val bloomBuildSessions =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext, org.apache.spark.sql.SparkSession]()
+
   /** Exact dedup: groups of byte-identical `col`, keeping the min id as the
     * canonical representative. */
   def exact(df: DataFrame, idCol: String, col: String): DataFrame =
@@ -335,25 +342,36 @@ object Dedup {
     // corpus screen. Without this, a >7M-doc corpus quietly builds a
     // saturated filter (fpp → 1) and every batch row flows into the verify
     // join — the degradation is invisible because the result stays correct.
-    // The caps are raised on a THROWAWAY child session (same SparkContext,
-    // separate SQLConf) that runs only the build job: the caller's session
+    // The caps are raised on a dedicated CHILD session (same SparkContext,
+    // separate SQLConf) that runs only build jobs: the caller's session
     // confs are never touched, so concurrent queries in it — including AQE
     // runtime bloom filters reading these very keys — can't observe the
-    // raise, and no lock or restore is needed (a raise/restore on the
-    // shared session was the round-4 shape; the advisor flagged the
-    // visibility window).
+    // raise (a raise/restore on the shared session was the round-4 shape;
+    // the advisor flagged the visibility window). The child session is
+    // CACHED per SparkContext: this operator's steady state is one call
+    // per arriving batch, and a fresh SessionState per call would pay full
+    // analyzer/catalog/listener construction each time and leak session
+    // state onto the shared listener bus. Builds serialize on the session
+    // lock — the raise-then-analyze window is otherwise racy (a smaller
+    // concurrent build could re-lower the cap before this build's
+    // aggregate is constructed) — which is the right trade: corpus-scale
+    // filter builds are heavyweight jobs that gain nothing from driver-
+    // side concurrency.
     val spark = corpus.sparkSession
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val buildSession = spark.newSession()
-    buildSession.conf.set(itemsKey,
-      math.max(buildSession.conf.get(itemsKey).toLong, expectedItems))
-    buildSession.conf.set(bitsKey,
-      math.max(buildSession.conf.get(bitsKey).toLong, numBits))
+    val buildSession = bloomBuildSessions.computeIfAbsent(
+      spark.sparkContext, _ => spark.newSession())
     // one corpus pass; null when the corpus is empty (nothing to screen)
-    val bloom = exprs.onSession(buildSession, cHash)
-      .select(exprs.bloom_agg(col("content_hash"), expectedItems, numBits).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    val bloom = buildSession.synchronized {
+      buildSession.conf.set(itemsKey,
+        math.max(buildSession.conf.get(itemsKey).toLong, expectedItems))
+      buildSession.conf.set(bitsKey,
+        math.max(buildSession.conf.get(bitsKey).toLong, numBits))
+      exprs.onSession(buildSession, cHash)
+        .select(exprs.bloom_agg(col("content_hash"), expectedItems, numBits).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    }
     val hashed = batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("content_hash"))
     val confirmed = Option(bloom) match {
       case None => hashed.limit(0) // empty corpus: no duplicates possible

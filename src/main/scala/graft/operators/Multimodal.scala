@@ -55,8 +55,14 @@ object Multimodal {
     // executor, before any decode.
     javax.imageio.ImageIO.setUseCache(false)
     def decode(payload: Array[Byte], mime: String): (Int, Int, Array[Float]) = {
-      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-                catch { case _: java.io.IOException => null }
+      // NonFatal, not just IOException: the JDK readers throw
+      // ArrayIndexOutOfBounds / NegativeArraySize / IllegalArgument on
+      // malformed or hostile headers, and a null payload NPEs — one bad
+      // record must yield an error row, never kill the task
+      val img =
+        if (payload == null) null
+        else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+             catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) (-1, -1, Array.empty[Float])
       else {
         val (w, h) = (img.getWidth, img.getHeight)
@@ -89,9 +95,12 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp files
       ids.map { id =>
-        val w = (1 + id % 16).toInt
-        val h = (1 + id % 12).toInt
-        val gray = (id % 256).toInt
+        // floorMod: Scala's % is negative for negative ids, and a
+        // non-positive dimension throws inside BufferedImage — this is
+        // public surface, any long id must synthesize
+        val w = (1 + java.lang.Math.floorMod(id, 16L)).toInt
+        val h = (1 + java.lang.Math.floorMod(id, 12L)).toInt
+        val gray = java.lang.Math.floorMod(id, 256L).toInt
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
         val raster = img.getRaster

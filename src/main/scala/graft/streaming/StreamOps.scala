@@ -62,11 +62,23 @@ object StreamOps {
                    right: DataFrame, rightTs: String,
                    watermark: String, keyCond: Column,
                    before: String, after: String): DataFrame =
+    boundedJoin(left, leftTs, right, rightTs, watermark, keyCond,
+      before, after, "inner")
+
+  // one body for inner + outer: the watermark/bound expression is the
+  // eviction contract, and a fix to it must not be able to diverge between
+  // the two public faces
+  private def boundedJoin(left: DataFrame, leftTs: String,
+                          right: DataFrame, rightTs: String,
+                          watermark: String, keyCond: Column,
+                          before: String, after: String,
+                          joinType: String): DataFrame =
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         keyCond &&
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"),
+        joinType)
 
   /** Stream-stream OUTER interval join — [[intervalJoin]]'s match semantics
     * plus null-padded rows for the outer side's non-matches. A non-match is
@@ -83,12 +95,8 @@ object StreamOps {
                         joinType: String = "leftOuter"): DataFrame = {
     require(Set("leftOuter", "rightOuter", "fullOuter").contains(joinType),
       s"joinType must be leftOuter/rightOuter/fullOuter, got '$joinType'")
-    left.withWatermark(leftTs, watermark)
-      .join(right.withWatermark(rightTs, watermark),
-        keyCond &&
-          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"),
-        joinType)
+    boundedJoin(left, leftTs, right, rightTs, watermark, keyCond,
+      before, after, joinType)
   }
 
   /** Custom keyed state via `flatMapGroupsWithState` — the escape hatch

@@ -106,6 +106,11 @@ class StreamingSpec extends SparkSuite {
       "event_id" -> ColType.CInteger, "ts" -> ColType.CTime,
       "user_id" -> ColType.CInteger, "value" -> ColType.CFloat))
     val store = new graft.lake.HadoopStore(root)
+    // the planted key and landBatch's internal flushTime must share a UTC
+    // hour (objectKey embeds YYYY/MM/DD/HH); if the boundary is seconds
+    // away, wait it out rather than flake once per few thousand runs
+    val secIntoHour = java.time.Instant.now().getEpochSecond % 3600
+    if (secIntoHour >= 3595) Thread.sleep((3601 - secIntoHour) * 1000)
     // simulate an epoch landed by the short-lived intermediate seed format
     // (":table:epoch:i") by an older build of this stream
     val interId = java.util.UUID.nameUUIDFromBytes(
