@@ -22,6 +22,17 @@ class StreamingSpec extends SparkSuite {
 
   private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
 
+  /** Replay-style tests compare object keys across separate landBatch
+    * calls, and each call stamps its own flushTime into the key's
+    * YYYY/MM/DD/HH path — two calls straddling a UTC hour boundary get
+    * disjoint key spaces and the replay assertions fail spuriously. When
+    * the boundary is seconds away, wait it out. */
+  private def avoidHourBoundary(marginSec: Long = 10): Unit = {
+    val secIntoHour = java.time.Instant.now().getEpochSecond % 3600
+    if (secIntoHour >= 3600 - marginSec)
+      Thread.sleep((3601 - secIntoHour) * 1000)
+  }
+
   test("LakeSink lands micro-batches as lake objects with FlushInfo") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -57,6 +68,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("replayed epoch rewrites the same objects instead of duplicating") {
+    avoidHourBoundary()
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val root = s"file://${Files.createTempDirectory("graft-replay-spec").toFile.getAbsolutePath}"
@@ -80,6 +92,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("replay with fewer objects deletes the first attempt's leftovers") {
+    avoidHourBoundary()
     import spark.implicits._
     val root = s"file://${Files.createTempDirectory("graft-shrink-spec").toFile.getAbsolutePath}"
     val schema = TableSchema("shrink_ev", Seq(
@@ -107,10 +120,8 @@ class StreamingSpec extends SparkSuite {
       "user_id" -> ColType.CInteger, "value" -> ColType.CFloat))
     val store = new graft.lake.HadoopStore(root)
     // the planted key and landBatch's internal flushTime must share a UTC
-    // hour (objectKey embeds YYYY/MM/DD/HH); if the boundary is seconds
-    // away, wait it out rather than flake once per few thousand runs
-    val secIntoHour = java.time.Instant.now().getEpochSecond % 3600
-    if (secIntoHour >= 3595) Thread.sleep((3601 - secIntoHour) * 1000)
+    // hour (objectKey embeds YYYY/MM/DD/HH)
+    avoidHourBoundary()
     // simulate an epoch landed by the short-lived intermediate seed format
     // (":table:epoch:i") by an older build of this stream
     val interId = java.util.UUID.nameUUIDFromBytes(
@@ -132,6 +143,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("concurrent writers with distinct sinkIds never overwrite each other") {
+    avoidHourBoundary()
     import spark.implicits._
     val root = s"file://${Files.createTempDirectory("graft-sinkid-spec").toFile.getAbsolutePath}"
     val schema = TableSchema("dual_ev", Seq(
