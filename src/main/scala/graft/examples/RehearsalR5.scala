@@ -3,6 +3,8 @@ package graft.examples
 import graft.Sessions
 import graft.operators.{Dedup, Similarity}
 
+import org.apache.spark.sql.DataFrame
+
 import org.apache.spark.sql.functions._
 
 /** Round-5 scale rehearsal (not library surface), extending RehearsalR4's
@@ -76,6 +78,44 @@ object RehearsalR5 {
     require(n18 == 500L && exact == 500L && idsOk == 500L,
       s"expected exactly the 500 planted sources at cos=1.0; got n=$n18 exact=$exact idsOk=$idsOk")
     println(s"REHEARSE d18 flagged=$n18 (all planted, all cos_milli=1000, zero spurious)")
+
+    // ---- d07/d10 ANN at 1M vectors: the planted-top-k contract the new
+    // oracles pin at fixture scale, re-proven at 200×. Three perturbed
+    // copies per query (cos ≈ 0.999+) are planted; each query's top-3 must
+    // be exactly its copies — the max natural cosine among 1M random
+    // vectors is ≈ 5σ·0.125 ≈ 0.64, far below the copies. Band sizing is
+    // the top-k scale knob: the fixture default (12 bands × 4 bits = 16
+    // buckets/band) would pull ~12/16 of a 1M corpus as candidates per
+    // query; 8 bands × 8 bits = 256 buckets/band prunes to ~3% with
+    // P[miss a 0.999-copy] ≈ 2e-10. IVF probes 4 of 64 cells ≈ 6%.
+    val annCorpusBase = spark.range(1000000L)
+      .select($"id".as("vec_id"), vec64($"id").as("embedding"))
+    val annPlanted = annCorpusBase.filter($"vec_id" < 5)
+      .select($"vec_id", $"embedding",
+        explode(sequence(lit(0L), lit(2L))).as("j"))
+      .select(($"vec_id" * 10 + $"j" + 2000000L).as("vec_id"),
+        concat(slice($"embedding", 1, 32),
+          transform(slice($"embedding", 33, 32),
+            x => x * (lit(1.0) + ($"j" + 1).cast("double") * lit(0.01))))
+          .as("embedding"))
+    val annCorpus = annCorpusBase.unionByName(annPlanted).localCheckpoint()
+    val annQueries = annCorpus.filter($"vec_id" < 5)
+    def checkTop3(got: DataFrame, label: String): Unit = {
+      // collect INSIDE time(): the operator is lazy, the action is the cost
+      val rows = time(label)(got.select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank").collect())
+      require(rows.length == 15, s"$label: expected 5 queries x top-3, got ${rows.length}")
+      rows.foreach { r =>
+        val (q, n, rk) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        require(n == 2000000L + q * 10 + (rk - 1),
+          s"$label: query $q rank $rk returned $n, not its planted copy")
+      }
+    }
+    checkTop3(Similarity.srpTopK(annCorpus, annQueries, 3,
+      bands = 8, bitsPerBand = 8), "d07 srpTopK 1M vectors (8x8-bit bands)")
+    checkTop3(Similarity.ivfTopK(annCorpus, annQueries, 3,
+      nlist = 64, nprobe = 4), "d10 ivfTopK 1M vectors (nlist=64)")
+    println("REHEARSE d07/d10 top-3 = planted copies for every query at 1M")
 
     spark.stop()
   }
