@@ -448,4 +448,87 @@ object Dedup {
       .filter(col("band") === firstMatch && col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
+
+  /** Documents split into `sep`-separated lines with their 0-based position
+    * — the shared front end of the structural (sub-document) dedup pair
+    * below. `sep` is a LITERAL (regex-quoted): Spark's `split` takes a
+    * regex and an unquoted "." or "|" separator would silently split on
+    * everything. `limit = -1` keeps trailing empty lines, matching DuckDB's
+    * `string_split`, so reassembly is loss-free for texts ending in `sep`. */
+  private def splitLines(docs: DataFrame, idCol: String, textCol: String,
+                         sep: String): DataFrame =
+    docs.select(col(idCol).as("_doc"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1)))
+      .toDF("_doc", "pos", "line")
+
+  /** Reassemble documents from surviving lines in original order, keeping
+    * every input document (zero survivors → empty text) and reporting
+    * kept/dropped line counts. One groupBy per side; the `totals` and
+    * reassembly aggregations are both hash-partitioned on `_doc`, so the
+    * final join plans without a third exchange. */
+  private def reassembleLines(lines: DataFrame, kept: DataFrame,
+                              idCol: String, sep: String): DataFrame = {
+    val totals = lines.groupBy(col("_doc")).agg(count(lit(1)).as("lines_total"))
+    val reasm = kept.groupBy(col("_doc")).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as("clean_text"),
+      count(lit(1)).as("lines_kept"))
+    totals.join(reasm, Seq("_doc"), "left").select(
+      col("_doc").as(idCol),
+      coalesce(col("clean_text"), lit("")).as("clean_text"),
+      coalesce(col("lines_kept"), lit(0L)).as("lines_kept"),
+      (col("lines_total") - coalesce(col("lines_kept"), lit(0L))).as("lines_dropped"))
+  }
+
+  /** Structural dedup, C4/RefinedWeb-style boilerplate removal: a line
+    * whose exact text occurs in more than `maxDocs` DISTINCT documents is
+    * chrome (navigation, cookie banners, footers — content that survives
+    * document-level dedup because every page's text differs while every
+    * page's furniture repeats) and is removed from every document; each
+    * document is then reassembled from its surviving lines in original
+    * order. Returns `(idCol, clean_text, lines_kept, lines_dropped)` with
+    * one row per input document.
+    *
+    * Scale shape: per-line distinct-doc counts are one map-side-combined
+    * shuffle of (line, doc) — no window over a per-line partition, which a
+    * viral line ("Subscribe now" in 10⁸ docs) would turn into a straggler.
+    * The anti-join's build side is only lines that cleared `maxDocs`
+    * (bounded by total_lines / maxDocs, in practice tiny), so AQE converts
+    * it to broadcast at runtime; the reassembly groupBy is the one
+    * unavoidable full-text shuffle. */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                           maxDocs: Int, sep: String = "\n"): DataFrame = {
+    val lines = splitLines(docs, idCol, textCol, sep)
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col("_doc")).as("_ndocs"))
+      .filter(col("_ndocs") > maxDocs)
+      .select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    reassembleLines(lines, kept, idCol, sep)
+  }
+
+  /** Structural dedup with keep-first semantics (the C4 span rule at line
+    * granularity): a line that occurs anywhere else in the corpus survives
+    * only at its first occurrence — lowest `(idCol, pos)` — and is removed
+    * everywhere else, including later repeats INSIDE the same document.
+    * Unlike [[dropBoilerplateLines]] this collapses even two-document
+    * duplication; use it when repeated content should survive exactly once
+    * rather than not at all. Same output shape as the boilerplate variant.
+    *
+    * Scale shape: the first-occurrence winner per line is a single
+    * `min(struct(doc, pos))` aggregation (map-side combined, no window);
+    * the winner join back to the lines is co-partitioned with that
+    * aggregation's hash partitioning on `line`, so the corpus text itself
+    * shuffles only for the final reassembly. */
+  def dedupLinesKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+                          sep: String = "\n"): DataFrame = {
+    val lines = splitLines(docs, idCol, textCol, sep)
+    val firsts = lines.groupBy(col("line"))
+      .agg(min(struct(col("_doc"), col("pos"))).as("_first"))
+    val kept = lines.join(firsts, Seq("line"))
+      .filter(struct(col("_doc"), col("pos")) === col("_first"))
+      .select("_doc", "pos", "line")
+    reassembleLines(lines, kept, idCol, sep)
+  }
 }

@@ -16,6 +16,34 @@ class PipelineSpec extends SparkSuite {
     assert(exact.except(lsh).isEmpty && lsh.except(exact).isEmpty)
   }
 
+  test("structural line dedup: boilerplate vs keep-first") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha\nSHARED\nbeta\nbeta"),
+      (2L, "SHARED\ngamma"),
+      (3L, "SHARED\ndelta\n"),
+      (4L, "SHARED")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val b = rows(Dedup.dropBoilerplateLines(d, "doc_id", "text", maxDocs = 2))
+    assert(b(1L) == (("alpha\nbeta\nbeta", 3L, 1L)),
+      "within-doc repeat is distinct-doc count 1, not boilerplate")
+    assert(b(2L) == (("gamma", 1L, 1L)))
+    assert(b(3L) == (("delta\n", 2L, 1L)), "trailing empty line survives split+join")
+    assert(b(4L) == (("", 0L, 1L)), "all-dropped doc stays with empty text")
+    val k = rows(Dedup.dedupLinesKeepFirst(d, "doc_id", "text"))
+    assert(k(1L) == (("alpha\nSHARED\nbeta", 3L, 1L)),
+      "first occurrence survives; the SAME doc's later repeat drops")
+    assert(k(2L) == (("gamma", 1L, 1L)))
+    assert(k(3L) == (("delta\n", 2L, 1L)))
+    assert(k(4L) == (("", 0L, 1L)))
+    // the separator is a literal, not a regex
+    val dot = Seq((1L, "a.b"), (2L, "a.c")).toDF("doc_id", "text")
+    val s = rows(Dedup.dropBoilerplateLines(dot, "doc_id", "text", maxDocs = 1, sep = "."))
+    assert(s(1L) == (("b", 1L, 1L)) && s(2L) == (("c", 1L, 1L)))
+  }
+
   test("kmeans: Lloyd iterations recover well-separated clusters") {
     import spark.implicits._
     // three tight clusters along orthogonal axes (axis = id % 3), plus

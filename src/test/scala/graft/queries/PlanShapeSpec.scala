@@ -40,6 +40,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(shuffles(p) <= 3, s"corpus must not shuffle before the join:\n$p")
   }
 
+  test("structural line dedup: broadcast boilerplate anti-join; reassembly is the only full-text shuffle") {
+    val p19 = plan("d19_line_boilerplate")
+    assert(p19.contains("LeftAnti"), "boilerplate removal must plan as an anti-join")
+    assert(p19.contains("BroadcastExchange"),
+      "the cleared-maxDocs line set is bounded small and must broadcast")
+    assert(shuffles(p19) <= 5,
+      s"d19: line-count agg + two _doc-keyed aggs + final sort only:\n$p19")
+    val p20 = plan("d20_line_keepfirst")
+    assert(shuffles(p20) <= 4,
+      s"d20: first-winner agg + two _doc-keyed aggs + final sort only:\n$p20")
+  }
+
   test("kmeans assignment is an unshuffled scan (centroids are literals)") {
     val p = plan("d14_kmeans_assign")
     assert(shuffles(p) <= 1, s"assignment must not shuffle (sort only):\n$p")
