@@ -13,13 +13,22 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must never be timed: round 6 reported q29/q41 at
+    // 0.066s/0.057s — the wall-time of the AnalysisException — which reads
+    // as a 10× speedup. Failures go to `errors`, not `queries`.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output row
       // (count() would let Catalyst prune the computed columns away).
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name: $e")
+        errors(name) = s"${e.getClass.getName}: ${e.getMessage}".take(300)
+        None
+      }
     }
     // Two timed passes per query, report the MIN — but INTERLEAVED at the
     // suite level (pass 1 over all queries, then pass 2 over all queries)
@@ -34,14 +43,23 @@ object Bench {
     // engine).
     val pass1 = names.map { case (n, fn) => n -> once(n, fn) }
     val pass2 = names.map { case (n, fn) => n -> once(n, fn) }
-    val mins = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // A query enters the timings only if BOTH passes succeeded — a
+    // one-pass-failed query has no honest min-of-2.
+    val mins = pass1.zip(pass2).collect {
+      case ((n, Some(a)), (_, Some(b))) => n -> math.min(a, b) }
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val passes = pass1.zip(pass2)
-      .map { case ((k, a), (_, b)) => "\"" + k + "\":[" + a + "," + b + "]" }
+    val passes = pass1.zip(pass2).collect { case ((k, Some(a)), (_, Some(b))) =>
+      "\"" + k + "\":[" + a + "," + b + "]" }.mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errs = errors.map { case (k, v) => "\"" + k + "\":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // Stdout of the harness run is tail-truncated (rounds 3 and 4 both lost
     // the JSON line to it); the file copy is the durable record.

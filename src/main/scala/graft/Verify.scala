@@ -12,7 +12,16 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A swallowed failure must still reach the driver: round 6 proved a
+        // query that throws otherwise just VANISHES from the correctness
+        // file (88→86 entries, zero err rows) — the worst possible failure
+        // mode for an audit artifact. The .error file gives the driver a
+        // durable record to turn into an err row; stderr alone is lost.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try Files.writeString(Paths.get(s"$outDir/$name.error"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name.error unwritable: $e2") }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

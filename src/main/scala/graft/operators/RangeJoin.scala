@@ -25,11 +25,14 @@ object RangeJoin {
                       bucketSeconds: Long = 3600L): DataFrame = {
     require(!(points.columns ++ intervals.columns).contains("_b"),
       "column name _b is reserved by RangeJoin.pointInInterval")
-    val p = points.withColumn("_b",
-      floor(col(pointTs).cast("long") / bucketSeconds))
+    // TIMESTAMP_NTZ forbids a direct cast to BIGINT; routing through
+    // TimestampType first is an identity for TZ inputs and, under a UTC
+    // session, for NTZ inputs too — so the operator accepts both flavors.
+    def epochSec(c: String) = col(c).cast("timestamp").cast("long")
+    val p = points.withColumn("_b", floor(epochSec(pointTs) / bucketSeconds))
     val iv = intervals.withColumn("_b",
-      explode(sequence(floor(col(startTs).cast("long") / bucketSeconds),
-        floor(col(endTs).cast("long") / bucketSeconds))))
+      explode(sequence(floor(epochSec(startTs) / bucketSeconds),
+        floor(epochSec(endTs) / bucketSeconds))))
     p.join(iv, Seq("_b"))
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("_b")

@@ -13,13 +13,20 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // The events table carries TIMESTAMP(NANOS) parquet columns, which Spark
-    // reads only as long nanos (spark.sql.legacy.parquet.nanosAsLong=true —
-    // set by graft.Sessions). Convert to TimestampType (micro precision) so
-    // downstream time functions are uniform.
+    // Normalize every time column to TimestampType (micro precision) so
+    // downstream epoch arithmetic is uniform, whatever parquet flavor the
+    // generator emitted. Two flavors have been observed across testdata
+    // regenerations:
+    //  - TIMESTAMP(NANOS), which Spark reads only as long nanos
+    //    (spark.sql.legacy.parquet.nanosAsLong=true, set by graft.Sessions);
+    //  - timestamp[us] without a timezone, which Spark reads as
+    //    TIMESTAMP_NTZ — a type that forbids cast-to-BIGINT and broke
+    //    q29/q41 in round 6. NTZ→TZ is an identity under the UTC session.
     df.schema.fields.foldLeft(df) {
       case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         acc.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case (acc, f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        acc.withColumn(f.name, df.col(f.name).cast(org.apache.spark.sql.types.TimestampType))
       case (acc, _) => acc
     }
   }

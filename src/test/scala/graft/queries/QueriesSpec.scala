@@ -30,6 +30,42 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // --- schema-drift guards -------------------------------------------------
+  // Round 6: /root/testdata was regenerated mid-round and events.ts /
+  // orders.o_orderdate changed parquet type (TIMESTAMP(NANOS) →
+  // timestamp[us], read as TIMESTAMP_NTZ), which made two queries throw at
+  // ANALYSIS time — at sf0.01/sf0.1, dirs no other test touches. These
+  // guards fail loudly, by name, on the next re-type.
+
+  test("Tables.t normalizes every time column to TimestampType at all SFs") {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, LongType}
+    for (sfName <- Seq("sf0.001", "sf0.01", "sf0.1"); tbl <- Tables.names) {
+      val schema = Tables.t(spark, sf(sfName), tbl).schema
+      for (f <- schema.fields) {
+        assert(f.dataType != TimestampNTZType,
+          s"$sfName/$tbl.${f.name}: TIMESTAMP_NTZ leaked through Tables.t")
+        if (f.name == "ts")
+          assert(f.dataType == TimestampType,
+            s"$sfName/$tbl.ts: expected TimestampType, got ${f.dataType} " +
+              "(raw-nanos LongType here means the nanosAsLong branch missed)")
+      }
+    }
+  }
+
+  test("every registered query analyzes against the driver-scale dirs (sf0.01, sf0.1)") {
+    // Analysis only — resolves columns and type-checks every expression
+    // against the REAL schemas the driver uses, without executing. Catches
+    // an AnalysisException-class drift in seconds instead of in a silently
+    // shrunken correctness file.
+    for (sfName <- Seq("sf0.01", "sf0.1"); (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      scala.util.Try(fn(spark, sf(sfName)).queryExecution.analyzed) match {
+        case scala.util.Failure(e) =>
+          fail(s"$name fails to analyze at $sfName: ${e.getMessage}")
+        case _ => ()
+      }
+    }
+  }
+
   test("column names match between spark output and oracle SQL aliases") {
     // the driver's compare sorts columns by name — a drift here breaks the
     // hash even with identical values, so enforce it statically
