@@ -33,6 +33,14 @@ def main(sf_dir, out_dir):
     results = {}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
+        # Verify writes <name>.error when a query throws; surface it as an
+        # ERR row (round 6: errored queries silently vanished from the
+        # report — rows-only queries have no oracle entry, so the
+        # MISSING_OUTPUT sweep below would never notice them).
+        if name.endswith(".error") and os.path.isfile(d):
+            qname = name[: -len(".error")]
+            results[qname] = "ERR: " + open(d).read().strip()[:300]
+            continue
         if not os.path.isdir(d):
             continue
         files = glob.glob(f"{d}/*.parquet")
