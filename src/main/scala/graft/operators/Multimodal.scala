@@ -6,14 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, processed in partition-sized batches.
   *
-  * Decoders are pluggable behind [[MediaDecoder]]. [[ImageIoDecoder]] is a
-  * REAL codec path — `javax.imageio` PNG/GIF/BMP decode, pure JVM, no
-  * native libs (the m02 gate runs PNG encode → decode → raster stats
-  * against an arithmetic oracle). Audio/video codecs aren't in the
-  * container, so [[StubDecoder]] stands in for those mimes; everything
+  * Decoders are pluggable behind [[MediaDecoder]]. Two REAL pure-JVM codec
+  * paths ship with the JDK: [[ImageIoDecoder]] (`javax.imageio` PNG/GIF/BMP
+  * — the m02 gate runs PNG encode → decode → raster stats against an
+  * arithmetic oracle) and [[WavDecoder]] (`javax.sound.sampled` WAV/PCM —
+  * the m04 gate does the same for audio). Video codecs aren't in the
+  * container, so [[StubDecoder]] stands in for those mimes only; everything
   * Spark-side (schema, batching via mapPartitions over a typed Dataset —
   * the Scala analogue of mapInPandas, partition pruning, binary functions)
-  * is identical between the two and real either way.
+  * is identical between stub and real paths.
   */
 object Multimodal {
 
@@ -30,8 +31,9 @@ object Multimodal {
     def decode(payload: Array[Byte], mime: String): (Int, Int, Array[Float])
   }
 
-  /** Deterministic fake decoder: "dimensions" and an 8-dim "feature" derived
-    * from payload bytes. Replace with a real codec in production. */
+  /** Deterministic fake decoder for mimes with no JDK codec (video):
+    * "dimensions" and an 8-dim "feature" derived from payload bytes.
+    * Replace with a real codec in production. */
   object StubDecoder extends MediaDecoder {
     def decode(payload: Array[Byte], mime: String): (Int, Int, Array[Float]) = {
       val n = payload.length
@@ -113,6 +115,77 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         MediaRecord(id, "image/png", bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL pure-JVM audio decoder: `javax.sound.sampled` reads WAV/PCM with
+    * no native libs (the WAVE reader ships with the JDK). Emits
+    * (sampleRate, channels) as the "dimensions" and
+    * `[frameCount, meanAbsSample, peakAbsSample]` of the 16-bit samples as
+    * the feature vector. Unreadable payloads decode to (-1, -1, empty) —
+    * signal, never throw, the Collector's error contract. */
+  object WavDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], mime: String): (Int, Int, Array[Float]) = {
+      val ais =
+        if (payload == null) null
+        else try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (ais == null) (-1, -1, Array.empty[Float])
+      else try {
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        val bps = fmt.getSampleSizeInBits / 8
+        val n = bytes.length / math.max(bps * fmt.getChannels, 1)
+        var (sum, peak) = (0.0, 0L)
+        if (bps == 2) {
+          // 16-bit PCM; honor the container's declared endianness
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val s =
+              if (fmt.isBigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xFF)).toShort
+              else ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort
+            val a = math.abs(s.toLong)
+            sum += a; if (a > peak) peak = a
+            i += 2
+          }
+        }
+        (fmt.getSampleRate.toInt, fmt.getChannels,
+          Array(n.toFloat, if (n == 0) 0f else (sum / n).toFloat, peak.toFloat))
+      } catch { case scala.util.control.NonFatal(_) => (-1, -1, Array.empty[Float]) }
+      finally ais.close()
+    }
+  }
+
+  /** Synthesize REAL mono 16-bit PCM WAVs deterministically from an id
+    * column: sample rate `8000 + 4000·(id mod 3)`, frame count
+    * `100 + id mod 400`, every sample `id mod 30000` — rate, length, and
+    * amplitude stats are pure functions of the id, so a decode of the
+    * encoded payload is ORACLE-CHECKABLE by arithmetic (the m02 planted
+    * ground-truth pattern, applied to a genuine audio codec round-trip). */
+  def synthesizeWav(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val rate = (8000 + 4000 * java.lang.Math.floorMod(id, 3L)).toInt
+        val nFrames = (100 + java.lang.Math.floorMod(id, 400L)).toInt
+        val amp = java.lang.Math.floorMod(id, 30000L).toShort
+        val pcm = new Array[Byte](nFrames * 2) // mono, 16-bit little-endian
+        var i = 0
+        while (i < nFrames) {
+          pcm(2 * i) = (amp & 0xFF).toByte
+          pcm(2 * i + 1) = ((amp >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRecord(id, "audio/wav", bos.toByteArray)
       }
     }
   }

@@ -295,6 +295,37 @@ object Relational {
              |ORDER BY rnk, s_nationkey""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // Window: cume_dist + nth_value — the two rank-family functions q11
+    // doesn't cover. Partitioned by segment (each window stays executor-
+    // sized at any SF; q11's global window is the deliberately-small
+    // aggregated case). The ordering carries a unique tie-break
+    // (c_custkey), so cume_dist is rowIndex/n on identical longs — hash-
+    // stable; nth_value reads the 3rd-smallest balance over the FULL frame
+    // (Spark and DuckDB default nth_value frames differ: Spark ends at
+    // CURRENT ROW, so rows before the 3rd would go null — the explicit
+    // frame pins one semantics on both engines).
+    "q50_window_dist" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val wOrd = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+        val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "customer")
+          .withColumn("cd_milli", floor(cume_dist().over(wOrd) * 1000 + 0.5).cast("long"))
+          .withColumn("third_bal_cents",
+            floor(nth_value($"c_acctbal", 3).over(wFull) * 100 + 0.5).cast("long"))
+          .select($"c_custkey", $"c_mktsegment", $"cd_milli", $"third_bal_cents")
+          .orderBy($"c_mktsegment", $"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  CAST(floor(cume_dist() OVER w * 1000 + 0.5) AS BIGINT) AS cd_milli,
+             |  CAST(floor(nth_value(c_acctbal, 3) OVER wf * 100 + 0.5) AS BIGINT) AS third_bal_cents
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+             |  wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // Global sort + limit with total tie-break (TakeOrderedAndProject — a
     // per-partition top-k then a driver merge of k·p rows, not a full sort).
     "q12_sort_limit" -> QueryDef(

@@ -432,4 +432,27 @@ class PipelineSpec extends SparkSuite {
     assert(row.feature.length == 8)
     assert(feats.count() == docs.count())
   }
+
+  test("multimodal: WAV synthesize → decode round-trips the planted arithmetic") {
+    val media = Multimodal.synthesizeWav(docs, "doc_id")
+    val feats = Multimodal.decodeFeatures(media, Multimodal.WavDecoder)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == docs.count())
+    for (f <- feats) {
+      val id = f.media_id
+      assert(f.width == (8000 + 4000 * (id % 3)).toInt, s"rate for $id")
+      assert(f.height == 1, s"channels for $id")
+      assert(f.feature(0) == (100 + id % 400).toFloat, s"frames for $id")
+      assert(f.feature(1) == (id % 30000).toFloat, s"mean amp for $id")
+      assert(f.feature(2) == (id % 30000).toFloat, s"peak amp for $id")
+    }
+  }
+
+  test("multimodal: WAV decoder signals, never throws, on junk payloads") {
+    for (junk <- Seq(null, Array.empty[Byte], Array[Byte](1, 2, 3),
+        "RIFFxxxxWAVEfmt garbage".getBytes)) {
+      val (w, h, feat) = Multimodal.WavDecoder.decode(junk, "audio/wav")
+      assert(w == -1 && h == -1 && feat.isEmpty)
+    }
+  }
 }
