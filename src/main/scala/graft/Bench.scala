@@ -48,14 +48,14 @@ object Bench {
     val mins = pass1.zip(pass2).collect {
       case ((n, Some(a)), (_, Some(b))) => n -> math.min(a, b) }
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val passes = pass1.zip(pass2).collect { case ((k, Some(a)), (_, Some(b))) =>
-      "\"" + k + "\":[" + a + "," + b + "]" }.mkString("{", ",", "}")
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-    val errs = errors.map { case (k, v) => "\"" + k + "\":" + jstr(v) }
+    // Per-pass values keep every sample that RAN, null for the pass that
+    // failed — so a one-pass interference kill (the exact scenario the
+    // interleaving exists for) stays diagnosable instead of vanishing.
+    def num(o: Option[Double]): String = o.fold("null")(_.toString)
+    val passes = pass1.zip(pass2).collect {
+      case ((k, a), (_, b)) if a.isDefined || b.isDefined =>
+        "\"" + k + "\":[" + num(a) + "," + num(b) + "]" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":" + Json.str(v) }
       .mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     val json =

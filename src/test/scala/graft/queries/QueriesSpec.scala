@@ -52,16 +52,20 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
-  test("every registered query analyzes against the driver-scale dirs (sf0.01, sf0.1)") {
-    // Analysis only — resolves columns and type-checks every expression
-    // against the REAL schemas the driver uses, without executing. Catches
-    // an AnalysisException-class drift in seconds instead of in a silently
-    // shrunken correctness file.
-    for (sfName <- Seq("sf0.01", "sf0.1"); (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      scala.util.Try(fn(spark, sf(sfName)).queryExecution.analyzed) match {
-        case scala.util.Failure(e) =>
-          fail(s"$name fails to analyze at $sfName: ${e.getMessage}")
-        case _ => ()
+  test("table schemas are identical across sf0.001/sf0.01/sf0.1 (analysis transfers)") {
+    // Query analysis depends only on the input SCHEMA, not the data — so
+    // the full sf0.001 executions above, combined with schema equality
+    // across the three dirs, prove every query also analyzes at the
+    // driver-scale dirs (sf0.01 for Verify, sf0.1 for Bench) without
+    // re-running anything there. (A naive per-query analyze loop at those
+    // SFs is NOT cheap: ten of the query builders run real jobs — centroid
+    // collects, CC iteration, bucketed writes — during construction.)
+    for (tbl <- Tables.names) {
+      val base = Tables.t(spark, sf("sf0.001"), tbl).schema
+      for (other <- Seq("sf0.01", "sf0.1")) {
+        val s = Tables.t(spark, sf(other), tbl).schema
+        assert(s == base,
+          s"$tbl schema diverges at $other:\n  sf0.001: $base\n  $other: $s")
       }
     }
   }
