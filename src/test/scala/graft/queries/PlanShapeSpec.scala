@@ -115,6 +115,55 @@ class PlanShapeSpec extends SparkSuite {
       s"a range-partitioned global sort of the full table defeats the limit:\n$p")
   }
 
+  test("q02: predicates reach the parquet scan; untouched columns never leave the footer") {
+    // The guard that matters most at 100 TB: a scan that reads all columns
+    // for a 6-column query, or evaluates its range predicates post-scan,
+    // multiplies every downstream cost. Asserted on the scan NODE (the
+    // plan string truncates metadata at 100 chars). Also pins that the
+    // Tables.t NTZ→TZ cast does NOT break pushdown: Spark unwraps the
+    // monotonic cast (UnwrapCastInBinaryComparison), so the filters land
+    // on the raw parquet column — a regression here would silently turn
+    // every time filter into a full scan.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = SparkEntry.queries("q02_filter_project")(spark, sf("sf0.001"))
+      .queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }.head
+    val pushed = scan.metadata("PushedFilters")
+    for (expected <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity")) {
+      assert(pushed.contains(expected), s"missing pushed filter $expected in: $pushed")
+    }
+    val readCols = scan.output.map(_.name).toSet
+    for (unused <- Seq("l_partkey", "l_suppkey", "l_tax", "l_returnflag", "l_linestatus")) {
+      assert(!readCols.contains(unused), s"column pruning lost: scan reads $unused")
+    }
+  }
+
+  test("partitioned parquet scans prune to exactly the filtered partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppart").toString
+    try {
+      Tables.t(spark, sf("sf0.001"), "events")
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+      val all = spark.read.parquet(dir)
+      // partition discovery type-infers yyyy-MM-dd directory values to DATE
+      val firstDate = all.agg(min("event_date")).head.getDate(0)
+      val q = all.filter(col("event_date") === firstDate).agg(count(lit(1)))
+      val scan = q.queryExecution.sparkPlan
+        .collect { case f: FileSourceScanExec => f }.head
+      assert(scan.partitionFilters.nonEmpty,
+        "partition-column predicate must become a PartitionFilter, not a data filter")
+      val selected = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters).length
+      assert(selected == 1,
+        s"expected exactly 1 selected partition for one date, got $selected")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("q47: the bucket-key join itself runs with ZERO exchange") {
     // At sf0.001 the tables fit the broadcast threshold, which would mask
     // the claim under test; disable it to render the at-scale plan, where
