@@ -698,6 +698,30 @@ object Relational {
              |GROUP BY word ORDER BY word""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // Array HIGHER-ORDER functions — transform / filter / aggregate over a
+    // per-row array, no explode (the lambda evaluates inside the row, so
+    // the plan is a per-row projection: no shuffle, codegen-friendly — the
+    // shape that matters when the alternative explode+groupBy would
+    // shuffle |tokens| rows per document at 100 TB). DuckDB's list lambdas
+    // compute the identical values.
+    "q51_array_hof" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("toks", split($"text", " "))
+          .select($"doc_id",
+            size(filter($"toks", t => length(t) > 4)).cast("long").as("n_long"),
+            aggregate($"toks", lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+            array_join(transform(slice($"toks", 1, 3), t => upper(t)), "_").as("head3_upper"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS BIGINT) AS n_long,
+             |  CAST(coalesce(list_sum(list_transform(string_split(text, ' '), t -> length(t))), 0) AS BIGINT) AS sum_len,
+             |  array_to_string(list_transform(string_split(text, ' ')[1:3], t -> upper(t)), '_') AS head3_upper
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // stddev (sample + population) and deterministic first/last per group.
     // Spark's groupBy first()/last() are order-nondeterministic by contract,
     // so the deterministic form is first/last over an explicitly ordered,
