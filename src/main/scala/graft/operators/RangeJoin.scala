@@ -15,16 +15,27 @@ import org.apache.spark.sql.functions._
   * oracle. */
 object RangeJoin {
 
-  /** All (point, interval) pairs with `startTs ≤ point < endTs`. Both
-    * timestamp columns must be TimestampType; point and interval column
-    * sets must not collide. `bucketSeconds` trades interval replication
-    * (length/bucket) against bucket population — set it near the typical
-    * interval length. */
+  /** All (point, interval) pairs with `startTs ≤ point < endTs` (and equal
+    * values on `equiKeys`, when given). Both timestamp columns must be
+    * TimestampType or TIMESTAMP_NTZ; point and interval column sets must
+    * not collide except on the equi keys. `bucketSeconds` trades interval
+    * replication (length/bucket) against bucket population — set it near
+    * the typical interval length.
+    *
+    * `equiKeys` is the scale lever when intervals are per-entity (per-user
+    * sessions, per-device maintenance windows): the shuffle key becomes
+    * (key, bucket), so a bucket's population shrinks from ALL concurrent
+    * intervals to one entity's — and the post-filter evaluates per-entity,
+    * not across the global time slice. */
   def pointInInterval(points: DataFrame, pointTs: String,
                       intervals: DataFrame, startTs: String, endTs: String,
-                      bucketSeconds: Long = 3600L): DataFrame = {
+                      bucketSeconds: Long = 3600L,
+                      equiKeys: Seq[String] = Nil): DataFrame = {
     require(!(points.columns ++ intervals.columns).contains("_b"),
       "column name _b is reserved by RangeJoin.pointInInterval")
+    for (k <- equiKeys) require(
+      points.columns.contains(k) && intervals.columns.contains(k),
+      s"equi key $k must exist on both sides")
     // TIMESTAMP_NTZ forbids a direct cast to BIGINT; routing through
     // TimestampType first is an identity for TZ inputs and, under a UTC
     // session, for NTZ inputs too — so the operator accepts both flavors.
@@ -33,7 +44,7 @@ object RangeJoin {
     val iv = intervals.withColumn("_b",
       explode(sequence(floor(epochSec(startTs) / bucketSeconds),
         floor(epochSec(endTs) / bucketSeconds))))
-    p.join(iv, Seq("_b"))
+    p.join(iv, "_b" +: equiKeys)
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("_b")
   }

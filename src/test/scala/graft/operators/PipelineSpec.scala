@@ -346,6 +346,28 @@ class PipelineSpec extends SparkSuite {
     assert(out == Set((1L, "A"), (2L, "A"), (2L, "B"), (3L, "B")))
   }
 
+  test("keyed range join: same time window, different key never pairs") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, 10L, ts("2024-07-01T00:30:00Z")),  // user 10, inside user-10 window
+      (2L, 20L, ts("2024-07-01T00:30:00Z")),  // user 20, same instant — no 20-window
+      (3L, 10L, ts("2024-07-01T03:30:00Z"))   // user 10, inside user-20 window only
+    ).toDF("pid", "user_id", "ts")
+    val ivs = Seq(
+      (10L, "W1", ts("2024-07-01T00:00:00Z"), ts("2024-07-01T01:00:00Z")),
+      (20L, "W2", ts("2024-07-01T03:00:00Z"), ts("2024-07-01T04:00:00Z"))
+    ).toDF("user_id", "win", "start_ts", "end_ts")
+    val out = RangeJoin.pointInInterval(points, "ts", ivs, "start_ts", "end_ts",
+        equiKeys = Seq("user_id"))
+      .select("pid", "win").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "W1")))
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, "ts", ivs, "start_ts", "end_ts",
+        equiKeys = Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("as-of and range joins reject reserved/colliding column names") {
     import spark.implicits._
     val probe = Seq((1L, 10L, ts("2024-07-01T00:05:00Z"), 7L))
