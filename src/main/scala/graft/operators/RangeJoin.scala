@@ -31,10 +31,18 @@ object RangeJoin {
                       intervals: DataFrame, startTs: String, endTs: String,
                       bucketSeconds: Long = 3600L,
                       equiKeys: Seq[String] = Nil): DataFrame = {
-    require(!(points.columns ++ intervals.columns).contains("_b"),
+    // Column checks honor the session's resolver semantics
+    // (spark.sql.caseSensitive, default false) — a key that Spark would
+    // resolve must not be rejected here, and a column Spark would see as
+    // colliding with _b must be.
+    val caseSensitive =
+      points.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def matches(a: String, b: String) =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+    require(!(points.columns ++ intervals.columns).exists(matches(_, "_b")),
       "column name _b is reserved by RangeJoin.pointInInterval")
     for (k <- equiKeys) require(
-      points.columns.contains(k) && intervals.columns.contains(k),
+      points.columns.exists(matches(_, k)) && intervals.columns.exists(matches(_, k)),
       s"equi key $k must exist on both sides")
     // TIMESTAMP_NTZ forbids a direct cast to BIGINT; routing through
     // TimestampType first is an identity for TZ inputs and, under a UTC

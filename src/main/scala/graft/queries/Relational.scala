@@ -296,9 +296,13 @@ object Relational {
 
     // ---------------------------------------------------------------------
     // Window: cume_dist + nth_value — the two rank-family functions q11
-    // doesn't cover. Partitioned by segment (each window stays executor-
-    // sized at any SF; q11's global window is the deliberately-small
-    // aggregated case). The ordering carries a unique tie-break
+    // doesn't cover. Partitioned by segment, which bounds each window task
+    // to one segment's rows — honest scale note: with a LOW-cardinality
+    // partition key, each group still lands on a single task (WindowExec
+    // hash-partitions by key), so at 100 TB a per-segment distribution
+    // query should instead compose counts + the range-bucketed global
+    // index (operators/Indexing.scala) to get rowIndex/n without a
+    // single-task sort. The ordering carries a unique tie-break
     // (c_custkey), so cume_dist is rowIndex/n on identical longs — hash-
     // stable; nth_value reads the 3rd-smallest balance over the FULL frame
     // (Spark and DuckDB default nth_value frames differ: Spark ends at
