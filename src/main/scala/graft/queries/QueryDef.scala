@@ -11,6 +11,11 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The testdata's time columns, by name: the columns eligible for the
+    * raw-nanos LongType repair in [[t]] (a long is only knowably
+    * nanos-since-epoch when we know the column is a time column). */
+  val timeColumns: Set[String] = Set("ts", "o_orderdate", "l_shipdate")
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // Normalize every time column to TimestampType (micro precision) so
@@ -23,8 +28,9 @@ object Tables {
     //    TIMESTAMP_NTZ — a type that forbids cast-to-BIGINT and broke
     //    q29/q41 in round 6. NTZ→TZ is an identity under the UTC session.
     df.schema.fields.foldLeft(df) {
-      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
-        acc.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case (acc, f) if timeColumns(f.name) && f.dataType == org.apache.spark.sql.types.LongType =>
+        acc.withColumn(f.name,
+          org.apache.spark.sql.functions.expr(s"timestamp_micros(${f.name} DIV 1000)"))
       case (acc, f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
         acc.withColumn(f.name, df.col(f.name).cast(org.apache.spark.sql.types.TimestampType))
       case (acc, _) => acc

@@ -44,9 +44,9 @@ class QueriesSpec extends SparkSuite {
       for (f <- schema.fields) {
         assert(f.dataType != TimestampNTZType,
           s"$sfName/$tbl.${f.name}: TIMESTAMP_NTZ leaked through Tables.t")
-        if (f.name == "ts")
+        if (Tables.timeColumns(f.name))
           assert(f.dataType == TimestampType,
-            s"$sfName/$tbl.ts: expected TimestampType, got ${f.dataType} " +
+            s"$sfName/$tbl.${f.name}: expected TimestampType, got ${f.dataType} " +
               "(raw-nanos LongType here means the nanosAsLong branch missed)")
       }
     }
