@@ -33,13 +33,7 @@ object Relational {
     * run would leave its bucketed table copies in tmpdir forever. */
   private lazy val bucketCleanup: Unit = {
     val root = new java.io.File(bucketPidRoot)
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(root)
-    }
+    sys.addShutdownHook(graft.Fs.deleteRecursively(root))
     ()
   }
 

@@ -160,7 +160,7 @@ class PlanShapeSpec extends SparkSuite {
       assert(selected == 1,
         s"expected exactly 1 selected partition for one date, got $selected")
     } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.Fs.deleteRecursively(new java.io.File(dir))
     }
   }
 

@@ -38,7 +38,7 @@ class QueriesSpec extends SparkSuite {
   // guards fail loudly, by name, on the next re-type.
 
   test("Tables.t normalizes every time column to TimestampType at all SFs") {
-    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, LongType}
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
     for (sfName <- Seq("sf0.001", "sf0.01", "sf0.1"); tbl <- Tables.names) {
       val schema = Tables.t(spark, sf(sfName), tbl).schema
       for (f <- schema.fields) {
