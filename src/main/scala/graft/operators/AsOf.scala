@@ -32,15 +32,22 @@ object AsOf {
     * null fill result means "no state yet". */
   def join(probe: DataFrame, build: DataFrame, keys: Seq[String],
            probeTs: String, buildTs: String, buildPrefix: String = "asof_"): DataFrame = {
+    // All name checks go through the session resolver semantics
+    // (Names.matcher): under default case-insensitive resolution, "_T"
+    // collides with the internal "_t" and "ASOF_V" with output "asof_v"
+    // even though the strings differ.
+    val matches = Names.matcher(probe)
     val reserved = Seq("_t", "_p", "_state")
-    require(!(probe.columns ++ build.columns).exists(reserved.contains),
+    require(!(probe.columns ++ build.columns)
+        .exists(c => reserved.exists(matches(c, _))),
       s"column names ${reserved.mkString(", ")} are reserved by AsOf.join")
-    val pCols = probe.columns.toSeq.filterNot(keys.contains)
-    val bCols = build.columns.toSeq.filterNot(c => keys.contains(c) || c == buildTs)
+    val pCols = probe.columns.toSeq.filterNot(c => keys.exists(matches(c, _)))
+    val bCols = build.columns.toSeq
+      .filterNot(c => keys.exists(matches(c, _)) || matches(c, buildTs))
     // Output collision guard: a probe column spelled like a prefixed build
     // output would yield duplicate names that only fail on later selection.
     val outCols = (buildTs +: bCols).map(buildPrefix + _)
-    val clash = probe.columns.toSeq.intersect(outCols)
+    val clash = probe.columns.toSeq.filter(c => outCols.exists(matches(c, _)))
     require(clash.isEmpty,
       s"probe columns ${clash.mkString(", ")} collide with as-of output columns " +
         s"(buildPrefix=$buildPrefix)")

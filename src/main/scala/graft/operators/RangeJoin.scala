@@ -31,14 +31,10 @@ object RangeJoin {
                       intervals: DataFrame, startTs: String, endTs: String,
                       bucketSeconds: Long = 3600L,
                       equiKeys: Seq[String] = Nil): DataFrame = {
-    // Column checks honor the session's resolver semantics
-    // (spark.sql.caseSensitive, default false) — a key that Spark would
-    // resolve must not be rejected here, and a column Spark would see as
-    // colliding with _b must be.
-    val caseSensitive =
-      points.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
-    def matches(a: String, b: String) =
-      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+    // Column checks honor the session's resolver semantics (Names.matcher)
+    // — a key that Spark would resolve must not be rejected here, and a
+    // column Spark would see as colliding with _b must be.
+    val matches = Names.matcher(points)
     require(!(points.columns ++ intervals.columns).exists(matches(_, "_b")),
       "column name _b is reserved by RangeJoin.pointInInterval")
     for (k <- equiKeys) require(

@@ -384,6 +384,19 @@ class PipelineSpec extends SparkSuite {
       RangeJoin.pointInInterval(points, "ts", ivs, "start_ts", "end_ts")
     }
     assert(e2.getMessage.contains("_b"))
+    // checks follow the resolver: under default case-insensitive analysis
+    // a differently-cased spelling still collides / still resolves
+    val probeUpper = Seq((1L, 10L, ts("2024-07-01T00:05:00Z"), 7L))
+      .toDF("event_id", "user_id", "ts", "ASOF_V")
+    val e3 = intercept[IllegalArgumentException] {
+      AsOf.join(probeUpper, build, Seq("user_id"), "ts", "ts")
+    }
+    assert(e3.getMessage.contains("ASOF_V"))
+    val pointsUpperB = Seq((1L, ts("2024-07-01T00:30:00Z"), 0L)).toDF("pid", "ts", "_B")
+    val e4 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pointsUpperB, "ts", ivs, "start_ts", "end_ts")
+    }
+    assert(e4.getMessage.contains("_b"))
   }
 
   private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
