@@ -8,6 +8,14 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
+    // Pre-clean stale .error files from RENAMED/REMOVED queries: the
+    // per-query deleteIfExists below only covers a query that still exists
+    // under the same name, so in a reused outDir a leftover q_old.error
+    // would report a phantom failure forever.
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".error"))
+      .filterNot(f => SparkEntry.queries.contains(f.getName.stripSuffix(".error")))
+      .foreach(f => Files.deleteIfExists(f.toPath))
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -459,13 +459,53 @@ class PipelineSpec extends SparkSuite {
     assert(f0.forall(_.payload.length == 16)) // doc 0 is 128 bytes, all full
   }
 
-  test("multimodal: stub decode preserves batch shape and metadata") {
-    val media = Multimodal.synthesize(docs, "doc_id", "text")
-    val feats = Multimodal.decodeFeatures(media)
-    val row = feats.filter(_.media_id == 0L).collect()(0)
-    assert(row.n_bytes == 128L) // documents fixture: doc 0 has 128 chars (ASCII)
-    assert(row.feature.length == 8)
-    assert(feats.count() == docs.count())
+  test("multimodal: Y4M synthesize → decode round-trips the planted arithmetic") {
+    val media = Multimodal.synthesizeY4m(docs, "doc_id")
+    val feats = Multimodal.decodeFeatures(media, Multimodal.Y4mDecoder)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == docs.count())
+    for (f <- feats) {
+      val id = f.media_id
+      assert(f.width == (2 * (1 + id % 8)).toInt, s"width for $id")
+      assert(f.height == (2 * (1 + id % 6)).toInt, s"height for $id")
+      assert(f.feature(0) == (2 + id % 5).toFloat, s"frames for $id")
+      assert(f.feature(1) == (16 + (id * 31) % 220).toFloat, s"first luma for $id")
+      assert(f.feature(2) == (16 + (id * 31 + (1 + id % 5) * 7) % 220).toFloat,
+        s"last luma for $id")
+    }
+  }
+
+  test("multimodal: Y4M frame sampling decodes evenly-strided real frames") {
+    val media = Multimodal.synthesizeY4m(docs, "doc_id")
+    val frames = Multimodal.sampleVideoFrames(media, nFrames = 3)
+      .collect().sortBy(f => (f.media_id, f.frame_no))
+    assert(frames.length == docs.count() * 3)
+    for (f <- frames) {
+      val nTotal = 2 + f.media_id % 5
+      val expectIdx = (f.frame_no * (nTotal - 1) / 2).toInt
+      assert(f.frame_idx == expectIdx, s"stride for ${f.media_id}/${f.frame_no}")
+      assert(f.mean_luma == (16 + (f.media_id * 31 + expectIdx * 7) % 220).toFloat,
+        s"luma for ${f.media_id}/${f.frame_no}")
+    }
+  }
+
+  test("multimodal: Y4M parser signals, never throws, on junk payloads") {
+    for (junk <- Seq(null, Array.empty[Byte], "not a y4m".getBytes,
+        "YUV4MPEG2 W4 H4 C420jpeg\nFRAME\nxx".getBytes, // truncated frame
+        "YUV4MPEG2 W3 H3 C420jpeg\nFRAME\n".getBytes)) { // odd dims for 4:2:0
+      val (w, h, feat) = Multimodal.Y4mDecoder.decode(junk, "video/x-yuv4mpeg")
+      assert(w == -1 && h == -1 && feat.isEmpty)
+    }
+  }
+
+  test("multimodal: unsupported mimes fail loudly, never fabricate features") {
+    val ex = intercept[IllegalArgumentException](Multimodal.decoderFor("application/x-fake"))
+    assert(ex.getMessage.contains("no decoder for mime"))
+    val media = Multimodal.synthesize(docs, "doc_id", "text") // mime application/x-fake
+    val err = intercept[Exception](Multimodal.decodeFeatures(media).collect())
+    def rootChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(rootChain(err).exists(_.isInstanceOf[IllegalArgumentException]))
   }
 
   test("multimodal: WAV synthesize → decode round-trips the planted arithmetic") {
