@@ -33,18 +33,41 @@ object HashImpls {
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       t.getBaseObject, t.getBaseOffset, t.numBytes, Seed)
 
-  /** 64-bit SimHash over an array of string tokens: each token votes ±1 on
-    * every bit of its xxhash64; the fingerprint takes the sign. Near-dup
-    * texts differ in few tokens → few bit flips → small Hamming distance. */
+  /** Per-token hash for SimHash: TWO rolling-hash lanes (seeds 7 and 13,
+    * same `acc·31 + cp mod 2^31-1` recurrence as [[rollingHash]]) packed as
+    * `lane7 | lane13 << 31` — 62 well-mixed bits whose every step is plain
+    * integer SQL, so the full SimHash fold is reproducible in the DuckDB
+    * oracle (the d04/d05 gate). xxhash64 would give 64 bits but is
+    * engine-specific; two independent Mersenne lanes trade 2 dead top bits
+    * for cross-engine verifiability. */
+  def simTokenHash(t: UTF8String): Long = {
+    val str = t.toString
+    var a7 = 7L
+    var a13 = 13L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      a7 = (a7 * 31 + cp) % Mod
+      a13 = (a13 * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    a7 | (a13 << 31)
+  }
+
+  /** 62-bit SimHash over an array of string tokens: each token votes ±1 on
+    * every bit of its [[simTokenHash]]; the fingerprint takes the sign.
+    * Near-dup texts differ in few tokens → few bit flips → small Hamming
+    * distance. Bits 62-63 are always 0 (the hash is 62-bit) — harmless for
+    * banding, and the price of an SQL-reproducible fingerprint. */
   def simHash64(tokens: ArrayData): Long = {
     val n = tokens.numElements()
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](62)
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = hashToken(tokens.getUTF8String(i))
+        val h = simTokenHash(tokens.getUTF8String(i))
         var b = 0
-        while (b < 64) {
+        while (b < 62) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
@@ -53,7 +76,7 @@ object HashImpls {
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 62) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 
