@@ -192,14 +192,28 @@ object Dedup {
     * in at least one pair is labeled with the minimum doc id reachable from
     * it — the canonical keeper of its dup cluster. Iterative min-label
     * propagation (the Pregel pattern as DataFrame joins): each round every
-    * node takes the min of its own and its neighbors' labels; converges in
-    * O(graph diameter) rounds, which for dup clusters is tiny. Each round
-    * is one join + one aggregation — no driver-side data beyond the
-    * convergence count. (Long-chain graphs would want the pointer-jumping
-    * variant — O(log n) rounds — which this deliberately is not; dedup
-    * graphs are dense clusters, not paths.) */
+    * node takes the min of its own and its neighbors' labels, then JUMPS:
+    * `label ← label(label)` (pointer doubling). The min step alone
+    * converges in O(diameter) rounds — fine for clique-shaped dup
+    * clusters, dead on a chain-shaped graph (round 7's documented abort);
+    * the jump step halves the remaining path each round, so convergence is
+    * O(log diameter) — a diameter-1000 chain closes in ~11 rounds
+    * (spec-pinned), and maxIter 25 covers any graph that fits in storage.
+    * The fixed point is identical (labels decrease monotonically to the
+    * component min; the jump only forwards along already-derived
+    * reachability), so d11 verifies against the same reachability oracle.
+    * Each round is two joins + one aggregation — no driver-side data
+    * beyond the convergence count. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] exposing the round count, so the O(log
+    * diameter) convergence claim is assertable by spec rather than taken
+    * on faith. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      maxIter: Int = 25): (DataFrame, Int) = {
     // The pair list is referenced twice (symmetric closure) and per
     // iteration — materialize it once with localCheckpoint so an expensive
     // producer (e.g. the banded Jaccard join) runs once; checkpointing also
@@ -226,20 +240,32 @@ object Dedup {
       // check is a filter over already-materialized rows — not a second
       // join + recompute per round (per-round actions dominate iterative
       // DataFrame loops; one action materializes, the other just scans)
-      val next = labels.join(neighborMin, Seq("node"), "left_outer")
+      val half = labels.join(neighborMin, Seq("node"), "left_outer")
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("prev"))
+        .localCheckpoint() // referenced twice below (self-join) — run once
+      // pointer doubling: follow the label one more hop through THIS
+      // round's half-updated table (label(label(u))). Every label value is
+      // itself a node (a min over reachable ids), so the lookup is a
+      // self-join; left_outer + coalesce only for the degenerate self-loop
+      // rows the distinct edge closure can produce.
+      val next = half.as("h")
+        .join(half.select(col("node").as("pnode"), col("label").as("plabel")),
+          col("h.label") === col("pnode"), "left_outer")
+        .select(col("h.node").as("node"),
+          least(col("h.label"), coalesce(col("plabel"), col("h.label"))).as("label"),
+          col("h.prev").as("prev"))
         .localCheckpoint()
       changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.select("node", "label")
       i += 1
     }
-    // wrong labels must not be returned silently: a graph with diameter >
-    // maxIter needs a larger budget (or the pointer-jumping variant)
+    // wrong labels must not be returned silently: a graph this deep for
+    // the budget needs a larger maxIter (log2(diameter) rounds suffice)
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds ($changed labels still changing)")
-    labels.select(col("node").as("doc_id"), col("label").as("component_id"))
+    (labels.select(col("node").as("doc_id"), col("label").as("component_id")), i)
   }
 
   /** Incremental near-dedup: admit only the NEW batch docs that duplicate

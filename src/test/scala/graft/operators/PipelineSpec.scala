@@ -169,6 +169,32 @@ class PipelineSpec extends SparkSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: diameter-1000 chain converges in O(log d) rounds") {
+    import spark.implicits._
+    // the pathological shape for pure label propagation (O(diameter)
+    // rounds, round 7's documented abort at 25): a single 1001-node path.
+    // Pointer doubling must close it in ~log2(1000) rounds, and the min
+    // label must ripple the full length.
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (df, rounds) = Dedup.connectedComponentsWithRounds(chain, "a_id", "b_id")
+    val labels = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 1001)
+    assert(labels.forall(_._2 == 0L), "every chain node must label to the min id 0")
+    assert(rounds < 15, s"pointer jumping should need ~11 rounds, took $rounds")
+  }
+
+  test("connected components: star and clique converge in a round or two") {
+    import spark.implicits._
+    val star = (1L to 50L).map(i => (0L, i)).toDF("a_id", "b_id")
+    val (sdf, srounds) = Dedup.connectedComponentsWithRounds(star, "a_id", "b_id")
+    assert(sdf.collect().forall(_.getLong(1) == 0L))
+    assert(srounds <= 2, s"star took $srounds rounds")
+    val clique = (for (i <- 0L to 9L; j <- i + 1 to 9L) yield (i, j)).toDF("a_id", "b_id")
+    val (cdf, crounds) = Dedup.connectedComponentsWithRounds(clique, "a_id", "b_id")
+    assert(cdf.collect().forall(_.getLong(1) == 0L))
+    assert(crounds <= 2, s"clique took $crounds rounds")
+  }
+
   test("exact dedup groups byte-identical docs") {
     import spark.implicits._
     val df = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
