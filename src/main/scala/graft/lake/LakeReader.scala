@@ -157,6 +157,74 @@ object LakeReader {
       .withColumn("_event_hour", eventHourCol)
   }
 
+  /** Schema-EVOLUTION read (opt-in): reconcile objects whose headers drift.
+    * The reference's first-record inference (`Collector.ts:291-308`) means
+    * two objects of one table can legally carry different column sets or
+    * orders; the default [[read]] fails loudly on that (enforceSchema=false
+    * — the right strictness for a declared-schema lake). This variant
+    * instead groups the objects by their exact header, reads each group
+    * with its own schema, and unions BY NAME: a column missing from a
+    * group is null-filled, and a column that is INTEGER in one group and
+    * FLOAT in another widens to FLOAT. Any other type conflict is
+    * irreconcilable and throws — silent coercion across, say,
+    * STRING/INTEGER drift would corrupt, not reconcile. Output column
+    * order is first-seen across objects in key order.
+    *
+    * Cost note: reconciliation peeks EVERY object's two header lines on
+    * the driver (the strict path peeks one). Each peek is a
+    * metadata-sized ranged read, but at millions of objects the listing
+    * itself is already the bottleneck — a production lake at that scale
+    * should persist a schema manifest per flush instead of re-peeking
+    * (the [[LakeWriter.WrittenObject]] records carry what's needed). The
+    * scan itself still hands Spark one datasource per schema GROUP
+    * (bounded by distinct schema versions, not objects), so executor-side
+    * parallelism is unchanged. */
+  def readReconciled(spark: SparkSession, rootUri: String, table: String,
+                     hourRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame =
+    readReconciledFrom(spark, new HadoopStore(rootUri), table, hourRange)
+
+  /** [[readReconciled]] against an explicit [[Store]] (injectable for tests). */
+  def readReconciledFrom(spark: SparkSession, store: Store, table: String,
+                         hourRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+    val rootUri = store.rootUri
+    val keys = listTableKeys(store, table, hourRange).sorted
+    require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
+    // group objects by exact header (names + types), first-seen order
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[(String, ColType)], (TableSchema, scala.collection.mutable.ArrayBuffer[String])]
+    for (k <- keys) {
+      val sch = peekSchema(store, k, table)
+      groups.getOrElseUpdate(sch.columns, (sch, scala.collection.mutable.ArrayBuffer.empty[String]))._2 += k
+    }
+    // union-by-name column merge with Integer→Float widening
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    for ((cols, _) <- groups; (n, t) <- cols) {
+      val dt = t.sparkType
+      merged.get(n) match {
+        case None => merged(n) = dt
+        case Some(prev) if prev == dt => ()
+        case Some(prev) if Set(prev, dt) == Set[DataType](LongType, DoubleType) =>
+          merged(n) = DoubleType
+        case Some(prev) => throw new IllegalArgumentException(
+          s"irreconcilable schema drift for $table.$n: $prev vs $dt " +
+            "(only INTEGER->FLOAT widens; anything else needs an explicit migration)")
+      }
+    }
+    val outCols = merged.toSeq
+    groups.values.toSeq.map { case (sch, ks) =>
+      val have = sch.columnNames.toSet
+      spark.read
+        .schema(sch.structType)
+        .options(CodecOptions)
+        .csv(ks.toSeq.map(k => s"${rootUri.stripSuffix("/")}/$k"): _*)
+        .select(outCols.map { case (n, dt) =>
+          (if (have(n)) col(n).cast(dt) else lit(null).cast(dt)).as(n)
+        }: _*)
+        .withColumn("_event_hour", eventHourCol)
+    }.reduce(_.union(_))
+  }
+
   /** Read EXACTLY the given object keys (a listing snapshot) — no
     * re-listing, no directory expansion. Used by compaction, where reading
     * more than the snapshot would duplicate concurrently-flushed rows.

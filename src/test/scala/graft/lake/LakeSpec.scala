@@ -257,6 +257,54 @@ class LakeSpec extends SparkSuite {
     assert(df.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0) == 4L)
   }
 
+  test("reconciling read unions drifted schemas by name, widens, null-fills") {
+    import spark.implicits._
+    val root = freshRoot()
+    // three generations of table `ev`: v1 (id, v INTEGER, tag), v2 drops
+    // tag + widens v to FLOAT + reorders, v3 adds a new column
+    val v1 = TableSchema("ev", Seq(
+      "id" -> ColType.CInteger, "v" -> ColType.CInteger, "tag" -> ColType.CString))
+    val v2 = TableSchema("ev", Seq(
+      "v" -> ColType.CFloat, "id" -> ColType.CInteger))
+    val v3 = TableSchema("ev", Seq(
+      "id" -> ColType.CInteger, "v" -> ColType.CInteger,
+      "tag" -> ColType.CString, "extra" -> ColType.CString))
+    val at = Instant.parse("2024-06-01T12:00:00Z")
+    LakeWriter.write(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "tag"),
+      v1, root, at)
+    LakeWriter.write(Seq((3.5, 3L), (4.5, 4L)).toDF("v", "id"), v2, root, at)
+    LakeWriter.write(Seq((5L, 50L, "e", "x")).toDF("id", "v", "tag", "extra"),
+      v3, root, at)
+
+    // the strict read must refuse the drift loudly (enforceSchema=false)
+    intercept[Throwable] { LakeReader.read(spark, root, "ev").collect() }
+
+    val df = LakeReader.readReconciled(spark, root, "ev")
+    // first-seen order: v1's columns, then v3's addition, then _event_hour
+    assert(df.columns.toSeq == Seq("id", "v", "tag", "extra", "_event_hour"))
+    assert(df.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1),
+      Option(r.getString(2)), Option(r.getString(3)))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, 10.0, Some("a"), None), (2L, 20.0, Some("b"), None),
+      (3L, 3.5, None, None), (4L, 4.5, None, None),
+      (5L, 50.0, Some("e"), Some("x"))))
+  }
+
+  test("reconciling read refuses non-numeric type drift loudly") {
+    import spark.implicits._
+    val root = freshRoot()
+    val at = Instant.parse("2024-06-01T12:00:00Z")
+    LakeWriter.write(Seq((1L, "a")).toDF("id", "tag"),
+      TableSchema("ev", Seq("id" -> ColType.CInteger, "tag" -> ColType.CString)), root, at)
+    LakeWriter.write(Seq((2L, 7L)).toDF("id", "tag"),
+      TableSchema("ev", Seq("id" -> ColType.CInteger, "tag" -> ColType.CInteger)), root, at)
+    val ex = intercept[IllegalArgumentException] {
+      LakeReader.readReconciled(spark, root, "ev")
+    }
+    assert(ex.getMessage.contains("irreconcilable schema drift"))
+  }
+
   test("reader tolerates README type aliases in #types headers") {
     val root = freshRoot()
     val store = new HadoopStore(root)
