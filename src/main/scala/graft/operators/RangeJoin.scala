@@ -26,17 +26,28 @@ object RangeJoin {
     * sessions, per-device maintenance windows): the shuffle key becomes
     * (key, bucket), so a bucket's population shrinks from ALL concurrent
     * intervals to one entity's — and the post-filter evaluates per-entity,
-    * not across the global time slice. */
+    * not across the global time slice.
+    *
+    * `maxBucketsPerInterval` guards the replication degenerate: a single
+    * years-long interval at the default 1h bucket would silently fan out
+    * to ~10⁴ copies PER ROW. Any interval spanning more buckets fails the
+    * job loudly (inside the plan — no extra driver pass) with the two
+    * remedies in the message: widen `bucketSeconds` toward the true
+    * interval length, or raise the cap deliberately. */
   def pointInInterval(points: DataFrame, pointTs: String,
                       intervals: DataFrame, startTs: String, endTs: String,
                       bucketSeconds: Long = 3600L,
-                      equiKeys: Seq[String] = Nil): DataFrame = {
+                      equiKeys: Seq[String] = Nil,
+                      maxBucketsPerInterval: Long = 10000L): DataFrame = {
+    require(maxBucketsPerInterval >= 1,
+      s"maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
     // Column checks honor the session's resolver semantics (Names.matcher)
     // — a key that Spark would resolve must not be rejected here, and a
     // column Spark would see as colliding with _b must be.
     val matches = Names.matcher(points)
-    require(!(points.columns ++ intervals.columns).exists(matches(_, "_b")),
-      "column name _b is reserved by RangeJoin.pointInInterval")
+    for (reserved <- Seq("_b", "_sb", "_eb"))
+      require(!(points.columns ++ intervals.columns).exists(matches(_, reserved)),
+        s"column name $reserved is reserved by RangeJoin.pointInInterval")
     for (k <- equiKeys) require(
       points.columns.exists(matches(_, k)) && intervals.columns.exists(matches(_, k)),
       s"equi key $k must exist on both sides")
@@ -45,9 +56,22 @@ object RangeJoin {
     // session, for NTZ inputs too — so the operator accepts both flavors.
     def epochSec(c: String) = col(c).cast("timestamp").cast("long")
     val p = points.withColumn("_b", floor(epochSec(pointTs) / bucketSeconds))
-    val iv = intervals.withColumn("_b",
-      explode(sequence(floor(epochSec(startTs) / bucketSeconds),
-        floor(epochSec(endTs) / bucketSeconds))))
+    val iv = intervals
+      .withColumn("_sb", floor(epochSec(startTs) / bucketSeconds))
+      // raise_error in the otherwise-branch: evaluated per row during the
+      // scan, so a degenerate interval aborts the job before it can fan
+      // out (NullType coerces to the when-branch's LongType)
+      .withColumn("_eb", {
+        val eb = floor(epochSec(endTs) / bucketSeconds)
+        when(eb - col("_sb") < lit(maxBucketsPerInterval), eb)
+          .otherwise(raise_error(format_string(
+            s"RangeJoin: interval [%s, %s) spans %s buckets at bucketSeconds=$bucketSeconds, " +
+              s"over the maxBucketsPerInterval=$maxBucketsPerInterval guard — widen bucketSeconds " +
+              "toward the typical interval length, or raise the cap deliberately",
+            col(startTs), col(endTs), eb - col("_sb") + 1)))
+      })
+      .withColumn("_b", explode(sequence(col("_sb"), col("_eb"))))
+      .drop("_sb", "_eb")
     p.join(iv, "_b" +: equiKeys)
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("_b")

@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * join (no runtime re-plan), or when a downstream groupBy on the same key
   * re-concentrates the rows. The salt column composes with the follow-up
   * aggregation (partial agg per salt, final agg across salts).
+  *
+  * Decision rule, both sides test-pinned: a plain batch SMJ with a hot key
+  * needs NOTHING from this file — PlanShapeSpec's AQE case plants 95%-hot
+  * skew and asserts Spark's own OptimizeSkewedJoin marks the join
+  * `skew=true`; reach for [[saltedJoin]]/[[saltedSum]] only in the AQE
+  * blind spots above (q45 proves the salted path broadcast-disabled).
   */
 object Skew {
 

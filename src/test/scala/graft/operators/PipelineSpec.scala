@@ -394,6 +394,27 @@ class PipelineSpec extends SparkSuite {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("range join rejects degenerate intervals instead of exploding") {
+    import spark.implicits._
+    val points = Seq((1L, ts("2024-07-01T00:30:00Z"))).toDF("pid", "ts")
+    // a two-year interval at the default 1h bucket ≈ 17.5k replicas/row —
+    // over the 10k default cap, must abort loudly inside the plan
+    val pathological = Seq(
+      ("OK", ts("2024-07-01T00:00:00Z"), ts("2024-07-01T02:00:00Z")),
+      ("BAD", ts("2024-01-01T00:00:00Z"), ts("2026-01-01T00:00:00Z"))
+    ).toDF("iv", "start_ts", "end_ts")
+    val err = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "ts", pathological, "start_ts", "end_ts").count()
+    }
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+    assert(chain(err).exists(e =>
+      Option(e.getMessage).exists(_.contains("maxBucketsPerInterval"))), s"got $err")
+    // the same join passes when the caller sizes the cap deliberately
+    val ok = RangeJoin.pointInInterval(points, "ts", pathological, "start_ts", "end_ts",
+      maxBucketsPerInterval = 20000L)
+    assert(ok.select("iv").collect().map(_.getString(0)).toSet == Set("OK", "BAD"))
+  }
+
   test("as-of and range joins reject reserved/colliding column names") {
     import spark.implicits._
     val probe = Seq((1L, 10L, ts("2024-07-01T00:05:00Z"), 7L))

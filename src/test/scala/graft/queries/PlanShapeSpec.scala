@@ -183,4 +183,44 @@ class PlanShapeSpec extends SparkSuite {
         s"bucketed co-located join must not re-shuffle either side:\n$p")
     } finally spark.conf.set(key, prev)
   }
+
+  test("AQE skew-join splits a planted hot key without manual salting") {
+    // Documents the Skew.saltedJoin decision boundary (q45 proves the
+    // manual salt): for a plain BATCH sort-merge join, Spark's own
+    // OptimizeSkewedJoin handles the hot key — users need saltedJoin only
+    // when AQE can't act (streaming joins, or a downstream groupBy that
+    // re-concentrates the key). Forced-low thresholds stand in for
+    // at-scale partition sizes; the fixture plants ~95% of rows on key 0.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    val saves = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = spark.range(0, 100000).select(
+        when($"id" < 95000L, 0L).otherwise($"id" % 10000L).as("key"),
+        concat(lit("x" * 64), $"id").as("payload"))
+      val dim = spark.range(0, 10000).select($"id".as("key"), ($"id" * 2).as("v"))
+      val joined = fact.join(dim, "key")
+      // collect() (not count()) so THIS queryExecution runs and AQE
+      // finalizes its adaptive plan — count() would execute a separate one
+      val n = joined.collect().length
+      assert(n == 100000, s"every fact row must match exactly once, got $n")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the skewed sort-merge join (OptimizeSkewedJoin):\n$finalPlan")
+    } finally saves.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
