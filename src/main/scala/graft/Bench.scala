@@ -41,8 +41,55 @@ object Bench {
     // clips the noise. Per-pass times are emitted too, so interference is
     // diagnosable (a noisy run shows pass1/pass2 disagreeing, not a slow
     // engine).
-    val pass1 = names.map { case (n, fn) => n -> once(n, fn) }
-    val pass2 = names.map { case (n, fn) => n -> once(n, fn) }
+    // Streaming end-to-end entry (the one number the batch queries can't
+    // give: a state-store / file-source regression shows up as a timing).
+    // Setup (untimed): the documents table written as a 16-object typed-CSV
+    // lake — the collector's output shape. Timed: a fresh streaming query
+    // (new checkpoint per pass, so every pass re-drains all objects) reads
+    // the lake as a file stream in 4-object micro-batches, runs the
+    // stateless curation gate (quality + language), and drains to noop.
+    val streamName = "s01_stream_curation"
+    val streamRoot = java.nio.file.Files.createTempDirectory("graft-bench-stream")
+    val streamSchema = graft.types.TableSchema("docs_s", Seq(
+      "doc_id" -> graft.types.ColType.CInteger, "text" -> graft.types.ColType.CString))
+    def timeStreamDrain(): Option[Double] = {
+      import org.apache.spark.sql.functions.col
+      val t0 = System.nanoTime()
+      try {
+        val qc = graft.functions.Text.qualityColumns(col("text")).toMap
+        val curated = graft.lake.LakeReader
+          .readStreamOf(spark, s"file://$streamRoot", "docs_s", streamSchema,
+            maxFilesPerTrigger = Some(4))
+          .filter(qc("n_words") >= 10 && qc("alpha_ratio_milli") >= 500 &&
+            graft.functions.Text.langId(col("text")) === "en")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-stream-ckpt")
+        val q = curated.writeStream.format("noop")
+          .option("checkpointLocation", ckpt.toString).start()
+        try { q.processAllAvailable() } finally {
+          q.stop()
+          Fs.deleteRecursively(ckpt.toFile)
+        }
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $streamName: $e")
+        errors(streamName) = s"${e.getClass.getName}: ${e.getMessage}".take(300)
+        None
+      }
+    }
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").repartition(16)
+      graft.lake.LakeWriter.write(docs, streamSchema, s"file://$streamRoot")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $streamName setup: $e")
+      errors(streamName) = s"setup: ${e.getClass.getName}: ${e.getMessage}".take(300)
+    }
+
+    val pass1 = names.map { case (n, fn) => n -> once(n, fn) } :+
+      (streamName -> (if (errors.contains(streamName)) None else timeStreamDrain()))
+    val pass2 = names.map { case (n, fn) => n -> once(n, fn) } :+
+      (streamName -> (if (errors.contains(streamName)) None else timeStreamDrain()))
+    Fs.deleteRecursively(streamRoot.toFile)
     // A query enters the timings only if BOTH passes succeeded — a
     // one-pass-failed query has no honest min-of-2.
     val mins = pass1.zip(pass2).collect {
