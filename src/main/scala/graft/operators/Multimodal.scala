@@ -143,7 +143,7 @@ object Multimodal {
         val bytes = ais.readAllBytes()
         val bps = fmt.getSampleSizeInBits / 8
         val n = bytes.length / math.max(bps * fmt.getChannels, 1)
-        var (sum, peak) = (0.0, 0L)
+        var (sum, peak, samples) = (0.0, 0L, 0L)
         if (bps == 2) {
           // 16-bit PCM; honor the container's declared endianness
           var i = 0
@@ -152,12 +152,15 @@ object Multimodal {
               if (fmt.isBigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xFF)).toShort
               else ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort
             val a = math.abs(s.toLong)
-            sum += a; if (a > peak) peak = a
+            sum += a; if (a > peak) peak = a; samples += 1
             i += 2
           }
         }
+        // mean over SAMPLES (frames × channels), not frames: dividing the
+        // all-channel sum by the frame count would inflate the stat by the
+        // channel count on stereo input (identical for mono)
         (fmt.getSampleRate.toInt, fmt.getChannels,
-          Array(n.toFloat, if (n == 0) 0f else (sum / n).toFloat, peak.toFloat))
+          Array(n.toFloat, if (samples == 0) 0f else (sum / samples).toFloat, peak.toFloat))
       } catch { case scala.util.control.NonFatal(_) => (-1, -1, Array.empty[Float]) }
       finally ais.close()
     }

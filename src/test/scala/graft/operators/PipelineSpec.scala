@@ -570,6 +570,28 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("multimodal: stereo WAV mean is per sample, not channel-inflated") {
+    // L=1000, R=3000 on every frame: mean abs over SAMPLES is 2000; the
+    // frame-count divisor bug would report 4000
+    val nFrames = 64
+    val pcm = new Array[Byte](nFrames * 4) // 2ch × 16-bit LE
+    for (i <- 0 until nFrames; (amp, ch) <- Seq((1000, 0), (3000, 1))) {
+      pcm(4 * i + 2 * ch) = (amp & 0xFF).toByte
+      pcm(4 * i + 2 * ch + 1) = ((amp >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val (rate, channels, feat) = Multimodal.WavDecoder.decode(bos.toByteArray, "audio/wav")
+    assert(rate == 8000 && channels == 2)
+    assert(feat(0) == nFrames.toFloat)
+    assert(feat(1) == 2000f, s"mean abs per sample, got ${feat(1)}")
+    assert(feat(2) == 3000f)
+  }
+
   test("multimodal: WAV decoder signals, never throws, on junk payloads") {
     for (junk <- Seq(null, Array.empty[Byte], Array[Byte](1, 2, 3),
         "RIFFxxxxWAVEfmt garbage".getBytes)) {
