@@ -168,7 +168,13 @@ object LakeReader {
     * FLOAT in another widens to FLOAT. Any other type conflict is
     * irreconcilable and throws — silent coercion across, say,
     * STRING/INTEGER drift would corrupt, not reconcile. Output column
-    * order is first-seen across objects in key order.
+    * order is CONTENT-defined, never listing-defined: object keys end in
+    * a random uuid, so "first seen in key order" would reshuffle the
+    * reconciled schema from run to run within an hour. Instead the widest
+    * header anchors the order (schema evolution accretes columns, so the
+    * widest generation is normally the newest; ties break on the smaller
+    * header signature), and any column outside the anchor appends
+    * name-sorted.
     *
     * Cost note: reconciliation peeks EVERY object's two header lines on
     * the driver (the strict path peeks one). Each peek is a
@@ -197,7 +203,7 @@ object LakeReader {
       val sch = peekSchema(store, k, table)
       groups.getOrElseUpdate(sch.columns, (sch, scala.collection.mutable.ArrayBuffer.empty[String]))._2 += k
     }
-    // union-by-name column merge with Integer→Float widening
+    // union-by-name type merge with Integer→Float widening (order-free)
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
     for ((cols, _) <- groups; (n, t) <- cols) {
       val dt = t.sparkType
@@ -211,7 +217,13 @@ object LakeReader {
             "(only INTEGER->FLOAT widens; anything else needs an explicit migration)")
       }
     }
-    val outCols = merged.toSeq
+    // content-defined column order (see scaladoc): widest header anchors,
+    // ties on the smaller signature, stragglers append name-sorted
+    val anchor = groups.keys.toSeq
+      .sortBy(cols => (-cols.size, cols.map { case (n, t) => s"$n:$t" }.mkString(",")))
+      .head.map(_._1)
+    val ordered = anchor ++ (merged.keySet -- anchor).toSeq.sorted
+    val outCols = ordered.map(n => n -> merged(n))
     groups.values.toSeq.map { case (sch, ks) =>
       val have = sch.columnNames.toSet
       spark.read

@@ -280,7 +280,8 @@ class LakeSpec extends SparkSuite {
     intercept[Throwable] { LakeReader.read(spark, root, "ev").collect() }
 
     val df = LakeReader.readReconciled(spark, root, "ev")
-    // first-seen order: v1's columns, then v3's addition, then _event_hour
+    // content-defined order: v3 is the widest header so it anchors —
+    // NOT key order, which is uuid-random within an hour (flaked pre-fix)
     assert(df.columns.toSeq == Seq("id", "v", "tag", "extra", "_event_hour"))
     assert(df.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
     val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1),
