@@ -267,6 +267,38 @@ object HashImpls {
     best
   }
 
+  /** Shannon entropy of the code-point distribution in milli-nats:
+    * `floor((ln N − Σ cᵢ·ln cᵢ / N) · 1000 + 0.5)` over per-code-point
+    * counts cᵢ. A standard corpus-quality signal: binary junk and
+    * key-mash text score high, repeated-template boilerplate scores low.
+    * SQL-reproducible by contract (the oracle computes the identical
+    * formula): the Σ folds over code points in ASCENDING order — UTF-8
+    * byte order equals code-point order, so DuckDB's `ORDER BY c` on the
+    * character visits the same sequence — and milli-rounding absorbs the
+    * ≤1-ulp libm-vs-Math.log divergence. Empty input → 0. */
+  def charEntropyMilli(s: UTF8String): Long = {
+    val str = s.toString
+    if (str.isEmpty) return 0L
+    val counts = new java.util.TreeMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val e = counts.get(cp)
+      if (e == null) counts.put(cp, Array(1L)) else e(0) += 1
+    }
+    var sum = 0.0
+    val it = counts.values().iterator() // TreeMap: ascending code point
+    while (it.hasNext) {
+      val k = it.next()(0).toDouble
+      sum += k * math.log(k)
+    }
+    val nats = math.log(n.toDouble) - sum / n
+    math.floor(nats * 1000.0 + 0.5).toLong
+  }
+
   /** Signed-random-projection signature word: bit p = sign of
     * dot(plane_{planeOffset+p}, v). All `bits` (≤ 64) dot products
     * accumulate in ONE pass over the vector (vs a per-bit

@@ -28,6 +28,13 @@ object Text {
 
   def shinglesOfText(text: Column, n: Int): Column = shingles(tokens(text), n)
 
+  /** Shannon entropy of the code-point distribution, in milli-nats —
+    * binary junk / key-mash scores high, template boilerplate scores low.
+    * Single-pass codegen'd kernel, SQL-reproducible (see
+    * [[HashImpls.charEntropyMilli]] for the determinism contract). */
+  def charEntropyMilli(text: Column): Column =
+    org.apache.spark.sql.graft.exprs.char_entropy_milli(text)
+
   /** Tiny deterministic stopword inventories per language. Real language-ID
     * uses char n-gram models; this heuristic is deliberately simple enough
     * to reproduce in ANSI SQL so the oracle can verify the plumbing. */

@@ -197,8 +197,25 @@ object exprs {
       copy(left = l, right = r)
   }
 
+  /** `char_entropy_milli(str) -> bigint` — Shannon entropy of the
+    * code-point distribution in milli-nats (see
+    * [[graft.functions.HashImpls.charEntropyMilli]]). */
+  case class CharEntropyMilli(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      HashImpls.charEntropyMilli(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.charEntropyMilli($c)")
+    override protected def withNewChildInternal(c: Expression): CharEntropyMilli =
+      copy(child = c)
+  }
+
   def rolling_hash(c: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(c)))
+  def char_entropy_milli(c: Column): Column =
+    ExpressionUtils.column(CharEntropyMilli(ExpressionUtils.expression(c)))
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
   def minhash(c: Column, k: Int, seed: Long): Column =

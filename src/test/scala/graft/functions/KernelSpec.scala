@@ -27,6 +27,26 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("charEntropyMilli kernel: known values, fuzz vs naive, astral chars") {
+    def e(s: String) = HashImpls.charEntropyMilli(UTF8String.fromString(s))
+    assert(e("") == 0L)
+    assert(e("aaaa") == 0L) // single symbol: exactly 0 nats
+    assert(e("ab") == 693L) // ln 2 = 0.6931...
+    assert(e("abcd") == 1386L) // ln 4
+    // naive recomputation in the same ascending-code-point order
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 300) {
+      val s = Seq.fill(rnd.nextInt(40) + 1)(('a' + rnd.nextInt(6)).toChar).mkString
+      val counts = s.groupBy(identity).toSeq.sortBy(_._1).map(_._2.length.toDouble)
+      val n = s.length.toDouble
+      val nats = math.log(n) - counts.foldLeft(0.0)((a, k) => a + k * math.log(k)) / n
+      assert(e(s) == math.floor(nats * 1000.0 + 0.5).toLong, s"s=$s")
+    }
+    // astral-plane code points count as ONE symbol, not two UTF-16 units
+    assert(e("😀😀") == 0L) // two identical emoji
+    assert(e("😀a") == 693L) // emoji + 'a' = two symbols
+  }
+
   test("cosineSim kernel == sequential fold (fuzz)") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 200) {

@@ -107,6 +107,20 @@ class PlanShapeSpec extends SparkSuite {
       s"rank filter must plan a partial window group limit:\n$p")
   }
 
+  test("t11: corpus top-n-grams plan partial counts + TakeOrdered, never a global sort") {
+    // The vocabulary-mining shape: map-side partial count below the one
+    // hash exchange, then per-partition top-20 merged on the driver. A
+    // full sort of the n-gram universe (range exchange) would shuffle
+    // billions of distinct shingles at corpus scale for a 20-row answer.
+    val p = plan("t11_top_shingles")
+    assert(p.contains("HashAggregate") && p.contains("partial_count"),
+      s"count must partial-aggregate map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must fold into TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a global sort of the shingle universe defeats the limit:\n$p")
+  }
+
   test("q12: global sort+limit plans TakeOrderedAndProject, never a full sort") {
     val p = plan("q12_sort_limit")
     assert(p.contains("TakeOrderedAndProject"),
