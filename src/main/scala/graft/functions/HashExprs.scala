@@ -267,6 +267,31 @@ object HashImpls {
     best
   }
 
+  /** Morton/Z-order interleave of the low 31 bits of two keys: bit i of
+    * `a` lands at position 2i, bit i of `b` at 2i+1, so the result is a
+    * 62-bit non-negative long (31 bits per dimension keeps the sign bit
+    * clear — SQL engines with checked BIGINT shifts reproduce it without
+    * overflow). Sorting by the z-value clusters rows that are close in
+    * BOTH dimensions, which is what makes parquet min/max pruning work on
+    * two filter columns at once (a single-column sort gives perfect
+    * pruning on one dimension and none on the other). Callers normalize
+    * keys into [0, 2^31) first — rank, bucket, or epoch-seconds all fit.
+    * SQL-reproducible: the oracle computes the identical per-bit OR. */
+  def zInterleave(a: Long, b: Long): Long =
+    spreadBits(a) | (spreadBits(b) << 1)
+
+  /** Low 31 bits of x spread to even positions 0,2,4,…,60 (the standard
+    * parallel-prefix bit spread). */
+  private def spreadBits(x: Long): Long = {
+    var v = x & 0x7FFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
   /** Shannon entropy of the code-point distribution in milli-nats:
     * `floor((ln N − Σ cᵢ·ln cᵢ / N) · 1000 + 0.5)` over per-code-point
     * counts cᵢ. A standard corpus-quality signal: binary junk and

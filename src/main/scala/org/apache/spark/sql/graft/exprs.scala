@@ -212,10 +212,27 @@ object exprs {
       copy(child = c)
   }
 
+  /** `z_interleave(bigint, bigint) -> bigint` — Morton/Z-order bit
+    * interleave of the low 31 bits of each key (see
+    * [[graft.functions.HashImpls.zInterleave]]). */
+  case class ZInterleave(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashImpls.zInterleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpls.zInterleave($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ZInterleave =
+      copy(left = l, right = r)
+  }
+
   def rolling_hash(c: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(c)))
   def char_entropy_milli(c: Column): Column =
     ExpressionUtils.column(CharEntropyMilli(ExpressionUtils.expression(c)))
+  def z_interleave(a: Column, b: Column): Column =
+    ExpressionUtils.column(ZInterleave(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
   def minhash(c: Column, k: Int, seed: Long): Column =
@@ -312,7 +329,11 @@ object exprs {
     ("stopword_scores", "stopword_scores(str, array<string>...) - distinct-hit count per word group",
       es => StopwordScores(es.head, es.tail.map(stringSeqLit(_, "stopword_scores group")))),
     ("lang_id", "lang_id(str) - stopword-argmax language label over the built-in inventories",
-      es => LangId(es.head, graft.functions.Text.StopwordSets)))
+      es => LangId(es.head, graft.functions.Text.StopwordSets)),
+    ("char_entropy_milli", "char_entropy_milli(str) - code-point Shannon entropy in milli-nats",
+      es => CharEntropyMilli(es.head)),
+    ("z_interleave", "z_interleave(a, b) - Morton/Z-order interleave of two 31-bit keys",
+      es => ZInterleave(es.head, es(1))))
 
   /** Evaluate a foldable `array<string>` argument (e.g. `array('a','b')`)
     * to its Scala value — group inventories parameterize the compiled

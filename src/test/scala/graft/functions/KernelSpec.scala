@@ -47,6 +47,26 @@ class KernelSpec extends AnyFunSuite {
     assert(e("😀a") == 693L) // emoji + 'a' = two symbols
   }
 
+  test("zInterleave kernel == per-bit naive, masks to 31 bits, never negative") {
+    def naive(a: Long, b: Long): Long = {
+      var r = 0L
+      for (i <- 0 until 31) {
+        r |= ((a >> i) & 1L) << (2 * i)
+        r |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      r
+    }
+    assert(HashImpls.zInterleave(3L, 1L) == 7L) // a→bits 0,2; b→bit 1
+    assert(HashImpls.zInterleave(0L, 0L) == 0L)
+    val rnd = new scala.util.Random(47)
+    for (_ <- 1 to 1000) {
+      val a = rnd.nextLong(); val b = rnd.nextLong()
+      val z = HashImpls.zInterleave(a, b)
+      assert(z == naive(a & 0x7FFFFFFFL, b & 0x7FFFFFFFL), s"a=$a b=$b")
+      assert(z >= 0L, s"sign bit set for a=$a b=$b")
+    }
+  }
+
   test("cosineSim kernel == sequential fold (fuzz)") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 200) {
