@@ -465,6 +465,96 @@ object StopwordMatcher {
   }
 }
 
+/** Greedy longest-prefix subword tokenizer — "wordpiece with character
+  * fallback" over a fixed vocabulary. At each position the longest vocab
+  * piece that prefixes the remainder is taken; when none matches, ONE code
+  * point is consumed and counted as fallback (the `<unk>`-free formulation:
+  * any string tokenizes, unknown material degrades to characters). This is
+  * the shape of production subword counting for token-budget packing and
+  * per-token pricing; real BPE differs only in how the vocab was LEARNED,
+  * not in how greedy application walks the word.
+  *
+  * SQL-reproducible by contract: the vocabulary is ASCII-only (validated),
+  * so Java's char-indexed prefix compare visits the same boundaries as an
+  * engine counting code points, and the oracle replays the identical greedy
+  * walk with a recursive CTE. Same-length tie among matching pieces is
+  * impossible (two equal-length prefixes of one string are equal), so
+  * "longest wins" fully determines the segmentation.
+  */
+final class WordpieceMatcher(vocab: Array[String]) extends Serializable {
+  WordpieceMatcher.validate(vocab)
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.length * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxLen: Int =
+    if (vocab.isEmpty) 0 else vocab.map(_.length).max
+
+  /** `[n_pieces, n_fallback]` summed over every token in the array. */
+  def stats(toks: ArrayData): ArrayData = {
+    var np = 0L
+    var nf = 0L
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        val w = toks.getUTF8String(t).toString
+        var i = 0
+        while (i < w.length) {
+          val hit = longestAt(w, i)
+          if (hit > 0) { np += 1; i += hit }
+          else { nf += 1; i += Character.charCount(w.codePointAt(i)) }
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(Array[Any](np, nf))
+  }
+
+  /** The subword pieces themselves, in order across the token array —
+    * feeds exact token-budget chunking/packing downstream. */
+  def segment(toks: ArrayData): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        val w = toks.getUTF8String(t).toString
+        var i = 0
+        while (i < w.length) {
+          val hit = longestAt(w, i)
+          val step = if (hit > 0) hit else Character.charCount(w.codePointAt(i))
+          out += UTF8String.fromString(w.substring(i, i + step))
+          i += step
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def longestAt(w: String, i: Int): Int = {
+    var l = math.min(maxLen, w.length - i)
+    while (l >= 1) {
+      if (vocabSet.contains(w.substring(i, i + l))) return l
+      l -= 1
+    }
+    0
+  }
+}
+
+object WordpieceMatcher {
+  /** Eager driver-side validation (same rationale as
+    * [[StopwordMatcher.validate]]): the ASCII-only bound is what makes the
+    * char-indexed walk equal the oracle's code-point walk. */
+  def validate(vocab: Array[String]): Unit = {
+    require(vocab.forall(_.nonEmpty), "vocab pieces must be non-empty")
+    require(vocab.forall(_.forall(c => c >= ' ' && c < 127 && c != '\'')),
+      "vocab pieces must be printable ASCII without quotes (SQL-reproducibility contract)")
+  }
+}
+
 /** Column-API entry points for the custom expressions. */
 object HashFunctions {
   def rolling_hash(c: Column): Column = org.apache.spark.sql.graft.exprs.rolling_hash(c)

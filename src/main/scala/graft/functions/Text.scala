@@ -28,6 +28,27 @@ object Text {
 
   def shinglesOfText(text: Column, n: Int): Column = shingles(tokens(text), n)
 
+  /** Tiny deterministic subword vocabulary for [[wordpieceStats]] — common
+    * English/Romance morphemes, 2-3 chars each. Real pipelines load a
+    * learned BPE/WordPiece vocab (30-100k pieces) into the same matcher;
+    * this inventory is deliberately small enough for the SQL oracle to
+    * replay the greedy walk. */
+  val SubwordVocab: Seq[String] = Seq(
+    "the", "ing", "ion", "ent", "and", "er", "re", "in", "on", "at",
+    "or", "an", "en", "es", "ed", "is", "it", "al", "le", "de",
+    "un", "qu", "th", "ou", "st", "ar", "te", "ti", "se", "la")
+
+  /** `[n_pieces, n_fallback]` of the greedy longest-prefix subword walk
+    * over the token array — the exact token-count primitive for budget
+    * packing and per-token accounting (see
+    * [[graft.functions.WordpieceMatcher]] for the determinism contract). */
+  def wordpieceStats(toks: Column, vocab: Seq[String] = SubwordVocab): Column =
+    org.apache.spark.sql.graft.exprs.wordpiece_stats(toks, vocab)
+
+  /** The subword pieces themselves, in order. */
+  def wordpieceSegment(toks: Column, vocab: Seq[String] = SubwordVocab): Column =
+    org.apache.spark.sql.graft.exprs.wordpiece_segment(toks, vocab)
+
   /** Shannon entropy of the code-point distribution, in milli-nats —
     * binary junk / key-mash scores high, template boilerplate scores low.
     * Single-pass codegen'd kernel, SQL-reproducible (see

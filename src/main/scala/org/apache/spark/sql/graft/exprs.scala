@@ -227,12 +227,53 @@ object exprs {
       copy(left = l, right = r)
   }
 
+  /** `wordpiece_stats(array<string>, vocab) -> array<bigint>` —
+    * `[n_pieces, n_fallback]` of the greedy longest-prefix subword walk
+    * (see [[graft.functions.WordpieceMatcher]]). */
+  case class WordpieceStats(child: Expression, vocab: Seq[String])
+      extends UnaryExpression with ExpectsInputTypes {
+    graft.functions.WordpieceMatcher.validate(vocab.toArray) // eager, driver-side
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val matcher = new graft.functions.WordpieceMatcher(vocab.toArray)
+    override def nullSafeEval(v: Any): Any = matcher.stats(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = ctx.addReferenceObj("matcher", matcher,
+        classOf[graft.functions.WordpieceMatcher].getName)
+      defineCodeGen(ctx, ev, c => s"$m.stats($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): WordpieceStats =
+      copy(child = c)
+  }
+
+  /** `wordpiece_segment(array<string>, vocab) -> array<string>` — the
+    * subword pieces themselves, in order (exact token-budget packing). */
+  case class WordpieceSegment(child: Expression, vocab: Seq[String])
+      extends UnaryExpression with ExpectsInputTypes {
+    graft.functions.WordpieceMatcher.validate(vocab.toArray)
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    @transient private lazy val matcher = new graft.functions.WordpieceMatcher(vocab.toArray)
+    override def nullSafeEval(v: Any): Any = matcher.segment(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val m = ctx.addReferenceObj("matcher", matcher,
+        classOf[graft.functions.WordpieceMatcher].getName)
+      defineCodeGen(ctx, ev, c => s"$m.segment($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): WordpieceSegment =
+      copy(child = c)
+  }
+
   def rolling_hash(c: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(c)))
   def char_entropy_milli(c: Column): Column =
     ExpressionUtils.column(CharEntropyMilli(ExpressionUtils.expression(c)))
   def z_interleave(a: Column, b: Column): Column =
     ExpressionUtils.column(ZInterleave(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def wordpiece_stats(c: Column, vocab: Seq[String]): Column =
+    ExpressionUtils.column(WordpieceStats(ExpressionUtils.expression(c), vocab))
+  def wordpiece_segment(c: Column, vocab: Seq[String]): Column =
+    ExpressionUtils.column(WordpieceSegment(ExpressionUtils.expression(c), vocab))
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
   def minhash(c: Column, k: Int, seed: Long): Column =
@@ -333,7 +374,11 @@ object exprs {
     ("char_entropy_milli", "char_entropy_milli(str) - code-point Shannon entropy in milli-nats",
       es => CharEntropyMilli(es.head)),
     ("z_interleave", "z_interleave(a, b) - Morton/Z-order interleave of two 31-bit keys",
-      es => ZInterleave(es.head, es(1))))
+      es => ZInterleave(es.head, es(1))),
+    ("wordpiece_stats", "wordpiece_stats(array<string>, array<string> vocab) - [n_pieces, n_fallback]",
+      es => WordpieceStats(es.head, stringSeqLit(es(1), "wordpiece_stats vocab"))),
+    ("wordpiece_segment", "wordpiece_segment(array<string>, array<string> vocab) - subword pieces in order",
+      es => WordpieceSegment(es.head, stringSeqLit(es(1), "wordpiece_segment vocab"))))
 
   /** Evaluate a foldable `array<string>` argument (e.g. `array('a','b')`)
     * to its Scala value — group inventories parameterize the compiled

@@ -67,6 +67,42 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("wordpiece kernel: greedy longest-prefix with char fallback (exact + fuzz)") {
+    val vocab = Array("the", "th", "he", "ing", "a", "te")
+    val m = new WordpieceMatcher(vocab)
+    def seg(ws: String*) = strings(m.segment(sarr(ws)))
+    // "theater": the | a | te | r(fallback)  — longest wins at each step
+    assert(seg("theater") == Seq("the", "a", "te", "r"))
+    // "thing": th | ing (not the+...: "thi" isn't a piece, "th" beats "t")
+    assert(seg("thing") == Seq("th", "ing"))
+    assert(seg() == Seq())
+    assert(seg("xyz") == Seq("x", "y", "z")) // pure fallback
+    // astral fallback consumes the full surrogate pair as one piece
+    assert(seg("a😀a") == Seq("a", "😀", "a"))
+    // stats == segment-derived counts, fuzzed vs a naive reference walk
+    val rnd = new scala.util.Random(53)
+    def naive(w: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val hit = (math.min(3, w.length - i) to 1 by -1)
+          .find(l => vocab.contains(w.substring(i, i + l)))
+        val step = hit.getOrElse(Character.charCount(w.codePointAt(i)))
+        out += w.substring(i, i + step)
+        i += step
+      }
+      out.toSeq
+    }
+    for (_ <- 1 to 300) {
+      val w = Seq.fill(rnd.nextInt(12))("theaingxz".charAt(rnd.nextInt(9))).mkString
+      assert(seg(w) == naive(w), s"w=$w")
+      val st = m.stats(sarr(Seq(w)))
+      val pieces = naive(w)
+      val fallback = pieces.count(p => !vocab.contains(p))
+      assert(st.getLong(0) == pieces.size - fallback && st.getLong(1) == fallback, s"w=$w")
+    }
+  }
+
   test("cosineSim kernel == sequential fold (fuzz)") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 200) {
