@@ -41,6 +41,29 @@ object Sampling {
     df.filter(bucketMilli(key) < rate)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement, size k — the
+    * Efraimidis–Spirakis A-ES scheme: each row draws u ∈ (0,1) (here a
+    * pure function of its key via the rolling hash, so the draw is
+    * reproducible on any cluster and replayable in SQL) and the k largest
+    * u^(1/w) win. Inclusion probability is proportional to weight at
+    * every prefix, which is exactly the "temperature-sample sources by
+    * quality score" step of corpus assembly — and unlike rejection
+    * sampling it needs ONE pass and no retries.
+    *
+    * Scale shape: per-row key arithmetic + global top-k — plans
+    * TakeOrderedAndProject (per-partition heap of k, merged on the
+    * driver), never a full sort. Weights must be strictly positive. */
+  def weightedTopK(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    // h ∈ [0, 2^31−1) ⇒ u = (h+1)/2^31 ∈ (0, 1]; u=1 maps the best hash
+    // to aesKey=1 for every weight — a measure-zero tie broken by key
+    val u = (HashFunctions.rolling_hash(key.cast("string")) + 1).cast("double") /
+      lit(2147483648.0)
+    df.withColumn("_aes_key", pow(u, lit(1.0) / weight))
+      .orderBy(col("_aes_key").desc, key)
+      .limit(k)
+      .drop("_aes_key")
+  }
+
   /** Disjoint deterministic split `(train, holdout)` at `holdoutMilli`/1000:
     * the same key always lands on the same side, across runs and clusters. */
   def split(df: DataFrame, key: Column, holdoutMilli: Int): (DataFrame, DataFrame) = {

@@ -696,6 +696,24 @@ object Relational {
              |GROUP BY word ORDER BY word""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // POSITIONAL explode: posexplode keeps each element's 0-based index —
+    // the ordered-flatten primitive (token positions, chunk offsets) that
+    // plain explode loses. Same per-row Generate plan, no extra shuffle.
+    "q53_posexplode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", posexplode(split($"text", " ")))
+          .filter($"pos" < 5)
+          .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("word"))
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""SELECT doc_id, i - 1 AS pos, w[i] AS word
+             |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+             |  LATERAL (SELECT unnest(range(1, greatest(len(w), 0) + 1)) AS i) g
+             |WHERE i - 1 < 5 ORDER BY doc_id, pos""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // Array HIGHER-ORDER functions — transform / filter / aggregate over a
     // per-row array, no explode (the lambda evaluates inside the row, so
     // the plan is a per-row projection: no shuffle, codegen-friendly — the

@@ -264,6 +264,30 @@ object exprs {
       copy(child = c)
   }
 
+  /** `unicode_normalize(str, form) -> str` — Unicode normalization via
+    * `java.text.Normalizer`. NFC before hashing/dedup is the standard
+    * pipeline step that stops composed-vs-decomposed accent encodings of
+    * the SAME text from defeating exact dedup; NFKC additionally folds
+    * compatibility characters (fullwidth forms, ligatures) for token
+    * matching. The Unicode normalization algorithm is fully specified, so
+    * any conformant engine (the oracle uses DuckDB's `nfc_normalize`)
+    * produces identical bytes — hash-exact by standard, not by luck. */
+  case class UnicodeNormalize(child: Expression, form: java.text.Normalizer.Form)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        v.asInstanceOf[UTF8String].toString, form))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"""org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  java.text.Normalizer.normalize($c.toString(),
+           |    java.text.Normalizer.Form.${form.name}))""".stripMargin)
+    override protected def withNewChildInternal(c: Expression): UnicodeNormalize =
+      copy(child = c)
+  }
+
   def rolling_hash(c: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(c)))
   def char_entropy_milli(c: Column): Column =
@@ -274,6 +298,9 @@ object exprs {
     ExpressionUtils.column(WordpieceStats(ExpressionUtils.expression(c), vocab))
   def wordpiece_segment(c: Column, vocab: Seq[String]): Column =
     ExpressionUtils.column(WordpieceSegment(ExpressionUtils.expression(c), vocab))
+  def unicode_normalize(c: Column, form: String): Column =
+    ExpressionUtils.column(UnicodeNormalize(ExpressionUtils.expression(c),
+      java.text.Normalizer.Form.valueOf(form)))
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
   def minhash(c: Column, k: Int, seed: Long): Column =
@@ -334,6 +361,13 @@ object exprs {
         new org.apache.spark.sql.catalyst.expressions.XxHash64(
           Seq(ExpressionUtils.expression(c)))))
 
+  private def stringLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
+  }
+
   private def intLit(e: Expression, what: String): Long = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toLong
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v
@@ -378,7 +412,10 @@ object exprs {
     ("wordpiece_stats", "wordpiece_stats(array<string>, array<string> vocab) - [n_pieces, n_fallback]",
       es => WordpieceStats(es.head, stringSeqLit(es(1), "wordpiece_stats vocab"))),
     ("wordpiece_segment", "wordpiece_segment(array<string>, array<string> vocab) - subword pieces in order",
-      es => WordpieceSegment(es.head, stringSeqLit(es(1), "wordpiece_segment vocab"))))
+      es => WordpieceSegment(es.head, stringSeqLit(es(1), "wordpiece_segment vocab"))),
+    ("unicode_normalize", "unicode_normalize(str, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode normalization",
+      es => UnicodeNormalize(es.head,
+        java.text.Normalizer.Form.valueOf(stringLit(es(1), "unicode_normalize form")))))
 
   /** Evaluate a foldable `array<string>` argument (e.g. `array('a','b')`)
     * to its Scala value — group inventories parameterize the compiled
