@@ -9,11 +9,20 @@ import org.apache.spark.sql.functions._
   * Parquet pruning is driven by per-file / per-row-group min-max stats. A
   * table sorted by one column prunes perfectly on that column and not at
   * all on any other; a table clustered by the INTERLEAVED bits of two
-  * columns bounds every file in BOTH dimensions, so a filter on either
-  * column (or both) skips most files. This is the same layout idea
+  * columns bounds files in BOTH dimensions, so a filter on either column
+  * (or both) skips most files. This is the same layout idea
   * Delta/Iceberg expose as `OPTIMIZE ... ZORDER BY` — here it is just a
   * deterministic per-row expression ([[graft.functions.HashImpls.zInterleave]])
   * plus `repartitionByRange` + `sortWithinPartitions`, all native Spark.
+  *
+  * The bound is statistical, not per-file (true of every z-order layout,
+  * Delta's included): a file whose z-interval crosses a high-order Morton
+  * boundary jumps between distant corners of the key space and spans wide
+  * in one or both dimensions. With P files there are at most ~P boundary
+  * crossings ACROSS ALL SCALES but only the ~log₂P coarsest ones are wide,
+  * so all but a handful of files stay inside one aligned superblock —
+  * LayoutSpec and RehearsalR8 assert exactly that shape (≥ 90% of
+  * partitions tight, the rest are the documented crossers).
   *
   * Keys must land in [0, 2^31): ids and epoch-seconds already do; ranks,
   * buckets, or rolling-hash values normalize anything else. The interleave

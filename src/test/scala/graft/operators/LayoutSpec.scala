@@ -23,12 +23,14 @@ class LayoutSpec extends SparkSuite {
         count(lit(1)).as("n"))
       .collect()
     assert(extents.map(_.getAs[Long]("n")).sum == 1024L)
-    for (r <- extents) {
-      // a z-interval of ~64 consecutive codes stays within a 16×16 quad
-      // even when the sampled range boundaries land off the block edges
-      assert(r.getAs[Long]("xe") <= 23, s"x extent too wide: $r")
-      assert(r.getAs[Long]("ye") <= 23, s"y extent too wide: $r")
-    }
+    // The z-order bound is statistical (see Layout scaladoc): a partition
+    // whose z-interval avoids the three 16×16-superblock boundaries stays
+    // inside one superblock (extent ≤ 15); only the ≤3 boundary-crossing
+    // partitions may span wider. Assert that shape, not a universal bound.
+    val tight = extents.count(r =>
+      r.getAs[Long]("xe") <= 15 && r.getAs[Long]("ye") <= 15)
+    assert(tight >= 13, s"expected ≥13/16 partitions inside one 16×16 block, got $tight:\n" +
+      extents.mkString("\n"))
 
     // contrast: the same data range-partitioned by x alone — y spans the
     // full domain in every partition (no pruning on y possible)
