@@ -37,4 +37,30 @@ object Web {
     * quota/junk signal. */
   def pathDepth(pathCol: Column): Column =
     size(filter(split(pathCol, "/"), s => length(s) > 0)).cast("long")
+
+  /** The five XML-predefined entities, decoded in the standard order
+    * (`&amp;` LAST, so an encoded `&amp;lt;` cannot double-decode into
+    * `<`). Shared with the t16 oracle, which replays the identical
+    * sequence. */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** Markup → text: drop tags, decode the predefined entities, collapse
+    * whitespace — the first step of every web-corpus pipeline (quality
+    * signals and dedup run on TEXT; raw markup both inflates n-grams with
+    * boilerplate tags and splits identical prose into distinct shingles).
+    * Composed from codegen'd built-ins; deterministic for any input
+    * (a literal `<` in prose consumes to the next `>` — the standard
+    * regex-stripper behavior, identical on both engines). Real pipelines
+    * swap in a structural parser for layout-aware extraction; the
+    * aggregate shape (per-row, shuffle-free) is the same. */
+  def stripHtml(html: Column): Column = {
+    val noTags = regexp_replace(html, "<[^>]*>", " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (entity, ch)) =>
+      replace(c, lit(entity), lit(ch))
+    }
+    // explicit whitespace class, not \s: Java counts vertical tab, RE2
+    // does not (the Dedup.exactNormalized dialect trap)
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
 }

@@ -121,6 +121,20 @@ class PlanShapeSpec extends SparkSuite {
       s"a global sort of the shingle universe defeats the limit:\n$p")
   }
 
+  test("p07: weighted sampling folds its top-k into TakeOrderedAndProject") {
+    val p = plan("p07_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-ES selection must be per-partition heaps + merge, not a sort:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a global sort defeats the k-row selection:\n$p")
+  }
+
+  test("t15: the unigram table broadcasts; the corpus never range-sorts") {
+    val p = plan("t15_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab-sized unigram table must broadcast onto the terms:\n$p")
+  }
+
   test("q12: global sort+limit plans TakeOrderedAndProject, never a full sort") {
     val p = plan("q12_sort_limit")
     assert(p.contains("TakeOrderedAndProject"),
