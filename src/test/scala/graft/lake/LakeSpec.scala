@@ -257,6 +257,32 @@ class LakeSpec extends SparkSuite {
     assert(df.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0) == 4L)
   }
 
+  test("expire deletes whole hours strictly before the cutoff, only this table") {
+    import spark.implicits._
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    val sch = TableSchema("ev", Seq("id" -> ColType.CInteger))
+    val keepSch = TableSchema("keep", Seq("id" -> ColType.CInteger))
+    for (h <- Seq("10", "11", "12"))
+      LakeWriter.write(Seq(h.toLong).toDF("id"), sch, root,
+        Instant.parse(s"2024-06-01T$h:15:00Z"))
+    LakeWriter.write(Seq(99L).toDF("id"), keepSch, root,
+      Instant.parse("2024-06-01T10:15:00Z"))
+
+    // cutoff inside hour 11 → only hour 10 is STRICTLY before 11:00
+    val r = LakeMaintenance.expire(store, "ev",
+      Instant.parse("2024-06-01T11:30:00Z"))
+    assert(r.deleted == 1, s"expected exactly hour-10 object deleted: $r")
+    assert(r.cutoffPrefix == "2024/06/01/11")
+    val left = LakeReader.read(spark, root, "ev").select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(left.toSeq == Seq(11L, 12L), "hours 11/12 must survive")
+    // other table untouched; re-run is a no-op
+    assert(LakeReader.read(spark, root, "keep").count() == 1L)
+    assert(LakeMaintenance.expire(store, "ev",
+      Instant.parse("2024-06-01T11:30:00Z")).deleted == 0)
+  }
+
   test("reconciling read unions drifted schemas by name, widens, null-fills") {
     import spark.implicits._
     val root = freshRoot()
