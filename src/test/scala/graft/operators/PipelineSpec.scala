@@ -9,6 +9,30 @@ class PipelineSpec extends SparkSuite {
 
   lazy val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet").cache()
 
+  test("quantized ANN: 8-bit bins keep most of the float-dot neighbor order") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.queries.Tables.t(spark, sf("sf0.001"), "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    // float-dot reference (the metric quantization approximates — NOT
+    // cosine: unnormalized dot is what the integer score estimates)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qe")))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      transform(col("embedding"), _.cast("double")).as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    val exact = q.crossJoin(c).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", aggregate(zip_with(col("qe"), col("ce"), _ * _), lit(0.0), _ + _))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact & quant).size.toDouble / exact.size
+    assert(overlap >= 0.6, f"quantized top-10 overlap with float dot: $overlap%.2f")
+  }
+
   test("minhash+LSH pairs == exact jaccard pairs (sf0.001)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text").cache()
     val lsh = Dedup.minhashPairs(docs, "doc_id", "text").cache()
