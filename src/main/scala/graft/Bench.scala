@@ -76,19 +76,26 @@ object Bench {
         None
       }
     }
-    try {
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select("doc_id", "text").repartition(16)
-      graft.lake.LakeWriter.write(docs, streamSchema, s"file://$streamRoot")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] $streamName setup: $e")
-      errors(streamName) = s"setup: ${e.getClass.getName}: ${e.getMessage}".take(300)
-    }
+    // Only a SETUP failure (no lake to drain) suppresses the drain
+    // attempts. A pass-1 DRAIN failure must not skip pass 2 — batch
+    // queries attempt both passes precisely so a one-pass interference
+    // kill stays diagnosable, and the stream entry follows the same rule.
+    val streamSetupOk =
+      try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text").repartition(16)
+        graft.lake.LakeWriter.write(docs, streamSchema, s"file://$streamRoot")
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $streamName setup: $e")
+        errors(streamName) = s"setup: ${e.getClass.getName}: ${e.getMessage}".take(300)
+        false
+      }
 
     val pass1 = names.map { case (n, fn) => n -> once(n, fn) } :+
-      (streamName -> (if (errors.contains(streamName)) None else timeStreamDrain()))
+      (streamName -> (if (streamSetupOk) timeStreamDrain() else None))
     val pass2 = names.map { case (n, fn) => n -> once(n, fn) } :+
-      (streamName -> (if (errors.contains(streamName)) None else timeStreamDrain()))
+      (streamName -> (if (streamSetupOk) timeStreamDrain() else None))
     Fs.deleteRecursively(streamRoot.toFile)
     // A query enters the timings only if BOTH passes succeeded — a
     // one-pass-failed query has no honest min-of-2.

@@ -134,23 +134,20 @@ object LakeMaintenance {
     * object AGE — at warehouse scale both are what keeps the listing walk
     * and the storage bill flat.
     *
-    * The listing prunes at every directory level (year/month/day/hour
-    * compare lexicographically because the segments are zero-padded), so
-    * an expiry over a lake with years of history lists only in-horizon
-    * directories plus the path down to the cutoff hour — never the
-    * retained tail, never other tables' objects, never `_staging/`.
-    * Idempotent and safe to re-run: per-object deletes, no staging, no
-    * rename. Driver-only metadata op (keys, not data). */
+    * The listing is the reader's own pruned level walk
+    * ([[LakeReader.walkHourPrefixes]] with the cutoff as upper bound —
+    * one walk, shared, so retention and reads can never disagree about
+    * which objects exist), so an expiry over a lake with years of history
+    * lists only in-horizon directories — never the retained tail, never
+    * other tables' objects, never `_staging/`. Idempotent and safe to
+    * re-run: per-object deletes, no staging, no rename. Driver-only
+    * metadata op (keys, not data). */
   def expire(store: Store, table: String, olderThan: Instant): ExpiryReport = {
     val cutoff = LakeKeys.datePrefix(
       olderThan.truncatedTo(java.time.temporal.ChronoUnit.HOURS))
-    def numeric(s: String, w: Int) = s.length == w && s.forall(_.isDigit)
     val doomed = for {
-      y <- store.listDirs("") if numeric(y, 4) && y <= cutoff.take(4)
-      m <- store.listDirs(y) if numeric(m, 2) && s"$y/$m" <= cutoff.take(7)
-      d <- store.listDirs(s"$y/$m") if numeric(d, 2) && s"$y/$m/$d" <= cutoff.take(10)
-      h <- store.listDirs(s"$y/$m/$d") if numeric(h, 2) && s"$y/$m/$d/$h" < cutoff
-      k <- store.list(s"$y/$m/$d/$h/$table")
+      h <- LakeReader.walkHourPrefixes(store, before = Some(cutoff))
+      k <- store.list(s"$h/$table")
       if LakeKeys.parseKey(k).exists(_._2 == table)
     } yield k
     doomed.foreach(store.delete)

@@ -95,20 +95,34 @@ object LakeReader {
     * bottleneck all by itself. */
   def listTableKeys(store: Store, table: String,
                     hourRange: Option[(java.time.Instant, java.time.Instant)]): Seq[String] = {
-    def numeric(s: String, w: Int) = s.length == w && s.forall(_.isDigit)
     val keys = hourRange match {
       case Some((from, to)) =>
         LakeKeys.hourPrefixes(from, to).flatMap(pfx => store.list(s"$pfx/$table"))
       case None =>
-        for {
-          y <- store.listDirs("") if numeric(y, 4)
-          m <- store.listDirs(y) if numeric(m, 2)
-          d <- store.listDirs(s"$y/$m") if numeric(d, 2)
-          h <- store.listDirs(s"$y/$m/$d") if numeric(h, 2)
-          k <- store.list(s"$y/$m/$d/$h/$table")
-        } yield k
+        walkHourPrefixes(store).flatMap(h => store.list(s"$h/$table"))
     }
     keys.filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
+  }
+
+  /** Every existing `YYYY/MM/DD/HH` hour prefix, found by the pruned
+    * level walk (the scaladoc above — never a full-lake recursive
+    * listing). `before` bounds the walk from ABOVE: only hours strictly
+    * before that prefix are visited — the retention path
+    * ([[LakeMaintenance.expire]]) shares this walk, so the read side and
+    * the delete side can never disagree about which directories exist.
+    * Zero-padded segments make the per-level bound a plain string
+    * compare. */
+  private[lake] def walkHourPrefixes(store: Store,
+                                     before: Option[String] = None): Seq[String] = {
+    def numeric(s: String, w: Int) = s.length == w && s.forall(_.isDigit)
+    def inBound(prefix: String, width: Int) = before.forall(b => prefix <= b.take(width))
+    for {
+      y <- store.listDirs("") if numeric(y, 4) && inBound(y, 4)
+      m <- store.listDirs(y) if numeric(m, 2) && inBound(s"$y/$m", 7)
+      d <- store.listDirs(s"$y/$m") if numeric(d, 2) && inBound(s"$y/$m/$d", 10)
+      h <- store.listDirs(s"$y/$m/$d")
+      if numeric(h, 2) && before.forall(b => s"$y/$m/$d/$h" < b)
+    } yield s"$y/$m/$d/$h"
   }
 
   /** [[read]] against an explicit [[Store]] (injectable for tests). */

@@ -46,6 +46,9 @@ object Layout {
     * result produces files whose min/max stats bound both dimensions. */
   def zorder(df: DataFrame, a: Column, b: Column, numPartitions: Int): DataFrame = {
     val zCol = "_zvalue"
+    val matches = Names.matcher(df)
+    require(!df.columns.exists(matches(_, zCol)),
+      s"column name $zCol is reserved by Layout.zorder")
     df.withColumn(zCol, zvalue(a, b))
       .repartitionByRange(numPartitions, col(zCol))
       .sortWithinPartitions(zCol)

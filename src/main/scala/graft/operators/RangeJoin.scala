@@ -58,17 +58,29 @@ object RangeJoin {
     val p = points.withColumn("_b", floor(epochSec(pointTs) / bucketSeconds))
     val iv = intervals
       .withColumn("_sb", floor(epochSec(startTs) / bucketSeconds))
-      // raise_error in the otherwise-branch: evaluated per row during the
-      // scan, so a degenerate interval aborts the job before it can fan
-      // out (NullType coerces to the when-branch's LongType)
+      // raise_error branch: evaluated per row during the scan, so a
+      // degenerate interval aborts the job before it can fan out
+      // (NullType coerces to the when-branch's LongType). Three cases,
+      // in order: a NULL endpoint keeps its pre-guard semantics (the
+      // sequence is NULL, explode emits nothing — an open-ended row is
+      // data, not an error); a REVERSED interval raises (sequence's
+      // default step -1 would silently fan out |span| descending buckets
+      // that the post-filter then discards — the exact replication the
+      // guard exists to stop); an over-cap span raises with remedies.
       .withColumn("_eb", {
         val eb = floor(epochSec(endTs) / bucketSeconds)
-        when(eb - col("_sb") < lit(maxBucketsPerInterval), eb)
+        val span = eb - col("_sb")
+        when(col("_sb").isNull || eb.isNull, lit(null).cast("long"))
+          .when(span >= 0 && span < lit(maxBucketsPerInterval), eb)
+          .when(span < 0, raise_error(format_string(
+            "RangeJoin: reversed interval [%s, %s) (end before start) — " +
+              "fix the producing join/ETL or swap the bound columns",
+            col(startTs), col(endTs))))
           .otherwise(raise_error(format_string(
             s"RangeJoin: interval [%s, %s) spans %s buckets at bucketSeconds=$bucketSeconds, " +
               s"over the maxBucketsPerInterval=$maxBucketsPerInterval guard — widen bucketSeconds " +
               "toward the typical interval length, or raise the cap deliberately",
-            col(startTs), col(endTs), eb - col("_sb") + 1)))
+            col(startTs), col(endTs), span + 1)))
       })
       .withColumn("_b", explode(sequence(col("_sb"), col("_eb"))))
       .drop("_sb", "_eb")

@@ -52,13 +52,26 @@ object Sampling {
     *
     * Scale shape: per-row key arithmetic + global top-k — plans
     * TakeOrderedAndProject (per-partition heap of k, merged on the
-    * driver), never a full sort. Weights must be strictly positive. */
+    * driver), never a full sort.
+    *
+    * Weights must be strictly positive, and that is ENFORCED in-plan: a
+    * NULL weight would give a NULL sort key, zero gives u^∞ = 0 (silently
+    * never sampled), and a NEGATIVE weight gives u^(1/w) > 1 — the row
+    * would outrank every valid row, the exact opposite of down-weighting.
+    * Silent corruption of a sample is worse than a failed job. */
   def weightedTopK(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    val matches = Names.matcher(df)
+    require(!df.columns.exists(matches(_, "_aes_key")),
+      "column name _aes_key is reserved by Sampling.weightedTopK")
     // h ∈ [0, 2^31−1) ⇒ u = (h+1)/2^31 ∈ (0, 1]; u=1 maps the best hash
     // to aesKey=1 for every weight — a measure-zero tie broken by key
     val u = (HashFunctions.rolling_hash(key.cast("string")) + 1).cast("double") /
       lit(2147483648.0)
-    df.withColumn("_aes_key", pow(u, lit(1.0) / weight))
+    val checkedW = when(weight.isNull || weight <= 0,
+        raise_error(format_string(
+          "weightedTopK: weight must be strictly positive, got %s", weight)))
+      .otherwise(weight)
+    df.withColumn("_aes_key", pow(u, lit(1.0) / checkedW))
       .orderBy(col("_aes_key").desc, key)
       .limit(k)
       .drop("_aes_key")

@@ -104,8 +104,13 @@ object Similarity {
                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val c0 = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
     // train: global scale = exact max |x| (one-double driver model state)
-    val scale = c0.select(max(array_max(transform(col("c_emb"), x => abs(x)))))
-      .collect()(0).getDouble(0)
+    val scaleRow = c0.select(max(array_max(transform(col("c_emb"), x => abs(x)))))
+      .collect()(0)
+    // max over an EMPTY (or all-null) relation is NULL — check before
+    // getDouble, which would throw an opaque NPE ahead of the message
+    require(!scaleRow.isNullAt(0),
+      "quantizedTopK: empty corpus (or all-null embeddings) has no scale")
+    val scale = scaleRow.getDouble(0)
     require(scale > 0.0, "quantizedTopK: all-zero corpus has no scale")
     def quant(e: Column): Column =
       transform(e, x => floor(x / scale * 127 + 0.5).cast("long"))

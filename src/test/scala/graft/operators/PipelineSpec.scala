@@ -437,6 +437,28 @@ class PipelineSpec extends SparkSuite {
     val ok = RangeJoin.pointInInterval(points, "ts", pathological, "start_ts", "end_ts",
       maxBucketsPerInterval = 20000L)
     assert(ok.select("iv").collect().map(_.getString(0)).toSet == Set("OK", "BAD"))
+
+    // a REVERSED interval must also raise — sequence's default step -1
+    // would otherwise silently fan out descending buckets the post-filter
+    // discards (the guard's own blind spot until reviewed)
+    val reversed = Seq(
+      ("REV", ts("2026-01-01T00:00:00Z"), ts("2024-01-01T00:00:00Z"))
+    ).toDF("iv", "start_ts", "end_ts")
+    val err2 = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "ts", reversed, "start_ts", "end_ts").count()
+    }
+    assert(chain(err2).exists(e =>
+      Option(e.getMessage).exists(_.contains("reversed interval"))), s"got $err2")
+
+    // a NULL endpoint is DATA (open-ended row), not an error: it simply
+    // contributes no pairs — the pre-guard semantics, preserved
+    val withNull = Seq(
+      ("OK", Some(ts("2024-07-01T00:00:00Z")), Some(ts("2024-07-01T02:00:00Z"))),
+      ("OPEN", Some(ts("2024-07-01T00:00:00Z")), None)
+    ).toDF("iv", "start_ts", "end_ts")
+    val got = RangeJoin.pointInInterval(points, "ts", withNull, "start_ts", "end_ts")
+      .select("iv").collect().map(_.getString(0)).toSet
+    assert(got == Set("OK"), s"null-endpoint row must drop silently: $got")
   }
 
   test("as-of and range joins reject reserved/colliding column names") {
