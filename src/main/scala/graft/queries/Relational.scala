@@ -557,6 +557,29 @@ object Relational {
              |FROM events GROUP BY k ORDER BY k""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // VARIANT (Spark 4): parse semi-structured JSON ONCE into the binary
+    // variant encoding, then extract fields natively — the modern
+    // replacement for per-access get_json_object re-parsing (at 100 TB,
+    // parsing the same props string per extracted field multiplies scan
+    // CPU by the field count). Values verified against DuckDB's JSON
+    // extraction on the same strings.
+    "q54_variant_json" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select(parse_json($"props").as("v"), $"event_type")
+          .select(expr("variant_get(v, '$.k', 'long')").as("k"), $"event_type")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+            max($"k").as("max_k"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // Correlated EXISTS subquery through the SQL surface (late-shipping
     // orders).
     "q25_exists_subquery" -> QueryDef(
