@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{HashFunctions, Text}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,13 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Per-doc packing assignment: `(doc_id, bucket, bin, n_tokens)`. */
-  def pack(df: DataFrame, idCol: String, textCol: String,
-           capacity: Long, buckets: Int): DataFrame = {
+  /** Per-doc packing assignment `(doc_id, bucket, bin, n_tokens)` for an
+    * ARBITRARY per-row size expression — whitespace tokens, exact subword
+    * counts ([[graft.functions.Text.wordpieceStats]]), byte budgets:
+    * the packing algebra is the same, only the size column changes. */
+  def packBy(df: DataFrame, idCol: String, sizeExpr: Column,
+             capacity: Long, buckets: Int): DataFrame = {
     require(capacity > 0 && buckets > 0, "capacity and buckets must be positive")
     val base = df.select(
       col(idCol).cast("long").as("doc_id"),
-      size(Text.tokens(col(textCol))).cast("long").as("n_tokens"),
+      sizeExpr.cast("long").as("n_tokens"),
       pmod(HashFunctions.rolling_hash(col(idCol).cast("string")), lit(buckets.toLong))
         .as("bucket"))
     val w = Window.partitionBy("bucket").orderBy("doc_id")
@@ -47,11 +50,20 @@ object Packing {
       .select("doc_id", "bucket", "bin", "n_tokens")
   }
 
+  /** Per-doc packing assignment: `(doc_id, bucket, bin, n_tokens)` sized
+    * by whitespace token count. */
+  def pack(df: DataFrame, idCol: String, textCol: String,
+           capacity: Long, buckets: Int): DataFrame =
+    packBy(df, idCol, size(Text.tokens(col(textCol))), capacity, buckets)
+
   /** Bin-level summary: `(bucket, bin, n_docs, sum_tokens)` — the shape a
     * packing audit wants (fill factor, straggler bins). */
   def packedBins(df: DataFrame, idCol: String, textCol: String,
                  capacity: Long, buckets: Int): DataFrame =
-    pack(df, idCol, textCol, capacity, buckets)
-      .groupBy("bucket", "bin")
+    binSummary(pack(df, idCol, textCol, capacity, buckets))
+
+  /** [[packedBins]] over a [[packBy]] result. */
+  def binSummary(packed: DataFrame): DataFrame =
+    packed.groupBy("bucket", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
 }
