@@ -32,7 +32,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  stopword_scores('the cat and more', array('the','and'), array('cat','of')) AS sw,
           |  lang_id('the cat and the dog of it') AS lid,
           |  line_stats('a\nb\na') AS ls,
-          |  top_bigram_cover(array('x','y','x','y')) AS bg
+          |  top_bigram_cover(array('x','y','x','y')) AS bg,
+          |  char_entropy_milli('ab') AS ce,
+          |  z_interleave(3L, 1L) AS z,
+          |  wordpiece_stats(array('thing'), array('th','ing')) AS wps,
+          |  wordpiece_segment(array('thingx'), array('th','ing')) AS wpg,
+          |  length(unicode_normalize('é', 'NFD')) AS nfd,
+          |  length(unicode_normalize(unicode_normalize('é', 'NFD'), 'NFC')) AS nfc
           |FROM range(1)""".stripMargin).collect()(0)
       assert(r.getAs[Long]("h") ==
         (((7L * 31 + 'a') % 2147483647L) * 31 + 'b') % 2147483647L)
@@ -44,6 +50,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // 3 lines, 2 distinct, 3 chars total, 1 duplicated char
       assert(r.getSeq[Long](r.fieldIndex("ls")) == Seq(3L, 2L, 3L, 1L))
       assert(r.getAs[Long]("bg") == 6L) // "x y" twice × 3 chars
+      assert(r.getAs[Long]("ce") == 693L) // ln 2 in milli-nats
+      assert(r.getAs[Long]("z") == 7L) // a→bits 0,2; b→bit 1
+      assert(r.getSeq[Long](r.fieldIndex("wps")) == Seq(2L, 0L))
+      assert(r.getSeq[String](r.fieldIndex("wpg")) == Seq("th", "ing", "x"))
+      assert(r.getAs[Int]("nfd") == 2) // é decomposes to e + U+0301
+      assert(r.getAs[Int]("nfc") == 1) // ...and NFC recomposes it
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
