@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1140,6 +1140,297 @@ object Relational {
       Some("""SELECT p_partkey, p_brand, p_size, p_name FROM part
              |WHERE p_brand IN ('Brand#1', 'Brand#5', 'Brand#12')
              |  AND p_size BETWEEN 1 AND 25 AND p_name LIKE '%red%'
-             |ORDER BY p_partkey""".stripMargin))
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Conversion funnel (view → click → purchase, strictly ordered): per
+    // user, the first view, the first click strictly after it, the first
+    // purchase strictly after that. The scale shape is ONE shuffle: group
+    // per user, sort the (bounded) per-user event list once, and fold the
+    // three stage timestamps in a single pass — not the textbook three
+    // cascaded min-aggregations (3 shuffles + 2 joins), which is what the
+    // oracle runs to prove the fold equivalent. Timestamps compare as
+    // exact integer micros; strict `>` on both sides makes the equal-ts
+    // edge engine-independent.
+    "q55_funnel" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .filter($"event_type".isin("view", "click", "purchase"))
+          .select($"user_id", unix_micros($"ts").as("ts_us"),
+            $"event_id", $"event_type".as("tp"))
+          .groupBy($"user_id")
+          .agg(sort_array(collect_list(struct($"ts_us", $"event_id", $"tp"))).as("evs"))
+          .withColumn("st", expr(
+            """aggregate(evs,
+              |  named_struct('v', CAST(NULL AS BIGINT), 'c', CAST(NULL AS BIGINT),
+              |               'p', CAST(NULL AS BIGINT)),
+              |  (st, e) -> named_struct(
+              |    'v', CASE WHEN st.v IS NULL AND e.tp = 'view'
+              |              THEN e.ts_us ELSE st.v END,
+              |    'c', CASE WHEN st.c IS NULL AND st.v IS NOT NULL
+              |               AND e.tp = 'click' AND e.ts_us > st.v
+              |              THEN e.ts_us ELSE st.c END,
+              |    'p', CASE WHEN st.p IS NULL AND st.c IS NOT NULL
+              |               AND e.tp = 'purchase' AND e.ts_us > st.c
+              |              THEN e.ts_us ELSE st.p END))""".stripMargin))
+          .select($"user_id", $"st.v".as("view_us"), $"st.c".as("click_us"),
+            $"st.p".as("purchase_us"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(epoch_us(ts)) AS vt FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, min(epoch_us(e.ts)) AS ct
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.vt GROUP BY 1),
+             |p AS (
+             |  SELECT e.user_id, min(epoch_us(e.ts)) AS pt
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.ct GROUP BY 1)
+             |SELECT u.user_id, v.vt AS view_us, c.ct AS click_us, p.pt AS purchase_us
+             |FROM (SELECT DISTINCT user_id FROM events
+             |      WHERE event_type IN ('view', 'click', 'purchase')) u
+             |LEFT JOIN v ON u.user_id = v.user_id
+             |LEFT JOIN c ON u.user_id = c.user_id
+             |LEFT JOIN p ON u.user_id = p.user_id
+             |ORDER BY u.user_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Cohort retention: cohort = ISO week of a user's first event; count
+    // distinct users active in each (cohort, week-offset) cell. Every
+    // stage is keyed by user_id (distinct → first-week agg → co-partitioned
+    // join), so nothing re-shuffles the event log twice; the cell table is
+    // output-sized. Both engines truncate weeks to Monday.
+    "q56_retention" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val act = t(s, dir, "events")
+          .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+          .distinct()
+        val first = act.groupBy($"user_id").agg(min($"wk").as("cohort"))
+        act.join(first, "user_id")
+          .withColumn("week_offset", (datediff($"wk", $"cohort") / 7).cast("long"))
+          .groupBy(date_format($"cohort", "yyyy-MM-dd").as("cohort"), $"week_offset")
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort", $"week_offset")
+      },
+      Some("""WITH a AS (
+             |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+             |  FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY 1)
+             |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+             |  date_diff('day', f.cohort, a.wk) // 7 AS week_offset,
+             |  count(DISTINCT a.user_id) AS n_users
+             |FROM a JOIN f ON a.user_id = f.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Linear-regression aggregates (slope/intercept/R²/count of price on
+    // quantity per return flag) — the built-in regr_* family on both
+    // engines computes the identical closed-form least-squares moments in
+    // one distributed pass; rounded like q48's second-moment family.
+    "q57_regression" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("slope"),
+            round(regr_intercept($"l_extendedprice", $"l_quantity"), 2).as("intercept"),
+            round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"),
+            regr_count($"l_extendedprice", $"l_quantity").as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+             |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // EWMA over the trailing 10 events per user, folded ENTIRELY in scaled
+    // integer arithmetic (cents; acc ← (3·x + 7·acc) div 10, i.e. α=0.3)
+    // so the left-to-right fold is bit-exact on both engines — no float
+    // summation-order hazard at all. The frame list is 10 elements by
+    // construction, so the per-row fold is O(1) and the whole query is one
+    // keyed window — no self-join formulation.
+    "q58_ewma" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(-9, 0)
+        t(s, dir, "events")
+          .withColumn("vc", floor($"value" * 100 + 0.5).cast("long"))
+          .withColumn("lst", collect_list($"vc").over(w))
+          .select($"event_id", $"user_id",
+            expr("aggregate(slice(lst, 2, size(lst) - 1), lst[0]," +
+              " (acc, x) -> (3*x + 7*acc) DIV 10)").as("ewma_c"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id,
+             |    list(CAST(floor(value * 100 + 0.5) AS BIGINT))
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS lst
+             |  FROM events)
+             |SELECT event_id, user_id,
+             |  CAST(list_reduce(lst, (acc, x) -> (3*x + 7*acc) // 10) AS BIGINT) AS ewma_c
+             |FROM l ORDER BY event_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Fixed-width histogram of extended price (20 × 5000-wide buckets,
+    // last bucket open-ended): binning is a pure per-row expression, so
+    // the whole profile is one map-side-combined aggregate over the scan —
+    // the data-profiling primitive. Sums ride as integer cents.
+    "q59_histogram" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .withColumn("bucket",
+            least(floor($"l_extendedprice" / 5000).cast("long"), lit(19L)))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"),
+            sum(floor($"l_extendedprice" * 100 + 0.5).cast("long")).as("sum_cents"))
+          .orderBy($"bucket")
+      },
+      Some("""SELECT least(CAST(floor(l_extendedprice / 5000) AS BIGINT), 19) AS bucket,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_cents
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Z-score outlier detection per event type, in EXACT integer algebra:
+    // |z| > 1.5  ⟺  4·(v·n − S)² > 9·(n·Q − S²)  with v in cents and
+    // (n, S, Q) the per-type count / sum / sum-of-squares — no float mean
+    // or stddev anywhere, so both engines agree bit-for-bit with no
+    // rounding-boundary hazard. The stats table is group-count-sized and
+    // BROADCASTS back onto the scan: the event log itself never shuffles.
+    // BIGINT bounds hold through sf0.1 (dev²·4 ≤ 4e18 < 2⁶³); beyond that
+    // the same algebra rides decimal(38,0) unchanged.
+    "q60_zscore_outliers" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+          .select($"event_id", $"event_type",
+            floor($"value" * 100 + 0.5).cast("long").as("vc"))
+        val stats = ev.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"vc").as("s"), sum($"vc" * $"vc").as("q"))
+        val dev = $"vc" * $"n" - $"s"
+        ev.join(broadcast(stats), "event_type")
+          .filter(lit(4L) * dev * dev > lit(9L) * ($"n" * $"q" - $"s" * $"s"))
+          .select($"event_id", $"event_type", dev.as("dev_n"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+             |st AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(vc) AS BIGINT) AS s, CAST(sum(vc * vc) AS BIGINT) AS q
+             |  FROM ev GROUP BY 1)
+             |SELECT e.event_id, e.event_type, e.vc * st.n - st.s AS dev_n
+             |FROM ev e JOIN st ON e.event_type = st.event_type
+             |WHERE 4 * (e.vc * st.n - st.s) * (e.vc * st.n - st.s)
+             |      > 9 * (st.n * st.q - st.s * st.s)
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Single-pass column profiling (null count, exact distinct, min/max)
+    // over four lineitem columns, unpivoted to one row per column via
+    // stack. One scan feeds every statistic; doubles profile as integer
+    // cents and timestamps as integer micros, so min/max stringify
+    // identically on both engines. Scale note: multiple exact
+    // count(DISTINCT) in one aggregate plans an Expand (×4 row
+    // replication before the partial agg) — at 100 TB swap in
+    // approx_count_distinct per column, which keeps the scan single-width;
+    // exact distinct here is what makes the oracle compare exact.
+    "q61_profile" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cents = (c: Column) => floor(c * 100 + 0.5).cast("long")
+        t(s, dir, "lineitem")
+          .agg(
+            sum($"l_quantity".isNull.cast("long")).as("nn_q"),
+            countDistinct($"l_quantity").as("nd_q"),
+            min(cents($"l_quantity")).cast("string").as("mn_q"),
+            max(cents($"l_quantity")).cast("string").as("mx_q"),
+            sum($"l_extendedprice".isNull.cast("long")).as("nn_p"),
+            countDistinct($"l_extendedprice").as("nd_p"),
+            min(cents($"l_extendedprice")).cast("string").as("mn_p"),
+            max(cents($"l_extendedprice")).cast("string").as("mx_p"),
+            sum($"l_returnflag".isNull.cast("long")).as("nn_r"),
+            countDistinct($"l_returnflag").as("nd_r"),
+            min($"l_returnflag").as("mn_r"), max($"l_returnflag").as("mx_r"),
+            sum($"l_shipdate".isNull.cast("long")).as("nn_d"),
+            countDistinct($"l_shipdate").as("nd_d"),
+            min(unix_micros($"l_shipdate")).cast("string").as("mn_d"),
+            max(unix_micros($"l_shipdate")).cast("string").as("mx_d"))
+          .selectExpr("""stack(4,
+            'l_quantity',      nn_q, nd_q, mn_q, mx_q,
+            'l_extendedprice', nn_p, nd_p, mn_p, mx_p,
+            'l_returnflag',    nn_r, nd_r, mn_r, mx_r,
+            'l_shipdate',      nn_d, nd_d, mn_d, mx_d)
+            AS (col_name, n_nulls, n_distinct, min_s, max_s)""")
+          .orderBy($"col_name")
+      },
+      Some("""SELECT 'l_quantity' AS col_name,
+             |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+             |  CAST(CAST(min(floor(l_quantity * 100 + 0.5)) AS BIGINT) AS VARCHAR) AS min_s,
+             |  CAST(CAST(max(floor(l_quantity * 100 + 0.5)) AS BIGINT) AS VARCHAR) AS max_s
+             |FROM lineitem
+             |UNION ALL SELECT 'l_extendedprice',
+             |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+             |  CAST(CAST(min(floor(l_extendedprice * 100 + 0.5)) AS BIGINT) AS VARCHAR),
+             |  CAST(CAST(max(floor(l_extendedprice * 100 + 0.5)) AS BIGINT) AS VARCHAR)
+             |FROM lineitem
+             |UNION ALL SELECT 'l_returnflag',
+             |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(count(DISTINCT l_returnflag) AS BIGINT),
+             |  min(l_returnflag), max(l_returnflag)
+             |FROM lineitem
+             |UNION ALL SELECT 'l_shipdate',
+             |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(count(DISTINCT l_shipdate) AS BIGINT),
+             |  CAST(min(epoch_us(l_shipdate)) AS VARCHAR),
+             |  CAST(max(epoch_us(l_shipdate)) AS VARCHAR)
+             |FROM lineitem
+             |ORDER BY col_name""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Event-type transition matrix (per-user bigrams): lag over the keyed
+    // event order, count (from, to) pairs, and normalize per source type in
+    // integer milli-probabilities (n·1000 div total — exact on both
+    // engines). The normalizing window runs over the TYPE²-sized count
+    // table, not the event log.
+    "q62_transitions" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        t(s, dir, "events")
+          .withColumn("prev", lag($"event_type", 1).over(w))
+          .filter($"prev".isNotNull)
+          .groupBy($"prev", $"event_type").agg(count(lit(1)).as("n"))
+          .withColumn("tot", sum($"n").over(Window.partitionBy($"prev")))
+          .select($"prev".as("from_type"), $"event_type".as("to_type"),
+            $"n", expr("n * 1000 DIV tot").as("prob_milli"))
+          .orderBy($"from_type", $"to_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |c AS (SELECT prev, event_type, count(*) AS n FROM b
+             |      WHERE prev IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev AS from_type, event_type AS to_type, n,
+             |  CAST((n * 1000) // (sum(n) OVER (PARTITION BY prev)) AS BIGINT)
+             |    AS prob_milli
+             |FROM c ORDER BY from_type, to_type""".stripMargin))
   )
 }
