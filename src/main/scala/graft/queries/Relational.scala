@@ -1431,6 +1431,45 @@ object Relational {
              |SELECT prev AS from_type, event_type AS to_type, n,
              |  CAST((n * 1000) // (sum(n) OVER (PARTITION BY prev)) AS BIGINT)
              |    AS prob_milli
-             |FROM c ORDER BY from_type, to_type""".stripMargin))
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Argmin/argmax + bitwise + boolean aggregates: min_by/max_by carry a
+    // non-grouped column out by an ordering expression (the "which row won"
+    // aggregate that otherwise costs a window + filter); the ordering key
+    // is (cents, orderkey) packed into one BIGINT so ties are impossible
+    // and both engines pick the identical row. bit_and/or/xor and
+    // bool_and/or are single-pass commutative folds — all map-side
+    // combinable, one shuffle for the whole row.
+    "q63_arg_bit_bool" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ord = floor($"l_extendedprice" * 100 + 0.5).cast("long") * 10000000L +
+          $"l_orderkey"
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            min_by($"l_orderkey", ord).as("cheapest_order"),
+            max_by($"l_orderkey", ord).as("priciest_order"),
+            bit_and($"l_linenumber").cast("long").as("ln_and"),
+            bit_or($"l_linenumber").cast("long").as("ln_or"),
+            bit_xor($"l_linenumber").cast("long").as("ln_xor"),
+            bool_and($"l_discount" > 0.02).as("all_disc"),
+            bool_or($"l_quantity" > 49).as("any_bulk"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  arg_min(l_orderkey,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 10000000
+             |      + l_orderkey) AS cheapest_order,
+             |  arg_max(l_orderkey,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 10000000
+             |      + l_orderkey) AS priciest_order,
+             |  CAST(bit_and(l_linenumber) AS BIGINT) AS ln_and,
+             |  CAST(bit_or(l_linenumber) AS BIGINT) AS ln_or,
+             |  CAST(bit_xor(l_linenumber) AS BIGINT) AS ln_xor,
+             |  bool_and(l_discount > 0.02) AS all_disc,
+             |  bool_or(l_quantity > 49) AS any_bulk
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
