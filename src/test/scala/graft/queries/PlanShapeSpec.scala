@@ -212,6 +212,53 @@ class PlanShapeSpec extends SparkSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q55: the funnel folds in ONE keyed aggregation — no cascaded join plan") {
+    // The whole point of the fold formulation: one user-keyed exchange
+    // (plus the final ordering), where the textbook three-stage funnel
+    // costs three aggregations and two joins. No join may appear at all.
+    val p = plan("q55_funnel")
+    assert(shuffles(p) <= 2, s"funnel must be agg + final sort only:\n$p")
+    assert(!p.contains("Join"), s"the fold funnel must not plan any join:\n$p")
+  }
+
+  test("q60: group stats broadcast back; the event log reaches the join unshuffled") {
+    val p = plan("q60_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the type-count-sized stats table must broadcast:\n$p")
+    // the stats aggregation's own exchange + the final sort — the probe
+    // side of the join is the raw scan
+    assert(shuffles(p) <= 2, s"event log must not shuffle before the join:\n$p")
+  }
+
+  test("q59: histogram partial-aggregates map-side below a single exchange") {
+    val p = plan("q59_histogram")
+    assert(p.contains("partial_count"),
+      s"binning must combine map-side before the exchange:\n$p")
+    assert(shuffles(p) <= 2, s"histogram is one agg + the final sort:\n$p")
+  }
+
+  test("d22/g02: every join is keyed — no cartesian or nested-loop anywhere") {
+    for (q <- Seq("d22_dup_passages", "g02_triangles")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop:\n$p")
+    }
+  }
+
+  test("p09: the source registry broadcasts; no corpus-wide single-partition window") {
+    val p = plan("p09_interleave")
+    assert(p.contains("BroadcastExchange"),
+      s"the model-sized source index must broadcast:\n$p")
+    // per-source window + registry agg + globalIndex's bucket agg/rank +
+    // final sort; crucially NO `Exchange SinglePartition` feeding a Window
+    // over the corpus (the bucket-offset table is the only single-partition
+    // consumer and it is bucket-count-sized)
+    val corpusWindowSingle = p.linesIterator.sliding(2).exists(ls =>
+      ls.head.contains("Window") && ls.last.contains("Exchange SinglePartition") &&
+        !ls.last.contains("_gidx"))
+    assert(!corpusWindowSingle, s"corpus must not funnel through one partition:\n$p")
+  }
+
   test("AQE skew-join splits a planted hot key without manual salting") {
     // Documents the Skew.saltedJoin decision boundary (q45 proves the
     // manual salt): for a plain BATCH sort-merge join, Spark's own
