@@ -557,4 +557,48 @@ object Dedup {
       .select("_doc", "pos", "line")
     reassembleLines(lines, kept, idCol, sep)
   }
+
+  /** Exact-substring (passage-level) duplication detection, the
+    * RefinedWeb-style complement to the line-level passes: maximal token
+    * spans whose every `n`-gram also occurs in at least one OTHER
+    * document. Returns (`idCol`, start_tok, end_tok, n_shingles) — token
+    * indexes are 0-based inclusive; spans shorter than `minShingles`
+    * consecutive duplicated `n`-grams drop.
+    *
+    * Scale shape: positional shingles come from `lead()` windows over the
+    * exploded token stream — linear work, no O(L²) per-document array
+    * slicing; cross-corpus duplicate `n`-grams are one map-side-combined
+    * count-distinct keyed by the shingle text; the surviving positions
+    * regroup per document, where the gap-and-islands trick (pos −
+    * row_number is constant exactly on a consecutive run) closes maximal
+    * runs without a second window pass. Three keyed shuffles (doc, shingle,
+    * doc), nothing global, nothing quadratic. A viral shingle's posting
+    * list concentrates on one `shv` key in the count aggregate, but the
+    * partial count collapses it map-side — unlike a join on the shingle,
+    * the hot key never materializes its pair fan-out. */
+  def dupPassages(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 5, minShingles: Int = 2): DataFrame = {
+    require(n >= 2, s"shingle width must be >= 2, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_doc").orderBy("pos")
+    val toks = docs
+      .select(col(idCol).as("_doc"), posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val leads = (1 until n).map(i => lead("tok", i).over(w).as(s"t$i"))
+    val sh = toks
+      .select((Seq(col("_doc"), col("pos"), col("tok")) ++ leads): _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("_doc"), col("pos"),
+        concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*).as("shv"))
+    val dup = sh.groupBy("shv")
+      .agg(countDistinct(col("_doc")).as("nd")).filter(col("nd") > 1)
+      .select("shv")
+    sh.join(dup, "shv")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("_doc"), (col("pos") - col("rn")).as("grp"))
+      .agg(min("pos").cast("long").as("start_tok"),
+        (max(col("pos")) + (n - 1)).cast("long").as("end_tok"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_shingles") >= minShingles)
+      .select(col("_doc").as(idCol), col("start_tok"), col("end_tok"), col("n_shingles"))
+  }
 }

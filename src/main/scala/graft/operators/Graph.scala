@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting by degree orientation.
+  *
+  * Orient every undirected edge from its (degree, id)-smaller endpoint:
+  * the result is a DAG whose out-degrees are O(√m) (a node of degree d
+  * keeps out-edges only toward HIGHER-degree nodes, and at most O(√m)
+  * nodes have degree ≥ √m), so wedge generation — the first self-join —
+  * does O(m^{3/2}) total work instead of Σ deg² over the hub nodes, and
+  * every triangle is enumerated exactly once (its unique orientation-
+  * minimal corner) — no ÷6 dedup pass. This is the standard MapReduce
+  * formulation (Suri & Vassilvitskii, WWW'11 "Counting Triangles and the
+  * Curse of the Last Reducer"); all three joins are plain keyed shuffles.
+  */
+object Graph {
+
+  /** Per-node triangle participation counts over an undirected edge list
+    * (`u`, `v`; self-loops and duplicate/reversed edges tolerated — the
+    * edge set canonicalizes first). Output: `node`, `n_tri` — only nodes
+    * in at least one triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node")).unionAll(und.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val o = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint() // three self-join consumers; compute the DAG once
+    val tri = o.select(col("src").as("a"), col("dst").as("b"))
+      .join(o.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(o.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b"))).unionAll(tri.select(col("c")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+}

@@ -1155,27 +1155,11 @@ object Relational {
     "q55_funnel" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "events")
-          .filter($"event_type".isin("view", "click", "purchase"))
-          .select($"user_id", unix_micros($"ts").as("ts_us"),
-            $"event_id", $"event_type".as("tp"))
-          .groupBy($"user_id")
-          .agg(sort_array(collect_list(struct($"ts_us", $"event_id", $"tp"))).as("evs"))
-          .withColumn("st", expr(
-            """aggregate(evs,
-              |  named_struct('v', CAST(NULL AS BIGINT), 'c', CAST(NULL AS BIGINT),
-              |               'p', CAST(NULL AS BIGINT)),
-              |  (st, e) -> named_struct(
-              |    'v', CASE WHEN st.v IS NULL AND e.tp = 'view'
-              |              THEN e.ts_us ELSE st.v END,
-              |    'c', CASE WHEN st.c IS NULL AND st.v IS NOT NULL
-              |               AND e.tp = 'click' AND e.ts_us > st.v
-              |              THEN e.ts_us ELSE st.c END,
-              |    'p', CASE WHEN st.p IS NULL AND st.c IS NOT NULL
-              |               AND e.tp = 'purchase' AND e.ts_us > st.c
-              |              THEN e.ts_us ELSE st.p END))""".stripMargin))
-          .select($"user_id", $"st.v".as("view_us"), $"st.c".as("click_us"),
-            $"st.p".as("purchase_us"))
+        graft.operators.Funnel.stages(t(s, dir, "events"),
+            $"user_id", unix_micros($"ts"), $"event_id", $"event_type",
+            stages = Seq("view", "click", "purchase"),
+            names = Seq("view_us", "click_us", "purchase_us"))
+          .withColumnRenamed("key", "user_id")
           .orderBy($"user_id")
       },
       Some("""WITH v AS (
