@@ -58,4 +58,63 @@ object Timeseries {
   /** [[gapFill]] specialized to hourly buckets. */
   def gapFillHourly(df: DataFrame, key: Column, ts: Column, value: Column): DataFrame =
     gapFill(df, key, ts, value, date_trunc("hour", _), expr("INTERVAL 1 HOUR"))
+
+  /** Time-weighted average under step-function (last-observation-carried-
+    * forward) semantics, ENTIRELY in exact integer arithmetic: per key,
+    * Σ valueᵢ·(tᵢ₊₁ − tᵢ) over consecutive observation pairs, divided by
+    * the observed span — the TWAP/meter-reading aggregate a plain `avg`
+    * gets wrong whenever sampling is irregular (a value held for an hour
+    * must weigh 3600× one held a second). `tsSec` and `value` must be
+    * integral columns (epoch seconds / scaled units); output carries the
+    * exact numerator and denominator plus `twa_milli = 1000·num div den`,
+    * so the caller picks its rounding. Keys with fewer than two
+    * observations drop (zero span — undefined average, surfaced by
+    * absence rather than a fabricated value).
+    *
+    * Scale shape: one key-partitioned lead() window + one keyed aggregate
+    * — two exchanges on the same key (the aggregate reuses the window's
+    * partitioning). Overflow bound: |value|·span·1000 must fit a BIGINT —
+    * at cent/second resolution that is ~10¹² value-seconds per key, far
+    * past any realistic per-key history; decimal(38,0) is the escape
+    * hatch beyond. */
+  def timeWeightedAvg(df: DataFrame, key: Column, tsSec: Column, tie: Column,
+                      value: Column): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("ts", "tie")
+    df.select(key.as("key"), tsSec.cast("long").as("ts"), tie.as("tie"),
+        value.cast("long").as("v"))
+      .withColumn("nts", lead("ts", 1).over(w))
+      .filter(col("nts").isNotNull)
+      .groupBy(col("key"))
+      .agg(sum(col("v") * (col("nts") - col("ts"))).as("num"),
+        sum(col("nts") - col("ts")).as("den"))
+      .filter(col("den") > 0)
+      .withColumn("twa_milli", expr("num * 1000 DIV den"))
+  }
+
+  /** Merge possibly-overlapping per-key intervals into maximal disjoint
+    * islands and report per-key coverage: `(key, n_islands, covered)` in
+    * the integral units of `startCol`/`endCol` (half-open [start, end)).
+    * The classic sweep, distributed: within each key, order intervals by
+    * (start, end); an interval opens a new island exactly when its start
+    * exceeds the running max of all previous ends (a key-partitioned
+    * cumulative-max window — no self-join, no explode of the covered
+    * range); island ids are the running sum of those open flags; two
+    * keyed aggregates (per-island extent, then per-key rollup) close it.
+    * Everything stays partitioned by key; per-key interval counts fan out
+    * across keys freely. Zero-or-negative-length intervals are ignored. */
+  def intervalCoverage(df: DataFrame, key: Column, startCol: Column,
+                       endCol: Column): DataFrame = {
+    val byStart = Window.partitionBy("key").orderBy("s", "e")
+    val prevMax = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    df.select(key.as("key"), startCol.cast("long").as("s"), endCol.cast("long").as("e"))
+      .filter(col("e") > col("s"))
+      .withColumn("open", when(max(col("e")).over(prevMax).isNull ||
+        col("s") > max(col("e")).over(prevMax), 1L).otherwise(0L))
+      .withColumn("island", sum(col("open")).over(byStart))
+      .groupBy(col("key"), col("island"))
+      .agg(min(col("s")).as("is_s"), max(col("e")).as("is_e"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("is_e") - col("is_s")).as("covered"))
+  }
 }

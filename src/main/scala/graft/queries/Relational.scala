@@ -1454,6 +1454,81 @@ object Relational {
              |  CAST(bit_xor(l_linenumber) AS BIGINT) AS ln_xor,
              |  bool_and(l_discount > 0.02) AS all_disc,
              |  bool_or(l_quantity > 49) AS any_bulk
-             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Time-weighted average (TWAP / meter-reading semantics): each value
+    // weighs by how long it was current, not how often it was sampled —
+    // in exact integer arithmetic (epoch seconds × cents), see
+    // [[graft.operators.Timeseries.timeWeightedAvg]]. Exposing the exact
+    // num/den pair plus the milli quotient keeps the compare float-free.
+    "q64_time_weighted_avg" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").select($"user_id",
+          expr("unix_micros(ts) DIV 1000000").as("ts_s"), $"event_id",
+          floor($"value" * 100 + 0.5).cast("long").as("vc"))
+        graft.operators.Timeseries.timeWeightedAvg(
+            ev, $"user_id", $"ts_s", $"event_id", $"vc")
+          .select($"key".as("user_id"), $"num", $"den", $"twa_milli")
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) // 1000000 AS ts_s, event_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+             |l AS (
+             |  SELECT user_id, vc, ts_s,
+             |    lead(ts_s, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts_s, event_id) AS nts
+             |  FROM ev)
+             |SELECT user_id,
+             |  CAST(sum(vc * (nts - ts_s)) AS BIGINT) AS num,
+             |  CAST(sum(nts - ts_s) AS BIGINT) AS den,
+             |  CAST((sum(vc * (nts - ts_s)) * 1000) // sum(nts - ts_s) AS BIGINT)
+             |    AS twa_milli
+             |FROM l WHERE nts IS NOT NULL
+             |GROUP BY 1 HAVING sum(nts - ts_s) > 0 ORDER BY user_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Interval-union coverage (uptime/SLA semantics): merge each user's
+    // possibly-overlapping activity intervals (start = event second,
+    // length = whole-dollar value as seconds, min 1) into disjoint islands
+    // and total the covered seconds — the cumulative-max sweep in
+    // [[graft.operators.Timeseries.intervalCoverage]], no self-join and no
+    // per-second explode. All integers; the flag/cumsum window frames are
+    // written identically on both engines (ROWS for the strict-previous
+    // max, default RANGE for the island id, which keeps tied intervals in
+    // one peer group on either engine).
+    "q65_interval_coverage" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val iv = t(s, dir, "events").select($"user_id",
+            expr("unix_micros(ts) DIV 1000000").as("s"),
+            floor($"value" * 100 + 0.5).cast("long").as("vc"))
+          .withColumn("e", $"s" + greatest(expr("vc DIV 100"), lit(1L)))
+        graft.operators.Timeseries.intervalCoverage(iv, $"user_id", $"s", $"e")
+          .select($"key".as("user_id"), $"n_islands", $"covered")
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) // 1000000 AS s,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+             |iv AS (SELECT user_id, s, s + greatest(vc // 100, 1) AS e FROM ev),
+             |fl AS (
+             |  SELECT user_id, s, e,
+             |    CASE WHEN max(e) OVER w2 IS NULL OR s > max(e) OVER w2
+             |         THEN 1 ELSE 0 END AS open
+             |  FROM iv WHERE e > s
+             |  WINDOW w2 AS (PARTITION BY user_id ORDER BY s, e
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |isl AS (
+             |  SELECT user_id, s, e,
+             |    sum(open) OVER (PARTITION BY user_id ORDER BY s, e) AS island
+             |  FROM fl),
+             |ag AS (SELECT user_id, island, min(s) AS is_s, max(e) AS is_e
+             |       FROM isl GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_islands,
+             |  CAST(sum(is_e - is_s) AS BIGINT) AS covered
+             |FROM ag GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.SparkSuite
+
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the round-8 analytics operators: the generalized funnel
+  * fold (q55), degree-orientation triangle counting (g02), passage-level
+  * dup detection (d22), and the exact-integer time-series aggregates
+  * (q64/q65) — the fixtures pin the edge semantics the oracle queries
+  * don't reach (strict stage ordering on ties, nested/chained intervals,
+  * single-observation keys, clique-free graphs). */
+class AnalyticsOpsSpec extends SparkSuite {
+
+  test("Funnel.stages: strict ordering, decoys, and per-stage gating") {
+    import spark.implicits._
+    // key 1: full path; key 2: click BEFORE view only (must not convert);
+    // key 3: click AT the view instant (strict > excludes it); key 4: view
+    // only; key 5: stage-2 event of the wrong type between valid ones.
+    val ev = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "buy"),
+      (2L, 5L, 4L, "click"), (2L, 10L, 5L, "view"),
+      (3L, 10L, 6L, "view"), (3L, 10L, 7L, "click"), (3L, 20L, 8L, "buy"),
+      (4L, 10L, 9L, "view"),
+      (5L, 10L, 10L, "view"), (5L, 15L, 11L, "noise"), (5L, 20L, 12L, "buy")
+    ).toDF("u", "ts", "id", "tp")
+    val got = Funnel.stages(ev, col("u"), col("ts"), col("id"), col("tp"),
+        Seq("view", "click", "buy"), Seq("v", "c", "b"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(1L) == ((Some(10L), Some(20L), Some(30L))))
+    assert(got(2L) == ((Some(10L), None, None)), "pre-view click must not count")
+    assert(got(3L) == ((Some(10L), None, None)), "same-instant click fails strict >")
+    assert(got(4L) == ((Some(10L), None, None)))
+    assert(got(5L) == ((Some(10L), None, None)), "buy needs a click first")
+    // duplicate output names rejected loudly
+    intercept[IllegalArgumentException] {
+      Funnel.stages(ev, col("u"), col("ts"), col("id"), col("tp"),
+        Seq("a", "b"), Seq("x", "x"))
+    }
+  }
+
+  test("Graph.triangleCounts: cliques count, trees/cycles don't, dirt tolerated") {
+    import spark.implicits._
+    // K4 on 0-3 (each node in 3 triangles), a 4-cycle on 10-13 (none), a
+    // path 20-22 (none), plus duplicate/reversed/self-loop edges.
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val cyc = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val path = Seq((20L, 21L), (21L, 22L))
+    val dirt = Seq((1L, 0L), (0L, 1L), (5L, 5L))
+    val edges = (k4 ++ cyc ++ path ++ dirt).toDF("u", "v")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"only the K4 nodes triangulate: $got")
+  }
+
+  test("Dedup.dupPassages: only cross-document runs, maximal and min-length gated") {
+    import spark.implicits._
+    // docs 1/2 share an 8-token passage (4 consecutive 5-gram shingles);
+    // docs 3/4 share only a single 5-gram (1 shingle < minShingles);
+    // doc 5 repeats doc 1's passage words in a DIFFERENT order (no dup).
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two three $p"),
+      (2L, s"$p nine ten"),
+      (3L, "aa bb cc dd ee unique3"),
+      (4L, "aa bb cc dd ee unique4"),
+      (5L, "theta eta zeta epsilon delta gamma beta alpha")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupPassages(docs, "doc_id", "text", n = 5, minShingles = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: passage at tokens 3..10; doc 2: tokens 0..7 — both 4 shingles
+    assert(got == Map(1L -> ((3L, 10L, 4L)), 2L -> ((0L, 7L, 4L))),
+      s"expected exactly the two planted spans: $got")
+    // minShingles=1 admits the single shared 5-gram of docs 3/4
+    val loose = Dedup.dupPassages(docs, "doc_id", "text", n = 5, minShingles = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose == Set(1L, 2L, 3L, 4L), s"single-shingle spans gated wrong: $loose")
+  }
+
+  test("Timeseries.timeWeightedAvg: step weighting, ties, single-obs keys drop") {
+    import spark.implicits._
+    // key 1: 100 cents held 10s then 200 held 30s → twa = (1000+6000)/40
+    // = 175.00 exactly → 175000 milli. key 2: one observation → dropped.
+    // key 3: two obs in the same second (dt 0) then one later — the
+    // zero-length segment contributes nothing either way.
+    val ev = Seq(
+      (1L, 0L, 1L, 100L), (1L, 10L, 2L, 200L), (1L, 40L, 3L, 999L),
+      (2L, 0L, 4L, 50L),
+      (3L, 0L, 5L, 7L), (3L, 0L, 6L, 9L), (3L, 10L, 7L, 11L)
+    ).toDF("k", "ts", "id", "v")
+    val got = Timeseries.timeWeightedAvg(ev, col("k"), col("ts"), col("id"), col("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((100L * 10 + 200L * 30, 40L, 175000L)), s"got $got")
+    assert(!got.contains(2L), "single-observation key must drop")
+    assert(got(3L) == ((9L * 10, 10L, 9000L)), s"tie segment must weigh zero: $got")
+  }
+
+  test("Timeseries.intervalCoverage: overlap, nesting, chains, and gaps") {
+    import spark.implicits._
+    // key 1: [0,10) ∪ [5,20) ∪ [30,40) → 2 islands, 30 covered;
+    // key 2: [0,100) ⊃ [10,20) nested → 1 island, 100;
+    // key 3: [0,10) [10,20) touching (half-open: contiguous) → 1 island;
+    // key 4: zero-length [5,5) ignored entirely.
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 30L, 40L),
+      (2L, 0L, 100L), (2L, 10L, 20L),
+      (3L, 0L, 10L), (3L, 10L, 20L),
+      (4L, 5L, 5L)
+    ).toDF("k", "s", "e")
+    val got = Timeseries.intervalCoverage(iv, col("k"), col("s"), col("e"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((2L, 30L)), s"got $got")
+    assert(got(2L) == ((1L, 100L)), s"nested interval must not extend: $got")
+    assert(got(3L) == ((1L, 20L)), s"touching half-open intervals chain: $got")
+    assert(!got.contains(4L), "zero-length intervals contribute nothing")
+  }
+}

@@ -259,6 +259,44 @@ class PlanShapeSpec extends SparkSuite {
     assert(!corpusWindowSingle, s"corpus must not funnel through one partition:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
+    // The Spark-native runtime row-filter (InjectRuntimeFilter): when a
+    // shuffle join's build side carries a selective predicate, Spark
+    // builds a bloom filter over the build-side join keys and pushes a
+    // might_contain() probe into the FACT side's scan — at 100 TB this is
+    // the difference between shuffling the whole fact table and shuffling
+    // only rows that can possibly join. Thresholds forced low so the
+    // sf-tiny fixture renders the at-scale decision; broadcast disabled
+    // because a broadcast join would subsume the filter.
+    import org.apache.spark.sql.functions._
+    val saves = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-rtbloom").toString
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.range(0, 100000).select(col("id").as("key"),
+          concat(lit("p"), col("id")).as("payload"))
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      spark.range(0, 10000).select(col("id").as("key"), (col("id") % 7).as("grp"))
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("grp") === 3)
+      val p = fact.join(dim, "key").queryExecution.sparkPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected a bloom-filter probe on the fact side:\n$p")
+    } finally {
+      saves.foreach { case (k, Some(v)) => spark.conf.set(k, v)
+                      case (k, None) => spark.conf.unset(k) }
+      graft.Fs.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
   test("AQE skew-join splits a planted hot key without manual salting") {
     // Documents the Skew.saltedJoin decision boundary (q45 proves the
     // manual salt): for a plain BATCH sort-merge join, Spark's own
