@@ -12,6 +12,12 @@ case class Keyed(key: Long, ts: Timestamp)
 case class ActivityState(n: Long, firstTs: Long, lastTs: Long)
 /** One summary per key activity burst, emitted when the key goes quiet. */
 case class ActivitySummary(key: Long, n_events: Long, first_ts: Timestamp, last_ts: Timestamp)
+/** Typed input for [[StreamOps.funnelResults]]: a keyed event with a type. */
+case class TypedEvent(key: Long, ts: Timestamp, tp: String)
+/** Buffered per-key events for [[StreamOps.funnelResults]] (millis, type). */
+case class FunnelBuffer(events: List[(Long, String)])
+/** One stage hit per key funnel: 0-based stage index + its event time. */
+case class FunnelHit(key: Long, stage: Int, ts: Timestamp)
 
 /** Streaming query surface (SURVEY.md §2B streaming row): windowed
   * aggregations with watermarks, late-data drop, streaming dedup, and
@@ -160,4 +166,66 @@ object StreamOps {
   def enrich(events: DataFrame, dim: DataFrame, cond: Column,
              joinType: String = "left_outer"): DataFrame =
     events.join(broadcast(dim), cond, joinType)
+
+  /** Streaming ordered funnel — the stream twin of
+    * [[graft.operators.Funnel.stages]], with IDENTICAL fold semantics (a
+    * spec replays the same events through both): per key, stage i+1 counts
+    * only strictly after stage i.
+    *
+    * Emission contract: buffer a key's stage-typed events in state; when
+    * the key has been quiet for `quietMs` (event-time timeout, anchored to
+    * the watermark like [[inactivitySummaries]]), sort the buffer, run the
+    * batch fold, emit one [[FunnelHit]] per reached stage, evict. Buffering
+    * until quiescence — rather than folding eagerly per batch — is what
+    * buys exact batch equivalence for out-of-order arrivals inside the
+    * watermark: an early-stage event arriving late can still lower a stage
+    * timestamp (and thereby admit conversions) because nothing has been
+    * emitted yet. A key reappearing after emission starts a fresh funnel
+    * (documented burst semantics, matching the session operators).
+    *
+    * State bound: events of the `stages` types only, per key, per burst —
+    * the funnel regime (a handful per key); horizon-bounded by the timeout
+    * like every operator here. Ties on ts fold in (ts, tp) order — a total
+    * order per key as long as a key never carries two same-type events on
+    * the same millisecond (the batch twin's tie column generalizes this;
+    * same-instant DIFFERENT stages never double-count under strict >). */
+  def funnelResults(events: Dataset[TypedEvent], watermark: String,
+                    stages: Seq[String], quietMs: Long): Dataset[FunnelHit] = {
+    require(stages.nonEmpty, "at least one stage")
+    implicit val stateEnc = Encoders.product[FunnelBuffer]
+    implicit val outEnc = Encoders.product[FunnelHit]
+    val stageSet = stages.toSet
+    events.filter(e => stageSet.contains(e.tp))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelBuffer, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[TypedEvent], state: GroupState[FunnelBuffer]) =>
+          if (state.hasTimedOut) {
+            val evs = state.get.events.sorted
+            state.remove()
+            // the batch fold: stage 0 arms on type; stage i on type + prior
+            // stage set + strictly later ts (same semantics Funnel.stages
+            // compiles to SQL — AnalyticsOpsSpec pins them equal)
+            val reached = Array.fill[Option[Long]](stages.length)(None)
+            evs.foreach { case (t, tp) =>
+              val i = stages.indexOf(tp)
+              if (reached(i).isEmpty &&
+                  (i == 0 || reached(i - 1).exists(_ < t))) reached(i) = Some(t)
+            }
+            reached.iterator.zipWithIndex.collect {
+              case (Some(t), i) => FunnelHit(key, i, new Timestamp(t))
+            }
+          } else {
+            val buf = state.getOption.getOrElse(FunnelBuffer(Nil))
+            val add = it.map(e => (e.ts.getTime, e.tp)).toList
+            val s = FunnelBuffer(add ::: buf.events)
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(
+              s.events.iterator.map(_._1).max + quietMs,
+              state.getCurrentWatermarkMs + 1))
+            Iterator.empty
+          }
+      }
+  }
 }

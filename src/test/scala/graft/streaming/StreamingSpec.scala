@@ -505,6 +505,57 @@ class StreamingSpec extends SparkSuite {
     assert(out == Set(1L, 4L))
   }
 
+  test("streaming funnel buffers until quiet, matches the batch fold on out-of-order input") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[TypedEvent]
+    val out = StreamOps.funnelResults(ms.toDS(), "10 minutes",
+      Seq("view", "click", "buy"), quietMs = 30L * 60 * 1000)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    // batch 1: user 1's view and BUY arrive; the click is still in flight.
+    // user 3's click-before-view arrives complete.
+    ms.addData(
+      TypedEvent(1, ts("2024-07-01T00:00:00Z"), "view"),
+      TypedEvent(1, ts("2024-07-01T00:30:00Z"), "buy"),
+      TypedEvent(3, ts("2024-07-01T00:05:00Z"), "click"),
+      TypedEvent(3, ts("2024-07-01T00:15:00Z"), "view"))
+    q.processAllAvailable()
+    // batch 2: user 1's click lands LATE but inside the watermark (00:25 >
+    // watermark 00:20). An eager per-batch fold would already have refused
+    // the buy (no click at the time); buffering admits all three stages.
+    ms.addData(TypedEvent(1, ts("2024-07-01T00:25:00Z"), "click"))
+    q.processAllAvailable()
+    assert(spark.table("funnel_out").isEmpty, "nothing may emit before quiescence")
+    // advance the watermark past both keys' quiet timeouts; one more tick
+    // lets the timeouts fire in the following micro-batch
+    ms.addData(TypedEvent(9, ts("2024-07-01T03:00:00Z"), "view"))
+    q.processAllAvailable()
+    ms.addData(TypedEvent(9, ts("2024-07-01T03:05:00Z"), "view"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_out").as[FunnelHit].collect()
+      .filter(_.key != 9L).map(h => (h.key, h.stage, h.ts.getTime)).toSet
+    // the batch twin on the same events is the ground truth
+    val batchEvents = Seq(
+      (1L, ts("2024-07-01T00:00:00Z").getTime, 1L, "view"),
+      (1L, ts("2024-07-01T00:30:00Z").getTime, 2L, "buy"),
+      (1L, ts("2024-07-01T00:25:00Z").getTime, 3L, "click"),
+      (3L, ts("2024-07-01T00:05:00Z").getTime, 4L, "click"),
+      (3L, ts("2024-07-01T00:15:00Z").getTime, 5L, "view")
+    ).toDF("u", "t", "id", "tp")
+    val expected = graft.operators.Funnel.stages(batchEvents,
+        col("u"), col("t"), col("id"), col("tp"),
+        Seq("view", "click", "buy"), Seq("s0", "s1", "s2"))
+      .collect().flatMap { r =>
+        (0 to 2).flatMap(i => if (r.isNullAt(i + 1)) None
+          else Some((r.getLong(0), i, r.getLong(i + 1))))
+      }.toSet
+    assert(got == expected, s"stream $got != batch $expected")
+    // and concretely: user 1 converts fully, user 3 only views
+    assert(got.map(h => (h._1, h._2)) == Set((1L, 0), (1L, 1), (1L, 2), (3L, 0)))
+  }
+
   test("stream-static enrichment join stays broadcast") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
