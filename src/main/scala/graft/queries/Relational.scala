@@ -1529,6 +1529,38 @@ object Relational {
              |       FROM isl GROUP BY 1, 2)
              |SELECT user_id, count(*) AS n_islands,
              |  CAST(sum(is_e - is_s) AS BIGINT) AS covered
-             |FROM ag GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM ag GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Array SET algebra (union/intersect/except over per-row token
+    // windows): pure per-row expressions — no explode, no shuffle beyond
+    // the final sort. Both engines dedup; sorting the results removes the
+    // engine-defined appearance order from the compare.
+    "q66_array_setops" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .withColumn("w", split($"text", " "))
+          .withColumn("a", slice($"w", 1, 6))
+          .withColumn("b", slice($"w", 4, 6))
+          .select($"doc_id",
+            array_join(sort_array(array_union($"a", $"b")), " ").as("u"),
+            array_join(sort_array(array_intersect($"a", $"b")), " ").as("i"),
+            array_join(sort_array(array_except($"a", $"b")), " ").as("d"),
+            size(array_union($"a", $"b")).cast("long").as("n_u"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |ab AS (SELECT doc_id, w[1:6] AS a, w[4:9] AS b FROM t)
+             |SELECT doc_id,
+             |  coalesce(array_to_string(
+             |    list_sort(list_distinct(list_cat(a, b))), ' '), '') AS u,
+             |  coalesce(array_to_string(list_sort(list_distinct(
+             |    list_filter(a, x -> list_contains(b, x)))), ' '), '') AS i,
+             |  coalesce(array_to_string(list_sort(list_distinct(
+             |    list_filter(a, x -> NOT list_contains(b, x)))), ' '), '') AS d,
+             |  CAST(len(list_distinct(list_cat(a, b))) AS BIGINT) AS n_u
+             |FROM ab ORDER BY doc_id""".stripMargin))
   )
 }
