@@ -1569,6 +1569,38 @@ object Relational {
              |  coalesce(array_to_string(list_sort(list_distinct(
              |    list_filter(a, x -> NOT list_contains(b, x)))), ' '), '') AS d,
              |  CAST(len(list_distinct(list_cat(a, b))) AS BIGINT) AS n_u
-             |FROM ab ORDER BY doc_id""".stripMargin))
+             |FROM ab ORDER BY doc_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Calendar-part + padding/translate scalar coverage: quarter / ISO
+    // week / ISO day-of-week / day-of-year / month-end derivation, plus
+    // lpad/rpad/translate — all per-row codegen'd projections over the
+    // scan. Spark's dayofweek is 1=Sunday; the ISO pivot ((d+5) mod 7)+1
+    // matches DuckDB's isodow exactly. last_day renders through an
+    // explicit format so both engines compare as strings, not as each
+    // engine's date repr.
+    "q67_calendar_parts" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"event_id",
+            quarter($"ts").cast("long").as("q"),
+            weekofyear($"ts").cast("long").as("iso_week"),
+            (((dayofweek($"ts") + 5) % 7) + 1).cast("long").as("iso_dow"),
+            dayofyear($"ts").cast("long").as("doy"),
+            date_format(last_day($"ts"), "yyyy-MM-dd").as("month_end"),
+            lpad($"user_id".cast("string"), 6, "0").as("uid_pad"),
+            translate(rpad($"event_type", 10, "."), "ce", "CE").as("tp_mark"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(quarter(ts) AS BIGINT) AS q,
+             |  CAST(week(ts) AS BIGINT) AS iso_week,
+             |  CAST(isodow(ts) AS BIGINT) AS iso_dow,
+             |  CAST(dayofyear(ts) AS BIGINT) AS doy,
+             |  strftime(last_day(ts), '%Y-%m-%d') AS month_end,
+             |  lpad(CAST(user_id AS VARCHAR), 6, '0') AS uid_pad,
+             |  translate(rpad(event_type, 10, '.'), 'ce', 'CE') AS tp_mark
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }
