@@ -1601,6 +1601,41 @@ object Relational {
              |  strftime(last_day(ts), '%Y-%m-%d') AS month_end,
              |  lpad(CAST(user_id AS VARCHAR), 6, '0') AS uid_pad,
              |  translate(rpad(event_type, 10, '.'), 'ce', 'CE') AS tp_mark
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Window fill semantics: last_value IGNORE NULLS (forward fill over a
+    // deterministically-nulled column), lag with an explicit default, and
+    // first_value — the observation-carry-forward trio q49's gap-fill
+    // composes, here exercised directly with explicit ROWS frames written
+    // identically on both engines.
+    "q68_window_fill" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, 0)
+        t(s, dir, "events")
+          .withColumn("vc", floor($"value" * 100 + 0.5).cast("long"))
+          .withColumn("vn", when($"vc" % 7 === 0, lit(null)).otherwise($"vc"))
+          .select($"event_id", $"user_id",
+            last($"vn", ignoreNulls = true).over(run).as("filled"),
+            lag($"vc", 1, -1L).over(w).as("prev_vc"),
+            first($"vc").over(run).as("first_vc"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, ts,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+             |  FROM events),
+             |n AS (SELECT *, CASE WHEN vc % 7 = 0 THEN NULL ELSE vc END AS vn FROM e)
+             |SELECT event_id, user_id,
+             |  last_value(vn IGNORE NULLS) OVER w2 AS filled,
+             |  lag(vc, 1, -1) OVER w1 AS prev_vc,
+             |  first_value(vc) OVER w2 AS first_vc
+             |FROM n
+             |WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id),
+             |  w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin))
   )
 }
