@@ -1636,6 +1636,86 @@ object Relational {
              |WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id),
              |  w2 AS (PARTITION BY user_id ORDER BY ts, event_id
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // TPC-H Q5 shape (local supplier volume): the canonical 6-table
+    // snowflake join — lineitem⋈orders⋈customer⋈supplier⋈nation⋈region
+    // with the co-nationality predicate (c_nationkey = s_nationkey)
+    // joining the two dimension arms. The four dimension tables broadcast
+    // (region→nation prunes to one region's nations BEFORE touching the
+    // fact side); only orders⋈lineitem shuffles. Revenue rides per-row
+    // integer cents.
+    "q69_tpch_q5" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cents = floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100 + 0.5)
+          .cast("long")
+        val nr = t(s, dir, "nation").join(
+          broadcast(t(s, dir, "region").filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").filter(
+            $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
+            $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, dir, "supplier")),
+            $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(nr), $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(sum(cents).as("revenue_cents"), count(lit(1)).as("n_items"))
+          .orderBy($"revenue_cents".desc, $"n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             |      AS BIGINT)) AS BIGINT) AS revenue_cents,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // TPC-H Q10 shape (returned-item reporting): fact⋈fact join + three
+    // broadcast dims, top-20 customers by lost revenue — the ranked-report
+    // query whose LIMIT must fold into TakeOrderedAndProject (per-partition
+    // heaps + driver merge), never a global sort. Ties broken by custkey
+    // so the cut is deterministic on both engines.
+    "q70_tpch_q10" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cents = floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100 + 0.5)
+          .cast("long")
+        t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+          .join(t(s, dir, "orders").filter(
+            $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1996-07-01").cast("timestamp")),
+            $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"n_name")
+          .agg(sum(cents).as("lost_cents"))
+          .orderBy($"lost_cents".desc, $"c_custkey")
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+             |      AS BIGINT)) AS BIGINT) AS lost_cents
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY lost_cents DESC, c_custkey LIMIT 20""".stripMargin))
   )
 }

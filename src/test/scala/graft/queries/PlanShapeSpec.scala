@@ -259,6 +259,22 @@ class PlanShapeSpec extends SparkSuite {
     assert(!corpusWindowSingle, s"corpus must not funnel through one partition:\n$p")
   }
 
+  test("q69: the snowflake's four dimension arms broadcast; only the fact pair shuffles") {
+    val p = plan("q69_tpch_q5")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 3, s"dimension joins must broadcast (found $nBroadcast):\n$p")
+    val nSmj = "SortMergeJoin".r.findAllIn(p).length
+    assert(nSmj <= 1, s"only orders⋈lineitem may sort-merge (found $nSmj):\n$p")
+  }
+
+  test("q70: the top-20 report folds into TakeOrderedAndProject, never a global sort") {
+    val p = plan("q70_tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT must fold into per-partition heaps + merge:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a range-partitioned global sort defeats the 20-row cut:\n$p")
+  }
+
   test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
     // The Spark-native runtime row-filter (InjectRuntimeFilter): when a
     // shuffle join's build side carries a selective predicate, Spark
