@@ -261,6 +261,45 @@ object LakeReader {
                keys: Seq[String]): DataFrame =
     readPaths(spark, store, table, keys, keys, ignoreMissing = false)
 
+  /** How a [[readPruned]] call narrowed its object list. */
+  final case class PruneReport(candidates: Int, kept: Int) {
+    def skipped: Int = candidates - kept
+  }
+
+  /** Data-skipping read via [[ZoneMaps]] sidecars: only objects whose
+    * recorded [min, max] for `column` can intersect the CLOSED interval
+    * [lo, hi] are opened — the Delta/Iceberg manifest-stats idea, natively
+    * on the lake format. Objects without a sidecar (stat-less writer,
+    * lost sidecar) are conservatively kept, so the result equals an
+    * unpruned read + filter for any mix of writers; the caller still
+    * applies its own exact predicate (zone maps bound OBJECTS, not rows).
+    * Composes with hour-range pruning — the key-layout prune runs first,
+    * sidecar consultation only touches surviving objects.
+    *
+    * Driver cost: one sidecar read per candidate object (sidecars are
+    * ~100-byte objects). At warehouse scale batch the sidecar reads
+    * through a small RDD the way the compactor batches its rewrites; the
+    * listing itself is already the pruned level walk. */
+  def readPruned(spark: SparkSession, rootUri: String, table: String,
+                 column: String, lo: java.math.BigDecimal, hi: java.math.BigDecimal,
+                 hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
+      : (DataFrame, PruneReport) = {
+    val store = new HadoopStore(rootUri)
+    val keys = listTableKeys(store, table, hourRange)
+    require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
+    val kept = keys.filter(k => ZoneMaps.mayContain(ZoneMaps.read(store, k), column, lo, hi))
+    val report = PruneReport(keys.length, kept.length)
+    if (kept.isEmpty) {
+      // no object can match: an empty frame with the table's real schema
+      val schema = peekSchema(store, keys.head, table)
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema.structType)
+        .withColumn("_event_hour",
+          org.apache.spark.sql.functions.lit(null).cast("timestamp"))
+      (empty, report)
+    } else (readPaths(spark, store, table, kept, kept, ignoreMissing = true), report)
+  }
+
   private def readPaths(spark: SparkSession, store: Store, table: String,
                         keys: Seq[String], relPaths: Seq[String],
                         ignoreMissing: Boolean): DataFrame = {

@@ -44,9 +44,14 @@ object LakeWriter {
     * [[graft.streaming.LakeSink]] and [[LakeMaintenance.compact]] do.
     * Direct `write()` to final keys is for bounded batch jobs where a
     * rerun-after-cleanup is acceptable. */
+  /** With `zoneMaps = true`, every landed object also writes a
+    * [[ZoneMaps]] sidecar (per-column min/max/nulls, O(1) tracking per
+    * row) enabling [[LakeReader.readPruned]] data skipping; sidecars of
+    * an aborted attempt are cleaned up with its data objects. */
   def write(df: DataFrame, schema: TableSchema, rootUri: String,
             flushTime: Instant = Instant.now(), gzip: Boolean = true,
-            maxRecordsPerObject: Long = 0L, keyPrefix: String = ""): Seq[WrittenObject] = {
+            maxRecordsPerObject: Long = 0L, keyPrefix: String = "",
+            zoneMaps: Boolean = false): Seq[WrittenObject] = {
     import org.apache.spark.sql.functions.col
     require(LakeKeys.isValidTableName(schema.name),
       s"table name '${schema.name}' is not a valid key segment (see LakeKeys.isValidTableName)")
@@ -68,6 +73,7 @@ object LakeWriter {
         var key: String = null
         var out: BufferedWriter = null
         var n = 0L
+        var tracker: ZoneMaps.Tracker = null
         def open(): Unit = {
           id = UUID.randomUUID()
           key = keyPrefix + LakeKeys.objectKey(table, flushTime, id, gzip)
@@ -77,31 +83,41 @@ object LakeWriter {
           out.write(typesHeader); out.write("\n")
           out.write(namesHeader); out.write("\n")
           n = 0L
+          if (zoneMaps) tracker = new ZoneMaps.Tracker(schema)
+        }
+        def closeObject(): Unit = {
+          out.close(); written += WrittenObject(key, id, n)
+          if (zoneMaps) ZoneMaps.write(store, key, tracker.result())
         }
         try {
           open() // inside the cleanup scope: a failed FIRST create/header
                  // write must delete its partial object like any other
           rows.foreach { r =>
             if (maxRecordsPerObject > 0 && n >= maxRecordsPerObject) {
-              out.close(); written += WrittenObject(key, id, n)
+              closeObject()
               open()
             }
             val vals = new Array[Any](nCols)
             var i = 0
             while (i < nCols) { vals(i) = r.get(i); i += 1 }
+            if (zoneMaps) tracker.observe(vals)
             out.write(TypedCsv.formatRow(vals.toSeq, types)); out.write("\n")
             n += 1
           }
-          out.close(); written += WrittenObject(key, id, n)
+          closeObject()
           out = null
         } catch { case e: Throwable =>
           // Abort this ATTEMPT cleanly: close and delete the in-progress
-          // object and everything the attempt already rolled — a retry (or
-          // the speculative twin) re-writes the whole partition, so any key
-          // this attempt leaves behind is permanent duplication.
+          // object and everything the attempt already rolled — plus their
+          // zone-map sidecars — a retry (or the speculative twin)
+          // re-writes the whole partition, so any key this attempt leaves
+          // behind is permanent duplication.
           if (out != null) { try out.close() catch { case _: Throwable => () }; out = null }
           (written.result().map(_.key) ++ Option(key)).foreach { k =>
             try store.delete(k) catch { case _: Throwable => () }
+            if (zoneMaps) {
+              try store.delete(ZoneMaps.statsKey(k)) catch { case _: Throwable => () }
+            }
           }
           throw e
         }

@@ -1,0 +1,154 @@
+package graft.lake
+
+import graft.types.{ColType, TableSchema}
+
+import java.math.BigDecimal
+import java.nio.charset.StandardCharsets
+
+/** Object-level zone maps for the typed-CSV lake: per-object min/max/null
+  * statistics over every orderable column, written as tiny sidecar objects
+  * under a root-level `_zmaps/` prefix that mirrors the data key. This is
+  * the data-skipping layer parquet gets from row-group stats and
+  * Delta/Iceberg get from file manifests, landed natively for the lake
+  * format (the sandbox cannot fetch those table-format packages —
+  * README "Known gaps" #1): a pruned read consults the sidecars and never
+  * opens objects whose value range cannot intersect the predicate.
+  *
+  * Layout: `_zmaps/YYYY/MM/DD/HH/table/uuid.csv.gz.zmap`. The `_zmaps/`
+  * root is non-numeric, so [[LakeReader.walkHourPrefixes]] never descends
+  * into it — sidecars are invisible to normal data reads by construction,
+  * exactly like `_staging/`. A missing or unreadable sidecar degrades to
+  * "keep the object" (pruning is an optimization, never a correctness
+  * gate), so zone maps can be adopted lake-by-lake and mixed with
+  * stat-less writers.
+  *
+  * Orderable columns: INTEGER (long order), FLOAT (IEEE order on finite
+  * values; NaN observations poison the column's stats to "unknown" rather
+  * than record an unordered bound), TIME (epoch-micros order). STRING
+  * bounds are deliberately not tracked: CSV re-parse fidelity is exact for
+  * the numeric types, while string collation across engines is a
+  * correctness trap for no common predicate win. All bounds serialize as
+  * decimal STRINGS — exact for longs beyond 2^53 where a JSON double
+  * would silently round.
+  */
+object ZoneMaps {
+
+  val Prefix = "_zmaps/"
+
+  def statsKey(objectKey: String): String = Prefix + objectKey + ".zmap"
+
+  /** Closed bounds over the object's non-null values; None = no non-null
+    * value seen (or the column's type is not tracked / stats poisoned). */
+  final case class ColStats(min: Option[BigDecimal], max: Option[BigDecimal], nulls: Long)
+  final case class ObjectStats(records: Long, cols: Map[String, ColStats])
+
+  /** Streaming accumulator the writer drives row by row — O(1) per value,
+    * no buffering. */
+  final class Tracker(schema: TableSchema) {
+    private val names = schema.columnNames
+    private val types = schema.colTypes
+    private val n = names.length
+    private val mins = new Array[BigDecimal](n)
+    private val maxs = new Array[BigDecimal](n)
+    private val nulls = new Array[Long](n)
+    private val poisoned = new Array[Boolean](n)
+    private var records = 0L
+
+    /** Numeric view of one typed value; None = untracked type or NaN. */
+    private def ordView(t: ColType, v: Any): Option[BigDecimal] = (t, v) match {
+      case (ColType.CInteger, x: java.lang.Long) => Some(BigDecimal.valueOf(x))
+      case (ColType.CFloat, x: java.lang.Double) =>
+        if (x.isNaN) None else Some(new BigDecimal(x.toString))
+      case (ColType.CTime, ts: java.sql.Timestamp) =>
+        Some(BigDecimal.valueOf(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000))
+      case _ => None
+    }
+
+    def observe(vals: Array[Any]): Unit = {
+      records += 1
+      var i = 0
+      while (i < n) {
+        if (vals(i) == null) nulls(i) += 1
+        else types(i) match {
+          case ColType.CInteger | ColType.CFloat | ColType.CTime =>
+            ordView(types(i), vals(i)) match {
+              case Some(d) =>
+                if (mins(i) == null || d.compareTo(mins(i)) < 0) mins(i) = d
+                if (maxs(i) == null || d.compareTo(maxs(i)) > 0) maxs(i) = d
+              case None => // NaN etc.: bounds no longer trustworthy
+                poisoned(i) = true; mins(i) = null; maxs(i) = null
+            }
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+
+    def result(): ObjectStats = ObjectStats(records,
+      names.indices.map { i =>
+        val tracked = !poisoned(i) && (types(i) match {
+          case ColType.CInteger | ColType.CFloat | ColType.CTime => true
+          case _ => false
+        })
+        names(i) -> ColStats(
+          if (tracked) Option(mins(i)) else None,
+          if (tracked) Option(maxs(i)) else None,
+          nulls(i))
+      }.toMap)
+  }
+
+  def render(s: ObjectStats): String = {
+    val cols = s.cols.toSeq.sortBy(_._1).map { case (name, cs) =>
+      val mn = cs.min.map(v => "\"" + v.toPlainString + "\"").getOrElse("null")
+      val mx = cs.max.map(v => "\"" + v.toPlainString + "\"").getOrElse("null")
+      s"${graft.Json.str(name)}:{" + s""""min":$mn,"max":$mx,"nulls":${cs.nulls}}"""
+    }.mkString(",")
+    s"""{"records":${s.records},"cols":{$cols}}"""
+  }
+
+  /** Minimal parser for [[render]]'s own fixed shape (no general JSON — the
+    * sidecar is machine-written; anything unparseable reads as None and the
+    * object is conservatively kept). */
+  def parse(text: String): Option[ObjectStats] = try {
+    val rec = """"records":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+    val col = ("\"([^\"]+)\":\\{\"min\":(\"[^\"]*\"|null)," +
+      "\"max\":(\"[^\"]*\"|null),\"nulls\":(\\d+)\\}").r
+    val cols = col.findAllMatchIn(text).map { m =>
+      def dec(s: String) =
+        if (s == "null") None else Some(new BigDecimal(s.stripPrefix("\"").stripSuffix("\"")))
+      m.group(1) -> ColStats(dec(m.group(2)), dec(m.group(3)), m.group(4).toLong)
+    }.toMap
+    rec.map(ObjectStats(_, cols))
+  } catch { case _: Exception => None }
+
+  def write(store: Store, objectKey: String, stats: ObjectStats): Unit = {
+    val out = store.create(statsKey(objectKey))
+    try out.write(render(stats).getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def read(store: Store, objectKey: String): Option[ObjectStats] = try {
+    val in = store.open(statsKey(objectKey))
+    try parse(new String(in.readAllBytes(), StandardCharsets.UTF_8)) finally in.close()
+  } catch { case _: Exception => None }
+
+  /** Can an object possibly hold a row with `column` in [lo, hi]? True
+    * when stats are absent or unknown (conservative). NULLs never match a
+    * range predicate, so they don't keep an object — only value bounds
+    * do. */
+  def mayContain(stats: Option[ObjectStats], column: String,
+                 lo: BigDecimal, hi: BigDecimal): Boolean = stats match {
+    case None => true
+    case Some(s) => s.cols.get(column) match {
+      case None => true // column unknown to the sidecar: keep
+      case Some(cs) => (cs.min, cs.max) match {
+        case (Some(mn), Some(mx)) => mx.compareTo(lo) >= 0 && mn.compareTo(hi) <= 0
+        case _ =>
+          // Bounds absent. All-null column (nulls == records): a range
+          // predicate can never match — safe to SKIP. Otherwise non-null
+          // values existed but weren't tracked (string type, NaN-poisoned)
+          // — must KEEP.
+          cs.nulls < s.records
+      }
+    }
+  }
+}

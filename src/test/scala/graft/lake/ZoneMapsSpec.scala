@@ -1,0 +1,126 @@
+package graft.lake
+
+import graft.SparkSuite
+import graft.types.{ColType, TableSchema}
+
+import java.math.BigDecimal
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+class ZoneMapsSpec extends SparkSuite {
+
+  private def freshRoot() =
+    s"file://${Files.createTempDirectory("graft-zmap-spec").toFile.getAbsolutePath}"
+
+  private val schema = TableSchema("zt", Seq(
+    "id" -> ColType.CInteger, "v" -> ColType.CFloat,
+    "ts" -> ColType.CTime, "tag" -> ColType.CString))
+
+  private def dec(l: Long) = BigDecimal.valueOf(l)
+
+  private def fixture(root: String): Seq[LakeWriter.WrittenObject] = {
+    import spark.implicits._
+    // range-partition on id so each of the 4 objects holds a disjoint,
+    // contiguous id band — the layout zone maps reward
+    val df = (0 until 1000).map(i => (i.toLong, i / 3.0,
+        java.sql.Timestamp.from(Instant.parse("2024-06-01T00:00:00Z")
+          .plusSeconds(i.toLong)), s"t$i"))
+      .toDF("id", "v", "ts", "tag")
+      .repartitionByRange(4, col("id"))
+    LakeWriter.write(df, schema, root,
+      Instant.parse("2024-06-02T09:00:00Z"), zoneMaps = true)
+  }
+
+  test("writer lands one sidecar per object; stats round-trip exactly") {
+    val root = freshRoot()
+    val written = fixture(root)
+    val store = new HadoopStore(root)
+    assert(written.size == 4)
+    for (w <- written) {
+      val st = ZoneMaps.read(store, w.key)
+      assert(st.isDefined, s"missing sidecar for ${w.key}")
+      val s = st.get
+      assert(s.records == w.records)
+      val id = s.cols("id")
+      assert(id.min.isDefined && id.max.isDefined && id.nulls == 0)
+      // contiguous band: max - min + 1 == records
+      assert(id.max.get.subtract(id.min.get).longValueExact() + 1 == w.records,
+        s"id band not contiguous for ${w.key}: $id")
+      // strings untracked, but null count still real
+      val tag = s.cols("tag")
+      assert(tag.min.isEmpty && tag.max.isEmpty && tag.nulls == 0)
+      // time tracked in epoch micros
+      assert(s.cols("ts").min.isDefined)
+    }
+    // sidecars live under _zmaps/ and are invisible to the data read
+    assert(store.list(ZoneMaps.Prefix).size == 4)
+    assert(LakeReader.read(spark, root, "zt").count() == 1000)
+  }
+
+  test("readPruned opens only the objects whose band intersects; rows exact") {
+    val root = freshRoot()
+    fixture(root)
+    // [100, 180] lies inside one 250-wide band
+    val (df, report) = LakeReader.readPruned(spark, root, "zt", "id",
+      dec(100), dec(180))
+    assert(report.candidates == 4 && report.kept == 1,
+      s"expected 1 of 4 objects kept: $report")
+    // zone maps bound objects, not rows: caller applies the exact filter
+    val got = df.filter(col("id").between(100, 180))
+      .agg(count(lit(1)), sum("id")).head()
+    assert(got.getLong(0) == 81 && got.getLong(1) == (100L to 180L).sum)
+    // a range spanning two bands keeps exactly two objects
+    val (_, r2) = LakeReader.readPruned(spark, root, "zt", "id", dec(240), dec(260))
+    assert(r2.kept == 2, s"band-straddling range must keep 2: $r2")
+    // an impossible range keeps nothing and yields an empty typed frame
+    val (empty, r3) = LakeReader.readPruned(spark, root, "zt", "id",
+      dec(5000), dec(6000))
+    assert(r3.kept == 0 && empty.count() == 0)
+    assert(empty.columns.contains("id") && empty.columns.contains("_event_hour"))
+  }
+
+  test("a lost sidecar degrades to keep-the-object; results stay exact") {
+    val root = freshRoot()
+    val written = fixture(root)
+    val store = new HadoopStore(root)
+    // delete one sidecar: that object must now always be kept
+    store.delete(ZoneMaps.statsKey(written.head.key))
+    val (df, report) = LakeReader.readPruned(spark, root, "zt", "id",
+      dec(5000), dec(6000))
+    assert(report.kept == 1, s"statless object must be kept conservatively: $report")
+    assert(df.filter(col("id").between(5000, 6000)).count() == 0)
+  }
+
+  test("mayContain semantics: all-null skips, untracked keeps, NaN poisons") {
+    import ZoneMaps._
+    val allNull = ObjectStats(10, Map("c" -> ColStats(None, None, 10)))
+    assert(!mayContain(Some(allNull), "c", dec(0), dec(1)),
+      "an all-null column can never match a range")
+    val untracked = ObjectStats(10, Map("c" -> ColStats(None, None, 3)))
+    assert(mayContain(Some(untracked), "c", dec(0), dec(1)),
+      "non-null values without bounds must keep the object")
+    assert(mayContain(None, "c", dec(0), dec(1)), "no sidecar keeps")
+    assert(mayContain(Some(allNull), "other", dec(0), dec(1)),
+      "unknown column keeps")
+    // NaN poisons bounds at track time
+    val t = new Tracker(TableSchema("x", Seq("f" -> ColType.CFloat)))
+    t.observe(Array[Any](java.lang.Double.valueOf(1.0)))
+    t.observe(Array[Any](java.lang.Double.valueOf(Double.NaN)))
+    t.observe(Array[Any](java.lang.Double.valueOf(99.0)))
+    val cs = t.result().cols("f")
+    assert(cs.min.isEmpty && cs.max.isEmpty, s"NaN must poison bounds: $cs")
+  }
+
+  test("exact big-long bounds survive the sidecar (no double rounding)") {
+    import ZoneMaps._
+    val big = Long.MaxValue - 1 // not representable in a double
+    val t = new Tracker(TableSchema("x", Seq("i" -> ColType.CInteger)))
+    t.observe(Array[Any](java.lang.Long.valueOf(big)))
+    val rendered = render(t.result())
+    val parsed = parse(rendered).get
+    assert(parsed.cols("i").min.get.longValueExact() == big,
+      s"long bound must round-trip exactly through: $rendered")
+  }
+}
