@@ -50,10 +50,17 @@ object LakeMaintenance {
   final case class CompactionReport(
       oldObjects: Int, newObjects: Int, records: Long, newKeys: Seq[String])
 
+  /** With `zoneMaps = true`, compacted objects are written with
+    * [[ZoneMaps]] sidecars and the sidecars publish/clean with their data
+    * objects, so data skipping survives compaction. Old objects' sidecars
+    * are removed with the old objects either way (a stale sidecar is an
+    * orphan, never a correctness hazard — pruning only consults sidecars
+    * of LISTED data keys). */
   def compact(spark: SparkSession, store: Store, table: String,
               hourRange: Option[(Instant, Instant)] = None,
               targetRecords: Long = 200000L,
-              gzip: Boolean = true): CompactionReport = {
+              gzip: Boolean = true,
+              zoneMaps: Boolean = false): CompactionReport = {
     // Same pruned listing plan as the reader: never a full-lake walk.
     val oldKeys = LakeReader.listTableKeys(store, table, hourRange)
     if (oldKeys.isEmpty) return CompactionReport(0, 0, 0L, Seq.empty)
@@ -90,16 +97,21 @@ object LakeMaintenance {
           val parts = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
           val staged = LakeWriter.write(
             df.repartition(parts), schema, store.rootUri, hour, gzip,
-            maxRecordsPerObject = targetRecords, keyPrefix = s"$staging/")
+            maxRecordsPerObject = targetRecords, keyPrefix = s"$staging/",
+            zoneMaps = zoneMaps)
           // Publish: the job succeeded, so `staged` is exactly the
           // successful attempts' output — move those keys (and only
           // those) into place, then retire the old objects.
           val published = staged.map { w =>
             val dst = w.key.stripPrefix(s"$staging/")
             store.rename(w.key, dst)
+            if (zoneMaps) store.rename(ZoneMaps.statsKey(w.key), ZoneMaps.statsKey(dst))
             w.copy(key = dst)
           }
-          hourKeys.foreach(store.delete)
+          hourKeys.foreach { k =>
+            store.delete(k)
+            try store.delete(ZoneMaps.statsKey(k)) catch { case _: Throwable => () }
+          }
           published
         }
       }
@@ -119,8 +131,10 @@ object LakeMaintenance {
       throw e
     } finally {
       pool.shutdown()
-      // Success or failure, no unpublished attempt output may linger.
+      // Success or failure, no unpublished attempt output may linger —
+      // including staged zone-map sidecars.
       try store.deletePrefix(staging) catch { case _: Throwable => () }
+      try store.deletePrefix(ZoneMaps.Prefix + staging) catch { case _: Throwable => () }
     }
   }
 
@@ -150,7 +164,11 @@ object LakeMaintenance {
       k <- store.list(s"$h/$table")
       if LakeKeys.parseKey(k).exists(_._2 == table)
     } yield k
-    doomed.foreach(store.delete)
+    doomed.foreach { k =>
+      store.delete(k)
+      // retire the object's zone-map sidecar with it (no-op when absent)
+      try store.delete(ZoneMaps.statsKey(k)) catch { case _: Throwable => () }
+    }
     ExpiryReport(doomed.size, cutoff)
   }
 }

@@ -113,6 +113,44 @@ class ZoneMapsSpec extends SparkSuite {
     assert(cs.min.isEmpty && cs.max.isEmpty, s"NaN must poison bounds: $cs")
   }
 
+  test("compaction with zoneMaps republishes sidecars; pruning survives") {
+    val root = freshRoot()
+    fixture(root)
+    val store = new HadoopStore(root)
+    val rep = LakeMaintenance.compact(spark, store, "zt",
+      targetRecords = 500L, zoneMaps = true)
+    assert(rep.oldObjects == 4 && rep.records == 1000)
+    // every live object has a sidecar; no staging or orphan sidecars left
+    val live = LakeReader.listTableKeys(store, "zt", None)
+    assert(live.forall(k => ZoneMaps.read(store, k).isDefined),
+      "compacted objects must carry sidecars")
+    assert(store.list(ZoneMaps.Prefix).size == live.size,
+      "old/staged sidecars must be retired with their objects")
+    // pruning still works — though coarser: compaction merged the range-
+    // partitioned bands, so only the impossible range is provably skippable
+    val (df, r) = LakeReader.readPruned(spark, root, "zt", "id",
+      dec(5000), dec(6000))
+    assert(r.kept == 0 && df.count() == 0, s"post-compaction prune: $r")
+  }
+
+  test("expire retires sidecars with their objects") {
+    val root = freshRoot()
+    import spark.implicits._
+    val store = new HadoopStore(root)
+    val df = (0 until 100).map(i => (i.toLong, i / 3.0,
+        java.sql.Timestamp.from(Instant.parse("2024-06-01T00:00:00Z")), s"t$i"))
+      .toDF("id", "v", "ts", "tag")
+    LakeWriter.write(df.coalesce(1), schema, root,
+      Instant.parse("2024-06-01T05:00:00Z"), zoneMaps = true)
+    LakeWriter.write(df.coalesce(1), schema, root,
+      Instant.parse("2024-06-03T05:00:00Z"), zoneMaps = true)
+    assert(store.list(ZoneMaps.Prefix).size == 2)
+    val rep = LakeMaintenance.expire(store, "zt", Instant.parse("2024-06-02T00:00:00Z"))
+    assert(rep.deleted == 1)
+    assert(store.list(ZoneMaps.Prefix).size == 1,
+      "the expired object's sidecar must go with it")
+  }
+
   test("exact big-long bounds survive the sidecar (no double rounding)") {
     import ZoneMaps._
     val big = Long.MaxValue - 1 // not representable in a double
