@@ -22,6 +22,15 @@ import java.nio.charset.StandardCharsets
   * gate), so zone maps can be adopted lake-by-lake and mixed with
   * stat-less writers.
   *
+  * Writer coverage: the batch writer ([[LakeWriter.write]]) and the
+  * compactor ([[LakeMaintenance.compact]]) land sidecars; the STREAMING
+  * sink deliberately does not — its replay-idempotent epoch publish
+  * (probe-deletes, heal paths) would have to mirror every step for the
+  * sidecar, and streaming-fresh objects are exactly the ones compaction
+  * rewrites once they fall behind the consumer frontier. Statting at
+  * compaction time is the natural arrangement: recent hours read
+  * unpruned (they're small), history prunes (it's where the bytes are).
+  *
   * Orderable columns: INTEGER (long order), FLOAT (IEEE order on finite
   * values; NaN observations poison the column's stats to "unknown" rather
   * than record an unordered bound), TIME (epoch-micros order). STRING
