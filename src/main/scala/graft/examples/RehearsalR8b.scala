@@ -104,6 +104,32 @@ object RehearsalR8b {
     assert(off == 0, s"$off spans deviate from the planted arithmetic")
     println(s"  passages: $nSpans spans, all (12, 21, 6) exact")
 
+    // --- 4. zone-map pruning at 1024 objects --------------------------
+    // The driver-side cost readPruned's scaladoc owns: one sidecar read
+    // per candidate object. 1024 objects with disjoint 64-key bands
+    // (ordered single-partition write + record-limit rolling); a 64-wide
+    // predicate must keep exactly ONE object, and the timed number is the
+    // full listing + 1024 sidecar consults + plan of the surviving scan.
+    import graft.lake.{LakeReader, LakeWriter}
+    import graft.types.{ColType, TableSchema}
+    val zroot = s"file://${java.nio.file.Files
+      .createTempDirectory("graft-zmap-rehearse").toFile.getAbsolutePath}"
+    val zschema = TableSchema("zr", Seq("k" -> ColType.CInteger))
+    LakeWriter.write(
+      spark.range(1024L * 64).select($"id".as("k")).orderBy("k").coalesce(1),
+      zschema, zroot, maxRecordsPerObject = 64L, zoneMaps = true)
+    // band-aligned range (bands are [64i, 64i+63]): exactly one object
+    val (zdf, zrep) = time("zone-map prune over 1024 objects") {
+      LakeReader.readPruned(spark, zroot, "zr", "k",
+        java.math.BigDecimal.valueOf(9984), java.math.BigDecimal.valueOf(10047))
+    }
+    assert(zrep.candidates == 1024 && zrep.kept == 1,
+      s"expected 1 of 1024 objects kept: $zrep")
+    val zn = zdf.filter($"k".between(9984, 10047)).count()
+    assert(zn == 64, s"pruned read lost rows: $zn")
+    println(s"  zonemap: ${zrep.kept}/${zrep.candidates} objects opened, 64 rows exact")
+    graft.Fs.deleteRecursively(new java.io.File(new java.net.URI(zroot)))
+
     spark.stop()
   }
 }

@@ -1716,6 +1716,28 @@ object Relational {
              |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
              |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
              |GROUP BY c_custkey, c_name, n_name
-             |ORDER BY lost_cents DESC, c_custkey LIMIT 20""".stripMargin))
+             |ORDER BY lost_cents DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // grouping() disambiguation over a cube: the flag that tells a NULL
+    // produced by the rollup apart from a NULL in the data — without it a
+    // cube over nullable dimensions is unreadable. Both engines emit
+    // 0 = grouped-by, 1 = aggregated-away.
+    "q71_grouping_flags" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(grouping($"l_returnflag").cast("long").as("g_rf"),
+            grouping($"l_linestatus").cast("long").as("g_ls"),
+            count(lit(1)).as("n"))
+          .orderBy($"g_rf", $"g_ls", $"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+             |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin))
   )
 }
