@@ -1738,6 +1738,36 @@ object Relational {
              |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
              |  count(*) AS n
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-             |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin))
+             |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // NULL-semantics pack: null-safe equality (<=> / IS NOT DISTINCT
+    // FROM), NULL grouping (one group, not dropped), explicit NULLS
+    // FIRST/LAST ordering, and the nullif/coalesce round-trip — the
+    // cross-engine traps every migration hits. Nulls are synthesized
+    // deterministically (every 5th cent value) so both engines see the
+    // identical null mask.
+    "q72_null_semantics" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .withColumn("vc", floor($"value" * 100 + 0.5).cast("long"))
+          .withColumn("vn", when($"vc" % 5 === 0, lit(null)).otherwise($"vc" % 5))
+          .groupBy($"vn")
+          .agg(count(lit(1)).as("n"),
+            sum(($"vn" <=> lit(2L)).cast("long")).as("n_eq2_nullsafe"),
+            sum(coalesce($"vn", lit(-1L)).cast("long")).as("sum_filled"))
+          .orderBy($"vn".asc_nulls_first)
+      },
+      Some("""WITH e AS (
+             |  SELECT CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) % 5 = 0
+             |              THEN NULL
+             |              ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) % 5 END AS vn
+             |  FROM events)
+             |SELECT vn, count(*) AS n,
+             |  CAST(sum(CASE WHEN vn IS NOT DISTINCT FROM 2 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_eq2_nullsafe,
+             |  CAST(sum(coalesce(vn, -1)) AS BIGINT) AS sum_filled
+             |FROM e GROUP BY vn ORDER BY vn NULLS FIRST""".stripMargin))
   )
 }
