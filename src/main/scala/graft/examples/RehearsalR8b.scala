@@ -130,6 +130,33 @@ object RehearsalR8b {
     println(s"  zonemap: ${zrep.kept}/${zrep.candidates} objects opened, 64 rows exact")
     graft.Fs.deleteRecursively(new java.io.File(new java.net.URI(zroot)))
 
+    // --- 5. entity canonicalization, 200k records / 2000 blocks ---------
+    // Each id < 100k pairs with id+100k (same block: 100000 ≡ 0 mod 2000);
+    // match keys encode id%100k with every digit QUADRUPLED — two distinct
+    // numbers differ in ≥1 digit → ≥4 edits (equal lengths; any shift
+    // costs more than it saves against the repeated-block structure), so
+    // threshold 3 connects EXACTLY the planted twins, provably, with no
+    // randomness. ~10M in-block Levenshtein pairs + components + windowed
+    // survivorship — the full Entity.canonicalize path, block-bounded.
+    val nEnt = 200000L
+    val ent = spark.range(nEnt).select($"id",
+      ($"id" % 2000).as("blk"),
+      concat_ws("", transform(
+        split(lpad(($"id" % 100000).cast("string"), 6, "0"), ""),
+        d => concat(d, d, d, d))).as("key"))
+    val canon = time("entity canonicalization 200k / 2000 blocks") {
+      graft.operators.Entity.canonicalize(ent, "id", $"blk", $"key", maxDist = 3)
+        .localCheckpoint()
+    }
+    val cstats = canon.agg(count(lit(1)), sum($"is_canonical".cast("long")),
+      min($"n_members"), max($"n_members")).head()
+    assert(cstats.getLong(0) == nEnt && cstats.getLong(1) == nEnt / 2 &&
+      cstats.getLong(2) == 2 && cstats.getLong(3) == 2,
+      s"expected ${nEnt / 2} exact twin clusters: $cstats")
+    val wrong = canon.filter($"cluster_id" =!= $"id" % 100000).count()
+    assert(wrong == 0, s"$wrong records mapped to the wrong twin cluster")
+    println(s"  entity: ${cstats.getLong(1)} twin clusters exact")
+
     spark.stop()
   }
 }
