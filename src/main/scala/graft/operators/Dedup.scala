@@ -576,6 +576,35 @@ object Dedup {
     * list concentrates on one `shv` key in the count aggregate, but the
     * partial count collapses it map-side — unlike a join on the shingle,
     * the hot key never materializes its pair fan-out. */
+  /** Apply [[dupPassages]]: rewrite each document with its duplicated
+    * passages removed (tokens inside any detected span drop; survivors
+    * rejoin in original order). Returns one row per input document —
+    * untouched documents pass through with zero removed — the WRITE side
+    * of exact-substring dedup. The span table is span-count-sized, so the
+    * anti-join's build side is tiny; the reassembly groupBy is the one
+    * full-text shuffle (the d19/d20 reassembly bound). */
+  def scrubDupPassages(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, minShingles: Int = 2): DataFrame = {
+    val spans = dupPassages(docs, idCol, textCol, n, minShingles)
+      .select(col(idCol).as("_sid"), col("start_tok"), col("end_tok"))
+    val toks = docs.select(col(idCol).as("_doc"),
+      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val kept = toks.join(spans,
+      toks("_doc") === spans("_sid") &&
+        col("pos") >= col("start_tok") && col("pos") <= col("end_tok"),
+      "left_anti")
+    val reasm = kept.groupBy(col("_doc")).agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("clean_text"),
+      count(lit(1)).as("kept_tokens"))
+    val totals = toks.groupBy(col("_doc")).agg(count(lit(1)).as("total_tokens"))
+    totals.join(reasm, Seq("_doc"), "left").select(
+      col("_doc").as(idCol),
+      coalesce(col("clean_text"), lit("")).as("clean_text"),
+      coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+      (col("total_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"))
+  }
+
   def dupPassages(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 5, minShingles: Int = 2): DataFrame = {
     require(n >= 2, s"shingle width must be >= 2, got $n")
