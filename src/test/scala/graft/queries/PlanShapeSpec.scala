@@ -275,6 +275,31 @@ class PlanShapeSpec extends SparkSuite {
       s"a range-partitioned global sort defeats the 20-row cut:\n$p")
   }
 
+  test("parquet aggregate pushdown answers MIN/MAX/COUNT from footers, zero row reads") {
+    // The DSv2 scan can answer whole-table MIN/MAX/COUNT from parquet
+    // footer statistics — at 100 TB that is the difference between a
+    // metadata read and a full scan for the profiling/monitoring queries
+    // (q61's shape). Guarded here because it needs BOTH flags: the
+    // pushdown conf AND the v2 read path (the v1 FileSourceScan cannot
+    // push aggregates).
+    import org.apache.spark.sql.functions._
+    val saves = Seq("spark.sql.parquet.aggregatePushdown",
+      "spark.sql.sources.useV1SourceList")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      val df = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+        .agg(min("l_quantity"), max("l_quantity"), count(lit(1)))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [MIN(l_quantity), MAX(l_quantity), COUNT(*)]"),
+        s"aggregates must reach the scan:\n$p")
+      val row = df.head()
+      assert(row.getLong(2) > 0, "footer-answered count must be real")
+    } finally saves.foreach { case (k, Some(v)) => spark.conf.set(k, v)
+                              case (k, None) => spark.conf.unset(k) }
+  }
+
   test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
     // The Spark-native runtime row-filter (InjectRuntimeFilter): when a
     // shuffle join's build side carries a selective predicate, Spark
