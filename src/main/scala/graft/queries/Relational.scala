@@ -1768,6 +1768,46 @@ object Relational {
              |  CAST(sum(CASE WHEN vn IS NOT DISTINCT FROM 2 THEN 1 ELSE 0 END)
              |       AS BIGINT) AS n_eq2_nullsafe,
              |  CAST(sum(coalesce(vn, -1)) AS BIGINT) AS sum_filled
-             |FROM e GROUP BY vn ORDER BY vn NULLS FIRST""".stripMargin))
+             |FROM e GROUP BY vn ORDER BY vn NULLS FIRST""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Subquery semantics pack, through the SQL surface: NOT IN against a
+    // clean subquery, NOT IN against a subquery CONTAINING A NULL (the
+    // classic trap — one NULL makes the predicate UNKNOWN for every
+    // non-member row, so the count collapses to 0), and the NOT EXISTS
+    // form that says what the user almost always meant. Identical SQL
+    // runs on both engines; the three counts pin the standard semantics.
+    "q73_subquery_semantics" -> QueryDef(
+      (s, dir) => {
+        Tables.views(s, dir, "orders", "customer")
+        s.sql("""SELECT
+                |  (SELECT count(*) FROM orders
+                |   WHERE o_custkey NOT IN
+                |     (SELECT c_custkey FROM customer WHERE c_acctbal > 9000))
+                |    AS not_in_clean,
+                |  (SELECT count(*) FROM orders
+                |   WHERE o_custkey NOT IN
+                |     (SELECT CASE WHEN c_acctbal > 9000 THEN c_custkey END
+                |      FROM customer))
+                |    AS not_in_nulled,
+                |  (SELECT count(*) FROM orders o
+                |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                |     WHERE c.c_acctbal > 9000 AND c.c_custkey = o.o_custkey))
+                |    AS not_exists_cnt""".stripMargin)
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM orders
+             |   WHERE o_custkey NOT IN
+             |     (SELECT c_custkey FROM customer WHERE c_acctbal > 9000))
+             |    AS not_in_clean,
+             |  (SELECT count(*) FROM orders
+             |   WHERE o_custkey NOT IN
+             |     (SELECT CASE WHEN c_acctbal > 9000 THEN c_custkey END
+             |      FROM customer))
+             |    AS not_in_nulled,
+             |  (SELECT count(*) FROM orders o
+             |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+             |     WHERE c.c_acctbal > 9000 AND c.c_custkey = o.o_custkey))
+             |    AS not_exists_cnt""".stripMargin))
   )
 }
