@@ -24,6 +24,14 @@ object AsOf {
     * `build.buildTs` per `keys`. Build's timestamp and attribute columns
     * come back prefixed with `buildPrefix`.
     *
+    * `tolerance` bounds staleness (pandas merge_asof's `tolerance`): a
+    * match older than the bound nulls out, exactly as if no build row
+    * existed — attribution windows, sensor-freshness rules. Units:
+    * MICROSECONDS when the time columns are timestamps, the column's own
+    * units when integral. The bound applies AFTER the forward fill (a
+    * pure per-row projection — the plan is unchanged: one shuffle, one
+    * sort).
+    *
     * All build attributes travel as ONE struct and the struct is
     * forward-filled — filling columns independently would mix values
     * across build rows whenever the matched row carries a null attribute
@@ -31,7 +39,9 @@ object AsOf {
     * as-of semantics). The struct is null exactly on probe rows, so a
     * null fill result means "no state yet". */
   def join(probe: DataFrame, build: DataFrame, keys: Seq[String],
-           probeTs: String, buildTs: String, buildPrefix: String = "asof_"): DataFrame = {
+           probeTs: String, buildTs: String, buildPrefix: String = "asof_",
+           tolerance: Option[Long] = None): DataFrame = {
+    require(tolerance.forall(_ >= 0), s"tolerance must be non-negative: $tolerance")
     // All name checks go through the session resolver semantics
     // (Names.matcher): under default case-insensitive resolution, "_T"
     // collides with the internal "_t" and "ASOF_V" with output "asof_v"
@@ -71,9 +81,23 @@ object AsOf {
     // before"; the full-history frame makes the fill a running last().
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_t"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pSide.unionByName(bSide)
+    def asLong(c: org.apache.spark.sql.Column,
+               dt: org.apache.spark.sql.types.DataType) = dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+    val filled = pSide.unionByName(bSide)
       .withColumn("_state", last(col("_state"), ignoreNulls = true).over(w))
       .filter(col("_p") === 1)
+    val bounded = tolerance.fold(filled) { tol =>
+      filled.withColumn("_state", when(
+        col("_state").isNotNull &&
+          asLong(col("_t"), probe.schema(probeTs).dataType) -
+            asLong(col("_state").getField(buildTs), build.schema(buildTs).dataType)
+            <= tol,
+        col("_state")))
+    }
+    bounded
       .select(keys.map(col) ++ pCols.map(col) ++
         (buildTs +: bCols).map(c => col("_state").getField(c).as(buildPrefix + c)): _*)
   }

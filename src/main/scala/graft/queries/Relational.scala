@@ -1808,6 +1808,47 @@ object Relational {
              |  (SELECT count(*) FROM orders o
              |   WHERE NOT EXISTS (SELECT 1 FROM customer c
              |     WHERE c.c_acctbal > 9000 AND c.c_custkey = o.o_custkey))
-             |    AS not_exists_cnt""".stripMargin))
+             |    AS not_exists_cnt""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Last-touch attribution: each purchase credited to the user's most
+    // recent click at-or-before it, but only within a 30-minute window —
+    // the bounded-staleness as-of join (AsOf.join's `tolerance`, pandas
+    // merge_asof semantics). The oracle runs DuckDB's native ASOF LEFT
+    // JOIN and nulls matches past the bound; a click older than 30min
+    // must attribute to NOTHING, not to the stale click.
+    "q74_attribution" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        // unique build rows per (user, ts): ties pick the max click id
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+        graft.operators.AsOf.join(purch, clicks, Seq("user_id"), "ts", "ts",
+            tolerance = Some(1800L * 1000000L))
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("asof_ts")).as("click_ts_us"), col("asof_click_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT user_id, ts AS cts, max(event_id) AS click_id
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |j AS (
+             |  SELECT p.event_id, p.user_id, p.ts, c.cts, c.click_id
+             |  FROM p ASOF LEFT JOIN c
+             |    ON p.user_id = c.user_id AND p.ts >= c.cts)
+             |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |  CASE WHEN cts IS NOT NULL
+             |        AND epoch_us(ts) - epoch_us(cts) <= 1800000000
+             |       THEN epoch_us(cts) END AS click_ts_us,
+             |  CASE WHEN cts IS NOT NULL
+             |        AND epoch_us(ts) - epoch_us(cts) <= 1800000000
+             |       THEN click_id END AS asof_click_id
+             |FROM j ORDER BY event_id""".stripMargin))
   )
 }

@@ -80,6 +80,23 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(loose == Set(1L, 2L, 3L, 4L), s"single-shingle spans gated wrong: $loose")
   }
 
+  test("AsOf.join tolerance: in-window matches survive, stale ones null out") {
+    import spark.implicits._
+    val probe = Seq((1L, 5L, "p1"), (1L, 500L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "ts", "tag")
+    val build = Seq((1L, 0L, 77L)).toDF("k", "ts", "v")
+    val out = AsOf.join(probe, build, Seq("k"), "ts", "ts",
+        tolerance = Some(100L))
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out("p1") == Some(77L), s"in-window match must survive: $out")
+    assert(out("p2") == None, s"stale match must null out, not attribute: $out")
+    assert(out("p3") == None, s"keys with no build rows stay null: $out")
+    intercept[IllegalArgumentException] {
+      AsOf.join(probe, build, Seq("k"), "ts", "ts", tolerance = Some(-1L))
+    }
+  }
+
   test("Timeseries.timeWeightedAvg: step weighting, ties, single-obs keys drop") {
     import spark.implicits._
     // key 1: 100 cents held 10s then 200 held 30s → twa = (1000+6000)/40
