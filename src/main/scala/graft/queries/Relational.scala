@@ -1849,6 +1849,36 @@ object Relational {
              |  CASE WHEN cts IS NOT NULL
              |        AND epoch_us(ts) - epoch_us(cts) <= 1800000000
              |       THEN click_id END AS asof_click_id
-             |FROM j ORDER BY event_id""".stripMargin))
+             |FROM j ORDER BY event_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // NATIVE session_window in BATCH mode (q29 is the manual lag+cumsum
+    // formulation; this is Spark's built-in operator on the same data):
+    // session end = last event + gap, a new session starts when the gap
+    // is REACHED (>=) — the oracle replays exactly those semantics with
+    // gap-and-islands SQL, so a drift in either formulation's boundary
+    // rule would hash-mismatch.
+    "q75_session_window_native" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"user_id", session_window($"ts", "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select($"user_id",
+            unix_micros($"session_window.start").as("start_us"),
+            unix_micros($"session_window.end").as("end_us"), $"n")
+          .orderBy($"user_id", $"start_us")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+             |l AS (SELECT user_id, t,
+             |        lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e),
+             |f AS (SELECT user_id, t,
+             |        CASE WHEN pt IS NULL OR t - pt >= 1800000000
+             |             THEN 1 ELSE 0 END AS op FROM l),
+             |i AS (SELECT user_id, t,
+             |        sum(op) OVER (PARTITION BY user_id ORDER BY t) AS sid FROM f)
+             |SELECT user_id, min(t) AS start_us, max(t) + 1800000000 AS end_us,
+             |  count(*) AS n
+             |FROM i GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin))
   )
 }

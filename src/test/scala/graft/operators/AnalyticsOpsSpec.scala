@@ -80,6 +80,27 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(loose == Set(1L, 2L, 3L, 4L), s"single-shingle spans gated wrong: $loose")
   }
 
+  test("Entity.canonicalize: blocks isolate, singletons total, keeper is min id") {
+    import spark.implicits._
+    // ids 1/2 match in block A; id 3 has the SAME key but a different
+    // block (must stay singleton); id 4 is a block-A non-match.
+    val recs = Seq(
+      (1L, "A", "acme corp"), (2L, "A", "acme corp"),
+      (3L, "B", "acme corp"), (4L, "A", "zzzzzzzzz")
+    ).toDF("id", "blk", "key")
+    val got = Entity.canonicalize(recs, "id", col("blk"), col("key"), maxDist = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((1L, true, 2L)) && got(2L) == ((1L, false, 2L)),
+      s"in-block twins must cluster under the min id: $got")
+    assert(got(3L) == ((3L, true, 1L)), s"same key, other block: singleton: $got")
+    assert(got(4L) == ((4L, true, 1L)), s"non-match stays singleton: $got")
+    // no edges at all: every record is its own canonical cluster
+    val none = Entity.canonicalize(recs, "id", col("blk"), col("key"), maxDist = 0)
+      .filter(col("n_members") =!= 1L || !col("is_canonical")).count()
+    assert(none == 2, "maxDist 0 still unites exact-equal keys only") // ids 1,2
+  }
+
   test("AsOf.join tolerance: in-window matches survive, stale ones null out") {
     import spark.implicits._
     val probe = Seq((1L, 5L, "p1"), (1L, 500L, "p2"), (2L, 50L, "p3"))
