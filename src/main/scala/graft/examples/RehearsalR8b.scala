@@ -62,11 +62,18 @@ object RehearsalR8b {
     assert(counts.getLong(0) == nUsers && counts.getLong(1) == nUsers / 2 &&
       counts.getLong(2) == nUsers / 4 && counts.getLong(3) == nUsers / 8,
       s"stage populations off: $counts")
+    // null-safe (<=>) both ways: a NULL where a value is expected AND a
+    // value where NULL is expected must both count as bad — plain =!=
+    // evaluates to NULL on the former and the guard hides the latter,
+    // which would let a membership swap slip through the count checks
     val bad = fun.filter(
-      $"s_view" =!= $"key" * 1000 + 1 ||
-      ($"key" % 2 === 0 && $"s_click" =!= $"key" * 1000 + 2) ||
-      ($"key" % 4 === 0 && $"s_cart" =!= $"key" * 1000 + 3) ||
-      ($"key" % 8 === 0 && $"s_buy" =!= $"key" * 1000 + 4)).count()
+      !($"s_view" <=> $"key" * 1000 + 1) ||
+      ($"key" % 2 === 0 && !($"s_click" <=> $"key" * 1000 + 2)) ||
+      ($"key" % 2 =!= 0 && $"s_click".isNotNull) ||
+      ($"key" % 4 === 0 && !($"s_cart" <=> $"key" * 1000 + 3)) ||
+      ($"key" % 4 =!= 0 && $"s_cart".isNotNull) ||
+      ($"key" % 8 === 0 && !($"s_buy" <=> $"key" * 1000 + 4)) ||
+      ($"key" % 8 =!= 0 && $"s_buy".isNotNull)).count()
     assert(bad == 0, s"$bad users with wrong stage timestamps")
     println(s"  funnel: ${counts.getLong(0)}/${counts.getLong(1)}/" +
       s"${counts.getLong(2)}/${counts.getLong(3)} exact")

@@ -18,6 +18,14 @@ object VerifySome {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     new java.io.File(outDir).mkdirs()
+    // Same stale-.error pre-clean as Verify, but scoped to THIS run's
+    // names: check.py surfaces every *.error as a FAIL row regardless of
+    // the filtered oracle json, so a leftover error from a previous
+    // subset run would fail every later iteration in a reused outDir.
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".error"))
+      .filterNot(f => names.contains(f.getName.stripSuffix(".error")))
+      .foreach(f => Files.deleteIfExists(f.toPath))
     names.foreach { name =>
       try {
         SparkEntry.queries(name)(spark, sfDir).coalesce(1)

@@ -276,6 +276,13 @@ object LakeReader {
     * Composes with hour-range pruning — the key-layout prune runs first,
     * sidecar consultation only touches surviving objects.
     *
+    * Concurrency: this is a POINT-IN-TIME key snapshot (the sidecar
+    * consult pins exact objects, so the scan cannot re-expand
+    * directories the way [[readFrom]] does) — a compaction that retires
+    * a planned object mid-scan fails the read LOUDLY rather than
+    * silently dropping its rows (`ignoreMissing = false`). Schedule
+    * pruned reads off maintenance windows, or retry on failure.
+    *
     * Driver cost: one sidecar read per candidate object (sidecars are
     * ~100-byte objects). At warehouse scale batch the sidecar reads
     * through a small RDD the way the compactor batches its rewrites; the
@@ -297,7 +304,7 @@ object LakeReader {
         .withColumn("_event_hour",
           org.apache.spark.sql.functions.lit(null).cast("timestamp"))
       (empty, report)
-    } else (readPaths(spark, store, table, kept, kept, ignoreMissing = true), report)
+    } else (readPaths(spark, store, table, kept, kept, ignoreMissing = false), report)
   }
 
   private def readPaths(spark: SparkSession, store: Store, table: String,

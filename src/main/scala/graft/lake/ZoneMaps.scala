@@ -67,7 +67,11 @@ object ZoneMaps {
     private def ordView(t: ColType, v: Any): Option[BigDecimal] = (t, v) match {
       case (ColType.CInteger, x: java.lang.Long) => Some(BigDecimal.valueOf(x))
       case (ColType.CFloat, x: java.lang.Double) =>
-        if (x.isNaN) None else Some(new BigDecimal(x.toString))
+        // NaN AND ±Infinity poison: TypedCsv serializes both as legal
+        // lake values, and BigDecimal can represent neither — a throw
+        // here would fail the whole write attempt, permanently, for a
+        // stats OPTIMIZATION
+        if (x.isNaN || x.isInfinite) None else Some(new BigDecimal(x.toString))
       case (ColType.CTime, ts: java.sql.Timestamp) =>
         Some(BigDecimal.valueOf(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000))
       case _ => None

@@ -579,16 +579,24 @@ object Dedup {
   /** Apply [[dupPassages]]: rewrite each document with its duplicated
     * passages removed (tokens inside any detected span drop; survivors
     * rejoin in original order). Returns one row per input document —
-    * untouched documents pass through with zero removed — the WRITE side
-    * of exact-substring dedup. The span table is span-count-sized, so the
-    * anti-join's build side is tiny; the reassembly groupBy is the one
-    * full-text shuffle (the d19/d20 reassembly bound). */
+    * zero-token documents included (empty text, zero counts), untouched
+    * documents pass through with zero removed — the WRITE side of
+    * exact-substring dedup. DETECTION is case-insensitive (Text.tokens
+    * lowers), but reassembly uses CASE-PRESERVING tokens — same
+    * positions, because lowering never changes whitespace boundaries —
+    * so untouched text keeps its casing; whitespace runs do collapse to
+    * single spaces (inherent to a token-level rebuild, documented
+    * contract). The span table is span-count-sized, so the anti-join's
+    * build side is tiny; the reassembly groupBy is the one full-text
+    * shuffle (the d19/d20 reassembly bound). */
   def scrubDupPassages(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 5, minShingles: Int = 2): DataFrame = {
     val spans = dupPassages(docs, idCol, textCol, n, minShingles)
       .select(col(idCol).as("_sid"), col("start_tok"), col("end_tok"))
+    // case-preserving twin of Text.tokens: same split, no lower()
+    val rawTokens = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
     val toks = docs.select(col(idCol).as("_doc"),
-      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+      posexplode(rawTokens).as(Seq("pos", "tok")))
     val kept = toks.join(spans,
       toks("_doc") === spans("_sid") &&
         col("pos") >= col("start_tok") && col("pos") <= col("end_tok"),
@@ -597,7 +605,10 @@ object Dedup {
       array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
         x => x.getField("tok")), " ").as("clean_text"),
       count(lit(1)).as("kept_tokens"))
-    val totals = toks.groupBy(col("_doc")).agg(count(lit(1)).as("total_tokens"))
+    // totals from the DOCUMENTS, not the exploded tokens: a zero-token
+    // document explodes to nothing and must still appear in the output
+    val totals = docs.select(col(idCol).as("_doc"),
+      size(rawTokens).cast("long").as("total_tokens"))
     totals.join(reasm, Seq("_doc"), "left").select(
       col("_doc").as(idCol),
       coalesce(col("clean_text"), lit("")).as("clean_text"),

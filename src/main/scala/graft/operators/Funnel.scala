@@ -35,16 +35,23 @@ object Funnel {
     require(stages.nonEmpty, "at least one stage")
     require(names.length == stages.length, "one output name per stage")
     require(names.distinct.length == names.length, s"duplicate names: $names")
+    // distinct stage labels are the CONTRACT (shared with the streaming
+    // twin, whose indexOf-based fold cannot express a repeated label)
+    require(stages.distinct.length == stages.length, s"duplicate stages: $stages")
     val fields = names.indices.map(i => s"s$i")
     val zero = fields.map(f => s"'$f', CAST(NULL AS BIGINT)").mkString(", ")
+    // stage labels are DATA interpolated into expression text — escape
+    // them, or a label containing a quote breaks (or injects into) the
+    // fold expression
+    def sqlLit(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     // s0 arms on its type alone; s(i) on its type AND s(i−1) set AND a
     // strictly later timestamp. st.s(i−1) (pre-update) is equivalent to
     // the post-update value here because one event has one type: the only
     // element that changes s(i−1) fails the s(i) type test by definition.
     val arms = names.indices.map { i =>
-      val tp = stages(i)
+      val tp = sqlLit(stages(i))
       val guard = if (i == 0) "" else s"AND st.s${i - 1} IS NOT NULL AND e.ts > st.s${i - 1} "
-      s"'s$i', CASE WHEN st.s$i IS NULL AND e.tp = '$tp' ${guard}THEN e.ts ELSE st.s$i END"
+      s"'s$i', CASE WHEN st.s$i IS NULL AND e.tp = $tp ${guard}THEN e.ts ELSE st.s$i END"
     }.mkString(",\n")
     events
       .select(keyCol.as("key"), tsCol.cast("long").as("ts"), tieCol.as("tie"),

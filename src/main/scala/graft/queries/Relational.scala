@@ -1436,7 +1436,11 @@ object Relational {
     "q63_arg_bit_bool" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val ord = floor($"l_extendedprice" * 100 + 0.5).cast("long") * 10000000L +
+        // packed (cents, orderkey) ordering key. Bounds: the multiplier
+        // must EXCEED max(l_orderkey) or adjacent cent values collide
+        // (c·M + M == (c+1)·M + 0) — 1e10 covers orderkeys through
+        // sf~1500, and cents·1e10 ≤ ~1.1e17 stays far inside BIGINT.
+        val ord = floor($"l_extendedprice" * 100 + 0.5).cast("long") * 10000000000L +
           $"l_orderkey"
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
@@ -1452,10 +1456,10 @@ object Relational {
       },
       Some("""SELECT l_returnflag,
              |  arg_min(l_orderkey,
-             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 10000000
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 10000000000
              |      + l_orderkey) AS cheapest_order,
              |  arg_max(l_orderkey,
-             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 10000000
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 10000000000
              |      + l_orderkey) AS priciest_order,
              |  CAST(bit_and(l_linenumber) AS BIGINT) AS ln_and,
              |  CAST(bit_or(l_linenumber) AS BIGINT) AS ln_or,

@@ -192,6 +192,10 @@ object StreamOps {
   def funnelResults(events: Dataset[TypedEvent], watermark: String,
                     stages: Seq[String], quietMs: Long): Dataset[FunnelHit] = {
     require(stages.nonEmpty, "at least one stage")
+    // same contract as Funnel.stages: the indexOf-based fold below maps a
+    // repeated label to its first index, which would silently never arm
+    // the later stage — reject it loudly instead
+    require(stages.distinct.length == stages.length, s"duplicate stages: $stages")
     implicit val stateEnc = Encoders.product[FunnelBuffer]
     implicit val outEnc = Encoders.product[FunnelHit]
     val stageSet = stages.toSet

@@ -22,15 +22,19 @@ class ZoneMapsSpec extends SparkSuite {
 
   private def fixture(root: String): Seq[LakeWriter.WrittenObject] = {
     import spark.implicits._
-    // range-partition on id so each of the 4 objects holds a disjoint,
-    // contiguous id band — the layout zone maps reward
+    // DETERMINISTIC disjoint bands: ordered single-partition write rolled
+    // at 250 records → objects hold exactly [0,249][250,499][500,749]
+    // [750,999]. (repartitionByRange would look the same but its sampled
+    // boundaries shift with session parallelism — the kept-count asserts
+    // below would then depend on the host's core count.)
     val df = (0 until 1000).map(i => (i.toLong, i / 3.0,
         java.sql.Timestamp.from(Instant.parse("2024-06-01T00:00:00Z")
           .plusSeconds(i.toLong)), s"t$i"))
       .toDF("id", "v", "ts", "tag")
-      .repartitionByRange(4, col("id"))
+      .orderBy("id").coalesce(1)
     LakeWriter.write(df, schema, root,
-      Instant.parse("2024-06-02T09:00:00Z"), zoneMaps = true)
+      Instant.parse("2024-06-02T09:00:00Z"), maxRecordsPerObject = 250L,
+      zoneMaps = true)
   }
 
   test("writer lands one sidecar per object; stats round-trip exactly") {
