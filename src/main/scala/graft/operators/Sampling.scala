@@ -41,6 +41,29 @@ object Sampling {
     df.filter(bucketMilli(key) < rate)
   }
 
+  /** Temperature-balanced mixture sampling (α = 0.5): downsample each
+    * stratum so its expected post-sample mass ∝ √count — the standard
+    * multilingual/multi-source rebalancing knob (big sources shrink
+    * toward the small ones without flattening entirely). Keep rate per
+    * stratum: f = √(c_min / c), so the SMALLEST stratum keeps everything
+    * and normalization needs NO sum — deliberately, because a float SUM
+    * over strata would make the rates depend on summation order, while
+    * c_min/c, √ and the milli floor are all IEEE-exact single operations
+    * any engine reproduces bit-for-bit. One count aggregate (model-sized
+    * result, broadcast back); the corpus itself never shuffles. Returns
+    * the kept rows plus each row's stratum `rate_milli`. */
+  def temperatureBalance(df: DataFrame, key: Column, stratum: Column): DataFrame = {
+    val counts = df.groupBy(stratum.as("_st")).agg(count(lit(1)).as("_c"))
+    val cmin = counts.agg(min(col("_c")).as("_cmin"))
+    val rates = counts.crossJoin(broadcast(cmin))
+      .select(col("_st"),
+        floor(sqrt(col("_cmin").cast("double") / col("_c").cast("double")) * 1000 + 0.5)
+          .cast("long").as("rate_milli"))
+    df.join(broadcast(rates), stratum === col("_st"))
+      .filter(bucketMilli(key) < col("rate_milli"))
+      .drop("_st")
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement, size k — the
     * Efraimidis–Spirakis A-ES scheme: each row draws u ∈ (0,1) (here a
     * pure function of its key via the rolling hash, so the draw is
