@@ -259,6 +259,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(!corpusWindowSingle, s"corpus must not funnel through one partition:\n$p")
   }
 
+  test("q64/q65: window and aggregate share one keyed exchange (partitioning reuse)") {
+    // Both operators run a key-partitioned window THEN keyed aggregates on
+    // the same (or a superset-clustered) key: EnsureRequirements must
+    // reuse the window's hash partitioning instead of re-shuffling — one
+    // hash exchange plus the final sort, whatever the stage count.
+    for (q <- Seq("q64_time_weighted_avg", "q65_interval_coverage")) {
+      val n = shuffles(plan(q))
+      assert(n <= 2, s"$q: the keyed stages must share one exchange, found $n")
+    }
+  }
+
   test("q69: the snowflake's four dimension arms broadcast; only the fact pair shuffles") {
     val p = plan("q69_tpch_q5")
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
