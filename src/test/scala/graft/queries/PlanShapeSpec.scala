@@ -286,6 +286,37 @@ class PlanShapeSpec extends SparkSuite {
       s"a range-partitioned global sort defeats the 20-row cut:\n$p")
   }
 
+  test("join strategy hints are honored: shuffle_hash and merge override the default") {
+    // The operational escape hatch when the optimizer's default is wrong
+    // for a known workload (e.g. a build side that fits executor memory
+    // but exceeds the broadcast threshold): hint() must actually change
+    // the physical strategy, or the documented tuning advice is a no-op.
+    import org.apache.spark.sql.functions._
+    val fact = spark.range(0, 50000).select(col("id").as("key"),
+      (col("id") * 2).as("x"))
+    val dim = spark.range(0, 5000).select(col("id").as("key"),
+      (col("id") % 7).as("grp"))
+    val saves = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hashed = fact.join(dim.hint("shuffle_hash"), "key")
+        .queryExecution.executedPlan.toString
+      assert(hashed.contains("ShuffledHashJoin"),
+        s"shuffle_hash hint must plan a hash join:\n$hashed")
+      val merged = fact.join(dim.hint("merge"), "key")
+        .queryExecution.executedPlan.toString
+      assert(merged.contains("SortMergeJoin"),
+        s"merge hint must plan a sort-merge join:\n$merged")
+      val bcast = fact.join(dim.hint("broadcast"), "key")
+        .queryExecution.executedPlan.toString
+      assert(bcast.contains("BroadcastHashJoin"),
+        s"broadcast hint must override the disabled threshold:\n$bcast")
+    } finally saves match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("parquet aggregate pushdown answers MIN/MAX/COUNT from footers, zero row reads") {
     // The DSv2 scan can answer whole-table MIN/MAX/COUNT from parquet
     // footer statistics — at 100 TB that is the difference between a
