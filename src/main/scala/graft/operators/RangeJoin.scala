@@ -51,41 +51,82 @@ object RangeJoin {
     for (k <- equiKeys) require(
       points.columns.exists(matches(_, k)) && intervals.columns.exists(matches(_, k)),
       s"equi key $k must exist on both sides")
-    // TIMESTAMP_NTZ forbids a direct cast to BIGINT; routing through
-    // TimestampType first is an identity for TZ inputs and, under a UTC
-    // session, for NTZ inputs too — so the operator accepts both flavors.
-    def epochSec(c: String) = col(c).cast("timestamp").cast("long")
     val p = points.withColumn("_b", floor(epochSec(pointTs) / bucketSeconds))
-    val iv = intervals
-      .withColumn("_sb", floor(epochSec(startTs) / bucketSeconds))
-      // raise_error branch: evaluated per row during the scan, so a
-      // degenerate interval aborts the job before it can fan out
-      // (NullType coerces to the when-branch's LongType). Three cases,
-      // in order: a NULL endpoint keeps its pre-guard semantics (the
-      // sequence is NULL, explode emits nothing — an open-ended row is
-      // data, not an error); a REVERSED interval raises (sequence's
-      // default step -1 would silently fan out |span| descending buckets
-      // that the post-filter then discards — the exact replication the
-      // guard exists to stop); an over-cap span raises with remedies.
+    val iv = replicateToBuckets(intervals, startTs, endTs,
+      bucketSeconds, maxBucketsPerInterval)
+    p.join(iv, "_b" +: equiKeys)
+      .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
+      .drop("_b")
+  }
+
+  /** All (left, right) interval pairs that OVERLAP — `l.start < r.end AND
+    * r.start < l.end`, half-open — with no equi-key (or per-entity via
+    * `equiKeys`). Both sides replicate to their bucket spans and
+    * equi-join on the bucket; each overlapping pair emits EXACTLY once,
+    * not once per shared bucket, because the join keeps only the pair's
+    * FIRST common bucket (the bucket of `max(l.start, r.start)`) — a
+    * pure per-row predicate replacing what would otherwise be a
+    * distinct over the whole pair fan-out. Same bucketSeconds trade and
+    * degenerate-interval guard as [[pointInInterval]]; left and right
+    * column names must not collide except on the equi keys. */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      bucketSeconds: Long = 3600L,
+                      equiKeys: Seq[String] = Nil,
+                      maxBucketsPerInterval: Long = 10000L): DataFrame = {
+    require(maxBucketsPerInterval >= 1,
+      s"maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
+    val matches = Names.matcher(left)
+    for (reserved <- Seq("_b", "_sb", "_eb"))
+      require(!(left.columns ++ right.columns).exists(matches(_, reserved)),
+        s"column name $reserved is reserved by RangeJoin.intervalOverlap")
+    for (k <- equiKeys) require(
+      left.columns.exists(matches(_, k)) && right.columns.exists(matches(_, k)),
+      s"equi key $k must exist on both sides")
+    val collide = left.columns.filter(c =>
+      right.columns.exists(matches(c, _)) && !equiKeys.exists(matches(c, _)))
+    require(collide.isEmpty,
+      s"non-key columns ${collide.mkString(", ")} exist on both sides — alias one side")
+    val l = replicateToBuckets(left, lStart, lEnd, bucketSeconds, maxBucketsPerInterval)
+    val r = replicateToBuckets(right, rStart, rEnd, bucketSeconds, maxBucketsPerInterval)
+    l.join(r, "_b" +: equiKeys)
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      // first-common-bucket: emit the pair only in the bucket where the
+      // overlap STARTS — every other shared bucket drops the row here
+      .filter(col("_b") ===
+        floor(greatest(epochSec(lStart), epochSec(rStart)) / bucketSeconds))
+      .drop("_b")
+  }
+
+  /** TIMESTAMP_NTZ forbids a direct cast to BIGINT; routing through
+    * TimestampType first is an identity for TZ inputs and, under a UTC
+    * session, for NTZ inputs too — so the operators accept both flavors. */
+  private def epochSec(c: String) = col(c).cast("timestamp").cast("long")
+
+  /** Replicate each interval row to every bucket it spans, with the
+    * degenerate-interval guard evaluated per row during the scan:
+    * a NULL endpoint emits nothing (open-ended rows are data, not an
+    * error); a REVERSED interval raises (sequence's default step -1
+    * would silently fan out |span| descending buckets the post-filter
+    * then discards); an over-cap span raises with the two remedies. */
+  private def replicateToBuckets(df: DataFrame, startTs: String, endTs: String,
+                                 bucketSeconds: Long, cap: Long): DataFrame =
+    df.withColumn("_sb", floor(epochSec(startTs) / bucketSeconds))
       .withColumn("_eb", {
         val eb = floor(epochSec(endTs) / bucketSeconds)
         val span = eb - col("_sb")
         when(col("_sb").isNull || eb.isNull, lit(null).cast("long"))
-          .when(span >= 0 && span < lit(maxBucketsPerInterval), eb)
+          .when(span >= 0 && span < lit(cap), eb)
           .when(span < 0, raise_error(format_string(
             "RangeJoin: reversed interval [%s, %s) (end before start) — " +
               "fix the producing join/ETL or swap the bound columns",
             col(startTs), col(endTs))))
           .otherwise(raise_error(format_string(
             s"RangeJoin: interval [%s, %s) spans %s buckets at bucketSeconds=$bucketSeconds, " +
-              s"over the maxBucketsPerInterval=$maxBucketsPerInterval guard — widen bucketSeconds " +
+              s"over the maxBucketsPerInterval=$cap guard — widen bucketSeconds " +
               "toward the typical interval length, or raise the cap deliberately",
             col(startTs), col(endTs), span + 1)))
       })
       .withColumn("_b", explode(sequence(col("_sb"), col("_eb"))))
       .drop("_sb", "_eb")
-    p.join(iv, "_b" +: equiKeys)
-      .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
-      .drop("_b")
-  }
 }

@@ -1643,6 +1643,42 @@ object Relational {
              |ORDER BY event_id""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // Interval × interval OVERLAP join (q41/q52 are point-in-interval;
+    // this is the two-interval-set variant — maintenance windows vs
+    // incident windows, session spans vs campaign spans): signup 2h
+    // windows paired with every overlapping error 30min window. Bucketed
+    // on both sides with the first-common-bucket emission (each pair
+    // once, no distinct over the fan-out — RangeJoin.intervalOverlap);
+    // DuckDB evaluates the raw inequality join as the oracle.
+    "q76_interval_overlap_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val su = ev.filter($"event_type" === "signup")
+          .select($"event_id".as("su_id"), $"ts".as("su_s"),
+            ($"ts" + expr("INTERVAL 2 HOURS")).as("su_e"))
+        val er = ev.filter($"event_type" === "error")
+          .select($"event_id".as("er_id"), $"ts".as("er_s"),
+            ($"ts" + expr("INTERVAL 30 MINUTES")).as("er_e"))
+        graft.operators.RangeJoin.intervalOverlap(su, "su_s", "su_e",
+            er, "er_s", "er_e")
+          .groupBy($"su_id")
+          .agg(count(lit(1)).as("n_overlaps"), min($"er_id").as("first_err"))
+          .orderBy($"su_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT event_id AS su_id, ts AS su_s,
+             |    ts + INTERVAL 2 HOUR AS su_e
+             |  FROM events WHERE event_type = 'signup'),
+             |e AS (
+             |  SELECT event_id AS er_id, ts AS er_s,
+             |    ts + INTERVAL 30 MINUTE AS er_e
+             |  FROM events WHERE event_type = 'error')
+             |SELECT su_id, count(*) AS n_overlaps, min(er_id) AS first_err
+             |FROM s JOIN e ON s.su_s < e.er_e AND e.er_s < s.su_e
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // TPC-H Q5 shape (local supplier volume): the canonical 6-table
     // snowflake join — lineitem⋈orders⋈customer⋈supplier⋈nation⋈region
     // with the co-nationality predicate (c_nationkey = s_nationkey)

@@ -101,6 +101,29 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(none == 2, "maxDist 0 still unites exact-equal keys only") // ids 1,2
   }
 
+  test("RangeJoin.intervalOverlap: once per pair across buckets, strict half-open") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // left interval spans MANY buckets and shares several with the right
+    // one — the first-common-bucket rule must still emit the pair once
+    val l = Seq((1L, ts(0), ts(10000)), (2L, ts(50000), ts(50010)))
+      .toDF("l_id", "l_s", "l_e")
+    val r = Seq((10L, ts(5000), ts(9000)),   // overlaps 1 across buckets
+                (11L, ts(10000), ts(10100)), // TOUCHES 1 (l_e == r_s): no pair
+                (12L, ts(49000), ts(50005))) // overlaps 2
+      .toDF("r_id", "r_s", "r_e")
+    val got = RangeJoin.intervalOverlap(l, "l_s", "l_e", r, "r_s", "r_e",
+        bucketSeconds = 100L)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 12L)),
+      s"expected each overlapping pair exactly once, touching excluded: $got")
+    // non-key column collision rejected loudly
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(l, "l_s", "l_e",
+        r.withColumnRenamed("r_s", "l_s"), "l_s", "r_e")
+    }
+  }
+
   test("AsOf.join tolerance: in-window matches survive, stale ones null out") {
     import spark.implicits._
     val probe = Seq((1L, 5L, "p1"), (1L, 500L, "p2"), (2L, 50L, "p3"))
