@@ -556,6 +556,46 @@ class StreamingSpec extends SparkSuite {
     assert(got.map(h => (h._1, h._2)) == Set((1L, 0), (1L, 1), (1L, 2), (3L, 0)))
   }
 
+  test("streaming funnel state survives a query restart from its checkpoint") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-funnel-ckpt").toString
+    val ms = MemoryStream[TypedEvent]
+    val out = StreamOps.funnelResults(ms.toDS(), "10 minutes",
+      Seq("view", "buy"), quietMs = 30L * 60 * 1000)
+    // foreachBatch, not the memory sink: memory cannot resume from a
+    // checkpoint, and resumption is exactly what this test exercises
+    val hits = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Int, Long)]()
+    def start() = out.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelHit], _: Long) =>
+        batch.collect().foreach(h => hits.add((h.key, h.stage, h.ts.getTime))); ()
+      }.start()
+    // first incarnation buffers the view, emits nothing, stops
+    val q1 = start()
+    ms.addData(TypedEvent(1, ts("2024-07-01T00:00:00Z"), "view"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(hits.isEmpty)
+    // second incarnation resumes from the checkpointed state store: the
+    // buy must join the RESTORED buffered view, and advancing the
+    // watermark must emit the complete funnel from state written by the
+    // previous query incarnation
+    val q2 = start()
+    ms.addData(TypedEvent(1, ts("2024-07-01T00:05:00Z"), "buy"))
+    q2.processAllAvailable()
+    ms.addData(TypedEvent(9, ts("2024-07-01T03:00:00Z"), "view"))
+    q2.processAllAvailable()
+    ms.addData(TypedEvent(9, ts("2024-07-01T03:05:00Z"), "view"))
+    q2.processAllAvailable()
+    q2.stop()
+    import scala.jdk.CollectionConverters._
+    val got = hits.asScala.toSet.filter(_._1 == 1L).map(h => (h._2, h._3))
+    assert(got == Set((0, ts("2024-07-01T00:00:00Z").getTime),
+                      (1, ts("2024-07-01T00:05:00Z").getTime)),
+      s"restored state must complete the funnel across the restart: $got")
+  }
+
   test("stream-static enrichment join stays broadcast") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
