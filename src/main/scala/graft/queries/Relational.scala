@@ -1679,6 +1679,38 @@ object Relational {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // BAG-semantics set ops (q14 covers the DISTINCT family): EXCEPT ALL
+    // keeps max(0, countA − countB) copies per value and INTERSECT ALL
+    // min(countA, countB) — the multiset algebra reconciliation jobs
+    // need (ledger diffs, double-feed detection), where the distinct
+    // forms silently collapse multiplicities. Per-key multiplicities of
+    // both results compare exactly.
+    "q77_bag_set_ops" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val a = t(s, dir, "lineitem").select($"l_suppkey".as("k"))
+        val b = t(s, dir, "lineitem").filter($"l_quantity" > 25)
+          .select($"l_suppkey".as("k"))
+        val ex = a.exceptAll(b).groupBy($"k").agg(count(lit(1)).as("mult_except"))
+        val in = a.intersectAll(b).groupBy($"k").agg(count(lit(1)).as("mult_intersect"))
+        ex.join(in, Seq("k"), "full")
+          .select($"k", coalesce($"mult_except", lit(0L)).as("mult_except"),
+            coalesce($"mult_intersect", lit(0L)).as("mult_intersect"))
+          .orderBy($"k")
+      },
+      Some("""WITH a AS (SELECT l_suppkey AS k FROM lineitem),
+             |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 25),
+             |ex AS (SELECT k, count(*) AS m FROM
+             |         (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY 1),
+             |ins AS (SELECT k, count(*) AS m FROM
+             |         (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY 1)
+             |SELECT coalesce(ex.k, ins.k) AS k,
+             |  coalesce(ex.m, 0) AS mult_except,
+             |  coalesce(ins.m, 0) AS mult_intersect
+             |FROM ex FULL JOIN ins ON ex.k = ins.k
+             |ORDER BY k""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // TPC-H Q5 shape (local supplier volume): the canonical 6-table
     // snowflake join — lineitem⋈orders⋈customer⋈supplier⋈nation⋈region
     // with the co-nationality predicate (c_nationkey = s_nationkey)

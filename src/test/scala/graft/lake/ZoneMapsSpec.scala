@@ -117,6 +117,27 @@ class ZoneMapsSpec extends SparkSuite {
     assert(cs.min.isEmpty && cs.max.isEmpty, s"NaN must poison bounds: $cs")
   }
 
+  test("hour-range pruning composes: sidecars consulted only for in-range objects") {
+    val root = freshRoot()
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, i / 3.0,
+        java.sql.Timestamp.from(Instant.parse("2024-06-01T00:00:00Z")), s"t$i"))
+      .toDF("id", "v", "ts", "tag")
+    LakeWriter.write(df.coalesce(1), schema, root,
+      Instant.parse("2024-06-01T05:00:00Z"), zoneMaps = true)
+    LakeWriter.write(df.coalesce(1), schema, root,
+      Instant.parse("2024-06-01T09:00:00Z"), zoneMaps = true)
+    // the key-layout prune runs FIRST: only hour 05's object is a
+    // candidate, and the value predicate then keeps it
+    val (got, rep) = LakeReader.readPruned(spark, root, "zt", "id",
+      dec(0), dec(50),
+      hourRange = Some((Instant.parse("2024-06-01T04:00:00Z"),
+                        Instant.parse("2024-06-01T06:00:00Z"))))
+    assert(rep.candidates == 1 && rep.kept == 1,
+      s"hour prune must run before sidecar consult: $rep")
+    assert(got.filter(col("id") <= 50).count() == 51)
+  }
+
   test("compaction with zoneMaps republishes sidecars; pruning survives") {
     val root = freshRoot()
     fixture(root)
