@@ -1711,6 +1711,79 @@ object Relational {
              |ORDER BY k""".stripMargin)),
 
     // ---------------------------------------------------------------------
+    // Ratio-to-report: each nation's share of total revenue via an
+    // unpartitioned full-frame window sum over the AGGREGATED table
+    // (nation-count rows — the window never sees the fact table; the
+    // single-partition frame is model-sized by construction). Shares ride
+    // as exact integer basis points of exact cent sums.
+    "q78_ratio_to_report" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val rev = t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("rev_cents"))
+        rev.withColumn("share_bp",
+            expr("rev_cents * 10000 DIV sum(rev_cents) OVER ()"))
+          .orderBy($"n_name")
+      },
+      Some("""WITH r AS (
+             |  SELECT n_name,
+             |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |         AS BIGINT) AS rev_cents
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1)
+             |SELECT n_name, rev_cents,
+             |  CAST((rev_cents * 10000) // (sum(rev_cents) OVER ()) AS BIGINT)
+             |    AS share_bp
+             |FROM r ORDER BY n_name""".stripMargin)),
+
+    // ---------------------------------------------------------------------
+    // Snapshot diff (CDC between two points in time): each user's
+    // latest-value state at T1 vs at T2, classified added / changed /
+    // unchanged — the reconciliation view a CDC consumer builds from an
+    // append-only log. Two upsert views (one shuffle each, shared key)
+    // full-joined; values in exact cents. "removed" cannot occur on an
+    // append-only log and its absence is part of the pinned semantics.
+    "q79_snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        def stateAt(cut: String) = graft.operators.Upsert.latest(
+            t(s, dir, "events").filter($"ts" < lit(cut).cast("timestamp")),
+            Seq("user_id"), $"ts", $"event_id")
+          .select($"user_id", floor($"value" * 100 + 0.5).cast("long").as("vc"))
+        val t1 = stateAt("2024-01-10 00:00:00").withColumnRenamed("vc", "v1")
+        val t2 = stateAt("2024-01-20 00:00:00").withColumnRenamed("vc", "v2")
+        t1.join(t2, Seq("user_id"), "full")
+          .select($"user_id", $"v1", $"v2",
+            when($"v1".isNull, "added")
+              .when($"v1" === $"v2", "unchanged")
+              .otherwise("changed").as("status"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v1
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts DESC, event_id DESC) AS rn
+             |        FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00') t
+             |  WHERE rn = 1),
+             |s2 AS (
+             |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |          ORDER BY ts DESC, event_id DESC) AS rn
+             |        FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00') t
+             |  WHERE rn = 1)
+             |SELECT coalesce(s1.user_id, s2.user_id) AS user_id, v1, v2,
+             |  CASE WHEN v1 IS NULL THEN 'added'
+             |       WHEN v1 = v2 THEN 'unchanged'
+             |       ELSE 'changed' END AS status
+             |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---------------------------------------------------------------------
     // TPC-H Q5 shape (local supplier volume): the canonical 6-table
     // snowflake join — lineitem⋈orders⋈customer⋈supplier⋈nation⋈region
     // with the co-nationality predicate (c_nationkey = s_nationkey)
