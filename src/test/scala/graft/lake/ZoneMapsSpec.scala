@@ -176,6 +176,35 @@ class ZoneMapsSpec extends SparkSuite {
       "the expired object's sidecar must go with it")
   }
 
+  test("garbage or truncated sidecars parse to None and keep the object") {
+    import ZoneMaps._
+    for (junk <- Seq("", "not json at all", "{\"records\":", "{}",
+        "{\"records\":\"x\",\"cols\":{}}")) {
+      val parsed = parse(junk)
+      assert(parsed.isEmpty || parsed.exists(_.cols.isEmpty),
+        s"junk must not fabricate stats: '$junk' -> $parsed")
+    }
+    // a corrupted sidecar on disk degrades to keep-the-object
+    val root = freshRoot()
+    val written = fixture(root)
+    val store = new HadoopStore(root)
+    val out = store.create(statsKey(written.head.key))
+    out.write("corrupted!".getBytes("UTF-8")); out.close()
+    val (_, rep) = LakeReader.readPruned(spark, root, "zt", "id",
+      dec(5000), dec(6000))
+    assert(rep.kept == 1, s"corrupt sidecar must keep its object: $rep")
+  }
+
+  test("Infinity poisons float bounds instead of failing the write") {
+    import graft.types.{ColType, TableSchema}
+    val t = new ZoneMaps.Tracker(TableSchema("x", Seq("f" -> ColType.CFloat)))
+    t.observe(Array[Any](java.lang.Double.valueOf(1.0)))
+    t.observe(Array[Any](java.lang.Double.valueOf(Double.PositiveInfinity)))
+    val cs = t.result().cols("f")
+    assert(cs.min.isEmpty && cs.max.isEmpty,
+      s"Infinity must poison bounds, not throw: $cs")
+  }
+
   test("exact big-long bounds survive the sidecar (no double rounding)") {
     import ZoneMaps._
     val big = Long.MaxValue - 1 // not representable in a double

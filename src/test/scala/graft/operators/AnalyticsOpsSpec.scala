@@ -38,6 +38,28 @@ class AnalyticsOpsSpec extends SparkSuite {
       Funnel.stages(ev, col("u"), col("ts"), col("id"), col("tp"),
         Seq("a", "b"), Seq("x", "x"))
     }
+    // duplicate stage labels rejected loudly (shared contract with the
+    // streaming twin, whose indexOf fold cannot express them)
+    intercept[IllegalArgumentException] {
+      Funnel.stages(ev, col("u"), col("ts"), col("id"), col("tp"),
+        Seq("view", "click", "view"), Seq("a", "b", "c"))
+    }
+  }
+
+  test("Funnel.stages: stage labels containing quotes are data, not expression text") {
+    import spark.implicits._
+    // a label with a single quote (and one with a backslash) must fold
+    // correctly — the label is escaped before interpolation into the
+    // aggregate lambda, so it can neither break parsing nor inject
+    val ev = Seq(
+      (1L, 10L, 1L, "o'clock"), (1L, 20L, 2L, raw"back\slash"),
+      (2L, 10L, 3L, "o'clock")
+    ).toDF("u", "ts", "id", "tp")
+    val got = Funnel.stages(ev, col("u"), col("ts"), col("id"), col("tp"),
+        Seq("o'clock", raw"back\slash"), Seq("s0", "s1"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got(1L) == ((Some(10L), Some(20L))), s"quoted labels must match: $got")
+    assert(got(2L) == ((Some(10L), None)))
   }
 
   test("Graph.triangleCounts: cliques count, trees/cycles don't, dirt tolerated") {
