@@ -87,8 +87,17 @@ object RangeJoin {
       right.columns.exists(matches(c, _)) && !equiKeys.exists(matches(c, _)))
     require(collide.isEmpty,
       s"non-key columns ${collide.mkString(", ")} exist on both sides — alias one side")
-    val l = replicateToBuckets(left, lStart, lEnd, bucketSeconds, maxBucketsPerInterval)
-    val r = replicateToBuckets(right, rStart, rEnd, bucketSeconds, maxBucketsPerInterval)
+    // EMPTY half-open intervals ([t, t)) intersect nothing, but the
+    // two-sided strict predicate below is only an overlap test for
+    // NON-empty intervals — an empty left interval inside a right one
+    // would satisfy it. Drop EXACTLY the empty ones (null-safe, so
+    // both-null rows — which emit nothing anyway — also drop), and let
+    // reversed intervals keep flowing into replicateToBuckets' loud
+    // raise rather than silently vanishing here.
+    val lNE = left.filter(!(epochSec(lEnd) <=> epochSec(lStart)))
+    val rNE = right.filter(!(epochSec(rEnd) <=> epochSec(rStart)))
+    val l = replicateToBuckets(lNE, lStart, lEnd, bucketSeconds, maxBucketsPerInterval)
+    val r = replicateToBuckets(rNE, rStart, rEnd, bucketSeconds, maxBucketsPerInterval)
     l.join(r, "_b" +: equiKeys)
       .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
       // first-common-bucket: emit the pair only in the bucket where the

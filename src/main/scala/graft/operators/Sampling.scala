@@ -53,13 +53,23 @@ object Sampling {
     * result, broadcast back); the corpus itself never shuffles. Returns
     * the kept rows plus each row's stratum `rate_milli`. */
   def temperatureBalance(df: DataFrame, key: Column, stratum: Column): DataFrame = {
+    // reserved-name guards, like every operator in this file — an input
+    // rate_milli would make the post-join filter ambiguous, an input _st
+    // would be silently dropped
+    for (reserved <- Seq("_st", "_c", "_cmin", "rate_milli"))
+      require(!df.columns.map(_.toLowerCase).contains(reserved),
+        s"column name $reserved is reserved by temperatureBalance")
     val counts = df.groupBy(stratum.as("_st")).agg(count(lit(1)).as("_c"))
     val cmin = counts.agg(min(col("_c")).as("_cmin"))
     val rates = counts.crossJoin(broadcast(cmin))
       .select(col("_st"),
         floor(sqrt(col("_cmin").cast("double") / col("_c").cast("double")) * 1000 + 0.5)
           .cast("long").as("rate_milli"))
-    df.join(broadcast(rates), stratum === col("_st"))
+    // null-safe join: a NULL stratum is a legitimate group (it counted
+    // toward the rates, possibly AS c_min) and must keep its rows — a
+    // plain === would silently drop every NULL-stratum row while still
+    // letting the NULL group's count deflate the other strata's rates
+    df.join(broadcast(rates), stratum <=> col("_st"))
       .filter(bucketMilli(key) < col("rate_milli"))
       .drop("_st")
   }

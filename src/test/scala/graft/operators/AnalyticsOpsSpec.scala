@@ -139,6 +139,11 @@ class AnalyticsOpsSpec extends SparkSuite {
       .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(got == Set((1L, 10L), (2L, 12L)),
       s"expected each overlapping pair exactly once, touching excluded: $got")
+    // an EMPTY interval ([t, t)) inside a non-empty one pairs with nothing
+    val lEmpty = Seq((3L, ts(6000), ts(6000))).toDF("l_id", "l_s", "l_e")
+    val none = RangeJoin.intervalOverlap(lEmpty, "l_s", "l_e", r, "r_s", "r_e",
+      bucketSeconds = 100L).count()
+    assert(none == 0, "empty half-open intervals intersect nothing")
     // non-key column collision rejected loudly
     intercept[IllegalArgumentException] {
       RangeJoin.intervalOverlap(l, "l_s", "l_e",
@@ -160,6 +165,27 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(out("p3") == None, s"keys with no build rows stay null: $out")
     intercept[IllegalArgumentException] {
       AsOf.join(probe, build, Seq("k"), "ts", "ts", tolerance = Some(-1L))
+    }
+  }
+
+  test("Sampling.temperatureBalance: NULL strata are a real group, reserved names guarded") {
+    import spark.implicits._
+    // 'a' 8 rows, NULL 2 rows: c_min = 2 (the NULL group), so NULL keeps
+    // everything (rate 1000) and 'a' halves (floor(sqrt(2/8)*1000+.5) =
+    // 500) — a non-null-safe join would drop the NULL rows AND still let
+    // their count deflate 'a'
+    val df = ((1 to 8).map(i => (i.toLong, Some("a"))) ++
+      Seq((9L, None), (10L, None))).toDF("id", "st")
+    val got = Sampling.temperatureBalance(df, col("id"), col("st"))
+    val rates = got.select("st", "rate_milli").distinct().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(rates.get(None).contains(1000L), s"NULL stratum keeps all: $rates")
+    assert(rates.get(Some("a")).contains(500L), s"big stratum halves: $rates")
+    assert(got.filter(col("st").isNull).count() == 2,
+      "every NULL-stratum row survives at rate 1000")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureBalance(df.withColumnRenamed("id", "rate_milli"),
+        col("rate_milli"), col("st"))
     }
   }
 
