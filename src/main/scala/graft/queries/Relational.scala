@@ -1715,12 +1715,14 @@ object Relational {
     // unpartitioned full-frame window sum over the AGGREGATED table
     // (nation-count rows — the window never sees the fact table; the
     // single-partition frame is model-sized by construction). Shares ride
-    // as exact integer basis points of exact cent sums.
+    // as exact integer basis points of exact cent sums. Nation (25 rows)
+    // keeps its broadcast hint; customer grows linearly with sf and is
+    // left to AQE — a forced broadcast would OOM at sf100.
     "q78_ratio_to_report" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         val rev = t(s, dir, "orders")
-          .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
           .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
           .groupBy($"n_name")
           .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("rev_cents"))
@@ -1787,10 +1789,13 @@ object Relational {
     // TPC-H Q5 shape (local supplier volume): the canonical 6-table
     // snowflake join — lineitem⋈orders⋈customer⋈supplier⋈nation⋈region
     // with the co-nationality predicate (c_nationkey = s_nationkey)
-    // joining the two dimension arms. The four dimension tables broadcast
-    // (region→nation prunes to one region's nations BEFORE touching the
-    // fact side); only orders⋈lineitem shuffles. Revenue rides per-row
-    // integer cents.
+    // joining the two dimension arms. Only the BOUNDED dims carry a
+    // broadcast hint (region→nation prunes to one region's ~5 nations
+    // BEFORE touching the fact side — 25/5 rows at every scale factor);
+    // customer and supplier grow linearly with sf (15M/1M rows at sf100),
+    // so their join strategy is left to AQE's size-based choice — at small
+    // sf they broadcast, at 100 TB they sort-merge, and a forced hint
+    // would have pinned the OOM. Revenue rides per-row integer cents.
     "q69_tpch_q5" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -1804,8 +1809,8 @@ object Relational {
             $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
             $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
             $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
-          .join(broadcast(t(s, dir, "supplier")),
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "supplier"),
             $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
           .join(broadcast(nr), $"s_nationkey" === $"n_nationkey")
           .groupBy($"n_name")
@@ -1828,11 +1833,14 @@ object Relational {
              |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin)),
 
     // ---------------------------------------------------------------------
-    // TPC-H Q10 shape (returned-item reporting): fact⋈fact join + three
-    // broadcast dims, top-20 customers by lost revenue — the ranked-report
-    // query whose LIMIT must fold into TakeOrderedAndProject (per-partition
-    // heaps + driver merge), never a global sort. Ties broken by custkey
-    // so the cut is deterministic on both engines.
+    // TPC-H Q10 shape (returned-item reporting): fact⋈fact join + dims,
+    // top-20 customers by lost revenue — the ranked-report query whose
+    // LIMIT must fold into TakeOrderedAndProject (per-partition heaps +
+    // driver merge), never a global sort. Only nation (25 rows at every
+    // sf) carries a broadcast hint; customer grows linearly with sf, so
+    // its strategy is AQE's size-based call — broadcast at small sf,
+    // sort-merge at 100 TB. Ties broken by custkey so the cut is
+    // deterministic on both engines.
     "q70_tpch_q10" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -1843,7 +1851,7 @@ object Relational {
             $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
             $"o_orderdate" < lit("1996-07-01").cast("timestamp")),
             $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+          .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
           .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
           .groupBy($"c_custkey", $"c_name", $"n_name")
           .agg(sum(cents).as("lost_cents"))

@@ -129,10 +129,19 @@ class PlanShapeSpec extends SparkSuite {
       s"a global sort defeats the k-row selection:\n$p")
   }
 
-  test("t15: the unigram table broadcasts; the corpus never range-sorts") {
+  test("t15: the floored vocab broadcasts; total derives from the SAME unigram shuffle") {
     val p = plan("t15_unigram_logprob")
     assert(p.contains("BroadcastHashJoin"),
-      s"vocab-sized unigram table must broadcast onto the terms:\n$p")
+      s"frequency-floored unigram table must broadcast onto the terms:\n$p")
+    // the corpus-total consumer must REUSE the unigram aggregation's
+    // exchange, not re-aggregate the exploded term stream a second time.
+    // AQE resolves exchange reuse at RUNTIME (the initial adaptive plan
+    // keeps both subtrees), so execute first, then read the final plan.
+    val df = SparkEntry.queries("t15_unigram_logprob")(spark, sf("sf0.001"))
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(fp.contains("ReusedExchange"),
+      s"total must ride the unigram exchange (one pass over terms):\n$fp")
   }
 
   test("q12: global sort+limit plans TakeOrderedAndProject, never a full sort") {
@@ -270,12 +279,39 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
-  test("q69: the snowflake's four dimension arms broadcast; only the fact pair shuffles") {
+  test("q69: bounded dims broadcast; customer/supplier strategy belongs to AQE") {
+    // At test size everything fits the default autoBroadcastJoinThreshold,
+    // so size-based planning broadcasts customer and supplier WITHOUT a
+    // hint — the hint lives only on the bounded region→nation arm.
     val p = plan("q69_tpch_q5")
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
     assert(nBroadcast >= 3, s"dimension joins must broadcast (found $nBroadcast):\n$p")
     val nSmj = "SortMergeJoin".r.findAllIn(p).length
     assert(nSmj <= 1, s"only orders⋈lineitem may sort-merge (found $nSmj):\n$p")
+  }
+
+  test("q69/q70/q78: forcing the broadcast threshold down flips customer/supplier to SMJ — AQE owns the choice") {
+    // The 100-TB proof: customer and supplier grow linearly with sf, so
+    // their broadcasts above are SIZE-BASED decisions, not pinned hints.
+    // With the threshold forced to -1 the planner must fall back to
+    // sort-merge on those arms, while the genuinely bounded tables
+    // (region/nation) STILL broadcast because their hint survives. A
+    // forced broadcast(customer) would keep BroadcastHashJoin here and
+    // OOM a real cluster at sf100.
+    val saves = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for ((q, minSmj) <- Seq(("q69_tpch_q5", 2), ("q70_tpch_q10", 1),
+                              ("q78_ratio_to_report", 1))) {
+        val p = plan(q)
+        val nSmj = "SortMergeJoin".r.findAllIn(p).length
+        assert(nSmj >= minSmj,
+          s"$q: customer/supplier must sort-merge when over-threshold (found $nSmj SMJ):\n$p")
+        assert(p.contains("BroadcastHashJoin"),
+          s"$q: the hinted bounded dims (region/nation) must still broadcast:\n$p")
+      }
+    } finally saves.foreach(v =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
   }
 
   test("q70: the top-20 report folds into TakeOrderedAndProject, never a global sort") {
