@@ -63,15 +63,25 @@ object ZoneMaps {
     private val poisoned = new Array[Boolean](n)
     private var records = 0L
 
-    /** Numeric view of one typed value; None = untracked type or NaN. */
+    /** Numeric view of one typed value; None = untracked type or NaN.
+      * Matches on [[java.lang.Number]] and WIDENS to the declared type —
+      * an exact-boxed-class match would let a CInteger value arriving as
+      * Integer (or a CFloat as Float — representation drift from an
+      * upstream producer) fall through and permanently poison the
+      * column's bounds, silently disabling pruning with no signal. */
     private def ordView(t: ColType, v: Any): Option[BigDecimal] = (t, v) match {
-      case (ColType.CInteger, x: java.lang.Long) => Some(BigDecimal.valueOf(x))
-      case (ColType.CFloat, x: java.lang.Double) =>
+      case (ColType.CInteger, x: java.lang.Number) =>
+        Some(BigDecimal.valueOf(x.longValue()))
+      case (ColType.CFloat, x: java.lang.Number) =>
         // NaN AND ±Infinity poison: TypedCsv serializes both as legal
         // lake values, and BigDecimal can represent neither — a throw
         // here would fail the whole write attempt, permanently, for a
-        // stats OPTIMIZATION
-        if (x.isNaN || x.isInfinite) None else Some(new BigDecimal(x.toString))
+        // stats OPTIMIZATION. toString of the ORIGINAL box keeps a
+        // Float's shortest decimal form instead of a float→double
+        // artifact (0.1f would otherwise become 0.10000000149...).
+        val d = x.doubleValue()
+        if (d.isNaN || d.isInfinite) None
+        else Some(new BigDecimal(x.toString))
       case (ColType.CTime, ts: java.sql.Timestamp) =>
         Some(BigDecimal.valueOf(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000))
       case _ => None

@@ -90,12 +90,15 @@ object RangeJoin {
     // EMPTY half-open intervals ([t, t)) intersect nothing, but the
     // two-sided strict predicate below is only an overlap test for
     // NON-empty intervals — an empty left interval inside a right one
-    // would satisfy it. Drop EXACTLY the empty ones (null-safe, so
-    // both-null rows — which emit nothing anyway — also drop), and let
-    // reversed intervals keep flowing into replicateToBuckets' loud
-    // raise rather than silently vanishing here.
-    val lNE = left.filter(!(epochSec(lEnd) <=> epochSec(lStart)))
-    val rNE = right.filter(!(epochSec(rEnd) <=> epochSec(rStart)))
+    // would satisfy it. Drop EXACTLY the empty ones, on the RAW columns
+    // (null-safe, so both-null rows — which emit nothing anyway — also
+    // drop): truncated-epoch equality would silently drop a non-empty
+    // sub-second interval ([10:00:00.2, 10:00:00.8)) with all its
+    // overlap pairs. Truncation only affects BUCKETING, where the exact
+    // post-join predicate compensates. Reversed intervals keep flowing
+    // into replicateToBuckets' loud raise rather than vanishing here.
+    val lNE = left.filter(!(col(lEnd) <=> col(lStart)))
+    val rNE = right.filter(!(col(rEnd) <=> col(rStart)))
     val l = replicateToBuckets(lNE, lStart, lEnd, bucketSeconds, maxBucketsPerInterval)
     val r = replicateToBuckets(rNE, rStart, rEnd, bucketSeconds, maxBucketsPerInterval)
     l.join(r, "_b" +: equiKeys)
@@ -125,11 +128,15 @@ object RangeJoin {
         val eb = floor(epochSec(endTs) / bucketSeconds)
         val span = eb - col("_sb")
         when(col("_sb").isNull || eb.isNull, lit(null).cast("long"))
+          // reversed check on the RAW values, before the span branch: a
+          // same-second reversed interval has bucket span 0 and would
+          // otherwise slip past as "valid" instead of raising
+          .when(col(endTs).cast("timestamp") < col(startTs).cast("timestamp"),
+            raise_error(format_string(
+              "RangeJoin: reversed interval [%s, %s) (end before start) — " +
+                "fix the producing join/ETL or swap the bound columns",
+              col(startTs), col(endTs))))
           .when(span >= 0 && span < lit(cap), eb)
-          .when(span < 0, raise_error(format_string(
-            "RangeJoin: reversed interval [%s, %s) (end before start) — " +
-              "fix the producing join/ETL or swap the bound columns",
-            col(startTs), col(endTs))))
           .otherwise(raise_error(format_string(
             s"RangeJoin: interval [%s, %s) spans %s buckets at bucketSeconds=$bucketSeconds, " +
               s"over the maxBucketsPerInterval=$cap guard — widen bucketSeconds " +

@@ -1212,27 +1212,66 @@ object Relational {
 
     // ---------------------------------------------------------------------
     // Linear-regression aggregates (slope/intercept/R²/count of price on
-    // quantity per return flag) — the built-in regr_* family on both
-    // engines computes the identical closed-form least-squares moments in
-    // one distributed pass; rounded like q48's second-moment family.
+    // quantity per return flag). NOT the built-in regr_* family: those
+    // sum DOUBLES, and double summation order differs between Spark's
+    // distributed partial aggregation and the oracle — a value sitting on
+    // a rounding boundary could flip the last digit (a flaky oracle).
+    // Instead the five moments (n, Σx, Σy, Σxy, Σx², Σy²) aggregate as
+    // EXACT integers (quantities are integral; price rides as cents;
+    // decimal(38,0) sums so Σy² cannot overflow BIGINT at sf100), and
+    // both engines derive slope/intercept/R² from the SAME exact
+    // integers with the SAME double expression — deterministic on both
+    // sides, no summation-order hazard, same closed form as regr_*.
     "q57_regression" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        val xl = floor($"l_quantity" + 0.5).cast("long")
+        val yc = floor($"l_extendedprice" * 100 + 0.5).cast("long")
+        val d = "double"
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
-            round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("slope"),
-            round(regr_intercept($"l_extendedprice", $"l_quantity"), 2).as("intercept"),
-            round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"),
-            regr_count($"l_extendedprice", $"l_quantity").as("n"))
+            count(lit(1)).as("n"),
+            sum(xl.cast("decimal(38,0)")).as("sx"),
+            sum(yc.cast("decimal(38,0)")).as("sy"),
+            sum((xl * xl).cast("decimal(38,0)")).as("sxx"),
+            sum((xl * yc).cast("decimal(38,0)")).as("sxy"),
+            sum((yc * yc).cast("decimal(38,0)")).as("syy"))
+          .select($"l_returnflag", $"n", $"sx".cast(d).as("sx"),
+            $"sy".cast(d).as("sy"), $"sxx".cast(d).as("sxx"),
+            $"sxy".cast(d).as("sxy"), $"syy".cast(d).as("syy"))
+          .select($"l_returnflag",
+            round(($"n" * $"sxy" - $"sx" * $"sy")
+              / ($"n" * $"sxx" - $"sx" * $"sx") / 100, 4).as("slope"),
+            round(($"sy" / 100 - ($"n" * $"sxy" - $"sx" * $"sy")
+              / ($"n" * $"sxx" - $"sx" * $"sx") / 100 * $"sx") / $"n", 2)
+              .as("intercept"),
+            round(($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy")
+              / (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 6)
+              .as("r2"),
+            $"n")
           .orderBy($"l_returnflag")
       },
-      Some("""SELECT l_returnflag,
-             |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-             |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
-             |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-             |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
-             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some("""WITH b AS (
+             |  SELECT l_returnflag,
+             |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS xl,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc
+             |  FROM lineitem),
+             |m AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    CAST(sum(xl) AS DOUBLE) AS sx, CAST(sum(yc) AS DOUBLE) AS sy,
+             |    CAST(sum(xl*xl) AS DOUBLE) AS sxx,
+             |    CAST(sum(xl*yc) AS DOUBLE) AS sxy,
+             |    CAST(sum(yc*yc) AS DOUBLE) AS syy
+             |  FROM b GROUP BY 1)
+             |SELECT l_returnflag,
+             |  round((n*sxy - sx*sy) / (n*sxx - sx*sx) / 100, 4) AS slope,
+             |  round((sy/100 - (n*sxy - sx*sy)/(n*sxx - sx*sx)/100*sx) / n, 2)
+             |    AS intercept,
+             |  round((n*sxy - sx*sy)*(n*sxy - sx*sy)
+             |    / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2,
+             |  CAST(n AS BIGINT) AS n
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
 
     // ---------------------------------------------------------------------
     // EWMA over the trailing 10 events per user, folded ENTIRELY in scaled

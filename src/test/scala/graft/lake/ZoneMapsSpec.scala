@@ -215,4 +215,26 @@ class ZoneMapsSpec extends SparkSuite {
     assert(parsed.cols("i").min.get.longValueExact() == big,
       s"long bound must round-trip exactly through: $rendered")
   }
+
+  test("boxed-representation drift still tracks: Integer as CInteger, Float as CFloat") {
+    import ZoneMaps._
+    // an upstream producer handing Integer/Float boxes instead of
+    // Long/Double must WIDEN into the declared type, not silently fall to
+    // None and disable the column's pruning forever
+    val t = new Tracker(TableSchema("x",
+      Seq("i" -> ColType.CInteger, "f" -> ColType.CFloat)))
+    t.observe(Array[Any](java.lang.Integer.valueOf(7), java.lang.Float.valueOf(0.1f)))
+    t.observe(Array[Any](java.lang.Long.valueOf(40L), java.lang.Double.valueOf(9.5)))
+    val r = t.result()
+    assert(r.cols("i").min.get.longValueExact() == 7L &&
+      r.cols("i").max.get.longValueExact() == 40L,
+      s"Integer box must widen into the long bounds: ${r.cols("i")}")
+    assert(r.cols("f").min.get.compareTo(new BigDecimal("0.1")) == 0 &&
+      r.cols("f").max.get.compareTo(new BigDecimal("9.5")) == 0,
+      s"Float box must keep its shortest decimal form: ${r.cols("f")}")
+    // Float NaN/Infinity still poison through the widened path
+    val t2 = new Tracker(TableSchema("x", Seq("f" -> ColType.CFloat)))
+    t2.observe(Array[Any](java.lang.Float.valueOf(Float.NaN)))
+    assert(t2.result().cols("f").min.isEmpty, "Float NaN must poison bounds")
+  }
 }

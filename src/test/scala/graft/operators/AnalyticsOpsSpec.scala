@@ -151,6 +151,28 @@ class AnalyticsOpsSpec extends SparkSuite {
     }
   }
 
+  test("RangeJoin sub-second intervals: non-empty within one second pair, reversed raise") {
+    import spark.implicits._
+    def tms(ms: Long) = new java.sql.Timestamp(ms)
+    // [6000.2s, 6000.8s) is NON-empty — truncated-epoch equality must not
+    // silently drop it: it overlaps [5000s, 9000s)
+    val lSub = Seq((1L, tms(6000200), tms(6000800))).toDF("l_id", "l_s", "l_e")
+    val r = Seq((10L, tms(5000000), tms(9000000))).toDF("r_id", "r_s", "r_e")
+    val got = RangeJoin.intervalOverlap(lSub, "l_s", "l_e", r, "r_s", "r_e",
+        bucketSeconds = 100L)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L, 10L)), s"sub-second non-empty interval must pair: $got")
+    // a SAME-SECOND reversed interval ([.8, .2)) has bucket span 0 — it
+    // must still hit the loud reversed raise, not slip through as valid
+    val lRev = Seq((2L, tms(6000800), tms(6000200))).toDF("l_id", "l_s", "l_e")
+    val e = intercept[Exception] {
+      RangeJoin.intervalOverlap(lRev, "l_s", "l_e", r, "r_s", "r_e",
+        bucketSeconds = 100L).count()
+    }
+    assert(e.getMessage.contains("reversed interval"),
+      s"same-second reversed must raise loudly: ${e.getMessage}")
+  }
+
   test("AsOf.join tolerance: in-window matches survive, stale ones null out") {
     import spark.implicits._
     val probe = Seq((1L, 5L, "p1"), (1L, 500L, "p2"), (2L, 50L, "p3"))
