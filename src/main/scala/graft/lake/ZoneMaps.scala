@@ -22,14 +22,16 @@ import java.nio.charset.StandardCharsets
   * gate), so zone maps can be adopted lake-by-lake and mixed with
   * stat-less writers.
   *
-  * Writer coverage: the batch writer ([[LakeWriter.write]]) and the
-  * compactor ([[LakeMaintenance.compact]]) land sidecars; the STREAMING
-  * sink deliberately does not — its replay-idempotent epoch publish
-  * (probe-deletes, heal paths) would have to mirror every step for the
-  * sidecar, and streaming-fresh objects are exactly the ones compaction
-  * rewrites once they fall behind the consumer frontier. Statting at
-  * compaction time is the natural arrangement: recent hours read
-  * unpruned (they're small), history prunes (it's where the bytes are).
+  * Writer coverage: the batch writer ([[LakeWriter.write]]), the
+  * compactor ([[LakeMaintenance.compact]]) AND the streaming sink
+  * ([[graft.streaming.LakeSink]], `zoneMaps = true`) land sidecars. The
+  * sink stages and renames each sidecar exactly like its data object, so
+  * the replay-idempotent epoch publish (probe-deletes, heal paths,
+  * staging cleanup) carries sidecars for free — a streamed-then-pruned
+  * read skips objects without waiting for a compaction pass. With the
+  * sink's zone maps OFF, a replayed epoch deletes any sidecar a previous
+  * attempt left under a rewritten key (a stale sidecar under fresh bytes
+  * is the one configuration that could prune wrongly).
   *
   * Orderable columns: INTEGER (long order), FLOAT (IEEE order on finite
   * values; NaN observations poison the column's stats to "unknown" rather

@@ -641,4 +641,42 @@ object Dedup {
       .filter(col("n_shingles") >= minShingles)
       .select(col("_doc").as(idCol), col("start_tok"), col("end_tok"), col("n_shingles"))
   }
+
+  /** Cross-source overlap matrix (the d24 diagnostic): for every source
+    * pair, how many DISTINCT `n`-gram shingles occur in both — the signal
+    * that two crawls/dumps overlap enough to need cross-source dedup or
+    * decontamination review. One shingle→source-set aggregate (distinct
+    * sources, map-side combined), then pairs explode WITHIN each
+    * shingle's source set — bounded by |sources|² per shingle, never by
+    * corpus size.
+    *
+    * That |sources|² is fine for MIXTURE-level sources (a handful of
+    * crawls) and DoA for per-domain keys: one stop-word shingle present
+    * in 10⁵ domains is 10¹⁰ pair rows from a single aggregate row. The
+    * `maxSources` guard raises IN-PLAN — naming the shingle and its
+    * source count — the moment any shingle's source set exceeds the
+    * bound, which is also exactly the configuration where the matrix
+    * stops being a readable diagnostic. */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                    n: Int = 5, maxSources: Int = 64): DataFrame = {
+    require(maxSources >= 2, s"maxSources must be >= 2, got $maxSources")
+    val sh = docs.select(col(srcCol).as("_src"),
+      explode(Text.shinglesOfText(col(textCol), n)).as("shv"))
+    // collect_set dedups sources per shingle itself (map-side combined) —
+    // a pre-distinct would just add a second full exchange of the
+    // exploded shingle stream for the same result
+    val bySh = sh.groupBy("shv").agg(collect_set(col("_src")).as("srcs"))
+      .filter(when(size(col("srcs")) <= maxSources, lit(true))
+        .otherwise(raise_error(format_string(
+          s"Dedup.sourceOverlap: shingle %s occurs in %s sources, over " +
+            s"maxSources=$maxSources — the per-shingle pair fan-out is " +
+            "|sources|²; this diagnostic expects mixture-level sources " +
+            "(crawls/dumps), not per-domain keys — regroup sources " +
+            "coarser or raise the bound deliberately",
+          col("shv"), size(col("srcs"))))))
+    bySh.select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_shingles"))
+  }
 }

@@ -46,27 +46,14 @@ object Entity {
   /** Annotate `df` with an in-plan guard: any block (group of equal
     * `blockCol` values) larger than `maxRows` rows raises during the scan
     * with the block key and size in the message — a bot domain fails
-    * loudly instead of silently pinning a quadratic onto one task. Adds
-    * one slim keyed aggregation (block → count) probed back onto the
-    * rows; AQE broadcasts the count side when small. `maxRows ≤ 0`
-    * disables the guard (returns `df` untouched). */
+    * loudly instead of silently pinning a quadratic onto one task.
+    * Delegates to [[Guards.perKeyRows]]; `maxRows ≤ 0` disables. */
   def guardBlockSize(df: DataFrame, blockCol: Column, maxRows: Long,
-                     what: String): DataFrame = {
-    if (maxRows <= 0) df
-    else {
-      val sizes = df.groupBy(blockCol.as("_gblk"))
-        .agg(count(lit(1)).as("_gn"))
-      df.join(sizes, blockCol === col("_gblk"), "left")
-        .filter(when(col("_gn") <= maxRows, lit(true)).otherwise(raise_error(
-          format_string(
-            s"$what: block %s has %s rows, over maxBlockRows=$maxRows — " +
-              "a block this size makes the per-block pair join quadratic; " +
-              "use the indexed path (canonicalizeIndexed / editPairs) or " +
-              "raise the bound deliberately",
-            col("_gblk").cast("string"), col("_gn")))))
-        .drop("_gblk", "_gn")
-    }
-  }
+                     what: String): DataFrame =
+    Guards.perKeyRows(df, blockCol, maxRows, what, "maxBlockRows",
+      "a block this size makes the per-block pair join quadratic; use the " +
+        "indexed path (canonicalizeIndexed / editPairs) or raise the bound " +
+        "deliberately")
 
   /** Map every record to its duplicate-cluster: returns `(idCol,
     * cluster_id, is_canonical, n_members)`, one row per input record,
@@ -77,10 +64,13 @@ object Entity {
   def canonicalize(df: DataFrame, idCol: String, blockCol: Column,
                    keyCol: Column, maxDist: Int,
                    maxBlockRows: Long = 0L): DataFrame = {
-    val base0 = df.select(col(idCol), blockCol.as("_blk"), keyCol.as("_key"))
-    val base = guardBlockSize(base0, col("_blk"), maxBlockRows,
-      "Entity.canonicalize")
-    val a = base.select(col(idCol).as("a_id"), col("_blk"), col("_key").as("a_key"))
+    val base = df.select(col(idCol), blockCol.as("_blk"), keyCol.as("_key"))
+    // guard ONE side only: side a scans every row, so every block is
+    // checked exactly once — guarding both sides would evaluate the slim
+    // count subtree twice for the same raise semantics
+    val a = guardBlockSize(base, col("_blk"), maxBlockRows,
+        "Entity.canonicalize")
+      .select(col(idCol).as("a_id"), col("_blk"), col("_key").as("a_key"))
     val b = base.select(col(idCol).as("b_id"), col("_blk"), col("_key").as("b_key"))
     val pairs = a.join(b, "_blk").filter(col("a_id") < col("b_id"))
       .filter(levenshtein(col("a_key"), col("b_key"), maxDist) =!= -1)

@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * Memory: the fold materializes each key's matching events as one array,
   * so per-key event counts must fit a task row (the usual funnel regime —
   * events are pre-filtered to the stage types). For keys with unbounded
-  * histories, pre-aggregate per (key, day) or window the input first.
+  * histories, pre-aggregate per (key, day) or window the input first —
+  * and arm `maxEventsPerKey`, which raises IN-PLAN (naming the key and
+  * its count) when one bot key would otherwise OOM a task's fold buffer.
   *
   * Semantics pinned by the q55 oracle (three cascaded mins in DuckDB):
   * stage i+1 counts only when its timestamp is strictly greater than
@@ -29,9 +31,12 @@ object Funnel {
   /** Per-key stage timestamps: one row per key, one nullable `BIGINT`
     * column per stage (micros or any monotone integer `tsCol` encodes).
     * `stages` are the ordered event-type labels; `typeCol` matches them.
-    * Output columns: key, then one column per stage named by `names`. */
+    * Output columns: key, then one column per stage named by `names`.
+    * `maxEventsPerKey > 0` arms the per-key history guard (counted AFTER
+    * the stage-type filter — decoy event types don't charge the bound). */
   def stages(events: DataFrame, keyCol: Column, tsCol: Column, tieCol: Column,
-             typeCol: Column, stages: Seq[String], names: Seq[String]): DataFrame = {
+             typeCol: Column, stages: Seq[String], names: Seq[String],
+             maxEventsPerKey: Long = 0L): DataFrame = {
     require(stages.nonEmpty, "at least one stage")
     require(names.length == stages.length, "one output name per stage")
     require(names.distinct.length == names.length, s"duplicate names: $names")
@@ -53,10 +58,15 @@ object Funnel {
       val guard = if (i == 0) "" else s"AND st.s${i - 1} IS NOT NULL AND e.ts > st.s${i - 1} "
       s"'s$i', CASE WHEN st.s$i IS NULL AND e.tp = $tp ${guard}THEN e.ts ELSE st.s$i END"
     }.mkString(",\n")
-    events
+    val filtered = events
       .select(keyCol.as("key"), tsCol.cast("long").as("ts"), tieCol.as("tie"),
         typeCol.as("tp"))
       .filter(col("tp").isin(stages: _*))
+    Guards.perKeyRows(filtered, col("key"), maxEventsPerKey, "Funnel.stages",
+        "maxEventsPerKey",
+        "one key's stage events would not fit a task's fold buffer; " +
+          "pre-aggregate unbounded histories per (key, day), window the " +
+          "input first, or raise the bound deliberately")
       .groupBy(col("key"))
       .agg(sort_array(collect_list(struct(col("ts"), col("tie"), col("tp")))).as("evs"))
       .withColumn("st", expr(

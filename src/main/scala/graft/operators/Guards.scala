@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared in-plan resource guards (the RangeJoin-guard philosophy): an
+  * operator whose memory or work is bounded by a per-key quantity fails
+  * LOUDLY at a declared bound — naming the key and the remedy — instead
+  * of OOMing a task or silently pinning a quadratic onto one key. */
+object Guards {
+
+  /** Annotate `df` with an in-plan guard: any group of equal `keyCol`
+    * values larger than `maxRows` rows raises during the scan with the
+    * key, the size, and `remedy` in the message. Adds one slim keyed
+    * aggregation (key → count) probed back onto the rows (null-safe, so
+    * NULL keys are guarded as a real group, not spuriously raised); AQE
+    * broadcasts the count side when small. `maxRows ≤ 0` disables the
+    * guard. */
+  def perKeyRows(df: DataFrame, keyCol: Column, maxRows: Long,
+                 what: String, boundName: String, remedy: String): DataFrame = {
+    if (maxRows <= 0) df
+    else {
+      val sizes = df.groupBy(keyCol.as("_gblk"))
+        .agg(count(lit(1)).as("_gn"))
+      df.join(sizes, keyCol <=> col("_gblk"), "left")
+        .filter(when(col("_gn") <= maxRows, lit(true)).otherwise(raise_error(
+          format_string(
+            s"$what: key %s has %s rows, over $boundName=$maxRows — $remedy",
+            col("_gblk").cast("string"), col("_gn")))))
+        .drop("_gblk", "_gn")
+    }
+  }
+}

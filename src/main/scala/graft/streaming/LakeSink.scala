@@ -43,14 +43,15 @@ object LakeSink {
              ageLimit: java.time.Duration = java.time.Duration.ofHours(1),
              writerFloor: Int = 4,
              sinkId: String = "",
-             onFlush: FlushInfo => Unit = _ => ()): DataStreamWriter[Row] = {
+             onFlush: FlushInfo => Unit = _ => (),
+             zoneMaps: Boolean = false): DataStreamWriter[Row] = {
     df.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(ageLimit.toMillis))
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val cached = batch.persist()
         try landBatch(cached, cached.count(), schema, rootUri, gzip, recordLimit,
-          writerFloor, onFlush, epochId, sinkId)
+          writerFloor, onFlush, epochId, sinkId, zoneMaps)
         finally { cached.unpersist(); () }
       }
   }
@@ -78,7 +79,8 @@ object LakeSink {
                    onFlush: FlushInfo => Unit = _ => (),
                    deadLetterTable: Option[String] = None,
                    onDropped: Long => Unit = n =>
-                     System.err.println(s"[graft.LakeSink] dropped $n record(s) with null route")): DataStreamWriter[Row] = {
+                     System.err.println(s"[graft.LakeSink] dropped $n record(s) with null route"),
+                   zoneMaps: Boolean = false): DataStreamWriter[Row] = {
     import org.apache.spark.sql.functions.col
     df.writeStream
       .outputMode("append")
@@ -93,14 +95,14 @@ object LakeSink {
               case Some(dlt) =>
                 val sub = cached.filter(col(tableCol).isNull).drop(tableCol)
                 landBatch(sub, n, schemaFor(dlt), rootUri, gzip, recordLimit,
-                  writerFloor, onFlush, epochId, sinkId)
+                  writerFloor, onFlush, epochId, sinkId, zoneMaps)
               case None => onDropped(n)
             }
           }
           counts.filter(_._1 != null).foreach { case (table, n) =>
             val sub = cached.filter(col(tableCol) === table).drop(tableCol)
             landBatch(sub, n, schemaFor(table), rootUri, gzip, recordLimit,
-              writerFloor, onFlush, epochId, sinkId)
+              writerFloor, onFlush, epochId, sinkId, zoneMaps)
           }
         } finally { cached.unpersist(); () }
       }
@@ -143,7 +145,9 @@ object LakeSink {
   private[streaming] def landBatch(batch: DataFrame, n: Long, schema: TableSchema,
                         rootUri: String, gzip: Boolean, recordLimit: Long,
                         writerFloor: Int, onFlush: FlushInfo => Unit,
-                        epochId: Long, sinkId: String = ""): Unit =
+                        epochId: Long, sinkId: String = "",
+                        zoneMaps: Boolean = false,
+                        publishStore: graft.lake.Store = null): Unit =
     if (n > 0) {
       val parts = ((n + recordLimit - 1) / recordLimit).toInt
       val cur = batch.rdd.getNumPartitions
@@ -155,10 +159,19 @@ object LakeSink {
       val t0 = System.currentTimeMillis()
       val flushTime = Instant.now()
       val staging = s"_staging/${schema.name}-$epochId-${java.util.UUID.randomUUID()}"
-      val store = new graft.lake.HadoopStore(rootUri)
+      // publishStore is a test seam: the driver-side publish protocol
+      // (rename/exists/delete/deletePrefix) runs against an injectable
+      // Store so its behavior under S3-like semantics — copy+delete
+      // rename, transient put failures — is spec-pinned (FaultyStoreSpec)
+      // even though the sandbox has no real object store. Task-side
+      // object writes (LakeWriter) construct their own per-executor
+      // HadoopStore either way.
+      val store = if (publishStore != null) publishStore
+                  else new graft.lake.HadoopStore(rootUri)
       try {
         val written = LakeWriter.write(sized, schema, rootUri, flushTime, gzip,
-          maxRecordsPerObject = recordLimit, keyPrefix = s"$staging/")
+          maxRecordsPerObject = recordLimit, keyPrefix = s"$staging/",
+          zoneMaps = zoneMaps)
         def epochKey(i: Int): (java.util.UUID, String) = {
           // the default (no sinkId) seed must stay byte-identical to the
           // pre-sinkId format: a stream that landed epochs under the old
@@ -173,14 +186,29 @@ object LakeSink {
         val published = written.sortBy(_.key).zipWithIndex.map { case (w, i) =>
           val (id, dst) = epochKey(i)
           store.rename(w.key, dst)
+          // the sidecar is staged+renamed EXACTLY like its data object, so
+          // the whole replay/heal protocol below carries it for free. With
+          // zone maps off, any sidecar a PREVIOUS attempt left at this key
+          // must go: a replayed epoch is not guaranteed byte-identical, and
+          // a stale sidecar under a rewritten object would prune wrongly.
+          if (zoneMaps)
+            store.rename(graft.lake.ZoneMaps.statsKey(w.key),
+              graft.lake.ZoneMaps.statsKey(dst))
+          else
+            try store.delete(graft.lake.ZoneMaps.statsKey(dst))
+            catch { case _: Throwable => () }
           w.copy(key = dst, id = id)
         }
         // a replay that produced fewer objects than the first attempt must
         // delete the first attempt's leftover higher-index keys (contiguous
-        // from the published count; stop at the first missing one)
+        // from the published count; stop at the first missing one) — each
+        // with its sidecar, which would otherwise orphan
         var extra = published.length
-        while ({ val (_, k) = epochKey(extra); store.exists(k) && { store.delete(k); true } })
+        while ({ val (_, k) = epochKey(extra); store.exists(k) && { store.delete(k); true } }) {
+          val (_, k) = epochKey(extra)
+          try store.delete(graft.lake.ZoneMaps.statsKey(k)) catch { case _: Throwable => () }
           extra += 1
+        }
         // heal objects landed by the short-lived intermediate seed format
         // (":table:epoch:i" — sinkId folded in without the empty-default
         // carve-out): same epoch, disjoint key space, so a replay would
@@ -197,16 +225,22 @@ object LakeSink {
             graft.lake.LakeKeys.objectKey(schema.name, flushTime, id, gzip)
           }
           var j = 0
-          while ({ val k = interKey(j); store.exists(k) && { store.delete(k); true } })
+          while ({ val k = interKey(j); store.exists(k) && { store.delete(k); true } }) {
+            try store.delete(graft.lake.ZoneMaps.statsKey(interKey(j)))
+            catch { case _: Throwable => () }
             j += 1
+          }
         }
         val age = System.currentTimeMillis() - t0
         published.foreach { w =>
           onFlush(FlushInfo(schema.name, w.id, trigger, w.records, age, w.key))
         }
       } finally {
-        // success or failure: no unpublished attempt output may linger
+        // success or failure: no unpublished attempt output may linger —
+        // including staged zone-map sidecars
         try store.deletePrefix(staging) catch { case _: Throwable => () }
+        try store.deletePrefix(graft.lake.ZoneMaps.Prefix + staging)
+        catch { case _: Throwable => () }
       }
     }
 

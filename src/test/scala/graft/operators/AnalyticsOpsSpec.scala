@@ -102,6 +102,58 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(loose == Set(1L, 2L, 3L, 4L), s"single-shingle spans gated wrong: $loose")
   }
 
+  test("Funnel.stages maxEventsPerKey: a bot key raises in-plan; decoys don't charge the bound") {
+    import spark.implicits._
+    // key 1: normal path (2 stage events); key 9: bot with 6 stage events;
+    // key 5: 1 stage event + 8 DECOY events of an un-staged type (must not
+    // charge the bound — the guard counts after the stage filter)
+    val ev = (Seq((1L, 10L, 1L, "view"), (1L, 20L, 2L, "click")) ++
+      (0 until 6).map(i => (9L, 30L + i, 10L + i, "view")) ++
+      Seq((5L, 40L, 20L, "view")) ++
+      (0 until 8).map(i => (5L, 50L + i, 30L + i, "noise")))
+      .toDF("k", "ts", "eid", "tp")
+    val e = intercept[Exception] {
+      Funnel.stages(ev, col("k"), col("ts"), col("eid"), col("tp"),
+        Seq("view", "click"), Seq("t_view", "t_click"),
+        maxEventsPerKey = 5).collect()
+    }
+    assert(e.getMessage.contains("maxEventsPerKey=5") && e.getMessage.contains("9"),
+      s"guard must name the hot key and the bound: ${e.getMessage}")
+    // at the bound (bot dropped to 5) and with decoy-heavy key 5: passes
+    val ok = Funnel.stages(ev.filter(col("ts") =!= 35L), col("k"), col("ts"),
+      col("eid"), col("tp"), Seq("view", "click"), Seq("t_view", "t_click"),
+      maxEventsPerKey = 5)
+    assert(ok.count() == 3, "guard at the bound must not fire")
+    // disarmed (default 0): identical result to the guarded run
+    val base = Funnel.stages(ev.filter(col("ts") =!= 35L), col("k"), col("ts"),
+      col("eid"), col("tp"), Seq("view", "click"), Seq("t_view", "t_click"))
+    assert(base.collect().toSet == ok.collect().toSet,
+      "the armed guard must not change funnel semantics")
+  }
+
+  test("Dedup.sourceOverlap: pair counts exact; a viral shingle raises at maxSources") {
+    import spark.implicits._
+    // s1/s2 share 'a b c d e'; s1/s3 share 'p q r s t'; s2/s3 share none
+    val docs = Seq(
+      (1L, "s1", "a b c d e x p q r s t"),
+      (2L, "s2", "a b c d e y"),
+      (3L, "s3", "z p q r s t")).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(docs, "source", "text", n = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("s1", "s2") -> 1L, ("s1", "s3") -> 1L),
+      s"expected exactly the two planted overlaps: $got")
+    // five sources sharing one shingle: over maxSources=4 raises, at 5 passes
+    val viral = (1 to 5).map(i => (i.toLong, s"v$i", "w1 w2 w3 w4 w5"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[Exception] {
+      Dedup.sourceOverlap(viral, "source", "text", n = 5, maxSources = 4).collect()
+    }
+    assert(e.getMessage.contains("maxSources=4"),
+      s"viral shingle must raise with the bound: ${e.getMessage}")
+    assert(Dedup.sourceOverlap(viral, "source", "text", n = 5, maxSources = 5)
+      .count() == 10, "5 sources pairing over one shared shingle")
+  }
+
   test("Entity.canonicalize: blocks isolate, singletons total, keeper is min id") {
     import spark.implicits._
     // ids 1/2 match in block A; id 3 has the SAME key but a different

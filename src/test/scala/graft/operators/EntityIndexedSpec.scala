@@ -91,6 +91,24 @@ class EntityIndexedSpec extends SparkSuite {
     assert(Entity.canonicalize(recs, "id", col("blk"), col("key"), 1).count() == 5)
   }
 
+  test("editCandidates plan: the gram join is keyed — the only nested loop is the bounded pool") {
+    import spark.implicits._
+    val df = corpus.toDF("id", "key")
+    val p = Entity.editCandidates(df, "id", col("key"), maxDist = 2, q = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"the index path must never plan a cartesian:\n$p")
+    // the prefix self-join must be an equi join on the gram key (hash or
+    // sort-merge — either is keyed), never a nested loop over the corpus
+    assert(p.contains("_gram"), s"candidates must join on the gram key:\n$p")
+    // exactly the pool machinery may nested-loop: the two 1-row
+    // count-check broadcasts (one per join side) and the guarded pool
+    // pair join itself — never a corpus-scale loop
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 3,
+      s"only the maxShortPool-guarded pool may nested-loop (found $bnl):\n$p")
+  }
+
   test("short-pool guard: a corpus of sub-q·k keys raises with maxShortPool") {
     import spark.implicits._
     // q=2, maxDist=3 → short means len ≤ 7; plant 5 shorts, cap at 4

@@ -112,6 +112,54 @@ class StreamingSpec extends SparkSuite {
     assert(LakeReader.read(spark, root, "shrink_ev").count() == 120)
   }
 
+  test("streamed-then-pruned: sink sidecars skip objects with NO compaction; replay keeps them fresh") {
+    avoidHourBoundary()
+    import spark.implicits._
+    val root = s"file://${Files.createTempDirectory("graft-zm-sink-spec").toFile.getAbsolutePath}"
+    val schema = TableSchema("zm_ev", Seq(
+      "event_id" -> ColType.CInteger, "ts" -> ColType.CTime,
+      "user_id" -> ColType.CInteger, "value" -> ColType.CFloat))
+    def land(epoch: Long, base: Int, zm: Boolean = true): Unit = {
+      val df = (0 until 100).map(i => Ev(i, ts("2024-07-01T00:00:00Z"), i % 3,
+          (base + i).toDouble))
+        .toDF("event_id", "ts", "user_id", "value")
+      LakeSink.landBatch(df, 100L, schema, root, gzip = true, recordLimit = 100L,
+        writerFloor = 1, onFlush = _ => (), epochId = epoch, zoneMaps = zm)
+    }
+    land(0, 0); land(1, 1000); land(2, 2000)
+    def dec(l: Long) = java.math.BigDecimal.valueOf(l)
+    // straight off the stream — no compaction ran — the pruned read must
+    // open ONLY the epoch whose value band intersects
+    val (df1, rep1) = LakeReader.readPruned(spark, root, "zm_ev", "value",
+      dec(1000), dec(1099))
+    assert(rep1.candidates == 3 && rep1.kept == 1,
+      s"streamed sidecars must skip 2 of 3 objects: $rep1")
+    assert(df1.count() == 100)
+    // a replayed epoch REWRITES its sidecar with the new bytes: the old
+    // band stops matching, the new one matches
+    land(1, 5000)
+    val (df2, rep2) = LakeReader.readPruned(spark, root, "zm_ev", "value",
+      dec(1000), dec(1099))
+    assert(rep2.kept == 0 && df2.count() == 0,
+      s"replayed epoch must not match its OLD band: $rep2")
+    val (df3, rep3) = LakeReader.readPruned(spark, root, "zm_ev", "value",
+      dec(5000), dec(5099))
+    assert(rep3.kept == 1 && df3.count() == 100,
+      s"replayed epoch must match its NEW band: $rep3")
+    // a replay with zone maps OFF must delete the stale sidecar (fresh
+    // bytes under an old sidecar is the one config that could prune
+    // wrongly) — the object degrades to conservative always-keep
+    land(2, 9000, zm = false)
+    val (_, rep4) = LakeReader.readPruned(spark, root, "zm_ev", "value",
+      dec(-50), dec(-1))
+    assert(rep4.kept == 1,
+      s"stat-less rewritten object must be kept conservatively: $rep4")
+    // and no staged sidecars linger
+    val store = new graft.lake.HadoopStore(root)
+    assert(store.list(graft.lake.ZoneMaps.Prefix + "_staging").isEmpty,
+      "staged sidecars must be cleaned with the staging prefix")
+  }
+
   test("intermediate-seed leftovers are healed even when a sinkId is newly configured") {
     import spark.implicits._
     val root = s"file://${Files.createTempDirectory("graft-heal-spec").toFile.getAbsolutePath}"
