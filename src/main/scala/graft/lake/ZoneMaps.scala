@@ -72,8 +72,16 @@ object ZoneMaps {
       * upstream producer) fall through and permanently poison the
       * column's bounds, silently disabling pruning with no signal. */
     private def ordView(t: ColType, v: Any): Option[BigDecimal] = (t, v) match {
-      case (ColType.CInteger, x: java.lang.Number) =>
-        Some(BigDecimal.valueOf(x.longValue()))
+      // ONLY lossless integral boxes widen into CInteger bounds: the
+      // writer serializes mistyped values AS-IS (TypedCsv never coerces),
+      // so a drifted Double 3.7 truncated to bound 3 would let a pruned
+      // read skip the object that actually contains "3.7" — and
+      // Double.NaN.longValue()==0 would track a fake bound instead of
+      // poisoning. Fractional boxes fall to the conservative None.
+      case (ColType.CInteger, x: java.lang.Byte) => Some(BigDecimal.valueOf(x.longValue()))
+      case (ColType.CInteger, x: java.lang.Short) => Some(BigDecimal.valueOf(x.longValue()))
+      case (ColType.CInteger, x: java.lang.Integer) => Some(BigDecimal.valueOf(x.longValue()))
+      case (ColType.CInteger, x: java.lang.Long) => Some(BigDecimal.valueOf(x.longValue()))
       case (ColType.CFloat, x: java.lang.Number) =>
         // NaN AND ±Infinity poison: TypedCsv serializes both as legal
         // lake values, and BigDecimal can represent neither — a throw

@@ -20,6 +20,13 @@ object Guards {
                  what: String, boundName: String, remedy: String): DataFrame = {
     if (maxRows <= 0) df
     else {
+      // working-column collisions rejected loudly (the RangeJoin
+      // convention): a caller column named _gn/_gblk would make the
+      // count-probe resolution ambiguous and drop() would eat it
+      val matches = Names.matcher(df)
+      for (reserved <- Seq("_gblk", "_gn"))
+        require(!df.columns.exists(matches(_, reserved)),
+          s"column name $reserved is reserved by Guards.perKeyRows ($what)")
       val sizes = df.groupBy(keyCol.as("_gblk"))
         .agg(count(lit(1)).as("_gn"))
       df.join(sizes, keyCol <=> col("_gblk"), "left")

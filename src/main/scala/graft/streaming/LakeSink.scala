@@ -195,8 +195,12 @@ object LakeSink {
             store.rename(graft.lake.ZoneMaps.statsKey(w.key),
               graft.lake.ZoneMaps.statsKey(dst))
           else
-            try store.delete(graft.lake.ZoneMaps.statsKey(dst))
-            catch { case _: Throwable => () }
+            // NO failure-swallowing here: delete on a missing key is a
+            // no-op, so the only way this throws is a real store fault —
+            // and eating it would commit the epoch with a stale sidecar
+            // under rewritten bytes, permanently (no replay retries a
+            // committed epoch). Let it fail the batch; the replay heals.
+            store.delete(graft.lake.ZoneMaps.statsKey(dst))
           w.copy(key = dst, id = id)
         }
         // a replay that produced fewer objects than the first attempt must

@@ -236,5 +236,20 @@ class ZoneMapsSpec extends SparkSuite {
     val t2 = new Tracker(TableSchema("x", Seq("f" -> ColType.CFloat)))
     t2.observe(Array[Any](java.lang.Float.valueOf(Float.NaN)))
     assert(t2.result().cols("f").min.isEmpty, "Float NaN must poison bounds")
+    // a FRACTIONAL box for CInteger must NOT truncate into a bound: the
+    // writer serializes the value as-is ("3.7" lands in the CSV), so a
+    // truncated bound 3 would prune the object wrongly — conservative
+    // None (bounds poisoned, object always kept) is the only safe view.
+    // Double.NaN.longValue()==0 is the same trap with a fake bound.
+    val t3 = new Tracker(TableSchema("x", Seq("i" -> ColType.CInteger)))
+    t3.observe(Array[Any](java.lang.Long.valueOf(5L)))
+    t3.observe(Array[Any](java.lang.Double.valueOf(3.7)))
+    t3.observe(Array[Any](java.lang.Long.valueOf(9L)))
+    assert(t3.result().cols("i").min.isEmpty && t3.result().cols("i").max.isEmpty,
+      s"fractional drift must poison integer bounds, not truncate: ${t3.result().cols("i")}")
+    val t4 = new Tracker(TableSchema("x", Seq("i" -> ColType.CInteger)))
+    t4.observe(Array[Any](java.lang.Double.valueOf(Double.NaN)))
+    assert(t4.result().cols("i").min.isEmpty,
+      "NaN drifted into an integer column must poison, not track 0")
   }
 }

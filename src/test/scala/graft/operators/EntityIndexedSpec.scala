@@ -89,6 +89,12 @@ class EntityIndexedSpec extends SparkSuite {
     assert(Entity.canonicalize(recs, "id", col("blk"), col("key"), 1,
       maxBlockRows = 4).count() == 5)
     assert(Entity.canonicalize(recs, "id", col("blk"), col("key"), 1).count() == 5)
+    // the guard's working columns are reserved loudly, not silently eaten
+    val clash = recs.withColumnRenamed("key", "_gn")
+    val ex = intercept[IllegalArgumentException] {
+      Guards.perKeyRows(clash, col("blk"), 10L, "spec", "maxRows", "r")
+    }
+    assert(ex.getMessage.contains("_gn"), s"reserved-name raise: ${ex.getMessage}")
   }
 
   test("editCandidates plan: the gram join is keyed — the only nested loop is the bounded pool") {

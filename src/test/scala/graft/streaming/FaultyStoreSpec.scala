@@ -80,6 +80,7 @@ class FaultyStoreSpec extends SparkSuite {
   }
 
   test("mid-publish put failure: replay heals the partial publish to exactly-once") {
+    avoidHourBoundary() // two land calls must share one UTC flush hour
     val root = s"file://${Files.createTempDirectory("graft-s3ish-heal").toFile.getAbsolutePath}"
     val faulty = new FaultyStore(new HadoopStore(root))
     // 250 rows → 3 objects; fail the SECOND publish-rename's copy, after

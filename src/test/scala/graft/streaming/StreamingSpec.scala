@@ -22,16 +22,8 @@ class StreamingSpec extends SparkSuite {
 
   private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
 
-  /** Replay-style tests compare object keys across separate landBatch
-    * calls, and each call stamps its own flushTime into the key's
-    * YYYY/MM/DD/HH path — two calls straddling a UTC hour boundary get
-    * disjoint key spaces and the replay assertions fail spuriously. When
-    * the boundary is seconds away, wait it out. */
-  private def avoidHourBoundary(marginSec: Long = 10): Unit = {
-    val secIntoHour = java.time.Instant.now().getEpochSecond % 3600
-    if (secIntoHour >= 3600 - marginSec)
-      Thread.sleep((3601 - secIntoHour) * 1000)
-  }
+  // avoidHourBoundary is inherited from SparkSuite (shared with
+  // FaultyStoreSpec — any replay-style test needs it)
 
   test("LakeSink lands micro-batches as lake objects with FlushInfo") {
     import spark.implicits._
