@@ -100,6 +100,20 @@ object RehearsalR9 {
         got.filterNot(r => r.getLong(1) == 100L && r.getLong(2) == 1L)
           .take(3).mkString(","))
     println(s"REHEARSE clusters=1200 × members=100 exact — viral block survives the index")
+
+    // --- 3. segment (PassJoin) generator: same viral block, same answer
+    val gotSeg = time("segment path: canonicalizeIndexed 120k, maxDist=2") {
+      Entity.canonicalizeIndexed(df, "id", col("key"), maxDist = 2,
+          generator = "segment")
+        .groupBy("cluster_id")
+        .agg(max("n_members").as("n"), sum(when(col("is_canonical"), 1L)
+          .otherwise(0L)).as("n_canon"))
+        .collect()
+    }
+    require(gotSeg.length == 1200 &&
+      gotSeg.forall(r => r.getLong(1) == 100L && r.getLong(2) == 1L),
+      s"segment generator must produce the identical planted clustering")
+    println(s"REHEARSE segment generator: clusters=1200 × members=100 exact")
     spark.stop()
   }
 }

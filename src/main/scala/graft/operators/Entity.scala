@@ -29,9 +29,13 @@ import org.apache.spark.sql.functions._
   *
   * Measured (RehearsalR9, local[32]): one planted 120k-record viral
   * block — the blocked path's guard raises in 1.9 s (refusing 7.2·10⁹ DP
-  * evaluations); the indexed path completes the exact planted clustering
-  * (1200 clusters × 100 members) in ~21 s, because one hot block is just
-  * 120k more rows through the index.
+  * evaluations); the q-gram-indexed path completes the exact planted
+  * clustering (1200 clusters × 100 members) in ~19 s and the segment
+  * (PassJoin) generator in ~13 s, because one hot block is just 120k
+  * more rows through either index. On the tiny-vocab oracle corpus the
+  * ordering is the same and wider (e03 segment 2.5 s vs e02 q-gram
+  * 3.5 s at sf0.1; 109k vs 545k candidates) — segments are the default
+  * recommendation when key entropy is low.
   *
   * Each surviving candidate evaluates the Levenshtein DP once, in
   * threshold form (the DP abandons past `maxDist`, O(len·k) cells);
@@ -85,9 +89,15 @@ object Entity {
     * index cost instead of corpus² cost. */
   def canonicalizeIndexed(df: DataFrame, idCol: String, keyCol: Column,
                           maxDist: Int, q: Int = 2,
-                          maxShortPool: Long = 100000L): DataFrame =
-    survivorship(df, idCol,
-      editPairs(df, idCol, keyCol, maxDist, q, maxShortPool))
+                          maxShortPool: Long = 100000L,
+                          generator: String = "qgram"): DataFrame = {
+    require(generator == "qgram" || generator == "segment",
+      s"generator must be 'qgram' or 'segment', got '$generator'")
+    val pairs =
+      if (generator == "segment") segmentPairs(df, idCol, keyCol, maxDist, maxShortPool)
+      else editPairs(df, idCol, keyCol, maxDist, q, maxShortPool)
+    survivorship(df, idCol, pairs)
+  }
 
   /** All unordered pairs `(a_id < b_id)` with `ed(key_a, key_b) ≤
     * maxDist`, corpus-wide, WITHOUT a blocking key: [[editCandidates]]
@@ -129,9 +139,12 @@ object Entity {
     * total. On keys drawn from a tiny vocabulary every gram is viral and
     * candidates degrade toward per-gram-quadratic — raise `q` until grams
     * clear the vocabulary's combinatorics (the e02 query uses q=4 against
-    * word-salad text; q=2 there generates 3× the candidates), and treat
-    * the verified-pair count as the budget: verification cost is
-    * candidate-bound, never corpus². */
+    * word-salad text; q=2 there generates 3× the candidates), or switch
+    * to [[segmentCandidates]], whose exact-aligned-substring keys stay
+    * selective in exactly that regime (measured on the same corpus at
+    * k=2: 109k candidates vs this index's 545k). Treat the verified-pair
+    * count as the budget: verification cost is candidate-bound, never
+    * corpus². */
   def editCandidates(df: DataFrame, idCol: String, keyCol: Column,
                      maxDist: Int, q: Int = 2,
                      maxShortPool: Long = 100000L): DataFrame = {
@@ -176,19 +189,117 @@ object Entity {
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
     // short×short: both sides below the pigeonhole bound — pair them all
     // (length-filtered), under a loud in-plan pool-size guard.
+    val shortCand = poolCandidates(base, isShort, maxDist, maxShortPool,
+      "Entity.editCandidates", s"shorter than q·maxDist+q−1 = ${kq + q - 1} chars")
+    idxCand.unionByName(shortCand).dropDuplicates("a_id", "b_id")
+  }
+
+  /** Short-string pool shared by both candidate generators: keys below an
+    * index's pigeonhole bound pair among themselves (length-filtered)
+    * under a loud in-plan pool-size guard. */
+  private def poolCandidates(base: DataFrame, isShort: Column, maxDist: Int,
+                             maxShortPool: Long, what: String,
+                             shortDesc: String): DataFrame = {
     val shortN = base.filter(isShort).agg(count(lit(1)).as("_n"))
     val shortPool = base.filter(isShort).crossJoin(broadcast(shortN))
       .filter(when(col("_n") <= maxShortPool, lit(true)).otherwise(raise_error(
         format_string(
-          s"Entity.editCandidates: %s keys shorter than q·maxDist+q−1 = ${kq + q - 1} " +
-            s"chars, over maxShortPool=$maxShortPool — the short-string pool " +
+          s"$what: %s keys $shortDesc, " +
+            s"over maxShortPool=$maxShortPool — the short-string pool " +
             "pairs quadratically; raise q, lower maxDist, pre-filter " +
             "degenerate keys, or raise the bound deliberately", col("_n")))))
       .select("_id", "_len")
-    val shortCand = shortPool.as("a").join(shortPool.as("b"),
+    shortPool.as("a").join(shortPool.as("b"),
         col("a._id") < col("b._id") &&
           abs(col("a._len") - col("b._len")) <= maxDist)
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
+  }
+
+  /** All unordered pairs with `ed ≤ maxDist`, corpus-wide, via the
+    * SEGMENT (PassJoin — Li, Deng & Feng, VLDB'11) candidate generator:
+    * [[segmentCandidates]] generates, threshold-form levenshtein
+    * verifies. Output `(a_id, b_id, dist)`.
+    *
+    * Use THIS generator when the q-gram index's selectivity collapses —
+    * keys drawn from a tiny vocabulary, where every gram is viral
+    * ([[editCandidates]]' measured caveat). Segment matching requires an
+    * EXACT aligned substring of length ~len/(k+1), which stays selective
+    * where 2-4-char grams cannot. */
+  def segmentPairs(df: DataFrame, idCol: String, keyCol: Column, maxDist: Int,
+                   maxShortPool: Long = 100000L): DataFrame = {
+    val keys = df.select(col(idCol).as("_id"), keyCol.as("_key"))
+    val cand = segmentCandidates(df, idCol, keyCol, maxDist, maxShortPool)
+    cand
+      .join(keys.select(col("_id").as("a_id"), col("_key").as("_ak")), "a_id")
+      .join(keys.select(col("_id").as("b_id"), col("_key").as("_bk")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("_ak"), col("_bk"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") =!= -1)
+  }
+
+  /** PassJoin candidate pairs for `ed ≤ k`: partition each key into k+1
+    * segments (even split — the first `len mod (k+1)` segments one char
+    * longer); by pigeonhole, `ed(a,b) ≤ k` leaves at least one segment of
+    * the INDEX side untouched, so it appears in the other key as an
+    * exact substring shifted by at most k.
+    *
+    * Plan: the index side emits its k+1 `(len, segIdx, content)` rows;
+    * the probe side emits, for each hypothesized index length `La ∈
+    * [len−k, len+k]` and segment index, every substring of the segment's
+    * length starting within ±k of the segment's position — O(k²·(2k+1))
+    * slim rows per key, joined as a pure EQUI join on `(La, segIdx,
+    * content)`. (The classic multi-match-aware selection would shrink
+    * the ±k window further; the symmetric window keeps the expression
+    * simple and is conservative, never incomplete.) Both directions of
+    * each pair are generated (each side indexes AND probes), normalized
+    * by least/greatest and deduped. Keys with `len ≤ k` cannot fill k+1
+    * non-empty segments and fall to the shared short pool. */
+  def segmentCandidates(df: DataFrame, idCol: String, keyCol: Column,
+                        maxDist: Int, maxShortPool: Long = 100000L): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val k = maxDist
+    val m = k + 1
+    val base = df.select(col(idCol).as("_id"), keyCol.as("_key"))
+      .withColumn("_len", length(col("_key")).cast("long"))
+    val isShort = col("_len") <= k
+    // index side: the k+1 even-split segments (all non-empty for len ≥ k+1)
+    val segs = base.filter(!isShort)
+      .select(col("_id"), col("_len"), explode(expr(
+        s"""transform(sequence(0, $k), i -> named_struct(
+           |  'i', i,
+           |  'seg', substring(_key,
+           |    cast(i * (int(_len) div $m) + least(i, int(_len) % $m) as int) + 1,
+           |    cast((int(_len) div $m) + if(i < int(_len) % $m, 1, 0) as int))))"""
+          .stripMargin)).as("_s"))
+      .select(col("_id").as("_iid"), col("_len").as("_ilen"),
+        col("_s.i").as("_ii"), col("_s.seg").as("_iseg"))
+    // probe side: substrings at the valid (La, i, start) combinations.
+    // stI/liI are segment i's start/length under a key of length La; the
+    // start window is ±k around stI, clipped to the probe key. The
+    // d-enumeration over a FIXED 0..2k range keeps sequence() ascending
+    // (sequence(lo, hi) with lo > hi silently DESCENDS in Spark).
+    val stI = s"(i * (La div $m) + least(i, La % $m))"
+    val liI = s"((La div $m) + if(i < La % $m, 1, 0))"
+    val probes = base.filter(col("_len") >= 1)
+      .select(col("_id"), col("_len"), explode(expr(
+        s"""flatten(flatten(
+           |  transform(sequence(greatest(int(_len) - $k, $m), int(_len) + $k), La ->
+           |    transform(sequence(0, $k), i ->
+           |      transform(
+           |        filter(transform(sequence(0, ${2 * k}), d -> greatest(0, $stI - $k) + d),
+           |               st -> st <= int(_len) - $liI AND st <= $stI + $k),
+           |        st -> named_struct('la', La, 'i', i,
+           |                          'sub', substring(_key, st + 1, $liI)))))))"""
+          .stripMargin)).as("_p"))
+      .select(col("_id").as("_pid"),
+        col("_p.la").as("_pla"), col("_p.i").as("_pi"), col("_p.sub").as("_psub"))
+    val idxCand = segs.join(probes,
+        col("_iseg") === col("_psub") && col("_ii") === col("_pi") &&
+          col("_ilen") === col("_pla") && col("_iid") =!= col("_pid"))
+      .select(least(col("_iid"), col("_pid")).as("a_id"),
+        greatest(col("_iid"), col("_pid")).as("b_id"))
+    val shortCand = poolCandidates(base, isShort, maxDist, maxShortPool,
+      "Entity.segmentCandidates", s"of length ≤ maxDist = $k")
     idxCand.unionByName(shortCand).dropDuplicates("a_id", "b_id")
   }
 

@@ -62,6 +62,27 @@ class EntityIndexedSpec extends SparkSuite {
     }
   }
 
+  test("segmentPairs (PassJoin) == brute force on the same mixed-shape corpus") {
+    import spark.implicits._
+    val df = corpus.toDF("id", "key")
+    for (k <- Seq(1, 2, 3)) {
+      val got = Entity.segmentPairs(df, "id", col("key"), maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = brutePairs(k)
+      assert(got == want,
+        s"segment maxDist=$k: got=${got.size} brute=${want.size}; " +
+          s"missing=${want -- got}, extra=${got -- want}")
+    }
+    // the two generators and the quadratic agree end-to-end
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    val seg = canon(Entity.canonicalizeIndexed(df, "id", col("key"),
+      maxDist = 2, generator = "segment").collect())
+    val blk = canon(Entity.canonicalize(df, "id", lit(1), col("key"),
+      maxDist = 2).collect())
+    assert(seg == blk, "segment-generated canonicalization must match the quadratic")
+  }
+
   test("canonicalizeIndexed matches the single-block quadratic end to end") {
     import spark.implicits._
     val df = corpus.toDF("id", "key")
