@@ -114,6 +114,36 @@ object RehearsalR9 {
       gotSeg.forall(r => r.getLong(1) == 100L && r.getLong(2) == 1L),
       s"segment generator must produce the identical planted clustering")
     println(s"REHEARSE segment generator: clusters=1200 × members=100 exact")
+
+    // --- 4. incremental fold: 12k new records against the resolved 120k —
+    // the corpus contributes only slim segment rows, never a self-join.
+    // The first 1000 bases get 12 new perturbed copies each; their
+    // clusters must grow to exactly 112 while the other 200 stay at 100.
+    // materialize the resolved corpus first (in production this is the
+    // stored entity table) so the timing below is the incremental fold
+    // alone, not a lazy re-resolution of the corpus
+    val resolved = Entity.canonicalizeIndexed(df, "id", col("key"),
+        maxDist = 2, generator = "segment")
+      .select(col("id"), col("cluster_id"))
+      .join(df, "id")
+      .localCheckpoint()
+    val batch = bases.take(1000).zipWithIndex.flatMap { case (b, ci) =>
+      (0 until 12).map { j =>
+        (2000000L + ci * 100L + j,
+          b.updated(rnd.nextInt(30), alpha(rnd.nextInt(26))))
+      }
+    }.toDF("id", "key").repartition(8)
+    val inc = time("incremental fold: 12k batch vs 120k resolved corpus") {
+      Entity.canonicalizeIncremental(batch, resolved, "id", "cluster_id",
+          col("key"), col("key"), maxDist = 2)
+        .groupBy("cluster_id").agg(max("n_members").as("n"))
+        .collect()
+    }
+    require(inc.length == 1200, s"still 1200 clusters, got ${inc.length}")
+    val sizes = inc.map(_.getLong(1)).groupBy(identity).view.mapValues(_.length).toMap
+    require(sizes == Map(112L -> 1000, 100L -> 200),
+      s"1000 clusters must grow to 112, 200 stay at 100: $sizes")
+    println(s"REHEARSE incremental: 1000 clusters -> 112 members, 200 -> 100, exact")
     spark.stop()
   }
 }

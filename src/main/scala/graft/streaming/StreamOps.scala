@@ -185,12 +185,19 @@ object StreamOps {
     *
     * State bound: events of the `stages` types only, per key, per burst —
     * the funnel regime (a handful per key); horizon-bounded by the timeout
-    * like every operator here. Ties on ts fold in (ts, tp) order — a total
-    * order per key as long as a key never carries two same-type events on
-    * the same millisecond (the batch twin's tie column generalizes this;
-    * same-instant DIFFERENT stages never double-count under strict >). */
+    * like every operator here. That bound has one hole a timeout cannot
+    * close: a BOT key that never goes quiet keeps extending its own
+    * timeout while its buffer grows without limit. `maxEventsPerKey > 0`
+    * arms the guard (the batch twin's `Funnel.stages(maxEventsPerKey)`
+    * mirrored): the query fails loudly naming the key and bound instead
+    * of OOMing the state store. Ties on ts fold in (ts, tp) order — a
+    * total order per key as long as a key never carries two same-type
+    * events on the same millisecond (the batch twin's tie column
+    * generalizes this; same-instant DIFFERENT stages never double-count
+    * under strict >). */
   def funnelResults(events: Dataset[TypedEvent], watermark: String,
-                    stages: Seq[String], quietMs: Long): Dataset[FunnelHit] = {
+                    stages: Seq[String], quietMs: Long,
+                    maxEventsPerKey: Long = 0L): Dataset[FunnelHit] = {
     require(stages.nonEmpty, "at least one stage")
     // same contract as Funnel.stages: the indexOf-based fold below maps a
     // repeated label to its first index, which would silently never arm
@@ -224,6 +231,12 @@ object StreamOps {
             val buf = state.getOption.getOrElse(FunnelBuffer(Nil))
             val add = it.map(e => (e.ts.getTime, e.tp)).toList
             val s = FunnelBuffer(add ::: buf.events)
+            if (maxEventsPerKey > 0 && s.events.lengthCompare(maxEventsPerKey.min(Int.MaxValue).toInt) > 0)
+              throw new IllegalStateException(
+                s"StreamOps.funnelResults: key $key has buffered more than " +
+                  s"maxEventsPerKey=$maxEventsPerKey stage events without going " +
+                  "quiet — a bot key would grow state without limit; filter or " +
+                  "pre-aggregate the key upstream, or raise the bound deliberately")
             state.update(s)
             state.setTimeoutTimestamp(math.max(
               s.events.iterator.map(_._1).max + quietMs,

@@ -96,6 +96,45 @@ class EntityIndexedSpec extends SparkSuite {
       idx.toSet.diff(blk.toSet)} vs ${blk.toSet.diff(idx.toSet)}")
   }
 
+  test("canonicalizeIncremental: bridging batch record MERGES corpus clusters; random split == full") {
+    import spark.implicits._
+    // corpus clusters A={1:"aaaaaaaa"} and B={2:"aaaaabbb"} sit at
+    // distance 3 > k=2; batch record 10="aaaaaabb" is within 2 of BOTH —
+    // the incremental fold must merge A and B through it
+    val corpusDf = Seq((1L, 1L, "aaaaaaaa"), (2L, 2L, "aaaaabbb"))
+      .toDF("id", "cluster_id", "key")
+    val batch = Seq((10L, "aaaaaabb"), (11L, "zzzzzzzz")).toDF("id", "key")
+    val got = Entity.canonicalizeIncremental(batch, corpusDf, "id", "cluster_id",
+        col("key"), col("key"), maxDist = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 10L -> ((1L, 3L)),
+      11L -> ((11L, 1L))), s"bridge must merge both clusters under min id: $got")
+
+    // and the merge case equals the full resolution of the same records
+    val full = Entity.canonicalizeIndexed(corpusDf.select("id", "key")
+        .unionByName(batch), "id", col("key"),
+        maxDist = 2, generator = "segment")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got == full, s"incremental must equal full: ${got.toSet.diff(full.toSet)}")
+
+    // parity split of the mixed-shape suite corpus: incremental == full
+    val all = corpus.toDF("id", "key")
+    val corp = all.filter(col("id") % 2 === 0)
+    val resolved = Entity.canonicalizeIndexed(corp, "id", col("key"),
+        maxDist = 2, generator = "segment")
+      .select(col("id"), col("cluster_id")).join(corp, "id")
+    val inc = Entity.canonicalizeIncremental(all.filter(col("id") % 2 =!= 0),
+        resolved, "id", "cluster_id", col("key"), col("key"), maxDist = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        r.getLong(3)))).toMap
+    val fullAll = Entity.canonicalizeIndexed(all, "id", col("key"),
+        maxDist = 2, generator = "segment")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        r.getLong(3)))).toMap
+    assert(inc == fullAll,
+      s"mixed-corpus incremental != full: ${inc.toSet.diff(fullAll.toSet)} / ${fullAll.toSet.diff(inc.toSet)}")
+  }
+
   test("blocked-path guard: a block over maxBlockRows raises in-plan, under passes") {
     import spark.implicits._
     val recs = Seq((1L, "A", "k1"), (2L, "A", "k2"), (3L, "A", "k3"),

@@ -596,6 +596,43 @@ class StreamingSpec extends SparkSuite {
     assert(got.map(h => (h._1, h._2)) == Set((1L, 0), (1L, 1), (1L, 2), (3L, 0)))
   }
 
+  test("streaming funnel maxEventsPerKey: a never-quiet bot key fails loudly, not OOM") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[TypedEvent]
+    val out = StreamOps.funnelResults(ms.toDS(), "10 minutes",
+      Seq("view", "click"), quietMs = 30L * 60 * 1000, maxEventsPerKey = 5)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_guard_out").start()
+    // key 7 is a bot: 6 stage events, never quiet — over the bound of 5
+    ms.addData((0 until 6).map(i =>
+      TypedEvent(7, ts(f"2024-07-01T00:0$i:00Z"), "view")): _*)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+    assert(msg.contains("maxEventsPerKey=5") && msg.contains("7"),
+      s"guard must name the bot key and bound: $msg")
+    try q.stop() catch { case _: Throwable => () }
+    // under the bound: same data minus one event completes and emits
+    val ms2 = MemoryStream[TypedEvent]
+    val out2 = StreamOps.funnelResults(ms2.toDS(), "10 minutes",
+      Seq("view", "click"), quietMs = 30L * 60 * 1000, maxEventsPerKey = 5)
+    val q2 = out2.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_guard_ok").start()
+    ms2.addData((0 until 5).map(i =>
+      TypedEvent(7, ts(f"2024-07-01T00:0$i:00Z"), "view")): _*)
+    q2.processAllAvailable()
+    ms2.addData(TypedEvent(9, ts("2024-07-01T03:00:00Z"), "view"))
+    q2.processAllAvailable()
+    ms2.addData(TypedEvent(9, ts("2024-07-01T03:05:00Z"), "view"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("funnel_guard_ok").as[FunnelHit].collect()
+      .exists(h => h.key == 7L && h.stage == 0),
+      "at the bound the funnel completes and emits")
+  }
+
   test("streaming funnel state survives a query restart from its checkpoint") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
