@@ -266,6 +266,67 @@ object LakeReader {
     def skipped: Int = candidates - kept
   }
 
+  /** One column's merged statistics in a [[StatsSummary]]. `boundsExact`
+    * means every object either recorded real bounds or held only nulls
+    * for this column — so `min`/`max` are the TABLE's exact bounds (both
+    * None ⟺ the column is entirely null). With `boundsExact = false`
+    * (some object's bounds were poisoned — NaN/Infinity/representation
+    * drift) the bounds are unusable but `nulls` is still exact. */
+  final case class StatsColumn(min: Option[java.math.BigDecimal],
+                               max: Option[java.math.BigDecimal],
+                               nulls: Long, boundsExact: Boolean)
+
+  /** Whole-table statistics merged from sidecars alone. */
+  final case class StatsSummary(objects: Long, records: Long,
+                                cols: Map[String, StatsColumn])
+
+  /** METADATA-ONLY table aggregates: COUNT(*), per-column null counts and
+    * MIN/MAX answered from the [[ZoneMaps]] sidecars without opening a
+    * single data object — the parquet-footer / manifest-stats aggregate
+    * pushdown, natively on the lake format. At 100 TB this is the
+    * difference between a full scan and a metadata walk (one ~100-byte
+    * sidecar read per object; batch through an RDD at warehouse scale,
+    * same note as [[readPruned]]).
+    *
+    * EXACT OR ABSENT, never approximate: returns None the moment ANY
+    * in-range object lacks a readable sidecar (stat-less writer, lost or
+    * garbage sidecar) — the caller falls back to a real scan. A column
+    * absent from any sidecar's map is dropped from the result (schema
+    * drift: its stats cannot be summed); a column whose bounds were
+    * poisoned in some object keeps its exact null count with
+    * `boundsExact = false`. Same snapshot caveat as [[readPruned]]:
+    * schedule off compaction windows. */
+  def statsSummary(store: Store, table: String,
+                   hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
+      : Option[StatsSummary] = {
+    val keys = listTableKeys(store, table, hourRange)
+    val stats = keys.map(k => ZoneMaps.read(store, k))
+    if (keys.isEmpty || stats.exists(_.isEmpty)) None
+    else {
+      val all = stats.map(_.get)
+      // schema drift: a column absent from any sidecar cannot be summed —
+      // only the columns every object recorded survive into the summary
+      val shared = all.map(_.cols.keySet).reduce(_ intersect _)
+      val cols = shared.map { c =>
+        val per = all.map(s => (s.cols(c), s.records))
+        val nulls = per.map(_._1.nulls).sum
+        // an object contributes exact bounds, or nothing (all-null), or
+        // poison (non-null values with no bounds)
+        val poisoned = per.exists { case (cs, recs) =>
+          cs.min.isEmpty && cs.nulls < recs }
+        val mins = per.flatMap(_._1.min)
+        val maxs = per.flatMap(_._1.max)
+        c -> StatsColumn(
+          if (poisoned || mins.isEmpty) None
+          else Some(mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b)),
+          if (poisoned || maxs.isEmpty) None
+          else Some(maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)),
+          nulls, boundsExact = !poisoned)
+      }.toMap
+      Some(StatsSummary(all.length.toLong, all.map(_.records).sum, cols))
+    }
+  }
+
   /** Data-skipping read via [[ZoneMaps]] sidecars: only objects whose
     * recorded [min, max] for `column` can intersect the CLOSED interval
     * [lo, hi] are opened — the Delta/Iceberg manifest-stats idea, natively

@@ -216,6 +216,41 @@ class ZoneMapsSpec extends SparkSuite {
       s"long bound must round-trip exactly through: $rendered")
   }
 
+  test("statsSummary: exact metadata aggregates, poison demotes bounds, loss yields None") {
+    val root = freshRoot()
+    val written = fixture(root)
+    val store = new HadoopStore(root)
+    val s0 = LakeReader.statsSummary(store, "zt").get
+    assert(s0.objects == 4 && s0.records == 1000)
+    val id = s0.cols("id")
+    assert(id.boundsExact && id.nulls == 0 &&
+      id.min.get.longValueExact() == 0 && id.max.get.longValueExact() == 999,
+      s"merged id bounds must span the objects exactly: $id")
+    // untracked STRING columns still carry an exact null count — only
+    // their bounds are unusable (same demotion as poison)
+    assert(!s0.cols("tag").boundsExact && s0.cols("tag").nulls == 0,
+      s"string column: exact nulls, no bounds: ${s0.cols("tag")}")
+    // poison ONE object's v bounds (None bounds, nulls < records): the
+    // column's bounds demote to unusable, its null count stays exact,
+    // and the other columns are untouched
+    val k = written.head.key
+    val orig = ZoneMaps.read(store, k).get
+    ZoneMaps.write(store, k, orig.copy(cols = orig.cols.updated("v",
+      ZoneMaps.ColStats(None, None, 0))))
+    val s1 = LakeReader.statsSummary(store, "zt").get
+    assert(!s1.cols("v").boundsExact && s1.cols("v").min.isEmpty &&
+      s1.cols("v").nulls == 0, s"poison must demote bounds only: ${s1.cols("v")}")
+    assert(s1.cols("id").boundsExact, "other columns keep exact bounds")
+    // a column missing from one sidecar (schema drift) drops entirely
+    ZoneMaps.write(store, k, orig.copy(cols = orig.cols - "v"))
+    assert(!LakeReader.statsSummary(store, "zt").get.cols.contains("v"),
+      "schema-drift columns cannot be summed and must drop")
+    // exact-or-absent: losing any sidecar kills the whole summary
+    store.delete(ZoneMaps.statsKey(k))
+    assert(LakeReader.statsSummary(store, "zt").isEmpty,
+      "a lost sidecar must yield None, not a partial sum")
+  }
+
   test("boxed-representation drift still tracks: Integer as CInteger, Float as CFloat") {
     import ZoneMaps._
     // an upstream producer handing Integer/Float boxes instead of
