@@ -19,10 +19,17 @@ import org.apache.spark.sql.functions._
   * 1. The BLOCKED path with maxBlockRows=50,000 must raise its in-plan
   *    guard (the 120k block would be 7.2·10⁹ DP evaluations pinned to
   *    one key's tasks).
-  * 2. The INDEXED path ([[Entity.canonicalizeIndexed]], q=3) must
+  * 2. The q-gram INDEXED path ([[Entity.canonicalizeIndexed]], q=3) must
   *    complete and return the planted clustering exactly — the positional
   *    trigram prefix index never self-joins the corpus, so one viral
   *    block is just 120k more rows through the index.
+  * 3. The SEGMENT (PassJoin) generator must produce the identical
+  *    clustering — measurably faster here (and the recommended default
+  *    on low-entropy keys).
+  * 4. The INCREMENTAL fold: 12k fresh perturbations against the resolved
+  *    120k corpus — 1000 planted clusters grow to exactly 112 members,
+  *    200 stay at 100, with the corpus contributing only slim segment
+  *    rows (never a self-join).
   */
 object RehearsalR9 {
   def time[A](label: String)(f: => A): A = {

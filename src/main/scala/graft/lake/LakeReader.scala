@@ -300,8 +300,11 @@ object LakeReader {
                    hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
       : Option[StatsSummary] = {
     val keys = listTableKeys(store, table, hourRange)
-    val stats = keys.map(k => ZoneMaps.read(store, k))
-    if (keys.isEmpty || stats.exists(_.isEmpty)) None
+    // lazy walk: the first unreadable sidecar decides the answer — no
+    // point paying the remaining N metadata reads to return None
+    val stats = keys.view.map(k => ZoneMaps.read(store, k))
+      .takeWhile(_.nonEmpty).toSeq
+    if (keys.isEmpty || stats.length < keys.length) None
     else {
       val all = stats.map(_.get)
       // schema drift: a column absent from any sidecar cannot be summed —

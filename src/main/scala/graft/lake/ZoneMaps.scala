@@ -141,7 +141,16 @@ object ZoneMaps {
 
   /** Minimal parser for [[render]]'s own fixed shape (no general JSON — the
     * sidecar is machine-written; anything unparseable reads as None and the
-    * object is conservatively kept). */
+    * object is conservatively kept).
+    *
+    * STRICT: the parsed result must re-render to the exact input bytes
+    * (render is canonical, so the round-trip is a full-shape validation).
+    * The regexes alone would accept a TORN sidecar — a hard-killed writer
+    * or a racing copy+delete rename can leave a prefix like
+    * `{"records":12` of `{"records":12345,...}` — which pruning would
+    * survive (conservative keep) but [[LakeReader.statsSummary]] would
+    * turn into a silently wrong exact COUNT. Torn reads as None: pruning
+    * keeps the object, the metadata aggregate falls back to a scan. */
   def parse(text: String): Option[ObjectStats] = try {
     val rec = """"records":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
     val col = ("\"([^\"]+)\":\\{\"min\":(\"[^\"]*\"|null)," +
@@ -151,7 +160,7 @@ object ZoneMaps {
         if (s == "null") None else Some(new BigDecimal(s.stripPrefix("\"").stripSuffix("\"")))
       m.group(1) -> ColStats(dec(m.group(2)), dec(m.group(3)), m.group(4).toLong)
     }.toMap
-    rec.map(ObjectStats(_, cols))
+    rec.map(ObjectStats(_, cols)).filter(s => render(s) == text)
   } catch { case _: Exception => None }
 
   def write(store: Store, objectKey: String, stats: ObjectStats): Unit = {

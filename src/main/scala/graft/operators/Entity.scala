@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Entity resolution end to end: fuzzy matching → connected components →
-  * survivorship — with TWO candidate-generation regimes and loud guards
-  * on the quadratic each one carries.
+  * survivorship — with THREE candidate-generation regimes and loud
+  * guards on the quadratic each one carries, plus an incremental fold
+  * for the batch-vs-entity-table job.
   *
   * '''Blocked''' ([[canonicalize]]): edges form only WITHIN a block; the
   * per-block pair join is what bounds the quadratic, so the operator now
@@ -26,6 +27,15 @@ import org.apache.spark.sql.functions._
   * `k`. Strings too short for that pigeonhole (`len − q + 1 ≤ k·q`) fall
   * into a short-string pool whose pairwise check is guarded by
   * `maxShortPool` — the one place a quadratic survives, bounded and loud.
+  *
+  * '''Segment-indexed''' (`generator = "segment"`, [[segmentPairs]]):
+  * the PassJoin alternative — k+1 even segments, exact aligned-substring
+  * equi-join — for the regime where gram frequency tails collapse (keys
+  * from a tiny vocabulary); see [[segmentCandidates]].
+  *
+  * '''Incremental''' ([[canonicalizeIncremental]]): fold a new batch
+  * into an already-resolved entity table; the corpus contributes only
+  * k+1 slim segment rows per record and never self-joins.
   *
   * Measured (RehearsalR9, local[32]): one planted 120k-record viral
   * block — the blocked path's guard raises in 1.9 s (refusing 7.2·10⁹ DP
@@ -190,24 +200,35 @@ object Entity {
     // short×short: both sides below the pigeonhole bound — pair them all
     // (length-filtered), under a loud in-plan pool-size guard.
     val shortCand = poolCandidates(base, isShort, maxDist, maxShortPool,
-      "Entity.editCandidates", s"shorter than q·maxDist+q−1 = ${kq + q - 1} chars")
+      "Entity.editCandidates", s"shorter than q·maxDist+q−1 = ${kq + q - 1} chars",
+      "raise q or lower maxDist")
     idxCand.unionByName(shortCand).dropDuplicates("a_id", "b_id")
+  }
+
+  /** In-plan count guard shared by every pool below: rows flow through
+    * untouched while their 1-row count stays ≤ `maxRows`; over it, the
+    * scan raises with the count, the bound, and `remedy`. */
+  private def guardCount(df: DataFrame, cntCol: String, maxRows: Long,
+                         what: String, desc: String, remedy: String): DataFrame = {
+    val n = df.agg(count(lit(1)).as(cntCol))
+    df.crossJoin(broadcast(n))
+      .filter(when(col(cntCol) <= maxRows, lit(true)).otherwise(raise_error(
+        format_string(
+          s"$what: %s keys $desc, over maxShortPool=$maxRows — $remedy",
+          col(cntCol)))))
   }
 
   /** Short-string pool shared by both candidate generators: keys below an
     * index's pigeonhole bound pair among themselves (length-filtered)
-    * under a loud in-plan pool-size guard. */
+    * under a loud in-plan pool-size guard. The remedy is generator-
+    * specific — "raise q" is meaningless advice on the segment path. */
   private def poolCandidates(base: DataFrame, isShort: Column, maxDist: Int,
                              maxShortPool: Long, what: String,
-                             shortDesc: String): DataFrame = {
-    val shortN = base.filter(isShort).agg(count(lit(1)).as("_n"))
-    val shortPool = base.filter(isShort).crossJoin(broadcast(shortN))
-      .filter(when(col("_n") <= maxShortPool, lit(true)).otherwise(raise_error(
-        format_string(
-          s"$what: %s keys $shortDesc, " +
-            s"over maxShortPool=$maxShortPool — the short-string pool " +
-            "pairs quadratically; raise q, lower maxDist, pre-filter " +
-            "degenerate keys, or raise the bound deliberately", col("_n")))))
+                             shortDesc: String, remedy: String): DataFrame = {
+    val shortPool = guardCount(base.filter(isShort), "_n", maxShortPool,
+        what, shortDesc,
+        s"the short-string pool pairs quadratically; $remedy, pre-filter " +
+          "degenerate keys, or raise the bound deliberately")
       .select("_id", "_len")
     shortPool.as("a").join(shortPool.as("b"),
         col("a._id") < col("b._id") &&
@@ -266,7 +287,8 @@ object Entity {
       .select(least(col("_iid"), col("_pid")).as("a_id"),
         greatest(col("_iid"), col("_pid")).as("b_id"))
     val shortCand = poolCandidates(base, isShort, maxDist, maxShortPool,
-      "Entity.segmentCandidates", s"of length ≤ maxDist = $maxDist")
+      "Entity.segmentCandidates", s"of length ≤ maxDist = $maxDist",
+      "lower maxDist")
     idxCand.unionByName(shortCand).dropDuplicates("a_id", "b_id")
   }
 
@@ -369,18 +391,14 @@ object Entity {
       .select(col("_pid").as("b_id"), col("_iid").as("c_id"))
     // short-corpus hole: a ≤k-char corpus key can't index; its partners
     // are ≤2k-char batch keys — both pools bounded and loud
-    def checked(df: DataFrame, cnt: String, side: String) = {
-      val n = df.agg(count(lit(1)).as(cnt))
-      df.crossJoin(broadcast(n))
-        .filter(when(col(cnt) <= maxShortPool, lit(true)).otherwise(raise_error(
-          format_string(
-            s"Entity.canonicalizeIncremental: %s $side keys in the short pool, " +
-              s"over maxShortPool=$maxShortPool — pre-filter degenerate keys " +
-              "or raise the bound deliberately", col(cnt)))))
-    }
-    val poolCand = checked(b.filter(col("_len") <= 2L * k), "_nb", "batch")
+    val poolRemedy = "pre-filter degenerate keys or raise the bound deliberately"
+    val poolCand = guardCount(b.filter(col("_len") <= 2L * k), "_nb",
+        maxShortPool, "Entity.canonicalizeIncremental",
+        "on the batch side of the short pool", poolRemedy)
       .select(col("_id").as("b_id"), col("_len").as("_lb"))
-      .join(checked(c.filter(col("_len") <= k), "_nc", "corpus")
+      .join(guardCount(c.filter(col("_len") <= k), "_nc",
+          maxShortPool, "Entity.canonicalizeIncremental",
+          "on the corpus side of the short pool", poolRemedy)
         .select(col("_id").as("c_id"), col("_len").as("_lc")),
         abs(col("_lb") - col("_lc")) <= k)
       .select("b_id", "c_id")

@@ -184,6 +184,18 @@ class ZoneMapsSpec extends SparkSuite {
       assert(parsed.isEmpty || parsed.exists(_.cols.isEmpty),
         s"junk must not fabricate stats: '$junk' -> $parsed")
     }
+    // a TORN sidecar — a valid PREFIX of a real one, what a hard-killed
+    // writer or racing copy+delete rename leaves — must parse to None:
+    // the lenient regexes alone would read '{"records":12' out of
+    // '{"records":12345,...}' and statsSummary would publish a silently
+    // wrong exact COUNT. The strict round-trip check refuses it.
+    val whole = render(ObjectStats(12345,
+      Map("v" -> ColStats(Some(dec(1)), Some(dec(9)), 3))))
+    assert(parse(whole).nonEmpty, "the canonical form itself must parse")
+    for (cut <- Seq(13, whole.length - 1))
+      assert(parse(whole.take(cut)).isEmpty,
+        s"torn prefix must not parse: '${whole.take(cut)}'")
+    assert(parse(whole + " ").isEmpty, "trailing bytes must not parse")
     // a corrupted sidecar on disk degrades to keep-the-object
     val root = freshRoot()
     val written = fixture(root)

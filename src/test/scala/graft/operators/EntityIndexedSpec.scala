@@ -175,6 +175,23 @@ class EntityIndexedSpec extends SparkSuite {
       s"only the maxShortPool-guarded pool may nested-loop (found $bnl):\n$p")
   }
 
+  test("segmentCandidates plan: the segment join is a keyed equi-join, never corpus-scale nested loop") {
+    import spark.implicits._
+    val df = corpus.toDF("id", "key")
+    val p = Entity.segmentCandidates(df, "id", col("key"), maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"the segment path must never plan a cartesian:\n$p")
+    assert(p.contains("_iseg") && p.contains("_psub"),
+      s"candidates must equi-join on the segment content key:\n$p")
+    // only the pool machinery may nested-loop (two 1-row count checks +
+    // the guarded pool pair join) — loosening the (_ilen, _ii, _iseg)
+    // equi keys into conditions would add a fourth and fail here
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 3,
+      s"only the maxShortPool-guarded pool may nested-loop (found $bnl):\n$p")
+  }
+
   test("short-pool guard: a corpus of sub-q·k keys raises with maxShortPool") {
     import spark.implicits._
     // q=2, maxDist=3 → short means len ≤ 7; plant 5 shorts, cap at 4
