@@ -354,11 +354,29 @@ object LakeReader {
   def readPruned(spark: SparkSession, rootUri: String, table: String,
                  column: String, lo: java.math.BigDecimal, hi: java.math.BigDecimal,
                  hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
+      : (DataFrame, PruneReport) =
+    readPrunedMulti(spark, rootUri, table, Seq((column, lo, hi)), hourRange)
+
+  /** [[readPruned]] over a CONJUNCTION of per-column bands: an object is
+    * opened only if EVERY band can intersect its recorded bounds. This is
+    * where a z-ordered layout ([[graft.operators.Layout.zorder]]) pays
+    * off on the lake: range-partitioning by the interleaved key makes
+    * objects tight in BOTH dimensions, so a two-column predicate skips
+    * multiplicatively where a single-column sort only bounds one side.
+    * Each band is conservative independently (missing/poisoned stats
+    * keep the object), so the conjunction is too. */
+  def readPrunedMulti(spark: SparkSession, rootUri: String, table: String,
+                      bands: Seq[(String, java.math.BigDecimal, java.math.BigDecimal)],
+                      hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
       : (DataFrame, PruneReport) = {
+    require(bands.nonEmpty, "at least one (column, lo, hi) band")
     val store = new HadoopStore(rootUri)
     val keys = listTableKeys(store, table, hourRange)
     require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
-    val kept = keys.filter(k => ZoneMaps.mayContain(ZoneMaps.read(store, k), column, lo, hi))
+    val kept = keys.filter { k =>
+      val stats = ZoneMaps.read(store, k) // one sidecar read for ALL bands
+      bands.forall { case (c, lo, hi) => ZoneMaps.mayContain(stats, c, lo, hi) }
+    }
     val report = PruneReport(keys.length, kept.length)
     if (kept.isEmpty) {
       // no object can match: an empty frame with the table's real schema
