@@ -93,8 +93,11 @@ object Entity {
   }
 
   /** [[canonicalize]] without a blocking key: candidates from the
-    * positional q-gram prefix index ([[editPairs]]), same components and
-    * survivorship. Semantically identical to
+    * positional q-gram prefix index ([[editPairs]]) or, with
+    * `generator = "segment"`, the PassJoin segment index
+    * ([[segmentPairs]] — `q` applies to the q-gram generator only and is
+    * ignored there); same components and survivorship either way.
+    * Semantically identical to
     * `canonicalize(df, id, lit(1), key, maxDist)` — spec-pinned — at
     * index cost instead of corpus² cost. */
   def canonicalizeIndexed(df: DataFrame, idCol: String, keyCol: Column,
