@@ -228,6 +228,29 @@ class ZoneMapsSpec extends SparkSuite {
       s"long bound must round-trip exactly through: $rendered")
   }
 
+  test("readPrunedMulti: conjunction semantics, single-band equivalence, conservative per band") {
+    val root = freshRoot()
+    val written = fixture(root) // id bands [0,249][250,499][500,749][750,999]
+    // single band == readPruned, report and rows alike
+    val (d1, r1) = LakeReader.readPruned(spark, root, "zt", "id", dec(0), dec(100))
+    val (d2, r2) = LakeReader.readPrunedMulti(spark, root, "zt",
+      Seq(("id", dec(0), dec(100))))
+    assert(r1 == r2 && d1.count() == d2.count() && r2.kept == 1)
+    // conjunction: id∈[0,100] keeps object 1, v∈[300,333] keeps object 4
+    // (v = id/3) — together they keep NOTHING, and the empty frame still
+    // carries the table's real schema
+    val (d3, r3) = LakeReader.readPrunedMulti(spark, root, "zt",
+      Seq(("id", dec(0), dec(100)), ("v", dec(300), dec(334))))
+    assert(r3.kept == 0 && d3.count() == 0 && d3.columns.contains("v"))
+    // a lost sidecar is conservative under EVERY band: the stat-less
+    // object is kept even though both bands exclude all statted objects
+    val store = new HadoopStore(root)
+    store.delete(ZoneMaps.statsKey(written(1).key)) // object 2: ids 250..499
+    val (_, r4) = LakeReader.readPrunedMulti(spark, root, "zt",
+      Seq(("id", dec(0), dec(100)), ("v", dec(300), dec(334))))
+    assert(r4.kept == 1, s"the stat-less object must survive the conjunction: $r4")
+  }
+
   test("statsSummary: exact metadata aggregates, poison demotes bounds, loss yields None") {
     val root = freshRoot()
     val written = fixture(root)
