@@ -305,29 +305,96 @@ object LakeReader {
     val stats = keys.view.map(k => ZoneMaps.read(store, k))
       .takeWhile(_.nonEmpty).toSeq
     if (keys.isEmpty || stats.length < keys.length) None
+    else Some(mergeObjectStats(stats.map(_.get)))
+  }
+
+  /** [[statsSummary]] with the sidecar reads DISTRIBUTED over executors —
+    * the warehouse-scale variant: a million-object table is a million
+    * ~100-byte reads, which one driver thread serializes but a few
+    * hundred tasks absorb (the same arrangement the compactor uses for
+    * its rewrites). Identical semantics to the driver-side walk,
+    * spec-pinned: per-partition partial merges are associative under the
+    * same poison/all-null/drift lattice, and ANY unreadable sidecar
+    * anywhere still collapses the whole answer to None (the partials
+    * can't short-circuit each other across executors — the price of the
+    * parallel walk). */
+  def statsSummaryDistributed(spark: SparkSession, rootUri: String, table: String,
+                              hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
+                              partitions: Int = 0)
+      : Option[StatsSummary] = {
+    val store = new HadoopStore(rootUri)
+    val keys = listTableKeys(store, table, hourRange)
+    if (keys.isEmpty) None
     else {
-      val all = stats.map(_.get)
-      // schema drift: a column absent from any sidecar cannot be summed —
-      // only the columns every object recorded survive into the summary
-      val shared = all.map(_.cols.keySet).reduce(_ intersect _)
-      val cols = shared.map { c =>
-        val per = all.map(s => (s.cols(c), s.records))
-        val nulls = per.map(_._1.nulls).sum
-        // an object contributes exact bounds, or nothing (all-null), or
-        // poison (non-null values with no bounds)
-        val poisoned = per.exists { case (cs, recs) =>
-          cs.min.isEmpty && cs.nulls < recs }
-        val mins = per.flatMap(_._1.min)
-        val maxs = per.flatMap(_._1.max)
-        c -> StatsColumn(
-          if (poisoned || mins.isEmpty) None
-          else Some(mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b)),
-          if (poisoned || maxs.isEmpty) None
-          else Some(maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)),
-          nulls, boundsExact = !poisoned)
-      }.toMap
-      Some(StatsSummary(all.length.toLong, all.map(_.records).sum, cols))
+      val parts = if (partitions > 0) partitions
+                  else math.min(256, 1 + keys.length / 64)
+      // each partition merges ITS objects on the executor and ships one
+      // partial summary (or the outer None when any sidecar was
+      // unreadable — which poisons the whole answer; inner None = the
+      // partition held no keys and contributes nothing)
+      val partials = spark.sparkContext.parallelize(keys, parts)
+        .mapPartitions { ks =>
+          val st = new HadoopStore(rootUri) // per-executor store
+          val read = ks.map(k => ZoneMaps.read(st, k)).toSeq
+          Iterator.single(
+            if (read.exists(_.isEmpty)) None
+            else if (read.isEmpty) Some(None)
+            else Some(Some(mergeObjectStats(read.map(_.get)))))
+        }.collect()
+      if (partials.exists(_.isEmpty)) None
+      else {
+        val ps = partials.toSeq.flatMap(_.get)
+        if (ps.isEmpty) None else Some(ps.reduce(mergeSummaries))
+      }
     }
+  }
+
+  /** Flat merge of per-object stats into one summary (the lattice:
+    * columns survive only when EVERY object recorded them; bounds are
+    * exact unless any object poisoned them — non-null values with no
+    * recorded bounds; null counts always sum exactly). */
+  private def mergeObjectStats(all: Seq[ZoneMaps.ObjectStats]): StatsSummary = {
+    // schema drift: a column absent from any sidecar cannot be summed —
+    // only the columns every object recorded survive into the summary
+    val shared = all.map(_.cols.keySet).reduce(_ intersect _)
+    val cols = shared.map { c =>
+      val per = all.map(s => (s.cols(c), s.records))
+      val nulls = per.map(_._1.nulls).sum
+      val poisoned = per.exists { case (cs, recs) =>
+        cs.min.isEmpty && cs.nulls < recs }
+      val mins = per.flatMap(_._1.min)
+      val maxs = per.flatMap(_._1.max)
+      c -> StatsColumn(
+        if (poisoned || mins.isEmpty) None
+        else Some(mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b)),
+        if (poisoned || maxs.isEmpty) None
+        else Some(maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)),
+        nulls, boundsExact = !poisoned)
+    }.toMap
+    StatsSummary(all.length.toLong, all.map(_.records).sum, cols)
+  }
+
+  /** Associative pairwise merge of partial summaries — the SAME lattice
+    * as [[mergeObjectStats]]: a column survives only if both partials
+    * carry it, bounds stay exact only if both sides' were, and an
+    * exact-None bound (all-null side) defers to the other side. */
+  private def mergeSummaries(a: StatsSummary, b: StatsSummary): StatsSummary = {
+    val shared = a.cols.keySet intersect b.cols.keySet
+    val cols = shared.map { c =>
+      val (x, y) = (a.cols(c), b.cols(c))
+      val exact = x.boundsExact && y.boundsExact
+      def comb(u: Option[java.math.BigDecimal], v: Option[java.math.BigDecimal],
+               takeMin: Boolean) = (u, v) match {
+        case (Some(p), Some(q)) =>
+          Some(if ((p.compareTo(q) <= 0) == takeMin) p else q)
+        case (p, q) => p.orElse(q)
+      }
+      c -> StatsColumn(
+        if (exact) comb(x.min, y.min, takeMin = true) else None,
+        if (exact) comb(x.max, y.max, takeMin = false) else None,
+        x.nulls + y.nulls, boundsExact = exact)
+    }.toMap
+    StatsSummary(a.objects + b.objects, a.records + b.records, cols)
   }
 
   /** Data-skipping read via [[ZoneMaps]] sidecars: only objects whose
@@ -349,8 +416,9 @@ object LakeReader {
     *
     * Driver cost: one sidecar read per candidate object (sidecars are
     * ~100-byte objects). At warehouse scale batch the sidecar reads
-    * through a small RDD the way the compactor batches its rewrites; the
-    * listing itself is already the pruned level walk. */
+    * through a small RDD — [[statsSummaryDistributed]] is that
+    * arrangement, implemented, for the aggregate path; the listing
+    * itself is already the pruned level walk. */
   def readPruned(spark: SparkSession, rootUri: String, table: String,
                  column: String, lo: java.math.BigDecimal, hi: java.math.BigDecimal,
                  hourRange: Option[(java.time.Instant, java.time.Instant)] = None)

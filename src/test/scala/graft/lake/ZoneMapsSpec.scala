@@ -286,6 +286,34 @@ class ZoneMapsSpec extends SparkSuite {
       "a lost sidecar must yield None, not a partial sum")
   }
 
+  test("statsSummaryDistributed == driver walk at every partitioning, poison and loss included") {
+    val root = freshRoot()
+    val written = fixture(root)
+    val store = new HadoopStore(root)
+    val driverSide = LakeReader.statsSummary(store, "zt")
+    // the per-partition merge + pairwise summary merge must be exactly
+    // the flat lattice, however the 4 objects split across partitions
+    for (p <- Seq(1, 2, 3, 4))
+      assert(LakeReader.statsSummaryDistributed(spark, root, "zt",
+          partitions = p) == driverSide,
+        s"distributed($p partitions) must equal the driver walk")
+    // a poisoned column in ONE partition demotes bounds globally while
+    // null counts stay exact — same as the flat merge
+    val k = written.head.key
+    val orig = ZoneMaps.read(store, k).get
+    ZoneMaps.write(store, k, orig.copy(cols = orig.cols.updated("v",
+      ZoneMaps.ColStats(None, None, 0))))
+    for (p <- Seq(1, 4))
+      assert(LakeReader.statsSummaryDistributed(spark, root, "zt", partitions = p)
+        == LakeReader.statsSummary(store, "zt"),
+        s"poison must merge identically at $p partitions")
+    // a lost sidecar anywhere yields None, whichever partition holds it
+    store.delete(ZoneMaps.statsKey(k))
+    for (p <- Seq(1, 4))
+      assert(LakeReader.statsSummaryDistributed(spark, root, "zt",
+        partitions = p).isEmpty, "loss must poison the distributed answer too")
+  }
+
   test("boxed-representation drift still tracks: Integer as CInteger, Float as CFloat") {
     import ZoneMaps._
     // an upstream producer handing Integer/Float boxes instead of
