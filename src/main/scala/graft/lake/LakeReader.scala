@@ -349,6 +349,72 @@ object LakeReader {
     }
   }
 
+  /** PER-HOUR metadata rollup — the dashboard primitive the key layout
+    * (`YYYY/MM/DD/HH/table/…`) was designed around: for every UTC flush
+    * hour holding objects of `table`, that hour's COUNT(*)/null counts/
+    * MIN/MAX from sidecars alone, no data object opened. The
+    * exact-or-absent contract applies PER HOUR BUCKET: an unreadable
+    * sidecar nulls ONLY its own hour (the caller scans just that hour —
+    * [[readFrom]] with the one-hour range), every other hour stays
+    * exact. Hours ascend in the result. */
+  def statsByHour(store: Store, table: String,
+                  hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
+      : Seq[(java.time.Instant, Option[StatsSummary])] = {
+    val keys = listTableKeys(store, table, hourRange)
+    keys.groupBy(k => LakeKeys.parseKey(k).get._1).toSeq.sortBy(_._1).map {
+      case (hour, ks) =>
+        // lazy within the hour: the first unreadable sidecar decides it
+        val stats = ks.view.map(k => ZoneMaps.read(store, k))
+          .takeWhile(_.nonEmpty).toSeq
+        hour -> (if (stats.length < ks.length) None
+                 else Some(mergeObjectStats(stats.map(_.get))))
+    }
+  }
+
+  /** [[statsByHour]] with the sidecar reads distributed over executors —
+    * the same arrangement as [[statsSummaryDistributed]], keyed by hour:
+    * each task folds its objects into per-hour partials (a single
+    * object's stats ARE a one-object [[StatsSummary]], and
+    * [[mergeSummaries]] is associative, so partials combine exactly);
+    * an unreadable sidecar poisons its hour's partial to None, which
+    * absorbs through the merge — identical per-hour answers to the
+    * driver walk, spec-pinned. */
+  def statsByHourDistributed(spark: SparkSession, rootUri: String, table: String,
+                             hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
+                             partitions: Int = 0)
+      : Seq[(java.time.Instant, Option[StatsSummary])] = {
+    val store = new HadoopStore(rootUri)
+    val keys = listTableKeys(store, table, hourRange)
+    if (keys.isEmpty) Seq.empty
+    else {
+      val parts = if (partitions > 0) partitions
+                  else math.min(256, 1 + keys.length / 64)
+      spark.sparkContext.parallelize(keys, parts)
+        .mapPartitions { ks =>
+          val st = new HadoopStore(rootUri) // per-executor store
+          ks.map { k =>
+            val hour = LakeKeys.parseKey(k).get._1.toEpochMilli
+            hour -> ZoneMaps.read(st, k).map(objectSummary)
+          }
+        }
+        .reduceByKey((a, b) => for (x <- a; y <- b) yield mergeSummaries(x, y))
+        .collect().toSeq
+        .map { case (h, s) => java.time.Instant.ofEpochMilli(h) -> s }
+        .sortBy(_._1)
+    }
+  }
+
+  /** One object's stats as a single-object [[StatsSummary]] — the unit of
+    * [[mergeSummaries]]'s associative fold, matching [[mergeObjectStats]]'
+    * lattice: a column with non-null values but no recorded bounds
+    * (string-typed, NaN-poisoned) is inexact; an all-null column keeps
+    * exact absent bounds that defer to the other side on merge. */
+  private def objectSummary(s: ZoneMaps.ObjectStats): StatsSummary =
+    StatsSummary(1L, s.records, s.cols.map { case (c, cs) =>
+      val poisoned = cs.min.isEmpty && cs.nulls < s.records
+      c -> StatsColumn(cs.min, cs.max, cs.nulls, boundsExact = !poisoned)
+    })
+
   /** Flat merge of per-object stats into one summary (the lattice:
     * columns survive only when EVERY object recorded them; bounds are
     * exact unless any object poisoned them — non-null values with no
@@ -414,16 +480,21 @@ object LakeReader {
     * silently dropping its rows (`ignoreMissing = false`). Schedule
     * pruned reads off maintenance windows, or retry on failure.
     *
-    * Driver cost: one sidecar read per candidate object (sidecars are
-    * ~100-byte objects). At warehouse scale batch the sidecar reads
-    * through a small RDD — [[statsSummaryDistributed]] is that
-    * arrangement, implemented, for the aggregate path; the listing
-    * itself is already the pruned level walk. */
+    * Sidecar-consult cost: one ~100-byte read per candidate object. Up to
+    * `sidecarDistributeAbove` candidates the driver walks them directly
+    * (no job overhead for interactive small-range reads); above it the
+    * consult ships to executors as a small RDD — the same arrangement as
+    * [[statsSummaryDistributed]] — so a million-object prune decision is
+    * a few hundred parallel tasks, not a serial driver loop. Both walks
+    * share one predicate ([[keepsObject]]), so the kept-set is identical
+    * by construction and spec-pinned. */
   def readPruned(spark: SparkSession, rootUri: String, table: String,
                  column: String, lo: java.math.BigDecimal, hi: java.math.BigDecimal,
-                 hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
+                 hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
+                 sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
       : (DataFrame, PruneReport) =
-    readPrunedMulti(spark, rootUri, table, Seq((column, lo, hi)), hourRange)
+    readPrunedMulti(spark, rootUri, table, Seq((column, lo, hi)), hourRange,
+      sidecarDistributeAbove)
 
   /** [[readPruned]] over a CONJUNCTION of per-column bands: an object is
     * opened only if EVERY band can intersect its recorded bounds. This is
@@ -435,16 +506,14 @@ object LakeReader {
     * keep the object), so the conjunction is too. */
   def readPrunedMulti(spark: SparkSession, rootUri: String, table: String,
                       bands: Seq[(String, java.math.BigDecimal, java.math.BigDecimal)],
-                      hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
+                      hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
+                      sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
       : (DataFrame, PruneReport) = {
     require(bands.nonEmpty, "at least one (column, lo, hi) band")
     val store = new HadoopStore(rootUri)
     val keys = listTableKeys(store, table, hourRange)
     require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
-    val kept = keys.filter { k =>
-      val stats = ZoneMaps.read(store, k) // one sidecar read for ALL bands
-      bands.forall { case (c, lo, hi) => ZoneMaps.mayContain(stats, c, lo, hi) }
-    }
+    val kept = prunedKeys(spark, rootUri, keys, bands, sidecarDistributeAbove)
     val report = PruneReport(keys.length, kept.length)
     if (kept.isEmpty) {
       // no object can match: an empty frame with the table's real schema
@@ -456,6 +525,46 @@ object LakeReader {
       (empty, report)
     } else (readPaths(spark, store, table, kept, kept, ignoreMissing = false), report)
   }
+
+  /** Candidate count above which the pruned-read sidecar consult ships to
+    * executors instead of walking on the driver. Below it (interactive
+    * hour-range reads, tests) a Spark job would cost more than it saves;
+    * above it the driver loop IS the bottleneck — at a million objects a
+    * serial walk of ~100-byte sidecar reads is minutes of driver time that
+    * a few hundred tasks absorb in seconds. */
+  val DefaultSidecarDistributeAbove = 4096
+
+  /** The single consult predicate BOTH walks share: conservative keep on
+    * missing/torn/poisoned stats, conjunction across bands, one sidecar
+    * read per object regardless of band count. */
+  private def keepsObject(stats: Option[ZoneMaps.ObjectStats],
+      bands: Seq[(String, java.math.BigDecimal, java.math.BigDecimal)]): Boolean =
+    bands.forall { case (c, lo, hi) => ZoneMaps.mayContain(stats, c, lo, hi) }
+
+  /** Kept-key list for a pruned read: driver walk up to
+    * `distributeAbove` candidates, executor-distributed above (the
+    * [[statsSummaryDistributed]] arrangement — per-partition stores, a
+    * few hundred tasks for a million-object listing). Key order is
+    * preserved either way, and the two walks apply [[keepsObject]] to the
+    * same per-object sidecar reads, so kept-sets are identical —
+    * spec-pinned in ZoneMapsSpec including torn-sidecar and stat-less
+    * objects. */
+  private[lake] def prunedKeys(spark: SparkSession, rootUri: String,
+      keys: Seq[String],
+      bands: Seq[(String, java.math.BigDecimal, java.math.BigDecimal)],
+      distributeAbove: Int): Seq[String] =
+    if (keys.length <= distributeAbove) {
+      val store = new HadoopStore(rootUri)
+      keys.filter(k => keepsObject(ZoneMaps.read(store, k), bands))
+    } else {
+      val parts = math.min(256, 1 + keys.length / 64)
+      spark.sparkContext.parallelize(keys.zipWithIndex, parts)
+        .mapPartitions { it =>
+          val st = new HadoopStore(rootUri) // per-executor store
+          it.filter { case (k, _) => keepsObject(ZoneMaps.read(st, k), bands) }
+        }
+        .collect().sortBy(_._2).map(_._1).toSeq
+    }
 
   private def readPaths(spark: SparkSession, store: Store, table: String,
                         keys: Seq[String], relPaths: Seq[String],

@@ -46,6 +46,16 @@ object ZoneMaps {
 
   val Prefix = "_zmaps/"
 
+  /** Sidecar format version, written as a leading `"v":N` field. The strict
+    * round-trip parse pins each version's shape byte-exactly, so WITHOUT a
+    * version signal any future additive format change would make every
+    * existing reader treat all new sidecars as torn — silently disabling
+    * pruning and collapsing statsSummary to None lake-wide (safe, but a
+    * performance cliff with no signal). With the field, an old reader can
+    * distinguish "newer format" (surfaced on stderr, still conservative)
+    * from "torn/corrupt" (silent None by design). */
+  val Version = 1
+
   def statsKey(objectKey: String): String = Prefix + objectKey + ".zmap"
 
   /** Closed bounds over the object's non-null values; None = no non-null
@@ -130,13 +140,20 @@ object ZoneMaps {
       }.toMap)
   }
 
-  def render(s: ObjectStats): String = {
+  def render(s: ObjectStats): String =
+    s"""{"v":$Version,${renderBody(s)}}"""
+
+  /** The pre-versioned (round-≤9) sidecar shape: still ACCEPTED by [[parse]]
+    * so lakes written before the version field remain prunable. */
+  private def renderLegacy(s: ObjectStats): String = s"{${renderBody(s)}}"
+
+  private def renderBody(s: ObjectStats): String = {
     val cols = s.cols.toSeq.sortBy(_._1).map { case (name, cs) =>
       val mn = cs.min.map(v => "\"" + v.toPlainString + "\"").getOrElse("null")
       val mx = cs.max.map(v => "\"" + v.toPlainString + "\"").getOrElse("null")
       s"${graft.Json.str(name)}:{" + s""""min":$mn,"max":$mx,"nulls":${cs.nulls}}"""
     }.mkString(",")
-    s"""{"records":${s.records},"cols":{$cols}}"""
+    s""""records":${s.records},"cols":{$cols}"""
   }
 
   /** Minimal parser for [[render]]'s own fixed shape (no general JSON — the
@@ -152,15 +169,31 @@ object ZoneMaps {
     * turn into a silently wrong exact COUNT. Torn reads as None: pruning
     * keeps the object, the metadata aggregate falls back to a scan. */
   def parse(text: String): Option[ObjectStats] = try {
-    val rec = """"records":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-    val col = ("\"([^\"]+)\":\\{\"min\":(\"[^\"]*\"|null)," +
-      "\"max\":(\"[^\"]*\"|null),\"nulls\":(\\d+)\\}").r
-    val cols = col.findAllMatchIn(text).map { m =>
-      def dec(s: String) =
-        if (s == "null") None else Some(new BigDecimal(s.stripPrefix("\"").stripSuffix("\"")))
-      m.group(1) -> ColStats(dec(m.group(2)), dec(m.group(3)), m.group(4).toLong)
-    }.toMap
-    rec.map(ObjectStats(_, cols)).filter(s => render(s) == text)
+    // the version field is a leading scalar ("v":1,) — a COLUMN named "v"
+    // renders as "v":{... and cannot match \d+, so there is no collision,
+    // and the round-trip check below re-validates the whole shape anyway
+    val ver = """\{"v":(\d+),""".r.findPrefixMatchOf(text).map(_.group(1).toInt)
+    if (ver.exists(_ > Version)) {
+      System.err.println(s"[graft.ZoneMaps] sidecar format v${ver.get} is newer " +
+        s"than this reader's v$Version — treating as unreadable " +
+        "(pruning keeps the object; metadata aggregates fall back to a scan)")
+      None
+    } else {
+      val rec = """"records":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      val col = ("\"([^\"]+)\":\\{\"min\":(\"[^\"]*\"|null)," +
+        "\"max\":(\"[^\"]*\"|null),\"nulls\":(\\d+)\\}").r
+      val cols = col.findAllMatchIn(text).map { m =>
+        def dec(s: String) =
+          if (s == "null") None else Some(new BigDecimal(s.stripPrefix("\"").stripSuffix("\"")))
+        m.group(1) -> ColStats(dec(m.group(2)), dec(m.group(3)), m.group(4).toLong)
+      }.toMap
+      // strict: must re-render to the exact input bytes under the DECLARED
+      // version's canonical form (versioned or legacy) — a torn prefix of
+      // either shape reads as None
+      rec.map(ObjectStats(_, cols)).filter { s =>
+        (if (ver.isDefined) render(s) else renderLegacy(s)) == text
+      }
+    }
   } catch { case _: Exception => None }
 
   def write(store: Store, objectKey: String, stats: ObjectStats): Unit = {

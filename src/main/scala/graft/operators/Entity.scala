@@ -297,7 +297,7 @@ object Entity {
 
   /** Index half of the PassJoin join: each key of length ≥ k+1 emits its
     * k+1 even-split segments as `(_iid, _ilen, _ii, _iseg)`. */
-  private def segIndexRows(base: DataFrame, k: Int): DataFrame = {
+  private[graft] def segIndexRows(base: DataFrame, k: Int): DataFrame = {
     val m = k + 1
     base.filter(col("_len") > k)
       .select(col("_id"), col("_len"), explode(expr(
@@ -313,22 +313,47 @@ object Entity {
 
   /** Probe half: each key emits every substring at the valid (La, i,
     * start) combinations — La the hypothesized index-side length, the
-    * start window ±k around segment i's position under La, clipped to
-    * the probe key — as `(_pid, _pla, _pi, _psub)`. The d-enumeration
-    * over a FIXED 0..2k range keeps sequence() ascending (sequence(lo,
-    * hi) with lo > hi silently DESCENDS in Spark). */
-  private def segProbeRows(base: DataFrame, k: Int): DataFrame = {
+    * start window around segment i's position under La, clipped to the
+    * probe key — as `(_pid, _pla, _pi, _psub)`. The d-enumeration over a
+    * FIXED 0..2k range keeps sequence() ascending (sequence(lo, hi) with
+    * lo > hi silently DESCENDS in Spark).
+    *
+    * The window is the MULTI-MATCH-AWARE substring selection (PassJoin
+    * §4, Li/Deng/Feng VLDB'11): a match at shift σ = st − stI needs
+    * ≥ |σ| edits strictly before the segment and ≥ |Δ − σ| after it
+    * (Δ = probe len − La), and the paper's lemma guarantees some segment
+    * i matches with ≤ i edits before and ≤ k − i after — so segment i
+    * claims only σ ∈ [max(−i, Δ−(k−i)), min(i, Δ+(k−i))] and the union
+    * over i stays complete. vs the plain symmetric ±k window this cuts
+    * the probe side roughly in half (measured on the e03 corpus at
+    * sf0.01, k=2: 1,063,200 → 552,663 probe rows, 109,297 → 56,776
+    * distinct join candidates, e03 wall-time ~1.9s → ~1.6s; the
+    * brute-force completeness spec covers q∈{1,2}×k∈{1,2,3} both ways).
+    * `multiMatchAware = false` keeps the plain window — the rehearsal
+    * driver measures both. */
+  private[graft] def segProbeRows(base: DataFrame, k: Int,
+                                  multiMatchAware: Boolean = true): DataFrame = {
     val m = k + 1
     val stI = s"(i * (La div $m) + least(i, La % $m))"
     val liI = s"((La div $m) + if(i < La % $m, 1, 0))"
+    val dlt = s"(int(_len) - La)"
+    // lower/upper bounds on st, inclusive; both already fold in the
+    // probe-key clip [0, len − liI]
+    val (lo, hi) =
+      if (multiMatchAware)
+        (s"greatest(0, $stI + greatest(-i, $dlt - ($k - i)))",
+         s"least(int(_len) - $liI, $stI + least(i, $dlt + ($k - i)))")
+      else
+        (s"greatest(0, $stI - $k)",
+         s"least(int(_len) - $liI, $stI + $k)")
     base.filter(col("_len") >= 1)
       .select(col("_id"), col("_len"), explode(expr(
         s"""flatten(flatten(
            |  transform(sequence(greatest(int(_len) - $k, $m), int(_len) + $k), La ->
            |    transform(sequence(0, $k), i ->
            |      transform(
-           |        filter(transform(sequence(0, ${2 * k}), d -> greatest(0, $stI - $k) + d),
-           |               st -> st <= int(_len) - $liI AND st <= $stI + $k),
+           |        filter(transform(sequence(0, ${2 * k}), d -> $lo + d),
+           |               st -> st <= $hi),
            |        st -> named_struct('la', La, 'i', i,
            |                          'sub', substring(_key, st + 1, $liI)))))))"""
           .stripMargin)).as("_p"))

@@ -33,7 +33,11 @@ object Guards {
         .filter(when(col("_gn") <= maxRows, lit(true)).otherwise(raise_error(
           format_string(
             s"$what: key %s has %s rows, over $boundName=$maxRows — $remedy",
-            col("_gblk").cast("string"), col("_gn")))))
+            // format_string is null-strict: an oversized NULL-key group
+            // would otherwise raise with a NULL message, losing the
+            // key/bound/remedy diagnostic the guard exists to provide
+            coalesce(col("_gblk").cast("string"), lit("NULL")),
+            col("_gn")))))
         .drop("_gblk", "_gn")
     }
   }

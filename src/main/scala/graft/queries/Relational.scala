@@ -96,8 +96,12 @@ object Relational {
 
     // ---------------------------------------------------------------------
     // Multi-way equi-join with broadcast dims (TPC-H Q5 shape): fact tables
-    // shuffle on join keys; region/nation/supplier broadcast so only
-    // customer⋈orders⋈lineitem shuffles.
+    // shuffle on join keys; only the genuinely bounded dims (nation is 25
+    // rows and region 5 at EVERY sf) carry broadcast hints. Supplier grows
+    // linearly with sf (1M rows at sf100), so its strategy is left to the
+    // size-based planner/AQE — it broadcasts at small sf and flips to
+    // sort-merge when it outgrows the threshold (plan-pinned in
+    // PlanShapeSpec's threshold-flip test alongside q69/q70/q78).
     "q03_join_revenue_nation" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -112,7 +116,7 @@ object Relational {
         customer
           .join(orders, $"c_custkey" === $"o_custkey")
           .join(lineitem, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(supplier), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(supplier, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
           .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
           .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
           .groupBy($"n_name")
@@ -1240,15 +1244,18 @@ object Relational {
           .select($"l_returnflag", $"n", $"sx".cast(d).as("sx"),
             $"sy".cast(d).as("sy"), $"sxx".cast(d).as("sxx"),
             $"sxy".cast(d).as("sxy"), $"syy".cast(d).as("syy"))
+          // Degenerate-group guard: a group where every x (or y) is equal
+          // zeroes the corresponding variance denominator. Unguarded, Spark
+          // doubles yield NaN/±Infinity while other engines pick their own
+          // convention — nullif pins BOTH engines to NULL instead.
+          .withColumn("dxy", $"n" * $"sxy" - $"sx" * $"sy")
+          .withColumn("dxx", nullif($"n" * $"sxx" - $"sx" * $"sx", lit(0.0)))
+          .withColumn("dyy", nullif($"n" * $"syy" - $"sy" * $"sy", lit(0.0)))
           .select($"l_returnflag",
-            round(($"n" * $"sxy" - $"sx" * $"sy")
-              / ($"n" * $"sxx" - $"sx" * $"sx") / 100, 4).as("slope"),
-            round(($"sy" / 100 - ($"n" * $"sxy" - $"sx" * $"sy")
-              / ($"n" * $"sxx" - $"sx" * $"sx") / 100 * $"sx") / $"n", 2)
+            round($"dxy" / $"dxx" / 100, 4).as("slope"),
+            round(($"sy" / 100 - $"dxy" / $"dxx" / 100 * $"sx") / $"n", 2)
               .as("intercept"),
-            round(($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy")
-              / (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 6)
-              .as("r2"),
+            round($"dxy" * $"dxy" / ($"dxx" * $"dyy"), 6).as("r2"),
             $"n")
           .orderBy($"l_returnflag")
       },
@@ -1263,15 +1270,19 @@ object Relational {
              |    CAST(sum(xl*xl) AS DOUBLE) AS sxx,
              |    CAST(sum(xl*yc) AS DOUBLE) AS sxy,
              |    CAST(sum(yc*yc) AS DOUBLE) AS syy
-             |  FROM b GROUP BY 1)
+             |  FROM b GROUP BY 1),
+             |g AS (
+             |  SELECT l_returnflag, n, sx, sy,
+             |    n*sxy - sx*sy AS dxy,
+             |    nullif(n*sxx - sx*sx, 0) AS dxx,
+             |    nullif(n*syy - sy*sy, 0) AS dyy
+             |  FROM m)
              |SELECT l_returnflag,
-             |  round((n*sxy - sx*sy) / (n*sxx - sx*sx) / 100, 4) AS slope,
-             |  round((sy/100 - (n*sxy - sx*sy)/(n*sxx - sx*sx)/100*sx) / n, 2)
-             |    AS intercept,
-             |  round((n*sxy - sx*sy)*(n*sxy - sx*sy)
-             |    / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2,
+             |  round(dxy / dxx / 100, 4) AS slope,
+             |  round((sy/100 - dxy/dxx/100*sx) / n, 2) AS intercept,
+             |  round(dxy*dxy / (dxx*dyy), 6) AS r2,
              |  CAST(n AS BIGINT) AS n
-             |FROM m ORDER BY l_returnflag""".stripMargin)),
+             |FROM g ORDER BY l_returnflag""".stripMargin)),
 
     // ---------------------------------------------------------------------
     // EWMA over the trailing 10 events per user, folded ENTIRELY in scaled

@@ -208,10 +208,21 @@ object LakeSink {
         // from the published count; stop at the first missing one) — each
         // with its sidecar, which would otherwise orphan
         var extra = published.length
-        while ({ val (_, k) = epochKey(extra); store.exists(k) && { store.delete(k); true } }) {
+        var moreLeftovers = true
+        while (moreLeftovers) {
           val (_, k) = epochKey(extra)
-          try store.delete(graft.lake.ZoneMaps.statsKey(k)) catch { case _: Throwable => () }
-          extra += 1
+          if (store.exists(k)) {
+            store.delete(k)
+            // a fault HERE (data key already gone) must not fail the batch,
+            // but an orphaned sidecar under a deleted final key is a silent
+            // storage leak — signal it (reads never consult it: they are
+            // driven by data-key listing)
+            try store.delete(graft.lake.ZoneMaps.statsKey(k))
+            catch { case e: Throwable => System.err.println(
+              s"[graft.LakeSink] orphaned sidecar ${graft.lake.ZoneMaps.statsKey(k)} " +
+              s"under deleted leftover key (delete failed: $e)") }
+            extra += 1
+          } else moreLeftovers = false
         }
         // heal objects landed by the short-lived intermediate seed format
         // (":table:epoch:i" — sinkId folded in without the empty-default
@@ -229,10 +240,17 @@ object LakeSink {
             graft.lake.LakeKeys.objectKey(schema.name, flushTime, id, gzip)
           }
           var j = 0
-          while ({ val k = interKey(j); store.exists(k) && { store.delete(k); true } }) {
-            try store.delete(graft.lake.ZoneMaps.statsKey(interKey(j)))
-            catch { case _: Throwable => () }
-            j += 1
+          var moreInter = true
+          while (moreInter) {
+            val k = interKey(j)
+            if (store.exists(k)) {
+              store.delete(k)
+              try store.delete(graft.lake.ZoneMaps.statsKey(k))
+              catch { case e: Throwable => System.err.println(
+                s"[graft.LakeSink] orphaned sidecar ${graft.lake.ZoneMaps.statsKey(k)} " +
+                s"under deleted intermediate-seed key (delete failed: $e)") }
+              j += 1
+            } else moreInter = false
           }
         }
         val age = System.currentTimeMillis() - t0

@@ -207,6 +207,74 @@ class ZoneMapsSpec extends SparkSuite {
     assert(rep.kept == 1, s"corrupt sidecar must keep its object: $rep")
   }
 
+  test("distributed sidecar consult keeps EXACTLY the driver walk's set (torn + stat-less included)") {
+    val root = freshRoot()
+    val written = fixture(root) // id bands [0,249][250,499][500,749][750,999]
+    val store = new HadoopStore(root)
+    val band = written.map(_.key) // writer order == id-band order
+    // band 2 [250,499]: TORN sidecar (valid prefix) — conservative keep
+    val whole = {
+      val in = store.open(ZoneMaps.statsKey(band(1)))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val out = store.create(ZoneMaps.statsKey(band(1)))
+    out.write(whole.take(whole.length / 2).getBytes("UTF-8")); out.close()
+    // band 3 [500,749]: NO sidecar at all (stat-less writer) — conservative keep
+    store.delete(ZoneMaps.statsKey(band(2)))
+    val keys = LakeReader.listTableKeys(store, "zt", None)
+    assert(keys.size == 4)
+    // band [0,100]: healthy object 1 kept by stats; 2 (torn) and 3
+    // (stat-less) kept conservatively; healthy object 4 pruned
+    val bands = Seq(("id", dec(0), dec(100)))
+    val driver = LakeReader.prunedKeys(spark, root, keys, bands,
+      distributeAbove = Int.MaxValue)
+    val dist = LakeReader.prunedKeys(spark, root, keys, bands,
+      distributeAbove = 0) // force the RDD walk
+    assert(driver == dist, s"walks must agree:\ndriver=$driver\ndist=$dist")
+    assert(driver.size == 3 && !driver.contains(band(3)),
+      s"torn+stat-less keep, healthy out-of-band prunes: $driver")
+    // multi-band conjunction agrees too (id × v, v = id/3)
+    val bands2 = Seq(("id", dec(0), dec(600)), ("v", dec(90), dec(110)))
+    val d2 = LakeReader.prunedKeys(spark, root, keys, bands2, Int.MaxValue)
+    val x2 = LakeReader.prunedKeys(spark, root, keys, bands2, 0)
+    assert(d2 == x2, s"multi-band walks must agree:\ndriver=$d2\ndist=$x2")
+    // and the public read path over the distributed walk stays exact
+    val (df, rep) = LakeReader.readPrunedMulti(spark, root, "zt", bands,
+      sidecarDistributeAbove = 0)
+    assert(rep == LakeReader.PruneReport(4, 3))
+    assert(df.filter(col("id") <= 100).count() == 101)
+    // the torn sidecar that PRUNING survives (conservative keep) must
+    // collapse the exact-or-absent DISTRIBUTED aggregate to None — the
+    // strict parse refuses the prefix, never merges garbage into an
+    // "exact" COUNT (the driver walk agrees)
+    assert(LakeReader.statsSummaryDistributed(spark, root, "zt",
+      partitions = 4).isEmpty, "torn sidecar must poison the distributed summary")
+    assert(LakeReader.statsSummary(store, "zt").isEmpty)
+  }
+
+  test("sidecar format version: legacy accepted, newer refused, torn versioned refused") {
+    import ZoneMaps._
+    val stats = ObjectStats(42, Map("id" -> ColStats(Some(dec(1)), Some(dec(9)), 0)))
+    val current = render(stats)
+    assert(current.startsWith("{\"v\":1,"), s"v1 sidecars must self-identify: $current")
+    assert(parse(current).contains(stats))
+    // the pre-versioned (round-<=9) shape must still parse — existing lakes
+    // keep their pruning without a sidecar rewrite
+    val legacy = current.replaceFirst("\\{\"v\":1,", "{")
+    assert(parse(legacy).contains(stats), s"legacy shape must parse: $legacy")
+    // a NEWER version is 'unreadable here', not 'torn': conservative None
+    // (keep/scan), surfaced on stderr rather than silently degrading
+    val newer = current.replaceFirst("\"v\":1", "\"v\":2")
+    assert(parse(newer).isEmpty, "newer format must refuse to parse")
+    // torn prefixes of the VERSIONED shape refuse too
+    for (cut <- Seq(7, 20, current.length - 1))
+      assert(parse(current.take(cut)).isEmpty,
+        s"torn versioned prefix must not parse: '${current.take(cut)}'")
+    // a column literally named "v" cannot shadow the version field
+    val vcol = ObjectStats(7, Map("v" -> ColStats(Some(dec(3)), Some(dec(5)), 1)))
+    assert(parse(render(vcol)).contains(vcol))
+  }
+
   test("Infinity poisons float bounds instead of failing the write") {
     import graft.types.{ColType, TableSchema}
     val t = new ZoneMaps.Tracker(TableSchema("x", Seq("f" -> ColType.CFloat)))

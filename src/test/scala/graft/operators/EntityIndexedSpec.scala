@@ -155,6 +155,20 @@ class EntityIndexedSpec extends SparkSuite {
       Guards.perKeyRows(clash, col("blk"), 10L, "spec", "maxRows", "r")
     }
     assert(ex.getMessage.contains("_gn"), s"reserved-name raise: ${ex.getMessage}")
+    // an oversized NULL-key group must raise WITH the key/bound/remedy
+    // diagnostic (format_string is null-strict — unguarded, the message
+    // itself would be NULL and the guard's whole point is lost)
+    val nulls = Seq[(String, Int)]((null, 1), (null, 2), (null, 3), ("a", 1))
+      .toDF("blk", "x")
+    val en = intercept[Exception] {
+      Guards.perKeyRows(nulls, col("blk"), 2L, "spec", "maxRows",
+        "split the key").collect()
+    }
+    val msg = Option(en.getMessage).getOrElse("") +
+      Option(en.getCause).map(c => " " + c.getMessage).getOrElse("")
+    assert(msg.contains("NULL") && msg.contains("maxRows=2") &&
+      msg.contains("split the key"),
+      s"null-key raise must keep key/bound/remedy: $msg")
   }
 
   test("editCandidates plan: the gram join is keyed — the only nested loop is the bounded pool") {

@@ -92,9 +92,34 @@ class PlanShapeSpec extends SparkSuite {
   // ------------------------------------------------- relational headliners
   // (round-4 judge item: the survey's §2B scale claims, pinned on plans)
 
-  test("q03: the nation dimension joins as a broadcast, the fact side unshuffled into it") {
+  test("q03: bounded dims broadcast AND no fact/linear table carries a broadcast hint") {
+    // Stronger than "some BroadcastHashJoin exists": every broadcast hint
+    // in the LOGICAL plan must sit on a genuinely bounded table
+    // (nation: 25 rows, region: 5 rows at every sf). Supplier grows
+    // linearly with sf, so a hint there would be honored regardless of
+    // size and OOM a real cluster at sf100 — its strategy must be the
+    // planner's size-based choice (the threshold-flip test below proves
+    // AQE owns it).
+    val df = SparkEntry.queries("q03_join_revenue_nation")(spark, sf("sf0.001"))
     val p = plan("q03_join_revenue_nation")
-    assert(p.contains("BroadcastHashJoin"), s"dimension join must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bounded dims must broadcast:\n$p")
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        h.child.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.mkString(",")
+              case other => other.toString
+            }
+        }.mkString(",")
+    }
+    assert(hinted.nonEmpty, "bounded dims (nation/region) should stay hinted")
+    hinted.foreach { tables =>
+      assert(!tables.contains("supplier") && !tables.contains("customer") &&
+             !tables.contains("lineitem") && !tables.contains("orders"),
+        s"broadcast hint on a linearly-growing table: $tables\n$p")
+    }
   }
 
   test("q09: per-key top-k windows push a partial group limit below the shuffle") {
@@ -290,7 +315,7 @@ class PlanShapeSpec extends SparkSuite {
     assert(nSmj <= 1, s"only orders⋈lineitem may sort-merge (found $nSmj):\n$p")
   }
 
-  test("q69/q70/q78: forcing the broadcast threshold down flips customer/supplier to SMJ — AQE owns the choice") {
+  test("q03/q69/q70/q78: forcing the broadcast threshold down flips customer/supplier to SMJ — AQE owns the choice") {
     // The 100-TB proof: customer and supplier grow linearly with sf, so
     // their broadcasts above are SIZE-BASED decisions, not pinned hints.
     // With the threshold forced to -1 the planner must fall back to
@@ -301,7 +326,8 @@ class PlanShapeSpec extends SparkSuite {
     val saves = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      for ((q, minSmj) <- Seq(("q69_tpch_q5", 2), ("q70_tpch_q10", 1),
+      for ((q, minSmj) <- Seq(("q03_join_revenue_nation", 2),
+                              ("q69_tpch_q5", 2), ("q70_tpch_q10", 1),
                               ("q78_ratio_to_report", 1))) {
         val p = plan(q)
         val nSmj = "SortMergeJoin".r.findAllIn(p).length

@@ -42,8 +42,27 @@ class FaultyStoreSpec extends SparkSuite {
       puts += 1
       inner.put(key, data)
     }
+    // mid-READ faults for one key: the stream either THROWS halfway or
+    // silently EOFs halfway (a torn prefix reaches the caller's parser —
+    // what a racing delete or an object-store ranged-GET cutoff delivers)
+    @volatile var failReadOf: String = null
+    @volatile var truncateReadOf: String = null
     override def create(key: String): OutputStream = inner.create(key)
-    override def open(key: String): InputStream = inner.open(key)
+    override def open(key: String): InputStream = {
+      val in = inner.open(key)
+      if (key != failReadOf && key != truncateReadOf) in
+      else {
+        val all = try in.readAllBytes() finally in.close()
+        val half = all.length / 2
+        if (key == truncateReadOf) new java.io.ByteArrayInputStream(all, 0, half)
+        else new InputStream {
+          private var pos = 0
+          override def read(): Int =
+            if (pos < half) { val b = all(pos) & 0xff; pos += 1; b }
+            else throw new java.io.IOException(s"injected mid-read failure at $key")
+        }
+      }
+    }
     override def list(prefix: String): Seq[String] = inner.list(prefix)
     override def exists(key: String): Boolean = inner.exists(key)
     override def delete(key: String): Unit = inner.delete(key)
@@ -67,6 +86,36 @@ class FaultyStoreSpec extends SparkSuite {
     LakeSink.landBatch(df, n.toLong, schema, root, gzip = true,
       recordLimit = 100L, writerFloor = 1, onFlush = _ => (), epochId = 0L,
       publishStore = store)
+  }
+
+  test("sidecar faulting MID-READ collapses the metadata aggregate to None, never garbage") {
+    import graft.lake.ZoneMaps
+    import spark.implicits._
+    val root = s"file://${Files.createTempDirectory("graft-s3ish-torn").toFile.getAbsolutePath}"
+    val hs = new HadoopStore(root)
+    val df = (0 until 250).map(i => Ev(i, ts("2024-07-01T00:00:00Z"), i % 3, i * 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    LakeSink.landBatch(df, 250L, schema, root, gzip = true, recordLimit = 100L,
+      writerFloor = 1, onFlush = _ => (), epochId = 0L, publishStore = hs,
+      zoneMaps = true)
+    // healthy walk: exact metadata aggregate
+    assert(LakeReader.statsSummary(hs, "s3_ev").exists(_.records == 250L))
+    val keys = LakeReader.listTableKeys(hs, "s3_ev", None)
+    val faulty = new FaultyStore(hs)
+    // 1. the sidecar stream THROWS halfway — exact-or-absent means absent
+    faulty.failReadOf = ZoneMaps.statsKey(keys(1))
+    assert(LakeReader.statsSummary(faulty, "s3_ev").isEmpty,
+      "a mid-read IOException must collapse the summary to None")
+    // 2. the stream EOFs halfway: a VALID PREFIX reaches the parser — the
+    //    lenient regexes alone would merge its truncated "records" into a
+    //    silently wrong exact COUNT; the strict round-trip refuses it
+    faulty.failReadOf = null
+    faulty.truncateReadOf = ZoneMaps.statsKey(keys(1))
+    assert(LakeReader.statsSummary(faulty, "s3_ev").isEmpty,
+      "a torn prefix must collapse the summary to None")
+    // fuse disarmed: the same store answers exactly again
+    faulty.truncateReadOf = null
+    assert(LakeReader.statsSummary(faulty, "s3_ev").exists(_.records == 250L))
   }
 
   test("a full epoch publishes exactly under copy+delete rename (no atomic rename anywhere)") {
