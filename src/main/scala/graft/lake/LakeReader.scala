@@ -404,6 +404,100 @@ object LakeReader {
     }
   }
 
+  /** [[statsByHour]] completed into the dashboard path its contract
+    * promises: hours with readable sidecars answer from METADATA alone;
+    * hours that lost one (torn/missing sidecar, stat-less writer) are
+    * SCANNED — one Spark job over exactly those hours' objects, grouped
+    * by the key-derived `_event_hour` — so a single torn sidecar costs
+    * one hour's data read, never the lake, and the caller always gets an
+    * answer. Returns `(hour, summary, fromMetadata)` ascending.
+    *
+    * Scanned summaries follow the sidecar lattice so the two sources
+    * stay interchangeable: INTEGER/TIME bounds exact; FLOAT bounds
+    * demoted to `boundsExact = false` when the hour holds any NaN/±Inf
+    * (exactly what [[ZoneMaps.Tracker]] poisons at write time); STRING/
+    * BOOLEAN/UUID columns carry exact null counts with no bounds. */
+  def statsByHourHybrid(spark: SparkSession, rootUri: String, table: String,
+                        hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
+      : Seq[(java.time.Instant, StatsSummary, Boolean)] = {
+    val store = new HadoopStore(rootUri)
+    val meta = statsByHour(store, table, hourRange)
+    val torn = meta.collect { case (h, None) => h }
+    if (torn.isEmpty) meta.map { case (h, s) => (h, s.get, true) }
+    else {
+      val tornKeys = torn.flatMap(h => listTableKeys(store, table, Some((h, h))))
+      val scanned = scannedHourSummaries(spark, store, table, tornKeys)
+      meta.map {
+        case (h, Some(s)) => (h, s, true)
+        case (h, None) => (h, scanned(h), false)
+      }
+    }
+  }
+
+  /** Exact per-hour summaries from the DATA of `keys`, one job: the
+    * scan half of [[statsByHourHybrid]]. */
+  private def scannedHourSummaries(spark: SparkSession, store: Store,
+      table: String, keys: Seq[String])
+      : Map[java.time.Instant, StatsSummary] = {
+    val schema = peekSchema(store, keys.head, table)
+    val df = readPaths(spark, store, table, keys, keys, ignoreMissing = false)
+    val tracked: Set[ColType] = Set(ColType.CInteger, ColType.CFloat, ColType.CTime)
+    val aggs = schema.columns.flatMap { case (n, t) =>
+      val nulls = sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"_nulls_$n")
+      t match {
+        case ColType.CFloat =>
+          // NaN/±Inf poison bounds at the tracker; the scan must demote
+          // identically or a healed sidecar and a scan would disagree
+          Seq(nulls, min(col(n)).as(s"_min_$n"), max(col(n)).as(s"_max_$n"),
+            max(when(isnan(col(n)) || col(n) === Double.PositiveInfinity ||
+              col(n) === Double.NegativeInfinity, 1L).otherwise(0L)).as(s"_bad_$n"))
+        case tt if tracked(tt) =>
+          Seq(nulls, min(col(n)).as(s"_min_$n"), max(col(n)).as(s"_max_$n"))
+        case _ => Seq(nulls)
+      }
+    }
+    val perHourObjects = keys.groupBy(k => LakeKeys.parseKey(k).get._1)
+      .map { case (h, ks) => h -> ks.length.toLong }
+    df.groupBy(col("_event_hour"))
+      .agg(count(lit(1)).as("_n"), aggs: _*)
+      .collect().map { row =>
+        val hour = row.getTimestamp(row.fieldIndex("_event_hour")).toInstant
+        val records = row.getLong(row.fieldIndex("_n"))
+        def dec(n: String, which: String): Option[java.math.BigDecimal] = {
+          val i = row.fieldIndex(s"_${which}_$n")
+          if (row.isNullAt(i)) None
+          else row.get(i) match {
+            case l: java.lang.Long => Some(java.math.BigDecimal.valueOf(l))
+            case d: java.lang.Double => Some(new java.math.BigDecimal(d.toString))
+            case ts: java.sql.Timestamp => Some(java.math.BigDecimal.valueOf(
+              ts.getTime * 1000L + (ts.getNanos / 1000) % 1000))
+            case other => Some(new java.math.BigDecimal(other.toString))
+          }
+        }
+        val cols = schema.columns.map { case (n, t) =>
+          val nulls = row.getLong(row.fieldIndex(s"_nulls_$n"))
+          val poisoned = t match {
+            case ColType.CFloat => row.getLong(row.fieldIndex(s"_bad_$n")) > 0
+            case tt if tracked(tt) => false
+            case _ => nulls < records // untracked type with non-null values
+          }
+          val (mn, mx) =
+            if (poisoned || !tracked(t)) (None, None)
+            else (dec(n, "min"), dec(n, "max"))
+          n -> StatsColumn(mn, mx, nulls, boundsExact = !poisoned)
+        }.toMap
+        hour -> StatsSummary(perHourObjects(hour), records, cols)
+      }.toMap match { case fromRows =>
+        // an hour whose objects are all header-only (0 records) yields no
+        // groupBy row — it still gets an exact empty summary
+        perHourObjects.map { case (h, nObjs) =>
+          h -> fromRows.getOrElse(h, StatsSummary(nObjs, 0L,
+            schema.columns.map { case (n, _) =>
+              n -> StatsColumn(None, None, 0L, boundsExact = true) }.toMap))
+        }
+      }
+  }
+
   /** One object's stats as a single-object [[StatsSummary]] — the unit of
     * [[mergeSummaries]]'s associative fold, matching [[mergeObjectStats]]'
     * lattice: a column with non-null values but no recorded bounds

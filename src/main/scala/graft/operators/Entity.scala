@@ -324,13 +324,13 @@ object Entity {
     * (Δ = probe len − La), and the paper's lemma guarantees some segment
     * i matches with ≤ i edits before and ≤ k − i after — so segment i
     * claims only σ ∈ [max(−i, Δ−(k−i)), min(i, Δ+(k−i))] and the union
-    * over i stays complete. vs the plain symmetric ±k window this cuts
-    * the probe side roughly in half (measured on the e03 corpus at
-    * sf0.01, k=2: 1,063,200 → 552,663 probe rows, 109,297 → 56,776
-    * distinct join candidates, e03 wall-time ~1.9s → ~1.6s; the
-    * brute-force completeness spec covers q∈{1,2}×k∈{1,2,3} both ways).
-    * `multiMatchAware = false` keeps the plain window — the rehearsal
-    * driver measures both. */
+    * over i stays complete. Measured on the e03 corpus (sf0.1
+    * documents.head(24), k=2, RehearsalR10): probe rows 275,000 →
+    * 95,000 (2.9×), distinct join candidates 109,639 → 60,748 (1.8×),
+    * verified-pair sets identical (287 pairs both ways) — the
+    * brute-force completeness spec additionally covers q∈{1,2}×k∈{1,2,3}.
+    * `multiMatchAware = false` keeps the plain symmetric ±k window —
+    * the rehearsal driver measures both. */
   private[graft] def segProbeRows(base: DataFrame, k: Int,
                                   multiMatchAware: Boolean = true): DataFrame = {
     val m = k + 1

@@ -252,6 +252,86 @@ class ZoneMapsSpec extends SparkSuite {
     assert(LakeReader.statsSummary(store, "zt").isEmpty)
   }
 
+  test("statsByHour: per-hour exact rollups; a torn sidecar nulls ONLY its hour; distributed ≡ driver") {
+    import spark.implicits._
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    def slice(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, i / 3.0,
+        java.sql.Timestamp.from(Instant.parse("2024-06-01T00:00:00Z")
+          .plusSeconds(i.toLong)), s"t$i"))
+      .toDF("id", "v", "ts", "tag").coalesce(1)
+    val h0 = Instant.parse("2024-06-05T07:00:00Z")
+    val h1 = Instant.parse("2024-06-05T08:00:00Z")
+    LakeWriter.write(slice(0, 400), schema, root, h0,
+      maxRecordsPerObject = 200L, zoneMaps = true)
+    LakeWriter.write(slice(400, 1000), schema, root, h1,
+      maxRecordsPerObject = 200L, zoneMaps = true)
+    val hours = LakeReader.statsByHour(store, "zt")
+    assert(hours.map(_._1) == Seq(h0, h1), s"ascending hour buckets: $hours")
+    val Seq((_, Some(s0)), (_, Some(s1))) = hours
+    assert(s0.records == 400 && s1.records == 600)
+    assert(s0.cols("id").min.get.longValueExact() == 0 &&
+           s0.cols("id").max.get.longValueExact() == 399 &&
+           s1.cols("id").min.get.longValueExact() == 400 &&
+           s1.cols("id").max.get.longValueExact() == 999)
+    assert(LakeReader.statsByHourDistributed(spark, root, "zt",
+      partitions = 3) == hours, "distributed hour walk must equal driver")
+    // tear one sidecar in hour 0: hour 0 → None, hour 1 untouched
+    val k0 = LakeReader.listTableKeys(store, "zt", Some((h0, h0))).head
+    val whole = {
+      val in = store.open(ZoneMaps.statsKey(k0))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val out = store.create(ZoneMaps.statsKey(k0))
+    out.write(whole.take(whole.length / 2).getBytes("UTF-8")); out.close()
+    val after = LakeReader.statsByHour(store, "zt")
+    assert(after.head._2.isEmpty, "torn hour must fall to None")
+    assert(after(1) == hours(1), "healthy hour must stay exact")
+    assert(LakeReader.statsByHourDistributed(spark, root, "zt") == after)
+    // hour-range scoping composes
+    assert(LakeReader.statsByHour(store, "zt", Some((h1, h1))) == Seq(after(1)))
+  }
+
+  test("statsByHourHybrid: torn hour scanned to the SAME summary the sidecars recorded (poison parity included)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    def slice(lo: Int, hi: Int, nanAt: Int = -1) =
+      (lo until hi).map(i => (i.toLong,
+          if (i == nanAt) Double.NaN else i / 3.0,
+          java.sql.Timestamp.from(Instant.parse("2024-06-01T00:00:00Z")
+            .plusSeconds(i.toLong)),
+          if (i % 5 == 0) null else s"t$i"))
+        .toDF("id", "v", "ts", "tag").coalesce(1)
+    val h0 = Instant.parse("2024-06-06T10:00:00Z")
+    val h1 = Instant.parse("2024-06-06T11:00:00Z")
+    // hour 0 carries a NaN: its sidecar POISONS the float bounds, and the
+    // scan must demote identically
+    LakeWriter.write(slice(0, 300, nanAt = 7), schema, root, h0,
+      maxRecordsPerObject = 150L, zoneMaps = true)
+    LakeWriter.write(slice(300, 500), schema, root, h1,
+      maxRecordsPerObject = 150L, zoneMaps = true)
+    val before = LakeReader.statsByHour(store, "zt")
+    assert(before.forall(_._2.nonEmpty))
+    // all healthy: hybrid is pure metadata
+    assert(LakeReader.statsByHourHybrid(spark, root, "zt") ==
+      before.map { case (h, s) => (h, s.get, true) })
+    // tear hour 0's sidecar: the hybrid must SCAN hour 0 into the exact
+    // summary the sidecars had recorded — records, null counts, integer/
+    // time bounds, poisoned float, string no-bounds, all bit-identical
+    val k0 = LakeReader.listTableKeys(store, "zt", Some((h0, h0))).head
+    val whole = {
+      val in = store.open(ZoneMaps.statsKey(k0))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val out = store.create(ZoneMaps.statsKey(k0))
+    out.write(whole.take(whole.length / 2).getBytes("UTF-8")); out.close()
+    val hybrid = LakeReader.statsByHourHybrid(spark, root, "zt")
+    assert(hybrid.map(_._3) == Seq(false, true), s"only hour 0 scans: $hybrid")
+    assert(hybrid.map(h => (h._1, h._2)) == before.map { case (h, s) => (h, s.get) },
+      s"scanned summary must equal the recorded one:\n$hybrid\nvs\n$before")
+  }
+
   test("sidecar format version: legacy accepted, newer refused, torn versioned refused") {
     import ZoneMaps._
     val stats = ObjectStats(42, Map("id" -> ColStats(Some(dec(1)), Some(dec(9)), 0)))
