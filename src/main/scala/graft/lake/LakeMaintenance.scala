@@ -108,10 +108,7 @@ object LakeMaintenance {
             if (zoneMaps) store.rename(ZoneMaps.statsKey(w.key), ZoneMaps.statsKey(dst))
             w.copy(key = dst)
           }
-          hourKeys.foreach { k =>
-            store.delete(k)
-            try store.delete(ZoneMaps.statsKey(k)) catch { case _: Throwable => () }
-          }
+          hourKeys.foreach(deleteWithSidecar(store, _))
           published
         }
       }
@@ -157,6 +154,39 @@ object LakeMaintenance {
     * re-run: per-object deletes, no staging, no rename. Driver-only
     * metadata op (keys, not data). */
   def expire(store: Store, table: String, olderThan: Instant): ExpiryReport = {
+    val (doomed, cutoff) = doomedKeys(store, table, olderThan)
+    doomed.foreach(deleteWithSidecar(store, _))
+    ExpiryReport(doomed.size, cutoff)
+  }
+
+  /** [[expire]] with the per-object deletes shipped to executors — the
+    * retention analogue of the distributed sidecar walks: a month of
+    * retired hours on a million-object table is a million delete calls,
+    * which a driver loop serializes but a few hundred tasks absorb. The
+    * hour-level listing walk stays on the driver (it is already the
+    * pruned level walk — O(retired hour dirs)); only the per-object
+    * delete fan-out distributes. Deletes are idempotent (delete of a
+    * missing key is a no-op), so a task retry can never double-count or
+    * fail on its own earlier progress. */
+  def expireDistributed(spark: org.apache.spark.sql.SparkSession, rootUri: String,
+                        table: String, olderThan: Instant,
+                        partitions: Int = 0): ExpiryReport = {
+    val store = new HadoopStore(rootUri)
+    val (doomed, cutoff) = doomedKeys(store, table, olderThan)
+    if (doomed.nonEmpty) {
+      val parts = if (partitions > 0) partitions
+                  else math.min(256, 1 + doomed.length / 64)
+      spark.sparkContext.parallelize(doomed, parts)
+        .foreachPartition { ks =>
+          val st = new HadoopStore(rootUri) // per-executor store
+          ks.foreach(deleteWithSidecar(st, _))
+        }
+    }
+    ExpiryReport(doomed.size, cutoff)
+  }
+
+  private def doomedKeys(store: Store, table: String,
+                         olderThan: Instant): (Seq[String], String) = {
     val cutoff = LakeKeys.datePrefix(
       olderThan.truncatedTo(java.time.temporal.ChronoUnit.HOURS))
     val doomed = for {
@@ -164,11 +194,20 @@ object LakeMaintenance {
       k <- store.list(s"$h/$table")
       if LakeKeys.parseKey(k).exists(_._2 == table)
     } yield k
-    doomed.foreach { k =>
-      store.delete(k)
-      // retire the object's zone-map sidecar with it (no-op when absent)
-      try store.delete(ZoneMaps.statsKey(k)) catch { case _: Throwable => () }
+    (doomed, cutoff)
+  }
+
+  /** Retire one data object and its zone-map sidecar (no-op when absent).
+    * A sidecar-delete fault must not fail retention/compaction — the data
+    * key is already gone and reads are driven by data-key listing — but
+    * an orphaned sidecar under a deleted key is a silent storage leak, so
+    * it is signaled rather than swallowed. */
+  private def deleteWithSidecar(store: Store, k: String): Unit = {
+    store.delete(k)
+    try store.delete(ZoneMaps.statsKey(k)) catch {
+      case e: Throwable => System.err.println(
+        s"[graft.LakeMaintenance] orphaned sidecar ${ZoneMaps.statsKey(k)} " +
+        s"under retired key (delete failed: $e)")
     }
-    ExpiryReport(doomed.size, cutoff)
   }
 }

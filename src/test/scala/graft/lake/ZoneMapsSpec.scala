@@ -292,6 +292,67 @@ class ZoneMapsSpec extends SparkSuite {
     assert(LakeReader.statsByHour(store, "zt", Some((h1, h1))) == Seq(after(1)))
   }
 
+  test("expireDistributed retires the same keys + sidecars as the driver expire") {
+    import spark.implicits._
+    def build(): String = {
+      val root = freshRoot()
+      def slice(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, i / 3.0,
+          java.sql.Timestamp.from(Instant.parse("2024-06-01T00:00:00Z")
+            .plusSeconds(i.toLong)), s"t$i"))
+        .toDF("id", "v", "ts", "tag").coalesce(1)
+      LakeWriter.write(slice(0, 300), schema, root,
+        Instant.parse("2024-06-08T01:00:00Z"), maxRecordsPerObject = 100L,
+        zoneMaps = true)
+      LakeWriter.write(slice(300, 500), schema, root,
+        Instant.parse("2024-06-08T05:00:00Z"), maxRecordsPerObject = 100L,
+        zoneMaps = true)
+      root
+    }
+    val cutoff = Instant.parse("2024-06-08T03:00:00Z")
+    val (rootA, rootB) = (build(), build())
+    val (storeA, storeB) = (new HadoopStore(rootA), new HadoopStore(rootB))
+    val repA = LakeMaintenance.expire(storeA, "zt", cutoff)
+    val repB = LakeMaintenance.expireDistributed(spark, rootB, "zt", cutoff,
+      partitions = 2)
+    assert(repA == repB, s"reports must agree: $repA vs $repB")
+    assert(repA.deleted == 3, s"hour 01's three objects retire: $repA")
+    def state(st: HadoopStore) =
+      (LakeReader.listTableKeys(st, "zt", None).map(_.split('/').take(4).mkString("/")).sorted,
+       st.list(ZoneMaps.Prefix).size)
+    assert(state(storeA) == state(storeB),
+      "surviving keys and sidecar counts must match across the two walks")
+    assert(state(storeB)._2 == 2, "only the surviving hour's sidecars remain")
+  }
+
+  test("statsByHour survives compaction: per-hour records/nulls/bounds identical, fewer objects") {
+    import spark.implicits._
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    def slice(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, i / 3.0,
+        java.sql.Timestamp.from(Instant.parse("2024-06-01T00:00:00Z")
+          .plusSeconds(i.toLong)), s"t$i"))
+      .toDF("id", "v", "ts", "tag").coalesce(1)
+    val h0 = Instant.parse("2024-06-07T03:00:00Z")
+    val h1 = Instant.parse("2024-06-07T04:00:00Z")
+    LakeWriter.write(slice(0, 600), schema, root, h0,
+      maxRecordsPerObject = 100L, zoneMaps = true) // 6 objects
+    LakeWriter.write(slice(600, 1000), schema, root, h1,
+      maxRecordsPerObject = 100L, zoneMaps = true) // 4 objects
+    val before = LakeReader.statsByHour(store, "zt")
+    val rep = LakeMaintenance.compact(spark, store, "zt",
+      targetRecords = 1000L, zoneMaps = true)
+    assert(rep.newObjects < rep.oldObjects, s"compaction must consolidate: $rep")
+    val after = LakeReader.statsByHour(store, "zt")
+    // the metadata answer is invariant under the rewrite — only the
+    // object count may shrink
+    def essence(s: Seq[(Instant, Option[LakeReader.StatsSummary])]) =
+      s.map { case (h, st) => (h, st.map(x => (x.records, x.cols))) }
+    assert(essence(after) == essence(before),
+      s"per-hour stats must survive compaction:\n$after\nvs\n$before")
+    assert(after.forall(_._2.nonEmpty) &&
+      after.map(_._2.get.objects).sum < before.map(_._2.get.objects).sum)
+  }
+
   test("statsByHourHybrid: torn hour scanned to the SAME summary the sidecars recorded (poison parity included)") {
     import spark.implicits._
     val root = freshRoot()
