@@ -175,7 +175,7 @@ object LakeMaintenance {
     val (doomed, cutoff) = doomedKeys(store, table, olderThan)
     if (doomed.nonEmpty) {
       val parts = if (partitions > 0) partitions
-                  else math.min(256, 1 + doomed.length / 64)
+                  else LakeReader.walkPartitions(doomed.length)
       spark.sparkContext.parallelize(doomed, parts)
         .foreachPartition { ks =>
           val st = new HadoopStore(rootUri) // per-executor store
@@ -197,17 +197,10 @@ object LakeMaintenance {
     (doomed, cutoff)
   }
 
-  /** Retire one data object and its zone-map sidecar (no-op when absent).
-    * A sidecar-delete fault must not fail retention/compaction — the data
-    * key is already gone and reads are driven by data-key listing — but
-    * an orphaned sidecar under a deleted key is a silent storage leak, so
-    * it is signaled rather than swallowed. */
+  /** Retire one data object and its zone-map sidecar (no-op when absent;
+    * a sidecar fault signals, never fails — [[ZoneMaps.deleteSidecarSignaled]]). */
   private def deleteWithSidecar(store: Store, k: String): Unit = {
     store.delete(k)
-    try store.delete(ZoneMaps.statsKey(k)) catch {
-      case e: Throwable => System.err.println(
-        s"[graft.LakeMaintenance] orphaned sidecar ${ZoneMaps.statsKey(k)} " +
-        s"under retired key (delete failed: $e)")
-    }
+    ZoneMaps.deleteSidecarSignaled(store, k, "graft.LakeMaintenance")
   }
 }

@@ -327,7 +327,7 @@ object LakeReader {
     if (keys.isEmpty) None
     else {
       val parts = if (partitions > 0) partitions
-                  else math.min(256, 1 + keys.length / 64)
+                  else walkPartitions(keys.length)
       // each partition merges ITS objects on the executor and ships one
       // partial summary (or the outer None when any sidecar was
       // unreadable — which poisons the whole answer; inner None = the
@@ -359,17 +359,25 @@ object LakeReader {
     * exact. Hours ascend in the result. */
   def statsByHour(store: Store, table: String,
                   hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
-      : Seq[(java.time.Instant, Option[StatsSummary])] = {
-    val keys = listTableKeys(store, table, hourRange)
-    keys.groupBy(k => LakeKeys.parseKey(k).get._1).toSeq.sortBy(_._1).map {
-      case (hour, ks) =>
-        // lazy within the hour: the first unreadable sidecar decides it
-        val stats = ks.view.map(k => ZoneMaps.read(store, k))
-          .takeWhile(_.nonEmpty).toSeq
-        hour -> (if (stats.length < ks.length) None
-                 else Some(mergeObjectStats(stats.map(_.get))))
+      : Seq[(java.time.Instant, Option[StatsSummary])] =
+    hourDriverWalk(store, groupKeysByHour(listTableKeys(store, table, hourRange)))
+
+  /** Ascending `(hour, that hour's keys)` groups of one key listing — the
+    * single snapshot every per-hour walk shares. */
+  private def groupKeysByHour(keys: Seq[String])
+      : Seq[(java.time.Instant, Seq[String])] =
+    keys.groupBy(k => LakeKeys.parseKey(k).get._1).toSeq.sortBy(_._1)
+
+  private def hourDriverWalk(store: Store,
+      byHour: Seq[(java.time.Instant, Seq[String])])
+      : Seq[(java.time.Instant, Option[StatsSummary])] =
+    byHour.map { case (hour, ks) =>
+      // lazy within the hour: the first unreadable sidecar decides it
+      val stats = ks.view.map(k => ZoneMaps.read(store, k))
+        .takeWhile(_.nonEmpty).toSeq
+      hour -> (if (stats.length < ks.length) None
+               else Some(mergeObjectStats(stats.map(_.get))))
     }
-  }
 
   /** [[statsByHour]] with the sidecar reads distributed over executors —
     * the same arrangement as [[statsSummaryDistributed]], keyed by hour:
@@ -383,12 +391,16 @@ object LakeReader {
                              hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
                              partitions: Int = 0)
       : Seq[(java.time.Instant, Option[StatsSummary])] = {
-    val store = new HadoopStore(rootUri)
-    val keys = listTableKeys(store, table, hourRange)
+    val keys = listTableKeys(new HadoopStore(rootUri), table, hourRange)
+    hourDistributedWalk(spark, rootUri, keys, partitions)
+  }
+
+  private def hourDistributedWalk(spark: SparkSession, rootUri: String,
+      keys: Seq[String], partitions: Int = 0)
+      : Seq[(java.time.Instant, Option[StatsSummary])] =
     if (keys.isEmpty) Seq.empty
     else {
-      val parts = if (partitions > 0) partitions
-                  else math.min(256, 1 + keys.length / 64)
+      val parts = if (partitions > 0) partitions else walkPartitions(keys.length)
       spark.sparkContext.parallelize(keys, parts)
         .mapPartitions { ks =>
           val st = new HadoopStore(rootUri) // per-executor store
@@ -402,7 +414,6 @@ object LakeReader {
         .map { case (h, s) => java.time.Instant.ofEpochMilli(h) -> s }
         .sortBy(_._1)
     }
-  }
 
   /** [[statsByHour]] completed into the dashboard path its contract
     * promises: hours with readable sidecars answer from METADATA alone;
@@ -418,18 +429,29 @@ object LakeReader {
     * (exactly what [[ZoneMaps.Tracker]] poisons at write time); STRING/
     * BOOLEAN/UUID columns carry exact null counts with no bounds. */
   def statsByHourHybrid(spark: SparkSession, rootUri: String, table: String,
-                        hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
+                        hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
+                        sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
       : Seq[(java.time.Instant, StatsSummary, Boolean)] = {
     val store = new HadoopStore(rootUri)
-    val meta = statsByHour(store, table, hourRange)
-    val torn = meta.collect { case (h, None) => h }
-    if (torn.isEmpty) meta.map { case (h, s) => (h, s.get, true) }
-    else {
-      val tornKeys = torn.flatMap(h => listTableKeys(store, table, Some((h, h))))
-      val scanned = scannedHourSummaries(spark, store, table, tornKeys)
-      meta.map {
-        case (h, Some(s)) => (h, s, true)
-        case (h, None) => (h, scanned(h), false)
+    // ONE key snapshot drives both halves: torn hours scan exactly the
+    // keys the metadata walk saw — a re-listing would race retention/
+    // compaction between the walks (an hour emptied in between would
+    // crash the scan half instead of failing the read loudly). The
+    // metadata half distributes above the same threshold as the pruned
+    // reads; below it a Spark job costs more than the driver walk saves.
+    val keys = listTableKeys(store, table, hourRange)
+    val byHour = groupKeysByHour(keys)
+    val meta: Map[java.time.Instant, Option[StatsSummary]] =
+      (if (keys.length <= sidecarDistributeAbove) hourDriverWalk(store, byHour)
+       else hourDistributedWalk(spark, rootUri, keys)).toMap
+    val tornKeys = byHour.collect { case (h, ks) if meta(h).isEmpty => ks }.flatten
+    val scanned: Map[java.time.Instant, StatsSummary] =
+      if (tornKeys.isEmpty) Map.empty
+      else scannedHourSummaries(spark, store, table, tornKeys)
+    byHour.map { case (h, _) =>
+      meta(h) match {
+        case Some(s) => (h, s, true)
+        case None => (h, scanned(h), false)
       }
     }
   }
@@ -469,8 +491,10 @@ object LakeReader {
           else row.get(i) match {
             case l: java.lang.Long => Some(java.math.BigDecimal.valueOf(l))
             case d: java.lang.Double => Some(new java.math.BigDecimal(d.toString))
+            // epoch micros truncated to wire millis — the SAME convention
+            // as ZoneMaps.Tracker, so scanned and sidecar bounds agree
             case ts: java.sql.Timestamp => Some(java.math.BigDecimal.valueOf(
-              ts.getTime * 1000L + (ts.getNanos / 1000) % 1000))
+              ts.getTime * 1000L))
             case other => Some(new java.math.BigDecimal(other.toString))
           }
         }
@@ -628,6 +652,13 @@ object LakeReader {
     * a few hundred tasks absorb in seconds. */
   val DefaultSidecarDistributeAbove = 4096
 
+  /** One task sizing for EVERY distributed metadata walk (sidecar
+    * consults, per-hour partials, retention deletes): ~64 objects per
+    * task, capped at 256 tasks — shared so the walks the specs pin as
+    * "the same arrangement" cannot drift apart one call site at a
+    * time. */
+  private[lake] def walkPartitions(n: Int): Int = math.min(256, 1 + n / 64)
+
   /** The single consult predicate BOTH walks share: conservative keep on
     * missing/torn/poisoned stats, conjunction across bands, one sidecar
     * read per object regardless of band count. */
@@ -651,7 +682,7 @@ object LakeReader {
       val store = new HadoopStore(rootUri)
       keys.filter(k => keepsObject(ZoneMaps.read(store, k), bands))
     } else {
-      val parts = math.min(256, 1 + keys.length / 64)
+      val parts = walkPartitions(keys.length)
       spark.sparkContext.parallelize(keys.zipWithIndex, parts)
         .mapPartitions { it =>
           val st = new HadoopStore(rootUri) // per-executor store

@@ -46,15 +46,24 @@ object ZoneMaps {
 
   val Prefix = "_zmaps/"
 
-  /** Sidecar format version, written as a leading `"v":N` field. The strict
-    * round-trip parse pins each version's shape byte-exactly, so WITHOUT a
-    * version signal any future additive format change would make every
+  /** Highest sidecar format version this READER understands. The strict
+    * round-trip parse pins each version's shape byte-exactly, so without
+    * a version signal any future additive format change would make every
     * existing reader treat all new sidecars as torn — silently disabling
     * pruning and collapsing statsSummary to None lake-wide (safe, but a
-    * performance cliff with no signal). With the field, an old reader can
-    * distinguish "newer format" (surfaced on stderr, still conservative)
-    * from "torn/corrupt" (silent None by design). */
+    * performance cliff with no signal).
+    *
+    * ROLLOUT IS READER-FIRST: writers still emit the versionless legacy
+    * shape (emitting `"v":1` today would itself be that exact unsignaled
+    * break for every pre-version reader in a mixed-version fleet), while
+    * every reader from this release on accepts BOTH shapes and surfaces a
+    * `"v":N > Version` sidecar on stderr (once per version per JVM)
+    * instead of silently degrading. Only after pre-version readers are
+    * retired may a format change start writing a version field. */
   val Version = 1
+
+  private val warnedVersions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
   def statsKey(objectKey: String): String = Prefix + objectKey + ".zmap"
 
@@ -103,7 +112,12 @@ object ZoneMaps {
         if (d.isNaN || d.isInfinite) None
         else Some(new BigDecimal(x.toString))
       case (ColType.CTime, ts: java.sql.Timestamp) =>
-        Some(BigDecimal.valueOf(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000))
+        // epoch MICROS, truncated to the MILLIS the wire format keeps
+        // (TypedCsv serializes `.SSS`): bounds must describe the value as
+        // READ BACK, or a sub-millisecond input (micros-precision parquet
+        // source) records a sidecar min ABOVE the stored value and a
+        // pruned band between them wrongly skips the object.
+        Some(BigDecimal.valueOf(ts.getTime * 1000L))
       case _ => None
     }
 
@@ -111,7 +125,11 @@ object ZoneMaps {
       records += 1
       var i = 0
       while (i < n) {
-        if (vals(i) == null) nulls(i) += 1
+        // a null AND an empty string serialize to the same empty field
+        // (TypedCsv.formatValue), which the CSV read maps back to NULL —
+        // the sidecar must count what the lake ROUND-TRIPS, or metadata
+        // null counts disagree with any scan of the same objects
+        if (vals(i) == null || vals(i) == "") nulls(i) += 1
         else types(i) match {
           case ColType.CInteger | ColType.CFloat | ColType.CTime =>
             ordView(types(i), vals(i)) match {
@@ -140,12 +158,13 @@ object ZoneMaps {
       }.toMap)
   }
 
-  def render(s: ObjectStats): String =
-    s"""{"v":$Version,${renderBody(s)}}"""
+  def render(s: ObjectStats): String = s"{${renderBody(s)}}"
 
-  /** The pre-versioned (round-≤9) sidecar shape: still ACCEPTED by [[parse]]
-    * so lakes written before the version field remain prunable. */
-  private def renderLegacy(s: ObjectStats): String = s"{${renderBody(s)}}"
+  /** The versioned shape a FUTURE format bump will emit once pre-version
+    * readers are retired; today's readers already accept it (the
+    * reader-first half of the rollout, spec-pinned). */
+  private[lake] def renderVersioned(s: ObjectStats): String =
+    s"""{"v":$Version,${renderBody(s)}}"""
 
   private def renderBody(s: ObjectStats): String = {
     val cols = s.cols.toSeq.sortBy(_._1).map { case (name, cs) =>
@@ -174,9 +193,13 @@ object ZoneMaps {
     // and the round-trip check below re-validates the whole shape anyway
     val ver = """\{"v":(\d+),""".r.findPrefixMatchOf(text).map(_.group(1).toInt)
     if (ver.exists(_ > Version)) {
-      System.err.println(s"[graft.ZoneMaps] sidecar format v${ver.get} is newer " +
-        s"than this reader's v$Version — treating as unreadable " +
-        "(pruning keeps the object; metadata aggregates fall back to a scan)")
+      // once per version per JVM: this runs in the per-object walk the
+      // distributed arrangements fan out at million-object scale — a line
+      // per sidecar would drown the logs the signal exists to reach
+      if (warnedVersions.add(ver.get))
+        System.err.println(s"[graft.ZoneMaps] sidecar format v${ver.get} is newer " +
+          s"than this reader's v$Version — treating as unreadable " +
+          "(pruning keeps the object; metadata aggregates fall back to a scan)")
       None
     } else {
       val rec = """"records":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
@@ -191,10 +214,24 @@ object ZoneMaps {
       // version's canonical form (versioned or legacy) — a torn prefix of
       // either shape reads as None
       rec.map(ObjectStats(_, cols)).filter { s =>
-        (if (ver.isDefined) render(s) else renderLegacy(s)) == text
+        (if (ver.isDefined) renderVersioned(s) else render(s)) == text
       }
     }
   } catch { case _: Exception => None }
+
+  /** Delete `dataKey`'s sidecar, SIGNALING a fault instead of throwing or
+    * swallowing: every caller runs after the data key is already gone
+    * (epoch-replay cleanup, retention, compaction retire), where failing
+    * the operation over a sidecar is wrong — reads never consult orphan
+    * sidecars (they are driven by data-key listing) — but an unreported
+    * orphan is a silent storage leak. One implementation so the policy
+    * (and any future retry/metrics change) cannot drift per call site. */
+  def deleteSidecarSignaled(store: Store, dataKey: String, context: String): Unit =
+    try store.delete(statsKey(dataKey)) catch {
+      case e: Throwable => System.err.println(
+        s"[$context] orphaned sidecar ${statsKey(dataKey)} under deleted key " +
+        s"(delete failed: $e)")
+    }
 
   def write(store: Store, objectKey: String, stats: ObjectStats): Unit = {
     val out = store.create(statsKey(objectKey))

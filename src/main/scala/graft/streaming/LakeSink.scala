@@ -213,14 +213,8 @@ object LakeSink {
           val (_, k) = epochKey(extra)
           if (store.exists(k)) {
             store.delete(k)
-            // a fault HERE (data key already gone) must not fail the batch,
-            // but an orphaned sidecar under a deleted final key is a silent
-            // storage leak — signal it (reads never consult it: they are
-            // driven by data-key listing)
-            try store.delete(graft.lake.ZoneMaps.statsKey(k))
-            catch { case e: Throwable => System.err.println(
-              s"[graft.LakeSink] orphaned sidecar ${graft.lake.ZoneMaps.statsKey(k)} " +
-              s"under deleted leftover key (delete failed: $e)") }
+            graft.lake.ZoneMaps.deleteSidecarSignaled(store, k,
+              "graft.LakeSink leftover-cleanup")
             extra += 1
           } else moreLeftovers = false
         }
@@ -245,10 +239,8 @@ object LakeSink {
             val k = interKey(j)
             if (store.exists(k)) {
               store.delete(k)
-              try store.delete(graft.lake.ZoneMaps.statsKey(k))
-              catch { case e: Throwable => System.err.println(
-                s"[graft.LakeSink] orphaned sidecar ${graft.lake.ZoneMaps.statsKey(k)} " +
-                s"under deleted intermediate-seed key (delete failed: $e)") }
+              graft.lake.ZoneMaps.deleteSidecarSignaled(store, k,
+                "graft.LakeSink intermediate-seed-cleanup")
               j += 1
             } else moreInter = false
           }

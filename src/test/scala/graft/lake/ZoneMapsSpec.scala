@@ -20,6 +20,18 @@ class ZoneMapsSpec extends SparkSuite {
 
   private def dec(l: Long) = BigDecimal.valueOf(l)
 
+  /** Tear a sidecar to a valid prefix of itself — the torn-writer /
+    * ranged-GET-cutoff fixture every strict-parse case pins. */
+  private def tear(store: Store, dataKey: String): Unit = {
+    val zk = ZoneMaps.statsKey(dataKey)
+    val whole = {
+      val in = store.open(zk)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val out = store.create(zk)
+    try out.write(whole.take(whole.length / 2).getBytes("UTF-8")) finally out.close()
+  }
+
   private def fixture(root: String): Seq[LakeWriter.WrittenObject] = {
     import spark.implicits._
     // DETERMINISTIC disjoint bands: ordered single-partition write rolled
@@ -213,12 +225,7 @@ class ZoneMapsSpec extends SparkSuite {
     val store = new HadoopStore(root)
     val band = written.map(_.key) // writer order == id-band order
     // band 2 [250,499]: TORN sidecar (valid prefix) — conservative keep
-    val whole = {
-      val in = store.open(ZoneMaps.statsKey(band(1)))
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    }
-    val out = store.create(ZoneMaps.statsKey(band(1)))
-    out.write(whole.take(whole.length / 2).getBytes("UTF-8")); out.close()
+    tear(store, band(1))
     // band 3 [500,749]: NO sidecar at all (stat-less writer) — conservative keep
     store.delete(ZoneMaps.statsKey(band(2)))
     val keys = LakeReader.listTableKeys(store, "zt", None)
@@ -278,12 +285,7 @@ class ZoneMapsSpec extends SparkSuite {
       partitions = 3) == hours, "distributed hour walk must equal driver")
     // tear one sidecar in hour 0: hour 0 → None, hour 1 untouched
     val k0 = LakeReader.listTableKeys(store, "zt", Some((h0, h0))).head
-    val whole = {
-      val in = store.open(ZoneMaps.statsKey(k0))
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    }
-    val out = store.create(ZoneMaps.statsKey(k0))
-    out.write(whole.take(whole.length / 2).getBytes("UTF-8")); out.close()
+    tear(store, k0)
     val after = LakeReader.statsByHour(store, "zt")
     assert(after.head._2.isEmpty, "torn hour must fall to None")
     assert(after(1) == hours(1), "healthy hour must stay exact")
@@ -357,12 +359,18 @@ class ZoneMapsSpec extends SparkSuite {
     import spark.implicits._
     val root = freshRoot()
     val store = new HadoopStore(root)
+    // row 0 (the hour's ts MINIMUM) carries sub-millisecond precision: the
+    // wire format keeps only .SSS, so the sidecar must record the
+    // TRUNCATED bound or metadata and scan disagree (and a pruned band
+    // between the two values would wrongly skip the object); some tags
+    // are EMPTY STRINGS, which serialize to the same empty field as null
+    // and must count as null in the sidecar for the same parity reason
     def slice(lo: Int, hi: Int, nanAt: Int = -1) =
       (lo until hi).map(i => (i.toLong,
           if (i == nanAt) Double.NaN else i / 3.0,
           java.sql.Timestamp.from(Instant.parse("2024-06-01T00:00:00Z")
-            .plusSeconds(i.toLong)),
-          if (i % 5 == 0) null else s"t$i"))
+            .plusSeconds(i.toLong).plusNanos(if (i == lo) 999999L else 0L)),
+          if (i % 5 == 0) null else if (i % 7 == 0) "" else s"t$i"))
         .toDF("id", "v", "ts", "tag").coalesce(1)
     val h0 = Instant.parse("2024-06-06T10:00:00Z")
     val h1 = Instant.parse("2024-06-06T11:00:00Z")
@@ -381,39 +389,39 @@ class ZoneMapsSpec extends SparkSuite {
     // summary the sidecars had recorded — records, null counts, integer/
     // time bounds, poisoned float, string no-bounds, all bit-identical
     val k0 = LakeReader.listTableKeys(store, "zt", Some((h0, h0))).head
-    val whole = {
-      val in = store.open(ZoneMaps.statsKey(k0))
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    }
-    val out = store.create(ZoneMaps.statsKey(k0))
-    out.write(whole.take(whole.length / 2).getBytes("UTF-8")); out.close()
+    tear(store, k0)
     val hybrid = LakeReader.statsByHourHybrid(spark, root, "zt")
     assert(hybrid.map(_._3) == Seq(false, true), s"only hour 0 scans: $hybrid")
     assert(hybrid.map(h => (h._1, h._2)) == before.map { case (h, s) => (h, s.get) },
       s"scanned summary must equal the recorded one:\n$hybrid\nvs\n$before")
   }
 
-  test("sidecar format version: legacy accepted, newer refused, torn versioned refused") {
+  test("sidecar versioning is reader-first: legacy written+accepted, versioned accepted, newer refused") {
     import ZoneMaps._
     val stats = ObjectStats(42, Map("id" -> ColStats(Some(dec(1)), Some(dec(9)), 0)))
-    val current = render(stats)
-    assert(current.startsWith("{\"v\":1,"), s"v1 sidecars must self-identify: $current")
-    assert(parse(current).contains(stats))
-    // the pre-versioned (round-<=9) shape must still parse — existing lakes
-    // keep their pruning without a sidecar rewrite
-    val legacy = current.replaceFirst("\\{\"v\":1,", "{")
-    assert(parse(legacy).contains(stats), s"legacy shape must parse: $legacy")
+    // writers still emit the versionless legacy shape — emitting "v":1
+    // today would itself be the unsignaled break for pre-version readers
+    // in a mixed-version fleet (the cliff the field exists to prevent)
+    val legacy = render(stats)
+    assert(!legacy.contains("\"v\":"), s"writers must stay legacy-shaped: $legacy")
+    assert(parse(legacy).contains(stats))
+    // the versioned shape a future bump will emit must ALREADY parse here
+    val versioned = renderVersioned(stats)
+    assert(versioned.startsWith("{\"v\":1,"), versioned)
+    assert(parse(versioned).contains(stats), s"versioned shape must parse: $versioned")
     // a NEWER version is 'unreadable here', not 'torn': conservative None
     // (keep/scan), surfaced on stderr rather than silently degrading
-    val newer = current.replaceFirst("\"v\":1", "\"v\":2")
+    val newer = versioned.replaceFirst("\"v\":1", "\"v\":2")
     assert(parse(newer).isEmpty, "newer format must refuse to parse")
-    // torn prefixes of the VERSIONED shape refuse too
-    for (cut <- Seq(7, 20, current.length - 1))
-      assert(parse(current.take(cut)).isEmpty,
-        s"torn versioned prefix must not parse: '${current.take(cut)}'")
+    // torn prefixes of BOTH shapes refuse too
+    for (cut <- Seq(7, 20, versioned.length - 1))
+      assert(parse(versioned.take(cut)).isEmpty,
+        s"torn versioned prefix must not parse: '${versioned.take(cut)}'")
+    assert(parse(legacy.take(legacy.length - 1)).isEmpty)
     // a column literally named "v" cannot shadow the version field
     val vcol = ObjectStats(7, Map("v" -> ColStats(Some(dec(3)), Some(dec(5)), 1)))
     assert(parse(render(vcol)).contains(vcol))
+    assert(parse(renderVersioned(vcol)).contains(vcol))
   }
 
   test("Infinity poisons float bounds instead of failing the write") {

@@ -101,7 +101,7 @@ class PlanShapeSpec extends SparkSuite {
     // planner's size-based choice (the threshold-flip test below proves
     // AQE owns it).
     val df = SparkEntry.queries("q03_join_revenue_nation")(spark, sf("sf0.001"))
-    val p = plan("q03_join_revenue_nation")
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"bounded dims must broadcast:\n$p")
     val hinted = df.queryExecution.analyzed.collect {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
