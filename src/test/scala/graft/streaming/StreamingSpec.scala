@@ -150,6 +150,18 @@ class StreamingSpec extends SparkSuite {
     val store = new graft.lake.HadoopStore(root)
     assert(store.list(graft.lake.ZoneMaps.Prefix + "_staging").isEmpty,
       "staged sidecars must be cleaned with the staging prefix")
+    // per-hour metadata rollups compose with STREAMED sidecars too: the
+    // stat-less rewritten epoch (zm = false above) poisons its — only —
+    // hour, and the hybrid walk scans exactly that hour back to an exact
+    // answer (everything streamed this run shares one flush hour, so the
+    // one bucket must be scanned, not metadata-served)
+    val hours = LakeReader.statsByHour(store, "zm_ev")
+    assert(hours.size == 1 && hours.head._2.isEmpty,
+      s"a stat-less object must poison its hour bucket: $hours")
+    val hybrid = LakeReader.statsByHourHybrid(spark, root, "zm_ev")
+    assert(hybrid.size == 1 && !hybrid.head._3 &&
+      hybrid.head._2.records == 300,
+      s"the hybrid walk must scan the poisoned hour to exactness: $hybrid")
   }
 
   test("intermediate-seed leftovers are healed even when a sinkId is newly configured") {
