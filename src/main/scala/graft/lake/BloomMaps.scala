@@ -1,0 +1,164 @@
+package graft.lake
+
+import graft.types.TableSchema
+
+import java.nio.charset.StandardCharsets
+
+import scala.util.hashing.MurmurHash3
+
+/** Per-object BLOOM sidecars for point-EQUALITY pruning — the capability
+  * min/max zone maps cannot give: STRING columns are deliberately
+  * untracked by [[ZoneMaps]] (collation trap), and high-cardinality IDs
+  * in an unsorted layout have bands so wide every object intersects.
+  * An equality probe (`col = value`) against a bloom skips every object
+  * whose filter provably lacks the value — the Delta/Iceberg
+  * bloom-filter-index idea, landed natively on the lake format. At
+  * 100 TB this is the "find one document by key" path: a metadata walk
+  * over ~8 KB filters instead of a full scan.
+  *
+  * Layout: `_zmaps/<objectKey>.bloom` — the same invisible root as the
+  * stats sidecars (data reads never descend into `_zmaps/`), so the
+  * `_zmaps/_staging` cleanup paths cover staged blooms for free.
+  *
+  * Values hash by their WIRE form ([[TypedCsv.formatValue]]), so the
+  * reader probes with exactly the bytes the writer observed regardless
+  * of the column's logical type. Nulls are never inserted — nor are
+  * empty strings, which the wire format cannot distinguish from null
+  * (the same round-trip rule [[ZoneMaps.Tracker]] applies to null
+  * counts) — an equality probe is never an IS NULL predicate. Hashing
+  * is MurmurHash3 over UTF-8 with `k` seeds: deterministic across JVMs,
+  * no serialized hash-function state to version.
+  *
+  * Contract mirrors zone maps: a MISSING or unreadable bloom keeps the
+  * object (pruning is an optimization, never a correctness gate); a
+  * present bloom may wrongly KEEP (false positive, bounded by the m/k
+  * sizing) but can never wrongly SKIP. Immutability caveat: an epoch
+  * replay rewrites the same key with fresh bytes — the streaming sink
+  * deletes any bloom under a key it republishes (exactly as it handles
+  * stale stats sidecars), so a stale bloom can never skip rows a
+  * rewrite added. */
+object BloomMaps {
+
+  def bloomKey(objectKey: String): String = ZoneMaps.Prefix + objectKey + ".bloom"
+
+  /** `m` bits (multiple of 64), `k` hash seeds. Defaults give ~0.24%
+    * false positives at 4096 distinct values per object and stay under
+    * 2% up to ~10k distinct — an 8 KB sidecar per object per column. */
+  val DefaultBits = 65536
+  val DefaultHashes = 4
+
+  final case class ColBloom(m: Int, k: Int, bits: Array[Byte]) {
+    def mightContain(wire: String): Boolean = {
+      val data = wire.getBytes(StandardCharsets.UTF_8)
+      var i = 0
+      while (i < k) {
+        val pos = ((MurmurHash3.bytesHash(data, i) % m) + m) % m
+        if ((bits(pos >> 3) & (1 << (pos & 7))) == 0) return false
+        i += 1
+      }
+      true
+    }
+    // Array[Byte] equality is by reference — give the case class value
+    // semantics so parsed and tracked blooms compare in specs
+    override def equals(o: Any): Boolean = o match {
+      case c: ColBloom => m == c.m && k == c.k &&
+        java.util.Arrays.equals(bits, c.bits)
+      case _ => false
+    }
+    override def hashCode(): Int = m * 31 + k * 7 + java.util.Arrays.hashCode(bits)
+  }
+
+  final case class ObjectBlooms(records: Long, cols: Map[String, ColBloom])
+
+  /** Streaming accumulator the writer drives row by row — O(k) per
+    * tracked value, no buffering (the [[ZoneMaps.Tracker]] pattern). */
+  final class Tracker(schema: TableSchema, columns: Seq[String],
+                      m: Int = DefaultBits, k: Int = DefaultHashes) {
+    require(m > 0 && m % 64 == 0, s"bloom bits must be a positive multiple of 64: $m")
+    require(k >= 1 && k <= 16, s"bloom hash count out of range: $k")
+    private val names = schema.columnNames
+    private val colIdx = columns.map { c =>
+      val i = names.indexOf(c)
+      require(i >= 0, s"bloom column '$c' is not in schema ${schema.name}")
+      i
+    }.toArray
+    private val colTypes = colIdx.map(schema.colTypes(_))
+    private val bits = Array.fill(columns.length)(new Array[Byte](m / 8))
+    private var records = 0L
+
+    def observe(vals: Array[Any]): Unit = {
+      records += 1
+      var c = 0
+      while (c < colIdx.length) {
+        val v = vals(colIdx(c))
+        // null and "" share the empty wire field: neither is insertable
+        // as an equality-probe value
+        if (v != null && v != "") {
+          val data = TypedCsv.formatValue(v, colTypes(c))
+            .getBytes(StandardCharsets.UTF_8)
+          val b = bits(c)
+          var i = 0
+          while (i < k) {
+            val pos = ((MurmurHash3.bytesHash(data, i) % m) + m) % m
+            b(pos >> 3) = (b(pos >> 3) | (1 << (pos & 7))).toByte
+            i += 1
+          }
+        }
+        c += 1
+      }
+    }
+
+    def result(): ObjectBlooms = ObjectBlooms(records,
+      columns.zipWithIndex.map { case (c, i) =>
+        c -> ColBloom(m, k, bits(i).clone())
+      }.toMap)
+  }
+
+  def render(b: ObjectBlooms): String = {
+    val cols = b.cols.toSeq.sortBy(_._1).map { case (name, cb) =>
+      val b64 = java.util.Base64.getEncoder.encodeToString(cb.bits)
+      s"${graft.Json.str(name)}:{" +
+        s""""m":${cb.m},"k":${cb.k},"bits":"$b64"}"""
+    }.mkString(",")
+    s"""{"records":${b.records},"cols":{$cols}}"""
+  }
+
+  /** Minimal parser for [[render]]'s own fixed shape, STRICT like
+    * [[ZoneMaps.parse]]: the result must re-render to the exact input
+    * bytes, so a torn sidecar (whose truncated base64 could still decode
+    * to a valid-looking but WRONG bit array — one that wrongly skips)
+    * reads as None and the object is conservatively kept. */
+  def parse(text: String): Option[ObjectBlooms] = try {
+    val rec = """"records":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+    val col = ("\"([^\"]+)\":\\{\"m\":(\\d+),\"k\":(\\d+)," +
+      "\"bits\":\"([A-Za-z0-9+/=]*)\"\\}").r
+    val cols = col.findAllMatchIn(text).map { mm =>
+      val m = mm.group(2).toInt
+      val bytes = java.util.Base64.getDecoder.decode(mm.group(4))
+      mm.group(1) -> ColBloom(m, mm.group(3).toInt, bytes)
+    }.filter { case (_, cb) => cb.bits.length == cb.m / 8 }.toMap
+    rec.map(ObjectBlooms(_, cols)).filter(b => render(b) == text)
+  } catch { case _: Exception => None }
+
+  def write(store: Store, objectKey: String, blooms: ObjectBlooms): Unit = {
+    val out = store.create(bloomKey(objectKey))
+    try out.write(render(blooms).getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def read(store: Store, objectKey: String): Option[ObjectBlooms] = try {
+    val in = store.open(bloomKey(objectKey))
+    try parse(new String(in.readAllBytes(), StandardCharsets.UTF_8)) finally in.close()
+  } catch { case _: Exception => None }
+
+  /** Can the object possibly hold a row with `column` equal to the value
+    * whose wire form is `wire`? True when the bloom is absent, unreadable,
+    * or does not track the column (conservative). */
+  def mightContain(blooms: Option[ObjectBlooms], column: String, wire: String): Boolean =
+    blooms match {
+      case None => true
+      case Some(b) => b.cols.get(column) match {
+        case None => true
+        case Some(cb) => cb.mightContain(wire)
+      }
+    }
+}

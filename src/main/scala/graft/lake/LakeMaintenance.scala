@@ -52,15 +52,17 @@ object LakeMaintenance {
 
   /** With `zoneMaps = true`, compacted objects are written with
     * [[ZoneMaps]] sidecars and the sidecars publish/clean with their data
-    * objects, so data skipping survives compaction. Old objects' sidecars
-    * are removed with the old objects either way (a stale sidecar is an
-    * orphan, never a correctness hazard — pruning only consults sidecars
-    * of LISTED data keys). */
+    * objects, so data skipping survives compaction; `bloomColumns` does
+    * the same for [[BloomMaps]] equality-probe sidecars. Old objects'
+    * sidecars are removed with the old objects either way (a stale
+    * sidecar is an orphan, never a correctness hazard — pruning only
+    * consults sidecars of LISTED data keys). */
   def compact(spark: SparkSession, store: Store, table: String,
               hourRange: Option[(Instant, Instant)] = None,
               targetRecords: Long = 200000L,
               gzip: Boolean = true,
-              zoneMaps: Boolean = false): CompactionReport = {
+              zoneMaps: Boolean = false,
+              bloomColumns: Seq[String] = Nil): CompactionReport = {
     // Same pruned listing plan as the reader: never a full-lake walk.
     val oldKeys = LakeReader.listTableKeys(store, table, hourRange)
     if (oldKeys.isEmpty) return CompactionReport(0, 0, 0L, Seq.empty)
@@ -98,7 +100,7 @@ object LakeMaintenance {
           val staged = LakeWriter.write(
             df.repartition(parts), schema, store.rootUri, hour, gzip,
             maxRecordsPerObject = targetRecords, keyPrefix = s"$staging/",
-            zoneMaps = zoneMaps)
+            zoneMaps = zoneMaps, bloomColumns = bloomColumns)
           // Publish: the job succeeded, so `staged` is exactly the
           // successful attempts' output — move those keys (and only
           // those) into place, then retire the old objects.
@@ -106,6 +108,8 @@ object LakeMaintenance {
             val dst = w.key.stripPrefix(s"$staging/")
             store.rename(w.key, dst)
             if (zoneMaps) store.rename(ZoneMaps.statsKey(w.key), ZoneMaps.statsKey(dst))
+            if (bloomColumns.nonEmpty)
+              store.rename(BloomMaps.bloomKey(w.key), BloomMaps.bloomKey(dst))
             w.copy(key = dst)
           }
           hourKeys.foreach(deleteWithSidecar(store, _))

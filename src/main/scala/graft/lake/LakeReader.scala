@@ -632,6 +632,70 @@ object LakeReader {
     val keys = listTableKeys(store, table, hourRange)
     require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
     val kept = prunedKeys(spark, rootUri, keys, bands, sidecarDistributeAbove)
+    prunedResult(spark, store, table, keys, kept)
+  }
+
+  /** EQUALITY-probe pruned read via [[BloomMaps]] sidecars: only objects
+    * whose bloom filter might contain `value` in `column` are opened —
+    * the point-lookup path zone maps cannot serve (STRING columns are
+    * untracked there; unsorted high-cardinality IDs have useless bands).
+    * The probe value is hashed by its WIRE form, derived from the
+    * table's declared column type, so it matches exactly the bytes the
+    * writer inserted. Objects without a readable bloom (stat-less
+    * writer, torn sidecar, untracked column) are conservatively kept;
+    * the caller still applies the exact `=== value` predicate (blooms
+    * bound OBJECTS and admit false positives, never rows). Same
+    * point-in-time snapshot semantics and driver/distributed threshold
+    * as [[readPrunedMulti]]. */
+  def readPrunedEq(spark: SparkSession, rootUri: String, table: String,
+                   column: String, value: Any,
+                   hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
+                   sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
+      : (DataFrame, PruneReport) = {
+    require(value != null && value != "",
+      "equality probes are never null (and \"\" round-trips as null in the wire format)")
+    val store = new HadoopStore(rootUri)
+    val keys = listTableKeys(store, table, hourRange)
+    require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
+    val colType = peekSchema(store, keys.head, table).columns.toMap.getOrElse(column,
+      throw new IllegalArgumentException(s"no column '$column' in table $table"))
+    val wire = TypedCsv.formatValue(value, colType)
+    // a point probe on a ZoneMaps-TRACKED type also band-checks [v, v]
+    // against the stats sidecar — blooms and bands compose (either may
+    // be absent; both are conservative), so one entry point serves
+    // string lookups (bloom-only), integer/time lookups (band, plus
+    // bloom if indexed), and mixed lakes. The band value mirrors the
+    // Tracker's wire-precision conventions (millis-truncated time).
+    val band: Option[java.math.BigDecimal] = (colType, value) match {
+      case (ColType.CInteger, n: java.lang.Number) =>
+        Some(java.math.BigDecimal.valueOf(n.longValue()))
+      case (ColType.CTime, ts: java.sql.Timestamp) =>
+        Some(java.math.BigDecimal.valueOf(ts.getTime * 1000L))
+      case (ColType.CFloat, n: java.lang.Number)
+          if !n.doubleValue().isNaN && !n.doubleValue().isInfinite =>
+        Some(new java.math.BigDecimal(n.toString))
+      case _ => None
+    }
+    def keeps(st: Store, k: String): Boolean =
+      BloomMaps.mightContain(BloomMaps.read(st, k), column, wire) &&
+        band.forall(b => ZoneMaps.mayContain(ZoneMaps.read(st, k), column, b, b))
+    val kept =
+      if (keys.length <= sidecarDistributeAbove) keys.filter(keeps(store, _))
+      else {
+        val parts = walkPartitions(keys.length)
+        spark.sparkContext.parallelize(keys.zipWithIndex, parts)
+          .mapPartitions { it =>
+            val st = new HadoopStore(rootUri) // per-executor store
+            it.filter { case (k, _) => keeps(st, k) }
+          }
+          .collect().sortBy(_._2).map(_._1).toSeq
+      }
+    prunedResult(spark, store, table, keys, kept)
+  }
+
+  private def prunedResult(spark: SparkSession, store: Store, table: String,
+                           keys: Seq[String], kept: Seq[String])
+      : (DataFrame, PruneReport) = {
     val report = PruneReport(keys.length, kept.length)
     if (kept.isEmpty) {
       // no object can match: an empty frame with the table's real schema

@@ -51,7 +51,16 @@ object LakeWriter {
   def write(df: DataFrame, schema: TableSchema, rootUri: String,
             flushTime: Instant = Instant.now(), gzip: Boolean = true,
             maxRecordsPerObject: Long = 0L, keyPrefix: String = "",
-            zoneMaps: Boolean = false): Seq[WrittenObject] = {
+            zoneMaps: Boolean = false,
+            bloomColumns: Seq[String] = Nil,
+            bloomBits: Int = BloomMaps.DefaultBits,
+            bloomHashes: Int = BloomMaps.DefaultHashes): Seq[WrittenObject] = {
+    // validate bloom config on the DRIVER: a bad column name must fail
+    // the call, not every task
+    if (bloomColumns.nonEmpty) {
+      new BloomMaps.Tracker(schema, bloomColumns, bloomBits, bloomHashes)
+      ()
+    }
     import org.apache.spark.sql.functions.col
     require(LakeKeys.isValidTableName(schema.name),
       s"table name '${schema.name}' is not a valid key segment (see LakeKeys.isValidTableName)")
@@ -74,6 +83,7 @@ object LakeWriter {
         var out: BufferedWriter = null
         var n = 0L
         var tracker: ZoneMaps.Tracker = null
+        var blooms: BloomMaps.Tracker = null
         def open(): Unit = {
           id = UUID.randomUUID()
           key = keyPrefix + LakeKeys.objectKey(table, flushTime, id, gzip)
@@ -84,10 +94,13 @@ object LakeWriter {
           out.write(namesHeader); out.write("\n")
           n = 0L
           if (zoneMaps) tracker = new ZoneMaps.Tracker(schema)
+          if (bloomColumns.nonEmpty)
+            blooms = new BloomMaps.Tracker(schema, bloomColumns, bloomBits, bloomHashes)
         }
         def closeObject(): Unit = {
           out.close(); written += WrittenObject(key, id, n)
           if (zoneMaps) ZoneMaps.write(store, key, tracker.result())
+          if (blooms != null) BloomMaps.write(store, key, blooms.result())
         }
         try {
           open() // inside the cleanup scope: a failed FIRST create/header
@@ -101,6 +114,7 @@ object LakeWriter {
             var i = 0
             while (i < nCols) { vals(i) = r.get(i); i += 1 }
             if (zoneMaps) tracker.observe(vals)
+            if (blooms != null) blooms.observe(vals)
             out.write(TypedCsv.formatRow(vals.toSeq, types)); out.write("\n")
             n += 1
           }
@@ -117,6 +131,9 @@ object LakeWriter {
             try store.delete(k) catch { case _: Throwable => () }
             if (zoneMaps) {
               try store.delete(ZoneMaps.statsKey(k)) catch { case _: Throwable => () }
+            }
+            if (bloomColumns.nonEmpty) {
+              try store.delete(BloomMaps.bloomKey(k)) catch { case _: Throwable => () }
             }
           }
           throw e

@@ -219,18 +219,20 @@ object ZoneMaps {
     }
   } catch { case _: Exception => None }
 
-  /** Delete `dataKey`'s sidecar, SIGNALING a fault instead of throwing or
-    * swallowing: every caller runs after the data key is already gone
-    * (epoch-replay cleanup, retention, compaction retire), where failing
-    * the operation over a sidecar is wrong — reads never consult orphan
-    * sidecars (they are driven by data-key listing) — but an unreported
-    * orphan is a silent storage leak. One implementation so the policy
-    * (and any future retry/metrics change) cannot drift per call site. */
+  /** Delete `dataKey`'s sidecars — stats AND bloom — SIGNALING a fault
+    * instead of throwing or swallowing: every caller runs after the data
+    * key is already gone (epoch-replay cleanup, retention, compaction
+    * retire), where failing the operation over a sidecar is wrong —
+    * reads never consult orphan sidecars (they are driven by data-key
+    * listing) — but an unreported orphan is a silent storage leak. One
+    * implementation so the policy (and any future retry/metrics change)
+    * cannot drift per call site. */
   def deleteSidecarSignaled(store: Store, dataKey: String, context: String): Unit =
-    try store.delete(statsKey(dataKey)) catch {
-      case e: Throwable => System.err.println(
-        s"[$context] orphaned sidecar ${statsKey(dataKey)} under deleted key " +
-        s"(delete failed: $e)")
+    Seq(statsKey(dataKey), BloomMaps.bloomKey(dataKey)).foreach { sk =>
+      try store.delete(sk) catch {
+        case e: Throwable => System.err.println(
+          s"[$context] orphaned sidecar $sk under deleted key (delete failed: $e)")
+      }
     }
 
   def write(store: Store, objectKey: String, stats: ObjectStats): Unit = {

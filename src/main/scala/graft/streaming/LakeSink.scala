@@ -201,6 +201,12 @@ object LakeSink {
             // under rewritten bytes, permanently (no replay retries a
             // committed epoch). Let it fail the batch; the replay heals.
             store.delete(graft.lake.ZoneMaps.statsKey(dst))
+          // the sink never writes BLOOM sidecars, but an offline index
+          // build may have — and this publish may be a replay REWRITING
+          // dst with different bytes, under which a stale bloom could
+          // wrongly SKIP. Same no-swallowing contract as the stats
+          // sidecar above.
+          store.delete(graft.lake.BloomMaps.bloomKey(dst))
           w.copy(key = dst, id = id)
         }
         // a replay that produced fewer objects than the first attempt must

@@ -1,0 +1,169 @@
+package graft.lake
+
+import graft.SparkSuite
+import graft.types.{ColType, TableSchema}
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+class BloomMapsSpec extends SparkSuite {
+
+  private def freshRoot() =
+    s"file://${Files.createTempDirectory("graft-bloom-spec").toFile.getAbsolutePath}"
+
+  private val schema = TableSchema("bt", Seq(
+    "id" -> ColType.CInteger, "tag" -> ColType.CString))
+
+  /** 1000 rows in 4 tag-clustered objects: tags t0..t3 land in objects
+    * 0..3 respectively (ordered single-partition write rolled at 250). */
+  private def fixture(root: String, bloom: Boolean = true): Seq[LakeWriter.WrittenObject] = {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, s"t${i / 250}"))
+      .toDF("id", "tag").orderBy("id").coalesce(1)
+    LakeWriter.write(df, schema, root, Instant.parse("2024-06-10T08:00:00Z"),
+      maxRecordsPerObject = 250L,
+      bloomColumns = if (bloom) Seq("tag") else Nil)
+  }
+
+  test("tracker → render → parse round-trips exactly; torn or corrupt reads as None") {
+    import BloomMaps._
+    val t = new Tracker(schema, Seq("tag"), m = 1024, k = 3)
+    t.observe(Array[Any](1L, "alpha"))
+    t.observe(Array[Any](2L, "beta"))
+    t.observe(Array[Any](3L, null)) // nulls never insert
+    t.observe(Array[Any](4L, ""))   // "" round-trips as null: never inserts
+    val b = t.result()
+    assert(b.records == 4)
+    val text = render(b)
+    assert(parse(text).contains(b), s"canonical form must parse: $text")
+    // a torn prefix must NOT parse — a truncated base64 could decode to a
+    // valid-looking bit array that wrongly SKIPS
+    for (cut <- Seq(10, text.length / 2, text.length - 1))
+      assert(parse(text.take(cut)).isEmpty, s"torn at $cut must refuse")
+    assert(parse(text + " ").isEmpty)
+    assert(parse("garbage").isEmpty)
+    val cb = b.cols("tag")
+    assert(cb.mightContain("alpha") && cb.mightContain("beta"))
+    // the never-inserted values: the filter is sparse enough (2 values in
+    // 1024 bits) that absent probes must miss
+    val fp = (0 until 1000).count(i => cb.mightContain(s"absent-$i"))
+    assert(fp <= 5, s"false-positive rate implausibly high: $fp/1000")
+    // null/"" were never inserted
+    assert(!cb.mightContain(""))
+  }
+
+  test("readPrunedEq opens only bloom-positive objects; exact rows survive") {
+    val root = freshRoot()
+    fixture(root)
+    val store = new HadoopStore(root)
+    assert(store.list(ZoneMaps.Prefix).count(_.endsWith(".bloom")) == 4,
+      "one bloom sidecar per object")
+    val (df, rep) = LakeReader.readPrunedEq(spark, root, "bt", "tag", "t2")
+    assert(rep.candidates == 4 && rep.kept == 1,
+      s"equality probe must keep exactly the tag-t2 object: $rep")
+    assert(df.filter(col("tag") === "t2").count() == 250)
+    // a value in NO object: everything skips, empty typed frame
+    val (empty, rep2) = LakeReader.readPrunedEq(spark, root, "bt", "tag", "nope")
+    assert(rep2.kept == 0 && empty.count() == 0)
+    assert(empty.columns.contains("tag") && empty.columns.contains("_event_hour"))
+    // the probe hashes the WIRE form: an INTEGER probe works identically
+    val (dfi, repi) = LakeReader.readPrunedEq(spark, root, "bt", "id", 600L)
+    // id is not a bloom column → untracked → conservative keep-all
+    assert(repi.kept == 4, s"untracked column must keep all: $repi")
+    assert(dfi.filter(col("id") === 600L).count() == 1)
+  }
+
+  test("missing or torn bloom keeps its object conservatively; driver ≡ distributed walk") {
+    val root = freshRoot()
+    val written = fixture(root)
+    val store = new HadoopStore(root)
+    // object 1 (t0): delete the bloom; object 2 (t1): tear it
+    store.delete(BloomMaps.bloomKey(written.head.key))
+    val zk = BloomMaps.bloomKey(written(1).key)
+    val whole = {
+      val in = store.open(zk)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val out = store.create(zk)
+    out.write(whole.take(whole.length / 2).getBytes("UTF-8")); out.close()
+    val (_, rep) = LakeReader.readPrunedEq(spark, root, "bt", "tag", "t3")
+    // t3's own object + the two conservatively-kept ones
+    assert(rep.kept == 3, s"missing+torn blooms must keep their objects: $rep")
+    // the distributed walk (forced) must keep the identical set
+    val (_, repD) = LakeReader.readPrunedEq(spark, root, "bt", "tag", "t3",
+      sidecarDistributeAbove = 0)
+    assert(repD == rep, s"walks must agree: $rep vs $repD")
+  }
+
+  test("point probe composes bloom + zone-map band: integer equality prunes via stats sidecars") {
+    import spark.implicits._
+    val root = freshRoot()
+    // zoneMaps AND blooms: id-ordered objects give disjoint integer bands
+    val df = (0 until 1000).map(i => (i.toLong, s"t${i / 250}"))
+      .toDF("id", "tag").orderBy("id").coalesce(1)
+    LakeWriter.write(df, schema, root, Instant.parse("2024-06-10T08:00:00Z"),
+      maxRecordsPerObject = 250L, zoneMaps = true, bloomColumns = Seq("tag"))
+    // id is NOT a bloom column, but it IS zone-map tracked: the [v,v]
+    // band keeps exactly the one object whose range holds 600
+    val (dfi, repi) = LakeReader.readPrunedEq(spark, root, "bt", "id", 600L)
+    assert(repi.kept == 1, s"integer point probe must band-prune: $repi")
+    assert(dfi.filter(col("id") === 600L).count() == 1)
+    // a string probe still prunes via the bloom on the same lake
+    val (_, reps) = LakeReader.readPrunedEq(spark, root, "bt", "tag", "t1")
+    assert(reps.kept == 1, s"string point probe must bloom-prune: $reps")
+    // an out-of-range integer skips everything
+    val (_, rep0) = LakeReader.readPrunedEq(spark, root, "bt", "id", 5000L)
+    assert(rep0.kept == 0)
+  }
+
+  test("blooms ride compaction; retention retires them with their objects") {
+    val root = freshRoot()
+    fixture(root)
+    val store = new HadoopStore(root)
+    val rep = LakeMaintenance.compact(spark, store, "bt",
+      targetRecords = 500L, bloomColumns = Seq("tag"))
+    assert(rep.newObjects < rep.oldObjects)
+    val live = LakeReader.listTableKeys(store, "bt", None)
+    assert(store.list(ZoneMaps.Prefix).count(_.endsWith(".bloom")) == live.size,
+      "compacted objects must carry fresh blooms; old blooms retired")
+    // the rewritten blooms stay CORRECT (compaction's repartition mixes
+    // tags across objects, so no tightness is promised — the fresh
+    // blooms honestly report every object now containing t0 — but a
+    // value in NO object must still skip everything, and exact rows
+    // survive)
+    val (df, rep2) = LakeReader.readPrunedEq(spark, root, "bt", "tag", "t0")
+    assert(rep2.kept >= 1 && df.filter(col("tag") === "t0").count() == 250)
+    val (_, repNone) = LakeReader.readPrunedEq(spark, root, "bt", "tag", "nope")
+    assert(repNone.kept == 0,
+      s"compacted blooms must still skip a value present nowhere: $repNone")
+    // retention: everything is old → blooms go with the objects
+    val er = LakeMaintenance.expire(store, "bt", Instant.parse("2024-06-11T00:00:00Z"))
+    assert(er.deleted == live.size)
+    assert(store.list(ZoneMaps.Prefix).isEmpty,
+      "no orphan sidecars of either kind after expiry")
+  }
+
+  test("a failed write attempt deletes its partial blooms with its objects") {
+    import spark.implicits._
+    val root = freshRoot()
+    // a poison row that throws mid-write (null into a non-nullable long
+    // via rdd row access won't throw — use a udf that throws instead)
+    val boom = udf((i: Long) => {
+      if (i == 700L) throw new RuntimeException("planted write failure")
+      s"t${i / 250}"
+    })
+    val df = (0 until 1000).map(_.toLong).toDF("id")
+      .withColumn("tag", boom(col("id"))).orderBy("id").coalesce(1)
+    intercept[Exception] {
+      LakeWriter.write(df, schema, root, Instant.parse("2024-06-10T08:00:00Z"),
+        maxRecordsPerObject = 250L, bloomColumns = Seq("tag"))
+    }
+    val store = new HadoopStore(root)
+    assert(LakeReader.listTableKeys(store, "bt", None).isEmpty,
+      "failed attempt must leave no data objects")
+    assert(store.list(ZoneMaps.Prefix).isEmpty,
+      "failed attempt must leave no bloom sidecars")
+  }
+}
