@@ -136,7 +136,15 @@ object BloomMaps {
       val m = mm.group(2).toInt
       val bytes = java.util.Base64.getDecoder.decode(mm.group(4))
       mm.group(1) -> ColBloom(m, mm.group(3).toInt, bytes)
-    }.filter { case (_, cb) => cb.bits.length == cb.m / 8 }.toMap
+    }.filter { case (_, cb) =>
+      // enforce the TRACKER's invariants, not just shape consistency: a
+      // corrupt-but-canonical {"m":0,...} or an m/bits mismatch would
+      // otherwise escape the round-trip check and crash mightContain
+      // (hash % 0, out-of-range bit index) inside the pruned read —
+      // where the contract is conservative keep, never failure
+      cb.m > 0 && cb.m % 64 == 0 && cb.k >= 1 && cb.k <= 16 &&
+        cb.bits.length == cb.m / 8
+    }.toMap
     rec.map(ObjectBlooms(_, cols)).filter(b => render(b) == text)
   } catch { case _: Exception => None }
 

@@ -659,15 +659,45 @@ object LakeReader {
     require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
     val colType = peekSchema(store, keys.head, table).columns.toMap.getOrElse(column,
       throw new IllegalArgumentException(s"no column '$column' in table $table"))
-    val wire = TypedCsv.formatValue(value, colType)
+    // The stored wire form depends on the PRODUCER's runtime box, not the
+    // declared type (TypedCsv writes values as-is): a CInteger column fed
+    // Longs stores "600", a CFloat column fed Longs stores "3" while fed
+    // Doubles it stores "3.0". A probe boxed differently from the writer
+    // (600.0 from an aggregation row, Integer 3 against a double column)
+    // must still FIND the value — wrongly skipping breaks the module's
+    // core contract — so the bloom probes EVERY plausible wire form of a
+    // numerically-equal value and keeps on any hit (more forms = more
+    // conservative, never less).
+    val wires: Set[String] = {
+      val raw = TypedCsv.formatValue(value, colType)
+      val extra: Set[String] = (colType, value) match {
+        case (ColType.CInteger | ColType.CFloat, n: java.lang.Number) =>
+          val d = n.doubleValue()
+          val whole: Set[String] =
+            if (!d.isNaN && !d.isInfinite && d == math.rint(d) &&
+                math.abs(d) <= 9.007199254740992e15) // 2^53: exact longs
+              Set(n.longValue().toString)
+            else Set.empty
+          val dbl: Set[String] =
+            if (colType == ColType.CFloat) Set(java.lang.Double.toString(d))
+            else Set.empty
+          whole ++ dbl
+        case _ => Set.empty
+      }
+      extra + raw
+    }
     // a point probe on a ZoneMaps-TRACKED type also band-checks [v, v]
     // against the stats sidecar — blooms and bands compose (either may
     // be absent; both are conservative), so one entry point serves
     // string lookups (bloom-only), integer/time lookups (band, plus
     // bloom if indexed), and mixed lakes. The band value mirrors the
-    // Tracker's wire-precision conventions (millis-truncated time).
+    // Tracker's wire-precision conventions (millis-truncated time); a
+    // probe NOT exactly representable in the declared type (600.5 on an
+    // integer column) gets no band — it can only match a mistyped stored
+    // value, whose object the Tracker poisoned to conservative keep.
     val band: Option[java.math.BigDecimal] = (colType, value) match {
-      case (ColType.CInteger, n: java.lang.Number) =>
+      case (ColType.CInteger, n: java.lang.Number)
+          if n.doubleValue() == math.rint(n.doubleValue()) =>
         Some(java.math.BigDecimal.valueOf(n.longValue()))
       case (ColType.CTime, ts: java.sql.Timestamp) =>
         Some(java.math.BigDecimal.valueOf(ts.getTime * 1000L))
@@ -676,20 +706,12 @@ object LakeReader {
         Some(new java.math.BigDecimal(n.toString))
       case _ => None
     }
-    def keeps(st: Store, k: String): Boolean =
-      BloomMaps.mightContain(BloomMaps.read(st, k), column, wire) &&
-        band.forall(b => ZoneMaps.mayContain(ZoneMaps.read(st, k), column, b, b))
-    val kept =
-      if (keys.length <= sidecarDistributeAbove) keys.filter(keeps(store, _))
-      else {
-        val parts = walkPartitions(keys.length)
-        spark.sparkContext.parallelize(keys.zipWithIndex, parts)
-          .mapPartitions { it =>
-            val st = new HadoopStore(rootUri) // per-executor store
-            it.filter { case (k, _) => keeps(st, k) }
-          }
-          .collect().sortBy(_._2).map(_._1).toSeq
-      }
+    val kept = walkKeys(spark, rootUri, keys, sidecarDistributeAbove) { (st, k) =>
+      {
+        val blooms = BloomMaps.read(st, k)
+        wires.exists(w => BloomMaps.mightContain(blooms, column, w))
+      } && band.forall(b => ZoneMaps.mayContain(ZoneMaps.read(st, k), column, b, b))
+    }
     prunedResult(spark, store, table, keys, kept)
   }
 
@@ -742,15 +764,26 @@ object LakeReader {
       keys: Seq[String],
       bands: Seq[(String, java.math.BigDecimal, java.math.BigDecimal)],
       distributeAbove: Int): Seq[String] =
+    walkKeys(spark, rootUri, keys, distributeAbove) { (st, k) =>
+      keepsObject(ZoneMaps.read(st, k), bands)
+    }
+
+  /** The ONE driver-or-distributed key-filter arrangement every sidecar
+    * consult shares (band prune, bloom probe): driver walk up to
+    * `distributeAbove` keys, executor fan-out above, key order preserved
+    * either way. `keep` receives a per-walker [[Store]] (the driver's or
+    * a per-executor one) and must be serializable with its captures. */
+  private def walkKeys(spark: SparkSession, rootUri: String, keys: Seq[String],
+      distributeAbove: Int)(keep: (Store, String) => Boolean): Seq[String] =
     if (keys.length <= distributeAbove) {
       val store = new HadoopStore(rootUri)
-      keys.filter(k => keepsObject(ZoneMaps.read(store, k), bands))
+      keys.filter(keep(store, _))
     } else {
       val parts = walkPartitions(keys.length)
       spark.sparkContext.parallelize(keys.zipWithIndex, parts)
         .mapPartitions { it =>
           val st = new HadoopStore(rootUri) // per-executor store
-          it.filter { case (k, _) => keepsObject(ZoneMaps.read(st, k), bands) }
+          it.filter { case (k, _) => keep(st, k) }
         }
         .collect().sortBy(_._2).map(_._1).toSeq
     }

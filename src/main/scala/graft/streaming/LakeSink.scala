@@ -201,11 +201,16 @@ object LakeSink {
             // under rewritten bytes, permanently (no replay retries a
             // committed epoch). Let it fail the batch; the replay heals.
             store.delete(graft.lake.ZoneMaps.statsKey(dst))
-          // the sink never writes BLOOM sidecars, but an offline index
-          // build may have — and this publish may be a replay REWRITING
+          // the sink never writes BLOOM sidecars, but a batch index pass
+          // (LakeWriter/compact with bloomColumns) may have landed one
+          // under this table — and this publish may be a replay REWRITING
           // dst with different bytes, under which a stale bloom could
           // wrongly SKIP. Same no-swallowing contract as the stats
-          // sidecar above.
+          // sidecar above. Cost: one guaranteed-miss delete per published
+          // object in the common no-bloom case — deliberately NOT gated
+          // on exists() (that is one RPC either way, and 2 on a hit; a
+          // blind delete is 1 always, and S3-class stores price DELETE
+          // requests at zero).
           store.delete(graft.lake.BloomMaps.bloomKey(dst))
           w.copy(key = dst, id = id)
         }

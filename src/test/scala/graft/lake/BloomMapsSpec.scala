@@ -44,6 +44,12 @@ class BloomMapsSpec extends SparkSuite {
       assert(parse(text.take(cut)).isEmpty, s"torn at $cut must refuse")
     assert(parse(text + " ").isEmpty)
     assert(parse("garbage").isEmpty)
+    // corrupt-but-canonical shapes violating the Tracker's invariants
+    // must read as None, not crash the probe later (hash % 0, bit index
+    // past the array)
+    assert(parse("""{"records":1,"cols":{"tag":{"m":0,"k":1,"bits":""}}}""").isEmpty)
+    assert(parse("""{"records":1,"cols":{"tag":{"m":128,"k":0,"bits":"AAAAAAAAAAAAAAAAAAAAAA=="}}}""").isEmpty)
+    assert(parse("""{"records":1,"cols":{"tag":{"m":12,"k":1,"bits":"AA=="}}}""").isEmpty)
     val cb = b.cols("tag")
     assert(cb.mightContain("alpha") && cb.mightContain("beta"))
     // the never-inserted values: the filter is sparse enough (2 values in
@@ -116,6 +122,36 @@ class BloomMapsSpec extends SparkSuite {
     // an out-of-range integer skips everything
     val (_, rep0) = LakeReader.readPrunedEq(spark, root, "bt", "id", 5000L)
     assert(rep0.kept == 0)
+  }
+
+  test("probe box never causes a wrong skip: numerically-equal probes find differently-boxed writes") {
+    import spark.implicits._
+    val root = freshRoot()
+    // id: CInteger written from Longs (wire "600"); fv: CFloat written
+    // from DOUBLES (wire "3.0" etc.) — both bloom-indexed
+    val sch = TableSchema("bx", Seq(
+      "id" -> ColType.CInteger, "fv" -> ColType.CFloat))
+    val df = (0 until 1000).map(i => (i.toLong, (i / 250).toDouble))
+      .toDF("id", "fv").orderBy("id").coalesce(1)
+    LakeWriter.write(df, sch, root, Instant.parse("2024-06-10T08:00:00Z"),
+      maxRecordsPerObject = 250L, bloomColumns = Seq("id", "fv"))
+    // a Double-boxed probe of the Long-written integer column: the raw
+    // wire "600.0" is not what the writer inserted — the whole-number
+    // wire form must still find it
+    val (d1, r1) = LakeReader.readPrunedEq(spark, root, "bx", "id",
+      java.lang.Double.valueOf(600.0))
+    assert(r1.kept >= 1 && d1.filter(col("id") === 600.0).count() == 1,
+      s"double-boxed integer probe must not wrongly skip: $r1")
+    // an Integer-boxed probe of the Double-written float column (wire
+    // "2" vs stored "2.0")
+    val (d2, r2) = LakeReader.readPrunedEq(spark, root, "bx", "fv",
+      java.lang.Integer.valueOf(2))
+    assert(r2.kept >= 1 && d2.filter(col("fv") === 2).count() == 250,
+      s"integer-boxed float probe must not wrongly skip: $r2")
+    // and a value in NO object still skips everything under every box
+    val (_, r3) = LakeReader.readPrunedEq(spark, root, "bx", "fv",
+      java.lang.Double.valueOf(99.5))
+    assert(r3.kept == 0, s"absent value must skip under any box: $r3")
   }
 
   test("blooms ride compaction; retention retires them with their objects") {
