@@ -148,6 +148,101 @@ object BloomMaps {
     rec.map(ObjectBlooms(_, cols)).filter(b => render(b) == text)
   } catch { case _: Exception => None }
 
+  /** BACK-FILL bloom sidecars over an EXISTING lake — "CREATE INDEX"
+    * without rewriting a byte of data: one distributed pass reads every
+    * object's rows, folds per-object filters executor-side
+    * (`aggregateByKey` with bit-OR combine — the filters are the ONLY
+    * shuffle payload, ~m/8 bytes per object per column, never the
+    * rows), and writes each sidecar from the task that owns it.
+    * Returns the number of objects indexed.
+    *
+    * Values hash by the wire form of their READ-BACK box (LongType →
+    * "600", DoubleType → "3.0"), which can differ from what a
+    * mistyped-producer write-time tracker inserted ("3" from a Long fed
+    * to a FLOAT column) — [[LakeReader.readPrunedEq]] probes every
+    * plausible wire form of a numerically-equal value, so either
+    * sidecar origin answers every probe without a wrong skip.
+    *
+    * Concurrency: index settled hours. A streaming epoch REPLAY
+    * rewrites its keys with fresh bytes and deletes any bloom it finds
+    * there (the sink's stale-bloom rule), so a build racing a replay
+    * loses its sidecar — never poisons a probe; a build racing
+    * compaction/retention may fail loudly on a retired key
+    * (`readKeys` reads the exact snapshot, `ignoreMissing = false`) —
+    * the same schedule-off-maintenance-windows contract as pruned
+    * reads. */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession, rootUri: String,
+                 table: String, columns: Seq[String],
+                 hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
+                 m: Int = DefaultBits, k: Int = DefaultHashes): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val store = new HadoopStore(rootUri)
+    val keys = LakeReader.listTableKeys(store, table, hourRange)
+    if (keys.isEmpty) 0
+    else {
+      val schema = LakeReader.peekSchema(store, keys.head, table)
+      // driver-side validation: bad column names / m / k fail the call
+      new Tracker(schema, columns, m, k)
+      val colTypes = {
+        val byName = schema.columns.toMap
+        columns.map(byName)
+      }
+      // object keys end in a UUID filename — unique by construction, so
+      // the task-side file→key resolution is a suffix lookup (the full
+      // input_file_name URI encoding never has to match rootUri's)
+      val byName = keys.map(kk => kk.split('/').last -> kk).toMap
+      require(byName.size == keys.size, "object filenames must be unique")
+      val nCols = columns.length
+      val mLocal = m; val kLocal = k
+      val rows = LakeReader.readKeys(spark, store, table, keys)
+        .select(input_file_name() +: columns.map(col): _*)
+        .rdd
+      val zero = (0L, Array.fill(nCols)(new Array[Byte](mLocal / 8)))
+      rows
+        .map(r => r.getString(0).split('/').last -> r)
+        .aggregateByKey(zero)(
+          { case ((n, bits), row) =>
+            var c = 0
+            while (c < nCols) {
+              val v = row.get(c + 1)
+              if (v != null && v != "") {
+                val data = TypedCsv.formatValue(v, colTypes(c))
+                  .getBytes(StandardCharsets.UTF_8)
+                val b = bits(c)
+                var i = 0
+                while (i < kLocal) {
+                  val pos = ((MurmurHash3.bytesHash(data, i) % mLocal) + mLocal) % mLocal
+                  b(pos >> 3) = (b(pos >> 3) | (1 << (pos & 7))).toByte
+                  i += 1
+                }
+              }
+              c += 1
+            }
+            (n + 1, bits)
+          },
+          { case ((n1, b1), (n2, b2)) =>
+            var c = 0
+            while (c < nCols) {
+              val x = b1(c); val y = b2(c)
+              var i = 0
+              while (i < x.length) { x(i) = (x(i) | y(i)).toByte; i += 1 }
+              c += 1
+            }
+            (n1 + n2, b1)
+          })
+        .foreachPartition { it =>
+          val st = new HadoopStore(rootUri) // per-executor store
+          it.foreach { case (name, (n, bits)) =>
+            write(st, byName(name), ObjectBlooms(n,
+              columns.zipWithIndex.map { case (c, i) =>
+                c -> ColBloom(mLocal, kLocal, bits(i))
+              }.toMap))
+          }
+        }
+      keys.size
+    }
+  }
+
   def write(store: Store, objectKey: String, blooms: ObjectBlooms): Unit = {
     val out = store.create(bloomKey(objectKey))
     try out.write(render(blooms).getBytes(StandardCharsets.UTF_8)) finally out.close()

@@ -181,6 +181,37 @@ class BloomMapsSpec extends SparkSuite {
       "no orphan sidecars of either kind after expiry")
   }
 
+  test("buildIndex back-fills blooms on an EXISTING lake; probes then prune like writer-time blooms") {
+    val root = freshRoot()
+    fixture(root, bloom = false) // 4 tag-clustered objects, NO sidecars
+    val store = new HadoopStore(root)
+    assert(store.list(ZoneMaps.Prefix).isEmpty)
+    // without an index every probe conservatively keeps everything
+    val (_, before) = LakeReader.readPrunedEq(spark, root, "bt", "tag", "t2")
+    assert(before.kept == 4, s"no blooms yet — keep all: $before")
+    // CREATE INDEX: one distributed pass, no data rewritten
+    val dataBytes = LakeReader.listTableKeys(store, "bt", None).sorted
+    assert(BloomMaps.buildIndex(spark, root, "bt", Seq("tag", "id")) == 4)
+    assert(store.list(ZoneMaps.Prefix).count(_.endsWith(".bloom")) == 4)
+    assert(LakeReader.listTableKeys(store, "bt", None).sorted == dataBytes,
+      "index build must not touch data objects")
+    // string probe prunes to the one tag-t2 object, rows exact
+    val (df, rep) = LakeReader.readPrunedEq(spark, root, "bt", "tag", "t2")
+    assert(rep.kept == 1, s"back-filled bloom must prune: $rep")
+    assert(df.filter(col("tag") === "t2").count() == 250)
+    // read-back-box parity: the index hashed LongType boxes; a Long AND
+    // a Double probe must both find id=600 (and the absent stays absent)
+    val (_, rl) = LakeReader.readPrunedEq(spark, root, "bt", "id", 600L)
+    val (_, rd) = LakeReader.readPrunedEq(spark, root, "bt", "id", 600.0)
+    assert(rl.kept == 1 && rd.kept == 1, s"box must not matter: $rl / $rd")
+    val (_, rn) = LakeReader.readPrunedEq(spark, root, "bt", "tag", "nope")
+    assert(rn.kept == 0)
+    // rebuild overwrites in place (idempotent maintenance)
+    assert(BloomMaps.buildIndex(spark, root, "bt", Seq("tag")) == 4)
+    val (_, rep2) = LakeReader.readPrunedEq(spark, root, "bt", "tag", "t2")
+    assert(rep2.kept == 1)
+  }
+
   test("a failed write attempt deletes its partial blooms with its objects") {
     import spark.implicits._
     val root = freshRoot()
