@@ -122,6 +122,40 @@ object RehearsalR10 {
       time(s"t17 fuzzy-match DISARMED(run $run)")(t17(armed = false))
     }
     docsBig.unpersist()
+
+    // ---- 3. bloom point-probe vs full scan on a string column ----------
+    // The l13 shape at sf0.1 volume: the events table landed as an
+    // etype-clustered lake with bloom sidecars; "find every row of one
+    // etype" as (a) a full read + filter and (b) a bloom-pruned read +
+    // filter. The probe's win is the skipped objects' decompress+parse.
+    locally {
+      import graft.lake.{HadoopStore, LakeReader, LakeWriter}
+      import graft.types.{ColType, TableSchema}
+      val root = "file://" + java.nio.file.Files
+        .createTempDirectory("graft-r10-bloom").toFile.getAbsolutePath
+      val schema = TableSchema("ev_bloom", Seq(
+        "event_id" -> ColType.CInteger, "etype" -> ColType.CString))
+      val ev = spark.read.parquet(s"$sfBig/events.parquet")
+        .select(col("event_id"),
+          concat(lit("e"), (col("user_id") % 97).cast("string")).as("etype"))
+      val written = time("bloom lake build (untimed baseline)")(
+        LakeWriter.write(ev.repartition(32, col("etype")), schema, root,
+          bloomColumns = Seq("etype")))
+      println(s"REHEARSE bloom lake: ${written.size} objects, " +
+        s"${written.map(_.records).sum} rows")
+      for (run <- 1 to 2) {
+        val full = time(s"full scan + filter    (run $run)")(
+          LakeReader.read(spark, root, "ev_bloom")
+            .filter(col("etype") === "e13").count())
+        val (pruned, rep) = LakeReader.readPrunedEq(spark, root, "ev_bloom",
+          "etype", "e13")
+        val n = time(s"bloom probe + filter   (run $run)")(
+          pruned.filter(col("etype") === "e13").count())
+        require(n == full, s"pruned read must match the scan: $n vs $full")
+        println(s"REHEARSE bloom probe kept ${rep.kept}/${rep.candidates} objects")
+      }
+      new HadoopStore(root).deletePrefix("")
+    }
     spark.stop()
   }
 }
