@@ -651,51 +651,85 @@ object LakeReader {
                    column: String, value: Any,
                    hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
                    sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
+      : (DataFrame, PruneReport) =
+    readPrunedEqMulti(spark, rootUri, table, Seq((column, value)), hourRange,
+      sidecarDistributeAbove)
+
+  /** [[readPrunedEq]] over a CONJUNCTION of point probes (`c1 = v1 AND
+    * c2 = v2 AND …`): an object is opened only if EVERY probe's bloom
+    * might contain its value AND every tracked-type band can intersect —
+    * ONE bloom-sidecar read and at most one stats-sidecar read per
+    * object decide all probes (the [[readPrunedMulti]] symmetry). Each
+    * probe is conservative independently, so the conjunction is too. */
+  def readPrunedEqMulti(spark: SparkSession, rootUri: String, table: String,
+                        probes: Seq[(String, Any)],
+                        hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
+                        sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
       : (DataFrame, PruneReport) = {
-    require(value != null && value != "",
-      "equality probes are never null (and \"\" round-trips as null in the wire format)")
+    require(probes.nonEmpty, "at least one (column, value) probe")
+    probes.foreach { case (c, v) => require(v != null && v != "",
+      s"equality probe on '$c' is null/empty " +
+        "(\"\" round-trips as null in the wire format — probe IS NULL by scanning)") }
     val store = new HadoopStore(rootUri)
     val keys = listTableKeys(store, table, hourRange)
     require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
-    val colType = peekSchema(store, keys.head, table).columns.toMap.getOrElse(column,
-      throw new IllegalArgumentException(s"no column '$column' in table $table"))
-    // The stored wire form depends on the PRODUCER's runtime box, not the
-    // declared type (TypedCsv writes values as-is): a CInteger column fed
-    // Longs stores "600", a CFloat column fed Longs stores "3" while fed
-    // Doubles it stores "3.0". A probe boxed differently from the writer
-    // (600.0 from an aggregation row, Integer 3 against a double column)
-    // must still FIND the value — wrongly skipping breaks the module's
-    // core contract — so the bloom probes EVERY plausible wire form of a
-    // numerically-equal value and keeps on any hit (more forms = more
-    // conservative, never less).
-    val wires: Set[String] = {
-      val raw = TypedCsv.formatValue(value, colType)
-      val extra: Set[String] = (colType, value) match {
-        case (ColType.CInteger | ColType.CFloat, n: java.lang.Number) =>
-          val d = n.doubleValue()
-          val whole: Set[String] =
-            if (!d.isNaN && !d.isInfinite && d == math.rint(d) &&
-                math.abs(d) <= 9.007199254740992e15) // 2^53: exact longs
-              Set(n.longValue().toString)
-            else Set.empty
-          val dbl: Set[String] =
-            if (colType == ColType.CFloat) Set(java.lang.Double.toString(d))
-            else Set.empty
-          whole ++ dbl
-        case _ => Set.empty
-      }
-      extra + raw
+    val colTypes = peekSchema(store, keys.head, table).columns.toMap
+    val plans = probes.map { case (column, value) =>
+      val colType = colTypes.getOrElse(column,
+        throw new IllegalArgumentException(s"no column '$column' in table $table"))
+      (column, probeWires(colType, value), probeBand(colType, value))
     }
-    // a point probe on a ZoneMaps-TRACKED type also band-checks [v, v]
-    // against the stats sidecar — blooms and bands compose (either may
-    // be absent; both are conservative), so one entry point serves
-    // string lookups (bloom-only), integer/time lookups (band, plus
-    // bloom if indexed), and mixed lakes. The band value mirrors the
-    // Tracker's wire-precision conventions (millis-truncated time); a
-    // probe NOT exactly representable in the declared type (600.5 on an
-    // integer column) gets no band — it can only match a mistyped stored
-    // value, whose object the Tracker poisoned to conservative keep.
-    val band: Option[java.math.BigDecimal] = (colType, value) match {
+    val kept = walkKeys(spark, rootUri, keys, sidecarDistributeAbove) { (st, k) =>
+      // ONE read per sidecar kind for the whole conjunction
+      lazy val blooms = BloomMaps.read(st, k)
+      lazy val stats = ZoneMaps.read(st, k)
+      plans.forall { case (column, wires, band) =>
+        wires.exists(w => BloomMaps.mightContain(blooms, column, w)) &&
+          band.forall(b => ZoneMaps.mayContain(stats, column, b, b))
+      }
+    }
+    prunedResult(spark, store, table, keys, kept)
+  }
+
+  /** Every plausible WIRE form of a value numerically equal to `value`.
+    * The stored form depends on the PRODUCER's runtime box, not the
+    * declared type (TypedCsv writes values as-is): a CInteger column fed
+    * Longs stores "600", a CFloat column fed Longs stores "3" while fed
+    * Doubles it stores "3.0". A probe boxed differently from the writer
+    * (600.0 from an aggregation row, Integer 3 against a double column)
+    * must still FIND the value — wrongly skipping breaks the bloom
+    * contract — so the probe hashes every form and keeps on any hit
+    * (more forms = more conservative, never less). */
+  private def probeWires(colType: ColType, value: Any): Set[String] = {
+    val raw = TypedCsv.formatValue(value, colType)
+    val extra: Set[String] = (colType, value) match {
+      case (ColType.CInteger | ColType.CFloat, n: java.lang.Number) =>
+        val d = n.doubleValue()
+        val whole: Set[String] =
+          if (!d.isNaN && !d.isInfinite && d == math.rint(d) &&
+              math.abs(d) <= 9.007199254740992e15) // 2^53: exact longs
+            Set(n.longValue().toString)
+          else Set.empty
+        val dbl: Set[String] =
+          if (colType == ColType.CFloat) Set(java.lang.Double.toString(d))
+          else Set.empty
+        whole ++ dbl
+      case _ => Set.empty
+    }
+    extra + raw
+  }
+
+  /** A point probe on a ZoneMaps-TRACKED type also band-checks [v, v]
+    * against the stats sidecar — blooms and bands compose (either may
+    * be absent; both are conservative), so one entry point serves
+    * string lookups (bloom-only), integer/time lookups (band, plus
+    * bloom if indexed), and mixed lakes. The band value mirrors the
+    * Tracker's wire-precision conventions (millis-truncated time); a
+    * probe NOT exactly representable in the declared type (600.5 on an
+    * integer column) gets no band — it can only match a mistyped stored
+    * value, whose object the Tracker poisoned to conservative keep. */
+  private def probeBand(colType: ColType, value: Any): Option[java.math.BigDecimal] =
+    (colType, value) match {
       case (ColType.CInteger, n: java.lang.Number)
           if n.doubleValue() == math.rint(n.doubleValue()) =>
         Some(java.math.BigDecimal.valueOf(n.longValue()))
@@ -706,14 +740,6 @@ object LakeReader {
         Some(new java.math.BigDecimal(n.toString))
       case _ => None
     }
-    val kept = walkKeys(spark, rootUri, keys, sidecarDistributeAbove) { (st, k) =>
-      {
-        val blooms = BloomMaps.read(st, k)
-        wires.exists(w => BloomMaps.mightContain(blooms, column, w))
-      } && band.forall(b => ZoneMaps.mayContain(ZoneMaps.read(st, k), column, b, b))
-    }
-    prunedResult(spark, store, table, keys, kept)
-  }
 
   private def prunedResult(spark: SparkSession, store: Store, table: String,
                            keys: Seq[String], kept: Seq[String])

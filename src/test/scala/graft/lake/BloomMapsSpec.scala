@@ -122,6 +122,18 @@ class BloomMapsSpec extends SparkSuite {
     // an out-of-range integer skips everything
     val (_, rep0) = LakeReader.readPrunedEq(spark, root, "bt", "id", 5000L)
     assert(rep0.kept == 0)
+    // CONJUNCTION of probes, one sidecar read per kind: tag=t1 lives in
+    // object [250,499] while id=600 lives in [500,749] — individually
+    // each keeps one object, together they keep NOTHING; the consistent
+    // pair keeps exactly its shared object
+    val (dfm, repM) = LakeReader.readPrunedEqMulti(spark, root, "bt",
+      Seq(("tag", "t1"), ("id", 600L)))
+    assert(repM.kept == 0 && dfm.count() == 0,
+      s"contradictory conjunction must skip everything: $repM")
+    val (dfc, repC) = LakeReader.readPrunedEqMulti(spark, root, "bt",
+      Seq(("tag", "t2"), ("id", 600L)))
+    assert(repC.kept == 1, s"consistent conjunction keeps the shared object: $repC")
+    assert(dfc.filter(col("tag") === "t2" && col("id") === 600L).count() == 1)
   }
 
   test("probe box never causes a wrong skip: numerically-equal probes find differently-boxed writes") {
