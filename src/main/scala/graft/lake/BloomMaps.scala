@@ -198,10 +198,21 @@ object BloomMaps {
         .select(input_file_name() +: columns.map(col): _*)
         .rdd
       val zero = (0L, Array.fill(nCols)(new Array[Byte](mLocal / 8)))
+      // a header-only (0-record) object yields NO rows, so aggregateByKey
+      // alone would emit no entry for it and it would get no sidecar —
+      // while a write-time tracker emits an always-skip empty filter. The
+      // back-filled index must match writer-time pruning object-for-object
+      // (l13's report-identity gate), so every listed key is seeded with a
+      // null marker row that contributes nothing to the fold.
+      val seeds = spark.sparkContext
+        .parallelize(keys.map(_.split('/').last), LakeReader.walkPartitions(keys.length))
+        .map(name => name -> (null: org.apache.spark.sql.Row))
       rows
         .map(r => r.getString(0).split('/').last -> r)
+        .union(seeds)
         .aggregateByKey(zero)(
           { case ((n, bits), row) =>
+            if (row == null) (n, bits) else {
             var c = 0
             while (c < nCols) {
               val v = row.get(c + 1)
@@ -219,6 +230,7 @@ object BloomMaps {
               c += 1
             }
             (n + 1, bits)
+            }
           },
           { case ((n1, b1), (n2, b2)) =>
             var c = 0

@@ -533,6 +533,24 @@ object LakeReader {
       c -> StatsColumn(cs.min, cs.max, cs.nulls, boundsExact = !poisoned)
     })
 
+  /** Order-independent min/max over BigDecimal bounds.
+    * java.math.BigDecimal equality is SCALE-sensitive ("3" ≠ "3.0" under
+    * equals, 0 under compareTo) and the distributed walk's reduceByKey
+    * combines partials in nondeterministic order — a plain
+    * first-operand-wins tie-break would let a lake with mixed-boxed
+    * bounds of equal value produce run-to-run-different summaries,
+    * flaking the spec-pinned "distributed walk ≡ driver walk
+    * bit-identical" requires. Ties collapse to the canonical
+    * zero-stripped form, which both operands share, so the result never
+    * depends on combine order (render uses toPlainString, so the
+    * canonical form of e.g. 600 still renders "600", never "6E+2"). */
+  private def minBound(p: java.math.BigDecimal, q: java.math.BigDecimal) = {
+    val c = p.compareTo(q); if (c < 0) p else if (c > 0) q else p.stripTrailingZeros()
+  }
+  private def maxBound(p: java.math.BigDecimal, q: java.math.BigDecimal) = {
+    val c = p.compareTo(q); if (c > 0) p else if (c < 0) q else p.stripTrailingZeros()
+  }
+
   /** Flat merge of per-object stats into one summary (the lattice:
     * columns survive only when EVERY object recorded them; bounds are
     * exact unless any object poisoned them — non-null values with no
@@ -549,10 +567,8 @@ object LakeReader {
       val mins = per.flatMap(_._1.min)
       val maxs = per.flatMap(_._1.max)
       c -> StatsColumn(
-        if (poisoned || mins.isEmpty) None
-        else Some(mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b)),
-        if (poisoned || maxs.isEmpty) None
-        else Some(maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b)),
+        if (poisoned || mins.isEmpty) None else Some(mins.reduce(minBound)),
+        if (poisoned || maxs.isEmpty) None else Some(maxs.reduce(maxBound)),
         nulls, boundsExact = !poisoned)
     }.toMap
     StatsSummary(all.length.toLong, all.map(_.records).sum, cols)
@@ -570,7 +586,7 @@ object LakeReader {
       def comb(u: Option[java.math.BigDecimal], v: Option[java.math.BigDecimal],
                takeMin: Boolean) = (u, v) match {
         case (Some(p), Some(q)) =>
-          Some(if ((p.compareTo(q) <= 0) == takeMin) p else q)
+          Some(if (takeMin) minBound(p, q) else maxBound(p, q))
         case (p, q) => p.orElse(q)
       }
       c -> StatsColumn(
@@ -706,8 +722,15 @@ object LakeReader {
       case (ColType.CInteger | ColType.CFloat, n: java.lang.Number) =>
         val d = n.doubleValue()
         val whole: Set[String] =
-          if (!d.isNaN && !d.isInfinite && d == math.rint(d) &&
-              math.abs(d) <= 9.007199254740992e15) // 2^53: exact longs
+          // EVERY whole double gets the integral form, not just |d| ≤ 2^53:
+          // a whole double in (2^53, 2^63) is still an exact long (whole
+          // doubles there are integers by construction), so Double 1.0E16
+          // must hash "10000000000000000" or it wrongly SKIPS an object a
+          // Long-boxed producer wrote. Beyond Long range longValue()
+          // saturates — a saturated extra wire form can only cause a
+          // harmless false KEEP (no Long-boxed producer can store a value
+          // outside Long range), never a skip.
+          if (!d.isNaN && !d.isInfinite && d == math.rint(d))
             Set(n.longValue().toString)
           else Set.empty
         val dbl: Set[String] =

@@ -73,8 +73,9 @@ object ZoneMaps {
   final case class ObjectStats(records: Long, cols: Map[String, ColStats])
 
   /** Streaming accumulator the writer drives row by row — O(1) per value,
-    * no buffering. */
-  final class Tracker(schema: TableSchema) {
+    * no buffering. Serializable with an associative [[merge]] so
+    * [[buildIndex]] can fold per-object partials executor-side. */
+  final class Tracker(schema: TableSchema) extends Serializable {
     private val names = schema.columnNames
     private val types = schema.colTypes
     private val n = names.length
@@ -117,6 +118,16 @@ object ZoneMaps {
         // READ BACK, or a sub-millisecond input (micros-precision parquet
         // source) records a sidecar min ABOVE the stored value and a
         // pruned band between them wrongly skips the object.
+        //
+        // HEALING NOTE: this truncation is write-side — sidecars written
+        // BEFORE it (by earlier releases, from sub-millisecond CTime
+        // inputs) still carry micros-precision bounds that can sit above
+        // the stored millis value, and their bytes are indistinguishable
+        // from healthy ones. Such lakes must rebuild their sidecars:
+        // [[buildIndex]] (metadata-only rewrite, no data movement) or a
+        // [[LakeMaintenance.compact]] pass (which rewrites data AND
+        // sidecars) both heal, because each re-derives bounds from the
+        // millis-precision READ-BACK values.
         Some(BigDecimal.valueOf(ts.getTime * 1000L))
       case _ => None
     }
@@ -143,6 +154,30 @@ object ZoneMaps {
         }
         i += 1
       }
+    }
+
+    /** Fold another partial over the SAME schema into this one —
+      * associative and commutative (min/max/sum/poison-OR per column), so
+      * [[buildIndex]]'s aggregateByKey combine order cannot change the
+      * result: read-back boxes are normalized by the typed CSV read
+      * (every CFloat value is a Double, every CTime a millis Timestamp),
+      * so equal bounds are byte-identical BigDecimals, never the
+      * mixed-scale ties the write-time path has to canonicalize. */
+    def merge(o: Tracker): Tracker = {
+      records += o.records
+      var i = 0
+      while (i < n) {
+        nulls(i) += o.nulls(i)
+        if (o.poisoned(i)) { poisoned(i) = true; mins(i) = null; maxs(i) = null }
+        else if (!poisoned(i)) {
+          if (o.mins(i) != null &&
+              (mins(i) == null || o.mins(i).compareTo(mins(i)) < 0)) mins(i) = o.mins(i)
+          if (o.maxs(i) != null &&
+              (maxs(i) == null || o.maxs(i).compareTo(maxs(i)) > 0)) maxs(i) = o.maxs(i)
+        }
+        i += 1
+      }
+      this
     }
 
     def result(): ObjectStats = ObjectStats(records,
@@ -244,6 +279,76 @@ object ZoneMaps {
     val in = store.open(statsKey(objectKey))
     try parse(new String(in.readAllBytes(), StandardCharsets.UTF_8)) finally in.close()
   } catch { case _: Exception => None }
+
+  /** REBUILD stats sidecars over an EXISTING lake — "ANALYZE TABLE"
+    * without rewriting a byte of data: one distributed pass reads every
+    * object's rows, folds a per-object [[Tracker]] executor-side
+    * (`aggregateByKey` whose shuffle payload is the trackers — a few
+    * bounds per column per object, never the rows), and writes each
+    * sidecar from the task that owns it. Returns the number of objects
+    * indexed (= sidecars written; header-only 0-record objects are
+    * seeded so they land the same always-empty stats a write-time
+    * tracker emits). The [[BloomMaps.buildIndex]] arrangement, for the
+    * stats kind.
+    *
+    * Use it to (a) adopt zone maps on a lake written by stat-less
+    * writers, and (b) HEAL sidecars whose recorded bounds predate a
+    * wire-precision fix — rebuilt bounds derive from the READ-BACK
+    * values, so they describe exactly what any scan of the same objects
+    * returns (stale micros-precision CTime bounds, pre-fix empty-string
+    * null counts). A value the typed read cannot parse (representation
+    * drift: "3.7" under an INTEGER header) reads back as null and is
+    * counted as one — round-trip-consistent with every scan, where the
+    * write-time tracker conservatively poisons the column instead; both
+    * sidecars are correct for pruning, they bound the same readable
+    * values.
+    *
+    * Concurrency: same contract as [[BloomMaps.buildIndex]] — index
+    * settled hours; a build racing compaction/retention fails loudly on
+    * a retired key rather than writing a sidecar for a ghost. */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession, rootUri: String,
+                 table: String,
+                 hourRange: Option[(java.time.Instant, java.time.Instant)] = None): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val store = new HadoopStore(rootUri)
+    val keys = LakeReader.listTableKeys(store, table, hourRange)
+    if (keys.isEmpty) 0
+    else {
+      val schema = LakeReader.peekSchema(store, keys.head, table)
+      val byName = keys.map(kk => kk.split('/').last -> kk).toMap
+      require(byName.size == keys.size, "object filenames must be unique")
+      val names = schema.columnNames
+      val nCols = names.length
+      val schemaLocal = schema
+      val rows = LakeReader.readKeys(spark, store, table, keys)
+        .select(input_file_name() +: names.map(col): _*)
+        .rdd
+      // header-only objects yield no rows — seed every listed key so each
+      // gets a sidecar (the BloomMaps.buildIndex zero-seed, same reason)
+      val seeds = spark.sparkContext
+        .parallelize(keys.map(_.split('/').last), LakeReader.walkPartitions(keys.length))
+        .map(name => name -> (null: org.apache.spark.sql.Row))
+      rows
+        .map(r => r.getString(0).split('/').last -> r)
+        .union(seeds)
+        .aggregateByKey(new Tracker(schemaLocal))(
+          { (t, row) =>
+            if (row != null) {
+              val vals = new Array[Any](nCols)
+              var i = 0
+              while (i < nCols) { vals(i) = row.get(i + 1); i += 1 }
+              t.observe(vals)
+            }
+            t
+          },
+          (a, b) => a.merge(b))
+        .foreachPartition { it =>
+          val st = new HadoopStore(rootUri) // per-executor store
+          it.foreach { case (name, t) => write(st, byName(name), t.result()) }
+        }
+      keys.size
+    }
+  }
 
   /** Can an object possibly hold a row with `column` in [lo, hi]? True
     * when stats are absent or unknown (conservative). NULLs never match a

@@ -224,6 +224,66 @@ class BloomMapsSpec extends SparkSuite {
     assert(rep2.kept == 1)
   }
 
+  test("buildIndex seeds header-only objects: back-filled index ≡ writer-time pruning object-for-object") {
+    val root = freshRoot()
+    fixture(root, bloom = false)
+    val store = new HadoopStore(root)
+    // a header-only (0-record) object: a write-time tracker gives it an
+    // always-skip empty filter, so the back-fill must too — an object
+    // that yields NO rows otherwise gets no aggregateByKey entry, no
+    // sidecar, and every probe keeps it forever
+    val emptyKey = LakeKeys.objectKey("bt",
+      Instant.parse("2024-06-10T09:00:00Z"), java.util.UUID.randomUUID(), gzip = true)
+    val out = new java.util.zip.GZIPOutputStream(store.create(emptyKey))
+    out.write("#INTEGER,STRING\nid,tag\n".getBytes("UTF-8")); out.close()
+    assert(LakeReader.listTableKeys(store, "bt", None).size == 5)
+    assert(BloomMaps.buildIndex(spark, root, "bt", Seq("tag")) == 5)
+    assert(store.list(ZoneMaps.Prefix).count(_.endsWith(".bloom")) == 5,
+      "EVERY listed object gets a sidecar, including the 0-record one")
+    // byte-identical to what the write-time tracker emits for 0 records
+    val writeTime = {
+      val t = new BloomMaps.Tracker(schema, Seq("tag"),
+        BloomMaps.DefaultBits, BloomMaps.DefaultHashes)
+      BloomMaps.render(t.result())
+    }
+    val onDisk = {
+      val in = store.open(BloomMaps.bloomKey(emptyKey))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(onDisk == writeTime,
+      "back-filled 0-record sidecar must equal the writer-time sidecar")
+    // so the point probe SKIPS the empty object: 1 of 5 kept, rows exact
+    val (df, rep) = LakeReader.readPrunedEq(spark, root, "bt", "tag", "t2")
+    assert(rep.candidates == 5 && rep.kept == 1,
+      s"the 0-record object must skip, not conservatively keep: $rep")
+    assert(df.filter(col("tag") === "t2").count() == 250)
+  }
+
+  test("a whole double beyond 2^53 still probes the integral wire form (no wrong skip)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val sch = TableSchema("big", Seq(
+      "id" -> ColType.CInteger, "tag" -> ColType.CString))
+    // the long-boxed 10^16 row (wire "10000000000000000") lands in the
+    // second object of the ordered rolled write
+    val df = ((0 until 499).map(i => (i.toLong, "small")) :+
+        (10000000000000000L, "big"))
+      .toDF("id", "tag").orderBy("id").coalesce(1)
+    LakeWriter.write(df, sch, root, Instant.parse("2024-06-10T08:00:00Z"),
+      maxRecordsPerObject = 250L, bloomColumns = Seq("id"))
+    // Double 1.0E16 is whole and exactly 10^16 but raw-formats as
+    // "1.0E16" — only the integral wire form finds the long-written row
+    // (whole doubles in (2^53, 2^63) are still exact longs)
+    val (d, r) = LakeReader.readPrunedEq(spark, root, "big", "id",
+      java.lang.Double.valueOf(1.0e16))
+    assert(r.kept >= 1, s"whole double beyond 2^53 must not wrongly skip: $r")
+    assert(d.filter(col("id") === 10000000000000000L).count() == 1)
+    // an absent beyond-2^53 value still skips everything
+    val (_, r2) = LakeReader.readPrunedEq(spark, root, "big", "id",
+      java.lang.Double.valueOf(2.0e16))
+    assert(r2.kept == 0, s"absent huge value must still skip: $r2")
+  }
+
   test("a failed write attempt deletes its partial blooms with its objects") {
     import spark.implicits._
     val root = freshRoot()

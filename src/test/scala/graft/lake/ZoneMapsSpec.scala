@@ -567,4 +567,112 @@ class ZoneMapsSpec extends SparkSuite {
     assert(t4.result().cols("i").min.isEmpty,
       "NaN drifted into an integer column must poison, not track 0")
   }
+
+  test("buildIndex rebuilds stats sidecars: adopt a stat-less lake, heal stale bounds, seed 0-record objects") {
+    import spark.implicits._
+    val root = freshRoot()
+    // a stat-less lake (zoneMaps = false): same data as the fixture
+    val df = (0 until 1000).map(i => (i.toLong, i / 3.0,
+        java.sql.Timestamp.from(Instant.parse("2024-06-01T00:00:00Z")
+          .plusSeconds(i.toLong)), s"t$i"))
+      .toDF("id", "v", "ts", "tag")
+      .orderBy("id").coalesce(1)
+    val written = LakeWriter.write(df, schema, root,
+      Instant.parse("2024-06-02T09:00:00Z"), maxRecordsPerObject = 250L)
+    val store = new HadoopStore(root)
+    assert(LakeReader.statsSummary(store, "zt").isEmpty, "no sidecars yet")
+    val (_, before) = LakeReader.readPruned(spark, root, "zt", "id", dec(100), dec(180))
+    assert(before.kept == 4, "stat-less lake keeps everything")
+
+    // ANALYZE: one distributed pass, no data rewritten
+    val dataKeys = LakeReader.listTableKeys(store, "zt", None).sorted
+    assert(ZoneMaps.buildIndex(spark, root, "zt") == 4)
+    assert(LakeReader.listTableKeys(store, "zt", None).sorted == dataKeys,
+      "stats rebuild must not touch data objects")
+    val (_, after) = LakeReader.readPruned(spark, root, "zt", "id", dec(100), dec(180))
+    assert(after.kept == 1, s"back-filled stats must prune: $after")
+    // rebuilt bounds equal what a write-time tracker records for this
+    // data (whole-second timestamps, Double/Long boxes — no drift)
+    val s = LakeReader.statsSummary(store, "zt").get
+    assert(s.records == 1000 && s.objects == 4)
+    assert(s.cols("id").min.get.longValueExact() == 0L &&
+      s.cols("id").max.get.longValueExact() == 999L && s.cols("id").boundsExact)
+
+    // HEAL: plant a pre-millis-truncation-fix sidecar — ts min recorded
+    // 500 MICROS above the stored (millis-precision) value
+    val victim = written.head.key
+    val good = ZoneMaps.read(store, victim).get
+    val tsMin = good.cols("ts").min.get
+    val stale = good.copy(cols = good.cols.updated("ts",
+      good.cols("ts").copy(min = Some(tsMin.add(new BigDecimal(500))))))
+    ZoneMaps.write(store, victim, stale)
+    // a [trueMin, trueMin] band now wrongly SKIPS the victim
+    val (_, wrong) = LakeReader.readPruned(spark, root, "zt", "ts", tsMin, tsMin)
+    assert(wrong.kept == 0, s"stale micros bound reproduces the wrong skip: $wrong")
+    assert(ZoneMaps.buildIndex(spark, root, "zt") == 4)
+    val (healedDf, healed) = LakeReader.readPruned(spark, root, "zt", "ts", tsMin, tsMin)
+    assert(healed.kept == 1, s"rebuild must heal the stale bound: $healed")
+    assert(healedDf.filter(col("id") === 0L).count() == 1)
+
+    // SEED: a header-only object still gets a sidecar (records = 0) and
+    // metadata aggregates stay exact-or-absent — present and exact here
+    val emptyKey = LakeKeys.objectKey("zt",
+      Instant.parse("2024-06-02T10:00:00Z"), java.util.UUID.randomUUID(), gzip = true)
+    val out = new java.util.zip.GZIPOutputStream(store.create(emptyKey))
+    out.write((schema.typesHeader + "\n" + schema.namesHeader + "\n").getBytes("UTF-8"))
+    out.close()
+    assert(ZoneMaps.buildIndex(spark, root, "zt") == 5)
+    val es = ZoneMaps.read(store, emptyKey)
+    assert(es.exists(_.records == 0L), s"0-record object must carry a sidecar: $es")
+    val s2 = LakeReader.statsSummary(store, "zt").get
+    assert(s2.objects == 5 && s2.records == 1000 &&
+      s2.cols("id").min.get.longValueExact() == 0L,
+      s"empty object must not perturb the exact summary: $s2")
+  }
+
+  test("equal bounds under mixed producer boxes merge to one canonical form: driver ≡ distributed bit-identical") {
+    val root = freshRoot()
+    val sch = TableSchema("mx", Seq("id" -> ColType.CInteger, "v" -> ColType.CFloat))
+    val store = new HadoopStore(root)
+    // object A: v fed LONG boxes (wire "3", bound BigDecimal scale 0);
+    // object B: v fed DOUBLE boxes (wire "3.0", bound scale 1) — equal by
+    // compareTo, different by equals. reduceByKey combine order is
+    // nondeterministic, so without tie canonicalization the merged bound's
+    // FORM (and any bit-identical pinned equality) depends on the run.
+    // Producer boxes reach the wire through the COLLECTOR path (values
+    // written as-is — LakeWriter casts to the schema first, and buildIndex
+    // re-derives from read-back Doubles), so the fixture writes the
+    // objects and their write-time-Tracker sidecars directly.
+    def plant(hour: String, rows: Seq[Array[Any]]): Unit = {
+      val key = LakeKeys.objectKey("mx", Instant.parse(hour),
+        java.util.UUID.randomUUID(), gzip = true)
+      val body = (Seq(sch.typesHeader, sch.namesHeader) ++
+        rows.map(r => TypedCsv.formatRow(r.toSeq, sch.colTypes))).mkString("", "\n", "\n")
+      val out = new java.util.zip.GZIPOutputStream(store.create(key))
+      out.write(body.getBytes("UTF-8")); out.close()
+      val t = new ZoneMaps.Tracker(sch)
+      rows.foreach(t.observe)
+      ZoneMaps.write(store, key, t.result())
+    }
+    plant("2024-06-02T08:00:00Z",
+      (1 to 10).map(i => Array[Any](i.toLong, java.lang.Long.valueOf(3L))))
+    plant("2024-06-02T09:00:00Z",
+      (11 to 20).map(i => Array[Any](i.toLong, java.lang.Double.valueOf(3.0))))
+    // the per-object sidecars really do carry the two forms
+    val keys = LakeReader.listTableKeys(store, "mx", None).sorted
+    val perObject = keys.map(k => ZoneMaps.read(store, k).get.cols("v").min.get)
+    assert(perObject.map(_.scale()).toSet == Set(0, 1),
+      s"fixture must produce mixed-scale equal bounds: $perObject")
+    val drv = LakeReader.statsSummary(store, "mx").get
+    // ties collapse to the canonical zero-stripped form — scale 0 here —
+    // so the merged bound is ONE exact BigDecimal regardless of order
+    assert(drv.cols("v").min.get == new BigDecimal(3) &&
+      drv.cols("v").max.get == new BigDecimal(3),
+      s"tie must canonicalize (scale-0 '3'): ${drv.cols("v")}")
+    // and the distributed walk is BIT-IDENTICAL (case-class equality runs
+    // BigDecimal.equals — scale-sensitive), at several partitionings
+    for (p <- Seq(1, 2, 7))
+      assert(LakeReader.statsSummaryDistributed(spark, root, "mx",
+        partitions = p).contains(drv), s"partitions=$p must be bit-identical")
+  }
 }
