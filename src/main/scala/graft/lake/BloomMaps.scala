@@ -47,12 +47,30 @@ object BloomMaps {
   val DefaultBits = 65536
   val DefaultHashes = 4
 
+  /** Hash-seed ceiling the Tracker enforces and the strict parse
+    * re-validates — [[wireHashes]] precomputes exactly this many seeds,
+    * so a parsed filter can never ask for a seed the probe lacks. */
+  val MaxHashes = 16
+
+  /** All [[MaxHashes]] seed-hashes of one wire form, computed ONCE per
+    * probe value and reused across every object's filter (each filter
+    * applies its own `m`/`k` to the same raw hashes). A multi-value
+    * probe over a million objects hashes each value once, not once per
+    * object. */
+  def wireHashes(wire: String): Array[Int] = {
+    val data = wire.getBytes(StandardCharsets.UTF_8)
+    Array.tabulate(MaxHashes)(i => MurmurHash3.bytesHash(data, i))
+  }
+
   final case class ColBloom(m: Int, k: Int, bits: Array[Byte]) {
-    def mightContain(wire: String): Boolean = {
-      val data = wire.getBytes(StandardCharsets.UTF_8)
+    def mightContain(wire: String): Boolean = mightContainHashed(wireHashes(wire))
+
+    /** [[mightContain]] over precomputed [[wireHashes]] — the batched
+      * probe path. */
+    def mightContainHashed(hashes: Array[Int]): Boolean = {
       var i = 0
       while (i < k) {
-        val pos = ((MurmurHash3.bytesHash(data, i) % m) + m) % m
+        val pos = ((hashes(i) % m) + m) % m
         if ((bits(pos >> 3) & (1 << (pos & 7))) == 0) return false
         i += 1
       }
@@ -274,6 +292,18 @@ object BloomMaps {
       case Some(b) => b.cols.get(column) match {
         case None => true
         case Some(cb) => cb.mightContain(wire)
+      }
+    }
+
+  /** [[mightContain]] over precomputed [[wireHashes]] — same conservative
+    * semantics (absent filter / untracked column keep). */
+  def mightContainHashed(blooms: Option[ObjectBlooms], column: String,
+                         hashes: Array[Int]): Boolean =
+    blooms match {
+      case None => true
+      case Some(b) => b.cols.get(column) match {
+        case None => true
+        case Some(cb) => cb.mightContainHashed(hashes)
       }
     }
 }

@@ -707,6 +707,122 @@ object LakeReader {
     prunedResult(spark, store, table, keys, kept)
   }
 
+  /** [[readPrunedEq]] over a DISJUNCTION of point probes on ONE column
+    * (`column IN (v1, v2, …)`): an object is opened if ANY value's bloom
+    * probe hits (with its [v,v] band consistent, per value — exactly the
+    * [[readPrunedEq]] test, OR-ed across values). This is the semi-join
+    * reduction primitive: the probe set is a join key-list, and every
+    * object whose filter provably lacks ALL the keys is skipped without
+    * opening it. Still ONE bloom read and at most one stats read per
+    * object regardless of probe count — each value's seed-hashes are
+    * precomputed once ([[BloomMaps.wireHashes]]) and reused across the
+    * whole walk, so a 10k-value probe over a million objects hashes 10k
+    * values once, then does pure bit tests (with the OR short-circuiting
+    * on the first hit). Conservative per value, hence for the
+    * disjunction: false positives may KEEP an extra object, a missing
+    * or torn sidecar keeps, a skip is always provably correct. */
+  def readPrunedEqAny(spark: SparkSession, rootUri: String, table: String,
+                      column: String, values: Seq[Any],
+                      hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
+                      sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
+      : (DataFrame, PruneReport) = {
+    require(values.nonEmpty, "at least one probe value")
+    values.foreach { v => require(v != null && v != "",
+      s"equality probe on '$column' is null/empty " +
+        "(\"\" round-trips as null in the wire format — probe IS NULL by scanning)") }
+    val store = new HadoopStore(rootUri)
+    val keys = listTableKeys(store, table, hourRange)
+    require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
+    val colType = peekSchema(store, keys.head, table).columns.toMap.getOrElse(column,
+      throw new IllegalArgumentException(s"no column '$column' in table $table"))
+    // hash every plausible wire form of every value ONCE, on the driver —
+    // the walk (driver or executor) only does %-and-bit-test per object
+    val plans: Seq[(Array[Array[Int]], Option[java.math.BigDecimal])] =
+      values.map { v =>
+        (probeWires(colType, v).toArray.map(BloomMaps.wireHashes),
+          probeBand(colType, v))
+      }
+    val kept = walkKeys(spark, rootUri, keys, sidecarDistributeAbove) { (st, k) =>
+      lazy val blooms = BloomMaps.read(st, k)
+      lazy val stats = ZoneMaps.read(st, k)
+      plans.exists { case (hashes, band) =>
+        hashes.exists(h => BloomMaps.mightContainHashed(blooms, column, h)) &&
+          band.forall(b => ZoneMaps.mayContain(stats, column, b, b))
+      }
+    }
+    prunedResult(spark, store, table, keys, kept)
+  }
+
+  /** SEMI-JOIN a lake table to a (filtered) dimension with the join
+    * pushed down to the OBJECT level: collect the dimension's distinct
+    * join keys (bounded — see the guard), skip every lake object whose
+    * bloom provably lacks all of them ([[readPrunedEqAny]]), then apply
+    * the exact semi-join to the surviving objects' rows. This is runtime
+    * filtering / dynamic file pruning at the lake layer: "events for
+    * these 2k customers" touches the objects that can hold those
+    * customers, not 100 TB of lake.
+    *
+    * The dimension side must be SMALL — that is what makes the reduction
+    * a win and the broadcast safe — and the bound is ARMED, not assumed:
+    * more than `maxDimKeys` distinct non-null keys raises
+    * IllegalStateException naming the bound and the remedies, never
+    * silently degrading to a full scan (the [[graft.operators.Guards]]
+    * contract). Within the bound, the exact semi-join broadcasts a
+    * key-list relation PROVABLY ≤ `maxDimKeys` rows — the
+    * bounded-broadcast pattern, not a size-blind hint on a growing
+    * table.
+    *
+    * NULL dim keys match nothing under SQL equality and are dropped;
+    * empty-string keys are dropped too, which is exact for the same
+    * reason — "" round-trips through the wire format as NULL, so no
+    * lake ROW can equal "" either. Bloom false positives cost an extra
+    * opened object whose rows the exact join then rejects — never a
+    * wrong row, and never a wrong skip. */
+  def lakeSemiJoin(spark: SparkSession, rootUri: String, table: String,
+                   column: String, dim: DataFrame, dimColumn: String,
+                   maxDimKeys: Int = 10000,
+                   hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
+                   sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
+      : (DataFrame, PruneReport) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(maxDimKeys > 0, s"maxDimKeys must be positive: $maxDimKeys")
+    val field = dim.schema(dimColumn) // fails loudly on a bad column name
+    // "" is only a representable key for string-typed dims (on numeric
+    // columns the comparison itself would be a bad cast)
+    val nonEmpty =
+      if (field.dataType == org.apache.spark.sql.types.StringType)
+        col(dimColumn).isNotNull && col(dimColumn) =!= ""
+      else col(dimColumn).isNotNull
+    val keyRows = dim.select(col(dimColumn))
+      .where(nonEmpty)
+      .distinct().limit(maxDimKeys + 1).collect()
+    if (keyRows.length > maxDimKeys)
+      throw new IllegalStateException(
+        s"lakeSemiJoin: dimension '$dimColumn' has more than $maxDimKeys " +
+          s"distinct join keys — the key-list probe and its broadcast are only " +
+          s"a win for a small dimension. Raise maxDimKeys deliberately, " +
+          s"pre-filter the dimension, or use a full lake read with a " +
+          s"shuffle join instead.")
+    val values = keyRows.map(_.get(0)).toSeq
+    val store = new HadoopStore(rootUri)
+    if (values.isEmpty) {
+      // an empty key set semi-joins to nothing; keep the report honest
+      val keys = listTableKeys(store, table, hourRange)
+      require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
+      return prunedResult(spark, store, table, keys, Nil)
+    }
+    val (pruned, report) = readPrunedEqAny(spark, rootUri, table, column, values,
+      hourRange, sidecarDistributeAbove)
+    val probe = spark.createDataFrame(
+      java.util.Arrays.asList(keyRows.map(r =>
+        org.apache.spark.sql.Row(r.get(0))): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__graft_semi_key", field.dataType))))
+    val out = pruned.join(broadcast(probe),
+      pruned(column) === probe("__graft_semi_key"), "left_semi")
+    (out, report)
+  }
+
   /** Every plausible WIRE form of a value numerically equal to `value`.
     * The stored form depends on the PRODUCER's runtime box, not the
     * declared type (TypedCsv writes values as-is): a CInteger column fed

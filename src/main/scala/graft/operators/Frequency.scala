@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** EXACT frequent-item analytics at corpus scale.
+  *
+  * The naive "GROUP BY value HAVING count ≥ φ·N" shuffles the FULL value
+  * distribution — at 100 TB the long tail of singletons dominates the
+  * shuffle even though none of it can ever pass the threshold.
+  * [[heavyHitters]] keeps the answer exact while shuffling only a
+  * provably-sufficient candidate set: a per-partition Misra–Gries pass
+  * (Misra & Gries 1982; the Frequent algorithm) nominates candidates,
+  * an exact recount restricted to the broadcast candidate set decides.
+  */
+object Frequency {
+
+  /** All values of `column` whose exact frequency is ≥ φ·N (φ given as
+    * the rational `phiNum/phiDen` — integer algebra end to end, no float
+    * threshold), with their exact counts. NULLs are excluded from both
+    * the candidates and N.
+    *
+    * Two passes over the data, ONE Spark action, no full-distribution
+    * shuffle:
+    *
+    * 1. CANDIDATES — each partition runs Misra–Gries with
+    *    k = ⌈phiDen/phiNum⌉ counters. MG keeps every value whose local
+    *    count exceeds nᵢ/(k+1); if a value has global count ≥ φ·N, some
+    *    partition must hold more than nᵢ/(k+1) of it (else summing the
+    *    per-partition bounds gives count < N/(k+1) < φ·N, since
+    *    k+1 > 1/φ by construction) — so the UNION of per-partition
+    *    summaries is a proven superset of the global heavy hitters.
+    *    At most k values survive per partition, so the candidate
+    *    relation is bounded at k × partitions rows — broadcastable by
+    *    construction, not by hope.
+    * 2. EXACT RECOUNT — the data is scanned once more with the
+    *    candidates broadcast; rows tag as their value (candidate) or
+    *    NULL (tail), and ONE aggregate yields every candidate's exact
+    *    count plus the tail bucket — which also supplies exact N, so no
+    *    separate `count()` job runs. The φ test is the integer
+    *    cross-multiplication `cnt · phiDen ≥ N · phiNum`
+    *    (⟺ cnt ≥ ⌈φ·N⌉ for integer cnt).
+    *
+    * The N-row is a 1-row sum over the AGGREGATED relation (≤ k·P + 1
+    * rows, bounded by the same argument as the broadcast) cross-joined
+    * back — never a pass over the data, and the shared aggregate
+    * subtree is one reused exchange. Overflow headroom: N·phiNum stays
+    * within Long up to N ≈ 9·10¹⁸/phiDen.
+    *
+    * Output: (`column`, `cnt` long), one row per heavy hitter.
+    * Deterministic for any partitioning — candidates are a superset
+    * under EVERY split of the data, and the recount is exact.
+    *
+    * Identity is the column's native equality (the groupBy's). For
+    * FLOAT columns note NaN ≠ NaN under SQL equality; heavy-hitting
+    * NaNs would be tail-bucketed — cast upstream if that matters.
+    */
+  def heavyHitters(df: DataFrame, column: String,
+                   phiNum: Long, phiDen: Long): DataFrame = {
+    require(phiNum > 0 && phiDen >= phiNum,
+      s"phi must be a rational in (0, 1]: $phiNum/$phiDen")
+    val k = ((phiDen + phiNum - 1) / phiNum).toInt // ⌈1/φ⌉ ⇒ k+1 > 1/φ
+    val field = df.schema(column) // loud on a bad column name
+    val vals = df.select(col(column)).where(col(column).isNotNull)
+
+    // pass 1: per-partition Misra–Gries. Genuine per-partition imperative
+    // state (k counters), so mapPartitions is the honest tool here; the
+    // decrement step amortizes O(1) per row (each decrement cancels an
+    // increment).
+    val candRdd = vals.rdd.mapPartitions { it =>
+      val counters = new java.util.HashMap[Any, Long](2 * k)
+      while (it.hasNext) {
+        val v = it.next().get(0)
+        val cur = counters.get(v)
+        if (cur != 0L || counters.containsKey(v)) counters.put(v, cur + 1)
+        else if (counters.size < k) counters.put(v, 1L)
+        else {
+          val e = counters.entrySet().iterator()
+          while (e.hasNext) {
+            val en = e.next()
+            if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1)
+          }
+        }
+      }
+      val out = new Array[Row](counters.size)
+      val ks = counters.keySet().iterator(); var i = 0
+      while (ks.hasNext) { out(i) = Row(ks.next()); i += 1 }
+      out.iterator
+    }
+    val cand = df.sparkSession.createDataFrame(candRdd,
+        StructType(Seq(StructField("__hh_cand", field.dataType))))
+      .distinct() // ≤ k rows per partition in, tiny shuffle
+
+    // pass 2: one aggregate over candidate-tagged values. The left join
+    // keys on a ≤ k·P-row relation — broadcast is bounded by
+    // construction (the Guards/t15 bounded-broadcast rule).
+    val agg = vals
+      .join(broadcast(cand), col(column) === col("__hh_cand"), "left")
+      .select(col("__hh_cand").as("__hh_val")) // NULL = non-candidate tail
+      .groupBy("__hh_val").agg(count(lit(1)).as("cnt"))
+    // exact N = the sum over the BOUNDED aggregate (≤ k·P + 1 rows) as a
+    // broadcast 1-row cross join; the shared agg subtree is one exchange,
+    // reused — no single-partition window, no second pass for N
+    val total = agg.agg(sum("cnt").as("__hh_total"))
+    agg.crossJoin(broadcast(total))
+      .where(col("__hh_val").isNotNull &&
+        col("cnt") * phiDen >= col("__hh_total") * phiNum)
+      .select(col("__hh_val").as(column), col("cnt"))
+  }
+}

@@ -284,6 +284,76 @@ class BloomMapsSpec extends SparkSuite {
     assert(r2.kept == 0, s"absent huge value must still skip: $r2")
   }
 
+  test("readPrunedEqAny: disjunction keeps the union of per-value kept sets; driver ≡ distributed") {
+    val root = freshRoot()
+    val written = fixture(root)
+    // two values in two distinct objects → exactly those two kept
+    val (df, rep) = LakeReader.readPrunedEqAny(spark, root, "bt", "tag",
+      Seq("t1", "t3"))
+    assert(rep.candidates == 4 && rep.kept == 2,
+      s"IN-list probe must keep exactly the t1 and t3 objects: $rep")
+    assert(df.filter(col("tag").isin("t1", "t3")).count() == 500)
+    // no value present anywhere → everything skips
+    val (_, none) = LakeReader.readPrunedEqAny(spark, root, "bt", "tag",
+      Seq("nope", "also-nope"))
+    assert(none.kept == 0)
+    // distributed walk keeps the identical set
+    val (_, repD) = LakeReader.readPrunedEqAny(spark, root, "bt", "tag",
+      Seq("t1", "t3"), sidecarDistributeAbove = 0)
+    assert(repD == rep, s"walks must agree: $rep vs $repD")
+    // a torn bloom keeps its object under the disjunction too
+    val store = new HadoopStore(root)
+    store.delete(BloomMaps.bloomKey(written.head.key))
+    val (_, cons) = LakeReader.readPrunedEqAny(spark, root, "bt", "tag",
+      Seq("t3"))
+    assert(cons.kept == 2, s"bloom-less object must stay kept: $cons")
+    // null/"" probe values refuse loudly (the wire round-trip rule)
+    intercept[IllegalArgumentException] {
+      LakeReader.readPrunedEqAny(spark, root, "bt", "tag", Seq("t1", null))
+    }
+  }
+
+  test("lakeSemiJoin: dim-driven object pruning + exact bounded-broadcast semi-join") {
+    import spark.implicits._
+    val root = freshRoot()
+    fixture(root) // ids 0..999 in 4 id-ordered objects, tag blooms
+    // dimension: ids 100, 150 (object 0) and 600 (object 2) + a null
+    // (matches nothing) + a duplicate (distinct-folded)
+    val dim = Seq(Some(100L), Some(150L), Some(600L), None, Some(100L))
+      .toDF("k")
+    val (df, rep) = LakeReader.lakeSemiJoin(spark, root, "bt", "id",
+      dim, "k")
+    // id is not bloom-indexed in this fixture → conservative keep-all at
+    // the object level, but the exact semi-join still returns exact rows
+    assert(rep.candidates == 4)
+    val rows = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(100L, 150L, 600L), s"exact semi-join rows: ${rows.toSeq}")
+    // the exact side is a BROADCAST semi-join of the bounded key list
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"bounded key-list must broadcast-semi-join:\n$plan")
+    // bloom-indexed column: the probe actually prunes objects
+    val (df2, rep2) = LakeReader.lakeSemiJoin(spark, root, "bt", "tag",
+      Seq("t0", "t2").toDF("tag_k"), "tag_k")
+    assert(rep2.kept == 2, s"tag keys must prune to their two objects: $rep2")
+    assert(df2.count() == 500)
+    // over-bound dimension raises with the remedy, never degrades
+    val big = (0 until 50).map(i => s"k$i").toDF("tag_k")
+    val e = intercept[IllegalStateException] {
+      LakeReader.lakeSemiJoin(spark, root, "bt", "tag", big, "tag_k",
+        maxDimKeys = 10)
+    }
+    assert(e.getMessage.contains("maxDimKeys") ||
+      e.getMessage.contains("distinct join keys"))
+    // empty dimension (or all-null) semi-joins to nothing, honestly
+    val (emptyDf, rep3) = LakeReader.lakeSemiJoin(spark, root, "bt", "tag",
+      Seq.empty[String].toDF("tag_k"), "tag_k")
+    assert(rep3.kept == 0 && emptyDf.count() == 0)
+    val (nullDf, rep4) = LakeReader.lakeSemiJoin(spark, root, "bt", "tag",
+      Seq[Option[String]](None, None).toDF("tag_k"), "tag_k")
+    assert(rep4.kept == 0 && nullDf.count() == 0)
+  }
+
   test("a failed write attempt deletes its partial blooms with its objects") {
     import spark.implicits._
     val root = freshRoot()

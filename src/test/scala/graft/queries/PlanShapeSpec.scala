@@ -169,6 +169,20 @@ class PlanShapeSpec extends SparkSuite {
       s"total must ride the unigram exchange (one pass over terms):\n$fp")
   }
 
+  test("t18: heavy hitters broadcast the MG candidate set; N rides the recount's exchange") {
+    val p = plan("t18_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded candidate set must broadcast onto the values:\n$p")
+    // the exact-N consumer must REUSE the recount aggregation's
+    // exchange, not re-scan the term stream (same pattern and reason as
+    // t15; AQE resolves reuse at runtime, so execute first)
+    val df = SparkEntry.queries("t18_heavy_hitters")(spark, sf("sf0.001"))
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(fp.contains("ReusedExchange"),
+      s"total must ride the recount exchange (one tagged pass):\n$fp")
+  }
+
   test("q12: global sort+limit plans TakeOrderedAndProject, never a full sort") {
     val p = plan("q12_sort_limit")
     assert(p.contains("TakeOrderedAndProject"),
