@@ -26,6 +26,39 @@ object RehearsalR11 {
     r
   }
 
+  /** Total shuffle bytes written across all tasks — the resource a real
+    * cluster pays network/disk for; local[32] shuffles at RAM speed, so
+    * BYTES, not seconds, are the honest scale evidence. */
+  final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+    val written = new java.util.concurrent.atomic.AtomicLong(0L)
+    val read = new java.util.concurrent.atomic.AtomicLong(0L)
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.inputMetrics.bytesRead)
+        taskMs.addAndGet(m.executorRunTime)
+      }
+    }
+  }
+
+  def metered[A](spark: org.apache.spark.sql.SparkSession, label: String)
+                (f: => A): A = {
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val r = f
+    // listener events drain asynchronously (the bus is private API) —
+    // settle briefly before reading the counters
+    Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(meter)
+    println(f"REHEARSE $label%-52s ${meter.read.get / 1e6}%8.2f MB input, " +
+      f"${meter.written.get / 1e6}%8.2f MB shuffled, " +
+      f"${meter.taskMs.get / 1e3}%7.2f task-s")
+    r
+  }
+
   def main(args: Array[String]): Unit = {
     val sfBig = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -36,12 +69,19 @@ object RehearsalR11 {
     store.deletePrefix("")
     val schema = TableSchema("events_r11", Seq(
       "event_id" -> ColType.CInteger, "user_id" -> ColType.CInteger))
+    // replicate events 100× (~10M rows): at 100k rows the whole lake
+    // decompresses in the job-overhead noise and the prune cannot show —
+    // the win IS the skipped objects' decompress+parse, so give the
+    // objects real mass. Range-partitioning by user gives ~30 user-banded
+    // objects written in parallel (the rehearsal doesn't need the specs'
+    // exact-boundary determinism).
     val ev = spark.read.parquet(s"$sfBig/events.parquet")
       .select(col("event_id"), col("user_id"))
+      .crossJoin(spark.range(100).select(col("id").as("rep")))
+      .select((col("event_id") * 100 + col("rep")).as("event_id"), col("user_id"))
     val n = ev.count()
-    LakeWriter.write(ev.orderBy("user_id", "event_id").coalesce(1),
-      schema, root, maxRecordsPerObject = math.max(1L, (n + 29) / 30),
-      zoneMaps = true, bloomColumns = Seq("user_id"))
+    LakeWriter.write(ev.repartitionByRange(30, col("user_id"), col("event_id")),
+      schema, root, zoneMaps = true, bloomColumns = Seq("user_id"))
     println(s"lake: $n rows in ${LakeReader.listTableKeys(store, "events_r11", None).size} user-ordered objects")
 
     import spark.implicits._
@@ -64,23 +104,30 @@ object RehearsalR11 {
       time(s"lakeSemiJoin (pruned objects) #$i")(semi())
       time(s"full read + broadcast semi-join #$i")(full())
     }
+    // wall-seconds hide the prune on local[32] — 30 small objects parse
+    // in parallel under the fixed probe overhead. The cluster-bound
+    // resources are bytes opened and task-seconds: the full path pays
+    // for every object, the pruned path for the kept ones
+    metered(spark, "lakeSemiJoin (pruned objects)")(semi())
+    metered(spark, "full read + broadcast semi-join")(full())
 
     // ---- 2. exact heavy hitters vs naive GROUP BY ----------------------
-    // 5M rows: 40% split over 3 heavy values, 60% singletons (3M distinct
-    // tail groups — the regime the naive shuffle pays for)
-    val corpus = spark.range(5000000L).select(
-      when(col("id") % 10 < 4, concat(lit("h"), col("id") % 3))
-        .otherwise(concat(lit("t"), col("id"))).as("v"))
+    // 20M rows: 10% split over 3 heavy values, 90% singleton tail of
+    // 32-char values (18M distinct groups, ~1 GB of shuffle payload —
+    // the regime the naive plan pays for and MG never ships)
+    val corpus = spark.range(20000000L).select(
+      when(col("id") % 10 < 1, concat(lit("h"), col("id") % 3))
+        .otherwise(md5(col("id").cast("string"))).as("v"))
       .repartition(32)
       .localCheckpoint() // measure the operators, not the generator
     def mg(): Set[(String, Long)] =
-      Frequency.heavyHitters(corpus, "v", 5, 100)
+      Frequency.heavyHitters(corpus, "v", 2, 100)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     def naive(): Set[(String, Long)] = {
       val vals = corpus.where(col("v").isNotNull)
       val total = vals.count()
       vals.groupBy("v").agg(count(lit(1)).as("cnt"))
-        .where(col("cnt") * 100 >= lit(total) * 5)
+        .where(col("cnt") * 100 >= lit(total) * 2)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     }
     val a = mg(); val b = naive()
@@ -88,8 +135,12 @@ object RehearsalR11 {
     println(s"heavy hitters: $a")
     for (i <- 1 to 3) {
       time(s"Misra-Gries + exact recount #$i")(mg())
-      time(s"naive GROUP BY / HAVING (3M tail groups) #$i")(naive())
+      time(s"naive GROUP BY / HAVING (18M tail groups) #$i")(naive())
     }
+    // seconds lie on local[32] (the shuffle is RAM-speed); BYTES are what
+    // a cluster pays the network for
+    metered(spark, "Misra-Gries + exact recount")(mg())
+    metered(spark, "naive GROUP BY / HAVING")(naive())
 
     store.deletePrefix("")
     spark.stop()

@@ -67,11 +67,13 @@ object Frequency {
     // pass 1: per-partition Misra–Gries. Genuine per-partition imperative
     // state (k counters), so mapPartitions is the honest tool here; the
     // decrement step amortizes O(1) per row (each decrement cancels an
-    // increment).
-    val candRdd = vals.rdd.mapPartitions { it =>
-      val counters = new java.util.HashMap[Any, Long](2 * k)
+    // increment). STRING columns take the typed-Dataset path (codegen'd
+    // deserializer, no Row boxing — strings are the common corpus case);
+    // other types fall back to the generic Row walk.
+    def misraGries[T](it: Iterator[T]): Iterator[T] = {
+      val counters = new java.util.HashMap[T, Long](2 * k)
       while (it.hasNext) {
-        val v = it.next().get(0)
+        val v = it.next()
         val cur = counters.get(v)
         if (cur != 0L || counters.containsKey(v)) counters.put(v, cur + 1)
         else if (counters.size < k) counters.put(v, 1L)
@@ -83,14 +85,21 @@ object Frequency {
           }
         }
       }
-      val out = new Array[Row](counters.size)
-      val ks = counters.keySet().iterator(); var i = 0
-      while (ks.hasNext) { out(i) = Row(ks.next()); i += 1 }
-      out.iterator
+      val out = new java.util.ArrayList[T](counters.size)
+      val ks = counters.keySet().iterator()
+      while (ks.hasNext) out.add(ks.next())
+      import scala.jdk.CollectionConverters._
+      out.iterator().asScala
     }
-    val cand = df.sparkSession.createDataFrame(candRdd,
+    val cand = (if (field.dataType == org.apache.spark.sql.types.StringType) {
+      import org.apache.spark.sql.Encoders
+      vals.as[String](Encoders.STRING).mapPartitions(misraGries[String] _)(Encoders.STRING)
+        .toDF("__hh_cand")
+    } else {
+      val candRdd = vals.rdd.mapPartitions(it => misraGries(it.map(_.get(0))).map(Row(_)))
+      df.sparkSession.createDataFrame(candRdd,
         StructType(Seq(StructField("__hh_cand", field.dataType))))
-      .distinct() // ≤ k rows per partition in, tiny shuffle
+    }).distinct() // ≤ k rows per partition in, tiny shuffle
 
     // pass 2: one aggregate over candidate-tagged values. The left join
     // keys on a ≤ k·P-row relation — broadcast is bounded by
