@@ -192,10 +192,16 @@ object BloomMaps {
   def buildIndex(spark: org.apache.spark.sql.SparkSession, rootUri: String,
                  table: String, columns: Seq[String],
                  hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
-                 m: Int = DefaultBits, k: Int = DefaultHashes): Int = {
+                 m: Int = DefaultBits, k: Int = DefaultHashes,
+                 onlyMissing: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val store = new HadoopStore(rootUri)
-    val keys = LakeReader.listTableKeys(store, table, hourRange)
+    val allKeys = LakeReader.listTableKeys(store, table, hourRange)
+    // incremental mode: index only objects with no existing bloom —
+    // semantics and caveats documented at ZoneMaps.buildIndex
+    val keys = if (onlyMissing)
+      ZoneMaps.missingSidecarKeys(store, allKeys, bloomKey)
+    else allKeys
     if (keys.isEmpty) 0
     else {
       val schema = LakeReader.peekSchema(store, keys.head, table)

@@ -280,6 +280,20 @@ object ZoneMaps {
     try parse(new String(in.readAllBytes(), StandardCharsets.UTF_8)) finally in.close()
   } catch { case _: Exception => None }
 
+  /** The keys among `keys` whose sidecar (under `sidecarKeyOf`) does not
+    * EXIST — the incremental-build filter both `buildIndex`es share. One
+    * listing per hour/table prefix (the data listing's own granularity),
+    * never a per-object existence RPC and never a whole-`_zmaps/` walk.
+    * Existence only: a PRESENT-but-torn sidecar is not "missing" (telling
+    * the two apart costs the full read the incremental mode exists to
+    * avoid) — healing suspected-torn sidecars is a full rebuild's job. */
+  private[lake] def missingSidecarKeys(store: Store, keys: Seq[String],
+                                       sidecarKeyOf: String => String): Seq[String] = {
+    val prefixes = keys.map(k => k.substring(0, k.lastIndexOf('/'))).distinct
+    val existing = prefixes.flatMap(pfx => store.list(Prefix + pfx)).toSet
+    keys.filterNot(k => existing.contains(sidecarKeyOf(k)))
+  }
+
   /** REBUILD stats sidecars over an EXISTING lake — "ANALYZE TABLE"
     * without rewriting a byte of data: one distributed pass reads every
     * object's rows, folds a per-object [[Tracker]] executor-side
@@ -305,13 +319,23 @@ object ZoneMaps {
     *
     * Concurrency: same contract as [[BloomMaps.buildIndex]] — index
     * settled hours; a build racing compaction/retention fails loudly on
-    * a retired key rather than writing a sidecar for a ghost. */
+    * a retired key rather than writing a sidecar for a ghost.
+    *
+    * `onlyMissing = true` is the INCREMENTAL mode for append-heavy lakes
+    * (yesterday's objects already indexed): only objects with no
+    * existing sidecar are read and indexed, decided by per-hour prefix
+    * listings ([[missingSidecarKeys]]). It never re-reads indexed
+    * objects, so it also never HEALS a present-but-stale/torn sidecar —
+    * healing is the full build's job. */
   def buildIndex(spark: org.apache.spark.sql.SparkSession, rootUri: String,
                  table: String,
-                 hourRange: Option[(java.time.Instant, java.time.Instant)] = None): Int = {
+                 hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
+                 onlyMissing: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val store = new HadoopStore(rootUri)
-    val keys = LakeReader.listTableKeys(store, table, hourRange)
+    val allKeys = LakeReader.listTableKeys(store, table, hourRange)
+    val keys = if (onlyMissing) missingSidecarKeys(store, allKeys, statsKey)
+               else allKeys
     if (keys.isEmpty) 0
     else {
       val schema = LakeReader.peekSchema(store, keys.head, table)

@@ -284,6 +284,32 @@ class BloomMapsSpec extends SparkSuite {
     assert(r2.kept == 0, s"absent huge value must still skip: $r2")
   }
 
+  test("buildIndex onlyMissing: indexes exactly the sidecar-less objects, never re-reads indexed ones") {
+    val root = freshRoot()
+    fixture(root) // writer-time blooms on all 4 objects
+    val store = new HadoopStore(root)
+    val keys = LakeReader.listTableKeys(store, "bt", None).sorted
+    // delete one sidecar (missing), corrupt another (present-but-torn)
+    store.delete(BloomMaps.bloomKey(keys(1)))
+    val out = store.create(BloomMaps.bloomKey(keys(2)))
+    out.write("garbage".getBytes("UTF-8")); out.close()
+    // incremental: exactly ONE object is missing → one indexed
+    assert(BloomMaps.buildIndex(spark, root, "bt", Seq("tag"),
+      onlyMissing = true) == 1)
+    val healed = BloomMaps.read(store, keys(1))
+    assert(healed.exists(_.records == 250), s"missing sidecar rebuilt: $healed")
+    // the present-but-torn sidecar is NOT missing: untouched, still torn
+    // (healing suspected-torn sidecars is the full build's contract)
+    assert(BloomMaps.read(store, keys(2)).isEmpty,
+      "onlyMissing must not touch an existing (even torn) sidecar")
+    // nothing missing now → zero work
+    assert(BloomMaps.buildIndex(spark, root, "bt", Seq("tag"),
+      onlyMissing = true) == 0)
+    // the full build heals the torn one too
+    assert(BloomMaps.buildIndex(spark, root, "bt", Seq("tag")) == 4)
+    assert(BloomMaps.read(store, keys(2)).exists(_.records == 250))
+  }
+
   test("readPrunedEqAny: disjunction keeps the union of per-value kept sets; driver ≡ distributed") {
     val root = freshRoot()
     val written = fixture(root)

@@ -630,6 +630,19 @@ class ZoneMapsSpec extends SparkSuite {
       s"empty object must not perturb the exact summary: $s2")
   }
 
+  test("stats buildIndex onlyMissing: fills gaps without re-reading indexed objects") {
+    val root = freshRoot()
+    val written = fixture(root) // writer-time stats on all 4 objects
+    val store = new HadoopStore(root)
+    store.delete(ZoneMaps.statsKey(written(2).key))
+    assert(LakeReader.statsSummary(store, "zt").isEmpty, "gap breaks the summary")
+    assert(ZoneMaps.buildIndex(spark, root, "zt", onlyMissing = true) == 1)
+    val s = LakeReader.statsSummary(store, "zt")
+    assert(s.exists(x => x.objects == 4 && x.records == 1000),
+      s"summary whole again after the incremental fill: $s")
+    assert(ZoneMaps.buildIndex(spark, root, "zt", onlyMissing = true) == 0)
+  }
+
   test("equal bounds under mixed producer boxes merge to one canonical form: driver ≡ distributed bit-identical") {
     val root = freshRoot()
     val sch = TableSchema("mx", Seq("id" -> ColType.CInteger, "v" -> ColType.CFloat))
