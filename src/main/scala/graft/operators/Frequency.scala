@@ -57,10 +57,21 @@ object Frequency {
     * NaNs would be tail-bucketed — cast upstream if that matters.
     */
   def heavyHitters(df: DataFrame, column: String,
-                   phiNum: Long, phiDen: Long): DataFrame = {
+                   phiNum: Long, phiDen: Long,
+                   maxCounters: Int = 100000): DataFrame = {
     require(phiNum > 0 && phiDen >= phiNum,
       s"phi must be a rational in (0, 1]: $phiNum/$phiDen")
-    val k = ((phiDen + phiNum - 1) / phiNum).toInt // ⌈1/φ⌉ ⇒ k+1 > 1/φ
+    val kL = (phiDen + phiNum - 1) / phiNum // ⌈1/φ⌉ ⇒ k+1 > 1/φ
+    // the whole method is premised on k·partitions candidates being
+    // broadcast-sized; a tiny φ silently un-bounds that, so the bound is
+    // ARMED (the Guards contract), not assumed
+    if (kL > maxCounters) throw new IllegalStateException(
+      s"heavyHitters: phi = $phiNum/$phiDen needs $kL counters per " +
+        s"partition, over maxCounters=$maxCounters — the candidate set " +
+        s"(counters x partitions) must stay broadcast-sized for the " +
+        s"recount. Use a coarser phi, raise maxCounters deliberately, " +
+        s"or fall back to a plain GROUP BY/HAVING for low thresholds.")
+    val k = kL.toInt
     val field = df.schema(column) // loud on a bad column name
     val vals = df.select(col(column)).where(col(column).isNotNull)
 
@@ -71,7 +82,11 @@ object Frequency {
     // deserializer, no Row boxing — strings are the common corpus case);
     // other types fall back to the generic Row walk.
     def misraGries[T](it: Iterator[T]): Iterator[T] = {
-      val counters = new java.util.HashMap[T, Long](2 * k)
+      // initial capacity capped: the map never exceeds k entries but a
+      // deliberately-raised maxCounters must not pre-allocate a k-sized
+      // table for a partition that holds three distinct values
+      val counters = new java.util.HashMap[T, Long](
+        math.min(2L * k, 1L << 16).toInt)
       while (it.hasNext) {
         val v = it.next()
         val cur = counters.get(v)

@@ -93,5 +93,16 @@ class FrequencySpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Frequency.heavyHitters(uni, "nope", 1, 2)
     }
+    // a phi fine enough to un-bound the candidate broadcast raises
+    // loudly with the remedy, never silently builds a 10^9-counter map
+    val e = intercept[IllegalStateException] {
+      Frequency.heavyHitters(uni, "v", 1, 1000000000L)
+    }
+    assert(e.getMessage.contains("maxCounters"))
+    // ...and the bound is deliberate, not hard-coded: raised, the same φ
+    // runs (and "only" at frequency 1 ≥ 10⁻⁹ is trivially heavy)
+    val loose = Frequency.heavyHitters(uni, "v", 1, 1000000000L,
+      maxCounters = Int.MaxValue).collect()
+    assert(loose.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("only", 9L)))
   }
 }
