@@ -73,6 +73,13 @@ object Frequency {
         s"or fall back to a plain GROUP BY/HAVING for low thresholds.")
     val k = kL.toInt
     val field = df.schema(column) // loud on a bad column name
+    // working-column collisions rejected loudly (the Guards convention):
+    // a source column with a reserved name would make the candidate-join
+    // resolution ambiguous
+    val matches = Names.matcher(df)
+    for (reserved <- Seq("__hh_cand", "__hh_val", "__hh_total"))
+      require(!matches(column, reserved),
+        s"column name $reserved is reserved by Frequency.heavyHitters")
     val vals = df.select(col(column)).where(col(column).isNotNull)
 
     // pass 1: per-partition Misra–Gries. Genuine per-partition imperative
