@@ -50,8 +50,18 @@ object RehearsalR11 {
     spark.sparkContext.addSparkListener(meter)
     val r = f
     // listener events drain asynchronously (the bus is private API) —
-    // settle briefly before reading the counters
-    Thread.sleep(500)
+    // poll until the counters are STABLE across two reads instead of
+    // trusting a fixed sleep (a loaded machine can still have events in
+    // flight after any fixed delay, silently under-counting the meters
+    // this rehearsal exists to cite)
+    var prev = (-1L, -1L, -1L)
+    var cur = (meter.read.get, meter.written.get, meter.taskMs.get)
+    var waitedMs = 0
+    while (cur != prev && waitedMs < 30000) {
+      Thread.sleep(100); waitedMs += 100
+      prev = cur
+      cur = (meter.read.get, meter.written.get, meter.taskMs.get)
+    }
     spark.sparkContext.removeSparkListener(meter)
     println(f"REHEARSE $label%-52s ${meter.read.get / 1e6}%8.2f MB input, " +
       f"${meter.written.get / 1e6}%8.2f MB shuffled, " +

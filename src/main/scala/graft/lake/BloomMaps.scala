@@ -52,6 +52,16 @@ object BloomMaps {
     * so a parsed filter can never ask for a seed the probe lacks. */
   val MaxHashes = 16
 
+  /** The ONE m/k validity rule every producer shares (Tracker at write
+    * time, [[buildIndex]] at entry) and [[parse]] re-checks on read: a
+    * filter outside it would be silently rejected by the strict parse,
+    * degrading every probe to conservative keep with no error — so a bad
+    * shape must fail the WRITE, loudly, before any distributed work. */
+  def validateShape(m: Int, k: Int): Unit = {
+    require(m > 0 && m % 64 == 0, s"bloom bits must be a positive multiple of 64: $m")
+    require(k >= 1 && k <= MaxHashes, s"bloom hash count out of range [1, $MaxHashes]: $k")
+  }
+
   /** All [[MaxHashes]] seed-hashes of one wire form, computed ONCE per
     * probe value and reused across every object's filter (each filter
     * applies its own `m`/`k` to the same raw hashes). A multi-value
@@ -92,8 +102,7 @@ object BloomMaps {
     * tracked value, no buffering (the [[ZoneMaps.Tracker]] pattern). */
   final class Tracker(schema: TableSchema, columns: Seq[String],
                       m: Int = DefaultBits, k: Int = DefaultHashes) {
-    require(m > 0 && m % 64 == 0, s"bloom bits must be a positive multiple of 64: $m")
-    require(k >= 1 && k <= 16, s"bloom hash count out of range: $k")
+    validateShape(m, k)
     private val names = schema.columnNames
     private val colIdx = columns.map { c =>
       val i = names.indexOf(c)
@@ -160,7 +169,7 @@ object BloomMaps {
       // otherwise escape the round-trip check and crash mightContain
       // (hash % 0, out-of-range bit index) inside the pruned read —
       // where the contract is conservative keep, never failure
-      cb.m > 0 && cb.m % 64 == 0 && cb.k >= 1 && cb.k <= 16 &&
+      cb.m > 0 && cb.m % 64 == 0 && cb.k >= 1 && cb.k <= MaxHashes &&
         cb.bits.length == cb.m / 8
     }.toMap
     rec.map(ObjectBlooms(_, cols)).filter(b => render(b) == text)
@@ -195,6 +204,13 @@ object BloomMaps {
                  m: Int = DefaultBits, k: Int = DefaultHashes,
                  onlyMissing: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{col, input_file_name}
+    // validate m/k BEFORE any listing or distributed work: a k past
+    // MaxHashes would write sidecars the strict parse silently rejects —
+    // the whole (expensive) build degrading to a no-op index with no
+    // error. (The Tracker construction below re-checks, but only on a
+    // non-empty lake; the entry check covers the empty/onlyMissing-clean
+    // cases too.)
+    validateShape(m, k)
     val store = new HadoopStore(rootUri)
     val allKeys = LakeReader.listTableKeys(store, table, hourRange)
     // incremental mode: index only objects with no existing bloom —

@@ -289,7 +289,13 @@ object ZoneMaps {
     * avoid) — healing suspected-torn sidecars is a full rebuild's job. */
   private[lake] def missingSidecarKeys(store: Store, keys: Seq[String],
                                        sidecarKeyOf: String => String): Seq[String] = {
-    val prefixes = keys.map(k => k.substring(0, k.lastIndexOf('/'))).distinct
+    // listTableKeys always yields hour/table-prefixed keys today, but the
+    // helper is shared — a root-level key (no '/') must not throw an
+    // opaque StringIndexOutOfBounds from substring; it lists the root
+    val prefixes = keys.map { k =>
+      val i = k.lastIndexOf('/')
+      if (i < 0) "" else k.substring(0, i)
+    }.distinct
     val existing = prefixes.flatMap(pfx => store.list(Prefix + pfx)).toSet
     keys.filterNot(k => existing.contains(sidecarKeyOf(k)))
   }

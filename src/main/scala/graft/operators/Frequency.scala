@@ -52,9 +52,16 @@ object Frequency {
     * Deterministic for any partitioning — candidates are a superset
     * under EVERY split of the data, and the recount is exact.
     *
-    * Identity is the column's native equality (the groupBy's). For
-    * FLOAT columns note NaN ≠ NaN under SQL equality; heavy-hitting
-    * NaNs would be tail-bucketed — cast upstream if that matters.
+    * Identity is the column's SQL equality (the recount join's), and the
+    * candidate pass mirrors it exactly: Spark groups and joins NaN = NaN
+    * and normalizes -0.0 to 0.0, so the FLOAT paths normalize -0.0
+    * before counting (JVM boxing already canonicalizes NaN bit patterns
+    * under equals/hashCode) — a heavy group split across the two zero
+    * boxes can never fall under the per-partition survivor threshold.
+    * BinaryType columns are REJECTED loudly: Array[Byte] has
+    * reference-only JVM equality, so the candidate pass would count
+    * every row as its own value and a true heavy hitter could be
+    * silently missed — cast to hex()/base64() upstream.
     */
   def heavyHitters(df: DataFrame, column: String,
                    phiNum: Long, phiDen: Long,
@@ -73,6 +80,14 @@ object Frequency {
         s"or fall back to a plain GROUP BY/HAVING for low thresholds.")
     val k = kL.toInt
     val field = df.schema(column) // loud on a bad column name
+    // JVM-equality hazard (see the scaladoc): byte arrays would make
+    // every row its own candidate counter — a silent exactness break,
+    // so the reject is loud, before any pass runs
+    require(field.dataType != org.apache.spark.sql.types.BinaryType,
+      s"heavyHitters: BinaryType column '$column' is unsupported — " +
+        "Array[Byte] compares by JVM reference in the candidate pass, so " +
+        "equal byte arrays would never share a counter and a true heavy " +
+        "hitter could be missed; cast to hex()/base64() upstream")
     // working-column collisions rejected loudly (the Guards convention):
     // a source column with a reserved name would make the candidate-join
     // resolution ambiguous
@@ -85,9 +100,12 @@ object Frequency {
     // pass 1: per-partition Misra–Gries. Genuine per-partition imperative
     // state (k counters), so mapPartitions is the honest tool here; the
     // decrement step amortizes O(1) per row (each decrement cancels an
-    // increment). STRING columns take the typed-Dataset path (codegen'd
-    // deserializer, no Row boxing — strings are the common corpus case);
-    // other types fall back to the generic Row walk.
+    // increment). STRING/LONG/INT/DOUBLE/FLOAT columns take a typed
+    // Dataset path (codegen'd deserializer, no Row boxing — strings are
+    // the common corpus case, integral IDs the other); remaining types
+    // fall back to the generic Row walk. The FLOAT paths normalize
+    // -0.0 → 0.0 so candidate identity matches the recount's SQL
+    // equality (the scaladoc's exactness argument).
     def misraGries[T](it: Iterator[T]): Iterator[T] = {
       // initial capacity capped: the map never exceeds k entries but a
       // deliberately-raised maxCounters must not pre-allocate a k-sized
@@ -113,15 +131,40 @@ object Frequency {
       import scala.jdk.CollectionConverters._
       out.iterator().asScala
     }
-    val cand = (if (field.dataType == org.apache.spark.sql.types.StringType) {
+    val cand = {
       import org.apache.spark.sql.Encoders
-      vals.as[String](Encoders.STRING).mapPartitions(misraGries[String] _)(Encoders.STRING)
-        .toDF("__hh_cand")
-    } else {
-      val candRdd = vals.rdd.mapPartitions(it => misraGries(it.map(_.get(0))).map(Row(_)))
-      df.sparkSession.createDataFrame(candRdd,
-        StructType(Seq(StructField("__hh_cand", field.dataType))))
-    }).distinct() // ≤ k rows per partition in, tiny shuffle
+      import org.apache.spark.sql.types._
+      field.dataType match {
+        case StringType =>
+          vals.as[String](Encoders.STRING)
+            .mapPartitions(misraGries[String] _)(Encoders.STRING)
+            .toDF("__hh_cand")
+        case LongType =>
+          vals.as[Long](Encoders.scalaLong)
+            .mapPartitions(misraGries[Long] _)(Encoders.scalaLong)
+            .toDF("__hh_cand")
+        case IntegerType =>
+          vals.as[Int](Encoders.scalaInt)
+            .mapPartitions(misraGries[Int] _)(Encoders.scalaInt)
+            .toDF("__hh_cand")
+        case DoubleType =>
+          // d == 0.0 is true for BOTH zeros: the branch rewrites -0.0 to
+          // the canonical +0.0 the recount's SQL equality groups under
+          vals.as[Double](Encoders.scalaDouble)
+            .mapPartitions(it => misraGries(it.map(d => if (d == 0.0d) 0.0d else d)))(
+              Encoders.scalaDouble)
+            .toDF("__hh_cand")
+        case FloatType =>
+          vals.as[Float](Encoders.scalaFloat)
+            .mapPartitions(it => misraGries(it.map(f => if (f == 0.0f) 0.0f else f)))(
+              Encoders.scalaFloat)
+            .toDF("__hh_cand")
+        case _ =>
+          val candRdd = vals.rdd.mapPartitions(it => misraGries(it.map(_.get(0))).map(Row(_)))
+          df.sparkSession.createDataFrame(candRdd,
+            StructType(Seq(StructField("__hh_cand", field.dataType))))
+      }
+    }.distinct() // ≤ k rows per partition in, tiny shuffle
 
     // pass 2: one aggregate over candidate-tagged values. The left join
     // keys on a ≤ k·P-row relation — broadcast is bounded by

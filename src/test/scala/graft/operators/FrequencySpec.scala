@@ -76,6 +76,68 @@ class FrequencySpec extends SparkSuite {
     assert(Frequency.heavyHitters(allNull, "v", 1, 2).count() == 0)
   }
 
+  test("candidate identity matches SQL equality: -0.0/0.0 merge, NaN groups, typed paths agree") {
+    import spark.implicits._
+    // a heavy group SPLIT across the two zero boxes, interleaved with a
+    // decrementing tail in every partition — the adversarial shape for a
+    // JVM-equality candidate pass (where -0.0 and 0.0 are distinct boxes
+    // and each half could fall under the survivor threshold). SQL groups
+    // them as ONE value of count 60, and so must the operator.
+    val zeros = ((0 until 30).map(i => (i, -0.0d)) ++
+      (0 until 30).map(i => (i + 30, 0.0d)) ++
+      (0 until 40).map(i => (i + 60, i + 1.5d))).toDF("id", "v")
+      .repartition(8, col("id")).select("v")
+    val got = Frequency.heavyHitters(zeros, "v", 1, 2)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+    assert(got == Set((0.0d, 60L)), s"-0.0 and 0.0 are one SQL group: $got")
+    // same shape for FLOAT
+    val fzeros = ((0 until 30).map(i => (i, -0.0f)) ++
+      (0 until 30).map(i => (i + 30, 0.0f)) ++
+      (0 until 40).map(i => (i + 60, i + 1.5f))).toDF("id", "v")
+      .repartition(8, col("id")).select("v")
+    val fgot = Frequency.heavyHitters(fzeros, "v", 1, 2)
+      .collect().map(r => (r.getFloat(0), r.getLong(1))).toSet
+    assert(fgot == Set((0.0f, 60L)), s"float zeros: $fgot")
+    // Spark's SQL semantics group and join NaN = NaN — a heavy NaN is a
+    // real heavy hitter, not tail-bucketed
+    val nans = (Seq.fill(6)(Double.NaN) ++ Seq(1.0, 2.0, 3.0, 4.0)).toDF("v")
+    val ngot = Frequency.heavyHitters(nans.repartition(3), "v", 1, 2).collect()
+    assert(ngot.length == 1 && ngot(0).getDouble(0).isNaN &&
+      ngot(0).getLong(1) == 6L, s"NaN must group: ${ngot.toSeq}")
+  }
+
+  test("typed fast paths dispatch for long/int (no boxed RDD scan); binary rejects loudly") {
+    import spark.implicits._
+    val longs = (Seq.fill(6)(7L) ++ Seq(1L, 2L, 3L, 4L)).toDF("v")
+    val hhLong = Frequency.heavyHitters(longs.repartition(3), "v", 1, 2)
+    assert(hhLong.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((7L, 6L)))
+    // dispatch is observable in the plan: the typed paths are object
+    // MapPartitions over the scan, the generic fallback surfaces as a
+    // LogicalRDD (driver-assembled candidate relation)
+    assert(!hhLong.queryExecution.analyzed.toString.contains("LogicalRDD"),
+      "LongType must take the typed path, not the boxed Row RDD walk")
+    val ints = (Seq.fill(6)(7) ++ Seq(1, 2, 3, 4)).toDF("v")
+    val hhInt = Frequency.heavyHitters(ints.repartition(3), "v", 1, 2)
+    assert(hhInt.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      Set((7, 6L)))
+    assert(!hhInt.queryExecution.analyzed.toString.contains("LogicalRDD"))
+    // the generic path still carries the remaining types (dates here)
+    val dates = (Seq.fill(6)("2024-01-01") ++
+      Seq("2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"))
+      .toDF("s").select(col("s").cast("date").as("v"))
+    val hhDate = Frequency.heavyHitters(dates.repartition(3), "v", 1, 2)
+    assert(hhDate.queryExecution.analyzed.toString.contains("LogicalRDD"))
+    assert(hhDate.collect().map(_.getLong(1)).toSeq == Seq(6L))
+    // BinaryType: reference-equality boxes can MISS a heavy hitter — loud
+    val bin = Seq.fill(6)("x").toDF("s")
+      .select(col("s").cast("binary").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Frequency.heavyHitters(bin, "v", 1, 2)
+    }
+    assert(e.getMessage.contains("BinaryType"))
+  }
+
   test("φ = 1 keeps only a value that IS the whole column; bad args raise") {
     import spark.implicits._
     val uni = Seq.fill(9)("only").toDF("v")
