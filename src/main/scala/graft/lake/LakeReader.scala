@@ -725,29 +725,56 @@ object LakeReader {
                       column: String, values: Seq[Any],
                       hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
                       sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
+      : (DataFrame, PruneReport) =
+    readPrunedEqAnyMulti(spark, rootUri, table, Seq((column, values)), hourRange,
+      sidecarDistributeAbove)
+
+  /** [[readPrunedEqAny]] over a CONJUNCTION of per-column disjunctions
+    * (`c1 IN (…) AND c2 IN (…)`): an object is opened only if EVERY
+    * column's probe set has at least one possible hit — the composite
+    * semi-join reduction primitive ([[lakeSemiJoinMulti]]'s prune). The
+    * per-column test deliberately ignores cross-column PAIRING (a kept
+    * object may hold c1 = a only alongside c2 = x while the probe pairs
+    * a with y — blooms summarize columns independently), so the kept set
+    * is a conservative superset of any pair-exact decision; the caller's
+    * exact predicate rejects such rows. Still ONE bloom read and at most
+    * one stats read per object for the whole conjunction, with every
+    * value's seed-hashes precomputed once on the driver. */
+  def readPrunedEqAnyMulti(spark: SparkSession, rootUri: String, table: String,
+                           probes: Seq[(String, Seq[Any])],
+                           hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
+                           sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
       : (DataFrame, PruneReport) = {
-    require(values.nonEmpty, "at least one probe value")
-    values.foreach { v => require(v != null && v != "",
-      s"equality probe on '$column' is null/empty " +
-        "(\"\" round-trips as null in the wire format — probe IS NULL by scanning)") }
+    require(probes.nonEmpty, "at least one (column, values) probe set")
+    probes.foreach { case (c, vs) =>
+      require(vs.nonEmpty, s"at least one probe value for column '$c'")
+      vs.foreach { v => require(v != null && v != "",
+        s"equality probe on '$c' is null/empty " +
+          "(\"\" round-trips as null in the wire format — probe IS NULL by scanning)") }
+    }
     val store = new HadoopStore(rootUri)
     val keys = listTableKeys(store, table, hourRange)
     require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
-    val colType = peekSchema(store, keys.head, table).columns.toMap.getOrElse(column,
-      throw new IllegalArgumentException(s"no column '$column' in table $table"))
+    val colTypes = peekSchema(store, keys.head, table).columns.toMap
     // hash every plausible wire form of every value ONCE, on the driver —
     // the walk (driver or executor) only does %-and-bit-test per object
-    val plans: Seq[(Array[Array[Int]], Option[java.math.BigDecimal])] =
-      values.map { v =>
-        (probeWires(colType, v).toArray.map(BloomMaps.wireHashes),
-          probeBand(colType, v))
+    val plans: Seq[(String, Seq[(Array[Array[Int]], Option[java.math.BigDecimal])])] =
+      probes.map { case (column, values) =>
+        val colType = colTypes.getOrElse(column,
+          throw new IllegalArgumentException(s"no column '$column' in table $table"))
+        column -> values.map { v =>
+          (probeWires(colType, v).toArray.map(BloomMaps.wireHashes),
+            probeBand(colType, v))
+        }
       }
     val kept = walkKeys(spark, rootUri, keys, sidecarDistributeAbove) { (st, k) =>
       lazy val blooms = BloomMaps.read(st, k)
       lazy val stats = ZoneMaps.read(st, k)
-      plans.exists { case (hashes, band) =>
-        hashes.exists(h => BloomMaps.mightContainHashed(blooms, column, h)) &&
-          band.forall(b => ZoneMaps.mayContain(stats, column, b, b))
+      plans.forall { case (column, vals) =>
+        vals.exists { case (hashes, band) =>
+          hashes.exists(h => BloomMaps.mightContainHashed(blooms, column, h)) &&
+            band.forall(b => ZoneMaps.mayContain(stats, column, b, b))
+        }
       }
     }
     prunedResult(spark, store, table, keys, kept)
@@ -762,15 +789,24 @@ object LakeReader {
     * these 2k customers" touches the objects that can hold those
     * customers, not 100 TB of lake.
     *
-    * The dimension side must be SMALL — that is what makes the reduction
-    * a win and the broadcast safe — and the bound is ARMED, not assumed:
-    * more than `maxDimKeys` distinct non-null keys raises
-    * IllegalStateException naming the bound and the remedies, never
-    * silently degrading to a full scan (the [[graft.operators.Guards]]
-    * contract). Within the bound, the exact semi-join broadcasts a
-    * key-list relation PROVABLY ≤ `maxDimKeys` rows — the
-    * bounded-broadcast pattern, not a size-blind hint on a growing
-    * table.
+    * TWO bounds guard the TWO different costs, independently:
+    *
+    *  - `maxDimKeys` bounds the PROBE — the driver-side distinct-key
+    *    collect and the per-value hash precompute, both linear and cheap
+    *    (a 100k-key probe is tens of MB of driver state and pure bit
+    *    tests per object). It is ARMED, not assumed: more distinct
+    *    non-null keys raises IllegalStateException naming the bound and
+    *    the remedies, never silently degrading to a full scan (the
+    *    [[graft.operators.Guards]] contract).
+    *  - `broadcastKeysUpTo` bounds the JOIN STRATEGY — the real
+    *    broadcast hazard. At or below it, the exact semi-join broadcasts
+    *    a key-list relation PROVABLY that small (the bounded-broadcast
+    *    pattern, not a size-blind hint on a growing table). Above it the
+    *    object prune still runs, but the exact semi-join goes back to
+    *    Catalyst UN-hinted against the dimension itself — shuffle (or
+    *    AQE's own broadcast decision if the bytes turn out small), and
+    *    the oversized key list is never serialized into the plan as a
+    *    local relation.
     *
     * NULL dim keys match nothing under SQL equality and are dropped;
     * empty-string keys are dropped too, which is exact for the same
@@ -780,46 +816,102 @@ object LakeReader {
     * wrong row, and never a wrong skip. */
   def lakeSemiJoin(spark: SparkSession, rootUri: String, table: String,
                    column: String, dim: DataFrame, dimColumn: String,
-                   maxDimKeys: Int = 10000,
+                   maxDimKeys: Int = 250000,
+                   broadcastKeysUpTo: Int = 10000,
                    hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
                    sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
+      : (DataFrame, PruneReport) =
+    lakeSemiJoinMulti(spark, rootUri, table, Seq((column, dimColumn)), dim,
+      maxDimKeys, broadcastKeysUpTo, hourRange, sidecarDistributeAbove)
+
+  /** COMPOSITE-KEY [[lakeSemiJoin]]: the exact semi-join matches on a
+    * conjunction of equal column pairs (`lake.c1 = dim.d1 AND lake.c2 =
+    * dim.d2 AND …`) — the real star-schema shape, where events key on
+    * (tenant_id, user_id), not one column. The object prune is the
+    * cheapest SOUND composite decision: per-column disjunction probes
+    * AND-ed ([[readPrunedEqAnyMulti]]) — conservative because blooms
+    * summarize columns independently (an object holding both key VALUES
+    * but never the PAIR is kept and its rows rejected by the exact
+    * join), never a wrong skip. Bounds, null/"" key-row handling, and
+    * the broadcast-vs-shuffle strategy flip are [[lakeSemiJoin]]'s,
+    * applied to distinct composite KEY ROWS (a dim row with any null
+    * key column matches nothing under the conjunction and is
+    * dropped). */
+  def lakeSemiJoinMulti(spark: SparkSession, rootUri: String, table: String,
+                        joinCols: Seq[(String, String)], dim: DataFrame,
+                        maxDimKeys: Int = 250000,
+                        broadcastKeysUpTo: Int = 10000,
+                        hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
+                        sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
       : (DataFrame, PruneReport) = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    require(joinCols.nonEmpty, "at least one (lakeColumn, dimColumn) pair")
+    require(joinCols.map(_._1).distinct.size == joinCols.size &&
+      joinCols.map(_._2).distinct.size == joinCols.size,
+      s"join columns must be distinct on both sides: $joinCols")
     require(maxDimKeys > 0, s"maxDimKeys must be positive: $maxDimKeys")
-    val field = dim.schema(dimColumn) // fails loudly on a bad column name
+    require(broadcastKeysUpTo > 0,
+      s"broadcastKeysUpTo must be positive: $broadcastKeysUpTo")
+    val fields = joinCols.map { case (_, d) => dim.schema(d) } // loud on bad names
     // "" is only a representable key for string-typed dims (on numeric
-    // columns the comparison itself would be a bad cast)
-    val nonEmpty =
-      if (field.dataType == org.apache.spark.sql.types.StringType)
-        col(dimColumn).isNotNull && col(dimColumn) =!= ""
-      else col(dimColumn).isNotNull
-    val keyRows = dim.select(col(dimColumn))
-      .where(nonEmpty)
+    // columns the comparison itself would be a bad cast); a null in ANY
+    // key column makes the whole conjunction unmatched — drop the row
+    def nonEmptyPred(c: org.apache.spark.sql.Column,
+                     dt: org.apache.spark.sql.types.DataType) =
+      if (dt == org.apache.spark.sql.types.StringType) c.isNotNull && c =!= ""
+      else c.isNotNull
+    val keyFilter = joinCols.zip(fields)
+      .map { case ((_, d), f) => nonEmptyPred(col(d), f.dataType) }
+      .reduce(_ && _)
+    val keyRows = dim.select(joinCols.map { case (_, d) => col(d) }: _*)
+      .where(keyFilter)
       .distinct().limit(maxDimKeys + 1).collect()
     if (keyRows.length > maxDimKeys)
       throw new IllegalStateException(
-        s"lakeSemiJoin: dimension '$dimColumn' has more than $maxDimKeys " +
-          s"distinct join keys — the key-list probe and its broadcast are only " +
-          s"a win for a small dimension. Raise maxDimKeys deliberately, " +
-          s"pre-filter the dimension, or use a full lake read with a " +
-          s"shuffle join instead.")
-    val values = keyRows.map(_.get(0)).toSeq
+        s"lakeSemiJoin: dimension ${joinCols.map(_._2).mkString("(", ", ", ")")} " +
+          s"has more than $maxDimKeys distinct join keys — the driver-side " +
+          s"key collect and per-object probe are only a win for a bounded " +
+          s"key list. Raise maxDimKeys deliberately, pre-filter the " +
+          s"dimension, or use a full lake read with a shuffle join instead.")
     val store = new HadoopStore(rootUri)
-    if (values.isEmpty) {
+    if (keyRows.isEmpty) {
       // an empty key set semi-joins to nothing; keep the report honest
       val keys = listTableKeys(store, table, hourRange)
       require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
       return prunedResult(spark, store, table, keys, Nil)
     }
-    val (pruned, report) = readPrunedEqAny(spark, rootUri, table, column, values,
+    // per-column DISTINCT value sets drive the conjunction-of-disjunctions
+    // probe; pairing is the exact join's job (the scaladoc's soundness note)
+    val probes = joinCols.zipWithIndex.map { case ((lakeCol, _), i) =>
+      lakeCol -> keyRows.map(_.get(i)).distinct.toSeq
+    }
+    val (pruned, report) = readPrunedEqAnyMulti(spark, rootUri, table, probes,
       hourRange, sidecarDistributeAbove)
-    val probe = spark.createDataFrame(
-      java.util.Arrays.asList(keyRows.map(r =>
-        org.apache.spark.sql.Row(r.get(0))): _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__graft_semi_key", field.dataType))))
-    val out = pruned.join(broadcast(probe),
-      pruned(column) === probe("__graft_semi_key"), "left_semi")
+    val semiNames = joinCols.indices.map(i => s"__graft_semi_key$i")
+    def conj(probe: DataFrame) = joinCols.zipWithIndex
+      .map { case ((lakeCol, _), i) => pruned(lakeCol) === probe(semiNames(i)) }
+      .reduce(_ && _)
+    val out = if (keyRows.length <= broadcastKeysUpTo) {
+      // the key list is PROVEN broadcast-sized (we counted it) — a local
+      // relation with an explicit broadcast is the cheapest exact side
+      val probe = spark.createDataFrame(
+        java.util.Arrays.asList(keyRows.map(r =>
+          org.apache.spark.sql.Row(joinCols.indices.map(r.get): _*)): _*),
+        org.apache.spark.sql.types.StructType(joinCols.indices.map(i =>
+          org.apache.spark.sql.types.StructField(semiNames(i), fields(i).dataType))))
+      pruned.join(broadcast(probe), conj(probe), "left_semi")
+    } else {
+      // too many keys to force a broadcast: join the DIMENSION itself
+      // (distinct, null/""-dropped — the same key set), un-hinted, so
+      // Catalyst/AQE pick the strategy and the key list never bloats the
+      // plan as a driver-serialized local relation
+      val probe = dim.select(joinCols.zipWithIndex.map { case ((_, d), i) =>
+          col(d).as(semiNames(i)) }: _*)
+        .where(joinCols.indices.map(i =>
+          nonEmptyPred(col(semiNames(i)), fields(i).dataType)).reduce(_ && _))
+        .distinct()
+      pruned.join(probe, conj(probe), "left_semi")
+    }
     (out, report)
   }
 

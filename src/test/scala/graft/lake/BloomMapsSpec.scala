@@ -380,6 +380,99 @@ class BloomMapsSpec extends SparkSuite {
     assert(rep4.kept == 0 && nullDf.count() == 0)
   }
 
+  test("lakeSemiJoin: probe bound decoupled from join strategy — a 100k-key dim prunes, the join flips to shuffle") {
+    import spark.implicits._
+    val root = freshRoot()
+    fixture(root)
+    // 100k distinct keys on the bloom-indexed column: 2 real tags + 99 998
+    // absent ones — way past broadcastKeysUpTo (so no forced broadcast)
+    // but under the default maxDimKeys probe bound (so no raise): the
+    // object prune must still run and keep exactly the two real-tag
+    // objects (hashing is deterministic, and at 250 values per 65536-bit
+    // filter the false-positive mass over 100k probes is negligible).
+    val big = (Seq("t0", "t2") ++ (0 until 99998).map(i => s"absent-$i"))
+      .toDF("tag_k")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (df, rep) = LakeReader.lakeSemiJoin(spark, root, "bt", "tag",
+        big, "tag_k")
+      assert(rep.candidates == 4 && rep.kept == 2,
+        s"a 100k-key probe must still prune to the two real-tag objects: $rep")
+      assert(df.count() == 500)
+      val shufflePlan = df.queryExecution.executedPlan.toString
+      assert(!shufflePlan.contains("BroadcastHashJoin") &&
+        shufflePlan.contains("LeftSemi"),
+        s"above broadcastKeysUpTo the exact join must NOT force a broadcast " +
+          s"(Catalyst owns the strategy, and auto-broadcast is off here):\n$shufflePlan")
+      // the same dim AT the strategy bound: the key list is proven
+      // broadcast-sized, so the join is a forced bounded broadcast even
+      // with auto-broadcast disabled — the strategy flip is the bound's
+      val (df2, rep2) = LakeReader.lakeSemiJoin(spark, root, "bt", "tag",
+        big, "tag_k", broadcastKeysUpTo = 100000)
+      assert(rep2 == rep, s"the prune is strategy-independent: $rep vs $rep2")
+      val bPlan = df2.queryExecution.executedPlan.toString
+      assert(bPlan.contains("BroadcastHashJoin") && bPlan.contains("LeftSemi"),
+        s"at/below broadcastKeysUpTo the bounded key list broadcasts:\n$bPlan")
+      assert(df2.count() == 500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("composite probes: conjunction kept-set within each column's kept-set; pair-exactness is the join's") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 1000 rows, 4 id-ordered objects of 250; tag = "a" on ids [0,500),
+    // "b" on [500,1000) — id bands AND tag blooms prune on different axes
+    val sch = TableSchema("bt2", Seq(
+      "id" -> ColType.CInteger, "tag" -> ColType.CString))
+    val df = (0 until 1000).map(i => (i.toLong, if (i < 500) "a" else "b"))
+      .toDF("id", "tag").orderBy("id").coalesce(1)
+    LakeWriter.write(df, sch, root, Instant.parse("2024-06-10T09:00:00Z"),
+      maxRecordsPerObject = 250L, zoneMaps = true,
+      bloomColumns = Seq("id", "tag"))
+    // per-column kept sets: id∈{100,600} keeps objects 0 and 2;
+    // tag∈{b} keeps objects 2 and 3
+    val (_, idRep) = LakeReader.readPrunedEqAnyMulti(spark, root, "bt2",
+      Seq(("id", Seq(100L, 600L))))
+    val (_, tagRep) = LakeReader.readPrunedEqAnyMulti(spark, root, "bt2",
+      Seq(("tag", Seq("b"))))
+    assert(idRep.kept == 2 && tagRep.kept == 2, s"$idRep / $tagRep")
+    // the conjunction keeps only their intersection — object 2
+    val (conjDf, conjRep) = LakeReader.readPrunedEqAnyMulti(spark, root, "bt2",
+      Seq(("id", Seq(100L, 600L)), ("tag", Seq("b"))))
+    assert(conjRep.kept == 1,
+      s"conjunction ⊆ each column's kept-set (here: their intersection): $conjRep")
+    assert(conjDf.filter(col("id").isin(100L, 600L) && col("tag") === "b")
+      .count() == 1) // only (600, b) exists
+    // conservative by construction: per-column hits with NO existing pair
+    // still keep objects (blooms are column-independent) — and the exact
+    // composite join rejects every row
+    val dim = Seq((100L, "b"), (600L, "a")).toDF("k_id", "k_tag")
+    val (semiDf, semiRep) = LakeReader.lakeSemiJoinMulti(spark, root, "bt2",
+      Seq(("id", "k_id"), ("tag", "k_tag")), dim)
+    assert(semiRep.kept == 2,
+      s"value-wise hits keep objects 0 and 2 despite absent pairs: $semiRep")
+    assert(semiDf.count() == 0, "no PAIR exists — the exact join decides rows")
+    // real pairs: (600, b) and (100, a) both exist → exactly those rows
+    val dim2 = Seq((600L, "b"), (100L, "a"), (100L, "a")).toDF("k_id", "k_tag")
+    val (semi2, rep2) = LakeReader.lakeSemiJoinMulti(spark, root, "bt2",
+      Seq(("id", "k_id"), ("tag", "k_tag")), dim2)
+    assert(rep2.kept == 2)
+    assert(semi2.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(100L, 600L))
+    // a dim row with ANY null key column matches nothing and is dropped
+    val dim3 = Seq((Some(600L), Some("b")), (Some(999L), None), (None, Some("a")))
+      .toDF("k_id", "k_tag")
+    val (semi3, _) = LakeReader.lakeSemiJoinMulti(spark, root, "bt2",
+      Seq(("id", "k_id"), ("tag", "k_tag")), dim3)
+    assert(semi3.select("id").collect().map(_.getLong(0)).toSeq == Seq(600L))
+    // duplicate lake or dim columns refuse loudly
+    intercept[IllegalArgumentException] {
+      LakeReader.lakeSemiJoinMulti(spark, root, "bt2",
+        Seq(("id", "k_id"), ("id", "k_tag")), dim2)
+    }
+  }
+
   test("a failed write attempt deletes its partial blooms with its objects") {
     import spark.implicits._
     val root = freshRoot()
