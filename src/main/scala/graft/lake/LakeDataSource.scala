@@ -1,0 +1,457 @@
+package graft.lake
+
+import graft.types.{ColType, TableSchema}
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+import java.time.format.DateTimeFormatterBuilder
+import java.time.temporal.ChronoField
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 front door for the typed-CSV lake: `spark.read
+  * .format("graft-lake").option("table", t).load(rootUri)` — so CATALYST
+  * drives the lake's pruning machinery from plain `.where(...)` filters
+  * instead of callers naming `readPruned*`/`lakeSemiJoin` entry points.
+  *
+  * What pushes down (all OBJECT-level — sidecars bound objects, never
+  * rows, so every filter is also re-applied by Spark post-scan, which is
+  * why [[LakeScanBuilder.pushFilters]] returns the full filter array):
+  *
+  *  - `EqualTo`/`In` on any wire column → bloom probes + [v,v] bands
+  *    (exactly [[LakeReader.readPrunedEqAnyMulti]]'s decision);
+  *  - `>`, `>=`, `<`, `<=`, `EqualTo` on zone-map-TRACKED columns
+  *    (INTEGER/FLOAT/TIME) → min/max band checks with first-class OPEN
+  *    ends ([[ZoneMaps.mayContainRange]] — no finite sentinel that a
+  *    legitimate FLOAT value could leap);
+  *  - any of those on `_event_hour` → HOUR-PREFIX pruning: out-of-range
+  *    hours are never even LISTED (the key-layout prune,
+  *    [[LakeReader.listTableKeys]]);
+  *  - `And` recursively; `Or`/`Not`/everything else stays row-level only
+  *    (conservatively unprunable).
+  *
+  * Missing/torn/stat-less sidecars keep their object — the same
+  * conservative contract as every bespoke pruned read, spec-pinned by
+  * comparing the scan's planned objects to [[LakeReader.prunedKeys]].
+  * One object = one input partition (a lake object is gzip'd multiline
+  * CSV — not splittable — and bounded by the writer's record limit, so
+  * the object IS the parallelism unit, as in [[LakeReader.readPaths]]).
+  * Column pruning reaches the reader: non-required fields are parsed
+  * past but never converted, and `_event_hour` materializes from the
+  * object KEY, not the data.
+  *
+  * The row codec is the lake's own ([[TypedCsv]] wire rules: RFC-4180
+  * with doubled quotes and quoted newlines, `#`-prefixed types header,
+  * empty field = NULL, ISO-8601 millis timestamps); LakeSpec pins the
+  * connector row-identical to [[LakeReader.read]] — which itself is
+  * oracle-gated — so the two read paths cannot drift. */
+final class LakeDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (root, table) = LakeDataSource.resolve(options)
+    LakeDataSource.outputStruct(LakeDataSource.peek(root, table))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val (root, table) = LakeDataSource.resolve(new CaseInsensitiveStringMap(properties))
+    new LakeTable(root, table)
+  }
+}
+
+object LakeDataSource {
+  /** The scan's output: the wire columns plus the key-derived
+    * `_event_hour` — identical to [[LakeReader.read]]'s shape. */
+  val EventHourCol = "_event_hour"
+
+  private[lake] def outputStruct(schema: TableSchema): StructType =
+    StructType(schema.structType.fields :+
+      // key-derived, never null — matching LakeReader.read's nullability
+      StructField(EventHourCol, TimestampType, nullable = false))
+
+  private[lake] def resolve(options: CaseInsensitiveStringMap): (String, String) = {
+    val root = Option(options.get("path"))
+      .orElse(Option(options.get("root")))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-lake: set the lake root via .load(rootUri) or .option(\"path\", rootUri)"))
+    val table = Option(options.get("table")).getOrElse(
+      throw new IllegalArgumentException("graft-lake: set .option(\"table\", <name>)"))
+    (root, table)
+  }
+
+  /** One-object schema peek (the strict single-schema contract,
+    * [[LakeReader.read]]'s): O(hour dirs), never a full key listing. */
+  private[lake] def peek(root: String, table: String): TableSchema = {
+    val store = new HadoopStore(root)
+    val first = LakeReader.firstTableKey(store, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no lake objects for table $table under $root"))
+    LakeReader.peekSchema(store, first, table)
+  }
+}
+
+final class LakeTable(rootUri: String, tableName: String)
+    extends Table with SupportsRead {
+  private lazy val lakeSchema: TableSchema = LakeDataSource.peek(rootUri, tableName)
+
+  override def name(): String = s"graft-lake:$tableName"
+  override def schema(): StructType = LakeDataSource.outputStruct(lakeSchema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(rootUri, tableName, lakeSchema)
+}
+
+final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSchema)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = LakeDataSource.outputStruct(lakeSchema)
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => LakePrune.prunable(f, lakeSchema))
+    // EVERY filter stays post-scan: sidecars bound OBJECTS (bloom false
+    // positives, band over-approximation), never rows
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new LakeScan(rootUri, table, lakeSchema, required, pushed)
+}
+
+final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
+                     required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-lake table=$table root=$rootUri " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      s"ReadSchema: ${required.simpleString}"
+
+  /** The kept object keys this scan will read — the prune decision,
+    * exposed so specs can pin it against [[LakeReader.prunedKeys]] /
+    * `readPruned*` kept-sets (and callers can meter skipping). */
+  def plannedKeys(): Seq[String] = {
+    val store = new HadoopStore(rootUri)
+    val pred = LakePrune.compile(pushed, lakeSchema)
+    val keys = pred.hourRange match {
+      case Some((from, to)) if from.isAfter(to) => Seq.empty
+      case hr => LakeReader.listTableKeys(store, table, hr)
+    }
+    if (keys.isEmpty) {
+      // hour-pruned-to-nothing is a legitimate empty scan; a table with
+      // no objects AT ALL fails loudly like every lake read
+      if (LakeReader.firstTableKey(store, table).isEmpty)
+        throw new IllegalArgumentException(
+          s"no lake objects for table $table under $rootUri")
+      Seq.empty
+    } else if (pred.trivial) keys
+    else LakeReader.walkKeys(SparkSession.active, rootUri, keys,
+      LakeReader.DefaultSidecarDistributeAbove)(pred.keeps)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedKeys().map { k =>
+      LakeInputPartition(k, LakeKeys.parseKey(k).get._1.toEpochMilli)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(rootUri, lakeSchema, required)
+}
+
+final case class LakeInputPartition(key: String, hourMillis: Long)
+    extends InputPartition
+
+final class LakeReaderFactory(rootUri: String, lakeSchema: TableSchema,
+                              required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new LakeObjectReader(rootUri, lakeSchema, required,
+      partition.asInstanceOf[LakeInputPartition])
+}
+
+/** Reads ONE lake object into [[InternalRow]]s of the required schema.
+  * Wire semantics match the [[LakeReader]] CSV options exactly (pinned
+  * row-identical in LakeSpec): strict header validation against the
+  * declared schema (drift fails LOUDLY — the enforceSchema=false
+  * contract), empty field = NULL, unparseable typed field = NULL
+  * (PERMISSIVE), blank lines skipped, `#` records skipped. */
+final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
+                             required: StructType, part: LakeInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val rd: BufferedReader = {
+    val store = new HadoopStore(rootUri)
+    val raw = store.open(part.key)
+    val in = if (part.key.endsWith(".gz")) new GZIPInputStream(raw) else raw
+    new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+  }
+
+  // headers: two plain lines (never multiline), validated against the
+  // declared schema so drifted objects fail the scan loudly
+  locally {
+    val types = TypedCsv.parseTypesHeader(rd.readLine())
+    val names = TypedCsv.splitLine(rd.readLine())
+    require(names == lakeSchema.columnNames && types == lakeSchema.colTypes,
+      s"schema drift in ${part.key}: header ($names : $types) does not match " +
+        s"declared ${lakeSchema.columnNames} : ${lakeSchema.colTypes} — " +
+        "use LakeReader.readReconciled for drifted tables")
+  }
+
+  // one converter per REQUIRED field: wire index + parse, or the
+  // key-derived hour constant; everything else is parsed past, never
+  // converted (column pruning reaching the codec)
+  private val hourMicros: java.lang.Long = java.lang.Long.valueOf(part.hourMillis * 1000L)
+  private val getters: Array[Array[String] => Any] = required.fields.map { f =>
+    if (f.name == LakeDataSource.EventHourCol) { (_: Array[String]) => hourMicros }
+    else {
+      val i = lakeSchema.columnNames.indexOf(f.name)
+      require(i >= 0, s"column ${f.name} not in lake table ${lakeSchema.name}")
+      val conv = LakeObjectReader.converter(lakeSchema.colTypes(i))
+      (fields: Array[String]) =>
+        if (i >= fields.length || fields(i).isEmpty) null else conv(fields(i))
+    }
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    val rec = LakeObjectReader.readRecord(rd)
+    if (rec == null) false
+    else {
+      val vals = new Array[Any](getters.length)
+      var i = 0
+      while (i < getters.length) { vals(i) = getters(i)(rec); i += 1 }
+      current = new GenericInternalRow(vals)
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = rd.close()
+}
+
+object LakeObjectReader {
+
+  /** ISO-8601 with optional fractional seconds and a required offset —
+    * the read-side twin of the CSV option `yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX`. */
+  private val TimeFmt = new DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd'T'HH:mm:ss")
+    .optionalStart()
+    .appendFraction(ChronoField.NANO_OF_SECOND, 0, 9, true)
+    .optionalEnd()
+    .appendPattern("XXX")
+    .toFormatter
+
+  /** Wire → Catalyst value for a NON-empty field; unparseable = null
+    * (PERMISSIVE — the same contract as the Spark CSV read path). */
+  private[lake] def converter(t: ColType): String => Any = t match {
+    case ColType.CString | ColType.CUuid =>
+      s => UTF8String.fromString(s)
+    case ColType.CInteger => s =>
+      try java.lang.Long.valueOf(s) catch { case _: NumberFormatException => null }
+    case ColType.CFloat => s =>
+      try java.lang.Double.valueOf(s) catch { case _: NumberFormatException => null }
+    case ColType.CBoolean => s =>
+      if (s == "true") java.lang.Boolean.TRUE
+      else if (s == "false") java.lang.Boolean.FALSE
+      else null
+    case ColType.CTime => s =>
+      try {
+        val odt = java.time.OffsetDateTime.parse(s, TimeFmt)
+        val inst = odt.toInstant
+        java.lang.Long.valueOf(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+      } catch { case _: java.time.format.DateTimeParseException => null }
+  }
+
+  /** One RFC-4180 record off the stream, quote-aware (doubled quotes,
+    * quoted newlines); null at EOF. Blank lines and unquoted-`#` lines
+    * are skipped — the writer quotes any field-leading `#`
+    * ([[TypedCsv.quoteField]]), so an unquoted `#` can only be a header
+    * (mirrors the CSV read's `comment=#`). */
+  private[lake] def readRecord(rd: java.io.Reader): Array[String] = {
+    var c = rd.read()
+    var skipping = true
+    while (skipping) {
+      if (c == '\n' || c == '\r') c = rd.read() // blank line / CRLF tail
+      else if (c == '#') { // comment line: to EOL, then resume skipping
+        while (c != -1 && c != '\n') c = rd.read()
+      } else skipping = false
+    }
+    if (c == -1) return null
+    val fields = Vector.newBuilder[String]
+    val sb = new StringBuilder
+    var inQ = false
+    while (c != -1) {
+      val ch = c.toChar
+      if (inQ) {
+        if (ch == '"') {
+          val nxt = rd.read()
+          if (nxt == '"') { sb.append('"'); c = rd.read() }
+          else { inQ = false; c = nxt }
+        } else { sb.append(ch); c = rd.read() }
+      } else ch match {
+        case '"' => inQ = true; c = rd.read()
+        case ',' => fields += sb.toString; sb.clear(); c = rd.read()
+        case '\r' => c = rd.read() // CR outside quotes: CRLF line ending
+        case '\n' =>
+          fields += sb.toString
+          return fields.result().toArray
+        case other => sb.append(other); c = rd.read()
+      }
+    }
+    fields += sb.toString // EOF ends the last record
+    fields.result().toArray
+  }
+}
+
+/** Filter → object-prune compiler shared by [[LakeScan]]: the SAME
+  * decisions as the bespoke entry points ([[LakeReader.probeWires]]/
+  * [[LakeReader.probeBand]] for equality, [[ZoneMaps.mayContainRange]]
+  * for bands), just driven from Catalyst's pushed [[Filter]]s. */
+private[lake] object LakePrune {
+  import java.math.{BigDecimal => JBig}
+
+  /** Can this filter contribute to OBJECT-level pruning? (Row-level
+    * correctness never depends on the answer — unprunable filters are
+    * simply re-applied post-scan, like every other filter.) */
+  def prunable(f: Filter, schema: TableSchema): Boolean = {
+    val cols = schema.columns.toMap
+    def tracked(c: String) = cols.get(c).exists {
+      case ColType.CInteger | ColType.CFloat | ColType.CTime => true
+      case _ => false
+    }
+    def hour(c: String) = c == LakeDataSource.EventHourCol
+    f match {
+      case And(l, r) => prunable(l, schema) || prunable(r, schema)
+      case EqualTo(c, v) => (cols.contains(c) && v != null && v != "") || hour(c)
+      case In(c, vs) => cols.contains(c) && vs != null &&
+        vs.exists(v => v != null && v != "")
+      case GreaterThan(c, _) => tracked(c) || hour(c)
+      case GreaterThanOrEqual(c, _) => tracked(c) || hour(c)
+      case LessThan(c, _) => tracked(c) || hour(c)
+      case LessThanOrEqual(c, _) => tracked(c) || hour(c)
+      case _ => false
+    }
+  }
+
+  /** The compiled per-object decision: an optional hour range (listing-
+    * level prune) plus equality probes and open bands (sidecar-level).
+    * Serializable with precomputed hashes so the distributed walk ships
+    * bit tests, not values. */
+  final case class Compiled(
+      hourRange: Option[(Instant, Instant)],
+      eqProbes: Seq[(String, Seq[(Array[Array[Int]], Option[JBig])])],
+      bands: Seq[(String, Option[JBig], Option[JBig])]) extends Serializable {
+
+    def trivial: Boolean = eqProbes.isEmpty && bands.isEmpty
+
+    def keeps(st: Store, key: String): Boolean = {
+      lazy val blooms = BloomMaps.read(st, key)
+      lazy val stats = ZoneMaps.read(st, key)
+      eqProbes.forall { case (c, vals) =>
+        vals.exists { case (hashes, band) =>
+          hashes.exists(h => BloomMaps.mightContainHashed(blooms, c, h)) &&
+            band.forall(b => ZoneMaps.mayContain(stats, c, b, b))
+        }
+      } && bands.forall { case (c, lo, hi) =>
+        ZoneMaps.mayContainRange(stats, c, lo, hi)
+      }
+    }
+  }
+
+  def compile(filters: Array[Filter], schema: TableSchema): Compiled = {
+    val cols = schema.columns.toMap
+    var from: Option[Instant] = None
+    var to: Option[Instant] = None
+    val eqProbes = Seq.newBuilder[(String, Seq[(Array[Array[Int]], Option[JBig])])]
+    val bands = Seq.newBuilder[(String, Option[JBig], Option[JBig])]
+
+    def tightenFrom(i: Instant): Unit =
+      from = Some(from.fold(i)(f => if (i.isAfter(f)) i else f))
+    def tightenTo(i: Instant): Unit =
+      to = Some(to.fold(i)(t => if (i.isBefore(t)) i else t))
+    def instant(v: Any): Option[Instant] = v match {
+      case ts: java.sql.Timestamp => Some(ts.toInstant)
+      case i: Instant => Some(i)
+      case _ => None
+    }
+    def eqPlan(c: String, vs: Seq[Any]): Unit = {
+      val t = cols(c)
+      val plans = vs.map { v =>
+        (LakeReader.probeWires(t, v).toArray.map(BloomMaps.wireHashes),
+          LakeReader.probeBand(t, v))
+      }
+      if (plans.nonEmpty) eqProbes += (c -> plans)
+    }
+    def bound(c: String, v: Any): Option[JBig] = (cols(c), v) match {
+      case (ColType.CInteger | ColType.CFloat, n: java.lang.Number) =>
+        val d = n.doubleValue()
+        if (d.isNaN || d.isInfinite) None else Some(new JBig(n.toString))
+      case (ColType.CTime, _) =>
+        // millis truncation is EXACT against millis-truncated sidecar
+        // bounds (every recorded bound is a whole-millis value)
+        instant(v).map(i => JBig.valueOf(i.toEpochMilli * 1000L))
+      case _ => None
+    }
+    def walk(f: Filter): Unit = f match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(c, v) if c == LakeDataSource.EventHourCol =>
+        instant(v).foreach { i => tightenFrom(i); tightenTo(i) }
+      case GreaterThan(c, v) if c == LakeDataSource.EventHourCol =>
+        instant(v).foreach(tightenFrom)
+      case GreaterThanOrEqual(c, v) if c == LakeDataSource.EventHourCol =>
+        instant(v).foreach(tightenFrom)
+      case LessThan(c, v) if c == LakeDataSource.EventHourCol =>
+        instant(v).foreach(tightenTo)
+      case LessThanOrEqual(c, v) if c == LakeDataSource.EventHourCol =>
+        instant(v).foreach(tightenTo)
+      case EqualTo(c, v) if cols.contains(c) && v != null && v != "" =>
+        eqPlan(c, Seq(v))
+      case In(c, vs) if cols.contains(c) && vs != null =>
+        // nulls never equal anything; "" never round-trips to a lake row
+        eqPlan(c, vs.toSeq.filter(v => v != null && v != ""))
+      case GreaterThan(c, v) if cols.contains(c) =>
+        bound(c, v).foreach(b => bands += ((c, Some(b), None)))
+      case GreaterThanOrEqual(c, v) if cols.contains(c) =>
+        bound(c, v).foreach(b => bands += ((c, Some(b), None)))
+      case LessThan(c, v) if cols.contains(c) =>
+        bound(c, v).foreach(b => bands += ((c, None, Some(b))))
+      case LessThanOrEqual(c, v) if cols.contains(c) =>
+        bound(c, v).foreach(b => bands += ((c, None, Some(b))))
+      case _ => ()
+    }
+    filters.foreach(walk)
+    // hour endpoints truncate/extend to the HOUR the key layout prunes at
+    // (listTableKeys lists whole hours; the row-level filter re-applies)
+    Compiled(
+      (from, to) match {
+        case (None, None) => None
+        case (f, t) => Some((
+          f.getOrElse(Instant.EPOCH),
+          t.getOrElse(Instant.parse("9999-12-31T23:00:00Z"))))
+      },
+      eqProbes.result(), bands.result())
+  }
+}

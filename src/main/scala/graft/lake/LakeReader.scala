@@ -95,14 +95,38 @@ object LakeReader {
     * bottleneck all by itself. */
   def listTableKeys(store: Store, table: String,
                     hourRange: Option[(java.time.Instant, java.time.Instant)]): Seq[String] = {
+    import java.time.temporal.ChronoUnit
     val keys = hourRange match {
       case Some((from, to)) =>
-        LakeKeys.hourPrefixes(from, to).flatMap(pfx => store.list(s"$pfx/$table"))
+        val start = from.truncatedTo(ChronoUnit.HOURS)
+        val end = to.truncatedTo(ChronoUnit.HOURS)
+        val span = ChronoUnit.HOURS.between(start, end) + 1
+        if (span <= 0) Seq.empty
+        else if (span <= RangeEnumerateMaxHours)
+          LakeKeys.hourPrefixes(from, to).flatMap(pfx => store.list(s"$pfx/$table"))
+        else {
+          // a WIDE range (half-open predicates like `_event_hour >= t`
+          // compiled against a far sentinel) must not enumerate millions
+          // of mostly-absent hour directories — walk the hours that EXIST
+          // (the same pruned level walk as the unranged read) and keep the
+          // in-range ones; zero-padded prefixes make that a string compare
+          val lo = LakeKeys.datePrefix(start)
+          val hi = LakeKeys.datePrefix(end)
+          walkHourPrefixes(store).filter(h => h >= lo && h <= hi)
+            .flatMap(h => store.list(s"$h/$table"))
+        }
       case None =>
         walkHourPrefixes(store).flatMap(h => store.list(s"$h/$table"))
     }
     keys.filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
   }
+
+  /** Hour-range width above which [[listTableKeys]] stops ENUMERATING the
+    * range (one listing call per hour, absent or not) and instead walks
+    * the hour directories that exist, filtering to the range: ~5½ months
+    * of hours, past which the walk's fixed cost (year/month/day levels)
+    * is cheaper than the misses. */
+  val RangeEnumerateMaxHours = 4096L
 
   /** Every existing `YYYY/MM/DD/HH` hour prefix, found by the pruned
     * level walk (the scaladoc above — never a full-lake recursive
@@ -124,6 +148,14 @@ object LakeReader {
       if numeric(h, 2) && before.forall(b => s"$y/$m/$d/$h" < b)
     } yield s"$y/$m/$d/$h"
   }
+
+  /** The FIRST object key of `table`, by the pruned level walk — the
+    * metadata-cheapest way to peek a table's schema (no full key
+    * listing): O(hour dirs) plus one per-hour listing until a hit. */
+  private[lake] def firstTableKey(store: Store, table: String): Option[String] =
+    walkHourPrefixes(store).view
+      .flatMap(h => store.list(s"$h/$table"))
+      .find(k => LakeKeys.parseKey(k).exists(_._2 == table))
 
   /** [[read]] against an explicit [[Store]] (injectable for tests). */
   def readFrom(spark: SparkSession, store: Store, table: String,
@@ -924,7 +956,7 @@ object LakeReader {
     * must still FIND the value — wrongly skipping breaks the bloom
     * contract — so the probe hashes every form and keeps on any hit
     * (more forms = more conservative, never less). */
-  private def probeWires(colType: ColType, value: Any): Set[String] = {
+  private[lake] def probeWires(colType: ColType, value: Any): Set[String] = {
     val raw = TypedCsv.formatValue(value, colType)
     val extra: Set[String] = (colType, value) match {
       case (ColType.CInteger | ColType.CFloat, n: java.lang.Number) =>
@@ -959,13 +991,16 @@ object LakeReader {
     * probe NOT exactly representable in the declared type (600.5 on an
     * integer column) gets no band — it can only match a mistyped stored
     * value, whose object the Tracker poisoned to conservative keep. */
-  private def probeBand(colType: ColType, value: Any): Option[java.math.BigDecimal] =
+  private[lake] def probeBand(colType: ColType, value: Any): Option[java.math.BigDecimal] =
     (colType, value) match {
       case (ColType.CInteger, n: java.lang.Number)
           if n.doubleValue() == math.rint(n.doubleValue()) =>
         Some(java.math.BigDecimal.valueOf(n.longValue()))
       case (ColType.CTime, ts: java.sql.Timestamp) =>
         Some(java.math.BigDecimal.valueOf(ts.getTime * 1000L))
+      case (ColType.CTime, i: java.time.Instant) =>
+        // same millis-truncation as the Tracker's wire convention
+        Some(java.math.BigDecimal.valueOf(i.toEpochMilli * 1000L))
       case (ColType.CFloat, n: java.lang.Number)
           if !n.doubleValue().isNaN && !n.doubleValue().isInfinite =>
         Some(new java.math.BigDecimal(n.toString))
@@ -1030,7 +1065,7 @@ object LakeReader {
     * `distributeAbove` keys, executor fan-out above, key order preserved
     * either way. `keep` receives a per-walker [[Store]] (the driver's or
     * a per-executor one) and must be serializable with its captures. */
-  private def walkKeys(spark: SparkSession, rootUri: String, keys: Seq[String],
+  private[lake] def walkKeys(spark: SparkSession, rootUri: String, keys: Seq[String],
       distributeAbove: Int)(keep: (Store, String) => Boolean): Seq[String] =
     if (keys.length <= distributeAbove) {
       val store = new HadoopStore(rootUri)

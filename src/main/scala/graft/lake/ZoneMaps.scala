@@ -385,12 +385,24 @@ object ZoneMaps {
     * range predicate, so they don't keep an object — only value bounds
     * do. */
   def mayContain(stats: Option[ObjectStats], column: String,
-                 lo: BigDecimal, hi: BigDecimal): Boolean = stats match {
+                 lo: BigDecimal, hi: BigDecimal): Boolean =
+    mayContainRange(stats, column, Some(lo), Some(hi))
+
+  /** [[mayContain]] with OPEN end support: `None` means unbounded on that
+    * side (`col > v` is `(Some(v), None)`). A sentinel "huge" bound would
+    * be a wrong-skip bug waiting — a FLOAT column legitimately holds
+    * values past any finite sentinel — so open ends are first-class.
+    * Strict vs closed comparison is deliberately NOT distinguished:
+    * treating `> v` as `≥ v` can only keep an extra object (whose rows
+    * the exact predicate rejects), never skip a right one. */
+  def mayContainRange(stats: Option[ObjectStats], column: String,
+                      lo: Option[BigDecimal], hi: Option[BigDecimal]): Boolean = stats match {
     case None => true
     case Some(s) => s.cols.get(column) match {
       case None => true // column unknown to the sidecar: keep
       case Some(cs) => (cs.min, cs.max) match {
-        case (Some(mn), Some(mx)) => mx.compareTo(lo) >= 0 && mn.compareTo(hi) <= 0
+        case (Some(mn), Some(mx)) =>
+          lo.forall(l => mx.compareTo(l) >= 0) && hi.forall(h => mn.compareTo(h) <= 0)
         case _ =>
           // Bounds absent. All-null column (nulls == records): a range
           // predicate can never match — safe to SKIP. Otherwise non-null

@@ -1,0 +1,208 @@
+package graft.lake
+
+import graft.SparkSuite
+import graft.types.{ColType, TableSchema}
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+class LakeDataSourceSpec extends SparkSuite {
+
+  private def freshRoot() =
+    s"file://${Files.createTempDirectory("graft-dsv2-spec").toFile.getAbsolutePath}"
+
+  private val schema = TableSchema("dt", Seq(
+    "id" -> ColType.CInteger, "tag" -> ColType.CString,
+    "score" -> ColType.CFloat, "ok" -> ColType.CBoolean,
+    "ts" -> ColType.CTime))
+
+  /** 1000 rows over 4 id-ordered objects; tag t0..t3 clusters per object;
+    * adversarial content: nulls, ""→null round-trip, quotes, embedded
+    * newlines, leading '#', NaN/±Inf, negative and huge longs. */
+  private def fixture(root: String, hour: String = "2024-06-10T08:00:00Z"): Unit = {
+    import spark.implicits._
+    val rows = (0 until 1000).map { i =>
+      val id: java.lang.Long = if (i == 13) null else
+        if (i == 14) java.lang.Long.valueOf(10000000000000001L) else
+        java.lang.Long.valueOf(i.toLong)
+      val tag = i match {
+        case 7 => null
+        case 8 => "" // round-trips as NULL
+        case 9 => "has,comma and \"quote\""
+        case 10 => "line1\nline2"
+        case 11 => "#leads-hash"
+        case _ => s"t${i / 250}"
+      }
+      val score: java.lang.Double = i match {
+        case 5 => java.lang.Double.valueOf(Double.NaN)
+        case 6 => java.lang.Double.valueOf(Double.PositiveInfinity)
+        case 12 => null
+        case _ => java.lang.Double.valueOf(i / 8.0)
+      }
+      val ok: java.lang.Boolean =
+        if (i % 17 == 0) null else java.lang.Boolean.valueOf(i % 2 == 0)
+      val ts = if (i % 23 == 0) null
+        else java.sql.Timestamp.from(Instant.parse("2024-06-01T00:00:00Z")
+          .plusMillis(i * 1234L))
+      (id, tag, score, ok, ts)
+    }
+    val df = rows.toDF("id", "tag", "score", "ok", "ts")
+      .orderBy("id").coalesce(1)
+    LakeWriter.write(df, schema, root, Instant.parse(hour),
+      maxRecordsPerObject = 250L, zoneMaps = true, bloomColumns = Seq("tag"))
+  }
+
+  private def dsv2(root: String): DataFrame =
+    spark.read.format("graft-lake").option("table", "dt").load(root)
+
+  private def lakeScan(df: DataFrame): LakeScan =
+    df.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b.scan }
+      .getOrElse(fail(s"no BatchScanExec in:\n${df.queryExecution.executedPlan}"))
+      .asInstanceOf[LakeScan]
+
+  test("connector rows ≡ LakeReader.read rows, schema included (adversarial wire content)") {
+    val root = freshRoot()
+    fixture(root)
+    val viaDsv2 = dsv2(root)
+    val viaReader = LakeReader.read(spark, root, "dt")
+    assert(viaDsv2.schema == viaReader.schema,
+      s"${viaDsv2.schema} vs ${viaReader.schema}")
+    assert(viaDsv2.count() == 1000)
+    // row-identical, including the key-derived _event_hour
+    assert(viaDsv2.exceptAll(viaReader).count() == 0)
+    assert(viaReader.exceptAll(viaDsv2).count() == 0)
+    // spot the adversarial round-trips through the connector's own codec
+    val byTag = viaDsv2.where(col("tag") === "line1\nline2").collect()
+    assert(byTag.length == 1 && byTag(0).getLong(0) == 10L)
+    assert(viaDsv2.where(col("tag") === "#leads-hash").count() == 1)
+    assert(viaDsv2.where(col("tag").isNull).count() == 2) // null and ""
+    assert(viaDsv2.where(isnan(col("score"))).count() == 1)
+    assert(viaDsv2.where(col("id") === 10000000000000001L).count() == 1)
+  }
+
+  test("zone-map band filters prune the scan's objects exactly like readPruned") {
+    val root = freshRoot()
+    fixture(root)
+    val store = new HadoopStore(root)
+    val keys = LakeReader.listTableKeys(store, "dt", None)
+    // id >= 600 AND id < 800: only the [500,750) and [750,1000) objects
+    // can intersect
+    val q = dsv2(root).where(col("id") >= 600L && col("id") < 800L)
+    val planned = lakeScan(q).plannedKeys()
+    val expected = LakeReader.prunedKeys(spark, root, keys,
+      Seq(("id", java.math.BigDecimal.valueOf(600), java.math.BigDecimal.valueOf(800))),
+      LakeReader.DefaultSidecarDistributeAbove)
+    assert(planned == expected, s"$planned vs $expected")
+    assert(planned.size == 2, s"band must prune to two objects: $planned")
+    // and the rows are exact (post-scan filter re-applies row-level)
+    assert(q.count() == 200)
+    assert(q.agg(min("id"), max("id")).collect().head.toSeq == Seq(600L, 799L))
+    // a torn sidecar keeps its object (conservative): tear one the band
+    // would otherwise SKIP and it must re-appear in the planned keys
+    val victim = keys.find(k => ZoneMaps.read(store, k).exists(s =>
+      s.cols("id").min.exists(_.compareTo(java.math.BigDecimal.valueOf(300)) > 0))).get
+    tearSidecarText(store, victim)
+    val q2 = dsv2(root).where(col("id") < 100L)
+    assert(lakeScan(q2).plannedKeys().contains(victim),
+      "torn sidecar must conservatively keep its object")
+    assert(q2.count() == 98) // ids 0..99 minus the null id (13) and the huge id (14)
+  }
+
+  private def tearSidecarText(store: Store, dataKey: String): Unit = {
+    val sk = ZoneMaps.statsKey(dataKey)
+    val text = new String(store.open(sk).readAllBytes(), "UTF-8")
+    val out = store.create(sk)
+    out.write(text.take(text.length / 2).getBytes("UTF-8")); out.close()
+  }
+
+  test("bloom EqualTo and In prune like readPrunedEq/Any; Or/Not stay row-level only") {
+    val root = freshRoot()
+    fixture(root)
+    // tag = t2 (ids 500..749) straddles the 250-row object boundary at
+    // id 500 → exactly two objects hold it
+    val q = dsv2(root).where(col("tag") === "t2")
+    val planned = lakeScan(q).plannedKeys()
+    val (_, rep) = LakeReader.readPrunedEq(spark, root, "dt", "tag", "t2")
+    assert(planned.size == rep.kept && rep.kept == 2, s"$planned vs $rep")
+    assert(q.count() == 250)
+    // IN-list: t0 lives in objects 0 AND 3 (the huge-id row carries tag
+    // t0 and sorts last), t3 spans objects 2 and 3 → union is 3 objects
+    val qin = dsv2(root).where(col("tag").isin("t0", "t3"))
+    val planned2 = lakeScan(qin).plannedKeys()
+    val (_, rep2) = LakeReader.readPrunedEqAny(spark, root, "dt", "tag",
+      Seq("t0", "t3"))
+    assert(planned2.size == rep2.kept && rep2.kept == 3, s"$planned2 vs $rep2")
+    // Or cannot object-prune (yet) but rows stay exact
+    val qor = dsv2(root).where(col("tag") === "t1" || col("id") === 900L)
+    assert(lakeScan(qor).plannedKeys().size == 4, "Or keeps all objects")
+    assert(qor.count() == 251)
+  }
+
+  test("_event_hour predicates prune at the LISTING level; empty hour range is a legal empty scan") {
+    val root = freshRoot()
+    fixture(root, hour = "2024-06-10T08:00:00Z")
+    fixture(root, hour = "2024-06-11T09:00:00Z") // second hour, 1000 more rows
+    val all = dsv2(root)
+    assert(all.count() == 2000)
+    val hour1 = Instant.parse("2024-06-11T09:00:00Z")
+    val q = all.where(col("_event_hour") === lit(java.sql.Timestamp.from(hour1)))
+    val planned = lakeScan(q).plannedKeys()
+    assert(planned.nonEmpty && planned.forall(_.startsWith("2024/06/11/09/")),
+      s"hour filter must restrict the LISTING: $planned")
+    assert(q.count() == 1000)
+    // range form
+    val qr = all.where(col("_event_hour") >=
+      lit(java.sql.Timestamp.from(Instant.parse("2024-06-11T00:00:00Z"))))
+    assert(lakeScan(qr).plannedKeys().forall(_.startsWith("2024/06/11/")))
+    assert(qr.count() == 1000)
+    // an hour window holding nothing → zero partitions, zero rows, no error
+    val qe = all.where(
+      col("_event_hour") >= lit(java.sql.Timestamp.from(Instant.parse("2030-01-01T00:00:00Z"))) &&
+      col("_event_hour") <= lit(java.sql.Timestamp.from(Instant.parse("2030-01-02T00:00:00Z"))))
+    assert(lakeScan(qe).plannedKeys().isEmpty && qe.count() == 0)
+  }
+
+  test("column pruning reaches the reader; count(*) over an empty required schema works") {
+    val root = freshRoot()
+    fixture(root)
+    val q = dsv2(root).select("tag")
+    val scan = lakeScan(q)
+    assert(scan.readSchema().fieldNames.toSeq == Seq("tag"),
+      s"ReadSchema must be pruned: ${scan.readSchema()}")
+    assert(q.count() == 1000)
+    // projection of the key-derived column only
+    val qh = dsv2(root).select("_event_hour")
+    assert(qh.distinct().count() == 1)
+    // count(*) prunes every column away
+    assert(dsv2(root).count() == 1000)
+  }
+
+  test("missing table and missing options fail loudly; drifted header fails the scan") {
+    val root = freshRoot()
+    fixture(root)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-lake").option("table", "nope").load(root).count()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-lake").load(root).count() // no table option
+    }
+    // plant a drifted object (extra column) in the same table
+    val store = new HadoopStore(root)
+    val drifted = TableSchema("dt", Seq("id" -> ColType.CInteger,
+      "extra" -> ColType.CString))
+    val key = "2024/06/10/08/dt/zz-drifted.csv"
+    val out = store.create(key)
+    out.write("#INTEGER,STRING\nid,extra\n1,x\n".getBytes("UTF-8")); out.close()
+    val e = intercept[Exception] { dsv2(root).count() }
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert((e.getMessage + rootCause(e).getMessage).contains("drift"),
+      s"drift must fail loudly: $e")
+    assert(drifted.columnNames == Seq("id", "extra")) // fixture sanity
+  }
+}
