@@ -203,7 +203,6 @@ object BloomMaps {
                  hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
                  m: Int = DefaultBits, k: Int = DefaultHashes,
                  onlyMissing: Boolean = false): Int = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
     // validate m/k BEFORE any listing or distributed work: a k past
     // MaxHashes would write sidecars the strict parse silently rejects —
     // the whole (expensive) build degrading to a no-op index with no
@@ -218,6 +217,20 @@ object BloomMaps {
     val keys = if (onlyMissing)
       ZoneMaps.missingSidecarKeys(store, allKeys, bloomKey)
     else allKeys
+    buildForKeys(spark, rootUri, table, columns, keys, m, k)
+  }
+
+  /** The build pass over an EXPLICIT key snapshot — [[buildIndex]] minus
+    * the listing, so [[LakeMaintenance.ensureIndexes]] can drive both
+    * sidecar kinds off ONE listing. */
+  private[lake] def buildForKeys(spark: org.apache.spark.sql.SparkSession,
+                                 rootUri: String, table: String,
+                                 columns: Seq[String], keys: Seq[String],
+                                 m: Int = DefaultBits,
+                                 k: Int = DefaultHashes): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    validateShape(m, k)
+    val store = new HadoopStore(rootUri)
     if (keys.isEmpty) 0
     else {
       val schema = LakeReader.peekSchema(store, keys.head, table)

@@ -139,6 +139,77 @@ object LakeMaintenance {
     }
   }
 
+  final case class EnsureReport(statsBuilt: Int, bloomsBuilt: Int,
+                                orphansDeleted: Int)
+
+  /** ONE-PASS sidecar reconciliation — the nightly index job: off a
+    * SINGLE listing snapshot (one data-key walk + ONE `_zmaps/` listing
+    * per hour/table prefix, where the two incremental `buildIndex`es
+    * would each do their own), it
+    *
+    *  1. back-fills every object missing a STATS sidecar
+    *     ([[ZoneMaps.buildForKeys]]),
+    *  2. back-fills every object missing a BLOOM sidecar (when
+    *     `bloomColumns` is non-empty; both sidecar kinds decided from
+    *     the same listing — they share the `_zmaps/` prefix dir), and
+    *  3. sweeps ORPHAN sidecars (a sidecar whose data object is gone —
+    *     retention/compaction signaled a failed sidecar delete, or an
+    *     operator removed data by hand). Unknown sidecar kinds are left
+    *     alone (conservative: this job reconciles what it understands).
+    *
+    * Same incremental semantics as `onlyMissing` builds: never re-reads
+    * an indexed object, so it never HEALS a present-but-torn sidecar —
+    * healing is a full `buildIndex`'s job. Same concurrency contract as
+    * every build: run on settled hours. The spec pins the produced
+    * sidecars byte-identical to running both incremental builds, at half
+    * the metadata listings. */
+  def ensureIndexes(spark: SparkSession, store: Store, table: String,
+                    bloomColumns: Seq[String] = Nil,
+                    hourRange: Option[(Instant, Instant)] = None,
+                    bloomBits: Int = BloomMaps.DefaultBits,
+                    bloomHashes: Int = BloomMaps.DefaultHashes): EnsureReport = {
+    if (bloomColumns.nonEmpty) BloomMaps.validateShape(bloomBits, bloomHashes)
+    val keys = LakeReader.listTableKeys(store, table, hourRange)
+    if (keys.isEmpty) return EnsureReport(0, 0, 0)
+    val prefixes = keys.map { k =>
+      val i = k.lastIndexOf('/'); if (i < 0) "" else k.substring(0, i)
+    }.distinct
+    // ONE listing per prefix serves BOTH sidecar kinds and the orphan
+    // sweep — .zmap and .bloom files share the _zmaps/<prefix> directory
+    val sidecars = prefixes.flatMap(pfx => store.list(ZoneMaps.Prefix + pfx))
+    val sidecarSet = sidecars.toSet
+    val keySet = keys.toSet
+    val missingStats = keys.filterNot(k => sidecarSet.contains(ZoneMaps.statsKey(k)))
+    val missingBlooms =
+      if (bloomColumns.isEmpty) Nil
+      else keys.filterNot(k => sidecarSet.contains(BloomMaps.bloomKey(k)))
+    val orphans = sidecars.filter { sk =>
+      dataKeyOfSidecar(sk).exists(dk => !keySet.contains(dk))
+    }
+    orphans.foreach { sk =>
+      try store.delete(sk) catch {
+        case e: Throwable => System.err.println(
+          s"[graft.LakeMaintenance.ensureIndexes] orphan sidecar $sk " +
+            s"survives (delete failed: $e)")
+      }
+    }
+    EnsureReport(
+      ZoneMaps.buildForKeys(spark, store.rootUri, table, missingStats),
+      if (bloomColumns.isEmpty) 0
+      else BloomMaps.buildForKeys(spark, store.rootUri, table, bloomColumns,
+        missingBlooms, bloomBits, bloomHashes),
+      orphans.size)
+  }
+
+  /** The data key a sidecar key indexes; None for unknown sidecar kinds
+    * (left untouched by the orphan sweep). */
+  private def dataKeyOfSidecar(sidecarKey: String): Option[String] = {
+    val rel = sidecarKey.stripPrefix(ZoneMaps.Prefix)
+    if (rel.endsWith(".zmap")) Some(rel.dropRight(5))
+    else if (rel.endsWith(".bloom")) Some(rel.dropRight(6))
+    else None
+  }
+
   final case class ExpiryReport(deleted: Int, cutoffPrefix: String)
 
   /** Retention: delete a table's objects whose hour prefix is STRICTLY

@@ -337,11 +337,21 @@ object ZoneMaps {
                  table: String,
                  hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
                  onlyMissing: Boolean = false): Int = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
     val store = new HadoopStore(rootUri)
     val allKeys = LakeReader.listTableKeys(store, table, hourRange)
     val keys = if (onlyMissing) missingSidecarKeys(store, allKeys, statsKey)
                else allKeys
+    buildForKeys(spark, rootUri, table, keys)
+  }
+
+  /** The build pass over an EXPLICIT key snapshot — [[buildIndex]] minus
+    * the listing, so [[LakeMaintenance.ensureIndexes]] can drive both
+    * sidecar kinds off ONE listing. */
+  private[lake] def buildForKeys(spark: org.apache.spark.sql.SparkSession,
+                                 rootUri: String, table: String,
+                                 keys: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val store = new HadoopStore(rootUri)
     if (keys.isEmpty) 0
     else {
       val schema = LakeReader.peekSchema(store, keys.head, table)

@@ -14,7 +14,10 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * (Misra & Gries 1982; the Frequent algorithm) nominates candidates,
   * an exact recount restricted to the broadcast candidate set decides.
   */
-object Frequency {
+// Serializable: the per-partition passes close over the object's own
+// mgPartial/mergeMG (shared with the streaming twin), so the singleton
+// rides the task closure
+object Frequency extends Serializable {
 
   /** All values of `column` whose exact frequency is ≥ φ·N (φ given as
     * the rational `phiNum/phiDen` — integer algebra end to end, no float
@@ -63,22 +66,120 @@ object Frequency {
     * every row as its own value and a true heavy hitter could be
     * silently missed — cast to hex()/base64() upstream.
     */
-  def heavyHitters(df: DataFrame, column: String,
-                   phiNum: Long, phiDen: Long,
-                   maxCounters: Int = 100000): DataFrame = {
+  /** ⌈1/φ⌉ counters (so k+1 > 1/φ — the superset premise), ARMED at
+    * `maxCounters` (the Guards contract): a tiny φ must raise with the
+    * remedy, never silently un-bound the candidate set. Shared by the
+    * batch operator and its streaming twin
+    * ([[graft.streaming.StreamOps]]) so the two bounds cannot drift. */
+  private[graft] def counterBudget(phiNum: Long, phiDen: Long,
+                                   maxCounters: Int): Int = {
     require(phiNum > 0 && phiDen >= phiNum,
       s"phi must be a rational in (0, 1]: $phiNum/$phiDen")
     val kL = (phiDen + phiNum - 1) / phiNum // ⌈1/φ⌉ ⇒ k+1 > 1/φ
-    // the whole method is premised on k·partitions candidates being
-    // broadcast-sized; a tiny φ silently un-bounds that, so the bound is
-    // ARMED (the Guards contract), not assumed
     if (kL > maxCounters) throw new IllegalStateException(
       s"heavyHitters: phi = $phiNum/$phiDen needs $kL counters per " +
         s"partition, over maxCounters=$maxCounters — the candidate set " +
         s"(counters x partitions) must stay broadcast-sized for the " +
         s"recount. Use a coarser phi, raise maxCounters deliberately, " +
         s"or fall back to a plain GROUP BY/HAVING for low thresholds.")
-    val k = kL.toInt
+    kL.toInt
+  }
+
+  /** Per-partition WEIGHTED Misra–Gries partial: surviving (value,
+    * counter weight) pairs, at most `k` of them. Weights UNDER-count the
+    * partition's true frequencies by at most nᵢ/(k+1) and never
+    * over-count — the invariant [[mergeMG]] preserves, which is what
+    * makes the partials mergeable across micro-batches (the streaming
+    * twin) as well as union-able into a candidate superset (the batch
+    * operator). Genuine per-partition imperative state, so an iterator
+    * walk is the honest tool; the decrement step amortizes O(1)/row. */
+  private[graft] def mgPartial[T](it: Iterator[T], k: Int): Iterator[(T, Long)] = {
+    // initial capacity capped: the map never exceeds k entries but a
+    // deliberately-raised maxCounters must not pre-allocate a k-sized
+    // table for a partition that holds three distinct values
+    val counters = new java.util.HashMap[T, Long](
+      math.min(2L * k, 1L << 16).toInt)
+    while (it.hasNext) {
+      val v = it.next()
+      val cur = counters.get(v)
+      if (cur != 0L || counters.containsKey(v)) counters.put(v, cur + 1)
+      else if (counters.size < k) counters.put(v, 1L)
+      else {
+        val e = counters.entrySet().iterator()
+        while (e.hasNext) {
+          val en = e.next()
+          if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1)
+        }
+      }
+    }
+    val out = new java.util.ArrayList[(T, Long)](counters.size)
+    val es = counters.entrySet().iterator()
+    while (es.hasNext) { val en = es.next(); out.add((en.getKey, en.getValue)) }
+    import scala.jdk.CollectionConverters._
+    out.iterator().asScala
+  }
+
+  /** PAIRWISE merge of two Misra–Gries summaries back down to ≤ k
+    * counters (Agarwal, Cormode, Huang, Phillips, Wei, Yi — "Mergeable
+    * Summaries", PODS 2012): sum weights; if more than k survive,
+    * subtract the (k+1)-largest weight from every counter and drop the
+    * non-positive. The error bound stays ≤ N/(k+1) under ANY pairwise
+    * merge tree, so a value with true count ≥ φ·N (φ > 1/(k+1)) always
+    * survives — merged summaries nominate a proven superset exactly
+    * like a single pass. Merge PAIRWISE only (fold summaries two at a
+    * time); merging loose per-value entries one at a time would double
+    * the error bound. */
+  private[graft] def mergeMG[T](a: Map[T, Long], b: Map[T, Long],
+                                k: Int): Map[T, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[T, Long]
+    a.foreach { case (v, w) => m.update(v, m.getOrElse(v, 0L) + w) }
+    b.foreach { case (v, w) => m.update(v, m.getOrElse(v, 0L) + w) }
+    if (m.size <= k) m.toMap
+    else {
+      val ws = m.values.toArray
+      java.util.Arrays.sort(ws)
+      val sub = ws(ws.length - (k + 1)) // (k+1)-th largest
+      m.iterator.collect { case (v, w) if w > sub => v -> (w - sub) }.toMap
+    }
+  }
+
+  /** EXACT decision over an explicit candidate list — pass 2 of
+    * [[heavyHitters]] standing alone, for callers that obtained their
+    * candidates elsewhere (the streaming twin's merged summary, a prior
+    * run, a side channel). Output and integer-threshold semantics are
+    * identical to [[heavyHitters]]; the answer is exact iff `candidates`
+    * is a superset of the true heavy hitters (which a Misra–Gries
+    * summary over the same data guarantees). One aggregate, candidates
+    * broadcast, the tail map-side-bucketed — never a full-distribution
+    * shuffle. */
+  def recount(df: DataFrame, column: String, candidates: Seq[Any],
+              phiNum: Long, phiDen: Long): DataFrame = {
+    require(phiNum > 0 && phiDen >= phiNum,
+      s"phi must be a rational in (0, 1]: $phiNum/$phiDen")
+    val field = df.schema(column)
+    checkWorkingNames(df, column)
+    val vals = df.select(col(column)).where(col(column).isNotNull)
+    val candRows = candidates.filter(_ != null).distinct
+    val cand = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(candRows.map(Row(_)): _*),
+      StructType(Seq(StructField("__hh_cand", field.dataType))))
+    exactDecide(vals, cand, column, phiNum, phiDen)
+  }
+
+  private def checkWorkingNames(df: DataFrame, column: String): Unit = {
+    // working-column collisions rejected loudly (the Guards convention):
+    // a source column with a reserved name would make the candidate-join
+    // resolution ambiguous
+    val matches = Names.matcher(df)
+    for (reserved <- Seq("__hh_cand", "__hh_val", "__hh_total"))
+      require(!matches(column, reserved),
+        s"column name $reserved is reserved by Frequency.heavyHitters")
+  }
+
+  def heavyHitters(df: DataFrame, column: String,
+                   phiNum: Long, phiDen: Long,
+                   maxCounters: Int = 100000): DataFrame = {
+    val k = counterBudget(phiNum, phiDen, maxCounters)
     val field = df.schema(column) // loud on a bad column name
     // JVM-equality hazard (see the scaladoc): byte arrays would make
     // every row its own candidate counter — a silent exactness break,
@@ -88,13 +189,7 @@ object Frequency {
         "Array[Byte] compares by JVM reference in the candidate pass, so " +
         "equal byte arrays would never share a counter and a true heavy " +
         "hitter could be missed; cast to hex()/base64() upstream")
-    // working-column collisions rejected loudly (the Guards convention):
-    // a source column with a reserved name would make the candidate-join
-    // resolution ambiguous
-    val matches = Names.matcher(df)
-    for (reserved <- Seq("__hh_cand", "__hh_val", "__hh_total"))
-      require(!matches(column, reserved),
-        s"column name $reserved is reserved by Frequency.heavyHitters")
+    checkWorkingNames(df, column)
     val vals = df.select(col(column)).where(col(column).isNotNull)
 
     // pass 1: per-partition Misra–Gries. Genuine per-partition imperative
@@ -106,31 +201,7 @@ object Frequency {
     // fall back to the generic Row walk. The FLOAT paths normalize
     // -0.0 → 0.0 so candidate identity matches the recount's SQL
     // equality (the scaladoc's exactness argument).
-    def misraGries[T](it: Iterator[T]): Iterator[T] = {
-      // initial capacity capped: the map never exceeds k entries but a
-      // deliberately-raised maxCounters must not pre-allocate a k-sized
-      // table for a partition that holds three distinct values
-      val counters = new java.util.HashMap[T, Long](
-        math.min(2L * k, 1L << 16).toInt)
-      while (it.hasNext) {
-        val v = it.next()
-        val cur = counters.get(v)
-        if (cur != 0L || counters.containsKey(v)) counters.put(v, cur + 1)
-        else if (counters.size < k) counters.put(v, 1L)
-        else {
-          val e = counters.entrySet().iterator()
-          while (e.hasNext) {
-            val en = e.next()
-            if (en.getValue == 1L) e.remove() else en.setValue(en.getValue - 1)
-          }
-        }
-      }
-      val out = new java.util.ArrayList[T](counters.size)
-      val ks = counters.keySet().iterator()
-      while (ks.hasNext) out.add(ks.next())
-      import scala.jdk.CollectionConverters._
-      out.iterator().asScala
-    }
+    def misraGries[T](it: Iterator[T]): Iterator[T] = mgPartial(it, k).map(_._1)
     val cand = {
       import org.apache.spark.sql.Encoders
       import org.apache.spark.sql.types._
@@ -166,16 +237,22 @@ object Frequency {
       }
     }.distinct() // ≤ k rows per partition in, tiny shuffle
 
-    // pass 2: one aggregate over candidate-tagged values. The left join
-    // keys on a ≤ k·P-row relation — broadcast is bounded by
-    // construction (the Guards/t15 bounded-broadcast rule).
+    exactDecide(vals, cand, column, phiNum, phiDen)
+  }
+
+  /** Pass 2 shared by [[heavyHitters]] and [[recount]]: one aggregate
+    * over candidate-tagged values. The left join keys on a bounded
+    * relation — broadcast by construction (the Guards/t15
+    * bounded-broadcast rule); exact N = the sum over the BOUNDED
+    * aggregate (≤ candidates + 1 rows) as a broadcast 1-row cross join;
+    * the shared agg subtree is one exchange, reused — no
+    * single-partition window, no second pass for N. */
+  private def exactDecide(vals: DataFrame, cand: DataFrame, column: String,
+                          phiNum: Long, phiDen: Long): DataFrame = {
     val agg = vals
       .join(broadcast(cand), col(column) === col("__hh_cand"), "left")
       .select(col("__hh_cand").as("__hh_val")) // NULL = non-candidate tail
       .groupBy("__hh_val").agg(count(lit(1)).as("cnt"))
-    // exact N = the sum over the BOUNDED aggregate (≤ k·P + 1 rows) as a
-    // broadcast 1-row cross join; the shared agg subtree is one exchange,
-    // reused — no single-partition window, no second pass for N
     val total = agg.agg(sum("cnt").as("__hh_total"))
     agg.crossJoin(broadcast(total))
       .where(col("__hh_val").isNotNull &&

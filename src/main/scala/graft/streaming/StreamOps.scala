@@ -18,6 +18,14 @@ case class TypedEvent(key: Long, ts: Timestamp, tp: String)
 case class FunnelBuffer(events: List[(Long, String)])
 /** One stage hit per key funnel: 0-based stage index + its event time. */
 case class FunnelHit(key: Long, stage: Int, ts: Timestamp)
+/** One per-partition Misra–Gries partial (parallel value/weight arrays +
+  * the partition's row count) for [[StreamOps.heavyHitterCandidates]]. */
+case class HHPartial(values: Seq[String], weights: Seq[Long], n: Long)
+/** Merged-summary keyed state for [[StreamOps.heavyHitterCandidates]]. */
+case class HHState(values: Seq[String], weights: Seq[Long], n: Long)
+/** One heavy-hitter candidate as of a trigger: `weight ≤ true count ≤
+  * weight + n/(k+1)` over the `n` rows drained so far. */
+case class HHCandidate(value: String, weight: Long, n: Long)
 
 /** Streaming query surface (SURVEY.md §2B streaming row): windowed
   * aggregations with watermarks, late-data drop, streaming dedup, and
@@ -158,6 +166,65 @@ object StreamOps {
               math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs + 1))
             out.iterator
           }
+      }
+  }
+
+  /** Streaming heavy-hitter CANDIDATES — the stream twin of
+    * [[graft.operators.Frequency.heavyHitters]]'s nomination pass,
+    * continuously maintained: each micro-batch runs per-partition
+    * weighted Misra–Gries ([[graft.operators.Frequency.mgPartial]]) and
+    * the partials merge PAIRWISE into keyed state under the mergeable-
+    * summaries bound ([[graft.operators.Frequency.mergeMG]] — error ≤
+    * n/(k+1) under any merge tree), so at every trigger the state's ≤ k
+    * counters are a PROVEN superset of all values with frequency ≥ φ
+    * over everything drained so far.
+    *
+    * Emission (Update mode): the current candidates, each with its
+    * summary `weight` (`weight ≤ true count ≤ weight + n/(k+1)`) and the
+    * total rows `n` — so `weight·phiDen ≥ n·phiNum` is PROVABLY heavy
+    * already, and `(weight·(k+1) + n)·phiDen < n·phiNum·(k+1)` provably
+    * not; only the band between needs the EXACT decision, which one
+    * bounded recount of the candidate list over the retained corpus
+    * gives ([[graft.operators.Frequency.recount]] — the lake retains
+    * what the stream drained; StreamingSpec replays both paths to
+    * equality with the batch operator).
+    *
+    * Scale shape: NO full-distribution shuffle — each batch ships ≤
+    * k·partitions summary entries to ONE merge task whose state is ≤ k
+    * counters (model-sized, like the clustering operators), and the
+    * raw rows never leave their input partitions. The single-key merge
+    * task touches k·P entries per trigger — the same bounded relation
+    * the batch operator broadcasts. */
+  def heavyHitterCandidates(values: Dataset[String], phiNum: Long, phiDen: Long,
+                            maxCounters: Int = 100000): Dataset[HHCandidate] = {
+    import graft.operators.Frequency
+    val k = Frequency.counterBudget(phiNum, phiDen, maxCounters)
+    implicit val partialEnc = Encoders.product[HHPartial]
+    implicit val stateEnc = Encoders.product[HHState]
+    implicit val outEnc = Encoders.product[HHCandidate]
+    val partials = values.filter((v: String) => v != null).mapPartitions { it =>
+      var n = 0L
+      val counted = it.map { v => n += 1; v }
+      val pairs = Frequency.mgPartial(counted, k).toArray // drains `it` first
+      Iterator.single(HHPartial(
+        pairs.map(_._1).toSeq, pairs.map(_._2).toSeq, n))
+    }
+    partials
+      .groupByKey(_ => 0)(Encoders.scalaInt)
+      .flatMapGroupsWithState[HHState, HHCandidate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_, it: Iterator[HHPartial], state: GroupState[HHState]) =>
+          val s0 = state.getOption.getOrElse(HHState(Nil, Nil, 0L))
+          var acc = s0.values.zip(s0.weights).toMap
+          var n = s0.n
+          it.foreach { p =>
+            // pairwise merges only — the error-bound induction's shape
+            acc = Frequency.mergeMG(acc, p.values.zip(p.weights).toMap, k)
+            n += p.n
+          }
+          val pairs = acc.toSeq.sortBy { case (v, w) => (-w, v) }
+          state.update(HHState(pairs.map(_._1), pairs.map(_._2), n))
+          pairs.iterator.map { case (v, w) => HHCandidate(v, w, n) }
       }
   }
 

@@ -703,4 +703,49 @@ class StreamingSpec extends SparkSuite {
     assert(out(10L) == "gold")
     assert(out(11L) == null)
   }
+
+  test("streaming heavy hitters: merged MG candidates + exact recount ≡ the batch operator") {
+    import graft.operators.Frequency
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[String]
+    val cands = StreamOps.heavyHitterCandidates(ms.toDS(), 5, 100) // φ=5% ⇒ k=20
+    val q = cands.writeStream.outputMode("update").format("memory")
+      .queryName("hh_cands").start()
+    // the FrequencySpec corpus: 4 planted heavies + a 1200-value singleton
+    // tail (N=2000: alpha/beta/gamma pass 5%, delta at 1.5% does not),
+    // drained in 3 interleaved micro-batches
+    val heavy = Seq.fill(400)("alpha") ++ Seq.fill(250)("beta") ++
+      Seq.fill(120)("gamma") ++ Seq.fill(30)("delta")
+    val tail = (0 until 1200).map(i => s"tail-$i")
+    val rows = (heavy ++ tail).zipWithIndex
+      .sortBy { case (_, i) => (i % 7, i) }.map(_._1) // deterministic interleave
+    rows.grouped((rows.size + 2) / 3).foreach { b =>
+      ms.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val t = spark.table("hh_cands").as[(String, Long, Long)].collect()
+    val n = t.map(_._3).max
+    assert(n == rows.size.toLong, s"final trigger must have seen all rows: $n")
+    val finalRows = t.filter(_._3 == n)
+    val candidates = finalRows.map(_._1).distinct.toSeq
+    assert(candidates.size <= 20, s"state stays ≤ k counters: $candidates")
+    // weights bracket true counts: w ≤ c ≤ w + n/(k+1)
+    finalRows.foreach { case (v, w, _) =>
+      val c = rows.count(_ == v).toLong
+      assert(w <= c && c <= w + n / 21, s"$v: weight=$w true=$c")
+    }
+    val static = rows.toDF("v")
+    val exact = Frequency.heavyHitters(static, "v", 5, 100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(exact == Set(("alpha", 400L), ("beta", 250L), ("gamma", 120L)))
+    // the streamed summary nominates a SUPERSET of the true heavy hitters...
+    assert(exact.map(_._1).subsetOf(candidates.toSet),
+      s"candidates $candidates must cover $exact")
+    // ...and the exact recount of that candidate list over the retained
+    // corpus decides identically to the batch operator
+    val recounted = Frequency.recount(static, "v", candidates, 5, 100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(recounted == exact, s"$recounted vs $exact")
+  }
 }
