@@ -111,9 +111,31 @@ object Bench {
         "\"" + k + "\":[" + num(a) + "," + num(b) + "]" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":" + Json.str(v) }
       .mkString("{", ",", "}")
+    // BYTE meters for the scale-claim queries (graft.Meter's rationale:
+    // local wall time hides skipped-byte and avoided-shuffle wins — a
+    // plan regression on these shows as a byte delta even when seconds
+    // can't see it). One extra untimed run each, AFTER the timed passes
+    // so the listener never rides a timed sample.
+    val meterSet = Seq("l06_lake_pruned_read", "l13_lake_bloom_eq",
+      "l14_lake_semi_join", "l15_lake_dsv2_scan", "l16_lake_semi_join_multi",
+      "t18_heavy_hitters")
+    val meters = meterSet.flatMap { n =>
+      SparkEntry.queries.get(n).flatMap { fn =>
+        try {
+          val (_, m) = Meter.measure(spark) {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+          Some("\"" + n + "\":{\"input_bytes\":" + m.inputBytes +
+            ",\"shuffle_bytes\":" + m.shuffleBytes +
+            ",\"task_ms\":" + m.taskMs + "}")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] meter $n: $e"); None
+        }
+      }
+    }.mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"meters":$meters,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // Stdout of the harness run is tail-truncated (rounds 3 and 4 both lost
     // the JSON line to it); the file copy is the durable record.

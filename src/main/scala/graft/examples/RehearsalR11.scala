@@ -26,46 +26,15 @@ object RehearsalR11 {
     r
   }
 
-  /** Total shuffle bytes written across all tasks — the resource a real
-    * cluster pays network/disk for; local[32] shuffles at RAM speed, so
-    * BYTES, not seconds, are the honest scale evidence. */
-  final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
-    val written = new java.util.concurrent.atomic.AtomicLong(0L)
-    val read = new java.util.concurrent.atomic.AtomicLong(0L)
-    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
-    override def onTaskEnd(
-        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      val m = te.taskMetrics
-      if (m != null) {
-        written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        read.addAndGet(m.inputMetrics.bytesRead)
-        taskMs.addAndGet(m.executorRunTime)
-      }
-    }
-  }
-
+  /** Bytes, not local wall-seconds, are the honest scale evidence —
+    * see [[graft.Meter]] (the bench's shared task-metric meter, with
+    * counter-stability polling for the async listener bus). */
   def metered[A](spark: org.apache.spark.sql.SparkSession, label: String)
                 (f: => A): A = {
-    val meter = new ShuffleMeter
-    spark.sparkContext.addSparkListener(meter)
-    val r = f
-    // listener events drain asynchronously (the bus is private API) —
-    // poll until the counters are STABLE across two reads instead of
-    // trusting a fixed sleep (a loaded machine can still have events in
-    // flight after any fixed delay, silently under-counting the meters
-    // this rehearsal exists to cite)
-    var prev = (-1L, -1L, -1L)
-    var cur = (meter.read.get, meter.written.get, meter.taskMs.get)
-    var waitedMs = 0
-    while (cur != prev && waitedMs < 30000) {
-      Thread.sleep(100); waitedMs += 100
-      prev = cur
-      cur = (meter.read.get, meter.written.get, meter.taskMs.get)
-    }
-    spark.sparkContext.removeSparkListener(meter)
-    println(f"REHEARSE $label%-52s ${meter.read.get / 1e6}%8.2f MB input, " +
-      f"${meter.written.get / 1e6}%8.2f MB shuffled, " +
-      f"${meter.taskMs.get / 1e3}%7.2f task-s")
+    val (r, m) = graft.Meter.measure(spark)(f)
+    println(f"REHEARSE $label%-52s ${m.inputBytes / 1e6}%8.2f MB input, " +
+      f"${m.shuffleBytes / 1e6}%8.2f MB shuffled, " +
+      f"${m.taskMs / 1e3}%7.2f task-s")
     r
   }
 
