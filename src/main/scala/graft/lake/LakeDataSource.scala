@@ -140,7 +140,7 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
 
 final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
                      required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -151,8 +151,10 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
 
   /** The kept object keys this scan will read — the prune decision,
     * exposed so specs can pin it against [[LakeReader.prunedKeys]] /
-    * `readPruned*` kept-sets (and callers can meter skipping). */
-  def plannedKeys(): Seq[String] = {
+    * `readPruned*` kept-sets (and callers can meter skipping). Computed
+    * once: [[estimateStatistics]] (optimizer time) and
+    * [[planInputPartitions]] (execution time) share the walk. */
+  lazy val plannedKeys: Seq[String] = {
     val store = new HadoopStore(rootUri)
     val pred = LakePrune.compile(pushed, lakeSchema)
     val keys = pred.hourRange match {
@@ -171,8 +173,40 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
       LakeReader.DefaultSidecarDistributeAbove)(pred.keeps)
   }
 
+  /** POST-PRUNE statistics from the stats sidecars, so Catalyst plans
+    * joins against what the scan will actually read — "events for this
+    * hour/key" is broadcast-sized even when the table is 100 TB, and
+    * without this every lake join would SortMergeJoin on the TABLE's
+    * size (or the default-size pessimism). Exact-or-absent, the
+    * metadata-aggregate contract: any kept object without a readable
+    * sidecar (or a kept-set past the driver-walk threshold — optimizer
+    * time is no place for a Spark job) reports UNKNOWN, and Spark falls
+    * back to its conservative default, never a wrong broadcast. Row
+    * count is exact (sidecar `records`); bytes are rows × the read
+    * schema's Catalyst default row width — the same estimator shape
+    * Spark uses for sized relations. */
+  override def estimateStatistics(): Statistics = {
+    val rows: Option[Long] =
+      if (plannedKeys.isEmpty) Some(0L)
+      else if (plannedKeys.size > LakeReader.DefaultSidecarDistributeAbove) None
+      else {
+        val store = new HadoopStore(rootUri)
+        plannedKeys.foldLeft(Option(0L)) { (acc, k) =>
+          for (a <- acc; s <- ZoneMaps.read(store, k)) yield a + s.records
+        }
+      }
+    val rowWidth = required.fields.map(_.dataType.defaultSize).sum + 8L
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(r =>
+          java.util.OptionalLong.of(math.max(1L, r * rowWidth)))
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    plannedKeys().map { k =>
+    plannedKeys.map { k =>
       LakeInputPartition(k, LakeKeys.parseKey(k).get._1.toEpochMilli)
     }.toArray
 

@@ -93,7 +93,7 @@ class LakeDataSourceSpec extends SparkSuite {
     // id >= 600 AND id < 800: only the [500,750) and [750,1000) objects
     // can intersect
     val q = dsv2(root).where(col("id") >= 600L && col("id") < 800L)
-    val planned = lakeScan(q).plannedKeys()
+    val planned = lakeScan(q).plannedKeys
     val expected = LakeReader.prunedKeys(spark, root, keys,
       Seq(("id", java.math.BigDecimal.valueOf(600), java.math.BigDecimal.valueOf(800))),
       LakeReader.DefaultSidecarDistributeAbove)
@@ -108,7 +108,7 @@ class LakeDataSourceSpec extends SparkSuite {
       s.cols("id").min.exists(_.compareTo(java.math.BigDecimal.valueOf(300)) > 0))).get
     tearSidecarText(store, victim)
     val q2 = dsv2(root).where(col("id") < 100L)
-    assert(lakeScan(q2).plannedKeys().contains(victim),
+    assert(lakeScan(q2).plannedKeys.contains(victim),
       "torn sidecar must conservatively keep its object")
     assert(q2.count() == 98) // ids 0..99 minus the null id (13) and the huge id (14)
   }
@@ -126,20 +126,20 @@ class LakeDataSourceSpec extends SparkSuite {
     // tag = t2 (ids 500..749) straddles the 250-row object boundary at
     // id 500 → exactly two objects hold it
     val q = dsv2(root).where(col("tag") === "t2")
-    val planned = lakeScan(q).plannedKeys()
+    val planned = lakeScan(q).plannedKeys
     val (_, rep) = LakeReader.readPrunedEq(spark, root, "dt", "tag", "t2")
     assert(planned.size == rep.kept && rep.kept == 2, s"$planned vs $rep")
     assert(q.count() == 250)
     // IN-list: t0 lives in objects 0 AND 3 (the huge-id row carries tag
     // t0 and sorts last), t3 spans objects 2 and 3 → union is 3 objects
     val qin = dsv2(root).where(col("tag").isin("t0", "t3"))
-    val planned2 = lakeScan(qin).plannedKeys()
+    val planned2 = lakeScan(qin).plannedKeys
     val (_, rep2) = LakeReader.readPrunedEqAny(spark, root, "dt", "tag",
       Seq("t0", "t3"))
     assert(planned2.size == rep2.kept && rep2.kept == 3, s"$planned2 vs $rep2")
     // Or cannot object-prune (yet) but rows stay exact
     val qor = dsv2(root).where(col("tag") === "t1" || col("id") === 900L)
-    assert(lakeScan(qor).plannedKeys().size == 4, "Or keeps all objects")
+    assert(lakeScan(qor).plannedKeys.size == 4, "Or keeps all objects")
     assert(qor.count() == 251)
   }
 
@@ -151,20 +151,20 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(all.count() == 2000)
     val hour1 = Instant.parse("2024-06-11T09:00:00Z")
     val q = all.where(col("_event_hour") === lit(java.sql.Timestamp.from(hour1)))
-    val planned = lakeScan(q).plannedKeys()
+    val planned = lakeScan(q).plannedKeys
     assert(planned.nonEmpty && planned.forall(_.startsWith("2024/06/11/09/")),
       s"hour filter must restrict the LISTING: $planned")
     assert(q.count() == 1000)
     // range form
     val qr = all.where(col("_event_hour") >=
       lit(java.sql.Timestamp.from(Instant.parse("2024-06-11T00:00:00Z"))))
-    assert(lakeScan(qr).plannedKeys().forall(_.startsWith("2024/06/11/")))
+    assert(lakeScan(qr).plannedKeys.forall(_.startsWith("2024/06/11/")))
     assert(qr.count() == 1000)
     // an hour window holding nothing → zero partitions, zero rows, no error
     val qe = all.where(
       col("_event_hour") >= lit(java.sql.Timestamp.from(Instant.parse("2030-01-01T00:00:00Z"))) &&
       col("_event_hour") <= lit(java.sql.Timestamp.from(Instant.parse("2030-01-02T00:00:00Z"))))
-    assert(lakeScan(qe).plannedKeys().isEmpty && qe.count() == 0)
+    assert(lakeScan(qe).plannedKeys.isEmpty && qe.count() == 0)
   }
 
   test("column pruning reaches the reader; count(*) over an empty required schema works") {
@@ -180,6 +180,50 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(qh.distinct().count() == 1)
     // count(*) prunes every column away
     assert(dsv2(root).count() == 1000)
+  }
+
+  test("post-prune statistics reach Catalyst: a pruned lake scan broadcasts by SIZE; unknown stays conservative") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import spark.implicits._
+    def lakeBuildSideJoins(plan: org.apache.spark.sql.execution.SparkPlan) =
+      plan.collect { case b: BroadcastHashJoinExec => b }.filter { b =>
+        val build = b.buildSide match {
+          case BuildLeft => b.left
+          case BuildRight => b.right
+        }
+        build.collectFirst { case s: BatchScanExec => s }.isDefined
+      }
+    val root = freshRoot()
+    fixture(root)
+    // exact post-prune rows from the sidecars, visible on the scan itself
+    val q = dsv2(root).where(col("id") >= 600L && col("id") < 700L)
+    val stats = lakeScan(q).estimateStatistics()
+    assert(stats.numRows().getAsLong == 250L, // one kept 250-row object
+      s"sidecar-exact row count: ${stats.numRows()}")
+    assert(stats.sizeInBytes().isPresent && stats.sizeInBytes().getAsLong > 0)
+    // a big (plan-known > threshold) probe side vs the tiny pruned scan:
+    // STATIC planning must already broadcast the LAKE side — that is the
+    // stats doing their job, not AQE's runtime rescue
+    val big = spark.range(5000000L).select(col("id").as("jid"))
+    val joined = big.join(q, col("jid") === col("id"))
+    val static1 = joined.queryExecution.sparkPlan // pre-AQE physical plan
+    assert(lakeBuildSideJoins(static1).nonEmpty,
+      s"STATIC planning must broadcast the pruned lake side by size:\n$static1")
+    assert(joined.count() == 100)
+    // torn sidecar on a KEPT object → exact-or-absent stats go UNKNOWN →
+    // Spark's conservative default (no wrong static broadcast)
+    val store = new HadoopStore(root)
+    val kept = lakeScan(q).plannedKeys
+    tearSidecarText(store, kept.head)
+    val q2 = dsv2(root).where(col("id") >= 600L && col("id") < 700L)
+    assert(!lakeScan(q2).estimateStatistics().numRows().isPresent,
+      "a torn sidecar must collapse the estimate to unknown, never guess")
+    val joined2 = big.join(q2, col("jid") === col("id"))
+    val static2 = joined2.queryExecution.sparkPlan
+    assert(lakeBuildSideJoins(static2).isEmpty,
+      s"unknown size must not statically broadcast the scan:\n$static2")
+    assert(joined2.count() == 100) // rows stay exact either way
   }
 
   test("missing table and missing options fail loudly; drifted header fails the scan") {
