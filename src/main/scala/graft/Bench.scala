@@ -115,7 +115,13 @@ object Bench {
     // local wall time hides skipped-byte and avoided-shuffle wins — a
     // plan regression on these shows as a byte delta even when seconds
     // can't see it). One extra untimed run each, AFTER the timed passes
-    // so the listener never rides a timed sample.
+    // so the listener never rides a timed sample. Honesty note: the
+    // meters cover the WHOLE QueryDef — for the lake queries that
+    // includes the in-query fixture write — so they detect deltas
+    // (fixture cost is constant run-to-run) rather than isolate the
+    // scan; the isolated pruned-scan byte evidence lives in the
+    // rehearsal drivers (RehearsalR11.metered), which measure the scan
+    // alone on a prebuilt lake.
     val meterSet = Seq("l06_lake_pruned_read", "l13_lake_bloom_eq",
       "l14_lake_semi_join", "l15_lake_dsv2_scan", "l16_lake_semi_join_multi",
       "t18_heavy_hitters")

@@ -62,15 +62,30 @@ final class LakeDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = false
 
+  // Spark calls inferSchema then getTable on the SAME provider instance
+  // per load; cache the one peek so each connector read does ONE
+  // metadata walk, not two (the StructType getTable receives cannot
+  // substitute — it erases CUuid to plain STRING, which the reader's
+  // header validation must distinguish)
+  @volatile private var resolved: Option[(String, String, TableSchema)] = None
+  private def schemaOf(root: String, table: String): TableSchema =
+    resolved match {
+      case Some((r, t, s)) if r == root && t == table => s
+      case _ =>
+        val s = LakeDataSource.peek(root, table)
+        resolved = Some((root, table, s))
+        s
+    }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (root, table) = LakeDataSource.resolve(options)
-    LakeDataSource.outputStruct(LakeDataSource.peek(root, table))
+    LakeDataSource.outputStruct(schemaOf(root, table))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val (root, table) = LakeDataSource.resolve(new CaseInsensitiveStringMap(properties))
-    new LakeTable(root, table)
+    new LakeTable(root, table, Some(schemaOf(root, table)))
   }
 }
 
@@ -105,9 +120,11 @@ object LakeDataSource {
   }
 }
 
-final class LakeTable(rootUri: String, tableName: String)
+final class LakeTable(rootUri: String, tableName: String,
+                      preResolved: Option[TableSchema] = None)
     extends Table with SupportsRead {
-  private lazy val lakeSchema: TableSchema = LakeDataSource.peek(rootUri, tableName)
+  private lazy val lakeSchema: TableSchema =
+    preResolved.getOrElse(LakeDataSource.peek(rootUri, tableName))
 
   override def name(): String = s"graft-lake:$tableName"
   override def schema(): StructType = LakeDataSource.outputStruct(lakeSchema)
@@ -149,12 +166,15 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.simpleString}"
 
-  /** The kept object keys this scan will read — the prune decision,
-    * exposed so specs can pin it against [[LakeReader.prunedKeys]] /
-    * `readPruned*` kept-sets (and callers can meter skipping). Computed
-    * once: [[estimateStatistics]] (optimizer time) and
-    * [[planInputPartitions]] (execution time) share the walk. */
-  lazy val plannedKeys: Seq[String] = {
+  /** Kept keys plus the kept objects' exact row sum, from ONE walk and
+    * ONE stats-sidecar read per object: [[estimateStatistics]]
+    * (optimizer time) and [[planInputPartitions]] (execution time) both
+    * consume this. Rows are exact-or-absent (the metadata-aggregate
+    * contract): None when any kept object lacks a readable sidecar, or
+    * when the candidate set is past the driver-walk threshold — the
+    * executor fan-out decides keeps there, and optimizer time is no
+    * place for a second metadata job. */
+  private lazy val planned: (Seq[String], Option[Long]) = {
     val store = new HadoopStore(rootUri)
     val pred = LakePrune.compile(pushed, lakeSchema)
     val keys = pred.hourRange match {
@@ -167,34 +187,41 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
       if (LakeReader.firstTableKey(store, table).isEmpty)
         throw new IllegalArgumentException(
           s"no lake objects for table $table under $rootUri")
-      Seq.empty
-    } else if (pred.trivial) keys
-    else LakeReader.walkKeys(SparkSession.active, rootUri, keys,
-      LakeReader.DefaultSidecarDistributeAbove)(pred.keeps)
+      (Seq.empty, Some(0L))
+    } else if (keys.length <= LakeReader.DefaultSidecarDistributeAbove) {
+      var rows: Option[Long] = Some(0L)
+      val kept = keys.filter { k =>
+        val (keep, rec) = pred.keepsAndRecords(store, k)
+        if (keep) rows = for (a <- rows; r <- rec) yield a + r
+        keep
+      }
+      (kept, rows)
+    } else {
+      val kept =
+        if (pred.trivial) keys
+        else LakeReader.walkKeys(SparkSession.active, rootUri, keys,
+          LakeReader.DefaultSidecarDistributeAbove)(pred.keeps)
+      (kept, None)
+    }
   }
+
+  /** The kept object keys this scan will read — the prune decision,
+    * exposed so specs can pin it against [[LakeReader.prunedKeys]] /
+    * `readPruned*` kept-sets (and callers can meter skipping). */
+  def plannedKeys: Seq[String] = planned._1
 
   /** POST-PRUNE statistics from the stats sidecars, so Catalyst plans
     * joins against what the scan will actually read — "events for this
     * hour/key" is broadcast-sized even when the table is 100 TB, and
     * without this every lake join would SortMergeJoin on the TABLE's
-    * size (or the default-size pessimism). Exact-or-absent, the
-    * metadata-aggregate contract: any kept object without a readable
-    * sidecar (or a kept-set past the driver-walk threshold — optimizer
-    * time is no place for a Spark job) reports UNKNOWN, and Spark falls
-    * back to its conservative default, never a wrong broadcast. Row
-    * count is exact (sidecar `records`); bytes are rows × the read
-    * schema's Catalyst default row width — the same estimator shape
-    * Spark uses for sized relations. */
+    * size (or the default-size pessimism). Exact-or-absent (see
+    * [[planned]]) — Spark falls back to its conservative default on
+    * unknown, never a wrong broadcast. Row count is exact (sidecar
+    * `records`); bytes are rows × the read schema's Catalyst default
+    * row width — the same estimator shape Spark uses for sized
+    * relations. */
   override def estimateStatistics(): Statistics = {
-    val rows: Option[Long] =
-      if (plannedKeys.isEmpty) Some(0L)
-      else if (plannedKeys.size > LakeReader.DefaultSidecarDistributeAbove) None
-      else {
-        val store = new HadoopStore(rootUri)
-        plannedKeys.foldLeft(Option(0L)) { (acc, k) =>
-          for (a <- acc; s <- ZoneMaps.read(store, k)) yield a + s.records
-        }
-      }
+    val rows = planned._2
     val rowWidth = required.fields.map(_.dataType.defaultSize).sum + 8L
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -237,20 +264,32 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
 
   private val rd: BufferedReader = {
     val store = new HadoopStore(rootUri)
-    val raw = store.open(part.key)
-    val in = if (part.key.endsWith(".gz")) new GZIPInputStream(raw) else raw
-    new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+    // a maintenance race (compact republished these rows / retention
+    // retired them) may delete a PLANNED object before its task opens
+    // it: skip the object — the readFrom ignoreMissingFiles contract —
+    // never fail the query over the lake's own maintenance protocol.
+    // Only MISSING is tolerated; a present-but-drifted object still
+    // fails loudly below.
+    val raw = try Some(store.open(part.key)) catch {
+      case _: java.io.FileNotFoundException => None
+    }
+    raw.map { r =>
+      val in = if (part.key.endsWith(".gz")) new GZIPInputStream(r) else r
+      new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+    }.orNull
   }
 
   // headers: two plain lines (never multiline), validated against the
   // declared schema so drifted objects fail the scan loudly
   locally {
-    val types = TypedCsv.parseTypesHeader(rd.readLine())
-    val names = TypedCsv.splitLine(rd.readLine())
-    require(names == lakeSchema.columnNames && types == lakeSchema.colTypes,
-      s"schema drift in ${part.key}: header ($names : $types) does not match " +
-        s"declared ${lakeSchema.columnNames} : ${lakeSchema.colTypes} — " +
-        "use LakeReader.readReconciled for drifted tables")
+    if (rd != null) {
+      val types = TypedCsv.parseTypesHeader(rd.readLine())
+      val names = TypedCsv.splitLine(rd.readLine())
+      require(names == lakeSchema.columnNames && types == lakeSchema.colTypes,
+        s"schema drift in ${part.key}: header ($names : $types) does not match " +
+          s"declared ${lakeSchema.columnNames} : ${lakeSchema.colTypes} — " +
+          "use LakeReader.readReconciled for drifted tables")
+    }
   }
 
   // one converter per REQUIRED field: wire index + parse, or the
@@ -271,6 +310,7 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    if (rd == null) return false // planned object retired by maintenance
     val rec = LakeObjectReader.readRecord(rd)
     if (rec == null) false
     else {
@@ -283,7 +323,7 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = rd.close()
+  override def close(): Unit = if (rd != null) rd.close()
 }
 
 object LakeObjectReader {
@@ -401,9 +441,8 @@ private[lake] object LakePrune {
 
     def trivial: Boolean = eqProbes.isEmpty && bands.isEmpty
 
-    def keeps(st: Store, key: String): Boolean = {
-      lazy val blooms = BloomMaps.read(st, key)
-      lazy val stats = ZoneMaps.read(st, key)
+    private def decide(blooms: => Option[BloomMaps.ObjectBlooms],
+                       stats: => Option[ZoneMaps.ObjectStats]): Boolean =
       eqProbes.forall { case (c, vals) =>
         vals.exists { case (hashes, band) =>
           hashes.exists(h => BloomMaps.mightContainHashed(blooms, c, h)) &&
@@ -412,6 +451,23 @@ private[lake] object LakePrune {
       } && bands.forall { case (c, lo, hi) =>
         ZoneMaps.mayContainRange(stats, c, lo, hi)
       }
+
+    /** The executor-walk shape: sidecars read LAZILY (an eq-only probe
+      * that misses on the bloom never opens the stats sidecar). */
+    def keeps(st: Store, key: String): Boolean = {
+      lazy val blooms = BloomMaps.read(st, key)
+      lazy val stats = ZoneMaps.read(st, key)
+      decide(blooms, stats)
+    }
+
+    /** The driver-walk shape: the caller wants the kept object's row
+      * count too, so the stats sidecar is read EAGERLY — once, serving
+      * both the band decision and the statistics estimate (never a
+      * second read of the same sidecar at optimizer time). */
+    def keepsAndRecords(st: Store, key: String): (Boolean, Option[Long]) = {
+      lazy val blooms = BloomMaps.read(st, key)
+      val stats = ZoneMaps.read(st, key)
+      (decide(blooms, stats), stats.map(_.records))
     }
   }
 

@@ -154,8 +154,12 @@ object LakeMaintenance {
     *     the same listing — they share the `_zmaps/` prefix dir), and
     *  3. sweeps ORPHAN sidecars (a sidecar whose data object is gone —
     *     retention/compaction signaled a failed sidecar delete, or an
-    *     operator removed data by hand). Unknown sidecar kinds are left
-    *     alone (conservative: this job reconciles what it understands).
+    *     operator removed data by hand). The sweep scope unions the live
+    *     data prefixes with the `_zmaps/` MIRROR's own hour walk, so an
+    *     hour whose data objects are ALL gone — exactly the failed
+    *     retention-delete case — is still swept. Unknown sidecar kinds
+    *     are left alone (conservative: this job reconciles what it
+    *     understands), and only deletes that SUCCEED are counted.
     *
     * Same incremental semantics as `onlyMissing` builds: never re-reads
     * an indexed object, so it never HEALS a present-but-torn sidecar —
@@ -170,10 +174,26 @@ object LakeMaintenance {
                     bloomHashes: Int = BloomMaps.DefaultHashes): EnsureReport = {
     if (bloomColumns.nonEmpty) BloomMaps.validateShape(bloomBits, bloomHashes)
     val keys = LakeReader.listTableKeys(store, table, hourRange)
-    if (keys.isEmpty) return EnsureReport(0, 0, 0)
-    val prefixes = keys.map { k =>
+    val dataPrefixes = keys.map { k =>
       val i = k.lastIndexOf('/'); if (i < 0) "" else k.substring(0, i)
     }.distinct
+    // the sweep scope must include hours whose data objects are ALL gone
+    // — the 'retention signaled a failed sidecar delete' case — which no
+    // live data key names: walk the `_zmaps/` MIRROR's own hour dirs
+    // (same pruned level walk as the data side) and union. Hour-range
+    // scoping via the zero-padded prefix compare.
+    val mirrorHours = {
+      val all = LakeReader.walkHourPrefixes(store, base = ZoneMaps.Prefix)
+      hourRange match {
+        case Some((from, to)) =>
+          import java.time.temporal.ChronoUnit
+          val lo = LakeKeys.datePrefix(from.truncatedTo(ChronoUnit.HOURS))
+          val hi = LakeKeys.datePrefix(to.truncatedTo(ChronoUnit.HOURS))
+          all.filter(h => h >= lo && h <= hi)
+        case None => all
+      }
+    }
+    val prefixes = (dataPrefixes ++ mirrorHours.map(h => s"$h/$table")).distinct
     // ONE listing per prefix serves BOTH sidecar kinds and the orphan
     // sweep — .zmap and .bloom files share the _zmaps/<prefix> directory
     val sidecars = prefixes.flatMap(pfx => store.list(ZoneMaps.Prefix + pfx))
@@ -186,11 +206,15 @@ object LakeMaintenance {
     val orphans = sidecars.filter { sk =>
       dataKeyOfSidecar(sk).exists(dk => !keySet.contains(dk))
     }
-    orphans.foreach { sk =>
-      try store.delete(sk) catch {
-        case e: Throwable => System.err.println(
-          s"[graft.LakeMaintenance.ensureIndexes] orphan sidecar $sk " +
-            s"survives (delete failed: $e)")
+    // count only deletes that SUCCEEDED — a report claiming deletions
+    // that failed would read as a clean lake while the orphan persists
+    val swept = orphans.count { sk =>
+      try { store.delete(sk); true } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[graft.LakeMaintenance.ensureIndexes] orphan sidecar $sk " +
+              s"survives (delete failed: $e)")
+          false
       }
     }
     EnsureReport(
@@ -198,7 +222,7 @@ object LakeMaintenance {
       if (bloomColumns.isEmpty) 0
       else BloomMaps.buildForKeys(spark, store.rootUri, table, bloomColumns,
         missingBlooms, bloomBits, bloomHashes),
-      orphans.size)
+      swept)
   }
 
   /** The data key a sidecar key indexes; None for unknown sidecar kinds

@@ -137,14 +137,18 @@ object LakeReader {
     * Zero-padded segments make the per-level bound a plain string
     * compare. */
   private[lake] def walkHourPrefixes(store: Store,
-                                     before: Option[String] = None): Seq[String] = {
+                                     before: Option[String] = None,
+                                     base: String = ""): Seq[String] = {
+    // `base` ("" or a '/'-terminated root like `_zmaps/`) roots the walk
+    // under a mirror tree — yielded prefixes stay base-RELATIVE, so the
+    // sidecar mirror walks identically to the data walk
     def numeric(s: String, w: Int) = s.length == w && s.forall(_.isDigit)
     def inBound(prefix: String, width: Int) = before.forall(b => prefix <= b.take(width))
     for {
-      y <- store.listDirs("") if numeric(y, 4) && inBound(y, 4)
-      m <- store.listDirs(y) if numeric(m, 2) && inBound(s"$y/$m", 7)
-      d <- store.listDirs(s"$y/$m") if numeric(d, 2) && inBound(s"$y/$m/$d", 10)
-      h <- store.listDirs(s"$y/$m/$d")
+      y <- store.listDirs(base) if numeric(y, 4) && inBound(y, 4)
+      m <- store.listDirs(s"$base$y") if numeric(m, 2) && inBound(s"$y/$m", 7)
+      d <- store.listDirs(s"$base$y/$m") if numeric(d, 2) && inBound(s"$y/$m/$d", 10)
+      h <- store.listDirs(s"$base$y/$m/$d")
       if numeric(h, 2) && before.forall(b => s"$y/$m/$d/$h" < b)
     } yield s"$y/$m/$d/$h"
   }

@@ -19,53 +19,6 @@ import org.apache.spark.sql.types.{StructField, StructType}
 // rides the task closure
 object Frequency extends Serializable {
 
-  /** All values of `column` whose exact frequency is ≥ φ·N (φ given as
-    * the rational `phiNum/phiDen` — integer algebra end to end, no float
-    * threshold), with their exact counts. NULLs are excluded from both
-    * the candidates and N.
-    *
-    * Two passes over the data, ONE Spark action, no full-distribution
-    * shuffle:
-    *
-    * 1. CANDIDATES — each partition runs Misra–Gries with
-    *    k = ⌈phiDen/phiNum⌉ counters. MG keeps every value whose local
-    *    count exceeds nᵢ/(k+1); if a value has global count ≥ φ·N, some
-    *    partition must hold more than nᵢ/(k+1) of it (else summing the
-    *    per-partition bounds gives count < N/(k+1) < φ·N, since
-    *    k+1 > 1/φ by construction) — so the UNION of per-partition
-    *    summaries is a proven superset of the global heavy hitters.
-    *    At most k values survive per partition, so the candidate
-    *    relation is bounded at k × partitions rows — broadcastable by
-    *    construction, not by hope.
-    * 2. EXACT RECOUNT — the data is scanned once more with the
-    *    candidates broadcast; rows tag as their value (candidate) or
-    *    NULL (tail), and ONE aggregate yields every candidate's exact
-    *    count plus the tail bucket — which also supplies exact N, so no
-    *    separate `count()` job runs. The φ test is the integer
-    *    cross-multiplication `cnt · phiDen ≥ N · phiNum`
-    *    (⟺ cnt ≥ ⌈φ·N⌉ for integer cnt).
-    *
-    * The N-row is a 1-row sum over the AGGREGATED relation (≤ k·P + 1
-    * rows, bounded by the same argument as the broadcast) cross-joined
-    * back — never a pass over the data, and the shared aggregate
-    * subtree is one reused exchange. Overflow headroom: N·phiNum stays
-    * within Long up to N ≈ 9·10¹⁸/phiDen.
-    *
-    * Output: (`column`, `cnt` long), one row per heavy hitter.
-    * Deterministic for any partitioning — candidates are a superset
-    * under EVERY split of the data, and the recount is exact.
-    *
-    * Identity is the column's SQL equality (the recount join's), and the
-    * candidate pass mirrors it exactly: Spark groups and joins NaN = NaN
-    * and normalizes -0.0 to 0.0, so the FLOAT paths normalize -0.0
-    * before counting (JVM boxing already canonicalizes NaN bit patterns
-    * under equals/hashCode) — a heavy group split across the two zero
-    * boxes can never fall under the per-partition survivor threshold.
-    * BinaryType columns are REJECTED loudly: Array[Byte] has
-    * reference-only JVM equality, so the candidate pass would count
-    * every row as its own value and a true heavy hitter could be
-    * silently missed — cast to hex()/base64() upstream.
-    */
   /** ⌈1/φ⌉ counters (so k+1 > 1/φ — the superset premise), ARMED at
     * `maxCounters` (the Guards contract): a tiny φ must raise with the
     * remedy, never silently un-bound the candidate set. Shared by the
@@ -159,10 +112,16 @@ object Frequency extends Serializable {
     val field = df.schema(column)
     checkWorkingNames(df, column)
     val vals = df.select(col(column)).where(col(column).isNotNull)
-    val candRows = candidates.filter(_ != null).distinct
+    val candRows = candidates.filter(_ != null)
+    // dedupe under SQL equality (DataFrame distinct), NOT Seq.distinct's
+    // JVM equality: -0.0 and 0.0 (or scale-differing decimals) are one
+    // SQL group but distinct JVM boxes — a duplicated candidate row
+    // would multiply every matching row through the recount join,
+    // silently inflating counts and N
     val cand = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(candRows.map(Row(_)): _*),
       StructType(Seq(StructField("__hh_cand", field.dataType))))
+      .distinct()
     exactDecide(vals, cand, column, phiNum, phiDen)
   }
 
@@ -176,6 +135,53 @@ object Frequency extends Serializable {
         s"column name $reserved is reserved by Frequency.heavyHitters")
   }
 
+  /** All values of `column` whose exact frequency is ≥ φ·N (φ given as
+    * the rational `phiNum/phiDen` — integer algebra end to end, no float
+    * threshold), with their exact counts. NULLs are excluded from both
+    * the candidates and N.
+    *
+    * Two passes over the data, ONE Spark action, no full-distribution
+    * shuffle:
+    *
+    * 1. CANDIDATES — each partition runs Misra–Gries with
+    *    k = ⌈phiDen/phiNum⌉ counters. MG keeps every value whose local
+    *    count exceeds nᵢ/(k+1); if a value has global count ≥ φ·N, some
+    *    partition must hold more than nᵢ/(k+1) of it (else summing the
+    *    per-partition bounds gives count < N/(k+1) < φ·N, since
+    *    k+1 > 1/φ by construction) — so the UNION of per-partition
+    *    summaries is a proven superset of the global heavy hitters.
+    *    At most k values survive per partition, so the candidate
+    *    relation is bounded at k × partitions rows — broadcastable by
+    *    construction, not by hope.
+    * 2. EXACT RECOUNT — the data is scanned once more with the
+    *    candidates broadcast; rows tag as their value (candidate) or
+    *    NULL (tail), and ONE aggregate yields every candidate's exact
+    *    count plus the tail bucket — which also supplies exact N, so no
+    *    separate `count()` job runs. The φ test is the integer
+    *    cross-multiplication `cnt · phiDen ≥ N · phiNum`
+    *    (⟺ cnt ≥ ⌈φ·N⌉ for integer cnt).
+    *
+    * The N-row is a 1-row sum over the AGGREGATED relation (≤ k·P + 1
+    * rows, bounded by the same argument as the broadcast) cross-joined
+    * back — never a pass over the data, and the shared aggregate
+    * subtree is one reused exchange. Overflow headroom: N·phiNum stays
+    * within Long up to N ≈ 9·10¹⁸/phiDen.
+    *
+    * Output: (`column`, `cnt` long), one row per heavy hitter.
+    * Deterministic for any partitioning — candidates are a superset
+    * under EVERY split of the data, and the recount is exact.
+    *
+    * Identity is the column's SQL equality (the recount join's), and the
+    * candidate pass mirrors it exactly: Spark groups and joins NaN = NaN
+    * and normalizes -0.0 to 0.0, so the FLOAT paths normalize -0.0
+    * before counting (JVM boxing already canonicalizes NaN bit patterns
+    * under equals/hashCode) — a heavy group split across the two zero
+    * boxes can never fall under the per-partition survivor threshold.
+    * BinaryType columns are REJECTED loudly: Array[Byte] has
+    * reference-only JVM equality, so the candidate pass would count
+    * every row as its own value and a true heavy hitter could be
+    * silently missed — cast to hex()/base64() upstream.
+    */
   def heavyHitters(df: DataFrame, column: String,
                    phiNum: Long, phiDen: Long,
                    maxCounters: Int = 100000): DataFrame = {

@@ -104,4 +104,23 @@ class EnsureIndexesSpec extends SparkSuite {
         bloomHashes = 99)
     }
   }
+
+  test("ensureIndexes sweeps orphans in hours whose data objects are ALL gone") {
+    val (root, keys) = freshLake()
+    val inner = new HadoopStore(root)
+    // simulate a retention pass whose SIDECAR deletes all failed: every
+    // data object of the hour is gone, sidecars remain — no live data
+    // key names this hour, so a data-prefix-only sweep would never list
+    // it; the _zmaps mirror walk must
+    keys.foreach(inner.delete)
+    assert(LakeReader.listTableKeys(inner, "bt", None).isEmpty)
+    val sidecarsBefore = inner.list(ZoneMaps.Prefix)
+      .count(k => k.endsWith(".zmap") || k.endsWith(".bloom"))
+    assert(sidecarsBefore == keys.size * 2)
+    val rep = LakeMaintenance.ensureIndexes(spark, inner, "bt", Seq("tag"))
+    assert(rep == LakeMaintenance.EnsureReport(0, 0, keys.size * 2),
+      s"all orphaned sidecars of the dead hour must sweep: $rep")
+    assert(inner.list(ZoneMaps.Prefix)
+      .count(k => k.endsWith(".zmap") || k.endsWith(".bloom")) == 0)
+  }
 }

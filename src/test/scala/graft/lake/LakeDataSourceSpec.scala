@@ -226,6 +226,21 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(joined2.count() == 100) // rows stay exact either way
   }
 
+  test("a planned object retired by maintenance mid-scan is skipped, never a query failure") {
+    val root = freshRoot()
+    fixture(root)
+    val store = new HadoopStore(root)
+    val q = dsv2(root)
+    val scan = lakeScan(q)
+    val keys = scan.plannedKeys // force + cache the scan's key snapshot
+    assert(keys.size == 4)
+    // compaction/retention deletes a planned object before the task opens
+    // it — the readFrom ignoreMissingFiles contract: skip, don't fail
+    store.delete(keys.head)
+    val rows = q.queryExecution.executedPlan.executeCollect()
+    assert(rows.length == 750, s"remaining objects' rows, no crash: ${rows.length}")
+  }
+
   test("missing table and missing options fail loudly; drifted header fails the scan") {
     val root = freshRoot()
     fixture(root)

@@ -138,6 +138,28 @@ class FrequencySpec extends SparkSuite {
     assert(e.getMessage.contains("BinaryType"))
   }
 
+  test("recount: candidate lists dedupe under SQL equality, decide like the batch operator") {
+    import spark.implicits._
+    val df = corpus(tailSize = 1200)
+    val expected = naive(df, "v", 5, 100)
+    // a superset candidate list (with JVM-duplicate strings) decides
+    // exactly; absent candidates contribute nothing
+    val got = Frequency.recount(df, "v",
+      Seq("alpha", "beta", "gamma", "delta", "alpha", "nope"), 5, 100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected, s"$got vs $expected")
+    // -0.0 and 0.0 are ONE SQL group: a candidate list carrying both
+    // boxes must not double-join the zero rows (Seq.distinct would keep
+    // both; the DataFrame distinct is the correct identity)
+    val zeros = (Seq.fill(10)(0.0d) ++ Seq(1.5, 2.5, 3.5, 4.5)).toDF("v")
+    val zgot = Frequency.recount(zeros, "v", Seq(0.0d, -0.0d), 1, 2)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+    assert(zgot == Set((0.0d, 10L)),
+      s"duplicated zero boxes must not inflate the count: $zgot")
+    // null candidates are dropped, not joined
+    assert(Frequency.recount(zeros, "v", Seq(null, 0.0d), 1, 2).count() == 1)
+  }
+
   test("φ = 1 keeps only a value that IS the whole column; bad args raise") {
     import spark.implicits._
     val uni = Seq.fill(9)("only").toDF("v")
