@@ -420,12 +420,17 @@ private[lake] object LakePrune {
     f match {
       case And(l, r) => prunable(l, schema) || prunable(r, schema)
       case EqualTo(c, v) => (cols.contains(c) && v != null && v != "") || hour(c)
+      case EqualNullSafe(c, v) => cols.contains(c) && v != null && v != ""
       case In(c, vs) => cols.contains(c) && vs != null &&
         vs.exists(v => v != null && v != "")
       case GreaterThan(c, _) => tracked(c) || hour(c)
       case GreaterThanOrEqual(c, _) => tracked(c) || hour(c)
       case LessThan(c, _) => tracked(c) || hour(c)
       case LessThanOrEqual(c, _) => tracked(c) || hour(c)
+      // Spark injects IsNotNull under every equality/range filter, and
+      // the stats sidecar carries EXACT null counts — an all-null
+      // object provably has no matching row and skips
+      case IsNotNull(c) => cols.contains(c)
       case _ => false
     }
   }
@@ -519,9 +524,19 @@ private[lake] object LakePrune {
         instant(v).foreach(tightenTo)
       case EqualTo(c, v) if cols.contains(c) && v != null && v != "" =>
         eqPlan(c, Seq(v))
+      // <=> with a non-null literal decides like = for pruning (an
+      // object can only match via an equal non-null row)
+      case EqualNullSafe(c, v) if cols.contains(c) && v != null && v != "" =>
+        eqPlan(c, Seq(v))
       case In(c, vs) if cols.contains(c) && vs != null =>
         // nulls never equal anything; "" never round-trips to a lake row
         eqPlan(c, vs.toSeq.filter(v => v != null && v != ""))
+      case IsNotNull(c) if cols.contains(c) =>
+        // the UNBOUNDED band: mayContainRange(None, None) keeps any
+        // object with non-null values and SKIPS the all-null ones
+        // (bounds absent + nulls == records) — exact from the sidecar's
+        // null counts, conservative everywhere else
+        bands += ((c, None, None))
       case GreaterThan(c, v) if cols.contains(c) =>
         bound(c, v).foreach(b => bands += ((c, Some(b), None)))
       case GreaterThanOrEqual(c, v) if cols.contains(c) =>

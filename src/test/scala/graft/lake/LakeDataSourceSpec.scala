@@ -226,6 +226,31 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(joined2.count() == 100) // rows stay exact either way
   }
 
+  test("IsNotNull pushdown: all-null objects skip from the sidecar's exact null counts") {
+    import spark.implicits._
+    val root = freshRoot()
+    val sch = TableSchema("nt", Seq("id" -> ColType.CInteger, "ts" -> ColType.CTime))
+    // 3 id-ordered objects of 250; the MIDDLE object's ts is entirely null
+    val df = (0 until 750).map { i =>
+      val ts = if (i >= 250 && i < 500) null
+        else java.sql.Timestamp.from(Instant.parse("2024-06-01T00:00:00Z").plusSeconds(i))
+      (i.toLong, ts)
+    }.toDF("id", "ts").orderBy("id").coalesce(1)
+    LakeWriter.write(df, sch, root, Instant.parse("2024-06-12T07:00:00Z"),
+      maxRecordsPerObject = 250L, zoneMaps = true)
+    val q = spark.read.format("graft-lake").option("table", "nt").load(root)
+      .where(col("ts").isNotNull)
+    val planned = lakeScan(q).plannedKeys
+    assert(planned.size == 2,
+      s"the all-null-ts object must skip on its null count: $planned")
+    assert(q.count() == 500)
+    // the same skip rides the IsNotNull Spark injects under range filters
+    val q2 = spark.read.format("graft-lake").option("table", "nt").load(root)
+      .where(col("ts") >= lit(java.sql.Timestamp.from(Instant.parse("2024-06-01T00:00:00Z"))))
+    assert(lakeScan(q2).plannedKeys.size == 2)
+    assert(q2.count() == 500)
+  }
+
   test("a planned object retired by maintenance mid-scan is skipped, never a query failure") {
     val root = freshRoot()
     fixture(root)
