@@ -12,9 +12,10 @@ import java.util.zip.GZIPInputStream
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,9 +54,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The row codec is the lake's own ([[TypedCsv]] wire rules: RFC-4180
   * with doubled quotes and quoted newlines, `#`-prefixed types header,
-  * empty field = NULL, ISO-8601 millis timestamps); LakeSpec pins the
-  * connector row-identical to [[LakeReader.read]] — which itself is
-  * oracle-gated — so the two read paths cannot drift. */
+  * empty field = NULL, ISO-8601 millis timestamps); LakeDataSourceSpec
+  * pins the connector row-identical to [[LakeReader.read]] — which
+  * itself is oracle-gated — so the two read paths cannot drift.
+  *
+  * The WRITE half: `df.write.format("graft-lake").option("table", t)
+  * .mode("append").save(root)` appends to an existing table through the
+  * staged-publish commit protocol ([[LakeWrite]]) with optional
+  * zone-map/bloom sidecars tracked as rows stream — the same
+  * [[LakeWriter.RollingObjectWriter]] core as every other write path.
+  * Append-only by construction: Overwrite is refused (no truncate
+  * capability), and `_event_hour` is derived — carried for Spark's
+  * by-name resolution but its values are ignored (the landed hour is
+  * `flushTime`'s). */
 final class LakeDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
@@ -122,16 +133,171 @@ object LakeDataSource {
 
 final class LakeTable(rootUri: String, tableName: String,
                       preResolved: Option[TableSchema] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   private lazy val lakeSchema: TableSchema =
     preResolved.getOrElse(LakeDataSource.peek(rootUri, tableName))
 
   override def name(): String = s"graft-lake:$tableName"
   override def schema(): StructType = LakeDataSource.outputStruct(lakeSchema)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(rootUri, tableName, lakeSchema)
+
+  /** APPEND to an existing lake table (`.mode("append")` — the lake is
+    * append-only, so Overwrite/ErrorIfExists are refused by the absent
+    * truncate capability; creating a fresh table is [[LakeWriter.write]]
+    * or the Collector's job). Columns resolve BY NAME against the
+    * declared schema — the declared schema stays authoritative, the
+    * incoming frame may order columns however it likes.
+    *
+    * `_event_hour`: Spark's by-name write resolution requires data for
+    * EVERY table column, including the derived one — the input must
+    * carry it, and its VALUES are IGNORED (the landed hour is
+    * `flushTime`'s, stamped into the object keys, exactly like every
+    * other write path). A lake→lake pipeline (connector read →
+    * transform → append) carries it naturally; a fresh frame adds any
+    * non-null timestamp literal, or uses [[LakeWriter.write]]. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val ls = lakeSchema // loud when the table has no objects yet
+    val in = info.schema()
+    val dataNames = in.fieldNames.filterNot(_ == LakeDataSource.EventHourCol)
+    require(dataNames.toSet == ls.columnNames.toSet,
+      s"write schema ${dataNames.mkString("(", ",", ")")} must carry exactly " +
+        s"the declared lake columns ${ls.columnNames.mkString("(", ",", ")")}")
+    ls.columns.foreach { case (nm, t) =>
+      val f = in.fields(in.fieldIndex(nm))
+      require(f.dataType == t.sparkType,
+        s"column $nm: write type ${f.dataType} must match declared ${t.sparkType}")
+    }
+    new LakeWriteBuilder(rootUri, ls, in, info.options())
+  }
+}
+
+final class LakeWriteBuilder(rootUri: String, lakeSchema: TableSchema,
+                             inSchema: StructType,
+                             options: CaseInsensitiveStringMap)
+    extends WriteBuilder {
+  override def build(): Write = new LakeWrite(rootUri, lakeSchema, inSchema,
+    Option(options.get("flushtime")).map(Instant.parse).getOrElse(Instant.now()),
+    Option(options.get("gzip")).forall(_.toBoolean),
+    Option(options.get("maxrecordsperobject")).map(_.toLong).getOrElse(0L),
+    Option(options.get("zonemaps")).exists(_.toBoolean),
+    Option(options.get("bloomcolumns")).map(_.split(',').map(_.trim)
+      .filter(_.nonEmpty).toSeq).getOrElse(Nil))
+}
+
+/** Staged-publish batch write — the [[graft.streaming.LakeSink]] /
+  * compaction commit protocol on the DSv2 surface: every task attempt
+  * writes its rolled objects (and sidecars) under a job-scoped
+  * `_staging/` prefix; only COMMITTED attempts' keys reach
+  * [[commit]], which renames exactly those into place — a failed,
+  * retried, speculative, or hard-killed attempt can never leak a
+  * partial object into the table (Spark's commit coordinator picks one
+  * winning attempt per partition; the staging prefix is swept on
+  * commit AND abort). Rows land under the driver-stamped `flushTime`'s
+  * hour (option `flushTime`, ISO-8601; default now). */
+final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
+                      inSchema: StructType, flushTime: Instant, gzip: Boolean,
+                      maxRecordsPerObject: Long, zoneMaps: Boolean,
+                      bloomColumns: Seq[String])
+    extends Write with BatchWrite {
+  private val staging = s"_staging/dsv2-${java.util.UUID.randomUUID()}"
+
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"graft-lake append table=${lakeSchema.name} root=$rootUri staging=$staging"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LakeWriterFactory(rootUri, lakeSchema, inSchema, s"$staging/",
+      flushTime, gzip, maxRecordsPerObject, zoneMaps, bloomColumns)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val store = new HadoopStore(rootUri)
+    try {
+      messages.foreach { case LakeCommitMessage(keys) =>
+        keys.foreach { k =>
+          val dst = k.stripPrefix(s"$staging/")
+          store.rename(k, dst)
+          if (zoneMaps) store.rename(ZoneMaps.statsKey(k), ZoneMaps.statsKey(dst))
+          if (bloomColumns.nonEmpty)
+            store.rename(BloomMaps.bloomKey(k), BloomMaps.bloomKey(dst))
+        }
+      }
+    } finally cleanupStaging(store)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStaging(new HadoopStore(rootUri))
+
+  private def cleanupStaging(store: Store): Unit = {
+    // no unpublished attempt output may linger — data or sidecars
+    try store.deletePrefix(staging) catch { case _: Throwable => () }
+    try store.deletePrefix(ZoneMaps.Prefix + staging) catch { case _: Throwable => () }
+  }
+}
+
+final case class LakeCommitMessage(keys: Seq[String]) extends WriterCommitMessage
+
+final class LakeWriterFactory(rootUri: String, lakeSchema: TableSchema,
+                              inSchema: StructType, keyPrefix: String,
+                              flushTime: Instant, gzip: Boolean,
+                              maxRecordsPerObject: Long, zoneMaps: Boolean,
+                              bloomColumns: Seq[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LakeDataWriter(rootUri, lakeSchema, inSchema, keyPrefix, flushTime,
+      gzip, maxRecordsPerObject, zoneMaps, bloomColumns)
+}
+
+/** One task attempt's writer: Catalyst rows → external wire values (BY
+  * NAME against the declared schema) → the shared rolling object core
+  * ([[LakeWriter.RollingObjectWriter]] — the same codec, sidecar
+  * tracking, and abort discipline as every other write path). */
+final class LakeDataWriter(rootUri: String, lakeSchema: TableSchema,
+                           inSchema: StructType, keyPrefix: String,
+                           flushTime: Instant, gzip: Boolean,
+                           maxRecordsPerObject: Long, zoneMaps: Boolean,
+                           bloomColumns: Seq[String])
+    extends DataWriter[InternalRow] {
+
+  private val roller = new LakeWriter.RollingObjectWriter(
+    new HadoopStore(rootUri), lakeSchema, flushTime, gzip,
+    maxRecordsPerObject, keyPrefix, zoneMaps, bloomColumns)
+
+  // declared-schema order; each getter reads the incoming row's position
+  // for that NAME and boxes the external value TypedCsv expects
+  private val getters: Array[InternalRow => Any] =
+    lakeSchema.columns.map { case (nm, t) =>
+      val i = inSchema.fieldIndex(nm)
+      t match {
+        case ColType.CString | ColType.CUuid =>
+          (r: InternalRow) => if (r.isNullAt(i)) null else r.getUTF8String(i).toString
+        case ColType.CInteger =>
+          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Long.valueOf(r.getLong(i))
+        case ColType.CFloat =>
+          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Double.valueOf(r.getDouble(i))
+        case ColType.CBoolean =>
+          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Boolean.valueOf(r.getBoolean(i))
+        case ColType.CTime =>
+          // micros → the wire's millis (floorDiv: pre-epoch values too)
+          (r: InternalRow) => if (r.isNullAt(i)) null
+            else new java.sql.Timestamp(Math.floorDiv(r.getLong(i), 1000L))
+      }
+    }.toArray
+
+  override def write(row: InternalRow): Unit = {
+    val vals = new Array[Any](getters.length)
+    var i = 0
+    while (i < getters.length) { vals(i) = getters(i)(row); i += 1 }
+    roller.write(vals)
+  }
+
+  override def commit(): WriterCommitMessage =
+    LakeCommitMessage(roller.finish().map(_.key))
+
+  override def abort(): Unit = roller.abort()
+  override def close(): Unit = ()
 }
 
 final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSchema)

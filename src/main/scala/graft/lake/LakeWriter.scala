@@ -77,69 +77,103 @@ object LakeWriter {
       if (!rows.hasNext) Iterator.empty
       else {
         val store = new HadoopStore(rootUri)
-        val written = Seq.newBuilder[WrittenObject]
-        var id: UUID = null
-        var key: String = null
-        var out: BufferedWriter = null
-        var n = 0L
-        var tracker: ZoneMaps.Tracker = null
-        var blooms: BloomMaps.Tracker = null
-        def open(): Unit = {
-          id = UUID.randomUUID()
-          key = keyPrefix + LakeKeys.objectKey(table, flushTime, id, gzip)
-          val raw = store.create(key)
-          out = new BufferedWriter(new OutputStreamWriter(
-            if (gzip) new GZIPOutputStream(raw) else raw, StandardCharsets.UTF_8), 256 * 1024)
-          out.write(typesHeader); out.write("\n")
-          out.write(namesHeader); out.write("\n")
-          n = 0L
-          if (zoneMaps) tracker = new ZoneMaps.Tracker(schema)
-          if (bloomColumns.nonEmpty)
-            blooms = new BloomMaps.Tracker(schema, bloomColumns, bloomBits, bloomHashes)
-        }
-        def closeObject(): Unit = {
-          out.close(); written += WrittenObject(key, id, n)
-          if (zoneMaps) ZoneMaps.write(store, key, tracker.result())
-          if (blooms != null) BloomMaps.write(store, key, blooms.result())
-        }
+        val w = new RollingObjectWriter(store, schema, flushTime, gzip,
+          maxRecordsPerObject, keyPrefix, zoneMaps, bloomColumns,
+          bloomBits, bloomHashes)
         try {
-          open() // inside the cleanup scope: a failed FIRST create/header
-                 // write must delete its partial object like any other
           rows.foreach { r =>
-            if (maxRecordsPerObject > 0 && n >= maxRecordsPerObject) {
-              closeObject()
-              open()
-            }
             val vals = new Array[Any](nCols)
             var i = 0
             while (i < nCols) { vals(i) = r.get(i); i += 1 }
-            if (zoneMaps) tracker.observe(vals)
-            if (blooms != null) blooms.observe(vals)
-            out.write(TypedCsv.formatRow(vals.toSeq, types)); out.write("\n")
-            n += 1
+            w.write(vals)
           }
-          closeObject()
-          out = null
+          w.finish().iterator
         } catch { case e: Throwable =>
-          // Abort this ATTEMPT cleanly: close and delete the in-progress
-          // object and everything the attempt already rolled — plus their
-          // zone-map sidecars — a retry (or the speculative twin)
-          // re-writes the whole partition, so any key this attempt leaves
-          // behind is permanent duplication.
-          if (out != null) { try out.close() catch { case _: Throwable => () }; out = null }
-          (written.result().map(_.key) ++ Option(key)).foreach { k =>
-            try store.delete(k) catch { case _: Throwable => () }
-            if (zoneMaps) {
-              try store.delete(ZoneMaps.statsKey(k)) catch { case _: Throwable => () }
-            }
-            if (bloomColumns.nonEmpty) {
-              try store.delete(BloomMaps.bloomKey(k)) catch { case _: Throwable => () }
-            }
-          }
+          w.abort()
           throw e
         }
-        written.result().iterator
       }
     }.collect().toSeq
+  }
+
+  /** The per-task writing core LakeWriter's partitions and the DSv2
+    * write path ([[LakeDataSource]]) share: streams rows into typed-CSV
+    * objects, rolling at `maxRecordsPerObject`, tracking zone-map/bloom
+    * sidecars as rows pass. Opens LAZILY on the first row (an empty
+    * partition creates nothing). NOT thread-safe; one instance per task
+    * attempt.
+    *
+    * Abort discipline (the contract the inline writer had): [[abort]]
+    * closes and deletes the in-progress object, every object this
+    * attempt already rolled, and their sidecars — a retry or a
+    * speculative twin re-writes the whole partition, so any key a
+    * failed attempt leaves behind is permanent duplication. */
+  private[lake] final class RollingObjectWriter(
+      store: Store, schema: TableSchema, flushTime: Instant, gzip: Boolean,
+      maxRecordsPerObject: Long, keyPrefix: String, zoneMaps: Boolean,
+      bloomColumns: Seq[String],
+      bloomBits: Int = BloomMaps.DefaultBits,
+      bloomHashes: Int = BloomMaps.DefaultHashes) {
+    private val types = schema.colTypes
+    private val written = Seq.newBuilder[WrittenObject]
+    private var id: UUID = null
+    private var key: String = null
+    private var out: BufferedWriter = null
+    private var n = 0L
+    private var tracker: ZoneMaps.Tracker = null
+    private var blooms: BloomMaps.Tracker = null
+
+    private def open(): Unit = {
+      id = UUID.randomUUID()
+      key = keyPrefix + LakeKeys.objectKey(schema.name, flushTime, id, gzip)
+      val raw = store.create(key)
+      out = new BufferedWriter(new OutputStreamWriter(
+        if (gzip) new GZIPOutputStream(raw) else raw, StandardCharsets.UTF_8), 256 * 1024)
+      out.write(schema.typesHeader); out.write("\n")
+      out.write(schema.namesHeader); out.write("\n")
+      n = 0L
+      if (zoneMaps) tracker = new ZoneMaps.Tracker(schema)
+      if (bloomColumns.nonEmpty)
+        blooms = new BloomMaps.Tracker(schema, bloomColumns, bloomBits, bloomHashes)
+    }
+
+    private def closeObject(): Unit = {
+      out.close(); written += WrittenObject(key, id, n)
+      if (zoneMaps) ZoneMaps.write(store, key, tracker.result())
+      if (blooms != null) BloomMaps.write(store, key, blooms.result())
+      out = null
+    }
+
+    /** Append one row (external-typed values in schema order). */
+    def write(vals: Array[Any]): Unit = {
+      if (out == null) open()
+      else if (maxRecordsPerObject > 0 && n >= maxRecordsPerObject) {
+        closeObject(); open()
+      }
+      if (tracker != null) tracker.observe(vals)
+      if (blooms != null) blooms.observe(vals)
+      out.write(TypedCsv.formatRow(vals.toSeq, types)); out.write("\n")
+      n += 1
+    }
+
+    /** Close the in-progress object and return every object written. */
+    def finish(): Seq[WrittenObject] = {
+      if (out != null) closeObject()
+      written.result()
+    }
+
+    /** Delete everything this attempt created (objects + sidecars). */
+    def abort(): Unit = {
+      if (out != null) { try out.close() catch { case _: Throwable => () }; out = null }
+      (written.result().map(_.key) ++ Option(key)).foreach { k =>
+        try store.delete(k) catch { case _: Throwable => () }
+        if (zoneMaps) {
+          try store.delete(ZoneMaps.statsKey(k)) catch { case _: Throwable => () }
+        }
+        if (bloomColumns.nonEmpty) {
+          try store.delete(BloomMaps.bloomKey(k)) catch { case _: Throwable => () }
+        }
+      }
+    }
   }
 }

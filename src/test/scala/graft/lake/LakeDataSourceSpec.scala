@@ -266,6 +266,54 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(rows.length == 750, s"remaining objects' rows, no crash: ${rows.length}")
   }
 
+  test("DSv2 write: staged-published append with sidecars, by-name columns; overwrite refused") {
+    import spark.implicits._
+    val root = freshRoot()
+    fixture(root) // existing table dt: 1000 rows at hour 08
+    // append 100 rows with SHUFFLED column order (by-name resolution) and
+    // wire-hostile strings, into a later hour, with both sidecar kinds
+    val extra = (1000 until 1100).map { i =>
+      (if (i == 1050) "with,comma \"q\"\nand newline" else "t9",
+        i.toLong, i / 8.0, i % 2 == 0,
+        java.sql.Timestamp.from(Instant.parse("2024-06-02T00:00:00Z").plusSeconds(i)))
+    }.toDF("tag", "id", "score", "ok", "ts")
+      // Spark's by-name write resolution demands the derived column too;
+      // its VALUE is ignored — planted at hour 23 to prove the landed
+      // hour comes from flushTime, never from the column
+      .withColumn("_event_hour",
+        lit(java.sql.Timestamp.from(Instant.parse("2024-06-10T23:00:00Z"))))
+    extra.write.format("graft-lake").option("table", "dt")
+      .option("flushTime", "2024-06-10T09:00:00Z")
+      .option("zoneMaps", "true").option("bloomColumns", "tag")
+      .mode("append").save(root)
+    val all = dsv2(root)
+    assert(all.count() == 1100)
+    assert(all.where(col("tag") === "with,comma \"q\"\nand newline").count() == 1)
+    // appended rows land under the flushTime hour
+    assert(all.where(col("_event_hour") ===
+      lit(java.sql.Timestamp.from(Instant.parse("2024-06-10T09:00:00Z")))).count() == 100)
+    // the appended objects carry working blooms: a t9 probe skips all
+    // four original objects
+    val (dfp, rep) = LakeReader.readPrunedEq(spark, root, "dt", "tag", "t9")
+    assert(rep.skipped >= 4, s"original objects must skip on the probe: $rep")
+    assert(dfp.filter(col("tag") === "t9").count() == 99)
+    // no staging residue after publish — data or sidecars
+    val store = new HadoopStore(root)
+    assert(store.list("_staging").isEmpty &&
+      store.list(ZoneMaps.Prefix + "_staging").isEmpty)
+    // schema mismatch and the derived column refuse loudly
+    intercept[Exception] {
+      Seq(1L).toDF("id").write.format("graft-lake").option("table", "dt")
+        .mode("append").save(root)
+    }
+    // the lake is append-only: overwrite has no truncate capability
+    intercept[Exception] {
+      extra.write.format("graft-lake").option("table", "dt")
+        .mode("overwrite").save(root)
+    }
+    assert(dsv2(root).count() == 1100, "refused writes must change nothing")
+  }
+
   test("missing table and missing options fail loudly; drifted header fails the scan") {
     val root = freshRoot()
     fixture(root)
