@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
@@ -38,9 +38,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    legitimate FLOAT value could leap);
   *  - any of those on `_event_hour` → HOUR-PREFIX pruning: out-of-range
   *    hours are never even LISTED (the key-layout prune,
-  *    [[LakeReader.listTableKeys]]);
+  *    [[LakeReader.listTableKeys]]); `EqualTo`/`In` on `_event_hour`
+  *    additionally decide exact hour MEMBERSHIP (a misaligned timestamp
+  *    can never equal a key-derived hour, so it prunes everything);
   *  - `And` recursively; `Or`/`Not`/everything else stays row-level only
   *    (conservatively unprunable).
+  *
+  * The same decisions run AT EXECUTION TIME for Spark's dynamic-pruning
+  * runtime filters ([[LakeScan.filter]], `SupportsRuntimeFiltering`): a
+  * plain JOIN to a filtered dimension delivers the build side's keys as
+  * an IN-list the moment its broadcast completes, and the scan re-prunes
+  * its planned objects before any is opened — l14's `lakeSemiJoin`
+  * semantics with Catalyst in the driver's seat (query `l18`).
   *
   * Missing/torn/stat-less sidecars keep their object — the same
   * conservative contract as every bespoke pruned read, spec-pinned by
@@ -323,7 +332,8 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
 
 final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
                      required: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -331,6 +341,43 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     s"graft-lake table=$table root=$rootUri " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.simpleString}"
+
+  /** RUNTIME filtering (dynamic file pruning): every wire column can
+    * prune objects at execution time (equality/IN → bloom probes and
+    * `[v,v]` bands, exactly like the compile-time pushdown), and
+    * `_event_hour` prunes at the LISTING level — so a plain JOIN to a
+    * filtered dimension through this connector skips lake objects the
+    * moment Spark's dynamic-pruning subquery delivers the build side's
+    * keys, with no bespoke [[LakeReader.lakeSemiJoin]] call. Spark
+    * bounds the key list by the broadcast threshold (runtime filters
+    * ride a reused broadcast), the bloom probe is conservative (a
+    * false positive costs an opened object, never a wrong row), and
+    * the pushed filters all re-apply row-level post-scan. */
+  override def filterAttributes(): Array[NamedReference] =
+    // only columns surviving column PRUNING: Spark resolves these
+    // against the scan's output, and a runtime-filterable join key is
+    // necessarily in that output anyway
+    required.fieldNames.map(c => Expressions.column(c)).toArray
+
+  override def filter(filters: Array[Filter]): Unit = synchronized {
+    val usable = filters.filter(f => LakePrune.prunable(f, lakeSchema))
+    if (usable.nonEmpty) {
+      runtime = runtime ++ usable
+      plannedCache = null // next planInputPartitions re-prunes
+    }
+  }
+
+  /** Runtime filters received so far — exposed (with [[plannedKeys]])
+    * so specs and meters can pin that dynamic pruning actually fired. */
+  def runtimeFilters: Seq[Filter] = synchronized(runtime.toSeq)
+
+  private var runtime: Array[Filter] = Array.empty
+  private var plannedCache: (Seq[String], Option[Long]) = _
+
+  private def planned: (Seq[String], Option[Long]) = synchronized {
+    if (plannedCache == null) plannedCache = computePlanned()
+    plannedCache
+  }
 
   /** Kept keys plus the kept objects' exact row sum, from ONE walk and
     * ONE stats-sidecar read per object: [[estimateStatistics]]
@@ -340,13 +387,17 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     * when the candidate set is past the driver-walk threshold — the
     * executor fan-out decides keeps there, and optimizer time is no
     * place for a second metadata job. */
-  private lazy val planned: (Seq[String], Option[Long]) = {
+  private def computePlanned(): (Seq[String], Option[Long]) = {
     val store = new HadoopStore(rootUri)
-    val pred = LakePrune.compile(pushed, lakeSchema)
-    val keys = pred.hourRange match {
+    val pred = LakePrune.compile(pushed ++ runtime, lakeSchema)
+    val listed = pred.hourRange match {
       case Some((from, to)) if from.isAfter(to) => Seq.empty
       case hr => LakeReader.listTableKeys(store, table, hr)
     }
+    // an hour SET (IN-list / runtime hour filter) refines the listed
+    // RANGE to exact hour membership — the key parse is the decision
+    val keys = pred.hourSet.fold(listed)(hs =>
+      listed.filter(k => LakeKeys.parseKey(k).exists(p => hs.contains(p._1))))
     if (keys.isEmpty) {
       // hour-pruned-to-nothing is a legitimate empty scan; a table with
       // no objects AT ALL fails loudly like every lake read
@@ -587,8 +638,12 @@ private[lake] object LakePrune {
       case And(l, r) => prunable(l, schema) || prunable(r, schema)
       case EqualTo(c, v) => (cols.contains(c) && v != null && v != "") || hour(c)
       case EqualNullSafe(c, v) => cols.contains(c) && v != null && v != ""
-      case In(c, vs) => cols.contains(c) && vs != null &&
-        vs.exists(v => v != null && v != "")
+      // an IN-list (static or Spark's runtime dynamic-pruning filter)
+      // prunes even when EMPTY of usable values: nulls never equal
+      // anything and "" never round-trips to a lake row, so an IN-list
+      // with no usable value matches NOTHING and the scan legitimately
+      // plans zero objects (the empty-build-side dynamic-pruning case)
+      case In(c, vs) => (cols.contains(c) || hour(c)) && vs != null
       case GreaterThan(c, _) => tracked(c) || hour(c)
       case GreaterThanOrEqual(c, _) => tracked(c) || hour(c)
       case LessThan(c, _) => tracked(c) || hour(c)
@@ -607,6 +662,7 @@ private[lake] object LakePrune {
     * bit tests, not values. */
   final case class Compiled(
       hourRange: Option[(Instant, Instant)],
+      hourSet: Option[Set[Instant]],
       eqProbes: Seq[(String, Seq[(Array[Array[Int]], Option[JBig])])],
       bands: Seq[(String, Option[JBig], Option[JBig])]) extends Serializable {
 
@@ -646,6 +702,7 @@ private[lake] object LakePrune {
     val cols = schema.columns.toMap
     var from: Option[Instant] = None
     var to: Option[Instant] = None
+    var hourSet: Option[Set[Instant]] = None
     val eqProbes = Seq.newBuilder[(String, Seq[(Array[Array[Int]], Option[JBig])])]
     val bands = Seq.newBuilder[(String, Option[JBig], Option[JBig])]
 
@@ -679,7 +736,26 @@ private[lake] object LakePrune {
     def walk(f: Filter): Unit = f match {
       case And(l, r) => walk(l); walk(r)
       case EqualTo(c, v) if c == LakeDataSource.EventHourCol =>
-        instant(v).foreach { i => tightenFrom(i); tightenTo(i) }
+        // equality = one-member hour SET: besides tightening the listed
+        // range, membership is exact — a misaligned timestamp can never
+        // equal a key-derived hour, so it prunes everything
+        instant(v).foreach { i =>
+          tightenFrom(i); tightenTo(i)
+          hourSet = Some(hourSet.fold(Set(i))(_ intersect Set(i)))
+        }
+      case In(c, vs) if c == LakeDataSource.EventHourCol && vs != null =>
+        // exact hour MEMBERSHIP (the dynamic-pruning join-key shape):
+        // conjoined sets intersect; the min/max also tighten the LISTED
+        // range so out-of-band hour dirs are never walked. An empty
+        // usable set legally prunes everything (inverted range below).
+        val hs = vs.toSet.flatMap(instant)
+        hourSet = Some(hourSet.fold(hs)(_ intersect hs))
+      case In(c, vs) if cols.contains(c) && vs != null =>
+        val usable = vs.toSeq.filter(v => v != null && v != "")
+        if (usable.nonEmpty) eqPlan(c, usable)
+        // no usable value matches NOTHING (nulls never equal, "" never
+        // round-trips): empty hour set → inverted range → empty scan
+        else hourSet = Some(Set.empty)
       case GreaterThan(c, v) if c == LakeDataSource.EventHourCol =>
         instant(v).foreach(tightenFrom)
       case GreaterThanOrEqual(c, v) if c == LakeDataSource.EventHourCol =>
@@ -694,9 +770,6 @@ private[lake] object LakePrune {
       // object can only match via an equal non-null row)
       case EqualNullSafe(c, v) if cols.contains(c) && v != null && v != "" =>
         eqPlan(c, Seq(v))
-      case In(c, vs) if cols.contains(c) && vs != null =>
-        // nulls never equal anything; "" never round-trips to a lake row
-        eqPlan(c, vs.toSeq.filter(v => v != null && v != ""))
       case IsNotNull(c) if cols.contains(c) =>
         // the UNBOUNDED band: mayContainRange(None, None) keeps any
         // object with non-null values and SKIPS the all-null ones
@@ -714,6 +787,13 @@ private[lake] object LakePrune {
       case _ => ()
     }
     filters.foreach(walk)
+    // an hour set narrows the LISTED range to its min/max; an empty set
+    // inverts the range so the scan plans nothing (from > to)
+    hourSet.foreach { hs =>
+      if (hs.isEmpty) {
+        tightenFrom(Instant.parse("9999-12-31T23:00:00Z")); tightenTo(Instant.EPOCH)
+      } else { tightenFrom(hs.min); tightenTo(hs.max) }
+    }
     // hour endpoints truncate/extend to the HOUR the key layout prunes at
     // (listTableKeys lists whole hours; the row-level filter re-applies)
     Compiled(
@@ -723,6 +803,6 @@ private[lake] object LakePrune {
           f.getOrElse(Instant.EPOCH),
           t.getOrElse(Instant.parse("9999-12-31T23:00:00Z"))))
       },
-      eqProbes.result(), bands.result())
+      hourSet, eqProbes.result(), bands.result())
   }
 }

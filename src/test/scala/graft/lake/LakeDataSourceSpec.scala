@@ -251,6 +251,76 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(q2.count() == 500)
   }
 
+  /** AQE wraps executed stages; collect scans through the stage nodes. */
+  private def executedScans(df: DataFrame): Seq[LakeScan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[BatchScanExec] = (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case other => other.children.flatMap(walk)
+    }) ++ (p match { case b: BatchScanExec => Seq(b); case _ => Nil })
+    walk(df.queryExecution.executedPlan).map(_.scan.asInstanceOf[LakeScan])
+  }
+
+  test("runtime (dynamic-pruning) filters: a plain JOIN prunes lake objects mid-execution") {
+    val root = freshRoot()
+    fixture(root)
+    val fact = dsv2(root)
+    // the dim's selective predicate is on an INDEPENDENT column (grp), so
+    // no static constraint reaches the scan — only Spark's runtime
+    // dynamic-pruning IN-list can prune. grp 2 = keys 500..749, which the
+    // id-ordered fixture holds in objects [499..748] and [749..] → 2 kept
+    val dim = spark.range(1000L)
+      .select(col("id").as("k"), (col("id") / lit(250)).cast("long").as("grp"))
+      .where(col("grp") === 2)
+    val joined = fact.join(dim, col("id") === col("k"))
+    val rows = joined.queryExecution.executedPlan.executeCollect()
+    assert(rows.length == 250) // ids 500..749 all present in the fixture
+    val scan = executedScans(joined).head
+    assert(scan.runtimeFilters.nonEmpty,
+      "Spark must deliver the dynamic-pruning IN-list to the scan")
+    assert(scan.plannedKeys.size == 2,
+      s"the runtime IN-list must band-prune to two objects: ${scan.plannedKeys}")
+    // exactness: same join off the bespoke reader (no connector, no DPP)
+    val expected = LakeReader.read(spark, root, "dt")
+      .join(dim, col("id") === col("k")).count()
+    assert(expected == 250)
+  }
+
+  test("runtime hour-dim join prunes at the LISTING level; static isin(_event_hour) too") {
+    val root = freshRoot()
+    fixture(root, hour = "2024-06-10T08:00:00Z")
+    fixture(root, hour = "2024-06-11T09:00:00Z")
+    val fact = dsv2(root)
+    val base = Instant.parse("2024-06-10T08:00:00Z").getEpochSecond
+    // hour dim: odd offsets keep 2024-06-10T09 (absent hour) and
+    // 2024-06-11T09 (= base + 25h, the second fixture's hour)
+    val hours = spark.range(1L, 27L, 1L)
+      .select(timestamp_seconds(lit(base) + col("id") * 3600L).as("hr"),
+        (col("id") % 2).as("par"))
+      .where(col("par") === 1)
+    val joined = fact.join(hours, col("_event_hour") === col("hr"))
+    val rows = joined.queryExecution.executedPlan.executeCollect()
+    assert(rows.length == 1000, "only the 2024-06-11T09 objects join")
+    val scan = executedScans(joined).head
+    assert(scan.runtimeFilters.nonEmpty,
+      "the hour join must deliver a runtime IN-list")
+    assert(scan.plannedKeys.nonEmpty &&
+      scan.plannedKeys.forall(_.startsWith("2024/06/11/09/")),
+      s"runtime hour membership must prune the other hour: ${scan.plannedKeys}")
+    // the same membership prune, statically: isin on _event_hour
+    val qs = fact.where(col("_event_hour").isin(
+      java.sql.Timestamp.from(Instant.parse("2024-06-11T09:00:00Z")),
+      java.sql.Timestamp.from(Instant.parse("2024-06-12T09:00:00Z"))))
+    assert(lakeScan(qs).plannedKeys.forall(_.startsWith("2024/06/11/09/")))
+    assert(qs.count() == 1000)
+    // a MISALIGNED member can never equal a key-derived hour: empty scan
+    val qm = fact.where(col("_event_hour").isin(
+      java.sql.Timestamp.from(Instant.parse("2024-06-11T09:30:00Z"))))
+    assert(lakeScan(qm).plannedKeys.isEmpty && qm.count() == 0)
+  }
+
   test("a planned object retired by maintenance mid-scan is skipped, never a query failure") {
     val root = freshRoot()
     fixture(root)
