@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -311,10 +312,12 @@ final class LakeDataWriter(rootUri: String, lakeSchema: TableSchema,
 
 final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSchema)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = LakeDataSource.outputStruct(lakeSchema)
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[LakeAgg.Pushed] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => LakePrune.prunable(f, lakeSchema))
@@ -324,10 +327,30 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  /** Metadata-only aggregates ([[LakeAggScan]]): count/min/max answer
+    * from the stats sidecars without opening objects. Only for
+    * UNFILTERED scans (sidecars describe whole objects; Spark only
+    * offers aggregates here when no filter sits between them and the
+    * scan, and the guard keeps that invariant locally too) — and never
+    * claimed COMPLETE: Spark's final merge combines the per-object
+    * rows, which is what keeps the sidecar-less fallback exact. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushed.nonEmpty) return false
+    LakeAgg.translate(aggregation, lakeSchema) match {
+      case some @ Some(_) => pushedAgg = some; true
+      case None => false
+    }
+  }
 
-  override def build(): Scan = new LakeScan(rootUri, table, lakeSchema, required, pushed)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // with a pushed aggregate the output is the AGGREGATE's schema,
+    // owned by LakeAggScan; ordinary column pruning no longer applies
+    if (pushedAgg.isEmpty) required = requiredSchema
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new LakeAggScan(rootUri, table, lakeSchema, agg)
+    case None => new LakeScan(rootUri, table, lakeSchema, required, pushed)
+  }
 }
 
 final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
