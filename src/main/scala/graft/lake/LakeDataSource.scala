@@ -313,11 +313,12 @@ final class LakeDataWriter(rootUri: String, lakeSchema: TableSchema,
 final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSchema)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = LakeDataSource.outputStruct(lakeSchema)
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[LakeAgg.Pushed] = None
+  private var pushedLimit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => LakePrune.prunable(f, lakeSchema))
@@ -326,6 +327,21 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** LIMIT pushdown, n ≥ 0: an unfiltered `LIMIT n` plans only a
+    * PREFIX of objects — sidecar `records` accumulate until they cover
+    * n, so `SELECT * FROM lake LIMIT 10` opens one object of a
+    * million-object lake and reads ONE sidecar to decide so
+    * ([[LakeScan.computePlanned]] walks lazily). Always PARTIAL: whole
+    * objects are kept, Spark re-applies the exact limit on top.
+    * Refused when filters pushed (a residual filter between limit and
+    * scan stops Spark offering it anyway — belt and braces). */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushed.nonEmpty || pushedAgg.nonEmpty) return false
+    pushedLimit = Some(limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Metadata-only aggregates ([[LakeAggScan]]): count/min/max answer
     * from the stats sidecars without opening objects. Only for
@@ -349,12 +365,14 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new LakeAggScan(rootUri, table, lakeSchema, agg)
-    case None => new LakeScan(rootUri, table, lakeSchema, required, pushed)
+    case None =>
+      new LakeScan(rootUri, table, lakeSchema, required, pushed, pushedLimit)
   }
 }
 
 final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
-                     required: StructType, pushed: Array[Filter])
+                     required: StructType, pushed: Array[Filter],
+                     limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -363,6 +381,7 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
   override def description(): String =
     s"graft-lake table=$table root=$rootUri " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      limit.fold("")(n => s"PushedLimit: $n, ") +
       s"ReadSchema: ${required.simpleString}"
 
   /** RUNTIME filtering (dynamic file pruning): every wire column can
@@ -428,6 +447,28 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
         throw new IllegalArgumentException(
           s"no lake objects for table $table under $rootUri")
       (Seq.empty, Some(0L))
+    } else if (limit.isDefined && pred.trivial && runtime.isEmpty) {
+      // pushed LIMIT on an unpruned scan: greedy PREFIX — one sidecar
+      // read per kept object, stopping the moment known rows cover the
+      // limit. O(objects needed), never O(lake); an unreadable sidecar
+      // contributes unknown (0) rows, so the walk conservatively keeps
+      // going — whole objects only, Spark re-applies the exact limit.
+      val n = limit.get.toLong
+      val kept = Seq.newBuilder[String]
+      var known = 0L
+      var allKnown = true
+      val it = keys.iterator
+      var covered = n <= 0L
+      while (it.hasNext && !covered) {
+        val k = it.next()
+        kept += k
+        ZoneMaps.read(store, k) match {
+          case Some(s) => known += s.records
+          case None => allKnown = false
+        }
+        covered = known >= n
+      }
+      (kept.result(), if (allKnown) Some(known) else None)
     } else if (keys.length <= LakeReader.DefaultSidecarDistributeAbove) {
       var rows: Option[Long] = Some(0L)
       val kept = keys.filter { k =>

@@ -321,6 +321,38 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(lakeScan(qm).plannedKeys.isEmpty && qm.count() == 0)
   }
 
+  test("pushed LIMIT plans a sidecar-counted object PREFIX; filters refuse it; rows exact") {
+    val root = freshRoot()
+    fixture(root) // 4 objects × 250 rows
+    // limit within the first object → ONE object planned
+    val q1 = dsv2(root).limit(100)
+    assert(lakeScan(q1).plannedKeys.size == 1,
+      s"100 ≤ 250 known rows → one object: ${lakeScan(q1).plannedKeys}")
+    assert(q1.count() == 100)
+    // limit straddling object boundaries → exactly enough objects
+    val q2 = dsv2(root).limit(300)
+    assert(lakeScan(q2).plannedKeys.size == 2)
+    assert(q2.count() == 300)
+    // limit beyond the table → everything, full row count
+    val q3 = dsv2(root).limit(5000)
+    assert(lakeScan(q3).plannedKeys.size == 4 && q3.count() == 1000)
+    // a filter between limit and scan keeps the limit OFF the scan (the
+    // residual filter would make a prefix cut return too few rows)
+    val q4 = dsv2(root).where(col("tag") === "t3").limit(100)
+    assert(!q4.queryExecution.executedPlan.toString.contains("PushedLimit"),
+      s"filtered scans must not push the limit:\n${q4.queryExecution.executedPlan}")
+    assert(q4.count() == 100)
+    // an unreadable sidecar yields UNKNOWN rows: the walk keeps going
+    // (conservative) and the row count stays exact
+    val store = new HadoopStore(root)
+    val keys = LakeReader.listTableKeys(store, "dt", None)
+    store.delete(ZoneMaps.statsKey(keys.head))
+    val q5 = dsv2(root).limit(100)
+    assert(lakeScan(q5).plannedKeys.size == 2,
+      "unknown first object must keep walking to the next known one")
+    assert(q5.count() == 100)
+  }
+
   test("a planned object retired by maintenance mid-scan is skipped, never a query failure") {
     val root = freshRoot()
     fixture(root)
