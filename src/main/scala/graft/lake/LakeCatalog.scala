@@ -1,10 +1,16 @@
 package graft.lake
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL catalog for a typed-CSV lake: name lake tables in PLAIN SQL —
   *
@@ -26,8 +32,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * connector's append), their schema IS the wire headers, and deletes
   * belong to the retention/maintenance protocol, not a SQL drop.
   *
+  * MAINTENANCE runs as SQL stored procedures ([[ProcedureCatalog]] —
+  * the Spark-4 `CALL` surface; the Delta `OPTIMIZE`/`VACUUM` jobs as
+  * catalog procedures):
+  *
+  * {{{
+  * CALL lake.system.compact(table => 'events', target_records => 200000)
+  * CALL lake.system.expire(table => 'events',
+  *                         older_than => TIMESTAMP '2024-01-01 00:00:00')
+  * CALL lake.system.ensure_indexes(table => 'events',
+  *                                 bloom_columns => 'user_id,etype')
+  * }}}
+  *
+  * each delegating to the [[LakeMaintenance]] entry point (staged-
+  * publish compaction, distributed retention deletes, one-listing
+  * sidecar reconciliation) and returning its report as the result row.
+  *
   * The catalog is namespace-flat: identifiers are `<catalog>.<table>`. */
-final class LakeCatalog extends TableCatalog {
+final class LakeCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catName: String = _
   private var root: String = _
@@ -88,4 +110,129 @@ final class LakeCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     refuse(s"RENAME TABLE ${oldIdent.name()} is not supported")
+
+  // ------------------------------------------------------- procedures
+
+  private val SystemNs = Array("system")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(SystemNs))
+      LakeProcedures.Names.map(n => Identifier.of(SystemNs, n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!(ident.namespace().isEmpty || ident.namespace().sameElements(SystemNs)))
+      throw new NoSuchNamespaceException(ident.namespace())
+    LakeProcedures.load(root, ident.name()).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake catalog '$catName': no procedure ${ident.name()} " +
+          s"(available: ${LakeProcedures.Names.mkString(", ")})"))
+  }
+}
+
+/** The lake's maintenance protocol as Spark `CALL` procedures — each a
+  * thin SQL skin over the [[LakeMaintenance]] entry point, returning
+  * the operation's report as a one-row result. */
+private[lake] object LakeProcedures {
+
+  val Names: Seq[String] = Seq("compact", "expire", "ensure_indexes")
+
+  def load(root: String, name: String): Option[UnboundProcedure] = name match {
+    case "compact" => Some(new CompactProcedure(root))
+    case "expire" => Some(new ExpireProcedure(root))
+    case "ensure_indexes" => Some(new EnsureIndexesProcedure(root))
+    case _ => None
+  }
+
+  private def commaCols(v: UTF8String): Seq[String] =
+    Option(v).map(_.toString).getOrElse("")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** One-row result off the driver: the reports are tiny and already
+    * driver-resident — a LocalScan is the honest shape. */
+  private final class ReportScan(schema: StructType, vals: Array[Any])
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = Array(new GenericInternalRow(vals))
+    override def readSchema(): StructType = schema
+    override def description(): String = "graft-lake procedure report"
+  }
+
+  private abstract class MaintenanceProcedure(procName: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic(): Boolean = false // mutates the lake
+    protected def result(schema: StructType, vals: Any*): java.util.Iterator[Scan] =
+      java.util.Collections.singletonList[Scan](
+        new ReportScan(schema, vals.toArray)).iterator()
+  }
+
+  private final class CompactProcedure(root: String)
+      extends MaintenanceProcedure("compact") {
+    override def description(): String =
+      "Compact a lake table's objects (staged publish, hour-preserving); " +
+        "zone_maps/bloom_columns re-index the compacted objects"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target_records", LongType)
+        .defaultValue("200000").build(),
+      ProcedureParameter.in("zone_maps", BooleanType)
+        .defaultValue("false").build(),
+      ProcedureParameter.in("bloom_columns", StringType)
+        .defaultValue("''").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rep = LakeMaintenance.compact(SparkSession.active,
+        new HadoopStore(root), input.getUTF8String(0).toString,
+        targetRecords = input.getLong(1), zoneMaps = input.getBoolean(2),
+        bloomColumns = commaCols(input.getUTF8String(3)))
+      result(StructType(Seq(
+        StructField("old_objects", IntegerType, nullable = false),
+        StructField("new_objects", IntegerType, nullable = false),
+        StructField("records", LongType, nullable = false))),
+        Integer.valueOf(rep.oldObjects), Integer.valueOf(rep.newObjects),
+        java.lang.Long.valueOf(rep.records))
+    }
+  }
+
+  private final class ExpireProcedure(root: String)
+      extends MaintenanceProcedure("expire") {
+    override def description(): String =
+      "Delete a table's objects (and sidecars) in hours STRICTLY OLDER " +
+        "than older_than's hour — distributed deletes, idempotent"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("older_than", TimestampType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val olderThan = java.time.Instant.ofEpochSecond(0L)
+        .plusNanos(input.getLong(1) * 1000L)
+      val rep = LakeMaintenance.expireDistributed(SparkSession.active, root,
+        input.getUTF8String(0).toString, olderThan)
+      result(StructType(Seq(
+        StructField("deleted", IntegerType, nullable = false),
+        StructField("cutoff_prefix", StringType, nullable = false))),
+        Integer.valueOf(rep.deleted), UTF8String.fromString(rep.cutoffPrefix))
+    }
+  }
+
+  private final class EnsureIndexesProcedure(root: String)
+      extends MaintenanceProcedure("ensure_indexes") {
+    override def description(): String =
+      "Reconcile BOTH sidecar kinds off one listing snapshot: build " +
+        "missing zone maps (and blooms for bloom_columns), sweep orphans"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("bloom_columns", StringType)
+        .defaultValue("''").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rep = LakeMaintenance.ensureIndexes(SparkSession.active,
+        new HadoopStore(root), input.getUTF8String(0).toString,
+        bloomColumns = commaCols(input.getUTF8String(1)))
+      result(StructType(Seq(
+        StructField("stats_built", IntegerType, nullable = false),
+        StructField("blooms_built", IntegerType, nullable = false),
+        StructField("orphans_deleted", IntegerType, nullable = false))),
+        Integer.valueOf(rep.statsBuilt), Integer.valueOf(rep.bloomsBuilt),
+        Integer.valueOf(rep.orphansDeleted))
+    }
+  }
 }

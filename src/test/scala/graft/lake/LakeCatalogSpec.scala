@@ -74,6 +74,50 @@ class LakeCatalogSpec extends SparkSuite {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("CALL procedures run the maintenance protocol: compact, ensure_indexes, expire") {
+    val (cat, root) = freshCatalog()
+    // 16 small objects over two hours
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, s"t${i % 4}")).toDF("id", "tag")
+    LakeWriter.write(df.repartition(8), schema, root,
+      Instant.parse("2024-07-01T08:00:00Z"))
+    LakeWriter.write(df.repartition(8), schema, root,
+      Instant.parse("2024-07-03T10:00:00Z"))
+    val store = new HadoopStore(root)
+    assert(LakeReader.listTableKeys(store, "ev", None).size == 16)
+    // compact with re-indexing: staged publish, hour-preserving
+    val rep = spark.sql(
+      s"CALL $cat.system.compact(table => 'ev', zone_maps => true)").collect()
+    assert(rep.head.getInt(0) == 16 && rep.head.getInt(1) == 2 &&
+      rep.head.getLong(2) == 2000, rep.head.toSeq.toString)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev")
+      .collect().head.getLong(0) == 2000)
+    // ensure_indexes: compaction already wrote stats, so nothing missing
+    val ens = spark.sql(
+      s"CALL $cat.system.ensure_indexes(table => 'ev', bloom_columns => 'tag')")
+      .collect().head
+    assert(ens.getInt(0) == 0 && ens.getInt(1) == 2 && ens.getInt(2) == 0,
+      ens.toSeq.toString)
+    // expire the first hour only
+    val exp = spark.sql(
+      s"""CALL $cat.system.expire(table => 'ev',
+         |  older_than => TIMESTAMP '2024-07-02 00:00:00')""".stripMargin)
+      .collect().head
+    assert(exp.getInt(0) == 1, exp.toSeq.toString)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev")
+      .collect().head.getLong(0) == 1000)
+    // unknown procedure fails loudly (Spark wraps our available-list
+    // message as the FAILED_TO_LOAD_ROUTINE cause)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.vacuum(table => 'ev')").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(e.getMessage.contains("vacuum") &&
+      chain(e).exists(c => Option(c.getMessage).exists(_.contains("compact"))),
+      chain(e).map(_.getMessage).mkString(" | "))
+  }
+
   test("INSERT INTO appends through the staged publish; DDL refuses loudly") {
     val (cat, root) = freshCatalog()
     land(root, "ev", 500)
