@@ -188,13 +188,22 @@ final class LakeWriteBuilder(rootUri: String, lakeSchema: TableSchema,
                              inSchema: StructType,
                              options: CaseInsensitiveStringMap)
     extends WriteBuilder {
-  override def build(): Write = new LakeWrite(rootUri, lakeSchema, inSchema,
-    Option(options.get("flushtime")).map(Instant.parse).getOrElse(Instant.now()),
-    Option(options.get("gzip")).forall(_.toBoolean),
-    Option(options.get("maxrecordsperobject")).map(_.toLong).getOrElse(0L),
-    Option(options.get("zonemaps")).exists(_.toBoolean),
-    Option(options.get("bloomcolumns")).map(_.split(',').map(_.trim)
-      .filter(_.nonEmpty).toSeq).getOrElse(Nil))
+  override def build(): Write = {
+    val clusterBy = Option(options.get("clusterby")).map(_.split(',')
+      .map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    clusterBy.foreach(c => require(lakeSchema.columnNames.contains(c),
+      s"clusterBy column $c is not a lake column " +
+        lakeSchema.columnNames.mkString("(", ",", ")")))
+    new LakeWrite(rootUri, lakeSchema, inSchema,
+      Option(options.get("flushtime")).map(Instant.parse).getOrElse(Instant.now()),
+      Option(options.get("gzip")).forall(_.toBoolean),
+      Option(options.get("maxrecordsperobject")).map(_.toLong).getOrElse(0L),
+      Option(options.get("zonemaps")).exists(_.toBoolean),
+      Option(options.get("bloomcolumns")).map(_.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      clusterBy,
+      Option(options.get("writepartitions")).map(_.toInt).getOrElse(0))
+  }
 }
 
 /** Staged-publish batch write — the [[graft.streaming.LakeSink]] /
@@ -210,9 +219,37 @@ final class LakeWriteBuilder(rootUri: String, lakeSchema: TableSchema,
 final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
                       inSchema: StructType, flushTime: Instant, gzip: Boolean,
                       maxRecordsPerObject: Long, zoneMaps: Boolean,
-                      bloomColumns: Seq[String])
-    extends Write with BatchWrite {
+                      bloomColumns: Seq[String],
+                      clusterBy: Seq[String] = Nil, writePartitions: Int = 0)
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   private val staging = s"_staging/dsv2-${java.util.UUID.randomUUID()}"
+
+  /** Declarative write LAYOUT (`option("clusterBy", "user_id")`): Spark
+    * range-partitions and sorts the incoming rows on the cluster
+    * columns, so each task's rolled objects land VALUE-BANDED — tight
+    * zone-map bands and low-cardinality blooms, i.e. a layout the
+    * read-side pruning actually bites on (the Delta OPTIMIZE ZORDER
+    * idea, paid once at write time as one shuffle Spark plans anyway).
+    * Without `clusterBy` the distribution is unspecified — rows land in
+    * whatever partitioning the query produced. `writePartitions` caps
+    * the task count (≈ object count when rows fit one object/task). */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (clusterBy.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.ordered(
+        clusterOrdering)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (clusterBy.isEmpty) Array.empty else clusterOrdering
+  override def requiredNumPartitions(): Int =
+    if (clusterBy.isEmpty) 0 else writePartitions
+  private def clusterOrdering
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    clusterBy.map(c => Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
 
   override def toBatch: BatchWrite = this
   override def description(): String =
@@ -313,12 +350,14 @@ final class LakeDataWriter(rootUri: String, lakeSchema: TableSchema,
 final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSchema)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var required: StructType = LakeDataSource.outputStruct(lakeSchema)
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[LakeAgg.Pushed] = None
   private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[(Boolean, Int)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => LakePrune.prunable(f, lakeSchema))
@@ -343,6 +382,30 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
   }
   override def isPartiallyPushed(): Boolean = true
 
+  /** TopN pushdown for the "newest/oldest N events" query: `ORDER BY
+    * _event_hour [DESC] LIMIT n` plans an HOUR-ORDERED object prefix —
+    * the key layout IS the sort, so the earliest/latest hours' objects
+    * provably contain a valid top-n set (rows tie within an hour;
+    * Spark's retained final sort+limit picks among them, exactly as
+    * SQL's arbitrary tie-break allows). Only `_event_hour` orderings
+    * push — a data column's order says nothing about object layout. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        limit: Int): Boolean = {
+    if (pushed.nonEmpty || pushedAgg.nonEmpty) return false
+    orders.toSeq match {
+      case Seq(o) => o.expression() match {
+        case nr: NamedReference
+            if nr.fieldNames().sameElements(Array(LakeDataSource.EventHourCol)) =>
+          val desc = o.direction() ==
+            org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+          pushedTopN = Some((desc, limit))
+          true
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
   /** Metadata-only aggregates ([[LakeAggScan]]): count/min/max answer
     * from the stats sidecars without opening objects. Only for
     * UNFILTERED scans (sidecars describe whole objects; Spark only
@@ -366,13 +429,15 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new LakeAggScan(rootUri, table, lakeSchema, agg)
     case None =>
-      new LakeScan(rootUri, table, lakeSchema, required, pushed, pushedLimit)
+      new LakeScan(rootUri, table, lakeSchema, required, pushed, pushedLimit,
+        pushedTopN)
   }
 }
 
 final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
                      required: StructType, pushed: Array[Filter],
-                     limit: Option[Int] = None)
+                     limit: Option[Int] = None,
+                     topN: Option[(Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -382,6 +447,9 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     s"graft-lake table=$table root=$rootUri " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       limit.fold("")(n => s"PushedLimit: $n, ") +
+      topN.fold("")(t =>
+        s"PushedTopN: ORDER BY ${LakeDataSource.EventHourCol} " +
+          s"${if (t._1) "DESC" else "ASC"} LIMIT ${t._2}, ") +
       s"ReadSchema: ${required.simpleString}"
 
   /** RUNTIME filtering (dynamic file pruning): every wire column can
@@ -447,17 +515,27 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
         throw new IllegalArgumentException(
           s"no lake objects for table $table under $rootUri")
       (Seq.empty, Some(0L))
-    } else if (limit.isDefined && pred.trivial && runtime.isEmpty) {
-      // pushed LIMIT on an unpruned scan: greedy PREFIX — one sidecar
-      // read per kept object, stopping the moment known rows cover the
-      // limit. O(objects needed), never O(lake); an unreadable sidecar
-      // contributes unknown (0) rows, so the walk conservatively keeps
-      // going — whole objects only, Spark re-applies the exact limit.
-      val n = limit.get.toLong
+    } else if ((limit.isDefined || topN.isDefined) && pred.trivial &&
+               runtime.isEmpty) {
+      // pushed LIMIT (or TopN by _event_hour) on an unpruned scan:
+      // greedy PREFIX — one sidecar read per kept object, stopping the
+      // moment known rows cover the limit. O(objects needed), never
+      // O(lake); an unreadable sidecar contributes unknown (0) rows, so
+      // the walk conservatively keeps going — whole objects only, Spark
+      // re-applies the exact limit (and the TopN's retained sort owns
+      // the within-hour tie-break). TopN DESC walks the keys hour-
+      // REVERSED: zero-padded key prefixes make hour order string order.
+      val n = limit.orElse(topN.map(_._2)).get.toLong
+      val ordered = topN match {
+        case Some((desc, _)) =>
+          val byHour = keys.sortBy(_.take(13)) // YYYY/MM/DD/HH prefix
+          if (desc) byHour.reverse else byHour
+        case None => keys
+      }
       val kept = Seq.newBuilder[String]
       var known = 0L
       var allKnown = true
-      val it = keys.iterator
+      val it = ordered.iterator
       var covered = n <= 0L
       while (it.hasNext && !covered) {
         val k = it.next()

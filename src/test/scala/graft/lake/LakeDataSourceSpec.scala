@@ -353,6 +353,73 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(q5.count() == 100)
   }
 
+  test("TopN by _event_hour plans an hour-ordered object prefix, DESC and ASC") {
+    val root = freshRoot()
+    fixture(root, hour = "2024-06-10T08:00:00Z") // 4 objects
+    fixture(root, hour = "2024-06-11T09:00:00Z") // 4 objects
+    fixture(root, hour = "2024-06-12T10:00:00Z") // 4 objects
+    // newest 300: covered by two objects of the LATEST hour
+    val qd = dsv2(root).orderBy(col("_event_hour").desc).limit(300)
+    val sd = lakeScan(qd)
+    assert(sd.plannedKeys.size == 2 &&
+      sd.plannedKeys.forall(_.startsWith("2024/06/12/10/")),
+      s"newest-n must plan latest-hour objects only: ${sd.plannedKeys}")
+    val rowsD = qd.collect()
+    assert(rowsD.length == 300 && rowsD.forall(
+      _.getTimestamp(5).toInstant == Instant.parse("2024-06-12T10:00:00Z")))
+    // oldest 300: earliest hour
+    val qa = dsv2(root).orderBy(col("_event_hour")).limit(300)
+    val sa = lakeScan(qa)
+    assert(sa.plannedKeys.size == 2 &&
+      sa.plannedKeys.forall(_.startsWith("2024/06/10/08/")), s"${sa.plannedKeys}")
+    assert(qa.count() == 300)
+    // ordering on a DATA column must NOT push (object layout says
+    // nothing about it) — full result stays exact
+    val qid = dsv2(root).orderBy(col("id").desc).limit(5)
+    assert(!qid.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    assert(qid.collect().map(_.getLong(0)).toSeq ==
+      Seq.fill(3)(10000000000000001L) ++ Seq(999L, 999L))
+  }
+
+  test("write clustering: option(clusterBy) lands value-banded objects that prune") {
+    import spark.implicits._
+    val root = freshRoot()
+    fixture(root) // bootstraps table dt (schema authority)
+    val store = new HadoopStore(root)
+    val before = LakeReader.listTableKeys(store, "dt", None).size
+    // append 1000 UNSORTED rows; clusterBy must band them by id
+    val extra = (1000 until 2000).map { i =>
+      (s"t${i % 4}", i.toLong * 37 % 1000 + 2000, i / 8.0, i % 2 == 0,
+        java.sql.Timestamp.from(Instant.parse("2024-06-03T00:00:00Z")))
+    }.toDF("tag", "id", "score", "ok", "ts")
+      .withColumn("_event_hour",
+        lit(java.sql.Timestamp.from(Instant.parse("2024-06-10T23:00:00Z"))))
+    extra.write.format("graft-lake").option("table", "dt")
+      .option("flushTime", "2024-06-10T11:00:00Z")
+      .option("zoneMaps", "true")
+      .option("clusterBy", "id").option("writePartitions", "4")
+      .mode("append").save(root)
+    val after = LakeReader.listTableKeys(store, "dt", None)
+    val appended = after.filter(_.startsWith("2024/06/10/11/"))
+    assert(appended.size == 4, s"writePartitions must cap objects: $appended")
+    // banded layout: each appended object's [min,max] id bands are
+    // DISJOINT (range distribution + in-task ordering)
+    val bands = appended.map { k =>
+      val s = ZoneMaps.read(store, k).get.cols("id")
+      (s.min.get.longValueExact(), s.max.get.longValueExact())
+    }.sortBy(_._1)
+    assert(bands.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"clustered bands must be disjoint: $bands")
+    // and the bands bite: a narrow id filter keeps ONE appended object
+    val q = dsv2(root).where(col("id") >= lit(bands(1)._1) &&
+      col("id") <= lit(bands(1)._1 + 10))
+    assert(lakeScan(q).plannedKeys.count(_.startsWith("2024/06/10/11/")) == 1,
+      s"${lakeScan(q).plannedKeys}")
+    assert(before == 4) // fixture sanity
+  }
+
   test("a planned object retired by maintenance mid-scan is skipped, never a query failure") {
     val root = freshRoot()
     fixture(root)
