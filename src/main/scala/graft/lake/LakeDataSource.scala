@@ -150,7 +150,8 @@ final class LakeTable(rootUri: String, tableName: String,
   override def name(): String = s"graft-lake:$tableName"
   override def schema(): StructType = LakeDataSource.outputStruct(lakeSchema)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(rootUri, tableName, lakeSchema)
 
@@ -180,13 +181,14 @@ final class LakeTable(rootUri: String, tableName: String,
       require(f.dataType == t.sparkType,
         s"column $nm: write type ${f.dataType} must match declared ${t.sparkType}")
     }
-    new LakeWriteBuilder(rootUri, ls, in, info.options())
+    new LakeWriteBuilder(rootUri, ls, in, info.options(), info.queryId())
   }
 }
 
 final class LakeWriteBuilder(rootUri: String, lakeSchema: TableSchema,
                              inSchema: StructType,
-                             options: CaseInsensitiveStringMap)
+                             options: CaseInsensitiveStringMap,
+                             queryId: String = "")
     extends WriteBuilder {
   override def build(): Write = {
     val clusterBy = Option(options.get("clusterby")).map(_.split(',')
@@ -202,7 +204,8 @@ final class LakeWriteBuilder(rootUri: String, lakeSchema: TableSchema,
       Option(options.get("bloomcolumns")).map(_.split(',').map(_.trim)
         .filter(_.nonEmpty).toSeq).getOrElse(Nil),
       clusterBy,
-      Option(options.get("writepartitions")).map(_.toInt).getOrElse(0))
+      Option(options.get("writepartitions")).map(_.toInt).getOrElse(0),
+      Option(options.get("sinkid")).getOrElse(queryId))
   }
 }
 
@@ -220,10 +223,16 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
                       inSchema: StructType, flushTime: Instant, gzip: Boolean,
                       maxRecordsPerObject: Long, zoneMaps: Boolean,
                       bloomColumns: Seq[String],
-                      clusterBy: Seq[String] = Nil, writePartitions: Int = 0)
+                      clusterBy: Seq[String] = Nil, writePartitions: Int = 0,
+                      sinkId: String = "")
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   private val staging = s"_staging/dsv2-${java.util.UUID.randomUUID()}"
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new LakeStreamingWrite(rootUri, lakeSchema, inSchema, gzip,
+      maxRecordsPerObject, zoneMaps, sinkId)
 
   /** Declarative write LAYOUT (`option("clusterBy", "user_id")`): Spark
     * range-partitions and sorts the incoming rows on the cluster
@@ -285,6 +294,98 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
 }
 
 final case class LakeCommitMessage(keys: Seq[String]) extends WriterCommitMessage
+
+/** `df.writeStream.format("graft-lake")` — the [[graft.streaming
+  * .LakeSink]] epoch protocol on the DSv2 surface, sharing its key
+  * SEED FORMAT so both sinks speak one replay discipline: tasks write
+  * rolled objects under an epoch-scoped `_staging/` prefix; commit
+  * renames the successful attempts' objects to DETERMINISTIC names
+  * seeded `sinkId:table:epoch:index` (sinkId defaults to the streaming
+  * QUERY id — stable across restarts — so a replayed epoch REWRITES its
+  * keys instead of duplicating), then probe-deletes contiguous
+  * higher-index leftovers from a fatter first attempt. Stale sidecars
+  * under rewritten keys are removed, never swallowed (the LakeSink
+  * contract, [[graft.streaming.LakeSink.landBatch]]). Same caveat too:
+  * a replay that crosses the UTC hour boundary re-lands under the new
+  * hour — compaction/upsert are the recovery. */
+final class LakeStreamingWrite(rootUri: String, lakeSchema: TableSchema,
+                               inSchema: StructType, gzip: Boolean,
+                               maxRecordsPerObject: Long, zoneMaps: Boolean,
+                               sinkId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  require(sinkId.nonEmpty,
+    "graft-lake streaming write needs a sink identity (Spark's queryId or option(\"sinkId\"))")
+
+  // micro-batch epochs run serially: each factory creation stamps the
+  // epoch's flushTime + staging prefix, read back by the commit/abort
+  // that follows it
+  @volatile private var current: (Instant, String) = _
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val flushTime = Instant.now()
+    val staging = s"_staging/dsv2s-${lakeSchema.name}-${java.util.UUID.randomUUID()}"
+    current = (flushTime, staging)
+    new LakeStreamingWriterFactory(rootUri, lakeSchema, inSchema,
+      s"$staging/", flushTime, gzip, maxRecordsPerObject, zoneMaps)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val (flushTime, staging) = current
+    val store = new HadoopStore(rootUri)
+    try {
+      val staged = messages.flatMap { case LakeCommitMessage(keys) => keys }.sorted
+      def epochKey(i: Int): String = {
+        val seed = s"$sinkId:${lakeSchema.name}:$epochId:$i"
+        val id = java.util.UUID.nameUUIDFromBytes(
+          seed.getBytes(StandardCharsets.UTF_8))
+        LakeKeys.objectKey(lakeSchema.name, flushTime, id, gzip)
+      }
+      staged.zipWithIndex.foreach { case (k, i) =>
+        val dst = epochKey(i)
+        store.rename(k, dst)
+        if (zoneMaps) store.rename(ZoneMaps.statsKey(k), ZoneMaps.statsKey(dst))
+        // a rewritten epoch is not byte-identical: stale sidecars under
+        // dst would prune wrongly — delete, never swallow (a real store
+        // fault must fail the epoch so the replay heals)
+        else store.delete(ZoneMaps.statsKey(dst))
+        store.delete(BloomMaps.bloomKey(dst))
+      }
+      // a replay that produced FEWER objects than the first attempt:
+      // leftovers are index-contiguous — probe until the first miss
+      var i = staged.length
+      var more = true
+      while (more) {
+        val k = epochKey(i)
+        if (store.exists(k)) {
+          store.delete(k)
+          ZoneMaps.deleteSidecarSignaled(store, k,
+            "graft-lake streaming leftover-cleanup")
+          i += 1
+        } else more = false
+      }
+    } finally cleanup(store, staging)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    if (current != null) cleanup(new HadoopStore(rootUri), current._2)
+
+  private def cleanup(store: Store, staging: String): Unit = {
+    try store.deletePrefix(staging) catch { case _: Throwable => () }
+    try store.deletePrefix(ZoneMaps.Prefix + staging) catch { case _: Throwable => () }
+  }
+}
+
+final class LakeStreamingWriterFactory(rootUri: String, lakeSchema: TableSchema,
+                                       inSchema: StructType, keyPrefix: String,
+                                       flushTime: Instant, gzip: Boolean,
+                                       maxRecordsPerObject: Long, zoneMaps: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new LakeDataWriter(rootUri, lakeSchema, inSchema, keyPrefix, flushTime,
+      gzip, maxRecordsPerObject, zoneMaps, Nil)
+}
 
 final class LakeWriterFactory(rootUri: String, lakeSchema: TableSchema,
                               inSchema: StructType, keyPrefix: String,

@@ -483,6 +483,79 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(dsv2(root).count() == 1100, "refused writes must change nothing")
   }
 
+  test("streaming write: epochs land with deterministic keys; a replayed epoch REWRITES, never duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    avoidHourBoundary()
+    val root = freshRoot()
+    val sch = TableSchema("sv", Seq("id" -> ColType.CInteger, "tag" -> ColType.CString))
+    // bootstrap: the table is the schema authority for the connector
+    LakeWriter.write(Seq((0L, "seed")).toDF("id", "tag"), sch, root,
+      Instant.parse("2024-07-01T00:00:00Z"))
+    val store = new HadoopStore(root)
+    def svRead = spark.read.format("graft-lake").option("table", "sv").load(root)
+
+    // ---- end-to-end: writeStream.format("graft-lake") -------------------
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toFile.getAbsolutePath
+    val q = ms.toDF().toDF("id", "tag")
+      .withColumn("_event_hour",
+        lit(java.sql.Timestamp.from(Instant.parse("2024-07-01T23:00:00Z"))))
+      .writeStream.format("graft-lake")
+      .option("table", "sv").option("sinkId", "spec-sink")
+      .option("checkpointLocation", ckpt)
+      .start(root)
+    try {
+      ms.addData((1 to 100).map(i => (i.toLong, s"t${i % 3}")): _*)
+      q.processAllAvailable()
+      ms.addData((101 to 150).map(i => (i.toLong, s"t${i % 3}")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = svRead
+    assert(back.count() == 151, "seed + 150 streamed rows")
+    // every streamed object's key is the DETERMINISTIC epoch name
+    val streamed = LakeReader.listTableKeys(store, "sv", None)
+      .filterNot(_.startsWith("2024/07/01/00/"))
+    val expected = (for (epoch <- 0 to 1; i <- 0 until 32) yield
+      java.util.UUID.nameUUIDFromBytes(
+        s"spec-sink:sv:$epoch:$i".getBytes("UTF-8")).toString).toSet
+    assert(streamed.nonEmpty && streamed.forall(k =>
+      expected.contains(k.split('/').last.stripSuffix(".csv.gz"))),
+      s"keys must be epoch-deterministic: $streamed")
+    assert(store.list("_staging").isEmpty, "no staging residue")
+
+    // ---- replay discipline, driven directly -----------------------------
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val inStruct = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_event_hour",
+        org.apache.spark.sql.types.TimestampType)))
+    def runEpoch(writers: Int, rowsPer: Int): Unit = {
+      val sw = new LakeStreamingWrite(root, sch, inStruct, true, 0L, false, "replay")
+      val f = sw.createStreamingWriterFactory(null)
+      val msgs = (0 until writers).map { p =>
+        val w = f.createWriter(p, p.toLong, 7L)
+        (0 until rowsPer).foreach { i =>
+          w.write(new GenericInternalRow(Array[Any](
+            java.lang.Long.valueOf(p * 1000L + i),
+            UTF8String.fromString("r"), java.lang.Long.valueOf(0L))))
+        }
+        w.commit()
+      }
+      sw.commit(7L, msgs.toArray)
+    }
+    val before = svRead.count()
+    runEpoch(writers = 2, rowsPer = 10) // first attempt: 2 objects, 20 rows
+    assert(svRead.count() == before + 20)
+    runEpoch(writers = 1, rowsPer = 5) // replay, slimmer: must REWRITE + clean
+    assert(svRead.count() == before + 5,
+      "a replayed epoch rewrites its keys and cleans leftover indices")
+    assert(store.list("_staging").isEmpty)
+  }
+
   test("missing table and missing options fail loudly; drifted header fails the scan") {
     val root = freshRoot()
     fixture(root)
