@@ -258,21 +258,50 @@ final class LakeAggReader(rootUri: String, lakeSchema: TableSchema,
 
   /** Raw per-record contributions off the object's rows: count columns
     * 0/1, min/max columns the row's value — Spark's final merge owns
-    * the ordering semantics (NaN, -0.0) exactly as a row scan would. */
+    * the ordering semantics (NaN, -0.0) exactly as a row scan would.
+    *
+    * A fallback object that yields NO rows (sidecar-less AND retired by
+    * the maintenance race, or header-only) emits one explicit ZERO
+    * contribution in the UNGROUPED case: counts 0, min/max null — it
+    * changes no answer, but guarantees a global aggregate's final merge
+    * never runs over an empty scan (where `sum` of zero partial counts
+    * would be NULL, not 0). Grouped-by-hour scans correctly emit
+    * nothing — a vanished hour is no group, same as a row scan. */
   private def fallbackRows(key: String, hourMicros: Long): Iterator[InternalRow] = {
     inner = new LakeObjectReader(rootUri, lakeSchema, fallbackStruct,
       LakeInputPartition(key, hourMicros / 1000L))
     new Iterator[InternalRow] {
       private var ready = false
       private var done = false
+      private var emitted = false
+      private var zeroPending = false
       override def hasNext: Boolean = {
+        if (zeroPending) return true
         if (done) return false
-        if (!ready) { ready = inner.next(); done = !ready }
+        if (!ready) {
+          ready = inner.next(); done = !ready
+          if (done && !emitted && !pushed.groupByHour) { zeroPending = true; return true }
+        }
         ready
+      }
+      private def zeroRow(): InternalRow = {
+        zeroPending = false
+        val vals = new Array[Any](groupWidth + pushed.specs.length)
+        var i = 0
+        while (i < pushed.specs.length) {
+          vals(groupWidth + i) = pushed.specs(i) match {
+            case SCountStar | SCount(_) => java.lang.Long.valueOf(0L)
+            case _ => null
+          }
+          i += 1
+        }
+        new GenericInternalRow(vals)
       }
       override def next(): InternalRow = {
         if (!hasNext) throw new NoSuchElementException
+        if (zeroPending) return zeroRow()
         ready = false
+        emitted = true
         val r = inner.get()
         val vals = new Array[Any](groupWidth + pushed.specs.length)
         if (pushed.groupByHour) vals(0) = java.lang.Long.valueOf(hourMicros)

@@ -572,8 +572,11 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
 
   override def filter(filters: Array[Filter]): Unit = synchronized {
     val usable = filters.filter(f => LakePrune.prunable(f, lakeSchema))
-    if (usable.nonEmpty) {
-      runtime = runtime ++ usable
+    // distinct: re-executing the same plan re-delivers the same runtime
+    // filters — idempotent semantics, so keep the array bounded too
+    val merged = (runtime ++ usable).distinct
+    if (!merged.sameElements(runtime)) {
+      runtime = merged
       plannedCache = null // next planInputPartitions re-prunes
     }
   }

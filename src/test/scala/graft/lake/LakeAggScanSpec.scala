@@ -125,6 +125,31 @@ class LakeAggScanSpec extends SparkSuite {
     assert(rows(1).getTimestamp(0).toInstant == Instant.parse("2024-06-21T09:00:00Z"))
   }
 
+  test("a global aggregate over zero contributions returns 0/NULL, never an empty result") {
+    // the degenerate lake: one HEADER-ONLY object, no sidecar — the
+    // fallback yields no data rows, and without the explicit zero
+    // contribution Spark's final merge (sum over an EMPTY scan) would
+    // return NULL for count(*)
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    val key = "2024/06/25/08/zt/11111111-2222-3333-4444-555555555555.csv.gz"
+    val out = new java.util.zip.GZIPOutputStream(store.create(key))
+    out.write("#INTEGER,STRING\nid,tag\n".getBytes("UTF-8")); out.close()
+    val q = spark.read.format("graft-lake").option("table", "zt").load(root)
+      .agg(count(lit(1)).as("n"), count(col("id")).as("n_id"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"))
+    assert(pushed(q))
+    val r = q.collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L,
+      s"counts must be 0, not NULL/missing: ${r.toSeq}")
+    assert(r.isNullAt(2) && r.isNullAt(3))
+    // grouped by hour: a zero-contribution hour is NO group — exactly
+    // what a row scan of the same lake produces
+    val g = spark.read.format("graft-lake").option("table", "zt").load(root)
+      .groupBy(col("_event_hour")).agg(count(lit(1)).as("n"))
+    assert(pushed(g) && g.collect().isEmpty)
+  }
+
   test("pushdown refused where unsound: filters, string min/max, distinct, data-column group") {
     val root = freshRoot()
     fixture(root, withNaN = false)
