@@ -153,7 +153,8 @@ final class LakeTable(rootUri: String, tableName: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LakeScanBuilder(rootUri, tableName, lakeSchema)
+    new LakeScanBuilder(rootUri, tableName, lakeSchema,
+      Option(options.get("clusterbyhour")).exists(_.toBoolean))
 
   /** APPEND to an existing lake table (`.mode("append")` — the lake is
     * append-only, so Overwrite/ErrorIfExists are refused by the absent
@@ -448,7 +449,8 @@ final class LakeDataWriter(rootUri: String, lakeSchema: TableSchema,
   override def close(): Unit = ()
 }
 
-final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSchema)
+final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSchema,
+                            clusterByHour: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -531,16 +533,40 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     case Some(agg) => new LakeAggScan(rootUri, table, lakeSchema, agg)
     case None =>
       new LakeScan(rootUri, table, lakeSchema, required, pushed, pushedLimit,
-        pushedTopN)
+        pushedTopN, clusterByHour)
   }
 }
 
 final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
                      required: StructType, pushed: Array[Filter],
                      limit: Option[Int] = None,
-                     topN: Option[(Boolean, Int)] = None)
+                     topN: Option[(Boolean, Int)] = None,
+                     clusterByHour: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+
+  /** STORAGE-PARTITIONED execution (`option("clusterByHour", true)` +
+    * `spark.sql.sources.v2.bucketing.enabled`): the key layout already
+    * clusters every object under exactly one `_event_hour`, so the scan
+    * can PROVE hour-clustering to Catalyst — `GROUP BY _event_hour`
+    * rollups and lake↔lake joins ON `_event_hour` then run with NO
+    * shuffle on the lake side (Spark groups same-hour objects into one
+    * task, the Iceberg storage-partitioned-join shape). Opt-IN because
+    * the proof costs parallelism: tasks become one-per-HOUR, not
+    * one-per-object — right when the query keys on the hour (at lake
+    * scale hours outnumber cores), wrong for a plain full scan of a
+    * few-hour lake. Reported only while `_event_hour` survives column
+    * pruning (the keys must resolve against the scan output). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (clusterByHour &&
+        required.fieldNames.contains(LakeDataSource.EventHourCol)) {
+      val hours = plannedKeys.map(_.take(13)).distinct.size
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.identity(LakeDataSource.EventHourCol)), hours)
+    } else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        plannedKeys.size)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -705,7 +731,14 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
 }
 
 final case class LakeInputPartition(key: String, hourMillis: Long)
-    extends InputPartition
+    extends InputPartition with HasPartitionKey {
+  /** The object's hour as a one-column key row (timestamp micros) — what
+    * lets Spark GROUP same-hour objects into one task when the scan
+    * reports [[LakeScan.outputPartitioning]] hour-clustering. Inert
+    * otherwise (Spark reads it only under the v2-bucketing conf). */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](hourMillis * 1000L))
+}
 
 final class LakeReaderFactory(rootUri: String, lakeSchema: TableSchema,
                               required: StructType)

@@ -1,0 +1,212 @@
+package graft.lake
+
+import graft.types.TableSchema
+
+import java.time.Instant
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+
+/** The typed-CSV lake as a DSv2 MICRO-BATCH source —
+  * `spark.readStream.format("graft-lake").option("table", t).load(root)` —
+  * completing the connector's read/write × batch/streaming matrix (the
+  * write half is [[LakeStreamingWrite]]; the glob-based alternative is
+  * [[LakeReader.readStreamOf]]). Rows come off the connector's own codec
+  * ([[LakeObjectReader]]), so `_event_hour` and every wire rule match the
+  * batch scan exactly.
+  *
+  * '''Offsets''' are the discovered-object ledger: an offset is the SET of
+  * processed object keys (sorted, so the JSON is canonical) plus an
+  * optional sealed-hour `frontier`. A micro-batch is exactly
+  * `end.seen -- start.seen` — replay-deterministic from the checkpoint
+  * alone, which is what gives end-to-end exactly-once with the engine's
+  * idempotent sinks. Discovery is the pruned hour walk
+  * ([[LakeReader.listTableKeys]] above the frontier), never a full
+  * recursive listing.
+  *
+  * '''Bounded driver state''' (the 100-TB posture): with
+  * `option("maxHourAge", n)` hours older than `newest seen hour - n` SEAL —
+  * their keys leave the ledger and their directories leave the discovery
+  * walk, so offset size is bounded by the age window's object count
+  * instead of the lake's. The price is a LATENESS BOUND, exactly the file
+  * source's `maxFileAge` trade: an object landing in a sealed hour is
+  * ignored. Unset (the default) the ledger is exact and grows with the
+  * table — right for tests and bounded topics, wrong for years of hours.
+  * Sealing never forfeits a DISCOVERED object: the frontier stays below
+  * the oldest undelivered key, however far a `maxObjectsPerTrigger`
+  * backlog stretches.
+  *
+  * '''Admission control''': `maxObjectsPerTrigger` caps a micro-batch (the
+  * sorted-prefix objects, so backfills drain oldest-hour-first);
+  * `Trigger.AvailableNow` pins the listing at start and drains exactly it,
+  * in capped batches. `option("startFrom", "latest")` begins at the
+  * current snapshot (everything already landed is marked seen, not
+  * replayed) — the backfill-free deployment.
+  *
+  * Same maintenance contract as [[LakeReader.readStreamOf]]: compact only
+  * behind every consumer's frontier (a compacted object would be
+  * re-discovered as new data; a deleted planned one degrades to a skip via
+  * [[LakeObjectReader]]'s missing-object tolerance). */
+final class LakeMicroBatchStream(rootUri: String, table: String,
+                                 lakeSchema: TableSchema, required: StructType,
+                                 maxObjectsPerTrigger: Option[Int],
+                                 maxHourAge: Option[Int],
+                                 startFromLatest: Boolean)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  require(maxObjectsPerTrigger.forall(_ > 0),
+    s"maxObjectsPerTrigger must be positive, got $maxObjectsPerTrigger")
+  require(maxHourAge.forall(_ >= 0),
+    s"maxHourAge must be >= 0 hours, got $maxHourAge")
+
+  private def store = new HadoopStore(rootUri)
+
+  // Trigger.AvailableNow pins discovery at prepare time; None = live
+  @volatile private var pinned: Option[Seq[String]] = None
+
+  /** Keys of `table` in hours STRICTLY above `frontier` (the sealed-hour
+    * walk: sealed directories are never listed again). */
+  private def discover(frontier: Option[String]): Seq[String] =
+    LakeReader.listTableKeys(store, table, frontier.map { f =>
+      (LakeStreamOffset.hourInstant(f).plus(1, ChronoUnit.HOURS),
+        Instant.parse("9999-12-31T23:00:00Z"))
+    })
+
+  override def initialOffset(): Offset =
+    if (startFromLatest) LakeStreamOffset(None, discover(None).sorted)
+    else LakeStreamOffset(None, Nil)
+
+  override def deserializeOffset(json: String): Offset =
+    LakeStreamOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxObjectsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    // the snapshot is frontier-free (an AvailableNow run starts from the
+    // checkpointed offset, whose frontier filters below)
+    pinned = Some(discover(None))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this source (SupportsAdmissionControl)")
+
+  override def reportLatestOffset(): Offset = {
+    // progress-reporting only: the UNCAPPED target from a live listing
+    val seen = Set.empty[String] // not tracked here; report the full set
+    val listed = pinned.getOrElse(discover(None))
+    LakeStreamOffset(None, (seen ++ listed).toSeq.sorted)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val st = start.asInstanceOf[LakeStreamOffset]
+    val listed = pinned.getOrElse(discover(st.frontier))
+      // a pinned (AvailableNow) snapshot still honors the sealed frontier
+      .filter(k => st.frontier.forall(f => LakeStreamOffset.hourOf(k) > f))
+    val seen0 = st.seen.toSet
+    val fresh = listed.filterNot(seen0).sorted
+    val take = limit match {
+      case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
+      case _ => fresh
+    }
+    val seen1 = st.seen ++ take
+    // seal: advance the frontier to (newest seen hour - age), but NEVER
+    // past an hour still holding undelivered (listed-not-taken) keys —
+    // a capped backlog must drain, not forfeit
+    val frontier1 = maxHourAge match {
+      case Some(age) if seen1.nonEmpty =>
+        val newest = LakeStreamOffset.hourInstant(
+          seen1.iterator.map(LakeStreamOffset.hourOf).max)
+        val sealCandidate = LakeKeys.datePrefix(
+          newest.minus(age.toLong, ChronoUnit.HOURS))
+        val undelivered = fresh.drop(take.size)
+        val cap = undelivered.headOption.map(k =>
+          LakeStreamOffset.hourBefore(LakeStreamOffset.hourOf(k)))
+        val next = cap.fold(sealCandidate)(c =>
+          if (c < sealCandidate) c else sealCandidate)
+        // monotone: a frontier never retreats
+        Some(st.frontier.fold(next)(f => if (next > f) next else f))
+      case _ => st.frontier
+    }
+    // sealed hours leave the ledger (their keys can never be re-listed)
+    val seen2 = frontier1.fold(seen1)(f =>
+      seen1.filter(k => LakeStreamOffset.hourOf(k) > f))
+    LakeStreamOffset(frontier1, seen2.sorted)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LakeStreamOffset].seen.toSet
+    val e = end.asInstanceOf[LakeStreamOffset].seen
+    e.filterNot(s).sorted.map { k =>
+      LakeInputPartition(k, LakeKeys.parseKey(k).get._1.toEpochMilli)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(rootUri, lakeSchema, required)
+
+  override def commit(end: Offset): Unit = () // the checkpoint is the state
+  override def stop(): Unit = ()
+}
+
+/** The ledger offset: sorted processed keys + optional sealed-hour
+  * frontier (`YYYY/MM/DD/HH`, lexicographic = chronological). JSON is
+  * canonical — sorted keys, fixed field order — so Spark's offset
+  * equality (`json()` comparison) means set equality. */
+final case class LakeStreamOffset(frontier: Option[String], seen: Seq[String])
+    extends Offset {
+  override def json(): String = {
+    val f = frontier.fold("null")(graft.Json.str)
+    s"""{"frontier":$f,"seen":${seen.map(graft.Json.str).mkString("[", ",", "]")}}"""
+  }
+}
+
+object LakeStreamOffset {
+  /** The key's `YYYY/MM/DD/HH` prefix (zero-padded: string order = time). */
+  def hourOf(key: String): String = key.take(13)
+
+  def hourInstant(hour: String): Instant = {
+    val Array(y, m, d, h) = hour.split('/')
+    Instant.parse(f"${y.toInt}%04d-${m.toInt}%02d-${d.toInt}%02dT${h.toInt}%02d:00:00Z")
+  }
+
+  def hourBefore(hour: String): String =
+    LakeKeys.datePrefix(hourInstant(hour).minus(1, ChronoUnit.HOURS))
+
+  /** Parse [[LakeStreamOffset.json]]. Strict to THIS shape: lake keys
+    * contain no quotes or escapes (uuid/date/table segments,
+    * [[LakeKeys.isValidTableName]]), so quoted-string extraction is
+    * exact; anything unexpected fails loudly rather than resuming a
+    * stream from a half-read checkpoint. */
+  def fromJson(json: String): LakeStreamOffset = {
+    val t = json.trim
+    require(t.startsWith("{\"frontier\":") && t.endsWith("]}"),
+      s"not a graft-lake stream offset: $t")
+    val rest = t.stripPrefix("{\"frontier\":")
+    val (frontier, afterF) =
+      if (rest.startsWith("null")) (None, rest.stripPrefix("null"))
+      else {
+        require(rest.startsWith("\""), s"bad frontier in offset: $t")
+        val end = rest.indexOf('"', 1)
+        (Some(rest.substring(1, end)), rest.substring(end + 1))
+      }
+    require(afterF.startsWith(",\"seen\":[") && afterF.endsWith("]}"),
+      s"bad seen array in offset: $t")
+    val body = afterF.stripPrefix(",\"seen\":[").stripSuffix("]}")
+    val seen =
+      if (body.isEmpty) Nil
+      else body.split(',').toSeq.map { q =>
+        require(q.length >= 2 && q.startsWith("\"") && q.endsWith("\"") &&
+            !q.substring(1, q.length - 1).contains("\""),
+          s"bad key in offset: $q")
+        q.substring(1, q.length - 1)
+      }
+    seen.foreach(k => require(LakeKeys.parseKey(k).isDefined,
+      s"offset key is not a lake object key: $k"))
+    LakeStreamOffset(frontier, seen)
+  }
+}

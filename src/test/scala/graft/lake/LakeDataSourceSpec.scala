@@ -556,6 +556,85 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(store.list("_staging").isEmpty)
   }
 
+  /** Set confs, run the body, restore — the suite's session is shared. */
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val saves = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saves.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("hour-clustered scan: GROUP BY _event_hour aggregates with NO shuffle; off by default") {
+    val root = freshRoot()
+    for (h <- Seq("2024-06-10T08:00:00Z", "2024-06-10T09:00:00Z",
+                  "2024-06-10T10:00:00Z")) fixture(root, h)
+    def agg(df: DataFrame) = df.groupBy(col("_event_hour"))
+      .agg(sum("id").as("s"), count(lit(1)).as("n")) // sum: not pushable, so
+    // the PLAIN scan path (not LakeAggScan) carries the clustering proof
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val viaOption = agg(spark.read.format("graft-lake")
+        .option("table", "dt").option("clusterByHour", "true").load(root))
+      val rows = viaOption.collect()
+      assert(rows.length == 3)
+      val plan = viaOption.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"hour-grouped agg over an hour-clustered scan must not shuffle:\n$plan")
+      // the proof is what removed the shuffle: without the option the
+      // same aggregate exchanges on _event_hour
+      val base = agg(dsv2(root))
+      assert(base.collect().length == 3)
+      assert(base.queryExecution.executedPlan.toString.contains("Exchange"),
+        "the unclustered scan must still shuffle (nothing proves clustering)")
+      // and the two answers are identical
+      assert(base.exceptAll(viaOption).count() == 0 &&
+        viaOption.exceptAll(base).count() == 0)
+    }
+    // conf OFF: the report is inert even WITH the option (Spark ignores
+    // reported partitionings entirely) — the engine default is ON
+    // (Sessions.builder), this pins the conf as the global kill switch
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+      val off = agg(spark.read.format("graft-lake").option("table", "dt")
+        .option("clusterByHour", "true").load(root))
+      assert(off.collect().length == 3)
+      assert(off.queryExecution.executedPlan.toString.contains("Exchange"),
+        "with the conf off the scan's report is ignored: the agg shuffles")
+    }
+  }
+
+  test("storage-partitioned join: hour-clustered lakes join ON _event_hour shuffle-free, mismatched hours included") {
+    val rootA = freshRoot(); val rootB = freshRoot()
+    for (h <- Seq("2024-06-10T08:00:00Z", "2024-06-10T09:00:00Z",
+                  "2024-06-10T10:00:00Z")) fixture(rootA, h)
+    // B misses hour 08 and adds hour 11: partition values MISMATCH, the
+    // case pushPartValues exists for (one side's missing hour planned as
+    // an empty group, never a wrong or failed join)
+    for (h <- Seq("2024-06-10T09:00:00Z", "2024-06-10T10:00:00Z",
+                  "2024-06-10T11:00:00Z")) fixture(rootB, h)
+    def clustered(root: String) = spark.read.format("graft-lake")
+      .option("table", "dt").option("clusterByHour", "true").load(root)
+    def hourly(df: DataFrame, s: String, n: String) = df
+      .groupBy(col("_event_hour")).agg(sum("id").as(s), count(lit(1)).as(n))
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = hourly(clustered(rootA), "sa", "na")
+        .join(hourly(clustered(rootB), "sb", "nb"), Seq("_event_hour"))
+      val rows = joined.collect()
+      assert(rows.length == 2, s"hours 09 and 10 overlap, got ${rows.length}")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"both sides prove hour-clustering: the join must plan NO shuffle:\n$plan")
+      // equality against the unclustered (shuffling) plan
+      val base = hourly(dsv2(rootA), "sa", "na")
+        .join(hourly(dsv2(rootB), "sb", "nb"), Seq("_event_hour"))
+      assert(base.exceptAll(joined).count() == 0 &&
+        joined.exceptAll(base).count() == 0)
+    }
+  }
+
   test("missing table and missing options fail loudly; drifted header fails the scan") {
     val root = freshRoot()
     fixture(root)
