@@ -151,10 +151,19 @@ final class LakeTable(rootUri: String, tableName: String,
   override def schema(): StructType = LakeDataSource.outputStruct(lakeSchema)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(rootUri, tableName, lakeSchema,
-      Option(options.get("clusterbyhour")).exists(_.toBoolean))
+      Option(options.get("clusterbyhour")).exists(_.toBoolean),
+      LakeStreamOptions(
+        Option(options.get("maxobjectspertrigger")).map(_.toInt),
+        Option(options.get("maxhourage")).map(_.toInt),
+        Option(options.get("startfrom")).map(_.toLowerCase) match {
+          case None | Some("earliest") => false
+          case Some("latest") => true
+          case Some(other) => throw new IllegalArgumentException(
+            s"graft-lake: startFrom must be earliest|latest, got $other")
+        }))
 
   /** APPEND to an existing lake table (`.mode("append")` — the lake is
     * append-only, so Overwrite/ErrorIfExists are refused by the absent
@@ -449,8 +458,15 @@ final class LakeDataWriter(rootUri: String, lakeSchema: TableSchema,
   override def close(): Unit = ()
 }
 
+/** Streaming-read knobs threaded from the reader options (inert for
+  * batch scans): see [[LakeMicroBatchStream]]. */
+final case class LakeStreamOptions(maxObjectsPerTrigger: Option[Int] = None,
+                                   maxHourAge: Option[Int] = None,
+                                   startFromLatest: Boolean = false)
+
 final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSchema,
-                            clusterByHour: Boolean = false)
+                            clusterByHour: Boolean = false,
+                            streamOptions: LakeStreamOptions = LakeStreamOptions())
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -533,7 +549,7 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     case Some(agg) => new LakeAggScan(rootUri, table, lakeSchema, agg)
     case None =>
       new LakeScan(rootUri, table, lakeSchema, required, pushed, pushedLimit,
-        pushedTopN, clusterByHour)
+        pushedTopN, clusterByHour, streamOptions)
   }
 }
 
@@ -541,9 +557,21 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
                      required: StructType, pushed: Array[Filter],
                      limit: Option[Int] = None,
                      topN: Option[(Boolean, Int)] = None,
-                     clusterByHour: Boolean = false)
+                     clusterByHour: Boolean = false,
+                     streamOptions: LakeStreamOptions = LakeStreamOptions())
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
+
+  /** `spark.readStream.format("graft-lake")` — the micro-batch twin of
+    * this scan ([[LakeMicroBatchStream]]): same codec, same required
+    * schema, offsets = the processed-object ledger in the checkpoint.
+    * Pushed filters don't reach streaming scans (Spark applies them
+    * row-level post-scan), so the stream reads every discovered object. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LakeMicroBatchStream(rootUri, table, lakeSchema, required,
+      streamOptions.maxObjectsPerTrigger, streamOptions.maxHourAge,
+      streamOptions.startFromLatest)
 
   /** STORAGE-PARTITIONED execution (`option("clusterByHour", true)` +
     * `spark.sql.sources.v2.bucketing.enabled`): the key layout already

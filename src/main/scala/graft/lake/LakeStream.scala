@@ -95,12 +95,9 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) drives this source (SupportsAdmissionControl)")
 
-  override def reportLatestOffset(): Offset = {
+  override def reportLatestOffset(): Offset =
     // progress-reporting only: the UNCAPPED target from a live listing
-    val seen = Set.empty[String] // not tracked here; report the full set
-    val listed = pinned.getOrElse(discover(None))
-    LakeStreamOffset(None, (seen ++ listed).toSeq.sorted)
-  }
+    LakeStreamOffset(None, pinned.getOrElse(discover(None)).sorted)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val st = start.asInstanceOf[LakeStreamOffset]
@@ -115,16 +112,20 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
     }
     val seen1 = st.seen ++ take
     // seal: advance the frontier to (newest seen hour - age), but NEVER
-    // past an hour still holding undelivered (listed-not-taken) keys —
-    // a capped backlog must drain, not forfeit
+    // into an hour with a key in `fresh` — neither the undelivered
+    // backlog (a capped batch must drain, not forfeit) nor THIS batch's
+    // own keys (planInputPartitions(start, end) is `end.seen --
+    // start.seen`; sealing a just-taken key out of `end.seen` would
+    // silently drop its delivery). `fresh` is sorted, so its head bounds
+    // both. Net effect: an hour seals only on a call AFTER its keys
+    // were delivered — exactly when delivery is already checkpointed.
     val frontier1 = maxHourAge match {
       case Some(age) if seen1.nonEmpty =>
         val newest = LakeStreamOffset.hourInstant(
           seen1.iterator.map(LakeStreamOffset.hourOf).max)
         val sealCandidate = LakeKeys.datePrefix(
           newest.minus(age.toLong, ChronoUnit.HOURS))
-        val undelivered = fresh.drop(take.size)
-        val cap = undelivered.headOption.map(k =>
+        val cap = fresh.headOption.map(k =>
           LakeStreamOffset.hourBefore(LakeStreamOffset.hourOf(k)))
         val next = cap.fold(sealCandidate)(c =>
           if (c < sealCandidate) c else sealCandidate)

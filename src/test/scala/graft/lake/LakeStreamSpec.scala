@@ -1,0 +1,221 @@
+package graft.lake
+
+import graft.SparkSuite
+import graft.types.{ColType, TableSchema}
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The DSv2 micro-batch source ([[LakeMicroBatchStream]]):
+  * `spark.readStream.format("graft-lake")`. Query-level behavior runs
+  * real streams against real checkpoints; ledger mechanics (sealing,
+  * admission, replay determinism) drive the stream object directly —
+  * offsets are pure data, so the unit layer IS the protocol. */
+class LakeStreamSpec extends SparkSuite {
+
+  private val schema = TableSchema("st", Seq(
+    "id" -> ColType.CInteger, "tag" -> ColType.CString))
+
+  private def freshRoot() =
+    s"file://${Files.createTempDirectory("graft-stream-spec").toFile.getAbsolutePath}"
+  private def freshCkpt() =
+    Files.createTempDirectory("graft-stream-ckpt").toFile.getAbsolutePath
+
+  /** n rows landed at `hour` as ~`objects` rolled objects. */
+  private def land(root: String, hour: String, ids: Range, objects: Int = 2): Unit = {
+    import spark.implicits._
+    val df = ids.map(i => (i.toLong, s"t${i % 3}")).toDF("id", "tag")
+      .orderBy("id").coalesce(1)
+    LakeWriter.write(df, schema, root, Instant.parse(hour),
+      maxRecordsPerObject = math.max(1L, (ids.size + objects - 1) / objects))
+  }
+
+  private def readStreamDf(root: String, opts: (String, String)*) = {
+    val base = spark.readStream.format("graft-lake").option("table", "st")
+    opts.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }.load(root)
+  }
+
+  test("AvailableNow drains the lake once and equals the batch read, _event_hour included") {
+    val root = freshRoot()
+    land(root, "2024-06-10T08:00:00Z", 0 until 40)
+    land(root, "2024-06-10T09:00:00Z", 40 until 100, objects = 3)
+    spark.catalog.dropTempView("st_drain") // idempotent re-runs
+    val q = readStreamDf(root).writeStream.format("memory")
+      .queryName("st_drain").outputMode("append")
+      .option("checkpointLocation", freshCkpt())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("st_drain")
+    val batch = spark.read.format("graft-lake").option("table", "st").load(root)
+    assert(streamed.schema == batch.schema)
+    assert(streamed.count() == 100)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("incremental discovery and exactly-once across a checkpoint restart") {
+    val root = freshRoot()
+    val ckpt = freshCkpt()
+    land(root, "2024-06-10T08:00:00Z", 0 until 30)
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long)] // (batch, id)
+    def start() = readStreamDf(root).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val ids = df.select("id").collect().map(_.getLong(0))
+        got.synchronized { got ++= ids.map(bid -> _) }; ()
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(got.map(_._2).sorted == (0L until 30L), s"first drain: ${got.size}")
+    land(root, "2024-06-10T09:00:00Z", 30 until 75)
+    q1.processAllAvailable()
+    assert(got.map(_._2).sorted == (0L until 75L), "second hour discovered live")
+    q1.stop()
+    // objects landing while the stream is DOWN replay exactly once from
+    // the checkpointed ledger on restart — and nothing older re-emits
+    land(root, "2024-06-10T10:00:00Z", 75 until 90)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.map(_._2).sorted == (0L until 90L),
+      s"restart must deliver exactly the missed rows, got ${got.size}")
+  }
+
+  test("maxObjectsPerTrigger bounds every micro-batch; backlog drains oldest-first") {
+    val root = freshRoot()
+    land(root, "2024-06-10T08:00:00Z", 0 until 40, objects = 4) // 4 objects
+    val batches = new scala.collection.mutable.ArrayBuffer[Array[Long]]
+    val q = readStreamDf(root, "maxObjectsPerTrigger" -> "1").writeStream
+      .option("checkpointLocation", freshCkpt())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.select("id").collect().map(_.getLong(0)) }; ()
+      }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.size == 4,
+      s"4 objects at 1/trigger = 4 batches, got ${batches.map(_.length)}")
+    assert(nonEmpty.flatten.sorted.toSeq == (0L until 40L))
+    assert(nonEmpty.forall(_.length == 10), "one 10-row object per batch")
+  }
+
+  test("startFrom=latest skips the backlog and sees only new objects") {
+    val root = freshRoot()
+    land(root, "2024-06-10T08:00:00Z", 0 until 50)
+    val got = new scala.collection.mutable.ArrayBuffer[Long]
+    val q = readStreamDf(root, "startFrom" -> "latest").writeStream
+      .option("checkpointLocation", freshCkpt())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.select("id").collect().map(_.getLong(0)) }; ()
+      }.start()
+    q.processAllAvailable()
+    assert(got.isEmpty, s"latest must skip the 50-row backlog, got ${got.size}")
+    land(root, "2024-06-10T09:00:00Z", 50 until 60)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.sorted.toSeq == (50L until 60L))
+  }
+
+  // ---- ledger mechanics, driven directly (offsets are pure data) ----
+
+  private def stream(root: String, maxPer: Option[Int] = None,
+                     age: Option[Int] = None) =
+    new LakeMicroBatchStream(root, "st", schema,
+      LakeDataSource.outputStruct(schema), maxPer, age, startFromLatest = false)
+
+  test("offset JSON round-trips canonically; corrupt offsets fail loudly") {
+    val off = LakeStreamOffset(Some("2024/06/10/07"),
+      Seq("2024/06/10/08/st/aa.csv.gz", "2024/06/10/09/st/bb.csv"))
+    assert(LakeStreamOffset.fromJson(off.json()) == off)
+    val none = LakeStreamOffset(None, Nil)
+    assert(LakeStreamOffset.fromJson(none.json()) == none)
+    intercept[IllegalArgumentException] {
+      LakeStreamOffset.fromJson("""{"frontier":null,"seen":["not-a-key"]}""")
+    }
+    intercept[IllegalArgumentException] {
+      LakeStreamOffset.fromJson("""{"wrong":1}""")
+    }
+  }
+
+  test("maxHourAge seals old hours: the ledger stays bounded, late arrivals in sealed hours are ignored") {
+    val root = freshRoot()
+    for ((h, r) <- Seq("2024-06-10T00:00:00Z" -> (0 until 10),
+                       "2024-06-10T01:00:00Z" -> (10 until 20),
+                       "2024-06-10T02:00:00Z" -> (20 until 30)))
+      land(root, h, r, objects = 1)
+    val s = stream(root, age = Some(1))
+    val start = s.initialOffset().asInstanceOf[LakeStreamOffset]
+    val end = s.latestOffset(start, ReadLimit.allAvailable())
+      .asInstanceOf[LakeStreamOffset]
+    // the batch delivers EVERYTHING — a batch's own keys never seal out
+    // of its end offset (the set difference IS the delivery)
+    assert(s.planInputPartitions(start, end).length == 3)
+    assert(end.seen.size == 3, s"nothing seals mid-delivery: ${end.seen}")
+    // the NEXT call seals: delivery of hours ≤ 01 is checkpointed, the
+    // newest hour is 02, age 1 → frontier 01, their keys leave the ledger
+    val end2 = s.latestOffset(end, ReadLimit.allAvailable())
+      .asInstanceOf[LakeStreamOffset]
+    assert(s.planInputPartitions(end, end2).isEmpty)
+    assert(end2.frontier.contains("2024/06/10/01"), s"frontier: ${end2.frontier}")
+    assert(end2.seen.forall(_.startsWith("2024/06/10/02/")) && end2.seen.size == 1,
+      s"sealed hours must leave the ledger: ${end2.seen}")
+    // a LATE object into sealed hour 00 is never discovered again…
+    land(root, "2024-06-10T00:00:00Z", 90 until 95, objects = 1)
+    val end3 = s.latestOffset(end2, ReadLimit.allAvailable())
+      .asInstanceOf[LakeStreamOffset]
+    assert(s.planInputPartitions(end2, end3).isEmpty,
+      "an object landing in a sealed hour is ignored (the lateness bound)")
+    // …but a late object in the OPEN newest hour is
+    land(root, "2024-06-10T02:00:00Z", 95 until 99, objects = 1)
+    val end4 = s.latestOffset(end3, ReadLimit.allAvailable())
+      .asInstanceOf[LakeStreamOffset]
+    assert(s.planInputPartitions(end3, end4).length == 1)
+  }
+
+  test("sealing never forfeits a capped backlog: the frontier waits below undelivered keys") {
+    val root = freshRoot()
+    for ((h, r) <- Seq("2024-06-10T00:00:00Z" -> (0 until 10),
+                       "2024-06-10T05:00:00Z" -> (10 until 20),
+                       "2024-06-10T06:00:00Z" -> (20 until 30)))
+      land(root, h, r, objects = 1)
+    val s = stream(root, maxPer = Some(1), age = Some(1))
+    var off = s.initialOffset().asInstanceOf[LakeStreamOffset]
+    val delivered = Seq.newBuilder[String]
+    for (_ <- 0 until 3) {
+      val next = s.latestOffset(off, s.getDefaultReadLimit)
+        .asInstanceOf[LakeStreamOffset]
+      val parts = s.planInputPartitions(off, next)
+      assert(parts.length <= 1)
+      delivered ++= parts.map(_.asInstanceOf[LakeInputPartition].key)
+      // invariant: no undelivered discovered key may ever sit at or
+      // below the frontier (sealing forfeits only what was delivered)
+      off = next
+    }
+    val keys = delivered.result()
+    assert(keys.length == 3 && keys == keys.sorted,
+      s"the capped backlog drains oldest-first and completely: $keys")
+    // after the drain the frontier may seal up to newest-1
+    assert(off.frontier.contains("2024/06/10/05"), s"frontier: ${off.frontier}")
+  }
+
+  test("replay determinism: planInputPartitions is a pure set difference of persisted offsets") {
+    val root = freshRoot()
+    land(root, "2024-06-10T08:00:00Z", 0 until 20, objects = 2)
+    val s = stream(root)
+    val a = s.initialOffset()
+    val b = s.latestOffset(a, ReadLimit.allAvailable())
+    land(root, "2024-06-10T09:00:00Z", 20 until 40, objects = 2)
+    val c = s.latestOffset(b, ReadLimit.allAvailable())
+    // replay through JSON (what a restart actually reads back)
+    val b2 = s.deserializeOffset(b.json())
+    val c2 = s.deserializeOffset(c.json())
+    def keysOf(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      ps.map(_.asInstanceOf[LakeInputPartition].key).sorted.toSeq
+    assert(keysOf(s.planInputPartitions(a, b2)) == keysOf(s.planInputPartitions(a, b)))
+    assert(keysOf(s.planInputPartitions(b2, c2)) == keysOf(s.planInputPartitions(b, c)))
+    assert(keysOf(s.planInputPartitions(b2, c2)).forall(_.startsWith("2024/06/10/09/")))
+  }
+}
