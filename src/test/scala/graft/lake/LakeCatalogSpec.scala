@@ -61,6 +61,23 @@ class LakeCatalogSpec extends SparkSuite {
     assert(j.collect().head.getLong(0) == 40)
   }
 
+  test("readStream.table streams a catalog-named lake table (MICRO_BATCH_READ through SQL resolution)") {
+    val (cat, root) = freshCatalog()
+    land(root, "ev", 500)
+    spark.catalog.dropTempView("cat_drain")
+    val ckpt = Files.createTempDirectory("graft-cat-ckpt").toFile.getAbsolutePath
+    val q = spark.readStream.table(s"$cat.ev")
+      .writeStream.format("memory").queryName("cat_drain")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("cat_drain")
+    val batch = spark.sql(s"SELECT * FROM $cat.ev")
+    assert(streamed.count() == 500)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
+
   test("SHOW TABLES lists the key layout's tables; missing tables fail loudly") {
     val (cat, root) = freshCatalog()
     land(root, "ev", 10)

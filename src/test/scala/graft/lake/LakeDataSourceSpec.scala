@@ -635,6 +635,38 @@ class LakeDataSourceSpec extends SparkSuite {
     }
   }
 
+  test("one-side shuffle SPJ: a plain frame shuffles INTO the lake's hour clustering; the lake side never moves") {
+    val root = freshRoot()
+    for (h <- Seq("2024-06-10T08:00:00Z", "2024-06-10T09:00:00Z",
+                  "2024-06-10T10:00:00Z")) fixture(root, h)
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      import spark.implicits._
+      val dim = Seq(8, 9, 10).map(h =>
+        (java.sql.Timestamp.from(Instant.parse(f"2024-06-10T$h%02d:00:00Z")),
+          s"label$h")).toDF("_event_hour", "label")
+      val lake = spark.read.format("graft-lake").option("table", "dt")
+        .option("clusterByHour", "true").load(root)
+      val joined = lake.join(dim, Seq("_event_hour"))
+      assert(joined.collect().length == 3000)
+      // the FINAL adaptive plan only (the string repeats the initial one)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // exactly ONE exchange — necessarily the plain side's (two sides
+      // shuffling would show two): the 100-TB lake never moves, the
+      // small frame repartitions INTO the scan's reported clustering
+      // (`Exchange keygroupedpartitioning(_event_hour, …)`)
+      val exchanges = plan.split('\n').count(_.contains("Exchange"))
+      assert(exchanges == 1,
+        s"one exchange total (the dim side), got $exchanges:\n$plan")
+      assert(plan.contains("keygroupedpartitioning"),
+        s"the dim must shuffle into the lake's hour clustering:\n$plan")
+      assert(plan.contains("BatchScan"), s"lake scan present:\n$plan")
+    }
+  }
+
   test("missing table and missing options fail loudly; drifted header fails the scan") {
     val root = freshRoot()
     fixture(root)

@@ -119,6 +119,34 @@ class LakeStreamSpec extends SparkSuite {
     assert(got.sorted.toSeq == (50L until 60L))
   }
 
+  test("lake→lake streaming pipeline: readStream(graft-lake) → writeStream(graft-lake), exactly-once through a restart") {
+    avoidHourBoundary()
+    val src = freshRoot(); val dst = freshRoot()
+    val ckpt = freshCkpt()
+    land(src, "2024-06-10T08:00:00Z", 0 until 30)
+    // bootstrap: the destination table is the connector's schema authority
+    land(dst, "2024-06-10T00:00:00Z", 1000 until 1005, objects = 1)
+    def start() = readStreamDf(src).writeStream.format("graft-lake")
+      .option("table", "st").option("sinkId", "pipe-spec")
+      .option("checkpointLocation", ckpt)
+      .start(dst)
+    val q1 = start()
+    q1.processAllAvailable()
+    land(src, "2024-06-10T09:00:00Z", 30 until 60)
+    q1.processAllAvailable()
+    q1.stop()
+    land(src, "2024-06-10T10:00:00Z", 60 until 80) // lands while DOWN
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.format("graft-lake").option("table", "st").load(dst)
+      .select("id", "tag")
+    val expected = ((1000L until 1005L) ++ (0L until 80L)).sorted
+    assert(out.count() == expected.size,
+      s"exactly-once through the restart: ${out.count()} vs ${expected.size}")
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq == expected)
+  }
+
   // ---- ledger mechanics, driven directly (offsets are pure data) ----
 
   private def stream(root: String, maxPer: Option[Int] = None,
