@@ -546,6 +546,13 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     if (pushedAgg.isEmpty) required = requiredSchema
 
   override def build(): Scan = pushedAgg match {
+    // NOTE: a pushed-AGGREGATE scan cannot usefully report hour
+    // clustering — Spark's V2ScanPartitioningAndOrdering resolves the
+    // reported keys against the TABLE relation's attributes, which a
+    // pushed-aggregate relation's freshly-minted output never contains,
+    // so the report is structurally ignored there. No loss at scale:
+    // the post-aggregate exchange moves ONE metadata-sized row per
+    // OBJECT (the sidecar answer), never data rows.
     case Some(agg) => new LakeAggScan(rootUri, table, lakeSchema, agg)
     case None =>
       new LakeScan(rootUri, table, lakeSchema, required, pushed, pushedLimit,
