@@ -125,6 +125,7 @@ object Bench {
     val meterSet = Seq("l06_lake_pruned_read", "l13_lake_bloom_eq",
       "l14_lake_semi_join", "l15_lake_dsv2_scan", "l16_lake_semi_join_multi",
       "l18_lake_dsv2_runtime_prune", "l19_lake_dsv2_agg_pushdown",
+      "l22_lake_hour_clustered_agg", "l23_lake_stream_read",
       "t18_heavy_hitters")
     val meters = meterSet.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
