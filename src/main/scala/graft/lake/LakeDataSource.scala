@@ -88,25 +88,30 @@ final class LakeDataSource extends TableProvider with DataSourceRegister {
   // metadata walk, not two (the StructType getTable receives cannot
   // substitute — it erases CUuid to plain STRING, which the reader's
   // header validation must distinguish)
-  @volatile private var resolved: Option[(String, String, TableSchema)] = None
-  private def schemaOf(root: String, table: String): TableSchema =
+  @volatile private var resolved: Option[(String, String, Boolean, TableSchema)] = None
+  private def schemaOf(root: String, table: String, reconcile: Boolean): TableSchema =
     resolved match {
-      case Some((r, t, s)) if r == root && t == table => s
+      case Some((r, t, rc, s)) if r == root && t == table && rc == reconcile => s
       case _ =>
-        val s = LakeDataSource.peek(root, table)
-        resolved = Some((root, table, s))
+        val s = if (reconcile)
+          LakeReader.reconciledGroups(new HadoopStore(root), table)._1
+        else LakeDataSource.peek(root, table)
+        resolved = Some((root, table, reconcile, s))
         s
     }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (root, table) = LakeDataSource.resolve(options)
-    LakeDataSource.outputStruct(schemaOf(root, table))
+    LakeDataSource.outputStruct(
+      schemaOf(root, table, LakeDataSource.reconcileOpt(options)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
-    val (root, table) = LakeDataSource.resolve(new CaseInsensitiveStringMap(properties))
-    new LakeTable(root, table, Some(schemaOf(root, table)))
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (root, table) = LakeDataSource.resolve(opts)
+    val reconcile = LakeDataSource.reconcileOpt(opts)
+    new LakeTable(root, table, Some(schemaOf(root, table, reconcile)), reconcile)
   }
 }
 
@@ -130,6 +135,9 @@ object LakeDataSource {
     (root, table)
   }
 
+  private[lake] def reconcileOpt(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("reconcile")).exists(_.toBoolean)
+
   /** One-object schema peek (the strict single-schema contract,
     * [[LakeReader.read]]'s): O(hour dirs), never a full key listing. */
   private[lake] def peek(root: String, table: String): TableSchema = {
@@ -141,11 +149,30 @@ object LakeDataSource {
   }
 }
 
+/** `reconcile = true` (option `reconcile`) reads a DRIFTED table — the
+  * reference's first-record inference legally lands objects of one
+  * table with differing column sets/orders/types ([[LakeReader
+  * .readReconciled]]'s contract, now on the connector): the table
+  * schema is the union-by-name merge (INTEGER→FLOAT and UUID↔STRING
+  * widenings only, anything else throws), each object's rows resolve BY
+  * NAME against its OWN header, columns an object lacks read as null.
+  * Schema inference peeks every object's headers (the documented
+  * reconciliation cost); aggregate pushdown is refused (per-object
+  * sidecar stats cannot be trusted to cover merged columns), everything
+  * else — filter pruning, runtime filters, limit/TopN, hour clustering,
+  * the micro-batch source — rides unchanged: sidecar probes are
+  * wire-form/JBig-based, so an INTEGER-written object still prunes
+  * correctly under its FLOAT-widened merged column, and an object
+  * lacking a probed column keeps conservatively. */
 final class LakeTable(rootUri: String, tableName: String,
-                      preResolved: Option[TableSchema] = None)
+                      preResolved: Option[TableSchema] = None,
+                      reconcile: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   private lazy val lakeSchema: TableSchema =
-    preResolved.getOrElse(LakeDataSource.peek(rootUri, tableName))
+    preResolved.getOrElse(
+      if (reconcile)
+        LakeReader.reconciledGroups(new HadoopStore(rootUri), tableName)._1
+      else LakeDataSource.peek(rootUri, tableName))
 
   override def name(): String = s"graft-lake:$tableName"
   override def schema(): StructType = LakeDataSource.outputStruct(lakeSchema)
@@ -155,6 +182,7 @@ final class LakeTable(rootUri: String, tableName: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(rootUri, tableName, lakeSchema,
       Option(options.get("clusterbyhour")).exists(_.toBoolean),
+      reconcile || LakeDataSource.reconcileOpt(options),
       LakeStreamOptions(
         Option(options.get("maxobjectspertrigger")).map(_.toInt),
         Option(options.get("maxhourage")).map(_.toInt),
@@ -466,6 +494,7 @@ final case class LakeStreamOptions(maxObjectsPerTrigger: Option[Int] = None,
 
 final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSchema,
                             clusterByHour: Boolean = false,
+                            reconcile: Boolean = false,
                             streamOptions: LakeStreamOptions = LakeStreamOptions())
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
@@ -533,7 +562,11 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     * claimed COMPLETE: Spark's final merge combines the per-object
     * rows, which is what keeps the sidecar-less fallback exact. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (pushed.nonEmpty) return false
+    // reconcile: a drifted object's sidecar describes the object's OWN
+    // columns — count(c)/min/max over a column the object lacks must
+    // contribute nulls, which its sidecar cannot attest; refuse rather
+    // than special-case (the ordinary reconciling row scan is exact)
+    if (pushed.nonEmpty || reconcile) return false
     LakeAgg.translate(aggregation, lakeSchema) match {
       case some @ Some(_) => pushedAgg = some; true
       case None => false
@@ -556,7 +589,7 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     case Some(agg) => new LakeAggScan(rootUri, table, lakeSchema, agg)
     case None =>
       new LakeScan(rootUri, table, lakeSchema, required, pushed, pushedLimit,
-        pushedTopN, clusterByHour, streamOptions)
+        pushedTopN, clusterByHour, streamOptions, reconcile)
   }
 }
 
@@ -565,7 +598,8 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
                      limit: Option[Int] = None,
                      topN: Option[(Boolean, Int)] = None,
                      clusterByHour: Boolean = false,
-                     streamOptions: LakeStreamOptions = LakeStreamOptions())
+                     streamOptions: LakeStreamOptions = LakeStreamOptions(),
+                     reconcile: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -578,7 +612,7 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new LakeMicroBatchStream(rootUri, table, lakeSchema, required,
       streamOptions.maxObjectsPerTrigger, streamOptions.maxHourAge,
-      streamOptions.startFromLatest)
+      streamOptions.startFromLatest, reconcile)
 
   /** STORAGE-PARTITIONED execution (`option("clusterByHour", true)` +
     * `spark.sql.sources.v2.bucketing.enabled`): the key layout already
@@ -762,7 +796,7 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(rootUri, lakeSchema, required)
+    new LakeReaderFactory(rootUri, lakeSchema, required, reconcile)
 }
 
 final case class LakeInputPartition(key: String, hourMillis: Long)
@@ -776,11 +810,11 @@ final case class LakeInputPartition(key: String, hourMillis: Long)
 }
 
 final class LakeReaderFactory(rootUri: String, lakeSchema: TableSchema,
-                              required: StructType)
+                              required: StructType, reconcile: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new LakeObjectReader(rootUri, lakeSchema, required,
-      partition.asInstanceOf[LakeInputPartition])
+      partition.asInstanceOf[LakeInputPartition], reconcile)
 }
 
 /** Reads ONE lake object into [[InternalRow]]s of the required schema.
@@ -790,7 +824,8 @@ final class LakeReaderFactory(rootUri: String, lakeSchema: TableSchema,
   * contract), empty field = NULL, unparseable typed field = NULL
   * (PERMISSIVE), blank lines skipped, `#` records skipped. */
 final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
-                             required: StructType, part: LakeInputPartition)
+                             required: StructType, part: LakeInputPartition,
+                             reconcile: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val rd: BufferedReader = {
@@ -810,31 +845,58 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
     }.orNull
   }
 
-  // headers: two plain lines (never multiline), validated against the
-  // declared schema so drifted objects fail the scan loudly
-  locally {
-    if (rd != null) {
+  // headers: two plain lines (never multiline). Strict mode validates
+  // against the declared schema so drifted objects fail the scan
+  // loudly; reconcile mode keeps the OBJECT's own header to resolve
+  // fields by name below.
+  private val objCols: Seq[(String, ColType)] =
+    if (rd == null) Nil
+    else {
       val types = TypedCsv.parseTypesHeader(rd.readLine())
       val names = TypedCsv.splitLine(rd.readLine())
-      require(names == lakeSchema.columnNames && types == lakeSchema.colTypes,
-        s"schema drift in ${part.key}: header ($names : $types) does not match " +
-          s"declared ${lakeSchema.columnNames} : ${lakeSchema.colTypes} — " +
-          "use LakeReader.readReconciled for drifted tables")
+      if (!reconcile)
+        require(names == lakeSchema.columnNames && types == lakeSchema.colTypes,
+          s"schema drift in ${part.key}: header ($names : $types) does not match " +
+            s"declared ${lakeSchema.columnNames} : ${lakeSchema.colTypes} — " +
+            "use option(\"reconcile\", true) or LakeReader.readReconciled " +
+            "for drifted tables")
+      names.zip(types)
     }
-  }
 
   // one converter per REQUIRED field: wire index + parse, or the
   // key-derived hour constant; everything else is parsed past, never
-  // converted (column pruning reaching the codec)
+  // converted (column pruning reaching the codec). Strict mode indexes
+  // the declared schema (== the validated header); reconcile mode
+  // resolves each field against the OBJECT's header by NAME — a column
+  // the object lacks reads as null, an INTEGER wire under a
+  // FLOAT-widened merged column parses long-then-widens, and any other
+  // type drift fails loudly (the reconciledGroups merge contract).
   private val hourMicros: java.lang.Long = java.lang.Long.valueOf(part.hourMillis * 1000L)
   private val getters: Array[Array[String] => Any] = required.fields.map { f =>
     if (f.name == LakeDataSource.EventHourCol) { (_: Array[String]) => hourMicros }
-    else {
+    else if (!reconcile) {
       val i = lakeSchema.columnNames.indexOf(f.name)
       require(i >= 0, s"column ${f.name} not in lake table ${lakeSchema.name}")
       val conv = LakeObjectReader.converter(lakeSchema.colTypes(i))
       (fields: Array[String]) =>
         if (i >= fields.length || fields(i).isEmpty) null else conv(fields(i))
+    } else {
+      val i = objCols.indexWhere(_._1 == f.name)
+      if (i < 0) { (_: Array[String]) => null } // absent here: null-fills
+      else {
+        val t = objCols(i)._2
+        val conv: String => Any =
+          if (t.sparkType == f.dataType) LakeObjectReader.converter(t)
+          else if (t == ColType.CInteger && f.dataType == DoubleType) { s =>
+            try java.lang.Double.valueOf(java.lang.Long.parseLong(s).toDouble)
+            catch { case _: NumberFormatException => null }
+          }
+          else throw new IllegalArgumentException(
+            s"irreconcilable drift in ${part.key}: column ${f.name} is $t " +
+              s"on the wire but ${f.dataType} in the merged schema")
+        (fields: Array[String]) =>
+          if (i >= fields.length || fields(i).isEmpty) null else conv(fields(i))
+      }
     }
   }
 

@@ -239,13 +239,21 @@ object LakeReader {
                      hourRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame =
     readReconciledFrom(spark, new HadoopStore(rootUri), table, hourRange)
 
-  /** [[readReconciled]] against an explicit [[Store]] (injectable for tests). */
-  def readReconciledFrom(spark: SparkSession, store: Store, table: String,
-                         hourRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame = {
-    import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
-    val rootUri = store.rootUri
+  /** The union-by-name schema of a DRIFTED table, plus the exact-header
+    * groups it merged: peeks EVERY object's two header lines (the
+    * documented reconciliation cost — see [[readReconciled]]) and merges
+    * with the ONLY two sound widenings (INTEGER→FLOAT; UUID↔STRING,
+    * which share a wire type). Any other conflict throws — silent
+    * coercion would corrupt, not reconcile. Column order is
+    * CONTENT-defined (widest header anchors, ties on the smaller
+    * signature, stragglers append name-sorted) so it never depends on
+    * uuid-random key listing order. Shared by [[readReconciledFrom]]
+    * and the connector's `reconcile` mode. */
+  private[lake] def reconciledGroups(store: Store, table: String,
+      hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
+      : (TableSchema, Seq[(TableSchema, Seq[String])]) = {
     val keys = listTableKeys(store, table, hourRange).sorted
-    require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
+    require(keys.nonEmpty, s"no lake objects for table $table under ${store.rootUri}")
     // group objects by exact header (names + types), first-seen order
     val groups = scala.collection.mutable.LinkedHashMap
       .empty[Seq[(String, ColType)], (TableSchema, scala.collection.mutable.ArrayBuffer[String])]
@@ -253,17 +261,18 @@ object LakeReader {
       val sch = peekSchema(store, k, table)
       groups.getOrElseUpdate(sch.columns, (sch, scala.collection.mutable.ArrayBuffer.empty[String]))._2 += k
     }
-    // union-by-name type merge with Integer→Float widening (order-free)
-    val merged = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    // union-by-name type merge (order-free)
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, ColType]
     for ((cols, _) <- groups; (n, t) <- cols) {
-      val dt = t.sparkType
       merged.get(n) match {
-        case None => merged(n) = dt
-        case Some(prev) if prev == dt => ()
-        case Some(prev) if Set(prev, dt) == Set[DataType](LongType, DoubleType) =>
-          merged(n) = DoubleType
+        case None => merged(n) = t
+        case Some(prev) if prev == t => ()
+        case Some(prev) if Set(prev, t) == Set[ColType](ColType.CInteger, ColType.CFloat) =>
+          merged(n) = ColType.CFloat
+        case Some(prev) if Set(prev, t) == Set[ColType](ColType.CUuid, ColType.CString) =>
+          merged(n) = ColType.CString
         case Some(prev) => throw new IllegalArgumentException(
-          s"irreconcilable schema drift for $table.$n: $prev vs $dt " +
+          s"irreconcilable schema drift for $table.$n: $prev vs $t " +
             "(only INTEGER->FLOAT widens; anything else needs an explicit migration)")
       }
     }
@@ -273,13 +282,22 @@ object LakeReader {
       .sortBy(cols => (-cols.size, cols.map { case (n, t) => s"$n:$t" }.mkString(",")))
       .head.map(_._1)
     val ordered = anchor ++ (merged.keySet -- anchor).toSeq.sorted
-    val outCols = ordered.map(n => n -> merged(n))
-    groups.values.toSeq.map { case (sch, ks) =>
+    (TableSchema(table, ordered.map(n => n -> merged(n))),
+      groups.values.toSeq.map { case (sch, ks) => (sch, ks.toSeq) })
+  }
+
+  /** [[readReconciled]] against an explicit [[Store]] (injectable for tests). */
+  def readReconciledFrom(spark: SparkSession, store: Store, table: String,
+                         hourRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame = {
+    val rootUri = store.rootUri
+    val (mergedSchema, groups) = reconciledGroups(store, table, hourRange)
+    val outCols = mergedSchema.columns.map { case (n, t) => n -> t.sparkType }
+    groups.map { case (sch, ks) =>
       val have = sch.columnNames.toSet
       spark.read
         .schema(sch.structType)
         .options(CodecOptions)
-        .csv(ks.toSeq.map(k => s"${rootUri.stripSuffix("/")}/$k"): _*)
+        .csv(ks.map(k => s"${rootUri.stripSuffix("/")}/$k"): _*)
         .select(outCols.map { case (n, dt) =>
           (if (have(n)) col(n).cast(dt) else lit(null).cast(dt)).as(n)
         }: _*)

@@ -53,7 +53,8 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
                                  lakeSchema: TableSchema, required: StructType,
                                  maxObjectsPerTrigger: Option[Int],
                                  maxHourAge: Option[Int],
-                                 startFromLatest: Boolean)
+                                 startFromLatest: Boolean,
+                                 reconcile: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -148,7 +149,7 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(rootUri, lakeSchema, required)
+    new LakeReaderFactory(rootUri, lakeSchema, required, reconcile)
 
   override def commit(end: Offset): Unit = () // the checkpoint is the state
   override def stop(): Unit = ()

@@ -667,6 +667,84 @@ class LakeDataSourceSpec extends SparkSuite {
     }
   }
 
+  test("reconcile mode: drifted tables read by-name through the connector — widened, null-filled, still pruned") {
+    import spark.implicits._
+    val root = freshRoot()
+    // three generations of table `ev` (the LakeSpec reconcile fixture,
+    // now through the front door): v1 (id, v INTEGER, tag), v2 drops tag
+    // + widens v to FLOAT + reorders, v3 adds a column
+    val v1 = TableSchema("ev", Seq(
+      "id" -> ColType.CInteger, "v" -> ColType.CInteger, "tag" -> ColType.CString))
+    val v2 = TableSchema("ev", Seq(
+      "v" -> ColType.CFloat, "id" -> ColType.CInteger))
+    val v3 = TableSchema("ev", Seq(
+      "id" -> ColType.CInteger, "v" -> ColType.CInteger,
+      "tag" -> ColType.CString, "extra" -> ColType.CString))
+    val at = Instant.parse("2024-06-01T12:00:00Z")
+    LakeWriter.write(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "tag"),
+      v1, root, at, zoneMaps = true)
+    LakeWriter.write(Seq((3.5, 3L), (4.5, 4L)).toDF("v", "id"), v2, root, at,
+      zoneMaps = true)
+    LakeWriter.write(Seq((5L, 50L, "e", "x")).toDF("id", "v", "tag", "extra"),
+      v3, root, at, zoneMaps = true)
+
+    // strict connector read refuses the drift loudly
+    intercept[Throwable] { dsv2(root).count() } // table dt missing here anyway
+    intercept[Throwable] {
+      spark.read.format("graft-lake").option("table", "ev").load(root).collect()
+    }
+    def rec = spark.read.format("graft-lake").option("table", "ev")
+      .option("reconcile", "true").load(root)
+    val bespoke = LakeReader.readReconciled(spark, root, "ev")
+    assert(rec.schema == bespoke.schema,
+      s"${rec.schema} vs ${bespoke.schema}") // content-defined order + widening
+    assert(rec.exceptAll(bespoke).count() == 0 &&
+      bespoke.exceptAll(rec).count() == 0)
+    // sidecar pruning still bites: v recorded as INTEGER bounds in v1/v3
+    // objects and FLOAT bounds in v2, probed through the WIDENED column
+    val banded = rec.where(col("v") <= 4.0)
+    val scan = lakeScan(banded)
+    assert(scan.plannedKeys.size == 1,
+      s"only v2's object holds v <= 4.0: ${scan.plannedKeys}")
+    assert(banded.select("id").collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "only v=3.5 passes the predicate (4.5 > 4.0)")
+    // aggregate pushdown refuses (an object's sidecar cannot attest
+    // columns it never carried); the plain reconciling scan stays exact
+    val agg = rec.agg(count(col("tag")).as("n"), min(col("v")).as("m"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("graft-lake-agg"),
+      "reconcile must refuse aggregate pushdown")
+    assert(agg.collect().head.toSeq == Seq(3L, 3.5))
+    // and the micro-batch source reads drifted objects the same way
+    spark.catalog.dropTempView("rec_drain")
+    val q = spark.readStream.format("graft-lake").option("table", "ev")
+      .option("reconcile", "true").load(root)
+      .writeStream.format("memory").queryName("rec_drain").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("rec-ckpt")
+        .toFile.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("rec_drain")
+    assert(streamed.exceptAll(bespoke).count() == 0 &&
+      bespoke.exceptAll(streamed).count() == 0)
+  }
+
+  test("reconcile refuses irreconcilable drift loudly at schema resolution") {
+    import spark.implicits._
+    val root = freshRoot()
+    val at = Instant.parse("2024-06-01T12:00:00Z")
+    LakeWriter.write(Seq((1L, "a")).toDF("id", "tag"),
+      TableSchema("ev", Seq("id" -> ColType.CInteger, "tag" -> ColType.CString)),
+      root, at)
+    LakeWriter.write(Seq((2L, 7L)).toDF("id", "tag"),
+      TableSchema("ev", Seq("id" -> ColType.CInteger, "tag" -> ColType.CInteger)),
+      root, at)
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-lake").option("table", "ev")
+        .option("reconcile", "true").load(root)
+    }
+    assert(ex.getMessage.contains("irreconcilable schema drift"))
+  }
+
   test("missing table and missing options fail loudly; drifted header fails the scan") {
     val root = freshRoot()
     fixture(root)

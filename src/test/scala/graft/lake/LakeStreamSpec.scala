@@ -229,6 +229,71 @@ class LakeStreamSpec extends SparkSuite {
     assert(off.frontier.contains("2024/06/10/05"), s"frontier: ${off.frontier}")
   }
 
+  test("ledger property: random land/deliver/seal/restart sequences stay exactly-once (seeded)") {
+    // deterministic randomized protocol exercise: any interleaving of
+    //   - landing an object (sometimes LATE, into an older hour)
+    //   - advancing the offset under a random per-trigger cap
+    //   - restarting (offsets round-trip through their JSON — the
+    //     checkpoint path — into a FRESH stream instance)
+    // must deliver every key exactly once, except keys landed into an
+    // hour at-or-below the frontier AT LAND TIME (the documented
+    // lateness forfeit) — those must never be delivered at all.
+    val rnd = new scala.util.Random(20260815L)
+    for (scenario <- 0 until 4) {
+      val root = freshRoot()
+      val maxPer = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(2)) else None
+      val age = if (rnd.nextBoolean()) Some(rnd.nextInt(2)) else None
+      def mk() = stream(root, maxPer, age)
+      var s = mk()
+      var off = s.initialOffset().asInstanceOf[LakeStreamOffset]
+      val delivered = scala.collection.mutable.ArrayBuffer.empty[String]
+      val expectDelivered = scala.collection.mutable.Set.empty[String]
+      val expectForfeited = scala.collection.mutable.Set.empty[String]
+      var curHour = 0
+      var nextId = 0
+      def landOne(): Unit = {
+        if (rnd.nextInt(3) == 0) curHour = math.min(23, curHour + 1 + rnd.nextInt(2))
+        val hour = math.max(0, curHour - (if (rnd.nextInt(4) == 0) 1 + rnd.nextInt(3) else 0))
+        val hourStr = f"2024-06-10T$hour%02d:00:00Z"
+        val before = LakeReader.listTableKeys(new HadoopStore(root), "st", None).toSet
+        land(root, hourStr, nextId until (nextId + 2), objects = 1)
+        nextId += 2
+        val key = (LakeReader.listTableKeys(new HadoopStore(root), "st", None)
+          .toSet -- before).head
+        val inSealedHour = off.frontier.exists(f => LakeStreamOffset.hourOf(key) <= f)
+        if (inSealedHour) expectForfeited += key else expectDelivered += key
+      }
+      def advance(): Unit = {
+        val next = s.latestOffset(off, s.getDefaultReadLimit)
+          .asInstanceOf[LakeStreamOffset]
+        delivered ++= s.planInputPartitions(off, next)
+          .map(_.asInstanceOf[LakeInputPartition].key)
+        off = next
+      }
+      for (_ <- 0 until 14) rnd.nextInt(4) match {
+        case 0 | 1 => landOne()
+        case 2 => advance()
+        case 3 => // restart: JSON round-trip into a fresh instance
+          off = LakeStreamOffset.fromJson(off.json())
+          s = mk()
+      }
+      // full drain: advance until two consecutive empty batches
+      var empties = 0
+      while (empties < 2) {
+        val before = delivered.size
+        advance()
+        if (delivered.size == before) empties += 1 else empties = 0
+      }
+      val seq = delivered.toSeq
+      assert(seq.distinct.size == seq.size,
+        s"scenario $scenario (maxPer=$maxPer age=$age): duplicate delivery in $seq")
+      assert(seq.toSet == expectDelivered.toSet,
+        s"scenario $scenario (maxPer=$maxPer age=$age): delivered ${seq.toSet} " +
+          s"!= expected $expectDelivered (forfeited: $expectForfeited)")
+      assert(expectForfeited.forall(k => !seq.contains(k)))
+    }
+  }
+
   test("replay determinism: planInputPartitions is a pure set difference of persisted offsets") {
     val root = freshRoot()
     land(root, "2024-06-10T08:00:00Z", 0 until 20, objects = 2)
