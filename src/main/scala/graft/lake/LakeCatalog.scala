@@ -53,12 +53,19 @@ final class LakeCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catName: String = _
   private var root: String = _
+  private var reconcile: Boolean = false
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"graft-lake catalog '$name' needs spark.sql.catalog.$name.root=<lake root URI>"))
+    // spark.sql.catalog.<name>.reconcile=true: every table this catalog
+    // resolves reads in schema-evolution mode (the merged union-by-name
+    // schema; see LakeTable's reconcile doc) — the catalog-level switch,
+    // since .table() reads have no per-load option that could rebuild
+    // the table's schema
+    reconcile = Option(options.get("reconcile")).exists(_.toBoolean)
   }
 
   override def name(): String = catName
@@ -83,7 +90,7 @@ final class LakeCatalog extends TableCatalog with ProcedureCatalog {
     val store = new HadoopStore(root)
     if (LakeReader.firstTableKey(store, ident.name()).isEmpty)
       throw new NoSuchTableException(ident)
-    new LakeTable(root, ident.name())
+    new LakeTable(root, ident.name(), reconcile = reconcile)
   }
 
   override def tableExists(ident: Identifier): Boolean =

@@ -179,10 +179,21 @@ final class LakeTable(rootUri: String, tableName: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // reconcile is a TABLE-level mode: the table's schema must be the
+    // union-by-name merge for the reconciling reader to resolve against.
+    // A scan-level-only flag (e.g. .option("reconcile") on a catalog
+    // .table() read, whose schema was the strict one-object peek) would
+    // silently drop columns other header generations carry — refuse
+    // with the remedy instead.
+    require(reconcile || !LakeDataSource.reconcileOpt(options),
+      s"graft-lake: reconcile must be set where the table resolves — " +
+        "pass .option(\"reconcile\", true) on read/readStream.format(\"graft-lake\") " +
+        "(it reaches the table), or spark.sql.catalog.<name>.reconcile=true " +
+        "for catalog-resolved tables")
     new LakeScanBuilder(rootUri, tableName, lakeSchema,
       Option(options.get("clusterbyhour")).exists(_.toBoolean),
-      reconcile || LakeDataSource.reconcileOpt(options),
+      reconcile,
       LakeStreamOptions(
         Option(options.get("maxobjectspertrigger")).map(_.toInt),
         Option(options.get("maxhourage")).map(_.toInt),
@@ -192,6 +203,7 @@ final class LakeTable(rootUri: String, tableName: String,
           case Some(other) => throw new IllegalArgumentException(
             s"graft-lake: startFrom must be earliest|latest, got $other")
         }))
+  }
 
   /** APPEND to an existing lake table (`.mode("append")` — the lake is
     * append-only, so Overwrite/ErrorIfExists are refused by the absent
@@ -630,7 +642,7 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (clusterByHour &&
         required.fieldNames.contains(LakeDataSource.EventHourCol)) {
-      val hours = plannedKeys.map(_.take(13)).distinct.size
+      val hours = plannedKeys.map(LakeKeys.hourPrefixOf).distinct.size
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(Expressions.identity(LakeDataSource.EventHourCol)), hours)
     } else
@@ -727,7 +739,7 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
       val n = limit.orElse(topN.map(_._2)).get.toLong
       val ordered = topN match {
         case Some((desc, _)) =>
-          val byHour = keys.sortBy(_.take(13)) // YYYY/MM/DD/HH prefix
+          val byHour = keys.sortBy(LakeKeys.hourPrefixOf)
           if (desc) byHour.reverse else byHour
         case None => keys
       }

@@ -19,6 +19,11 @@ object LakeKeys {
 
   def datePrefix(t: Instant): String = PrefixFmt.format(t)
 
+  /** An object key's `YYYY/MM/DD/HH` prefix — the one place that knows
+    * it is the first 13 characters (zero-padded, so string order =
+    * chronological order). */
+  def hourPrefixOf(key: String): String = key.take(13)
+
   /** Every `YYYY/MM/DD/HH` prefix whose hour intersects `[from, to]` — the
     * listing plan for a pruned read: list exactly these directories, never
     * the whole lake (at 100 TB the full recursive listing is itself a

@@ -68,6 +68,10 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
   // Trigger.AvailableNow pins discovery at prepare time; None = live
   @volatile private var pinned: Option[Seq[String]] = None
 
+  // last frontier seen by latestOffset — progress reporting reuses it so
+  // reportLatestOffset never walks hours the ledger has already sealed
+  @volatile private var lastFrontier: Option[String] = None
+
   /** Keys of `table` in hours STRICTLY above `frontier` (the sealed-hour
     * walk: sealed directories are never listed again). */
   private def discover(frontier: Option[String]): Seq[String] =
@@ -96,9 +100,15 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) drives this source (SupportsAdmissionControl)")
 
-  override def reportLatestOffset(): Offset =
-    // progress-reporting only: the UNCAPPED target from a live listing
-    LakeStreamOffset(None, pinned.getOrElse(discover(None)).sorted)
+  override def reportLatestOffset(): Offset = {
+    // progress-reporting only: the UNCAPPED target. Spark calls this
+    // once per trigger, so the walk must stay bounded like latestOffset's
+    // — discover above the last-known frontier, never the whole lifetime
+    // of the table (and never report sealed-forfeited keys as backlog).
+    val f = lastFrontier
+    LakeStreamOffset(f, pinned.getOrElse(discover(f))
+      .filter(k => f.forall(LakeStreamOffset.hourOf(k) > _)).sorted)
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val st = start.asInstanceOf[LakeStreamOffset]
@@ -112,20 +122,23 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
       case _ => fresh
     }
     val seen1 = st.seen ++ take
-    // seal: advance the frontier to (newest seen hour - age), but NEVER
-    // into an hour with a key in `fresh` — neither the undelivered
-    // backlog (a capped batch must drain, not forfeit) nor THIS batch's
-    // own keys (planInputPartitions(start, end) is `end.seen --
-    // start.seen`; sealing a just-taken key out of `end.seen` would
-    // silently drop its delivery). `fresh` is sorted, so its head bounds
-    // both. Net effect: an hour seals only on a call AFTER its keys
-    // were delivered — exactly when delivery is already checkpointed.
+    // seal: hours STRICTLY OLDER than (newest seen hour - age) — the
+    // documented window, so maxHourAge=0 keeps the newest (possibly
+    // still-open wall-clock) hour open. And NEVER seal into an hour
+    // with a key in `fresh` — neither the undelivered backlog (a
+    // capped batch must drain, not forfeit) nor THIS batch's own keys
+    // (planInputPartitions(start, end) is `end.seen -- start.seen`;
+    // sealing a just-taken key out of `end.seen` would silently drop
+    // its delivery). `fresh` is sorted, so its head bounds both. Net
+    // effect: an hour seals only on a call AFTER its keys were
+    // delivered — exactly when delivery is already checkpointed.
     val frontier1 = maxHourAge match {
       case Some(age) if seen1.nonEmpty =>
         val newest = LakeStreamOffset.hourInstant(
           seen1.iterator.map(LakeStreamOffset.hourOf).max)
+        // frontier = last SEALED hour: (newest - age) itself stays open
         val sealCandidate = LakeKeys.datePrefix(
-          newest.minus(age.toLong, ChronoUnit.HOURS))
+          newest.minus(age.toLong + 1L, ChronoUnit.HOURS))
         val cap = fresh.headOption.map(k =>
           LakeStreamOffset.hourBefore(LakeStreamOffset.hourOf(k)))
         val next = cap.fold(sealCandidate)(c =>
@@ -137,6 +150,7 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
     // sealed hours leave the ledger (their keys can never be re-listed)
     val seen2 = frontier1.fold(seen1)(f =>
       seen1.filter(k => LakeStreamOffset.hourOf(k) > f))
+    lastFrontier = frontier1
     LakeStreamOffset(frontier1, seen2.sorted)
   }
 
@@ -169,7 +183,7 @@ final case class LakeStreamOffset(frontier: Option[String], seen: Seq[String])
 
 object LakeStreamOffset {
   /** The key's `YYYY/MM/DD/HH` prefix (zero-padded: string order = time). */
-  def hourOf(key: String): String = key.take(13)
+  def hourOf(key: String): String = LakeKeys.hourPrefixOf(key)
 
   def hourInstant(hour: String): Instant = {
     val Array(y, m, d, h) = hour.split('/')
@@ -194,6 +208,7 @@ object LakeStreamOffset {
       else {
         require(rest.startsWith("\""), s"bad frontier in offset: $t")
         val end = rest.indexOf('"', 1)
+        require(end > 0, s"unterminated frontier in offset: $t")
         (Some(rest.substring(1, end)), rest.substring(end + 1))
       }
     require(afterF.startsWith(",\"seen\":[") && afterF.endsWith("]}"),

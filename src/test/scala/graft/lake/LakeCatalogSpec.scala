@@ -78,6 +78,33 @@ class LakeCatalogSpec extends SparkSuite {
       batch.exceptAll(streamed).count() == 0)
   }
 
+  test("catalog-level reconcile reads drifted tables; scan-level-only reconcile refuses with the remedy") {
+    import spark.implicits._
+    import java.time.Instant
+    val (cat, root) = freshCatalog()
+    // drifted generations of table `dv`
+    LakeWriter.write(Seq((1L, 10L)).toDF("id", "v"),
+      TableSchema("dv", Seq("id" -> ColType.CInteger, "v" -> ColType.CInteger)),
+      root, Instant.parse("2024-07-01T08:00:00Z"))
+    LakeWriter.write(Seq((2.5, 2L)).toDF("v", "id"),
+      TableSchema("dv", Seq("v" -> ColType.CFloat, "id" -> ColType.CInteger)),
+      root, Instant.parse("2024-07-01T08:00:00Z"))
+    // a scan-level-only flag cannot rebuild the table's schema: refuse
+    val ex = intercept[Exception] {
+      spark.read.option("reconcile", "true").table(s"$cat.dv").collect()
+    }
+    assert(ex.getMessage.contains("reconcile must be set where the table resolves"),
+      s"got: ${ex.getMessage}")
+    // the catalog-level switch resolves every table in reconcile mode
+    val rcat = s"${cat}r"
+    spark.conf.set(s"spark.sql.catalog.$rcat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$rcat.root", root)
+    spark.conf.set(s"spark.sql.catalog.$rcat.reconcile", "true")
+    val rows = spark.sql(s"SELECT id, v FROM $rcat.dv ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, 2.5)))
+  }
+
   test("SHOW TABLES lists the key layout's tables; missing tables fail loudly") {
     val (cat, root) = freshCatalog()
     land(root, "ev", 10)

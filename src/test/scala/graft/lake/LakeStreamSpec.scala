@@ -166,6 +166,9 @@ class LakeStreamSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       LakeStreamOffset.fromJson("""{"wrong":1}""")
     }
+    intercept[IllegalArgumentException] { // truncated mid-frontier
+      LakeStreamOffset.fromJson("""{"frontier":"2024/06/1""" + "]}")
+    }
   }
 
   test("maxHourAge seals old hours: the ledger stays bounded, late arrivals in sealed hours are ignored") {
@@ -182,13 +185,16 @@ class LakeStreamSpec extends SparkSuite {
     // of its end offset (the set difference IS the delivery)
     assert(s.planInputPartitions(start, end).length == 3)
     assert(end.seen.size == 3, s"nothing seals mid-delivery: ${end.seen}")
-    // the NEXT call seals: delivery of hours ≤ 01 is checkpointed, the
-    // newest hour is 02, age 1 → frontier 01, their keys leave the ledger
+    // the NEXT call seals: newest hour 02, age 1 → hours STRICTLY older
+    // than 01 seal (hour 00), its keys leave the ledger — (newest - age)
+    // itself stays open, so maxHourAge=0 can never seal the still-open
+    // wall-clock hour
     val end2 = s.latestOffset(end, ReadLimit.allAvailable())
       .asInstanceOf[LakeStreamOffset]
     assert(s.planInputPartitions(end, end2).isEmpty)
-    assert(end2.frontier.contains("2024/06/10/01"), s"frontier: ${end2.frontier}")
-    assert(end2.seen.forall(_.startsWith("2024/06/10/02/")) && end2.seen.size == 1,
+    assert(end2.frontier.contains("2024/06/10/00"), s"frontier: ${end2.frontier}")
+    assert(end2.seen.forall(k => k.startsWith("2024/06/10/01/") ||
+        k.startsWith("2024/06/10/02/")) && end2.seen.size == 2,
       s"sealed hours must leave the ledger: ${end2.seen}")
     // a LATE object into sealed hour 00 is never discovered again…
     land(root, "2024-06-10T00:00:00Z", 90 until 95, objects = 1)
@@ -201,6 +207,20 @@ class LakeStreamSpec extends SparkSuite {
     val end4 = s.latestOffset(end3, ReadLimit.allAvailable())
       .asInstanceOf[LakeStreamOffset]
     assert(s.planInputPartitions(end3, end4).length == 1)
+
+    // age=0 (the tightest allowed): the newest hour itself must STAY
+    // OPEN — a live stream's current wall-clock hour keeps receiving
+    val root0 = freshRoot()
+    land(root0, "2024-06-10T05:00:00Z", 0 until 4, objects = 1)
+    val s0 = stream(root0, age = Some(0))
+    var o0 = s0.initialOffset().asInstanceOf[LakeStreamOffset]
+    o0 = s0.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[LakeStreamOffset]
+    o0 = s0.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[LakeStreamOffset]
+    assert(o0.frontier.contains("2024/06/10/04"), s"frontier: ${o0.frontier}")
+    land(root0, "2024-06-10T05:00:00Z", 4 until 8, objects = 1) // same open hour
+    val o1 = s0.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[LakeStreamOffset]
+    assert(s0.planInputPartitions(o0, o1).length == 1,
+      "an object landing in the newest hour under age=0 must still deliver")
   }
 
   test("sealing never forfeits a capped backlog: the frontier waits below undelivered keys") {
@@ -225,8 +245,9 @@ class LakeStreamSpec extends SparkSuite {
     val keys = delivered.result()
     assert(keys.length == 3 && keys == keys.sorted,
       s"the capped backlog drains oldest-first and completely: $keys")
-    // after the drain the frontier may seal up to newest-1
-    assert(off.frontier.contains("2024/06/10/05"), s"frontier: ${off.frontier}")
+    // after the drain the frontier seals hours strictly older than
+    // newest(06) - age(1) = 05 → last sealed hour is 04
+    assert(off.frontier.contains("2024/06/10/04"), s"frontier: ${off.frontier}")
   }
 
   test("ledger property: random land/deliver/seal/restart sequences stay exactly-once (seeded)") {
