@@ -147,6 +147,62 @@ class LakeStreamSpec extends SparkSuite {
     assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq == expected)
   }
 
+  test("windowed event-time aggregation over the stream: watermark on _event_hour, append-mode close") {
+    val root = freshRoot()
+    land(root, "2024-06-10T08:00:00Z", 0 until 40)
+    land(root, "2024-06-10T09:00:00Z", 40 until 100, objects = 3)
+    val got = new scala.collection.mutable.ArrayBuffer[(java.sql.Timestamp, Long)]
+    val q = readStreamDf(root)
+      .withWatermark("_event_hour", "1 hour")
+      .groupBy(window(col("_event_hour"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream.outputMode("append") // only CLOSED windows emit
+      .option("checkpointLocation", freshCkpt())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+        }; ()
+      }.start()
+    q.processAllAvailable()
+    // both hours arrive in the INITIAL batch and the watermark lags one
+    // batch (it is computed from the previous batch's max event time):
+    // nothing has provably closed yet — append mode emits nothing
+    assert(got.isEmpty, s"append mode may not emit open windows, got $got")
+    // hour 11 advances the watermark to 10:00 — hours 08 and 09 close
+    // with their exact counts, each exactly once
+    land(root, "2024-06-10T11:00:00Z", 100 until 105, objects = 1)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSeq.map(t => (t._1.toInstant.toString, t._2)).sorted ==
+      Seq(("2024-06-10T08:00:00Z", 40L), ("2024-06-10T09:00:00Z", 60L)),
+      s"closed hours must emit exactly once the watermark passes them: $got")
+  }
+
+  test("maintenance race: an object deleted after planning degrades to a skip, never a failed batch") {
+    val root = freshRoot()
+    land(root, "2024-06-10T08:00:00Z", 0 until 20, objects = 2)
+    val s = stream(root)
+    val a = s.initialOffset()
+    val b = s.latestOffset(a, ReadLimit.allAvailable())
+    val parts = s.planInputPartitions(a, b)
+    assert(parts.length == 2)
+    // retention/compaction retires one PLANNED object before its task
+    // opens it — the readFrom ignoreMissingFiles contract: its rows are
+    // gone from THIS read (compaction republishes them as new objects
+    // the ledger discovers later), the batch itself must not fail
+    val victim = parts.head.asInstanceOf[LakeInputPartition]
+    new HadoopStore(root).delete(victim.key)
+    val factory = s.createReaderFactory()
+    val rows = parts.map { p =>
+      val r = factory.createReader(p)
+      var n = 0
+      while (r.next()) n += 1
+      r.close(); n
+    }
+    assert(rows.toSeq.sorted == Seq(0, 10),
+      s"the deleted object reads as zero rows, the survivor in full: $rows")
+  }
+
   // ---- ledger mechanics, driven directly (offsets are pure data) ----
 
   private def stream(root: String, maxPer: Option[Int] = None,
