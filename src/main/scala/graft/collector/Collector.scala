@@ -206,6 +206,10 @@ final class Collector(store: Store, config: CollectorConfig = CollectorConfig())
         try {
           batch.writer.close()
           val key = LakeKeys.objectKey(batch.table, flushedAt, batch.id, config.batchZip)
+          // flushes land in the current hour — above any legal manifest
+          // seal point — but the guard is one exists() probe per flush
+          graft.lake.Manifests.invalidateIfCovers(store, batch.table,
+            LakeKeys.datePrefix(flushedAt))
           store.put(key, new FileInputStream(batch.tempFile))
           val info = FlushInfo(batch.table, batch.id, trigger, batch.records, age, key)
           Collector.this.synchronized(flushListeners.toList).foreach(_.apply(info))

@@ -142,12 +142,14 @@ final class LakeCatalog extends TableCatalog with ProcedureCatalog {
   * the operation's report as a one-row result. */
 private[lake] object LakeProcedures {
 
-  val Names: Seq[String] = Seq("compact", "expire", "ensure_indexes")
+  val Names: Seq[String] = Seq("compact", "expire", "ensure_indexes",
+    "seal_manifest")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(new CompactProcedure(root))
     case "expire" => Some(new ExpireProcedure(root))
     case "ensure_indexes" => Some(new EnsureIndexesProcedure(root))
+    case "seal_manifest" => Some(new SealManifestProcedure(root))
     case _ => None
   }
 
@@ -240,6 +242,29 @@ private[lake] object LakeProcedures {
         StructField("orphans_deleted", IntegerType, nullable = false))),
         Integer.valueOf(rep.statsBuilt), Integer.valueOf(rep.bloomsBuilt),
         Integer.valueOf(rep.orphansDeleted))
+    }
+  }
+
+  private final class SealManifestProcedure(root: String)
+      extends MaintenanceProcedure("seal_manifest") {
+    override def description(): String =
+      "Build the sealed-hours manifest for a table: reads of hours <= " +
+        "up_to cost ONE manifest GET instead of a LIST per hour; " +
+        "write-invalidated, advisory (torn/absent falls back to listing)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("up_to", TimestampType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val upTo = java.time.Instant.ofEpochSecond(0L)
+        .plusNanos(input.getLong(1) * 1000L)
+      val sealedKeys = Manifests.seal(new HadoopStore(root),
+        input.getUTF8String(0).toString, upTo)
+      result(StructType(Seq(
+        StructField("sealed_keys", LongType, nullable = false),
+        StructField("up_to_prefix", StringType, nullable = false))),
+        java.lang.Long.valueOf(sealedKeys), UTF8String.fromString(
+          LakeKeys.datePrefix(upTo.truncatedTo(
+            java.time.temporal.ChronoUnit.HOURS))))
     }
   }
 }

@@ -321,6 +321,10 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val store = new HadoopStore(rootUri)
     try {
+      // landing in a manifest-sealed hour (an explicit old flushTime)
+      // invalidates the manifest before the first rename
+      Manifests.invalidateIfCovers(store, lakeSchema.name,
+        LakeKeys.datePrefix(flushTime))
       messages.foreach { case LakeCommitMessage(keys) =>
         keys.foreach { k =>
           val dst = k.stripPrefix(s"$staging/")
@@ -384,6 +388,10 @@ final class LakeStreamingWrite(rootUri: String, lakeSchema: TableSchema,
     val (flushTime, staging) = current
     val store = new HadoopStore(rootUri)
     try {
+      // epochs land in the current hour — above any legal seal point —
+      // but the guard is one exists() probe, so run it unconditionally
+      Manifests.invalidateIfCovers(store, lakeSchema.name,
+        LakeKeys.datePrefix(flushTime))
       val staged = messages.flatMap { case LakeCommitMessage(keys) => keys }.sorted
       def epochKey(i: Int): String = {
         val seed = s"$sinkId:${lakeSchema.name}:$epochId:$i"

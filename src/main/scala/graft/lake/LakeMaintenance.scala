@@ -66,6 +66,11 @@ object LakeMaintenance {
     // Same pruned listing plan as the reader: never a full-lake walk.
     val oldKeys = LakeReader.listTableKeys(store, table, hourRange)
     if (oldKeys.isEmpty) return CompactionReport(0, 0, 0L, Seq.empty)
+    // rewriting covered hours invalidates the sealed-hours manifest
+    // BEFORE the first mutation (a crash mid-compact must leave readers
+    // on the raw walk, never on a manifest listing retired keys)
+    Manifests.invalidateIfCovers(store, table,
+      oldKeys.map(LakeKeys.hourPrefixOf).min)
     val staging = s"_staging/${java.util.UUID.randomUUID()}"
     val schema = LakeReader.peekSchema(store, oldKeys.head, table)
     val byHour = oldKeys.groupBy(k => LakeKeys.parseKey(k).get._1).toSeq.sortBy(_._1)
@@ -254,6 +259,11 @@ object LakeMaintenance {
     * metadata op (keys, not data). */
   def expire(store: Store, table: String, olderThan: Instant): ExpiryReport = {
     val (doomed, cutoff) = doomedKeys(store, table, olderThan)
+    // deletes in covered hours invalidate the manifest FIRST (a stale
+    // manifest listing retired keys would fail readKeys-style readers)
+    if (doomed.nonEmpty)
+      Manifests.invalidateIfCovers(store, table,
+        doomed.map(LakeKeys.hourPrefixOf).min)
     doomed.foreach(deleteWithSidecar(store, _))
     ExpiryReport(doomed.size, cutoff)
   }
@@ -273,6 +283,8 @@ object LakeMaintenance {
     val store = new HadoopStore(rootUri)
     val (doomed, cutoff) = doomedKeys(store, table, olderThan)
     if (doomed.nonEmpty) {
+      Manifests.invalidateIfCovers(store, table,
+        doomed.map(LakeKeys.hourPrefixOf).min)
       val parts = if (partitions > 0) partitions
                   else LakeReader.walkPartitions(doomed.length)
       spark.sparkContext.parallelize(doomed, parts)

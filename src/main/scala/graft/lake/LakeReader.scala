@@ -94,6 +94,39 @@ object LakeReader {
     * OTHER table's objects too, which at warehouse scale is a driver
     * bottleneck all by itself. */
   def listTableKeys(store: Store, table: String,
+                    hourRange: Option[(java.time.Instant, java.time.Instant)]): Seq[String] =
+    Manifests.read(store, table) match {
+      case Some(m) =>
+        // sealed hours come off the manifest (ONE object read), the
+        // unsealed tail off the live walk — at warehouse scale this
+        // replaces one LIST per lifetime hour with a GET plus the tail
+        import java.time.temporal.ChronoUnit
+        val bounds = hourRange.map { case (from, to) =>
+          (LakeKeys.datePrefix(from.truncatedTo(ChronoUnit.HOURS)),
+            LakeKeys.datePrefix(to.truncatedTo(ChronoUnit.HOURS)))
+        }
+        val sealedKeys = m.keys.filter { k =>
+          val h = LakeKeys.hourPrefixOf(k)
+          bounds.forall { case (lo, hi) => h >= lo && h <= hi }
+        }
+        val liveFrom = LakeStreamOffset.hourInstant(m.upTo)
+          .plus(1, ChronoUnit.HOURS)
+        val liveRange = hourRange match {
+          case Some((from, to)) =>
+            if (to.isBefore(liveFrom)) None // range fully sealed
+            else Some((if (from.isAfter(liveFrom)) from else liveFrom, to))
+          case None =>
+            Some((liveFrom, java.time.Instant.parse("9999-12-31T23:00:00Z")))
+        }
+        sealedKeys ++ liveRange.fold(Seq.empty[String])(r =>
+          rawListTableKeys(store, table, Some(r)))
+      case None => rawListTableKeys(store, table, hourRange)
+    }
+
+  /** [[listTableKeys]] without the manifest consult — the raw walk.
+    * [[Manifests.seal]] builds FROM this (the manifest may not feed
+    * itself), and the manifest path above uses it for the live tail. */
+  private[lake] def rawListTableKeys(store: Store, table: String,
                     hourRange: Option[(java.time.Instant, java.time.Instant)]): Seq[String] = {
     import java.time.temporal.ChronoUnit
     val keys = hourRange match {
@@ -108,11 +141,14 @@ object LakeReader {
           // a WIDE range (half-open predicates like `_event_hour >= t`
           // compiled against a far sentinel) must not enumerate millions
           // of mostly-absent hour directories — walk the hours that EXIST
-          // (the same pruned level walk as the unranged read) and keep the
-          // in-range ones; zero-padded prefixes make that a string compare
+          // (the same pruned level walk as the unranged read), bounded on
+          // BOTH ends (the lower bound keeps a manifest-backed read's
+          // live tail from re-walking years of sealed day directories);
+          // zero-padded prefixes make both bounds string compares
           val lo = LakeKeys.datePrefix(start)
           val hi = LakeKeys.datePrefix(end)
-          walkHourPrefixes(store).filter(h => h >= lo && h <= hi)
+          walkHourPrefixes(store, after = Some(lo))
+            .filter(h => h >= lo && h <= hi)
             .flatMap(h => store.list(s"$h/$table"))
         }
       case None =>
@@ -134,22 +170,28 @@ object LakeReader {
     * before that prefix are visited — the retention path
     * ([[LakeMaintenance.expire]]) shares this walk, so the read side and
     * the delete side can never disagree about which directories exist.
-    * Zero-padded segments make the per-level bound a plain string
-    * compare. */
+    * `after` bounds it from BELOW (inclusive): directories wholly below
+    * that prefix are skipped without listing — a manifest-backed read's
+    * live tail never re-walks years of sealed days. Zero-padded
+    * segments make the per-level bounds plain string compares. */
   private[lake] def walkHourPrefixes(store: Store,
                                      before: Option[String] = None,
-                                     base: String = ""): Seq[String] = {
+                                     base: String = "",
+                                     after: Option[String] = None): Seq[String] = {
     // `base` ("" or a '/'-terminated root like `_zmaps/`) roots the walk
     // under a mirror tree — yielded prefixes stay base-RELATIVE, so the
     // sidecar mirror walks identically to the data walk
     def numeric(s: String, w: Int) = s.length == w && s.forall(_.isDigit)
-    def inBound(prefix: String, width: Int) = before.forall(b => prefix <= b.take(width))
+    def inBound(prefix: String, width: Int) =
+      before.forall(b => prefix <= b.take(width)) &&
+        after.forall(a => prefix >= a.take(width))
     for {
       y <- store.listDirs(base) if numeric(y, 4) && inBound(y, 4)
       m <- store.listDirs(s"$base$y") if numeric(m, 2) && inBound(s"$y/$m", 7)
       d <- store.listDirs(s"$base$y/$m") if numeric(d, 2) && inBound(s"$y/$m/$d", 10)
       h <- store.listDirs(s"$base$y/$m/$d")
-      if numeric(h, 2) && before.forall(b => s"$y/$m/$d/$h" < b)
+      if numeric(h, 2) && before.forall(b => s"$y/$m/$d/$h" < b) &&
+        after.forall(a => s"$y/$m/$d/$h" >= a)
     } yield s"$y/$m/$d/$h"
   }
 

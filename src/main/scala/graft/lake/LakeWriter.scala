@@ -72,6 +72,13 @@ object LakeWriter {
     val nCols = schema.columns.length
     val typesHeader = schema.typesHeader
     val namesHeader = schema.namesHeader
+    // a direct write landing in a manifest-SEALED hour (backfills with
+    // an explicit old flushTime) must invalidate the manifest BEFORE any
+    // object appears — staged writes (keyPrefix) invalidate at their own
+    // publish point instead
+    if (keyPrefix.isEmpty)
+      Manifests.invalidateIfCovers(new HadoopStore(rootUri), table,
+        LakeKeys.datePrefix(flushTime))
 
     aligned.rdd.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty

@@ -1,0 +1,123 @@
+package graft.lake
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+import java.time.temporal.ChronoUnit
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** SEALED-HOURS table manifest: one object (`_manifests/<table>`)
+  * listing every data key in hours ≤ `upTo`, so a read of a years-old
+  * table costs ONE manifest GET plus a live walk of the unsealed tail —
+  * not one LIST call per hour directory of the table's lifetime. At
+  * warehouse scale the hour listing is the driver's metadata bottleneck
+  * (the reason table formats carry manifests); this is that idea
+  * re-derived on the reference's key layout, as a pure ACCELERATOR:
+  *
+  *  - '''advisory, never authoritative''': a missing, torn, or
+  *    unparseable manifest just falls back to the raw walk
+  *    ([[LakeReader.listTableKeys]] consults it, everything else is
+  *    unchanged);
+  *  - '''write-invalidated''': every publish path that can land or
+  *    remove a data object in a covered hour (backfill writes,
+  *    compaction, retention) deletes the manifest FIRST — a reader can
+  *    never miss an object that a raw listing would have shown. Normal
+  *    present-time flushes land in hours above `upTo` and leave it
+  *    untouched (one `exists` probe per publish);
+  *  - '''maintenance-built''': [[seal]] belongs with the nightly
+  *    compaction/index jobs ([[LakeMaintenance]]); `upTo` must sit
+  *    strictly below the current hour, so the open wall-clock hour — the
+  *    one still receiving flushes — is never sealed.
+  *
+  * Format (gzip text, staged-published like every lake object):
+  * {{{
+  * graft-manifest v1 upTo=YYYY/MM/DD/HH count=N
+  * <object key>                                  — N lines, sorted
+  * }}}
+  * The strict read re-validates everything (header shape, count, every
+  * key parses to this table, no key above `upTo`) — anything off reads
+  * as "no manifest", never as wrong keys. */
+object Manifests {
+
+  val Prefix = "_manifests/"
+
+  def manifestKey(table: String): String = s"$Prefix$table"
+
+  final case class Manifest(upTo: String, keys: Seq[String])
+
+  /** Strict parse; None = absent or not trustworthy (fall back to the
+    * raw walk — the conservative direction). */
+  def read(store: Store, table: String): Option[Manifest] = {
+    val key = manifestKey(table)
+    val in = try Some(store.open(key)) catch { case _: Exception => None }
+    in.flatMap { raw =>
+      try {
+        val rd = new BufferedReader(new InputStreamReader(
+          new GZIPInputStream(raw), StandardCharsets.UTF_8))
+        try {
+          val header = rd.readLine()
+          val m = HeaderRe.findFirstMatchIn(Option(header).getOrElse(""))
+            .getOrElse(return None)
+          val upTo = m.group(1)
+          val count = m.group(2).toInt
+          val keys = Vector.newBuilder[String]
+          var i = 0
+          var line = rd.readLine()
+          while (line != null) {
+            keys += line
+            i += 1
+            line = rd.readLine()
+          }
+          val ks = keys.result()
+          val ok = i == count && ks.forall { k =>
+            LakeKeys.parseKey(k).exists(_._2 == table) &&
+              LakeKeys.hourPrefixOf(k) <= upTo
+          }
+          if (ok) Some(Manifest(upTo, ks)) else None
+        } finally rd.close()
+      } catch { case _: Exception => None }
+    }
+  }
+
+  private val HeaderRe =
+    """^graft-manifest v1 upTo=(\d{4}/\d{2}/\d{2}/\d{2}) count=(\d+)$""".r
+
+  /** Build (or rebuild) the manifest from a raw listing of hours ≤
+    * `upTo`. Staged-published: the manifest appears atomically or not at
+    * all — a reader never sees a torn one (and the strict read would
+    * reject it anyway). Returns the number of keys sealed. */
+  def seal(store: Store, table: String, upTo: Instant): Long = {
+    val hour = upTo.truncatedTo(ChronoUnit.HOURS)
+    require(hour.isBefore(Instant.now().truncatedTo(ChronoUnit.HOURS)),
+      s"seal upTo=$hour must lie strictly below the current hour — the " +
+        "open wall-clock hour still receives flushes")
+    val keys = LakeReader.rawListTableKeys(store, table,
+      Some((Instant.EPOCH, hour))).sorted
+    val upToPfx = LakeKeys.datePrefix(hour)
+    val staging = s"_staging/manifest-${java.util.UUID.randomUUID()}"
+    val out = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(store.create(staging)), StandardCharsets.UTF_8))
+    try {
+      out.write(s"graft-manifest v1 upTo=$upToPfx count=${keys.size}\n")
+      keys.foreach { k => out.write(k); out.write("\n") }
+    } finally out.close()
+    store.rename(staging, manifestKey(table))
+    keys.size.toLong
+  }
+
+  /** Delete the manifest iff it covers `hourPrefix` — the write-side
+    * guard every publish path runs BEFORE landing or removing a data
+    * object (`hourPrefix` = the lowest hour the operation touches).
+    * Absent manifest: one `exists` probe and done — the common
+    * present-time-flush case stays O(1). An unreadable manifest is
+    * deleted too (readers ignore it, but leaving garbage invites
+    * confusion). */
+  def invalidateIfCovers(store: Store, table: String, hourPrefix: String): Unit = {
+    val key = manifestKey(table)
+    if (store.exists(key)) read(store, table) match {
+      case Some(m) if m.upTo >= hourPrefix => store.delete(key)
+      case Some(_) => () // covers only older hours than this publish
+      case None => store.delete(key)
+    }
+  }
+}

@@ -169,6 +169,10 @@ object LakeSink {
       val store = if (publishStore != null) publishStore
                   else new graft.lake.HadoopStore(rootUri)
       try {
+        // epochs land in the current hour — above any legal seal point —
+        // but the manifest guard is one exists() probe per epoch
+        graft.lake.Manifests.invalidateIfCovers(store, schema.name,
+          graft.lake.LakeKeys.datePrefix(flushTime))
         val written = LakeWriter.write(sized, schema, rootUri, flushTime, gzip,
           maxRecordsPerObject = recordLimit, keyPrefix = s"$staging/",
           zoneMaps = zoneMaps)
