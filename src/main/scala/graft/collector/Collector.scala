@@ -207,10 +207,13 @@ final class Collector(store: Store, config: CollectorConfig = CollectorConfig())
           batch.writer.close()
           val key = LakeKeys.objectKey(batch.table, flushedAt, batch.id, config.batchZip)
           // flushes land in the current hour — above any legal manifest
-          // seal point — but the guard is one exists() probe per flush
+          // seal point — but the guard is one exists() probe per flush,
+          // re-run AFTER the put so a seal racing the upload heals
           graft.lake.Manifests.invalidateIfCovers(store, batch.table,
             LakeKeys.datePrefix(flushedAt))
           store.put(key, new FileInputStream(batch.tempFile))
+          graft.lake.Manifests.invalidateIfCovers(store, batch.table,
+            LakeKeys.datePrefix(flushedAt))
           val info = FlushInfo(batch.table, batch.id, trigger, batch.records, age, key)
           Collector.this.synchronized(flushListeners.toList).foreach(_.apply(info))
         } catch { case NonFatal(e) => emitError(e) }

@@ -334,6 +334,9 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
             store.rename(BloomMaps.bloomKey(k), BloomMaps.bloomKey(dst))
         }
       }
+      // again AFTER the renames: a seal racing the commit heals
+      Manifests.invalidateIfCovers(store, lakeSchema.name,
+        LakeKeys.datePrefix(flushTime))
     } finally cleanupStaging(store)
   }
 
@@ -422,6 +425,9 @@ final class LakeStreamingWrite(rootUri: String, lakeSchema: TableSchema,
           i += 1
         } else more = false
       }
+      // again AFTER the epoch publish: a seal racing the commit heals
+      Manifests.invalidateIfCovers(store, lakeSchema.name,
+        LakeKeys.datePrefix(flushTime))
     } finally cleanup(store, staging)
   }
 

@@ -122,6 +122,9 @@ object LakeMaintenance {
         }
       }
       val written = futures.flatMap(Await.result(_, Duration.Inf))
+      // again AFTER the rewrites land: a seal racing the compaction heals
+      Manifests.invalidateIfCovers(store, table,
+        oldKeys.map(LakeKeys.hourPrefixOf).min)
       CompactionReport(oldKeys.size, written.size, written.map(_.records).sum,
         written.map(_.key))
     } catch { case e: Throwable =>
@@ -265,6 +268,9 @@ object LakeMaintenance {
       Manifests.invalidateIfCovers(store, table,
         doomed.map(LakeKeys.hourPrefixOf).min)
     doomed.foreach(deleteWithSidecar(store, _))
+    if (doomed.nonEmpty) // again after the deletes: a racing seal heals
+      Manifests.invalidateIfCovers(store, table,
+        doomed.map(LakeKeys.hourPrefixOf).min)
     ExpiryReport(doomed.size, cutoff)
   }
 
@@ -292,6 +298,9 @@ object LakeMaintenance {
           val st = new HadoopStore(rootUri) // per-executor store
           ks.foreach(deleteWithSidecar(st, _))
         }
+      // again after the deletes: a racing seal heals
+      Manifests.invalidateIfCovers(store, table,
+        doomed.map(LakeKeys.hourPrefixOf).min)
     }
     ExpiryReport(doomed.size, cutoff)
   }

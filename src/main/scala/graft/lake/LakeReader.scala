@@ -94,8 +94,19 @@ object LakeReader {
     * OTHER table's objects too, which at warehouse scale is a driver
     * bottleneck all by itself. */
   def listTableKeys(store: Store, table: String,
-                    hourRange: Option[(java.time.Instant, java.time.Instant)]): Seq[String] =
-    Manifests.read(store, table) match {
+                    hourRange: Option[(java.time.Instant, java.time.Instant)]): Seq[String] = {
+    // header first (a ranged-size read): a range entirely ABOVE the seal
+    // point — the streaming-discovery hot path, whose frontier quickly
+    // outruns any manifest — must never download a years-old table's
+    // full key list just to filter all of it out
+    val headerUpTo = Manifests.readHeader(store, table)
+    val fullyLive = headerUpTo.exists(upTo => hourRange.exists { case (from, _) =>
+      LakeKeys.datePrefix(from.truncatedTo(
+        java.time.temporal.ChronoUnit.HOURS)) > upTo
+    })
+    if (headerUpTo.isEmpty || fullyLive)
+      rawListTableKeys(store, table, hourRange)
+    else Manifests.read(store, table) match {
       case Some(m) =>
         // sealed hours come off the manifest (ONE object read), the
         // unsealed tail off the live walk — at warehouse scale this
@@ -122,6 +133,7 @@ object LakeReader {
           rawListTableKeys(store, table, Some(r)))
       case None => rawListTableKeys(store, table, hourRange)
     }
+  }
 
   /** [[listTableKeys]] without the manifest consult — the raw walk.
     * [[Manifests.seal]] builds FROM this (the manifest may not feed

@@ -75,7 +75,9 @@ object LakeWriter {
     // a direct write landing in a manifest-SEALED hour (backfills with
     // an explicit old flushTime) must invalidate the manifest BEFORE any
     // object appears — staged writes (keyPrefix) invalidate at their own
-    // publish point instead
+    // publish point instead. Invalidated AGAIN after the job (below):
+    // a seal_manifest racing the in-flight job could republish a
+    // manifest missing these objects; the post-invalidate heals it.
     if (keyPrefix.isEmpty)
       Manifests.invalidateIfCovers(new HadoopStore(rootUri), table,
         LakeKeys.datePrefix(flushTime))
@@ -100,7 +102,12 @@ object LakeWriter {
           throw e
         }
       }
-    }.collect().toSeq
+    }.collect().toSeq match { case written =>
+      if (keyPrefix.isEmpty)
+        Manifests.invalidateIfCovers(new HadoopStore(rootUri), table,
+          LakeKeys.datePrefix(flushTime))
+      written
+    }
   }
 
   /** The per-task writing core LakeWriter's partitions and the DSv2

@@ -45,6 +45,23 @@ object Manifests {
 
   final case class Manifest(upTo: String, keys: Seq[String])
 
+  /** The header alone (upTo prefix) — ONE ranged-size read, so callers
+    * whose hour range lies entirely above `upTo` can skip downloading
+    * a years-old table's full key list (the streaming-discovery hot
+    * path: a frontier-bounded trigger must never pay a full manifest
+    * parse just to filter everything out). None = absent/unreadable. */
+  def readHeader(store: Store, table: String): Option[String] = {
+    val raw = try store.open(manifestKey(table))
+              catch { case _: Exception => return None }
+    try {
+      val rd = new BufferedReader(new InputStreamReader(
+        new GZIPInputStream(raw), StandardCharsets.UTF_8))
+      HeaderRe.findFirstMatchIn(Option(rd.readLine()).getOrElse(""))
+        .map(_.group(1))
+    } catch { case _: Exception => None }
+    finally { try raw.close() catch { case _: Exception => () } }
+  }
+
   /** Strict parse; None = absent or not trustworthy (fall back to the
     * raw walk — the conservative direction). */
   def read(store: Store, table: String): Option[Manifest] = {
@@ -76,6 +93,10 @@ object Manifests {
           if (ok) Some(Manifest(upTo, ks)) else None
         } finally rd.close()
       } catch { case _: Exception => None }
+      // rd.close() closes raw too on the normal path; this covers the
+      // GZIP-constructor-throws path (corrupt manifest), where `raw`
+      // would otherwise leak a handle on EVERY read of the bad object
+      finally { try raw.close() catch { case _: Exception => () } }
     }
   }
 
@@ -83,9 +104,23 @@ object Manifests {
     """^graft-manifest v1 upTo=(\d{4}/\d{2}/\d{2}/\d{2}) count=(\d+)$""".r
 
   /** Build (or rebuild) the manifest from a raw listing of hours ≤
-    * `upTo`. Staged-published: the manifest appears atomically or not at
-    * all — a reader never sees a torn one (and the strict read would
-    * reject it anyway). Returns the number of keys sealed. */
+    * `upTo`. Staged-published onto a CLEARED destination (rename onto an
+    * existing key degrades to copy+delete on every real filesystem, which
+    * a reader could catch mid-copy): the old manifest is deleted first,
+    * so readers see old → absent (raw walk) → new, never a torn one (and
+    * the strict read would reject a torn one anyway). Returns the number
+    * of keys sealed.
+    *
+    * OPERATIONAL CONTRACT (the compact/stream window discipline): do not
+    * seal while a write into hours ≤ `upTo` is IN FLIGHT. A backfill
+    * invalidates the manifest before AND after it lands, which heals a
+    * seal that ran mid-job — but a seal whose listing raced the landing
+    * objects and whose publish outlived the writer's post-invalidate
+    * would keep a key list missing those objects. Normal present-time
+    * ingestion is never affected (`upTo` sits strictly below the current
+    * hour); the hazard is exclusively seal-vs-backfill/compaction into
+    * the same sealed past, which one maintenance scheduler serializes
+    * naturally. */
   def seal(store: Store, table: String, upTo: Instant): Long = {
     val hour = upTo.truncatedTo(ChronoUnit.HOURS)
     require(hour.isBefore(Instant.now().truncatedTo(ChronoUnit.HOURS)),
@@ -101,17 +136,31 @@ object Manifests {
       out.write(s"graft-manifest v1 upTo=$upToPfx count=${keys.size}\n")
       keys.foreach { k => out.write(k); out.write("\n") }
     } finally out.close()
+    // clear the destination so the rename is a fresh-key move (atomic),
+    // not a copy-over-existing a reader could catch half-written
+    store.delete(manifestKey(table))
     store.rename(staging, manifestKey(table))
     keys.size.toLong
   }
 
   /** Delete the manifest iff it covers `hourPrefix` — the write-side
     * guard every publish path runs BEFORE landing or removing a data
-    * object (`hourPrefix` = the lowest hour the operation touches).
-    * Absent manifest: one `exists` probe and done — the common
+    * object AND AGAIN AFTER (`hourPrefix` = the lowest hour the
+    * operation touches): the pre-call keeps readers from missing an
+    * already-landed object, the post-call heals a [[seal]] that raced
+    * the in-flight operation (see seal's operational contract). Absent
+    * manifest: one `exists` probe and done — the common
     * present-time-flush case stays O(1). An unreadable manifest is
     * deleted too (readers ignore it, but leaving garbage invites
-    * confusion). */
+    * confusion).
+    *
+    * The guard is CONVENTIONAL, not structural — it lives at every
+    * data-object publish/retire site: `LakeWriter.write` (direct,
+    * non-staged), the Collector flush, `LakeSink.landBatch`,
+    * `LakeWrite.commit`, `LakeStreamingWrite.commit`,
+    * `LakeMaintenance.compact`, and both expire variants. A NEW path
+    * that lands or deletes a data object must call it too, or sealed
+    * reads go quietly stale (ManifestSpec pins each existing site). */
   def invalidateIfCovers(store: Store, table: String, hourPrefix: String): Unit = {
     val key = manifestKey(table)
     if (store.exists(key)) read(store, table) match {

@@ -260,6 +260,9 @@ object LakeSink {
             } else moreInter = false
           }
         }
+        // again AFTER the epoch publish: a seal racing the commit heals
+        graft.lake.Manifests.invalidateIfCovers(store, schema.name,
+          graft.lake.LakeKeys.datePrefix(flushTime))
         val age = System.currentTimeMillis() - t0
         published.foreach { w =>
           onFlush(FlushInfo(schema.name, w.id, trigger, w.records, age, w.key))

@@ -138,6 +138,48 @@ class ManifestSpec extends SparkSuite {
     assert(LakeReader.read(spark, root, "mt").count() == 41)
   }
 
+  test("a seal racing an in-flight rewrite is HEALED by the post-publish invalidate") {
+    val root = freshRoot()
+    lake3(root)
+    val inner = new HadoopStore(root)
+    // the race, deterministically: mid-compaction — after compact's
+    // pre-invalidate, before its publish finishes — the nightly
+    // seal_manifest fires and publishes a manifest listing the OLD keys
+    // compact is about to delete. Without the post-invalidate every
+    // later read would answer off retired keys.
+    var sealFired = false
+    val racing = new Store {
+      def put(k: String, d: java.io.InputStream): Unit = inner.put(k, d)
+      def create(k: String): java.io.OutputStream = inner.create(k)
+      def open(k: String): java.io.InputStream = inner.open(k)
+      def list(p: String): Seq[String] = inner.list(p)
+      def exists(k: String): Boolean = inner.exists(k)
+      def delete(k: String): Unit = inner.delete(k)
+      override def rename(src: String, dst: String): Unit = {
+        if (!sealFired && !dst.startsWith("_")) {
+          sealFired = true // the concurrent seal lands exactly mid-publish
+          Manifests.seal(inner, "mt", Instant.parse("2024-06-10T10:00:00Z"))
+        }
+        inner.rename(src, dst)
+      }
+      override def listDirs(p: String): Seq[String] = inner.listDirs(p)
+      def rootUri: String = inner.rootUri
+    }
+    // ONE hour group: the injected seal runs synchronously inside the
+    // group's first publish rename, so its listing never races a
+    // concurrent group's deletes (the race under test is seal-vs-compact
+    // MANIFEST staleness, not local-FS list-while-delete flake)
+    LakeMaintenance.compact(spark, racing, "mt",
+      hourRange = Some((Instant.parse("2024-06-10T08:00:00Z"),
+        Instant.parse("2024-06-10T08:59:00Z"))),
+      targetRecords = 1000L)
+    assert(sealFired, "the injected seal must have fired mid-publish")
+    assert(!inner.exists(Manifests.manifestKey("mt")),
+      "the post-publish invalidate must heal the racing seal's manifest")
+    assert(LakeReader.read(spark, root, "mt").count() == 60,
+      "no reader may answer off the retired key list")
+  }
+
   test("torn or lying manifests read as ABSENT, never as wrong keys") {
     val root = freshRoot()
     lake3(root)
