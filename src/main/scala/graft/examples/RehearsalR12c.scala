@@ -1,6 +1,5 @@
 package graft.examples
 
-import graft.Sessions
 import graft.lake.{HadoopStore, LakeReader, Manifests, Store}
 
 import java.io.{InputStream, OutputStream}
@@ -17,21 +16,24 @@ import java.time.temporal.ChronoUnit
 object RehearsalR12c {
 
   private final class Metered(inner: Store) extends Store {
-    var lists = 0; var listDirs = 0; var opens = 0
+    var lists = 0; var listDirs = 0; var opens = 0; var heads = 0
     def put(k: String, d: InputStream): Unit = inner.put(k, d)
     def create(k: String): OutputStream = inner.create(k)
     def open(k: String): InputStream = { opens += 1; inner.open(k) }
     def list(p: String): Seq[String] = { lists += 1; inner.list(p) }
-    def exists(k: String): Boolean = inner.exists(k)
+    // exists() is a HEAD on an object store — a metadata call by this
+    // rehearsal's own definition; metered so the read path gaining one
+    // someday cannot silently skew the published ratio
+    def exists(k: String): Boolean = { heads += 1; inner.exists(k) }
     def delete(k: String): Unit = inner.delete(k)
     override def listDirs(p: String): Seq[String] = { listDirs += 1; inner.listDirs(p) }
     def rootUri: String = inner.rootUri
-    def calls: Int = lists + listDirs + opens
-    def reset(): Unit = { lists = 0; listDirs = 0; opens = 0 }
+    def calls: Int = lists + listDirs + opens + heads
+    def reset(): Unit = { lists = 0; listDirs = 0; opens = 0; heads = 0 }
   }
 
   def main(args: Array[String]): Unit = {
-    Sessions.local() // uniform session setup; the walk itself is driver-only
+    // no SparkSession: the listing walk under test is driver-only Store code
     val root = "file:///tmp/graft-rehearse-r12c-lake"
     val store = new HadoopStore(root)
     store.deletePrefix("")
@@ -50,14 +52,14 @@ object RehearsalR12c {
     val raw = LakeReader.listTableKeys(m, "evm", None)
     val rawCalls = (m.lists, m.listDirs, m.opens)
     println(f"REHEARSE raw listing: ${raw.size} keys, " +
-      f"${m.lists} LIST + ${m.listDirs} LISTDIR + ${m.opens} GET = ${m.calls} calls")
+      f"${m.lists} LIST + ${m.listDirs} LISTDIR + ${m.opens} GET + ${m.heads} HEAD = ${m.calls} calls")
     val sealedKeys = Manifests.seal(store, "evm",
       base.plus((Hours - 2).toLong, ChronoUnit.HOURS))
     m.reset()
     val viaManifest = LakeReader.listTableKeys(m, "evm", None)
     require(viaManifest.sorted == raw.sorted, "manifest read must equal raw")
     println(f"REHEARSE manifest ($sealedKeys sealed): ${viaManifest.size} keys, " +
-      f"${m.lists} LIST + ${m.listDirs} LISTDIR + ${m.opens} GET = ${m.calls} calls")
+      f"${m.lists} LIST + ${m.listDirs} LISTDIR + ${m.opens} GET + ${m.heads} HEAD = ${m.calls} calls")
     println(f"REHEARSE metadata-call ratio: ${rawCalls._1 + rawCalls._2 + rawCalls._3}%d -> ${m.calls}%d " +
       f"(${(rawCalls._1 + rawCalls._2 + rawCalls._3).toDouble / m.calls}%.0fx fewer; " +
       "grows linearly with table age)")
