@@ -120,6 +120,10 @@ object LakeDataSource {
     * `_event_hour` — identical to [[LakeReader.read]]'s shape. */
   val EventHourCol = "_event_hour"
 
+  /** The provenance METADATA column ([[LakeTable.metadataColumns]]):
+    * present in a scan's required schema only when selected. */
+  val ObjectKeyCol = "_object_key"
+
   private[lake] def outputStruct(schema: TableSchema): StructType =
     StructType(schema.structType.fields :+
       // key-derived, never null — matching LakeReader.read's nullability
@@ -167,7 +171,32 @@ object LakeDataSource {
 final class LakeTable(rootUri: String, tableName: String,
                       preResolved: Option[TableSchema] = None,
                       reconcile: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** PROVENANCE metadata column (`SELECT *, _object_key FROM lake.t` —
+    * the Delta `_metadata.file_path` analogue): every row knows the
+    * lake object it came from, which is what audit/repair workflows
+    * key on (count a flush's rows, find the object behind a bad
+    * record, feed compaction/scrub decisions). Costs nothing unless
+    * selected (column pruning treats it like any field), and an
+    * equality/IN filter on it prunes the scan to EXACTLY those objects
+    * — the point lookup of the key layout itself.
+    *
+    * BATCH scans only: Spark's streaming planner resolves the column
+    * but runs no pushdown/pruning pass over streaming DSv2 relations,
+    * so the scan is never told it was requested and cannot widen its
+    * rows (selecting it on `readStream` fails at execution — a planner
+    * gap, not a connector choice). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = LakeDataSource.ObjectKeyCol
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "lake object key (YYYY/MM/DD/HH/table/uuid) this row was read from"
+    })
   private lazy val lakeSchema: TableSchema =
     preResolved.getOrElse(
       if (reconcile)
@@ -730,9 +759,12 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
       case hr => LakeReader.listTableKeys(store, table, hr)
     }
     // an hour SET (IN-list / runtime hour filter) refines the listed
-    // RANGE to exact hour membership — the key parse is the decision
-    val keys = pred.hourSet.fold(listed)(hs =>
+    // RANGE to exact hour membership — the key parse is the decision;
+    // an _object_key SET decides membership on the key itself; both are
+    // conjuncts, so both apply
+    val hourKept = pred.hourSet.fold(listed)(hs =>
       listed.filter(k => LakeKeys.parseKey(k).exists(p => hs.contains(p._1))))
+    val keys = pred.keySet.fold(hourKept)(ks => hourKept.filter(ks.contains))
     if (keys.isEmpty) {
       // hour-pruned-to-nothing is a legitimate empty scan; a table with
       // no objects AT ALL fails loudly like every lake read
@@ -898,8 +930,10 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
   // FLOAT-widened merged column parses long-then-widens, and any other
   // type drift fails loudly (the reconciledGroups merge contract).
   private val hourMicros: java.lang.Long = java.lang.Long.valueOf(part.hourMillis * 1000L)
+  private val keyUtf8 = UTF8String.fromString(part.key)
   private val getters: Array[Array[String] => Any] = required.fields.map { f =>
     if (f.name == LakeDataSource.EventHourCol) { (_: Array[String]) => hourMicros }
+    else if (f.name == LakeDataSource.ObjectKeyCol) { (_: Array[String]) => keyUtf8 }
     else if (!reconcile) {
       val i = lakeSchema.columnNames.indexOf(f.name)
       require(i >= 0, s"column ${f.name} not in lake table ${lakeSchema.name}")
@@ -1036,16 +1070,18 @@ private[lake] object LakePrune {
       case _ => false
     }
     def hour(c: String) = c == LakeDataSource.EventHourCol
+    def objKey(c: String) = c == LakeDataSource.ObjectKeyCol
     f match {
       case And(l, r) => prunable(l, schema) || prunable(r, schema)
-      case EqualTo(c, v) => (cols.contains(c) && v != null && v != "") || hour(c)
+      case EqualTo(c, v) =>
+        (cols.contains(c) && v != null && v != "") || hour(c) || objKey(c)
       case EqualNullSafe(c, v) => cols.contains(c) && v != null && v != ""
       // an IN-list (static or Spark's runtime dynamic-pruning filter)
       // prunes even when EMPTY of usable values: nulls never equal
       // anything and "" never round-trips to a lake row, so an IN-list
       // with no usable value matches NOTHING and the scan legitimately
       // plans zero objects (the empty-build-side dynamic-pruning case)
-      case In(c, vs) => (cols.contains(c) || hour(c)) && vs != null
+      case In(c, vs) => (cols.contains(c) || hour(c) || objKey(c)) && vs != null
       case GreaterThan(c, _) => tracked(c) || hour(c)
       case GreaterThanOrEqual(c, _) => tracked(c) || hour(c)
       case LessThan(c, _) => tracked(c) || hour(c)
@@ -1066,7 +1102,8 @@ private[lake] object LakePrune {
       hourRange: Option[(Instant, Instant)],
       hourSet: Option[Set[Instant]],
       eqProbes: Seq[(String, Seq[(Array[Array[Int]], Option[JBig])])],
-      bands: Seq[(String, Option[JBig], Option[JBig])]) extends Serializable {
+      bands: Seq[(String, Option[JBig], Option[JBig])],
+      keySet: Option[Set[String]] = None) extends Serializable {
 
     def trivial: Boolean = eqProbes.isEmpty && bands.isEmpty
 
@@ -1105,6 +1142,9 @@ private[lake] object LakePrune {
     var from: Option[Instant] = None
     var to: Option[Instant] = None
     var hourSet: Option[Set[Instant]] = None
+    var keySet: Option[Set[String]] = None
+    def tightenKeys(ks: Set[String]): Unit =
+      keySet = Some(keySet.fold(ks)(_ intersect ks))
     val eqProbes = Seq.newBuilder[(String, Seq[(Array[Array[Int]], Option[JBig])])]
     val bands = Seq.newBuilder[(String, Option[JBig], Option[JBig])]
 
@@ -1137,6 +1177,14 @@ private[lake] object LakePrune {
     }
     def walk(f: Filter): Unit = f match {
       case And(l, r) => walk(l); walk(r)
+      // provenance point lookup: equality/IN on _object_key decides key
+      // MEMBERSHIP exactly (the key IS the listing entry) — and also
+      // tightens the LISTED range to the named keys' hours, so the
+      // audit read of one object never walks the other years
+      case EqualTo(c, v) if c == LakeDataSource.ObjectKeyCol =>
+        tightenKeys(Option(v).collect { case s: String => s }.toSet)
+      case In(c, vs) if c == LakeDataSource.ObjectKeyCol && vs != null =>
+        tightenKeys(vs.collect { case s: String => s }.toSet)
       case EqualTo(c, v) if c == LakeDataSource.EventHourCol =>
         // equality = one-member hour SET: besides tightening the listed
         // range, membership is exact — a misaligned timestamp can never
@@ -1189,6 +1237,14 @@ private[lake] object LakePrune {
       case _ => ()
     }
     filters.foreach(walk)
+    // a key set narrows the LISTED range to its keys' hours; keys that
+    // don't parse as lake keys can never match a listing entry, and a
+    // set with NO parseable key matches nothing (inverted range below)
+    keySet.foreach { ks =>
+      val hours = ks.flatMap(k => LakeKeys.parseKey(k).map(_._1))
+      if (hours.isEmpty) hourSet = Some(Set.empty)
+      else { tightenFrom(hours.min); tightenTo(hours.max) }
+    }
     // an hour set narrows the LISTED range to its min/max; an empty set
     // inverts the range so the scan plans nothing (from > to)
     hourSet.foreach { hs =>
@@ -1205,6 +1261,6 @@ private[lake] object LakePrune {
           f.getOrElse(Instant.EPOCH),
           t.getOrElse(Instant.parse("9999-12-31T23:00:00Z"))))
       },
-      hourSet, eqProbes.result(), bands.result())
+      hourSet, eqProbes.result(), bands.result(), keySet)
   }
 }

@@ -745,6 +745,53 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(ex.getMessage.contains("irreconcilable schema drift"))
   }
 
+  test("_object_key metadata column: provenance per row; equality on it prunes to exactly that object") {
+    val root = freshRoot()
+    fixture(root) // 4 objects, one hour
+    val df = dsv2(root).select(col("id"), col("_event_hour"),
+      col("_object_key"))
+    // every row's key parses, names table dt, and agrees with its
+    // key-derived _event_hour
+    val rows = df.collect()
+    assert(rows.length == 1000)
+    assert(rows.forall { r =>
+      LakeKeys.parseKey(r.getString(2)).exists { case (h, t, _) =>
+        t == "dt" && h.toEpochMilli * 1000L ==
+          r.getTimestamp(1).toInstant.toEpochMilli * 1000L
+      }
+    })
+    // per-object row counts equal the sidecars' records
+    val store = new HadoopStore(root)
+    val byKey = dsv2(root).groupBy(col("_object_key"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromSidecars = LakeReader.listTableKeys(store, "dt", None)
+      .map(k => k -> ZoneMaps.read(store, k).get.records).toMap
+    assert(byKey == fromSidecars)
+    // the point lookup: = on _object_key plans EXACTLY that object
+    val one = fromSidecars.keys.head
+    val lookup = dsv2(root).where(col("_object_key") === one)
+    assert(lakeScan(lookup).plannedKeys == Seq(one),
+      s"key equality must plan exactly one object: ${lakeScan(lookup).plannedKeys}")
+    assert(lookup.count() == fromSidecars(one))
+    // IN-list of two keys plans exactly those; a non-key string plans none
+    val two = fromSidecars.keys.take(2).toSeq
+    val pair = dsv2(root).where(col("_object_key").isin(two: _*))
+    assert(lakeScan(pair).plannedKeys.sorted == two.sorted)
+    val none = dsv2(root).where(col("_object_key") === "not/a/lake/key")
+    assert(lakeScan(none).plannedKeys.isEmpty && none.count() == 0)
+    // writes don't accept it: the metadata column is read-only
+    val e = intercept[Exception] {
+      dsv2(root).select(col("id"), col("tag"), col("score"), col("ok"),
+        col("ts"), col("_event_hour"), col("_object_key"))
+        .write.format("graft-lake").option("table", "dt").mode("append").save(root)
+    }
+    // Spark's analysis refuses the extra column before our own by-name
+    // check would (either error is the right refusal)
+    assert(e.getMessage.contains("TOO_MANY_DATA_COLUMNS") ||
+      e.getMessage.contains("declared lake columns"), e.getMessage)
+  }
+
   test("missing table and missing options fail loudly; drifted header fails the scan") {
     val root = freshRoot()
     fixture(root)
