@@ -143,13 +143,14 @@ final class LakeCatalog extends TableCatalog with ProcedureCatalog {
 private[lake] object LakeProcedures {
 
   val Names: Seq[String] = Seq("compact", "expire", "ensure_indexes",
-    "seal_manifest")
+    "seal_manifest", "retire_objects")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(new CompactProcedure(root))
     case "expire" => Some(new ExpireProcedure(root))
     case "ensure_indexes" => Some(new EnsureIndexesProcedure(root))
     case "seal_manifest" => Some(new SealManifestProcedure(root))
+    case "retire_objects" => Some(new RetireObjectsProcedure(root))
     case _ => None
   }
 
@@ -265,6 +266,23 @@ private[lake] object LakeProcedures {
         java.lang.Long.valueOf(sealedKeys), UTF8String.fromString(
           LakeKeys.datePrefix(upTo.truncatedTo(
             java.time.temporal.ChronoUnit.HOURS))))
+    }
+  }
+
+  private final class RetireObjectsProcedure(root: String)
+      extends MaintenanceProcedure("retire_objects") {
+    override def description(): String =
+      "Retire EXPLICIT objects by key (the _object_key audit remedy): " +
+        "each deletes with its sidecars, manifests invalidate; idempotent"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("keys", StringType).build()) // comma-separated
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val keys = commaCols(input.getUTF8String(0))
+      val retired = LakeMaintenance.retireObjects(new HadoopStore(root), keys)
+      result(StructType(Seq(
+        StructField("retired", IntegerType, nullable = false),
+        StructField("named", IntegerType, nullable = false))),
+        Integer.valueOf(retired), Integer.valueOf(keys.size))
     }
   }
 }

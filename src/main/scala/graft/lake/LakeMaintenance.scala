@@ -323,4 +323,32 @@ object LakeMaintenance {
     store.delete(k)
     ZoneMaps.deleteSidecarSignaled(store, k, "graft.LakeMaintenance")
   }
+
+  /** Retire EXPLICIT objects — the remedy an `_object_key` audit points
+    * at (a bad flush, a corrupted upload, a right-to-forget scope): each
+    * named object deletes with both its sidecars, and the tables'
+    * sealed-hours manifests invalidate before AND after (the same
+    * discipline as every publish path). Keys must parse as lake object
+    * keys — retiring by name is surgical, never a prefix sweep (that is
+    * [[expire]]'s job). Idempotent: deleting a missing key is a no-op,
+    * so a retry never fails on its own earlier progress; returns how
+    * many of the named objects EXISTED when retired. */
+  def retireObjects(store: Store, keys: Seq[String]): Int = {
+    val parsed = keys.map(k => k -> LakeKeys.parseKey(k))
+    val bad = parsed.collect { case (k, None) => k }
+    require(bad.isEmpty,
+      s"not lake object keys (YYYY/MM/DD/HH/table/uuid): ${bad.mkString(", ")}")
+    val byTable = parsed.map { case (k, p) => (p.get._2, k) }.groupBy(_._1)
+    byTable.foreach { case (table, ks) =>
+      Manifests.invalidateIfCovers(store, table,
+        ks.map(t => LakeKeys.hourPrefixOf(t._2)).min)
+    }
+    val existed = keys.count(store.exists)
+    keys.foreach(deleteWithSidecar(store, _))
+    byTable.foreach { case (table, ks) => // again after: a racing seal heals
+      Manifests.invalidateIfCovers(store, table,
+        ks.map(t => LakeKeys.hourPrefixOf(t._2)).min)
+    }
+    existed
+  }
 }

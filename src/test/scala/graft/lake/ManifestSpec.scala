@@ -180,6 +180,50 @@ class ManifestSpec extends SparkSuite {
       "no reader may answer off the retired key list")
   }
 
+  test("retireObjects: the _object_key audit remedy — surgical, sidecar-complete, manifest-invalidating, idempotent") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    lake3(root)
+    val store = new HadoopStore(root)
+    // re-land hour 09 WITH sidecars so retirement provably removes them
+    LakeMaintenance.expire(store, "mt", Instant.parse("2099-01-01T00:00:00Z"))
+    import spark.implicits._
+    LakeWriter.write((0 until 60).map(i => (i.toLong, s"t${i % 3}"))
+      .toDF("id", "tag").orderBy("id").coalesce(1),
+      schema, root, Instant.parse("2024-06-10T09:00:00Z"),
+      maxRecordsPerObject = 20L, zoneMaps = true, bloomColumns = Seq("tag"))
+    Manifests.seal(store, "mt", Instant.parse("2024-06-10T09:00:00Z"))
+    // the audit: find the object holding id 25 through the connector
+    val victim = spark.read.format("graft-lake").option("table", "mt").load(root)
+      .where(col("id") === 25L).select(col("_object_key"))
+      .collect().head.getString(0)
+    assert(LakeMaintenance.retireObjects(store, Seq(victim)) == 1)
+    assert(!store.exists(victim) &&
+      !store.exists(ZoneMaps.statsKey(victim)) &&
+      !store.exists(BloomMaps.bloomKey(victim)),
+      "the object and BOTH sidecars must go")
+    assert(!store.exists(Manifests.manifestKey("mt")),
+      "retiring a covered object invalidates the manifest")
+    val after = LakeReader.read(spark, root, "mt")
+    assert(after.count() == 40 &&
+      after.where(col("id") === 25L).count() == 0)
+    // idempotent: the retry reports 0 existing, changes nothing
+    assert(LakeMaintenance.retireObjects(store, Seq(victim)) == 0)
+    // non-key names refuse loudly (surgical by contract, never a sweep)
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.retireObjects(store, Seq("not/a/key"))
+    }
+    // and the SQL surface
+    val cat = s"rcat${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val next = LakeReader.listTableKeys(store, "mt", None).head
+    val rep = spark.sql(
+      s"CALL $cat.system.retire_objects(keys => '$next')").collect().head
+    assert(rep.getInt(0) == 1 && rep.getInt(1) == 1)
+    assert(LakeReader.read(spark, root, "mt").count() == 20)
+  }
+
   test("torn or lying manifests read as ABSENT, never as wrong keys") {
     val root = freshRoot()
     lake3(root)
