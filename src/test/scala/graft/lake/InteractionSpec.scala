@@ -1,0 +1,141 @@
+package graft.lake
+
+import graft.SparkSuite
+import graft.types.{ColType, TableSchema}
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+/** The round's features at their INTERACTION seams: each one is proven
+  * alone in its own suite; these pin that they compose — the
+  * configurations a real deployment actually runs (sealed manifests
+  * under drifted schemas, hour-clustered plans over manifest-backed
+  * listings, streams crossing a seal, runtime pruning off a manifest
+  * listing). */
+class InteractionSpec extends SparkSuite {
+
+  private val schema = TableSchema("ix", Seq(
+    "id" -> ColType.CInteger, "v" -> ColType.CInteger))
+
+  private def freshRoot() =
+    s"file://${Files.createTempDirectory("graft-interact-spec").toFile.getAbsolutePath}"
+
+  private def land(root: String, hour: String, ids: Range,
+                   sch: TableSchema = schema): Unit = {
+    import spark.implicits._
+    LakeWriter.write(
+      ids.map(i => (i.toLong, i.toLong * 10)).toDF(sch.columnNames: _*)
+        .orderBy(sch.columnNames.head).coalesce(1),
+      sch, root, Instant.parse(hour),
+      maxRecordsPerObject = math.max(1L, ids.size / 2L), zoneMaps = true)
+  }
+
+  test("reconcile × manifest: a DRIFTED table reads by-name off a sealed listing, byte-identical to pre-seal") {
+    import spark.implicits._
+    val root = freshRoot()
+    // two header generations across two hours (v INTEGER → v FLOAT + reorder)
+    land(root, "2024-06-10T08:00:00Z", 0 until 20)
+    LakeWriter.write(Seq((2.5, 100L), (3.5, 101L)).toDF("v", "id"),
+      TableSchema("ix", Seq("v" -> ColType.CFloat, "id" -> ColType.CInteger)),
+      root, Instant.parse("2024-06-10T09:00:00Z"), zoneMaps = true)
+    def rec = spark.read.format("graft-lake").option("table", "ix")
+      .option("reconcile", "true").load(root)
+    val before = rec.collect().toSeq.sortBy(_.getLong(0))
+    val store = new HadoopStore(root)
+    Manifests.seal(store, "ix", Instant.parse("2024-06-10T09:00:00Z"))
+    // schema peek (EVERY object's header) and the scan both list via the
+    // manifest now; rows and schema must not move
+    val after = rec
+    assert(after.collect().toSeq.sortBy(_.getLong(0)) == before)
+    assert(after.schema == spark.read.format("graft-lake").option("table", "ix")
+      .option("reconcile", "true").load(root).schema)
+    // and pruning still bites across generations off the manifest
+    // listing (gen-1's id=0 carries v=0, gen-2's id=100 carries v=2.5)
+    val banded = rec.where(col("v") <= 3.0)
+    assert(banded.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 100L))
+  }
+
+  test("clusterByHour × manifest: the shuffle-free hour rollup plans off the sealed listing") {
+    val root = freshRoot()
+    for (h <- Seq("2024-06-10T08:00:00Z", "2024-06-10T09:00:00Z",
+                  "2024-06-10T10:00:00Z")) land(root, h, 0 until 30)
+    val store = new HadoopStore(root)
+    Manifests.seal(store, "ix", Instant.parse("2024-06-10T09:00:00Z"))
+    val df = spark.read.format("graft-lake").option("table", "ix")
+      .option("clusterByHour", "true").load(root)
+      .groupBy(col("_event_hour")).agg(sum("id").as("s"), count(lit(1)).as("n"))
+    val rows = df.collect()
+    assert(rows.length == 3 && rows.forall(_.getLong(2) == 30))
+    assert(!df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head.contains("Exchange"),
+      "hour clustering must hold when partitions plan off the manifest")
+    assert(store.exists(Manifests.manifestKey("ix")), "reads never invalidate")
+  }
+
+  test("stream × seal: a seal landing mid-stream changes discovery, never delivery") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("ix-ckpt").toFile.getAbsolutePath
+    land(root, "2024-06-10T08:00:00Z", 0 until 20)
+    val got = new scala.collection.mutable.ArrayBuffer[Long]
+    val q = spark.readStream.format("graft-lake").option("table", "ix").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.select("id").collect().map(_.getLong(0)) }; ()
+      }.start()
+    q.processAllAvailable()
+    assert(got.sorted.toSeq == (0L until 20L))
+    // the nightly seal fires while the stream runs
+    val store = new HadoopStore(root)
+    Manifests.seal(store, "ix", Instant.parse("2024-06-10T08:00:00Z"))
+    // new objects above the seal point discover normally…
+    land(root, "2024-06-10T09:00:00Z", 20 until 40)
+    q.processAllAvailable()
+    assert(got.sorted.toSeq == (0L until 40L))
+    // …and a backfill INTO the sealed hour invalidates the manifest on
+    // its way in, so the stream discovers it too — exactly once
+    land(root, "2024-06-10T08:00:00Z", 40 until 50)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.sorted.toSeq == (0L until 50L),
+      s"the backfill must deliver exactly once: ${got.size} rows")
+    assert(got.size == got.distinct.size)
+  }
+
+  test("runtime pruning × manifest: the DPP join prunes objects listed off the manifest") {
+    import spark.implicits._
+    val root = freshRoot()
+    // id-banded objects across two hours, both sealed
+    land(root, "2024-06-10T08:00:00Z", 0 until 40)
+    land(root, "2024-06-10T09:00:00Z", 40 until 80)
+    val store = new HadoopStore(root)
+    Manifests.seal(store, "ix", Instant.parse("2024-06-10T09:00:00Z"))
+    val total = LakeReader.listTableKeys(store, "ix", None).size
+    val dim = spark.range(200L).select(col("id").as("k"),
+      (col("id") / 10).cast("long").as("grp")).where(col("grp") === 1) // k 10..19
+    val fact = spark.read.format("graft-lake").option("table", "ix").load(root)
+    val joined = fact.join(dim, col("id") === col("k"))
+    val n = joined.queryExecution.executedPlan.executeCollect().length
+    assert(n == 10)
+    val lakeScan = {
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[LakeScan] =
+        (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(s.plan)
+          case o => o.children.flatMap(scans)
+        }) ++ (p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan match { case ls: LakeScan => Seq(ls); case _ => Nil }
+          case _ => Nil
+        })
+      scans(joined.queryExecution.executedPlan).head
+    }
+    assert(lakeScan.runtimeFilters.nonEmpty, "the runtime filter must fire")
+    assert(lakeScan.plannedKeys.nonEmpty && lakeScan.plannedKeys.size < total,
+      s"manifest-listed objects must still prune at runtime: " +
+        s"${lakeScan.plannedKeys.size} of $total")
+  }
+}
