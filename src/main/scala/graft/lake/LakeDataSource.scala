@@ -223,15 +223,29 @@ final class LakeTable(rootUri: String, tableName: String,
     new LakeScanBuilder(rootUri, tableName, lakeSchema,
       Option(options.get("clusterbyhour")).exists(_.toBoolean),
       reconcile,
-      LakeStreamOptions(
-        Option(options.get("maxobjectspertrigger")).map(_.toInt),
-        Option(options.get("maxhourage")).map(_.toInt),
-        Option(options.get("startfrom")).map(_.toLowerCase) match {
-          case None | Some("earliest") => false
-          case Some("latest") => true
-          case Some(other) => throw new IllegalArgumentException(
-            s"graft-lake: startFrom must be earliest|latest, got $other")
-        }))
+      Option(options.get("startfrom")).map(_.trim) match {
+        case None =>
+          LakeStreamOptions(
+            Option(options.get("maxobjectspertrigger")).map(_.toInt),
+            Option(options.get("maxhourage")).map(_.toInt))
+        case Some(v) =>
+          val (latest, fromHour) = v.toLowerCase match {
+            case "earliest" => (false, None)
+            case "latest" => (true, None)
+            case _ =>
+              val at = try Instant.parse(v) catch {
+                case _: java.time.format.DateTimeParseException =>
+                  throw new IllegalArgumentException(
+                    "graft-lake: startFrom must be earliest|latest|an " +
+                      s"ISO-8601 instant, got $v")
+              }
+              (false, Some(at))
+          }
+          LakeStreamOptions(
+            Option(options.get("maxobjectspertrigger")).map(_.toInt),
+            Option(options.get("maxhourage")).map(_.toInt),
+            latest, fromHour)
+      })
   }
 
   /** APPEND to an existing lake table (`.mode("append")` — the lake is
@@ -542,10 +556,13 @@ final class LakeDataWriter(rootUri: String, lakeSchema: TableSchema,
 }
 
 /** Streaming-read knobs threaded from the reader options (inert for
-  * batch scans): see [[LakeMicroBatchStream]]. */
+  * batch scans): see [[LakeMicroBatchStream]]. `startFromHour` is the
+  * third `startFrom` mode (an ISO-8601 instant): begin at that hour —
+  * the bounded-backfill deployment ("reprocess from last Monday"). */
 final case class LakeStreamOptions(maxObjectsPerTrigger: Option[Int] = None,
                                    maxHourAge: Option[Int] = None,
-                                   startFromLatest: Boolean = false)
+                                   startFromLatest: Boolean = false,
+                                   startFromHour: Option[Instant] = None)
 
 final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSchema,
                             clusterByHour: Boolean = false,
@@ -667,7 +684,8 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new LakeMicroBatchStream(rootUri, table, lakeSchema, required,
       streamOptions.maxObjectsPerTrigger, streamOptions.maxHourAge,
-      streamOptions.startFromLatest, reconcile)
+      streamOptions.startFromLatest, reconcile,
+      streamOptions.startFromHour)
 
   /** STORAGE-PARTITIONED execution (`option("clusterByHour", true)` +
     * `spark.sql.sources.v2.bucketing.enabled`): the key layout already

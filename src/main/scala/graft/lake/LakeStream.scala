@@ -54,9 +54,13 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
                                  maxObjectsPerTrigger: Option[Int],
                                  maxHourAge: Option[Int],
                                  startFromLatest: Boolean,
-                                 reconcile: Boolean = false)
+                                 reconcile: Boolean = false,
+                                 startFromHour: Option[Instant] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  require(!(startFromLatest && startFromHour.isDefined),
+    "startFrom is one mode: earliest, latest, or an instant")
 
   require(maxObjectsPerTrigger.forall(_ > 0),
     s"maxObjectsPerTrigger must be positive, got $maxObjectsPerTrigger")
@@ -82,7 +86,16 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
 
   override def initialOffset(): Offset =
     if (startFromLatest) LakeStreamOffset(None, discover(None).sorted)
-    else LakeStreamOffset(None, Nil)
+    else startFromHour match {
+      // the bounded backfill ("reprocess from T"): everything strictly
+      // below T's hour starts out SEALED — never listed, never
+      // delivered, zero ledger entries — and the stream proceeds from
+      // T's hour exactly like a fresh earliest stream would there
+      case Some(at) => LakeStreamOffset(
+        Some(LakeStreamOffset.hourBefore(LakeKeys.datePrefix(
+          at.truncatedTo(ChronoUnit.HOURS)))), Nil)
+      case None => LakeStreamOffset(None, Nil)
+    }
 
   override def deserializeOffset(json: String): Offset =
     LakeStreamOffset.fromJson(json)
