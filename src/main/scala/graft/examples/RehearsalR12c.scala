@@ -50,7 +50,7 @@ object RehearsalR12c {
     }
     val m = new Metered(store)
     val raw = LakeReader.listTableKeys(m, "evm", None)
-    val rawCalls = (m.lists, m.listDirs, m.opens)
+    val rawTotal = m.calls // ALL metadata kinds, HEADs included
     println(f"REHEARSE raw listing: ${raw.size} keys, " +
       f"${m.lists} LIST + ${m.listDirs} LISTDIR + ${m.opens} GET + ${m.heads} HEAD = ${m.calls} calls")
     val sealedKeys = Manifests.seal(store, "evm",
@@ -60,8 +60,8 @@ object RehearsalR12c {
     require(viaManifest.sorted == raw.sorted, "manifest read must equal raw")
     println(f"REHEARSE manifest ($sealedKeys sealed): ${viaManifest.size} keys, " +
       f"${m.lists} LIST + ${m.listDirs} LISTDIR + ${m.opens} GET + ${m.heads} HEAD = ${m.calls} calls")
-    println(f"REHEARSE metadata-call ratio: ${rawCalls._1 + rawCalls._2 + rawCalls._3}%d -> ${m.calls}%d " +
-      f"(${(rawCalls._1 + rawCalls._2 + rawCalls._3).toDouble / m.calls}%.0fx fewer; " +
+    println(f"REHEARSE metadata-call ratio: $rawTotal%d -> ${m.calls}%d " +
+      f"(${rawTotal.toDouble / m.calls}%.0fx fewer; " +
       "grows linearly with table age)")
   }
 }

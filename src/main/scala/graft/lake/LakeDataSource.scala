@@ -223,16 +223,13 @@ final class LakeTable(rootUri: String, tableName: String,
     new LakeScanBuilder(rootUri, tableName, lakeSchema,
       Option(options.get("clusterbyhour")).exists(_.toBoolean),
       reconcile,
-      Option(options.get("startfrom")).map(_.trim) match {
-        case None =>
-          LakeStreamOptions(
-            Option(options.get("maxobjectspertrigger")).map(_.toInt),
-            Option(options.get("maxhourage")).map(_.toInt))
-        case Some(v) =>
-          val (latest, fromHour) = v.toLowerCase match {
-            case "earliest" => (false, None)
-            case "latest" => (true, None)
-            case _ =>
+      {
+        val (latest, fromHour) =
+          Option(options.get("startfrom")).map(_.trim) match {
+            case None => (false, None)
+            case Some(v) if v.equalsIgnoreCase("earliest") => (false, None)
+            case Some(v) if v.equalsIgnoreCase("latest") => (true, None)
+            case Some(v) =>
               val at = try Instant.parse(v) catch {
                 case _: java.time.format.DateTimeParseException =>
                   throw new IllegalArgumentException(
@@ -241,10 +238,10 @@ final class LakeTable(rootUri: String, tableName: String,
               }
               (false, Some(at))
           }
-          LakeStreamOptions(
-            Option(options.get("maxobjectspertrigger")).map(_.toInt),
-            Option(options.get("maxhourage")).map(_.toInt),
-            latest, fromHour)
+        LakeStreamOptions(
+          Option(options.get("maxobjectspertrigger")).map(_.toInt),
+          Option(options.get("maxhourage")).map(_.toInt),
+          latest, fromHour)
       })
   }
 
@@ -1093,7 +1090,8 @@ private[lake] object LakePrune {
       case And(l, r) => prunable(l, schema) || prunable(r, schema)
       case EqualTo(c, v) =>
         (cols.contains(c) && v != null && v != "") || hour(c) || objKey(c)
-      case EqualNullSafe(c, v) => cols.contains(c) && v != null && v != ""
+      case EqualNullSafe(c, v) =>
+        (cols.contains(c) && v != null && v != "") || (objKey(c) && v != null)
       // an IN-list (static or Spark's runtime dynamic-pruning filter)
       // prunes even when EMPTY of usable values: nulls never equal
       // anything and "" never round-trips to a lake row, so an IN-list
@@ -1200,6 +1198,9 @@ private[lake] object LakePrune {
       // tightens the LISTED range to the named keys' hours, so the
       // audit read of one object never walks the other years
       case EqualTo(c, v) if c == LakeDataSource.ObjectKeyCol =>
+        tightenKeys(Option(v).collect { case s: String => s }.toSet)
+      // the column is non-null, so <=> with a non-null literal IS =
+      case EqualNullSafe(c, v) if c == LakeDataSource.ObjectKeyCol && v != null =>
         tightenKeys(Option(v).collect { case s: String => s }.toSet)
       case In(c, vs) if c == LakeDataSource.ObjectKeyCol && vs != null =>
         tightenKeys(vs.collect { case s: String => s }.toSet)

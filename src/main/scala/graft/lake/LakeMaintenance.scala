@@ -333,7 +333,8 @@ object LakeMaintenance {
     * [[expire]]'s job). Idempotent: deleting a missing key is a no-op,
     * so a retry never fails on its own earlier progress; returns how
     * many of the named objects EXISTED when retired. */
-  def retireObjects(store: Store, keys: Seq[String]): Int = {
+  def retireObjects(store: Store, rawKeys: Seq[String]): Int = {
+    val keys = rawKeys.distinct // a key named twice is one retirement
     val parsed = keys.map(k => k -> LakeKeys.parseKey(k))
     val bad = parsed.collect { case (k, None) => k }
     require(bad.isEmpty,

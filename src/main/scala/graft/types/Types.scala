@@ -93,6 +93,14 @@ final case class TableSchema(name: String, columns: Seq[(String, ColType)]) {
   require(
     columns.forall { case (n, _) => n.matches("[a-zA-Z0-9_]+") },
     s"table $name: lake headers must match [a-zA-Z0-9_]+ (README.md:131-132)")
+  // the read side DERIVES these (the key's hour; the provenance metadata
+  // column) — a data column with either name would be silently shadowed
+  // by the derived value on every connector read, so refuse it at schema
+  // declaration, where the mistake is made
+  require(
+    columns.forall { case (n, _) => n != "_event_hour" && n != "_object_key" },
+    s"table $name: _event_hour and _object_key are reserved (key-derived " +
+      "on every lake read)")
 
   def columnNames: Seq[String] = columns.map(_._1)
   def colTypes: Seq[ColType]   = columns.map(_._2)

@@ -43,14 +43,16 @@ class InteractionSpec extends SparkSuite {
     def rec = spark.read.format("graft-lake").option("table", "ix")
       .option("reconcile", "true").load(root)
     val before = rec.collect().toSeq.sortBy(_.getLong(0))
+    val schemaBefore = rec.schema // PRE-seal: the reconciled merge truth
     val store = new HadoopStore(root)
     Manifests.seal(store, "ix", Instant.parse("2024-06-10T09:00:00Z"))
     // schema peek (EVERY object's header) and the scan both list via the
-    // manifest now; rows and schema must not move
+    // manifest now; rows and schema must not move vs the PRE-seal read
+    // (a manifest peek missing a drifted generation would collapse the
+    // widened column back — exactly what this pins against)
     val after = rec
     assert(after.collect().toSeq.sortBy(_.getLong(0)) == before)
-    assert(after.schema == spark.read.format("graft-lake").option("table", "ix")
-      .option("reconcile", "true").load(root).schema)
+    assert(after.schema == schemaBefore)
     // and pruning still bites across generations off the manifest
     // listing (gen-1's id=0 carries v=0, gen-2's id=100 carries v=2.5)
     val banded = rec.where(col("v") <= 3.0)

@@ -774,6 +774,10 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(lakeScan(lookup).plannedKeys == Seq(one),
       s"key equality must plan exactly one object: ${lakeScan(lookup).plannedKeys}")
     assert(lookup.count() == fromSidecars(one))
+    // null-safe equality is = for a non-null column: same point lookup
+    val nullSafe = dsv2(root).where(col("_object_key") <=> one)
+    assert(lakeScan(nullSafe).plannedKeys == Seq(one),
+      s"<=> must plan exactly one object: ${lakeScan(nullSafe).plannedKeys}")
     // IN-list of two keys plans exactly those; a non-key string plans none
     val two = fromSidecars.keys.take(2).toSeq
     val pair = dsv2(root).where(col("_object_key").isin(two: _*))

@@ -222,6 +222,11 @@ class ManifestSpec extends SparkSuite {
       s"CALL $cat.system.retire_objects(keys => '$next')").collect().head
     assert(rep.getInt(0) == 1 && rep.getInt(1) == 1)
     assert(LakeReader.read(spark, root, "mt").count() == 20)
+    // a key named twice is ONE retirement (the report never inflates)
+    val dupTarget = LakeReader.listTableKeys(store, "mt", None).head
+    assert(LakeMaintenance.retireObjects(store,
+      Seq(dupTarget, dupTarget)) == 1)
+    assert(LakeReader.listTableKeys(store, "mt", None).isEmpty)
   }
 
   test("torn or lying manifests read as ABSENT, never as wrong keys") {

@@ -45,6 +45,12 @@ class TypesSpec extends AnyFunSuite {
       StructField("at", TimestampType))))
     intercept[IllegalArgumentException](
       TableSchema("t", Seq("bad name!" -> ColType.CString)))
+    // the read side derives these on every lake read — a data column so
+    // named would be silently shadowed; refused at declaration
+    intercept[IllegalArgumentException](
+      TableSchema("t", Seq("_event_hour" -> ColType.CTime)))
+    intercept[IllegalArgumentException](
+      TableSchema("t", Seq("_object_key" -> ColType.CString)))
   }
 
   test("RFC-4180 quote round-trip (deterministic fuzz)") {
