@@ -109,8 +109,6 @@ object Bench {
     val passes = pass1.zip(pass2).collect {
       case ((k, a), (_, b)) if a.isDefined || b.isDefined =>
         "\"" + k + "\":[" + num(a) + "," + num(b) + "]" }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => "\"" + k + "\":" + Json.str(v) }
-      .mkString("{", ",", "}")
     // BYTE meters for the scale-claim queries (graft.Meter's rationale:
     // local wall time hides skipped-byte and avoided-shuffle wins — a
     // plan regression on these shows as a byte delta even when seconds
@@ -126,21 +124,35 @@ object Bench {
       "l14_lake_semi_join", "l15_lake_dsv2_scan", "l16_lake_semi_join_multi",
       "l18_lake_dsv2_runtime_prune", "l19_lake_dsv2_agg_pushdown",
       "l22_lake_hour_clustered_agg", "l23_lake_stream_read",
-      "t18_heavy_hitters")
-    val meters = meterSet.flatMap { n =>
+      "l27_lake_stream_pruned_backfill", "t18_heavy_hitters")
+    val metered: Map[String, Meter.Metrics] = meterSet.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         try {
           val (_, m) = Meter.measure(spark) {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           }
-          Some("\"" + n + "\":{\"input_bytes\":" + m.inputBytes +
-            ",\"shuffle_bytes\":" + m.shuffleBytes +
-            ",\"task_ms\":" + m.taskMs + "}")
+          Some(n -> m)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] meter $n: $e"); None
         }
       }
+    }.toMap
+    val meters = metered.toSeq.sortBy(_._1).map { case (n, m) =>
+      "\"" + n + "\":{\"input_bytes\":" + m.inputBytes +
+        ",\"shuffle_bytes\":" + m.shuffleBytes +
+        ",\"task_ms\":" + m.taskMs + "}"
     }.mkString("{", ",", "}")
+    // ASSERTED ceilings (BenchGates): at the driver's recorded SF a byte
+    // blow-up on a scale-claim query is a PLAN regression and must fail
+    // the run loudly — it lands in the errors map (never an empty-errors
+    // pass) and on stderr, not just in a number nobody diffs.
+    if (sfDir == BenchGates.ContractSfDir)
+      BenchGates.violations(metered).foreach { v =>
+        System.err.println(s"[bench] METER CEILING VIOLATED: $v")
+        errors(s"meter_ceiling:${v.takeWhile(_ != ' ')}") = v
+      }
+    val errs = errors.map { case (k, v) => "\"" + k + "\":" + Json.str(v) }
+      .mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"meters":$meters,"errors":$errs,"sf":"$sfDir"}"""

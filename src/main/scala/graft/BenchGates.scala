@@ -1,0 +1,73 @@
+package graft
+
+/** Asserted ceilings on the bench's byte meters — the half of the meter
+  * story round 11 asked for and round 12 only recorded. A plan regression
+  * on the scale-claim queries (agg pushdown silently falling back to row
+  * scans, hour clustering losing its zero-shuffle proof, the heavy-hitter
+  * recount re-shuffling raw rows) shows as a byte delta that local
+  * wall-seconds cannot see; with ceilings, it also FAILS the bench run
+  * loudly instead of waiting for someone to diff a gitignored JSON.
+  *
+  * Ceilings are absolute bytes at the driver's recorded scale
+  * (`/root/testdata/sf0.1`) and are only applied there — at other SFs
+  * the meters are still recorded, just not judged (the constants would
+  * be meaningless). Each ceiling is ~3× the round-12 recorded value:
+  * loose enough for run-to-run noise and fixture drift, tight enough
+  * that losing a prune/pushdown (a 10–100× byte jump, see
+  * BenchGatesSpec's deliberate plan-break) cannot pass. The meters
+  * cover the WHOLE QueryDef — fixture writes included — so these are
+  * regression tripwires, not isolated-scan measurements (those live in
+  * the rehearsal drivers). */
+object BenchGates {
+
+  final case class Ceiling(maxInputBytes: Option[Long] = None,
+                           maxShuffleBytes: Option[Long] = None)
+
+  private val MB = 1L << 20
+
+  /** Applied only when the bench runs against this SF dir. */
+  val ContractSfDir = "/root/testdata/sf0.1"
+
+  /** name -> ceilings at sf0.1 (recorded round-12 values in comments). */
+  val ceilings: Map[String, Ceiling] = Map(
+    // 0.67 MB in / 1.92 MB shuffled: zone-band prune keeps the scan at
+    // kept-object bytes; losing it re-reads the whole 16-object lake
+    "l06_lake_pruned_read" -> Ceiling(Some(3 * MB), Some(8 * MB)),
+    // 0.56 MB in: bloom equality opens only the containing objects
+    "l13_lake_bloom_eq" -> Ceiling(Some(3 * MB), None),
+    // 0.32 MB in: the semi-join prunes to the dim keys' objects
+    "l14_lake_semi_join" -> Ceiling(Some(2 * MB), None),
+    // 0.01 MB in: the DSv2 scan pushes filters into object pruning
+    "l15_lake_dsv2_scan" -> Ceiling(Some(1 * MB), None),
+    // 0.20 MB in: composite-key semi-join, one bloom read per object
+    "l16_lake_semi_join_multi" -> Ceiling(Some(2 * MB), None),
+    // 0.02 MB in: runtime dynamic pruning delivers the join keys
+    "l18_lake_dsv2_runtime_prune" -> Ceiling(Some(1 * MB), None),
+    // 0.01 MB in: metadata-only aggregate — sidecars, never data objects
+    "l19_lake_dsv2_agg_pushdown" -> Ceiling(Some(1 * MB), None),
+    // 1.46 MB shuffled (fixture write included): hour clustering keeps
+    // the GROUP BY _event_hour itself exchange-free
+    "l22_lake_hour_clustered_agg" -> Ceiling(None, Some(6 * MB)),
+    // 0.29 MB in: the stream drains the small fixture lake, not more
+    "l23_lake_stream_read" -> Ceiling(Some(2 * MB), None),
+    // 0.01 MB shuffled: heavy-hitter candidates + bounded recount —
+    // raw rows never leave their partitions (the verdict's 1 MB bound)
+    "t18_heavy_hitters" -> Ceiling(None, Some(1 * MB)),
+    // streaming prune (round 13): the backfill reads in-band objects
+    // of 2 of 6 hours, not the lake
+    "l27_lake_stream_pruned_backfill" -> Ceiling(Some(3 * MB), None),
+  )
+
+  /** Human-readable violations; empty = all metered queries in bounds.
+    * A query in `ceilings` but absent from `meters` is NOT a violation
+    * (its meter run may have failed — that already lands in `errors`). */
+  def violations(meters: Map[String, Meter.Metrics]): Seq[String] =
+    ceilings.toSeq.sortBy(_._1).flatMap { case (name, c) =>
+      meters.get(name).toSeq.flatMap { m =>
+        c.maxInputBytes.filter(_ < m.inputBytes).map(max =>
+          s"$name input_bytes ${m.inputBytes} exceeds ceiling $max").toSeq ++
+          c.maxShuffleBytes.filter(_ < m.shuffleBytes).map(max =>
+            s"$name shuffle_bytes ${m.shuffleBytes} exceeds ceiling $max")
+      }
+    }
+}

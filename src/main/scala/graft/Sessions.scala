@@ -32,6 +32,11 @@ object Sessions {
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the streaming lake-prune rule (see GraftExtensions for the
+    // declarative path); idempotent across getOrCreate reuse
+    if (!spark.experimental.extraOptimizations.contains(org.apache.spark.sql.graft.StreamLakePrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ org.apache.spark.sql.graft.StreamLakePrune
     spark
   }
 }

@@ -675,14 +675,18 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
   /** `spark.readStream.format("graft-lake")` — the micro-batch twin of
     * this scan ([[LakeMicroBatchStream]]): same codec, same required
     * schema, offsets = the processed-object ledger in the checkpoint.
-    * Pushed filters don't reach streaming scans (Spark applies them
-    * row-level post-scan), so the stream reads every discovered object. */
+    * Spark delivers pushed filters to the ScanBuilder but never prunes a
+    * streaming scan itself — so the CONNECTOR carries them across: the
+    * stream narrows discovery by the predicate's `_event_hour` range/set
+    * and drops bloom/band-refuted objects at plan time, the same
+    * object-level decision as this batch scan (filters re-apply
+    * row-level either way). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new LakeMicroBatchStream(rootUri, table, lakeSchema, required,
       streamOptions.maxObjectsPerTrigger, streamOptions.maxHourAge,
       streamOptions.startFromLatest, reconcile,
-      streamOptions.startFromHour)
+      streamOptions.startFromHour, pushed)
 
   /** STORAGE-PARTITIONED execution (`option("clusterByHour", true)` +
     * `spark.sql.sources.v2.bucketing.enabled`): the key layout already
@@ -1132,6 +1136,20 @@ private[lake] object LakePrune {
         }
       } && bands.forall { case (c, lo, hi) =>
         ZoneMaps.mayContainRange(stats, c, lo, hi)
+      }
+
+    /** Membership off the KEY alone — the listing-level prunes (hour
+      * range/set, key set) as a per-key decision, for callers whose
+      * candidate keys did NOT come from this predicate's own narrowed
+      * listing (the streaming ledger: pinned/early-discovered keys
+      * predate filter delivery). Hour semantics mirror
+      * [[LakeReader.listTableKeys]]: whole hours, endpoints truncated. */
+    def keepsKeyItself(key: String): Boolean =
+      LakeKeys.parseKey(key).exists { case (h, _, _) =>
+        hourRange.forall { case (from, to) =>
+          !h.isBefore(from.truncatedTo(java.time.temporal.ChronoUnit.HOURS)) &&
+            !h.isAfter(to)
+        } && hourSet.forall(_.contains(h)) && keySet.forall(_.contains(key))
       }
 
     /** The executor-walk shape: sidecars read LAZILY (an eq-only probe

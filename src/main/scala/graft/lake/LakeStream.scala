@@ -5,8 +5,10 @@ import graft.types.TableSchema
 import java.time.Instant
 import java.time.temporal.ChronoUnit
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
 /** The typed-CSV lake as a DSv2 MICRO-BATCH source —
@@ -45,6 +47,23 @@ import org.apache.spark.sql.types.StructType
   * current snapshot (everything already landed is marked seen, not
   * replayed) — the backfill-free deployment.
   *
+  * '''Object-level pruning''' (`pushed`): the batch ScanBuilder's pushed
+  * filters, delivered here by [[LakeScan.toMicroBatchStream]]. Spark
+  * itself never prunes a MicroBatchStream, but the connector can — by the
+  * SAME argument that makes the batch prune sound (sidecars bound
+  * OBJECTS conservatively; every pushed filter re-applies row-level
+  * post-scan, so a skip only ever drops provably-non-matching rows):
+  *   - an `_event_hour` range/set NARROWS DISCOVERY itself — skipped
+  *     hours are never listed, their keys never enter the ledger, so a
+  *     `startFrom=<ISO>` backfill of "tenant X from last Monday" walks
+  *     only the predicate's hours;
+  *   - bloom/zone-band probes drop objects at [[planInputPartitions]]
+  *     time (keys still enter the ledger — discovered once, decided
+  *     once — and a torn/missing sidecar conservatively KEEPS).
+  * Replay stays exactly-once at the row level: offsets are unchanged, and
+  * re-planning a checkpointed batch can only skip objects whose rows the
+  * row-level filter would discard anyway.
+  *
   * Same maintenance contract as [[LakeReader.readStreamOf]]: compact only
   * behind every consumer's frontier (a compacted object would be
   * re-discovered as new data; a deleted planned one degrades to a skip via
@@ -55,7 +74,8 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
                                  maxHourAge: Option[Int],
                                  startFromLatest: Boolean,
                                  reconcile: Boolean = false,
-                                 startFromHour: Option[Instant] = None)
+                                 startFromHour: Option[Instant] = None,
+                                 pushed: Array[Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -69,6 +89,41 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
 
   private def store = new HadoopStore(rootUri)
 
+  /** The compiled object-level prune: constructor `pushed` filters plus
+    * any delivered later by [[org.apache.spark.sql.graft.StreamLakePrune]] (both
+    * defensively re-filtered to the prunable subset, so callers can pass
+    * raw filter arrays). Deterministic from (query, schema) — the same
+    * query delivers the same filters every trigger and across restarts,
+    * so recompiling is safe. */
+  @volatile private var delivered: Array[Filter] = Array.empty
+  @volatile private var predCache: LakePrune.Compiled = compilePred()
+  private def compilePred(): LakePrune.Compiled = LakePrune.compile(
+    (pushed ++ delivered).filter(LakePrune.prunable(_, lakeSchema)),
+    lakeSchema)
+  private def pred: LakePrune.Compiled = predCache
+
+  /** Tighten the prune with a micro-batch plan's own `WHERE` conjuncts
+    * (see [[org.apache.spark.sql.graft.StreamLakePrune]]). Monotone and idempotent:
+    * re-delivery of the same set is free; only a genuinely new filter
+    * recompiles. Arriving filters narrow FUTURE discovery (their
+    * `_event_hour` bounds) and FUTURE `planInputPartitions` decisions —
+    * already-delivered batches are checkpointed history and stay as
+    * they ran. */
+  def deliverFilters(fs: Array[Filter]): Unit = synchronized {
+    val usable = fs.filter(LakePrune.prunable(_, lakeSchema))
+    val merged = (delivered ++ usable).distinct
+    if (!merged.sameElements(delivered)) {
+      delivered = merged
+      predCache = compilePred()
+    }
+  }
+
+  // advisory meter: objects dropped by sidecar probes at plan time
+  // (cumulative over planInputPartitions calls; specs and rehearsals read
+  // it, the protocol never does)
+  @volatile private var prunedCount: Long = 0L
+  def objectsPruned: Long = prunedCount
+
   // Trigger.AvailableNow pins discovery at prepare time; None = live
   @volatile private var pinned: Option[Seq[String]] = None
 
@@ -77,12 +132,28 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
   @volatile private var lastFrontier: Option[String] = None
 
   /** Keys of `table` in hours STRICTLY above `frontier` (the sealed-hour
-    * walk: sealed directories are never listed again). */
-  private def discover(frontier: Option[String]): Seq[String] =
-    LakeReader.listTableKeys(store, table, frontier.map { f =>
-      (LakeStreamOffset.hourInstant(f).plus(1, ChronoUnit.HOURS),
-        Instant.parse("9999-12-31T23:00:00Z"))
-    })
+    * walk: sealed directories are never listed again), further narrowed
+    * by the pushed predicate's `_event_hour` range/set and `_object_key`
+    * set — the listing-level half of the streaming prune. Keys outside
+    * the predicate's hours are never discovered, so they never enter the
+    * ledger: a filtered backfill's offset is bounded by the FILTER's
+    * object count, not the window's. */
+  private def discover(frontier: Option[String]): Seq[String] = {
+    val frontierLo = frontier.map(f =>
+      LakeStreamOffset.hourInstant(f).plus(1, ChronoUnit.HOURS))
+    val lo = (frontierLo.toSeq ++ pred.hourRange.map(_._1).toSeq)
+      .reduceOption((a, b) => if (a.isAfter(b)) a else b)
+    val hi = pred.hourRange.map(_._2)
+      .getOrElse(Instant.parse("9999-12-31T23:00:00Z"))
+    // lo is None only when frontier AND hourRange are both absent
+    // (compile's hourRange is always both-ended) — the plain full walk
+    val listed =
+      if (lo.exists(_.isAfter(hi))) Seq.empty
+      else LakeReader.listTableKeys(store, table, lo.map(l => (l, hi)))
+    val hourKept = pred.hourSet.fold(listed)(hs =>
+      listed.filter(k => LakeKeys.parseKey(k).exists(p => hs.contains(p._1))))
+    pred.keySet.fold(hourKept)(ks => hourKept.filter(ks.contains))
+  }
 
   override def initialOffset(): Offset =
     if (startFromLatest) LakeStreamOffset(None, discover(None).sorted)
@@ -170,7 +241,24 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LakeStreamOffset].seen.toSet
     val e = end.asInstanceOf[LakeStreamOffset].seen
-    e.filterNot(s).sorted.map { k =>
+    val fresh = e.filterNot(s).sorted
+    // the object-level half of the streaming prune, in two steps:
+    // key-only membership (hour range/set, key set — free parses; needed
+    // here because ledger keys admitted BEFORE filter delivery, e.g. an
+    // AvailableNow pinned listing, never went through the narrowed
+    // discovery), then bloom/zone-band sidecar probes, exactly the batch
+    // scan's decision ([[LakePrune.Compiled.keeps]] — torn/missing
+    // sidecar KEEPS). Keys stay in the ledger either way; only delivery
+    // is skipped, and only for objects provably holding no matching row.
+    // Distributes above the same threshold as every pruned batch read.
+    val p = pred
+    val inKey = fresh.filter(p.keepsKeyItself)
+    val kept =
+      if (p.trivial) inKey
+      else LakeReader.walkKeys(SparkSession.active, rootUri, inKey,
+        LakeReader.DefaultSidecarDistributeAbove)(p.keeps)
+    prunedCount += (fresh.size - kept.size).toLong
+    kept.map { k =>
       LakeInputPartition(k, LakeKeys.parseKey(k).get._1.toEpochMilli)
     }.toArray
   }

@@ -419,4 +419,112 @@ class LakeStreamSpec extends SparkSuite {
     assert(keysOf(s.planInputPartitions(b2, c2)) == keysOf(s.planInputPartitions(b, c)))
     assert(keysOf(s.planInputPartitions(b2, c2)).forall(_.startsWith("2024/06/10/09/")))
   }
+
+  // ---- object-level pruning on the streaming scan (round 13) ----
+
+  /** One object at `hour` carrying only `tag`, with stats + tag blooms —
+    * the prunable fixture shape (each (hour, tag) is one object).
+    * Returns the landed object's key. */
+  private def landTagged(root: String, hour: String, tag: String,
+                         ids: Range): String = {
+    import spark.implicits._
+    val df = ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+      .orderBy("id").coalesce(1)
+    LakeWriter.write(df, schema, root, Instant.parse(hour),
+      zoneMaps = true, bloomColumns = Seq("tag")).head.key
+  }
+
+  private def batchPlanned(root: String,
+                           cond: org.apache.spark.sql.Column): Seq[String] = {
+    val df = spark.read.format("graft-lake").option("table", "st")
+      .load(root).where(cond)
+    df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.get.asInstanceOf[LakeScan].plannedKeys
+  }
+
+  private def keysOfParts(
+      ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+    ps.map(_.asInstanceOf[LakeInputPartition].key).sorted.toSeq
+
+  test("stream-planned objects equal the batch scan's plannedKeys under the same filter") {
+    val root = freshRoot()
+    for (h <- 8 to 13; tg <- Seq("t0", "t1"))
+      landTagged(root, f"2024-06-10T$h%02d:00:00Z", tg, 0 until 20)
+    val lo = java.sql.Timestamp.from(Instant.parse("2024-06-10T10:00:00Z"))
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    val pushed: Array[org.apache.spark.sql.sources.Filter] =
+      Array(EqualTo("tag", "t1"), GreaterThanOrEqual("_event_hour", lo))
+    val bKeys = batchPlanned(root,
+      col("tag") === "t1" && col("_event_hour") >= lo)
+    assert(bKeys.size == 4, s"fixture: 4 of 12 objects survive, got $bKeys")
+    val s = new LakeMicroBatchStream(root, "st", schema,
+      LakeDataSource.outputStruct(schema), None, None,
+      startFromLatest = false, pushed = pushed)
+    val start = s.initialOffset()
+    val end = s.latestOffset(start, ReadLimit.allAvailable())
+    assert(keysOfParts(s.planInputPartitions(start, end)) == bKeys.sorted)
+    // the listing-level half: out-of-window hours were never DISCOVERED,
+    // so the ledger is bounded by the filter's hours, not the lake's
+    val seen = end.asInstanceOf[LakeStreamOffset].seen
+    assert(seen.nonEmpty &&
+      seen.forall(k => LakeStreamOffset.hourOf(k) >= "2024/06/10/10"))
+    assert(s.objectsPruned == seen.size - bKeys.size,
+      "every in-window non-matching object is a plan-time skip")
+  }
+
+  test("filters delivered AFTER admission still prune, and a torn sidecar keeps conservatively") {
+    val root = freshRoot()
+    val keys = (for (h <- Seq("2024-06-10T08:00:00Z", "2024-06-10T09:00:00Z");
+                     tg <- Seq("t0", "t1"))
+      yield (h, tg) -> landTagged(root, h, tg, 0 until 10)).toMap
+    // tear the 08 T0 object's sidecars: unprobeable → conservatively
+    // kept even though its rows can't match (the 09 t0 object, intact,
+    // is bloom-refuted — that contrast IS the conservatism under test)
+    val store = new HadoopStore(root)
+    val torn = keys(("2024-06-10T08:00:00Z", "t0"))
+    store.delete(BloomMaps.bloomKey(torn))
+    store.delete(ZoneMaps.statsKey(torn))
+    assert(BloomMaps.read(store, torn).isEmpty &&
+      ZoneMaps.read(store, torn).isEmpty, "sidecar tear must land")
+    val bKeys = batchPlanned(root, col("tag") === "t1")
+    assert(bKeys.contains(torn),
+      "an object with no sidecars cannot be refuted — the batch scan keeps it")
+    assert(bKeys.size == 3, s"2×t1 matching + 1 torn conservative: $bKeys")
+    // the deliverFilters path (what StreamLakePrune does per trigger):
+    // admission ran FIRST, so the full ledger predates the filter
+    val s = stream(root)
+    val start = s.initialOffset()
+    val end = s.latestOffset(start, ReadLimit.allAvailable())
+    assert(end.asInstanceOf[LakeStreamOffset].seen.size == 4,
+      "unfiltered admission saw every object")
+    s.deliverFilters(Array(org.apache.spark.sql.sources.EqualTo("tag", "t1")))
+    assert(keysOfParts(s.planInputPartitions(start, end)) == bKeys.sorted,
+      "plan-time prune after late delivery equals the batch decision, " +
+        "torn-sidecar conservatism included")
+  }
+
+  test("a plain WHERE on readStream prunes object delivery end-to-end (StreamLakePrune)") {
+    val root = freshRoot()
+    for (h <- 8 to 10; tg <- Seq("t0", "t1", "t2"))
+      landTagged(root, f"2024-06-10T$h%02d:00:00Z", tg, 0 until 50)
+    spark.catalog.dropTempView("st_pruned")
+    val q = readStreamDf(root).where(col("tag") === "t1")
+      .writeStream.format("memory").queryName("st_pruned")
+      .outputMode("append").option("checkpointLocation", freshCkpt())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val drained = spark.table("st_pruned")
+    val batch = spark.read.format("graft-lake").option("table", "st")
+      .load(root).where(col("tag") === "t1")
+    assert(drained.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(drained).count() == 0,
+      "pruned stream result must equal the filtered batch read")
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows < 9L * 50,
+      s"stream must not read the whole lake: $inputRows of ${9 * 50}")
+    assert(inputRows == 3L * 50,
+      s"blooms prune to exactly the matching objects: $inputRows")
+  }
 }
