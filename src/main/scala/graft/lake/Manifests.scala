@@ -130,16 +130,24 @@ object Manifests {
       Some((Instant.EPOCH, hour))).sorted
     val upToPfx = LakeKeys.datePrefix(hour)
     val staging = s"_staging/manifest-${java.util.UUID.randomUUID()}"
-    val out = new BufferedWriter(new OutputStreamWriter(
-      new GZIPOutputStream(store.create(staging)), StandardCharsets.UTF_8))
+    // any failure between create and the rename landing deletes the
+    // staged key — no other job's staging sweep covers `_staging/
+    // manifest-*`, so a leaked orphan would accumulate forever
     try {
-      out.write(s"graft-manifest v1 upTo=$upToPfx count=${keys.size}\n")
-      keys.foreach { k => out.write(k); out.write("\n") }
-    } finally out.close()
-    // clear the destination so the rename is a fresh-key move (atomic),
-    // not a copy-over-existing a reader could catch half-written
-    store.delete(manifestKey(table))
-    store.rename(staging, manifestKey(table))
+      val out = new BufferedWriter(new OutputStreamWriter(
+        new GZIPOutputStream(store.create(staging)), StandardCharsets.UTF_8))
+      try {
+        out.write(s"graft-manifest v1 upTo=$upToPfx count=${keys.size}\n")
+        keys.foreach { k => out.write(k); out.write("\n") }
+      } finally out.close()
+      // clear the destination so the rename is a fresh-key move (atomic),
+      // not a copy-over-existing a reader could catch half-written
+      store.delete(manifestKey(table))
+      store.rename(staging, manifestKey(table))
+    } catch { case e: Throwable =>
+      try store.delete(staging) catch { case _: Exception => () }
+      throw e
+    }
     keys.size.toLong
   }
 
@@ -163,10 +171,18 @@ object Manifests {
     * reads go quietly stale (ManifestSpec pins each existing site). */
   def invalidateIfCovers(store: Store, table: String, hourPrefix: String): Unit = {
     val key = manifestKey(table)
-    if (store.exists(key)) read(store, table) match {
-      case Some(m) if m.upTo >= hourPrefix => store.delete(key)
-      case Some(_) => () // covers only older hours than this publish
-      case None => store.delete(key)
+    // the HEADER alone decides (one ranged read, never the full key
+    // list): a sealed years-old table's every present-time flush lands
+    // in hours above `upTo`, and that hot path must stay one exists()
+    // probe plus one header read — not two full manifest downloads per
+    // publish. A parse-able header with `upTo < hourPrefix` proves the
+    // manifest cannot cover this publish regardless of body state (a
+    // body-corrupt manifest is already ignored by the strict read);
+    // anything else — covering, or unreadable header — deletes.
+    if (store.exists(key)) readHeader(store, table) match {
+      case Some(upTo) if upTo < hourPrefix =>
+        () // covers only older hours than this publish
+      case _ => store.delete(key)
     }
   }
 }

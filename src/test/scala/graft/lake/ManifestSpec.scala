@@ -270,6 +270,71 @@ class ManifestSpec extends SparkSuite {
       m.keys == m.keys.sorted)
   }
 
+  test("invalidateIfCovers decides off the HEADER alone — the sealed-table flush hot path never downloads the key list") {
+    val root = freshRoot()
+    lake3(root)
+    val store = new HadoopStore(root)
+    Manifests.seal(store, "mt", Instant.parse("2024-06-10T09:00:00Z"))
+    // corrupt the BODY while keeping the header: the strict read now
+    // returns None, so the old full-read guard would have DELETED this
+    // manifest even for a publish far above upTo — the header-only
+    // guard must keep it (readers ignore a body-corrupt manifest; a
+    // reseal repairs it; the hot path stays one ranged header read)
+    val hdr = "graft-manifest v1 upTo=2024/06/10/09 count=2\n"
+    val out = new java.util.zip.GZIPOutputStream(
+      store.create(Manifests.manifestKey("mt")))
+    out.write((hdr + "not-a-key\n garbage\n").getBytes("UTF-8"))
+    out.close()
+    assert(Manifests.read(store, "mt").isEmpty, "body is corrupt")
+    assert(Manifests.readHeader(store, "mt").contains("2024/06/10/09"))
+    Manifests.invalidateIfCovers(store, "mt", "2024/06/10/10")
+    assert(store.exists(Manifests.manifestKey("mt")),
+      "a publish above upTo must not touch the manifest (header decides)")
+    // a COVERED publish deletes, body state irrelevant
+    Manifests.invalidateIfCovers(store, "mt", "2024/06/10/08")
+    assert(!store.exists(Manifests.manifestKey("mt")))
+    // unreadable HEADER: conservative delete even for an above-seal hour
+    store.put(Manifests.manifestKey("mt"),
+      new java.io.ByteArrayInputStream("not gzip".getBytes("UTF-8")))
+    Manifests.invalidateIfCovers(store, "mt", "2024/06/10/10")
+    assert(!store.exists(Manifests.manifestKey("mt")),
+      "an unreadable header cannot prove non-coverage — delete")
+  }
+
+  test("a seal that fails mid-write leaves no _staging orphan") {
+    val root = freshRoot()
+    lake3(root)
+    val store = new HadoopStore(root)
+    val failing = new Store {
+      override def put(key: String, data: InputStream): Unit = store.put(key, data)
+      override def create(key: String): OutputStream = {
+        val out = store.create(key)
+        new OutputStream {
+          private var n = 0
+          override def write(b: Int): Unit = {
+            n += 1
+            if (n > 32) throw new java.io.IOException("injected mid-write")
+            out.write(b)
+          }
+          override def close(): Unit = out.close()
+        }
+      }
+      override def open(key: String): InputStream = store.open(key)
+      override def list(prefix: String): Seq[String] = store.list(prefix)
+      override def listDirs(prefix: String): Seq[String] = store.listDirs(prefix)
+      override def exists(key: String): Boolean = store.exists(key)
+      override def delete(key: String): Unit = store.delete(key)
+      override def rootUri: String = store.rootUri
+    }
+    intercept[Exception] {
+      Manifests.seal(failing, "mt", Instant.parse("2024-06-10T09:00:00Z"))
+    }
+    assert(store.list("_staging").isEmpty,
+      "the failed seal must delete its staged manifest")
+    // and the table still has no (torn) manifest
+    assert(!store.exists(Manifests.manifestKey("mt")))
+  }
+
   test("the whole read surface rides the manifest: connector scan, stream discovery, CALL seal_manifest") {
     val root = freshRoot()
     lake3(root)
