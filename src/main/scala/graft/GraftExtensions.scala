@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.StreamLakePrune)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.ZOrderWriteLayout)
   }
 }

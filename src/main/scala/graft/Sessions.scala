@@ -32,11 +32,14 @@ object Sessions {
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the streaming lake-prune rule (see GraftExtensions for the
+    // the engine's advisory optimizer rules (see GraftExtensions for the
     // declarative path); idempotent across getOrCreate reuse
-    if (!spark.experimental.extraOptimizations.contains(org.apache.spark.sql.graft.StreamLakePrune))
+    val rules = Seq(org.apache.spark.sql.graft.StreamLakePrune,
+      org.apache.spark.sql.graft.ZOrderWriteLayout)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ org.apache.spark.sql.graft.StreamLakePrune
+        spark.experimental.extraOptimizations ++ missing
     spark
   }
 }

@@ -281,11 +281,27 @@ final class LakeWriteBuilder(rootUri: String, lakeSchema: TableSchema,
                              queryId: String = "")
     extends WriteBuilder {
   override def build(): Write = {
-    val clusterBy = Option(options.get("clusterby")).map(_.split(',')
-      .map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    clusterBy.foreach(c => require(lakeSchema.columnNames.contains(c),
-      s"clusterBy column $c is not a lake column " +
-        lakeSchema.columnNames.mkString("(", ",", ")")))
+    // clusterBy is either a column list (lexicographic range layout) or
+    // `zorder(a,b)` — the Morton two-column layout (see
+    // [[LakeWrite.requiredDistribution]] / ZOrderWriteLayout)
+    val rawCluster = Option(options.get("clusterby")).map(_.trim).getOrElse("")
+    val ZOrderRe = "(?i)^zorder\\(([^,()]+),([^,()]+)\\)$".r
+    val (clusterBy, zorderBy) = rawCluster match {
+      case "" => (Nil, None)
+      case ZOrderRe(a, b) => (Nil, Some((a.trim, b.trim)))
+      case s => (s.split(',').map(_.trim).filter(_.nonEmpty).toSeq, None)
+    }
+    (clusterBy ++ zorderBy.toSeq.flatMap(z => Seq(z._1, z._2))).foreach(c =>
+      require(lakeSchema.columnNames.contains(c),
+        s"clusterBy column $c is not a lake column " +
+          lakeSchema.columnNames.mkString("(", ",", ")")))
+    zorderBy.foreach { case (a, b) =>
+      val cols = lakeSchema.columns.toMap
+      Seq(a, b).foreach(c => require(cols(c) match {
+        case ColType.CInteger | ColType.CFloat | ColType.CTime => true
+        case _ => false
+      }, s"zorder column $c must be numeric or time, is ${cols(c)}"))
+    }
     new LakeWrite(rootUri, lakeSchema, inSchema,
       Option(options.get("flushtime")).map(Instant.parse).getOrElse(Instant.now()),
       Option(options.get("gzip")).forall(_.toBoolean),
@@ -295,7 +311,8 @@ final class LakeWriteBuilder(rootUri: String, lakeSchema: TableSchema,
         .filter(_.nonEmpty).toSeq).getOrElse(Nil),
       clusterBy,
       Option(options.get("writepartitions")).map(_.toInt).getOrElse(0),
-      Option(options.get("sinkid")).getOrElse(queryId))
+      Option(options.get("sinkid")).getOrElse(queryId),
+      zorderBy)
   }
 }
 
@@ -314,10 +331,19 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
                       maxRecordsPerObject: Long, zoneMaps: Boolean,
                       bloomColumns: Seq[String],
                       clusterBy: Seq[String] = Nil, writePartitions: Int = 0,
-                      sinkId: String = "")
+                      sinkId: String = "",
+                      zorderBy: Option[(String, String)] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   private val staging = s"_staging/dsv2-${java.util.UUID.randomUUID()}"
+
+  /** `option("clusterBy", "zorder(a,b)")` — the two-column Morton write
+    * layout, consumed by the ZOrderWriteLayout optimizer rule (see
+    * [[requiredDistribution]] for why Spark's own distribution machinery
+    * cannot express it). Exposes the requested columns and partition
+    * count to the rule. */
+  def zorderColumns: Option[(String, String)] = zorderBy
+  def zorderPartitions: Int = writePartitions
 
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
@@ -332,7 +358,18 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
     * idea, paid once at write time as one shuffle Spark plans anyway).
     * Without `clusterBy` the distribution is unspecified — rows land in
     * whatever partitioning the query produced. `writePartitions` caps
-    * the task count (≈ object count when rows fit one object/task). */
+    * the task count (≈ object count when rows fit one object/task).
+    *
+    * `zorder(a,b)` also reports UNSPECIFIED here — deliberately. The
+    * Morton ordering is a function of two columns, and a connector can
+    * only hand Spark a custom function-valued SortOrder if the write
+    * plan carries a FunctionCatalog to resolve it against, which plain
+    * `df.write.format(...)` plans never do (V2ExpressionUtils resolves
+    * transforms via the relation's catalog or not at all). So the
+    * z-layout is applied by the ZOrderWriteLayout rule in
+    * `org.apache.spark.sql.graft` — same range-exchange-plus-sort shape
+    * this interface would have produced, on the engine's own
+    * [[org.apache.spark.sql.graft.exprs.ZInterleave]] expression. */
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
     if (clusterBy.isEmpty)

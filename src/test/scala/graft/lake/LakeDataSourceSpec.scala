@@ -420,6 +420,61 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(before == 4) // fixture sanity
   }
 
+  test("zorder write clustering: clusterBy=zorder(x,y) lands 2-D banded objects; EITHER column prunes") {
+    import spark.implicits._
+    val zschema = TableSchema("zt", Seq(
+      "x" -> ColType.CInteger, "y" -> ColType.CInteger))
+    // 64×64 uniform grid, input order scrambled: the layout must come
+    // from the write clustering, never the input
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y").repartition(7)
+      .withColumn("_event_hour",
+        lit(java.sql.Timestamp.from(Instant.parse("2024-06-10T12:00:00Z"))))
+
+    def build(cluster: String): String = {
+      val root = freshRoot()
+      // schema bootstrap: one far-away seed object in an old hour (both
+      // layouts carry the same handicap; bands prune it everywhere)
+      LakeWriter.write(Seq((1000000L, 1000000L)).toDF("x", "y"), zschema,
+        root, Instant.parse("2024-06-10T00:00:00Z"), zoneMaps = true)
+      grid.write.format("graft-lake").option("table", "zt")
+        .option("flushTime", "2024-06-10T12:00:00Z")
+        .option("zoneMaps", "true")
+        .option("clusterBy", cluster).option("writePartitions", "16")
+        .mode("append").save(root)
+      root
+    }
+    def planned(root: String, cond: org.apache.spark.sql.Column): Int =
+      lakeScan(spark.read.format("graft-lake").option("table", "zt")
+          .load(root).where(cond))
+        .plannedKeys.count(_.startsWith("2024/06/10/12/"))
+
+    val zRoot = build("zorder(x,y)")
+    val lexRoot = build("x")
+    // the write itself is layout-only: every grid row lands exactly once
+    val back = spark.read.format("graft-lake").option("table", "zt")
+      .load(zRoot).where(col("x") < 1000000L)
+    assert(back.count() == 4096 &&
+      back.select("x", "y").distinct().count() == 4096)
+    val all = planned(zRoot, lit(true))
+    assert(all == 16, s"writePartitions caps the z-write's objects: $all")
+
+    val yNarrow = col("y").between(10, 17) // 1/8 of the y range
+    val xNarrow = col("x").between(10, 17)
+    // the lexicographic layout sorts on x alone: every object spans the
+    // full y range, so a y filter prunes NOTHING — the exact blind spot
+    // the Morton layout exists for (√N-ish boxes band BOTH columns)
+    assert(planned(lexRoot, yNarrow) == 16,
+      "x-sorted objects cannot prune a y filter")
+    val zY = planned(zRoot, yNarrow)
+    val zX = planned(zRoot, xNarrow)
+    assert(zY <= 12 && zX <= 12,
+      s"z-banded objects must prune on either column alone: y→$zY x→$zX of 16")
+    // and a narrow box on both columns keeps ~a quadrant's worth
+    val zBox = planned(zRoot, xNarrow && yNarrow)
+    assert(zBox < zY && zBox <= 8, s"box filter keeps the corner boxes: $zBox")
+  }
+
   test("a planned object retired by maintenance mid-scan is skipped, never a query failure") {
     val root = freshRoot()
     fixture(root)
