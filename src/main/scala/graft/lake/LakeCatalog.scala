@@ -143,7 +143,7 @@ final class LakeCatalog extends TableCatalog with ProcedureCatalog {
 private[lake] object LakeProcedures {
 
   val Names: Seq[String] = Seq("compact", "expire", "ensure_indexes",
-    "seal_manifest", "retire_objects")
+    "seal_manifest", "retire_objects", "delete_where")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(new CompactProcedure(root))
@@ -151,6 +151,7 @@ private[lake] object LakeProcedures {
     case "ensure_indexes" => Some(new EnsureIndexesProcedure(root))
     case "seal_manifest" => Some(new SealManifestProcedure(root))
     case "retire_objects" => Some(new RetireObjectsProcedure(root))
+    case "delete_where" => Some(new DeleteWhereProcedure(root))
     case _ => None
   }
 
@@ -266,6 +267,61 @@ private[lake] object LakeProcedures {
         java.lang.Long.valueOf(sealedKeys), UTF8String.fromString(
           LakeKeys.datePrefix(upTo.truncatedTo(
             java.time.temporal.ChronoUnit.HOURS))))
+    }
+  }
+
+  private final class DeleteWhereProcedure(root: String)
+      extends MaintenanceProcedure("delete_where") {
+    override def description(): String =
+      "Row-level delete (column IN values): bloom/band probe bounds the " +
+        "rewrite to containing objects, staged publish, originals " +
+        "retired, manifests invalidated; NULL rows never match"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("column", StringType).build(),
+      ProcedureParameter.in("values", StringType).build(), // comma-separated
+      ProcedureParameter.in("zone_maps", BooleanType)
+        .defaultValue("false").build(),
+      ProcedureParameter.in("bloom_columns", StringType)
+        .defaultValue("''").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = new HadoopStore(root)
+      val table = input.getUTF8String(0).toString
+      val column = input.getUTF8String(1).toString
+      val raw = commaCols(input.getUTF8String(2))
+      require(raw.nonEmpty, "delete_where needs at least one value")
+      // values arrive as text; coerce by the DECLARED column type so the
+      // probe and the row filter compare typed, not stringly
+      val firstKey = LakeReader.firstTableKey(store, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"no lake objects for table $table under $root"))
+      val colType = LakeReader.peekSchema(store, firstKey, table)
+        .columns.toMap.getOrElse(column, throw new IllegalArgumentException(
+          s"no column '$column' in table $table"))
+      val values: Seq[Any] = raw.map { v =>
+        colType match {
+          case graft.types.ColType.CInteger => java.lang.Long.valueOf(v.toLong)
+          case graft.types.ColType.CFloat => java.lang.Double.valueOf(v.toDouble)
+          case graft.types.ColType.CTime =>
+            java.sql.Timestamp.from(java.time.Instant.parse(v))
+          case _ => v
+        }
+      }
+      val rep = LakeMaintenance.deleteWhere(SparkSession.active, store,
+        table, column, values, zoneMaps = input.getBoolean(3),
+        bloomColumns = commaCols(input.getUTF8String(4)))
+      result(StructType(Seq(
+        StructField("candidates", IntegerType, nullable = false),
+        StructField("rewritten", IntegerType, nullable = false),
+        StructField("retired", IntegerType, nullable = false),
+        StructField("rows_deleted", LongType, nullable = false),
+        StructField("rows_kept", LongType, nullable = false),
+        StructField("skipped", IntegerType, nullable = false))),
+        Integer.valueOf(rep.candidates), Integer.valueOf(rep.objectsRewritten),
+        Integer.valueOf(rep.objectsRetired),
+        java.lang.Long.valueOf(rep.rowsDeleted),
+        java.lang.Long.valueOf(rep.rowsKept),
+        Integer.valueOf(rep.objectsSkipped))
     }
   }
 

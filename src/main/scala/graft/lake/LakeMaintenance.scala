@@ -324,6 +324,123 @@ object LakeMaintenance {
     ZoneMaps.deleteSidecarSignaled(store, k, "graft.LakeMaintenance")
   }
 
+  final case class DeleteReport(candidates: Int, objectsRewritten: Int,
+                                objectsRetired: Int, rowsDeleted: Long,
+                                rowsKept: Long, objectsSkipped: Int)
+
+  /** ROW-LEVEL DELETE — `DELETE FROM table WHERE column IN (values)`,
+    * the right-to-be-forgotten shape an LLM-data lake needs (drop
+    * user_id = X everywhere), composed from what the engine already
+    * proves:
+    *
+    *  1. '''find''': the bloom/band probe ([[LakeReader]]'s
+    *     `readPrunedEqAny` kept-set) bounds the rewrite to objects that
+    *     MIGHT hold a matching row — at 100 TB the work is proportional
+    *     to the key's objects, not the lake. Conservative by the probe's
+    *     own contract: a torn/missing sidecar keeps, so an unprunable
+    *     object is still scanned (and rewritten if it matches);
+    *  2. '''rewrite''': each matching object's surviving rows publish as
+    *     a NEW object in the same hour through the compaction staging
+    *     discipline (write under `_staging/`, rename into place, retire
+    *     the original) — readers see old → old+new/old-retired, never a
+    *     torn object. A candidate with NO matching rows (bloom false
+    *     positive) is left byte-identical; an object whose every row
+    *     matches is retired outright;
+    *  3. '''metadata''': the table's sealed-hours manifest invalidates
+    *     BEFORE the first mutation and again after the last (the same
+    *     discipline as every publish path), and sidecars are rebuilt for
+    *     rewritten objects per `zoneMaps`/`bloomColumns` (pass the
+    *     table's index config, as with [[compact]]).
+    *
+    * SQL equality semantics: NULL rows never match (never deleted);
+    * probe values must be non-null/non-empty ("" round-trips as NULL on
+    * the wire). Candidate objects rewrite as CONCURRENT Spark jobs
+    * (bounded pool, one job group — the [[compact]] discipline) since a
+    * years-old key can live in one object per hour. NOT atomic across
+    * objects: a crash mid-delete leaves some objects rewritten and
+    * others not — re-running the same delete is idempotent and
+    * completes the scope (rows already gone match nothing). Rewritten
+    * objects get fresh uuids: `_object_key` provenance of surviving
+    * rows changes, exactly as under compaction. */
+  def deleteWhere(spark: SparkSession, store: Store, table: String,
+                  column: String, values: Seq[Any],
+                  hourRange: Option[(Instant, Instant)] = None,
+                  gzip: Boolean = true,
+                  zoneMaps: Boolean = false,
+                  bloomColumns: Seq[String] = Nil): DeleteReport = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val (allKeys, kept) = LakeReader.prunedEqAnyMultiKeys(spark, store, table,
+      Seq(column -> values), hourRange)
+    if (kept.isEmpty)
+      return DeleteReport(0, 0, 0, 0L, 0L, allKeys.size)
+    val schema = LakeReader.peekSchema(store, allKeys.head, table)
+    Manifests.invalidateIfCovers(store, table,
+      kept.map(LakeKeys.hourPrefixOf).min)
+    val staging = s"_staging/${java.util.UUID.randomUUID()}"
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, kept.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val jobGroup = s"graft-delete-$staging"
+    try {
+      val futures = kept.map { key =>
+        Future {
+          spark.sparkContext.setJobGroup(jobGroup,
+            s"delete_where $table $key", interruptOnCancel = true)
+          val hour = LakeKeys.parseKey(key).get._1
+          // snapshot the object once; the match count and the rewrite
+          // both run off the checkpoint, not a second object read
+          val df = LakeReader.readKeys(spark, store, table, Seq(key))
+            .drop("_event_hour").localCheckpoint()
+          val n = df.count()
+          val matches = coalesce(col(column).isin(values: _*), lit(false))
+          val keepDf = df.filter(not(matches)) // NULL rows never match: kept
+          val nKeep = keepDf.count()
+          val nDel = n - nKeep
+          if (nDel == 0L) (0, 0, 0L, 0L) // false positive: untouched
+          else if (nKeep == 0L) {
+            deleteWithSidecar(store, key) // every row matched: retire
+            (0, 1, nDel, 0L)
+          } else {
+            val staged = LakeWriter.write(keepDf.coalesce(1), schema,
+              store.rootUri, hour, gzip, maxRecordsPerObject = 0L,
+              keyPrefix = s"$staging/", zoneMaps = zoneMaps,
+              bloomColumns = bloomColumns)
+            staged.foreach { w =>
+              val dst = w.key.stripPrefix(s"$staging/")
+              store.rename(w.key, dst)
+              if (zoneMaps)
+                store.rename(ZoneMaps.statsKey(w.key), ZoneMaps.statsKey(dst))
+              if (bloomColumns.nonEmpty)
+                store.rename(BloomMaps.bloomKey(w.key), BloomMaps.bloomKey(dst))
+            }
+            deleteWithSidecar(store, key)
+            (1, 0, nDel, nKeep)
+          }
+        }
+      }
+      val results = futures.map(Await.result(_, Duration.Inf))
+      // again AFTER the rewrites land: a seal racing the delete heals
+      Manifests.invalidateIfCovers(store, table,
+        kept.map(LakeKeys.hourPrefixOf).min)
+      DeleteReport(kept.size, results.map(_._1).sum, results.map(_._2).sum,
+        results.map(_._3).sum, results.map(_._4).sum,
+        allKeys.size - kept.size)
+    } catch { case e: Throwable =>
+      // the compact() failure discipline: kill sibling JOBS, wait, then
+      // propagate — no lingering write may race the staging sweep below
+      try spark.sparkContext.cancelJobGroup(jobGroup) catch { case _: Throwable => () }
+      pool.shutdownNow()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      throw e
+    } finally {
+      pool.shutdown()
+      try store.deletePrefix(staging) catch { case _: Throwable => () }
+      try store.deletePrefix(ZoneMaps.Prefix + staging) catch { case _: Throwable => () }
+    }
+  }
+
   /** Retire EXPLICIT objects — the remedy an `_object_key` audit points
     * at (a bad flush, a corrupted upload, a right-to-forget scope): each
     * named object deletes with both its sidecars, and the tables'

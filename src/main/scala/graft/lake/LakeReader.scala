@@ -853,6 +853,21 @@ object LakeReader {
                            hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
                            sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
       : (DataFrame, PruneReport) = {
+    val store = new HadoopStore(rootUri)
+    val (keys, kept) = prunedEqAnyMultiKeys(spark, store, table, probes,
+      hourRange, sidecarDistributeAbove)
+    prunedResult(spark, store, table, keys, kept)
+  }
+
+  /** The OBJECT-level half of [[readPrunedEqAnyMulti]] — (all listed
+    * keys, conservatively kept keys) without building the DataFrame, so
+    * callers that REWRITE rather than read (row-level delete) share the
+    * exact same probe decision. */
+  private[lake] def prunedEqAnyMultiKeys(spark: SparkSession, store: Store,
+      table: String, probes: Seq[(String, Seq[Any])],
+      hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
+      sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
+      : (Seq[String], Seq[String]) = {
     require(probes.nonEmpty, "at least one (column, values) probe set")
     probes.foreach { case (c, vs) =>
       require(vs.nonEmpty, s"at least one probe value for column '$c'")
@@ -860,7 +875,7 @@ object LakeReader {
         s"equality probe on '$c' is null/empty " +
           "(\"\" round-trips as null in the wire format — probe IS NULL by scanning)") }
     }
-    val store = new HadoopStore(rootUri)
+    val rootUri = store.rootUri
     val keys = listTableKeys(store, table, hourRange)
     require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
     val colTypes = peekSchema(store, keys.head, table).columns.toMap
@@ -885,7 +900,7 @@ object LakeReader {
         }
       }
     }
-    prunedResult(spark, store, table, keys, kept)
+    (keys, kept)
   }
 
   /** SEMI-JOIN a lake table to a (filtered) dimension with the join
