@@ -19,12 +19,16 @@ case class FunnelBuffer(events: List[(Long, String)])
 /** One stage hit per key funnel: 0-based stage index + its event time. */
 case class FunnelHit(key: Long, stage: Int, ts: Timestamp)
 /** One per-partition Misra–Gries partial (parallel value/weight arrays +
-  * the partition's row count) for [[StreamOps.heavyHitterCandidates]]. */
-case class HHPartial(values: Seq[String], weights: Seq[Long], n: Long)
-/** Merged-summary keyed state for [[StreamOps.heavyHitterCandidates]]. */
-case class HHState(values: Seq[String], weights: Seq[Long], n: Long)
+  * the partition's row count) for [[StreamOps.heavyHitterCandidatesOf]].
+  * Generic in the value domain, like the batch operator's typed paths. */
+case class HHPartialOf[T](values: Seq[T], weights: Seq[Long], n: Long)
+/** Merged-summary keyed state for [[StreamOps.heavyHitterCandidatesOf]]. */
+case class HHStateOf[T](values: Seq[T], weights: Seq[Long], n: Long)
 /** One heavy-hitter candidate as of a trigger: `weight ≤ true count ≤
   * weight + n/(k+1)` over the `n` rows drained so far. */
+case class HHCandidateOf[T](value: T, weight: Long, n: Long)
+/** [[HHCandidateOf]] at String — the original emission type, kept so the
+  * common string-domain call sites stay source-compatible. */
 case class HHCandidate(value: String, weight: Long, n: Long)
 
 /** Streaming query surface (SURVEY.md §2B streaming row): windowed
@@ -196,25 +200,46 @@ object StreamOps {
     * task touches k·P entries per trigger — the same bounded relation
     * the batch operator broadcasts. */
   def heavyHitterCandidates(values: Dataset[String], phiNum: Long, phiDen: Long,
-                            maxCounters: Int = 100000): Dataset[HHCandidate] = {
+                            maxCounters: Int = 100000): Dataset[HHCandidate] =
+    heavyHitterCandidatesOf[String](values, phiNum, phiDen, maxCounters)
+      .map(c => HHCandidate(c.value, c.weight, c.n))(
+        Encoders.product[HHCandidate])
+
+  /** [[heavyHitterCandidates]] GENERIC in the value domain — the stream
+    * twin of the batch operator's typed Long/Int/Double/Float paths
+    * ([[graft.operators.Frequency]]): Long IDs are the other common
+    * streaming heavy-hitter domain, and boxing every ID into a String
+    * just to count it would be the anti-pattern the batch side already
+    * removed. Same algorithm, same bound, same replay-≡-batch spec
+    * (StreamingSpec), with the summary/state/emission types generic.
+    * `Ordering[T]` fixes the canonical emission order (weight desc,
+    * value asc — determinism for the memory-sink specs); null elements
+    * (possible only for boxed/reference domains) are dropped, matching
+    * SQL aggregation semantics. */
+  def heavyHitterCandidatesOf[
+      T: scala.reflect.runtime.universe.TypeTag: Ordering: scala.reflect.ClassTag](
+      values: Dataset[T], phiNum: Long, phiDen: Long,
+      maxCounters: Int = 100000): Dataset[HHCandidateOf[T]] = {
     import graft.operators.Frequency
     val k = Frequency.counterBudget(phiNum, phiDen, maxCounters)
-    implicit val partialEnc = Encoders.product[HHPartial]
-    implicit val stateEnc = Encoders.product[HHState]
-    implicit val outEnc = Encoders.product[HHCandidate]
-    val partials = values.filter((v: String) => v != null).mapPartitions { it =>
-      var n = 0L
-      val counted = it.map { v => n += 1; v }
-      val pairs = Frequency.mgPartial(counted, k).toArray // drains `it` first
-      Iterator.single(HHPartial(
-        pairs.map(_._1).toSeq, pairs.map(_._2).toSeq, n))
-    }
+    implicit val partialEnc = Encoders.product[HHPartialOf[T]]
+    implicit val stateEnc = Encoders.product[HHStateOf[T]]
+    implicit val outEnc = Encoders.product[HHCandidateOf[T]]
+    val partials = values
+      .filter((v: T) => v.asInstanceOf[AnyRef] ne null)
+      .mapPartitions { it =>
+        var n = 0L
+        val counted = it.map { v => n += 1; v }
+        val pairs = Frequency.mgPartial(counted, k).toArray // drains `it` first
+        Iterator.single(HHPartialOf[T](
+          pairs.map(_._1).toSeq, pairs.map(_._2).toSeq, n))
+      }
     partials
       .groupByKey(_ => 0)(Encoders.scalaInt)
-      .flatMapGroupsWithState[HHState, HHCandidate](
+      .flatMapGroupsWithState[HHStateOf[T], HHCandidateOf[T]](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (_, it: Iterator[HHPartial], state: GroupState[HHState]) =>
-          val s0 = state.getOption.getOrElse(HHState(Nil, Nil, 0L))
+        (_, it: Iterator[HHPartialOf[T]], state: GroupState[HHStateOf[T]]) =>
+          val s0 = state.getOption.getOrElse(HHStateOf[T](Nil, Nil, 0L))
           var acc = s0.values.zip(s0.weights).toMap
           var n = s0.n
           it.foreach { p =>
@@ -223,8 +248,8 @@ object StreamOps {
             n += p.n
           }
           val pairs = acc.toSeq.sortBy { case (v, w) => (-w, v) }
-          state.update(HHState(pairs.map(_._1), pairs.map(_._2), n))
-          pairs.iterator.map { case (v, w) => HHCandidate(v, w, n) }
+          state.update(HHStateOf[T](pairs.map(_._1), pairs.map(_._2), n))
+          pairs.iterator.map { case (v, w) => HHCandidateOf[T](v, w, n) }
       }
   }
 

@@ -748,4 +748,44 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(recounted == exact, s"$recounted vs $exact")
   }
+
+  test("streaming heavy hitters over a LONG domain ≡ the batch operator's typed Long path") {
+    import graft.operators.Frequency
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Long]
+    // typed generic variant — Long IDs without a String round-trip
+    val cands = StreamOps.heavyHitterCandidatesOf[Long](ms.toDS(), 5, 100)
+    val q = cands.writeStream.outputMode("update").format("memory")
+      .queryName("hh_cands_long").start()
+    // 2 planted heavy IDs over a 700-ID singleton tail, N=1000
+    val heavy = Seq.fill(200)(777L) ++ Seq.fill(100)(42L)
+    val tail = (0 until 700).map(i => 100000L + i)
+    val rows = (heavy ++ tail).zipWithIndex
+      .sortBy { case (_, i) => (i % 5, i) }.map(_._1)
+    rows.grouped((rows.size + 2) / 3).foreach { b =>
+      ms.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val t = spark.table("hh_cands_long").as[(Long, Long, Long)].collect()
+    val n = t.map(_._3).max
+    assert(n == rows.size.toLong)
+    val finalRows = t.filter(_._3 == n)
+    assert(finalRows.map(_._1).distinct.length <= 20,
+      "state stays ≤ k counters")
+    finalRows.foreach { case (v, w, _) =>
+      val c = rows.count(_ == v).toLong
+      assert(w <= c && c <= w + n / 21, s"$v: weight=$w true=$c")
+    }
+    // the batch typed-Long operator decides the same corpus identically
+    val static = rows.toDF("v")
+    val exact = Frequency.heavyHitters(static, "v", 5, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((777L, 200L), (42L, 100L)))
+    val candidates = finalRows.map(_._1).distinct.toSeq
+    assert(exact.map(_._1).subsetOf(candidates.toSet))
+    val recounted = Frequency.recount(static, "v", candidates, 5, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recounted == exact, s"$recounted vs $exact")
+  }
 }
