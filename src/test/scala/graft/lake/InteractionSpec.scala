@@ -140,4 +140,84 @@ class InteractionSpec extends SparkSuite {
       s"manifest-listed objects must still prune at runtime: " +
         s"${lakeScan.plannedKeys.size} of $total")
   }
+
+  // ---- round-13 seams: the streaming prune composed with the features
+  // it exists for (sealed manifests, startFrom backfills)
+
+  private val tagSchema = TableSchema("ixs", Seq(
+    "id" -> ColType.CInteger, "tag" -> ColType.CString))
+
+  private def landTag(root: String, hour: String, tag: String): Unit = {
+    import spark.implicits._
+    LakeWriter.write(
+      (0 until 25).map(i => (i.toLong, tag)).toDF("id", "tag")
+        .orderBy("id").coalesce(1),
+      tagSchema, root, Instant.parse(hour), zoneMaps = true,
+      bloomColumns = Seq("tag"))
+  }
+
+  private def streamPlanned(s: LakeMicroBatchStream): Seq[String] = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val start = s.initialOffset()
+    val end = s.latestOffset(start, ReadLimit.allAvailable())
+    s.planInputPartitions(start, end)
+      .map(_.asInstanceOf[LakeInputPartition].key).sorted.toSeq
+  }
+
+  private def batchKeys(root: String, table: String,
+                        cond: org.apache.spark.sql.Column): Seq[String] = {
+    val df = spark.read.format("graft-lake").option("table", table)
+      .load(root).where(cond)
+    df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.get.asInstanceOf[LakeScan].plannedKeys.sorted
+  }
+
+  test("stream prune × manifest: filtered discovery rides the sealed listing, batch-identical, manifest intact") {
+    val root = freshRoot()
+    for (h <- 8 to 11; tg <- Seq("t0", "t1"))
+      landTag(root, f"2024-06-10T$h%02d:00:00Z", tg)
+    val store = new HadoopStore(root)
+    Manifests.seal(store, "ixs", Instant.parse("2024-06-10T10:00:00Z"))
+    val pushed: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.EqualTo("tag", "t1"))
+    val s = new LakeMicroBatchStream(root, "ixs", tagSchema,
+      LakeDataSource.outputStruct(tagSchema), None, None,
+      startFromLatest = false, pushed = pushed)
+    val planned = streamPlanned(s)
+    assert(planned == batchKeys(root, "ixs", col("tag") === "t1"),
+      "the stream's bloom prune over a manifest-backed listing equals the batch scan")
+    assert(planned.size == 4, s"one t1 object per hour: $planned")
+    assert(store.exists(Manifests.manifestKey("ixs")),
+      "a stream READ never invalidates the manifest")
+  }
+
+  test("stream prune × startFrom: the filtered backfill plans only matching objects ABOVE T") {
+    val root = freshRoot()
+    for (h <- 8 to 11; tg <- Seq("t0", "t1"))
+      landTag(root, f"2024-06-10T$h%02d:00:00Z", tg)
+    val pushed: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.EqualTo("tag", "t1"))
+    val s = new LakeMicroBatchStream(root, "ixs", tagSchema,
+      LakeDataSource.outputStruct(tagSchema), None, None,
+      startFromLatest = false,
+      startFromHour = Some(Instant.parse("2024-06-10T10:00:00Z")),
+      pushed = pushed)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val start = s.initialOffset()
+    val end = s.latestOffset(start, ReadLimit.allAvailable())
+    // the ledger is doubly bounded: hours below T are sealed out, and
+    // only the hours the filter admits are ever listed
+    val seen = end.asInstanceOf[LakeStreamOffset].seen
+    assert(seen.forall(k => LakeStreamOffset.hourOf(k) >= "2024/06/10/10"),
+      s"startFrom seals history out of the ledger: $seen")
+    val planned = s.planInputPartitions(start, end)
+      .map(_.asInstanceOf[LakeInputPartition].key).sorted.toSeq
+    val expect = batchKeys(root, "ixs", col("tag") === "t1" &&
+      col("_event_hour") >= java.sql.Timestamp.from(
+        Instant.parse("2024-06-10T10:00:00Z")))
+    assert(planned == expect && planned.size == 2,
+      s"'tenant X from T' reads exactly its objects: $planned")
+  }
 }
