@@ -149,7 +149,9 @@ object Bench {
     if (sfDir == BenchGates.ContractSfDir)
       BenchGates.violations(metered).foreach { v =>
         System.err.println(s"[bench] METER CEILING VIOLATED: $v")
-        errors(s"meter_ceiling:${v.takeWhile(_ != ' ')}") = v
+        // key on query AND metric: a query violating both ceilings must
+        // record two entries, not overwrite one with the other
+        errors(s"meter_ceiling:${v.split(' ').take(2).mkString(":")}") = v
       }
     val errs = errors.map { case (k, v) => "\"" + k + "\":" + Json.str(v) }
       .mkString("{", ",", "}")

@@ -26,6 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.StreamLakePrune)
+    // Injected operator rules run BEFORE V2Writes builds
+    // AppendData.write, so on this path ZOrderWriteLayout matches the
+    // lake relation's raw options instead of the built LakeWrite (the
+    // rule reads both faces — see its scaladoc). GraftExtensionsSpec
+    // proves the z-layout lands through THIS registration, not just
+    // Sessions.local's extraOptimizations.
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.ZOrderWriteLayout)
   }
 }

@@ -129,6 +129,27 @@ object LakeDataSource {
       // key-derived, never null — matching LakeReader.read's nullability
       StructField(EventHourCol, TimestampType, nullable = false))
 
+  /** Parse a `clusterBy` option value: either a plain column list
+    * (lexicographic range layout) or `zorder(a,b)` (Morton layout).
+    * Shared between [[LakeWriteBuilder]] and the ZOrderWriteLayout rule
+    * (which must read the request BEFORE the write is built — extension
+    * optimizer rules run ahead of V2Writes). A malformed zorder spec —
+    * wrong arity, stray spaces inside — fails HERE naming the real
+    * problem, never a misleading not-a-column error downstream. */
+  def parseClusterBy(raw: Option[String]): (Seq[String], Option[(String, String)]) = {
+    val ZOrderRe = "(?i)^zorder\\(([^,()]+),([^,()]+)\\)$".r
+    raw.map(_.trim).filter(_.nonEmpty) match {
+      case None => (Nil, None)
+      case Some(ZOrderRe(a, b)) => (Nil, Some((a.trim, b.trim)))
+      case Some(s) if s.toLowerCase.startsWith("zorder") =>
+        throw new IllegalArgumentException(
+          s"clusterBy zorder spec must be zorder(colA,colB) — two columns, " +
+            s"no nested parens: got '$s'")
+      case Some(s) =>
+        (s.split(',').map(_.trim).filter(_.nonEmpty).toSeq, None)
+    }
+  }
+
   private[lake] def resolve(options: CaseInsensitiveStringMap): (String, String) = {
     val root = Option(options.get("path"))
       .orElse(Option(options.get("root")))
@@ -284,13 +305,8 @@ final class LakeWriteBuilder(rootUri: String, lakeSchema: TableSchema,
     // clusterBy is either a column list (lexicographic range layout) or
     // `zorder(a,b)` — the Morton two-column layout (see
     // [[LakeWrite.requiredDistribution]] / ZOrderWriteLayout)
-    val rawCluster = Option(options.get("clusterby")).map(_.trim).getOrElse("")
-    val ZOrderRe = "(?i)^zorder\\(([^,()]+),([^,()]+)\\)$".r
-    val (clusterBy, zorderBy) = rawCluster match {
-      case "" => (Nil, None)
-      case ZOrderRe(a, b) => (Nil, Some((a.trim, b.trim)))
-      case s => (s.split(',').map(_.trim).filter(_.nonEmpty).toSeq, None)
-    }
+    val (clusterBy, zorderBy) =
+      LakeDataSource.parseClusterBy(Option(options.get("clusterby")))
     (clusterBy ++ zorderBy.toSeq.flatMap(z => Seq(z._1, z._2))).foreach(c =>
       require(lakeSchema.columnNames.contains(c),
         s"clusterBy column $c is not a lake column " +
@@ -298,9 +314,15 @@ final class LakeWriteBuilder(rootUri: String, lakeSchema: TableSchema,
     zorderBy.foreach { case (a, b) =>
       val cols = lakeSchema.columns.toMap
       Seq(a, b).foreach(c => require(cols(c) match {
-        case ColType.CInteger | ColType.CFloat | ColType.CTime => true
+        // CFloat is REFUSED: the z-value interleaves the long cast's low
+        // bits, and a fractional domain (scores in [0,1)) truncates to a
+        // constant — the layout would silently degenerate to 1-D. Scale
+        // to integers first (cents, millis, micros).
+        case ColType.CInteger | ColType.CTime => true
         case _ => false
-      }, s"zorder column $c must be numeric or time, is ${cols(c)}"))
+      }, s"zorder column $c must be INTEGER or TIME (got ${cols(c)}); " +
+        "scale FLOAT domains to integers first — a fractional cast " +
+        "truncates to a constant and the z-layout degenerates"))
     }
     new LakeWrite(rootUri, lakeSchema, inSchema,
       Option(options.get("flushtime")).map(Instant.parse).getOrElse(Instant.now()),

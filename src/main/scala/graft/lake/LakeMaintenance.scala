@@ -359,9 +359,14 @@ object LakeMaintenance {
     * years-old key can live in one object per hour. NOT atomic across
     * objects: a crash mid-delete leaves some objects rewritten and
     * others not — re-running the same delete is idempotent and
-    * completes the scope (rows already gone match nothing). Rewritten
-    * objects get fresh uuids: `_object_key` provenance of surviving
-    * rows changes, exactly as under compaction. */
+    * completes the scope (rows already gone match nothing). The one
+    * crash window INSIDE an object — replacement published, original
+    * not yet retired — duplicates that object's kept rows only until
+    * the re-run: replacement keys are DERIVED from the original
+    * (name-based uuid), so the re-run republishes onto the same
+    * destination and retires the original, never minting a second copy.
+    * Surviving rows change `_object_key` provenance, exactly as under
+    * compaction. */
   def deleteWhere(spark: SparkSession, store: Store, table: String,
                   column: String, values: Seq[Any],
                   hourRange: Option[(Instant, Instant)] = None,
@@ -407,8 +412,22 @@ object LakeMaintenance {
               store.rootUri, hour, gzip, maxRecordsPerObject = 0L,
               keyPrefix = s"$staging/", zoneMaps = zoneMaps,
               bloomColumns = bloomColumns)
-            staged.foreach { w =>
-              val dst = w.key.stripPrefix(s"$staging/")
+            staged.zipWithIndex.foreach { case (w, i) =>
+              // the replacement key is DERIVED from the original (a
+              // name-based uuid), not minted fresh: a crash between the
+              // rename below and the original's retirement leaves both
+              // live only until the idempotent re-run, which rewrites
+              // the still-present original onto the SAME destination
+              // (cleared first — the Manifests.seal discipline) instead
+              // of minting a second replacement and permanently
+              // duplicating the kept rows
+              val rel = w.key.stripPrefix(s"$staging/")
+              val cut = rel.lastIndexOf('/') + 1
+              val ext = rel.substring(cut).dropWhile(_ != '.')
+              val derived = java.util.UUID.nameUUIDFromBytes(
+                s"$key#delete_where#$i".getBytes("UTF-8"))
+              val dst = rel.substring(0, cut) + derived + ext
+              deleteWithSidecar(store, dst)
               store.rename(w.key, dst)
               if (zoneMaps)
                 store.rename(ZoneMaps.statsKey(w.key), ZoneMaps.statsKey(dst))

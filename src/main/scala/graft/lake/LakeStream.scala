@@ -90,11 +90,12 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
   private def store = new HadoopStore(rootUri)
 
   /** The compiled object-level prune: constructor `pushed` filters plus
-    * any delivered later by [[org.apache.spark.sql.graft.StreamLakePrune]] (both
-    * defensively re-filtered to the prunable subset, so callers can pass
-    * raw filter arrays). Deterministic from (query, schema) — the same
-    * query delivers the same filters every trigger and across restarts,
-    * so recompiling is safe. */
+    * the CURRENT delivered set from
+    * [[org.apache.spark.sql.graft.StreamLakePrune]] (both defensively
+    * re-filtered to the prunable subset, so callers can pass raw filter
+    * arrays). Any delivered set is sound at any time — pruning only
+    * skips provably-non-matching objects and filters re-apply row-level
+    * — so recompiling across triggers and restarts is safe. */
   @volatile private var delivered: Array[Filter] = Array.empty
   @volatile private var predCache: LakePrune.Compiled = compilePred()
   private def compilePred(): LakePrune.Compiled = LakePrune.compile(
@@ -102,18 +103,24 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
     lakeSchema)
   private def pred: LakePrune.Compiled = predCache
 
-  /** Tighten the prune with a micro-batch plan's own `WHERE` conjuncts
-    * (see [[org.apache.spark.sql.graft.StreamLakePrune]]). Monotone and idempotent:
-    * re-delivery of the same set is free; only a genuinely new filter
-    * recompiles. Arriving filters narrow FUTURE discovery (their
-    * `_event_hour` bounds) and FUTURE `planInputPartitions` decisions —
-    * already-delivered batches are checkpointed history and stay as
-    * they ran. */
+  /** Deliver a micro-batch plan's `WHERE` conjuncts (see
+    * [[org.apache.spark.sql.graft.StreamLakePrune]]). REPLACEMENT
+    * semantics, not accumulation: each trigger's set supersedes the
+    * last — a predicate holding per-batch-folded literals (a moving
+    * `current_timestamp() - INTERVAL 1 HOUR` window) delivers a fresh
+    * literal every trigger, and an accumulate-and-conjoin here would
+    * both grow without bound and tighten wrongly. Sound in every
+    * direction: the CURRENT trigger's filters are exactly what its own
+    * rows must satisfy, pruning is advisory (filters re-apply
+    * row-level), and a trigger that delivers nothing just keeps the
+    * previous — already sound — set. Idempotent re-delivery is free;
+    * only a changed set recompiles. Arriving filters narrow FUTURE
+    * discovery and FUTURE `planInputPartitions` decisions —
+    * already-delivered batches are checkpointed history. */
   def deliverFilters(fs: Array[Filter]): Unit = synchronized {
-    val usable = fs.filter(LakePrune.prunable(_, lakeSchema))
-    val merged = (delivered ++ usable).distinct
-    if (!merged.sameElements(delivered)) {
-      delivered = merged
+    val usable = fs.filter(LakePrune.prunable(_, lakeSchema)).distinct
+    if (!usable.sameElements(delivered)) {
+      delivered = usable
       predCache = compilePred()
     }
   }

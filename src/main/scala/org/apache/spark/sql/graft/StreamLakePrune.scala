@@ -27,17 +27,29 @@ import org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2ScanRe
   * The plan itself is returned UNCHANGED — the rule is advisory, the
   * `Filter` node stays and re-applies row-level, so a bloom false
   * positive costs an opened object, never a wrong row (exactly the batch
-  * scan's contract). Delivery is idempotent per trigger; the stream
-  * recompiles its prune predicate only when the filter set actually
-  * tightens. Registered by `graft.GraftExtensions` and
-  * `graft.Sessions.local`.
+  * scan's contract). Delivery replaces the previous trigger's set
+  * wholesale (the stream recompiles only on change), and happens ONLY
+  * when the stream's relation occurs exactly once in the plan: a
+  * self-union/self-join deduplicates into ONE shared stream instance,
+  * and conjoining the branches' different WHEREs would prune objects
+  * that one branch still needs — the exact hazard that keeps Spark
+  * itself from pushing filters into streaming sources. Multi-occurrence
+  * plans simply read unpruned, row-level filters intact. Registered by
+  * `graft.GraftExtensions` and `graft.Sessions.local`.
   */
 object StreamLakePrune extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // occurrence count per stream INSTANCE (reference identity — the
+    // dedup hazard is precisely that branches share one instance)
+    val occurrences = plan.collect {
+      case r: StreamingDataSourceV2ScanRelation
+          if r.stream.isInstanceOf[LakeMicroBatchStream] => r.stream
+    }
     plan.foreach {
       case Filter(cond, r: StreamingDataSourceV2ScanRelation) =>
         r.stream match {
-          case mb: LakeMicroBatchStream =>
+          case mb: LakeMicroBatchStream
+              if occurrences.count(_ eq mb) == 1 =>
             val translated = splitConjunctivePredicates(cond).flatMap(e =>
               DataSourceStrategy.translateFilter(
                 e, supportNestedPredicatePushdown = true))

@@ -62,4 +62,62 @@ class GraftExtensionsSpec extends AnyFunSuite {
       prior.foreach { s => SparkSession.setDefaultSession(s); SparkSession.setActiveSession(s) }
     }
   }
+
+  test("the extensions path applies ZOrderWriteLayout (Pre-CBO batch, after V2Writes builds the write)") {
+    import graft.lake.{HadoopStore, LakeWriter, ZoneMaps}
+    import graft.types.{ColType, TableSchema}
+    import org.apache.spark.sql.functions._
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      val root = s"file://${java.nio.file.Files
+        .createTempDirectory("graft-ext-zorder").toFile.getAbsolutePath}"
+      val schema = TableSchema("zt", Seq(
+        "x" -> ColType.CInteger, "y" -> ColType.CInteger))
+      LakeWriter.write(Seq((1000000L, 1000000L)).toDF("x", "y"), schema,
+        root, java.time.Instant.parse("2024-06-10T00:00:00Z"),
+        zoneMaps = true)
+      (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+        .toDF("x", "y").repartition(5)
+        .withColumn("_event_hour", lit(java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-06-10T12:00:00Z"))))
+        .write.format("graft-lake").option("table", "zt")
+        .option("flushTime", "2024-06-10T12:00:00Z")
+        .option("zoneMaps", "true")
+        .option("clusterBy", "zorder(x,y)").option("writePartitions", "16")
+        .mode("append").save(root)
+      // the layout proof: a y-only filter prunes (x-sorted objects never
+      // could), which requires the z-sort to have actually been applied
+      // by THIS session's injected rule
+      val store = new HadoopStore(root)
+      val keys = graft.lake.LakeReader.listTableKeys(store, "zt", None)
+        .filter(_.startsWith("2024/06/10/12/"))
+      assert(keys.size == 16, s"writePartitions caps objects: ${keys.size}")
+      val yPruned = keys.count { k =>
+        ZoneMaps.read(store, k).exists(s => s.cols.get("y").exists(c =>
+          c.min.exists(_.longValueExact() <= 7) &&
+            c.max.exists(_.longValueExact() >= 0)))
+      }
+      // count objects whose y-band intersects [0,7]: z-layout keeps it
+      // well under all 16 (an unclustered/x-only write spans full y
+      // everywhere, so every object would intersect)
+      val intersecting = keys.count { k =>
+        ZoneMaps.read(store, k).get.cols("y") match {
+          case c => c.min.get.longValueExact() <= 7 && c.max.get.longValueExact() >= 0
+        }
+      }
+      assert(intersecting < 16 && intersecting <= 8,
+        s"z-banded y ranges: $intersecting of 16 objects intersect y<=7 " +
+          s"(16 would mean the rule never fired) [$yPruned]")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prior.foreach { s => SparkSession.setDefaultSession(s); SparkSession.setActiveSession(s) }
+    }
+  }
 }

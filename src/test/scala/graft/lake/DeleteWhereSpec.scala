@@ -110,6 +110,34 @@ class DeleteWhereSpec extends SparkSuite {
     assert(readAll(root).count() == 20L)
   }
 
+  test("a crash between publish and retirement heals on re-run: derived replacement keys, no permanent duplication") {
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    val mixed = land(root, "2024-07-01T08:00:00Z",
+      (0L until 5L).map(i => (i, "uA")) ++ (5L until 20L).map(i => (i, "uB")))
+    val originalBytes = bytesOf(store, mixed)
+    val rep1 = LakeMaintenance.deleteWhere(spark, store, "dw", "user",
+      Seq("uA"), zoneMaps = true, bloomColumns = Seq("user"))
+    assert(rep1.objectsRewritten == 1 && rep1.rowsDeleted == 5L)
+    val replacement = LakeReader.listTableKeys(store, "dw", None).head
+    assert(replacement != mixed, "the replacement has a derived key")
+    // simulate the crash window: the replacement landed but the
+    // original's retirement never happened — restore the original
+    store.put(mixed, new java.io.ByteArrayInputStream(originalBytes))
+    assert(readAll(root).count() == 35L,
+      "crash state: kept rows transiently duplicated (15+15+5)")
+    // the documented remedy: the SAME delete re-run. The original (its
+    // sidecars gone) is an unprunable candidate, rewrites onto the SAME
+    // derived destination, and retires — never a second replacement.
+    val rep2 = LakeMaintenance.deleteWhere(spark, store, "dw", "user",
+      Seq("uA"), zoneMaps = true, bloomColumns = Seq("user"))
+    assert(rep2.rowsDeleted == 5L && rep2.objectsRewritten == 1, s"$rep2")
+    val after = LakeReader.listTableKeys(store, "dw", None)
+    assert(after == Seq(replacement),
+      s"one replacement, same derived key, original retired: $after")
+    assert(readAll(root).count() == 15L, "kept rows exactly once")
+  }
+
   test("NULL rows never match; manifests invalidate; CALL delete_where coerces values by column type") {
     val root = freshRoot()
     val store = new HadoopStore(root)

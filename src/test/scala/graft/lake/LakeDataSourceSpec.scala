@@ -475,6 +475,28 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(zBox < zY && zBox <= 8, s"box filter keeps the corner boxes: $zBox")
   }
 
+  test("zorder validation: FLOAT columns refused (fractional truncation degenerates), malformed specs named") {
+    import spark.implicits._
+    val root = freshRoot()
+    fixture(root) // table dt: score is CFloat
+    def write(cluster: String) =
+      Seq((9999L, "tz", 1.5, true,
+        java.sql.Timestamp.from(Instant.parse("2024-06-02T00:00:00Z"))))
+        .toDF("id", "tag", "score", "ok", "ts")
+        .withColumn("_event_hour", lit(java.sql.Timestamp.from(
+          Instant.parse("2024-06-10T13:00:00Z"))))
+        .write.format("graft-lake").option("table", "dt")
+        .option("flushTime", "2024-06-10T13:00:00Z")
+        .option("clusterBy", cluster).mode("append").save(root)
+    val e1 = intercept[Exception] { write("zorder(score,id)") }
+    assert(e1.getMessage.contains("scale FLOAT domains"),
+      s"a fractional-domain zorder must be refused by name: ${e1.getMessage}")
+    val e2 = intercept[Exception] { write("zorder(id,tag,score)") }
+    assert(e2.getMessage.contains("zorder(colA,colB)"),
+      s"wrong arity must name the zorder syntax, not a fake column: " +
+        e2.getMessage)
+  }
+
   test("a planned object retired by maintenance mid-scan is skipped, never a query failure") {
     val root = freshRoot()
     fixture(root)

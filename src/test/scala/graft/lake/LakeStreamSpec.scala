@@ -505,6 +505,35 @@ class LakeStreamSpec extends SparkSuite {
         "torn-sidecar conservatism included")
   }
 
+  test("a self-union with per-branch WHEREs never loses rows: the shared stream is left unpruned") {
+    // MicroBatchExecution deduplicates the shared source into ONE stream
+    // instance; conjoining the branches' different filters there would
+    // refute objects a branch still needs. StreamLakePrune's
+    // single-occurrence guard delivers nothing in this shape — the
+    // correctness bar is exact union rows, pruning forgone.
+    val root = freshRoot()
+    for (h <- 8 to 9; tg <- Seq("t0", "t1", "t2"))
+      landTagged(root, f"2024-06-10T$h%02d:00:00Z", tg, 0 until 10)
+    spark.catalog.dropTempView("st_union")
+    val base = readStreamDf(root)
+    val q = base.where(col("tag") === "t1")
+      .union(base.where(col("tag") === "t2"))
+      .writeStream.format("memory").queryName("st_union")
+      .outputMode("append").option("checkpointLocation", freshCkpt())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val drained = spark.table("st_union")
+    val batchBase = spark.read.format("graft-lake").option("table", "st")
+      .load(root)
+    val expect = batchBase.where(col("tag") === "t1")
+      .union(batchBase.where(col("tag") === "t2"))
+    assert(drained.count() == 40,
+      s"both branches' rows must arrive: ${drained.count()}")
+    assert(drained.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(drained).count() == 0,
+      "per-branch filters must never leak into a shared stream's prune")
+  }
+
   test("a plain WHERE on readStream prunes object delivery end-to-end (StreamLakePrune)") {
     val root = freshRoot()
     for (h <- 8 to 10; tg <- Seq("t0", "t1", "t2"))
