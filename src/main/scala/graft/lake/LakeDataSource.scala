@@ -193,7 +193,54 @@ final class LakeTable(rootUri: String, tableName: String,
                       preResolved: Option[TableSchema] = None,
                       reconcile: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `DELETE FROM lake.t WHERE ...`, metadata path ([[LakeRowLevel
+    * .translateDelete]] decides the exact shapes; everything else falls
+    * to the copy-on-write rewrite below). Spark probes here FIRST
+    * (`OptimizeMetadataOnlyDeleteFromTable`), so an IN-list delete
+    * stays a bloom-bounded surgical rewrite and a pure `_event_hour`
+    * range delete is SQL retention — zero non-matching objects opened. */
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    !reconcile && LakeRowLevel.translateDelete(predicates, lakeSchema).isDefined
+
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val md = LakeRowLevel.translateDelete(predicates, lakeSchema).getOrElse(
+      throw new IllegalStateException(
+        s"graft-lake: deleteWhere called with untranslatable predicates " +
+          predicates.mkString("[", ", ", "]")))
+    LakeRowLevel.executeDelete(SparkSession.active, new HadoopStore(rootUri),
+      tableName, lakeSchema, md)
+  }
+
+  /** `TRUNCATE TABLE lake.t` / unconditional `DELETE FROM lake.t`:
+    * retire EVERYTHING — the distributed retention delete with a
+    * far-future cutoff (hour-dir walk on the driver, per-object
+    * deletes fanned to executors, manifests invalidated). */
+  override def truncateTable(): Boolean = {
+    LakeMaintenance.expireDistributed(SparkSession.active, rootUri,
+      tableName, Instant.parse("9999-01-01T00:00:00Z"))
+    true
+  }
+
+  /** SQL UPDATE / MERGE / arbitrary-predicate DELETE — the GROUP-based
+    * copy-on-write rewrite ([[LakeRowLevelOperation]]). Refused under
+    * `reconcile`: a drifted object's rows cannot round-trip through
+    * the strict writer — compact onto one header first. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!reconcile,
+      "graft-lake: row-level SQL (DELETE/UPDATE/MERGE) on a reconcile " +
+        "table would rewrite drifted objects onto the merged header as " +
+        "a side effect — run CALL lake.system.compact first, then " +
+        "retry without reconcile")
+    new LakeRowLevelOperationBuilder(rootUri, tableName, lakeSchema, info)
+  }
 
   /** PROVENANCE metadata column (`SELECT *, _object_key FROM lake.t` —
     * the Delta `_metadata.file_path` analogue): every row knows the
@@ -623,7 +670,14 @@ final case class LakeStreamOptions(maxObjectsPerTrigger: Option[Int] = None,
 final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSchema,
                             clusterByHour: Boolean = false,
                             reconcile: Boolean = false,
-                            streamOptions: LakeStreamOptions = LakeStreamOptions())
+                            streamOptions: LakeStreamOptions = LakeStreamOptions(),
+                            // copy-on-write mode (LakeRowLevelOperation):
+                            // the built ROW scan defines the replaced
+                            // group set, so aggregate/limit/TopN pushdown
+                            // are refused and the scan narrows its runtime
+                            // filter face to _object_key group identity
+                            cowMode: Boolean = false,
+                            onBuild: LakeScan => Unit = null)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -652,7 +706,7 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     * Refused when filters pushed (a residual filter between limit and
     * scan stops Spark offering it anyway — belt and braces). */
   override def pushLimit(limit: Int): Boolean = {
-    if (pushed.nonEmpty || pushedAgg.nonEmpty) return false
+    if (pushed.nonEmpty || pushedAgg.nonEmpty || cowMode) return false
     pushedLimit = Some(limit)
     true
   }
@@ -667,7 +721,7 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     * push — a data column's order says nothing about object layout. */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
                         limit: Int): Boolean = {
-    if (pushed.nonEmpty || pushedAgg.nonEmpty) return false
+    if (pushed.nonEmpty || pushedAgg.nonEmpty || cowMode) return false
     orders.toSeq match {
       case Seq(o) => o.expression() match {
         case nr: NamedReference
@@ -694,7 +748,7 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     // columns — count(c)/min/max over a column the object lacks must
     // contribute nulls, which its sidecar cannot attest; refuse rather
     // than special-case (the ordinary reconciling row scan is exact)
-    if (pushed.nonEmpty || reconcile) return false
+    if (pushed.nonEmpty || reconcile || cowMode) return false
     LakeAgg.translate(aggregation, lakeSchema) match {
       case some @ Some(_) => pushedAgg = some; true
       case None => false
@@ -716,8 +770,11 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     // OBJECT (the sidecar answer), never data rows.
     case Some(agg) => new LakeAggScan(rootUri, table, lakeSchema, agg)
     case None =>
-      new LakeScan(rootUri, table, lakeSchema, required, pushed, pushedLimit,
-        pushedTopN, clusterByHour, streamOptions, reconcile)
+      val s = new LakeScan(rootUri, table, lakeSchema, required, pushed,
+        pushedLimit, pushedTopN, clusterByHour, streamOptions, reconcile,
+        groupFilterOnKey = cowMode)
+      if (onBuild != null) onBuild(s)
+      s
   }
 }
 
@@ -727,7 +784,8 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
                      topN: Option[(Boolean, Int)] = None,
                      clusterByHour: Boolean = false,
                      streamOptions: LakeStreamOptions = LakeStreamOptions(),
-                     reconcile: Boolean = false)
+                     reconcile: Boolean = false,
+                     groupFilterOnKey: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -793,10 +851,20 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     * false positive costs an opened object, never a wrong row), and
     * the pushed filters all re-apply row-level post-scan. */
   override def filterAttributes(): Array[NamedReference] =
-    // only columns surviving column PRUNING: Spark resolves these
-    // against the scan's output, and a runtime-filterable join key is
-    // necessarily in that output anyway
-    required.fieldNames.map(c => Expressions.column(c)).toArray
+    // copy-on-write scans narrow the runtime-filter face to _object_key
+    // ALONE: Spark's row-level group filtering keys its matching-rows
+    // subquery on exactly these attributes, and object identity is the
+    // group grain — the delivered `_object_key IN (...)` prunes to the
+    // objects PROVEN to hold matches (LakePrune keySet), never a
+    // many-column tuple filter
+    if (groupFilterOnKey &&
+        required.fieldNames.contains(LakeDataSource.ObjectKeyCol))
+      Array(Expressions.column(LakeDataSource.ObjectKeyCol))
+    else
+      // only columns surviving column PRUNING: Spark resolves these
+      // against the scan's output, and a runtime-filterable join key is
+      // necessarily in that output anyway
+      required.fieldNames.map(c => Expressions.column(c)).toArray
 
   override def filter(filters: Array[Filter]): Unit = synchronized {
     val usable = filters.filter(f => LakePrune.prunable(f, lakeSchema))

@@ -1,0 +1,424 @@
+package graft.lake
+
+import graft.types.{ColType, TableSchema}
+
+import java.time.Instant
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL DML for the lake — the two halves Spark's own rewrite rules
+  * expect a table format to provide, so `DELETE FROM` / `UPDATE` /
+  * `MERGE INTO lake.t ...` work in PLAIN SQL through the catalog with
+  * Catalyst in the driver's seat (the Delta/Iceberg DML surface
+  * re-derived on the reference's key layout, `README.md:111-148`):
+  *
+  *  1. the METADATA path ([[LakeTable.deleteWhere]], `SupportsDeleteV2`):
+  *     a DELETE whose whole condition translates to the lake's own
+  *     probe shapes — `col = v` / `col IN (...)` (+ optional
+  *     `_event_hour` bounds), a pure `_event_hour` range (SQL
+  *     retention), or `_object_key` membership (the audit remedy) —
+  *     never rewrites a non-matching object: Spark's
+  *     `OptimizeMetadataOnlyDeleteFromTable` hands the condition over
+  *     and [[LakeMaintenance.deleteWhere]] / [[LakeMaintenance
+  *     .retireObjects]] bound the work by bloom/band probes exactly
+  *     like `CALL lake.system.delete_where`;
+  *
+  *  2. the COPY-ON-WRITE path ([[LakeRowLevelOperation]],
+  *     `SupportsRowLevelOperations`, GROUP-based): everything else —
+  *     arbitrary-predicate DELETE, every UPDATE, every MERGE — via
+  *     Spark's ReplaceData rewrite: the operation's SCAN plans the
+  *     affected objects (static bloom/band pruning from the pushed
+  *     condition, then EXACT group runtime filtering — Spark's own
+  *     matching-rows subquery delivers `_object_key IN (...)` through
+  *     the scan's `SupportsRuntimeFiltering` face, so only objects
+  *     PROVEN to hold matches are rewritten), the WRITE stages each
+  *     task's surviving/updated rows into per-hour rolled objects
+  *     under the staged-publish discipline, and commit publishes the
+  *     replacements then retires exactly the scanned objects with
+  *     their sidecars, manifests invalidated before AND after.
+  *
+  * Hour semantics: a row lands under its OWN `_event_hour` (the COW
+  * write routes per row), so an UPDATE that does not touch
+  * `_event_hour` rewrites every group in place — and one that DOES is
+  * an explicit hour MOVE (values floor to the hour, the key layout's
+  * grain; NULL `_event_hour` fails loudly). MERGE INSERT rows land
+  * under their stated hour the same way.
+  *
+  * Crash window: replacements publish before originals retire — a
+  * crash between the two duplicates the rewritten groups' kept rows
+  * until re-run, the same window [[LakeMaintenance.compact]] documents
+  * (an atomic swap needs a versioned snapshot pointer the wire format
+  * does not have; `_object_key` auditing finds the duplicates, and
+  * both halves are idempotent renames/deletes). Schema-evolution
+  * (`reconcile`) tables REFUSE row-level SQL: a drifted object cannot
+  * round-trip byte-faithfully through the strict writer — compact the
+  * table onto one header first. */
+object LakeRowLevel {
+
+  /** A DELETE condition the metadata path can serve EXACTLY, decided at
+    * `canDeleteWhere` time so Spark only hands over whole conditions. */
+  sealed trait MetaDelete
+  /** `col = v` / `col IN (...)` + optional `_event_hour` bounds — the
+    * bloom/band-bounded [[LakeMaintenance.deleteWhere]] shape. */
+  final case class DeleteByProbe(column: String, values: Seq[Any],
+                                 hourRange: Option[(Instant, Instant)])
+      extends MetaDelete
+  /** Pure `_event_hour` bounds — SQL retention: every object in range
+    * retires WHOLESALE (object hour ≡ row `_event_hour`, so the
+    * object-level decision is row-exact). */
+  final case class DeleteByHours(from: Option[Instant], to: Option[Instant])
+      extends MetaDelete
+  /** `_object_key` equality/IN — the l26 audit remedy as SQL: named
+    * objects retire (keys of OTHER tables match no row here — ignored). */
+  final case class DeleteByKeys(keys: Seq[String]) extends MetaDelete
+
+  private val HourMicros = 3600L * 1000000L
+
+  private def floorHour(i: Instant): Instant = i.truncatedTo(ChronoUnit.HOURS)
+  private def aligned(i: Instant): Boolean = floorHour(i) == i
+
+  private def tsInstant(v: Any): Option[Instant] = v match {
+    case t: java.sql.Timestamp => Some(t.toInstant)
+    case i: Instant => Some(i)
+    case _ => None
+  }
+
+  /** Translate a conjunction of V2 predicates into a [[MetaDelete]], or
+    * None when any conjunct falls outside the exact shapes (the
+    * copy-on-write path owns it then). EXACTNESS is the bar — the
+    * metadata delete removes whole rows with no residual filter, so:
+    * probe values must be non-null/non-empty (`""` round-trips as NULL
+    * on the wire, and SQL `= NULL` matches nothing anyway), hour bounds
+    * round INWARD to whole hours (rows carry exact hour instants, so a
+    * misaligned bound tightens to the hours it truly admits), and a
+    * misaligned `_event_hour = t` admits nothing. */
+  def translateDelete(predicates: Array[Predicate],
+                      schema: TableSchema): Option[MetaDelete] = {
+    val v1opt = org.apache.spark.sql.graft.V2Predicates.toV1(predicates)
+    if (v1opt.exists(_.isEmpty)) return None // untranslatable conjunct
+    val v1 = v1opt.map(_.get)
+    val cols = schema.columns.toMap
+
+    var from: Option[Instant] = None
+    var to: Option[Instant] = None
+    def tightenFrom(i: Instant): Unit =
+      from = Some(from.fold(i)(f => if (i.isAfter(f)) i else f))
+    def tightenTo(i: Instant): Unit =
+      to = Some(to.fold(i)(t => if (i.isBefore(t)) i else t))
+
+    var probe: Option[(String, Seq[Any])] = None
+    var keys: Option[Seq[String]] = None
+    var bad = false
+
+    def addProbe(c: String, vs: Seq[Any]): Unit = probe match {
+      case None =>
+        val usable = vs.forall(v => v != null && v != "")
+        if (usable && vs.nonEmpty) probe = Some((c, vs)) else bad = true
+      case Some(_) => bad = true // one probe column only — COW handles the rest
+    }
+
+    v1.foreach {
+      case EqualTo(LakeDataSource.ObjectKeyCol, v: String) =>
+        if (keys.isEmpty) keys = Some(Seq(v)) else bad = true
+      case In(LakeDataSource.ObjectKeyCol, vs) if vs != null =>
+        if (keys.isEmpty && vs.forall(_.isInstanceOf[String]))
+          keys = Some(vs.toSeq.map(_.asInstanceOf[String]))
+        else bad = true
+      case EqualTo(LakeDataSource.EventHourCol, v) => tsInstant(v) match {
+        case Some(t) if aligned(t) => tightenFrom(t); tightenTo(t)
+        case Some(t) => // misaligned hour equality admits nothing
+          tightenFrom(floorHour(t).plus(1, ChronoUnit.HOURS))
+          tightenTo(floorHour(t))
+        case None => bad = true
+      }
+      case GreaterThanOrEqual(LakeDataSource.EventHourCol, v) => tsInstant(v) match {
+        case Some(t) =>
+          tightenFrom(if (aligned(t)) t else floorHour(t).plus(1, ChronoUnit.HOURS))
+        case None => bad = true
+      }
+      case GreaterThan(LakeDataSource.EventHourCol, v) => tsInstant(v) match {
+        case Some(t) => tightenFrom(floorHour(t).plus(1, ChronoUnit.HOURS))
+        case None => bad = true
+      }
+      case LessThanOrEqual(LakeDataSource.EventHourCol, v) => tsInstant(v) match {
+        case Some(t) => tightenTo(floorHour(t))
+        case None => bad = true
+      }
+      case LessThan(LakeDataSource.EventHourCol, v) => tsInstant(v) match {
+        case Some(t) =>
+          tightenTo(if (aligned(t)) t.minus(1, ChronoUnit.HOURS) else floorHour(t))
+        case None => bad = true
+      }
+      case EqualTo(c, v) if cols.contains(c) => addProbe(c, Seq(v))
+      case In(c, vs) if cols.contains(c) && vs != null => addProbe(c, vs.toSeq)
+      // Spark may seed IsNotNull alongside an equality on the same
+      // column — redundant there (NULL never equals); anything else
+      // is a real predicate the probe cannot express
+      case IsNotNull(c) if probe.exists(_._1 == c) => ()
+      case _ => bad = true
+    }
+
+    if (bad) None
+    else (keys, probe) match {
+      case (Some(ks), None) if from.isEmpty && to.isEmpty => Some(DeleteByKeys(ks))
+      case (Some(_), _) => None // keys + other conjuncts: COW owns it
+      case (None, Some((c, vs))) =>
+        val hr = (from, to) match {
+          case (None, None) => None
+          // probe + hour bounds: LakeMaintenance.deleteWhere's range is
+          // inclusive both ends at hour grain; open ends take sentinels
+          case _ => Some((from.getOrElse(Instant.EPOCH),
+            to.getOrElse(Instant.parse("9999-01-01T00:00:00Z"))))
+        }
+        Some(DeleteByProbe(c, vs, hr))
+      case (None, None) if from.nonEmpty || to.nonEmpty =>
+        Some(DeleteByHours(from, to))
+      case _ => None
+    }
+  }
+
+  /** Coerce v1-filter literal values to the runtime types [[LakeReader
+    * .readKeys]] frames compare with (`isin` on the read DataFrame):
+    * strings stay, integers widen to Long, floats to Double, timestamps
+    * to java.sql.Timestamp — the [[graft.lake.LakeCatalog]] CALL
+    * procedure's coercion, from typed literals instead of text. */
+  private[lake] def coerce(t: ColType, v: Any): Any = (t, v) match {
+    case (ColType.CInteger, n: Number) => java.lang.Long.valueOf(n.longValue())
+    case (ColType.CFloat, n: Number) => java.lang.Double.valueOf(n.doubleValue())
+    case (ColType.CTime, ts) => tsInstant(ts).map(java.sql.Timestamp.from).getOrElse(ts)
+    case (_, other) => other
+  }
+
+  /** Sidecar/codec convention of an existing table, probed from ONE
+    * object (lake tables are written homogeneously by the collector /
+    * writer flags; `CALL lake.system.ensure_indexes` is the
+    * reconciler when they were not): rewritten objects keep the
+    * table's gzip setting, stats sidecars, and bloom columns — so a
+    * SQL DML pass never silently degrades the pruning layer. */
+  final case class SidecarPolicy(gzip: Boolean, zoneMaps: Boolean,
+                                 bloomColumns: Seq[String])
+
+  def detectPolicy(store: Store, table: String): SidecarPolicy =
+    LakeReader.firstTableKey(store, table) match {
+      case None => SidecarPolicy(gzip = true, zoneMaps = false, Nil)
+      case Some(k) => SidecarPolicy(
+        gzip = k.endsWith(".gz"),
+        zoneMaps = store.exists(ZoneMaps.statsKey(k)),
+        bloomColumns = BloomMaps.read(store, k)
+          .map(_.cols.keys.toSeq.sorted).getOrElse(Nil))
+    }
+
+  /** Run a translated metadata delete. Reports (rows when known): the
+    * probe path returns [[LakeMaintenance.DeleteReport]] counts; the
+    * hour/key paths retire whole objects (row counts live in their
+    * sidecars, not re-read here). */
+  def executeDelete(spark: SparkSession, store: Store, table: String,
+                    schema: TableSchema, md: MetaDelete): Unit = md match {
+    case DeleteByProbe(c, vs, hr) =>
+      val p = detectPolicy(store, table)
+      val t = schema.columns.toMap.apply(c)
+      LakeMaintenance.deleteWhere(spark, store, table, c,
+        vs.map(coerce(t, _)), hr, gzip = p.gzip, zoneMaps = p.zoneMaps,
+        bloomColumns = p.bloomColumns)
+    case DeleteByHours(from, to) =>
+      val hr = Some((from.getOrElse(Instant.EPOCH),
+        to.getOrElse(Instant.parse("9999-01-01T00:00:00Z"))))
+      val doomed = LakeReader.listTableKeys(store, table, hr)
+      if (doomed.nonEmpty) LakeMaintenance.retireObjects(store, doomed)
+    case DeleteByKeys(ks) =>
+      // only THIS table's parse-able keys: a foreign/garbage key names
+      // no row of this table, so deleting it here would overreach
+      val mine = ks.filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
+      if (mine.nonEmpty) LakeMaintenance.retireObjects(store, mine)
+  }
+}
+
+/** One SQL row-level command's lifecycle (Spark builds one per
+  * DELETE/UPDATE/MERGE statement): the scan face plans + records the
+  * affected objects, the write face replaces them. GROUP-based
+  * (copy-on-write) — the natural grain of immutable rolled objects. */
+final class LakeRowLevelOperation(rootUri: String, tableName: String,
+                                  lakeSchema: TableSchema,
+                                  cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** The operation's CONFIGURED scan — the one Spark plans the
+    * ReplaceData read with (built FIRST, during the main pushdown;
+    * the runtime group-filter's matching-rows subquery may build
+    * later scans from this same operation, which must NOT steal the
+    * slot). Commit retires exactly this scan's [[LakeScan
+    * .plannedKeys]], post-runtime-filtering. */
+  @volatile private[lake] var cowScan: LakeScan = _
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String =
+    s"graft-lake $cmd copy-on-write table=$tableName"
+
+  /** `_object_key` rides the row-level plan so Spark's runtime group
+    * filtering can key on EXACT object identity (the scan's
+    * [[LakeScan.filterAttributes]] narrows to it in COW mode). */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(LakeDataSource.ObjectKeyCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(rootUri, tableName, lakeSchema,
+      cowMode = true,
+      onBuild = s => if (cowScan == null) cowScan = s)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val op = this
+    new WriteBuilder {
+      override def build(): Write =
+        new LakeCowWrite(rootUri, lakeSchema, info.schema(), op)
+    }
+  }
+}
+
+final class LakeRowLevelOperationBuilder(rootUri: String, tableName: String,
+                                         lakeSchema: TableSchema,
+                                         info: RowLevelOperationInfo)
+    extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new LakeRowLevelOperation(rootUri, tableName, lakeSchema, info.command())
+}
+
+/** The ReplaceData write: stages every task's rows into per-hour rolled
+  * objects (a row lands under its own `_event_hour` — COW rewrites
+  * groups in place; explicit hour updates MOVE rows), then commit
+  * publishes the replacements and retires the scan's planned objects.
+  * Shares [[LakeWrite]]'s staging discipline: only committed attempts'
+  * keys reach commit, staging swept on commit AND abort. */
+final class LakeCowWrite(rootUri: String, lakeSchema: TableSchema,
+                         inSchema: StructType, op: LakeRowLevelOperation)
+    extends Write with BatchWrite {
+
+  private val staging = s"_staging/cow-${java.util.UUID.randomUUID()}"
+  @volatile private var policy: LakeRowLevel.SidecarPolicy = _
+
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"graft-lake copy-on-write table=${lakeSchema.name} staging=$staging"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    policy = LakeRowLevel.detectPolicy(new HadoopStore(rootUri), lakeSchema.name)
+    new LakeCowWriterFactory(rootUri, lakeSchema, inSchema, s"$staging/", policy)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val store = new HadoopStore(rootUri)
+    try {
+      val p = if (policy != null) policy
+              else LakeRowLevel.detectPolicy(store, lakeSchema.name)
+      val staged = messages.flatMap { case LakeCommitMessage(keys) => keys }
+      // the scan IS the replacement contract: its planned objects are
+      // exactly the groups whose rows flowed through the query — a
+      // write with no recorded scan has nothing sound to replace
+      require(op.cowScan != null,
+        "graft-lake copy-on-write commit without a configured scan — " +
+          "the ReplaceData read never planned, refusing to publish")
+      val retired = op.cowScan.plannedKeys
+      val hours = staged.map(k =>
+        LakeKeys.hourPrefixOf(k.stripPrefix(s"$staging/"))) ++
+        retired.map(LakeKeys.hourPrefixOf)
+      if (hours.nonEmpty)
+        Manifests.invalidateIfCovers(store, lakeSchema.name, hours.min)
+      staged.foreach { k =>
+        val dst = k.stripPrefix(s"$staging/")
+        store.rename(k, dst)
+        if (p.zoneMaps) store.rename(ZoneMaps.statsKey(k), ZoneMaps.statsKey(dst))
+        if (p.bloomColumns.nonEmpty)
+          store.rename(BloomMaps.bloomKey(k), BloomMaps.bloomKey(dst))
+      }
+      // originals retire AFTER replacements publish (the compact
+      // window, documented above); retireObjects re-runs the manifest
+      // discipline around the deletes themselves
+      if (retired.nonEmpty) LakeMaintenance.retireObjects(store, retired)
+      if (hours.nonEmpty)
+        Manifests.invalidateIfCovers(store, lakeSchema.name, hours.min)
+    } finally cleanupStaging(store)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStaging(new HadoopStore(rootUri))
+
+  private def cleanupStaging(store: Store): Unit = {
+    try store.deletePrefix(staging) catch { case _: Throwable => () }
+    try store.deletePrefix(ZoneMaps.Prefix + staging) catch { case _: Throwable => () }
+  }
+}
+
+final class LakeCowWriterFactory(rootUri: String, lakeSchema: TableSchema,
+                                 inSchema: StructType, keyPrefix: String,
+                                 policy: LakeRowLevel.SidecarPolicy)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LakeCowDataWriter(rootUri, lakeSchema, inSchema, keyPrefix, policy)
+}
+
+/** Routes each row to a [[LakeWriter.RollingObjectWriter]] for its
+  * `_event_hour` (UPDATE/DELETE plans are narrow — one object, one
+  * hour, one roller per task; MERGE's join may mix hours — the map
+  * holds one roller per DISTINCT hour this task sees, bounded by the
+  * task's row provenance). Value extraction is [[LakeDataWriter]]'s
+  * by-name contract; extra plan columns (`_object_key`) are ignored. */
+final class LakeCowDataWriter(rootUri: String, lakeSchema: TableSchema,
+                              inSchema: StructType, keyPrefix: String,
+                              policy: LakeRowLevel.SidecarPolicy)
+    extends DataWriter[InternalRow] {
+
+  private val store = new HadoopStore(rootUri)
+  private val rollers =
+    scala.collection.mutable.LinkedHashMap.empty[Long, LakeWriter.RollingObjectWriter]
+  private val hourIdx = inSchema.fieldIndex(LakeDataSource.EventHourCol)
+
+  private val getters: Array[InternalRow => Any] =
+    lakeSchema.columns.map { case (nm, t) =>
+      val i = inSchema.fieldIndex(nm)
+      t match {
+        case ColType.CString | ColType.CUuid =>
+          (r: InternalRow) => if (r.isNullAt(i)) null else r.getUTF8String(i).toString
+        case ColType.CInteger =>
+          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Long.valueOf(r.getLong(i))
+        case ColType.CFloat =>
+          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Double.valueOf(r.getDouble(i))
+        case ColType.CBoolean =>
+          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Boolean.valueOf(r.getBoolean(i))
+        case ColType.CTime =>
+          (r: InternalRow) => if (r.isNullAt(i)) null
+            else new java.sql.Timestamp(Math.floorDiv(r.getLong(i), 1000L))
+      }
+    }.toArray
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(hourIdx),
+      s"graft-lake copy-on-write: NULL ${LakeDataSource.EventHourCol} — " +
+        "every row must name its hour (UPDATE SET / MERGE INSERT must " +
+        "assign a non-null timestamp)")
+    val micros = row.getLong(hourIdx)
+    val hourSec = Math.floorDiv(micros, 3600L * 1000000L) * 3600L
+    val roller = rollers.getOrElseUpdate(hourSec,
+      new LakeWriter.RollingObjectWriter(store, lakeSchema,
+        Instant.ofEpochSecond(hourSec), policy.gzip,
+        maxRecordsPerObject = 0L, keyPrefix, policy.zoneMaps,
+        policy.bloomColumns))
+    val vals = new Array[Any](getters.length)
+    var i = 0
+    while (i < getters.length) { vals(i) = getters(i)(row); i += 1 }
+    roller.write(vals)
+  }
+
+  override def commit(): WriterCommitMessage =
+    LakeCommitMessage(rollers.values.flatMap(_.finish().map(_.key)).toSeq)
+
+  override def abort(): Unit = rollers.values.foreach(_.abort())
+  override def close(): Unit = ()
+}
