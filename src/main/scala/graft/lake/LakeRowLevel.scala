@@ -105,7 +105,12 @@ object LakeRowLevel {
                       schema: TableSchema): Option[MetaDelete] = {
     val v1opt = org.apache.spark.sql.graft.V2Predicates.toV1(predicates)
     if (v1opt.exists(_.isEmpty)) return None // untranslatable conjunct
-    val v1 = v1opt.map(_.get)
+    translateV1(v1opt.map(_.get), schema)
+  }
+
+  /** The translation core, over v1 filters (what Spark's own conversion
+    * yields per conjunct — and what the specs drive directly). */
+  def translateV1(v1: Array[Filter], schema: TableSchema): Option[MetaDelete] = {
     val cols = schema.columns.toMap
 
     var from: Option[Instant] = None
