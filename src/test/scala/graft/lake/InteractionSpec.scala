@@ -220,4 +220,50 @@ class InteractionSpec extends SparkSuite {
     assert(planned == expect && planned.size == 2,
       s"'tenant X from T' reads exactly its objects: $planned")
   }
+  test("SQL DML × manifest: a COW UPDATE into a SEALED hour invalidates the manifest, and the next read lists truth") {
+    val root = freshRoot()
+    land(root, "2024-06-10T08:00:00Z", 0 until 20)
+    land(root, "2024-06-10T09:00:00Z", 100 until 120)
+    val store = new HadoopStore(root)
+    Manifests.seal(store, "ix", Instant.parse("2024-06-10T09:00:00Z"))
+    assert(store.exists(Manifests.manifestKey("ix")))
+    val cat = s"ixdml${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // arbitrary predicate → ReplaceData: replacement objects publish
+    // into the SEALED hour and originals retire out of it — a stale
+    // manifest would list the retired keys and miss the replacements
+    spark.sql(s"UPDATE $cat.ix SET v = v + 1 WHERE id % 7 = 2")
+    assert(!store.exists(Manifests.manifestKey("ix")),
+      "the COW commit must invalidate the covering manifest")
+    val after = spark.table(s"$cat.ix")
+    assert(after.count() == 40)
+    assert(after.where(col("id") % 7 === 2 && col("v") % 10 =!= 1).count() == 0,
+      "every matching row carries the update")
+    // reads keep working after a fresh RE-seal over the rewritten state
+    Manifests.seal(store, "ix", Instant.parse("2024-06-10T09:00:00Z"))
+    assert(spark.table(s"$cat.ix").count() == 40)
+    assert(LakeReader.listTableKeys(store, "ix", None).toSet ==
+      LakeReader.rawListTableKeys(store, "ix", None).toSet,
+      "the re-sealed manifest lists exactly the post-DML objects")
+  }
+
+  test("SQL DML × manifest: a metadata DELETE under a seal retires listed keys and heals the listing") {
+    val root = freshRoot()
+    land(root, "2024-06-10T08:00:00Z", 0 until 20)
+    land(root, "2024-06-10T09:00:00Z", 100 until 120)
+    val store = new HadoopStore(root)
+    Manifests.seal(store, "ix", Instant.parse("2024-06-10T09:00:00Z"))
+    val cat = s"ixdel${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // pure hour-range delete: whole sealed hour retires
+    spark.sql(s"DELETE FROM $cat.ix WHERE _event_hour < TIMESTAMP '2024-06-10 09:00:00+00:00'")
+    assert(!store.exists(Manifests.manifestKey("ix")),
+      "retiring sealed keys must invalidate the manifest")
+    assert(spark.table(s"$cat.ix").count() == 20)
+    assert(LakeReader.listTableKeys(store, "ix", None)
+      .forall(_.startsWith("2024/06/10/09/")))
+  }
+
 }
