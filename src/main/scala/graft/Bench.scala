@@ -124,7 +124,8 @@ object Bench {
       "l14_lake_semi_join", "l15_lake_dsv2_scan", "l16_lake_semi_join_multi",
       "l18_lake_dsv2_runtime_prune", "l19_lake_dsv2_agg_pushdown",
       "l22_lake_hour_clustered_agg", "l23_lake_stream_read",
-      "l27_lake_stream_pruned_backfill", "t18_heavy_hitters")
+      "l27_lake_stream_pruned_backfill", "l30_lake_sql_update",
+      "t18_heavy_hitters")
     val metered: Map[String, Meter.Metrics] = meterSet.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         try {

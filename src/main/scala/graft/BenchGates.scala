@@ -56,6 +56,11 @@ object BenchGates {
     // streaming prune (round 13): the backfill reads in-band objects
     // of 2 of 6 hours, not the lake
     "l27_lake_stream_pruned_backfill" -> Ceiling(Some(3 * MB), None),
+    // 0.20 MB in (round 13): the SQL UPDATE's copy-on-write read is
+    // bounded by the static band pushdown + the _object_key group
+    // filter — losing either rewrites the whole fixture lake, a 10×+
+    // input jump over this ceiling
+    "l30_lake_sql_update" -> Ceiling(Some(1 * MB), None),
   )
 
   /** Human-readable violations; empty = all metered queries in bounds.
