@@ -488,4 +488,41 @@ object LakeMaintenance {
     }
     existed
   }
+
+  /** [[retireObjects]] with the per-object deletes fanned to executors
+    * above `distributeAbove` — the retention pattern
+    * ([[expireDistributed]]) on the EXPLICIT-key path, because the SQL
+    * copy-on-write commit retires one original per rewritten group and
+    * a broad UPDATE/MERGE can name 100k of them: a driver loop
+    * serializes that at store-call latency, a few hundred tasks absorb
+    * it. Same manifest discipline; the existence count is skipped above
+    * the threshold (it would double the store calls for a number nobody
+    * acts on — deletes are idempotent either way), so the return value
+    * is the DISTINCT keys retired. */
+  def retireObjectsDistributed(spark: org.apache.spark.sql.SparkSession,
+                               rootUri: String, rawKeys: Seq[String],
+                               distributeAbove: Int = 256): Int = {
+    val store = new HadoopStore(rootUri)
+    val keys = rawKeys.distinct
+    if (keys.length <= distributeAbove) return retireObjects(store, keys)
+    val parsed = keys.map(k => k -> LakeKeys.parseKey(k))
+    val bad = parsed.collect { case (k, None) => k }
+    require(bad.isEmpty,
+      s"not lake object keys (YYYY/MM/DD/HH/table/uuid): ${bad.mkString(", ")}")
+    val byTable = parsed.map { case (k, p) => (p.get._2, k) }.groupBy(_._1)
+    byTable.foreach { case (table, ks) =>
+      Manifests.invalidateIfCovers(store, table,
+        ks.map(t => LakeKeys.hourPrefixOf(t._2)).min)
+    }
+    spark.sparkContext.parallelize(keys, LakeReader.walkPartitions(keys.length))
+      .foreachPartition { ks =>
+        val st = new HadoopStore(rootUri) // per-executor store
+        ks.foreach(deleteWithSidecar(st, _))
+      }
+    byTable.foreach { case (table, ks) => // again after: a racing seal heals
+      Manifests.invalidateIfCovers(store, table,
+        ks.map(t => LakeKeys.hourPrefixOf(t._2)).min)
+    }
+    keys.length
+  }
 }

@@ -345,8 +345,12 @@ final class LakeCowWrite(rootUri: String, lakeSchema: TableSchema,
       }
       // originals retire AFTER replacements publish (the compact
       // window, documented above); retireObjects re-runs the manifest
-      // discipline around the deletes themselves
-      if (retired.nonEmpty) LakeMaintenance.retireObjects(store, retired)
+      // discipline around the deletes, fanning to executors when a
+      // broad rewrite named more originals than a driver loop should
+      // serialize at store-call latency
+      if (retired.nonEmpty)
+        LakeMaintenance.retireObjectsDistributed(
+          SparkSession.active, rootUri, retired)
       if (hours.nonEmpty)
         Manifests.invalidateIfCovers(store, lakeSchema.name, hours.min)
     } finally cleanupStaging(store)

@@ -277,4 +277,19 @@ class LakeDmlSpec extends SparkSuite {
     assert(t1(In(LakeDataSource.ObjectKeyCol, Array("2024/07/01/08/ev/x.csv.gz")),
       EqualTo("tag", "t1")).isEmpty)
   }
+  test("retireObjectsDistributed: the fan-out path retires every named object with the manifest discipline intact") {
+    val (_, root, store) = fixture()
+    val keys = land(root, "2024-07-01T08:00:00Z", 0, 1000) ++
+      land(root, "2024-07-01T09:00:00Z", 1000, 1000)
+    Manifests.seal(store, "ev", Instant.parse("2024-07-01T09:00:00Z"))
+    val doomed = keys.take(6)
+    val n = LakeMaintenance.retireObjectsDistributed(spark, root, doomed,
+      distributeAbove = 4) // force the executor fan-out at spec scale
+    assert(n == 6)
+    assert(doomed.forall(!store.exists(_)))
+    assert(!store.exists(Manifests.manifestKey("ev")),
+      "retiring sealed keys must invalidate the manifest")
+    assert(keysOf(store).size == keys.size - 6)
+  }
+
 }
