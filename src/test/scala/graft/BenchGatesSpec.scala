@@ -70,4 +70,49 @@ class BenchGatesSpec extends SparkSuite {
     // ...and a metered map missing the query fires nothing
     assert(BenchGates.violations(Map.empty).isEmpty)
   }
+  test("losing the COW read bound blows l30's input-byte ceiling; the bounded plan passes") {
+    val root = s"file://${Files.createTempDirectory("graft-gates-dml").toFile.getAbsolutePath}"
+    val schema = TableSchema("gatesup", Seq(
+      "id" -> ColType.CInteger, "v" -> ColType.CInteger))
+    import spark.implicits._
+    // gzip OFF so the degraded run's input bytes are unambiguous
+    LakeWriter.write(
+      spark.range(300000L).select(col("id"), (col("id") % 977).as("v"))
+        .repartitionByRange(16, col("id")),
+      schema, root, gzip = false, zoneMaps = true)
+    val cat = s"gates${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.lake.LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+
+    // BOUNDED: the band pushdown + group filter keep the rewrite at one
+    // object of sixteen (read twice: the matching-rows subquery and the
+    // ReplaceData scan — both of one object, never the lake)
+    val bounded = Meter.measure(spark) {
+      spark.sql(s"UPDATE $cat.gatesup SET v = v + 1 WHERE id >= 1000 AND id < 1200")
+    }._2
+    // DEGRADED: an unprunable predicate with runtime group filtering
+    // OFF — the exact "whole lake rewritten" regression the ceiling
+    // exists for
+    val gf = "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
+    val prev = spark.conf.get(gf)
+    val degraded = try {
+      spark.conf.set(gf, "false")
+      Meter.measure(spark) {
+        spark.sql(s"UPDATE $cat.gatesup SET v = v + 1 WHERE id % 3 = 1")
+      }._2
+    } finally spark.conf.set(gf, prev)
+
+    val ceiling = BenchGates.ceilings("l30_lake_sql_update").maxInputBytes.get
+    assert(degraded.inputBytes > ceiling,
+      s"fixture must be big enough to trip the $ceiling-byte ceiling: " +
+        s"${degraded.inputBytes}")
+    assert(degraded.inputBytes > 5L * math.max(1L, bounded.inputBytes),
+      s"the plan-break must be a byte blow-up: bounded=${bounded.inputBytes} " +
+        s"degraded=${degraded.inputBytes}")
+    assert(BenchGates.violations(Map("l30_lake_sql_update" -> degraded))
+      .exists(_.contains("l30_lake_sql_update input_bytes")))
+    assert(BenchGates.violations(Map("l30_lake_sql_update" -> bounded)).isEmpty,
+      s"gate must stay quiet on the bounded plan: ${bounded.inputBytes}")
+  }
+
 }
