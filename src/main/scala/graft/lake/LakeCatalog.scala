@@ -143,7 +143,7 @@ final class LakeCatalog extends TableCatalog with ProcedureCatalog {
 private[lake] object LakeProcedures {
 
   val Names: Seq[String] = Seq("compact", "expire", "ensure_indexes",
-    "seal_manifest", "retire_objects", "delete_where")
+    "seal_manifest", "retire_objects", "delete_where", "sweep_staging")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(new CompactProcedure(root))
@@ -152,6 +152,7 @@ private[lake] object LakeProcedures {
     case "seal_manifest" => Some(new SealManifestProcedure(root))
     case "retire_objects" => Some(new RetireObjectsProcedure(root))
     case "delete_where" => Some(new DeleteWhereProcedure(root))
+    case "sweep_staging" => Some(new SweepStagingProcedure(root))
     case _ => None
   }
 
@@ -202,6 +203,26 @@ private[lake] object LakeProcedures {
         StructField("records", LongType, nullable = false))),
         Integer.valueOf(rep.oldObjects), Integer.valueOf(rep.newObjects),
         java.lang.Long.valueOf(rep.records))
+    }
+  }
+
+  private final class SweepStagingProcedure(root: String)
+      extends MaintenanceProcedure("sweep_staging") {
+    override def description(): String =
+      "Janitor for staging prefixes ORPHANED by hard-killed jobs: sweep " +
+        "every first-level _staging entry (and its zone-map mirror) " +
+        "whose newest content is older than older_than; an alive job's " +
+        "prefix never qualifies (in-flight writes refresh it)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("older_than", TimestampType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val olderThan = java.time.Instant.ofEpochSecond(0L)
+        .plusNanos(input.getLong(0) * 1000L)
+      val rep = LakeMaintenance.sweepStaging(new HadoopStore(root), olderThan)
+      result(StructType(Seq(
+        StructField("swept", IntegerType, nullable = false),
+        StructField("kept", IntegerType, nullable = false))),
+        Integer.valueOf(rep.sweptPrefixes), Integer.valueOf(rep.keptPrefixes))
     }
   }
 

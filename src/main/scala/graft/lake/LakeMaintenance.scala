@@ -525,4 +525,46 @@ object LakeMaintenance {
     }
     keys.length
   }
+
+  final case class StagingSweepReport(sweptPrefixes: Int, keptPrefixes: Int)
+
+  /** Janitor for ORPHANED staging state — every publish path (batch
+    * write, streaming epoch, compaction, delete, copy-on-write, manifest
+    * seal) stages under a job-scoped `_staging/<id>` and sweeps its OWN
+    * prefix on commit and abort, but a hard-killed driver (kill -9, OOM,
+    * lost instance) leaves its prefix forever, and no live job may touch
+    * another job's staging. This sweeps every first-level staging entry
+    * whose NEWEST content is older than `olderThan` — mtime is the only
+    * age signal an uuid-named prefix carries, and the newest-entry bound
+    * means a prefix an ALIVE job is still writing into never qualifies
+    * (each in-flight write refreshes it; pick a cutoff comfortably above
+    * the longest legitimate job). Zone-map mirrors (`_zmaps/_staging/…`)
+    * sweep with their data prefix. Published objects are out of scope by
+    * construction. */
+  def sweepStaging(store: HadoopStore, olderThan: Instant): StagingSweepReport = {
+    val Staging = "_staging"
+    def firstLevel(root: String): Seq[String] =
+      store.list(root).map { k =>
+        val rest = k.stripPrefix(root + "/")
+        val cut = rest.indexOf('/')
+        if (cut < 0) s"$root/$rest" else s"$root/${rest.take(cut)}"
+      }.distinct
+    var swept = 0
+    var kept = 0
+    // the zone-map mirror of a data prefix sweeps with it; mirrors whose
+    // data prefix is already gone (a crash between the two deletePrefix
+    // calls of a normal cleanup) are swept on their own age below
+    val entries = firstLevel(Staging) ++
+      firstLevel(s"${ZoneMaps.Prefix}$Staging").map(_.stripPrefix(ZoneMaps.Prefix))
+    entries.distinct.foreach { prefix =>
+      val newest = Seq(store.newestModification(prefix),
+        store.newestModification(ZoneMaps.Prefix + prefix)).flatten
+      if (newest.nonEmpty && newest.forall(_.isBefore(olderThan))) {
+        try store.deletePrefix(prefix) catch { case _: Throwable => () }
+        try store.deletePrefix(ZoneMaps.Prefix + prefix) catch { case _: Throwable => () }
+        swept += 1
+      } else kept += 1
+    }
+    StagingSweepReport(swept, kept)
+  }
 }

@@ -96,4 +96,26 @@ final class HadoopStore(val rootUri: String) extends Store {
     if (!fs.exists(base)) Seq.empty
     else fs.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
+
+  /** NEWEST modification instant under `prefix` (the prefix's own stamp
+    * when it holds no files — a crashed job can leave an empty dir).
+    * The staging janitor's liveness signal: an uuid-named staging
+    * prefix carries no timestamp of its own, but any in-flight write
+    * refreshes a file's mtime, so "newest entry older than the cutoff"
+    * can never sweep a prefix an alive job is still writing into.
+    * HadoopStore-only (FileStatus mtimes are a filesystem notion, not
+    * part of the minimal [[Store]] contract fault doubles implement). */
+  private[lake] def newestModification(prefix: String): Option[java.time.Instant] = {
+    val base = p(prefix)
+    if (!fs.exists(base)) return None
+    // FILES only: directory mtimes refresh on child creation (mkdirs of
+    // a nested hour path stamps every ancestor "now"), which would make
+    // a crashed job's old content look alive forever. The prefix's own
+    // stamp serves only the no-files case (an empty dir left behind).
+    var newest = -1L
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+    if (newest < 0) newest = fs.getFileStatus(base).getModificationTime
+    Some(java.time.Instant.ofEpochMilli(newest))
+  }
 }

@@ -189,4 +189,42 @@ class LakeCatalogSpec extends SparkSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.ev")
       .collect().head.getLong(0) == 600, "refused DDL must change nothing")
   }
+  test("CALL sweep_staging: orphaned staging prefixes sweep by age, fresh ones and published objects survive") {
+    val (cat, root) = freshCatalog()
+    land(root, "ev", 100)
+    val store = new HadoopStore(root)
+    val dataKeys = LakeReader.listTableKeys(store, "ev", None)
+    // an ORPHAN from a hard-killed job: content 2h old, plus its
+    // zone-map mirror; and a manifest-style staging FILE
+    def put(key: String, ageMin: Long): Unit = {
+      val out = store.create(key)
+      out.write("orphan".getBytes("UTF-8")); out.close()
+      val f = java.nio.file.Paths.get(
+        new java.net.URI(s"$root/$key"))
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.from(
+          java.time.Instant.now().minusSeconds(ageMin * 60)))
+    }
+    put("_staging/dead-job/2024/07/01/08/ev/x.csv.gz", 120)
+    put(s"${ZoneMaps.Prefix}_staging/dead-job/2024/07/01/08/ev/x.csv.gz.zmap", 120)
+    put("_staging/manifest-dead", 120)
+    put("_staging/alive-job/part-0.csv.gz", 0) // fresh: a live writer
+    val r = spark.sql(
+      s"CALL $cat.system.sweep_staging(older_than => TIMESTAMP '${
+        java.time.LocalDateTime.ofInstant(
+          java.time.Instant.now().minusSeconds(3600),
+          java.time.ZoneOffset.UTC).toString.replace('T', ' ')}')")
+      .collect().head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1,
+      s"dead-job + manifest-dead swept, alive kept: $r")
+    assert(store.list("_staging/dead-job").isEmpty)
+    assert(store.list(s"${ZoneMaps.Prefix}_staging/dead-job").isEmpty,
+      "the zone-map mirror sweeps with its data prefix")
+    assert(!store.exists("_staging/manifest-dead"))
+    assert(store.exists("_staging/alive-job/part-0.csv.gz"),
+      "a fresh prefix never sweeps")
+    assert(LakeReader.listTableKeys(store, "ev", None) == dataKeys,
+      "published objects are out of scope")
+  }
+
 }

@@ -292,4 +292,28 @@ class LakeDmlSpec extends SparkSuite {
     assert(keysOf(store).size == keys.size - 6)
   }
 
+  test("MERGE arms: MATCHED DELETE and NOT MATCHED BY SOURCE rewrite through the same COW write") {
+    val (cat, root, _) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 500)
+    import spark.implicits._
+    (0L until 100L).toDF("id").createOrReplaceTempView("dml_arms_src")
+    spark.sql(
+      s"""MERGE INTO $cat.ev t USING dml_arms_src s ON t.id = s.id
+         |WHEN MATCHED AND t.id % 2 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = -1
+         |WHEN NOT MATCHED BY SOURCE AND t.id >= 450 THEN DELETE""".stripMargin)
+    // 0..99 even (50) deleted; 0..99 odd (50) v=-1; 450..499 (50) deleted
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) == 400)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE v = -1")
+      .head.getLong(0) == 50)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.ev WHERE id < 100 AND id % 2 = 0")
+      .head.getLong(0) == 0)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE id >= 450")
+      .head.getLong(0) == 0)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ev WHERE id BETWEEN 100 AND 449")
+      .head.getDouble(0) == (100 until 450).map(_.toDouble).sum,
+      "rows outside every arm ride through unchanged")
+  }
+
 }
