@@ -191,7 +191,9 @@ private[lake] object LakeProcedures {
       ProcedureParameter.in("zone_maps", BooleanType)
         .defaultValue("false").build(),
       ProcedureParameter.in("bloom_columns", StringType)
-        .defaultValue("''").build())
+        .defaultValue("''").build(),
+      ProcedureParameter.in("dry_run", BooleanType)
+        .defaultValue("false").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val rep = LakeMaintenance.compact(SparkSession.active,
         new HadoopStore(root), input.getUTF8String(0).toString,
@@ -254,7 +256,9 @@ private[lake] object LakeProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("bloom_columns", StringType)
-        .defaultValue("''").build())
+        .defaultValue("''").build(),
+      ProcedureParameter.in("dry_run", BooleanType)
+        .defaultValue("false").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val rep = LakeMaintenance.ensureIndexes(SparkSession.active,
         new HadoopStore(root), input.getUTF8String(0).toString,
@@ -304,7 +308,9 @@ private[lake] object LakeProcedures {
       ProcedureParameter.in("zone_maps", BooleanType)
         .defaultValue("false").build(),
       ProcedureParameter.in("bloom_columns", StringType)
-        .defaultValue("''").build())
+        .defaultValue("''").build(),
+      ProcedureParameter.in("dry_run", BooleanType)
+        .defaultValue("false").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val store = new HadoopStore(root)
       val table = input.getUTF8String(0).toString
@@ -330,7 +336,8 @@ private[lake] object LakeProcedures {
       }
       val rep = LakeMaintenance.deleteWhere(SparkSession.active, store,
         table, column, values, zoneMaps = input.getBoolean(3),
-        bloomColumns = commaCols(input.getUTF8String(4)))
+        bloomColumns = commaCols(input.getUTF8String(4)),
+        dryRun = input.getBoolean(5))
       result(StructType(Seq(
         StructField("candidates", IntegerType, nullable = false),
         StructField("rewritten", IntegerType, nullable = false),

@@ -372,12 +372,37 @@ object LakeMaintenance {
                   hourRange: Option[(Instant, Instant)] = None,
                   gzip: Boolean = true,
                   zoneMaps: Boolean = false,
-                  bloomColumns: Seq[String] = Nil): DeleteReport = {
+                  bloomColumns: Seq[String] = Nil,
+                  dryRun: Boolean = false): DeleteReport = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val (allKeys, kept) = LakeReader.prunedEqAnyMultiKeys(spark, store, table,
       Seq(column -> values), hourRange)
     if (kept.isEmpty)
       return DeleteReport(0, 0, 0, 0L, 0L, allKeys.size)
+    if (dryRun) {
+      // the GDPR dry run: the SAME probe decision, the SAME per-object
+      // match rule, nothing mutated — one aggregate job per candidate
+      // reports what the real run WOULD do (a bloom false positive
+      // shows up as a candidate with zero matches, exactly as the real
+      // run would skip it). Sequential: a dry run is an operator
+      // reading a report, not a fleet rewriting a key's history.
+      import org.apache.spark.sql.functions.{count => fcount, sum, when}
+      var rewritten = 0; var retired = 0
+      var nDel = 0L; var nKeep = 0L
+      kept.foreach { key =>
+        val df = LakeReader.readKeys(spark, store, table, Seq(key))
+        val matches = coalesce(col(column).isin(values: _*), lit(false))
+        val r = df.agg(fcount(lit(1)), sum(when(matches, 1L).otherwise(0L)))
+          .head()
+        val n = r.getLong(0)
+        val d = if (r.isNullAt(1)) 0L else r.getLong(1)
+        if (d > 0L && d == n) retired += 1
+        else if (d > 0L) rewritten += 1
+        nDel += d; nKeep += (if (d > 0L) n - d else 0L)
+      }
+      return DeleteReport(kept.size, rewritten, retired, nDel, nKeep,
+        allKeys.size - kept.size)
+    }
     val schema = LakeReader.peekSchema(store, allKeys.head, table)
     Manifests.invalidateIfCovers(store, table,
       kept.map(LakeKeys.hourPrefixOf).min)

@@ -170,4 +170,28 @@ class DeleteWhereSpec extends SparkSuite {
     assert(readAll(root).select("id").as[Long].collect().sorted
       .toSeq == Seq(1L, 3L))
   }
+  test("dry run: the same probe and match rule report what the real run would do, nothing mutates") {
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    land(root, "2024-07-01T08:00:00Z", (0L until 20L).map(i => (i, "uA")))
+    land(root, "2024-07-01T08:00:00Z",
+      (20L until 25L).map(i => (i, "uA")) ++ (25L until 40L).map(i => (i, "uB")))
+    land(root, "2024-07-01T08:00:00Z", (40L until 60L).map(i => (i, "uC")))
+    val before = LakeReader.listTableKeys(store, "dw", None)
+      .map(k => k -> bytesOf(store, k)).toMap
+
+    val dry = LakeMaintenance.deleteWhere(spark, store, "dw", "user",
+      Seq("uA"), zoneMaps = true, bloomColumns = Seq("user"), dryRun = true)
+    // NOTHING moved: every object still present, byte-identical
+    val after = LakeReader.listTableKeys(store, "dw", None)
+    assert(after.toSet == before.keySet)
+    before.foreach { case (k, b) =>
+      assert(bytesOf(store, k).sameElements(b), s"dry run must not touch $k")
+    }
+    // and the report equals the real run's
+    val real = LakeMaintenance.deleteWhere(spark, store, "dw", "user",
+      Seq("uA"), zoneMaps = true, bloomColumns = Seq("user"))
+    assert(dry == real, s"dry=$dry real=$real")
+  }
+
 }
