@@ -273,9 +273,22 @@ final class LakeTable(rootUri: String, tableName: String,
 
   override def name(): String = s"graft-lake:$tableName"
   override def schema(): StructType = LakeDataSource.outputStruct(lakeSchema)
+
+  /** The key layout IS hour partitioning — declared so Spark's own
+    * overwrite planning speaks it: `INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` (and
+    * `df.writeTo(t).overwritePartitions()`) replaces exactly the HOURS
+    * the incoming rows land in, the batch-repair primitive of a
+    * `YYYY/MM/DD/HH` lake. */
+  override def partitioning(): Array[Transform] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.hours(
+      LakeDataSource.EventHourCol))
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // reconcile is a TABLE-level mode: the table's schema must be the
     // union-by-name merge for the reconciling reader to resolve against.
@@ -347,7 +360,43 @@ final class LakeWriteBuilder(rootUri: String, lakeSchema: TableSchema,
                              inSchema: StructType,
                              options: CaseInsensitiveStringMap,
                              queryId: String = "")
-    extends WriteBuilder {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwriteV2
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+
+  private var overwriteMode: Option[LakeRowLevel.OverwriteMode] = None
+
+  /** `INSERT OVERWRITE` / `mode("overwrite")` / `writeTo(t).overwrite
+    * (cond)`: hour-scoped replacement (see [[LakeRowLevel
+    * .OverwriteMode]]). Rows route to their OWN `_event_hour` in these
+    * modes — replacing an hour means landing the repaired rows back in
+    * it, not under the write's wall-clock. */
+  override def canOverwrite(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    LakeRowLevel.translateOverwrite(predicates, lakeSchema).isDefined
+
+  override def overwrite(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): WriteBuilder = {
+    overwriteMode = Some(
+      LakeRowLevel.translateOverwrite(predicates, lakeSchema).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-lake overwrite supports TRUE (full) or a pure " +
+            s"_event_hour condition (hour scope), got " +
+            predicates.mkString("[", ", ", "]") +
+            " — row-level replacement is DELETE FROM + append")))
+    this
+  }
+
+  override def truncate(): WriteBuilder = {
+    overwriteMode = Some(LakeRowLevel.OverwriteAll)
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    overwriteMode = Some(LakeRowLevel.OverwriteDynamic)
+    this
+  }
+
   override def build(): Write = {
     // clusterBy is either a column list (lexicographic range layout) or
     // `zorder(a,b)` — the Morton two-column layout (see
@@ -381,7 +430,7 @@ final class LakeWriteBuilder(rootUri: String, lakeSchema: TableSchema,
       clusterBy,
       Option(options.get("writepartitions")).map(_.toInt).getOrElse(0),
       Option(options.get("sinkid")).getOrElse(queryId),
-      zorderBy)
+      zorderBy, overwriteMode)
   }
 }
 
@@ -401,10 +450,16 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
                       bloomColumns: Seq[String],
                       clusterBy: Seq[String] = Nil, writePartitions: Int = 0,
                       sinkId: String = "",
-                      zorderBy: Option[(String, String)] = None)
+                      zorderBy: Option[(String, String)] = None,
+                      overwriteMode: Option[LakeRowLevel.OverwriteMode] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   private val staging = s"_staging/dsv2-${java.util.UUID.randomUUID()}"
+
+  // what the writers ACTUALLY wrote (overwrite modes may probe the
+  // table's sidecar convention) — the commit's renames must follow it
+  @volatile private var effectivePolicy: LakeRowLevel.SidecarPolicy =
+    LakeRowLevel.SidecarPolicy(gzip, zoneMaps, bloomColumns)
 
   /** `option("clusterBy", "zorder(a,b)")` — the two-column Morton write
     * layout, consumed by the ZOrderWriteLayout optimizer rule (see
@@ -461,28 +516,77 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
     s"graft-lake append table=${lakeSchema.name} root=$rootUri staging=$staging"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LakeWriterFactory(rootUri, lakeSchema, inSchema, s"$staging/",
-      flushTime, gzip, maxRecordsPerObject, zoneMaps, bloomColumns)
+    if (overwriteMode.isDefined) {
+      // overwrite modes route rows to their OWN _event_hour (replacing
+      // an hour means landing its repaired rows back IN it); the COW
+      // writer is exactly that shape. Sidecars default to the TABLE's
+      // probed convention — an hour repair must not silently replace
+      // indexed objects with unindexed ones — with explicit write
+      // options (zoneMaps / bloomColumns) taking precedence.
+      effectivePolicy =
+        if (zoneMaps || bloomColumns.nonEmpty)
+          LakeRowLevel.SidecarPolicy(gzip, zoneMaps, bloomColumns)
+        else LakeRowLevel.detectPolicy(new HadoopStore(rootUri), lakeSchema.name)
+      new LakeCowWriterFactory(rootUri, lakeSchema, inSchema, s"$staging/",
+        effectivePolicy, maxRecordsPerObject)
+    }
+    else
+      new LakeWriterFactory(rootUri, lakeSchema, inSchema, s"$staging/",
+        flushTime, gzip, maxRecordsPerObject, zoneMaps, bloomColumns)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val store = new HadoopStore(rootUri)
     try {
-      // landing in a manifest-sealed hour (an explicit old flushTime)
-      // invalidates the manifest before the first rename
-      Manifests.invalidateIfCovers(store, lakeSchema.name,
-        LakeKeys.datePrefix(flushTime))
-      messages.foreach { case LakeCommitMessage(keys) =>
-        keys.foreach { k =>
-          val dst = k.stripPrefix(s"$staging/")
-          store.rename(k, dst)
-          if (zoneMaps) store.rename(ZoneMaps.statsKey(k), ZoneMaps.statsKey(dst))
-          if (bloomColumns.nonEmpty)
-            store.rename(BloomMaps.bloomKey(k), BloomMaps.bloomKey(dst))
+      val staged = messages.flatMap { case LakeCommitMessage(keys) => keys }
+      // OVERWRITE commits compute the replaced scope BEFORE publishing
+      // (the listing must see only pre-existing objects), enforce the
+      // replaceWhere containment contract, and retire the scope after
+      // the replacements land — the copy-on-write discipline
+      val doomed: Seq[String] = overwriteMode.fold(Seq.empty[String]) { mode =>
+        val stagedHours = staged.map(k =>
+          LakeKeys.hourPrefixOf(k.stripPrefix(s"$staging/"))).distinct
+        mode match {
+          case LakeRowLevel.OverwriteAll =>
+            LakeReader.listTableKeys(store, lakeSchema.name, None)
+          case LakeRowLevel.OverwriteHours(f, t) =>
+            val lo = f.map(LakeKeys.datePrefix)
+            val hi = t.map(LakeKeys.datePrefix)
+            val outside = stagedHours.filterNot(h =>
+              lo.forall(_ <= h) && hi.forall(h <= _))
+            // throwing here aborts cleanly: nothing published, nothing
+            // retired, staging swept by the finally
+            require(outside.isEmpty,
+              s"graft-lake overwrite: incoming rows land in hours " +
+                s"${outside.mkString(", ")} OUTSIDE the replaced scope " +
+                s"[${lo.getOrElse("-inf")}, ${hi.getOrElse("+inf")}] — a " +
+                "replaceWhere must cover its own writes")
+            LakeReader.listTableKeys(store, lakeSchema.name,
+              Some((f.getOrElse(Instant.EPOCH),
+                t.getOrElse(Instant.parse("9999-01-01T00:00:00Z")))))
+          case LakeRowLevel.OverwriteDynamic =>
+            stagedHours.flatMap(h => store.list(s"$h/${lakeSchema.name}"))
         }
       }
+      val hours = staged.map(k =>
+        LakeKeys.hourPrefixOf(k.stripPrefix(s"$staging/"))) ++
+        doomed.map(LakeKeys.hourPrefixOf) :+ LakeKeys.datePrefix(flushTime)
+      // landing in a manifest-sealed hour (an explicit old flushTime, an
+      // overwritten sealed hour) invalidates the manifest before the
+      // first rename
+      Manifests.invalidateIfCovers(store, lakeSchema.name, hours.min)
+      staged.foreach { k =>
+        val dst = k.stripPrefix(s"$staging/")
+        store.rename(k, dst)
+        if (effectivePolicy.zoneMaps)
+          store.rename(ZoneMaps.statsKey(k), ZoneMaps.statsKey(dst))
+        if (effectivePolicy.bloomColumns.nonEmpty)
+          store.rename(BloomMaps.bloomKey(k), BloomMaps.bloomKey(dst))
+      }
+      if (doomed.nonEmpty)
+        LakeMaintenance.retireObjectsDistributed(
+          SparkSession.active, rootUri, doomed)
       // again AFTER the renames: a seal racing the commit heals
-      Manifests.invalidateIfCovers(store, lakeSchema.name,
-        LakeKeys.datePrefix(flushTime))
+      Manifests.invalidateIfCovers(store, lakeSchema.name, hours.min)
     } finally cleanupStaging(store)
   }
 

@@ -191,6 +191,40 @@ object LakeRowLevel {
     }
   }
 
+  /** How an OVERWRITE write replaces existing data — the three faces
+    * Spark's write planning produces, each scoped to the hour grain the
+    * key layout gives for free. */
+  sealed trait OverwriteMode
+  /** `mode("overwrite")` static / SQL `INSERT OVERWRITE` static /
+    * `TRUNCATE`: every pre-existing object retires. */
+  case object OverwriteAll extends OverwriteMode
+  /** `df.writeTo(t).overwrite(cond)` — the replaceWhere shape: objects
+    * in the condition's hour range retire; incoming rows must land
+    * INSIDE that range (enforced at commit — a replaceWhere that writes
+    * outside its own scope is a silent data smear). */
+  final case class OverwriteHours(from: Option[Instant], to: Option[Instant])
+      extends OverwriteMode
+  /** Dynamic partition overwrite: exactly the HOURS the incoming rows
+    * land in replace their pre-existing objects — hour repair. */
+  case object OverwriteDynamic extends OverwriteMode
+
+  /** Translate an overwrite condition: TRUE → [[OverwriteAll]], a pure
+    * `_event_hour` conjunction → [[OverwriteHours]] (bounds round INWARD
+    * to whole hours — row-exact, object hour ≡ row hour), anything
+    * else → None (refused loudly: a non-hour replaceWhere would need
+    * row-level surgery, which is `DELETE FROM` + append, not overwrite). */
+  def translateOverwrite(predicates: Array[Predicate],
+                         schema: TableSchema): Option[OverwriteMode] = {
+    val v1opt = org.apache.spark.sql.graft.V2Predicates.toV1(predicates)
+    if (v1opt.exists(_.isEmpty)) return None
+    val v1 = v1opt.map(_.get).filterNot(_.isInstanceOf[AlwaysTrue])
+    if (v1.isEmpty) return Some(OverwriteAll)
+    translateV1(v1, schema) match {
+      case Some(DeleteByHours(f, t)) => Some(OverwriteHours(f, t))
+      case _ => None
+    }
+  }
+
   /** Coerce v1-filter literal values to the runtime types [[LakeReader
     * .readKeys]] frames compare with (`isin` on the read DataFrame):
     * strings stay, integers widen to Long, floats to Double, timestamps
@@ -367,10 +401,12 @@ final class LakeCowWrite(rootUri: String, lakeSchema: TableSchema,
 
 final class LakeCowWriterFactory(rootUri: String, lakeSchema: TableSchema,
                                  inSchema: StructType, keyPrefix: String,
-                                 policy: LakeRowLevel.SidecarPolicy)
+                                 policy: LakeRowLevel.SidecarPolicy,
+                                 maxRecordsPerObject: Long = 0L)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LakeCowDataWriter(rootUri, lakeSchema, inSchema, keyPrefix, policy)
+    new LakeCowDataWriter(rootUri, lakeSchema, inSchema, keyPrefix, policy,
+      maxRecordsPerObject)
 }
 
 /** Routes each row to a [[LakeWriter.RollingObjectWriter]] for its
@@ -381,7 +417,8 @@ final class LakeCowWriterFactory(rootUri: String, lakeSchema: TableSchema,
   * by-name contract; extra plan columns (`_object_key`) are ignored. */
 final class LakeCowDataWriter(rootUri: String, lakeSchema: TableSchema,
                               inSchema: StructType, keyPrefix: String,
-                              policy: LakeRowLevel.SidecarPolicy)
+                              policy: LakeRowLevel.SidecarPolicy,
+                              maxRecordsPerObject: Long = 0L)
     extends DataWriter[InternalRow] {
 
   private val store = new HadoopStore(rootUri)
@@ -417,7 +454,7 @@ final class LakeCowDataWriter(rootUri: String, lakeSchema: TableSchema,
     val roller = rollers.getOrElseUpdate(hourSec,
       new LakeWriter.RollingObjectWriter(store, lakeSchema,
         Instant.ofEpochSecond(hourSec), policy.gzip,
-        maxRecordsPerObject = 0L, keyPrefix, policy.zoneMaps,
+        maxRecordsPerObject, keyPrefix, policy.zoneMaps,
         policy.bloomColumns))
     val vals = new Array[Any](getters.length)
     var i = 0

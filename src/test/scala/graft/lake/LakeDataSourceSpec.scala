@@ -512,7 +512,7 @@ class LakeDataSourceSpec extends SparkSuite {
     assert(rows.length == 750, s"remaining objects' rows, no crash: ${rows.length}")
   }
 
-  test("DSv2 write: staged-published append with sidecars, by-name columns; overwrite refused") {
+  test("DSv2 write: staged-published append with sidecars, by-name columns; overwrite replaces (r13)") {
     import spark.implicits._
     val root = freshRoot()
     fixture(root) // existing table dt: 1000 rows at hour 08
@@ -552,12 +552,18 @@ class LakeDataSourceSpec extends SparkSuite {
       Seq(1L).toDF("id").write.format("graft-lake").option("table", "dt")
         .mode("append").save(root)
     }
-    // the lake is append-only: overwrite has no truncate capability
-    intercept[Exception] {
-      extra.write.format("graft-lake").option("table", "dt")
-        .mode("overwrite").save(root)
-    }
-    assert(dsv2(root).count() == 1100, "refused writes must change nothing")
+    assert(dsv2(root).count() == 1100, "a refused write must change nothing")
+    // mode("overwrite") is no longer refused (r13): it is the static
+    // overwrite — every pre-existing object retires, the new rows land
+    // under their OWN _event_hour (LakeOverwriteSpec owns the full
+    // matrix; this pins the path-based face against regressing to the
+    // old refusal or, worse, silently appending)
+    extra.write.format("graft-lake").option("table", "dt")
+      .mode("overwrite").save(root)
+    assert(dsv2(root).count() == 100, "overwrite replaced the table")
+    assert(LakeReader.listTableKeys(store, "dt", None)
+      .forall(_.startsWith("2024/06/10/23/")),
+      "overwritten rows land under their own _event_hour")
   }
 
   test("streaming write: epochs land with deterministic keys; a replayed epoch REWRITES, never duplicates") {
