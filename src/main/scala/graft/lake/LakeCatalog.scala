@@ -143,7 +143,8 @@ final class LakeCatalog extends TableCatalog with ProcedureCatalog {
 private[lake] object LakeProcedures {
 
   val Names: Seq[String] = Seq("compact", "expire", "ensure_indexes",
-    "seal_manifest", "retire_objects", "delete_where", "sweep_staging")
+    "seal_manifest", "retire_objects", "delete_where", "sweep_staging",
+    "stats")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(new CompactProcedure(root))
@@ -153,6 +154,7 @@ private[lake] object LakeProcedures {
     case "retire_objects" => Some(new RetireObjectsProcedure(root))
     case "delete_where" => Some(new DeleteWhereProcedure(root))
     case "sweep_staging" => Some(new SweepStagingProcedure(root))
+    case "stats" => Some(new StatsProcedure(root))
     case _ => None
   }
 
@@ -205,6 +207,31 @@ private[lake] object LakeProcedures {
         StructField("records", LongType, nullable = false))),
         Integer.valueOf(rep.oldObjects), Integer.valueOf(rep.newObjects),
         java.lang.Long.valueOf(rep.records))
+    }
+  }
+
+  private final class StatsProcedure(root: String)
+      extends MaintenanceProcedure("stats") {
+    override def description(): String =
+      "Metadata-plane table health: object/hour counts, exact-or-null " +
+        "row total from the stats sidecars, sidecar coverage, seal " +
+        "frontier — no data object opened"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rep = LakeMaintenance.tableStats(SparkSession.active, root,
+        input.getUTF8String(0).toString)
+      result(StructType(Seq(
+        StructField("objects", IntegerType, nullable = false),
+        StructField("hours", IntegerType, nullable = false),
+        StructField("rows", LongType, nullable = true),
+        StructField("stats_objects", IntegerType, nullable = false),
+        StructField("bloom_objects", IntegerType, nullable = false),
+        StructField("sealed_up_to", StringType, nullable = true))),
+        Integer.valueOf(rep.objects), Integer.valueOf(rep.hours),
+        rep.rows.map(java.lang.Long.valueOf).orNull,
+        Integer.valueOf(rep.statsObjects), Integer.valueOf(rep.bloomObjects),
+        rep.sealedUpTo.map(UTF8String.fromString).orNull)
     }
   }
 

@@ -551,6 +551,49 @@ object LakeMaintenance {
     keys.length
   }
 
+  final case class TableStats(objects: Int, hours: Int,
+                              rows: Option[Long],
+                              statsObjects: Int, bloomObjects: Int,
+                              sealedUpTo: Option[String])
+
+  /** Operational health report for one table, METADATA-plane only (no
+    * data object opened): object/hour counts off the pruned listing
+    * (manifest-backed when sealed), rows summed from the stats sidecars
+    * — EXACT-OR-ABSENT, the metadata-aggregate contract: one unreadable
+    * sidecar makes the total None rather than a wrong number — and
+    * sidecar COVERAGE (how many objects carry stats / blooms), which is
+    * what `ensure_indexes` planning wants to know. The per-object
+    * sidecar probes fan to executors above the same threshold as every
+    * metadata walk. */
+  def tableStats(spark: org.apache.spark.sql.SparkSession, rootUri: String,
+                 table: String,
+                 distributeAbove: Int = LakeReader.DefaultSidecarDistributeAbove)
+      : TableStats = {
+    val store = new HadoopStore(rootUri)
+    val keys = LakeReader.listTableKeys(store, table, None)
+    def probe(st: Store, k: String): (Option[Long], Boolean, Boolean) = {
+      val stats = ZoneMaps.read(st, k)
+      (stats.map(_.records), stats.isDefined,
+        BloomMaps.read(st, k).isDefined)
+    }
+    val probed: Seq[(Option[Long], Boolean, Boolean)] =
+      if (keys.length <= distributeAbove) keys.map(probe(store, _))
+      else spark.sparkContext
+        .parallelize(keys, LakeReader.walkPartitions(keys.length))
+        .mapPartitions { ks =>
+          val st = new HadoopStore(rootUri) // per-executor store
+          ks.map(probe(st, _))
+        }.collect().toSeq
+    val rows = probed.foldLeft(Option(0L)) {
+      case (acc, (r, _, _)) => for (a <- acc; v <- r) yield a + v
+    }
+    TableStats(keys.size,
+      keys.map(LakeKeys.hourPrefixOf).distinct.size,
+      if (keys.isEmpty) Some(0L) else rows,
+      probed.count(_._2), probed.count(_._3),
+      Manifests.readHeader(store, table))
+  }
+
   final case class StagingSweepReport(sweptPrefixes: Int, keptPrefixes: Int)
 
   /** Janitor for ORPHANED staging state — every publish path (batch

@@ -227,4 +227,29 @@ class LakeCatalogSpec extends SparkSuite {
       "published objects are out of scope")
   }
 
+  test("CALL stats: metadata-plane health report — exact-or-null rows, sidecar coverage, seal frontier, fan-out path identical") {
+    val (cat, root) = freshCatalog()
+    land(root, "ev", 1000)                       // 4 objects WITH both sidecars
+    land(root, "ev", 100, "2024-07-01T09:00:00Z") // 1 more, second hour
+    val store = new HadoopStore(root)
+    def call() = spark.sql(s"CALL $cat.system.stats(table => 'ev')").collect().head
+    val r1 = call()
+    assert(r1.getInt(0) == 5 && r1.getInt(1) == 2, s"objects/hours: $r1")
+    assert(r1.getLong(2) == 1100L, s"sidecar-exact rows: $r1")
+    assert(r1.getInt(3) == 5 && r1.getInt(4) == 5, s"full coverage: $r1")
+    assert(r1.isNullAt(5), "no seal yet")
+    // the distributed walk returns the SAME report
+    val direct = LakeMaintenance.tableStats(spark, root, "ev")
+    assert(LakeMaintenance.tableStats(spark, root, "ev",
+      distributeAbove = 2) == direct, "fan-out ≡ driver walk")
+    // a torn sidecar makes rows NULL (exact-or-absent), coverage drops
+    val k = LakeReader.listTableKeys(store, "ev", None).head
+    store.delete(ZoneMaps.statsKey(k))
+    Manifests.seal(store, "ev", java.time.Instant.parse("2024-07-01T09:00:00Z"))
+    val r2 = call()
+    assert(r2.isNullAt(2), "one missing sidecar poisons the total to NULL")
+    assert(r2.getInt(3) == 4, s"stats coverage reflects the loss: $r2")
+    assert(!r2.isNullAt(5), s"seal frontier reported: $r2")
+  }
+
 }
