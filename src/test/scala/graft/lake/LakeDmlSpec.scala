@@ -316,4 +316,51 @@ class LakeDmlSpec extends SparkSuite {
       "rows outside every arm ride through unchanged")
   }
 
+  test("translateV1 hour bounds are EXACT (seeded randomized): translated hour set == brute-forced SQL admission over every hour") {
+    import LakeRowLevel._
+    import org.apache.spark.sql.sources._
+    val base = Instant.parse("2024-07-01T00:00:00Z")
+    val hours = (0 to 73).map(h => base.plusSeconds(h * 3600L))
+    val rnd = new scala.util.Random(20260815L)
+    val sch = schema
+    for (_ <- 0 until 500) {
+      val conjuncts = (0 to rnd.nextInt(2)).map { _ =>
+        // bounds hit aligned instants ~1/3 of the time — the edge the
+        // rounding table lives for
+        val secs =
+          if (rnd.nextInt(3) == 0) rnd.nextInt(74) * 3600L
+          else rnd.nextInt(74 * 3600)
+        val at = base.plusSeconds(secs)
+        val ts = java.sql.Timestamp.from(at)
+        (rnd.nextInt(5) match {
+          case 0 => GreaterThan(LakeDataSource.EventHourCol, ts)
+          case 1 => GreaterThanOrEqual(LakeDataSource.EventHourCol, ts)
+          case 2 => LessThan(LakeDataSource.EventHourCol, ts)
+          case 3 => LessThanOrEqual(LakeDataSource.EventHourCol, ts)
+          case _ => EqualTo(LakeDataSource.EventHourCol, ts)
+        }, at)
+      }
+      def admits(h: Instant): Boolean = conjuncts.forall {
+        case (GreaterThan(_, _), at) => h.isAfter(at)
+        case (GreaterThanOrEqual(_, _), at) => !h.isBefore(at)
+        case (LessThan(_, _), at) => h.isBefore(at)
+        case (LessThanOrEqual(_, _), at) => !h.isAfter(at)
+        case (EqualTo(_, _), at) => h == at
+        case _ => fail("unreachable")
+      }
+      val expected = hours.filter(admits).toSet
+      translateV1(conjuncts.map(_._1).toArray, sch) match {
+        case Some(DeleteByHours(f, t)) =>
+          val got = hours.filter(h =>
+            f.forall(!h.isBefore(_)) && t.forall(!h.isAfter(_))).toSet
+          assert(got == expected,
+            s"conjuncts=${conjuncts.map(c => s"${c._1} @ ${c._2}")} " +
+              s"missing=${(expected -- got).toSeq.sorted.take(3)} " +
+              s"extra=${(got -- expected).toSeq.sorted.take(3)}")
+        case other => fail(s"hours-only conjunction must translate: $other " +
+          s"for ${conjuncts.map(_._1)}")
+      }
+    }
+  }
+
 }
