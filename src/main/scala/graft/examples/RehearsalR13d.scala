@@ -147,6 +147,32 @@ object RehearsalR13d {
     require(rowsAfter == rows + 10000L, s"inserts must land: $rowsAfter")
     require(keys().exists(_.startsWith("2024/03/01/03/")),
       "inserted rows land under their stated hour")
+
+    // ---- 4. hour REPAIR via replaceWhere: input is the SOURCE only —
+    // the overwrite never reads the table (contrast: the COW UPDATE
+    // above must read its groups), and every other hour is untouched
+    val repairHour = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-01T03:00:00Z"))
+    val beforeRepair = keys().toSet
+    val others = beforeRepair.filterNot(_.startsWith("2024/03/01/03/"))
+    val t3 = System.nanoTime()
+    val (_, mOvw) = Meter.measure(spark) {
+      spark.range(25000L).select(col("id").as("event_id"),
+          lit("repaired").as("tenant"), lit(0L).as("score"))
+        .withColumn("_event_hour", lit(repairHour))
+        .writeTo(s"$cat.evd")
+        .overwrite(col("_event_hour") === lit(repairHour))
+    }
+    val sOvw = (System.nanoTime() - t3) / 1e9
+    println(f"REHEARSE sql-overwrite: hour repair input " +
+      f"${mOvw.inputBytes / 1e6}%.2f MB (source only, table never read) " +
+      f"vs full-scan ${full.inputBytes / 1e6}%.2f MB, $sOvw%.2f s")
+    require(keys().toSet.intersect(others) == others,
+      "out-of-scope hours keep every object")
+    require(spark.table(s"$cat.evd")
+      .where(col("_event_hour") === lit(repairHour)).count() == 25000L)
+    require(mOvw.inputBytes < full.inputBytes / 4,
+      s"hour repair must not read the table: ${mOvw.inputBytes}")
     spark.stop()
   }
 }
