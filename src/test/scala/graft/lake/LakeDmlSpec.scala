@@ -363,4 +363,37 @@ class LakeDmlSpec extends SparkSuite {
     }
   }
 
+  test("a failing COW task aborts the WHOLE statement: nothing published, nothing retired, staging swept") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 500)
+    val before = keysOf(store).map(k => k -> bytesOf(store, k)).toMap
+    import spark.implicits._
+    // one insert row carries a NULL _event_hour — the COW writer fails
+    // that TASK loudly mid-write, after other rows may already have
+    // staged; the commit must never run
+    Seq((0L, "m", 0.5, Option(java.sql.Timestamp.from(
+        Instant.parse("2024-07-01T09:00:00Z")))),
+      (9999L, "m", 0.5, Option.empty[java.sql.Timestamp]))
+      .toDF("id", "tag", "v", "_event_hour")
+      .createOrReplaceTempView("dml_null_src")
+    val e = intercept[Throwable] {
+      spark.sql(
+        s"""MERGE INTO $cat.ev t USING dml_null_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT (id, tag, v, _event_hour)
+           |  VALUES (s.id, s.tag, s.v, s._event_hour)""".stripMargin)
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("_event_hour"), s"the writer names the fault: $msgs")
+    val after = keysOf(store)
+    assert(after.toSet == before.keySet, "aborted COW changes no keys")
+    before.foreach { case (k, b) =>
+      assert(bytesOf(store, k).sameElements(b), s"$k must stay byte-identical")
+    }
+    assert(store.list("_staging").isEmpty, "staging swept on abort")
+    assert(spark.table(s"$cat.ev").where(col("v") === 0.5).count() == 0,
+      "no partial merge visible")
+  }
+
 }
