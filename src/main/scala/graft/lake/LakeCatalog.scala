@@ -185,7 +185,8 @@ private[lake] object LakeProcedures {
       extends MaintenanceProcedure("compact") {
     override def description(): String =
       "Compact a lake table's objects (staged publish, hour-preserving); " +
-        "zone_maps/bloom_columns re-index the compacted objects"
+        "zone_maps/bloom_columns re-index the compacted objects; " +
+        "dry_run => true reports (listing + sizing counts) and mutates nothing"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("target_records", LongType)
@@ -200,7 +201,8 @@ private[lake] object LakeProcedures {
       val rep = LakeMaintenance.compact(SparkSession.active,
         new HadoopStore(root), input.getUTF8String(0).toString,
         targetRecords = input.getLong(1), zoneMaps = input.getBoolean(2),
-        bloomColumns = commaCols(input.getUTF8String(3)))
+        bloomColumns = commaCols(input.getUTF8String(3)),
+        dryRun = input.getBoolean(4))
       result(StructType(Seq(
         StructField("old_objects", IntegerType, nullable = false),
         StructField("new_objects", IntegerType, nullable = false),
@@ -279,7 +281,9 @@ private[lake] object LakeProcedures {
       extends MaintenanceProcedure("ensure_indexes") {
     override def description(): String =
       "Reconcile BOTH sidecar kinds off one listing snapshot: build " +
-        "missing zone maps (and blooms for bloom_columns), sweep orphans"
+        "missing zone maps (and blooms for bloom_columns), sweep orphans; " +
+        "dry_run => true reports the would-build/would-sweep counts and " +
+        "mutates nothing"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("bloom_columns", StringType)
@@ -289,7 +293,8 @@ private[lake] object LakeProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val rep = LakeMaintenance.ensureIndexes(SparkSession.active,
         new HadoopStore(root), input.getUTF8String(0).toString,
-        bloomColumns = commaCols(input.getUTF8String(1)))
+        bloomColumns = commaCols(input.getUTF8String(1)),
+        dryRun = input.getBoolean(2))
       result(StructType(Seq(
         StructField("stats_built", IntegerType, nullable = false),
         StructField("blooms_built", IntegerType, nullable = false),

@@ -62,10 +62,25 @@ object LakeMaintenance {
               targetRecords: Long = 200000L,
               gzip: Boolean = true,
               zoneMaps: Boolean = false,
-              bloomColumns: Seq[String] = Nil): CompactionReport = {
+              bloomColumns: Seq[String] = Nil,
+              dryRun: Boolean = false): CompactionReport = {
     // Same pruned listing plan as the reader: never a full-lake walk.
     val oldKeys = LakeReader.listTableKeys(store, table, hourRange)
     if (oldKeys.isEmpty) return CompactionReport(0, 0, 0L, Seq.empty)
+    if (dryRun) {
+      // report-only: the SAME listing snapshot and the SAME per-hour
+      // sizing rule as the real run, nothing mutated — no manifest
+      // invalidation, no staging, no deletes. Rows come from one
+      // distributed count per hour group (exact, the real run's own
+      // sizing read); the projected object count is the roll arithmetic.
+      val est = oldKeys.groupBy(k => LakeKeys.parseKey(k).get._1).toSeq
+        .map { case (_, hourKeys) =>
+          val n = LakeReader.readKeys(spark, store, table, hourKeys).count()
+          (n, math.max(1L, (n + targetRecords - 1) / targetRecords))
+        }
+      return CompactionReport(oldKeys.size, est.map(_._2).sum.toInt,
+        est.map(_._1).sum, Seq.empty)
+    }
     // rewriting covered hours invalidates the sealed-hours manifest
     // BEFORE the first mutation (a crash mid-compact must leave readers
     // on the raw walk, never on a manifest listing retired keys)
@@ -179,7 +194,8 @@ object LakeMaintenance {
                     bloomColumns: Seq[String] = Nil,
                     hourRange: Option[(Instant, Instant)] = None,
                     bloomBits: Int = BloomMaps.DefaultBits,
-                    bloomHashes: Int = BloomMaps.DefaultHashes): EnsureReport = {
+                    bloomHashes: Int = BloomMaps.DefaultHashes,
+                    dryRun: Boolean = false): EnsureReport = {
     if (bloomColumns.nonEmpty) BloomMaps.validateShape(bloomBits, bloomHashes)
     val keys = LakeReader.listTableKeys(store, table, hourRange)
     val dataPrefixes = keys.map { k =>
@@ -214,6 +230,12 @@ object LakeMaintenance {
     val orphans = sidecars.filter { sk =>
       dataKeyOfSidecar(sk).exists(dk => !keySet.contains(dk))
     }
+    // report-only: the SAME listing snapshot and the SAME three
+    // decisions, nothing built and nothing deleted — the counts are
+    // what the real run WOULD build/sweep
+    if (dryRun)
+      return EnsureReport(missingStats.size,
+        if (bloomColumns.isEmpty) 0 else missingBlooms.size, orphans.size)
     // count only deletes that SUCCEEDED — a report claiming deletions
     // that failed would read as a clean lake while the orphan persists
     val swept = orphans.count { sk =>
@@ -373,10 +395,31 @@ object LakeMaintenance {
                   gzip: Boolean = true,
                   zoneMaps: Boolean = false,
                   bloomColumns: Seq[String] = Nil,
+                  dryRun: Boolean = false): DeleteReport =
+    deleteWhereMulti(spark, store, table, Seq(column -> values), hourRange,
+      gzip, zoneMaps, bloomColumns, dryRun)
+
+  /** [[deleteWhere]] over a CONJUNCTION of per-column probe sets —
+    * `DELETE WHERE c1 IN (…) AND c2 IN (…)`, the two-column GDPR shape
+    * (tenant AND user). A row deletes iff EVERY column's probe set
+    * holds its value (NULL in any probed column never matches — SQL
+    * conjunction semantics), and the candidate set is the AND of
+    * per-column bloom/band probes ([[LakeReader.prunedEqAnyMultiKeys]])
+    * — strictly TIGHTER than any single column's, so adding a conjunct
+    * only ever shrinks the rewrite. */
+  def deleteWhereMulti(spark: SparkSession, store: Store, table: String,
+                  probes: Seq[(String, Seq[Any])],
+                  hourRange: Option[(Instant, Instant)] = None,
+                  gzip: Boolean = true,
+                  zoneMaps: Boolean = false,
+                  bloomColumns: Seq[String] = Nil,
                   dryRun: Boolean = false): DeleteReport = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    def matchRule: org.apache.spark.sql.Column = probes.map { case (c, vs) =>
+      coalesce(col(c).isin(vs: _*), lit(false))
+    }.reduce(_ && _)
     val (allKeys, kept) = LakeReader.prunedEqAnyMultiKeys(spark, store, table,
-      Seq(column -> values), hourRange)
+      probes, hourRange)
     if (kept.isEmpty)
       return DeleteReport(0, 0, 0, 0L, 0L, allKeys.size)
     if (dryRun) {
@@ -391,7 +434,7 @@ object LakeMaintenance {
       var nDel = 0L; var nKeep = 0L
       kept.foreach { key =>
         val df = LakeReader.readKeys(spark, store, table, Seq(key))
-        val matches = coalesce(col(column).isin(values: _*), lit(false))
+        val matches = matchRule
         val r = df.agg(fcount(lit(1)), sum(when(matches, 1L).otherwise(0L)))
           .head()
         val n = r.getLong(0)
@@ -424,7 +467,7 @@ object LakeMaintenance {
           val df = LakeReader.readKeys(spark, store, table, Seq(key))
             .drop("_event_hour").localCheckpoint()
           val n = df.count()
-          val matches = coalesce(col(column).isin(values: _*), lit(false))
+          val matches = matchRule
           val keepDf = df.filter(not(matches)) // NULL rows never match: kept
           val nKeep = keepDf.count()
           val nDel = n - nKeep

@@ -877,6 +877,13 @@ object LakeReader {
     }
     val rootUri = store.rootUri
     val keys = listTableKeys(store, table, hourRange)
+    // an hour range admitting ZERO objects on a table that EXISTS is a
+    // legitimate no-op (a DELETE whose misaligned `_event_hour = t`
+    // translated to an inverted range, or a bound outside the data) —
+    // the loud failure is reserved for a truly absent table
+    if (keys.isEmpty && hourRange.isDefined &&
+        firstTableKey(store, table).isDefined)
+      return (Seq.empty, Seq.empty)
     require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
     val colTypes = peekSchema(store, keys.head, table).columns.toMap
     // hash every plausible wire form of every value ONCE, on the driver —
@@ -1104,7 +1111,10 @@ object LakeReader {
     val report = PruneReport(keys.length, kept.length)
     if (kept.isEmpty) {
       // no object can match: an empty frame with the table's real schema
-      val schema = peekSchema(store, keys.head, table)
+      // (peeked from ANY table object when the hour-ranged listing itself
+      // was empty — the no-op-range case above guarantees one exists)
+      val peekKey = keys.headOption.getOrElse(firstTableKey(store, table).get)
+      val schema = peekSchema(store, peekKey, table)
       val empty = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema.structType)
         .withColumn("_event_hour",

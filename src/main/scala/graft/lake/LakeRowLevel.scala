@@ -67,9 +67,15 @@ object LakeRowLevel {
   /** A DELETE condition the metadata path can serve EXACTLY, decided at
     * `canDeleteWhere` time so Spark only hands over whole conditions. */
   sealed trait MetaDelete
-  /** `col = v` / `col IN (...)` + optional `_event_hour` bounds — the
-    * bloom/band-bounded [[LakeMaintenance.deleteWhere]] shape. */
-  final case class DeleteByProbe(column: String, values: Seq[Any],
+  /** A CONJUNCTION of `col = v` / `col IN (...)` probes (each column at
+    * most once) + optional `_event_hour` bounds — the bloom/band-bounded
+    * [[LakeMaintenance.deleteWhereMulti]] shape. Conjoining exact
+    * probes stays exact (a row deletes iff EVERY column's probe set
+    * holds its value), and the object-level decision is the AND of
+    * per-column bloom/band tests ([[LakeReader.prunedEqAnyMultiKeys]]),
+    * so the common two-column GDPR shape (`tenant = x AND user = y`)
+    * never rewrites an object that provably lacks either value. */
+  final case class DeleteByProbe(probes: Seq[(String, Seq[Any])],
                                  hourRange: Option[(Instant, Instant)])
       extends MetaDelete
   /** Pure `_event_hour` bounds — SQL retention: every object in range
@@ -120,16 +126,19 @@ object LakeRowLevel {
     def tightenTo(i: Instant): Unit =
       to = Some(to.fold(i)(t => if (i.isBefore(t)) i else t))
 
-    var probe: Option[(String, Seq[Any])] = None
+    var probes: Vector[(String, Seq[Any])] = Vector.empty
+    var notNullCols: Set[String] = Set.empty
     var keys: Option[Seq[String]] = None
     var bad = false
 
-    def addProbe(c: String, vs: Seq[Any]): Unit = probe match {
-      case None =>
+    def addProbe(c: String, vs: Seq[Any]): Unit =
+      if (probes.exists(_._1 == c)) bad = true // a column probes ONCE —
+        // a second conjunct on it (c = a AND c = b) is an intersection
+        // shape the exact IN-probe cannot express; COW handles it
+      else {
         val usable = vs.forall(v => v != null && v != "")
-        if (usable && vs.nonEmpty) probe = Some((c, vs)) else bad = true
-      case Some(_) => bad = true // one probe column only — COW handles the rest
-    }
+        if (usable && vs.nonEmpty) probes :+= (c, vs) else bad = true
+      }
 
     v1.foreach {
       case EqualTo(LakeDataSource.ObjectKeyCol, v: String) =>
@@ -166,17 +175,20 @@ object LakeRowLevel {
       case EqualTo(c, v) if cols.contains(c) => addProbe(c, Seq(v))
       case In(c, vs) if cols.contains(c) && vs != null => addProbe(c, vs.toSeq)
       // Spark may seed IsNotNull alongside an equality on the same
-      // column — redundant there (NULL never equals); anything else
-      // is a real predicate the probe cannot express
-      case IsNotNull(c) if probe.exists(_._1 == c) => ()
+      // column (in EITHER order) — redundant there (NULL never
+      // equals); checked against the final probe set below
+      case IsNotNull(c) if cols.contains(c) => notNullCols += c
       case _ => bad = true
     }
+    // an IsNotNull with no equality probe on its column is a REAL
+    // predicate (delete the non-null rows) the probe cannot express
+    if (!notNullCols.forall(c => probes.exists(_._1 == c))) bad = true
 
     if (bad) None
-    else (keys, probe) match {
-      case (Some(ks), None) if from.isEmpty && to.isEmpty => Some(DeleteByKeys(ks))
+    else (keys, probes) match {
+      case (Some(ks), Vector()) if from.isEmpty && to.isEmpty => Some(DeleteByKeys(ks))
       case (Some(_), _) => None // keys + other conjuncts: COW owns it
-      case (None, Some((c, vs))) =>
+      case (None, ps) if ps.nonEmpty =>
         val hr = (from, to) match {
           case (None, None) => None
           // probe + hour bounds: LakeMaintenance.deleteWhere's range is
@@ -184,8 +196,8 @@ object LakeRowLevel {
           case _ => Some((from.getOrElse(Instant.EPOCH),
             to.getOrElse(Instant.parse("9999-01-01T00:00:00Z"))))
         }
-        Some(DeleteByProbe(c, vs, hr))
-      case (None, None) if from.nonEmpty || to.nonEmpty =>
+        Some(DeleteByProbe(ps, hr))
+      case (None, _) if from.nonEmpty || to.nonEmpty =>
         Some(DeleteByHours(from, to))
       case _ => None
     }
@@ -237,24 +249,62 @@ object LakeRowLevel {
     case (_, other) => other
   }
 
-  /** Sidecar/codec convention of an existing table, probed from ONE
-    * object (lake tables are written homogeneously by the collector /
-    * writer flags; `CALL lake.system.ensure_indexes` is the
-    * reconciler when they were not): rewritten objects keep the
-    * table's gzip setting, stats sidecars, and bloom columns — so a
-    * SQL DML pass never silently degrades the pruning layer. */
+  /** Sidecar/codec convention of an existing table, SAMPLED across its
+    * life (newest hour, oldest hour, middle hour — one object each):
+    * rewritten objects keep the table's gzip setting, stats sidecars,
+    * and bloom columns, so a SQL DML pass never silently degrades the
+    * pruning layer. Tables drift by ADOPTING indexes mid-life (blooms
+    * turned on last month, `ensure_indexes` not yet run over the
+    * tail), and a single-key probe would land on whichever side of the
+    * adoption the listing starts — so on DISAGREEMENT the result is
+    * the UNION of indexing conventions (zone maps if ANY probe carries
+    * them, bloom columns unioned) with the NEWEST object's codec, and
+    * a loud warning names the drift with `ensure_indexes` as the
+    * reconciler. A replacement indexed under the union is never wrong
+    * — pruning consults sidecars per object — only ahead of the
+    * stragglers. */
   final case class SidecarPolicy(gzip: Boolean, zoneMaps: Boolean,
                                  bloomColumns: Seq[String])
 
-  def detectPolicy(store: Store, table: String): SidecarPolicy =
-    LakeReader.firstTableKey(store, table) match {
-      case None => SidecarPolicy(gzip = true, zoneMaps = false, Nil)
-      case Some(k) => SidecarPolicy(
-        gzip = k.endsWith(".gz"),
-        zoneMaps = store.exists(ZoneMaps.statsKey(k)),
-        bloomColumns = BloomMaps.read(store, k)
-          .map(_.cols.keys.toSeq.sorted).getOrElse(Nil))
+  def detectPolicy(store: Store, table: String): SidecarPolicy = {
+    def policyOf(k: String) = SidecarPolicy(
+      gzip = k.endsWith(".gz"),
+      zoneMaps = store.exists(ZoneMaps.statsKey(k)),
+      bloomColumns = BloomMaps.read(store, k)
+        .map(_.cols.keys.toSeq.sorted).getOrElse(Nil))
+    val hours = LakeReader.walkHourPrefixes(store).sorted
+    // newest FIRST: the newest object is what the table is being
+    // written as now — its codec wins on disagreement
+    val sampleHours =
+      if (hours.isEmpty) Nil
+      else Seq(hours.last, hours.head, hours(hours.size / 2)).distinct
+    val probed = sampleHours.flatMap { h =>
+      store.list(s"$h/$table")
+        .filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
+        .sorted.lastOption
+    }.map(policyOf)
+    probed match {
+      case Nil =>
+        // hour dirs may all belong to OTHER tables — fall back to the
+        // cheap first-key walk before declaring the defaults
+        LakeReader.firstTableKey(store, table)
+          .map(policyOf).getOrElse(SidecarPolicy(gzip = true, zoneMaps = false, Nil))
+      case newest :: rest =>
+        if (rest.forall(_ == newest)) newest
+        else {
+          val union = SidecarPolicy(newest.gzip,
+            probed.exists(_.zoneMaps),
+            probed.flatMap(_.bloomColumns).distinct.sorted)
+          System.err.println(
+            s"[graft.LakeRowLevel.detectPolicy] table '$table' carries " +
+              s"MIXED sidecar conventions across its hours " +
+              s"(${probed.mkString(", ")}) — rewrites will index under " +
+              s"their union ($union); run CALL lake.system.ensure_indexes " +
+              "to reconcile the stragglers")
+          union
+        }
     }
+  }
 
   /** Run a translated metadata delete. Reports (rows when known): the
     * probe path returns [[LakeMaintenance.DeleteReport]] counts; the
@@ -262,12 +312,12 @@ object LakeRowLevel {
     * sidecars, not re-read here). */
   def executeDelete(spark: SparkSession, store: Store, table: String,
                     schema: TableSchema, md: MetaDelete): Unit = md match {
-    case DeleteByProbe(c, vs, hr) =>
+    case DeleteByProbe(ps, hr) =>
       val p = detectPolicy(store, table)
-      val t = schema.columns.toMap.apply(c)
-      LakeMaintenance.deleteWhere(spark, store, table, c,
-        vs.map(coerce(t, _)), hr, gzip = p.gzip, zoneMaps = p.zoneMaps,
-        bloomColumns = p.bloomColumns)
+      val types = schema.columns.toMap
+      LakeMaintenance.deleteWhereMulti(spark, store, table,
+        ps.map { case (c, vs) => (c, vs.map(coerce(types(c), _))) }, hr,
+        gzip = p.gzip, zoneMaps = p.zoneMaps, bloomColumns = p.bloomColumns)
     case DeleteByHours(from, to) =>
       val hr = Some((from.getOrElse(Instant.EPOCH),
         to.getOrElse(Instant.parse("9999-01-01T00:00:00Z"))))

@@ -162,6 +162,46 @@ class LakeCatalogSpec extends SparkSuite {
       chain(e).map(_.getMessage).mkString(" | "))
   }
 
+  test("CALL ... dry_run => true reports and mutates NOTHING: compact and ensure_indexes report-only paths") {
+    val (cat, root) = freshCatalog()
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, s"t${i % 4}")).toDF("id", "tag")
+    LakeWriter.write(df.repartition(8), schema, root,
+      Instant.parse("2024-07-01T08:00:00Z"))
+    val store = new HadoopStore(root)
+    // an orphan sidecar ensure_indexes WOULD sweep
+    val orphan = s"${ZoneMaps.Prefix}2024/07/01/08/ev/gone.csv.gz.zmap"
+    val out = store.create(orphan); out.write("junk".getBytes); out.close()
+    val snapshot = LakeReader.listTableKeys(store, "ev", None)
+      .map { k =>
+        val in = store.open(k)
+        try k -> in.readAllBytes().toSeq finally in.close()
+      }.toMap
+    val crep = spark.sql(s"CALL $cat.system.compact(table => 'ev', " +
+      "target_records => 250, dry_run => true)").collect().head
+    // the real run's sizing arithmetic, reported: 8 objects, 1000 rows,
+    // ceil(1000/250) = 4 projected objects
+    assert(crep.getInt(0) == 8 && crep.getInt(1) == 4 &&
+      crep.getLong(2) == 1000, crep.toSeq.toString)
+    val erep = spark.sql(s"CALL $cat.system.ensure_indexes(table => 'ev', " +
+      "bloom_columns => 'tag', dry_run => true)").collect().head
+    // 8 objects lack stats AND blooms; 1 orphan would sweep
+    assert(erep.getInt(0) == 8 && erep.getInt(1) == 8 && erep.getInt(2) == 1,
+      erep.toSeq.toString)
+    // NOTHING moved: same keys, same bytes, orphan still present, no
+    // sidecars built
+    val after = LakeReader.listTableKeys(store, "ev", None)
+    assert(after.toSet == snapshot.keySet, s"dry runs must not compact: $after")
+    after.foreach { k =>
+      val in = store.open(k)
+      val b = try in.readAllBytes().toSeq finally in.close()
+      assert(b == snapshot(k), s"dry runs must leave $k byte-identical")
+      assert(ZoneMaps.read(store, k).isEmpty && BloomMaps.read(store, k).isEmpty,
+        s"dry runs must not build sidecars for $k")
+    }
+    assert(store.exists(orphan), "dry runs must not sweep orphans")
+  }
+
   test("INSERT INTO appends through the staged publish; DDL refuses loudly") {
     val (cat, root) = freshCatalog()
     land(root, "ev", 500)

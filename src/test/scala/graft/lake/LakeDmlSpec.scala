@@ -80,6 +80,60 @@ class LakeDmlSpec extends SparkSuite {
     }
   }
 
+  test("a TWO-COLUMN conjunctive DELETE stays metadata-path: plan is DeleteFromTable, candidate set is the AND of per-column probes") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 1000)
+    // a second hour with NO t3 rows: the tag-bloom refutes it even
+    // though the id band (3..) covers — the conjunction must skip it
+    import spark.implicits._
+    LakeWriter.write(
+      (0 until 400).filter(_ % 5 != 3).map(i => (i.toLong, s"t${i % 5}", i * 1.0))
+        .toDF("id", "tag", "v").orderBy("id").coalesce(1),
+      schema, root, Instant.parse("2024-07-01T09:00:00Z"),
+      maxRecordsPerObject = 250L, zoneMaps = true, bloomColumns = Seq("tag"))
+    val h9 = keysOf(store).filter(_.startsWith("2024/07/01/09/"))
+    val untouched = h9.map(k => k -> bytesOf(store, k)).toMap
+
+    val d = spark.sql(s"DELETE FROM $cat.ev WHERE tag = 't3' AND id IN (3, 8, 13)")
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("DeleteFromTable") && !plan.contains("ReplaceData"),
+      s"a conjunctive probe DELETE must stay metadata-path:\n$plan")
+    // ids 3, 8, 13 all carry tag t3 in hour 08 — exactly 3 rows go
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE _event_hour = " +
+        "TIMESTAMP '2024-07-01 08:00:00+00:00'").head.getLong(0) == 997)
+    // conjunction semantics: t3 rows with OTHER ids survive
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE tag = 't3' AND " +
+        "_event_hour = TIMESTAMP '2024-07-01 08:00:00+00:00'")
+      .head.getLong(0) == 197)
+    untouched.foreach { case (k, before) =>
+      assert(bytesOf(store, k).sameElements(before),
+        s"bloom-refuted object $k must stay byte-identical under the conjunction")
+    }
+  }
+
+  test("a DELETE whose hour bounds admit ZERO objects is a NO-OP, not an error (misaligned equality; out-of-range bound)") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 500)
+    val before = keysOf(store).map(k => k -> bytesOf(store, k)).toMap
+    // misaligned _event_hour equality translates to an inverted range
+    spark.sql(s"DELETE FROM $cat.ev WHERE tag = 't1' AND " +
+      "_event_hour = TIMESTAMP '2024-07-01 08:30:00+00:00'")
+    // an hour bound wholly outside the table's data
+    spark.sql(s"DELETE FROM $cat.ev WHERE tag = 't1' AND " +
+      "_event_hour >= TIMESTAMP '2031-01-01 00:00:00+00:00'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) == 500)
+    before.foreach { case (k, b) =>
+      assert(bytesOf(store, k).sameElements(b),
+        s"a no-op DELETE must leave $k byte-identical")
+    }
+    // the loud failure survives for a truly ABSENT table: unchanged
+    intercept[Exception] {
+      LakeMaintenance.deleteWhere(spark, store, "no_such_table", "tag",
+        Seq("t1"), Some((Instant.parse("2024-07-01T08:00:00Z"),
+          Instant.parse("2024-07-01T08:00:00Z"))))
+    }
+  }
+
   test("DELETE on a pure _event_hour range is SQL retention: in-range objects retire wholesale, nothing rewrites") {
     val (cat, root, store) = fixture()
     land(root, "2024-07-01T08:00:00Z", 0, 500)
@@ -209,6 +263,30 @@ class LakeDmlSpec extends SparkSuite {
       == (0 until 500).filter(i => i % 50 != 0).map(_.toDouble).sum)
   }
 
+  test("detectPolicy samples across hours: a half-indexed table's COW rewrite lands the UNION convention, not a listing-order coin flip") {
+    val (cat, root, store) = fixture()
+    import spark.implicits._
+    // oldest hour WITHOUT sidecars (pre-adoption history)...
+    LakeWriter.write(
+      (0 until 250).map(i => (i.toLong, s"t${i % 5}", i * 1.0))
+        .toDF("id", "tag", "v").orderBy("id").coalesce(1),
+      schema, root, Instant.parse("2024-07-01T08:00:00Z"))
+    // ...newest hour WITH zone maps + blooms (the adopted convention)
+    land(root, "2024-07-01T09:00:00Z", 1000, 250)
+    val p = LakeRowLevel.detectPolicy(store, "ev")
+    assert(p.zoneMaps && p.bloomColumns == Seq("tag"),
+      s"mixed conventions must union, not coin-flip: $p")
+    // a COW UPDATE that rewrites ONLY the un-indexed old hour must
+    // still index its replacements under the table's adopted convention
+    spark.sql(s"UPDATE $cat.ev SET v = -1 WHERE id = 3")
+    val h8 = keysOf(store).filter(_.startsWith("2024/07/01/08/"))
+    assert(h8.nonEmpty)
+    h8.foreach { k =>
+      assert(ZoneMaps.read(store, k).nonEmpty && BloomMaps.read(store, k).nonEmpty,
+        s"replacement $k must carry the adopted sidecars")
+    }
+  }
+
   test("TRUNCATE TABLE retires every object; unconditional DELETE too") {
     val (cat, root, store) = fixture()
     land(root, "2024-07-01T08:00:00Z", 0, 500)
@@ -261,17 +339,29 @@ class LakeDmlSpec extends SparkSuite {
     // probe + hour bound compose; IsNotNull on the probe column is inert
     assert(t1(EqualTo("tag", "t1"), LessThan(hour, ts("2024-07-01T09:00:00Z")),
         IsNotNull("tag"))
-      == Some(DeleteByProbe("tag", Seq("t1"), Some((
+      == Some(DeleteByProbe(Seq("tag" -> Seq("t1")), Some((
         Instant.EPOCH, Instant.parse("2024-07-01T08:00:00Z"))))))
     // IN probe alone
     assert(t1(In("id", Array(1L, 2L)))
-      == Some(DeleteByProbe("id", Seq(1L, 2L), None)))
+      == Some(DeleteByProbe(Seq("id" -> Seq(1L, 2L)), None)))
+    // a CONJUNCTION of probe columns stays metadata-path (the two-column
+    // GDPR shape) — conjoined exact probes are exact; IsNotNull seeded
+    // BEFORE its equality is inert too
+    assert(t1(EqualTo("tag", "t1"), EqualTo("id", 3L))
+      == Some(DeleteByProbe(Seq("tag" -> Seq("t1"), "id" -> Seq(3L)), None)))
+    assert(t1(IsNotNull("tag"), In("tag", Array("a", "b")),
+        EqualTo("id", 7L), GreaterThanOrEqual(hour, ts("2024-07-01T08:00:00Z")))
+      == Some(DeleteByProbe(Seq("tag" -> Seq("a", "b"), "id" -> Seq(7L)),
+        Some((Instant.parse("2024-07-01T08:00:00Z"),
+          Instant.parse("9999-01-01T00:00:00Z"))))))
     // object-key membership
     assert(t1(In(LakeDataSource.ObjectKeyCol, Array("2024/07/01/08/ev/x.csv.gz")))
       == Some(DeleteByKeys(Seq("2024/07/01/08/ev/x.csv.gz"))))
-    // refusals → COW: two probe columns, empty-string value, IsNotNull
-    // on a non-probe column, keys mixed with other conjuncts
-    assert(t1(EqualTo("tag", "t1"), EqualTo("id", 3L)).isEmpty)
+    // refusals → COW: the SAME column probed twice (an intersection the
+    // IN-probe cannot express), empty-string value, IsNotNull on a
+    // non-probe column, keys mixed with other conjuncts
+    assert(t1(EqualTo("tag", "t1"), EqualTo("tag", "t2")).isEmpty)
+    assert(t1(EqualTo("tag", "t1"), In("tag", Array("t1", "t2"))).isEmpty)
     assert(t1(EqualTo("tag", "")).isEmpty)
     assert(t1(IsNotNull("v")).isEmpty)
     assert(t1(In(LakeDataSource.ObjectKeyCol, Array("2024/07/01/08/ev/x.csv.gz")),
