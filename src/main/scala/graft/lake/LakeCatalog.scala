@@ -93,6 +93,44 @@ final class LakeCatalog extends TableCatalog with ProcedureCatalog {
     new LakeTable(root, ident.name(), reconcile = reconcile)
   }
 
+  /** `SELECT ... FROM lake.t VERSION AS OF <gen>` — time travel on the
+    * generation pointer ([[LakeVersions]]): the scan plans generation
+    * N's retained snapshot; mutations against the resolved table
+    * refuse. Needs `CALL lake.system.set_retention(..., retain => true)`
+    * BEFORE the commits to travel across (the loud error names it). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    requireFlat(ident.namespace())
+    val gen = try version.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-lake: VERSION AS OF wants a generation number " +
+          s"(CALL $catName.system.history(table => '${ident.name()}') " +
+          s"lists them), got '$version'")
+    }
+    val store = new HadoopStore(root)
+    if (LakeReader.firstTableKey(store, ident.name()).isEmpty)
+      throw new NoSuchTableException(ident)
+    new LakeTable(root, ident.name(), reconcile = reconcile,
+      asOfGeneration = Some(gen))
+  }
+
+  /** `TIMESTAMP AS OF t` — resolves to the newest generation committed
+    * at or before `t` (commit wall-clock stamps). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    requireFlat(ident.namespace())
+    val store = new HadoopStore(root)
+    if (LakeReader.firstTableKey(store, ident.name()).isEmpty)
+      throw new NoSuchTableException(ident)
+    val gen = LakeVersions.genAtTimestamp(store, ident.name(),
+      Math.floorDiv(timestampMicros, 1000L)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake: no generation of '${ident.name()}' committed at or " +
+          "before the requested timestamp — CALL " +
+          s"$catName.system.history(table => '${ident.name()}') lists " +
+          "the chain"))
+    new LakeTable(root, ident.name(), reconcile = reconcile,
+      asOfGeneration = Some(gen))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().isEmpty &&
       LakeReader.firstTableKey(new HadoopStore(root), ident.name()).isDefined
@@ -144,7 +182,7 @@ private[lake] object LakeProcedures {
 
   val Names: Seq[String] = Seq("compact", "expire", "ensure_indexes",
     "seal_manifest", "retire_objects", "delete_where", "sweep_staging",
-    "stats")
+    "stats", "set_retention", "expire_versions", "history")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(new CompactProcedure(root))
@@ -155,6 +193,9 @@ private[lake] object LakeProcedures {
     case "delete_where" => Some(new DeleteWhereProcedure(root))
     case "sweep_staging" => Some(new SweepStagingProcedure(root))
     case "stats" => Some(new StatsProcedure(root))
+    case "set_retention" => Some(new SetRetentionProcedure(root))
+    case "expire_versions" => Some(new ExpireVersionsProcedure(root))
+    case "history" => Some(new HistoryProcedure(root))
     case _ => None
   }
 
@@ -162,11 +203,12 @@ private[lake] object LakeProcedures {
     Option(v).map(_.toString).getOrElse("")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
-  /** One-row result off the driver: the reports are tiny and already
-    * driver-resident — a LocalScan is the honest shape. */
-  private final class ReportScan(schema: StructType, vals: Array[Any])
+  /** Driver-resident result rows: the reports are tiny and already on
+    * the driver — a LocalScan is the honest shape. */
+  private final class ReportScan(schema: StructType, rws: Array[Array[Any]])
       extends LocalScan {
-    override def rows(): Array[InternalRow] = Array(new GenericInternalRow(vals))
+    override def rows(): Array[InternalRow] =
+      rws.map(new GenericInternalRow(_))
     override def readSchema(): StructType = schema
     override def description(): String = "graft-lake procedure report"
   }
@@ -178,7 +220,11 @@ private[lake] object LakeProcedures {
     override def isDeterministic(): Boolean = false // mutates the lake
     protected def result(schema: StructType, vals: Any*): java.util.Iterator[Scan] =
       java.util.Collections.singletonList[Scan](
-        new ReportScan(schema, vals.toArray)).iterator()
+        new ReportScan(schema, Array(vals.toArray))).iterator()
+    protected def resultRows(schema: StructType,
+                             rws: Seq[Seq[Any]]): java.util.Iterator[Scan] =
+      java.util.Collections.singletonList[Scan](
+        new ReportScan(schema, rws.map(_.toArray).toArray)).iterator()
   }
 
   private final class CompactProcedure(root: String)
@@ -382,6 +428,79 @@ private[lake] object LakeProcedures {
         java.lang.Long.valueOf(rep.rowsDeleted),
         java.lang.Long.valueOf(rep.rowsKept),
         Integer.valueOf(rep.objectsSkipped))
+    }
+  }
+
+  private final class SetRetentionProcedure(root: String)
+      extends MaintenanceProcedure("set_retention") {
+    override def description(): String =
+      "Enable/disable time-travel history retention for a table: with " +
+        "retain => true, mutating commits keep their replaced objects " +
+        "and record full snapshots (read them back with VERSION AS OF / " +
+        "option asOfGeneration); expire_versions reclaims"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("retain", BooleanType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val retain = input.getBoolean(1)
+      LakeVersions.setRetain(new HadoopStore(root), table, retain)
+      result(StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("retain", BooleanType, nullable = false))),
+        UTF8String.fromString(table), java.lang.Boolean.valueOf(retain))
+    }
+  }
+
+  private final class ExpireVersionsProcedure(root: String)
+      extends MaintenanceProcedure("expire_versions") {
+    override def description(): String =
+      "Reclaim retained time-travel history: drop generation records " +
+        "older than keep_last generations and physically delete the " +
+        "replaced objects no kept snapshot still names; serialized as a " +
+        "commit of its own"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_last", IntegerType)
+        .defaultValue("2").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rep = LakeVersions.expireVersions(new HadoopStore(root),
+        input.getUTF8String(0).toString, input.getInt(1))
+      result(StructType(Seq(
+        StructField("records_dropped", IntegerType, nullable = false),
+        StructField("objects_reclaimed", IntegerType, nullable = false))),
+        Integer.valueOf(rep.recordsDropped),
+        Integer.valueOf(rep.objectsReclaimed))
+    }
+  }
+
+  private final class HistoryProcedure(root: String)
+      extends MaintenanceProcedure("history") {
+    override def description(): String =
+      "The table's generation chain, newest first: one row per " +
+        "committed mutation (gen, op, object counts, snapshot presence) " +
+        "— what VERSION AS OF can name"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = new HadoopStore(root)
+      val table = input.getUTF8String(0).toString
+      val st = LakeVersions.listDir(store, table)
+      val rows = st.gens.sorted.reverse.flatMap(g =>
+        LakeVersions.readRecord(store, table, g)).map { r =>
+        Seq[Any](java.lang.Long.valueOf(r.gen),
+          UTF8String.fromString(r.op),
+          Integer.valueOf(r.removed.size), Integer.valueOf(r.added.size),
+          Integer.valueOf(r.inserted.size),
+          java.lang.Boolean.valueOf(r.live.isDefined))
+      }
+      resultRows(StructType(Seq(
+        StructField("gen", LongType, nullable = false),
+        StructField("op", StringType, nullable = false),
+        StructField("removed", IntegerType, nullable = false),
+        StructField("added", IntegerType, nullable = false),
+        StructField("inserted", IntegerType, nullable = false),
+        StructField("has_snapshot", BooleanType, nullable = false))), rows)
     }
   }
 

@@ -191,7 +191,12 @@ object LakeDataSource {
   * lacking a probed column keeps conservatively. */
 final class LakeTable(rootUri: String, tableName: String,
                       preResolved: Option[TableSchema] = None,
-                      reconcile: Boolean = false)
+                      reconcile: Boolean = false,
+                      // time travel: scans resolve generation N's
+                      // retained snapshot ([[LakeVersions.liveAt]]);
+                      // every mutating face refuses — history is
+                      // read-only
+                      asOfGeneration: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
@@ -203,12 +208,20 @@ final class LakeTable(rootUri: String, tableName: String,
     * (`OptimizeMetadataOnlyDeleteFromTable`), so an IN-list delete
     * stays a bloom-bounded surgical rewrite and a pure `_event_hour`
     * range delete is SQL retention — zero non-matching objects opened. */
+  private def refuseTimeTravelWrite(): Unit =
+    require(asOfGeneration.isEmpty,
+      s"graft-lake: table '$tableName' is resolved VERSION AS OF " +
+        s"${asOfGeneration.getOrElse(-1L)} — history is read-only; run " +
+        "the mutation against the current table")
+
   override def canDeleteWhere(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    !reconcile && LakeRowLevel.translateDelete(predicates, lakeSchema).isDefined
+    !reconcile && asOfGeneration.isEmpty &&
+      LakeRowLevel.translateDelete(predicates, lakeSchema).isDefined
 
   override def deleteWhere(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    refuseTimeTravelWrite()
     val md = LakeRowLevel.translateDelete(predicates, lakeSchema).getOrElse(
       throw new IllegalStateException(
         s"graft-lake: deleteWhere called with untranslatable predicates " +
@@ -222,6 +235,7 @@ final class LakeTable(rootUri: String, tableName: String,
     * far-future cutoff (hour-dir walk on the driver, per-object
     * deletes fanned to executors, manifests invalidated). */
   override def truncateTable(): Boolean = {
+    refuseTimeTravelWrite()
     LakeMaintenance.expireDistributed(SparkSession.active, rootUri,
       tableName, Instant.parse("9999-01-01T00:00:00Z"))
     true
@@ -234,6 +248,7 @@ final class LakeTable(rootUri: String, tableName: String,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    refuseTimeTravelWrite()
     require(!reconcile,
       "graft-lake: row-level SQL (DELETE/UPDATE/MERGE) on a reconcile " +
         "table would rewrite drifted objects onto the merged header as " +
@@ -301,10 +316,18 @@ final class LakeTable(rootUri: String, tableName: String,
         "pass .option(\"reconcile\", true) on read/readStream.format(\"graft-lake\") " +
         "(it reaches the table), or spark.sql.catalog.<name>.reconcile=true " +
         "for catalog-resolved tables")
+    val asOf = asOfGeneration.orElse(
+      Option(options.get("asofgeneration")).map { v =>
+        try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft-lake: asOfGeneration must be a generation number, got '$v'")
+        }
+      })
     new LakeScanBuilder(rootUri, tableName, lakeSchema,
       Option(options.get("clusterbyhour")).exists(_.toBoolean),
       reconcile,
-      {
+      asOfGeneration = asOf,
+      streamOptions = {
         val (latest, fromHour) =
           Option(options.get("startfrom")).map(_.trim) match {
             case None => (false, None)
@@ -341,6 +364,7 @@ final class LakeTable(rootUri: String, tableName: String,
     * transform → append) carries it naturally; a fresh frame adds any
     * non-null timestamp literal, or uses [[LakeWriter.write]]. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    refuseTimeTravelWrite()
     val ls = lakeSchema // loud when the table has no objects yet
     val in = info.schema()
     val dataNames = in.fieldNames.filterNot(_ == LakeDataSource.EventHourCol)
@@ -564,7 +588,12 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
               Some((f.getOrElse(Instant.EPOCH),
                 t.getOrElse(Instant.parse("9999-01-01T00:00:00Z")))))
           case LakeRowLevel.OverwriteDynamic =>
-            stagedHours.flatMap(h => store.list(s"$h/${lakeSchema.name}"))
+            // version-aware per-hour listing: a tombstoned (logically
+            // deleted) object is not part of the replaced scope
+            stagedHours.flatMap { h =>
+              val at = LakeStreamOffset.hourInstant(h)
+              LakeReader.listTableKeys(store, lakeSchema.name, Some((at, at)))
+            }
         }
       }
       val hours = staged.map(k =>
@@ -574,6 +603,17 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
       // overwritten sealed hour) invalidates the manifest before the
       // first rename
       Manifests.invalidateIfCovers(store, lakeSchema.name, hours.min)
+      // OVERWRITE commits follow the LakeVersions protocol (plain
+      // appends stay outside it — fresh uuid keys cannot conflict):
+      // intent → publish renames → CAS the generation → retire the
+      // doomed scope. The incoming rows are genuinely NEW data (an hour
+      // REPAIR, not a rewrite of surviving rows) — recorded as
+      // `inserted`, so a CDC-aware stream always delivers them.
+      val versioned = overwriteMode.isDefined
+      val dsts = staged.map(_.stripPrefix(s"$staging/")).toSeq
+      val intentId = java.util.UUID.randomUUID().toString
+      if (versioned)
+        LakeVersions.writeIntent(store, lakeSchema.name, intentId, dsts)
       staged.foreach { k =>
         val dst = k.stripPrefix(s"$staging/")
         store.rename(k, dst)
@@ -582,9 +622,23 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
         if (effectivePolicy.bloomColumns.nonEmpty)
           store.rename(BloomMaps.bloomKey(k), BloomMaps.bloomKey(dst))
       }
-      if (doomed.nonEmpty)
-        LakeMaintenance.retireObjectsDistributed(
-          SparkSession.active, rootUri, doomed)
+      if (versioned) {
+        try LakeVersions.commit(store, lakeSchema.name, op = "overwrite",
+          removed = doomed, inserted = dsts, intentId = Some(intentId))
+        catch { case e: Throwable =>
+          dsts.foreach { dst =>
+            store.delete(dst)
+            ZoneMaps.deleteSidecarSignaled(store, dst, "graft-lake overwrite abort")
+            store.delete(BloomMaps.bloomKey(dst))
+          }
+          store.delete(LakeVersions.intentKey(lakeSchema.name, intentId))
+          throw e
+        }
+        if (doomed.nonEmpty &&
+            !LakeVersions.isRetained(store, lakeSchema.name))
+          LakeMaintenance.physicalRetireDistributed(
+            SparkSession.active, rootUri, doomed)
+      }
       // again AFTER the renames: a seal racing the commit heals
       Manifests.invalidateIfCovers(store, lakeSchema.name, hours.min)
     } finally cleanupStaging(store)
@@ -781,7 +835,10 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
                             // are refused and the scan narrows its runtime
                             // filter face to _object_key group identity
                             cowMode: Boolean = false,
-                            onBuild: LakeScan => Unit = null)
+                            onBuild: LakeScan => Unit = null,
+                            // time travel: plan generation N's retained
+                            // snapshot instead of the live listing
+                            asOfGeneration: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -852,7 +909,10 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     // columns — count(c)/min/max over a column the object lacks must
     // contribute nulls, which its sidecar cannot attest; refuse rather
     // than special-case (the ordinary reconciling row scan is exact)
-    if (pushed.nonEmpty || reconcile || cowMode) return false
+    // asOf: LakeAggScan lists the LIVE table — a snapshot read answers
+    // from its own key set, so the row scan (still sidecar-pruned) owns it
+    if (pushed.nonEmpty || reconcile || cowMode || asOfGeneration.isDefined)
+      return false
     LakeAgg.translate(aggregation, lakeSchema) match {
       case some @ Some(_) => pushedAgg = some; true
       case None => false
@@ -876,7 +936,7 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     case None =>
       val s = new LakeScan(rootUri, table, lakeSchema, required, pushed,
         pushedLimit, pushedTopN, clusterByHour, streamOptions, reconcile,
-        groupFilterOnKey = cowMode)
+        groupFilterOnKey = cowMode, asOfGeneration = asOfGeneration)
       if (onBuild != null) onBuild(s)
       s
   }
@@ -889,7 +949,8 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
                      clusterByHour: Boolean = false,
                      streamOptions: LakeStreamOptions = LakeStreamOptions(),
                      reconcile: Boolean = false,
-                     groupFilterOnKey: Boolean = false)
+                     groupFilterOnKey: Boolean = false,
+                     asOfGeneration: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -903,11 +964,15 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     * object-level decision as this batch scan (filters re-apply
     * row-level either way). */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOfGeneration.isEmpty,
+      "graft-lake: streaming a VERSION AS OF snapshot is contradictory — " +
+        "a snapshot does not grow; read it as a batch")
     new LakeMicroBatchStream(rootUri, table, lakeSchema, required,
       streamOptions.maxObjectsPerTrigger, streamOptions.maxHourAge,
       streamOptions.startFromLatest, reconcile,
       streamOptions.startFromHour, pushed)
+  }
 
   /** STORAGE-PARTITIONED execution (`option("clusterByHour", true)` +
     * `spark.sql.sources.v2.bucketing.enabled`): the key layout already
@@ -1004,9 +1069,22 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
   private def computePlanned(): (Seq[String], Option[Long]) = {
     val store = new HadoopStore(rootUri)
     val pred = LakePrune.compile(pushed ++ runtime, lakeSchema)
-    val listed = pred.hourRange match {
-      case Some((from, to)) if from.isAfter(to) => Seq.empty
-      case hr => LakeReader.listTableKeys(store, table, hr)
+    val listed = (asOfGeneration, pred.hourRange) match {
+      case (_, Some((from, to))) if from.isAfter(to) => Seq.empty
+      case (Some(g), hr) =>
+        // time travel: generation N's retained snapshot IS the listing;
+        // the hour range still prunes it (zero-padded prefix compares),
+        // and every sidecar probe below applies unchanged
+        val snap = LakeVersions.liveAt(store, table, g)
+        hr.fold(snap) { case (from, to) =>
+          import java.time.temporal.ChronoUnit
+          val lo = LakeKeys.datePrefix(from.truncatedTo(ChronoUnit.HOURS))
+          val hi = LakeKeys.datePrefix(to.truncatedTo(ChronoUnit.HOURS))
+          snap.filter { k =>
+            val h = LakeKeys.hourPrefixOf(k); h >= lo && h <= hi
+          }
+        }
+      case (None, hr) => LakeReader.listTableKeys(store, table, hr)
     }
     // an hour SET (IN-list / runtime hour filter) refines the listed
     // RANGE to exact hour membership — the key parse is the decision;
@@ -1016,9 +1094,11 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
       listed.filter(k => LakeKeys.parseKey(k).exists(p => hs.contains(p._1))))
     val keys = pred.keySet.fold(hourKept)(ks => hourKept.filter(ks.contains))
     if (keys.isEmpty) {
-      // hour-pruned-to-nothing is a legitimate empty scan; a table with
-      // no objects AT ALL fails loudly like every lake read
-      if (LakeReader.firstTableKey(store, table).isEmpty)
+      // hour-pruned-to-nothing (or an empty retained snapshot) is a
+      // legitimate empty scan; a table with no objects AT ALL fails
+      // loudly like every lake read
+      if (asOfGeneration.isEmpty &&
+          LakeReader.firstTableKey(store, table).isEmpty)
         throw new IllegalArgumentException(
           s"no lake objects for table $table under $rootUri")
       (Seq.empty, Some(0L))

@@ -117,31 +117,47 @@ object LakeMaintenance {
             .drop("_event_hour").localCheckpoint()
           val n = df.count()
           val parts = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
-          val staged = LakeWriter.write(
+          LakeWriter.write(
             df.repartition(parts), schema, store.rootUri, hour, gzip,
             maxRecordsPerObject = targetRecords, keyPrefix = s"$staging/",
             zoneMaps = zoneMaps, bloomColumns = bloomColumns)
-          // Publish: the job succeeded, so `staged` is exactly the
-          // successful attempts' output — move those keys (and only
-          // those) into place, then retire the old objects.
-          val published = staged.map { w =>
-            val dst = w.key.stripPrefix(s"$staging/")
-            store.rename(w.key, dst)
-            if (zoneMaps) store.rename(ZoneMaps.statsKey(w.key), ZoneMaps.statsKey(dst))
-            if (bloomColumns.nonEmpty)
-              store.rename(BloomMaps.bloomKey(w.key), BloomMaps.bloomKey(dst))
-            w.copy(key = dst)
-          }
-          hourKeys.foreach(deleteWithSidecar(store, _))
-          published
+          // staged only: the publish is ONE statement-level commit below
+          // (all hours at once) — heavy rewrite work stays concurrent,
+          // the cheap renames serialize behind it
         }
       }
-      val written = futures.flatMap(Await.result(_, Duration.Inf))
+      val staged = futures.flatMap(Await.result(_, Duration.Inf))
+      val dsts = staged.map(w => w.copy(key = w.key.stripPrefix(s"$staging/")))
+      // the versioned-commit protocol (LakeVersions): intent → rename
+      // into place (readers still exclude: the intent is uncommitted) →
+      // CAS the generation (validates the snapshot's objects were not
+      // removed by a racing DML — the loser aborts loudly with nothing
+      // published) → retire the originals (kept on disk under retention)
+      val intentId = java.util.UUID.randomUUID().toString
+      LakeVersions.writeIntent(store, table, intentId, dsts.map(_.key))
+      staged.foreach { w =>
+        val dst = w.key.stripPrefix(s"$staging/")
+        store.rename(w.key, dst)
+        if (zoneMaps) store.rename(ZoneMaps.statsKey(w.key), ZoneMaps.statsKey(dst))
+        if (bloomColumns.nonEmpty)
+          store.rename(BloomMaps.bloomKey(w.key), BloomMaps.bloomKey(dst))
+      }
+      try LakeVersions.commit(store, table, op = "compact",
+        removed = oldKeys, added = dsts.map(_.key), intentId = Some(intentId))
+      catch { case e: Throwable =>
+        // un-publish: our keys never committed, so deleting them (and
+        // the intent) restores the exact pre-statement table
+        dsts.foreach(w => deleteWithSidecar(store, w.key))
+        store.delete(LakeVersions.intentKey(table, intentId))
+        throw e
+      }
+      if (!LakeVersions.isRetained(store, table))
+        oldKeys.foreach(deleteWithSidecar(store, _))
       // again AFTER the rewrites land: a seal racing the compaction heals
       Manifests.invalidateIfCovers(store, table,
         oldKeys.map(LakeKeys.hourPrefixOf).min)
-      CompactionReport(oldKeys.size, written.size, written.map(_.records).sum,
-        written.map(_.key))
+      CompactionReport(oldKeys.size, dsts.size, dsts.map(_.records).sum,
+        dsts.map(_.key))
     } catch { case e: Throwable =>
       // On a failed hour group, no sibling may keep mutating the lake
       // after compact() has thrown: cancel the sibling SPARK JOBS (not
@@ -284,6 +300,16 @@ object LakeMaintenance {
     * metadata op (keys, not data). */
   def expire(store: Store, table: String, olderThan: Instant): ExpiryReport = {
     val (doomed, cutoff) = doomedKeys(store, table, olderThan)
+    // version-commit BEFORE the deletes: the doomed keys tombstone at
+    // one CAS, serializing retention against every racing DML/compact
+    // (whose commit would otherwise silently lose its originals), and a
+    // crash mid-delete leaves them invisible, finished by the next
+    // commit's tombstone maintenance. Retention is PHYSICAL by intent —
+    // expired objects leave even retained history (time travel to a
+    // generation naming them fails loudly at read).
+    if (doomed.nonEmpty)
+      LakeVersions.commit(store, table, op = "expire", removed = doomed,
+        validateLive = false)
     // deletes in covered hours invalidate the manifest FIRST (a stale
     // manifest listing retired keys would fail readKeys-style readers)
     if (doomed.nonEmpty)
@@ -311,6 +337,8 @@ object LakeMaintenance {
     val store = new HadoopStore(rootUri)
     val (doomed, cutoff) = doomedKeys(store, table, olderThan)
     if (doomed.nonEmpty) {
+      LakeVersions.commit(store, table, op = "expire", removed = doomed,
+        validateLive = false) // see expire(): tombstone-first discipline
       Manifests.invalidateIfCovers(store, table,
         doomed.map(LakeKeys.hourPrefixOf).min)
       val parts = if (partitions > 0) partitions
@@ -331,12 +359,16 @@ object LakeMaintenance {
                          olderThan: Instant): (Seq[String], String) = {
     val cutoff = LakeKeys.datePrefix(
       olderThan.truncatedTo(java.time.temporal.ChronoUnit.HOURS))
-    val doomed = for {
+    val raw = for {
       h <- LakeReader.walkHourPrefixes(store, before = Some(cutoff))
       k <- store.list(s"$h/$table")
       if LakeKeys.parseKey(k).exists(_._2 == table)
     } yield k
-    (doomed, cutoff)
+    // retention expires the LIVE view: already-tombstoned keys (retained
+    // history, crash windows) belong to expire_versions, not to this
+    // walk's report
+    val excl = LakeVersions.exclusions(store, table)
+    (if (excl.isEmpty) raw else raw.filterNot(excl), cutoff)
   }
 
   /** Retire one data object and its zone-map sidecar (no-op when absent;
@@ -471,48 +503,67 @@ object LakeMaintenance {
           val keepDf = df.filter(not(matches)) // NULL rows never match: kept
           val nKeep = keepDf.count()
           val nDel = n - nKeep
-          if (nDel == 0L) (0, 0, 0L, 0L) // false positive: untouched
-          else if (nKeep == 0L) {
-            deleteWithSidecar(store, key) // every row matched: retire
-            (0, 1, nDel, 0L)
-          } else {
+          if (nDel == 0L) (key, nDel, nKeep, Seq.empty[(String, String)])
+          else if (nKeep == 0L) (key, nDel, nKeep, Seq.empty[(String, String)])
+          else {
             val staged = LakeWriter.write(keepDf.coalesce(1), schema,
               store.rootUri, hour, gzip, maxRecordsPerObject = 0L,
               keyPrefix = s"$staging/", zoneMaps = zoneMaps,
               bloomColumns = bloomColumns)
-            staged.zipWithIndex.foreach { case (w, i) =>
+            val pairs = staged.zipWithIndex.map { case (w, i) =>
               // the replacement key is DERIVED from the original (a
-              // name-based uuid), not minted fresh: a crash between the
-              // rename below and the original's retirement leaves both
-              // live only until the idempotent re-run, which rewrites
-              // the still-present original onto the SAME destination
-              // (cleared first — the Manifests.seal discipline) instead
-              // of minting a second replacement and permanently
-              // duplicating the kept rows
+              // name-based uuid), not minted fresh: if a previous run
+              // of this same delete crashed after ITS publish, the
+              // re-run republishes onto the SAME destination (cleared
+              // at publish time) instead of minting a second copy
               val rel = w.key.stripPrefix(s"$staging/")
               val cut = rel.lastIndexOf('/') + 1
               val ext = rel.substring(cut).dropWhile(_ != '.')
               val derived = java.util.UUID.nameUUIDFromBytes(
                 s"$key#delete_where#$i".getBytes("UTF-8"))
-              val dst = rel.substring(0, cut) + derived + ext
-              deleteWithSidecar(store, dst)
-              store.rename(w.key, dst)
-              if (zoneMaps)
-                store.rename(ZoneMaps.statsKey(w.key), ZoneMaps.statsKey(dst))
-              if (bloomColumns.nonEmpty)
-                store.rename(BloomMaps.bloomKey(w.key), BloomMaps.bloomKey(dst))
+              (w.key, rel.substring(0, cut) + derived + ext)
             }
-            deleteWithSidecar(store, key)
-            (1, 0, nDel, nKeep)
+            (key, nDel, nKeep, pairs)
           }
         }
       }
       val results = futures.map(Await.result(_, Duration.Inf))
+      // ONE statement-level versioned commit publishes every rewrite
+      // (LakeVersions protocol): intent → clear+rename the replacements
+      // into their derived keys (readers exclude them until the CAS) →
+      // CAS the generation, validating no racing commit removed the
+      // scanned originals → retire the originals (kept under retention)
+      val removed = results.collect { case (k, d, _, _) if d > 0L => k }
+      val added = results.flatMap(_._4.map(_._2))
+      if (removed.nonEmpty) {
+        val intentId = java.util.UUID.randomUUID().toString
+        LakeVersions.writeIntent(store, table, intentId, added)
+        results.foreach { case (_, _, _, pairs) => pairs.foreach {
+          case (stagedKey, dst) =>
+            deleteWithSidecar(store, dst) // re-run heal: clear the slot
+            store.rename(stagedKey, dst)
+            if (zoneMaps)
+              store.rename(ZoneMaps.statsKey(stagedKey), ZoneMaps.statsKey(dst))
+            if (bloomColumns.nonEmpty)
+              store.rename(BloomMaps.bloomKey(stagedKey), BloomMaps.bloomKey(dst))
+        } }
+        try LakeVersions.commit(store, table, op = "delete_where",
+          removed = removed, added = added, intentId = Some(intentId))
+        catch { case e: Throwable =>
+          added.foreach(deleteWithSidecar(store, _))
+          store.delete(LakeVersions.intentKey(table, intentId))
+          throw e
+        }
+        if (!LakeVersions.isRetained(store, table))
+          removed.foreach(deleteWithSidecar(store, _))
+      }
       // again AFTER the rewrites land: a seal racing the delete heals
       Manifests.invalidateIfCovers(store, table,
         kept.map(LakeKeys.hourPrefixOf).min)
-      DeleteReport(kept.size, results.map(_._1).sum, results.map(_._2).sum,
-        results.map(_._3).sum, results.map(_._4).sum,
+      DeleteReport(kept.size,
+        results.count(r => r._2 > 0L && r._3 > 0L),
+        results.count(r => r._2 > 0L && r._3 == 0L),
+        results.map(_._2).sum, results.map(r => if (r._2 > 0L) r._3 else 0L).sum,
         allKeys.size - kept.size)
     } catch { case e: Throwable =>
       // the compact() failure discipline: kill sibling JOBS, wait, then
@@ -538,6 +589,25 @@ object LakeMaintenance {
     * so a retry never fails on its own earlier progress; returns how
     * many of the named objects EXISTED when retired. */
   def retireObjects(store: Store, rawKeys: Seq[String]): Int = {
+    // version-commit FIRST (per table), then delete: a crash between the
+    // two leaves the keys tombstoned — invisible to readers — and the
+    // next commit's tombstone maintenance finishes the delete. Missing
+    // named keys stay a no-op (idempotent re-runs), so only the keys
+    // that EXIST enter the records.
+    val existing = rawKeys.distinct.filter(store.exists)
+    existing.groupBy(k => LakeKeys.parseKey(k).map(_._2)).foreach {
+      case (Some(table), ks) =>
+        LakeVersions.commit(store, table, op = "retire_objects",
+          removed = ks, validateLive = false)
+      case (None, _) => () // physicalRetire's parse guard reports these
+    }
+    physicalRetire(store, rawKeys)
+  }
+
+  /** The PHYSICAL half of retirement — manifest discipline + idempotent
+    * deletes, NO version record (the caller has already committed one;
+    * [[retireObjects]] is the statement-level op). */
+  private[lake] def physicalRetire(store: Store, rawKeys: Seq[String]): Int = {
     val keys = rawKeys.distinct // a key named twice is one retirement
     val parsed = keys.map(k => k -> LakeKeys.parseKey(k))
     val bad = parsed.collect { case (k, None) => k }
@@ -571,8 +641,25 @@ object LakeMaintenance {
                                rootUri: String, rawKeys: Seq[String],
                                distributeAbove: Int = 256): Int = {
     val store = new HadoopStore(rootUri)
+    val existing = rawKeys.distinct.filter(store.exists)
+    existing.groupBy(k => LakeKeys.parseKey(k).map(_._2)).foreach {
+      case (Some(table), ks) =>
+        LakeVersions.commit(store, table, op = "retire_objects",
+          removed = ks, validateLive = false)
+      case (None, _) => ()
+    }
+    physicalRetireDistributed(spark, rootUri, rawKeys, distributeAbove)
+  }
+
+  /** The physical half of [[retireObjectsDistributed]] (no version
+    * record — the caller commits). */
+  private[lake] def physicalRetireDistributed(
+      spark: org.apache.spark.sql.SparkSession,
+      rootUri: String, rawKeys: Seq[String],
+      distributeAbove: Int = 256): Int = {
+    val store = new HadoopStore(rootUri)
     val keys = rawKeys.distinct
-    if (keys.length <= distributeAbove) return retireObjects(store, keys)
+    if (keys.length <= distributeAbove) return physicalRetire(store, keys)
     val parsed = keys.map(k => k -> LakeKeys.parseKey(k))
     val bad = parsed.collect { case (k, None) => k }
     require(bad.isEmpty,

@@ -95,6 +95,20 @@ object LakeReader {
     * bottleneck all by itself. */
   def listTableKeys(store: Store, table: String,
                     hourRange: Option[(java.time.Instant, java.time.Instant)]): Seq[String] = {
+    val listed = listTableKeysUnversioned(store, table, hourRange)
+    // the VERSIONED view: keys a committed generation tombstoned
+    // (logically deleted, possibly still on disk — the interrupted-
+    // retire crash window and retained time-travel history) and keys an
+    // UNCOMMITTED publish renamed into place (its intent has no
+    // committed record) are not part of the table. One listing of
+    // `_versions/<table>/` decides; a never-mutated table takes the
+    // empty fast path and pays nothing else.
+    val excl = LakeVersions.exclusions(store, table)
+    if (excl.isEmpty) listed else listed.filterNot(excl)
+  }
+
+  private def listTableKeysUnversioned(store: Store, table: String,
+                    hourRange: Option[(java.time.Instant, java.time.Instant)]): Seq[String] = {
     // header first (a ranged-size read): a range entirely ABOVE the seal
     // point — the streaming-discovery hot path, whose frontier quickly
     // outruns any manifest — must never download a years-old table's

@@ -322,12 +322,25 @@ object LakeRowLevel {
       val hr = Some((from.getOrElse(Instant.EPOCH),
         to.getOrElse(Instant.parse("9999-01-01T00:00:00Z"))))
       val doomed = LakeReader.listTableKeys(store, table, hr)
-      if (doomed.nonEmpty) LakeMaintenance.retireObjects(store, doomed)
+      if (doomed.nonEmpty) dmlRetire(spark, store, table, doomed)
     case DeleteByKeys(ks) =>
-      // only THIS table's parse-able keys: a foreign/garbage key names
-      // no row of this table, so deleting it here would overreach
+      // only THIS table's parse-able EXISTING keys: a foreign/garbage
+      // key names no row of this table, and a re-run of the same DELETE
+      // must stay a no-op, not a validation failure
       val mine = ks.filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
-      if (mine.nonEmpty) LakeMaintenance.retireObjects(store, mine)
+        .filter(store.exists)
+      if (mine.nonEmpty) dmlRetire(spark, store, table, mine)
+  }
+
+  /** Whole-object removal as a SQL DML statement: versioned commit
+    * FIRST (CAS-serialized against every racing mutation; the keys
+    * tombstone atomically), then the physical retire — SKIPPED when the
+    * table retains history, exactly like the copy-on-write paths. */
+  private def dmlRetire(spark: SparkSession, store: Store, table: String,
+                        doomed: Seq[String]): Unit = {
+    LakeVersions.commit(store, table, op = "delete", removed = doomed)
+    if (!LakeVersions.isRetained(store, table))
+      LakeMaintenance.physicalRetireDistributed(spark, store.rootUri, doomed)
   }
 }
 
@@ -399,14 +412,16 @@ final class LakeCowWrite(rootUri: String, lakeSchema: TableSchema,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     policy = LakeRowLevel.detectPolicy(new HadoopStore(rootUri), lakeSchema.name)
-    new LakeCowWriterFactory(rootUri, lakeSchema, inSchema, s"$staging/", policy)
+    new LakeCowWriterFactory(rootUri, lakeSchema, inSchema, s"$staging/", policy,
+      cmd = Some(op.command()))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val store = new HadoopStore(rootUri)
+    val table = lakeSchema.name
     try {
       val p = if (policy != null) policy
-              else LakeRowLevel.detectPolicy(store, lakeSchema.name)
+              else LakeRowLevel.detectPolicy(store, table)
       val staged = messages.flatMap { case LakeCommitMessage(keys) => keys }
       // the scan IS the replacement contract: its planned objects are
       // exactly the groups whose rows flowed through the query — a
@@ -415,28 +430,58 @@ final class LakeCowWrite(rootUri: String, lakeSchema: TableSchema,
         "graft-lake copy-on-write commit without a configured scan — " +
           "the ReplaceData read never planned, refusing to publish")
       val retired = op.cowScan.plannedKeys
-      val hours = staged.map(k =>
-        LakeKeys.hourPrefixOf(k.stripPrefix(s"$staging/"))) ++
+      // the CDC boundary: `ins/`-staged objects hold genuinely NEW rows
+      // (MERGE INSERT) — a stream must always deliver them; the rest
+      // are REWRITES of the retired groups' surviving rows, skippable
+      // when their provenance was already delivered
+      val (stagedIns, stagedRw) =
+        staged.partition(_.startsWith(s"$staging/ins/"))
+      def dstOf(k: String): String =
+        k.stripPrefix(s"$staging/ins/").stripPrefix(s"$staging/")
+      val added = stagedRw.map(dstOf).toSeq
+      val inserted = stagedIns.map(dstOf).toSeq
+      val hours = (added ++ inserted).map(LakeKeys.hourPrefixOf) ++
         retired.map(LakeKeys.hourPrefixOf)
       if (hours.nonEmpty)
-        Manifests.invalidateIfCovers(store, lakeSchema.name, hours.min)
+        Manifests.invalidateIfCovers(store, table, hours.min)
+      // the LakeVersions protocol: intent → publish renames (readers
+      // exclude them until the CAS) → CAS the generation, which
+      // VALIDATES the scanned originals are still live — two
+      // overlapping COW statements can no longer both publish; the
+      // loser aborts here with the table exactly as the winner left it
+      val intentId = java.util.UUID.randomUUID().toString
+      LakeVersions.writeIntent(store, table, intentId, added ++ inserted)
       staged.foreach { k =>
-        val dst = k.stripPrefix(s"$staging/")
+        val dst = dstOf(k)
         store.rename(k, dst)
         if (p.zoneMaps) store.rename(ZoneMaps.statsKey(k), ZoneMaps.statsKey(dst))
         if (p.bloomColumns.nonEmpty)
           store.rename(BloomMaps.bloomKey(k), BloomMaps.bloomKey(dst))
       }
-      // originals retire AFTER replacements publish (the compact
-      // window, documented above); retireObjects re-runs the manifest
-      // discipline around the deletes, fanning to executors when a
-      // broad rewrite named more originals than a driver loop should
-      // serialize at store-call latency
-      if (retired.nonEmpty)
-        LakeMaintenance.retireObjectsDistributed(
+      try LakeVersions.commit(store, table,
+        op = op.command().toString.toLowerCase(java.util.Locale.ROOT),
+        removed = retired, added = added, inserted = inserted,
+        intentId = Some(intentId))
+      catch { case e: Throwable =>
+        // un-publish: nothing committed, so deleting our renamed keys
+        // (and the intent) restores the exact pre-statement table
+        (added ++ inserted).foreach { dst =>
+          store.delete(dst)
+          ZoneMaps.deleteSidecarSignaled(store, dst, "graft-lake cow abort")
+          store.delete(BloomMaps.bloomKey(dst))
+        }
+        store.delete(LakeVersions.intentKey(table, intentId))
+        throw e
+      }
+      // originals retire AFTER the commit (their tombstones already
+      // hide them; a crash here is finished by the next commit), kept
+      // on disk when the table retains time-travel history; the
+      // distributed variant absorbs broad rewrites
+      if (retired.nonEmpty && !LakeVersions.isRetained(store, table))
+        LakeMaintenance.physicalRetireDistributed(
           SparkSession.active, rootUri, retired)
       if (hours.nonEmpty)
-        Manifests.invalidateIfCovers(store, lakeSchema.name, hours.min)
+        Manifests.invalidateIfCovers(store, table, hours.min)
     } finally cleanupStaging(store)
   }
 
@@ -452,11 +497,12 @@ final class LakeCowWrite(rootUri: String, lakeSchema: TableSchema,
 final class LakeCowWriterFactory(rootUri: String, lakeSchema: TableSchema,
                                  inSchema: StructType, keyPrefix: String,
                                  policy: LakeRowLevel.SidecarPolicy,
-                                 maxRecordsPerObject: Long = 0L)
+                                 maxRecordsPerObject: Long = 0L,
+                                 cmd: Option[RowLevelOperation.Command] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new LakeCowDataWriter(rootUri, lakeSchema, inSchema, keyPrefix, policy,
-      maxRecordsPerObject)
+      maxRecordsPerObject, cmd)
 }
 
 /** Routes each row to a [[LakeWriter.RollingObjectWriter]] for its
@@ -468,13 +514,37 @@ final class LakeCowWriterFactory(rootUri: String, lakeSchema: TableSchema,
 final class LakeCowDataWriter(rootUri: String, lakeSchema: TableSchema,
                               inSchema: StructType, keyPrefix: String,
                               policy: LakeRowLevel.SidecarPolicy,
-                              maxRecordsPerObject: Long = 0L)
+                              maxRecordsPerObject: Long = 0L,
+                              cmd: Option[RowLevelOperation.Command] = None)
     extends DataWriter[InternalRow] {
 
   private val store = new HadoopStore(rootUri)
   private val rollers =
-    scala.collection.mutable.LinkedHashMap.empty[Long, LakeWriter.RollingObjectWriter]
+    scala.collection.mutable.LinkedHashMap.empty[(Long, Boolean), LakeWriter.RollingObjectWriter]
   private val hourIdx = inSchema.fieldIndex(LakeDataSource.EventHourCol)
+
+  /** The CDC routing decision. UPDATE/DELETE output derives entirely
+    * from scanned groups — pure REWRITES, recorded as `added` so a
+    * stream that already delivered the originals skips them. MERGE
+    * output mixes survivors with genuinely-NEW rows (the not-matched
+    * arm), and Spark's group-based ReplaceData write carries ONLY the
+    * table columns (verified empirically: no `_object_key` reaches the
+    * write schema for any command), so the two are indistinguishable
+    * per row — EVERY MERGE row routes to the `ins/`-staged objects and
+    * is recorded `inserted`: always delivered. The trade is explicit
+    * and safe-sided: MERGE under an active stream re-delivers the
+    * rewritten groups' surviving rows (at-least-once) rather than ever
+    * losing an insert; UPDATE/DELETE/compact/delete_where — the common
+    * CDC shapes — stay exactly-once. The `_object_key` null-check
+    * below is future-proofing: a Spark that does project metadata into
+    * the MERGE write upgrades the routing to per-row exactness. */
+  private val objKeyIdx: Option[Int] =
+    if (inSchema.fieldNames.contains(LakeDataSource.ObjectKeyCol))
+      Some(inSchema.fieldIndex(LakeDataSource.ObjectKeyCol))
+    else None
+  private val isMerge = cmd.contains(RowLevelOperation.Command.MERGE)
+  private def insertRow(row: InternalRow): Boolean =
+    isMerge && objKeyIdx.forall(row.isNullAt)
 
   private val getters: Array[InternalRow => Any] =
     lakeSchema.columns.map { case (nm, t) =>
@@ -501,11 +571,12 @@ final class LakeCowDataWriter(rootUri: String, lakeSchema: TableSchema,
         "assign a non-null timestamp)")
     val micros = row.getLong(hourIdx)
     val hourSec = Math.floorDiv(micros, 3600L * 1000000L) * 3600L
-    val roller = rollers.getOrElseUpdate(hourSec,
+    val ins = insertRow(row)
+    val roller = rollers.getOrElseUpdate((hourSec, ins),
       new LakeWriter.RollingObjectWriter(store, lakeSchema,
         Instant.ofEpochSecond(hourSec), policy.gzip,
-        maxRecordsPerObject, keyPrefix, policy.zoneMaps,
-        policy.bloomColumns))
+        maxRecordsPerObject, if (ins) s"${keyPrefix}ins/" else keyPrefix,
+        policy.zoneMaps, policy.bloomColumns))
     val vals = new Array[Any](getters.length)
     var i = 0
     while (i < getters.length) { vals(i) = getters(i)(row); i += 1 }

@@ -131,6 +131,29 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
   @volatile private var prunedCount: Long = 0L
   def objectsPruned: Long = prunedCount
 
+  // advisory meter: replacement objects skipped because their provenance
+  // was already delivered (the CDC-safe-DML decision below)
+  @volatile private var cdcSkipCount: Long = 0L
+  def objectsCdcSkipped: Long = cdcSkipCount
+
+  /** COMMITTED generation records, cached by gen — records are
+    * immutable once committed, so each is read at most once per stream
+    * (torn/in-flight records are NOT cached: their slot may be
+    * reclaimed and rewritten). One version-dir listing per refresh. */
+  private val chainCache =
+    scala.collection.mutable.Map.empty[Long, LakeVersions.GenRecord]
+  /** addedKey → the commit's removed set (its PROVENANCE: the retired
+    * originals whose surviving rows it holds). `inserted` keys are
+    * deliberately absent — they carry genuinely new rows. */
+  private def replacementProvenance(): Map[String, Seq[String]] = synchronized {
+    val st = LakeVersions.listDir(store, table)
+    st.gens.foreach { g =>
+      if (!chainCache.contains(g))
+        LakeVersions.readRecord(store, table, g).foreach(chainCache.update(g, _))
+    }
+    chainCache.values.flatMap(r => r.added.map(_ -> r.removed)).toMap
+  }
+
   // Trigger.AvailableNow pins discovery at prepare time; None = live
   @volatile private var pinned: Option[Seq[String]] = None
 
@@ -246,9 +269,35 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[LakeStreamOffset].seen.toSet
+    val startOff = start.asInstanceOf[LakeStreamOffset]
+    val s = startOff.seen.toSet
     val e = end.asInstanceOf[LakeStreamOffset].seen
-    val fresh = e.filterNot(s).sorted
+    val discovered = e.filterNot(s).sorted
+    // CDC-SAFE DML: a REPLACEMENT object (a committed generation's
+    // `added` key) whose whole provenance — the originals it rewrote —
+    // was already delivered carries no undelivered logical row: every
+    // row it holds is a surviving/updated copy of rows this stream
+    // already emitted. Skip its delivery (it stays in the ledger as
+    // seen). Provenance counts as delivered when the original is in the
+    // START offset's seen set or its hour lies at/below the sealed
+    // frontier. MERGE INSERT rows ride `inserted` objects — never in
+    // this map, always delivered; a commit whose originals were only
+    // PARTLY delivered keeps its replacements flowing (at-least-once
+    // for that commit beats losing the undelivered half). Deterministic
+    // on replay: records are immutable and the decision keys on the
+    // checkpointed start offset.
+    val prov = replacementProvenance()
+    val fresh =
+      if (prov.isEmpty) discovered
+      else {
+        def deliveredAlready(k: String): Boolean =
+          s.contains(k) ||
+            startOff.frontier.exists(f => LakeStreamOffset.hourOf(k) <= f)
+        val (skip, keep) = discovered.partition(k =>
+          prov.get(k).exists(rm => rm.nonEmpty && rm.forall(deliveredAlready)))
+        cdcSkipCount += skip.size.toLong
+        keep
+      }
     // the object-level half of the streaming prune, in two steps:
     // key-only membership (hour range/set, key set — free parses; needed
     // here because ledger keys admitted BEFORE filter delivery, e.g. an

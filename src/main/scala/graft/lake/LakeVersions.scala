@@ -1,0 +1,507 @@
+package graft.lake
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** PER-TABLE GENERATION POINTER — the snapshot spine that makes the
+  * lake's multi-object commits ATOMIC and SERIALIZED (the Delta/Iceberg
+  * commit-log idea re-derived on the reference's key layout, which has
+  * no native snapshot object — `README.md:113-117` promises a queryable
+  * store; at multi-pipeline scale that includes not losing data to a
+  * second writer).
+  *
+  * '''Layout''' (all under the lake root):
+  * {{{
+  * _versions/<table>/gen-0000000000000000001   — one record per commit
+  * _versions/<table>/intent-<uuid>             — pre-publish intent
+  * _versions/<table>/retain                    — retention marker
+  * }}}
+  *
+  * '''The commit protocol''' every MUTATING statement follows (COW DML,
+  * INSERT OVERWRITE, compact, delete_where, retire/expire/truncate —
+  * plain APPENDS stay outside it: fresh uuid keys can never conflict,
+  * so the ingest hot path pays nothing):
+  *
+  *  1. stage replacement objects under `_staging/` (unchanged);
+  *  2. write an INTENT file naming the final keys about to publish;
+  *  3. rename replacements into their final keys — readers still do not
+  *     see them (an intent not referenced by a committed record hides
+  *     its keys, see [[exclusions]]);
+  *  4. CAS-commit the next generation record ([[commit]]): re-read the
+  *     head, VALIDATE the statement's scanned originals are still live
+  *     (not tombstoned by a racing commit, still present), and publish
+  *     `gen-(head+1)` via CREATE-EXCLUSIVE — the one atomic step.
+  *     A loser whose removals overlap a winner's aborts LOUDLY
+  *     ([[LakeConcurrentModificationException]]); a loser whose
+  *     removals are disjoint (two statements on different objects)
+  *     retries and commits the generation after;
+  *  5. physically retire the replaced originals (SKIPPED when the
+  *     `retain` marker is set — time travel needs the bytes) and
+  *     delete the intent.
+  *
+  * '''Crash windows''', all closed by construction: before the CAS the
+  * statement never happened (replacements hidden by the intent, swept
+  * by the janitor); after the CAS it fully happened (originals
+  * tombstoned — readers exclude them even though the retire half has
+  * not run; the NEXT commit's tombstone maintenance finishes the
+  * interrupted retire). The old publish-then-retire duplication window
+  * is gone: visibility flips at one create-exclusive.
+  *
+  * '''Readers''' pay one listing of `_versions/<table>/` per scan
+  * ([[LakeReader.listTableKeys]] consults [[exclusions]]); an
+  * unversioned table — no mutating statement ever ran — takes the
+  * empty-listing fast path and behaves exactly as before.
+  *
+  * '''Record format''' (gzip text, strict-parsed, `end` marker proves
+  * the record complete — a torn record is an uncommitted crash, skipped
+  * by readers and reclaimed by the next writer):
+  * {{{
+  * graft-gen v1 table=<t> gen=<n> parent=<n-1> op=<op> intent=<id|->
+  * removed <count>      — keys this commit logically deleted
+  * added <count>        — replacement objects (rewrites of removed rows)
+  * inserted <count>     — genuinely NEW rows' objects (MERGE INSERT)
+  * tombstones <count>   — cumulative removed keys possibly still present
+  * live <count|->       — full live-key snapshot (retain mode only)
+  * end
+  * }}}
+  * `added` vs `inserted` is the CDC boundary the streaming source needs:
+  * a replacement whose provenance (the record's `removed`) was already
+  * delivered carries no new logical rows — `inserted` objects always do.
+  *
+  * '''CAS primitive''': [[Store.createExclusive]] — atomic O_EXCL on
+  * local filesystems, namenode-atomic `create(overwrite=false)` on
+  * HDFS-like stores. On S3 proper, conditional PUT (`If-None-Match`)
+  * is the equivalent; without it, point the version directory at a
+  * filesystem the deployment CAN create-exclusively on (the Delta
+  * LogStore posture). */
+object LakeVersions {
+
+  val Prefix = "_versions/"
+
+  def dir(table: String): String = s"$Prefix$table"
+  def genKey(table: String, gen: Long): String = f"${dir(table)}/gen-$gen%019d"
+  def intentKey(table: String, id: String): String = s"${dir(table)}/intent-$id"
+  def retainKey(table: String): String = s"${dir(table)}/retain"
+
+  final class LakeConcurrentModificationException(msg: String)
+      extends RuntimeException(msg)
+
+  final case class GenRecord(table: String, gen: Long, parent: Long,
+                             op: String, intent: Option[String],
+                             removed: Seq[String], added: Seq[String],
+                             inserted: Seq[String], tombstones: Seq[String],
+                             live: Option[Seq[String]],
+                             at: Long = 0L) // commit wall-clock millis
+
+  // ------------------------------------------------------------- wire
+
+  private def writeRecord(store: Store, key: String, r: GenRecord): Unit = {
+    val out = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(store.createExclusive(key)), StandardCharsets.UTF_8))
+    try {
+      out.write(s"graft-gen v1 table=${r.table} gen=${r.gen} " +
+        s"parent=${r.parent} op=${r.op} intent=${r.intent.getOrElse("-")} " +
+        s"at=${r.at}\n")
+      def section(name: String, keys: Seq[String]): Unit = {
+        out.write(s"$name ${keys.size}\n")
+        keys.foreach { k => out.write(k); out.write("\n") }
+      }
+      section("removed", r.removed)
+      section("added", r.added)
+      section("inserted", r.inserted)
+      section("tombstones", r.tombstones)
+      r.live match {
+        case Some(l) => section("live", l)
+        case None => out.write("live -\n")
+      }
+      out.write("end\n")
+    } finally out.close()
+  }
+
+  private val HeaderRe =
+    """^graft-gen v1 table=(\S+) gen=(\d+) parent=(\d+) op=(\S+) intent=(\S+) at=(\d+)$""".r
+
+  /** Strict parse; None = torn/absent/foreign — an UNCOMMITTED record
+    * (the crash-mid-CAS case), never wrong data. */
+  def readRecord(store: Store, table: String, gen: Long): Option[GenRecord] = {
+    val raw = try store.open(genKey(table, gen))
+              catch { case _: Exception => return None }
+    try {
+      val rd = new BufferedReader(new InputStreamReader(
+        new GZIPInputStream(raw), StandardCharsets.UTF_8))
+      val m = HeaderRe.findFirstMatchIn(Option(rd.readLine()).getOrElse(""))
+        .getOrElse(return None)
+      if (m.group(1) != table || m.group(2).toLong != gen) return None
+      def section(name: String): Option[Option[Seq[String]]] = {
+        val h = Option(rd.readLine()).getOrElse(return None).split(' ')
+        if (h.length != 2 || h(0) != name) return None
+        if (h(1) == "-") return Some(None)
+        val n = h(1).toInt
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < n) {
+          b += Option(rd.readLine()).getOrElse(return None)
+          i += 1
+        }
+        Some(Some(b.result()))
+      }
+      val rec = for {
+        removed <- section("removed").flatten
+        added <- section("added").flatten
+        inserted <- section("inserted").flatten
+        tombstones <- section("tombstones").flatten
+        live <- section("live")
+        if rd.readLine() == "end"
+      } yield GenRecord(table, gen, m.group(3).toLong, m.group(4),
+        Option(m.group(5)).filter(_ != "-"), removed, added, inserted,
+        tombstones, live, at = m.group(6).toLong)
+      rec
+    } catch { case _: Exception => None }
+    finally { try raw.close() catch { case _: Exception => () } }
+  }
+
+  // ------------------------------------------------------ state reads
+
+  /** One listing of the version directory, decoded. */
+  final case class DirState(gens: Seq[Long], intents: Seq[String],
+                            retain: Boolean)
+
+  def listDir(store: Store, table: String): DirState = {
+    // committers DELETE intent files concurrently with this listing; a
+    // recursive local-FS walk can stat an entry that vanished between
+    // enumeration and inspection and throw — retry the snapshot (the
+    // races are transient deletes, and any post-retry state is a
+    // consistent-enough snapshot: records are immutable, intents only
+    // ever disappear)
+    var attempt = 0
+    while (true) {
+      try {
+        val entries = store.list(dir(table)).map(_.stripPrefix(dir(table) + "/"))
+        return DirState(
+          entries.collect { case g if g.startsWith("gen-") =>
+            g.stripPrefix("gen-").toLong }.sorted,
+          entries.collect { case i if i.startsWith("intent-") =>
+            i.stripPrefix("intent-") },
+          entries.contains("retain"))
+      } catch {
+        case e: Exception if attempt < 5 =>
+          attempt += 1
+          Thread.sleep(20L * attempt)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Highest PARSEABLE (committed) record — a torn head is skipped, its
+    * slot reclaimable by the next writer. */
+  def head(store: Store, table: String, st: DirState): Option[GenRecord] =
+    st.gens.sorted.reverse.view
+      .flatMap(g => readRecord(store, table, g)).headOption
+
+  /** Keys a version-aware reader must EXCLUDE from a raw listing:
+    * the head's tombstones (logically deleted, possibly still present —
+    * the interrupted-retire crash window and retained history), plus
+    * every key named by an intent whose commit is NOT on the chain
+    * (a publish in flight or crashed before its CAS). Empty — one
+    * cheap listing — for any table no mutating statement ever touched. */
+  def exclusions(store: Store, table: String): Set[String] = {
+    val st = listDir(store, table)
+    if (st.gens.isEmpty && st.intents.isEmpty) return Set.empty
+    val h = head(store, table, st)
+    val committed: Set[String] = {
+      // an intent survives its commit only across a crash window; the
+      // next commit heals — checking head AND parent covers the window
+      // without walking the chain on every scan
+      val hs = h.flatMap(_.intent).toSet
+      val ps = h.flatMap(r => readRecord(store, table, r.parent))
+        .flatMap(_.intent).toSet
+      hs ++ ps
+    }
+    val pending = st.intents.filterNot(committed)
+      .flatMap(id => readIntent(store, table, id)).flatten.toSet
+    h.map(_.tombstones.toSet).getOrElse(Set.empty) ++ pending
+  }
+
+  // ---------------------------------------------------------- intents
+
+  /** Write the pre-publish intent: the final keys about to rename into
+    * place. Fresh uuid key — no exclusivity needed. */
+  def writeIntent(store: Store, table: String, id: String,
+                  keys: Seq[String]): Unit = {
+    val out = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(store.create(intentKey(table, id))),
+      StandardCharsets.UTF_8))
+    try {
+      out.write(s"graft-intent v1 table=$table id=$id count=${keys.size}\n")
+      keys.foreach { k => out.write(k); out.write("\n") }
+    } finally out.close()
+  }
+
+  private val IntentRe =
+    """^graft-intent v1 table=(\S+) id=(\S+) count=(\d+)$""".r
+
+  /** None = torn/absent (a torn intent names nothing — its publish
+    * renames cannot have started: the intent is written BEFORE them). */
+  def readIntent(store: Store, table: String, id: String): Option[Seq[String]] = {
+    val raw = try store.open(intentKey(table, id))
+              catch { case _: Exception => return None }
+    try {
+      val rd = new BufferedReader(new InputStreamReader(
+        new GZIPInputStream(raw), StandardCharsets.UTF_8))
+      val m = IntentRe.findFirstMatchIn(Option(rd.readLine()).getOrElse(""))
+        .getOrElse(return None)
+      val n = m.group(3).toInt
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < n) {
+        b += Option(rd.readLine()).getOrElse(return None)
+        i += 1
+      }
+      Some(b.result())
+    } catch { case _: Exception => None }
+    finally { try raw.close() catch { case _: Exception => () } }
+  }
+
+  // ------------------------------------------------------------ commit
+
+  /** Test seam: runs immediately before each CAS attempt (after
+    * validation) — specs use it to interleave two writers
+    * deterministically. Never set outside tests. */
+  @volatile private[lake] var beforeCasHook: String => Unit = _ => ()
+
+  /** How long a writer waits before reclaiming a TORN head-gen slot
+    * (a crashed committer's half-written record): the slot's bytes must
+    * be unchanged across the wait — an alive committer's stream either
+    * finishes or grows within it. */
+  private val TornSlotReclaimMs = 1000L
+
+  /** CAS-commit the next generation (step 4 of the protocol).
+    *
+    *  - `removed`: the statement's scanned/doomed originals — VALIDATED
+    *    (unless `validateLive = false`, for retention-class ops that
+    *    may legitimately remove already-dead keys) to be neither
+    *    tombstoned by a racing commit nor physically gone;
+    *  - `added` / `inserted`: the final keys renamed into place under
+    *    `intentId` (rewrites vs genuinely-new rows — the CDC split);
+    *  - tombstone maintenance runs here: parent tombstones whose keys
+    *    are still present are DELETED (finishing any interrupted
+    *    retire) unless the table retains history, then pruned to the
+    *    still-present set;
+    *  - in retain mode the record carries the full live-key snapshot
+    *    (current live view − removed + added + inserted) — what a
+    *    time-travel read at this generation scans.
+    *
+    * Returns the committed record. Throws
+    * [[LakeConcurrentModificationException]] when validation fails —
+    * the statement must clean up its published keys and abort.
+    * Disjoint concurrent commits retry on the next generation. */
+  def commit(store: Store, table: String, op: String,
+             removed: Seq[String], added: Seq[String] = Nil,
+             inserted: Seq[String] = Nil, intentId: Option[String] = None,
+             validateLive: Boolean = true, maxRetries: Int = 20): GenRecord = {
+    val removedD = removed.distinct
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val st = listDir(store, table)
+      val h = head(store, table, st)
+      val headGen = h.map(_.gen).getOrElse(0L)
+      if (validateLive && removedD.nonEmpty) {
+        val tombs = h.map(_.tombstones.toSet).getOrElse(Set.empty)
+        val clashed = removedD.filter(tombs.contains)
+        if (clashed.nonEmpty)
+          throw new LakeConcurrentModificationException(
+            s"graft-lake $op on '$table': ${clashed.size} scanned " +
+              s"object(s) were removed by a concurrent commit (now at " +
+              s"gen $headGen) — e.g. ${clashed.take(3).mkString(", ")}. " +
+              "The statement aborted with no effect; re-run it against " +
+              "the current table state.")
+        val gone = stillPresent(store, removedD, expectAll = true)
+        if (gone.nonEmpty)
+          throw new LakeConcurrentModificationException(
+            s"graft-lake $op on '$table': ${gone.size} scanned object(s) " +
+              s"no longer exist — e.g. ${gone.take(3).mkString(", ")}. " +
+              "A concurrent writer or manual delete raced this " +
+              "statement; re-run it against the current table state.")
+      }
+      val parentTombs = h.map(_.tombstones).getOrElse(Nil)
+      val keptTombs =
+        if (parentTombs.isEmpty) Nil
+        else if (st.retain) stillPresent(store, parentTombs)
+        else {
+          // finish any interrupted retire: a tombstoned key still
+          // present is logically dead on EVERY future chain — deleting
+          // it is safe even if this CAS attempt loses
+          val present = stillPresent(store, parentTombs)
+          present.foreach { k =>
+            store.delete(k)
+            ZoneMaps.deleteSidecarSignaled(store, k, "graft.LakeVersions")
+            store.delete(BloomMaps.bloomKey(k))
+          }
+          Nil
+        }
+      val live =
+        if (!st.retain) None
+        else Some((LakeReader.listTableKeys(store, table, None)
+          .filterNot(removedD.toSet) ++ added ++ inserted).distinct.sorted)
+      val rec = GenRecord(table, headGen + 1, headGen, op, intentId,
+        removedD, added, inserted,
+        (keptTombs ++ removedD).distinct, live,
+        at = System.currentTimeMillis())
+      beforeCasHook(table)
+      val won =
+        try { writeRecord(store, genKey(table, rec.gen), rec); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false
+                case e: java.io.IOException
+                  if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
+                    false }
+      if (won) {
+        // heal: every intent whose commit is on the chain has served its
+        // purpose (including ours) — delete so readers stop consulting it
+        val onChain = (st.gens :+ rec.gen).flatMap(g =>
+          readRecord(store, table, g)).flatMap(_.intent).toSet
+        st.intents.filter(onChain).foreach(id =>
+          store.delete(intentKey(table, id)))
+        intentId.foreach(id => store.delete(intentKey(table, id)))
+        return rec
+      }
+      // lost the slot: if the occupant record is TORN (a crashed
+      // committer), wait, confirm it is not being actively written,
+      // reclaim; if committed, loop — validation re-runs against the
+      // new head and disjoint writers commit the generation after
+      if (readRecord(store, table, rec.gen).isEmpty) {
+        val sizeBefore = sizeOf(store, genKey(table, rec.gen))
+        Thread.sleep(TornSlotReclaimMs)
+        if (readRecord(store, table, rec.gen).isEmpty &&
+            sizeOf(store, genKey(table, rec.gen)) == sizeBefore)
+          store.delete(genKey(table, rec.gen))
+      }
+      if (attempt > maxRetries)
+        throw new LakeConcurrentModificationException(
+          s"graft-lake $op on '$table': could not commit a generation " +
+            s"after $maxRetries attempts — a writer storm or a stuck " +
+            "torn record is holding the version chain")
+    }
+    sys.error("unreachable")
+  }
+
+  private def sizeOf(store: Store, key: String): Long =
+    try {
+      val in = store.open(key)
+      try {
+        var n = 0L
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r >= 0) { n += r; r = in.read(buf) }
+        n
+      } finally in.close()
+    } catch { case _: Exception => -1L }
+
+  /** Which of `keys` still exist — grouped by hour prefix so a broad
+    * set costs one LISTING per touched hour, not one probe per key
+    * (`expectAll` inverts the result: the keys that are GONE). */
+  private def stillPresent(store: Store, keys: Seq[String],
+                           expectAll: Boolean = false): Seq[String] = {
+    val byPrefix = keys.groupBy { k =>
+      val i = k.lastIndexOf('/'); if (i < 0) "" else k.substring(0, i)
+    }
+    val out = Seq.newBuilder[String]
+    byPrefix.foreach { case (pfx, ks) =>
+      val present: String => Boolean =
+        if (ks.size > 4) store.list(pfx).toSet else store.exists(_)
+      ks.foreach { k =>
+        if (present(k) != expectAll) out += k
+      }
+    }
+    out.result()
+  }
+
+  // ----------------------------------------------------- time travel
+
+  /** The live key set AT generation `gen` — what `VERSION AS OF gen` /
+    * `option("asOfGeneration", gen)` scans. Requires the table to
+    * RETAIN history ([[setRetain]]); loud errors name the remedy. */
+  def liveAt(store: Store, table: String, gen: Long): Seq[String] = {
+    val rec = readRecord(store, table, gen).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake: no generation $gen for table '$table' — it never " +
+          "committed, or CALL lake.system.expire_versions reclaimed it " +
+          s"(present: ${listDir(store, table).gens.mkString(", ")})"))
+    rec.live.getOrElse(throw new IllegalArgumentException(
+      s"graft-lake: generation $gen of '$table' carries no snapshot — " +
+        "time travel needs history retention: CALL " +
+        s"lake.system.set_retention(table => '$table', retain => true) " +
+        "BEFORE the commits you want to travel to"))
+  }
+
+  /** The newest generation committed AT or BEFORE `millis` — the
+    * `TIMESTAMP AS OF` resolution (commit wall-clock stamps; the usual
+    * caveat that clocks order commits only as well as they are
+    * synchronized). None when every commit is newer. */
+  def genAtTimestamp(store: Store, table: String, millis: Long): Option[Long] = {
+    val st = listDir(store, table)
+    st.gens.sorted.reverse.view
+      .flatMap(g => readRecord(store, table, g))
+      .find(_.at <= millis).map(_.gen)
+  }
+
+  /** Enable/disable history retention: with the marker set, mutating
+    * commits keep their replaced originals on disk and record full
+    * live snapshots; [[expireVersions]] reclaims. ENABLING commits a
+    * BASELINE generation capturing the table's current live set — so
+    * the state being protected is itself addressable (`VERSION AS OF
+    * <that gen>` is "the table as retention was turned on", and the
+    * first DML after it travels back cleanly). */
+  def setRetain(store: Store, table: String, retain: Boolean): Unit =
+    if (retain) {
+      val already = isRetained(store, table)
+      val out = store.create(retainKey(table))
+      try out.write("graft-retain v1\n".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (!already)
+        commit(store, table, op = "set_retention", removed = Nil,
+          validateLive = false)
+    } else store.delete(retainKey(table))
+
+  def isRetained(store: Store, table: String): Boolean =
+    store.exists(retainKey(table))
+
+  final case class ExpireVersionsReport(recordsDropped: Int,
+                                        objectsReclaimed: Int,
+                                        keptGens: Seq[Long])
+
+  /** Reclaim retained history: drop every generation record below
+    * `keepLast` generations from the head, and physically delete the
+    * tombstoned objects NO retained generation's snapshot (nor the
+    * current live view) still names. Runs as a commit of its own, so
+    * it serializes against every other mutation. */
+  def expireVersions(store: Store, table: String,
+                     keepLast: Int): ExpireVersionsReport = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val st = listDir(store, table)
+    val h = head(store, table, st).getOrElse(
+      return ExpireVersionsReport(0, 0, Nil))
+    val cut = h.gen - keepLast + 1
+    val (drop, keep) = st.gens.partition(_ < cut)
+    val keptRecords = keep.flatMap(g => readRecord(store, table, g))
+    val needed: Set[String] =
+      keptRecords.flatMap(r => r.live.getOrElse(Nil)).toSet ++
+        LakeReader.listTableKeys(store, table, None)
+    val reclaim = h.tombstones.filterNot(needed).filter(store.exists)
+    reclaim.foreach { k =>
+      store.delete(k)
+      ZoneMaps.deleteSidecarSignaled(store, k, "graft.LakeVersions")
+      store.delete(BloomMaps.bloomKey(k))
+    }
+    // drop BELOW-cut records only after their objects are reclaimed —
+    // a crash between the two leaves extra records, never dangling
+    // snapshots
+    drop.foreach(g => store.delete(genKey(table, g)))
+    // record the reclamation (tombstones shrink to the still-needed
+    // retained set) — serialized like every mutation
+    commit(store, table, op = "expire_versions",
+      removed = Nil, validateLive = false)
+    ExpireVersionsReport(drop.size, reclaim.size, keep :+ (h.gen + 1))
+  }
+}

@@ -19,6 +19,21 @@ trait Store extends Serializable {
   def put(key: String, data: InputStream): Unit
   /** Open an output stream at `key` (preferred: avoids buffering). */
   def create(key: String): OutputStream
+  /** Open an output stream at `key` FAILING if the key already exists —
+    * the compare-and-swap primitive [[LakeVersions]] serializes
+    * multi-object commits on. Contract: of N concurrent creators of one
+    * key, at most one wins; losers see
+    * `java.nio.file.FileAlreadyExistsException` (or an IOException
+    * naming the existing key). The default is the check-then-create
+    * HDFS shape (`FileSystem.create(overwrite = false)` — atomic where
+    * the namenode arbitrates); [[HadoopStore]] upgrades `file://` to a
+    * true O_EXCL create. S3-style backends should override with a
+    * conditional PUT (`If-None-Match: *`). */
+  def createExclusive(key: String): OutputStream = {
+    if (exists(key))
+      throw new java.nio.file.FileAlreadyExistsException(key)
+    create(key)
+  }
   def open(key: String): InputStream
   def list(prefix: String): Seq[String]
   def exists(key: String): Boolean
@@ -50,6 +65,19 @@ final class HadoopStore(val rootUri: String) extends Store {
 
   override def create(key: String): OutputStream = fs.create(p(key), true)
 
+  override def createExclusive(key: String): OutputStream = {
+    val path = p(key)
+    if ("file" == path.toUri.getScheme || rootUri.startsWith("file:")) {
+      // a REAL O_EXCL create (atomic under concurrent creators), which
+      // RawLocalFileSystem's check-then-create is not
+      val f = java.nio.file.Paths.get(path.toUri.getPath)
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.newOutputStream(f,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    } else fs.create(path, false) // namenode-atomic on HDFS-like stores
+  }
+
   override def put(key: String, data: InputStream): Unit = {
     val out = create(key)
     try {
@@ -62,6 +90,25 @@ final class HadoopStore(val rootUri: String) extends Store {
   override def open(key: String): InputStream = fs.open(p(key))
 
   override def list(prefix: String): Seq[String] = {
+    // bounded retry: a concurrent delete (a committer retiring objects,
+    // a janitor sweeping) can vanish an entry between the recursive
+    // walk's enumeration and its stat — the local RawLocalFileSystem
+    // shells out for permissions and throws where a real object store's
+    // LIST would simply not return the key. A retried listing is just a
+    // newer snapshot, which every caller already tolerates.
+    var attempt = 0
+    while (true) {
+      try return listOnce(prefix)
+      catch {
+        case _: Exception if attempt < 5 =>
+          attempt += 1
+          Thread.sleep(20L * attempt)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def listOnce(prefix: String): Seq[String] = {
     val base = p(prefix)
     if (!fs.exists(base)) Seq.empty
     else {

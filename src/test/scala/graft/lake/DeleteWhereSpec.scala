@@ -110,7 +110,7 @@ class DeleteWhereSpec extends SparkSuite {
     assert(readAll(root).count() == 20L)
   }
 
-  test("a crash between publish and retirement heals on re-run: derived replacement keys, no permanent duplication") {
+  test("the publish/retire crash window is CLOSED by the generation pointer: a lingering original is invisible and the next commit finishes its retire") {
     val root = freshRoot()
     val store = new HadoopStore(root)
     val mixed = land(root, "2024-07-01T08:00:00Z",
@@ -121,21 +121,31 @@ class DeleteWhereSpec extends SparkSuite {
     assert(rep1.objectsRewritten == 1 && rep1.rowsDeleted == 5L)
     val replacement = LakeReader.listTableKeys(store, "dw", None).head
     assert(replacement != mixed, "the replacement has a derived key")
-    // simulate the crash window: the replacement landed but the
-    // original's retirement never happened — restore the original
+    // simulate the crash-after-CAS state: the commit landed (the
+    // original is tombstoned in the generation record) but its physical
+    // retirement "never ran" — restore the original's bytes
     store.put(mixed, new java.io.ByteArrayInputStream(originalBytes))
-    assert(readAll(root).count() == 35L,
-      "crash state: kept rows transiently duplicated (15+15+5)")
-    // the documented remedy: the SAME delete re-run. The original (its
-    // sidecars gone) is an unprunable candidate, rewrites onto the SAME
-    // derived destination, and retires — never a second replacement.
+    // pre-r14 this was the transient-duplication window (35 rows until
+    // a manual re-run); the versioned reader EXCLUDES the tombstoned
+    // key, so the table is exact immediately
+    assert(readAll(root).count() == 15L,
+      "a tombstoned original is invisible even while present on disk")
+    assert(LakeReader.listTableKeys(store, "dw", None) == Seq(replacement))
+    // the re-run is now a NO-OP (nothing matches in the live view) ...
     val rep2 = LakeMaintenance.deleteWhere(spark, store, "dw", "user",
       Seq("uA"), zoneMaps = true, bloomColumns = Seq("user"))
-    assert(rep2.rowsDeleted == 5L && rep2.objectsRewritten == 1, s"$rep2")
-    val after = LakeReader.listTableKeys(store, "dw", None)
-    assert(after == Seq(replacement),
-      s"one replacement, same derived key, original retired: $after")
-    assert(readAll(root).count() == 15L, "kept rows exactly once")
+    assert(rep2.rowsDeleted == 0L && rep2.objectsRewritten == 0, s"$rep2")
+    // ... and the NEXT mutating commit's tombstone maintenance finishes
+    // the interrupted retire: the lingering bytes leave, the tombstone
+    // is pruned from the chain
+    assert(store.exists(mixed), "the lingering original is still on disk")
+    val rep3 = LakeMaintenance.deleteWhere(spark, store, "dw", "user",
+      Seq("uB"), zoneMaps = true, bloomColumns = Seq("user"))
+    assert(rep3.rowsDeleted == 15L, s"$rep3")
+    assert(!store.exists(mixed),
+      "the next commit finishes the interrupted physical retire")
+    assert(LakeReader.listTableKeys(store, "dw", None).isEmpty,
+      "kept rows exactly once throughout — everything deleted deletes")
   }
 
   test("NULL rows never match; manifests invalidate; CALL delete_where coerces values by column type") {

@@ -73,7 +73,8 @@ class EnsureIndexesSpec extends SparkSuite {
     // and exactly one data listing
     assert(counting.listCalls.count(_.startsWith(ZoneMaps.Prefix)) == 1,
       s"one _zmaps listing for both sidecar kinds: ${counting.listCalls}")
-    assert(counting.listCalls.count(!_.startsWith(ZoneMaps.Prefix)) == 1,
+    assert(counting.listCalls.count(p => !p.startsWith(ZoneMaps.Prefix) &&
+        !p.startsWith(LakeVersions.Prefix)) == 1,
       s"one data listing: ${counting.listCalls}")
     // orphan swept, unknown kind untouched
     assert(!inner.exists(ZoneMaps.statsKey(ghost)))

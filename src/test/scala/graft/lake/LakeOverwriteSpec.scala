@@ -152,4 +152,41 @@ class LakeOverwriteSpec extends SparkSuite {
     assert(msgs.contains("DELETE FROM") || msgs.contains("overwrite"),
       s"non-hour replaceWhere names the remedy: $msgs")
   }
+
+  test("an append RACING a replaceWhere survives: the doomed scope is the commit-time listing, concurrent fresh keys are never retired") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0)
+    // the race, deterministically: the overwrite's commit has listed
+    // its doomed scope and published its replacements, and is about to
+    // CAS — an append lands INSIDE the replaced hour in that window
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    LakeVersions.beforeCasHook = _ =>
+      if (armed.getAndSet(false)) {
+        entered.countDown()
+        gate.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try repaired(10, "2024-07-01T08:00:00Z").writeTo(s"$cat.ov")
+        .overwrite(col("_event_hour") === lit(ts("2024-07-01T08:00:00Z")))
+      catch { case e: Throwable => err.set(e) })
+    try {
+      t.start()
+      assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      land(root, "2024-07-01T08:00:00Z", 9000, n = 5) // the racing append
+    } finally {
+      gate.countDown()
+      t.join(120000)
+      LakeVersions.beforeCasHook = _ => ()
+    }
+    assert(err.get() == null, s"the overwrite must commit: ${err.get()}")
+    // the replaced scope is gone, the repair landed, AND the racing
+    // append's 5 rows survived — a fresh key is never in the doomed set
+    val ids = spark.table(s"$cat.ov").select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.toSeq == ((500L until 510L) ++ (9000L until 9005L)).sorted,
+      s"repair + racing append, nothing else: ${ids.mkString(",")}")
+  }
 }

@@ -142,9 +142,12 @@ class LakeSpec extends SparkSuite {
     val pruned = LakeReader.readFrom(spark, store, "ev",
       hourRange = Some((Instant.parse("2024-06-01T19:30:00Z"), Instant.parse("2024-06-01T21:10:00Z"))))
     assert(pruned.select("tag").collect().map(_.getString(0)).toSeq == Seq("late"))
-    // exactly the 19:00/20:00/21:00 hour dirs were listed — no "" full walk
+    // exactly the 19:00/20:00/21:00 hour dirs were listed — no "" full
+    // walk; the version-directory consult (one listing, the price of
+    // tombstone-aware reads) is the only other call
     assert(store.listed.toSet == Set(
-      "2024/06/01/19/ev", "2024/06/01/20/ev", "2024/06/01/21/ev"))
+      "2024/06/01/19/ev", "2024/06/01/20/ev", "2024/06/01/21/ev",
+      LakeVersions.dir("ev")))
   }
 
   test("unranged read walks directory levels, never other tables' objects") {
@@ -187,12 +190,14 @@ class LakeSpec extends SparkSuite {
         .toDF("id", "v", "tag").coalesce(1)
       LakeWriter.write(df, schema, root, Instant.parse("2024-06-01T10:00:00Z"))
     }
-    assert(store.list("").count(_.contains("/ev/")) == 8)
+    def dataKeys() = store.list("").count(k =>
+      k.contains("/ev/") && !k.startsWith(LakeVersions.Prefix))
+    assert(dataKeys() == 8)
     val report = LakeMaintenance.compact(spark, store, "ev", targetRecords = 200L)
     assert(report.oldObjects == 8)
     assert(report.records == 400L)
     assert(report.newObjects == 2) // 400 rows at 200/object
-    assert(store.list("").count(_.contains("/ev/")) == 2)
+    assert(dataKeys() == 2)
     // rewritten objects stay under their original hour prefix
     assert(report.newKeys.forall(_.startsWith("2024/06/01/10/ev/")))
     // the publish step consumed the staging area completely

@@ -556,4 +556,95 @@ class LakeStreamSpec extends SparkSuite {
     assert(inputRows == 3L * 50,
       s"blooms prune to exactly the matching objects: $inputRows")
   }
+
+  test("CDC-safe DML: COW rewrites of delivered rows never re-deliver; MERGE inserts flow exactly once; appends keep flowing") {
+    val root = freshRoot()
+    val ckpt = freshCkpt()
+    land(root, "2024-06-10T08:00:00Z", 0 until 30)
+    val cat = s"cdc${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val got = new scala.collection.mutable.ArrayBuffer[Long]
+    val q = readStreamDf(root).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("id").collect().map(_.getLong(0))
+        got.synchronized { got ++= ids }; ()
+      }.start()
+    q.processAllAvailable()
+    assert(got.sorted == (0L until 30L), "initial drain")
+    // an UPDATE inside the admission window: the replacements' whole
+    // provenance is in the ledger — each logical row was already
+    // delivered, so the stream skips them (pre-r14 this re-delivered
+    // the rewritten objects; the README known-gap paragraph this spec
+    // retires)
+    spark.sql(s"UPDATE $cat.st SET tag = 'upd' WHERE id < 10")
+    q.processAllAvailable()
+    assert(got.size == 30, s"a rewrite of delivered rows re-delivered: " +
+      s"${got.sorted.mkString(",")}")
+    // the TABLE sees the update (the skip is a stream decision only)
+    assert(spark.table(s"$cat.st").where(col("tag") === "upd").count() == 10)
+    // MERGE: its write mixes survivors with genuinely-new rows and
+    // Spark's group-based ReplaceData write carries no row provenance —
+    // so every MERGE object records as `inserted` (always delivered):
+    // the NOT MATCHED rows arrive exactly once, and the rewritten
+    // group's survivors re-deliver (at-least-once, the documented
+    // safe side — never a lost insert, never a silent skip)
+    import spark.implicits._
+    val hot = java.sql.Timestamp.from(Instant.parse("2024-06-10T08:00:00Z"))
+    ((0L until 5L).map(i => (i, "m")) ++ (100L until 105L).map(i => (i, "ins")))
+      .toDF("id", "tag").withColumn("_event_hour", lit(hot))
+      .createOrReplaceTempView("cdc_src")
+    spark.sql(
+      s"""MERGE INTO $cat.st t USING cdc_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET tag = s.tag
+         |WHEN NOT MATCHED THEN INSERT (id, tag, _event_hour)
+         |  VALUES (s.id, s.tag, s._event_hour)""".stripMargin)
+    q.processAllAvailable()
+    // the UPDATE's earlier replacement (ids 0..14) was the one group
+    // the MERGE rewrote — its survivors re-deliver with the 5 inserts
+    assert(got.sorted ==
+      ((0L until 30L) ++ (0L until 15L) ++ (100L until 105L)).sorted,
+      s"MERGE: inserts exactly once, rewritten group at-least-once, " +
+        s"NOTHING lost: ${got.sorted.mkString(",")}")
+    // plain appends keep flowing
+    land(root, "2024-06-10T09:00:00Z", 200 until 210)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.sorted ==
+      ((0L until 30L) ++ (0L until 15L) ++ (100L until 105L) ++
+        (200L until 210L)).sorted,
+      "appends after DML flow normally")
+  }
+
+  test("DML on an hour older than the admission window is INVISIBLE to a running stream (the maxHourAge bound, pinned)") {
+    val root = freshRoot()
+    val ckpt = freshCkpt()
+    land(root, "2024-06-10T08:00:00Z", 0 until 20)
+    val cat = s"age${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val got = new scala.collection.mutable.ArrayBuffer[Long]
+    val q = readStreamDf(root, "maxHourAge" -> "1").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("id").collect().map(_.getLong(0))
+        got.synchronized { got ++= ids }; ()
+      }.start()
+    q.processAllAvailable()
+    // hour 12 advances the frontier: 08 seals (12 - 1 - 1 = 10 >= 08)
+    land(root, "2024-06-10T12:00:00Z", 100 until 110)
+    q.processAllAvailable()
+    assert(got.sorted == ((0L until 20L) ++ (100L until 110L)).sorted)
+    // DML whose replacements land BELOW the frontier: sealed hours left
+    // the discovery walk, so the rewrite is invisible to this stream —
+    // the documented lateness trade, now pinned (provenance skipping
+    // never even gets to decide: the keys are never listed)
+    spark.sql(s"UPDATE $cat.st SET tag = 'upd' WHERE id < 5")
+    q.processAllAvailable()
+    q.stop()
+    assert(got.size == 30, s"sealed-hour DML must not re-deliver: ${got.size}")
+    assert(spark.table(s"$cat.st").where(col("tag") === "upd").count() == 5,
+      "the table itself sees the update")
+  }
 }

@@ -87,12 +87,13 @@ class ManifestSpec extends SparkSuite {
         LakeReader.rawListTableKeys(store, "mt", range).sorted,
         s"range $range must agree with the raw walk")
     }
-    // a fully-sealed range does not touch a single hour directory
+    // a fully-sealed range touches no HOUR directory — the one listing
+    // is the version-directory consult every tombstone-aware read pays
     val s2 = new MeteredStore(store)
     LakeReader.listTableKeys(s2, "mt",
       hr("2024-06-10T08:00:00Z", "2024-06-10T08:59:00Z"))
-    assert(s2.listCalls.isEmpty,
-      s"a fully-sealed range lists nothing: ${s2.listCalls}")
+    assert(s2.listCalls == Seq(LakeVersions.dir("mt")),
+      s"a fully-sealed range lists nothing but the version dir: ${s2.listCalls}")
   }
 
   test("writes invalidate: a backfill into a sealed hour deletes the manifest BEFORE landing; live-hour writes keep it") {
