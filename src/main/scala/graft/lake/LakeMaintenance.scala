@@ -763,6 +763,36 @@ object LakeMaintenance {
         swept += 1
       } else kept += 1
     }
+    // ORPHANED INTENTS: a commit that crashed between its publish
+    // renames and its CAS left an intent file plus replacement objects
+    // in FINAL locations — invisible to every reader (the intent is
+    // uncommitted) but occupying storage forever. An old-enough intent
+    // whose id no committed generation references is that crash: delete
+    // the keys it names (with sidecars), then the intent. An intent a
+    // LIVE commit is about to CAS is never old enough (the publish and
+    // CAS are milliseconds apart; the cutoff is hours), and a committed
+    // intent's keys are live data — referenced, so never touched here.
+    store.listDirs(LakeVersions.Prefix.stripSuffix("/")).foreach { table =>
+      val st = LakeVersions.listDir(store, table)
+      if (st.intents.nonEmpty) {
+        val referenced = st.gens.flatMap(g =>
+          LakeVersions.readRecord(store, table, g)).flatMap(_.intent).toSet
+        st.intents.filterNot(referenced).foreach { id =>
+          val ik = LakeVersions.intentKey(table, id)
+          val old = store.newestModification(ik).exists(_.isBefore(olderThan))
+          if (old) {
+            LakeVersions.readIntent(store, table, id).getOrElse(Nil).foreach { k =>
+              store.delete(k)
+              ZoneMaps.deleteSidecarSignaled(store, k,
+                "graft.LakeMaintenance.sweepStaging")
+              store.delete(BloomMaps.bloomKey(k))
+            }
+            store.delete(ik)
+            swept += 1
+          } else kept += 1
+        }
+      }
+    }
     StagingSweepReport(swept, kept)
   }
 }

@@ -174,6 +174,35 @@ class LakeVersionsSpec extends SparkSuite {
       s"only the uncommitted intent survives (janitor's job): ${st.intents}")
   }
 
+  test("sweep_staging reclaims an ORPHANED intent: its hidden keys and the intent leave, fresh and committed intents survive") {
+    val (cat, root, store) = fixture()
+    land(root)
+    import spark.implicits._
+    // the crashed-pre-CAS state: replacement keys in final locations,
+    // hidden by an unreferenced intent
+    val stray = LakeWriter.write(
+      Seq((9999L, 1L)).toDF("id", "vc").coalesce(1),
+      schema, root, Instant.parse("2024-07-01T08:00:00Z")).map(_.key)
+    LakeVersions.writeIntent(store, "vt", "dead-intent", stray)
+    // a COMMITTED-and-unreferenced... cannot exist; a committed one is
+    // referenced — land one through a real DML and leave its intent
+    // deleted by the protocol; only the dead intent must sweep
+    spark.sql(s"UPDATE $cat.vt SET vc = 0 WHERE id = 3")
+    // too fresh: kept
+    val rep0 = LakeMaintenance.sweepStaging(store,
+      Instant.now().minusSeconds(3600))
+    assert(store.exists(LakeVersions.intentKey("vt", "dead-intent")) &&
+      stray.forall(store.exists), s"a fresh intent never sweeps: $rep0")
+    // old enough: the intent AND the keys it hides leave
+    val rep1 = LakeMaintenance.sweepStaging(store,
+      Instant.now().plusSeconds(3600))
+    assert(rep1.sweptPrefixes >= 1, s"$rep1")
+    assert(!store.exists(LakeVersions.intentKey("vt", "dead-intent")))
+    assert(stray.forall(k => !store.exists(k)),
+      "the orphaned publish's keys are reclaimed")
+    assert(spark.table(s"$cat.vt").count() == 500, "live data untouched")
+  }
+
   test("retention + VERSION AS OF: each generation reads back exactly; TIMESTAMP AS OF resolves; mutations against history refuse") {
     val (cat, root, store) = fixture()
     land(root)
