@@ -61,6 +61,11 @@ object BenchGates {
     // filter — losing either rewrites the whole fixture lake, a 10×+
     // input jump over this ceiling
     "l30_lake_sql_update" -> Ceiling(Some(1 * MB), None),
+    // 0.32 MB in (round 14): fixture write + UPDATE + DELETE + two
+    // snapshot reads — a VERSION AS OF read that lost its per-record
+    // key resolution or its band pruning (scanning live + retained
+    // history wholesale) jumps an order over this ceiling
+    "l34_lake_time_travel" -> Ceiling(Some(3 * MB), None),
   )
 
   /** Human-readable violations; empty = all metered queries in bounds.
