@@ -635,9 +635,11 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
           throw e
         }
         if (doomed.nonEmpty &&
-            !LakeVersions.isRetained(store, lakeSchema.name))
+            !LakeVersions.isRetained(store, lakeSchema.name)) {
           LakeMaintenance.physicalRetireDistributed(
             SparkSession.active, rootUri, doomed)
+          LakeVersions.pruneChainIfLarge(store, lakeSchema.name, doomed.size)
+        }
       }
       // again AFTER the renames: a seal racing the commit heals
       Manifests.invalidateIfCovers(store, lakeSchema.name, hours.min)

@@ -151,8 +151,10 @@ object LakeMaintenance {
         store.delete(LakeVersions.intentKey(table, intentId))
         throw e
       }
-      if (!LakeVersions.isRetained(store, table))
+      if (!LakeVersions.isRetained(store, table)) {
         oldKeys.foreach(deleteWithSidecar(store, _))
+        LakeVersions.pruneChainIfLarge(store, table, oldKeys.size)
+      }
       // again AFTER the rewrites land: a seal racing the compaction heals
       Manifests.invalidateIfCovers(store, table,
         oldKeys.map(LakeKeys.hourPrefixOf).min)
@@ -316,9 +318,11 @@ object LakeMaintenance {
       Manifests.invalidateIfCovers(store, table,
         doomed.map(LakeKeys.hourPrefixOf).min)
     doomed.foreach(deleteWithSidecar(store, _))
-    if (doomed.nonEmpty) // again after the deletes: a racing seal heals
+    if (doomed.nonEmpty) { // again after the deletes: a racing seal heals
       Manifests.invalidateIfCovers(store, table,
         doomed.map(LakeKeys.hourPrefixOf).min)
+      LakeVersions.pruneChainIfLarge(store, table, doomed.size)
+    }
     ExpiryReport(doomed.size, cutoff)
   }
 
@@ -351,6 +355,7 @@ object LakeMaintenance {
       // again after the deletes: a racing seal heals
       Manifests.invalidateIfCovers(store, table,
         doomed.map(LakeKeys.hourPrefixOf).min)
+      LakeVersions.pruneChainIfLarge(store, table, doomed.size)
     }
     ExpiryReport(doomed.size, cutoff)
   }
@@ -554,8 +559,10 @@ object LakeMaintenance {
           store.delete(LakeVersions.intentKey(table, intentId))
           throw e
         }
-        if (!LakeVersions.isRetained(store, table))
+        if (!LakeVersions.isRetained(store, table)) {
           removed.foreach(deleteWithSidecar(store, _))
+          LakeVersions.pruneChainIfLarge(store, table, removed.size)
+        }
       }
       // again AFTER the rewrites land: a seal racing the delete heals
       Manifests.invalidateIfCovers(store, table,
@@ -601,7 +608,13 @@ object LakeMaintenance {
           removed = ks, validateLive = false)
       case (None, _) => () // physicalRetire's parse guard reports these
     }
-    physicalRetire(store, rawKeys)
+    val n = physicalRetire(store, rawKeys)
+    existing.groupBy(k => LakeKeys.parseKey(k).map(_._2)).foreach {
+      case (Some(table), ks) =>
+        LakeVersions.pruneChainIfLarge(store, table, ks.size)
+      case _ => ()
+    }
+    n
   }
 
   /** The PHYSICAL half of retirement — manifest discipline + idempotent
@@ -648,7 +661,13 @@ object LakeMaintenance {
           removed = ks, validateLive = false)
       case (None, _) => ()
     }
-    physicalRetireDistributed(spark, rootUri, rawKeys, distributeAbove)
+    val n = physicalRetireDistributed(spark, rootUri, rawKeys, distributeAbove)
+    existing.groupBy(k => LakeKeys.parseKey(k).map(_._2)).foreach {
+      case (Some(table), ks) =>
+        LakeVersions.pruneChainIfLarge(store, table, ks.size)
+      case _ => ()
+    }
+    n
   }
 
   /** The physical half of [[retireObjectsDistributed]] (no version

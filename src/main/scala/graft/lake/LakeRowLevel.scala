@@ -339,8 +339,10 @@ object LakeRowLevel {
   private def dmlRetire(spark: SparkSession, store: Store, table: String,
                         doomed: Seq[String]): Unit = {
     LakeVersions.commit(store, table, op = "delete", removed = doomed)
-    if (!LakeVersions.isRetained(store, table))
+    if (!LakeVersions.isRetained(store, table)) {
       LakeMaintenance.physicalRetireDistributed(spark, store.rootUri, doomed)
+      LakeVersions.pruneChainIfLarge(store, table, doomed.size)
+    }
   }
 }
 
@@ -477,9 +479,11 @@ final class LakeCowWrite(rootUri: String, lakeSchema: TableSchema,
       // hide them; a crash here is finished by the next commit), kept
       // on disk when the table retains time-travel history; the
       // distributed variant absorbs broad rewrites
-      if (retired.nonEmpty && !LakeVersions.isRetained(store, table))
+      if (retired.nonEmpty && !LakeVersions.isRetained(store, table)) {
         LakeMaintenance.physicalRetireDistributed(
           SparkSession.active, rootUri, retired)
+        LakeVersions.pruneChainIfLarge(store, table, retired.size)
+      }
       if (hours.nonEmpty)
         Manifests.invalidateIfCovers(store, table, hours.min)
     } finally cleanupStaging(store)

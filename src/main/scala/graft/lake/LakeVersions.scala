@@ -96,7 +96,7 @@ object LakeVersions {
 
   // ------------------------------------------------------------- wire
 
-  private def writeRecord(store: Store, key: String, r: GenRecord): Unit = {
+  private[lake] def writeRecord(store: Store, key: String, r: GenRecord): Unit = {
     val out = new BufferedWriter(new OutputStreamWriter(
       new GZIPOutputStream(store.createExclusive(key)), StandardCharsets.UTF_8))
     try {
@@ -123,7 +123,14 @@ object LakeVersions {
     """^graft-gen v1 table=(\S+) gen=(\d+) parent=(\d+) op=(\S+) intent=(\S+) at=(\d+)$""".r
 
   /** Strict parse; None = torn/absent/foreign — an UNCOMMITTED record
-    * (the crash-mid-CAS case), never wrong data. */
+    * (the crash-mid-CAS case), never wrong data. Deliberately UNCACHED:
+    * a committed record is immutable, but its SLOT is not — a table
+    * wiped and recreated (or a reclaimed torn slot) reuses generation
+    * numbers with different content, and a JVM-lifetime cache would
+    * serve the old table's snapshot. The read is one small object
+    * (tombstones self-prune after large retires, [[pruneChainIfLarge]]),
+    * the same cost class as the manifest header every listing already
+    * pays. */
   def readRecord(store: Store, table: String, gen: Long): Option[GenRecord] = {
     val raw = try store.open(genKey(table, gen))
               catch { case _: Exception => return None }
@@ -397,6 +404,22 @@ object LakeVersions {
         n
       } finally in.close()
     } catch { case _: Exception => -1L }
+
+  /** Removal-set size past which a retiring statement follows its
+    * physical deletes with one extra, tiny PRUNE commit: the commit's
+    * ordinary tombstone maintenance sees the keys gone and writes a
+    * head record WITHOUT them — otherwise a million-key retention pass
+    * would leave a million-line tombstone record that every scan
+    * re-reads until some unrelated commit happens along. Below the
+    * threshold the next commit's maintenance is cheap enough to wait
+    * for (readers subtract small sets for free). */
+  val PruneChainAbove = 512
+
+  def pruneChainIfLarge(store: Store, table: String, removedCount: Int): Unit =
+    if (removedCount > PruneChainAbove && !isRetained(store, table))
+      try { commit(store, table, op = "prune", removed = Nil,
+        validateLive = false); () }
+      catch { case _: LakeConcurrentModificationException => () }
 
   /** Which of `keys` still exist — grouped by hour prefix so a broad
     * set costs one LISTING per touched hour, not one probe per key

@@ -276,6 +276,71 @@ class LakeVersionsSpec extends SparkSuite {
       == (0L until 500L).sum + 2L * 250L)
   }
 
+  test("a LARGE retire self-prunes the chain: the head record's tombstones do not carry the million-key retention pass forever") {
+    val root =
+      s"file://${Files.createTempDirectory("graft-ver-prune").toFile.getAbsolutePath}"
+    val store = new HadoopStore(root)
+    import spark.implicits._
+    LakeWriter.write(
+      (0 until (LakeVersions.PruneChainAbove + 100))
+        .map(i => (i.toLong, i.toLong)).toDF("id", "vc").coalesce(1),
+      schema, root, Instant.parse("2024-07-01T08:00:00Z"),
+      maxRecordsPerObject = 1L)
+    val n = LakeReader.listTableKeys(store, "vt", None).size
+    assert(n > LakeVersions.PruneChainAbove)
+    val rep = LakeMaintenance.expire(store, "vt",
+      Instant.parse("2030-01-01T00:00:00Z"))
+    assert(rep.deleted == n)
+    val st = LakeVersions.listDir(store, "vt")
+    val head = LakeVersions.head(store, "vt", st).get
+    assert(head.op == "prune" && head.tombstones.isEmpty,
+      s"the retention pass must leave a pruned head: ${head.op} " +
+        s"tombstones=${head.tombstones.size}")
+    // and the small case deliberately does NOT add a second commit
+    LakeWriter.write(Seq((1L, 1L)).toDF("id", "vc").coalesce(1),
+      schema, root, Instant.parse("2024-07-02T08:00:00Z"))
+    LakeMaintenance.expire(store, "vt", Instant.parse("2031-01-01T00:00:00Z"))
+    val st2 = LakeVersions.listDir(store, "vt")
+    assert(LakeVersions.head(store, "vt", st2).get.op == "expire",
+      "a small retire waits for the next commit's maintenance")
+  }
+
+  test("generation records round-trip exactly (seeded randomized), and torn prefixes parse as ABSENT, never as wrong data") {
+    val root =
+      s"file://${Files.createTempDirectory("graft-ver-wire").toFile.getAbsolutePath}"
+    val store = new HadoopStore(root)
+    val rnd = new scala.util.Random(20260815L)
+    def key() = f"2024/07/${1 + rnd.nextInt(28)}%02d/${rnd.nextInt(24)}%02d/" +
+      s"vt/${new java.util.UUID(rnd.nextLong(), rnd.nextLong())}" +
+      (if (rnd.nextBoolean()) ".csv.gz" else ".csv")
+    for (i <- 1 to 50) {
+      val rec = LakeVersions.GenRecord("vt", i.toLong, i - 1L,
+        Seq("update", "delete", "merge", "compact", "overwrite")(rnd.nextInt(5)),
+        if (rnd.nextBoolean()) Some(java.util.UUID.randomUUID().toString) else None,
+        Seq.fill(rnd.nextInt(5))(key()), Seq.fill(rnd.nextInt(5))(key()),
+        Seq.fill(rnd.nextInt(3))(key()), Seq.fill(rnd.nextInt(8))(key()),
+        if (rnd.nextBoolean()) Some(Seq.fill(rnd.nextInt(10))(key()).sorted)
+        else None,
+        at = math.abs(rnd.nextLong()) % 4102444800000L)
+      // write through the same wire as commit() does
+      LakeVersions.writeRecord(store, LakeVersions.genKey("vt", i.toLong), rec)
+      assert(LakeVersions.readRecord(store, "vt", i.toLong).contains(rec),
+        s"round-trip at gen $i")
+      // every strict PREFIX of the gzip bytes is torn: parses as absent
+      if (i <= 3) {
+        val in = store.open(LakeVersions.genKey("vt", i.toLong))
+        val whole = try in.readAllBytes() finally in.close()
+        for (cut <- Seq(1, whole.length / 2, whole.length - 1)) {
+          val out = store.create(LakeVersions.genKey("vt", 999L))
+          out.write(whole.take(cut)); out.close()
+          assert(LakeVersions.readRecord(store, "vt", 999L).isEmpty,
+            s"torn prefix $cut of ${whole.length} must read as absent")
+        }
+        store.delete(LakeVersions.genKey("vt", 999L))
+      }
+    }
+  }
+
   private def chainMsg(e: Throwable): String =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
