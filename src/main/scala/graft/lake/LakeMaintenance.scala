@@ -415,17 +415,14 @@ object LakeMaintenance {
     * probe values must be non-null/non-empty ("" round-trips as NULL on
     * the wire). Candidate objects rewrite as CONCURRENT Spark jobs
     * (bounded pool, one job group — the [[compact]] discipline) since a
-    * years-old key can live in one object per hour. NOT atomic across
-    * objects: a crash mid-delete leaves some objects rewritten and
-    * others not — re-running the same delete is idempotent and
-    * completes the scope (rows already gone match nothing). The one
-    * crash window INSIDE an object — replacement published, original
-    * not yet retired — duplicates that object's kept rows only until
-    * the re-run: replacement keys are DERIVED from the original
-    * (name-based uuid), so the re-run republishes onto the same
-    * destination and retires the original, never minting a second copy.
-    * Surviving rows change `_object_key` provenance, exactly as under
-    * compaction. */
+    * years-old key can live in one object per hour; the PUBLISH is one
+    * statement-level [[LakeVersions]] commit — intent → renames → CAS —
+    * so the whole delete is atomic: a crash before the CAS never
+    * happened (intent-hidden replacements, janitor-swept), after it the
+    * originals are tombstone-excluded even while the physical retire is
+    * pending, and a racing commit on the same objects aborts one
+    * statement loudly instead of duplicating. Surviving rows change
+    * `_object_key` provenance, exactly as under compaction. */
   def deleteWhere(spark: SparkSession, store: Store, table: String,
                   column: String, values: Seq[Any],
                   hourRange: Option[(Instant, Instant)] = None,
@@ -515,19 +512,16 @@ object LakeMaintenance {
               store.rootUri, hour, gzip, maxRecordsPerObject = 0L,
               keyPrefix = s"$staging/", zoneMaps = zoneMaps,
               bloomColumns = bloomColumns)
-            val pairs = staged.zipWithIndex.map { case (w, i) =>
-              // the replacement key is DERIVED from the original (a
-              // name-based uuid), not minted fresh: if a previous run
-              // of this same delete crashed after ITS publish, the
-              // re-run republishes onto the SAME destination (cleared
-              // at publish time) instead of minting a second copy
-              val rel = w.key.stripPrefix(s"$staging/")
-              val cut = rel.lastIndexOf('/') + 1
-              val ext = rel.substring(cut).dropWhile(_ != '.')
-              val derived = java.util.UUID.nameUUIDFromBytes(
-                s"$key#delete_where#$i".getBytes("UTF-8"))
-              (w.key, rel.substring(0, cut) + derived + ext)
-            }
+            // FRESH replacement names (the staged uuids), never derived
+            // from the original: the generation pointer owns crash
+            // healing now (a pre-CAS crash leaves intent-hidden orphans
+            // the janitor sweeps; tombstones cover post-CAS), and
+            // deterministic names were actively UNSAFE under
+            // concurrency — two statements scanning the same original
+            // derive the same destination, so the loser's publish or
+            // cleanup could overwrite or delete the winner's live object
+            val pairs = staged.map(w =>
+              (w.key, w.key.stripPrefix(s"$staging/")))
             (key, nDel, nKeep, pairs)
           }
         }
@@ -545,7 +539,6 @@ object LakeMaintenance {
         LakeVersions.writeIntent(store, table, intentId, added)
         results.foreach { case (_, _, _, pairs) => pairs.foreach {
           case (stagedKey, dst) =>
-            deleteWithSidecar(store, dst) // re-run heal: clear the slot
             store.rename(stagedKey, dst)
             if (zoneMaps)
               store.rename(ZoneMaps.statsKey(stagedKey), ZoneMaps.statsKey(dst))

@@ -107,7 +107,7 @@ object LakeReader {
     if (excl.isEmpty) listed else listed.filterNot(excl)
   }
 
-  private def listTableKeysUnversioned(store: Store, table: String,
+  private[lake] def listTableKeysUnversioned(store: Store, table: String,
                     hourRange: Option[(java.time.Instant, java.time.Instant)]): Seq[String] = {
     // header first (a ranged-size read): a range entirely ABOVE the seal
     // point — the streaming-discovery hot path, whose frontier quickly
@@ -232,16 +232,32 @@ object LakeReader {
   /** [[read]] against an explicit [[Store]] (injectable for tests). */
   def readFrom(spark: SparkSession, store: Store, table: String,
                hourRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame = {
-    val keys = listTableKeys(store, table, hourRange)
+    val excl = LakeVersions.exclusions(store, table)
+    val listed = listTableKeysUnversioned(store, table, hourRange)
+    val keys = if (excl.isEmpty) listed else listed.filterNot(excl)
     // Hand Spark the distinct hour/table DIRECTORIES, not every object:
     // at lake scale the per-object path array (millions of entries) is
     // itself a driver burden; directory count is bounded by hours × tables.
     // ignoreMissingFiles: a scan racing LakeMaintenance.compact may plan an
     // object that compaction deletes before the task reads it — skip it
     // (its rows were republished in a compacted object) instead of failing.
-    readPaths(spark, store, table, keys,
-      keys.map(k => k.substring(0, k.lastIndexOf('/'))).distinct,
-      ignoreMissing = true)
+    def dirOf(k: String) = k.substring(0, k.lastIndexOf('/'))
+    if (excl.isEmpty)
+      readPaths(spark, store, table, keys, keys.map(dirOf).distinct,
+        ignoreMissing = true)
+    else {
+      // an hour holding an EXCLUDED key (tombstoned history, a crashed
+      // publish's intent-hidden — possibly half-copied — object) cannot
+      // take the directory shape: the glob would read the excluded
+      // bytes. Those hours plan PER-OBJECT — exact and robust to
+      // corrupt hidden files — while clean hours keep the bounded
+      // directory plan; excluded keys cluster in the few hours recent
+      // mutations touched, so the path array stays small.
+      val dirty = excl.map(dirOf)
+      val (dirtyKeys, cleanKeys) = keys.partition(k => dirty.contains(dirOf(k)))
+      readPaths(spark, store, table, keys,
+        cleanKeys.map(dirOf).distinct ++ dirtyKeys, ignoreMissing = true)
+    }
   }
 
   /** The lake as a STREAMING source: monitor `table`'s hour directories and

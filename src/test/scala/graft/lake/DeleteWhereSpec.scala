@@ -120,7 +120,7 @@ class DeleteWhereSpec extends SparkSuite {
       Seq("uA"), zoneMaps = true, bloomColumns = Seq("user"))
     assert(rep1.objectsRewritten == 1 && rep1.rowsDeleted == 5L)
     val replacement = LakeReader.listTableKeys(store, "dw", None).head
-    assert(replacement != mixed, "the replacement has a derived key")
+    assert(replacement != mixed, "the replacement has a fresh key")
     // simulate the crash-after-CAS state: the commit landed (the
     // original is tombstoned in the generation record) but its physical
     // retirement "never ran" — restore the original's bytes

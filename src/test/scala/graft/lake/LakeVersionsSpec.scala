@@ -135,6 +135,31 @@ class LakeVersionsSpec extends SparkSuite {
       s"compact's result only, every row exactly once: $r")
   }
 
+  test("two OVERLAPPING delete_where statements: the loser aborts and the winner's fresh-named replacements survive untouched") {
+    val (cat, root, store) = fixture()
+    land(root)
+    // both statements scan object 1 (ids 0..249): A deletes evens under
+    // 100, B deletes ids 0..9 — overlapping scopes, and pre-r14's
+    // name-DERIVED replacements would have collided here (the loser's
+    // publish/cleanup could overwrite or delete the winner's object)
+    val err = interleave {
+      LakeMaintenance.deleteWhereMulti(spark, store, "vt",
+        Seq("id" -> (0L until 100L by 2).map(x => x: Any)), zoneMaps = true); ()
+    } {
+      val rep = LakeMaintenance.deleteWhereMulti(spark, store, "vt",
+        Seq("id" -> (0L until 10L).map(x => x: Any)), zoneMaps = true)
+      assert(rep.rowsDeleted == 10L, s"$rep")
+    }
+    assert(err.isDefined, "the overlapped statement must abort")
+    val r = spark.table(s"$cat.vt")
+      .agg(count(lit(1)), countDistinct("id"), sum("vc")).head
+    assert(r.getLong(0) == 490 && r.getLong(1) == 490,
+      s"winner's delete only, every surviving row exactly once: $r")
+    assert(r.getLong(1) == 490 &&
+      r.getLong(2) == (10L until 500L).sum,
+      s"ids 0..9 gone, everything else intact: $r")
+  }
+
   test("a TORN generation record (crashed committer) is skipped by readers and its slot reclaimed by the next writer") {
     val (cat, root, store) = fixture()
     land(root)
