@@ -492,7 +492,8 @@ private[lake] object LakeProcedures {
           UTF8String.fromString(r.op),
           Integer.valueOf(r.removed.size), Integer.valueOf(r.added.size),
           Integer.valueOf(r.inserted.size),
-          java.lang.Boolean.valueOf(r.live.isDefined))
+          java.lang.Boolean.valueOf(r.live.isDefined),
+          java.lang.Long.valueOf(r.at * 1000L)) // millis -> micros
       }
       resultRows(StructType(Seq(
         StructField("gen", LongType, nullable = false),
@@ -500,7 +501,8 @@ private[lake] object LakeProcedures {
         StructField("removed", IntegerType, nullable = false),
         StructField("added", IntegerType, nullable = false),
         StructField("inserted", IntegerType, nullable = false),
-        StructField("has_snapshot", BooleanType, nullable = false))), rows)
+        StructField("has_snapshot", BooleanType, nullable = false),
+        StructField("committed_at", TimestampType, nullable = false))), rows)
     }
   }
 
