@@ -266,4 +266,32 @@ class InteractionSpec extends SparkSuite {
       .forall(_.startsWith("2024/06/10/09/")))
   }
 
+  test("retention × manifest: a seal over RETAINED history lists the dead keys, tombstones subtract them, time travel still reads them") {
+    val root = freshRoot()
+    land(root, "2024-06-10T08:00:00Z", 0 until 20)
+    land(root, "2024-06-10T09:00:00Z", 100 until 120)
+    val store = new HadoopStore(root)
+    val cat = s"ixret${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CALL $cat.system.set_retention(table => 'ix', retain => true)")
+    spark.sql(s"UPDATE $cat.ix SET v = v + 1 WHERE id % 7 = 2") // gen 2
+    // the replaced originals are RETAINED on disk; a fresh seal's raw
+    // walk lists them — the manifest-backed read must still subtract
+    // the tombstones and agree with the live view exactly
+    Manifests.seal(store, "ix", Instant.parse("2024-06-10T09:00:00Z"))
+    val live = LakeReader.listTableKeys(store, "ix", None).toSet
+    val raw = LakeReader.rawListTableKeys(store, "ix", None).toSet
+    assert(raw.size > live.size,
+      s"retained history must be ON DISK: raw ${raw.size} vs live ${live.size}")
+    assert(spark.table(s"$cat.ix").count() == 40)
+    assert(spark.table(s"$cat.ix")
+      .where(col("id") % 7 === 2 && col("v") % 10 =!= 1).count() == 0)
+    // and the PRE-DML generation still reads exactly, manifest present
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ix VERSION AS OF 1")
+      .head.getLong(0) == ((0L until 20L) ++ (100L until 120L)).map(_ * 10).sum)
+    assert(store.exists(Manifests.manifestKey("ix")),
+      "snapshot reads never invalidate the manifest")
+  }
+
 }
