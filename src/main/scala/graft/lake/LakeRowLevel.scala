@@ -432,6 +432,10 @@ final class LakeCowWrite(rootUri: String, lakeSchema: TableSchema,
         "graft-lake copy-on-write commit without a configured scan — " +
           "the ReplaceData read never planned, refusing to publish")
       val retired = op.cowScan.plannedKeys
+      // a statement that matched NOTHING (no groups scanned, no rows
+      // written) is a true no-op: never mint a generation for it — a
+      // no-op UPDATE must not turn a never-mutated table versioned
+      if (retired.isEmpty && staged.isEmpty) return
       // the CDC boundary: `ins/`-staged objects hold genuinely NEW rows
       // (MERGE INSERT) — a stream must always deliver them; the rest
       // are REWRITES of the retired groups' surviving rows, skippable

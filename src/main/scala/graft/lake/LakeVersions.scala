@@ -216,17 +216,19 @@ object LakeVersions {
     val st = listDir(store, table)
     if (st.gens.isEmpty && st.intents.isEmpty) return Set.empty
     val h = head(store, table, st)
-    val committed: Set[String] = {
-      // an intent survives its commit only across a crash window; the
-      // next commit heals — checking head AND parent covers the window
-      // without walking the chain on every scan
-      val hs = h.flatMap(_.intent).toSet
-      val ps = h.flatMap(r => readRecord(store, table, r.parent))
-        .flatMap(_.intent).toSet
-      hs ++ ps
-    }
-    val pending = st.intents.filterNot(committed)
-      .flatMap(id => readIntent(store, table, id)).flatten.toSet
+    val pending: Set[String] =
+      if (st.intents.isEmpty) Set.empty
+      else {
+        // an intent survives its commit only across a crash window; the
+        // next commit heals — checking head AND parent covers the
+        // window without walking the chain on every scan (and the
+        // parent record is read at all only while an intent exists)
+        val committed = h.flatMap(_.intent).toSet ++
+          h.flatMap(r => readRecord(store, table, r.parent))
+            .flatMap(_.intent).toSet
+        st.intents.filterNot(committed)
+          .flatMap(id => readIntent(store, table, id)).flatten.toSet
+      }
     h.map(_.tombstones.toSet).getOrElse(Set.empty) ++ pending
   }
 
@@ -365,11 +367,16 @@ object LakeVersions {
                     false }
       if (won) {
         // heal: every intent whose commit is on the chain has served its
-        // purpose (including ours) — delete so readers stop consulting it
-        val onChain = (st.gens :+ rec.gen).flatMap(g =>
-          readRecord(store, table, g)).flatMap(_.intent).toSet
-        st.intents.filter(onChain).foreach(id =>
-          store.delete(intentKey(table, id)))
+        // purpose (including ours) — delete so readers stop consulting
+        // it. The chain walk runs only while foreign intents exist (the
+        // crash-window case); the common commit deletes just its own.
+        val foreign = st.intents.filterNot(intentId.contains)
+        if (foreign.nonEmpty) {
+          val onChain = st.gens.flatMap(g =>
+            readRecord(store, table, g)).flatMap(_.intent).toSet
+          foreign.filter(onChain).foreach(id =>
+            store.delete(intentKey(table, id)))
+        }
         intentId.foreach(id => store.delete(intentKey(table, id)))
         return rec
       }
