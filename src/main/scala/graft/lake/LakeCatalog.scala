@@ -93,22 +93,19 @@ final class LakeCatalog extends TableCatalog with ProcedureCatalog {
     new LakeTable(root, ident.name(), reconcile = reconcile)
   }
 
-  /** `SELECT ... FROM lake.t VERSION AS OF <gen>` — time travel on the
-    * generation pointer ([[LakeVersions]]): the scan plans generation
-    * N's retained snapshot; mutations against the resolved table
-    * refuse. Needs `CALL lake.system.set_retention(..., retain => true)`
-    * BEFORE the commits to travel across (the loud error names it). */
+  /** `SELECT ... FROM lake.t VERSION AS OF <gen | 'tag'>` — time travel
+    * on the generation pointer ([[LakeVersions]]): a number names a
+    * generation, anything else a TAG (`CALL lake.system.tag` — the
+    * training-run label). The scan plans that generation's retained
+    * snapshot; mutations against the resolved table refuse. Needs
+    * `CALL lake.system.set_retention(..., retain => true)` BEFORE the
+    * commits to travel across (the loud error names it). */
   override def loadTable(ident: Identifier, version: String): Table = {
     requireFlat(ident.namespace())
-    val gen = try version.trim.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft-lake: VERSION AS OF wants a generation number " +
-          s"(CALL $catName.system.history(table => '${ident.name()}') " +
-          s"lists them), got '$version'")
-    }
     val store = new HadoopStore(root)
     if (LakeReader.firstTableKey(store, ident.name()).isEmpty)
       throw new NoSuchTableException(ident)
+    val gen = LakeVersions.resolveVersion(store, ident.name(), version)
     new LakeTable(root, ident.name(), reconcile = reconcile,
       asOfGeneration = Some(gen))
   }
@@ -182,7 +179,8 @@ private[lake] object LakeProcedures {
 
   val Names: Seq[String] = Seq("compact", "expire", "ensure_indexes",
     "seal_manifest", "retire_objects", "delete_where", "sweep_staging",
-    "stats", "set_retention", "expire_versions", "history")
+    "stats", "set_retention", "expire_versions", "history", "tag",
+    "drop_tag")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(new CompactProcedure(root))
@@ -196,6 +194,8 @@ private[lake] object LakeProcedures {
     case "set_retention" => Some(new SetRetentionProcedure(root))
     case "expire_versions" => Some(new ExpireVersionsProcedure(root))
     case "history" => Some(new HistoryProcedure(root))
+    case "tag" => Some(new TagProcedure(root))
+    case "drop_tag" => Some(new DropTagProcedure(root))
     case _ => None
   }
 
@@ -471,6 +471,54 @@ private[lake] object LakeProcedures {
         StructField("objects_reclaimed", IntegerType, nullable = false))),
         Integer.valueOf(rep.recordsDropped),
         Integer.valueOf(rep.objectsReclaimed))
+    }
+  }
+
+  private final class TagProcedure(root: String)
+      extends MaintenanceProcedure("tag") {
+    override def description(): String =
+      "NAME a retained generation (the training-run label): VERSION AS " +
+        "OF 'name' reads it, and expire_versions keeps it until " +
+        "drop_tag; gen defaults to the current head"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("gen", LongType).defaultValue("-1").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = new HadoopStore(root)
+      val table = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val gen = input.getLong(2) match {
+        case -1L =>
+          val st = LakeVersions.listDir(store, table)
+          LakeVersions.head(store, table, st).map(_.gen).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-lake: '$table' has no committed generation to tag"))
+        case g => g
+      }
+      LakeVersions.setTag(store, table, name, gen)
+      result(StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("gen", LongType, nullable = false))),
+        UTF8String.fromString(name), java.lang.Long.valueOf(gen))
+    }
+  }
+
+  private final class DropTagProcedure(root: String)
+      extends MaintenanceProcedure("drop_tag") {
+    override def description(): String =
+      "Drop a tag: the generation it pinned becomes reclaimable by " +
+        "expire_versions (idempotent)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val name = input.getUTF8String(1).toString
+      LakeVersions.dropTag(new HadoopStore(root),
+        input.getUTF8String(0).toString, name)
+      result(StructType(Seq(
+        StructField("dropped", StringType, nullable = false))),
+        UTF8String.fromString(name))
     }
   }
 

@@ -476,6 +476,70 @@ object LakeVersions {
       .find(_.at <= millis).map(_.gen)
   }
 
+  // --------------------------------------------------------------- tags
+
+  def tagKey(table: String, name: String): String = s"${dir(table)}/tag-$name"
+
+  private val TagNameRe = "[A-Za-z0-9._-]{1,64}".r
+
+  /** NAME a generation — `VERSION AS OF 'run-2026-08-alpha'`: the
+    * training-run label a reproducibility audit actually keys on, so
+    * nobody has to remember that run X trained on generation 7. A
+    * tagged generation is PINNED: [[expireVersions]] keeps its record
+    * and its snapshot's objects until the tag is dropped. Tags resolve
+    * at read time (one small object), are freely re-assignable
+    * (re-tagging overwrites — a tag is a name, not a commit), and live
+    * beside the chain under `_versions/<table>/tag-<name>`. */
+  def setTag(store: Store, table: String, name: String, gen: Long): Unit = {
+    require(TagNameRe.pattern.matcher(name).matches(),
+      s"graft-lake: tag names are [A-Za-z0-9._-]{1,64}, got '$name'")
+    val rec = readRecord(store, table, gen).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake: cannot tag generation $gen of '$table' — it never " +
+          s"committed or was reclaimed (present: " +
+          s"${listDir(store, table).gens.mkString(", ")})"))
+    require(rec.live.isDefined,
+      s"graft-lake: generation $gen of '$table' carries no snapshot — " +
+        "a tag must name a retained generation (set_retention first)")
+    val out = store.create(tagKey(table, name))
+    try out.write(s"graft-tag v1 gen=$gen\n".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def dropTag(store: Store, table: String, name: String): Unit =
+    store.delete(tagKey(table, name))
+
+  private val TagRe = """^graft-tag v1 gen=(\d+)$""".r
+
+  def readTag(store: Store, table: String, name: String): Option[Long] = {
+    val raw = try store.open(tagKey(table, name))
+              catch { case _: Exception => return None }
+    try {
+      val line = new BufferedReader(new InputStreamReader(raw,
+        StandardCharsets.UTF_8)).readLine()
+      TagRe.findFirstMatchIn(Option(line).getOrElse("")).map(_.group(1).toLong)
+    } catch { case _: Exception => None }
+    finally { try raw.close() catch { case _: Exception => () } }
+  }
+
+  /** Every tag of `table`: name → generation. */
+  def listTags(store: Store, table: String): Map[String, Long] =
+    store.list(dir(table)).map(_.stripPrefix(dir(table) + "/"))
+      .collect { case t if t.startsWith("tag-") => t.stripPrefix("tag-") }
+      .flatMap(n => readTag(store, table, n).map(n -> _)).toMap
+
+  /** Resolve a `VERSION AS OF` string: a number is a generation, any
+    * other name is a tag — loud when neither resolves. */
+  def resolveVersion(store: Store, table: String, version: String): Long = {
+    val v = version.trim
+    if (v.nonEmpty && v.forall(_.isDigit)) v.toLong
+    else readTag(store, table, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake: '$v' is neither a generation number nor a tag of " +
+          s"'$table' (tags: ${listTags(store, table).keys.toSeq.sorted
+            .mkString(", ")})"))
+  }
+
   /** Enable/disable history retention: with the marker set, mutating
     * commits keep their replaced originals on disk and record full
     * live snapshots; [[expireVersions]] reclaims. ENABLING commits a
@@ -513,7 +577,10 @@ object LakeVersions {
     val h = head(store, table, st).getOrElse(
       return ExpireVersionsReport(0, 0, Nil))
     val cut = h.gen - keepLast + 1
-    val (drop, keep) = st.gens.partition(_ < cut)
+    // TAGGED generations are pinned: a named training corpus survives
+    // reclamation until its tag is dropped
+    val tagged = listTags(store, table).values.toSet
+    val (drop, keep) = st.gens.partition(g => g < cut && !tagged.contains(g))
     val keptRecords = keep.flatMap(g => readRecord(store, table, g))
     val needed: Set[String] =
       keptRecords.flatMap(r => r.live.getOrElse(Nil)).toSet ++

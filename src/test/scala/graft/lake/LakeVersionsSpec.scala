@@ -301,6 +301,48 @@ class LakeVersionsSpec extends SparkSuite {
       == (0L until 500L).sum + 2L * 250L)
   }
 
+  test("TAGS name generations: VERSION AS OF 'run-label' resolves, expire_versions keeps tagged history, drop_tag releases it") {
+    val (cat, root, store) = fixture()
+    land(root)
+    spark.sql(s"CALL $cat.system.set_retention(table => 'vt', retain => true)")
+    spark.sql(s"UPDATE $cat.vt SET vc = vc + 7 WHERE id < 100") // gen 2
+    spark.sql(s"CALL $cat.system.tag(table => 'vt', name => 'run-alpha')")
+    spark.sql(s"UPDATE $cat.vt SET vc = vc + 11 WHERE id < 100") // gen 3
+    spark.sql(s"UPDATE $cat.vt SET vc = vc + 13 WHERE id < 100") // gen 4
+    // the tag reads as the generation it names
+    val base = (0L until 500L).sum
+    assert(spark.sql(s"SELECT sum(vc) FROM $cat.vt VERSION AS OF 'run-alpha'")
+      .head.getLong(0) == base + 7L * 100L)
+    // reclamation PINS the tagged generation...
+    val rep = spark.sql(
+      s"CALL $cat.system.expire_versions(table => 'vt', keep_last => 1)")
+      .collect().head
+    assert(rep.getInt(0) >= 1, rep.toSeq.toString)
+    assert(spark.sql(s"SELECT sum(vc) FROM $cat.vt VERSION AS OF 'run-alpha'")
+      .head.getLong(0) == base + 7L * 100L,
+      "a tagged corpus survives reclamation")
+    intercept[Exception] { spark.sql(
+      s"SELECT * FROM $cat.vt VERSION AS OF 1").collect() } // untagged: gone
+    // ...until the tag is dropped
+    spark.sql(s"CALL $cat.system.drop_tag(table => 'vt', name => 'run-alpha')")
+    spark.sql(s"CALL $cat.system.expire_versions(table => 'vt', keep_last => 1)")
+    val e = intercept[Exception] { spark.sql(
+      s"SELECT * FROM $cat.vt VERSION AS OF 'run-alpha'").collect() }
+    assert(chainMsg(e).contains("neither a generation number nor a tag"),
+      chainMsg(e))
+    // guards: hostile names refuse, unretained generations refuse
+    intercept[Exception] {
+      LakeVersions.setTag(store, "vt", "../escape", 2L)
+    }
+    val bare = fixture()
+    land(bare._2)
+    spark.sql(s"UPDATE ${bare._1}.vt SET vc = 0 WHERE id = 1") // no retention
+    val e2 = intercept[Exception] {
+      LakeVersions.setTag(bare._3, "vt", "run-beta", 1L)
+    }
+    assert(e2.getMessage.contains("set_retention"), e2.getMessage)
+  }
+
   test("a LARGE retire self-prunes the chain: the head record's tombstones do not carry the million-key retention pass forever") {
     val root =
       s"file://${Files.createTempDirectory("graft-ver-prune").toFile.getAbsolutePath}"
