@@ -1,0 +1,94 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+
+/** INCREMENTAL CHANGES between retained snapshots — the change-data-feed
+  * read of the version chain (the Delta CDF / Iceberg incremental-scan
+  * idea on the lake's generation records): "exactly what changed since
+  * training run A" as one bounded read, the companion primitive to
+  * `VERSION AS OF` (which answers "exactly what run A saw").
+  *
+  * '''The plan is metadata-first''': the two snapshots' LIVE KEY LISTS
+  * (generation records, [[LakeVersions.liveAt]]) diff at the OBJECT
+  * level — only keys on exactly one side are read at all. Surviving
+  * rows that a rewrite merely COPIED into a replacement object appear
+  * on both sides and cancel in one `exceptAll` per direction, so the
+  * result is exact ROW-level change:
+  *
+  *  - `insert` rows: present now (or at `to`), absent at `from` —
+  *    appends, MERGE/overwrite inserts, and the post-values of updates;
+  *  - `delete` rows: present at `from`, absent now — deletions and the
+  *    pre-values of updates (an update is delete+insert, the CDF
+  *    convention without a before/after image column; an hour MOVE
+  *    shows the same way).
+  *
+  * Cost scales with CHANGED objects, never table size (a full-table
+  * compaction between the snapshots degrades this to a bounded
+  * full-diff — rows still cancel exactly). Row identity is the table's
+  * columns + `_event_hour`; `_object_key` is deliberately NOT identity
+  * (rewrites change it by construction). Multiset semantics throughout:
+  * duplicate rows count, `exceptAll` subtracts occurrences.
+  *
+  * Needs history retention ([[LakeVersions.setRetain]]) — the `from`
+  * snapshot must still name live bytes; loud errors name the remedy
+  * (the liveAt contract). */
+object LakeChanges {
+
+  val ChangeTypeCol = "_change_type"
+
+  /** Changes between retained generation/tag `from` and the CURRENT
+    * table (the common shape: "what moved since run A"). */
+  def since(spark: SparkSession, rootUri: String, table: String,
+            from: String): DataFrame = {
+    val store = new HadoopStore(rootUri)
+    val fromKeys = LakeVersions.liveAt(store, table,
+      LakeVersions.resolveVersion(store, table, from))
+    diff(spark, store, table, fromKeys,
+      LakeReader.listTableKeys(store, table, None))
+  }
+
+  /** Changes between two retained generations/tags, `(from, to]`. */
+  def between(spark: SparkSession, rootUri: String, table: String,
+              from: String, to: String): DataFrame = {
+    val store = new HadoopStore(rootUri)
+    val f = LakeVersions.resolveVersion(store, table, from)
+    val t = LakeVersions.resolveVersion(store, table, to)
+    require(f <= t, s"graft-lake changes: from (gen $f) must be <= to (gen $t)")
+    diff(spark, store, table,
+      LakeVersions.liveAt(store, table, f),
+      LakeVersions.liveAt(store, table, t))
+  }
+
+  private def diff(spark: SparkSession, store: Store, table: String,
+                   fromKeys: Seq[String], toKeys: Seq[String]): DataFrame = {
+    val old = fromKeys.toSet
+    val cur = toKeys.toSet
+    val gone = (old -- cur).toSeq.sorted
+    val fresh = (cur -- old).toSeq.sorted
+    // the schema must resolve even when one side is empty; a read of
+    // ZERO keys cannot (readKeys requires objects) — build the empty
+    // frame off the other side's schema
+    def rows(keys: Seq[String], other: Seq[String]): DataFrame =
+      if (keys.nonEmpty) LakeReader.readKeys(spark, store, table, keys)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        LakeReader.readKeys(spark, store, table, other).schema)
+    if (gone.isEmpty && fresh.isEmpty) {
+      // no object changed — an empty, correctly-shaped feed (the table
+      // must exist for the schema; firstTableKey enforces like any read)
+      val k = LakeReader.firstTableKey(store, table)
+        .orElse(cur.headOption).getOrElse(throw new IllegalArgumentException(
+          s"no lake objects for table $table under ${store.rootUri}"))
+      val shape = LakeReader.readKeys(spark, store, table, Seq(k)).schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
+        .withColumn(ChangeTypeCol, lit("insert")).limit(0)
+    }
+    val before = rows(gone, fresh)
+    val after = rows(fresh, gone)
+    after.exceptAll(before).withColumn(ChangeTypeCol, lit("insert"))
+      .unionByName(
+        before.exceptAll(after).withColumn(ChangeTypeCol, lit("delete")))
+  }
+}

@@ -124,6 +124,14 @@ object LakeDataSource {
     * present in a scan's required schema only when selected. */
   val ObjectKeyCol = "_object_key"
 
+  /** Row POSITION within its object (0-based data-record ordinal) — the
+    * second provenance metadata column. `(_object_key, _row_pos)` is a
+    * stable row identity for an immutable rolled object, which is what
+    * the delta-based MERGE keys its row-level changes on ([[LakeDelta]]
+    * — the Iceberg position-delta `_file`/`_pos` idea on the lake's key
+    * layout). Costs nothing unless selected. */
+  val RowPosCol = "_row_pos"
+
   private[lake] def outputStruct(schema: TableSchema): StructType =
     StructType(schema.structType.fields :+
       // key-derived, never null — matching LakeReader.read's nullability
@@ -273,13 +281,21 @@ final class LakeTable(rootUri: String, tableName: String,
     * gap, not a connector choice). */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = LakeDataSource.ObjectKeyCol
-      override def dataType(): org.apache.spark.sql.types.DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "lake object key (YYYY/MM/DD/HH/table/uuid) this row was read from"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = LakeDataSource.ObjectKeyCol
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "lake object key (YYYY/MM/DD/HH/table/uuid) this row was read from"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = LakeDataSource.RowPosCol
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "0-based data-record ordinal of this row within its lake object"
+      })
   private lazy val lakeSchema: TableSchema =
     preResolved.getOrElse(
       if (reconcile)
@@ -1263,9 +1279,15 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
   // type drift fails loudly (the reconciledGroups merge contract).
   private val hourMicros: java.lang.Long = java.lang.Long.valueOf(part.hourMillis * 1000L)
   private val keyUtf8 = UTF8String.fromString(part.key)
+  // 0-based ordinal of the CURRENT data record (headers/blank/comment
+  // lines never count — the position is the row's index in the object's
+  // logical row sequence, the one [[LakeDelta]]'s rewrite re-derives)
+  private var rowPos: Long = -1L
   private val getters: Array[Array[String] => Any] = required.fields.map { f =>
     if (f.name == LakeDataSource.EventHourCol) { (_: Array[String]) => hourMicros }
     else if (f.name == LakeDataSource.ObjectKeyCol) { (_: Array[String]) => keyUtf8 }
+    else if (f.name == LakeDataSource.RowPosCol) { (_: Array[String]) =>
+      java.lang.Long.valueOf(rowPos) }
     else if (!reconcile) {
       val i = lakeSchema.columnNames.indexOf(f.name)
       require(i >= 0, s"column ${f.name} not in lake table ${lakeSchema.name}")
@@ -1299,6 +1321,7 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
     val rec = LakeObjectReader.readRecord(rd)
     if (rec == null) false
     else {
+      rowPos += 1L
       val vals = new Array[Any](getters.length)
       var i = 0
       while (i < getters.length) { vals(i) = getters(i)(rec); i += 1 }

@@ -33,8 +33,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     like `CALL lake.system.delete_where`;
   *
   *  2. the COPY-ON-WRITE path ([[LakeRowLevelOperation]],
-  *     `SupportsRowLevelOperations`, GROUP-based): everything else —
-  *     arbitrary-predicate DELETE, every UPDATE, every MERGE — via
+  *     `SupportsRowLevelOperations`, GROUP-based): arbitrary-predicate
+  *     DELETE and every UPDATE (MERGE takes the position-DELTA path —
+  *     [[LakeDelta]], [[LakeDeltaOperation]]) — via
   *     Spark's ReplaceData rewrite: the operation's SCAN plans the
   *     affected objects (static bloom/band pruning from the pushed
   *     condition, then EXACT group runtime filtering — Spark's own
@@ -53,12 +54,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * grain; NULL `_event_hour` fails loudly). MERGE INSERT rows land
   * under their stated hour the same way.
   *
-  * Crash window: replacements publish before originals retire — a
-  * crash between the two duplicates the rewritten groups' kept rows
-  * until re-run, the same window [[LakeMaintenance.compact]] documents
-  * (an atomic swap needs a versioned snapshot pointer the wire format
-  * does not have; `_object_key` auditing finds the duplicates, and
-  * both halves are idempotent renames/deletes). Schema-evolution
+  * Atomicity: every multi-object statement here commits through the
+  * [[LakeVersions]] protocol (intent → publish renames → CAS → retire)
+  * — visibility flips at one create-exclusive, racing writers abort
+  * loudly, and the old publish-then-retire crash window is gone (a
+  * pre-CAS crash never happened; a post-CAS interrupted retire is
+  * invisible and finished by the next commit). Schema-evolution
   * (`reconcile`) tables REFUSE row-level SQL: a drifted object cannot
   * round-trip byte-faithfully through the strict writer — compact the
   * table onto one header first. */
@@ -387,12 +388,21 @@ final class LakeRowLevelOperation(rootUri: String, tableName: String,
   }
 }
 
+/** Picks the rewrite shape per command: MERGE takes the DELTA path
+  * ([[LakeDeltaOperation]] — exact per-row ops, changed rows only, exact
+  * CDC); UPDATE and arbitrary DELETE stay GROUP-based (their output
+  * derives entirely from scanned groups, so the group rewrite is already
+  * CDC-exact, and Spark's runtime group filtering bounds it to proven
+  * objects). */
 final class LakeRowLevelOperationBuilder(rootUri: String, tableName: String,
                                          lakeSchema: TableSchema,
                                          info: RowLevelOperationInfo)
     extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new LakeRowLevelOperation(rootUri, tableName, lakeSchema, info.command())
+    if (info.command() == RowLevelOperation.Command.MERGE)
+      new LakeDeltaOperation(rootUri, tableName, lakeSchema)
+    else
+      new LakeRowLevelOperation(rootUri, tableName, lakeSchema, info.command())
 }
 
 /** The ReplaceData write: stages every task's rows into per-hour rolled
@@ -533,19 +543,14 @@ final class LakeCowDataWriter(rootUri: String, lakeSchema: TableSchema,
 
   /** The CDC routing decision. UPDATE/DELETE output derives entirely
     * from scanned groups — pure REWRITES, recorded as `added` so a
-    * stream that already delivered the originals skips them. MERGE
-    * output mixes survivors with genuinely-NEW rows (the not-matched
-    * arm), and Spark's group-based ReplaceData write carries ONLY the
-    * table columns (verified empirically: no `_object_key` reaches the
-    * write schema for any command), so the two are indistinguishable
-    * per row — EVERY MERGE row routes to the `ins/`-staged objects and
-    * is recorded `inserted`: always delivered. The trade is explicit
-    * and safe-sided: MERGE under an active stream re-delivers the
-    * rewritten groups' surviving rows (at-least-once) rather than ever
-    * losing an insert; UPDATE/DELETE/compact/delete_where — the common
-    * CDC shapes — stay exactly-once. The `_object_key` null-check
-    * below is future-proofing: a Spark that does project metadata into
-    * the MERGE write upgrades the routing to per-row exactness. */
+    * stream that already delivered the originals skips them. MERGE no
+    * longer reaches this writer at all (since r15 it rides the
+    * position-delta path, [[LakeDelta]], whose per-row ops make the
+    * rewrite/insert split exact); the `ins/` routing below is kept as
+    * DEFENSE: if a group-based MERGE write were ever planned again
+    * (a Spark behavior change, a future command), mixing survivors
+    * with genuinely-new rows, every such row records `inserted` —
+    * always delivered, never lost. */
   private val objKeyIdx: Option[Int] =
     if (inSchema.fieldNames.contains(LakeDataSource.ObjectKeyCol))
       Some(inSchema.fieldIndex(LakeDataSource.ObjectKeyCol))

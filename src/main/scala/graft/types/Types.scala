@@ -98,9 +98,10 @@ final case class TableSchema(name: String, columns: Seq[(String, ColType)]) {
   // by the derived value on every connector read, so refuse it at schema
   // declaration, where the mistake is made
   require(
-    columns.forall { case (n, _) => n != "_event_hour" && n != "_object_key" },
-    s"table $name: _event_hour and _object_key are reserved (key-derived " +
-      "on every lake read)")
+    columns.forall { case (n, _) =>
+      n != "_event_hour" && n != "_object_key" && n != "_row_pos" },
+    s"table $name: _event_hour, _object_key and _row_pos are reserved " +
+      "(key/position-derived on every lake read)")
 
   def columnNames: Seq[String] = columns.map(_._1)
   def colTypes: Seq[ColType]   = columns.map(_._2)

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
 
 /** SQL DML through the catalog ([[LakeRowLevel]]): DELETE takes the
   * metadata path when the condition translates exactly (probe / hour
-  * range / object keys — zero non-matching objects rewritten), and
-  * everything else — arbitrary DELETE, UPDATE, MERGE — rewrites
-  * copy-on-write through Spark's ReplaceData with EXACT group runtime
-  * filtering on `_object_key`. */
+  * range / object keys — zero non-matching objects rewritten);
+  * arbitrary DELETE and UPDATE rewrite copy-on-write through Spark's
+  * ReplaceData with EXACT group runtime filtering on `_object_key`;
+  * MERGE takes the position-DELTA path (WriteDelta, [[LakeDelta]] —
+  * plan gates and delta-specific semantics in LakeDeltaSpec). */
 class LakeDmlSpec extends SparkSuite {
 
   private val schema = TableSchema("ev", Seq(
@@ -247,7 +248,8 @@ class LakeDmlSpec extends SparkSuite {
          |WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
          |WHEN NOT MATCHED THEN INSERT (id, tag, v, _event_hour)
          |  VALUES (s.id, s.tag, s.v, s._event_hour)""".stripMargin)
-    assert(m.queryExecution.executedPlan.toString.contains("ReplaceData"))
+    assert(m.queryExecution.executedPlan.toString.contains("WriteDelta"),
+      "MERGE takes the delta path")
     assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) == 505)
     assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE tag = 'm'")
       .head.getLong(0) == 15)
@@ -382,7 +384,7 @@ class LakeDmlSpec extends SparkSuite {
     assert(keysOf(store).size == keys.size - 6)
   }
 
-  test("MERGE arms: MATCHED DELETE and NOT MATCHED BY SOURCE rewrite through the same COW write") {
+  test("MERGE arms: MATCHED DELETE and NOT MATCHED BY SOURCE apply through the delta write") {
     val (cat, root, _) = fixture()
     land(root, "2024-07-01T08:00:00Z", 0, 500)
     import spark.implicits._

@@ -584,12 +584,13 @@ class LakeStreamSpec extends SparkSuite {
       s"${got.sorted.mkString(",")}")
     // the TABLE sees the update (the skip is a stream decision only)
     assert(spark.table(s"$cat.st").where(col("tag") === "upd").count() == 10)
-    // MERGE: its write mixes survivors with genuinely-new rows and
-    // Spark's group-based ReplaceData write carries no row provenance —
-    // so every MERGE object records as `inserted` (always delivered):
-    // the NOT MATCHED rows arrive exactly once, and the rewritten
-    // group's survivors re-deliver (at-least-once, the documented
-    // safe side — never a lost insert, never a silent skip)
+    // MERGE rides the DELTA path (LakeDelta): per-row ops split updated
+    // /surviving rows (`added` — rewrites, skippable once their
+    // provenance delivered) from the NOT MATCHED inserts (`inserted` —
+    // always delivered). Pre-r15 the group-based write had no row
+    // provenance and the rewritten group's survivors re-delivered
+    // (at-least-once); now MERGE is exactly-once per logical row, the
+    // same contract as UPDATE/DELETE/compact.
     import spark.implicits._
     val hot = java.sql.Timestamp.from(Instant.parse("2024-06-10T08:00:00Z"))
     ((0L until 5L).map(i => (i, "m")) ++ (100L until 105L).map(i => (i, "ins")))
@@ -601,19 +602,17 @@ class LakeStreamSpec extends SparkSuite {
          |WHEN NOT MATCHED THEN INSERT (id, tag, _event_hour)
          |  VALUES (s.id, s.tag, s._event_hour)""".stripMargin)
     q.processAllAvailable()
-    // the UPDATE's earlier replacement (ids 0..14) was the one group
-    // the MERGE rewrote — its survivors re-deliver with the 5 inserts
-    assert(got.sorted ==
-      ((0L until 30L) ++ (0L until 15L) ++ (100L until 105L)).sorted,
-      s"MERGE: inserts exactly once, rewritten group at-least-once, " +
-        s"NOTHING lost: ${got.sorted.mkString(",")}")
+    assert(got.sorted == ((0L until 30L) ++ (100L until 105L)).sorted,
+      s"MERGE: inserts exactly once, updated/surviving rows NEVER " +
+        s"re-deliver: ${got.sorted.mkString(",")}")
+    // the TABLE sees the merge
+    assert(spark.table(s"$cat.st").where(col("tag") === "m").count() == 5)
     // plain appends keep flowing
     land(root, "2024-06-10T09:00:00Z", 200 until 210)
     q.processAllAvailable()
     q.stop()
     assert(got.sorted ==
-      ((0L until 30L) ++ (0L until 15L) ++ (100L until 105L) ++
-        (200L until 210L)).sorted,
+      ((0L until 30L) ++ (100L until 105L) ++ (200L until 210L)).sorted,
       "appends after DML flow normally")
   }
 

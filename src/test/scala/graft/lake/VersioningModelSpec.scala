@@ -65,8 +65,30 @@ class VersioningModelSpec extends SparkSuite {
     }
 
     for (step <- 1 to 30) {
-      val what = rnd.nextInt(10) match {
+      val what = rnd.nextInt(12) match {
         case 0 | 1 => append()
+        case 10 | 11 => // MERGE (position-delta): both arms against
+          // whatever state exists — matched ids bump vc, source ids the
+          // table lacks (including previously DELETED ones) insert
+          val (m, r, k) = (3 + rnd.nextInt(5), rnd.nextInt(3), 1 + rnd.nextInt(100))
+          val hour = Seq(HourA, HourB)(rnd.nextInt(2))
+          val srcIds = (0L until nextId).filter(_ % m == r)
+          if (srcIds.isEmpty) "noop" else {
+            srcIds.toDF("sid").createOrReplaceTempView("vm_merge_src")
+            spark.sql(
+              s"""MERGE INTO $cat.mv t USING vm_merge_src s ON t.id = s.sid
+                 |WHEN MATCHED THEN UPDATE SET vc = vc + $k
+                 |WHEN NOT MATCHED THEN INSERT (id, vc, _event_hour)
+                 |  VALUES (s.sid, 7, TIMESTAMP '$hour')
+                 |""".stripMargin)
+            srcIds.foreach { i =>
+              model.get(i) match {
+                case Some((v, h)) => model(i) = (v + k, h)
+                case None => model(i) = (7L, hour)
+              }
+            }
+            s"merge %$m=$r +$k ins@$hour"
+          }
         case 2 | 3 => // COW UPDATE
           val (m, r, k) = (2 + rnd.nextInt(6), rnd.nextInt(2), 1 + rnd.nextInt(1000))
           spark.sql(s"UPDATE $cat.mv SET vc = vc + $k WHERE id % $m = $r")
