@@ -125,7 +125,8 @@ object Bench {
       "l18_lake_dsv2_runtime_prune", "l19_lake_dsv2_agg_pushdown",
       "l22_lake_hour_clustered_agg", "l23_lake_stream_read",
       "l27_lake_stream_pruned_backfill", "l30_lake_sql_update",
-      "l34_lake_time_travel", "t18_heavy_hitters")
+      "l31_lake_sql_merge", "l34_lake_time_travel",
+      "l35_lake_changes_feed", "t18_heavy_hitters")
     val metered: Map[String, Meter.Metrics] = meterSet.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         try {

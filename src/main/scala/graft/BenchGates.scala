@@ -66,6 +66,17 @@ object BenchGates {
     // key resolution or its band pruning (scanning live + retained
     // history wholesale) jumps an order over this ceiling
     "l34_lake_time_travel" -> Ceiling(Some(3 * MB), None),
+    // 0.25 MB in / 4.1 MB shuffled (round 15): the position-delta MERGE
+    // ships only CHANGED rows (matched updates + inserts) through the
+    // plan and the patch shuffle — a fallback to a group-based rewrite
+    // (every row of every touched object through the exchange) blows
+    // the shuffle ceiling an order of magnitude
+    "l31_lake_sql_merge" -> Ceiling(Some(2 * MB), Some(16 * MB)),
+    // 29.7 MB in / 7.4 MB shuffled (round 15): the changes feed reads
+    // gone+fresh objects ONCE and diffs in ONE signed-count shuffle;
+    // a second read per side (the naive exceptAll-per-direction) or a
+    // full-history walk breaks these
+    "l35_lake_changes_feed" -> Ceiling(Some(60 * MB), Some(20 * MB)),
   )
 
   /** Human-readable violations; empty = all metered queries in bounds.

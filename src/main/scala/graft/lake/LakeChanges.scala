@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{abs, col, explode, lit, sequence, sum, when}
 
 /** INCREMENTAL CHANGES between retained snapshots — the change-data-feed
   * read of the version chain (the Delta CDF / Iceberg incremental-scan
@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions.lit
   * (generation records, [[LakeVersions.liveAt]]) diff at the OBJECT
   * level — only keys on exactly one side are read at all. Surviving
   * rows that a rewrite merely COPIED into a replacement object appear
-  * on both sides and cancel in one `exceptAll` per direction, so the
-  * result is exact ROW-level change:
+  * on both sides and cancel in ONE signed-count aggregation (each
+  * changed object read once, one shuffle — a naive
+  * exceptAll-per-direction reads every object twice and shuffles
+  * twice), so the result is exact ROW-level change:
   *
   *  - `insert` rows: present now (or at `to`), absent at `from` —
   *    appends, MERGE/overwrite inserts, and the post-values of updates;
@@ -87,8 +89,22 @@ object LakeChanges {
     }
     val before = rows(gone, fresh)
     val after = rows(fresh, gone)
-    after.exceptAll(before).withColumn(ChangeTypeCol, lit("insert"))
-      .unionByName(
-        before.exceptAll(after).withColumn(ChangeTypeCol, lit("delete")))
+    // signed multiset difference: -1 per pre-image row, +1 per
+    // post-image row; net 0 = a surviving copy (cancels), net > 0 =
+    // that many inserts, net < 0 = that many deletes. Grouping equality
+    // matches exceptAll's (null = null, NaN = NaN), so this is the
+    // multiset diff computed in one pass. `explode(sequence(...))`
+    // re-materializes multiplicity for genuinely duplicated rows.
+    val dataCols = before.columns.toSeq
+    val net = before.withColumn("_net_sign", lit(-1L))
+      .unionByName(after.withColumn("_net_sign", lit(1L)))
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("_net_sign")).as("_net"))
+      .where(col("_net") =!= 0L)
+    net.withColumn(ChangeTypeCol,
+        when(col("_net") > 0L, "insert").otherwise("delete"))
+      .withColumn("_dup",
+        explode(sequence(lit(1), abs(col("_net")).cast("int"))))
+      .drop("_net", "_dup")
   }
 }

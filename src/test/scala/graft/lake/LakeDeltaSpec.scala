@@ -151,6 +151,52 @@ class LakeDeltaSpec extends SparkSuite {
       "a no-op MERGE must not turn a never-mutated table versioned")
   }
 
+  test("a MERGE racing an UPDATE on the same objects: the loser aborts LOUDLY with the winner's table intact (CAS validation)") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 500)
+    import spark.implicits._
+    (0L until 10L).toDF("sid").createOrReplaceTempView("delta_race_src")
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    LakeVersions.beforeCasHook = _ =>
+      if (armed.getAndSet(false)) {
+        entered.countDown()
+        gate.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try {
+        spark.sql(
+          s"""MERGE INTO $cat.ev t USING delta_race_src s ON t.id = s.sid
+             |WHEN MATCHED THEN UPDATE SET v = -99""".stripMargin); ()
+      } catch { case e: Throwable => err.set(e) })
+    try {
+      t.start()
+      assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "the MERGE must reach its CAS")
+      // the racing UPDATE rewrites the same object (ids 0..9 live in it)
+      spark.sql(s"UPDATE $cat.ev SET v = v + 1000 WHERE id < 10")
+    } finally {
+      gate.countDown(); t.join(120000)
+      LakeVersions.beforeCasHook = _ => ()
+    }
+    val e = err.get()
+    assert(e != null, "the MERGE must abort: its scanned original was " +
+      "tombstoned by the racing UPDATE")
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .exists(_.isInstanceOf[LakeVersions.LakeConcurrentModificationException]),
+      s"abort must be the loud concurrency error, got $e")
+    // the table is EXACTLY the winner's result: no -99, no duplicates,
+    // no leaked replacement objects
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) == 500)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE v = -99")
+      .head.getLong(0) == 0, "the loser's values must not surface")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ev").head.getDouble(0) ==
+      (0 until 500).map(_.toDouble).sum + 10 * 1000.0)
+    assert(store.list("_staging").isEmpty, "loser's staging swept")
+  }
+
   test("MERGE UPDATE SET _event_hour MOVES the row to the new hour's objects") {
     val (cat, root, store) = fixture()
     land(root, "2024-07-01T08:00:00Z", 0, 500)
