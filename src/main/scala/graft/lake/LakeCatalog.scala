@@ -144,8 +144,98 @@ final class LakeCatalog extends TableCatalog with ProcedureCatalog {
                            properties: java.util.Map[String, String]): Table =
     refuse(s"CREATE TABLE ${ident.name()} is not supported")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    refuse(s"ALTER TABLE ${ident.name()} is not supported")
+  /** METADATA-ONLY schema evolution ([[LakeSchemas]]): `ADD COLUMN`
+    * (nullable, at the end), `DROP COLUMN`, and the `INTEGER -> FLOAT
+    * type widening — no data object is touched. The first ALTER turns
+    * the table EVOLVED: the declared schema becomes authoritative,
+    * reads resolve each object by name against it (old objects
+    * null-fill new columns), every write path emits it, and
+    * `CALL compact` migrates the whole table wholesale. Changes
+    * CAS-publish; a racing ALTER makes the loser re-apply on the
+    * winner's result (loud when they no longer compose). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireFlat(ident.namespace())
+    val store = new HadoopStore(root)
+    val table = ident.name()
+    if (LakeReader.firstTableKey(store, table).isEmpty)
+      throw new NoSuchTableException(ident)
+    require(!reconcile,
+      "graft-lake: ALTER TABLE on a reconcile catalog is ambiguous — the " +
+        "merged union schema is derived, not declared; resolve the table " +
+        "through a plain catalog to evolve it")
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val cur = LakeSchemas.current(store, table)
+      val base = cur.map(_.schema).getOrElse(LakeDataSource.peek(root, table))
+      val next = applyChanges(base, changes)
+      if (LakeSchemas.publish(store, table, next,
+          cur.map(_.version).getOrElse(0L)).isDefined) {
+        // audit entry on the chain, serialized like every mutation (in
+        // retain mode it also snapshots the live set at the ALTER point)
+        try {
+          LakeVersions.commit(store, table, op = "alter", removed = Nil,
+            validateLive = false); ()
+        } catch {
+          case _: LakeVersions.LakeConcurrentModificationException => ()
+        }
+        return new LakeTable(root, table, reconcile = reconcile)
+      }
+      // lost the CAS: re-resolve and re-apply this statement's changes
+      // on the winner's schema
+    }
+    throw new LakeVersions.LakeConcurrentModificationException(
+      s"graft-lake: could not publish a schema for '$table' after 5 " +
+        "attempts — a DDL storm is holding the schema chain")
+  }
+
+  private def applyChanges(base: graft.types.TableSchema,
+                           changes: Seq[TableChange]): graft.types.TableSchema = {
+    import graft.types.{ColType, TableSchema}
+    var cols = base.columns
+    def one(names: Array[String], what: String): String = {
+      require(names.length == 1,
+        s"graft-lake ALTER TABLE: nested columns are not supported ($what " +
+          names.mkString(".") + ")")
+      names(0)
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        val n = one(a.fieldNames(), "ADD COLUMN")
+        require(a.isNullable,
+          s"graft-lake ALTER TABLE: new column '$n' must be nullable — " +
+            "every existing row reads it as NULL")
+        require(a.position() == null,
+          s"graft-lake ALTER TABLE: column '$n' lands at the END — the " +
+            "wire header is positional per object; FIRST/AFTER are not " +
+            "supported")
+        require(!cols.exists(_._1 == n),
+          s"graft-lake ALTER TABLE: column '$n' already exists")
+        cols :+= (n -> ColType.fromSpark(a.dataType()))
+      case d: TableChange.DeleteColumn =>
+        val n = one(d.fieldNames(), "DROP COLUMN")
+        if (cols.exists(_._1 == n)) {
+          require(cols.size > 1,
+            s"graft-lake ALTER TABLE: cannot drop the last column '$n'")
+          cols = cols.filterNot(_._1 == n)
+        } else require(d.ifExists(),
+          s"graft-lake ALTER TABLE: no column '$n' to drop")
+      case u: TableChange.UpdateColumnType =>
+        val n = one(u.fieldNames(), "ALTER COLUMN TYPE")
+        val curT = cols.find(_._1 == n).getOrElse(throw
+          new IllegalArgumentException(
+            s"graft-lake ALTER TABLE: no column '$n'"))._2
+        val newT = ColType.fromSpark(u.newDataType())
+        require(curT == ColType.CInteger && newT == ColType.CFloat,
+          s"graft-lake ALTER TABLE: only INTEGER -> FLOAT widens (existing " +
+            s"wires reparse exactly); got $curT -> $newT for '$n'")
+        cols = cols.map { case (cn, ct) => if (cn == n) (cn, newT) else (cn, ct) }
+      case other => refuse(
+        s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
+          "supported (ADD COLUMN / DROP COLUMN / widen INTEGER->FLOAT only)")
+    }
+    TableSchema(base.name, cols) // revalidates names, incl. reserved ones
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     refuse(s"DROP TABLE ${ident.name()} is not supported")
@@ -180,7 +270,7 @@ private[lake] object LakeProcedures {
   val Names: Seq[String] = Seq("compact", "expire", "ensure_indexes",
     "seal_manifest", "retire_objects", "delete_where", "sweep_staging",
     "stats", "set_retention", "expire_versions", "history", "tag",
-    "drop_tag")
+    "drop_tag", "changes_summary")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(new CompactProcedure(root))
@@ -196,6 +286,7 @@ private[lake] object LakeProcedures {
     case "history" => Some(new HistoryProcedure(root))
     case "tag" => Some(new TagProcedure(root))
     case "drop_tag" => Some(new DropTagProcedure(root))
+    case "changes_summary" => Some(new ChangesSummaryProcedure(root))
     case _ => None
   }
 
@@ -400,7 +491,11 @@ private[lake] object LakeProcedures {
       val firstKey = LakeReader.firstTableKey(store, table).getOrElse(
         throw new IllegalArgumentException(
           s"no lake objects for table $table under $root"))
-      val colType = LakeReader.peekSchema(store, firstKey, table)
+      // an EVOLVED table's declared schema is authoritative (the probed
+      // column may not exist in the first object's header at all)
+      val declared = LakeSchemas.current(store, table).map(_.schema)
+      val colType = declared.getOrElse(
+        LakeReader.peekSchema(store, firstKey, table))
         .columns.toMap.getOrElse(column, throw new IllegalArgumentException(
           s"no column '$column' in table $table"))
       val values: Seq[Any] = raw.map { v =>
@@ -412,10 +507,10 @@ private[lake] object LakeProcedures {
           case _ => v
         }
       }
-      val rep = LakeMaintenance.deleteWhere(SparkSession.active, store,
-        table, column, values, zoneMaps = input.getBoolean(3),
+      val rep = LakeMaintenance.deleteWhereMulti(SparkSession.active, store,
+        table, Seq(column -> values), zoneMaps = input.getBoolean(3),
         bloomColumns = commaCols(input.getUTF8String(4)),
-        dryRun = input.getBoolean(5))
+        dryRun = input.getBoolean(5), declared = declared)
       result(StructType(Seq(
         StructField("candidates", IntegerType, nullable = false),
         StructField("rewritten", IntegerType, nullable = false),
@@ -519,6 +614,43 @@ private[lake] object LakeProcedures {
       result(StructType(Seq(
         StructField("dropped", StringType, nullable = false))),
         UTF8String.fromString(name))
+    }
+  }
+
+  private final class ChangesSummaryProcedure(root: String)
+      extends MaintenanceProcedure("changes_summary") {
+    override def description(): String =
+      "Row-exact change counts between retained snapshots (LakeChanges): " +
+        "inserts and deletes from `from` (generation or tag) to `to` " +
+        "(generation/tag; default the current table) — only changed " +
+        "objects are read; the full row feed is LakeChanges.since/between"
+    override def isDeterministic(): Boolean = true // reads, never mutates
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("from", StringType).build(),
+      ProcedureParameter.in("to", StringType).defaultValue("''").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val from = input.getUTF8String(1).toString
+      val to = Option(input.getUTF8String(2)).map(_.toString)
+        .filter(_.nonEmpty)
+      val spark = SparkSession.active
+      val feed = to match {
+        case Some(t) => LakeChanges.between(spark, root, table, from, t)
+        case None => LakeChanges.since(spark, root, table, from)
+      }
+      import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+      val r = feed.agg(
+        sum(when(col(LakeChanges.ChangeTypeCol) === "insert", 1L)
+          .otherwise(0L)),
+        sum(when(col(LakeChanges.ChangeTypeCol) === "delete", 1L)
+          .otherwise(0L)), count(lit(1))).head()
+      val (ins, del) =
+        if (r.getLong(2) == 0L) (0L, 0L) else (r.getLong(0), r.getLong(1))
+      result(StructType(Seq(
+        StructField("inserts", LongType, nullable = false),
+        StructField("deletes", LongType, nullable = false))),
+        java.lang.Long.valueOf(ins), java.lang.Long.valueOf(del))
     }
   }
 

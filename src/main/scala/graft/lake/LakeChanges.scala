@@ -68,21 +68,29 @@ object LakeChanges {
     val cur = toKeys.toSet
     val gone = (old -- cur).toSeq.sorted
     val fresh = (cur -- old).toSeq.sorted
+    // EVOLVED table: both sides align onto the DECLARED schema (the
+    // `from` snapshot may predate an ALTER — its rows null-fill/widen,
+    // so a row whose values did not change never shows as changed)
+    val declared = LakeSchemas.current(store, table).map(_.schema)
+    def readAligned(keys: Seq[String]): DataFrame = declared match {
+      case Some(d) => LakeReader.readKeysAligned(spark, store, table, keys, d)
+      case None => LakeReader.readKeys(spark, store, table, keys)
+    }
     // the schema must resolve even when one side is empty; a read of
     // ZERO keys cannot (readKeys requires objects) — build the empty
     // frame off the other side's schema
     def rows(keys: Seq[String], other: Seq[String]): DataFrame =
-      if (keys.nonEmpty) LakeReader.readKeys(spark, store, table, keys)
+      if (keys.nonEmpty) readAligned(keys)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        LakeReader.readKeys(spark, store, table, other).schema)
+        readAligned(other).schema)
     if (gone.isEmpty && fresh.isEmpty) {
       // no object changed — an empty, correctly-shaped feed (the table
       // must exist for the schema; firstTableKey enforces like any read)
       val k = LakeReader.firstTableKey(store, table)
         .orElse(cur.headOption).getOrElse(throw new IllegalArgumentException(
           s"no lake objects for table $table under ${store.rootUri}"))
-      val shape = LakeReader.readKeys(spark, store, table, Seq(k)).schema
+      val shape = readAligned(Seq(k)).schema
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
         .withColumn(ChangeTypeCol, lit("insert")).limit(0)

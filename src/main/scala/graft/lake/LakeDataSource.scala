@@ -88,22 +88,24 @@ final class LakeDataSource extends TableProvider with DataSourceRegister {
   // metadata walk, not two (the StructType getTable receives cannot
   // substitute — it erases CUuid to plain STRING, which the reader's
   // header validation must distinguish)
-  @volatile private var resolved: Option[(String, String, Boolean, TableSchema)] = None
-  private def schemaOf(root: String, table: String, reconcile: Boolean): TableSchema =
+  @volatile private var resolved: Option[(String, String, Boolean, TableSchema, Boolean)] = None
+  private def schemaOf(root: String, table: String,
+                       reconcile: Boolean): (TableSchema, Boolean) =
     resolved match {
-      case Some((r, t, rc, s)) if r == root && t == table && rc == reconcile => s
+      case Some((r, t, rc, s, ev)) if r == root && t == table && rc == reconcile =>
+        (s, ev)
       case _ =>
-        val s = if (reconcile)
-          LakeReader.reconciledGroups(new HadoopStore(root), table)._1
-        else LakeDataSource.peek(root, table)
-        resolved = Some((root, table, reconcile, s))
-        s
+        val (s, ev) = if (reconcile)
+          (LakeReader.reconciledGroups(new HadoopStore(root), table)._1, false)
+        else LakeDataSource.resolveSchema(root, table)
+        resolved = Some((root, table, reconcile, s, ev))
+        (s, ev)
     }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (root, table) = LakeDataSource.resolve(options)
     LakeDataSource.outputStruct(
-      schemaOf(root, table, LakeDataSource.reconcileOpt(options)))
+      schemaOf(root, table, LakeDataSource.reconcileOpt(options))._1)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -111,7 +113,8 @@ final class LakeDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     val (root, table) = LakeDataSource.resolve(opts)
     val reconcile = LakeDataSource.reconcileOpt(opts)
-    new LakeTable(root, table, Some(schemaOf(root, table, reconcile)), reconcile)
+    val (s, ev) = schemaOf(root, table, reconcile)
+    new LakeTable(root, table, Some(s), reconcile, preEvolved = Some(ev))
   }
 }
 
@@ -180,6 +183,18 @@ object LakeDataSource {
         s"no lake objects for table $table under $root"))
     LakeReader.peekSchema(store, first, table)
   }
+
+  /** Schema resolution order: the DECLARED schema record if any `ALTER
+    * TABLE` ever ran ([[LakeSchemas]] — the table is then EVOLVED and
+    * reads resolve per object by name), else the one-object peek.
+    * Returns (schema, evolved). */
+  private[lake] def resolveSchema(root: String, table: String): (TableSchema, Boolean) = {
+    val store = new HadoopStore(root)
+    LakeSchemas.current(store, table) match {
+      case Some(d) => (d.schema, true)
+      case None => (peek(root, table), false)
+    }
+  }
 }
 
 /** `reconcile = true` (option `reconcile`) reads a DRIFTED table — the
@@ -204,7 +219,11 @@ final class LakeTable(rootUri: String, tableName: String,
                       // retained snapshot ([[LakeVersions.liveAt]]);
                       // every mutating face refuses — history is
                       // read-only
-                      asOfGeneration: Option[Long] = None)
+                      asOfGeneration: Option[Long] = None,
+                      // schema evolution: Some(flag) when the provider
+                      // already resolved whether a DECLARED schema
+                      // record exists; None = derive lazily
+                      preEvolved: Option[Boolean] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
@@ -235,7 +254,7 @@ final class LakeTable(rootUri: String, tableName: String,
         s"graft-lake: deleteWhere called with untranslatable predicates " +
           predicates.mkString("[", ", ", "]")))
     LakeRowLevel.executeDelete(SparkSession.active, new HadoopStore(rootUri),
-      tableName, lakeSchema, md)
+      tableName, lakeSchema, md, evolved = evolved)
   }
 
   /** `TRUNCATE TABLE lake.t` / unconditional `DELETE FROM lake.t`:
@@ -262,7 +281,11 @@ final class LakeTable(rootUri: String, tableName: String,
         "table would rewrite drifted objects onto the merged header as " +
         "a side effect — run CALL lake.system.compact first, then " +
         "retry without reconcile")
-    new LakeRowLevelOperationBuilder(rootUri, tableName, lakeSchema, info)
+    // EVOLVED tables (declared schema) are fine: rewriting an old-header
+    // object onto the declared header is the evolution contract, not a
+    // side effect — the scan resolves by name, the write emits declared
+    new LakeRowLevelOperationBuilder(rootUri, tableName, lakeSchema, info,
+      byName = evolved)
   }
 
   /** PROVENANCE metadata column (`SELECT *, _object_key FROM lake.t` —
@@ -296,11 +319,24 @@ final class LakeTable(rootUri: String, tableName: String,
         override def comment(): String =
           "0-based data-record ordinal of this row within its lake object"
       })
-  private lazy val lakeSchema: TableSchema =
-    preResolved.getOrElse(
-      if (reconcile)
-        LakeReader.reconciledGroups(new HadoopStore(rootUri), tableName)._1
-      else LakeDataSource.peek(rootUri, tableName))
+  private lazy val resolvedPair: (TableSchema, Boolean) =
+    preResolved match {
+      case Some(s) => (s, preEvolved.getOrElse(
+        LakeSchemas.current(new HadoopStore(rootUri), tableName).isDefined))
+      case None =>
+        if (reconcile)
+          (LakeReader.reconciledGroups(new HadoopStore(rootUri), tableName)._1,
+            false)
+        else LakeDataSource.resolveSchema(rootUri, tableName)
+    }
+  private lazy val lakeSchema: TableSchema = resolvedPair._1
+  /** DECLARED-schema (evolved) table: objects may carry older headers —
+    * readers resolve per object BY NAME against the declared schema
+    * (null-fill / widen), writers emit the declared header. */
+  private lazy val evolved: Boolean = resolvedPair._2
+  /** Reader mode: per-object by-name resolution (reconcile's merged
+    * schema, or an evolved table's declared one) vs strict single-header. */
+  private def byName: Boolean = reconcile || evolved
 
   override def name(): String = s"graft-lake:$tableName"
   override def schema(): StructType = LakeDataSource.outputStruct(lakeSchema)
@@ -341,7 +377,7 @@ final class LakeTable(rootUri: String, tableName: String,
       })
     new LakeScanBuilder(rootUri, tableName, lakeSchema,
       Option(options.get("clusterbyhour")).exists(_.toBoolean),
-      reconcile,
+      byName,
       asOfGeneration = asOf,
       streamOptions = {
         val (latest, fromHour) =
@@ -845,7 +881,10 @@ final case class LakeStreamOptions(maxObjectsPerTrigger: Option[Int] = None,
 
 final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSchema,
                             clusterByHour: Boolean = false,
-                            reconcile: Boolean = false,
+                            // per-object BY-NAME resolution (a reconcile
+                            // table's merged schema, or an evolved
+                            // table's declared one); false = strict
+                            byName: Boolean = false,
                             streamOptions: LakeStreamOptions = LakeStreamOptions(),
                             // copy-on-write mode (LakeRowLevelOperation):
                             // the built ROW scan defines the replaced
@@ -929,7 +968,7 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     // than special-case (the ordinary reconciling row scan is exact)
     // asOf: LakeAggScan lists the LIVE table — a snapshot read answers
     // from its own key set, so the row scan (still sidecar-pruned) owns it
-    if (pushed.nonEmpty || reconcile || cowMode || asOfGeneration.isDefined)
+    if (pushed.nonEmpty || byName || cowMode || asOfGeneration.isDefined)
       return false
     LakeAgg.translate(aggregation, lakeSchema) match {
       case some @ Some(_) => pushedAgg = some; true
@@ -953,7 +992,7 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     case Some(agg) => new LakeAggScan(rootUri, table, lakeSchema, agg)
     case None =>
       val s = new LakeScan(rootUri, table, lakeSchema, required, pushed,
-        pushedLimit, pushedTopN, clusterByHour, streamOptions, reconcile,
+        pushedLimit, pushedTopN, clusterByHour, streamOptions, byName,
         groupFilterOnKey = cowMode, asOfGeneration = asOfGeneration)
       if (onBuild != null) onBuild(s)
       s
@@ -966,7 +1005,7 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
                      topN: Option[(Boolean, Int)] = None,
                      clusterByHour: Boolean = false,
                      streamOptions: LakeStreamOptions = LakeStreamOptions(),
-                     reconcile: Boolean = false,
+                     byName: Boolean = false,
                      groupFilterOnKey: Boolean = false,
                      asOfGeneration: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
@@ -988,7 +1027,7 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
         "a snapshot does not grow; read it as a batch")
     new LakeMicroBatchStream(rootUri, table, lakeSchema, required,
       streamOptions.maxObjectsPerTrigger, streamOptions.maxHourAge,
-      streamOptions.startFromLatest, reconcile,
+      streamOptions.startFromLatest, byName,
       streamOptions.startFromHour, pushed)
   }
 
@@ -1202,7 +1241,7 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(rootUri, lakeSchema, required, reconcile)
+    new LakeReaderFactory(rootUri, lakeSchema, required, byName)
 }
 
 final case class LakeInputPartition(key: String, hourMillis: Long)
@@ -1216,11 +1255,11 @@ final case class LakeInputPartition(key: String, hourMillis: Long)
 }
 
 final class LakeReaderFactory(rootUri: String, lakeSchema: TableSchema,
-                              required: StructType, reconcile: Boolean = false)
+                              required: StructType, byName: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new LakeObjectReader(rootUri, lakeSchema, required,
-      partition.asInstanceOf[LakeInputPartition], reconcile)
+      partition.asInstanceOf[LakeInputPartition], byName)
 }
 
 /** Reads ONE lake object into [[InternalRow]]s of the required schema.
@@ -1231,7 +1270,10 @@ final class LakeReaderFactory(rootUri: String, lakeSchema: TableSchema,
   * (PERMISSIVE), blank lines skipped, `#` records skipped. */
 final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
                              required: StructType, part: LakeInputPartition,
-                             reconcile: Boolean = false)
+                             // by-name resolution against lakeSchema (the
+                             // merged or declared target); false = the
+                             // strict single-header contract
+                             byName: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val rd: BufferedReader = {
@@ -1260,7 +1302,7 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
     else {
       val types = TypedCsv.parseTypesHeader(rd.readLine())
       val names = TypedCsv.splitLine(rd.readLine())
-      if (!reconcile)
+      if (!byName)
         require(names == lakeSchema.columnNames && types == lakeSchema.colTypes,
           s"schema drift in ${part.key}: header ($names : $types) does not match " +
             s"declared ${lakeSchema.columnNames} : ${lakeSchema.colTypes} — " +
@@ -1288,7 +1330,7 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
     else if (f.name == LakeDataSource.ObjectKeyCol) { (_: Array[String]) => keyUtf8 }
     else if (f.name == LakeDataSource.RowPosCol) { (_: Array[String]) =>
       java.lang.Long.valueOf(rowPos) }
-    else if (!reconcile) {
+    else if (!byName) {
       val i = lakeSchema.columnNames.indexOf(f.name)
       require(i >= 0, s"column ${f.name} not in lake table ${lakeSchema.name}")
       val conv = LakeObjectReader.converter(lakeSchema.colTypes(i))

@@ -138,7 +138,8 @@ object LakeDelta {
   private[lake] def rewriteTouched(spark: SparkSession, rootUri: String,
                                    schema: TableSchema, patchKeys: Seq[String],
                                    rwPrefix: String,
-                                   policy: LakeRowLevel.SidecarPolicy)
+                                   policy: LakeRowLevel.SidecarPolicy,
+                                   byName: Boolean = false)
       : Seq[(String, Seq[String])] = {
     if (patchKeys.isEmpty) return Nil
     val pschema = patchSchema(schema)
@@ -146,14 +147,16 @@ object LakeDelta {
       .parallelize(patchKeys, patchKeys.size)
       .flatMap { pk => readPatch(new HadoopStore(rootUri), pk, pschema) }
     patches.groupByKey().map { case (objKey, ps) =>
-      rewriteOne(new HadoopStore(rootUri), schema, objKey, ps, rwPrefix, policy)
+      rewriteOne(new HadoopStore(rootUri), schema, objKey, ps, rwPrefix,
+        policy, byName)
     }.collect().toSeq
   }
 
   private[lake] def rewriteOne(store: Store, schema: TableSchema,
                                objKey: String, patches: Iterable[Patch],
                                rwPrefix: String,
-                               policy: LakeRowLevel.SidecarPolicy)
+                               policy: LakeRowLevel.SidecarPolicy,
+                               byName: Boolean = false)
       : (String, Seq[String]) = {
     val n = schema.columns.size
     val byPos = new scala.collection.mutable.HashMap[Long, Patch]
@@ -190,10 +193,40 @@ object LakeDelta {
     try {
       val types = TypedCsv.parseTypesHeader(rd.readLine())
       val names = TypedCsv.splitLine(rd.readLine())
-      require(names == schema.columnNames && types == schema.colTypes,
-        s"schema drift in $objKey: header ($names : $types) does not match " +
-          s"declared ${schema.columnNames} : ${schema.colTypes} — MERGE " +
-          "refuses drifted tables (compact onto one header first)")
+      if (!byName)
+        require(names == schema.columnNames && types == schema.colTypes,
+          s"schema drift in $objKey: header ($names : $types) does not match " +
+            s"declared ${schema.columnNames} : ${schema.colTypes} — MERGE " +
+            "refuses drifted tables (ALTER TABLE or compact first)")
+      // EVOLVED tables resolve the object's OWN header by name against
+      // the declared schema: absent columns null-fill, INTEGER wires
+      // widen under FLOAT, anything else refuses loudly (the alignTo
+      // rule) — survivors land rewritten onto the declared header.
+      val srcOf: Array[Int] =
+        if (!byName) Array.tabulate(n)(identity)
+        else schema.columns.map { case (cn, ct) =>
+          val j = names.indexOf(cn)
+          if (j < 0) -1
+          else {
+            val wt = types(j)
+            require(wt == ct ||
+              (wt == ColType.CInteger && ct == ColType.CFloat),
+              s"irreconcilable drift in $objKey: column $cn is $wt on " +
+                s"the wire but declared $ct — only INTEGER->FLOAT widens")
+            j
+          }
+        }.toArray
+      def survivorRow(wire: Array[String]): Array[Any] = {
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          val j = srcOf(i)
+          out(i) = if (j < 0 || j >= wire.length || wire(j).isEmpty) null
+                   else convs(i)(wire(j))
+          i += 1
+        }
+        out
+      }
       val originalHourSec =
         LakeKeys.parseKey(objKey).get._1.getEpochSecond
       var pos = 0L
@@ -202,7 +235,7 @@ object LakeDelta {
         byPos.remove(pos) match {
           case None =>
             // survivor: stays under the object's own hour
-            rollerFor(originalHourSec).write(externalRow(rec))
+            rollerFor(originalHourSec).write(survivorRow(rec))
           case Some(Patch(_, "d", _)) => () // deleted
           case Some(Patch(_, "u", vals)) =>
             // updated: route by the row's NEW hour (an explicit
@@ -244,7 +277,11 @@ object LakeDelta {
   * lets the rewrite keep updated rows in `added` (CDC: a rewrite, not a
   * new logical row). */
 final class LakeDeltaOperation(rootUri: String, tableName: String,
-                               lakeSchema: TableSchema)
+                               lakeSchema: TableSchema,
+                               // evolved table: scan + rewrite resolve
+                               // per object by name against the DECLARED
+                               // lakeSchema
+                               byName: Boolean = false)
     extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command =
@@ -262,12 +299,13 @@ final class LakeDeltaOperation(rootUri: String, tableName: String,
     // cowMode: refuse aggregate/limit/TopN pushdown on the row scan (it
     // must produce rows, not sidecar answers); the delta path needs no
     // plannedKeys contract — the patches name the touched objects exactly
-    new LakeScanBuilder(rootUri, tableName, lakeSchema, cowMode = true)
+    new LakeScanBuilder(rootUri, tableName, lakeSchema, byName = byName,
+      cowMode = true)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new LakeDeltaWrite(rootUri, lakeSchema, info)
+        new LakeDeltaWrite(rootUri, lakeSchema, info, byName)
     }
 }
 
@@ -277,7 +315,7 @@ final class LakeDeltaOperation(rootUri: String, tableName: String,
   * originals, added = their rewrites, inserted = the insert objects —
   * the exact CDC split). */
 final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
-                           info: LogicalWriteInfo)
+                           info: LogicalWriteInfo, byName: Boolean = false)
     extends DeltaWrite with DeltaBatchWrite {
 
   private val staging = s"_staging/delta-${java.util.UUID.randomUUID()}"
@@ -311,7 +349,7 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
       // BEFORE any publish — a failure here aborts with the table
       // untouched, staging swept by the finally)
       val rewrites = LakeDelta.rewriteTouched(SparkSession.active, rootUri,
-        lakeSchema, stagedPatch.toSeq, s"$staging/rw/", p)
+        lakeSchema, stagedPatch.toSeq, s"$staging/rw/", p, byName)
       val removed = rewrites.map(_._1)
       val stagedRw = rewrites.flatMap(_._2)
       def dstOf(k: String): String =

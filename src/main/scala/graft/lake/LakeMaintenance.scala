@@ -67,6 +67,10 @@ object LakeMaintenance {
     // Same pruned listing plan as the reader: never a full-lake walk.
     val oldKeys = LakeReader.listTableKeys(store, table, hourRange)
     if (oldKeys.isEmpty) return CompactionReport(0, 0, 0L, Seq.empty)
+    // EVOLVED table: compact is the wholesale migration tool — reads
+    // resolve each object by name against the declared schema, the
+    // rewrite emits it, and the table leaves single-header
+    val declared = LakeSchemas.current(store, table).map(_.schema)
     if (dryRun) {
       // report-only: the SAME listing snapshot and the SAME per-hour
       // sizing rule as the real run, nothing mutated — no manifest
@@ -75,7 +79,10 @@ object LakeMaintenance {
       // sizing read); the projected object count is the roll arithmetic.
       val est = oldKeys.groupBy(k => LakeKeys.parseKey(k).get._1).toSeq
         .map { case (_, hourKeys) =>
-          val n = LakeReader.readKeys(spark, store, table, hourKeys).count()
+          val n = declared.fold(
+            LakeReader.readKeys(spark, store, table, hourKeys))(d =>
+            LakeReader.readKeysAligned(spark, store, table, hourKeys, d))
+            .count()
           (n, math.max(1L, (n + targetRecords - 1) / targetRecords))
         }
       return CompactionReport(oldKeys.size, est.map(_._2).sum.toInt,
@@ -87,7 +94,8 @@ object LakeMaintenance {
     Manifests.invalidateIfCovers(store, table,
       oldKeys.map(LakeKeys.hourPrefixOf).min)
     val staging = s"_staging/${java.util.UUID.randomUUID()}"
-    val schema = LakeReader.peekSchema(store, oldKeys.head, table)
+    val schema = declared.getOrElse(
+      LakeReader.peekSchema(store, oldKeys.head, table))
     val byHour = oldKeys.groupBy(k => LakeKeys.parseKey(k).get._1).toSeq.sortBy(_._1)
     // Hour groups compact as CONCURRENT Spark jobs (bounded pool): a
     // long-lived table has hundreds of hour groups, and serializing their
@@ -113,7 +121,9 @@ object LakeMaintenance {
           // crash-duplication above. localCheckpoint materializes the
           // (gunzipped) snapshot once; the sizing count and the write both
           // run off the checkpoint instead of re-scanning the objects.
-          val df = LakeReader.readKeys(spark, store, table, hourKeys)
+          val df = declared.fold(
+            LakeReader.readKeys(spark, store, table, hourKeys))(d =>
+            LakeReader.readKeysAligned(spark, store, table, hourKeys, d))
             .drop("_event_hour").localCheckpoint()
           val n = df.count()
           val parts = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
@@ -265,11 +275,27 @@ object LakeMaintenance {
           false
       }
     }
+    // sidecars index an object's OWN columns: build per header group,
+    // so a mixed-header table (evolved / reference drift) never feeds a
+    // strict reader objects of another generation's header. Bloom
+    // columns an old header LACKS are skipped for that group — the
+    // probe keeps such objects conservatively, exactly as if the
+    // sidecar carried no entry for the column.
+    def perHeader(keys: Seq[String])(
+        build: (graft.types.TableSchema, Seq[String]) => Int): Int =
+      if (keys.isEmpty) 0
+      else LakeReader.groupKeysByHeader(store, table, keys)
+        .map { case (sch, ks) => build(sch, ks) }.sum
     EnsureReport(
-      ZoneMaps.buildForKeys(spark, store.rootUri, table, missingStats),
+      perHeader(missingStats)((_, ks) =>
+        ZoneMaps.buildForKeys(spark, store.rootUri, table, ks)),
       if (bloomColumns.isEmpty) 0
-      else BloomMaps.buildForKeys(spark, store.rootUri, table, bloomColumns,
-        missingBlooms, bloomBits, bloomHashes),
+      else perHeader(missingBlooms) { (sch, ks) =>
+        val have = bloomColumns.filter(sch.columnNames.contains)
+        if (have.isEmpty) 0
+        else BloomMaps.buildForKeys(spark, store.rootUri, table, have,
+          ks, bloomBits, bloomHashes)
+      },
       swept)
   }
 
@@ -447,13 +473,17 @@ object LakeMaintenance {
                   gzip: Boolean = true,
                   zoneMaps: Boolean = false,
                   bloomColumns: Seq[String] = Nil,
-                  dryRun: Boolean = false): DeleteReport = {
+                  dryRun: Boolean = false,
+                  // EVOLVED table: read candidates by name against the
+                  // declared schema (mixed headers legal), write
+                  // replacements onto it — rewritten objects migrate
+                  declared: Option[graft.types.TableSchema] = None): DeleteReport = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     def matchRule: org.apache.spark.sql.Column = probes.map { case (c, vs) =>
       coalesce(col(c).isin(vs: _*), lit(false))
     }.reduce(_ && _)
     val (allKeys, kept) = LakeReader.prunedEqAnyMultiKeys(spark, store, table,
-      probes, hourRange)
+      probes, hourRange, declared = declared)
     if (kept.isEmpty)
       return DeleteReport(0, 0, 0, 0L, 0L, allKeys.size)
     if (dryRun) {
@@ -467,7 +497,10 @@ object LakeMaintenance {
       var rewritten = 0; var retired = 0
       var nDel = 0L; var nKeep = 0L
       kept.foreach { key =>
-        val df = LakeReader.readKeys(spark, store, table, Seq(key))
+        val df = declared.fold(
+          LakeReader.readKeys(spark, store, table, Seq(key)))(d =>
+          LakeReader.readKeysAligned(spark, store, table, Seq(key), d)
+            .drop("_event_hour"))
         val matches = matchRule
         val r = df.agg(fcount(lit(1)), sum(when(matches, 1L).otherwise(0L)))
           .head()
@@ -480,7 +513,8 @@ object LakeMaintenance {
       return DeleteReport(kept.size, rewritten, retired, nDel, nKeep,
         allKeys.size - kept.size)
     }
-    val schema = LakeReader.peekSchema(store, allKeys.head, table)
+    val schema = declared.getOrElse(
+      LakeReader.peekSchema(store, allKeys.head, table))
     Manifests.invalidateIfCovers(store, table,
       kept.map(LakeKeys.hourPrefixOf).min)
     val staging = s"_staging/${java.util.UUID.randomUUID()}"
@@ -498,7 +532,9 @@ object LakeMaintenance {
           val hour = LakeKeys.parseKey(key).get._1
           // snapshot the object once; the match count and the rewrite
           // both run off the checkpoint, not a second object read
-          val df = LakeReader.readKeys(spark, store, table, Seq(key))
+          val df = declared.fold(
+            LakeReader.readKeys(spark, store, table, Seq(key)))(d =>
+            LakeReader.readKeysAligned(spark, store, table, Seq(key), d))
             .drop("_event_hour").localCheckpoint()
           val n = df.count()
           val matches = matchRule

@@ -399,6 +399,59 @@ object LakeReader {
                keys: Seq[String]): DataFrame =
     readPaths(spark, store, table, keys, keys, ignoreMissing = false)
 
+  /** `keys` grouped by their OBJECT header (one two-line peek per key) —
+    * the unit an EVOLVED table's bulk paths operate at: each group is
+    * single-header, so [[readKeys]]' strict CSV read applies per group.
+    * Cheap relative to what callers do next (they open every key's data
+    * anyway). */
+  private[lake] def groupKeysByHeader(store: Store, table: String,
+                                      keys: Seq[String])
+      : Seq[(TableSchema, Seq[String])] =
+    keys.groupBy(k => peekSchema(store, k, table).columns)
+      .toSeq.map { case (cols, ks) => (TableSchema(table, cols), ks.sorted) }
+      .sortBy(_._2.head)
+
+  /** Project a single-header frame onto the DECLARED (target) schema:
+    * columns the header lacks null-fill, `INTEGER` wires widen under a
+    * `FLOAT`-declared column, anything else is irreconcilable drift
+    * (loud). `_event_hour` rides through. The schema-evolution read
+    * rule, shared by every bulk path ([[readKeysAligned]], compaction,
+    * delete_where, the changes feed). */
+  private[lake] def alignTo(df: DataFrame, from: TableSchema,
+                            target: TableSchema): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fromTypes = from.columns.toMap
+    val cols = target.columns.map { case (n, t) =>
+      fromTypes.get(n) match {
+        case Some(ft) if ft == t => col(n)
+        case Some(graft.types.ColType.CInteger)
+            if t == graft.types.ColType.CFloat =>
+          col(n).cast(org.apache.spark.sql.types.DoubleType).as(n)
+        case Some(ft) => throw new IllegalArgumentException(
+          s"irreconcilable drift in table ${target.name}: column $n is " +
+            s"$ft on the wire but declared $t — only INTEGER->FLOAT widens")
+        case None => lit(null).cast(t.sparkType).as(n)
+      }
+    } :+ col("_event_hour")
+    df.select(cols: _*)
+  }
+
+  /** [[readKeys]] for a possibly MIXED-HEADER key set (an evolved
+    * table): groups by header, reads each group strictly under its own
+    * header, aligns every group onto `target`, unions. A single-header
+    * set already matching `target` takes the plain [[readKeys]] path. */
+  def readKeysAligned(spark: SparkSession, store: Store, table: String,
+                      keys: Seq[String], target: TableSchema): DataFrame = {
+    val groups = groupKeysByHeader(store, table, keys)
+    groups match {
+      case Seq((one, ks)) if one.columns == target.columns =>
+        readKeys(spark, store, table, ks)
+      case gs => gs.map { case (from, ks) =>
+        alignTo(readKeys(spark, store, table, ks), from, target)
+      }.reduce(_.unionByName(_))
+    }
+  }
+
   /** How a [[readPruned]] call narrowed its object list. */
   final case class PruneReport(candidates: Int, kept: Int) {
     def skipped: Int = candidates - kept
@@ -896,7 +949,12 @@ object LakeReader {
   private[lake] def prunedEqAnyMultiKeys(spark: SparkSession, store: Store,
       table: String, probes: Seq[(String, Seq[Any])],
       hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
-      sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove)
+      sidecarDistributeAbove: Int = DefaultSidecarDistributeAbove,
+      // EVOLVED table: probe column TYPES resolve against the declared
+      // schema (the probed column may not exist in the first object's
+      // header at all; sidecar probes on objects lacking it keep
+      // conservatively either way)
+      declared: Option[TableSchema] = None)
       : (Seq[String], Seq[String]) = {
     require(probes.nonEmpty, "at least one (column, values) probe set")
     probes.foreach { case (c, vs) =>
@@ -915,7 +973,8 @@ object LakeReader {
         firstTableKey(store, table).isDefined)
       return (Seq.empty, Seq.empty)
     require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
-    val colTypes = peekSchema(store, keys.head, table).columns.toMap
+    val colTypes = declared.getOrElse(
+      peekSchema(store, keys.head, table)).columns.toMap
     // hash every plausible wire form of every value ONCE, on the driver —
     // the walk (driver or executor) only does %-and-bit-test per object
     val plans: Seq[(String, Seq[(Array[Array[Int]], Option[java.math.BigDecimal])])] =

@@ -59,10 +59,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * — visibility flips at one create-exclusive, racing writers abort
   * loudly, and the old publish-then-retire crash window is gone (a
   * pre-CAS crash never happened; a post-CAS interrupted retire is
-  * invisible and finished by the next commit). Schema-evolution
-  * (`reconcile`) tables REFUSE row-level SQL: a drifted object cannot
-  * round-trip byte-faithfully through the strict writer — compact the
-  * table onto one header first. */
+  * invisible and finished by the next commit).
+  *
+  * Mixed headers: an EVOLVED table (declared schema, [[LakeSchemas]])
+  * runs row-level SQL fine — the scan resolves per object by name and
+  * the write emits the declared header, so touched objects MIGRATE to
+  * it as a byproduct. A `reconcile` table (reference-drift, no declared
+  * schema) still REFUSES: rewriting onto the merged union header would
+  * be a silent schema decision nobody declared — `ALTER TABLE` or
+  * compact first. */
 object LakeRowLevel {
 
   /** A DELETE condition the metadata path can serve EXACTLY, decided at
@@ -312,13 +317,15 @@ object LakeRowLevel {
     * hour/key paths retire whole objects (row counts live in their
     * sidecars, not re-read here). */
   def executeDelete(spark: SparkSession, store: Store, table: String,
-                    schema: TableSchema, md: MetaDelete): Unit = md match {
+                    schema: TableSchema, md: MetaDelete,
+                    evolved: Boolean = false): Unit = md match {
     case DeleteByProbe(ps, hr) =>
       val p = detectPolicy(store, table)
       val types = schema.columns.toMap
       LakeMaintenance.deleteWhereMulti(spark, store, table,
         ps.map { case (c, vs) => (c, vs.map(coerce(types(c), _))) }, hr,
-        gzip = p.gzip, zoneMaps = p.zoneMaps, bloomColumns = p.bloomColumns)
+        gzip = p.gzip, zoneMaps = p.zoneMaps, bloomColumns = p.bloomColumns,
+        declared = if (evolved) Some(schema) else None)
     case DeleteByHours(from, to) =>
       val hr = Some((from.getOrElse(Instant.EPOCH),
         to.getOrElse(Instant.parse("9999-01-01T00:00:00Z"))))
@@ -353,7 +360,8 @@ object LakeRowLevel {
   * (copy-on-write) — the natural grain of immutable rolled objects. */
 final class LakeRowLevelOperation(rootUri: String, tableName: String,
                                   lakeSchema: TableSchema,
-                                  cmd: RowLevelOperation.Command)
+                                  cmd: RowLevelOperation.Command,
+                                  byName: Boolean = false)
     extends RowLevelOperation {
 
   /** The operation's CONFIGURED scan — the one Spark plans the
@@ -376,6 +384,7 @@ final class LakeRowLevelOperation(rootUri: String, tableName: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(rootUri, tableName, lakeSchema,
+      byName = byName,
       cowMode = true,
       onBuild = s => if (cowScan == null) cowScan = s)
 
@@ -396,13 +405,18 @@ final class LakeRowLevelOperation(rootUri: String, tableName: String,
   * objects). */
 final class LakeRowLevelOperationBuilder(rootUri: String, tableName: String,
                                          lakeSchema: TableSchema,
-                                         info: RowLevelOperationInfo)
+                                         info: RowLevelOperationInfo,
+                                         // evolved table: scans resolve
+                                         // per object by name against the
+                                         // DECLARED lakeSchema
+                                         byName: Boolean = false)
     extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
     if (info.command() == RowLevelOperation.Command.MERGE)
-      new LakeDeltaOperation(rootUri, tableName, lakeSchema)
+      new LakeDeltaOperation(rootUri, tableName, lakeSchema, byName)
     else
-      new LakeRowLevelOperation(rootUri, tableName, lakeSchema, info.command())
+      new LakeRowLevelOperation(rootUri, tableName, lakeSchema,
+        info.command(), byName)
 }
 
 /** The ReplaceData write: stages every task's rows into per-hour rolled

@@ -218,13 +218,14 @@ class LakeCatalogSpec extends SparkSuite {
       .collect().head.getLong(0) == 100)
     val store = new HadoopStore(root)
     assert(store.list("_staging").isEmpty, "no staging residue")
-    // DDL is refused
+    // DDL beyond schema evolution is refused (ALTER ADD/DROP/widen is
+    // SUPPORTED since r15 — LakeEvolutionSpec owns it; renames are not)
     intercept[Exception] { spark.sql(s"DROP TABLE $cat.ev") }
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.fresh (id BIGINT) USING graft-lake")
     }
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.ev ADD COLUMN extra STRING")
+      spark.sql(s"ALTER TABLE $cat.ev RENAME COLUMN tag TO label")
     }
     assert(spark.sql(s"SELECT count(*) FROM $cat.ev")
       .collect().head.getLong(0) == 600, "refused DDL must change nothing")

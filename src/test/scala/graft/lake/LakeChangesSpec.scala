@@ -137,6 +137,24 @@ class LakeChangesSpec extends SparkSuite {
     assert(e.getMessage.contains("must be <="))
   }
 
+  test("CALL lake.system.changes_summary: the feed's counts through plain SQL") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 500)
+    spark.sql(s"CALL $cat.system.set_retention(table => 'ch', retain => true)")
+    spark.sql(s"CALL $cat.system.tag(table => 'ch', name => 'pin')")
+    spark.sql(s"DELETE FROM $cat.ch WHERE id IN (1, 2, 3)")
+    spark.sql(s"UPDATE $cat.ch SET v = -1 WHERE id IN (10, 11)")
+    val r = spark.sql(s"CALL $cat.system.changes_summary(table => 'ch', " +
+      "from => 'pin')").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 5,
+      s"2 updated post-images in, 3 deleted + 2 pre-images out: $r")
+    // bounded form: (gen pin+1, pin+2] sees only the UPDATE
+    val g = LakeVersions.readTag(store, "ch", "pin").get
+    val r2 = spark.sql(s"CALL $cat.system.changes_summary(table => 'ch', " +
+      s"from => '${g + 1}', to => '${g + 2}')").head()
+    assert(r2.getLong(0) == 2 && r2.getLong(1) == 2, s"$r2")
+  }
+
   test("without retention the feed refuses loudly with the remedy") {
     val (cat, root, _) = fixture()
     land(root, "2024-07-01T08:00:00Z", 0, 100)

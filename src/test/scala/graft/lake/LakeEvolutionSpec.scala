@@ -1,0 +1,255 @@
+package graft.lake
+
+import graft.SparkSuite
+import graft.types.{ColType, TableSchema}
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+/** Metadata-only schema evolution ([[LakeSchemas]] + the catalog's
+  * `ALTER TABLE`): the declared schema becomes authoritative, old
+  * objects keep their headers and resolve BY NAME (null-fill / widen),
+  * every write path emits the declared header, compact migrates
+  * wholesale. */
+class LakeEvolutionSpec extends SparkSuite {
+
+  private val schema = TableSchema("ev2", Seq(
+    "id" -> ColType.CInteger, "tag" -> ColType.CString,
+    "vc" -> ColType.CInteger))
+
+  private def fixture(): (String, String, HadoopStore) = {
+    val root =
+      s"file://${Files.createTempDirectory("graft-evo-spec").toFile.getAbsolutePath}"
+    val cat = s"evo${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root, new HadoopStore(root))
+  }
+
+  private def land(root: String, hour: String, lo: Int, n: Int): Unit = {
+    import spark.implicits._
+    LakeWriter.write(
+      (lo until lo + n).map(i => (i.toLong, s"t${i % 5}", i.toLong))
+        .toDF("id", "tag", "vc").orderBy("id").coalesce(1),
+      schema, root, Instant.parse(hour), maxRecordsPerObject = 200L,
+      zoneMaps = true, bloomColumns = Seq("tag"))
+  }
+
+  test("ADD COLUMN is metadata-only: old objects byte-identical, old rows read NULL, new appends carry values and the declared header") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 500)
+    val before = LakeReader.listTableKeys(store, "ev2", None)
+      .map(k => k -> { val in = store.open(k)
+        try in.readAllBytes() finally in.close() }).toMap
+
+    spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN score DOUBLE")
+
+    // metadata-only: not a data byte moved
+    before.foreach { case (k, b) =>
+      val in = store.open(k)
+      val now = try in.readAllBytes() finally in.close()
+      assert(now.sameElements(b), s"$k must stay byte-identical")
+    }
+    // the declared schema is live immediately
+    assert(spark.table(s"$cat.ev2").columns.toSeq ==
+      Seq("id", "tag", "vc", "score", "_event_hour"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2 WHERE score IS NULL")
+      .head.getLong(0) == 500, "old rows read the new column as NULL")
+
+    // appends carry the evolved header
+    spark.sql(
+      s"""INSERT INTO $cat.ev2
+         |SELECT id + 1000 AS id, 'new' AS tag, id AS vc,
+         |  0.5 AS score, TIMESTAMP '2024-07-01 09:00:00+00:00' AS _event_hour
+         |FROM range(10)""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2 WHERE score = 0.5")
+      .head.getLong(0) == 10)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2").head.getLong(0) == 510)
+    val newKey = LakeReader.listTableKeys(store, "ev2", None)
+      .filterNot(before.contains).head
+    assert(LakeReader.peekSchema(store, newKey, "ev2").columnNames ==
+      Seq("id", "tag", "vc", "score"), "new objects carry the declared header")
+    // connector format-read agrees with the catalog read
+    val viaFormat = spark.read.format("graft-lake").option("table", "ev2")
+      .load(root)
+    assert(viaFormat.columns.toSeq ==
+      Seq("id", "tag", "vc", "score", "_event_hour"))
+    assert(viaFormat.count() == 510)
+  }
+
+  test("COW UPDATE and delta MERGE on a mixed-header table: touched objects migrate to the declared header, values exact") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 400)
+    spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN score DOUBLE")
+
+    // COW UPDATE sets the NEW column on OLD-header rows
+    spark.sql(s"UPDATE $cat.ev2 SET score = 2.5 WHERE id < 100")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2 WHERE score = 2.5")
+      .head.getLong(0) == 100)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2 WHERE score IS NULL")
+      .head.getLong(0) == 300)
+    // the rewritten object(s) carry the declared header now
+    val rec = LakeVersions.head(store, "ev2", LakeVersions.listDir(store, "ev2")).get
+    rec.added.foreach { k =>
+      assert(LakeReader.peekSchema(store, k, "ev2").columnNames ==
+        Seq("id", "tag", "vc", "score"),
+        s"rewritten $k must land on the declared header")
+    }
+
+    // delta MERGE mixes arms across old- and new-header objects
+    import spark.implicits._
+    ((100L until 110L) ++ (9000L until 9005L)).toDF("sid")
+      .createOrReplaceTempView("evo_m_src")
+    val m = spark.sql(
+      s"""MERGE INTO $cat.ev2 t USING evo_m_src s ON t.id = s.sid
+         |WHEN MATCHED THEN UPDATE SET score = 9.0
+         |WHEN NOT MATCHED THEN INSERT (id, tag, vc, score, _event_hour)
+         |  VALUES (s.sid, 'ins', 0, 1.0,
+         |    TIMESTAMP '2024-07-01 10:00:00+00:00')""".stripMargin)
+    assert(m.queryExecution.executedPlan.toString.contains("WriteDelta"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2 WHERE score = 9.0")
+      .head.getLong(0) == 10)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2 WHERE tag = 'ins'")
+      .head.getLong(0) == 5)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2").head.getLong(0) == 405)
+    // untouched old rows ride through unchanged
+    assert(spark.sql(
+      s"SELECT sum(vc) FROM $cat.ev2 WHERE id >= 110 AND tag <> 'ins'")
+      .head.getLong(0) == (110 until 400).map(_.toLong).sum)
+  }
+
+  test("metadata DELETE probes across mixed headers: old column exact, new column never rewrites objects that lack it") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 400)
+    spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN score DOUBLE")
+    spark.sql(
+      s"""INSERT INTO $cat.ev2
+         |SELECT id + 1000 AS id, 't3' AS tag, id AS vc, 7.5 AS score,
+         |  TIMESTAMP '2024-07-01 09:00:00+00:00' AS _event_hour
+         |FROM range(10)""".stripMargin)
+    def bytes(k: String) = { val in = store.open(k)
+      try in.readAllBytes() finally in.close() }
+    val oldKeys = LakeReader.listTableKeys(store, "ev2", None)
+      .filter(_.startsWith("2024/07/01/08/"))
+    val oldBytes = oldKeys.map(k => k -> bytes(k)).toMap
+
+    // probe on the NEW column: only the evolved-header object matches;
+    // old objects (score absent -> NULL) must stay byte-identical
+    val d = spark.sql(s"DELETE FROM $cat.ev2 WHERE score = 7.5")
+    assert(d.queryExecution.executedPlan.toString.contains("DeleteFromTable"),
+      "a probe on the new column stays metadata-path")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2").head.getLong(0) == 400)
+    oldBytes.foreach { case (k, b) =>
+      assert(bytes(k).sameElements(b),
+        s"old-header object $k must not be rewritten by a new-column probe")
+    }
+    // probe on an OLD column across mixed headers: exact
+    spark.sql(s"DELETE FROM $cat.ev2 WHERE tag = 't3'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2").head.getLong(0) == 320)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2 WHERE tag = 't3'")
+      .head.getLong(0) == 0)
+  }
+
+  test("compact migrates the whole table onto the declared header; the strict single-header read then succeeds") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 300)
+    spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN score DOUBLE")
+    spark.sql(
+      s"""INSERT INTO $cat.ev2
+         |SELECT id + 1000 AS id, 'n' AS tag, id AS vc, 1.25 AS score,
+         |  TIMESTAMP '2024-07-01 08:00:00+00:00' AS _event_hour
+         |FROM range(20)""".stripMargin)
+    spark.sql(s"CALL $cat.system.compact(table => 'ev2', " +
+      "target_records => 1000, zone_maps => true)")
+    val keys = LakeReader.listTableKeys(store, "ev2", None)
+    keys.foreach { k =>
+      assert(LakeReader.peekSchema(store, k, "ev2").columnNames ==
+        Seq("id", "tag", "vc", "score"),
+        s"compacted $k must carry the declared header")
+    }
+    // single-header again: the strict file-based read path works
+    val strict = LakeReader.read(spark, root, "ev2")
+    assert(strict.count() == 320)
+    assert(strict.where(col("score") === 1.25).count() == 20)
+    assert(spark.sql(s"SELECT sum(vc) FROM $cat.ev2").head.getLong(0) ==
+      (0 until 300).map(_.toLong).sum + (0 until 20).map(_.toLong).sum)
+  }
+
+  test("widen INTEGER -> FLOAT: old integer wires reparse exactly; narrowing and other retypes refuse") {
+    val (cat, root, _) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 200)
+    spark.sql(s"ALTER TABLE $cat.ev2 ALTER COLUMN vc TYPE DOUBLE")
+    val df = spark.table(s"$cat.ev2")
+    assert(df.schema("vc").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(df.agg(sum("vc")).head.getDouble(0) ==
+      (0 until 200).map(_.toDouble).sum)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ev2 ALTER COLUMN id TYPE STRING")
+    }
+    assert(e.getMessage.contains("INTEGER -> FLOAT"), e.getMessage)
+  }
+
+  test("DROP COLUMN: reads lose it, old objects' extra wire column is ignored, appends emit the narrowed header") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 200)
+    spark.sql(s"ALTER TABLE $cat.ev2 DROP COLUMN vc")
+    assert(spark.table(s"$cat.ev2").columns.toSeq ==
+      Seq("id", "tag", "_event_hour"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2").head.getLong(0) == 200)
+    val preKeys = LakeReader.listTableKeys(store, "ev2", None).toSet
+    spark.sql(
+      s"""INSERT INTO $cat.ev2
+         |SELECT id + 1000 AS id, 'n' AS tag,
+         |  TIMESTAMP '2024-07-01 09:00:00+00:00' AS _event_hour
+         |FROM range(5)""".stripMargin)
+    // plain appends land under the write's flushTime hour — find the
+    // fresh object by set difference, not by hour
+    val newKey = LakeReader.listTableKeys(store, "ev2", None)
+      .filterNot(preKeys).head
+    assert(LakeReader.peekSchema(store, newKey, "ev2").columnNames ==
+      Seq("id", "tag"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2").head.getLong(0) == 205)
+  }
+
+  test("refusals: NOT NULL add, positioned add, rename, reserved names") {
+    val (cat, root, _) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 50)
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN x BIGINT NOT NULL")
+    }.getMessage.contains("nullable"))
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN x BIGINT FIRST")
+    }.getMessage.contains("END"))
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ev2 RENAME COLUMN tag TO label")
+    }.getMessage.toLowerCase.contains("not"))
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN _row_pos BIGINT")
+    }.getMessage.contains("reserved"))
+  }
+
+  test("the changes feed and time travel ride through an ALTER: old snapshots align onto the declared schema") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 200)
+    spark.sql(s"CALL $cat.system.set_retention(table => 'ev2', retain => true)")
+    spark.sql(s"CALL $cat.system.tag(table => 'ev2', name => 'pre-alter')")
+    spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN score DOUBLE")
+    spark.sql(s"UPDATE $cat.ev2 SET score = 3.5 WHERE id < 10")
+    // time travel to the pre-ALTER tag reads under the DECLARED schema
+    // (old rows null-fill) — schema resolution is current-declared
+    val runA = spark.sql(s"SELECT * FROM $cat.ev2 VERSION AS OF 'pre-alter'")
+    assert(runA.columns.toSeq == Seq("id", "tag", "vc", "score", "_event_hour"))
+    assert(runA.where(col("score").isNotNull).count() == 0)
+    assert(runA.count() == 200)
+    // the feed sees exactly the UPDATE's pre/post images; the 190
+    // untouched rows null-fill identically on both sides and cancel
+    val feed = LakeChanges.since(spark, root, "ev2", "pre-alter")
+    assert(feed.where(col("_change_type") === "insert").count() == 10)
+    assert(feed.where(col("_change_type") === "delete").count() == 10)
+    assert(feed.where(col("_change_type") === "insert" &&
+      col("score") === 3.5).count() == 10)
+  }
+}
