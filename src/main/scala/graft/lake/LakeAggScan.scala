@@ -113,7 +113,11 @@ private[lake] object LakeAgg {
 final case class LakeAggInputPartition(keys: Seq[String]) extends InputPartition
 
 final class LakeAggScan(rootUri: String, table: String,
-                        lakeSchema: TableSchema, pushed: LakeAgg.Pushed)
+                        lakeSchema: TableSchema, pushed: LakeAgg.Pushed,
+                        // byName (evolved/reconcile) tables push ONLY
+                        // COUNT(*): the sidecar-less fallback reader
+                        // then resolves mixed headers by name
+                        byName: Boolean = false)
     extends Scan with Batch {
 
   override def readSchema(): StructType = LakeAgg.outputStruct(lakeSchema, pushed)
@@ -138,15 +142,16 @@ final class LakeAggScan(rootUri: String, table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeAggReaderFactory(rootUri, lakeSchema, pushed)
+    new LakeAggReaderFactory(rootUri, lakeSchema, pushed, byName)
 }
 
 final class LakeAggReaderFactory(rootUri: String, lakeSchema: TableSchema,
-                                 pushed: LakeAgg.Pushed)
+                                 pushed: LakeAgg.Pushed,
+                                 byName: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new LakeAggReader(rootUri, lakeSchema, pushed,
-      partition.asInstanceOf[LakeAggInputPartition])
+      partition.asInstanceOf[LakeAggInputPartition], byName)
 }
 
 /** Emits, per object: ONE metadata row (sidecar answers everything) or
@@ -154,7 +159,8 @@ final class LakeAggReaderFactory(rootUri: String, lakeSchema: TableSchema,
   * torn sidecar, poisoned bounds, anything unparseable). Spark's final
   * aggregation merges both shapes identically. */
 final class LakeAggReader(rootUri: String, lakeSchema: TableSchema,
-                          pushed: LakeAgg.Pushed, part: LakeAggInputPartition)
+                          pushed: LakeAgg.Pushed, part: LakeAggInputPartition,
+                          byName: Boolean = false)
     extends PartitionReader[InternalRow] {
   import LakeAgg._
 
@@ -269,7 +275,7 @@ final class LakeAggReader(rootUri: String, lakeSchema: TableSchema,
     * nothing — a vanished hour is no group, same as a row scan. */
   private def fallbackRows(key: String, hourMicros: Long): Iterator[InternalRow] = {
     inner = new LakeObjectReader(rootUri, lakeSchema, fallbackStruct,
-      LakeInputPartition(key, hourMicros / 1000L))
+      LakeInputPartition(key, hourMicros / 1000L), byName)
     new Iterator[InternalRow] {
       private var ready = false
       private var done = false

@@ -152,7 +152,15 @@ final class LakeCatalog extends TableCatalog with ProcedureCatalog {
     * null-fill new columns), every write path emits it, and
     * `CALL compact` migrates the whole table wholesale. Changes
     * CAS-publish; a racing ALTER makes the loser re-apply on the
-    * winner's result (loud when they no longer compose). */
+    * winner's result (loud when they no longer compose).
+    *
+    * A table with PRE-EXISTING reference drift (heterogeneous headers,
+    * no declared record): the first ALTER baselines on the strict
+    * one-object peek — exactly what every plain read of that table
+    * already resolves (and fails loudly on, at the first drifted
+    * object). Legalizing drift retroactively is the reconcile
+    * catalog's job; evolving it forward starts from the declared
+    * baseline. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     requireFlat(ident.namespace())
     val store = new HadoopStore(root)

@@ -962,17 +962,21 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     * claimed COMPLETE: Spark's final merge combines the per-object
     * rows, which is what keeps the sidecar-less fallback exact. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    // reconcile: a drifted object's sidecar describes the object's OWN
-    // columns — count(c)/min/max over a column the object lacks must
-    // contribute nulls, which its sidecar cannot attest; refuse rather
-    // than special-case (the ordinary reconciling row scan is exact)
+    // byName (reconcile / evolved): a mixed-header object's sidecar
+    // describes the object's OWN columns — count(c)/min/max over a
+    // column the object lacks must contribute nulls, which its sidecar
+    // cannot attest; refuse those. COUNT(*) alone is column-AGNOSTIC
+    // (sidecar `records` counts rows whatever the header), so it stays
+    // metadata-only even across mixed headers.
     // asOf: LakeAggScan lists the LIVE table — a snapshot read answers
     // from its own key set, so the row scan (still sidecar-pruned) owns it
-    if (pushed.nonEmpty || byName || cowMode || asOfGeneration.isDefined)
+    if (pushed.nonEmpty || cowMode || asOfGeneration.isDefined)
       return false
     LakeAgg.translate(aggregation, lakeSchema) match {
-      case some @ Some(_) => pushedAgg = some; true
-      case None => false
+      case some @ Some(agg)
+          if !byName || agg.specs.forall(_ == LakeAgg.SCountStar) =>
+        pushedAgg = some; true
+      case _ => false
     }
   }
 
@@ -989,7 +993,7 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     // so the report is structurally ignored there. No loss at scale:
     // the post-aggregate exchange moves ONE metadata-sized row per
     // OBJECT (the sidecar answer), never data rows.
-    case Some(agg) => new LakeAggScan(rootUri, table, lakeSchema, agg)
+    case Some(agg) => new LakeAggScan(rootUri, table, lakeSchema, agg, byName)
     case None =>
       val s = new LakeScan(rootUri, table, lakeSchema, required, pushed,
         pushedLimit, pushedTopN, clusterByHour, streamOptions, byName,

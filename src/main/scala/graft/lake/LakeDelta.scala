@@ -56,7 +56,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Memory is bounded twice: a patch file is streamed, and the rewrite
   * task holds one object's patches (an object is bounded by the
   * writer's record limit). The rewrite job scales with TOUCHED objects,
-  * never table size. */
+  * never table size.
+  *
+  * Small-file note: insert objects land one-per-(task, hour) — a MERGE
+  * whose few inserts scatter over many join partitions lands many
+  * small objects (the group-based COW write had the same shape).
+  * `CALL lake.system.compact` consolidates; scheduled compaction is
+  * the standing posture for any DML-heavy table. */
 object LakeDelta {
 
   /** Patch-file schema: positional names (`p0`,`p1`,...) because the

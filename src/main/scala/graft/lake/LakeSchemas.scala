@@ -23,6 +23,14 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   * declared header, so the table converges to it object by object;
   * `CALL compact` converges it wholesale.
   *
+  * '''Active streams''': a stream STARTED on an evolved table reads by
+  * name and rides later ALTERs' objects fine; a stream started before
+  * the table's FIRST ALTER is strict single-header — the first
+  * declared-header object it admits fails it loudly with the
+  * schema-drift error (restart resumes from the checkpoint under the
+  * evolved schema). Loud and checkpoint-safe, documented in README
+  * Known gaps.
+  *
   * '''Concurrency''': records are immutable and CAS-published with
   * [[Store.createExclusive]] like generation records — two concurrent
   * ALTERs serialize; the loser re-reads the winner's schema, re-applies

@@ -197,6 +197,31 @@ class LakeDeltaSpec extends SparkSuite {
     assert(store.list("_staging").isEmpty, "loser's staging swept")
   }
 
+  test("a MERGE whose ON matches one target row twice fails LOUDLY with nothing published (cardinality check)") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 200)
+    val before = keysOf(store).map(k => k -> bytesOf(store, k)).toMap
+    import spark.implicits._
+    Seq((5L, 1.0), (5L, 2.0)).toDF("sid", "nv")
+      .createOrReplaceTempView("delta_dup_src")
+    val e = intercept[Throwable] {
+      spark.sql(
+        s"""MERGE INTO $cat.ev t USING delta_dup_src s ON t.id = s.sid
+           |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.toLowerCase.contains("multiple") ||
+      msgs.contains("MERGE_CARDINALITY") || msgs.contains("cardinality"),
+      s"the failure names the duplicate match: $msgs")
+    assert(keysOf(store).toSet == before.keySet, "nothing published")
+    before.foreach { case (k, b) =>
+      assert(bytesOf(store, k).sameElements(b), s"$k byte-identical")
+    }
+    assert(store.list("_staging").isEmpty, "staging swept on abort")
+    assert(LakeVersions.listDir(store, "ev").gens.isEmpty, "no generation")
+  }
+
   test("MERGE UPDATE SET _event_hour MOVES the row to the new hour's objects") {
     val (cat, root, store) = fixture()
     land(root, "2024-07-01T08:00:00Z", 0, 500)

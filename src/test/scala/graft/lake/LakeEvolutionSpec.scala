@@ -214,6 +214,27 @@ class LakeEvolutionSpec extends SparkSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.ev2").head.getLong(0) == 205)
   }
 
+  test("COUNT(*) on an evolved mixed-header table stays metadata-only; column aggregates fall back to the row scan") {
+    val (cat, root, _) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 300)
+    spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN score DOUBLE")
+    spark.sql(
+      s"""INSERT INTO $cat.ev2
+         |SELECT id + 1000 AS id, 'n' AS tag, id AS vc, 0.5 AS score,
+         |  TIMESTAMP '2024-07-01 09:00:00+00:00' AS _event_hour
+         |FROM range(25)""".stripMargin)
+    val cnt = spark.sql(s"SELECT count(*) FROM $cat.ev2")
+    assert(cnt.queryExecution.executedPlan.toString.contains("graft-lake-agg"),
+      s"count(*) must answer from sidecars:\n${cnt.queryExecution.executedPlan}")
+    assert(cnt.head.getLong(0) == 325)
+    // a column aggregate cannot trust mixed-header sidecars — row scan
+    val mx = spark.sql(s"SELECT max(vc) FROM $cat.ev2")
+    assert(!mx.queryExecution.executedPlan.toString.contains("graft-lake-agg"),
+      "column aggregates refuse the metadata path on evolved tables")
+    // base rows carry vc 0..299; inserted rows vc 0..24
+    assert(mx.head.getLong(0) == 299)
+  }
+
   test("refusals: NOT NULL add, positioned add, rename, reserved names") {
     val (cat, root, _) = fixture()
     land(root, "2024-07-01T08:00:00Z", 0, 50)
