@@ -284,7 +284,7 @@ object LakeMaintenance {
     def perHeader(keys: Seq[String])(
         build: (graft.types.TableSchema, Seq[String]) => Int): Int =
       if (keys.isEmpty) 0
-      else LakeReader.groupKeysByHeader(store, table, keys)
+      else LakeReader.groupKeysByHeader(spark, store, table, keys)
         .map { case (sch, ks) => build(sch, ks) }.sum
     EnsureReport(
       perHeader(missingStats)((_, ks) =>

@@ -403,13 +403,31 @@ object LakeReader {
     * the unit an EVOLVED table's bulk paths operate at: each group is
     * single-header, so [[readKeys]]' strict CSV read applies per group.
     * Cheap relative to what callers do next (they open every key's data
-    * anyway). */
-  private[lake] def groupKeysByHeader(store: Store, table: String,
-                                      keys: Seq[String])
-      : Seq[(TableSchema, Seq[String])] =
-    keys.groupBy(k => peekSchema(store, k, table).columns)
-      .toSeq.map { case (cols, ks) => (TableSchema(table, cols), ks.sorted) }
+    * anyway) — and above the same threshold as every sidecar walk the
+    * peeks FAN OUT to executors (the payload shipped back is one
+    * (header, key) pair per object, metadata-sized), so a broad
+    * compact/delete on a million-object evolved table never serializes
+    * a million GETs through the driver. */
+  private[lake] def groupKeysByHeader(spark: SparkSession, store: Store,
+                                      table: String, keys: Seq[String],
+                                      distributeAbove: Int =
+                                        DefaultSidecarDistributeAbove)
+      : Seq[(TableSchema, Seq[String])] = {
+    val pairs: Seq[(Seq[(String, graft.types.ColType)], String)] =
+      if (keys.size <= distributeAbove)
+        keys.map(k => (peekSchema(store, k, table).columns, k))
+      else {
+        val rootUri = store.rootUri
+        spark.sparkContext
+          .parallelize(keys, math.max(1, keys.size / 256))
+          .map { k =>
+            (peekSchema(new HadoopStore(rootUri), k, table).columns, k)
+          }.collect().toSeq
+      }
+    pairs.groupBy(_._1).toSeq
+      .map { case (cols, ps) => (TableSchema(table, cols), ps.map(_._2).sorted) }
       .sortBy(_._2.head)
+  }
 
   /** Project a single-header frame onto the DECLARED (target) schema:
     * columns the header lacks null-fill, `INTEGER` wires widen under a
@@ -442,7 +460,7 @@ object LakeReader {
     * set already matching `target` takes the plain [[readKeys]] path. */
   def readKeysAligned(spark: SparkSession, store: Store, table: String,
                       keys: Seq[String], target: TableSchema): DataFrame = {
-    val groups = groupKeysByHeader(store, table, keys)
+    val groups = groupKeysByHeader(spark, store, table, keys)
     groups match {
       case Seq((one, ks)) if one.columns == target.columns =>
         readKeys(spark, store, table, ks)

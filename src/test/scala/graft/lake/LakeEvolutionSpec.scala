@@ -235,6 +235,28 @@ class LakeEvolutionSpec extends SparkSuite {
     assert(mx.head.getLong(0) == 299)
   }
 
+  test("INSERT OVERWRITE on an evolved table: replacement rows land on the declared header through the versioned commit") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 300)
+    spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN score DOUBLE")
+    spark.sql(
+      s"""INSERT OVERWRITE $cat.ev2
+         |SELECT id, 'ow' AS tag, id AS vc, 1.5 AS score,
+         |  TIMESTAMP '2024-07-01 08:00:00+00:00' AS _event_hour
+         |FROM range(50)""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2").head.getLong(0) == 50)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2 WHERE score = 1.5")
+      .head.getLong(0) == 50)
+    LakeReader.listTableKeys(store, "ev2", None).foreach { k =>
+      assert(LakeReader.peekSchema(store, k, "ev2").columnNames ==
+        Seq("id", "tag", "vc", "score"),
+        s"overwrite replacement $k must carry the declared header")
+    }
+    val rec = LakeVersions.head(store, "ev2",
+      LakeVersions.listDir(store, "ev2")).get
+    assert(rec.op == "overwrite" && rec.removed.nonEmpty)
+  }
+
   test("refusals: NOT NULL add, positioned add, rename, reserved names") {
     val (cat, root, _) = fixture()
     land(root, "2024-07-01T08:00:00Z", 0, 50)
