@@ -126,7 +126,8 @@ object Bench {
       "l22_lake_hour_clustered_agg", "l23_lake_stream_read",
       "l27_lake_stream_pruned_backfill", "l30_lake_sql_update",
       "l31_lake_sql_merge", "l34_lake_time_travel",
-      "l35_lake_changes_feed", "t18_heavy_hitters")
+      "l35_lake_changes_feed", "l36_lake_schema_evolution",
+      "t18_heavy_hitters")
     val metered: Map[String, Meter.Metrics] = meterSet.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         try {

@@ -77,6 +77,11 @@ object BenchGates {
     // a second read per side (the naive exceptAll-per-direction) or a
     // full-history walk breaks these
     "l35_lake_changes_feed" -> Ceiling(Some(60 * MB), Some(20 * MB)),
+    // 0.17 MB in (round 15): ALTER is metadata-only and the evolved
+    // UPDATE's copy-on-write read stays band-bounded + group-filtered —
+    // an ALTER that rewrote data, or an evolved COW scan that lost its
+    // pruning, jumps an order over this
+    "l36_lake_schema_evolution" -> Ceiling(Some(2 * MB), None),
   )
 
   /** Human-readable violations; empty = all metered queries in bounds.

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions.{abs, col, explode, lit, sequence, sum, wh
 
 /** INCREMENTAL CHANGES between retained snapshots — the change-data-feed
   * read of the version chain (the Delta CDF / Iceberg incremental-scan
-  * idea on the lake's generation records): "exactly what changed since
+  * idea on the lake's generation records; the reference's lake is the
+  * system of record a training pipeline re-reads, `README.md:113-117`,
+  * and this is the read that makes re-reads INCREMENTAL): "exactly what changed since
   * training run A" as one bounded read, the companion primitive to
   * `VERSION AS OF` (which answers "exactly what run A saw").
   *

@@ -17,7 +17,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DELTA-based MERGE for the lake — `SupportsDelta`, the position-delta
   * idea Iceberg v2 popularized (`_file`/`_pos` row ids + per-row change
-  * ops), re-derived on the lake's immutable rolled objects. This is the
+  * ops), re-derived on the lake's immutable rolled objects (the
+  * reference's queryable-lake contract, `README.md:113-117`; objects
+  * land once and never mutate in place, `Collector.ts:310-350`, which
+  * is exactly what makes `(_object_key, _row_pos)` a stable row id). This is the
   * second of Spark's two row-level rewrite shapes ([[LakeRowLevelOperation]]
   * is the GROUP-based one, which UPDATE/DELETE keep): instead of routing
   * every row of every touched group through the plan, Spark's

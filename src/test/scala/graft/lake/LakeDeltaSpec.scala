@@ -222,6 +222,51 @@ class LakeDeltaSpec extends SparkSuite {
     assert(LakeVersions.listDir(store, "ev").gens.isEmpty, "no generation")
   }
 
+  test("MERGE under retention: VERSION AS OF the pre-MERGE tag reads the exact old corpus; originals stay on disk") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 400)
+    spark.sql(s"CALL $cat.system.set_retention(table => 'ev', retain => true)")
+    spark.sql(s"CALL $cat.system.tag(table => 'ev', name => 'pre-merge')")
+    val before = spark.table(s"$cat.ev").collect().map(_.toSeq).toSet
+    import spark.implicits._
+    ((0L until 20L) ++ (5000L until 5005L)).toDF("sid")
+      .createOrReplaceTempView("delta_tt_src")
+    spark.sql(
+      s"""MERGE INTO $cat.ev t USING delta_tt_src s ON t.id = s.sid
+         |WHEN MATCHED THEN UPDATE SET v = -1
+         |WHEN NOT MATCHED THEN INSERT (id, tag, v, _event_hour)
+         |  VALUES (s.sid, 'i', 0.0,
+         |    TIMESTAMP '2024-07-01 09:00:00+00:00')""".stripMargin)
+    // the tag reads the pre-MERGE corpus row-exactly
+    val runA = spark.sql(s"SELECT * FROM $cat.ev VERSION AS OF 'pre-merge'")
+      .collect().map(_.toSeq).toSet
+    assert(runA == before, "time travel must see the exact pre-MERGE rows")
+    // retention kept the rewritten originals on disk (tombstoned)
+    val rec = LakeVersions.head(store, "ev", LakeVersions.listDir(store, "ev")).get
+    assert(rec.op == "merge" && rec.removed.forall(store.exists),
+      "retained originals must remain on disk for the snapshot")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE v = -1")
+      .head.getLong(0) == 20)
+  }
+
+  test("MERGE into a SEALED hour invalidates the manifest (the publish discipline at the manifest seam)") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 300)
+    Manifests.seal(store, "ev", java.time.Instant.parse("2024-07-02T00:00:00Z"))
+    assert(store.exists(Manifests.manifestKey("ev")))
+    import spark.implicits._
+    (0L until 5L).toDF("sid").createOrReplaceTempView("delta_seal_src")
+    spark.sql(
+      s"""MERGE INTO $cat.ev t USING delta_seal_src s ON t.id = s.sid
+         |WHEN MATCHED THEN UPDATE SET v = -5""".stripMargin)
+    assert(!store.exists(Manifests.manifestKey("ev")),
+      "a MERGE rewriting a sealed hour must invalidate the manifest")
+    // readers see the post-MERGE truth (no stale manifest keys)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE v = -5")
+      .head.getLong(0) == 5)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) == 300)
+  }
+
   test("MERGE UPDATE SET _event_hour MOVES the row to the new hour's objects") {
     val (cat, root, store) = fixture()
     land(root, "2024-07-01T08:00:00Z", 0, 500)
