@@ -257,6 +257,27 @@ class LakeEvolutionSpec extends SparkSuite {
     assert(rec.op == "overwrite" && rec.removed.nonEmpty)
   }
 
+  test("groupKeysByHeader: the distributed peek fan-out groups identically to the driver walk") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 600)   // 3 old-header objects
+    spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN score DOUBLE")
+    spark.sql(
+      s"""INSERT INTO $cat.ev2
+         |SELECT id + 1000 AS id, 'n' AS tag, id AS vc, 0.5 AS score,
+         |  TIMESTAMP '2024-07-01 09:00:00+00:00' AS _event_hour
+         |FROM range(30)""".stripMargin)
+    val keys = LakeReader.listTableKeys(store, "ev2", None)
+    assert(keys.size >= 4)
+    val driver = LakeReader.groupKeysByHeader(spark, store, "ev2", keys,
+      distributeAbove = Int.MaxValue)
+    val dist = LakeReader.groupKeysByHeader(spark, store, "ev2", keys,
+      distributeAbove = 1)
+    assert(driver.map { case (s, ks) => (s.columns, ks) } ==
+      dist.map { case (s, ks) => (s.columns, ks) },
+      "executor fan-out must group exactly like the driver walk")
+    assert(driver.size == 2, s"two header generations: ${driver.map(_._1)}")
+  }
+
   test("refusals: NOT NULL add, positioned add, rename, reserved names") {
     val (cat, root, _) = fixture()
     land(root, "2024-07-01T08:00:00Z", 0, 50)
