@@ -177,6 +177,31 @@ final class LakeCatalog extends TableCatalog with ProcedureCatalog {
       val cur = LakeSchemas.current(store, table)
       val base = cur.map(_.schema).getOrElse(LakeDataSource.peek(root, table))
       val next = applyChanges(base, changes)
+      // RE-ADDING a previously dropped column: the wire format has no
+      // column IDs, so if any live object's header still carries the
+      // name, the by-name reader would resurrect the OLD values under
+      // the new column instead of NULL (or refuse the whole table on a
+      // type change). Exact check, distributed above the walk
+      // threshold; compaction (which rewrites onto the current header)
+      // is the remedy.
+      val readded = changes.collect {
+        case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
+          a.fieldNames()(0)
+      }.filter(n => !base.columns.exists(_._1 == n))
+        .filter(LakeSchemas.historicalColumns(store, table).contains)
+      if (readded.nonEmpty) {
+        val keys = LakeReader.listTableKeys(store, table, None)
+        val carrying = LakeReader.groupKeysByHeader(SparkSession.active,
+          store, table, keys)
+          .filter { case (sch, _) => readded.exists(sch.columnNames.contains) }
+        require(carrying.isEmpty,
+          s"graft-lake ALTER TABLE: column(s) ${readded.mkString(", ")} " +
+            s"were previously dropped and ${carrying.map(_._2.size).sum} " +
+            "live object(s) still carry their old values — re-adding the " +
+            "name would resurrect them instead of reading NULL; run " +
+            s"CALL <catalog>.system.compact(table => '$table') to migrate " +
+            "onto the current header, then retry")
+      }
       if (LakeSchemas.publish(store, table, next,
           cur.map(_.version).getOrElse(0L)).isDefined) {
         // audit entry on the chain, serialized like every mutation (in

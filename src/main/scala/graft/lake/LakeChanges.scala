@@ -79,22 +79,27 @@ object LakeChanges {
       case None => LakeReader.readKeys(spark, store, table, keys)
     }
     // the schema must resolve even when one side is empty; a read of
-    // ZERO keys cannot (readKeys requires objects) — build the empty
-    // frame off the other side's schema
+    // ZERO keys cannot (readKeys requires objects). A declared table's
+    // shape is STATIC (no metadata I/O — a backfill-append feed with an
+    // empty gone side must not header-peek the whole fresh side twice);
+    // otherwise the other side's read supplies it.
+    def emptyShape(other: Seq[String]): org.apache.spark.sql.types.StructType =
+      declared.map(LakeDataSource.outputStruct)
+        .getOrElse(readAligned(other).schema)
     def rows(keys: Seq[String], other: Seq[String]): DataFrame =
       if (keys.nonEmpty) readAligned(keys)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        readAligned(other).schema)
+        emptyShape(other))
     if (gone.isEmpty && fresh.isEmpty) {
       // no object changed — an empty, correctly-shaped feed (the table
       // must exist for the schema; firstTableKey enforces like any read)
       val k = LakeReader.firstTableKey(store, table)
         .orElse(cur.headOption).getOrElse(throw new IllegalArgumentException(
           s"no lake objects for table $table under ${store.rootUri}"))
-      val shape = readAligned(Seq(k)).schema
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        emptyShape(Seq(k)))
         .withColumn(ChangeTypeCol, lit("insert")).limit(0)
     }
     val before = rows(gone, fresh)
@@ -105,16 +110,26 @@ object LakeChanges {
     // matches exceptAll's (null = null, NaN = NaN), so this is the
     // multiset diff computed in one pass. `explode(sequence(...))`
     // re-materializes multiplicity for genuinely duplicated rows.
+    // Working column names PROBE for collision-freedom: `_net` etc. are
+    // legal data column names ([[graft.types.TableSchema]] reserves only
+    // the read-derived ones), and a silent collision would corrupt the
+    // grouping; `_change_type` itself IS reserved at schema declaration.
     val dataCols = before.columns.toSeq
-    val net = before.withColumn("_net_sign", lit(-1L))
-      .unionByName(after.withColumn("_net_sign", lit(1L)))
+    def freshName(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !dataCols.contains(n)).get
+    val signCol = freshName("_net_sign")
+    val netCol = freshName("_net")
+    val dupCol = freshName("_dup")
+    val net = before.withColumn(signCol, lit(-1L))
+      .unionByName(after.withColumn(signCol, lit(1L)))
       .groupBy(dataCols.map(col): _*)
-      .agg(sum(col("_net_sign")).as("_net"))
-      .where(col("_net") =!= 0L)
+      .agg(sum(col(signCol)).as(netCol))
+      .where(col(netCol) =!= 0L)
     net.withColumn(ChangeTypeCol,
-        when(col("_net") > 0L, "insert").otherwise("delete"))
-      .withColumn("_dup",
-        explode(sequence(lit(1), abs(col("_net")).cast("int"))))
-      .drop("_net", "_dup")
+        when(col(netCol) > 0L, "insert").otherwise("delete"))
+      .withColumn(dupCol,
+        explode(sequence(lit(1), abs(col(netCol)).cast("int"))))
+      .drop(netCol, dupCol)
   }
 }

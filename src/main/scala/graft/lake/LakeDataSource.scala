@@ -174,6 +174,34 @@ object LakeDataSource {
   private[lake] def reconcileOpt(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("reconcile")).exists(_.toBoolean)
 
+  /** Catalyst row → EXTERNAL wire values, BY NAME against the declared
+    * schema — THE one conversion table every lake write path shares
+    * (append, copy-on-write, delta MERGE), so the wire codec cannot
+    * drift per path: one getter per declared column, reading the
+    * incoming row's position for that name and boxing the value
+    * [[TypedCsv.formatValue]] expects (timestamps truncate to the
+    * wire's millis via floorDiv — pre-epoch safe). */
+  private[lake] def externalGetters(lakeSchema: TableSchema,
+                                    inSchema: StructType)
+      : Array[InternalRow => Any] =
+    lakeSchema.columns.map { case (nm, t) =>
+      val i = inSchema.fieldIndex(nm)
+      t match {
+        case ColType.CString | ColType.CUuid =>
+          (r: InternalRow) => if (r.isNullAt(i)) null else r.getUTF8String(i).toString
+        case ColType.CInteger =>
+          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Long.valueOf(r.getLong(i))
+        case ColType.CFloat =>
+          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Double.valueOf(r.getDouble(i))
+        case ColType.CBoolean =>
+          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Boolean.valueOf(r.getBoolean(i))
+        case ColType.CTime =>
+          (r: InternalRow) => if (r.isNullAt(i)) null
+            else new java.sql.Timestamp(Math.floorDiv(r.getLong(i), 1000L))
+      }
+    }.toArray
+
+
   /** One-object schema peek (the strict single-schema contract,
     * [[LakeReader.read]]'s): O(hour dirs), never a full key listing. */
   private[lake] def peek(root: String, table: String): TableSchema = {
@@ -602,7 +630,8 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
       effectivePolicy =
         if (zoneMaps || bloomColumns.nonEmpty)
           LakeRowLevel.SidecarPolicy(gzip, zoneMaps, bloomColumns)
-        else LakeRowLevel.detectPolicy(new HadoopStore(rootUri), lakeSchema.name)
+        else LakeRowLevel.policyFor(new HadoopStore(rootUri),
+          lakeSchema.name, lakeSchema)
       new LakeCowWriterFactory(rootUri, lakeSchema, inSchema, s"$staging/",
         effectivePolicy, maxRecordsPerObject)
     }
@@ -835,26 +864,10 @@ final class LakeDataWriter(rootUri: String, lakeSchema: TableSchema,
     new HadoopStore(rootUri), lakeSchema, flushTime, gzip,
     maxRecordsPerObject, keyPrefix, zoneMaps, bloomColumns)
 
-  // declared-schema order; each getter reads the incoming row's position
-  // for that NAME and boxes the external value TypedCsv expects
+  // the shared declared-schema conversion table (LakeDataSource
+  // .externalGetters) — by-name, external-boxed, wire-millis timestamps
   private val getters: Array[InternalRow => Any] =
-    lakeSchema.columns.map { case (nm, t) =>
-      val i = inSchema.fieldIndex(nm)
-      t match {
-        case ColType.CString | ColType.CUuid =>
-          (r: InternalRow) => if (r.isNullAt(i)) null else r.getUTF8String(i).toString
-        case ColType.CInteger =>
-          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Long.valueOf(r.getLong(i))
-        case ColType.CFloat =>
-          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Double.valueOf(r.getDouble(i))
-        case ColType.CBoolean =>
-          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Boolean.valueOf(r.getBoolean(i))
-        case ColType.CTime =>
-          // micros → the wire's millis (floorDiv: pre-epoch values too)
-          (r: InternalRow) => if (r.isNullAt(i)) null
-            else new java.sql.Timestamp(Math.floorDiv(r.getLong(i), 1000L))
-      }
-    }.toArray
+    LakeDataSource.externalGetters(lakeSchema, inSchema)
 
   override def write(row: InternalRow): Unit = {
     val vals = new Array[Any](getters.length)

@@ -335,7 +335,8 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
     s"graft-lake MERGE delta table=${lakeSchema.name} staging=$staging"
 
   override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DeltaWriterFactory = {
-    policy = LakeRowLevel.detectPolicy(new HadoopStore(rootUri), lakeSchema.name)
+    policy = LakeRowLevel.policyFor(new HadoopStore(rootUri),
+      lakeSchema.name, lakeSchema)
     new LakeDeltaWriterFactory(rootUri, lakeSchema, info.schema(),
       info.rowIdSchema().orElseThrow(() => new IllegalStateException(
         "graft-lake MERGE delta write without a row-id schema")),
@@ -347,7 +348,7 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
     val table = lakeSchema.name
     try {
       val p = if (policy != null) policy
-              else LakeRowLevel.detectPolicy(store, table)
+              else LakeRowLevel.policyFor(store, table, lakeSchema)
       val staged = messages.flatMap { case LakeCommitMessage(keys) => keys }
       val (stagedIns, stagedPatch) =
         staged.partition(_.startsWith(s"$staging/ins/"))
@@ -435,25 +436,10 @@ final class LakeDeltaDataWriter(rootUri: String, lakeSchema: TableSchema,
   private val idKeyIdx = idSchema.fieldIndex(LakeDataSource.ObjectKeyCol)
   private val idPosIdx = idSchema.fieldIndex(LakeDataSource.RowPosCol)
 
-  // Catalyst → external, by NAME against the declared schema (the
-  // LakeDataWriter contract)
+  // the shared declared-schema conversion table — see
+  // LakeDataSource.externalGetters
   private val getters: Array[InternalRow => Any] =
-    lakeSchema.columns.map { case (nm, t) =>
-      val i = rowSchema.fieldIndex(nm)
-      t match {
-        case ColType.CString | ColType.CUuid =>
-          (r: InternalRow) => if (r.isNullAt(i)) null else r.getUTF8String(i).toString
-        case ColType.CInteger =>
-          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Long.valueOf(r.getLong(i))
-        case ColType.CFloat =>
-          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Double.valueOf(r.getDouble(i))
-        case ColType.CBoolean =>
-          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Boolean.valueOf(r.getBoolean(i))
-        case ColType.CTime =>
-          (r: InternalRow) => if (r.isNullAt(i)) null
-            else new java.sql.Timestamp(Math.floorDiv(r.getLong(i), 1000L))
-      }
-    }.toArray
+    LakeDataSource.externalGetters(lakeSchema, rowSchema)
 
   private def hourTs(row: InternalRow): java.sql.Timestamp = {
     require(!row.isNullAt(hourIdx),

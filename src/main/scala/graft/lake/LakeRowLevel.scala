@@ -272,6 +272,19 @@ object LakeRowLevel {
   final case class SidecarPolicy(gzip: Boolean, zoneMaps: Boolean,
                                  bloomColumns: Seq[String])
 
+  /** [[detectPolicy]] narrowed to a DECLARED schema: bloom columns the
+    * schema no longer carries (ALTER DROP COLUMN) are dropped from the
+    * convention — a rewrite must not try to bloom-index a column its
+    * rows no longer have (the Tracker would refuse loudly and break
+    * every DML statement until compaction). Old objects' sidecars for
+    * the dropped column stay harmless (probes on it can no longer be
+    * expressed — it is not a schema column). */
+  def policyFor(store: Store, table: String,
+                schema: TableSchema): SidecarPolicy = {
+    val p = detectPolicy(store, table)
+    p.copy(bloomColumns = p.bloomColumns.filter(schema.columnNames.contains))
+  }
+
   def detectPolicy(store: Store, table: String): SidecarPolicy = {
     def policyOf(k: String) = SidecarPolicy(
       gzip = k.endsWith(".gz"),
@@ -320,7 +333,7 @@ object LakeRowLevel {
                     schema: TableSchema, md: MetaDelete,
                     evolved: Boolean = false): Unit = md match {
     case DeleteByProbe(ps, hr) =>
-      val p = detectPolicy(store, table)
+      val p = policyFor(store, table, schema)
       val types = schema.columns.toMap
       LakeMaintenance.deleteWhereMulti(spark, store, table,
         ps.map { case (c, vs) => (c, vs.map(coerce(types(c), _))) }, hr,
@@ -437,7 +450,8 @@ final class LakeCowWrite(rootUri: String, lakeSchema: TableSchema,
     s"graft-lake copy-on-write table=${lakeSchema.name} staging=$staging"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    policy = LakeRowLevel.detectPolicy(new HadoopStore(rootUri), lakeSchema.name)
+    policy = LakeRowLevel.policyFor(new HadoopStore(rootUri),
+      lakeSchema.name, lakeSchema)
     new LakeCowWriterFactory(rootUri, lakeSchema, inSchema, s"$staging/", policy,
       cmd = Some(op.command()))
   }
@@ -447,7 +461,7 @@ final class LakeCowWrite(rootUri: String, lakeSchema: TableSchema,
     val table = lakeSchema.name
     try {
       val p = if (policy != null) policy
-              else LakeRowLevel.detectPolicy(store, table)
+              else LakeRowLevel.policyFor(store, table, lakeSchema)
       val staged = messages.flatMap { case LakeCommitMessage(keys) => keys }
       // the scan IS the replacement contract: its planned objects are
       // exactly the groups whose rows flowed through the query — a
@@ -574,22 +588,7 @@ final class LakeCowDataWriter(rootUri: String, lakeSchema: TableSchema,
     isMerge && objKeyIdx.forall(row.isNullAt)
 
   private val getters: Array[InternalRow => Any] =
-    lakeSchema.columns.map { case (nm, t) =>
-      val i = inSchema.fieldIndex(nm)
-      t match {
-        case ColType.CString | ColType.CUuid =>
-          (r: InternalRow) => if (r.isNullAt(i)) null else r.getUTF8String(i).toString
-        case ColType.CInteger =>
-          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Long.valueOf(r.getLong(i))
-        case ColType.CFloat =>
-          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Double.valueOf(r.getDouble(i))
-        case ColType.CBoolean =>
-          (r: InternalRow) => if (r.isNullAt(i)) null else java.lang.Boolean.valueOf(r.getBoolean(i))
-        case ColType.CTime =>
-          (r: InternalRow) => if (r.isNullAt(i)) null
-            else new java.sql.Timestamp(Math.floorDiv(r.getLong(i), 1000L))
-      }
-    }.toArray
+    LakeDataSource.externalGetters(lakeSchema, inSchema)
 
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(hourIdx),

@@ -115,12 +115,46 @@ object LakeSchemas {
                   false }
     if (won) Some(v)
     else {
+      // a torn occupant (crashed committer) is reclaimed only when its
+      // BYTES are stable across the quiesce wait — an alive writer's
+      // stream either finishes or grows within it (the LakeVersions
+      // torn-slot rule; without the stability check a slow winner's
+      // half-written record could be deleted out from under it and its
+      // ALTER silently lost)
       if (readRecord(store, table, v).isEmpty) {
+        val sizeBefore = sizeOf(store, schemaKey(table, v))
         Thread.sleep(1000L)
-        if (readRecord(store, table, v).isEmpty)
+        if (readRecord(store, table, v).isEmpty &&
+            sizeOf(store, schemaKey(table, v)) == sizeBefore)
           store.delete(schemaKey(table, v))
       }
       None
     }
+  }
+
+  private def sizeOf(store: Store, key: String): Long =
+    try {
+      val in = store.open(key)
+      try {
+        var n = 0L
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r >= 0) { n += r; r = in.read(buf) }
+        n
+      } finally in.close()
+    } catch { case _: Exception => -1L }
+
+  /** Every column name ANY schema version of `table` ever declared —
+    * what [[LakeCatalog]]'s ADD COLUMN consults to refuse resurrecting
+    * a dropped column whose values may still sit in old objects (the
+    * wire format has no column IDs, so a re-added name would read the
+    * OLD data back instead of NULL). */
+  def historicalColumns(store: Store, table: String): Set[String] = {
+    val dir = LakeVersions.dir(table)
+    store.list(dir).map(_.stripPrefix(dir + "/"))
+      .collect { case s if s.startsWith("schema-") =>
+        s.stripPrefix("schema-").toLong }
+      .flatMap(v => readRecord(store, table, v))
+      .flatMap(_.columnNames).toSet
   }
 }

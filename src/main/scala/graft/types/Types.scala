@@ -99,9 +99,10 @@ final case class TableSchema(name: String, columns: Seq[(String, ColType)]) {
   // declaration, where the mistake is made
   require(
     columns.forall { case (n, _) =>
-      n != "_event_hour" && n != "_object_key" && n != "_row_pos" },
-    s"table $name: _event_hour, _object_key and _row_pos are reserved " +
-      "(key/position-derived on every lake read)")
+      n != "_event_hour" && n != "_object_key" && n != "_row_pos" &&
+        n != "_change_type" },
+    s"table $name: _event_hour, _object_key, _row_pos and _change_type " +
+      "are reserved (derived on lake reads / the changes feed)")
 
   def columnNames: Seq[String] = columns.map(_._1)
   def colTypes: Seq[ColType]   = columns.map(_._2)

@@ -155,6 +155,31 @@ class LakeChangesSpec extends SparkSuite {
     assert(r2.getLong(0) == 2 && r2.getLong(1) == 2, s"$r2")
   }
 
+  test("a table whose columns collide with the diff's working names still feeds exactly") {
+    import spark.implicits._
+    val root =
+      s"file://${Files.createTempDirectory("graft-changes-collide").toFile.getAbsolutePath}"
+    val cat = s"chc${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // `_net`, `_net_sign`, `_dup` are LEGAL data column names — the
+    // diff's working columns must probe around them
+    val sch = TableSchema("cc", Seq("id" -> ColType.CInteger,
+      "_net" -> ColType.CInteger, "_net_sign" -> ColType.CString,
+      "_dup" -> ColType.CInteger))
+    LakeWriter.write(
+      (0 until 100).map(i => (i.toLong, i.toLong, s"s$i", i.toLong))
+        .toDF("id", "_net", "_net_sign", "_dup").coalesce(1),
+      sch, root, Instant.parse("2024-07-01T08:00:00Z"))
+    spark.sql(s"CALL $cat.system.set_retention(table => 'cc', retain => true)")
+    spark.sql(s"CALL $cat.system.tag(table => 'cc', name => 'pin')")
+    spark.sql(s"DELETE FROM $cat.cc WHERE id IN (3, 4)")
+    val feed = LakeChanges.since(spark, root, "cc", "pin")
+    assert(feed.where(col("_change_type") === "delete").count() == 2)
+    assert(feed.where(col("_change_type") === "insert").count() == 0)
+    assert(feed.columns.count(_ == "_net") == 1, "no duplicate columns")
+  }
+
   test("without retention the feed refuses loudly with the remedy") {
     val (cat, root, _) = fixture()
     land(root, "2024-07-01T08:00:00Z", 0, 100)

@@ -278,6 +278,46 @@ class LakeEvolutionSpec extends SparkSuite {
     assert(driver.size == 2, s"two header generations: ${driver.map(_._1)}")
   }
 
+  test("DROP of a bloom-indexed column: DML keeps working — the probed convention narrows to the declared schema") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 300) // blooms on tag
+    spark.sql(s"ALTER TABLE $cat.ev2 DROP COLUMN tag")
+    // pre-fix this THREW: detectPolicy returned bloomColumns=[tag] from
+    // the old sidecars and the Tracker refused the dropped column,
+    // breaking every COW/MERGE/overwrite statement
+    spark.sql(s"UPDATE $cat.ev2 SET vc = -1 WHERE id < 10")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2 WHERE vc = -1")
+      .head.getLong(0) == 10)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2").head.getLong(0) == 300)
+    val rec = LakeVersions.head(store, "ev2",
+      LakeVersions.listDir(store, "ev2")).get
+    rec.added.foreach { k =>
+      assert(ZoneMaps.read(store, k).nonEmpty, s"$k keeps zone maps")
+      assert(BloomMaps.read(store, k)
+        .forall(_.cols.keySet.subsetOf(Set("vc", "id"))),
+        s"$k must not bloom-index the dropped column")
+    }
+  }
+
+  test("re-ADDING a dropped column refuses while live objects still carry it; compact unlocks it and the column reads NULL") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 200)
+    spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN score DOUBLE")
+    spark.sql(s"UPDATE $cat.ev2 SET score = 7.5 WHERE id < 50") // objects now carry score
+    spark.sql(s"ALTER TABLE $cat.ev2 DROP COLUMN score")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN score DOUBLE")
+    }
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    // the remedy: compact migrates every object onto the current header
+    spark.sql(s"CALL $cat.system.compact(table => 'ev2', " +
+      "target_records => 1000, zone_maps => true)")
+    spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN score DOUBLE")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev2 WHERE score IS NULL")
+      .head.getLong(0) == 200,
+      "the re-added column must read NULL everywhere — never old values")
+  }
+
   test("refusals: NOT NULL add, positioned add, rename, reserved names") {
     val (cat, root, _) = fixture()
     land(root, "2024-07-01T08:00:00Z", 0, 50)
