@@ -82,6 +82,11 @@ object BenchGates {
     // an ALTER that rewrote data, or an evolved COW scan that lost its
     // pruning, jumps an order over this
     "l36_lake_schema_evolution" -> Ceiling(Some(2 * MB), None),
+    // 0.38 MB in / 1.53 MB shuffled (round 16): merge-on-read DML ships
+    // dead positions + changed rows only — a fallback to object
+    // rewrites (every touched object's rows through the plan and back
+    // out as replacements) blows both by an order of magnitude
+    "l37_lake_mor_dml" -> Ceiling(Some(2 * MB), Some(6 * MB)),
   )
 
   /** Human-readable violations; empty = all metered queries in bounds.

@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // developer loop: SPARK_GRAFT_QUERIES=l37_x,l30_y runs just those
+    // (the driver never sets it — full runs stay the default)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String) = only.forall(_.contains(name))
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
     // Pre-clean stale .error files from RENAMED/REMOVED queries: the
@@ -16,7 +21,7 @@ object Verify {
       .filter(f => f.isFile && f.getName.endsWith(".error"))
       .filterNot(f => SparkEntry.queries.contains(f.getName.stripSuffix(".error")))
       .foreach(f => Files.deleteIfExists(f.toPath))
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -247,7 +247,11 @@ object BloomMaps {
       require(byName.size == keys.size, "object filenames must be unique")
       val nCols = columns.length
       val mLocal = m; val kLocal = k
-      val rows = LakeReader.readKeys(spark, store, table, keys)
+      // RAW read (dvs = empty): blooms describe PHYSICAL rows — a probe
+      // hitting a vector-deleted value keeps its object conservatively,
+      // never wrongly skips (same posture as every sidecar)
+      val rows = LakeReader.readKeys(spark, store, table, keys,
+          dvs = Some(Map.empty))
         .select(input_file_name() +: columns.map(col): _*)
         .rdd
       val zero = (0L, Array.fill(nCols)(new Array[Byte](mLocal / 8)))

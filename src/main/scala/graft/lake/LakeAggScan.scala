@@ -109,8 +109,10 @@ private[lake] object LakeAgg {
 /** One partition = a CHUNK of object keys: each task reads one small
   * stats sidecar per object (and only FALLBACK objects' data), so a
   * million-object lake fans out as thousands of metadata tasks, not one
-  * driver loop. */
-final case class LakeAggInputPartition(keys: Seq[String]) extends InputPartition
+  * driver loop. Each key rides with its committed delete vector (key,
+  * position count) when one exists (merge-on-read). */
+final case class LakeAggInputPartition(
+    keys: Seq[(String, Option[(String, Long)])]) extends InputPartition
 
 final class LakeAggScan(rootUri: String, table: String,
                         lakeSchema: TableSchema, pushed: LakeAgg.Pushed,
@@ -133,11 +135,13 @@ final class LakeAggScan(rootUri: String, table: String,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val store = new HadoopStore(rootUri)
-    val keys = LakeReader.listTableKeys(store, table, None)
+    val view = LakeVersions.tableView(store, table)
+    val keys = LakeReader.listTableKeys(store, table, None, Some(view))
     if (keys.isEmpty && LakeReader.firstTableKey(store, table).isEmpty)
       throw new IllegalArgumentException(
         s"no lake objects for table $table under $rootUri")
-    keys.grouped(ChunkSize).map(ks => LakeAggInputPartition(ks): InputPartition)
+    keys.map(k => (k, view.dvs.get(k).map(r => (r.key, r.count))))
+      .grouped(ChunkSize).map(ks => LakeAggInputPartition(ks): InputPartition)
       .toArray
   }
 
@@ -189,7 +193,8 @@ final class LakeAggReader(rootUri: String, lakeSchema: TableSchema,
     while (!rowIter.hasNext) {
       if (inner != null) { inner.close(); inner = null }
       if (!keyIter.hasNext) return false
-      rowIter = rowsFor(keyIter.next())
+      val (k, dv) = keyIter.next()
+      rowIter = rowsFor(k, dv)
     }
     current = rowIter.next()
     true
@@ -202,32 +207,43 @@ final class LakeAggReader(rootUri: String, lakeSchema: TableSchema,
     LakeKeys.parseKey(key).map(_._1.toEpochMilli * 1000L).getOrElse(
       throw new IllegalArgumentException(s"unparseable lake key $key"))
 
-  private def rowsFor(key: String): Iterator[InternalRow] = {
+  private def rowsFor(key: String, dv: Option[(String, Long)]): Iterator[InternalRow] = {
     val hourMicros = hourMicrosOf(key)
     val meta =
-      try ZoneMaps.read(store, key).flatMap(metadataRow(_, hourMicros))
+      try ZoneMaps.read(store, key).flatMap(metadataRow(_, hourMicros, dv))
       catch { case _: Exception => None }
     meta match {
       case Some(row) => Iterator.single(row)
-      case None => fallbackRows(key, hourMicros)
+      case None => fallbackRows(key, hourMicros, dv.map(_._1))
     }
   }
 
-  /** All aggregates answered from one sidecar, or None → fallback. */
-  private def metadataRow(s: ZoneMaps.ObjectStats, hourMicros: Long)
+  /** All aggregates answered from one sidecar, or None → fallback. A
+    * VECTORED object (merge-on-read) stays metadata-answerable only for
+    * row counts that cannot see the dead rows' VALUES — COUNT(*) and
+    * count(_event_hour) are exactly `records − vector count` (the count
+    * rides the generation record); per-column null counts and MIN/MAX
+    * may live in deleted rows, so those objects read their (vector-
+    * applied) data instead. */
+  private def metadataRow(s: ZoneMaps.ObjectStats, hourMicros: Long,
+                          dv: Option[(String, Long)])
       : Option[InternalRow] = {
+    val dead = dv.fold(0L)(_._2)
     val vals = new Array[Any](groupWidth + pushed.specs.length)
     if (pushed.groupByHour) vals(0) = java.lang.Long.valueOf(hourMicros)
     var i = 0
     while (i < pushed.specs.length) {
       val v: Option[Any] = pushed.specs(i) match {
-        case SCountStar => Some(java.lang.Long.valueOf(s.records))
+        case SCountStar => Some(java.lang.Long.valueOf(s.records - dead))
         case SCount(c) =>
           if (c == LakeDataSource.EventHourCol) // key-derived, never null
-            Some(java.lang.Long.valueOf(s.records))
+            Some(java.lang.Long.valueOf(s.records - dead))
+          else if (dead > 0L) None // nulls among dead rows unknown → read
           else s.cols.get(c).map(cs => java.lang.Long.valueOf(s.records - cs.nulls))
-        case SMin(c) => bound(s, c, hourMicros, min = true)
-        case SMax(c) => bound(s, c, hourMicros, min = false)
+        case SMin(c) =>
+          if (dead > 0L) None else bound(s, c, hourMicros, min = true)
+        case SMax(c) =>
+          if (dead > 0L) None else bound(s, c, hourMicros, min = false)
       }
       v match {
         case Some(x) => vals(groupWidth + i) = x
@@ -273,9 +289,10 @@ final class LakeAggReader(rootUri: String, lakeSchema: TableSchema,
     * never runs over an empty scan (where `sum` of zero partial counts
     * would be NULL, not 0). Grouped-by-hour scans correctly emit
     * nothing — a vanished hour is no group, same as a row scan. */
-  private def fallbackRows(key: String, hourMicros: Long): Iterator[InternalRow] = {
+  private def fallbackRows(key: String, hourMicros: Long,
+                           dvKey: Option[String] = None): Iterator[InternalRow] = {
     inner = new LakeObjectReader(rootUri, lakeSchema, fallbackStruct,
-      LakeInputPartition(key, hourMicros / 1000L), byName)
+      LakeInputPartition(key, hourMicros / 1000L, dvKey), byName)
     new Iterator[InternalRow] {
       private var ready = false
       private var done = false

@@ -303,7 +303,7 @@ private[lake] object LakeProcedures {
   val Names: Seq[String] = Seq("compact", "expire", "ensure_indexes",
     "seal_manifest", "retire_objects", "delete_where", "sweep_staging",
     "stats", "set_retention", "expire_versions", "history", "tag",
-    "drop_tag", "changes_summary")
+    "drop_tag", "changes_summary", "set_dml_mode")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(new CompactProcedure(root))
@@ -320,6 +320,7 @@ private[lake] object LakeProcedures {
     case "tag" => Some(new TagProcedure(root))
     case "drop_tag" => Some(new DropTagProcedure(root))
     case "changes_summary" => Some(new ChangesSummaryProcedure(root))
+    case "set_dml_mode" => Some(new SetDmlModeProcedure(root))
     case _ => None
   }
 
@@ -556,6 +557,33 @@ private[lake] object LakeProcedures {
         java.lang.Long.valueOf(rep.rowsDeleted),
         java.lang.Long.valueOf(rep.rowsKept),
         Integer.valueOf(rep.objectsSkipped))
+    }
+  }
+
+  private final class SetDmlModeProcedure(root: String)
+      extends MaintenanceProcedure("set_dml_mode") {
+    override def description(): String =
+      "Choose how row-level SQL (DELETE/UPDATE/MERGE) rewrites a table: " +
+        "'merge-on-read' publishes position delete vectors + fresh " +
+        "objects for changed rows (O(changed rows) — the sparse-DML " +
+        "posture; reads subtract until compact folds), " +
+        "'copy-on-write' (the default) rewrites touched objects. The " +
+        "exactly-translatable metadata DELETE path is unaffected."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("mode", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val mode = input.getUTF8String(1).toString.trim
+        .toLowerCase(java.util.Locale.ROOT)
+      require(mode == "merge-on-read" || mode == "copy-on-write",
+        s"graft-lake set_dml_mode: mode must be 'merge-on-read' or " +
+          s"'copy-on-write', got '$mode'")
+      LakeDvs.setMor(new HadoopStore(root), table, mode == "merge-on-read")
+      result(StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("mode", StringType, nullable = false))),
+        UTF8String.fromString(table), UTF8String.fromString(mode))
     }
   }
 

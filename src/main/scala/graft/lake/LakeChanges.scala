@@ -46,10 +46,12 @@ object LakeChanges {
   def since(spark: SparkSession, rootUri: String, table: String,
             from: String): DataFrame = {
     val store = new HadoopStore(rootUri)
-    val fromKeys = LakeVersions.liveAt(store, table,
-      LakeVersions.resolveVersion(store, table, from))
+    val f = LakeVersions.resolveVersion(store, table, from)
+    val fromKeys = LakeVersions.liveAt(store, table, f)
+    val view = LakeVersions.tableView(store, table)
     diff(spark, store, table, fromKeys,
-      LakeReader.listTableKeys(store, table, None))
+      LakeReader.listTableKeys(store, table, None, Some(view)),
+      LakeVersions.dvsAt(store, table, f), view.dvs)
   }
 
   /** Changes between two retained generations/tags, `(from, to]`. */
@@ -61,36 +63,55 @@ object LakeChanges {
     require(f <= t, s"graft-lake changes: from (gen $f) must be <= to (gen $t)")
     diff(spark, store, table,
       LakeVersions.liveAt(store, table, f),
-      LakeVersions.liveAt(store, table, t))
+      LakeVersions.liveAt(store, table, t),
+      LakeVersions.dvsAt(store, table, f),
+      LakeVersions.dvsAt(store, table, t))
   }
 
   private def diff(spark: SparkSession, store: Store, table: String,
-                   fromKeys: Seq[String], toKeys: Seq[String]): DataFrame = {
+                   fromKeys: Seq[String], toKeys: Seq[String],
+                   fromDvs: Map[String, LakeVersions.DvRef],
+                   toDvs: Map[String, LakeVersions.DvRef]): DataFrame = {
     val old = fromKeys.toSet
     val cur = toKeys.toSet
-    val gone = (old -- cur).toSeq.sorted
-    val fresh = (cur -- old).toSeq.sorted
+    // merge-on-read: an object live on BOTH sides whose delete vector
+    // CHANGED between the snapshots holds row-level change without a key
+    // diff — it reads on both sides (under each side's own vector), its
+    // unchanged rows cancel in the signed aggregation, the newly-dead
+    // positions net out as deletes. Vectors only grow on a live object,
+    // so the feed cost stays bounded by CHANGED objects.
+    val dvChanged = (old intersect cur).filter(k =>
+      fromDvs.get(k).map(_.key) != toDvs.get(k).map(_.key))
+    val gone = (old -- cur ++ dvChanged).toSeq.sorted
+    val fresh = (cur -- old ++ dvChanged).toSeq.sorted
     // EVOLVED table: both sides align onto the DECLARED schema (the
     // `from` snapshot may predate an ALTER — its rows null-fill/widen,
     // so a row whose values did not change never shows as changed)
     val declared = LakeSchemas.current(store, table).map(_.schema)
-    def readAligned(keys: Seq[String]): DataFrame = declared match {
-      case Some(d) => LakeReader.readKeysAligned(spark, store, table, keys, d)
-      case None => LakeReader.readKeys(spark, store, table, keys)
-    }
+    def readAligned(keys: Seq[String],
+                    dvs: Map[String, LakeVersions.DvRef]): DataFrame =
+      declared match {
+        case Some(d) =>
+          LakeReader.readKeysAligned(spark, store, table, keys, d, Some(dvs))
+        case None => LakeReader.readKeys(spark, store, table, keys, Some(dvs))
+      }
     // the schema must resolve even when one side is empty; a read of
     // ZERO keys cannot (readKeys requires objects). A declared table's
     // shape is STATIC (no metadata I/O — a backfill-append feed with an
     // empty gone side must not header-peek the whole fresh side twice);
     // otherwise the other side's read supplies it.
-    def emptyShape(other: Seq[String]): org.apache.spark.sql.types.StructType =
+    def emptyShape(other: Seq[String],
+                   otherDvs: Map[String, LakeVersions.DvRef])
+        : org.apache.spark.sql.types.StructType =
       declared.map(LakeDataSource.outputStruct)
-        .getOrElse(readAligned(other).schema)
-    def rows(keys: Seq[String], other: Seq[String]): DataFrame =
-      if (keys.nonEmpty) readAligned(keys)
+        .getOrElse(readAligned(other, otherDvs).schema)
+    def rows(keys: Seq[String], dvs: Map[String, LakeVersions.DvRef],
+             other: Seq[String],
+             otherDvs: Map[String, LakeVersions.DvRef]): DataFrame =
+      if (keys.nonEmpty) readAligned(keys, dvs)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        emptyShape(other))
+        emptyShape(other, otherDvs))
     if (gone.isEmpty && fresh.isEmpty) {
       // no object changed — an empty, correctly-shaped feed (the table
       // must exist for the schema; firstTableKey enforces like any read)
@@ -99,11 +120,11 @@ object LakeChanges {
           s"no lake objects for table $table under ${store.rootUri}"))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        emptyShape(Seq(k)))
+        emptyShape(Seq(k), toDvs))
         .withColumn(ChangeTypeCol, lit("insert")).limit(0)
     }
-    val before = rows(gone, fresh)
-    val after = rows(fresh, gone)
+    val before = rows(gone, fromDvs, fresh, toDvs)
+    val after = rows(fresh, toDvs, gone, fromDvs)
     // signed multiset difference: -1 per pre-image row, +1 per
     // post-image row; net 0 = a surviving copy (cancels), net > 0 =
     // that many inserts, net < 0 = that many deletes. Grouping equality

@@ -1125,12 +1125,13 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
   def runtimeFilters: Seq[Filter] = synchronized(runtime.toSeq)
 
   private var runtime: Array[Filter] = Array.empty
-  private var plannedCache: (Seq[String], Option[Long]) = _
+  private var plannedCache: (Seq[String], Option[Long], Map[String, LakeVersions.DvRef]) = _
 
-  private def planned: (Seq[String], Option[Long]) = synchronized {
-    if (plannedCache == null) plannedCache = computePlanned()
-    plannedCache
-  }
+  private def planned: (Seq[String], Option[Long], Map[String, LakeVersions.DvRef]) =
+    synchronized {
+      if (plannedCache == null) plannedCache = computePlanned()
+      plannedCache
+    }
 
   /** Kept keys plus the kept objects' exact row sum, from ONE walk and
     * ONE stats-sidecar read per object: [[estimateStatistics]]
@@ -1140,25 +1141,35 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     * when the candidate set is past the driver-walk threshold — the
     * executor fan-out decides keeps there, and optimizer time is no
     * place for a second metadata job. */
-  private def computePlanned(): (Seq[String], Option[Long]) = {
+  private def computePlanned(): (Seq[String], Option[Long], Map[String, LakeVersions.DvRef]) = {
     val store = new HadoopStore(rootUri)
     val pred = LakePrune.compile(pushed ++ runtime, lakeSchema)
-    val listed = (asOfGeneration, pred.hourRange) match {
-      case (_, Some((from, to))) if from.isAfter(to) => Seq.empty
+    // the delete-vector map the scan's rows subtract (merge-on-read):
+    // the CURRENT committed map for a live read — resolved in the SAME
+    // metadata pass as the tombstone exclusions — or generation N's own
+    // map for a time-travel read (the snapshot's vectors, not today's)
+    val dvs: Map[String, LakeVersions.DvRef] = asOfGeneration match {
+      case Some(g) => LakeVersions.dvsAt(store, table, g)
+      case None => Map.empty // resolved with the listing below
+    }
+    val (listed, dvMap) = (asOfGeneration, pred.hourRange) match {
+      case (_, Some((from, to))) if from.isAfter(to) => (Seq.empty, dvs)
       case (Some(g), hr) =>
         // time travel: generation N's retained snapshot IS the listing;
         // the hour range still prunes it (zero-padded prefix compares),
         // and every sidecar probe below applies unchanged
         val snap = LakeVersions.liveAt(store, table, g)
-        hr.fold(snap) { case (from, to) =>
+        (hr.fold(snap) { case (from, to) =>
           import java.time.temporal.ChronoUnit
           val lo = LakeKeys.datePrefix(from.truncatedTo(ChronoUnit.HOURS))
           val hi = LakeKeys.datePrefix(to.truncatedTo(ChronoUnit.HOURS))
           snap.filter { k =>
             val h = LakeKeys.hourPrefixOf(k); h >= lo && h <= hi
           }
-        }
-      case (None, hr) => LakeReader.listTableKeys(store, table, hr)
+        }, dvs)
+      case (None, hr) =>
+        val view = LakeVersions.tableView(store, table)
+        (LakeReader.listTableKeys(store, table, hr, Some(view)), view.dvs)
     }
     // an hour SET (IN-list / runtime hour filter) refines the listed
     // RANGE to exact hour membership — the key parse is the decision;
@@ -1167,6 +1178,10 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     val hourKept = pred.hourSet.fold(listed)(hs =>
       listed.filter(k => LakeKeys.parseKey(k).exists(p => hs.contains(p._1))))
     val keys = pred.keySet.fold(hourKept)(ks => hourKept.filter(ks.contains))
+    // live rows of a vectored object = sidecar records − vector count
+    // (the count rides the generation record, so this stays METADATA-
+    // exact — no vector file read at plan time)
+    def dvDead(k: String): Long = dvMap.get(k).fold(0L)(_.count)
     if (keys.isEmpty) {
       // hour-pruned-to-nothing (or an empty retained snapshot) is a
       // legitimate empty scan; a table with no objects AT ALL fails
@@ -1175,7 +1190,7 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
           LakeReader.firstTableKey(store, table).isEmpty)
         throw new IllegalArgumentException(
           s"no lake objects for table $table under $rootUri")
-      (Seq.empty, Some(0L))
+      (Seq.empty, Some(0L), dvMap)
     } else if ((limit.isDefined || topN.isDefined) && pred.trivial &&
                runtime.isEmpty) {
       // pushed LIMIT (or TopN by _event_hour) on an unpruned scan:
@@ -1202,26 +1217,26 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
         val k = it.next()
         kept += k
         ZoneMaps.read(store, k) match {
-          case Some(s) => known += s.records
+          case Some(s) => known += s.records - dvDead(k)
           case None => allKnown = false
         }
         covered = known >= n
       }
-      (kept.result(), if (allKnown) Some(known) else None)
+      (kept.result(), if (allKnown) Some(known) else None, dvMap)
     } else if (keys.length <= LakeReader.DefaultSidecarDistributeAbove) {
       var rows: Option[Long] = Some(0L)
       val kept = keys.filter { k =>
         val (keep, rec) = pred.keepsAndRecords(store, k)
-        if (keep) rows = for (a <- rows; r <- rec) yield a + r
+        if (keep) rows = for (a <- rows; r <- rec) yield a + r - dvDead(k)
         keep
       }
-      (kept, rows)
+      (kept, rows, dvMap)
     } else {
       val kept =
         if (pred.trivial) keys
         else LakeReader.walkKeys(SparkSession.active, rootUri, keys,
           LakeReader.DefaultSidecarDistributeAbove)(pred.keeps)
-      (kept, None)
+      (kept, None, dvMap)
     }
   }
 
@@ -1229,6 +1244,11 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     * exposed so specs can pin it against [[LakeReader.prunedKeys]] /
     * `readPruned*` kept-sets (and callers can meter skipping). */
   def plannedKeys: Seq[String] = planned._1
+
+  /** The delete-vector map the scan's partitions apply (merge-on-read)
+    * — exposed for specs and the copy-on-write commit (a rewritten
+    * object's vector dies with it). */
+  def plannedDvs: Map[String, LakeVersions.DvRef] = planned._3
 
   /** POST-PRUNE statistics from the stats sidecars, so Catalyst plans
     * joins against what the scan will actually read — "events for this
@@ -1252,16 +1272,25 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dvMap = plannedDvs
     plannedKeys.map { k =>
-      LakeInputPartition(k, LakeKeys.parseKey(k).get._1.toEpochMilli)
+      LakeInputPartition(k, LakeKeys.parseKey(k).get._1.toEpochMilli,
+        dvMap.get(k).map(_.key))
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(rootUri, lakeSchema, required, byName)
 }
 
-final case class LakeInputPartition(key: String, hourMillis: Long)
+final case class LakeInputPartition(key: String, hourMillis: Long,
+                                    // committed delete vector of this
+                                    // object (merge-on-read): the reader
+                                    // skips its positions — read in-task,
+                                    // so the plan ships one key, not the
+                                    // position list
+                                    dvKey: Option[String] = None)
     extends InputPartition with HasPartitionKey {
   /** The object's hour as a one-column key row (timestamp micros) — what
     * lets Spark GROUP same-hour objects into one task when the scan
@@ -1309,6 +1338,16 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
       new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
     }.orNull
   }
+
+  // the object's committed delete vector (merge-on-read): ascending dead
+  // positions, walked in lockstep with rowPos below — O(1) per row. A
+  // REFERENCED vector that cannot be read fails loudly (LakeDvs.read):
+  // silently ignoring it would resurrect deleted rows.
+  private val dv: Array[Long] =
+    if (rd == null) Array.emptyLongArray
+    else part.dvKey.fold(Array.emptyLongArray)(k =>
+      LakeDvs.read(new HadoopStore(rootUri), k, lakeSchema.name, part.key))
+  private var dvIdx = 0
 
   // headers: two plain lines (never multiline). Strict mode validates
   // against the declared schema so drifted objects fail the scan
@@ -1377,16 +1416,23 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
 
   override def next(): Boolean = {
     if (rd == null) return false // planned object retired by maintenance
-    val rec = LakeObjectReader.readRecord(rd)
-    if (rec == null) false
-    else {
+    while (true) {
+      val rec = LakeObjectReader.readRecord(rd)
+      if (rec == null) return false
       rowPos += 1L
-      val vals = new Array[Any](getters.length)
-      var i = 0
-      while (i < getters.length) { vals(i) = getters(i)(rec); i += 1 }
-      current = new GenericInternalRow(vals)
-      true
+      // merge-on-read: a position in the delete vector is a DEAD row —
+      // parsed past (rowPos keeps counting PHYSICAL records, the stable
+      // identity delete vectors and MERGE patches key on), never emitted
+      while (dvIdx < dv.length && dv(dvIdx) < rowPos) dvIdx += 1
+      if (dvIdx >= dv.length || dv(dvIdx) != rowPos) {
+        val vals = new Array[Any](getters.length)
+        var i = 0
+        while (i < getters.length) { vals(i) = getters(i)(rec); i += 1 }
+        current = new GenericInternalRow(vals)
+        return true
+      }
     }
+    false // unreachable
   }
 
   override def get(): InternalRow = current

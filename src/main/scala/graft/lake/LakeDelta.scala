@@ -139,6 +139,70 @@ object LakeDelta {
     }
   }
 
+  /** One touched object's merged delete vector, built by
+    * [[buildVectors]]: the staged vector file, its merged position
+    * count, and the object's PHYSICAL record count when a stats sidecar
+    * answers it (the full-object-delete detection — `count ==
+    * physicalRecords` means no live row remains and the object should
+    * retire outright). */
+  private[lake] final case class BuiltVector(objKey: String,
+                                             stagedDvKey: String,
+                                             count: Long,
+                                             physicalRecords: Option[Long])
+
+  /** The merge-on-read commit job: the staged patches' dead positions,
+    * grouped by object, each UNIONED with the object's basis vector (the
+    * scan's committed map — CAS re-validates it) into one staged vector
+    * file per touched object. Distributed like [[rewriteTouched]]; a
+    * task holds one object's positions (bounded by the object's record
+    * limit), never the statement's total. */
+  private[lake] def buildVectors(spark: SparkSession, rootUri: String,
+                                 table: String, schema: TableSchema,
+                                 patchKeys: Seq[String],
+                                 basis: Map[String, LakeVersions.DvRef],
+                                 dvStaging: String): Seq[BuiltVector] = {
+    if (patchKeys.isEmpty) return Nil
+    val pschema = patchSchema(schema)
+    val basisKeys: Map[String, String] =
+      basis.map { case (k, r) => k -> r.key }
+    spark.sparkContext
+      .parallelize(patchKeys, patchKeys.size)
+      .flatMap { pk =>
+        readPatch(new HadoopStore(rootUri), pk, pschema).map { case (obj, p) =>
+          require(p.op == "d",
+            s"graft-lake merge-on-read: unexpected patch op '${p.op}' — " +
+              "the MOR writer emits delete positions only")
+          (obj, p.pos)
+        }
+      }
+      .groupByKey()
+      .map { case (obj, posIt) =>
+        val st = new HadoopStore(rootUri)
+        val fresh = posIt.toArray
+        java.util.Arrays.sort(fresh)
+        var i = 1
+        while (i < fresh.length) {
+          require(fresh(i) > fresh(i - 1),
+            s"graft-lake merge-on-read: two changes target row " +
+              s"${fresh(i)} of $obj — the ON condition matched one " +
+              "target row twice")
+          i += 1
+        }
+        val old = basisKeys.get(obj)
+          .fold(Array.emptyLongArray)(k => LakeDvs.read(st, k, table, obj))
+        val merged = LakeDvs.merge(old, fresh)
+        require(merged.length == old.length + fresh.length,
+          s"graft-lake merge-on-read: a change targets an already-" +
+            s"vector-deleted row of $obj — the scan cannot have emitted " +
+            "it; the table changed under the statement")
+        val key = s"$dvStaging${java.util.UUID.randomUUID()}.dv.gz"
+        LakeDvs.write(st, key, table, obj, merged)
+        BuiltVector(obj, key, merged.length.toLong,
+          ZoneMaps.read(st, obj).map(_.records))
+      }
+      .collect().toSeq
+  }
+
   /** The commit-time rewrite job: every touched object (keyed by the
     * patches) is rewritten in ONE task — survivors keep their hour,
     * updated rows route by their own new `_event_hour` — into staged
@@ -148,7 +212,12 @@ object LakeDelta {
                                    schema: TableSchema, patchKeys: Seq[String],
                                    rwPrefix: String,
                                    policy: LakeRowLevel.SidecarPolicy,
-                                   byName: Boolean = false)
+                                   byName: Boolean = false,
+                                   // committed delete vectors of the
+                                   // touched objects (merge-on-read
+                                   // history): dead positions drop from
+                                   // the rewrite like pre-deleted rows
+                                   dvs: Map[String, String] = Map.empty)
       : Seq[(String, Seq[String])] = {
     if (patchKeys.isEmpty) return Nil
     val pschema = patchSchema(schema)
@@ -157,7 +226,7 @@ object LakeDelta {
       .flatMap { pk => readPatch(new HadoopStore(rootUri), pk, pschema) }
     patches.groupByKey().map { case (objKey, ps) =>
       rewriteOne(new HadoopStore(rootUri), schema, objKey, ps, rwPrefix,
-        policy, byName)
+        policy, byName, dvs.get(objKey))
     }.collect().toSeq
   }
 
@@ -165,7 +234,8 @@ object LakeDelta {
                                objKey: String, patches: Iterable[Patch],
                                rwPrefix: String,
                                policy: LakeRowLevel.SidecarPolicy,
-                               byName: Boolean = false)
+                               byName: Boolean = false,
+                               dvKey: Option[String] = None)
       : (String, Seq[String]) = {
     val n = schema.columns.size
     val byPos = new scala.collection.mutable.HashMap[Long, Patch]
@@ -176,6 +246,13 @@ object LakeDelta {
             "the ON condition matched one target row twice (Spark's " +
             "cardinality check should have failed the statement)")
     }
+    // the object's committed vector: those positions are DEAD rows —
+    // dropped like pre-deleted survivors (the scan never emitted them,
+    // so a patch naming one is an invariant break, checked below)
+    val dv: Array[Long] =
+      dvKey.fold(Array.emptyLongArray)(k =>
+        LakeDvs.read(store, k, schema.name, objKey))
+    var dvIdx = 0
     val raw = store.open(objKey) // a missing original would fail the CAS
                                  // validation anyway; failing here is earlier
     val rd = new BufferedReader(new InputStreamReader(
@@ -241,7 +318,14 @@ object LakeDelta {
       var pos = 0L
       var rec = LakeObjectReader.readRecord(rd)
       while (rec != null) {
+        while (dvIdx < dv.length && dv(dvIdx) < pos) dvIdx += 1
+        val dead = dvIdx < dv.length && dv(dvIdx) == pos
         byPos.remove(pos) match {
+          case Some(_) if dead => throw new IllegalStateException(
+            s"graft-lake MERGE: a change targets vector-deleted row $pos " +
+              s"of $objKey — the scan cannot have emitted it; the table " +
+              "changed under the statement")
+          case None if dead => () // already deleted by the vector
           case None =>
             // survivor: stays under the object's own hour
             rollerFor(originalHourSec).write(survivorRow(rec))
@@ -278,25 +362,45 @@ object LakeDelta {
   }
 }
 
-/** The MERGE operation face: `SupportsDelta` with row id
+/** The position-delta operation face: `SupportsDelta` with row id
   * `(_object_key, _row_pos)` — both non-null metadata columns of
   * [[LakeTable]], so Spark's `resolveRowIdAttrs` finds them on the
   * relation and its nullability check passes. Updates stay whole rows
   * (`representUpdateAsDeleteAndInsert = false`): the update op is what
   * lets the rewrite keep updated rows in `added` (CDC: a rewrite, not a
-  * new logical row). */
+  * new logical row).
+  *
+  * Serves TWO rewrite modes off the same delta plan:
+  *  - `mor = false` (every MERGE by default): commit REWRITES the
+  *    touched objects locally ([[LakeDelta.rewriteTouched]]);
+  *  - `mor = true` (tables in merge-on-read DML mode — [[LakeDvs]]):
+  *    commit writes DELETE VECTORS for the dead positions and fresh
+  *    objects for updated/inserted rows — no touched object is
+  *    rewritten, so a statement changing 0.1% of a table's rows writes
+  *    O(changed rows), and reads subtract until `compact` folds. */
 final class LakeDeltaOperation(rootUri: String, tableName: String,
                                lakeSchema: TableSchema,
                                // evolved table: scan + rewrite resolve
                                // per object by name against the DECLARED
                                // lakeSchema
-                               byName: Boolean = false)
+                               byName: Boolean = false,
+                               cmd: RowLevelOperation.Command =
+                                 RowLevelOperation.Command.MERGE,
+                               mor: Boolean = false)
     extends RowLevelOperation with SupportsDelta {
 
-  override def command(): RowLevelOperation.Command =
-    RowLevelOperation.Command.MERGE
+  /** The operation's CONFIGURED scan (the [[LakeRowLevelOperation
+    * .cowScan]] arrangement): its resolved delete-vector map is the
+    * BASIS every commit-side vector merge and rewrite reads under — the
+    * CAS then validates that basis is still the committed one, so a
+    * racing merge-on-read statement between scan and commit aborts this
+    * one loudly instead of resurrecting its deletions. */
+  @volatile private[lake] var deltaScan: LakeScan = _
+
+  override def command(): RowLevelOperation.Command = cmd
   override def description(): String =
-    s"graft-lake MERGE position-delta table=$tableName"
+    s"graft-lake $cmd ${if (mor) "merge-on-read" else "position-delta"} " +
+      s"table=$tableName"
 
   override def rowId(): Array[NamedReference] = Array(
     Expressions.column(LakeDataSource.ObjectKeyCol),
@@ -309,22 +413,30 @@ final class LakeDeltaOperation(rootUri: String, tableName: String,
     // must produce rows, not sidecar answers); the delta path needs no
     // plannedKeys contract — the patches name the touched objects exactly
     new LakeScanBuilder(rootUri, tableName, lakeSchema, byName = byName,
-      cowMode = true)
+      cowMode = true,
+      onBuild = s => if (deltaScan == null) deltaScan = s)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new LakeDeltaWrite(rootUri, lakeSchema, info, byName)
+        new LakeDeltaWrite(rootUri, lakeSchema, info, byName,
+          LakeDeltaOperation.this, mor)
     }
 }
 
-/** The MERGE write: tasks stage inserts (final-form objects) and
-  * patches; commit rewrites the touched objects and publishes through
-  * the [[LakeVersions]] protocol (op `merge`; removed = touched
-  * originals, added = their rewrites, inserted = the insert objects —
-  * the exact CDC split). */
+/** The delta write: tasks stage inserts (final-form objects under
+  * `ins/`), merge-on-read UPDATE rows (final-form under `upd/`) and
+  * patches; commit either rewrites the touched objects (`mor = false`:
+  * op `merge`; removed = touched originals, added = their rewrites,
+  * inserted = the insert objects — the exact CDC split) or publishes
+  * delete vectors for the dead positions (`mor = true`: removed = only
+  * FULLY-deleted objects, added = the update-row objects with the
+  * vectored sources as provenance, dvUpserts = the merged vectors) —
+  * both through the [[LakeVersions]] protocol. */
 final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
-                           info: LogicalWriteInfo, byName: Boolean = false)
+                           info: LogicalWriteInfo, byName: Boolean = false,
+                           op: LakeDeltaOperation = null,
+                           mor: Boolean = false)
     extends DeltaWrite with DeltaBatchWrite {
 
   private val staging = s"_staging/delta-${java.util.UUID.randomUUID()}"
@@ -332,16 +444,24 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
 
   override def toBatch: DeltaBatchWrite = this
   override def description(): String =
-    s"graft-lake MERGE delta table=${lakeSchema.name} staging=$staging"
+    s"graft-lake ${if (mor) "merge-on-read" else "MERGE"} delta " +
+      s"table=${lakeSchema.name} staging=$staging"
 
   override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DeltaWriterFactory = {
     policy = LakeRowLevel.policyFor(new HadoopStore(rootUri),
       lakeSchema.name, lakeSchema)
     new LakeDeltaWriterFactory(rootUri, lakeSchema, info.schema(),
       info.rowIdSchema().orElseThrow(() => new IllegalStateException(
-        "graft-lake MERGE delta write without a row-id schema")),
-      staging, policy)
+        "graft-lake delta write without a row-id schema")),
+      staging, policy, mor)
   }
+
+  /** The delete-vector BASIS: the scan's resolved map — what the rows
+    * this statement read were already filtered under. The CAS validates
+    * it is still the committed map for every touched object. */
+  private def scanDvs: Map[String, LakeVersions.DvRef] =
+    if (op != null && op.deltaScan != null) op.deltaScan.plannedDvs
+    else Map.empty
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val store = new HadoopStore(rootUri)
@@ -350,55 +470,147 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
       val p = if (policy != null) policy
               else LakeRowLevel.policyFor(store, table, lakeSchema)
       val staged = messages.flatMap { case LakeCommitMessage(keys) => keys }
-      val (stagedIns, stagedPatch) =
+      val (stagedIns, rest) =
         staged.partition(_.startsWith(s"$staging/ins/"))
-      // a MERGE that matched nothing and inserted nothing is a true
+      val (stagedUpd, stagedPatch) =
+        rest.partition(_.startsWith(s"$staging/upd/"))
+      // a statement that matched nothing and inserted nothing is a true
       // no-op: no rewrite job, no generation
-      if (stagedIns.isEmpty && stagedPatch.isEmpty) return
-      // the rewrite job: touched objects → staged replacements (runs
-      // BEFORE any publish — a failure here aborts with the table
-      // untouched, staging swept by the finally)
-      val rewrites = LakeDelta.rewriteTouched(SparkSession.active, rootUri,
-        lakeSchema, stagedPatch.toSeq, s"$staging/rw/", p, byName)
-      val removed = rewrites.map(_._1)
-      val stagedRw = rewrites.flatMap(_._2)
-      def dstOf(k: String): String =
-        k.stripPrefix(s"$staging/ins/").stripPrefix(s"$staging/rw/")
-      val added = stagedRw.map(dstOf)
-      val inserted = stagedIns.map(dstOf).toSeq
-      val hours = (added ++ inserted).map(LakeKeys.hourPrefixOf) ++
-        removed.map(LakeKeys.hourPrefixOf)
-      if (hours.nonEmpty)
-        Manifests.invalidateIfCovers(store, table, hours.min)
-      val intentId = java.util.UUID.randomUUID().toString
-      LakeVersions.writeIntent(store, table, intentId, added ++ inserted)
-      (stagedRw ++ stagedIns).foreach { k =>
-        val dst = dstOf(k)
-        store.rename(k, dst)
-        if (p.zoneMaps) store.rename(ZoneMaps.statsKey(k), ZoneMaps.statsKey(dst))
-        if (p.bloomColumns.nonEmpty)
-          store.rename(BloomMaps.bloomKey(k), BloomMaps.bloomKey(dst))
+      if (stagedIns.isEmpty && stagedUpd.isEmpty && stagedPatch.isEmpty) return
+      if (mor) commitMor(store, table, p, stagedIns.toSeq, stagedUpd.toSeq,
+        stagedPatch.toSeq)
+      else {
+        require(stagedUpd.isEmpty, // writer routes upd/ only under mor
+          "graft-lake delta: update-row objects staged outside merge-on-read")
+        commitRewrite(store, table, p, stagedIns.toSeq, stagedPatch.toSeq)
       }
-      try LakeVersions.commit(store, table, op = "merge",
-        removed = removed, added = added, inserted = inserted,
-        intentId = Some(intentId))
-      catch { case e: Throwable =>
-        (added ++ inserted).foreach { dst =>
-          store.delete(dst)
-          ZoneMaps.deleteSidecarSignaled(store, dst, "graft-lake merge abort")
-          store.delete(BloomMaps.bloomKey(dst))
-        }
-        store.delete(LakeVersions.intentKey(table, intentId))
-        throw e
-      }
-      if (removed.nonEmpty && !LakeVersions.isRetained(store, table)) {
-        LakeMaintenance.physicalRetireDistributed(
-          SparkSession.active, rootUri, removed)
-        LakeVersions.pruneChainIfLarge(store, table, removed.size)
-      }
-      if (hours.nonEmpty)
-        Manifests.invalidateIfCovers(store, table, hours.min)
     } finally cleanupStaging(store)
+  }
+
+  /** `mor = false`: the r15 rewrite commit — touched objects rewritten
+    * locally, vector-applied when they carry one. */
+  private def commitRewrite(store: Store, table: String,
+                            p: LakeRowLevel.SidecarPolicy,
+                            stagedIns: Seq[String],
+                            stagedPatch: Seq[String]): Unit = {
+    val basis = scanDvs
+    val rewrites = LakeDelta.rewriteTouched(SparkSession.active, rootUri,
+      lakeSchema, stagedPatch, s"$staging/rw/", p, byName,
+      dvs = basis.map { case (k, r) => k -> r.key })
+    val removed = rewrites.map(_._1)
+    val stagedRw = rewrites.flatMap(_._2)
+    def dstOf(k: String): String =
+      k.stripPrefix(s"$staging/ins/").stripPrefix(s"$staging/rw/")
+    val added = stagedRw.map(dstOf)
+    val inserted = stagedIns.map(dstOf)
+    val hours = (added ++ inserted).map(LakeKeys.hourPrefixOf) ++
+      removed.map(LakeKeys.hourPrefixOf)
+    if (hours.nonEmpty)
+      Manifests.invalidateIfCovers(store, table, hours.min)
+    val intentId = java.util.UUID.randomUUID().toString
+    LakeVersions.writeIntent(store, table, intentId, added ++ inserted)
+    (stagedRw ++ stagedIns).foreach { k =>
+      val dst = dstOf(k)
+      store.rename(k, dst)
+      if (p.zoneMaps) store.rename(ZoneMaps.statsKey(k), ZoneMaps.statsKey(dst))
+      if (p.bloomColumns.nonEmpty)
+        store.rename(BloomMaps.bloomKey(k), BloomMaps.bloomKey(dst))
+    }
+    try LakeVersions.commit(store, table, op = "merge",
+      removed = removed, added = added, inserted = inserted,
+      intentId = Some(intentId),
+      dvBasis = removed.map(k => k -> basis.get(k).map(_.key)).toMap)
+    catch { case e: Throwable =>
+      (added ++ inserted).foreach { dst =>
+        store.delete(dst)
+        ZoneMaps.deleteSidecarSignaled(store, dst, "graft-lake merge abort")
+        store.delete(BloomMaps.bloomKey(dst))
+      }
+      store.delete(LakeVersions.intentKey(table, intentId))
+      throw e
+    }
+    if (removed.nonEmpty && !LakeVersions.isRetained(store, table)) {
+      LakeMaintenance.physicalRetireDistributed(
+        SparkSession.active, rootUri, removed)
+      LakeVersions.pruneChainIfLarge(store, table, removed.size)
+    }
+    if (hours.nonEmpty)
+      Manifests.invalidateIfCovers(store, table, hours.min)
+  }
+
+  /** `mor = true`: no touched object is rewritten — dead positions
+    * become merged delete vectors (one distributed job, one small file
+    * per touched object), update/insert rows land as fresh objects. An
+    * object whose merged vector covers EVERY physical row (sidecar
+    * `records`, when present) retires wholesale instead — a vector the
+    * size of its object is pure read overhead. */
+  private def commitMor(store: Store, table: String,
+                        p: LakeRowLevel.SidecarPolicy,
+                        stagedIns: Seq[String], stagedUpd: Seq[String],
+                        stagedPatch: Seq[String]): Unit = {
+    val basis = scanDvs
+    val vectors = LakeDelta.buildVectors(SparkSession.active, rootUri, table,
+      lakeSchema, stagedPatch, basis, s"$staging/dv/")
+    val (full, partial) = vectors.partition(v =>
+      v.physicalRecords.exists(_ == v.count))
+    val removed = full.map(_.objKey)
+    def dstOf(k: String): String =
+      k.stripPrefix(s"$staging/ins/").stripPrefix(s"$staging/upd/")
+    val added = stagedUpd.map(dstOf)
+    val inserted = stagedIns.map(dstOf)
+    val hours = (added ++ inserted).map(LakeKeys.hourPrefixOf) ++
+      removed.map(LakeKeys.hourPrefixOf)
+    if (hours.nonEmpty)
+      Manifests.invalidateIfCovers(store, table, hours.min)
+    val intentId = java.util.UUID.randomUUID().toString
+    LakeVersions.writeIntent(store, table, intentId, added ++ inserted)
+    (stagedUpd ++ stagedIns).foreach { k =>
+      val dst = dstOf(k)
+      store.rename(k, dst)
+      if (p.zoneMaps) store.rename(ZoneMaps.statsKey(k), ZoneMaps.statsKey(dst))
+      if (p.bloomColumns.nonEmpty)
+        store.rename(BloomMaps.bloomKey(k), BloomMaps.bloomKey(dst))
+    }
+    // vectors publish to their final `_dv/<table>/` keys BEFORE the CAS:
+    // an unreferenced vector file is inert (readers resolve vectors only
+    // through the committed mapping), so no intent covers them — a crash
+    // here leaves garbage expire_versions sweeps, never wrong rows
+    val published = partial.map { v =>
+      val dst = LakeDvs.freshKey(table)
+      store.rename(v.stagedDvKey, dst)
+      (v.objKey, dst, v.count)
+    }
+    // full deletes: their freshly-built vectors are never referenced
+    // (the object retires outright) — staging sweep removes them
+    try LakeVersions.commit(store, table,
+      op = op.command().toString.toLowerCase(java.util.Locale.ROOT),
+      removed = removed, added = added, inserted = inserted,
+      intentId = Some(intentId),
+      // provenance of the update-row objects: the vectored sources a
+      // stream must have delivered before it may skip them
+      sources = if (added.nonEmpty) partial.map(_.objKey) else Nil,
+      dvUpserts = published.map { case (obj, dst, n) =>
+        obj -> LakeVersions.DvUpsert(basis.get(obj).map(_.key),
+          LakeVersions.DvRef(dst, n))
+      }.toMap,
+      dvBasis = removed.map(k => k -> basis.get(k).map(_.key)).toMap)
+    catch { case e: Throwable =>
+      (added ++ inserted).foreach { dst =>
+        store.delete(dst)
+        ZoneMaps.deleteSidecarSignaled(store, dst, "graft-lake mor abort")
+        store.delete(BloomMaps.bloomKey(dst))
+      }
+      published.foreach { case (_, dst, _) => store.delete(dst) }
+      store.delete(LakeVersions.intentKey(table, intentId))
+      throw e
+    }
+    if (removed.nonEmpty && !LakeVersions.isRetained(store, table)) {
+      LakeMaintenance.physicalRetireDistributed(
+        SparkSession.active, rootUri, removed)
+      LakeVersions.pruneChainIfLarge(store, table, removed.size)
+    }
+    if (hours.nonEmpty)
+      Manifests.invalidateIfCovers(store, table, hours.min)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -413,32 +625,40 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
 final class LakeDeltaWriterFactory(rootUri: String, lakeSchema: TableSchema,
                                    rowSchema: StructType, idSchema: StructType,
                                    staging: String,
-                                   policy: LakeRowLevel.SidecarPolicy)
+                                   policy: LakeRowLevel.SidecarPolicy,
+                                   mor: Boolean = false)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new LakeDeltaDataWriter(rootUri, lakeSchema, rowSchema, idSchema,
-      staging, policy)
+      staging, policy, mor)
 }
 
 /** One task's delta writer: inserts roll into final-form per-hour
   * objects under `ins/`; updates/deletes append to ONE patch file
   * (op, object key, position, new values) — both streamed, nothing
-  * buffered per row. */
+  * buffered per row. Under merge-on-read (`mor`) an UPDATE splits: the
+  * old position patches as a DELETE, the new row rolls final-form under
+  * `upd/` (routed by its own hour) — commit then vectors the dead
+  * positions instead of rewriting anything. */
 final class LakeDeltaDataWriter(rootUri: String, lakeSchema: TableSchema,
                                 rowSchema: StructType, idSchema: StructType,
                                 staging: String,
-                                policy: LakeRowLevel.SidecarPolicy)
+                                policy: LakeRowLevel.SidecarPolicy,
+                                mor: Boolean = false)
     extends DeltaWriter[InternalRow] {
 
   private val store = new HadoopStore(rootUri)
   private val n = lakeSchema.columns.size
-  private val hourIdx = rowSchema.fieldIndex(LakeDataSource.EventHourCol)
+  // LAZY row-side resolution: a pure-DELETE delta plan ships an EMPTY
+  // row schema (only row ids flow) — these fields are touched only by
+  // insert/update rows, which always carry the full schema
+  private lazy val hourIdx = rowSchema.fieldIndex(LakeDataSource.EventHourCol)
   private val idKeyIdx = idSchema.fieldIndex(LakeDataSource.ObjectKeyCol)
   private val idPosIdx = idSchema.fieldIndex(LakeDataSource.RowPosCol)
 
   // the shared declared-schema conversion table — see
   // LakeDataSource.externalGetters
-  private val getters: Array[InternalRow => Any] =
+  private lazy val getters: Array[InternalRow => Any] =
     LakeDataSource.externalGetters(lakeSchema, rowSchema)
 
   private def hourTs(row: InternalRow): java.sql.Timestamp = {
@@ -450,7 +670,7 @@ final class LakeDeltaDataWriter(rootUri: String, lakeSchema: TableSchema,
   }
 
   private val insRollers = scala.collection.mutable.LinkedHashMap
-    .empty[Long, LakeWriter.RollingObjectWriter]
+    .empty[(String, Long), LakeWriter.RollingObjectWriter]
   private lazy val patchRoller = new LakeWriter.RollingObjectWriter(
     store, LakeDelta.patchSchema(lakeSchema), Instant.EPOCH, gzip = true,
     maxRecordsPerObject = 0L, keyPrefix = s"$staging/patch/",
@@ -479,18 +699,21 @@ final class LakeDeltaDataWriter(rootUri: String, lakeSchema: TableSchema,
     patchRoller.write(out)
   }
 
-  override def insert(row: InternalRow): Unit = {
+  private def rollInto(prefix: String, row: InternalRow): Unit = {
     val ts = hourTs(row)
     val hourSec = Math.floorDiv(ts.getTime, 3600000L) * 3600L
-    insRollers.getOrElseUpdate(hourSec,
+    insRollers.getOrElseUpdate((prefix, hourSec),
       new LakeWriter.RollingObjectWriter(store, lakeSchema,
-        Instant.ofEpochSecond(hourSec), policy.gzip, 0L, s"$staging/ins/",
+        Instant.ofEpochSecond(hourSec), policy.gzip, 0L, s"$staging/$prefix/",
         policy.zoneMaps, policy.bloomColumns))
       .write(values(row))
   }
 
+  override def insert(row: InternalRow): Unit = rollInto("ins", row)
+
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
-    writePatch("u", id, row)
+    if (mor) { writePatch("d", id, null); rollInto("upd", row) }
+    else writePatch("u", id, row)
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
     writePatch("d", id, null)

@@ -71,6 +71,13 @@ object LakeMaintenance {
     // resolve each object by name against the declared schema, the
     // rewrite emits it, and the table leaves single-header
     val declared = LakeSchemas.current(store, table).map(_.schema)
+    // merge-on-read: the snapshot reads VECTOR-APPLIED (live rows only),
+    // so compaction FOLDS delete vectors into clean objects — the
+    // rewritten objects' vector entries drop with the commit's removed
+    // set, and the basis is CAS-validated (a racing MOR statement on a
+    // compacting object aborts this compaction loudly, never silently
+    // resurrects its deletions). Resolved ONCE for every hour group.
+    val dvMap = Some(LakeVersions.currentDvs(store, table))
     if (dryRun) {
       // report-only: the SAME listing snapshot and the SAME per-hour
       // sizing rule as the real run, nothing mutated — no manifest
@@ -80,8 +87,8 @@ object LakeMaintenance {
       val est = oldKeys.groupBy(k => LakeKeys.parseKey(k).get._1).toSeq
         .map { case (_, hourKeys) =>
           val n = declared.fold(
-            LakeReader.readKeys(spark, store, table, hourKeys))(d =>
-            LakeReader.readKeysAligned(spark, store, table, hourKeys, d))
+            LakeReader.readKeys(spark, store, table, hourKeys, dvMap))(d =>
+            LakeReader.readKeysAligned(spark, store, table, hourKeys, d, dvMap))
             .count()
           (n, math.max(1L, (n + targetRecords - 1) / targetRecords))
         }
@@ -122,8 +129,8 @@ object LakeMaintenance {
           // (gunzipped) snapshot once; the sizing count and the write both
           // run off the checkpoint instead of re-scanning the objects.
           val df = declared.fold(
-            LakeReader.readKeys(spark, store, table, hourKeys))(d =>
-            LakeReader.readKeysAligned(spark, store, table, hourKeys, d))
+            LakeReader.readKeys(spark, store, table, hourKeys, dvMap))(d =>
+            LakeReader.readKeysAligned(spark, store, table, hourKeys, d, dvMap))
             .drop("_event_hour").localCheckpoint()
           val n = df.count()
           val parts = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
@@ -153,7 +160,8 @@ object LakeMaintenance {
           store.rename(BloomMaps.bloomKey(w.key), BloomMaps.bloomKey(dst))
       }
       try LakeVersions.commit(store, table, op = "compact",
-        removed = oldKeys, added = dsts.map(_.key), intentId = Some(intentId))
+        removed = oldKeys, added = dsts.map(_.key), intentId = Some(intentId),
+        dvBasis = oldKeys.map(k => k -> dvMap.get.get(k).map(_.key)).toMap)
       catch { case e: Throwable =>
         // un-publish: our keys never committed, so deleting them (and
         // the intent) restores the exact pre-statement table
@@ -486,6 +494,10 @@ object LakeMaintenance {
       probes, hourRange, declared = declared)
     if (kept.isEmpty)
       return DeleteReport(0, 0, 0, 0L, 0L, allKeys.size)
+    // merge-on-read: candidates read VECTOR-APPLIED (resolved once for
+    // every per-object job), so a rewrite never resurrects vector-deleted
+    // rows; the commit's basis check aborts on a racing MOR statement
+    val dvMap = Some(LakeVersions.currentDvs(store, table))
     if (dryRun) {
       // the GDPR dry run: the SAME probe decision, the SAME per-object
       // match rule, nothing mutated — one aggregate job per candidate
@@ -498,8 +510,8 @@ object LakeMaintenance {
       var nDel = 0L; var nKeep = 0L
       kept.foreach { key =>
         val df = declared.fold(
-          LakeReader.readKeys(spark, store, table, Seq(key)))(d =>
-          LakeReader.readKeysAligned(spark, store, table, Seq(key), d)
+          LakeReader.readKeys(spark, store, table, Seq(key), dvMap))(d =>
+          LakeReader.readKeysAligned(spark, store, table, Seq(key), d, dvMap)
             .drop("_event_hour"))
         val matches = matchRule
         val r = df.agg(fcount(lit(1)), sum(when(matches, 1L).otherwise(0L)))
@@ -533,8 +545,8 @@ object LakeMaintenance {
           // snapshot the object once; the match count and the rewrite
           // both run off the checkpoint, not a second object read
           val df = declared.fold(
-            LakeReader.readKeys(spark, store, table, Seq(key)))(d =>
-            LakeReader.readKeysAligned(spark, store, table, Seq(key), d))
+            LakeReader.readKeys(spark, store, table, Seq(key), dvMap))(d =>
+            LakeReader.readKeysAligned(spark, store, table, Seq(key), d, dvMap))
             .drop("_event_hour").localCheckpoint()
           val n = df.count()
           val matches = matchRule
@@ -582,7 +594,8 @@ object LakeMaintenance {
               store.rename(BloomMaps.bloomKey(stagedKey), BloomMaps.bloomKey(dst))
         } }
         try LakeVersions.commit(store, table, op = "delete_where",
-          removed = removed, added = added, intentId = Some(intentId))
+          removed = removed, added = added, intentId = Some(intentId),
+          dvBasis = removed.map(k => k -> dvMap.get.get(k).map(_.key)).toMap)
         catch { case e: Throwable =>
           added.foreach(deleteWithSidecar(store, _))
           store.delete(LakeVersions.intentKey(table, intentId))
@@ -748,10 +761,15 @@ object LakeMaintenance {
                  distributeAbove: Int = LakeReader.DefaultSidecarDistributeAbove)
       : TableStats = {
     val store = new HadoopStore(rootUri)
-    val keys = LakeReader.listTableKeys(store, table, None)
+    val view = LakeVersions.tableView(store, table)
+    val keys = LakeReader.listTableKeys(store, table, None, Some(view))
+    // merge-on-read: live rows of a vectored object = sidecar records −
+    // its committed position count (the count rides the generation
+    // record, so the health report stays metadata-exact)
+    val dvDead: Map[String, Long] = view.dvs.map { case (k, r) => k -> r.count }
     def probe(st: Store, k: String): (Option[Long], Boolean, Boolean) = {
       val stats = ZoneMaps.read(st, k)
-      (stats.map(_.records), stats.isDefined,
+      (stats.map(_.records - dvDead.getOrElse(k, 0L)), stats.isDefined,
         BloomMaps.read(st, k).isDefined)
     }
     val probed: Seq[(Option[Long], Boolean, Boolean)] =

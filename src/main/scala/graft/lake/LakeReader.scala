@@ -94,7 +94,8 @@ object LakeReader {
     * OTHER table's objects too, which at warehouse scale is a driver
     * bottleneck all by itself. */
   def listTableKeys(store: Store, table: String,
-                    hourRange: Option[(java.time.Instant, java.time.Instant)]): Seq[String] = {
+                    hourRange: Option[(java.time.Instant, java.time.Instant)],
+                    view: Option[LakeVersions.TableView] = None): Seq[String] = {
     val listed = listTableKeysUnversioned(store, table, hourRange)
     // the VERSIONED view: keys a committed generation tombstoned
     // (logically deleted, possibly still on disk — the interrupted-
@@ -102,8 +103,10 @@ object LakeReader {
     // UNCOMMITTED publish renamed into place (its intent has no
     // committed record) are not part of the table. One listing of
     // `_versions/<table>/` decides; a never-mutated table takes the
-    // empty fast path and pays nothing else.
-    val excl = LakeVersions.exclusions(store, table)
+    // empty fast path and pays nothing else. Callers that already
+    // resolved the view (for the delete-vector map) pass it in so the
+    // version directory is read once per scan, not twice.
+    val excl = view.fold(LakeVersions.exclusions(store, table))(_.excl)
     if (excl.isEmpty) listed else listed.filterNot(excl)
   }
 
@@ -232,9 +235,16 @@ object LakeReader {
   /** [[read]] against an explicit [[Store]] (injectable for tests). */
   def readFrom(spark: SparkSession, store: Store, table: String,
                hourRange: Option[(java.time.Instant, java.time.Instant)] = None): DataFrame = {
-    val excl = LakeVersions.exclusions(store, table)
+    val view = LakeVersions.tableView(store, table)
+    val excl = view.excl
     val listed = listTableKeysUnversioned(store, table, hourRange)
     val keys = if (excl.isEmpty) listed else listed.filterNot(excl)
+    // merge-on-read: objects with a committed delete vector leave the
+    // CSV fast path entirely — they stream through the connector's own
+    // position-aware reader ([[dvRead]]); everything else is unchanged
+    val dvPairs = keys.collect {
+      case k if view.dvs.contains(k) => (k, view.dvs(k).key) }
+    val dvSet = dvPairs.iterator.map(_._1).toSet
     // Hand Spark the distinct hour/table DIRECTORIES, not every object:
     // at lake scale the per-object path array (millions of entries) is
     // itself a driver burden; directory count is bounded by hours × tables.
@@ -242,21 +252,23 @@ object LakeReader {
     // object that compaction deletes before the task reads it — skip it
     // (its rows were republished in a compacted object) instead of failing.
     def dirOf(k: String) = k.substring(0, k.lastIndexOf('/'))
-    if (excl.isEmpty)
+    if (excl.isEmpty && dvSet.isEmpty)
       readPaths(spark, store, table, keys, keys.map(dirOf).distinct,
         ignoreMissing = true)
     else {
       // an hour holding an EXCLUDED key (tombstoned history, a crashed
-      // publish's intent-hidden — possibly half-copied — object) cannot
-      // take the directory shape: the glob would read the excluded
-      // bytes. Those hours plan PER-OBJECT — exact and robust to
-      // corrupt hidden files — while clean hours keep the bounded
-      // directory plan; excluded keys cluster in the few hours recent
+      // publish's intent-hidden — possibly half-copied — object) or a
+      // VECTORED one cannot take the directory shape: the glob would
+      // read the excluded bytes / resurrect vector-deleted rows. Those
+      // hours plan PER-OBJECT — exact and robust to corrupt hidden
+      // files — while clean hours keep the bounded directory plan;
+      // excluded/vectored keys cluster in the few hours recent
       // mutations touched, so the path array stays small.
-      val dirty = excl.map(dirOf)
+      val dirty = excl.map(dirOf) ++ dvSet.map(dirOf)
       val (dirtyKeys, cleanKeys) = keys.partition(k => dirty.contains(dirOf(k)))
       readPaths(spark, store, table, keys,
-        cleanKeys.map(dirOf).distinct ++ dirtyKeys, ignoreMissing = true)
+        cleanKeys.map(dirOf).distinct ++ dirtyKeys.filterNot(dvSet),
+        ignoreMissing = true, dvPairs = dvPairs)
     }
   }
 
@@ -281,6 +293,14 @@ object LakeReader {
   def readStreamOf(spark: SparkSession, rootUri: String, table: String,
                    schema: TableSchema,
                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // the glob stream reads raw files and cannot apply delete vectors —
+    // a merge-on-read table must stream through the connector source
+    // (format("graft-lake"), whose partitions carry the vector keys)
+    require(LakeVersions.currentDvs(new HadoopStore(rootUri), table).isEmpty,
+      s"graft-lake: table '$table' carries merge-on-read delete vectors; " +
+        "the glob-based readStreamOf would resurrect deleted rows — use " +
+        "spark.readStream.format(\"graft-lake\") (vector-aware) instead, " +
+        "or CALL lake.system.compact to fold the vectors first")
     val base = spark.readStream
       .schema(schema.structType)
       .options(CodecOptions)
@@ -376,16 +396,29 @@ object LakeReader {
     val rootUri = store.rootUri
     val (mergedSchema, groups) = reconciledGroups(store, table, hourRange)
     val outCols = mergedSchema.columns.map { case (n, t) => n -> t.sparkType }
+    // merge-on-read: vectored objects route through the position-aware
+    // reader under their OWN header group (reconcile tables refuse DML,
+    // but a table can evolve INTO reconcile reads after MOR statements)
+    val dvMap = LakeVersions.currentDvs(store, table)
     groups.map { case (sch, ks) =>
       val have = sch.columnNames.toSet
-      spark.read
-        .schema(sch.structType)
-        .options(CodecOptions)
-        .csv(ks.map(k => s"${rootUri.stripSuffix("/")}/$k"): _*)
+      val dvPairs = ks.collect { case k if dvMap.contains(k) => (k, dvMap(k).key) }
+      val clean = ks.filterNot(dvMap.contains)
+      val csvPart =
+        if (clean.isEmpty) None
+        else Some(spark.read
+          .schema(sch.structType)
+          .options(CodecOptions)
+          .csv(clean.map(k => s"${rootUri.stripSuffix("/")}/$k"): _*)
+          .withColumn("_event_hour", eventHourCol))
+      val dvPart =
+        if (dvPairs.isEmpty) None
+        else Some(dvRead(spark, rootUri, table, sch, dvPairs,
+          ignoreMissing = false))
+      Seq(csvPart, dvPart).flatten.reduce(_.unionByName(_))
         .select(outCols.map { case (n, dt) =>
           (if (have(n)) col(n).cast(dt) else lit(null).cast(dt)).as(n)
-        }: _*)
-        .withColumn("_event_hour", eventHourCol)
+        } :+ col("_event_hour"): _*)
     }.reduce(_.union(_))
   }
 
@@ -394,10 +427,23 @@ object LakeReader {
     * more than the snapshot would duplicate concurrently-flushed rows.
     * Missing files are an ERROR here (never skipped): compaction deletes
     * the snapshot's keys after rewriting, so silently dropping one would
-    * turn into data loss, not a transient duplicate. */
+    * turn into data loss, not a transient duplicate.
+    *
+    * `dvs` (merge-on-read): None resolves the CURRENT committed
+    * delete-vector map — the right default for every live rewrite
+    * (compaction, delete_where), which must consume live rows, never
+    * vector-deleted ones. Callers that already resolved a view — or
+    * need a specific GENERATION's map (the changes feed), or raw
+    * physical rows (sidecar builds: sidecars describe whole objects) —
+    * pass it explicitly. */
   def readKeys(spark: SparkSession, store: Store, table: String,
-               keys: Seq[String]): DataFrame =
-    readPaths(spark, store, table, keys, keys, ignoreMissing = false)
+               keys: Seq[String],
+               dvs: Option[Map[String, LakeVersions.DvRef]] = None): DataFrame = {
+    val dvMap = dvs.getOrElse(LakeVersions.currentDvs(store, table))
+    val dvPairs = keys.collect { case k if dvMap.contains(k) => (k, dvMap(k).key) }
+    readPaths(spark, store, table, keys,
+      keys.filterNot(dvMap.contains), ignoreMissing = false, dvPairs = dvPairs)
+  }
 
   /** `keys` grouped by their OBJECT header (one two-line peek per key) —
     * the unit an EVOLVED table's bulk paths operate at: each group is
@@ -459,13 +505,17 @@ object LakeReader {
     * header, aligns every group onto `target`, unions. A single-header
     * set already matching `target` takes the plain [[readKeys]] path. */
   def readKeysAligned(spark: SparkSession, store: Store, table: String,
-                      keys: Seq[String], target: TableSchema): DataFrame = {
+                      keys: Seq[String], target: TableSchema,
+                      dvs: Option[Map[String, LakeVersions.DvRef]] = None): DataFrame = {
+    // resolve the vector map ONCE for all header groups (readKeys would
+    // otherwise re-read the version head per group)
+    val dvMap = Some(dvs.getOrElse(LakeVersions.currentDvs(store, table)))
     val groups = groupKeysByHeader(spark, store, table, keys)
     groups match {
       case Seq((one, ks)) if one.columns == target.columns =>
-        readKeys(spark, store, table, ks)
+        readKeys(spark, store, table, ks, dvMap)
       case gs => gs.map { case (from, ks) =>
-        alignTo(readKeys(spark, store, table, ks), from, target)
+        alignTo(readKeys(spark, store, table, ks, dvMap), from, target)
       }.reduce(_.unionByName(_))
     }
   }
@@ -505,13 +555,24 @@ object LakeReader {
     * poisoned in some object keeps its exact null count with
     * `boundsExact = false`. Same snapshot caveat as [[readPruned]]:
     * schedule off compaction windows. */
+  /** Sidecar read for the STATS walks: an object with a committed
+    * delete vector answers None — its sidecar describes PHYSICAL rows
+    * (deleted positions included: min/max/null counts over dead rows
+    * are not the live table's), so the exact-or-absent contract demotes
+    * it to the scan fallback, which reads vector-applied. */
+  private def statRead(st: Store, dvSet: Set[String], k: String)
+      : Option[ZoneMaps.ObjectStats] =
+    if (dvSet.contains(k)) None else ZoneMaps.read(st, k)
+
   def statsSummary(store: Store, table: String,
                    hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
       : Option[StatsSummary] = {
-    val keys = listTableKeys(store, table, hourRange)
+    val view = LakeVersions.tableView(store, table)
+    val keys = listTableKeys(store, table, hourRange, Some(view))
+    val dvSet = view.dvs.keySet
     // lazy walk: the first unreadable sidecar decides the answer — no
     // point paying the remaining N metadata reads to return None
-    val stats = keys.view.map(k => ZoneMaps.read(store, k))
+    val stats = keys.view.map(k => statRead(store, dvSet, k))
       .takeWhile(_.nonEmpty).toSeq
     if (keys.isEmpty || stats.length < keys.length) None
     else Some(mergeObjectStats(stats.map(_.get)))
@@ -532,7 +593,9 @@ object LakeReader {
                               partitions: Int = 0)
       : Option[StatsSummary] = {
     val store = new HadoopStore(rootUri)
-    val keys = listTableKeys(store, table, hourRange)
+    val view = LakeVersions.tableView(store, table)
+    val keys = listTableKeys(store, table, hourRange, Some(view))
+    val dvSet = view.dvs.keySet
     if (keys.isEmpty) None
     else {
       val parts = if (partitions > 0) partitions
@@ -544,7 +607,7 @@ object LakeReader {
       val partials = spark.sparkContext.parallelize(keys, parts)
         .mapPartitions { ks =>
           val st = new HadoopStore(rootUri) // per-executor store
-          val read = ks.map(k => ZoneMaps.read(st, k)).toSeq
+          val read = ks.map(k => statRead(st, dvSet, k)).toSeq
           Iterator.single(
             if (read.exists(_.isEmpty)) None
             else if (read.isEmpty) Some(None)
@@ -568,8 +631,12 @@ object LakeReader {
     * exact. Hours ascend in the result. */
   def statsByHour(store: Store, table: String,
                   hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
-      : Seq[(java.time.Instant, Option[StatsSummary])] =
-    hourDriverWalk(store, groupKeysByHour(listTableKeys(store, table, hourRange)))
+      : Seq[(java.time.Instant, Option[StatsSummary])] = {
+    val view = LakeVersions.tableView(store, table)
+    hourDriverWalk(store,
+      groupKeysByHour(listTableKeys(store, table, hourRange, Some(view))),
+      view.dvs.keySet)
+  }
 
   /** Ascending `(hour, that hour's keys)` groups of one key listing — the
     * single snapshot every per-hour walk shares. */
@@ -578,11 +645,12 @@ object LakeReader {
     keys.groupBy(k => LakeKeys.parseKey(k).get._1).toSeq.sortBy(_._1)
 
   private def hourDriverWalk(store: Store,
-      byHour: Seq[(java.time.Instant, Seq[String])])
+      byHour: Seq[(java.time.Instant, Seq[String])],
+      dvSet: Set[String] = Set.empty)
       : Seq[(java.time.Instant, Option[StatsSummary])] =
     byHour.map { case (hour, ks) =>
       // lazy within the hour: the first unreadable sidecar decides it
-      val stats = ks.view.map(k => ZoneMaps.read(store, k))
+      val stats = ks.view.map(k => statRead(store, dvSet, k))
         .takeWhile(_.nonEmpty).toSeq
       hour -> (if (stats.length < ks.length) None
                else Some(mergeObjectStats(stats.map(_.get))))
@@ -600,12 +668,14 @@ object LakeReader {
                              hourRange: Option[(java.time.Instant, java.time.Instant)] = None,
                              partitions: Int = 0)
       : Seq[(java.time.Instant, Option[StatsSummary])] = {
-    val keys = listTableKeys(new HadoopStore(rootUri), table, hourRange)
-    hourDistributedWalk(spark, rootUri, keys, partitions)
+    val store = new HadoopStore(rootUri)
+    val view = LakeVersions.tableView(store, table)
+    val keys = listTableKeys(store, table, hourRange, Some(view))
+    hourDistributedWalk(spark, rootUri, keys, partitions, view.dvs.keySet)
   }
 
   private def hourDistributedWalk(spark: SparkSession, rootUri: String,
-      keys: Seq[String], partitions: Int = 0)
+      keys: Seq[String], partitions: Int = 0, dvSet: Set[String] = Set.empty)
       : Seq[(java.time.Instant, Option[StatsSummary])] =
     if (keys.isEmpty) Seq.empty
     else {
@@ -615,7 +685,7 @@ object LakeReader {
           val st = new HadoopStore(rootUri) // per-executor store
           ks.map { k =>
             val hour = LakeKeys.parseKey(k).get._1.toEpochMilli
-            hour -> ZoneMaps.read(st, k).map(objectSummary)
+            hour -> statRead(st, dvSet, k).map(objectSummary)
           }
         }
         .reduceByKey((a, b) => for (x <- a; y <- b) yield mergeSummaries(x, y))
@@ -648,15 +718,18 @@ object LakeReader {
     // crash the scan half instead of failing the read loudly). The
     // metadata half distributes above the same threshold as the pruned
     // reads; below it a Spark job costs more than the driver walk saves.
-    val keys = listTableKeys(store, table, hourRange)
+    val view = LakeVersions.tableView(store, table)
+    val keys = listTableKeys(store, table, hourRange, Some(view))
     val byHour = groupKeysByHour(keys)
     val meta: Map[java.time.Instant, Option[StatsSummary]] =
-      (if (keys.length <= sidecarDistributeAbove) hourDriverWalk(store, byHour)
-       else hourDistributedWalk(spark, rootUri, keys)).toMap
+      (if (keys.length <= sidecarDistributeAbove)
+         hourDriverWalk(store, byHour, view.dvs.keySet)
+       else hourDistributedWalk(spark, rootUri, keys, dvSet = view.dvs.keySet))
+        .toMap
     val tornKeys = byHour.collect { case (h, ks) if meta(h).isEmpty => ks }.flatten
     val scanned: Map[java.time.Instant, StatsSummary] =
       if (tornKeys.isEmpty) Map.empty
-      else scannedHourSummaries(spark, store, table, tornKeys)
+      else scannedHourSummaries(spark, store, table, tornKeys, view.dvs)
     byHour.map { case (h, _) =>
       meta(h) match {
         case Some(s) => (h, s, true)
@@ -668,10 +741,13 @@ object LakeReader {
   /** Exact per-hour summaries from the DATA of `keys`, one job: the
     * scan half of [[statsByHourHybrid]]. */
   private def scannedHourSummaries(spark: SparkSession, store: Store,
-      table: String, keys: Seq[String])
+      table: String, keys: Seq[String],
+      dvs: Map[String, LakeVersions.DvRef] = Map.empty)
       : Map[java.time.Instant, StatsSummary] = {
     val schema = peekSchema(store, keys.head, table)
-    val df = readPaths(spark, store, table, keys, keys, ignoreMissing = false)
+    val dvPairs = keys.collect { case k if dvs.contains(k) => (k, dvs(k).key) }
+    val df = readPaths(spark, store, table, keys, keys.filterNot(dvs.contains),
+      ignoreMissing = false, dvPairs = dvPairs)
     val tracked: Set[ColType] = Set(ColType.CInteger, ColType.CFloat, ColType.CTime)
     val aggs = schema.columns.flatMap { case (n, t) =>
       val nulls = sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"_nulls_$n")
@@ -1227,7 +1303,14 @@ object LakeReader {
         .withColumn("_event_hour",
           org.apache.spark.sql.functions.lit(null).cast("timestamp"))
       (empty, report)
-    } else (readPaths(spark, store, table, kept, kept, ignoreMissing = false), report)
+    } else {
+      // merge-on-read: vectored kept objects leave the CSV path (one
+      // head-record read decides; a never-MOR table resolves empty)
+      val dvMap = LakeVersions.currentDvs(store, table)
+      val dvPairs = kept.collect { case k if dvMap.contains(k) => (k, dvMap(k).key) }
+      (readPaths(spark, store, table, kept, kept.filterNot(dvMap.contains),
+        ignoreMissing = false, dvPairs = dvPairs), report)
+    }
   }
 
   /** Candidate count above which the pruned-read sidecar consult ships to
@@ -1290,17 +1373,70 @@ object LakeReader {
 
   private def readPaths(spark: SparkSession, store: Store, table: String,
                         keys: Seq[String], relPaths: Seq[String],
-                        ignoreMissing: Boolean): DataFrame = {
+                        ignoreMissing: Boolean,
+                        // (object key, vector key) pairs routed through
+                        // the position-aware reader instead of the CSV
+                        // fast path; relPaths must already EXCLUDE them
+                        dvPairs: Seq[(String, String)] = Nil): DataFrame = {
     val rootUri = store.rootUri
     require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
     val schema = peekSchema(store, keys.head, table)
     val paths = relPaths.map(d => s"${rootUri.stripSuffix("/")}/$d")
 
-    spark.read
+    def csvPart = spark.read
       .schema(schema.structType)
       .options(CodecOptions)
       .option("ignoreMissingFiles", ignoreMissing.toString)
       .csv(paths: _*)
       .withColumn("_event_hour", eventHourCol)
+
+    if (dvPairs.isEmpty) csvPart
+    else {
+      val dvPart = dvRead(spark, rootUri, table, schema, dvPairs, ignoreMissing)
+      if (relPaths.isEmpty) dvPart else csvPart.unionByName(dvPart)
+    }
+  }
+
+  /** MERGE-ON-READ functional read: the given objects stream through the
+    * connector's own codec ([[LakeObjectReader]]) on executors with
+    * their committed delete vectors applied — position-exact, and
+    * row-identical to the CSV fast path for the surviving rows (the two
+    * codecs are spec-pinned identical). A referenced-but-unreadable
+    * vector fails LOUDLY in-task (the [[LakeDvs.read]] contract). */
+  private def dvRead(spark: SparkSession, rootUri: String, table: String,
+                     schema: TableSchema, dvPairs: Seq[(String, String)],
+                     ignoreMissing: Boolean): DataFrame = {
+    val struct = org.apache.spark.sql.types.StructType(
+      schema.structType.fields :+
+        org.apache.spark.sql.types.StructField("_event_hour",
+          org.apache.spark.sql.types.TimestampType, nullable = true))
+    val rdd = spark.sparkContext
+      .parallelize(dvPairs, math.max(1, dvPairs.size))
+      .flatMap { case (k, dvKey) =>
+        if (!ignoreMissing)
+          require(new HadoopStore(rootUri).exists(k),
+            s"lake object $k vanished under a snapshot read (vectored) — " +
+              "a maintenance job raced this statement")
+        val reader = new LakeObjectReader(rootUri, schema, struct,
+          LakeInputPartition(k, LakeKeys.parseKey(k).get._1.toEpochMilli,
+            Some(dvKey)))
+        new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+          private var ready = false
+          private var done = false
+          override def hasNext: Boolean = {
+            if (!ready && !done) {
+              ready = reader.next()
+              if (!ready) { done = true; reader.close() }
+            }
+            ready
+          }
+          override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            ready = false
+            reader.get() // fresh GenericInternalRow per record — no reuse
+          }
+        }
+      }
+    org.apache.spark.sql.graft.exprs.dataFrameOfInternalRows(spark, rdd, struct)
   }
 }

@@ -410,12 +410,19 @@ final class LakeRowLevelOperation(rootUri: String, tableName: String,
   }
 }
 
-/** Picks the rewrite shape per command: MERGE takes the DELTA path
-  * ([[LakeDeltaOperation]] — exact per-row ops, changed rows only, exact
-  * CDC); UPDATE and arbitrary DELETE stay GROUP-based (their output
-  * derives entirely from scanned groups, so the group rewrite is already
-  * CDC-exact, and Spark's runtime group filtering bounds it to proven
-  * objects). */
+/** Picks the rewrite shape per command and per the table's DML mode:
+  *
+  *  - merge-on-read tables ([[LakeDvs.isMor]], `CALL lake.system
+  *    .set_dml_mode`): EVERY row-level command takes the delta path in
+  *    MOR mode — dead positions become delete vectors, changed/new rows
+  *    land as fresh objects, no touched object is rewritten (O(changed
+  *    rows), the sparse-DML posture; `compact` folds);
+  *  - otherwise MERGE takes the DELTA path ([[LakeDeltaOperation]] —
+  *    exact per-row ops, changed rows only, exact CDC); UPDATE and
+  *    arbitrary DELETE stay GROUP-based copy-on-write (their output
+  *    derives entirely from scanned groups, so the group rewrite is
+  *    already CDC-exact, and Spark's runtime group filtering bounds it
+  *    to proven objects). */
 final class LakeRowLevelOperationBuilder(rootUri: String, tableName: String,
                                          lakeSchema: TableSchema,
                                          info: RowLevelOperationInfo,
@@ -424,12 +431,15 @@ final class LakeRowLevelOperationBuilder(rootUri: String, tableName: String,
                                          // DECLARED lakeSchema
                                          byName: Boolean = false)
     extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
-    if (info.command() == RowLevelOperation.Command.MERGE)
-      new LakeDeltaOperation(rootUri, tableName, lakeSchema, byName)
+  override def build(): RowLevelOperation = {
+    val mor = LakeDvs.isMor(new HadoopStore(rootUri), tableName)
+    if (mor || info.command() == RowLevelOperation.Command.MERGE)
+      new LakeDeltaOperation(rootUri, tableName, lakeSchema, byName,
+        cmd = info.command(), mor = mor)
     else
       new LakeRowLevelOperation(rootUri, tableName, lakeSchema,
         info.command(), byName)
+  }
 }
 
 /** The ReplaceData write: stages every task's rows into per-hour rolled
@@ -505,7 +515,14 @@ final class LakeCowWrite(rootUri: String, lakeSchema: TableSchema,
       try LakeVersions.commit(store, table,
         op = op.command().toString.toLowerCase(java.util.Locale.ROOT),
         removed = retired, added = added, inserted = inserted,
-        intentId = Some(intentId))
+        intentId = Some(intentId),
+        // the scan read these groups under its resolved vector map
+        // (partitions applied it); a racing merge-on-read commit that
+        // changed a vector in between must abort this rewrite
+        dvBasis = {
+          val basis = op.cowScan.plannedDvs
+          retired.map(k => k -> basis.get(k).map(_.key)).toMap
+        })
       catch { case e: Throwable =>
         // un-publish: nothing committed, so deleting our renamed keys
         // (and the intent) restores the exact pre-statement table

@@ -142,17 +142,24 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
     * reclaimed and rewritten). One version-dir listing per refresh. */
   private val chainCache =
     scala.collection.mutable.Map.empty[Long, LakeVersions.GenRecord]
-  /** addedKey → the commit's removed set (its PROVENANCE: the retired
-    * originals whose surviving rows it holds). `inserted` keys are
-    * deliberately absent — they carry genuinely new rows. */
-  private def replacementProvenance(): Map[String, Seq[String]] = synchronized {
-    val st = LakeVersions.listDir(store, table)
-    st.gens.foreach { g =>
-      if (!chainCache.contains(g))
-        LakeVersions.readRecord(store, table, g).foreach(chainCache.update(g, _))
+  /** addedKey → the commit's provenance: the retired originals whose
+    * surviving rows it holds (`removed`) plus the still-live vectored
+    * objects a merge-on-read UPDATE's new-row objects derive from
+    * (`sources`). `inserted` keys are deliberately absent — they carry
+    * genuinely new rows. Second member: the HEAD's delete-vector map,
+    * off the same chain read — delivered objects scan vector-applied. */
+  private def chainState(): (Map[String, Seq[String]], Map[String, LakeVersions.DvRef]) =
+    synchronized {
+      val st = LakeVersions.listDir(store, table)
+      st.gens.foreach { g =>
+        if (!chainCache.contains(g))
+          LakeVersions.readRecord(store, table, g).foreach(chainCache.update(g, _))
+      }
+      val dvs = st.gens.sorted.reverse.view.flatMap(chainCache.get)
+        .headOption.map(_.dvs).getOrElse(Map.empty)
+      (chainCache.values.flatMap(r =>
+        r.added.map(_ -> (r.removed ++ r.sources))).toMap, dvs)
     }
-    chainCache.values.flatMap(r => r.added.map(_ -> r.removed)).toMap
-  }
 
   // Trigger.AvailableNow pins discovery at prepare time; None = live
   @volatile private var pinned: Option[Seq[String]] = None
@@ -286,7 +293,7 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
     // for that commit beats losing the undelivered half). Deterministic
     // on replay: records are immutable and the decision keys on the
     // checkpointed start offset.
-    val prov = replacementProvenance()
+    val (prov, dvs) = chainState()
     val fresh =
       if (prov.isEmpty) discovered
       else {
@@ -314,8 +321,15 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
       else LakeReader.walkKeys(SparkSession.active, rootUri, inKey,
         LakeReader.DefaultSidecarDistributeAbove)(p.keeps)
     prunedCount += (fresh.size - kept.size).toLong
+    // merge-on-read: an undelivered object that acquired a delete vector
+    // BEFORE delivery delivers only its live rows (value-at-delivery
+    // semantics, the same contract as whole-object retirement racing a
+    // stream); replaying a checkpointed batch after a newer vector lands
+    // re-reads under the newer vector — the same class of maintenance
+    // race as the reader's missing-object tolerance, documented there
     kept.map { k =>
-      LakeInputPartition(k, LakeKeys.parseKey(k).get._1.toEpochMilli)
+      LakeInputPartition(k, LakeKeys.parseKey(k).get._1.toEpochMilli,
+        dvs.get(k).map(_.key))
     }.toArray
   }
 

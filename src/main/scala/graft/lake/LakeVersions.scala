@@ -87,12 +87,35 @@ object LakeVersions {
   final class LakeConcurrentModificationException(msg: String)
       extends RuntimeException(msg)
 
+  /** One committed delete vector: its file key and position count (the
+    * count rides the record so metadata answers stay exact — live rows
+    * of a vectored object = sidecar `records` − `count` with no file
+    * read). */
+  final case class DvRef(key: String, count: Long)
+
+  /** A commit's change to one object's delete vector: `basis` is the
+    * vector key the merge was computed AGAINST (None = the object had
+    * none) — validated at CAS time so two racing merge-on-read
+    * statements on one object cannot both win ([[commit]]). */
+  final case class DvUpsert(basis: Option[String], ref: DvRef)
+
   final case class GenRecord(table: String, gen: Long, parent: Long,
                              op: String, intent: Option[String],
                              removed: Seq[String], added: Seq[String],
                              inserted: Seq[String], tombstones: Seq[String],
                              live: Option[Seq[String]],
-                             at: Long = 0L) // commit wall-clock millis
+                             at: Long = 0L, // commit wall-clock millis
+                             // provenance of `added` objects NOT in
+                             // `removed` (merge-on-read UPDATE: the
+                             // still-live vectored objects the new-row
+                             // objects' rows came from) — the stream's
+                             // CDC skip decision reads removed ++ sources
+                             sources: Seq[String] = Nil,
+                             // the FULL object → delete-vector mapping AT
+                             // this generation (cumulative, like
+                             // tombstones: each commit carries the whole
+                             // current map forward)
+                             dvs: Map[String, DvRef] = Map.empty)
 
   // ------------------------------------------------------------- wire
 
@@ -110,6 +133,14 @@ object LakeVersions {
       section("removed", r.removed)
       section("added", r.added)
       section("inserted", r.inserted)
+      // optional sections (absent from pre-dv records, whose strict
+      // parse the name-keyed reader below still serves): written only
+      // when non-empty so the common no-MOR table's records stay
+      // byte-compatible with what every earlier round produced
+      if (r.sources.nonEmpty) section("sources", r.sources)
+      if (r.dvs.nonEmpty)
+        section("dvs", r.dvs.toSeq.sortBy(_._1).map { case (obj, dv) =>
+          s"$obj ${dv.key} ${dv.count}" })
       section("tombstones", r.tombstones)
       r.live match {
         case Some(l) => section("live", l)
@@ -140,30 +171,48 @@ object LakeVersions {
       val m = HeaderRe.findFirstMatchIn(Option(rd.readLine()).getOrElse(""))
         .getOrElse(return None)
       if (m.group(1) != table || m.group(2).toLong != gen) return None
-      def section(name: String): Option[Option[Seq[String]]] = {
-        val h = Option(rd.readLine()).getOrElse(return None).split(' ')
-        if (h.length != 2 || h(0) != name) return None
-        if (h(1) == "-") return Some(None)
-        val n = h(1).toInt
-        val b = Vector.newBuilder[String]
-        var i = 0
-        while (i < n) {
-          b += Option(rd.readLine()).getOrElse(return None)
-          i += 1
+      // name-keyed section loop (until `end`): older records omit the
+      // optional `sources`/`dvs` sections, newer ones carry them — both
+      // parse; an UNKNOWN section name still rejects the whole record
+      // (its semantics are unknown, and half-reading a commit is worse
+      // than treating it as torn)
+      val Known = Set("removed", "added", "inserted", "sources", "dvs",
+        "tombstones", "live")
+      val sections = scala.collection.mutable.Map.empty[String, Option[Seq[String]]]
+      var line = Option(rd.readLine()).getOrElse(return None)
+      while (line != "end") {
+        val h = line.split(' ')
+        if (h.length != 2 || !Known(h(0)) || sections.contains(h(0))) return None
+        if (h(1) == "-") sections(h(0)) = None
+        else {
+          val n = h(1).toInt
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < n) {
+            b += Option(rd.readLine()).getOrElse(return None)
+            i += 1
+          }
+          sections(h(0)) = Some(b.result())
         }
-        Some(Some(b.result()))
+        line = Option(rd.readLine()).getOrElse(return None)
       }
-      val rec = for {
-        removed <- section("removed").flatten
-        added <- section("added").flatten
-        inserted <- section("inserted").flatten
-        tombstones <- section("tombstones").flatten
-        live <- section("live")
-        if rd.readLine() == "end"
+      val dvs: Map[String, DvRef] =
+        sections.get("dvs").flatten.getOrElse(Nil).map { l =>
+          val p = l.split(' ')
+          if (p.length != 3) return None
+          p(0) -> DvRef(p(1), p(2).toLong)
+        }.toMap
+      for {
+        removed <- sections.get("removed").flatten
+        added <- sections.get("added").flatten
+        inserted <- sections.get("inserted").flatten
+        tombstones <- sections.get("tombstones").flatten
+        live <- sections.get("live")
       } yield GenRecord(table, gen, m.group(3).toLong, m.group(4),
         Option(m.group(5)).filter(_ != "-"), removed, added, inserted,
-        tombstones, live, at = m.group(6).toLong)
-      rec
+        tombstones, live, at = m.group(6).toLong,
+        sources = sections.get("sources").flatten.getOrElse(Nil),
+        dvs = dvs)
     } catch { case _: Exception => None }
     finally { try raw.close() catch { case _: Exception => () } }
   }
@@ -212,9 +261,19 @@ object LakeVersions {
     * every key named by an intent whose commit is NOT on the chain
     * (a publish in flight or crashed before its CAS). Empty — one
     * cheap listing — for any table no mutating statement ever touched. */
-  def exclusions(store: Store, table: String): Set[String] = {
+  def exclusions(store: Store, table: String): Set[String] =
+    tableView(store, table).excl
+
+  /** What a version-aware reader needs, from ONE metadata pass (the
+    * same listing+head reads [[exclusions]] always cost): the keys to
+    * exclude AND the current delete-vector map — so a scan that must
+    * consult both never pays the version directory twice. */
+  final case class TableView(excl: Set[String], dvs: Map[String, DvRef])
+
+  def tableView(store: Store, table: String): TableView = {
     val st = listDir(store, table)
-    if (st.gens.isEmpty && st.intents.isEmpty) return Set.empty
+    if (st.gens.isEmpty && st.intents.isEmpty)
+      return TableView(Set.empty, Map.empty)
     val h = head(store, table, st)
     val pending: Set[String] =
       if (st.intents.isEmpty) Set.empty
@@ -229,8 +288,27 @@ object LakeVersions {
         st.intents.filterNot(committed)
           .flatMap(id => readIntent(store, table, id)).flatten.toSet
       }
-    h.map(_.tombstones.toSet).getOrElse(Set.empty) ++ pending
+    TableView(h.map(_.tombstones.toSet).getOrElse(Set.empty) ++ pending,
+      h.map(_.dvs).getOrElse(Map.empty))
   }
+
+  /** The committed delete-vector map NOW (head record) — empty for any
+    * table no merge-on-read statement ever touched. */
+  def currentDvs(store: Store, table: String): Map[String, DvRef] = {
+    val st = listDir(store, table)
+    if (st.gens.isEmpty) Map.empty
+    else head(store, table, st).map(_.dvs).getOrElse(Map.empty)
+  }
+
+  /** The delete-vector map AT generation `gen` — the time-travel
+    * complement of [[liveAt]] (a retained snapshot's rows are its live
+    * keys MINUS that generation's vectors). */
+  def dvsAt(store: Store, table: String, gen: Long): Map[String, DvRef] =
+    readRecord(store, table, gen).map(_.dvs).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake: no generation $gen for table '$table' — it never " +
+          "committed, or CALL lake.system.expire_versions reclaimed it " +
+          s"(present: ${listDir(store, table).gens.mkString(", ")})"))
 
   // ---------------------------------------------------------- intents
 
@@ -308,7 +386,16 @@ object LakeVersions {
   def commit(store: Store, table: String, op: String,
              removed: Seq[String], added: Seq[String] = Nil,
              inserted: Seq[String] = Nil, intentId: Option[String] = None,
-             validateLive: Boolean = true, maxRetries: Int = 20): GenRecord = {
+             validateLive: Boolean = true, maxRetries: Int = 20,
+             sources: Seq[String] = Nil,
+             dvUpserts: Map[String, DvUpsert] = Map.empty,
+             // object → the delete-vector key its rows were READ under
+             // (None = none): a rewrite commit (COW DML, compaction,
+             // delete_where) passes its scanned objects here so a
+             // racing merge-on-read commit that changed a vector under
+             // the rewrite aborts it LOUDLY — republishing rows read
+             // under a stale vector would resurrect deleted rows
+             dvBasis: Map[String, Option[String]] = Map.empty): GenRecord = {
     val removedD = removed.distinct
     var attempt = 0
     while (true) {
@@ -334,6 +421,46 @@ object LakeVersions {
               "A concurrent writer or manual delete raced this " +
               "statement; re-run it against the current table state.")
       }
+      val parentDvs = h.map(_.dvs).getOrElse(Map.empty)
+      if (dvBasis.nonEmpty) {
+        val drift = dvBasis.collect {
+          case (obj, expected) if parentDvs.get(obj).map(_.key) != expected => obj
+        }
+        if (drift.nonEmpty)
+          throw new LakeConcurrentModificationException(
+            s"graft-lake $op on '$table': the delete vector of " +
+              s"${drift.size} scanned object(s) changed under this " +
+              s"statement (a concurrent merge-on-read commit) — e.g. " +
+              s"${drift.take(3).mkString(", ")}. The statement aborted " +
+              "with no effect; re-run it against the current table state.")
+      }
+      if (dvUpserts.nonEmpty) {
+        // a merge-on-read statement's vector targets must still be LIVE
+        // (a racing rewrite tombstoned one → this statement's positions
+        // name rows of a dead object) and its merge BASIS must still be
+        // the committed vector (a racing MOR statement superseded it →
+        // re-merging is the caller's job, same loud-abort posture)
+        val tombs = h.map(_.tombstones.toSet).getOrElse(Set.empty)
+        val deadTargets = dvUpserts.keys.filter(tombs.contains)
+        if (deadTargets.nonEmpty)
+          throw new LakeConcurrentModificationException(
+            s"graft-lake $op on '$table': ${deadTargets.size} delete-" +
+              s"vector target object(s) were removed by a concurrent " +
+              s"commit — e.g. ${deadTargets.take(3).mkString(", ")}. " +
+              "The statement aborted with no effect; re-run it against " +
+              "the current table state.")
+        val basisDrift = dvUpserts.collect {
+          case (obj, up) if parentDvs.get(obj).map(_.key) != up.basis => obj
+        }
+        if (basisDrift.nonEmpty)
+          throw new LakeConcurrentModificationException(
+            s"graft-lake $op on '$table': the delete vector of " +
+              s"${basisDrift.size} object(s) changed under this statement " +
+              s"(a concurrent merge-on-read commit) — e.g. " +
+              s"${basisDrift.take(3).mkString(", ")}. The statement " +
+              "aborted with no effect; re-run it against the current " +
+              "table state.")
+      }
       val parentTombs = h.map(_.tombstones).getOrElse(Nil)
       val keptTombs =
         if (parentTombs.isEmpty) Nil
@@ -354,10 +481,17 @@ object LakeVersions {
         if (!st.retain) None
         else Some((LakeReader.listTableKeys(store, table, None)
           .filterNot(removedD.toSet) ++ added ++ inserted).distinct.sorted)
+      // the dv map carries forward MINUS removed objects (a rewritten/
+      // retired object's vector dies with it — readers read its rows
+      // vector-applied through readKeys, so replacements hold only live
+      // rows) PLUS this commit's upserts
+      val nextDvs = (parentDvs -- removedD) ++
+        dvUpserts.map { case (obj, up) => obj -> up.ref }
       val rec = GenRecord(table, headGen + 1, headGen, op, intentId,
         removedD, added, inserted,
         (keptTombs ++ removedD).distinct, live,
-        at = System.currentTimeMillis())
+        at = System.currentTimeMillis(),
+        sources = sources.distinct, dvs = nextDvs)
       beforeCasHook(table)
       val won =
         try { writeRecord(store, genKey(table, rec.gen), rec); true }
@@ -366,6 +500,15 @@ object LakeVersions {
                   if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
                     false }
       if (won) {
+        // SUPERSEDED delete-vector files die with the commit that
+        // replaced their mapping (basis files of this commit's upserts;
+        // vectors of objects this commit removed) — unless the table
+        // retains history, where an older generation's snapshot still
+        // reads them (expire_versions reclaims)
+        if (!st.retain) {
+          dvUpserts.values.foreach(_.basis.foreach(store.delete))
+          removedD.foreach(k => parentDvs.get(k).foreach(r => store.delete(r.key)))
+        }
         // heal: every intent whose commit is on the chain has served its
         // purpose (including ours) — delete so readers stop consulting
         // it. The chain walk runs only while foreign intents exist (the
@@ -591,6 +734,13 @@ object LakeVersions {
       ZoneMaps.deleteSidecarSignaled(store, k, "graft.LakeVersions")
       store.delete(BloomMaps.bloomKey(k))
     }
+    // delete-vector files no kept generation references (superseded
+    // vectors retention kept alive; crash-orphans of an aborted MOR
+    // publish) reclaim on the same pass — one `_dv/<table>/` listing
+    val neededDvs: Set[String] =
+      keptRecords.flatMap(_.dvs.values.map(_.key)).toSet
+    val dvReclaim = store.list(LakeDvs.dir(table)).filterNot(neededDvs)
+    dvReclaim.foreach(store.delete)
     // drop BELOW-cut records only after their objects are reclaimed —
     // a crash between the two leaves extra records, never dangling
     // snapshots

@@ -360,7 +360,12 @@ object ZoneMaps {
       val names = schema.columnNames
       val nCols = names.length
       val schemaLocal = schema
-      val rows = LakeReader.readKeys(spark, store, table, keys)
+      // RAW read (dvs = empty): sidecars describe the object's PHYSICAL
+      // rows — vectored positions included — so live-row arithmetic
+      // stays `records − vector count` everywhere (and input_file_name,
+      // which the vector-aware RDD path cannot populate, keeps working)
+      val rows = LakeReader.readKeys(spark, store, table, keys,
+          dvs = Some(Map.empty))
         .select(input_file_name() +: names.map(col): _*)
         .rdd
       // header-only objects yield no rows — seed every listed key so each

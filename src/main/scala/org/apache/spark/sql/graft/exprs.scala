@@ -354,6 +354,19 @@ object exprs {
       df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
         .queryExecution.analyzed)
 
+  /** A DataFrame over an RDD of [[org.apache.spark.sql.catalyst
+    * .InternalRow]]s — the `private[sql]` `internalCreateDataFrame`
+    * bridge, hence hosted here. The lake's merge-on-read functional
+    * reads use it: vectored objects stream through the connector's own
+    * [[graft.lake.LakeObjectReader]] on executors (position-exact
+    * delete-vector skips), and this turns the result into the same
+    * DataFrame shape the CSV fast path yields. */
+  def dataFrameOfInternalRows(session: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   def bloom_might_contain(bloom: Array[Byte], c: Column): Column =
     ExpressionUtils.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
