@@ -303,7 +303,8 @@ private[lake] object LakeProcedures {
   val Names: Seq[String] = Seq("compact", "expire", "ensure_indexes",
     "seal_manifest", "retire_objects", "delete_where", "sweep_staging",
     "stats", "set_retention", "expire_versions", "history", "tag",
-    "drop_tag", "changes_summary", "set_dml_mode")
+    "drop_tag", "changes_summary", "set_dml_mode", "publish_audit",
+    "abort_audit")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(new CompactProcedure(root))
@@ -321,6 +322,8 @@ private[lake] object LakeProcedures {
     case "drop_tag" => Some(new DropTagProcedure(root))
     case "changes_summary" => Some(new ChangesSummaryProcedure(root))
     case "set_dml_mode" => Some(new SetDmlModeProcedure(root))
+    case "publish_audit" => Some(new PublishAuditProcedure(root))
+    case "abort_audit" => Some(new AbortAuditProcedure(root))
     case _ => None
   }
 
@@ -557,6 +560,66 @@ private[lake] object LakeProcedures {
         java.lang.Long.valueOf(rep.rowsDeleted),
         java.lang.Long.valueOf(rep.rowsKept),
         Integer.valueOf(rep.objectsSkipped))
+    }
+  }
+
+  private final class PublishAuditProcedure(root: String)
+      extends MaintenanceProcedure("publish_audit") {
+    override def description(): String =
+      "WRITE-AUDIT-PUBLISH, the publish half: make an audited append's " +
+        "staged (hidden) batch visible as ONE atomic generation commit. " +
+        "Stage with df.write.option('auditId', id), validate with " +
+        "spark.read.option('withAudit', id), then CALL this (or " +
+        "abort_audit to drop the batch)."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("audit_id", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val id = input.getUTF8String(1).toString.trim
+      val store = new HadoopStore(root)
+      val keys = LakeVersions.readIntent(store, table, s"audit-$id")
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-lake: no staged audit '$id' on table '$table' — it " +
+            "was never written, already published, or aborted"))
+      // the batch is genuinely NEW rows — `inserted`, so a CDC-aware
+      // stream delivers it exactly once, starting at this CAS; the
+      // commit deletes the audit intent, flipping visibility atomically
+      val rec = LakeVersions.commit(store, table, op = "publish_audit",
+        removed = Nil, inserted = keys, intentId = Some(s"audit-$id"))
+      result(StructType(Seq(
+        StructField("generation", LongType, nullable = false),
+        StructField("objects_published", IntegerType, nullable = false))),
+        java.lang.Long.valueOf(rec.gen), Integer.valueOf(keys.size))
+    }
+  }
+
+  private final class AbortAuditProcedure(root: String)
+      extends MaintenanceProcedure("abort_audit") {
+    override def description(): String =
+      "WRITE-AUDIT-PUBLISH, the abort half: drop an audited append's " +
+        "staged (hidden) batch — its objects, sidecars, and the audit " +
+        "intent. The table never saw the rows."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("audit_id", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val id = input.getUTF8String(1).toString.trim
+      val store = new HadoopStore(root)
+      val keys = LakeVersions.readIntent(store, table, s"audit-$id")
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-lake: no staged audit '$id' on table '$table' — it " +
+            "was never written, already published, or aborted"))
+      keys.foreach { k =>
+        store.delete(k)
+        ZoneMaps.deleteSidecarSignaled(store, k, "graft-lake abort_audit")
+        store.delete(BloomMaps.bloomKey(k))
+      }
+      store.delete(LakeVersions.intentKey(table, s"audit-$id"))
+      result(StructType(Seq(
+        StructField("objects_dropped", IntegerType, nullable = false))),
+        Integer.valueOf(keys.size))
     }
   }
 

@@ -88,24 +88,28 @@ final class LakeDataSource extends TableProvider with DataSourceRegister {
   // metadata walk, not two (the StructType getTable receives cannot
   // substitute — it erases CUuid to plain STRING, which the reader's
   // header validation must distinguish)
-  @volatile private var resolved: Option[(String, String, Boolean, TableSchema, Boolean)] = None
-  private def schemaOf(root: String, table: String,
-                       reconcile: Boolean): (TableSchema, Boolean) =
+  @volatile private var resolved: Option[(String, String, Boolean, Option[Long], TableSchema, Boolean)] = None
+  private def schemaOf(root: String, table: String, reconcile: Boolean,
+                       asOf: Option[Long]): (TableSchema, Boolean) =
     resolved match {
-      case Some((r, t, rc, s, ev)) if r == root && t == table && rc == reconcile =>
+      case Some((r, t, rc, ao, s, ev))
+          if r == root && t == table && rc == reconcile && ao == asOf =>
         (s, ev)
       case _ =>
         val (s, ev) = if (reconcile)
           (LakeReader.reconciledGroups(new HadoopStore(root), table)._1, false)
-        else LakeDataSource.resolveSchema(root, table)
-        resolved = Some((root, table, reconcile, s, ev))
+        else asOf // schema-at-snapshot: the generation's own schema
+          .flatMap(g => LakeDataSource.resolveSchemaAt(root, table, g))
+          .getOrElse(LakeDataSource.resolveSchema(root, table))
+        resolved = Some((root, table, reconcile, asOf, s, ev))
         (s, ev)
     }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (root, table) = LakeDataSource.resolve(options)
     LakeDataSource.outputStruct(
-      schemaOf(root, table, LakeDataSource.reconcileOpt(options))._1)
+      schemaOf(root, table, LakeDataSource.reconcileOpt(options),
+        LakeDataSource.asOfOpt(options))._1)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -113,8 +117,10 @@ final class LakeDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     val (root, table) = LakeDataSource.resolve(opts)
     val reconcile = LakeDataSource.reconcileOpt(opts)
-    val (s, ev) = schemaOf(root, table, reconcile)
-    new LakeTable(root, table, Some(s), reconcile, preEvolved = Some(ev))
+    val asOf = LakeDataSource.asOfOpt(opts)
+    val (s, ev) = schemaOf(root, table, reconcile, asOf)
+    new LakeTable(root, table, Some(s), reconcile,
+      asOfGeneration = asOf, preEvolved = Some(ev))
   }
 }
 
@@ -174,6 +180,14 @@ object LakeDataSource {
   private[lake] def reconcileOpt(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("reconcile")).exists(_.toBoolean)
 
+  private[lake] def asOfOpt(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("asofgeneration")).map { v =>
+      try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-lake: asOfGeneration must be a generation number, got '$v'")
+      }
+    }
+
   /** Catalyst row → EXTERNAL wire values, BY NAME against the declared
     * schema — THE one conversion table every lake write path shares
     * (append, copy-on-write, delta MERGE), so the wire codec cannot
@@ -221,6 +235,30 @@ object LakeDataSource {
     LakeSchemas.current(store, table) match {
       case Some(d) => (d.schema, true)
       case None => (peek(root, table), false)
+    }
+  }
+
+  /** Schema-AT-SNAPSHOT resolution for a time-travel read: generation
+    * `gen`'s record pins the declared-schema version live when that
+    * commit ran, so `VERSION AS OF` reads under the schema THAT RUN
+    * actually saw — a pre-ALTER snapshot shows pre-ALTER columns, not
+    * today's. `Some(0)` on the record = the table was not evolved at
+    * commit (strict single-header — the snapshot's own objects carry
+    * the schema); None (a pre-r16 record, or an empty snapshot) falls
+    * back to current-declared resolution. */
+  private[lake] def resolveSchemaAt(root: String, table: String,
+                                    gen: Long): Option[(TableSchema, Boolean)] = {
+    val store = new HadoopStore(root)
+    LakeVersions.readRecord(store, table, gen).flatMap(_.schemaV).flatMap {
+      case 0L =>
+        LakeVersions.liveAt(store, table, gen).headOption
+          .map(k => (LakeReader.peekSchema(store, k, table), false))
+      case v =>
+        Some((LakeSchemas.readRecord(store, table, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-lake: generation $gen of '$table' pins schema " +
+              s"version $v, which no longer parses — the record was " +
+              "reclaimed or torn")), true))
     }
   }
 }
@@ -355,7 +393,12 @@ final class LakeTable(rootUri: String, tableName: String,
         if (reconcile)
           (LakeReader.reconciledGroups(new HadoopStore(rootUri), tableName)._1,
             false)
-        else LakeDataSource.resolveSchema(rootUri, tableName)
+        else
+          // time travel resolves the SNAPSHOT's own schema version
+          // (schema-at-snapshot); current-declared otherwise
+          asOfGeneration
+            .flatMap(g => LakeDataSource.resolveSchemaAt(rootUri, tableName, g))
+            .getOrElse(LakeDataSource.resolveSchema(rootUri, tableName))
     }
   private lazy val lakeSchema: TableSchema = resolvedPair._1
   /** DECLARED-schema (evolved) table: objects may carry older headers —
@@ -396,17 +439,12 @@ final class LakeTable(rootUri: String, tableName: String,
         "pass .option(\"reconcile\", true) on read/readStream.format(\"graft-lake\") " +
         "(it reaches the table), or spark.sql.catalog.<name>.reconcile=true " +
         "for catalog-resolved tables")
-    val asOf = asOfGeneration.orElse(
-      Option(options.get("asofgeneration")).map { v =>
-        try v.trim.toLong catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft-lake: asOfGeneration must be a generation number, got '$v'")
-        }
-      })
+    val asOf = asOfGeneration.orElse(LakeDataSource.asOfOpt(options))
     new LakeScanBuilder(rootUri, tableName, lakeSchema,
       Option(options.get("clusterbyhour")).exists(_.toBoolean),
       byName,
       asOfGeneration = asOf,
+      withAudit = Option(options.get("withaudit")).map(_.trim).filter(_.nonEmpty),
       streamOptions = {
         val (latest, fromHour) =
           Option(options.get("startfrom")).map(_.trim) match {
@@ -524,6 +562,15 @@ final class LakeWriteBuilder(rootUri: String, lakeSchema: TableSchema,
         "scale FLOAT domains to integers first — a fractional cast " +
         "truncates to a constant and the z-layout degenerates"))
     }
+    val auditId = Option(options.get("auditid")).map(_.trim).filter(_.nonEmpty)
+    auditId.foreach { id =>
+      require(id.matches("[A-Za-z0-9._-]{1,64}"),
+        s"graft-lake: auditId must be [A-Za-z0-9._-]{1,64}, got '$id'")
+      require(overwriteMode.isEmpty,
+        "graft-lake: write-audit-publish covers APPENDS — an overwrite " +
+          "cannot stage invisibly (its doomed scope must freeze at " +
+          "publish); validate with an audited append + DELETE instead")
+    }
     new LakeWrite(rootUri, lakeSchema, inSchema,
       Option(options.get("flushtime")).map(Instant.parse).getOrElse(Instant.now()),
       Option(options.get("gzip")).forall(_.toBoolean),
@@ -534,7 +581,7 @@ final class LakeWriteBuilder(rootUri: String, lakeSchema: TableSchema,
       clusterBy,
       Option(options.get("writepartitions")).map(_.toInt).getOrElse(0),
       Option(options.get("sinkid")).getOrElse(queryId),
-      zorderBy, overwriteMode)
+      zorderBy, overwriteMode, auditId)
   }
 }
 
@@ -555,7 +602,12 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
                       clusterBy: Seq[String] = Nil, writePartitions: Int = 0,
                       sinkId: String = "",
                       zorderBy: Option[(String, String)] = None,
-                      overwriteMode: Option[LakeRowLevel.OverwriteMode] = None)
+                      overwriteMode: Option[LakeRowLevel.OverwriteMode] = None,
+                      // WRITE-AUDIT-PUBLISH: land the batch INVISIBLY
+                      // behind a named audit intent — readers exclude
+                      // the keys until `CALL lake.system.publish_audit`
+                      // CAS-commits them (or abort_audit removes them)
+                      auditId: Option[String] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   private val staging = s"_staging/dsv2-${java.util.UUID.randomUUID()}"
@@ -695,6 +747,20 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
       val intentId = java.util.UUID.randomUUID().toString
       if (versioned)
         LakeVersions.writeIntent(store, lakeSchema.name, intentId, dsts)
+      // WRITE-AUDIT-PUBLISH: the batch lands at its FINAL keys but
+      // behind a named AUDIT intent — hidden from every reader (an
+      // uncommitted intent's keys are excluded) until publish_audit
+      // CAS-commits it. One audit = one write: a second batch under the
+      // same id would have to REPLACE the intent file, whose torn
+      // window would flash the first batch visible — refused loudly.
+      auditId.foreach { id =>
+        val ik = LakeVersions.intentKey(lakeSchema.name, s"audit-$id")
+        require(!store.exists(ik),
+          s"graft-lake: audit '$id' already holds a staged batch on " +
+            s"'${lakeSchema.name}' — publish or abort it first (one " +
+            "audit = one write; use a fresh id per batch)")
+        LakeVersions.writeIntent(store, lakeSchema.name, s"audit-$id", dsts)
+      }
       staged.foreach { k =>
         val dst = k.stripPrefix(s"$staging/")
         store.rename(k, dst)
@@ -908,7 +974,10 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
                             onBuild: LakeScan => Unit = null,
                             // time travel: plan generation N's retained
                             // snapshot instead of the live listing
-                            asOfGeneration: Option[Long] = None)
+                            asOfGeneration: Option[Long] = None,
+                            // write-audit-publish validation read: ALSO
+                            // scan the named audit's staged (hidden) keys
+                            withAudit: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -982,8 +1051,10 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     // (sidecar `records` counts rows whatever the header), so it stays
     // metadata-only even across mixed headers.
     // asOf: LakeAggScan lists the LIVE table — a snapshot read answers
-    // from its own key set, so the row scan (still sidecar-pruned) owns it
-    if (pushed.nonEmpty || cowMode || asOfGeneration.isDefined)
+    // from its own key set, so the row scan (still sidecar-pruned) owns
+    // it; withAudit likewise (the validation branch reads live ∪ staged)
+    if (pushed.nonEmpty || cowMode || asOfGeneration.isDefined ||
+        withAudit.isDefined)
       return false
     LakeAgg.translate(aggregation, lakeSchema) match {
       case some @ Some(agg)
@@ -1010,7 +1081,8 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
     case None =>
       val s = new LakeScan(rootUri, table, lakeSchema, required, pushed,
         pushedLimit, pushedTopN, clusterByHour, streamOptions, byName,
-        groupFilterOnKey = cowMode, asOfGeneration = asOfGeneration)
+        groupFilterOnKey = cowMode, asOfGeneration = asOfGeneration,
+        withAudit = withAudit)
       if (onBuild != null) onBuild(s)
       s
   }
@@ -1024,7 +1096,8 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
                      streamOptions: LakeStreamOptions = LakeStreamOptions(),
                      byName: Boolean = false,
                      groupFilterOnKey: Boolean = false,
-                     asOfGeneration: Option[Long] = None)
+                     asOfGeneration: Option[Long] = None,
+                     withAudit: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -1168,7 +1241,17 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
           }
         }, dvs)
       case (None, hr) =>
-        val view = LakeVersions.tableView(store, table)
+        val view0 = LakeVersions.tableView(store, table)
+        // write-audit-publish validation read: the named audit's staged
+        // keys leave the exclusion set — the scan sees live ∪ staged
+        // (hour pruning and sidecar probes apply to them like any key)
+        val view = withAudit.fold(view0) { id =>
+          val ks = LakeVersions.readIntent(store, table, s"audit-$id")
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft-lake: no staged audit '$id' on table '$table' — " +
+                "it was never written, already published, or aborted"))
+          view0.copy(excl = view0.excl -- ks)
+        }
         (LakeReader.listTableKeys(store, table, hr, Some(view)), view.dvs)
     }
     // an hour SET (IN-list / runtime hour filter) refines the listed
@@ -1301,11 +1384,12 @@ final case class LakeInputPartition(key: String, hourMillis: Long,
 }
 
 final class LakeReaderFactory(rootUri: String, lakeSchema: TableSchema,
-                              required: StructType, byName: Boolean = false)
+                              required: StructType, byName: Boolean = false,
+                              adoptEvolved: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new LakeObjectReader(rootUri, lakeSchema, required,
-      partition.asInstanceOf[LakeInputPartition], byName)
+      partition.asInstanceOf[LakeInputPartition], byName, adoptEvolved)
 }
 
 /** Reads ONE lake object into [[InternalRow]]s of the required schema.
@@ -1319,7 +1403,18 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
                              // by-name resolution against lakeSchema (the
                              // merged or declared target); false = the
                              // strict single-header contract
-                             byName: Boolean = false)
+                             byName: Boolean = false,
+                             // restart-free ALTER adoption (streams): in
+                             // strict mode, a header MISMATCH re-checks
+                             // whether the table has since DECLARED a
+                             // schema (LakeSchemas — one metadata probe,
+                             // only on mismatching objects) and, if so,
+                             // resolves this object BY NAME against the
+                             // reader's own schema instead of failing —
+                             // columns it lacks read null, INTEGER wires
+                             // widen under FLOAT fields, anything else
+                             // stays the loud drift error
+                             adoptEvolved: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val rd: BufferedReader = {
@@ -1358,13 +1453,29 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
     else {
       val types = TypedCsv.parseTypesHeader(rd.readLine())
       val names = TypedCsv.splitLine(rd.readLine())
-      if (!byName)
-        require(names == lakeSchema.columnNames && types == lakeSchema.colTypes,
-          s"schema drift in ${part.key}: header ($names : $types) does not match " +
+      names.zip(types)
+    }
+
+  /** Whether THIS object resolves by name (see the constructor notes):
+    * the mode flag, or — under `adoptEvolved` — a mismatching header on
+    * a table that has since declared a schema. */
+  private val resolveByName: Boolean =
+    if (rd == null || byName) byName
+    else {
+      val matches = objCols.map(_._1) == lakeSchema.columnNames &&
+        objCols.map(_._2) == lakeSchema.colTypes
+      if (matches) false
+      else {
+        val adopted = adoptEvolved && LakeSchemas.current(
+          new HadoopStore(rootUri), lakeSchema.name).isDefined
+        require(adopted,
+          s"schema drift in ${part.key}: header (${objCols.map(_._1)} : " +
+            s"${objCols.map(_._2)}) does not match " +
             s"declared ${lakeSchema.columnNames} : ${lakeSchema.colTypes} — " +
             "use option(\"reconcile\", true) or LakeReader.readReconciled " +
             "for drifted tables")
-      names.zip(types)
+        true
+      }
     }
 
   // one converter per REQUIRED field: wire index + parse, or the
@@ -1386,7 +1497,7 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
     else if (f.name == LakeDataSource.ObjectKeyCol) { (_: Array[String]) => keyUtf8 }
     else if (f.name == LakeDataSource.RowPosCol) { (_: Array[String]) =>
       java.lang.Long.valueOf(rowPos) }
-    else if (!byName) {
+    else if (!resolveByName) {
       val i = lakeSchema.columnNames.indexOf(f.name)
       require(i >= 0, s"column ${f.name} not in lake table ${lakeSchema.name}")
       val conv = LakeObjectReader.converter(lakeSchema.colTypes(i))

@@ -263,8 +263,18 @@ object LakeMaintenance {
     val missingBlooms =
       if (bloomColumns.isEmpty) Nil
       else keys.filterNot(k => sidecarSet.contains(BloomMaps.bloomKey(k)))
+    // INTENT-hidden keys (an in-flight publish, a write-audit-publish
+    // batch pending validation) are absent from the versioned listing
+    // but their sidecars are NOT orphans — sweeping them would silently
+    // de-index the batch the moment it publishes
+    val intentKeys: Set[String] = {
+      val st = LakeVersions.listDir(store, table)
+      st.intents.flatMap(id =>
+        LakeVersions.readIntent(store, table, id).getOrElse(Nil)).toSet
+    }
     val orphans = sidecars.filter { sk =>
-      dataKeyOfSidecar(sk).exists(dk => !keySet.contains(dk))
+      dataKeyOfSidecar(sk).exists(dk =>
+        !keySet.contains(dk) && !intentKeys.contains(dk))
     }
     // report-only: the SAME listing snapshot and the SAME three
     // decisions, nothing built and nothing deleted — the counts are
@@ -843,7 +853,11 @@ object LakeMaintenance {
       if (st.intents.nonEmpty) {
         val referenced = st.gens.flatMap(g =>
           LakeVersions.readRecord(store, table, g)).flatMap(_.intent).toSet
-        st.intents.filterNot(referenced).foreach { id =>
+        // AUDIT intents are exempt: a write-audit-publish batch pending
+        // validation is deliberate staged state, not a crash — however
+        // old it gets, publish_audit/abort_audit are its only exits
+        st.intents.filterNot(referenced)
+          .filterNot(_.startsWith("audit-")).foreach { id =>
           val ik = LakeVersions.intentKey(table, id)
           val old = store.newestModification(ik).exists(_.isBefore(olderThan))
           if (old) {

@@ -1411,7 +1411,7 @@ object LakeReader {
         org.apache.spark.sql.types.StructField("_event_hour",
           org.apache.spark.sql.types.TimestampType, nullable = true))
     val rdd = spark.sparkContext
-      .parallelize(dvPairs, math.max(1, dvPairs.size))
+      .parallelize(dvPairs, math.max(1, math.min(dvPairs.size, 256)))
       .flatMap { case (k, dvKey) =>
         if (!ignoreMissing)
           require(new HadoopStore(rootUri).exists(k),

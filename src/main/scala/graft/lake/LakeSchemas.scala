@@ -25,11 +25,13 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   *
   * '''Active streams''': a stream STARTED on an evolved table reads by
   * name and rides later ALTERs' objects fine; a stream started before
-  * the table's FIRST ALTER is strict single-header — the first
-  * declared-header object it admits fails it loudly with the
-  * schema-drift error (restart resumes from the checkpoint under the
-  * evolved schema). Loud and checkpoint-safe, documented in README
-  * Known gaps.
+  * the table's FIRST ALTER adopts restart-free (r16 — the reader
+  * re-checks for a schema record on a header mismatch,
+  * [[LakeObjectReader]]'s `adoptEvolved`): evolved objects resolve by
+  * name onto the stream's own start-time schema, shared columns
+  * deliver values, and the output shape stays fixed until restart
+  * (Spark pins a stream's schema at start). Genuine drift — no
+  * declared schema — still fails loudly.
   *
   * '''Concurrency''': records are immutable and CAS-published with
   * [[Store.createExclusive]] like generation records — two concurrent

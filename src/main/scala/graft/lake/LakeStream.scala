@@ -334,7 +334,18 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(rootUri, lakeSchema, required, reconcile)
+    // adoptEvolved: a stream started BEFORE the table's first ALTER is
+    // strict single-header by construction (the table was not evolved
+    // at resolution time) — when a declared-header object then lands,
+    // the reader re-checks for a schema record and resolves it BY NAME
+    // against the stream's own start-time schema instead of failing:
+    // the stream keeps running across ALTERs with its output shape
+    // fixed (Spark pins a stream's schema at start) — post-ALTER
+    // columns become visible on the next restart, dropped columns read
+    // null, and genuinely drifted tables (no declared schema) still
+    // fail loudly
+    new LakeReaderFactory(rootUri, lakeSchema, required, reconcile,
+      adoptEvolved = !reconcile)
 
   override def commit(end: Offset): Unit = () // the checkpoint is the state
   override def stop(): Unit = ()

@@ -115,7 +115,15 @@ object LakeVersions {
                              // this generation (cumulative, like
                              // tombstones: each commit carries the whole
                              // current map forward)
-                             dvs: Map[String, DvRef] = Map.empty)
+                             dvs: Map[String, DvRef] = Map.empty,
+                             // the DECLARED-schema version live when this
+                             // commit ran (schema-AT-snapshot time
+                             // travel): Some(v>0) = LakeSchemas version
+                             // v, Some(0) = the table was NOT evolved at
+                             // commit (strict single-header snapshot),
+                             // None = a pre-r16 record (readers fall
+                             // back to current-declared resolution)
+                             schemaV: Option[Long] = None)
 
   // ------------------------------------------------------------- wire
 
@@ -141,6 +149,7 @@ object LakeVersions {
       if (r.dvs.nonEmpty)
         section("dvs", r.dvs.toSeq.sortBy(_._1).map { case (obj, dv) =>
           s"$obj ${dv.key} ${dv.count}" })
+      r.schemaV.foreach(v => section("schemav", Seq(v.toString)))
       section("tombstones", r.tombstones)
       r.live match {
         case Some(l) => section("live", l)
@@ -177,7 +186,7 @@ object LakeVersions {
       // (its semantics are unknown, and half-reading a commit is worse
       // than treating it as torn)
       val Known = Set("removed", "added", "inserted", "sources", "dvs",
-        "tombstones", "live")
+        "schemav", "tombstones", "live")
       val sections = scala.collection.mutable.Map.empty[String, Option[Seq[String]]]
       var line = Option(rd.readLine()).getOrElse(return None)
       while (line != "end") {
@@ -212,7 +221,9 @@ object LakeVersions {
         Option(m.group(5)).filter(_ != "-"), removed, added, inserted,
         tombstones, live, at = m.group(6).toLong,
         sources = sections.get("sources").flatten.getOrElse(Nil),
-        dvs = dvs)
+        dvs = dvs,
+        schemaV = sections.get("schemav").flatten
+          .flatMap(_.headOption).map(_.toLong))
     } catch { case _: Exception => None }
     finally { try raw.close() catch { case _: Exception => () } }
   }
@@ -221,7 +232,8 @@ object LakeVersions {
 
   /** One listing of the version directory, decoded. */
   final case class DirState(gens: Seq[Long], intents: Seq[String],
-                            retain: Boolean)
+                            retain: Boolean,
+                            schemaVersions: Seq[Long] = Nil)
 
   def listDir(store: Store, table: String): DirState = {
     // committers DELETE intent files concurrently with this listing; a
@@ -239,7 +251,9 @@ object LakeVersions {
             g.stripPrefix("gen-").toLong }.sorted,
           entries.collect { case i if i.startsWith("intent-") =>
             i.stripPrefix("intent-") },
-          entries.contains("retain"))
+          entries.contains("retain"),
+          entries.collect { case s if s.startsWith("schema-") =>
+            s.stripPrefix("schema-").toLong }.sorted)
       } catch {
         case e: Exception if attempt < 5 =>
           attempt += 1
@@ -487,11 +501,19 @@ object LakeVersions {
       // rows) PLUS this commit's upserts
       val nextDvs = (parentDvs -- removedD) ++
         dvUpserts.map { case (obj, up) => obj -> up.ref }
+      // schema-AT-snapshot: the record pins the declared-schema version
+      // live at this commit (0 = not evolved), so `VERSION AS OF` reads
+      // the snapshot under the schema that run actually saw. One small
+      // record read, only on tables that ever ran an ALTER.
+      val schemaV = st.schemaVersions.sorted.reverse.view
+        .find(v => LakeSchemas.readRecord(store, table, v).isDefined)
+        .getOrElse(0L)
       val rec = GenRecord(table, headGen + 1, headGen, op, intentId,
         removedD, added, inserted,
         (keptTombs ++ removedD).distinct, live,
         at = System.currentTimeMillis(),
-        sources = sources.distinct, dvs = nextDvs)
+        sources = sources.distinct, dvs = nextDvs,
+        schemaV = Some(schemaV))
       beforeCasHook(table)
       val won =
         try { writeRecord(store, genKey(table, rec.gen), rec); true }

@@ -335,19 +335,30 @@ class LakeEvolutionSpec extends SparkSuite {
     }.getMessage.contains("reserved"))
   }
 
-  test("the changes feed and time travel ride through an ALTER: old snapshots align onto the declared schema") {
+  test("the changes feed and time travel ride through an ALTER: each snapshot reads under its OWN schema version (schema-at-snapshot)") {
     val (cat, root, store) = fixture()
     land(root, "2024-07-01T08:00:00Z", 0, 200)
     spark.sql(s"CALL $cat.system.set_retention(table => 'ev2', retain => true)")
     spark.sql(s"CALL $cat.system.tag(table => 'ev2', name => 'pre-alter')")
     spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN score DOUBLE")
     spark.sql(s"UPDATE $cat.ev2 SET score = 3.5 WHERE id < 10")
-    // time travel to the pre-ALTER tag reads under the DECLARED schema
-    // (old rows null-fill) — schema resolution is current-declared
+    // schema-AT-snapshot (r16): the pre-ALTER tag reads under the
+    // schema THAT RUN actually saw — no score column, not a null-filled
+    // projection of today's declared shape
     val runA = spark.sql(s"SELECT * FROM $cat.ev2 VERSION AS OF 'pre-alter'")
-    assert(runA.columns.toSeq == Seq("id", "tag", "vc", "score", "_event_hour"))
-    assert(runA.where(col("score").isNotNull).count() == 0)
+    assert(runA.columns.toSeq == Seq("id", "tag", "vc", "_event_hour"),
+      s"a pre-evolution snapshot must show pre-evolution columns, got " +
+        runA.columns.mkString(","))
     assert(runA.count() == 200)
+    assert(runA.agg(sum("vc")).head.getLong(0) ==
+      (0 until 200).map(_.toLong).sum)
+    // a POST-alter generation reads under the evolved schema version
+    val head = LakeVersions.head(store, "ev2",
+      LakeVersions.listDir(store, "ev2")).get
+    val runB = spark.sql(
+      s"SELECT * FROM $cat.ev2 VERSION AS OF ${head.gen}")
+    assert(runB.columns.toSeq == Seq("id", "tag", "vc", "score", "_event_hour"))
+    assert(runB.where(col("score") === 3.5).count() == 10)
     // the feed sees exactly the UPDATE's pre/post images; the 190
     // untouched rows null-fill identically on both sides and cancel
     val feed = LakeChanges.since(spark, root, "ev2", "pre-alter")
@@ -355,5 +366,66 @@ class LakeEvolutionSpec extends SparkSuite {
     assert(feed.where(col("_change_type") === "delete").count() == 10)
     assert(feed.where(col("_change_type") === "insert" &&
       col("score") === 3.5).count() == 10)
+  }
+
+  test("a RUNNING stream adopts post-ALTER objects restart-free: evolved headers resolve by name onto the stream's start-time schema; genuine drift still fails") {
+    val (cat, root, store) = fixture()
+    land(root, "2024-07-01T08:00:00Z", 0, 200)
+    val ckpt = Files.createTempDirectory("graft-evo-ckpt").toFile.getAbsolutePath
+    val q = spark.readStream.format("graft-lake").option("table", "ev2")
+      .load(root)
+      .writeStream.format("memory").queryName("evo_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("evo_stream").count() == 200)
+      // the table evolves UNDER the running stream; post-ALTER appends
+      // carry the declared header (one extra column)
+      spark.sql(s"ALTER TABLE $cat.ev2 ADD COLUMN score DOUBLE")
+      import spark.implicits._
+      (1000 until 1100).map(i => (i.toLong, "new", i.toLong, 2.5d))
+        .toDF("id", "tag", "vc", "score")
+        .withColumn("_event_hour",
+          lit(java.sql.Timestamp.from(Instant.parse("2024-07-01T09:00:00Z"))))
+        .createOrReplaceTempView("evo_stream_ins")
+      spark.sql(s"INSERT INTO $cat.ev2 SELECT * FROM evo_stream_ins")
+      // the stream keeps running: evolved objects resolve by name onto
+      // its start-time 3-column schema (score invisible until restart)
+      q.processAllAvailable()
+      assert(q.isActive, "the stream must survive the first evolved object")
+      val got = spark.table("evo_stream")
+      assert(got.count() == 300)
+      assert(got.where(col("id") >= 1000).agg(sum("vc")).head.getLong(0) ==
+        (1000 until 1100).map(_.toLong).sum,
+        "evolved objects' shared columns must deliver values, not nulls")
+      assert(got.columns.toSeq == Seq("id", "tag", "vc", "_event_hour"),
+        "the stream's output shape stays fixed until restart")
+    } finally q.stop()
+
+    // genuine drift — a mismatching header on a table with NO declared
+    // schema — still fails the stream loudly (adoption requires the
+    // schema record)
+    val root2 =
+      s"file://${Files.createTempDirectory("graft-evo-drift").toFile.getAbsolutePath}"
+    land(root2, "2024-07-01T08:00:00Z", 0, 100)
+    import spark.implicits._
+    LakeWriter.write(
+      Seq((9999L, 7.7d)).toDF("id", "other").coalesce(1),
+      TableSchema("ev2", Seq("id" -> ColType.CInteger,
+        "other" -> ColType.CFloat)),
+      root2, Instant.parse("2024-07-01T09:00:00Z"))
+    val ckpt2 = Files.createTempDirectory("graft-evo-ckpt2").toFile.getAbsolutePath
+    val q2 = spark.readStream.format("graft-lake").option("table", "ev2")
+      .load(root2)
+      .writeStream.format("memory").queryName("evo_stream_drift")
+      .option("checkpointLocation", ckpt2).start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage).exists(_.contains("schema drift"))),
+        s"drift must stay loud, got $e")
+    } finally q2.stop()
   }
 }

@@ -1,0 +1,164 @@
+package graft.lake
+
+import graft.SparkSuite
+import graft.types.{ColType, TableSchema}
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+/** WRITE-AUDIT-PUBLISH: `df.write.option("auditId", id)` lands a batch
+  * at its final keys but INVISIBLY (behind a named audit intent);
+  * `option("withAudit", id)` reads live ∪ staged for validation;
+  * `CALL lake.system.publish_audit` flips visibility at ONE generation
+  * CAS (or `abort_audit` drops the batch untraced). The suite pins
+  * invisibility across every read surface, the atomic flip, stream
+  * exactly-once from the publish, the janitor exemption, and the
+  * one-write-per-audit refusal. */
+class LakeWapSpec extends SparkSuite {
+
+  private val schema = TableSchema("ev", Seq(
+    "id" -> ColType.CInteger, "tag" -> ColType.CString,
+    "v" -> ColType.CFloat))
+
+  private def fixture(): (String, String, HadoopStore) = {
+    val root =
+      s"file://${Files.createTempDirectory("graft-wap-spec").toFile.getAbsolutePath}"
+    val cat = s"wap${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root, new HadoopStore(root))
+  }
+
+  private def land(root: String, n: Int = 500): Unit = {
+    import spark.implicits._
+    LakeWriter.write(
+      (0 until n).map(i => (i.toLong, s"t${i % 5}", i * 1.0))
+        .toDF("id", "tag", "v").orderBy("id").coalesce(1),
+      schema, root, Instant.parse("2024-07-01T08:00:00Z"),
+      maxRecordsPerObject = 250L, zoneMaps = true)
+  }
+
+  private def auditWrite(root: String, id: String, lo: Int, n: Int): Unit = {
+    import spark.implicits._
+    (lo until lo + n).map(i => (i.toLong, "staged", i * 1.0))
+      .toDF("id", "tag", "v")
+      .withColumn("_event_hour",
+        lit(java.sql.Timestamp.from(Instant.parse("2024-07-01T09:00:00Z"))))
+      .coalesce(1)
+      .write.format("graft-lake").option("table", "ev")
+      .option("zoneMaps", "true")
+      .option("auditId", id).mode("append").save(root)
+  }
+
+  test("an audited append is INVISIBLE everywhere until publish; withAudit reads live ∪ staged; publish flips at one CAS") {
+    val (cat, root, store) = fixture()
+    land(root)
+    auditWrite(root, "batch-1", 10000, 200)
+
+    // invisible: SQL, functional read, COUNT pushdown, listing
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) == 500L)
+    assert(LakeReader.read(spark, root, "ev").count() == 500L)
+    assert(LakeReader.listTableKeys(store, "ev", None)
+      .forall(k => !k.startsWith("2024/07/01/09/")))
+    // ...but physically landed (final keys, behind the intent)
+    assert(LakeVersions.readIntent(store, "ev", "audit-batch-1")
+      .exists(_.nonEmpty))
+
+    // the validation read sees live ∪ staged, exactly
+    val branch = spark.read.format("graft-lake").option("table", "ev")
+      .option("withAudit", "batch-1").load(root)
+    assert(branch.count() == 700L)
+    assert(branch.where(col("tag") === "staged").count() == 200L)
+    // an unknown audit id is loud
+    val e = intercept[Exception] {
+      spark.read.format("graft-lake").option("table", "ev")
+        .option("withAudit", "nope").load(root).count()
+    }
+    assert(e.getMessage.contains("no staged audit") ||
+      Option(e.getCause).exists(_.getMessage.contains("no staged audit")))
+
+    // publish: one CAS, rows visible, intent gone, generation records
+    // the batch as `inserted`
+    val rep = spark.sql(s"CALL $cat.system.publish_audit(table => 'ev', " +
+      "audit_id => 'batch-1')").collect()
+    assert(rep.head.getInt(1) == 1, s"one staged object, got ${rep.toSeq}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) == 700L)
+    assert(LakeReader.read(spark, root, "ev").count() == 700L)
+    assert(LakeVersions.readIntent(store, "ev", "audit-batch-1").isEmpty)
+    val rec = LakeVersions.head(store, "ev",
+      LakeVersions.listDir(store, "ev")).get
+    assert(rec.op == "publish_audit" && rec.inserted.nonEmpty &&
+      rec.removed.isEmpty)
+    // publishing twice is loud
+    assert(intercept[Exception] {
+      spark.sql(s"CALL $cat.system.publish_audit(table => 'ev', " +
+        "audit_id => 'batch-1')").collect()
+    }.getMessage.contains("no staged audit"))
+  }
+
+  test("abort_audit drops the staged batch untraced; a second write under a live audit id refuses; audit + overwrite refuses") {
+    val (cat, root, store) = fixture()
+    land(root)
+    auditWrite(root, "bad-batch", 20000, 100)
+    // one audit = one write
+    assert(intercept[Exception] {
+      auditWrite(root, "bad-batch", 30000, 50)
+    }.getMessage.contains("already holds a staged batch"))
+    // audit + overwrite refuses
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq((1L, "x", 1.0)).toDF("id", "tag", "v")
+        .withColumn("_event_hour",
+          lit(java.sql.Timestamp.from(Instant.parse("2024-07-01T09:00:00Z"))))
+        .write.format("graft-lake").option("table", "ev")
+        .option("auditId", "ow").mode("overwrite").save(root)
+    }
+    assert(e.getMessage.contains("write-audit-publish covers APPENDS"))
+
+    val staged = LakeVersions.readIntent(store, "ev", "audit-bad-batch").get
+    spark.sql(s"CALL $cat.system.abort_audit(table => 'ev', " +
+      "audit_id => 'bad-batch')").collect()
+    staged.foreach(k => assert(!store.exists(k), s"$k must be gone"))
+    assert(LakeVersions.readIntent(store, "ev", "audit-bad-batch").isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) == 500L)
+    // the table never became versioned over a write that never happened
+    assert(LakeVersions.listDir(store, "ev").gens.isEmpty)
+  }
+
+  test("the staging janitor never sweeps a pending audit, however old; a stream delivers the batch exactly once, starting at publish") {
+    val (cat, root, store) = fixture()
+    land(root)
+    auditWrite(root, "slow-audit", 40000, 120)
+    // an aggressive sweep (cutoff in the future = everything is 'old')
+    LakeMaintenance.sweepStaging(store, Instant.now().plusSeconds(3600))
+    assert(LakeVersions.readIntent(store, "ev", "audit-slow-audit")
+      .exists(_.nonEmpty), "a pending audit must survive the janitor")
+    // ...and ensure_indexes' orphan sweep must not de-index the hidden
+    // batch (its keys are intent-named, not orphans)
+    LakeMaintenance.ensureIndexes(spark, store, "ev")
+    LakeVersions.readIntent(store, "ev", "audit-slow-audit").get.foreach { k =>
+      assert(store.exists(k), s"staged $k must survive")
+      assert(ZoneMaps.read(store, k).nonEmpty,
+        s"staged $k's sidecar must survive the orphan sweep")
+    }
+
+    val ckpt = Files.createTempDirectory("graft-wap-ckpt").toFile.getAbsolutePath
+    val q = spark.readStream.format("graft-lake").option("table", "ev")
+      .load(root)
+      .writeStream.format("memory").queryName("wap_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wap_stream").count() == 500L,
+        "the hidden batch must not reach the stream")
+      spark.sql(s"CALL $cat.system.publish_audit(table => 'ev', " +
+        "audit_id => 'slow-audit')").collect()
+      q.processAllAvailable()
+      assert(spark.table("wap_stream").count() == 620L,
+        "the published batch must deliver exactly once")
+      assert(spark.table("wap_stream").where(col("id") >= 40000).count() == 120L)
+    } finally q.stop()
+  }
+}
