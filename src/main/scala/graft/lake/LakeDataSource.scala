@@ -1115,6 +1115,10 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     require(asOfGeneration.isEmpty,
       "graft-lake: streaming a VERSION AS OF snapshot is contradictory — " +
         "a snapshot does not grow; read it as a batch")
+    require(withAudit.isEmpty,
+      "graft-lake: streaming a withAudit validation branch is not " +
+        "supported — the staged batch is a bounded batch read; the " +
+        "stream will deliver it (exactly once) after publish_audit")
     new LakeMicroBatchStream(rootUri, table, lakeSchema, required,
       streamOptions.maxObjectsPerTrigger, streamOptions.maxHourAge,
       streamOptions.startFromLatest, byName,
@@ -1217,6 +1221,10 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
   private def computePlanned(): (Seq[String], Option[Long], Map[String, LakeVersions.DvRef]) = {
     val store = new HadoopStore(rootUri)
     val pred = LakePrune.compile(pushed ++ runtime, lakeSchema)
+    require(withAudit.isEmpty || asOfGeneration.isEmpty,
+      "graft-lake: withAudit reads the CURRENT table plus a staged " +
+        "batch — combining it with a VERSION AS OF snapshot is " +
+        "contradictory (the batch was not part of any generation)")
     // the delete-vector map the scan's rows subtract (merge-on-read):
     // the CURRENT committed map for a live read — resolved in the SAME
     // metadata pass as the tombstone exclusions — or generation N's own

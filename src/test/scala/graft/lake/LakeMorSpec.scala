@@ -208,6 +208,24 @@ class LakeMorSpec extends SparkSuite {
     assert(spark.sql(s"SELECT sum(v) FROM $cat.ev").head.getDouble(0) == expect)
   }
 
+  test("MOR UPDATE with SET _event_hour is an explicit hour MOVE: fresh rows land under the NEW hour, old positions vector in place") {
+    val (cat, root, store) = fixture()
+    land(root)
+    morOn(cat)
+    spark.sql(s"UPDATE $cat.ev SET _event_hour = " +
+      "TIMESTAMP '2024-07-01 11:00:00+00:00' WHERE id < 20")
+    val rec = LakeVersions.readRecord(store, "ev",
+      LakeVersions.listDir(store, "ev").gens.max).get
+    assert(rec.added.nonEmpty && rec.added.forall(_.startsWith("2024/07/01/11/")),
+      s"moved rows must land under the target hour: ${rec.added}")
+    assert(rec.dvs.values.map(_.count).sum == 20L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) == 1000L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev WHERE _event_hour = " +
+      "TIMESTAMP '2024-07-01 11:00:00+00:00'").head.getLong(0) == 20L)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ev").head.getDouble(0) ==
+      (0 until 1000).map(_.toDouble).sum, "values ride the move unchanged")
+  }
+
   test("MOR MERGE: matched updates vector + fresh rows, NOT MATCHED inserts record `inserted`") {
     val (cat, root, store) = fixture()
     land(root)
@@ -308,6 +326,55 @@ class LakeMorSpec extends SparkSuite {
     assert(spark.sql(s"SELECT id FROM $cat.ev LIMIT 950").count() == 900L,
       "a pushed limit past the live row count returns every live row")
     assert(spark.sql(s"SELECT id FROM $cat.ev LIMIT 120").count() == 120L)
+  }
+
+  test("MOR × sealed manifest: a vector commit changes NO keys, so the manifest survives byte-identical and composes with the dv map exactly") {
+    val (cat, root, store) = fixture()
+    land(root)
+    Manifests.seal(store, "ev", Instant.parse("2024-07-01T09:00:00Z"))
+    val manifestBytes = bytesOf(store, Manifests.manifestKey("ev"))
+    morOn(cat)
+    spark.sql(s"DELETE FROM $cat.ev WHERE v < 100.0")
+    assert(bytesOf(store, Manifests.manifestKey("ev"))
+      .sameElements(manifestBytes),
+      "a vector publish lands no key — the sealed manifest must survive")
+    // the manifest-backed listing + exclusions + dv map compose
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) == 900L)
+    assert(LakeReader.read(spark, root, "ev")
+      .agg(min("v")).head.getDouble(0) == 100.0)
+  }
+
+  test("whole-object retirement drops vector entries centrally: metadata DELETE and hour overwrite on vectored objects reclaim their vectors") {
+    val (cat, root, store) = fixture()
+    land(root) // h8: 4 objects, tags t0..t4 everywhere
+    land(root, "2024-07-01T09:00:00Z", 5000, 250) // h9: 1 object
+    morOn(cat)
+    spark.sql(s"DELETE FROM $cat.ev WHERE v < 100.0") // vectors h8 obj 0
+    spark.sql(s"DELETE FROM $cat.ev WHERE v >= 5000.0 AND v < 5010.0") // vectors h9
+    assert(LakeVersions.currentDvs(store, "ev").size == 2)
+    // the metadata path (pure hour-range DELETE) retires h9 wholesale —
+    // its vector entry and file must die with it
+    val h9dv = LakeVersions.currentDvs(store, "ev")
+      .find(_._1.startsWith("2024/07/01/09/")).get
+    spark.sql(s"DELETE FROM $cat.ev WHERE _event_hour = " +
+      "TIMESTAMP '2024-07-01 09:00:00+00:00'")
+    val dvsAfter = LakeVersions.currentDvs(store, "ev")
+    assert(dvsAfter.size == 1 && !dvsAfter.contains(h9dv._1))
+    assert(!store.exists(h9dv._2.key),
+      "a retired object's vector file must be reclaimed")
+    // dynamic hour overwrite replaces h8 — the last vector dies too
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      (0 until 10).map(i => (i.toLong, "re", i * 1.0)).toDF("id", "tag", "v")
+        .withColumn("_event_hour",
+          lit(java.sql.Timestamp.from(Instant.parse("2024-07-01T08:00:00Z"))))
+        .write.format("graft-lake").option("table", "ev")
+        .mode("overwrite").save(root)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(LakeVersions.currentDvs(store, "ev").isEmpty)
+    assert(store.list(LakeDvs.dir("ev")).isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) == 10L)
   }
 
   // --------------------------------------------- time travel + the feed

@@ -388,7 +388,15 @@ class LakeVersionsSpec extends SparkSuite {
         Seq.fill(rnd.nextInt(3))(key()), Seq.fill(rnd.nextInt(8))(key()),
         if (rnd.nextBoolean()) Some(Seq.fill(rnd.nextInt(10))(key()).sorted)
         else None,
-        at = math.abs(rnd.nextLong()) % 4102444800000L)
+        at = math.abs(rnd.nextLong()) % 4102444800000L,
+        // the r16 optional sections: sources, the delete-vector map,
+        // the pinned schema version — omitted half the time so both
+        // wire shapes (with and without) round-trip
+        sources = Seq.fill(rnd.nextInt(3))(key()),
+        dvs = Seq.fill(rnd.nextInt(4))(key() ->
+          LakeVersions.DvRef(s"_dv/vt/${java.util.UUID.randomUUID()}.dv.gz",
+            1L + rnd.nextInt(100000))).toMap,
+        schemaV = if (rnd.nextBoolean()) Some(rnd.nextInt(5).toLong) else None)
       // write through the same wire as commit() does
       LakeVersions.writeRecord(store, LakeVersions.genKey("vt", i.toLong), rec)
       assert(LakeVersions.readRecord(store, "vt", i.toLong).contains(rec),

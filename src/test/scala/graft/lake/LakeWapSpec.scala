@@ -106,6 +106,29 @@ class LakeWapSpec extends SparkSuite {
     assert(intercept[Exception] {
       auditWrite(root, "bad-batch", 30000, 50)
     }.getMessage.contains("already holds a staged batch"))
+    // withAudit composes with neither streams nor time travel — loud,
+    // never a silent live-only read
+    locally {
+      val qr = spark.readStream.format("graft-lake").option("table", "ev")
+        .option("withAudit", "bad-batch").load(root)
+        .writeStream.format("memory").queryName("wap_refuse")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-wap-rc").toFile.getAbsolutePath)
+        .start()
+      try {
+        val se = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          qr.processAllAvailable()
+        }
+        assert(Iterator.iterate(se: Throwable)(_.getCause).takeWhile(_ != null)
+          .exists(t => Option(t.getMessage).exists(_.contains("withAudit"))),
+          s"the audit-branch stream must refuse loudly, got $se")
+      } finally qr.stop()
+    }
+    assert(intercept[Exception] {
+      spark.read.format("graft-lake").option("table", "ev")
+        .option("withAudit", "bad-batch").option("asOfGeneration", "1")
+        .load(root).count()
+    }.getMessage.contains("contradictory"))
     // audit + overwrite refuses
     import spark.implicits._
     val e = intercept[Exception] {
