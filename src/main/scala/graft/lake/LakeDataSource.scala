@@ -451,19 +451,24 @@ final class LakeTable(rootUri: String, tableName: String,
             case None => (false, None)
             case Some(v) if v.equalsIgnoreCase("earliest") => (false, None)
             case Some(v) if v.equalsIgnoreCase("latest") => (true, None)
+            case Some(v) if v.toLowerCase.startsWith("version:") => (false, None)
             case Some(v) =>
               val at = try Instant.parse(v) catch {
                 case _: java.time.format.DateTimeParseException =>
                   throw new IllegalArgumentException(
-                    "graft-lake: startFrom must be earliest|latest|an " +
-                      s"ISO-8601 instant, got $v")
+                    "graft-lake: startFrom must be earliest|latest|" +
+                      "version:<generation-or-tag>|an ISO-8601 instant, " +
+                      s"got $v")
               }
               (false, Some(at))
           }
         LakeStreamOptions(
           Option(options.get("maxobjectspertrigger")).map(_.toInt),
           Option(options.get("maxhourage")).map(_.toInt),
-          latest, fromHour)
+          latest, fromHour,
+          Option(options.get("startfrom")).map(_.trim)
+            .filter(_.toLowerCase.startsWith("version:"))
+            .map(_.substring("version:".length).trim))
       })
   }
 
@@ -956,7 +961,13 @@ final class LakeDataWriter(rootUri: String, lakeSchema: TableSchema,
 final case class LakeStreamOptions(maxObjectsPerTrigger: Option[Int] = None,
                                    maxHourAge: Option[Int] = None,
                                    startFromLatest: Boolean = false,
-                                   startFromHour: Option[Instant] = None)
+                                   startFromHour: Option[Instant] = None,
+                                   // `startFrom=version:<gen-or-tag>`:
+                                   // the SNAPSHOT-PINNED start — that
+                                   // retained generation's live keys
+                                   // begin as SEEN (never replayed),
+                                   // only post-pin changes deliver
+                                   startFromVersion: Option[String] = None)
 
 final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSchema,
                             clusterByHour: Boolean = false,
@@ -1122,7 +1133,8 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     new LakeMicroBatchStream(rootUri, table, lakeSchema, required,
       streamOptions.maxObjectsPerTrigger, streamOptions.maxHourAge,
       streamOptions.startFromLatest, byName,
-      streamOptions.startFromHour, pushed)
+      streamOptions.startFromHour, pushed,
+      streamOptions.startFromVersion)
   }
 
   /** STORAGE-PARTITIONED execution (`option("clusterByHour", true)` +

@@ -75,12 +75,18 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
                                  startFromLatest: Boolean,
                                  reconcile: Boolean = false,
                                  startFromHour: Option[Instant] = None,
-                                 pushed: Array[Filter] = Array.empty)
+                                 pushed: Array[Filter] = Array.empty,
+                                 // snapshot-pinned start (see
+                                 // initialOffset): a retained
+                                 // generation number or tag
+                                 startFromVersion: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  require(!(startFromLatest && startFromHour.isDefined),
-    "startFrom is one mode: earliest, latest, or an instant")
+  require(Seq(startFromLatest, startFromHour.isDefined,
+      startFromVersion.isDefined).count(identity) <= 1,
+    "startFrom is one mode: earliest, latest, version:<gen-or-tag>, " +
+      "or an instant")
 
   require(maxObjectsPerTrigger.forall(_ > 0),
     s"maxObjectsPerTrigger must be positive, got $maxObjectsPerTrigger")
@@ -193,7 +199,22 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
   }
 
   override def initialOffset(): Offset =
-    if (startFromLatest) LakeStreamOffset(None, discover(None).sorted)
+    if (startFromVersion.isDefined) {
+      // SNAPSHOT-PINNED start — `startFrom=version:<gen-or-tag>`: the
+      // retained generation's live keys begin as SEEN (marked, never
+      // replayed), so the stream delivers exactly the changes SINCE
+      // that pinned, reproducible point: post-pin appends/MERGE inserts
+      // flow; rewrites of pinned objects skip (their provenance is in
+      // the seen set — the ordinary CDC rule); vector deletes of pinned
+      // rows never re-deliver anything. `startFrom=latest` is this with
+      // the pin at wall-clock now — the version pin is the one a
+      // training-run handoff can NAME ("follow everything after run-x").
+      val id = startFromVersion.get
+      val gen = LakeVersions.resolveVersion(store, table, id)
+      val snap = LakeVersions.liveAt(store, table, gen)
+      LakeStreamOffset(None, snap.sorted)
+    }
+    else if (startFromLatest) LakeStreamOffset(None, discover(None).sorted)
     else startFromHour match {
       // the bounded backfill ("reprocess from T"): everything strictly
       // below T's hour starts out SEALED — never listed, never

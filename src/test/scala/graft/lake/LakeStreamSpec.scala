@@ -130,7 +130,55 @@ class LakeStreamSpec extends SparkSuite {
       spark.read.format("graft-lake").option("table", "st")
         .option("startFrom", "yesterday").load(root).count()
     }
-    assert(ex.getMessage.contains("earliest|latest|an ISO-8601"), ex.getMessage)
+    assert(ex.getMessage.contains(
+      "earliest|latest|version:<generation-or-tag>|an ISO-8601"),
+      ex.getMessage)
+  }
+
+  test("startFrom=version:<tag> pins the start at a NAMED snapshot: the pinned corpus is seen (never replayed), only post-pin changes deliver — rewrites of pinned objects skip") {
+    val root = freshRoot()
+    land(root, "2024-06-10T08:00:00Z", 0 until 50)
+    val cat = s"stv${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CALL $cat.system.set_retention(table => 'st', retain => true)")
+    spark.sql(s"CALL $cat.system.tag(table => 'st', name => 'run-x')")
+    // the table moves on AFTER the pin: an append and a COW UPDATE of
+    // pinned rows (whose rewrites must not re-deliver — the pinned
+    // originals count as delivered)
+    land(root, "2024-06-10T09:00:00Z", 100 until 110)
+    spark.sql(s"UPDATE $cat.st SET tag = 'moved' WHERE id < 5")
+    val got = new scala.collection.mutable.ArrayBuffer[Long]
+    val q = readStreamDf(root, "startFrom" -> "version:run-x").writeStream
+      .option("checkpointLocation", freshCkpt())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.select("id").collect().map(_.getLong(0)) }; ()
+      }.start()
+    q.processAllAvailable()
+    assert(got.sorted.toSeq == (100L until 110L),
+      s"only the post-pin append delivers, got ${got.sorted.toSeq}")
+    // ...and the stream follows live from there
+    land(root, "2024-06-10T10:00:00Z", 200 until 205)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.sorted.toSeq == ((100L until 110L) ++ (200L until 205L)),
+      s"live appends keep flowing, got ${got.sorted.toSeq}")
+    // an unretained pin is loud (liveAt's retention contract), surfaced
+    // at the first trigger
+    val root2 = freshRoot()
+    land(root2, "2024-06-10T08:00:00Z", 0 until 10)
+    val q2 = readStreamDf(root2, "startFrom" -> "version:7").writeStream
+      .option("checkpointLocation", freshCkpt())
+      .format("memory").queryName("stv_bad").start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage).exists(m =>
+          m.contains("no generation") || m.contains("neither a generation"))),
+        s"a bad pin must be loud, got $e")
+    } finally q2.stop()
   }
 
   test("startFrom=latest skips the backlog and sees only new objects") {
