@@ -143,7 +143,8 @@ object Bench {
     val meters = metered.toSeq.sortBy(_._1).map { case (n, m) =>
       "\"" + n + "\":{\"input_bytes\":" + m.inputBytes +
         ",\"shuffle_bytes\":" + m.shuffleBytes +
-        ",\"task_ms\":" + m.taskMs + "}"
+        ",\"task_ms\":" + m.taskMs +
+        ",\"store_ops\":" + m.storeOps + "}"
     }.mkString("{", ",", "}")
     // ASSERTED ceilings (BenchGates): at the driver's recorded SF a byte
     // blow-up on a scale-claim query is a PLAN regression and must fail

@@ -21,7 +21,24 @@ package graft
 object BenchGates {
 
   final case class Ceiling(maxInputBytes: Option[Long] = None,
-                           maxShuffleBytes: Option[Long] = None)
+                           maxShuffleBytes: Option[Long] = None,
+                           // round 17, after r16's lesson: the streaming
+                           // source's task time TRIPLED round-over-round
+                           // at bit-identical byte meters (l23 task_ms
+                           // 13.6s→46.3s) and the byte-only gates never
+                           // fired. Two new axes close that class:
+                           //  - maxStoreOps: store RPCs (LIST/GET/PUT/
+                           //    DELETE through StoreOps) — DETERMINISTIC,
+                           //    the metadata-amplification tripwire (a
+                           //    listing-per-trigger regression is an op-
+                           //    count jump whatever the host is doing);
+                           //  - maxTaskMs: summed executorRunTime — the
+                           //    CPU tripwire, with WIDE headroom (local
+                           //    task time rides GC and host contention,
+                           //    so these only catch multiples, not
+                           //    percentages).
+                           maxStoreOps: Option[Long] = None,
+                           maxTaskMs: Option[Long] = None)
 
   private val MB = 1L << 20
 
@@ -48,19 +65,33 @@ object BenchGates {
     // 1.46 MB shuffled (fixture write included): hour clustering keeps
     // the GROUP BY _event_hour itself exchange-free
     "l22_lake_hour_clustered_agg" -> Ceiling(None, Some(6 * MB)),
-    // 0.29 MB in: the stream drains the small fixture lake, not more
-    "l23_lake_stream_read" -> Ceiling(Some(2 * MB), None),
+    // 0.29 MB in: the stream drains the small fixture lake, not more.
+    // Round 17 (the r16 lesson — task_ms tripled at identical bytes and
+    // no gate fired): ~64 store RPCs fresh (fixture write + 2-trigger
+    // AvailableNow drain + the sig gates) — a per-trigger metadata
+    // amplification regression multiplies this; ~7–10 s task_ms fresh —
+    // the ceiling is 3×, wide enough for host contention, and r16's
+    // 46.3 s would have FAILED it
+    "l23_lake_stream_read" -> Ceiling(Some(2 * MB), None,
+      maxStoreOps = Some(250), maxTaskMs = Some(30000)),
     // 0.01 MB shuffled: heavy-hitter candidates + bounded recount —
     // raw rows never leave their partitions (the verdict's 1 MB bound)
     "t18_heavy_hitters" -> Ceiling(None, Some(1 * MB)),
     // streaming prune (round 13): the backfill reads in-band objects
-    // of 2 of 6 hours, not the lake
-    "l27_lake_stream_pruned_backfill" -> Ceiling(Some(3 * MB), None),
+    // of 2 of 6 hours, not the lake. Round 17 meters: ~160 store RPCs
+    // fresh (24-object fixture write dominates), ~6 s task_ms — same
+    // rationale as l23; r16's 53.0 s would have FAILED the task ceiling
+    "l27_lake_stream_pruned_backfill" -> Ceiling(Some(3 * MB), None,
+      maxStoreOps = Some(500), maxTaskMs = Some(30000)),
     // 0.20 MB in (round 13): the SQL UPDATE's copy-on-write read is
     // bounded by the static band pushdown + the _object_key group
     // filter — losing either rewrites the whole fixture lake, a 10×+
     // input jump over this ceiling
-    "l30_lake_sql_update" -> Ceiling(Some(1 * MB), None),
+    // ~169 store RPCs fresh (round 17): fixture write + the COW
+    // UPDATE's intent/CAS/retire protocol — commit-protocol metadata
+    // growth (the r16 CPU finding's smaller twin) now fails loudly
+    "l30_lake_sql_update" -> Ceiling(Some(1 * MB), None,
+      maxStoreOps = Some(500)),
     // 0.32 MB in (round 14): fixture write + UPDATE + DELETE + two
     // snapshot reads — a VERSION AS OF read that lost its per-record
     // key resolution or its band pruning (scanning live + retained
@@ -71,7 +102,10 @@ object BenchGates {
     // plan and the patch shuffle — a fallback to a group-based rewrite
     // (every row of every touched object through the exchange) blows
     // the shuffle ceiling an order of magnitude
-    "l31_lake_sql_merge" -> Ceiling(Some(2 * MB), Some(16 * MB)),
+    // ~208 store RPCs fresh (round 17): the delta MERGE's protocol cost
+    // is metered like l30's
+    "l31_lake_sql_merge" -> Ceiling(Some(2 * MB), Some(16 * MB),
+      maxStoreOps = Some(600)),
     // 29.7 MB in / 7.4 MB shuffled (round 15): the changes feed reads
     // gone+fresh objects ONCE and diffs in ONE signed-count shuffle;
     // a second read per side (the naive exceptAll-per-direction) or a
@@ -98,7 +132,11 @@ object BenchGates {
         c.maxInputBytes.filter(_ < m.inputBytes).map(max =>
           s"$name input_bytes ${m.inputBytes} exceeds ceiling $max").toSeq ++
           c.maxShuffleBytes.filter(_ < m.shuffleBytes).map(max =>
-            s"$name shuffle_bytes ${m.shuffleBytes} exceeds ceiling $max")
+            s"$name shuffle_bytes ${m.shuffleBytes} exceeds ceiling $max") ++
+          c.maxStoreOps.filter(_ < m.storeOps).map(max =>
+            s"$name store_ops ${m.storeOps} exceeds ceiling $max") ++
+          c.maxTaskMs.filter(_ < m.taskMs).map(max =>
+            s"$name task_ms ${m.taskMs} exceeds ceiling $max")
       }
     }
 }

@@ -12,7 +12,13 @@ import org.apache.spark.sql.SparkSession
   * regression shows as a byte delta even when wall time cannot see it. */
 object Meter {
 
-  final case class Metrics(inputBytes: Long, shuffleBytes: Long, taskMs: Long)
+  final case class Metrics(inputBytes: Long, shuffleBytes: Long, taskMs: Long,
+                           // store round-trips (LIST/GET/PUT/DELETE) the
+                           // query issued through graft.lake.StoreOps —
+                           // the deterministic metadata meter (task_ms is
+                           // hostage to GC/host contention; RPC counts
+                           // are a property of the plan)
+                           storeOps: Long = 0L)
 
   private final class TaskMeter extends SparkListener {
     val written = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -36,6 +42,7 @@ object Meter {
     * be in flight after any fixed delay, silently under-counting. */
   def measure[A](spark: SparkSession)(f: => A): (A, Metrics) = {
     val meter = new TaskMeter
+    val ops0 = graft.lake.StoreOps.total
     spark.sparkContext.addSparkListener(meter)
     try {
       val r = f
@@ -47,7 +54,8 @@ object Meter {
         prev = cur
         cur = meter.snapshot
       }
-      (r, Metrics(cur._1, cur._2, cur._3))
+      (r, Metrics(cur._1, cur._2, cur._3,
+        storeOps = graft.lake.StoreOps.total - ops0))
     } finally spark.sparkContext.removeSparkListener(meter)
   }
 }

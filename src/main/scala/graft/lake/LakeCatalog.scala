@@ -587,6 +587,16 @@ private[lake] object LakeProcedures {
       // commit deletes the audit intent, flipping visibility atomically
       val rec = LakeVersions.commit(store, table, op = "publish_audit",
         removed = Nil, inserted = keys, intentId = Some(s"audit-$id"))
+      // a seal run while the audit PENDED captured the hidden keys (seal
+      // lists raw keys) — but a seal whose listing RACED the stage
+      // renames can hold only part of the batch, and after publish a
+      // manifest-fed read would silently miss the rest. Invalidate
+      // conservatively: the manifest is an advisory accelerator, cheap
+      // to rebuild; a silent partial read is not. No-op in the common
+      // case (a current-hour stage is never inside a seal's upTo).
+      if (keys.nonEmpty)
+        Manifests.invalidateIfCovers(store, table,
+          keys.map(LakeKeys.hourPrefixOf).min)
       result(StructType(Seq(
         StructField("generation", LongType, nullable = false),
         StructField("objects_published", IntegerType, nullable = false))),
@@ -617,6 +627,14 @@ private[lake] object LakeProcedures {
         store.delete(BloomMaps.bloomKey(k))
       }
       store.delete(LakeVersions.intentKey(table, s"audit-$id"))
+      // a seal that ran while this audit PENDED captured the staged keys
+      // (Manifests.seal lists raw keys): after the delete above such a
+      // manifest names dead keys and manifest-fed maintenance reads
+      // (ignoreMissing = false) would fail until rebuilt — invalidate
+      // over the batch's hours, the write-side contract
+      if (keys.nonEmpty)
+        Manifests.invalidateIfCovers(store, table,
+          keys.map(LakeKeys.hourPrefixOf).min)
       result(StructType(Seq(
         StructField("objects_dropped", IntegerType, nullable = false))),
         Integer.valueOf(keys.size))

@@ -563,7 +563,18 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
     if (hours.nonEmpty)
       Manifests.invalidateIfCovers(store, table, hours.min)
     val intentId = java.util.UUID.randomUUID().toString
-    LakeVersions.writeIntent(store, table, intentId, added ++ inserted)
+    // the final delete-vector keys are minted BEFORE the intent so the
+    // intent COVERS them (round 17, closing the r16 advice race): an
+    // unreferenced vector file is inert to readers (vectors resolve only
+    // through the committed mapping), but expire_versions sweeps
+    // unreferenced `_dv/` files — without intent cover, a sweep racing
+    // this statement's pre-CAS window could delete a vector the CAS then
+    // commits a reference to, poisoning every later read of the object.
+    // Intent-covered keys are spared by the sweep; a crash here leaves
+    // intent-hidden garbage the staging janitor reclaims.
+    val dvDst = partial.map(v => v -> LakeDvs.freshKey(table))
+    LakeVersions.writeIntent(store, table, intentId,
+      added ++ inserted ++ dvDst.map(_._2))
     (stagedUpd ++ stagedIns).foreach { k =>
       val dst = dstOf(k)
       store.rename(k, dst)
@@ -571,12 +582,7 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
       if (p.bloomColumns.nonEmpty)
         store.rename(BloomMaps.bloomKey(k), BloomMaps.bloomKey(dst))
     }
-    // vectors publish to their final `_dv/<table>/` keys BEFORE the CAS:
-    // an unreferenced vector file is inert (readers resolve vectors only
-    // through the committed mapping), so no intent covers them — a crash
-    // here leaves garbage expire_versions sweeps, never wrong rows
-    val published = partial.map { v =>
-      val dst = LakeDvs.freshKey(table)
+    val published = dvDst.map { case (v, dst) =>
       store.rename(v.stagedDvKey, dst)
       (v.objKey, dst, v.count)
     }

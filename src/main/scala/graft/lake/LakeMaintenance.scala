@@ -873,6 +873,41 @@ object LakeMaintenance {
         }
       }
     }
+    // ORPHANED DELETE-VECTOR FILES (round 17): a superseded vector (its
+    // mapping replaced by a later MOR commit) or a crashed publish's
+    // vector is unreferenced garbage — commit() deliberately leaves
+    // them on disk so a scan planned under the old mapping can finish
+    // (the tombstone-grace posture), and THIS sweep reclaims them once
+    // old. Ordering mirrors expire_versions' dv sweep: list the vector
+    // files FIRST, then snapshot the version directory — any file old
+    // enough to be listed is by the newer snapshot either referenced by
+    // a chain record, covered by a live statement's intent (vector keys
+    // ride the MOR intent since round 17), or genuinely orphaned.
+    store.listDirs(LakeDvs.Prefix.stripSuffix("/")).foreach { table =>
+      val dvListed = store.list(LakeDvs.dir(table))
+      if (dvListed.nonEmpty) {
+        val st = LakeVersions.listDir(store, table)
+        // what still READS a vector: the head record's current map, and
+        // any retained generation's snapshot (time travel reads under
+        // that generation's own dv state). An older unretained record's
+        // dv references are history — its vectors were superseded and
+        // nothing can reach them again.
+        val records = st.gens.flatMap(g =>
+          LakeVersions.readRecord(store, table, g))
+        val headGen = records.map(_.gen).maxOption.getOrElse(0L)
+        val referenced = records
+          .filter(r => r.gen == headGen || r.live.isDefined)
+          .flatMap(_.dvs.values.map(_.key)).toSet
+        val intentCovered = st.intents.flatMap(id =>
+          LakeVersions.readIntent(store, table, id).getOrElse(Nil)).toSet
+        dvListed.filterNot(referenced).filterNot(intentCovered).foreach { k =>
+          if (store.newestModification(k).exists(_.isBefore(olderThan))) {
+            store.delete(k)
+            swept += 1
+          } else kept += 1
+        }
+      }
+    }
     StagingSweepReport(swept, kept)
   }
 }

@@ -282,6 +282,23 @@ object LakeReader {
     * exist). `maxFilesPerTrigger` bounds micro-batch size for backfills over
     * years of hours.
     *
+    * '''Merge-on-read guard is START-TIME ONLY.''' The guard below
+    * refuses to start on a table that carries delete vectors, but it is
+    * a snapshot check: the glob stream is Spark's own file source, which
+    * exposes no per-trigger hook, so a vector committed AFTER the stream
+    * starts — on an object the stream has not yet delivered — makes the
+    * raw file read deliver that object's full physical rows,
+    * resurrecting the vector-deleted ones. The operational contract is
+    * therefore the same shape as the compaction contract below: do not
+    * run merge-on-read DML on a table a glob stream is consuming (keep
+    * such tables on copy-on-write mode, whose rewrites this stream
+    * handles via its file ledger), or stream through the connector
+    * source (`spark.readStream.format("graft-lake")`), which applies
+    * the head vector at delivery on every trigger. This is documented
+    * rather than enforced per trigger by design — a per-partition
+    * executor-side chain probe would add a version-directory RPC per
+    * task to a path whose whole point is Spark-native simplicity.
+    *
     * Compaction contract: do NOT run [[LakeMaintenance.compact]] on hours a
     * streaming consumer has not finished — the source tracks files, so a
     * compacted object is discovered as NEW data (its rows re-ingested) and

@@ -93,7 +93,7 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
   require(maxHourAge.forall(_ >= 0),
     s"maxHourAge must be >= 0 hours, got $maxHourAge")
 
-  private def store = new HadoopStore(rootUri)
+  private val store = new HadoopStore(rootUri)
 
   /** The compiled object-level prune: constructor `pushed` filters plus
     * the CURRENT delivered set from
@@ -142,30 +142,15 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
   @volatile private var cdcSkipCount: Long = 0L
   def objectsCdcSkipped: Long = cdcSkipCount
 
-  /** COMMITTED generation records, cached by gen — records are
-    * immutable once committed, so each is read at most once per stream
-    * (torn/in-flight records are NOT cached: their slot may be
-    * reclaimed and rewritten). One version-dir listing per refresh. */
-  private val chainCache =
-    scala.collection.mutable.Map.empty[Long, LakeVersions.GenRecord]
-  /** addedKey → the commit's provenance: the retired originals whose
-    * surviving rows it holds (`removed`) plus the still-live vectored
-    * objects a merge-on-read UPDATE's new-row objects derive from
-    * (`sources`). `inserted` keys are deliberately absent — they carry
-    * genuinely new rows. Second member: the HEAD's delete-vector map,
-    * off the same chain read — delivered objects scan vector-applied. */
-  private def chainState(): (Map[String, Seq[String]], Map[String, LakeVersions.DvRef]) =
-    synchronized {
-      val st = LakeVersions.listDir(store, table)
-      st.gens.foreach { g =>
-        if (!chainCache.contains(g))
-          LakeVersions.readRecord(store, table, g).foreach(chainCache.update(g, _))
-      }
-      val dvs = st.gens.sorted.reverse.view.flatMap(chainCache.get)
-        .headOption.map(_.dvs).getOrElse(Map.empty)
-      (chainCache.values.flatMap(r =>
-        r.added.map(_ -> (r.removed ++ r.sources))).toMap, dvs)
-    }
+  /** The stream's one version-chain view ([[LakeVersions.ChainCache]]):
+    * exclusions for discovery, CDC provenance (addedKey → the retired
+    * originals whose surviving rows it holds plus a merge-on-read
+    * UPDATE's still-live `sources`; `inserted` keys deliberately absent
+    * — they carry genuinely new rows) and the head delete-vector map —
+    * all off ONE refresh per trigger (at the discovery step), where the
+    * pre-r17 protocol paid three listings and repeated head-record
+    * reads per trigger. */
+  private val chain = new LakeVersions.ChainCache(store, table)
 
   // Trigger.AvailableNow pins discovery at prepare time; None = live
   @volatile private var pinned: Option[Seq[String]] = None
@@ -181,7 +166,18 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
     * the predicate's hours are never discovered, so they never enter the
     * ledger: a filtered backfill's offset is bounded by the FILTER's
     * object count, not the window's. */
-  private def discover(frontier: Option[String]): Seq[String] = {
+  private def discover(frontier: Option[String]): Seq[String] =
+    discoverWith(frontier, refreshChain = true)
+
+  /** `refreshChain = true` (the per-trigger discovery): list the DATA
+    * first, then refresh the chain cache and filter its exclusions —
+    * that order guarantees an uncommitted publish's renamed keys (its
+    * intent is written before the renames) are hidden by the NEWER
+    * chain snapshot. `false` (progress reporting): reuse the trigger's
+    * already-refreshed view — a progress line needs no extra version
+    * listing. */
+  private def discoverWith(frontier: Option[String],
+                           refreshChain: Boolean): Seq[String] = {
     val frontierLo = frontier.map(f =>
       LakeStreamOffset.hourInstant(f).plus(1, ChronoUnit.HOURS))
     val lo = (frontierLo.toSeq ++ pred.hourRange.map(_._1).toSeq)
@@ -192,7 +188,13 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
     // (compile's hourRange is always both-ended) — the plain full walk
     val listed =
       if (lo.exists(_.isAfter(hi))) Seq.empty
-      else LakeReader.listTableKeys(store, table, lo.map(l => (l, hi)))
+      else {
+        val raw = LakeReader.listTableKeysUnversioned(store, table,
+          lo.map(l => (l, hi)))
+        val view = (if (refreshChain) chain.refresh()
+                    else chain.currentOrRefresh()).view
+        if (view.excl.isEmpty) raw else raw.filterNot(view.excl)
+      }
     val hourKept = pred.hourSet.fold(listed)(hs =>
       listed.filter(k => LakeKeys.parseKey(k).exists(p => hs.contains(p._1))))
     pred.keySet.fold(hourKept)(ks => hourKept.filter(ks.contains))
@@ -248,7 +250,7 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
     // — discover above the last-known frontier, never the whole lifetime
     // of the table (and never report sealed-forfeited keys as backlog).
     val f = lastFrontier
-    LakeStreamOffset(f, pinned.getOrElse(discover(f))
+    LakeStreamOffset(f, pinned.getOrElse(discoverWith(f, refreshChain = false))
       .filter(k => f.forall(LakeStreamOffset.hourOf(k) > _)).sorted)
   }
 
@@ -314,7 +316,14 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
     // for that commit beats losing the undelivered half). Deterministic
     // on replay: records are immutable and the decision keys on the
     // checkpointed start offset.
-    val (prov, dvs) = chainState()
+    // the trigger's already-refreshed chain view (refreshed at the
+    // discovery step; first call refreshes — the restart-replay path
+    // reaches here without a latestOffset). A commit landing in the
+    // sub-second window between discovery and planning applies from the
+    // NEXT refresh — the same value-at-delivery race class as a vector
+    // landing after delivery, documented below.
+    val chainNow = chain.currentOrRefresh()
+    val (prov, dvs) = (chainNow.provenance, chainNow.dvs)
     val fresh =
       if (prov.isEmpty) discovered
       else {

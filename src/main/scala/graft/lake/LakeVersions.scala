@@ -306,6 +306,99 @@ object LakeVersions {
       h.map(_.dvs).getOrElse(Map.empty))
   }
 
+  /** One refreshed view of the chain for a long-lived reader: the
+    * version-aware exclusion set + head delete-vector map (what a scan
+    * needs) plus the CDC provenance map (what the micro-batch source's
+    * replacement-skip decision needs) and the head generation. */
+  final case class CachedChain(view: TableView,
+                               provenance: Map[String, Seq[String]],
+                               dvs: Map[String, DvRef],
+                               headGen: Long)
+
+  /** READER-LIFETIME cache of one table's version chain — the streaming
+    * source's answer to per-trigger metadata amplification (round 16's
+    * task-time lesson: the version-aware read protocol re-listed
+    * `_versions/<t>` and re-read the head record THREE times per
+    * trigger; multiplied by trigger count that is pure CPU and store-RPC
+    * tax at bit-identical data bytes).
+    *
+    * Cost per [[refresh]]: ONE listing of the version directory (for a
+    * never-mutated table, one existence probe — the dir is absent), plus
+    * a record read only for generations never seen by THIS cache and an
+    * intent read only for intent ids never seen. In the steady state —
+    * triggers firing with no commits landing — a refresh is one listing
+    * and zero record reads; the old protocol's per-trigger head/parent/
+    * intent re-reads are gone.
+    *
+    * Why a listing at all (not the probe-one-gen-key shortcut): an
+    * UNCOMMITTED publish announces itself with an intent file, not a
+    * generation record — probing `gen-(head+1)` alone would let a
+    * discovery deliver keys renamed into place before a CAS that may
+    * still abort. The listing is the only sound way to see intents, and
+    * it is one RPC against a directory that holds a handful of entries
+    * (the chain self-prunes, [[pruneChainIfLarge]]).
+    *
+    * Caching contract (same posture the source's record cache always
+    * had): committed records and fully-written intents are immutable, so
+    * each is read at most once per cache lifetime; torn reads are NOT
+    * cached (their slot may be reclaimed and rewritten). The one stale
+    * case — a table wiped and RECREATED under a running stream, reusing
+    * generation numbers with different content — is accepted and
+    * documented: the stream's own ledger is equally stale there, and a
+    * wipe under a live consumer is outside the maintenance contract. */
+  final class ChainCache(store: Store, table: String) {
+    private val records = scala.collection.mutable.Map.empty[Long, GenRecord]
+    private val intentCache = scala.collection.mutable.Map.empty[String, Seq[String]]
+    @volatile private var cached: Option[CachedChain] = None
+
+    /** The newest refreshed state, refreshing only if never refreshed —
+      * the intra-trigger read (planInputPartitions, progress reporting)
+      * after [[refresh]] ran at the trigger's discovery step. */
+    def currentOrRefresh(): CachedChain = cached.getOrElse(refresh())
+
+    /** One listing + cached reads → the chain state NOW. Callers that
+      * filter a DATA listing through `view.excl` must list the data
+      * FIRST and refresh AFTER: an uncommitted publish writes its
+      * intent before its renames, so any renamed key old enough to make
+      * the data listing is visible to this newer chain snapshot. */
+    def refresh(): CachedChain = synchronized {
+      val st = listDir(store, table)
+      st.gens.foreach { g =>
+        if (!records.contains(g))
+          readRecord(store, table, g).foreach(records.update(g, _))
+      }
+      val h = st.gens.sorted.reverse.view.flatMap(records.get).headOption
+      val pending: Set[String] =
+        if (st.intents.isEmpty) Set.empty
+        else {
+          // an intent survives its commit only across a crash window
+          // (same rule as [[tableView]]): head and parent cover it
+          val committed = h.flatMap(_.intent).toSet ++
+            h.flatMap(r => records.get(r.parent)
+              .orElse(readRecord(store, table, r.parent))).flatMap(_.intent).toSet
+          st.intents.filterNot(committed).flatMap { id =>
+            intentCache.get(id).orElse {
+              val read = readIntent(store, table, id)
+              read.foreach(intentCache.update(id, _)) // torn stays uncached
+              read
+            }
+          }.flatten.toSet
+        }
+      // drop intent cache entries whose files are gone (healed commits)
+      intentCache.keys.filterNot(st.intents.contains).toSeq
+        .foreach(intentCache.remove)
+      val c = CachedChain(
+        TableView(h.map(_.tombstones.toSet).getOrElse(Set.empty) ++ pending,
+          h.map(_.dvs).getOrElse(Map.empty)),
+        records.values.flatMap(r =>
+          r.added.map(_ -> (r.removed ++ r.sources))).toMap,
+        h.map(_.dvs).getOrElse(Map.empty),
+        h.map(_.gen).getOrElse(0L))
+      cached = Some(c)
+      c
+    }
+  }
+
   /** The committed delete-vector map NOW (head record) — empty for any
     * table no merge-on-read statement ever touched. */
   def currentDvs(store: Store, table: String): Map[String, DvRef] = {
@@ -522,15 +615,18 @@ object LakeVersions {
                   if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
                     false }
       if (won) {
-        // SUPERSEDED delete-vector files die with the commit that
-        // replaced their mapping (basis files of this commit's upserts;
-        // vectors of objects this commit removed) — unless the table
-        // retains history, where an older generation's snapshot still
-        // reads them (expire_versions reclaims)
-        if (!st.retain) {
-          dvUpserts.values.foreach(_.basis.foreach(store.delete))
-          removedD.foreach(k => parentDvs.get(k).foreach(r => store.delete(r.key)))
-        }
+        // SUPERSEDED delete-vector files (basis files of this commit's
+        // upserts; vectors of objects this commit removed) become
+        // UNREFERENCED garbage here, deliberately NOT deleted inline
+        // (round 17, closing the r16 advice race): a concurrent scan
+        // whose partitions were planned under the parent's dv map is
+        // still mid-read, and [[LakeDvs.read]] is intentionally loud on
+        // a missing referenced vector — an inline delete turns the
+        // normally-tolerated maintenance race into a hard failure.
+        // Reclamation is swept with a grace window instead, the same
+        // posture as tombstoned data objects:
+        // [[LakeMaintenance.sweepStaging]]'s age-gated `_dv` orphan
+        // sweep (unretained tables) and [[expireVersions]] (retained).
         // heal: every intent whose commit is on the chain has served its
         // purpose (including ours) — delete so readers stop consulting
         // it. The chain walk runs only while foreign intents exist (the
@@ -758,10 +854,27 @@ object LakeVersions {
     }
     // delete-vector files no kept generation references (superseded
     // vectors retention kept alive; crash-orphans of an aborted MOR
-    // publish) reclaim on the same pass — one `_dv/<table>/` listing
+    // publish) reclaim on the same pass — one `_dv/<table>/` listing.
+    // ORDERING (round 17, closing the concurrent-MOR race): list the
+    // vector files FIRST, then re-snapshot the version directory. A MOR
+    // statement writes its intent (covering its final vector keys)
+    // before renaming vectors into `_dv/`, and deletes the intent only
+    // after its CAS wins — so any vector file old enough to make the
+    // first listing is, by the newer snapshot, either intent-covered
+    // (pre-CAS or crash window → spared here, janitor's problem if
+    // crashed), referenced by a record now on the chain (→ spared), or
+    // an aborted statement's file already deleted (idempotent).
     val neededDvs: Set[String] =
       keptRecords.flatMap(_.dvs.values.map(_.key)).toSet
-    val dvReclaim = store.list(LakeDvs.dir(table)).filterNot(neededDvs)
+    val dvListed = store.list(LakeDvs.dir(table))
+    val st2 = listDir(store, table)
+    val commitsSince: Set[String] = st2.gens.filterNot(st.gens.toSet)
+      .flatMap(g => readRecord(store, table, g))
+      .flatMap(_.dvs.values.map(_.key)).toSet
+    val intentCovered: Set[String] = st2.intents
+      .flatMap(id => readIntent(store, table, id).getOrElse(Nil)).toSet
+    val dvReclaim = dvListed.filterNot(neededDvs)
+      .filterNot(commitsSince).filterNot(intentCovered)
     dvReclaim.foreach(store.delete)
     // drop BELOW-cut records only after their objects are reclaimed —
     // a crash between the two leaves extra records, never dangling

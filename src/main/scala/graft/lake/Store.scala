@@ -55,6 +55,26 @@ trait Store extends Serializable {
   def rootUri: String
 }
 
+/** Process-wide store-operation counters — the METADATA meter. Wall
+  * seconds and even task_ms are hostage to GC and host contention, but
+  * the NUMBER of store round-trips a query issues is a property of the
+  * plan: on a real object store every one is a billed LIST/GET/PUT RPC,
+  * so metadata amplification (a listing per trigger that should be a
+  * cached read, a record re-read per scan) shows here deterministically
+  * even when local wall time cannot see it. [[graft.Meter]] snapshots
+  * the counters around the scale-claim bench queries and
+  * [[graft.BenchGates]] asserts ceilings — a protocol change that
+  * multiplies per-trigger metadata reads now fails the bench like a
+  * byte blow-up does. Counting is a few atomic increments per REAL
+  * store RPC — noise next to the RPC itself. */
+object StoreOps {
+  val lists = new java.util.concurrent.atomic.AtomicLong(0L)
+  val reads = new java.util.concurrent.atomic.AtomicLong(0L)   // open/exists
+  val writes = new java.util.concurrent.atomic.AtomicLong(0L)  // create/put/rename
+  val deletes = new java.util.concurrent.atomic.AtomicLong(0L)
+  def total: Long = lists.get + reads.get + writes.get + deletes.get
+}
+
 /** Hadoop-FileSystem-backed store rooted at `root` (e.g. `file:///tmp/lake`
   * or `s3a://bucket/prefix`). */
 final class HadoopStore(val rootUri: String) extends Store {
@@ -63,9 +83,13 @@ final class HadoopStore(val rootUri: String) extends Store {
   private def p(key: String) =
     if (key.isEmpty) new Path(new URI(rootUri)) else new Path(new Path(new URI(rootUri)), key)
 
-  override def create(key: String): OutputStream = fs.create(p(key), true)
+  override def create(key: String): OutputStream = {
+    StoreOps.writes.incrementAndGet()
+    fs.create(p(key), true)
+  }
 
   override def createExclusive(key: String): OutputStream = {
+    StoreOps.writes.incrementAndGet()
     val path = p(key)
     if ("file" == path.toUri.getScheme || rootUri.startsWith("file:")) {
       // a REAL O_EXCL create (atomic under concurrent creators), which
@@ -87,7 +111,10 @@ final class HadoopStore(val rootUri: String) extends Store {
     } finally { out.close(); data.close() }
   }
 
-  override def open(key: String): InputStream = fs.open(p(key))
+  override def open(key: String): InputStream = {
+    StoreOps.reads.incrementAndGet()
+    fs.open(p(key))
+  }
 
   override def list(prefix: String): Seq[String] = {
     // bounded retry: a concurrent delete (a committer retiring objects,
@@ -109,6 +136,7 @@ final class HadoopStore(val rootUri: String) extends Store {
   }
 
   private def listOnce(prefix: String): Seq[String] = {
+    StoreOps.lists.incrementAndGet()
     val base = p(prefix)
     if (!fs.exists(base)) Seq.empty
     else {
@@ -123,22 +151,31 @@ final class HadoopStore(val rootUri: String) extends Store {
     }
   }
 
-  override def exists(key: String): Boolean = fs.exists(p(key))
+  override def exists(key: String): Boolean = {
+    StoreOps.reads.incrementAndGet()
+    fs.exists(p(key))
+  }
 
-  override def delete(key: String): Unit = { fs.delete(p(key), false); () }
+  override def delete(key: String): Unit = {
+    StoreOps.deletes.incrementAndGet()
+    fs.delete(p(key), false); ()
+  }
 
   override def rename(src: String, dst: String): Unit = {
+    StoreOps.writes.incrementAndGet()
     val d = p(dst)
     fs.mkdirs(d.getParent) // HDFS/local rename requires an existing parent
     if (!fs.rename(p(src), d)) super.rename(src, dst) // e.g. cross-volume
   }
 
   override def deletePrefix(prefix: String): Unit = {
+    StoreOps.deletes.incrementAndGet()
     val base = p(prefix)
     if (fs.exists(base)) { fs.delete(base, true); () }
   }
 
   override def listDirs(prefix: String): Seq[String] = {
+    StoreOps.lists.incrementAndGet()
     val base = p(prefix)
     if (!fs.exists(base)) Seq.empty
     else fs.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath.getName)

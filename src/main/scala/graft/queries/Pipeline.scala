@@ -84,6 +84,25 @@ object Pipeline {
     * l11/l12 fault fixture (what a hard-killed writer or a ranged-GET
     * cutoff leaves), one definition so "torn" means the same bytes
     * wherever the contract is pinned. */
+  /** Order-insensitive multiset signature of a DataFrame — (row count,
+    * sum of per-row xxhash64, xor of per-row xxhash64) — the CHEAP
+    * stream≡batch equality gate for the metered streaming queries.
+    * Round 17: the old two-direction `exceptAll` gate cost two full
+    * hash-aggregate shuffles per side and DOMINATED l23/l27's task_ms
+    * meter (~13 s of a 16 s total), so the scale-claim meter was
+    * measuring the gate, not the stream. Two single-pass scans with a
+    * 3-value aggregate pin the same multiset equality (collision odds
+    * ~2⁻⁶⁴ per pair — and the CORRECTNESS oracle still compares the
+    * query's real output value-exactly; this gate only guards the
+    * in-bench drain). */
+  private def multisetSig(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Row =
+    df.select(xxhash64(df.columns.map(col).toSeq: _*).as("__h"))
+      .agg(count(lit(1)).as("n"),
+        // decimal(38,0) sum: 2⁶³-magnitude terms never overflow it at
+        // any realistic row count (ANSI mode makes a long sum throw)
+        sum(col("__h").cast("decimal(38,0)")).as("hsum"),
+        expr("bit_xor(__h)").as("hxor")).head()
+
   private def tearSidecar(store: graft.lake.Store, dataKey: String): Unit = {
     val zk = graft.lake.ZoneMaps.statsKey(dataKey)
     val whole = {
@@ -3290,8 +3309,8 @@ object Pipeline {
         val streamed = s.table("l23_drained")
         val batch = s.read.format("graft-lake").option("table", "events_ms")
           .load(root)
-        require(streamed.exceptAll(batch).count() == 0 &&
-            batch.exceptAll(streamed).count() == 0,
+        require(multisetSig(streamed) == multisetSig(
+            batch.select(streamed.columns.map(col).toSeq: _*)),
           "the drained stream must equal the batch connector read exactly")
         streamed.groupBy(date_format(col("_event_hour"), "yyyy-MM-dd HH")
             .as("hr"))
@@ -3547,8 +3566,8 @@ object Pipeline {
           .load(root)
           .where(col("_event_hour").between(lo, hi) &&
             col("vc").between(1000, 5000))
-        require(streamed.exceptAll(batch).count() == 0 &&
-            batch.exceptAll(streamed).count() == 0,
+        require(multisetSig(streamed) == multisetSig(
+            batch.select(streamed.columns.map(col).toSeq: _*)),
           "the pruned drain must equal the filtered batch connector read")
         streamed.groupBy(date_format(col("_event_hour"), "yyyy-MM-dd HH")
             .as("hr"))

@@ -147,13 +147,21 @@ class LakeMorSpec extends SparkSuite {
     spark.sql(s"DELETE FROM $cat.ev WHERE v >= 100.0 AND v < 150.0")
     val dv2 = LakeVersions.currentDvs(store, "ev")
     assert(dv2.values.map(_.count).sum == 150L)
-    // the touched object's vector was superseded: same object, new file,
-    // old file deleted (no retention)
+    // the touched object's vector was superseded: same object, new file.
+    // The old file SURVIVES the commit (round 17: an inline delete would
+    // fail a concurrent scan planned under the old mapping — LakeDvs.read
+    // is loud on a missing referenced vector) and is reclaimed by the
+    // age-gated janitor sweep instead, the tombstone-grace posture.
     val obj = dv1.keys.head
     assert(dv2(obj).key != dv1(obj).key)
+    assert(store.exists(dv1(obj).key),
+      "the superseded vector must survive the commit (scan grace window)")
+    val r = LakeMaintenance.sweepStaging(store,
+      java.time.Instant.now().plusSeconds(3600))
     assert(!store.exists(dv1(obj).key),
-      "the superseded vector file must be reclaimed on an unretained table")
-    assert(store.exists(dv2(obj).key))
+      s"the age-gated sweep must reclaim the superseded vector ($r)")
+    assert(store.exists(dv2(obj).key),
+      "the referenced head vector must never be swept")
     assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) == 850L)
     assert(spark.sql(s"SELECT min(v) FROM $cat.ev").head.getDouble(0) == 150.0)
   }
@@ -274,8 +282,14 @@ class LakeMorSpec extends SparkSuite {
     spark.sql(s"CALL $cat.system.compact(table => 'ev')").collect()
     assert(LakeVersions.currentDvs(store, "ev").isEmpty,
       "compaction must fold every vector")
+    // folded vector files survive the commit (scan grace window, round
+    // 17) and reclaim via the age-gated janitor sweep
+    assert(store.list(LakeDvs.dir("ev")).nonEmpty,
+      "folded vectors linger unreferenced until swept")
+    LakeMaintenance.sweepStaging(store,
+      java.time.Instant.now().plusSeconds(3600))
     assert(store.list(LakeDvs.dir("ev")).isEmpty,
-      "folded vector files must be reclaimed on an unretained table")
+      "the janitor reclaims folded vector files on an unretained table")
     val got = spark.sql(s"SELECT sum(v), count(*) FROM $cat.ev").head
     assert(got == expect, s"fold must preserve rows: $got vs $expect")
     // and the compacted table serves the same functional read
@@ -360,8 +374,13 @@ class LakeMorSpec extends SparkSuite {
       "TIMESTAMP '2024-07-01 09:00:00+00:00'")
     val dvsAfter = LakeVersions.currentDvs(store, "ev")
     assert(dvsAfter.size == 1 && !dvsAfter.contains(h9dv._1))
+    assert(store.exists(h9dv._2.key),
+      "the retired object's vector file lingers for in-flight scans " +
+        "(round-17 grace window) …")
+    LakeMaintenance.sweepStaging(store,
+      java.time.Instant.now().plusSeconds(3600))
     assert(!store.exists(h9dv._2.key),
-      "a retired object's vector file must be reclaimed")
+      "… and the janitor reclaims it")
     // dynamic hour overwrite replaces h8 — the last vector dies too
     import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -373,7 +392,10 @@ class LakeMorSpec extends SparkSuite {
         .mode("overwrite").save(root)
     } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     assert(LakeVersions.currentDvs(store, "ev").isEmpty)
-    assert(store.list(LakeDvs.dir("ev")).isEmpty)
+    LakeMaintenance.sweepStaging(store,
+      java.time.Instant.now().plusSeconds(3600))
+    assert(store.list(LakeDvs.dir("ev")).isEmpty,
+      "after the sweep no vector file survives")
     assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) == 10L)
   }
 
@@ -509,6 +531,44 @@ class LakeMorSpec extends SparkSuite {
         "MERGE inserts must flow")
       assert(spark.table("mor_stream").where(col("v") === -5).count() == 1L)
     } finally q.stop()
+  }
+
+  test("expire_versions spares a pre-CAS statement's intent-covered vectors and vectors of commits that landed since its snapshot") {
+    // The r16 advice race: a MOR statement publishes its merged vector
+    // to its final `_dv/` key BEFORE its CAS; an expire sweep that
+    // treated every unreferenced `_dv/` file as garbage could delete it,
+    // and the statement's later CAS would commit a mapping to a dead
+    // file — every subsequent read of the object fails permanently.
+    // Since round 17 the MOR intent COVERS its vector keys and the
+    // sweep (a) spares intent-covered files, (b) re-snapshots the chain
+    // AFTER listing `_dv/` so a commit that landed mid-expire is seen.
+    val (cat, root, store) = fixture()
+    land(root)
+    spark.sql(s"CALL $cat.system.set_retention(table => 'ev', " +
+      "retain => true)").collect()
+    morOn(cat)
+    spark.sql(s"DELETE FROM $cat.ev WHERE v < 50.0")
+    spark.sql(s"DELETE FROM $cat.ev WHERE v >= 50.0 AND v < 60.0")
+    // simulate a concurrent statement mid-flight: vector at its final
+    // key, intent covering it, CAS not yet run
+    val pendingDv = LakeDvs.freshKey("ev")
+    LakeVersions.writeIntent(store, "ev", "mid-flight", Seq(pendingDv))
+    LakeDvs.write(store, pendingDv, "ev", "2024/07/01/08/ev/fake.csv.gz",
+      Array(1L, 2L))
+    // and a genuinely orphaned vector (a crashed, intent-less publish)
+    val orphanDv = LakeDvs.freshKey("ev")
+    LakeDvs.write(store, orphanDv, "ev", "2024/07/01/08/ev/fake2.csv.gz",
+      Array(3L))
+    val rep = LakeVersions.expireVersions(store, "ev", keepLast = 1)
+    assert(store.exists(pendingDv),
+      s"an intent-covered pre-CAS vector must survive expire ($rep)")
+    assert(!store.exists(orphanDv),
+      "an uncovered unreferenced vector is reclaimed")
+    // the head generation's committed vectors always survive
+    LakeVersions.currentDvs(store, "ev").values.foreach(r =>
+      assert(store.exists(r.key), s"head vector ${r.key} must survive"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ev").head.getLong(0) == 940L)
+    store.delete(LakeVersions.intentKey("ev", "mid-flight"))
   }
 
   test("readStreamOf (the glob stream) refuses a vectored table loudly") {

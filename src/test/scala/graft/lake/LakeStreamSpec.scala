@@ -694,4 +694,77 @@ class LakeStreamSpec extends SparkSuite {
     assert(spark.table(s"$cat.st").where(col("tag") === "upd").count() == 5,
       "the table itself sees the update")
   }
+
+  test("chain cache: idle triggers on a versioned table pay a constant store-op budget with zero record re-reads") {
+    // Round 17, the r16 task-time lesson: the per-trigger protocol used
+    // to pay three `_versions/<t>` listings plus repeated head/parent
+    // record reads; the ChainCache collapses that to ONE listing and
+    // cached reads. Pinned as a store-op METER, not a timing: two
+    // consecutive no-data triggers must cost exactly the same op count
+    // (no per-trigger growth), and that count must stay small.
+    val root = freshRoot()
+    land(root, "2024-06-10T08:00:00Z", 0 until 20)
+    val cat = s"ops${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // make the table VERSIONED (a committed chain + tombstones to read)
+    spark.sql(s"UPDATE $cat.st SET tag = 'v' WHERE id < 3")
+    val s = stream(root)
+    var off = s.initialOffset().asInstanceOf[LakeStreamOffset]
+    def advance(): Int = {
+      val next = s.latestOffset(off, s.getDefaultReadLimit)
+        .asInstanceOf[LakeStreamOffset]
+      val n = s.planInputPartitions(off, next).length
+      off = next
+      n
+    }
+    assert(advance() > 0, "first trigger delivers the lake")
+    advance() // settle: caches warm (chain records, manifest header)
+    val a0 = StoreOps.total
+    advance()
+    val idle1 = StoreOps.total - a0
+    val a1 = StoreOps.total
+    advance()
+    val idle2 = StoreOps.total - a1
+    assert(idle1 == idle2,
+      s"idle triggers must cost a CONSTANT op count: $idle1 vs $idle2")
+    assert(idle1 <= 25,
+      s"an idle trigger on a 1-hour versioned table must stay under ~25 " +
+        s"store ops (discovery walk + one version listing), got $idle1")
+  }
+
+  test("an in-flight publish (intent written, keys renamed, CAS pending) stays invisible; its commit makes inserted keys deliver") {
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    land(root, "2024-06-10T08:00:00Z", 0 until 10, objects = 1)
+    val s = stream(root)
+    var off = s.initialOffset().asInstanceOf[LakeStreamOffset]
+    def advance(): Seq[String] = {
+      val next = s.latestOffset(off, s.getDefaultReadLimit)
+        .asInstanceOf[LakeStreamOffset]
+      val keys = s.planInputPartitions(off, next)
+        .map(_.asInstanceOf[LakeInputPartition].key).toSeq
+      off = next
+      keys
+    }
+    assert(advance().nonEmpty)
+    // simulate step 2+3 of the commit protocol mid-flight: an intent
+    // names a final key, the replacement is ALREADY renamed into place,
+    // the CAS has not happened — a discovery must hide the key (the
+    // chain refresh runs AFTER the data listing precisely so a renamed
+    // key old enough to be listed always has its intent visible)
+    val existing = LakeReader.listTableKeys(store, "st", None).head
+    val pendingKey = s"2024/06/10/08/st/${java.util.UUID.randomUUID()}.csv.gz"
+    LakeVersions.writeIntent(store, "st", "test-intent", Seq(pendingKey))
+    store.put(pendingKey, store.open(existing))
+    assert(advance().isEmpty,
+      "keys of an uncommitted publish must never be delivered")
+    // the CAS lands, naming the key as a genuine INSERT: next trigger
+    // delivers it exactly once
+    LakeVersions.commit(store, "st", op = "merge", removed = Nil,
+      inserted = Seq(pendingKey), intentId = Some("test-intent"))
+    assert(advance() == Seq(pendingKey),
+      "a committed inserted key delivers on the next trigger")
+    assert(advance().isEmpty, "and only once")
+  }
 }

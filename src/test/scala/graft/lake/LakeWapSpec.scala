@@ -184,4 +184,62 @@ class LakeWapSpec extends SparkSuite {
       assert(spark.table("wap_stream").where(col("id") >= 40000).count() == 120L)
     } finally q.stop()
   }
+
+  test("audit × manifest: a seal that captured a pending batch's hidden keys is invalidated on abort (and, conservatively, on publish)") {
+    val (cat, root, store) = fixture()
+    // a past flushTime places the audit's keys in a SEALABLE hour —
+    // the backfill-audit shape where the seal/audit interaction bites
+    def auditPast(id: String, lo: Int): Unit = {
+      import spark.implicits._
+      (lo until lo + 100).map(i => (i.toLong, "staged", i * 1.0))
+        .toDF("id", "tag", "v")
+        .withColumn("_event_hour",
+          lit(java.sql.Timestamp.from(Instant.parse("2024-07-01T09:00:00Z"))))
+        .coalesce(1)
+        .write.format("graft-lake").option("table", "ev")
+        .option("flushTime", "2024-07-01T09:00:00Z")
+        .option("auditId", id).mode("append").save(root)
+    }
+    land(root) // hour 08
+    // the STAGE itself invalidates a covering manifest (the ordinary
+    // write-side guard — staged keys are hidden but physically present,
+    // and seal lists raw keys)
+    Manifests.seal(store, "ev", Instant.parse("2024-07-01T10:00:00Z"))
+    assert(Manifests.readHeader(store, "ev").isDefined)
+    auditPast("m-1", 10000)
+    assert(Manifests.readHeader(store, "ev").isEmpty,
+      "staging into a sealed hour must invalidate at write time")
+    // seal WHILE the audit pends: the raw listing CAPTURES the hidden
+    // keys — after abort such a manifest names deleted keys and strict
+    // manifest-fed maintenance reads would fail until rebuilt. This is
+    // the r16 advice race, closed in abort_audit.
+    Manifests.seal(store, "ev", Instant.parse("2024-07-01T10:00:00Z"))
+    assert(Manifests.readHeader(store, "ev").isDefined)
+    spark.sql(s"CALL $cat.system.abort_audit(table => 'ev', " +
+      "audit_id => 'm-1')").collect()
+    assert(Manifests.readHeader(store, "ev").isEmpty,
+      "abort_audit must invalidate the manifest naming the dropped keys")
+    assert(LakeReader.read(spark, root, "ev").count() == 500L)
+    // publish under a pending-window seal: the manifest holds the keys
+    // already, but a seal whose listing raced the stage renames could
+    // hold only PART of them — publish invalidates conservatively (an
+    // advisory accelerator is cheap to rebuild, a silent partial read
+    // is not)
+    auditPast("m-2", 20000)
+    Manifests.seal(store, "ev", Instant.parse("2024-07-01T10:00:00Z"))
+    assert(Manifests.readHeader(store, "ev").isDefined)
+    spark.sql(s"CALL $cat.system.publish_audit(table => 'ev', " +
+      "audit_id => 'm-2')").collect()
+    assert(Manifests.readHeader(store, "ev").isEmpty,
+      "publish_audit must invalidate the pending-window manifest")
+    assert(LakeReader.read(spark, root, "ev").count() == 600L,
+      "the published rows must be visible to the (re-walked) read")
+    // maintenance over the formerly-sealed hours runs clean (no dead
+    // keys fed from a stale manifest)
+    val rep = LakeMaintenance.compact(spark, store, "ev",
+      Some((Instant.parse("2024-07-01T00:00:00Z"),
+        Instant.parse("2024-07-01T23:00:00Z"))))
+    assert(LakeReader.read(spark, root, "ev").count() == 600L,
+      s"compaction after the audit churn stays row-exact ($rep)")
+  }
 }
