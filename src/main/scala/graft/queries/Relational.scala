@@ -665,21 +665,37 @@ object Relational {
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // ---------------------------------------------------------------------
-    // Approximate distinct (HLL++). Not bit-comparable to DuckDB's sketch →
-    // rows-only check; exactness is covered by q27. rsd 0.02 (~2^12
-    // registers/sketch): the whole point of the sketch is trading precision
-    // for memory — rsd 0.01 quadruples register arrays for a digit that
-    // q27 answers exactly when needed.
+    // Approximate distinct (HLL++), rsd 0.02 (~2^12 registers/sketch): the
+    // whole point of the sketch is trading precision for memory — rsd 0.01
+    // quadruples register arrays for a digit q27 answers exactly when
+    // needed. ORACLE BY ERROR BOUND (round 17, closing the last no_oracle
+    // rows): the sketch value is not bit-comparable to DuckDB's, so the
+    // hashed output carries the EXACT counts plus a boolean asserting the
+    // sketch landed within 3×rsd of them — the oracle's TRUE literal then
+    // hash-checks the accuracy claim itself. A broken sketch (or a future
+    // regression that silently widens its error) flips the boolean and
+    // fails the hash compare; the exact counts keep the row data-bearing.
     "q28_approx_distinct" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         t(s, dir, "lineitem")
           .groupBy($"l_returnflag")
-          .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
-               approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+          .agg(countDistinct($"l_partkey").as("n_parts"),
+               countDistinct($"l_orderkey").as("n_orders"),
+               approx_count_distinct($"l_partkey", 0.02).as("ap"),
+               approx_count_distinct($"l_orderkey", 0.02).as("ao"))
+          .select($"l_returnflag", $"n_parts", $"n_orders",
+            (abs($"ap" - $"n_parts") <= $"n_parts" * 0.06 &&
+             abs($"ao" - $"n_orders") <= $"n_orders" * 0.06)
+              .as("approx_within_3rsd"))
           .orderBy($"l_returnflag")
       },
-      None),
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_orderkey) AS n_orders,
+             |  TRUE AS approx_within_3rsd
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     // ---------------------------------------------------------------------
     // Gap-based sessionization in batch SQL (lag + cumulative flag): the
@@ -979,24 +995,44 @@ object Relational {
     // ---------------------------------------------------------------------
     // Approximate percentile (Greenwald-Khanna sketch): the 100-TB path —
     // bounded memory per group regardless of group size, mergeable partial
-    // sketches. Not bit-comparable to DuckDB's sketch → rows-only, with
-    // q42 as the exact ground truth (same pattern as q27/q28).
+    // sketches. ORACLE BY ERROR BOUND (round 17, same pattern as q28): the
+    // GK value is not bit-comparable to DuckDB's sketch, but its CONTRACT
+    // is exact — accuracy 1000 guarantees the returned value's RANK lies
+    // within ε = 1/1000 of the requested quantile. The query re-derives
+    // each approx value's true rank window in a second exact pass
+    // (count(≤)/n and count(<)/n) and hashes the per-quantile bound
+    // booleans + the exact group count; the oracle's TRUE literals check
+    // the guarantee itself. q42 remains the exact-value ground truth.
     "q43_percentile_approx" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "lineitem")
+        val cents = t(s, dir, "lineitem")
           .select($"l_returnflag",
             floor($"l_extendedprice" * 100 + 0.5).cast("long").as("cents"))
+        val approx = cents
           .groupBy($"l_returnflag")
           .agg(percentile_approx($"cents", array(lit(0.5), lit(0.9), lit(0.99)),
-            lit(1000)).as("ps_approx"))
-          .select($"l_returnflag",
-            element_at($"ps_approx", 1).as("p50_approx"),
-            element_at($"ps_approx", 2).as("p90_approx"),
-            element_at($"ps_approx", 3).as("p99_approx"))
+            lit(1000)).as("ps"))
+        val eps = 1.0 / 1000 + 1e-9
+        def rankOk(q: Double, i: Int) = {
+          val p = element_at($"ps", i)
+          (sum(when($"cents" <= p, 1L).otherwise(0L)) >=
+            (lit(q) - eps) * count(lit(1))) &&
+          (sum(when($"cents" < p, 1L).otherwise(0L)) <=
+            (lit(q) + eps) * count(lit(1)))
+        }
+        cents.join(broadcast(approx), "l_returnflag")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            rankOk(0.50, 1).as("p50_in_eps"),
+            rankOk(0.90, 2).as("p90_in_eps"),
+            rankOk(0.99, 3).as("p99_in_eps"))
           .orderBy($"l_returnflag")
       },
-      None),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  TRUE AS p50_in_eps, TRUE AS p90_in_eps, TRUE AS p99_in_eps
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
 
     // ---------------------------------------------------------------------
     // Salted join (explicit skew mitigation — see [[graft.operators.Skew]]):
