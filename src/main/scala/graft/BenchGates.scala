@@ -121,6 +121,14 @@ object BenchGates {
     // rewrites (every touched object's rows through the plan and back
     // out as replacements) blows both by an order of magnitude
     "l37_lake_mor_dml" -> Ceiling(Some(2 * MB), Some(6 * MB)),
+    // round 17: the equality delete is O(1) writes — ONE value file, no
+    // data-object churn (gated in-query); ~128 store RPCs fresh (the
+    // fixture write dominates). A fallback to the probe rewrite (one
+    // publish per containing object) or a lost prune multiplies the op
+    // count; the read side's in-scope routing keeps input at one pass
+    // of the fixture
+    "l39_lake_eq_delete" -> Ceiling(Some(5 * MB), None,
+      maxStoreOps = Some(400)),
   )
 
   /** Human-readable violations; empty = all metered queries in bounds.

@@ -112,7 +112,11 @@ private[lake] object LakeAgg {
   * driver loop. Each key rides with its committed delete vector (key,
   * position count) when one exists (merge-on-read). */
 final case class LakeAggInputPartition(
-    keys: Seq[(String, Option[(String, Long)])]) extends InputPartition
+    keys: Seq[(String, Option[(String, Long)])],
+    // equality deletes in scope per key ([[LakeEqDeletes]]): an
+    // eq-scoped object's metadata answers are wrong (matches need a
+    // read), so it always takes the fallback reader, filters applied
+    eqs: Seq[Seq[LakeEqDeletes.Filter]] = Nil) extends InputPartition
 
 final class LakeAggScan(rootUri: String, table: String,
                         lakeSchema: TableSchema, pushed: LakeAgg.Pushed,
@@ -140,8 +144,12 @@ final class LakeAggScan(rootUri: String, table: String,
     if (keys.isEmpty && LakeReader.firstTableKey(store, table).isEmpty)
       throw new IllegalArgumentException(
         s"no lake objects for table $table under $rootUri")
-    keys.map(k => (k, view.dvs.get(k).map(r => (r.key, r.count))))
-      .grouped(ChunkSize).map(ks => LakeAggInputPartition(ks): InputPartition)
+    val eqCompiled = LakeEqDeletes.compile(store, table, view.eqdels)
+    keys.map(k => (
+        (k, view.dvs.get(k).map(r => (r.key, r.count))),
+        eqCompiled.filter(_.inScope(k)).map(_.filter)))
+      .grouped(ChunkSize).map(ks => LakeAggInputPartition(
+        ks.map(_._1), ks.map(_._2)): InputPartition)
       .toArray
   }
 
@@ -184,7 +192,9 @@ final class LakeAggReader(rootUri: String, lakeSchema: TableSchema,
   private val fallbackIdx: Map[String, Int] =
     neededCols.zipWithIndex.toMap
 
-  private val keyIter = part.keys.iterator
+  private val keyIter = part.keys.zipAll(part.eqs,
+    ("", None: Option[(String, Long)]), Seq.empty[LakeEqDeletes.Filter])
+    .iterator
   private var rowIter: Iterator[InternalRow] = Iterator.empty
   private var inner: LakeObjectReader = _
   private var current: InternalRow = _
@@ -193,8 +203,8 @@ final class LakeAggReader(rootUri: String, lakeSchema: TableSchema,
     while (!rowIter.hasNext) {
       if (inner != null) { inner.close(); inner = null }
       if (!keyIter.hasNext) return false
-      val (k, dv) = keyIter.next()
-      rowIter = rowsFor(k, dv)
+      val ((k, dv), eq) = keyIter.next()
+      rowIter = rowsFor(k, dv, eq)
     }
     current = rowIter.next()
     true
@@ -207,14 +217,19 @@ final class LakeAggReader(rootUri: String, lakeSchema: TableSchema,
     LakeKeys.parseKey(key).map(_._1.toEpochMilli * 1000L).getOrElse(
       throw new IllegalArgumentException(s"unparseable lake key $key"))
 
-  private def rowsFor(key: String, dv: Option[(String, Long)]): Iterator[InternalRow] = {
+  private def rowsFor(key: String, dv: Option[(String, Long)],
+                      eq: Seq[LakeEqDeletes.Filter]): Iterator[InternalRow] = {
     val hourMicros = hourMicrosOf(key)
+    // an eq-scoped object's live-row answers need a read (the filter's
+    // matches are invisible to the sidecar) — straight to fallback,
+    // which applies the filters through the object reader
     val meta =
-      try ZoneMaps.read(store, key).flatMap(metadataRow(_, hourMicros, dv))
+      if (eq.nonEmpty) None
+      else try ZoneMaps.read(store, key).flatMap(metadataRow(_, hourMicros, dv))
       catch { case _: Exception => None }
     meta match {
       case Some(row) => Iterator.single(row)
-      case None => fallbackRows(key, hourMicros, dv.map(_._1))
+      case None => fallbackRows(key, hourMicros, dv.map(_._1), eq)
     }
   }
 
@@ -290,9 +305,10 @@ final class LakeAggReader(rootUri: String, lakeSchema: TableSchema,
     * would be NULL, not 0). Grouped-by-hour scans correctly emit
     * nothing — a vanished hour is no group, same as a row scan. */
   private def fallbackRows(key: String, hourMicros: Long,
-                           dvKey: Option[String] = None): Iterator[InternalRow] = {
+                           dvKey: Option[String] = None,
+                           eq: Seq[LakeEqDeletes.Filter] = Nil): Iterator[InternalRow] = {
     inner = new LakeObjectReader(rootUri, lakeSchema, fallbackStruct,
-      LakeInputPartition(key, hourMicros / 1000L, dvKey), byName)
+      LakeInputPartition(key, hourMicros / 1000L, dvKey), byName, eqs = eq)
     new Iterator[InternalRow] {
       private var ready = false
       private var done = false

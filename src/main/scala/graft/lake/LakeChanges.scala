@@ -51,7 +51,8 @@ object LakeChanges {
     val view = LakeVersions.tableView(store, table)
     diff(spark, store, table, fromKeys,
       LakeReader.listTableKeys(store, table, None, Some(view)),
-      LakeVersions.dvsAt(store, table, f), view.dvs)
+      LakeVersions.dvsAt(store, table, f), view.dvs,
+      LakeVersions.eqdelsAt(store, table, f), view.eqdels)
   }
 
   /** Changes between two retained generations/tags, `(from, to]`. */
@@ -65,13 +66,17 @@ object LakeChanges {
       LakeVersions.liveAt(store, table, f),
       LakeVersions.liveAt(store, table, t),
       LakeVersions.dvsAt(store, table, f),
-      LakeVersions.dvsAt(store, table, t))
+      LakeVersions.dvsAt(store, table, t),
+      LakeVersions.eqdelsAt(store, table, f),
+      LakeVersions.eqdelsAt(store, table, t))
   }
 
   private def diff(spark: SparkSession, store: Store, table: String,
                    fromKeys: Seq[String], toKeys: Seq[String],
                    fromDvs: Map[String, LakeVersions.DvRef],
-                   toDvs: Map[String, LakeVersions.DvRef]): DataFrame = {
+                   toDvs: Map[String, LakeVersions.DvRef],
+                   fromEq: Seq[LakeEqDeletes.EqRef] = Nil,
+                   toEq: Seq[LakeEqDeletes.EqRef] = Nil): DataFrame = {
     val old = fromKeys.toSet
     val cur = toKeys.toSet
     // merge-on-read: an object live on BOTH sides whose delete vector
@@ -82,18 +87,36 @@ object LakeChanges {
     // so the feed cost stays bounded by CHANGED objects.
     val dvChanged = (old intersect cur).filter(k =>
       fromDvs.get(k).map(_.key) != toDvs.get(k).map(_.key))
-    val gone = (old -- cur ++ dvChanged).toSeq.sorted
-    val fresh = (cur -- old ++ dvChanged).toSeq.sorted
+    // EQUALITY deletes ([[LakeEqDeletes]]): an object live on both
+    // sides whose EFFECTIVE filter set differs between the snapshots
+    // (an eq-delete landed — or was folded — in the window, and the
+    // object is in its scope) reads on both sides the same way; the
+    // matched rows net out as deletes. The read here is bounded by the
+    // eq-delete's SCOPE, the feed's honest cost — fold early with
+    // compact to keep windows cheap.
+    val fromEqC = LakeEqDeletes.compile(store, table, fromEq)
+    val toEqC = LakeEqDeletes.compile(store, table, toEq)
+    def effEq(eqs: Seq[LakeEqDeletes.Compiled], k: String): Set[String] =
+      eqs.filter(_.inScope(k)).map(_.ref.key).toSet
+    val eqChanged =
+      if (fromEq.isEmpty && toEq.isEmpty) Set.empty[String]
+      else (old intersect cur).filter(k =>
+        effEq(fromEqC, k) != effEq(toEqC, k))
+    val gone = (old -- cur ++ dvChanged ++ eqChanged).toSeq.sorted
+    val fresh = (cur -- old ++ dvChanged ++ eqChanged).toSeq.sorted
     // EVOLVED table: both sides align onto the DECLARED schema (the
     // `from` snapshot may predate an ALTER — its rows null-fill/widen,
     // so a row whose values did not change never shows as changed)
     val declared = LakeSchemas.current(store, table).map(_.schema)
     def readAligned(keys: Seq[String],
-                    dvs: Map[String, LakeVersions.DvRef]): DataFrame =
+                    dvs: Map[String, LakeVersions.DvRef],
+                    eqs: Seq[LakeEqDeletes.Compiled]): DataFrame =
       declared match {
         case Some(d) =>
-          LakeReader.readKeysAligned(spark, store, table, keys, d, Some(dvs))
-        case None => LakeReader.readKeys(spark, store, table, keys, Some(dvs))
+          LakeReader.readKeysAligned(spark, store, table, keys, d,
+            Some(dvs), Some(eqs))
+        case None => LakeReader.readKeys(spark, store, table, keys,
+          Some(dvs), Some(eqs))
       }
     // the schema must resolve even when one side is empty; a read of
     // ZERO keys cannot (readKeys requires objects). A declared table's
@@ -101,17 +124,20 @@ object LakeChanges {
     // empty gone side must not header-peek the whole fresh side twice);
     // otherwise the other side's read supplies it.
     def emptyShape(other: Seq[String],
-                   otherDvs: Map[String, LakeVersions.DvRef])
+                   otherDvs: Map[String, LakeVersions.DvRef],
+                   otherEqs: Seq[LakeEqDeletes.Compiled])
         : org.apache.spark.sql.types.StructType =
       declared.map(LakeDataSource.outputStruct)
-        .getOrElse(readAligned(other, otherDvs).schema)
+        .getOrElse(readAligned(other, otherDvs, otherEqs).schema)
     def rows(keys: Seq[String], dvs: Map[String, LakeVersions.DvRef],
+             eqs: Seq[LakeEqDeletes.Compiled],
              other: Seq[String],
-             otherDvs: Map[String, LakeVersions.DvRef]): DataFrame =
-      if (keys.nonEmpty) readAligned(keys, dvs)
+             otherDvs: Map[String, LakeVersions.DvRef],
+             otherEqs: Seq[LakeEqDeletes.Compiled]): DataFrame =
+      if (keys.nonEmpty) readAligned(keys, dvs, eqs)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        emptyShape(other, otherDvs))
+        emptyShape(other, otherDvs, otherEqs))
     if (gone.isEmpty && fresh.isEmpty) {
       // no object changed — an empty, correctly-shaped feed (the table
       // must exist for the schema; firstTableKey enforces like any read)
@@ -120,11 +146,11 @@ object LakeChanges {
           s"no lake objects for table $table under ${store.rootUri}"))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        emptyShape(Seq(k), toDvs))
+        emptyShape(Seq(k), toDvs, toEqC))
         .withColumn(ChangeTypeCol, lit("insert")).limit(0)
     }
-    val before = rows(gone, fromDvs, fresh, toDvs)
-    val after = rows(fresh, toDvs, gone, fromDvs)
+    val before = rows(gone, fromDvs, fromEqC, fresh, toDvs, toEqC)
+    val after = rows(fresh, toDvs, toEqC, gone, fromDvs, fromEqC)
     // signed multiset difference: -1 per pre-image row, +1 per
     // post-image row; net 0 = a surviving copy (cancels), net > 0 =
     // that many inserts, net < 0 = that many deletes. Grouping equality

@@ -741,6 +741,20 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
       // overwritten sealed hour) invalidates the manifest before the
       // first rename
       Manifests.invalidateIfCovers(store, lakeSchema.name, hours.min)
+      // equality-delete scope guard ([[LakeEqDeletes.guardBackfill]]):
+      // rows landing BELOW a live equality delete's watermark would be
+      // wrongly matched by it (they post-date the delete). OverwriteAll
+      // is exempt — it replaces EVERYTHING, so its commit FOLDS the
+      // list instead (nothing the deletes targeted survives). The
+      // common now-hour append never pays the chain consult: the
+      // staged-hour minimum is this hour, and the guard's own listing
+      // is skipped unless a staged hour lies in the past.
+      val stagedHourMin = staged.map(k =>
+        LakeKeys.hourPrefixOf(k.stripPrefix(s"$staging/")))
+        .minOption.getOrElse(LakeKeys.datePrefix(flushTime))
+      val dropsEqdels = overwriteMode.contains(LakeRowLevel.OverwriteAll)
+      if (!dropsEqdels && stagedHourMin < LakeKeys.datePrefix(Instant.now()))
+        LakeEqDeletes.guardBackfill(store, lakeSchema.name, stagedHourMin)
       // OVERWRITE commits follow the LakeVersions protocol (plain
       // appends stay outside it — fresh uuid keys cannot conflict):
       // intent → publish renames → CAS the generation → retire the
@@ -776,7 +790,8 @@ final class LakeWrite(rootUri: String, lakeSchema: TableSchema,
       }
       if (versioned) {
         try LakeVersions.commit(store, lakeSchema.name, op = "overwrite",
-          removed = doomed, inserted = dsts, intentId = Some(intentId))
+          removed = doomed, inserted = dsts, intentId = Some(intentId),
+          dropEqdels = dropsEqdels)
         catch { case e: Throwable =>
           dsts.foreach { dst =>
             store.delete(dst)
@@ -1214,9 +1229,13 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
   def runtimeFilters: Seq[Filter] = synchronized(runtime.toSeq)
 
   private var runtime: Array[Filter] = Array.empty
-  private var plannedCache: (Seq[String], Option[Long], Map[String, LakeVersions.DvRef]) = _
 
-  private def planned: (Seq[String], Option[Long], Map[String, LakeVersions.DvRef]) =
+  private final case class PlannedScan(keys: Seq[String], rows: Option[Long],
+                                       dvs: Map[String, LakeVersions.DvRef],
+                                       eqs: Seq[LakeEqDeletes.Compiled])
+  private var plannedCache: PlannedScan = _
+
+  private def planned: PlannedScan =
     synchronized {
       if (plannedCache == null) plannedCache = computePlanned()
       plannedCache
@@ -1230,13 +1249,20 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     * when the candidate set is past the driver-walk threshold — the
     * executor fan-out decides keeps there, and optimizer time is no
     * place for a second metadata job. */
-  private def computePlanned(): (Seq[String], Option[Long], Map[String, LakeVersions.DvRef]) = {
+  private def computePlanned(): PlannedScan = {
     val store = new HadoopStore(rootUri)
     val pred = LakePrune.compile(pushed ++ runtime, lakeSchema)
     require(withAudit.isEmpty || asOfGeneration.isEmpty,
       "graft-lake: withAudit reads the CURRENT table plus a staged " +
         "batch — combining it with a VERSION AS OF snapshot is " +
         "contradictory (the batch was not part of any generation)")
+    // the equality deletes the scan's rows subtract ([[LakeEqDeletes]]):
+    // the live list for a current read, generation N's own list for
+    // time travel — compiled once (one small file read per delete)
+    val eqRefs: Seq[LakeEqDeletes.EqRef] = asOfGeneration match {
+      case Some(g) => LakeVersions.eqdelsAt(store, table, g)
+      case None => Nil // resolved with the listing below
+    }
     // the delete-vector map the scan's rows subtract (merge-on-read):
     // the CURRENT committed map for a live read — resolved in the SAME
     // metadata pass as the tombstone exclusions — or generation N's own
@@ -1245,8 +1271,8 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
       case Some(g) => LakeVersions.dvsAt(store, table, g)
       case None => Map.empty // resolved with the listing below
     }
-    val (listed, dvMap) = (asOfGeneration, pred.hourRange) match {
-      case (_, Some((from, to))) if from.isAfter(to) => (Seq.empty, dvs)
+    val (listed, dvMap, eqList) = (asOfGeneration, pred.hourRange) match {
+      case (_, Some((from, to))) if from.isAfter(to) => (Seq.empty, dvs, eqRefs)
       case (Some(g), hr) =>
         // time travel: generation N's retained snapshot IS the listing;
         // the hour range still prunes it (zero-padded prefix compares),
@@ -1259,7 +1285,7 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
           snap.filter { k =>
             val h = LakeKeys.hourPrefixOf(k); h >= lo && h <= hi
           }
-        }, dvs)
+        }, dvs, eqRefs)
       case (None, hr) =>
         val view0 = LakeVersions.tableView(store, table)
         // write-audit-publish validation read: the named audit's staged
@@ -1272,8 +1298,11 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
                 "it was never written, already published, or aborted"))
           view0.copy(excl = view0.excl -- ks)
         }
-        (LakeReader.listTableKeys(store, table, hr, Some(view)), view.dvs)
+        (LakeReader.listTableKeys(store, table, hr, Some(view)), view.dvs,
+          view.eqdels)
     }
+    val eqCompiled = LakeEqDeletes.compile(store, table, eqList)
+    def eqScoped(k: String): Boolean = eqCompiled.exists(_.inScope(k))
     // an hour SET (IN-list / runtime hour filter) refines the listed
     // RANGE to exact hour membership — the key parse is the decision;
     // an _object_key SET decides membership on the key itself; both are
@@ -1293,7 +1322,7 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
           LakeReader.firstTableKey(store, table).isEmpty)
         throw new IllegalArgumentException(
           s"no lake objects for table $table under $rootUri")
-      (Seq.empty, Some(0L), dvMap)
+      PlannedScan(Seq.empty, Some(0L), dvMap, eqCompiled)
     } else if ((limit.isDefined || topN.isDefined) && pred.trivial &&
                runtime.isEmpty) {
       // pushed LIMIT (or TopN by _event_hour) on an unpruned scan:
@@ -1319,39 +1348,50 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
       while (it.hasNext && !covered) {
         val k = it.next()
         kept += k
+        // an eq-scoped object's live-row count is UNKNOWN at metadata
+        // time (the filter's matches need a read) — contribute nothing
+        // and keep walking; the over-kept prefix is re-limited by Spark
         ZoneMaps.read(store, k) match {
-          case Some(s) => known += s.records - dvDead(k)
-          case None => allKnown = false
+          case Some(s) if !eqScoped(k) => known += s.records - dvDead(k)
+          case _ => allKnown = false
         }
         covered = known >= n
       }
-      (kept.result(), if (allKnown) Some(known) else None, dvMap)
+      PlannedScan(kept.result(), if (allKnown) Some(known) else None,
+        dvMap, eqCompiled)
     } else if (keys.length <= LakeReader.DefaultSidecarDistributeAbove) {
       var rows: Option[Long] = Some(0L)
       val kept = keys.filter { k =>
         val (keep, rec) = pred.keepsAndRecords(store, k)
-        if (keep) rows = for (a <- rows; r <- rec) yield a + r - dvDead(k)
+        if (keep) rows =
+          if (eqScoped(k)) None // exact-or-absent: filter matches unknown
+          else for (a <- rows; r <- rec) yield a + r - dvDead(k)
         keep
       }
-      (kept, rows, dvMap)
+      PlannedScan(kept, rows, dvMap, eqCompiled)
     } else {
       val kept =
         if (pred.trivial) keys
         else LakeReader.walkKeys(SparkSession.active, rootUri, keys,
           LakeReader.DefaultSidecarDistributeAbove)(pred.keeps)
-      (kept, None, dvMap)
+      PlannedScan(kept, None, dvMap, eqCompiled)
     }
   }
 
   /** The kept object keys this scan will read — the prune decision,
     * exposed so specs can pin it against [[LakeReader.prunedKeys]] /
     * `readPruned*` kept-sets (and callers can meter skipping). */
-  def plannedKeys: Seq[String] = planned._1
+  def plannedKeys: Seq[String] = planned.keys
 
   /** The delete-vector map the scan's partitions apply (merge-on-read)
     * — exposed for specs and the copy-on-write commit (a rewritten
     * object's vector dies with it). */
-  def plannedDvs: Map[String, LakeVersions.DvRef] = planned._3
+  def plannedDvs: Map[String, LakeVersions.DvRef] = planned.dvs
+
+  /** The equality-delete file keys the scan's partitions apply — the
+    * rewrite paths pass this as their `eqBasis` so a racing equality
+    * DELETE aborts them instead of resurrecting its rows. */
+  def plannedEqdels: Seq[String] = planned.eqs.map(_.ref.key)
 
   /** POST-PRUNE statistics from the stats sidecars, so Catalyst plans
     * joins against what the scan will actually read — "events for this
@@ -1364,7 +1404,7 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
     * row width — the same estimator shape Spark uses for sized
     * relations. */
   override def estimateStatistics(): Statistics = {
-    val rows = planned._2
+    val rows = planned.rows
     val rowWidth = required.fields.map(_.dataType.defaultSize).sum + 8L
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -1376,15 +1416,17 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val dvMap = plannedDvs
-    plannedKeys.map { k =>
+    val p = planned
+    p.keys.map { k =>
       LakeInputPartition(k, LakeKeys.parseKey(k).get._1.toEpochMilli,
-        dvMap.get(k).map(_.key))
+        p.dvs.get(k).map(_.key),
+        eqIdxs = p.eqs.indices.filter(i => p.eqs(i).inScope(k)))
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeReaderFactory(rootUri, lakeSchema, required, byName)
+    new LakeReaderFactory(rootUri, lakeSchema, required, byName,
+      eqFilters = planned.eqs.map(_.filter).toArray)
 }
 
 final case class LakeInputPartition(key: String, hourMillis: Long,
@@ -1393,7 +1435,19 @@ final case class LakeInputPartition(key: String, hourMillis: Long,
                                     // skips its positions — read in-task,
                                     // so the plan ships one key, not the
                                     // position list
-                                    dvKey: Option[String] = None)
+                                    dvKey: Option[String] = None,
+                                    // equality deletes IN SCOPE for this
+                                    // object, as indexes into the reader
+                                    // factory's shared compiled array
+                                    // (batch scans: the value sets ship
+                                    // once with the factory, not per
+                                    // partition)
+                                    eqIdxs: Seq[Int] = Nil,
+                                    // …or inline filters (the streaming
+                                    // source, whose factory outlives the
+                                    // eq list: a micro-batch's few
+                                    // partitions carry their own)
+                                    eqInline: Seq[LakeEqDeletes.Filter] = Nil)
     extends InputPartition with HasPartitionKey {
   /** The object's hour as a one-column key row (timestamp micros) — what
     * lets Spark GROUP same-hour objects into one task when the scan
@@ -1405,11 +1459,16 @@ final case class LakeInputPartition(key: String, hourMillis: Long,
 
 final class LakeReaderFactory(rootUri: String, lakeSchema: TableSchema,
                               required: StructType, byName: Boolean = false,
-                              adoptEvolved: Boolean = false)
+                              adoptEvolved: Boolean = false,
+                              // shared equality-delete filters (batch
+                              // scans): partitions reference by index
+                              eqFilters: Array[LakeEqDeletes.Filter] = Array.empty)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new LakeObjectReader(rootUri, lakeSchema, required,
-      partition.asInstanceOf[LakeInputPartition], byName, adoptEvolved)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LakeInputPartition]
+    new LakeObjectReader(rootUri, lakeSchema, required, p, byName,
+      adoptEvolved, eqs = p.eqIdxs.map(eqFilters) ++ p.eqInline)
+  }
 }
 
 /** Reads ONE lake object into [[InternalRow]]s of the required schema.
@@ -1434,7 +1493,13 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
                              // columns it lacks read null, INTEGER wires
                              // widen under FLOAT fields, anything else
                              // stays the loud drift error
-                             adoptEvolved: Boolean = false)
+                             adoptEvolved: Boolean = false,
+                             // equality deletes in scope for THIS object
+                             // ([[LakeEqDeletes]]): a data record whose
+                             // column value (raw wire form) is in any
+                             // filter's set is a DEAD row — parsed past
+                             // like a vectored position, never emitted
+                             eqs: Seq[LakeEqDeletes.Filter] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val rd: BufferedReader = {
@@ -1545,6 +1610,25 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
 
   private var current: InternalRow = _
 
+  // equality deletes, resolved to wire ordinals against THIS object's
+  // own header (by name — evolved objects resolve correctly; an object
+  // lacking the column matches nothing, the SQL `= NULL` direction)
+  private val eqResolved: Array[(Int, Set[String])] =
+    if (rd == null || eqs.isEmpty) Array.empty
+    else eqs.map(f => (objCols.indexWhere(_._1 == f.col), f.values))
+      .filter(_._1 >= 0).toArray
+
+  private def eqDead(fields: Array[String]): Boolean = {
+    var i = 0
+    while (i < eqResolved.length) {
+      val (idx, set) = eqResolved(i)
+      if (idx < fields.length && fields(idx).nonEmpty &&
+          set.contains(fields(idx))) return true
+      i += 1
+    }
+    false
+  }
+
   override def next(): Boolean = {
     if (rd == null) return false // planned object retired by maintenance
     while (true) {
@@ -1553,9 +1637,10 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
       rowPos += 1L
       // merge-on-read: a position in the delete vector is a DEAD row —
       // parsed past (rowPos keeps counting PHYSICAL records, the stable
-      // identity delete vectors and MERGE patches key on), never emitted
+      // identity delete vectors and MERGE patches key on), never emitted;
+      // an equality-delete value match is dead the same way
       while (dvIdx < dv.length && dv(dvIdx) < rowPos) dvIdx += 1
-      if (dvIdx >= dv.length || dv(dvIdx) != rowPos) {
+      if ((dvIdx >= dv.length || dv(dvIdx) != rowPos) && !eqDead(rec)) {
         val vals = new Array[Any](getters.length)
         var i = 0
         while (i < getters.length) { vals(i) = getters(i)(rec); i += 1 }

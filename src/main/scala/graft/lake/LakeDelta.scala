@@ -459,6 +459,13 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
   /** The delete-vector BASIS: the scan's resolved map — what the rows
     * this statement read were already filtered under. The CAS validates
     * it is still the committed map for every touched object. */
+  /** The equality-delete list the statement's scan was planned under —
+    * its `eqBasis`: a racing equality DELETE aborts this rewrite
+    * instead of having its rows resurrected by it. */
+  private def scanEqdels: Seq[String] =
+    if (op != null && op.deltaScan != null) op.deltaScan.plannedEqdels
+    else Nil
+
   private def scanDvs: Map[String, LakeVersions.DvRef] =
     if (op != null && op.deltaScan != null) op.deltaScan.plannedDvs
     else Map.empty
@@ -519,7 +526,8 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
     try LakeVersions.commit(store, table, op = "merge",
       removed = removed, added = added, inserted = inserted,
       intentId = Some(intentId),
-      dvBasis = removed.map(k => k -> basis.get(k).map(_.key)).toMap)
+      dvBasis = removed.map(k => k -> basis.get(k).map(_.key)).toMap,
+      eqBasis = Some(scanEqdels))
     catch { case e: Throwable =>
       (added ++ inserted).foreach { dst =>
         store.delete(dst)
@@ -599,7 +607,8 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
         obj -> LakeVersions.DvUpsert(basis.get(obj).map(_.key),
           LakeVersions.DvRef(dst, n))
       }.toMap,
-      dvBasis = removed.map(k => k -> basis.get(k).map(_.key)).toMap)
+      dvBasis = removed.map(k => k -> basis.get(k).map(_.key)).toMap,
+      eqBasis = Some(scanEqdels))
     catch { case e: Throwable =>
       (added ++ inserted).foreach { dst =>
         store.delete(dst)

@@ -78,6 +78,14 @@ object LakeMaintenance {
     // compacting object aborts this compaction loudly, never silently
     // resurrects its deletions). Resolved ONCE for every hour group.
     val dvMap = Some(LakeVersions.currentDvs(store, table))
+    // equality deletes fold the same way: the snapshot reads with the
+    // live filters applied, and a FULL compact (no hour range — every
+    // object rewritten) drops the list at its commit; a partial compact
+    // keeps it (replacements re-filter idempotently — an equality match
+    // already removed stays removed). Resolved once, CAS-validated via
+    // eqBasis like the vector basis.
+    val eqList = LakeVersions.currentEqdels(store, table)
+    val eqMap = Some(LakeEqDeletes.compile(store, table, eqList))
     if (dryRun) {
       // report-only: the SAME listing snapshot and the SAME per-hour
       // sizing rule as the real run, nothing mutated — no manifest
@@ -87,8 +95,9 @@ object LakeMaintenance {
       val est = oldKeys.groupBy(k => LakeKeys.parseKey(k).get._1).toSeq
         .map { case (_, hourKeys) =>
           val n = declared.fold(
-            LakeReader.readKeys(spark, store, table, hourKeys, dvMap))(d =>
-            LakeReader.readKeysAligned(spark, store, table, hourKeys, d, dvMap))
+            LakeReader.readKeys(spark, store, table, hourKeys, dvMap, eqMap))(d =>
+            LakeReader.readKeysAligned(spark, store, table, hourKeys, d,
+              dvMap, eqMap))
             .count()
           (n, math.max(1L, (n + targetRecords - 1) / targetRecords))
         }
@@ -129,8 +138,9 @@ object LakeMaintenance {
           // (gunzipped) snapshot once; the sizing count and the write both
           // run off the checkpoint instead of re-scanning the objects.
           val df = declared.fold(
-            LakeReader.readKeys(spark, store, table, hourKeys, dvMap))(d =>
-            LakeReader.readKeysAligned(spark, store, table, hourKeys, d, dvMap))
+            LakeReader.readKeys(spark, store, table, hourKeys, dvMap, eqMap))(d =>
+            LakeReader.readKeysAligned(spark, store, table, hourKeys, d,
+              dvMap, eqMap))
             .drop("_event_hour").localCheckpoint()
           val n = df.count()
           val parts = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
@@ -161,7 +171,9 @@ object LakeMaintenance {
       }
       try LakeVersions.commit(store, table, op = "compact",
         removed = oldKeys, added = dsts.map(_.key), intentId = Some(intentId),
-        dvBasis = oldKeys.map(k => k -> dvMap.get.get(k).map(_.key)).toMap)
+        dvBasis = oldKeys.map(k => k -> dvMap.get.get(k).map(_.key)).toMap,
+        eqBasis = Some(eqList.map(_.key)),
+        dropEqdels = hourRange.isEmpty && eqList.nonEmpty)
       catch { case e: Throwable =>
         // un-publish: our keys never committed, so deleting them (and
         // the intent) restores the exact pre-statement table
@@ -508,6 +520,18 @@ object LakeMaintenance {
     // every per-object job), so a rewrite never resurrects vector-deleted
     // rows; the commit's basis check aborts on a racing MOR statement
     val dvMap = Some(LakeVersions.currentDvs(store, table))
+    // equality deletes: the rewrite reads live rows (filters applied via
+    // readKeys) and CAS-validates the list it read under (eqBasis)
+    val eqList2 = LakeVersions.currentEqdels(store, table)
+    val eqMap2 = Some(LakeEqDeletes.compile(store, table, eqList2))
+    // equality deletes fold the same way: the snapshot reads with the
+    // live filters applied, and a FULL compact (no hour range — every
+    // object rewritten) drops the list at its commit; a partial compact
+    // keeps it (replacements re-filter idempotently — an equality match
+    // already removed stays removed). Resolved once, CAS-validated via
+    // eqBasis like the vector basis.
+    val eqList = LakeVersions.currentEqdels(store, table)
+    val eqMap = Some(LakeEqDeletes.compile(store, table, eqList))
     if (dryRun) {
       // the GDPR dry run: the SAME probe decision, the SAME per-object
       // match rule, nothing mutated — one aggregate job per candidate
@@ -555,8 +579,9 @@ object LakeMaintenance {
           // snapshot the object once; the match count and the rewrite
           // both run off the checkpoint, not a second object read
           val df = declared.fold(
-            LakeReader.readKeys(spark, store, table, Seq(key), dvMap))(d =>
-            LakeReader.readKeysAligned(spark, store, table, Seq(key), d, dvMap))
+            LakeReader.readKeys(spark, store, table, Seq(key), dvMap, eqMap2))(d =>
+            LakeReader.readKeysAligned(spark, store, table, Seq(key), d,
+              dvMap, eqMap2))
             .drop("_event_hour").localCheckpoint()
           val n = df.count()
           val matches = matchRule
@@ -605,7 +630,8 @@ object LakeMaintenance {
         } }
         try LakeVersions.commit(store, table, op = "delete_where",
           removed = removed, added = added, intentId = Some(intentId),
-          dvBasis = removed.map(k => k -> dvMap.get.get(k).map(_.key)).toMap)
+          dvBasis = removed.map(k => k -> dvMap.get.get(k).map(_.key)).toMap,
+          eqBasis = Some(eqList2.map(_.key)))
         catch { case e: Throwable =>
           added.foreach(deleteWithSidecar(store, _))
           store.delete(LakeVersions.intentKey(table, intentId))
@@ -883,8 +909,11 @@ object LakeMaintenance {
     // enough to be listed is by the newer snapshot either referenced by
     // a chain record, covered by a live statement's intent (vector keys
     // ride the MOR intent since round 17), or genuinely orphaned.
-    store.listDirs(LakeDvs.Prefix.stripSuffix("/")).foreach { table =>
-      val dvListed = store.list(LakeDvs.dir(table))
+    (store.listDirs(LakeDvs.Prefix.stripSuffix("/")) ++
+      store.listDirs(LakeEqDeletes.Prefix.stripSuffix("/")))
+      .distinct.foreach { table =>
+      val dvListed = store.list(LakeDvs.dir(table)) ++
+        store.list(LakeEqDeletes.dir(table))
       if (dvListed.nonEmpty) {
         val st = LakeVersions.listDir(store, table)
         // what still READS a vector: the head record's current map, and
@@ -895,9 +924,9 @@ object LakeMaintenance {
         val records = st.gens.flatMap(g =>
           LakeVersions.readRecord(store, table, g))
         val headGen = records.map(_.gen).maxOption.getOrElse(0L)
-        val referenced = records
-          .filter(r => r.gen == headGen || r.live.isDefined)
-          .flatMap(_.dvs.values.map(_.key)).toSet
+        val keepers = records.filter(r => r.gen == headGen || r.live.isDefined)
+        val referenced = keepers.flatMap(_.dvs.values.map(_.key)).toSet ++
+          keepers.flatMap(_.eqdels.map(_.key)).toSet
         val intentCovered = st.intents.flatMap(id =>
           LakeVersions.readIntent(store, table, id).getOrElse(Nil)).toSet
         dvListed.filterNot(referenced).filterNot(intentCovered).foreach { k =>

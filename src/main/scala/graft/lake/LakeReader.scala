@@ -239,11 +239,16 @@ object LakeReader {
     val excl = view.excl
     val listed = listTableKeysUnversioned(store, table, hourRange)
     val keys = if (excl.isEmpty) listed else listed.filterNot(excl)
-    // merge-on-read: objects with a committed delete vector leave the
-    // CSV fast path entirely — they stream through the connector's own
-    // position-aware reader ([[dvRead]]); everything else is unchanged
+    // merge-on-read: objects with a committed delete vector — or inside
+    // a live EQUALITY delete's scope ([[LakeEqDeletes]]) — leave the
+    // CSV fast path entirely: they stream through the connector's own
+    // position/equality-aware reader ([[dvRead]]); everything else is
+    // unchanged
+    val eqCompiled = LakeEqDeletes.compile(store, table, view.eqdels)
+    def eqOf(k: String) = eqCompiled.filter(_.inScope(k)).map(_.filter)
     val dvPairs = keys.collect {
-      case k if view.dvs.contains(k) => (k, view.dvs(k).key) }
+      case k if view.dvs.contains(k) || eqCompiled.exists(_.inScope(k)) =>
+        (k, view.dvs.get(k).map(_.key), eqOf(k)) }
     val dvSet = dvPairs.iterator.map(_._1).toSet
     // Hand Spark the distinct hour/table DIRECTORIES, not every object:
     // at lake scale the per-object path array (millions of entries) is
@@ -318,6 +323,11 @@ object LakeReader {
         "the glob-based readStreamOf would resurrect deleted rows — use " +
         "spark.readStream.format(\"graft-lake\") (vector-aware) instead, " +
         "or CALL lake.system.compact to fold the vectors first")
+    require(LakeVersions.currentEqdels(new HadoopStore(rootUri), table).isEmpty,
+      s"graft-lake: table '$table' carries live equality deletes; the " +
+        "glob-based readStreamOf would resurrect equality-deleted rows — " +
+        "use spark.readStream.format(\"graft-lake\") instead, or CALL " +
+        "lake.system.compact to fold the deletes first")
     val base = spark.readStream
       .schema(schema.structType)
       .options(CodecOptions)
@@ -417,10 +427,16 @@ object LakeReader {
     // reader under their OWN header group (reconcile tables refuse DML,
     // but a table can evolve INTO reconcile reads after MOR statements)
     val dvMap = LakeVersions.currentDvs(store, table)
+    val eqs = LakeEqDeletes.compile(store, table,
+      LakeVersions.currentEqdels(store, table))
+    def eqOf(k: String) = eqs.filter(_.inScope(k)).map(_.filter)
     groups.map { case (sch, ks) =>
       val have = sch.columnNames.toSet
-      val dvPairs = ks.collect { case k if dvMap.contains(k) => (k, dvMap(k).key) }
-      val clean = ks.filterNot(dvMap.contains)
+      val dvPairs = ks.collect {
+        case k if dvMap.contains(k) || eqs.exists(_.inScope(k)) =>
+          (k, dvMap.get(k).map(_.key), eqOf(k)) }
+      val routedSet = dvPairs.iterator.map(_._1).toSet
+      val clean = ks.filterNot(routedSet)
       val csvPart =
         if (clean.isEmpty) None
         else Some(spark.read
@@ -455,11 +471,22 @@ object LakeReader {
     * pass it explicitly. */
   def readKeys(spark: SparkSession, store: Store, table: String,
                keys: Seq[String],
-               dvs: Option[Map[String, LakeVersions.DvRef]] = None): DataFrame = {
+               dvs: Option[Map[String, LakeVersions.DvRef]] = None,
+               // equality deletes to apply ([[LakeEqDeletes]]): None
+               // resolves the CURRENT live list (the right default for
+               // live rewrites); Some(Nil) reads raw physical rows
+               // (sidecar builds); the feed passes a generation's own
+               eq: Option[Seq[LakeEqDeletes.Compiled]] = None): DataFrame = {
     val dvMap = dvs.getOrElse(LakeVersions.currentDvs(store, table))
-    val dvPairs = keys.collect { case k if dvMap.contains(k) => (k, dvMap(k).key) }
+    val eqs = eq.getOrElse(LakeEqDeletes.compile(store, table,
+      LakeVersions.currentEqdels(store, table)))
+    def eqOf(k: String) = eqs.filter(_.inScope(k)).map(_.filter)
+    val dvPairs = keys.collect {
+      case k if dvMap.contains(k) || eqs.exists(_.inScope(k)) =>
+        (k, dvMap.get(k).map(_.key), eqOf(k)) }
+    val routedSet = dvPairs.iterator.map(_._1).toSet
     readPaths(spark, store, table, keys,
-      keys.filterNot(dvMap.contains), ignoreMissing = false, dvPairs = dvPairs)
+      keys.filterNot(routedSet), ignoreMissing = false, dvPairs = dvPairs)
   }
 
   /** `keys` grouped by their OBJECT header (one two-line peek per key) —
@@ -523,16 +550,19 @@ object LakeReader {
     * set already matching `target` takes the plain [[readKeys]] path. */
   def readKeysAligned(spark: SparkSession, store: Store, table: String,
                       keys: Seq[String], target: TableSchema,
-                      dvs: Option[Map[String, LakeVersions.DvRef]] = None): DataFrame = {
-    // resolve the vector map ONCE for all header groups (readKeys would
-    // otherwise re-read the version head per group)
+                      dvs: Option[Map[String, LakeVersions.DvRef]] = None,
+                      eq: Option[Seq[LakeEqDeletes.Compiled]] = None): DataFrame = {
+    // resolve the vector map and eq list ONCE for all header groups
+    // (readKeys would otherwise re-read the version head per group)
     val dvMap = Some(dvs.getOrElse(LakeVersions.currentDvs(store, table)))
+    val eqs = Some(eq.getOrElse(LakeEqDeletes.compile(store, table,
+      LakeVersions.currentEqdels(store, table))))
     val groups = groupKeysByHeader(spark, store, table, keys)
     groups match {
       case Seq((one, ks)) if one.columns == target.columns =>
-        readKeys(spark, store, table, ks, dvMap)
+        readKeys(spark, store, table, ks, dvMap, eqs)
       case gs => gs.map { case (from, ks) =>
-        alignTo(readKeys(spark, store, table, ks, dvMap), from, target)
+        alignTo(readKeys(spark, store, table, ks, dvMap, eqs), from, target)
       }.reduce(_.unionByName(_))
     }
   }
@@ -581,12 +611,24 @@ object LakeReader {
       : Option[ZoneMaps.ObjectStats] =
     if (dvSet.contains(k)) None else ZoneMaps.read(st, k)
 
+  /** Keys whose sidecars cannot speak for their LIVE rows: vectored
+    * objects plus objects inside a live equality delete's scope — both
+    * demote to the scan fallback under the exact-or-absent contract. */
+  private def statDirtySet(store: Store, table: String,
+                           view: LakeVersions.TableView,
+                           keys: Seq[String]): Set[String] =
+    if (view.eqdels.isEmpty) view.dvs.keySet
+    else {
+      val eqs = LakeEqDeletes.compile(store, table, view.eqdels)
+      view.dvs.keySet ++ keys.filter(k => eqs.exists(_.inScope(k)))
+    }
+
   def statsSummary(store: Store, table: String,
                    hourRange: Option[(java.time.Instant, java.time.Instant)] = None)
       : Option[StatsSummary] = {
     val view = LakeVersions.tableView(store, table)
     val keys = listTableKeys(store, table, hourRange, Some(view))
-    val dvSet = view.dvs.keySet
+    val dvSet = statDirtySet(store, table, view, keys)
     // lazy walk: the first unreadable sidecar decides the answer — no
     // point paying the remaining N metadata reads to return None
     val stats = keys.view.map(k => statRead(store, dvSet, k))
@@ -612,7 +654,7 @@ object LakeReader {
     val store = new HadoopStore(rootUri)
     val view = LakeVersions.tableView(store, table)
     val keys = listTableKeys(store, table, hourRange, Some(view))
-    val dvSet = view.dvs.keySet
+    val dvSet = statDirtySet(store, table, view, keys)
     if (keys.isEmpty) None
     else {
       val parts = if (partitions > 0) partitions
@@ -740,13 +782,15 @@ object LakeReader {
     val byHour = groupKeysByHour(keys)
     val meta: Map[java.time.Instant, Option[StatsSummary]] =
       (if (keys.length <= sidecarDistributeAbove)
-         hourDriverWalk(store, byHour, view.dvs.keySet)
-       else hourDistributedWalk(spark, rootUri, keys, dvSet = view.dvs.keySet))
+         hourDriverWalk(store, byHour, statDirtySet(store, table, view, keys))
+       else hourDistributedWalk(spark, rootUri, keys,
+         dvSet = statDirtySet(store, table, view, keys)))
         .toMap
     val tornKeys = byHour.collect { case (h, ks) if meta(h).isEmpty => ks }.flatten
     val scanned: Map[java.time.Instant, StatsSummary] =
       if (tornKeys.isEmpty) Map.empty
-      else scannedHourSummaries(spark, store, table, tornKeys, view.dvs)
+      else scannedHourSummaries(spark, store, table, tornKeys, view.dvs,
+        LakeEqDeletes.compile(store, table, view.eqdels))
     byHour.map { case (h, _) =>
       meta(h) match {
         case Some(s) => (h, s, true)
@@ -759,11 +803,16 @@ object LakeReader {
     * scan half of [[statsByHourHybrid]]. */
   private def scannedHourSummaries(spark: SparkSession, store: Store,
       table: String, keys: Seq[String],
-      dvs: Map[String, LakeVersions.DvRef] = Map.empty)
+      dvs: Map[String, LakeVersions.DvRef] = Map.empty,
+      eqs: Seq[LakeEqDeletes.Compiled] = Nil)
       : Map[java.time.Instant, StatsSummary] = {
     val schema = peekSchema(store, keys.head, table)
-    val dvPairs = keys.collect { case k if dvs.contains(k) => (k, dvs(k).key) }
-    val df = readPaths(spark, store, table, keys, keys.filterNot(dvs.contains),
+    def eqOf(k: String) = eqs.filter(_.inScope(k)).map(_.filter)
+    val dvPairs = keys.collect {
+      case k if dvs.contains(k) || eqs.exists(_.inScope(k)) =>
+        (k, dvs.get(k).map(_.key), eqOf(k)) }
+    val routedSet = dvPairs.iterator.map(_._1).toSet
+    val df = readPaths(spark, store, table, keys, keys.filterNot(routedSet),
       ignoreMissing = false, dvPairs = dvPairs)
     val tracked: Set[ColType] = Set(ColType.CInteger, ColType.CFloat, ColType.CTime)
     val aggs = schema.columns.flatMap { case (n, t) =>
@@ -1321,11 +1370,18 @@ object LakeReader {
           org.apache.spark.sql.functions.lit(null).cast("timestamp"))
       (empty, report)
     } else {
-      // merge-on-read: vectored kept objects leave the CSV path (one
-      // head-record read decides; a never-MOR table resolves empty)
+      // merge-on-read: vectored/eq-scoped kept objects leave the CSV
+      // path (one head-record read decides; a never-MOR table resolves
+      // empty)
       val dvMap = LakeVersions.currentDvs(store, table)
-      val dvPairs = kept.collect { case k if dvMap.contains(k) => (k, dvMap(k).key) }
-      (readPaths(spark, store, table, kept, kept.filterNot(dvMap.contains),
+      val eqs = LakeEqDeletes.compile(store, table,
+        LakeVersions.currentEqdels(store, table))
+      def eqOf(k: String) = eqs.filter(_.inScope(k)).map(_.filter)
+      val dvPairs = kept.collect {
+        case k if dvMap.contains(k) || eqs.exists(_.inScope(k)) =>
+          (k, dvMap.get(k).map(_.key), eqOf(k)) }
+      val routedSet = dvPairs.iterator.map(_._1).toSet
+      (readPaths(spark, store, table, kept, kept.filterNot(routedSet),
         ignoreMissing = false, dvPairs = dvPairs), report)
     }
   }
@@ -1391,10 +1447,12 @@ object LakeReader {
   private def readPaths(spark: SparkSession, store: Store, table: String,
                         keys: Seq[String], relPaths: Seq[String],
                         ignoreMissing: Boolean,
-                        // (object key, vector key) pairs routed through
-                        // the position-aware reader instead of the CSV
-                        // fast path; relPaths must already EXCLUDE them
-                        dvPairs: Seq[(String, String)] = Nil): DataFrame = {
+                        // (object key, vector key, eq filters) triples
+                        // routed through the position/equality-aware
+                        // reader instead of the CSV fast path; relPaths
+                        // must already EXCLUDE them
+                        dvPairs: Seq[(String, Option[String], Seq[LakeEqDeletes.Filter])] = Nil)
+      : DataFrame = {
     val rootUri = store.rootUri
     require(keys.nonEmpty, s"no lake objects for table $table under $rootUri")
     val schema = peekSchema(store, keys.head, table)
@@ -1421,7 +1479,8 @@ object LakeReader {
     * codecs are spec-pinned identical). A referenced-but-unreadable
     * vector fails LOUDLY in-task (the [[LakeDvs.read]] contract). */
   private def dvRead(spark: SparkSession, rootUri: String, table: String,
-                     schema: TableSchema, dvPairs: Seq[(String, String)],
+                     schema: TableSchema,
+                     dvPairs: Seq[(String, Option[String], Seq[LakeEqDeletes.Filter])],
                      ignoreMissing: Boolean): DataFrame = {
     val struct = org.apache.spark.sql.types.StructType(
       schema.structType.fields :+
@@ -1429,14 +1488,14 @@ object LakeReader {
           org.apache.spark.sql.types.TimestampType, nullable = true))
     val rdd = spark.sparkContext
       .parallelize(dvPairs, math.max(1, math.min(dvPairs.size, 256)))
-      .flatMap { case (k, dvKey) =>
+      .flatMap { case (k, dvKey, eqs) =>
         if (!ignoreMissing)
           require(new HadoopStore(rootUri).exists(k),
             s"lake object $k vanished under a snapshot read (vectored) — " +
               "a maintenance job raced this statement")
         val reader = new LakeObjectReader(rootUri, schema, struct,
           LakeInputPartition(k, LakeKeys.parseKey(k).get._1.toEpochMilli,
-            Some(dvKey)))
+            dvKey), eqs = eqs)
         new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
           private var ready = false
           private var done = false

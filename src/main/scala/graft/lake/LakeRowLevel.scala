@@ -333,12 +333,30 @@ object LakeRowLevel {
                     schema: TableSchema, md: MetaDelete,
                     evolved: Boolean = false): Unit = md match {
     case DeleteByProbe(ps, hr) =>
-      val p = policyFor(store, table, schema)
       val types = schema.columns.toMap
-      LakeMaintenance.deleteWhereMulti(spark, store, table,
-        ps.map { case (c, vs) => (c, vs.map(coerce(types(c), _))) }, hr,
-        gzip = p.gzip, zoneMaps = p.zoneMaps, bloomColumns = p.bloomColumns,
-        declared = if (evolved) Some(schema) else None)
+      // MERGE-ON-READ tables route the canonical GDPR shape — ONE
+      // column's equality/IN probe, unbounded hours — to an EQUALITY
+      // DELETE ([[LakeEqDeletes]]): one small file + one CAS, O(1)
+      // writes where the probe rewrite opens O(matching objects).
+      // Everything else (multi-column, hour-bounded, ineligible types)
+      // keeps the bloom-bounded rewrite — still exact.
+      val eqEligible = hr.isEmpty && ps.size == 1 && {
+        val (c, vs) = ps.head
+        LakeDvs.isMor(store, table) && LakeEqDeletes.eligible(types(c)) &&
+          vs.nonEmpty && vs.forall(v =>
+            LakeEqDeletes.wireForm(types(c), coerce(types(c), v)).isDefined)
+      }
+      if (eqEligible) {
+        val (c, vs) = ps.head
+        executeEqDelete(store, table, schema, c,
+          vs.map(v => LakeEqDeletes.wireForm(types(c), coerce(types(c), v)).get))
+      } else {
+        val p = policyFor(store, table, schema)
+        LakeMaintenance.deleteWhereMulti(spark, store, table,
+          ps.map { case (c, vs) => (c, vs.map(coerce(types(c), _))) }, hr,
+          gzip = p.gzip, zoneMaps = p.zoneMaps, bloomColumns = p.bloomColumns,
+          declared = if (evolved) Some(schema) else None)
+      }
     case DeleteByHours(from, to) =>
       val hr = Some((from.getOrElse(Instant.EPOCH),
         to.getOrElse(Instant.parse("9999-01-01T00:00:00Z"))))
@@ -351,6 +369,63 @@ object LakeRowLevel {
       val mine = ks.filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
         .filter(store.exists)
       if (mine.nonEmpty) dmlRetire(spark, store, table, mine)
+  }
+
+  /** The EQUALITY-DELETE write (see [[LakeEqDeletes]]): freeze the
+    * boundary-hour key list, stage the file behind an intent (so an
+    * expire/janitor sweep racing the pre-CAS window spares it — the
+    * same cover the MOR vector publish carries), CAS the generation
+    * with the new reference. Rows appended CONCURRENTLY with this
+    * statement serialize after it (the CAS is the commit point; an
+    * append has none), so they survive — the standard DELETE-vs-INSERT
+    * serialization. Future-dated objects (explicit flush time above
+    * the current hour) would sit outside the scope watermark, so their
+    * presence falls this statement back to the exact probe rewrite —
+    * checked cheaply via the bounded hour walk. */
+  private def executeEqDelete(store: Store, table: String,
+                              schema: TableSchema, colName: String,
+                              wireValues: Seq[String]): Unit = {
+    val now = Instant.now()
+    val upToHour = LakeKeys.datePrefix(now)
+    val futureHours = LakeReader.walkHourPrefixes(store,
+      after = Some(LakeKeys.datePrefix(now.plus(1, ChronoUnit.HOURS))))
+    val hasFuture = futureHours.exists(h =>
+      store.list(s"$h/$table").exists(k =>
+        LakeKeys.parseKey(k).exists(_._2 == table)))
+    if (hasFuture) {
+      // future-dated data cannot be scoped by the hour watermark —
+      // exactness wins: take the probe rewrite instead
+      val p = policyFor(store, table, schema)
+      val t = schema.columns.toMap.apply(colName)
+      LakeMaintenance.deleteWhereMulti(SparkSession.active, store, table,
+        Seq((colName, wireValues.map(wireBack(t, _)))), None,
+        gzip = p.gzip, zoneMaps = p.zoneMaps, bloomColumns = p.bloomColumns)
+      return
+    }
+    val boundary = store.list(s"$upToHour/$table")
+      .filter(k => LakeKeys.parseKey(k).exists(_._2 == table))
+    val eqKey = LakeEqDeletes.freshKey(table)
+    val intentId = java.util.UUID.randomUUID().toString
+    LakeVersions.writeIntent(store, table, intentId, Seq(eqKey))
+    LakeEqDeletes.write(store, eqKey, table, colName, wireValues,
+      upToHour, boundary)
+    try LakeVersions.commit(store, table, op = "delete_eq", removed = Nil,
+      intentId = Some(intentId),
+      eqdelAdds = Seq(LakeEqDeletes.EqRef(eqKey, colName,
+        wireValues.size.toLong, upToHour)))
+    catch { case e: Throwable =>
+      store.delete(eqKey)
+      store.delete(LakeVersions.intentKey(table, intentId))
+      throw e
+    }
+  }
+
+  /** Wire string → the runtime value [[LakeMaintenance.deleteWhereMulti]]
+    * frames compare with (the fallback path above). */
+  private def wireBack(t: ColType, s: String): Any = t match {
+    case ColType.CInteger => java.lang.Long.valueOf(s)
+    case ColType.CBoolean => java.lang.Boolean.valueOf(s)
+    case _ => s
   }
 
   /** Whole-object removal as a SQL DML statement: versioned commit
@@ -522,7 +597,11 @@ final class LakeCowWrite(rootUri: String, lakeSchema: TableSchema,
         dvBasis = {
           val basis = op.cowScan.plannedDvs
           retired.map(k => k -> basis.get(k).map(_.key)).toMap
-        })
+        },
+        // …and under its resolved equality-delete list: a racing
+        // equality DELETE aborts this rewrite rather than having its
+        // rows republished by it
+        eqBasis = Some(op.cowScan.plannedEqdels))
       catch { case e: Throwable =>
         // un-publish: nothing committed, so deleting our renamed keys
         // (and the intent) restores the exact pre-statement table

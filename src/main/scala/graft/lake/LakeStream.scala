@@ -356,11 +356,28 @@ final class LakeMicroBatchStream(rootUri: String, table: String,
     // semantics, the same contract as whole-object retirement racing a
     // stream); replaying a checkpointed batch after a newer vector lands
     // re-reads under the newer vector — the same class of maintenance
-    // race as the reader's missing-object tolerance, documented there
+    // race as the reader's missing-object tolerance, documented there.
+    // EQUALITY deletes apply the same way: an undelivered in-scope
+    // object delivers with the filters applied (inline on the
+    // partition — the factory outlives the eq list); already-delivered
+    // rows are append-only history, the ordinary CDC posture.
+    val eqCompiled = compiledEqs(chainNow.eqdels)
     kept.map { k =>
       LakeInputPartition(k, LakeKeys.parseKey(k).get._1.toEpochMilli,
-        dvs.get(k).map(_.key))
+        dvs.get(k).map(_.key),
+        eqInline = eqCompiled.filter(_.inScope(k)).map(_.filter))
     }.toArray
+  }
+
+  /** Equality-delete files are immutable — compile each once per stream
+    * lifetime, keyed by file key (the same caching contract as the
+    * chain cache's records). */
+  private val eqCache =
+    scala.collection.mutable.Map.empty[String, LakeEqDeletes.Compiled]
+  private def compiledEqs(refs: Seq[LakeEqDeletes.EqRef])
+      : Seq[LakeEqDeletes.Compiled] = synchronized {
+    refs.map(r => eqCache.getOrElseUpdate(r.key,
+      LakeEqDeletes.read(store, r, table)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -123,7 +123,13 @@ object LakeVersions {
                              // commit (strict single-header snapshot),
                              // None = a pre-r16 record (readers fall
                              // back to current-declared resolution)
-                             schemaV: Option[Long] = None)
+                             schemaV: Option[Long] = None,
+                             // the LIVE equality deletes AT this
+                             // generation (cumulative, like dvs/
+                             // tombstones — each commit carries the
+                             // whole current list forward; compact's
+                             // fold drops them) — [[LakeEqDeletes]]
+                             eqdels: Seq[LakeEqDeletes.EqRef] = Nil)
 
   // ------------------------------------------------------------- wire
 
@@ -149,6 +155,9 @@ object LakeVersions {
       if (r.dvs.nonEmpty)
         section("dvs", r.dvs.toSeq.sortBy(_._1).map { case (obj, dv) =>
           s"$obj ${dv.key} ${dv.count}" })
+      if (r.eqdels.nonEmpty)
+        section("eqdels", r.eqdels.map(e =>
+          s"${e.key} ${e.col} ${e.count} ${e.upToHour}"))
       r.schemaV.foreach(v => section("schemav", Seq(v.toString)))
       section("tombstones", r.tombstones)
       r.live match {
@@ -186,7 +195,7 @@ object LakeVersions {
       // (its semantics are unknown, and half-reading a commit is worse
       // than treating it as torn)
       val Known = Set("removed", "added", "inserted", "sources", "dvs",
-        "schemav", "tombstones", "live")
+        "eqdels", "schemav", "tombstones", "live")
       val sections = scala.collection.mutable.Map.empty[String, Option[Seq[String]]]
       var line = Option(rd.readLine()).getOrElse(return None)
       while (line != "end") {
@@ -211,6 +220,12 @@ object LakeVersions {
           if (p.length != 3) return None
           p(0) -> DvRef(p(1), p(2).toLong)
         }.toMap
+      val eqdels: Seq[LakeEqDeletes.EqRef] =
+        sections.get("eqdels").flatten.getOrElse(Nil).map { l =>
+          val p = l.split(' ')
+          if (p.length != 4) return None
+          LakeEqDeletes.EqRef(p(0), p(1), p(2).toLong, p(3))
+        }
       for {
         removed <- sections.get("removed").flatten
         added <- sections.get("added").flatten
@@ -223,7 +238,8 @@ object LakeVersions {
         sources = sections.get("sources").flatten.getOrElse(Nil),
         dvs = dvs,
         schemaV = sections.get("schemav").flatten
-          .flatMap(_.headOption).map(_.toLong))
+          .flatMap(_.headOption).map(_.toLong),
+        eqdels = eqdels)
     } catch { case _: Exception => None }
     finally { try raw.close() catch { case _: Exception => () } }
   }
@@ -282,7 +298,8 @@ object LakeVersions {
     * same listing+head reads [[exclusions]] always cost): the keys to
     * exclude AND the current delete-vector map — so a scan that must
     * consult both never pays the version directory twice. */
-  final case class TableView(excl: Set[String], dvs: Map[String, DvRef])
+  final case class TableView(excl: Set[String], dvs: Map[String, DvRef],
+                             eqdels: Seq[LakeEqDeletes.EqRef] = Nil)
 
   def tableView(store: Store, table: String): TableView = {
     val st = listDir(store, table)
@@ -303,7 +320,8 @@ object LakeVersions {
           .flatMap(id => readIntent(store, table, id)).flatten.toSet
       }
     TableView(h.map(_.tombstones.toSet).getOrElse(Set.empty) ++ pending,
-      h.map(_.dvs).getOrElse(Map.empty))
+      h.map(_.dvs).getOrElse(Map.empty),
+      h.map(_.eqdels).getOrElse(Nil))
   }
 
   /** One refreshed view of the chain for a long-lived reader: the
@@ -313,7 +331,8 @@ object LakeVersions {
   final case class CachedChain(view: TableView,
                                provenance: Map[String, Seq[String]],
                                dvs: Map[String, DvRef],
-                               headGen: Long)
+                               headGen: Long,
+                               eqdels: Seq[LakeEqDeletes.EqRef] = Nil)
 
   /** READER-LIFETIME cache of one table's version chain — the streaming
     * source's answer to per-trigger metadata amplification (round 16's
@@ -389,11 +408,13 @@ object LakeVersions {
         .foreach(intentCache.remove)
       val c = CachedChain(
         TableView(h.map(_.tombstones.toSet).getOrElse(Set.empty) ++ pending,
-          h.map(_.dvs).getOrElse(Map.empty)),
+          h.map(_.dvs).getOrElse(Map.empty),
+          h.map(_.eqdels).getOrElse(Nil)),
         records.values.flatMap(r =>
           r.added.map(_ -> (r.removed ++ r.sources))).toMap,
         h.map(_.dvs).getOrElse(Map.empty),
-        h.map(_.gen).getOrElse(0L))
+        h.map(_.gen).getOrElse(0L),
+        h.map(_.eqdels).getOrElse(Nil))
       cached = Some(c)
       c
     }
@@ -407,11 +428,28 @@ object LakeVersions {
     else head(store, table, st).map(_.dvs).getOrElse(Map.empty)
   }
 
+  /** The live equality deletes NOW (head record) — empty for any table
+    * no equality DELETE ever touched. */
+  def currentEqdels(store: Store, table: String): Seq[LakeEqDeletes.EqRef] = {
+    val st = listDir(store, table)
+    if (st.gens.isEmpty) Nil
+    else head(store, table, st).map(_.eqdels).getOrElse(Nil)
+  }
+
   /** The delete-vector map AT generation `gen` — the time-travel
     * complement of [[liveAt]] (a retained snapshot's rows are its live
     * keys MINUS that generation's vectors). */
   def dvsAt(store: Store, table: String, gen: Long): Map[String, DvRef] =
     readRecord(store, table, gen).map(_.dvs).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake: no generation $gen for table '$table' — it never " +
+          "committed, or CALL lake.system.expire_versions reclaimed it " +
+          s"(present: ${listDir(store, table).gens.mkString(", ")})"))
+
+  /** The live equality deletes AT generation `gen` — the time-travel
+    * complement of [[dvsAt]] for the equality MOR shape. */
+  def eqdelsAt(store: Store, table: String, gen: Long): Seq[LakeEqDeletes.EqRef] =
+    readRecord(store, table, gen).map(_.eqdels).getOrElse(
       throw new IllegalArgumentException(
         s"graft-lake: no generation $gen for table '$table' — it never " +
           "committed, or CALL lake.system.expire_versions reclaimed it " +
@@ -502,7 +540,19 @@ object LakeVersions {
              // racing merge-on-read commit that changed a vector under
              // the rewrite aborts it LOUDLY — republishing rows read
              // under a stale vector would resurrect deleted rows
-             dvBasis: Map[String, Option[String]] = Map.empty): GenRecord = {
+             dvBasis: Map[String, Option[String]] = Map.empty,
+             // equality deletes to APPEND to the live list (one commit
+             // = one or more new eq-delete files)
+             eqdelAdds: Seq[LakeEqDeletes.EqRef] = Nil,
+             // compact's fold: the statement rewrote every in-scope
+             // object with the filters applied — the live list resets
+             dropEqdels: Boolean = false,
+             // the eq-delete file keys the statement's scan was planned
+             // under: a racing equality delete that changed the list
+             // aborts this rewrite LOUDLY (republishing rows read under
+             // a stale filter would resurrect equality-deleted rows) —
+             // the eq twin of dvBasis
+             eqBasis: Option[Seq[String]] = None): GenRecord = {
     val removedD = removed.distinct
     var attempt = 0
     while (true) {
@@ -529,6 +579,17 @@ object LakeVersions {
               "statement; re-run it against the current table state.")
       }
       val parentDvs = h.map(_.dvs).getOrElse(Map.empty)
+      val parentEqdels = h.map(_.eqdels).getOrElse(Nil)
+      eqBasis.foreach { basis =>
+        if (parentEqdels.map(_.key).sorted != basis.sorted)
+          throw new LakeConcurrentModificationException(
+            s"graft-lake $op on '$table': the table's equality-delete " +
+              s"list changed under this statement (scanned under " +
+              s"${basis.size}, now ${parentEqdels.size} at gen $headGen) " +
+              "— a concurrent equality DELETE raced this rewrite. The " +
+              "statement aborted with no effect; re-run it against the " +
+              "current table state.")
+      }
       if (dvBasis.nonEmpty) {
         val drift = dvBasis.collect {
           case (obj, expected) if parentDvs.get(obj).map(_.key) != expected => obj
@@ -606,7 +667,8 @@ object LakeVersions {
         (keptTombs ++ removedD).distinct, live,
         at = System.currentTimeMillis(),
         sources = sources.distinct, dvs = nextDvs,
-        schemaV = Some(schemaV))
+        schemaV = Some(schemaV),
+        eqdels = (if (dropEqdels) Nil else parentEqdels) ++ eqdelAdds)
       beforeCasHook(table)
       val won =
         try { writeRecord(store, genKey(table, rec.gen), rec); true }
@@ -865,12 +927,17 @@ object LakeVersions {
     // crashed), referenced by a record now on the chain (→ spared), or
     // an aborted statement's file already deleted (idempotent).
     val neededDvs: Set[String] =
-      keptRecords.flatMap(_.dvs.values.map(_.key)).toSet
-    val dvListed = store.list(LakeDvs.dir(table))
+      keptRecords.flatMap(_.dvs.values.map(_.key)).toSet ++
+        keptRecords.flatMap(_.eqdels.map(_.key)).toSet
+    val dvListed = store.list(LakeDvs.dir(table)) ++
+      store.list(LakeEqDeletes.dir(table))
     val st2 = listDir(store, table)
-    val commitsSince: Set[String] = st2.gens.filterNot(st.gens.toSet)
-      .flatMap(g => readRecord(store, table, g))
-      .flatMap(_.dvs.values.map(_.key)).toSet
+    val commitsSince: Set[String] = {
+      val recs = st2.gens.filterNot(st.gens.toSet)
+        .flatMap(g => readRecord(store, table, g))
+      recs.flatMap(_.dvs.values.map(_.key)).toSet ++
+        recs.flatMap(_.eqdels.map(_.key)).toSet
+    }
     val intentCovered: Set[String] = st2.intents
       .flatMap(id => readIntent(store, table, id).getOrElse(Nil)).toSet
     val dvReclaim = dvListed.filterNot(neededDvs)

@@ -81,6 +81,16 @@ object LakeWriter {
     if (keyPrefix.isEmpty)
       Manifests.invalidateIfCovers(new HadoopStore(rootUri), table,
         LakeKeys.datePrefix(flushTime))
+    // equality-delete scope guard: a direct backfill (explicit PAST
+    // flushTime) landing below a live equality delete's watermark would
+    // be wrongly matched by it — refused loudly, compact is the remedy
+    // ([[LakeEqDeletes.guardBackfill]]). The common now-hour flush never
+    // pays the chain consult; staged writes (keyPrefix) publish through
+    // a protocol commit that carries its own basis validation.
+    if (keyPrefix.isEmpty &&
+        LakeKeys.datePrefix(flushTime) < LakeKeys.datePrefix(Instant.now()))
+      LakeEqDeletes.guardBackfill(new HadoopStore(rootUri), table,
+        LakeKeys.datePrefix(flushTime))
 
     aligned.rdd.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty

@@ -4226,6 +4226,76 @@ object Pipeline {
              |  min(event_id) AS min_id, max(event_id) AS max_id
              |FROM live""".stripMargin)),
 
+    // ---------------- equality deletes (l39)
+    // Iceberg-v2's OTHER merge-on-read shape ([[graft.lake
+    // .LakeEqDeletes]]): `DELETE WHERE user_id = X` on a MOR table
+    // writes ONE small value file + one CAS — O(1) writes where
+    // position vectors cost one publish per containing object — and
+    // every read subtracts matching rows until compact folds. Gates
+    // pin the O(1) claim (exactly one `_eqdel` file per statement,
+    // zero data objects added/removed/rewritten, no vectors), the
+    // scope rule (a post-delete insert with a deleted user_id
+    // SURVIVES — the watermark+boundary sequencing), and that the
+    // aggregate answer stays exact through the pushed scan. Oracle:
+    // closed-form from the parquet (deleted users excluded, the
+    // post-delete insert added back).
+    "l39_lake_eq_delete" -> QueryDef(
+      (s, dir) => {
+        import graft.lake.{LakeCatalog, LakeEqDeletes, LakeReader, LakeVersions, LakeWriter}
+        import graft.types.{ColType, TableSchema}
+        val schema = TableSchema("events_eq", Seq(
+          "event_id" -> ColType.CInteger, "user_id" -> ColType.CInteger,
+          "vc" -> ColType.CInteger))
+        val root = rtSlot("graft-eq-lake", dir)
+        val store = new graft.lake.HadoopStore(root)
+        store.deletePrefix("")
+        val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        for (h <- 0 until 2)
+          LakeWriter.write(
+            ev.filter(pmod(col("event_id"), lit(2)) === h)
+              .repartitionByRange(4, col("event_id")),
+            schema, root, java.time.Instant.parse(f"2024-06-01T0$h%d:00:00Z"),
+            zoneMaps = true, bloomColumns = Seq("user_id"))
+        val cat = s"l39cat${math.abs(root.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CALL $cat.system.set_dml_mode(table => 'events_eq', " +
+          "mode => 'merge-on-read')").collect()
+        val before = LakeReader.listTableKeys(store, "events_eq", None).toSet
+        // the GDPR statement: one IN-list equality DELETE
+        s.sql(s"DELETE FROM $cat.events_eq WHERE user_id IN (11, 12, 13)")
+        val after = LakeReader.listTableKeys(store, "events_eq", None).toSet
+        require(before == after,
+          "an equality delete must not add, remove, or rewrite any object")
+        require(store.list(LakeEqDeletes.dir("events_eq")).size == 1,
+          "exactly ONE equality-delete file per statement (the O(1) claim)")
+        require(LakeVersions.currentDvs(store, "events_eq").isEmpty,
+          "no position vectors on the equality path")
+        require(LakeVersions.currentEqdels(store, "events_eq")
+          .exists(e => e.col == "user_id" && e.count == 3L),
+          "the generation record must reference the delete")
+        // sequencing: a LATER insert with a deleted user_id survives
+        import s.implicits._
+        LakeWriter.write(
+          Seq((40000000000L, 12L, 555L)).toDF("event_id", "user_id", "vc"),
+          schema, root)
+        s.table(s"$cat.events_eq")
+          .agg(count(lit(1)).as("n_rows"), sum("vc").as("sum_vc"),
+            sum("user_id").as("sum_uid"),
+            min("event_id").as("min_id"), max("event_id").as("max_id"))
+      },
+      Some("""WITH live AS (
+             |  SELECT event_id, user_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+             |  FROM events WHERE user_id NOT IN (11, 12, 13)
+             |  UNION ALL SELECT 40000000000, 12, 555)
+             |SELECT count(*) AS n_rows,
+             |  CAST(sum(vc) AS BIGINT) AS sum_vc,
+             |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+             |  min(event_id) AS min_id, max(event_id) AS max_id
+             |FROM live""".stripMargin)),
+
     // ---------------- write-audit-publish (l38)
     // The staged-batch workflow (LakeDvs sibling feature, r16): an
     // audited append lands INVISIBLY (plain reads and COUNT pushdown

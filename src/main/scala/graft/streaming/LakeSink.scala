@@ -187,8 +187,37 @@ object LakeSink {
             seed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           (id, graft.lake.LakeKeys.objectKey(schema.name, flushTime, id, gzip))
         }
+        // MERGE-ON-READ × REPLAY guard (round 17): a replayed epoch
+        // REWRITES its deterministic keys — safe for plain appends and
+        // under equality deletes (value-based filters re-apply to the
+        // replayed rows identically), but NOT for keys a committed DML
+        // statement has since TOMBSTONED (the rewrite would resurrect a
+        // retired object) or VECTORED (positions were computed against
+        // the first attempt's bytes; a rewrite under them corrupts).
+        // One exists() probe detects the replay; only then is the chain
+        // consulted. Failing here is deliberate and loud — the remedy
+        // is compaction (which folds vectors and re-keys the data),
+        // never a silent rewrite.
+        val replayView: Option[graft.lake.LakeVersions.TableView] =
+          if (store.exists(epochKey(0)._2))
+            Some(graft.lake.LakeVersions.tableView(store, schema.name))
+          else None
+        def chainGuard(k: String, rewriting: Boolean): Unit =
+          replayView.foreach { view =>
+            // a rewrite is unsafe under EITHER mark; a leftover DELETE
+            // only under a vector (deleting a tombstoned leftover just
+            // finishes the interrupted retire)
+            require(!view.dvs.contains(k) &&
+                !(rewriting && view.excl.contains(k)),
+              s"graft-lake sink: replaying epoch $epochId would " +
+                s"${if (rewriting) "rewrite" else "delete"} $k, which a " +
+                "committed DML statement has since tombstoned or " +
+                "vectored — that would corrupt. CALL lake.system.compact " +
+                s"on '${schema.name}', then restart the stream.")
+          }
         val published = written.sortBy(_.key).zipWithIndex.map { case (w, i) =>
           val (id, dst) = epochKey(i)
+          chainGuard(dst, rewriting = true)
           store.rename(w.key, dst)
           // the sidecar is staged+renamed EXACTLY like its data object, so
           // the whole replay/heal protocol below carries it for free. With
@@ -227,6 +256,10 @@ object LakeSink {
         while (moreLeftovers) {
           val (_, k) = epochKey(extra)
           if (store.exists(k)) {
+            // deleting a VECTORED leftover would dangle its committed
+            // mapping (tombstoned is fine — deletion finishes the
+            // retire); the replay guard covers it
+            chainGuard(k, rewriting = false)
             store.delete(k)
             graft.lake.ZoneMaps.deleteSidecarSignaled(store, k,
               "graft.LakeSink leftover-cleanup")
