@@ -814,7 +814,7 @@ private[lake] object LakeProcedures {
           UTF8String.fromString(r.op),
           Integer.valueOf(r.removed.size), Integer.valueOf(r.added.size),
           Integer.valueOf(r.inserted.size),
-          java.lang.Boolean.valueOf(r.live.isDefined),
+          java.lang.Boolean.valueOf(LakeVersions.isSnapshot(r)),
           java.lang.Long.valueOf(r.at * 1000L)) // millis -> micros
       }
       resultRows(StructType(Seq(

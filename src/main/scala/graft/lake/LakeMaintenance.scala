@@ -924,7 +924,8 @@ object LakeMaintenance {
         val records = st.gens.flatMap(g =>
           LakeVersions.readRecord(store, table, g))
         val headGen = records.map(_.gen).maxOption.getOrElse(0L)
-        val keepers = records.filter(r => r.gen == headGen || r.live.isDefined)
+        val keepers = records.filter(r =>
+          r.gen == headGen || LakeVersions.isSnapshot(r))
         val referenced = keepers.flatMap(_.dvs.values.map(_.key)).toSet ++
           keepers.flatMap(_.eqdels.map(_.key)).toSet
         val intentCovered = st.intents.flatMap(id =>

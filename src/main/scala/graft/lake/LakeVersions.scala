@@ -129,7 +129,21 @@ object LakeVersions {
                              // tombstones — each commit carries the
                              // whole current list forward; compact's
                              // fold drops them) — [[LakeEqDeletes]]
-                             eqdels: Seq[LakeEqDeletes.EqRef] = Nil)
+                             eqdels: Seq[LakeEqDeletes.EqRef] = Nil,
+                             // DELTA-encoded retained snapshot (round
+                             // 17): Some(keys) = this is a retained
+                             // commit whose live set derives from the
+                             // parent's (live(parent) − removed + added
+                             // + inserted + appended, where `appended`
+                             // is the plain appends that landed between
+                             // the two commits — they have no record of
+                             // their own); None + live=Some = a full
+                             // CHECKPOINT; None + live=None = not
+                             // retained. [[resolveLiveAt]] walks to the
+                             // nearest checkpoint — O(checkpoint
+                             // interval) record reads, never O(live
+                             // objects) record WRITES per commit.
+                             appended: Option[Seq[String]] = None)
 
   // ------------------------------------------------------------- wire
 
@@ -159,6 +173,7 @@ object LakeVersions {
         section("eqdels", r.eqdels.map(e =>
           s"${e.key} ${e.col} ${e.count} ${e.upToHour}"))
       r.schemaV.foreach(v => section("schemav", Seq(v.toString)))
+      r.appended.foreach(a => section("appended", a))
       section("tombstones", r.tombstones)
       r.live match {
         case Some(l) => section("live", l)
@@ -195,7 +210,7 @@ object LakeVersions {
       // (its semantics are unknown, and half-reading a commit is worse
       // than treating it as torn)
       val Known = Set("removed", "added", "inserted", "sources", "dvs",
-        "eqdels", "schemav", "tombstones", "live")
+        "eqdels", "schemav", "appended", "tombstones", "live")
       val sections = scala.collection.mutable.Map.empty[String, Option[Seq[String]]]
       var line = Option(rd.readLine()).getOrElse(return None)
       while (line != "end") {
@@ -239,7 +254,8 @@ object LakeVersions {
         dvs = dvs,
         schemaV = sections.get("schemav").flatten
           .flatMap(_.headOption).map(_.toLong),
-        eqdels = eqdels)
+        eqdels = eqdels,
+        appended = sections.get("appended").flatten)
     } catch { case _: Exception => None }
     finally { try raw.close() catch { case _: Exception => () } }
   }
@@ -645,10 +661,38 @@ object LakeVersions {
           }
           Nil
         }
-      val live =
+      // RETAINED SNAPSHOT, delta-encoded (round 17, the scale fix for
+      // "every retained commit writes O(live objects) metadata"): the
+      // record's own removed/added/inserted already describe the
+      // transition — what they miss is the PLAIN APPENDS that landed
+      // since the parent (appends commit no generation). So a retained
+      // commit resolves the parent's live set (a record-walk to the
+      // nearest checkpoint, never a listing), diffs it against the
+      // current listing to capture the appends, and writes ONLY that
+      // delta; every `LiveCheckpointEvery`-th generation (and any
+      // commit whose parent cannot resolve, or where objects VANISHED
+      // outside the protocol) writes the full list as a checkpoint.
+      // A million-object table's retained commit now writes keys
+      // proportional to the CHANGE, and [[liveAt]] reads O(checkpoint
+      // interval) records.
+      var appendedDelta: Option[Seq[String]] = None
+      val live: Option[Seq[String]] =
         if (!st.retain) None
-        else Some((LakeReader.listTableKeys(store, table, None)
-          .filterNot(removedD.toSet) ++ added ++ inserted).distinct.sorted)
+        else {
+          val listing = LakeReader.listTableKeys(store, table, None)
+          val full = (listing.filterNot(removedD.toSet) ++ added ++ inserted)
+            .distinct.sorted
+          val checkpointDue = (headGen + 1) % LiveCheckpointEvery == 0L
+          val parentLive = if (checkpointDue) None
+            else h.flatMap(ph => resolveLiveOpt(store, table, ph))
+          parentLive match {
+            case Some(pl) if (pl.toSet -- listing.toSet).isEmpty =>
+              appendedDelta = Some((listing.toSet -- pl).toSeq.sorted)
+              None // delta record: live derives from the parent chain
+            case _ => Some(full) // checkpoint (cadence, unresolvable
+              // parent, or an out-of-protocol vanish — trust the listing)
+          }
+        }
       // the dv map carries forward MINUS removed objects (a rewritten/
       // retired object's vector dies with it — readers read its rows
       // vector-applied through readKeys, so replacements hold only live
@@ -668,7 +712,8 @@ object LakeVersions {
         at = System.currentTimeMillis(),
         sources = sources.distinct, dvs = nextDvs,
         schemaV = Some(schemaV),
-        eqdels = (if (dropEqdels) Nil else parentEqdels) ++ eqdelAdds)
+        eqdels = (if (dropEqdels) Nil else parentEqdels) ++ eqdelAdds,
+        appended = appendedDelta)
       beforeCasHook(table)
       val won =
         try { writeRecord(store, genKey(table, rec.gen), rec); true }
@@ -772,21 +817,67 @@ object LakeVersions {
 
   // ----------------------------------------------------- time travel
 
+  /** Every how many generations a retained commit writes the FULL live
+    * list instead of a delta: bounds [[liveAt]]'s record walk (and the
+    * records [[expireVersions]] must keep per retained range) while
+    * keeping the common commit's metadata write proportional to its
+    * CHANGE, not the table. */
+  val LiveCheckpointEvery = 32L
+
+  /** Resolve a generation's live set from its record chain: a
+    * checkpoint record answers directly; a DELTA record derives from
+    * its parent (live(parent) − removed + added + inserted + appended).
+    * None = not resolvable (not retained, or the walk crossed an
+    * expired/torn record). Iterative — the walk is bounded by the
+    * checkpoint cadence in healthy chains, but must not stack-overflow
+    * on a pathological one. */
+  private def resolveLiveOpt(store: Store, table: String,
+                             rec: GenRecord): Option[Seq[String]] = {
+    // collect the delta suffix down to the nearest checkpoint
+    var chain = List(rec)
+    var cur = rec
+    while (cur.live.isEmpty) {
+      if (cur.appended.isEmpty || cur.gen <= 0L) return None
+      readRecord(store, table, cur.parent) match {
+        case Some(p) => cur = p; chain = p :: chain
+        case None => return None
+      }
+    }
+    // chain.head is the checkpoint; apply deltas forward. Appends join
+    // BEFORE removals: an object that landed after the parent and was
+    // removed by the same commit (compact rewriting a fresh append)
+    // must not survive.
+    var live: Set[String] = chain.head.live.get.toSet
+    chain.tail.foreach { r =>
+      live = live ++ r.appended.getOrElse(Nil) -- r.removed ++
+        r.added ++ r.inserted
+    }
+    Some(live.toSeq.sorted)
+  }
+
   /** The live key set AT generation `gen` — what `VERSION AS OF gen` /
     * `option("asOfGeneration", gen)` scans. Requires the table to
-    * RETAIN history ([[setRetain]]); loud errors name the remedy. */
+    * RETAIN history ([[setRetain]]); loud errors name the remedy.
+    * Checkpoint records answer in one read; delta records walk
+    * O(checkpoint interval) records — never a listing. */
   def liveAt(store: Store, table: String, gen: Long): Seq[String] = {
     val rec = readRecord(store, table, gen).getOrElse(
       throw new IllegalArgumentException(
         s"graft-lake: no generation $gen for table '$table' — it never " +
           "committed, or CALL lake.system.expire_versions reclaimed it " +
           s"(present: ${listDir(store, table).gens.mkString(", ")})"))
-    rec.live.getOrElse(throw new IllegalArgumentException(
-      s"graft-lake: generation $gen of '$table' carries no snapshot — " +
-        "time travel needs history retention: CALL " +
-        s"lake.system.set_retention(table => '$table', retain => true) " +
-        "BEFORE the commits you want to travel to"))
+    resolveLiveOpt(store, table, rec).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake: generation $gen of '$table' carries no snapshot — " +
+          "time travel needs history retention: CALL " +
+          s"lake.system.set_retention(table => '$table', retain => true) " +
+          "BEFORE the commits you want to travel to"))
   }
+
+  /** Whether `rec` is a RETAINED snapshot (checkpoint or delta) —
+    * the `has_snapshot` face of the delta encoding. */
+  def isSnapshot(rec: GenRecord): Boolean =
+    rec.live.isDefined || rec.appended.isDefined
 
   /** The newest generation committed AT or BEFORE `millis` — the
     * `TIMESTAMP AS OF` resolution (commit wall-clock stamps; the usual
@@ -821,7 +912,7 @@ object LakeVersions {
         s"graft-lake: cannot tag generation $gen of '$table' — it never " +
           s"committed or was reclaimed (present: " +
           s"${listDir(store, table).gens.mkString(", ")})"))
-    require(rec.live.isDefined,
+    require(isSnapshot(rec),
       s"graft-lake: generation $gen of '$table' carries no snapshot — " +
         "a tag must name a retained generation (set_retention first)")
     val out = store.create(tagKey(table, name))
@@ -904,9 +995,41 @@ object LakeVersions {
     // reclamation until its tag is dropped
     val tagged = listTags(store, table).values.toSet
     val (drop, keep) = st.gens.partition(g => g < cut && !tagged.contains(g))
+    // DELTA-encoded snapshots (round 17): a kept delta record resolves
+    // through ancestors down to the nearest CHECKPOINT — dropping those
+    // ancestors would orphan it. Expire therefore RE-CHECKPOINTS each
+    // kept delta whose parent is about to drop (materialize its
+    // resolved live list, replace the record with a checkpoint form) —
+    // the Delta-Lake checkpoint posture: the O(live) metadata write
+    // happens HERE, at a maintenance op, never on the per-commit hot
+    // path. Ascending order lets later kept deltas resolve through the
+    // freshly-checkpointed ones. The replacement is staged + renamed;
+    // a reader racing the swap sees a missing/torn record transiently
+    // (the "reclaimed" loud error), never wrong keys — the same
+    // maintenance-race class as every swept artifact.
+    val keepSet = keep.toSet
+    keep.sorted.foreach { g =>
+      readRecord(store, table, g).foreach { r =>
+        if (r.live.isEmpty && r.appended.isDefined &&
+            !keepSet.contains(r.parent)) {
+          val resolved = resolveLiveOpt(store, table, r).getOrElse(
+            throw new IllegalStateException(
+              s"graft-lake: cannot materialize generation $g of '$table' " +
+                "before expiring its ancestors — a record in its delta " +
+                "chain is torn or already gone"))
+          val tmp = s"${dir(table)}/tmp-${java.util.UUID.randomUUID()}"
+          writeRecord(store, tmp, r.copy(live = Some(resolved), appended = None))
+          // rename-over: atomic replace on POSIX; stores without it
+          // degrade to copy-over, whose torn window reads as a torn
+          // record (loud "reclaimed" error), never wrong keys
+          store.rename(tmp, genKey(table, g))
+        }
+      }
+    }
     val keptRecords = keep.flatMap(g => readRecord(store, table, g))
     val needed: Set[String] =
-      keptRecords.flatMap(r => r.live.getOrElse(Nil)).toSet ++
+      keptRecords.filter(isSnapshot)
+        .flatMap(r => resolveLiveOpt(store, table, r).getOrElse(Nil)).toSet ++
         LakeReader.listTableKeys(store, table, None)
     val reclaim = h.tombstones.filterNot(needed).filter(store.exists)
     reclaim.foreach { k =>

@@ -419,4 +419,60 @@ class LakeVersionsSpec extends SparkSuite {
   private def chainMsg(e: Throwable): String =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+  test("delta-encoded retention: a 200-commit chain writes O(change) records, reads any generation in O(checkpoint + tail), and expire re-checkpoints") {
+    // round 17, the scale fix for "every retained commit writes O(live
+    // objects) metadata": the chain below appends one object per commit
+    // — with full-snapshot records the Nth record would name N keys;
+    // with delta encoding it names ONE, and only every
+    // LiveCheckpointEvery-th generation materializes the full list.
+    val (_, root, store) = fixture()
+    val hour = "2024/07/01/08"
+    def fakeObject(i: Int): String = {
+      val k = f"$hour/dt/${java.util.UUID.randomUUID()}.csv"
+      val out = store.create(k)
+      out.write(s"#INTEGER\nid\n$i\n".getBytes("UTF-8")); out.close()
+      k
+    }
+    LakeVersions.setRetain(store, "dt", retain = true) // needs an object? no: commit lists keys
+    val expectAt = scala.collection.mutable.Map.empty[Long, Set[String]]
+    var liveNow = Set.empty[String]
+    for (i <- 1 to 200) {
+      liveNow += fakeObject(i)
+      val rec = LakeVersions.commit(store, "dt", op = "test", removed = Nil,
+        validateLive = false)
+      expectAt(rec.gen) = liveNow
+    }
+    val gens = LakeVersions.listDir(store, "dt").gens
+    val recs = gens.flatMap(g => LakeVersions.readRecord(store, "dt", g))
+    val deltas = recs.filter(r => r.live.isEmpty && r.appended.isDefined)
+    val checkpoints = recs.filter(_.live.isDefined)
+    assert(deltas.size > 150 && checkpoints.size <= 1 + gens.size / 32 + 1,
+      s"most records must be deltas: ${deltas.size} deltas, " +
+        s"${checkpoints.size} checkpoints of ${gens.size}")
+    // a LATE delta record stays O(change)-sized even though the table
+    // holds ~200 objects by then
+    assert(deltas.last.appended.get.size <= 2,
+      "a delta record names the commit's change, not the table")
+    // any generation resolves exactly, in O(checkpoint + tail) record
+    // reads — metered via store ops, never a data listing
+    for (g <- Seq(5L, 37L, 63L, 100L, 160L, 199L)) {
+      val ops0 = StoreOps.reads.get + StoreOps.lists.get
+      val got = LakeVersions.liveAt(store, "dt", g).toSet
+      val ops = StoreOps.reads.get + StoreOps.lists.get - ops0
+      assert(got == expectAt(g), s"gen $g live set drifted (${got.size} vs ${expectAt(g).size})")
+      assert(ops <= LakeVersions.LiveCheckpointEvery + 8,
+        s"liveAt(gen $g) must stay O(checkpoint + tail): $ops store ops")
+    }
+    // expire past a checkpoint boundary: kept deltas re-checkpoint so
+    // their ancestors can drop; every kept generation still reads exact
+    val rep = LakeVersions.expireVersions(store, "dt", keepLast = 10)
+    assert(rep.recordsDropped > 150, rep.toString)
+    for (g <- 192L to 201L)
+      assert(LakeVersions.liveAt(store, "dt", g).toSet == expectAt(g),
+        s"gen $g must survive expire exactly")
+    intercept[IllegalArgumentException] {
+      LakeVersions.liveAt(store, "dt", 100L)
+    }
+  }
 }
