@@ -90,7 +90,16 @@ final class LakeCatalog extends TableCatalog with ProcedureCatalog {
     val store = new HadoopStore(root)
     if (LakeReader.firstTableKey(store, ident.name()).isEmpty)
       throw new NoSuchTableException(ident)
-    new LakeTable(root, ident.name(), reconcile = reconcile)
+    // WAP BRANCH session (the Iceberg `spark.wap.branch` shape): with
+    // `spark.graft.wap.branch = <auditId>` set, reads of EVERY table
+    // this catalog resolves see live ∪ that audit's staged batch, and
+    // row-level DELETE/UPDATE scrub the batch itself (LakeTable's
+    // branchAudit doc) — unset the conf to leave the branch session
+    val branch = try SparkSession.active.conf
+      .getOption("spark.graft.wap.branch").map(_.trim).filter(_.nonEmpty)
+    catch { case _: Exception => None }
+    new LakeTable(root, ident.name(), reconcile = reconcile,
+      branchAudit = branch)
   }
 
   /** `SELECT ... FROM lake.t VERSION AS OF <gen | 'tag'>` — time travel

@@ -289,7 +289,22 @@ final class LakeTable(rootUri: String, tableName: String,
                       // schema evolution: Some(flag) when the provider
                       // already resolved whether a DECLARED schema
                       // record exists; None = derive lazily
-                      preEvolved: Option[Boolean] = None)
+                      preEvolved: Option[Boolean] = None,
+                      // WAP BRANCH session (round 17 — the Iceberg
+                      // `spark.wap.branch` shape via the session conf
+                      // `spark.graft.wap.branch = <auditId>`): reads
+                      // resolve the withAudit view (live ∪ staged) and
+                      // row-level DELETE/UPDATE scope to the STAGED
+                      // BATCH — the scrub-before-publish workflow. A
+                      // branch DML rewrites hidden staged objects and
+                      // swaps the audit intent; the table's generation
+                      // chain is untouched until publish_audit's one
+                      // CAS (and abort_audit drops the scrubbed batch
+                      // untraced). Cross-branch DML over LIVE rows is
+                      // deliberately out of scope — live rows are not
+                      // scanned by a branch DML; mutate them after
+                      // publish (documented, refused shapes throw).
+                      branchAudit: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
@@ -309,7 +324,7 @@ final class LakeTable(rootUri: String, tableName: String,
 
   override def canDeleteWhere(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    !reconcile && asOfGeneration.isEmpty &&
+    !reconcile && asOfGeneration.isEmpty && branchAudit.isEmpty &&
       LakeRowLevel.translateDelete(predicates, lakeSchema).isDefined
 
   override def deleteWhere(predicates: Array[
@@ -329,6 +344,10 @@ final class LakeTable(rootUri: String, tableName: String,
     * deletes fanned to executors, manifests invalidated). */
   override def truncateTable(): Boolean = {
     refuseTimeTravelWrite()
+    require(branchAudit.isEmpty,
+      "graft-lake: TRUNCATE under a WAP branch session is not a branch " +
+        "operation — abort_audit drops the staged batch; truncate the " +
+        "table outside the branch")
     LakeMaintenance.expireDistributed(SparkSession.active, rootUri,
       tableName, Instant.parse("9999-01-01T00:00:00Z"))
     true
@@ -347,6 +366,19 @@ final class LakeTable(rootUri: String, tableName: String,
         "table would rewrite drifted objects onto the merged header as " +
         "a side effect — run CALL lake.system.compact first, then " +
         "retry without reconcile")
+    // WAP BRANCH: DELETE/UPDATE scope to the staged batch (scrub before
+    // publish), always the group-based rewrite — the branch publish is
+    // an intent swap, not a generation commit. MERGE has no
+    // batch-scoped meaning (its source drives inserts) — refused.
+    branchAudit.foreach { id =>
+      require(info.command() !=
+          org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE,
+        s"graft-lake: MERGE under WAP branch '$id' is not supported — " +
+          "scrub the staged batch with DELETE/UPDATE, or publish first " +
+          "and MERGE against the table")
+      return new LakeRowLevelOperationBuilder(rootUri, tableName,
+        lakeSchema, info, byName = evolved, branch = branchAudit)
+    }
     // EVOLVED tables (declared schema) are fine: rewriting an old-header
     // object onto the declared header is the evolution contract, not a
     // side effect — the scan resolves by name, the write emits declared
@@ -444,7 +476,8 @@ final class LakeTable(rootUri: String, tableName: String,
       Option(options.get("clusterbyhour")).exists(_.toBoolean),
       byName,
       asOfGeneration = asOf,
-      withAudit = Option(options.get("withaudit")).map(_.trim).filter(_.nonEmpty),
+      withAudit = Option(options.get("withaudit")).map(_.trim)
+        .filter(_.nonEmpty).orElse(branchAudit),
       streamOptions = {
         val (latest, fromHour) =
           Option(options.get("startfrom")).map(_.trim) match {
@@ -1003,7 +1036,12 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
                             asOfGeneration: Option[Long] = None,
                             // write-audit-publish validation read: ALSO
                             // scan the named audit's staged (hidden) keys
-                            withAudit: Option[String] = None)
+                            withAudit: Option[String] = None,
+                            // WAP-branch DML scope: plan ONLY the
+                            // audit's staged keys (the scrub-the-batch
+                            // contract — live rows are never scanned by
+                            // a branch DML)
+                            branchOnly: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -1108,7 +1146,7 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
       val s = new LakeScan(rootUri, table, lakeSchema, required, pushed,
         pushedLimit, pushedTopN, clusterByHour, streamOptions, byName,
         groupFilterOnKey = cowMode, asOfGeneration = asOfGeneration,
-        withAudit = withAudit)
+        withAudit = withAudit, branchOnly = branchOnly)
       if (onBuild != null) onBuild(s)
       s
   }
@@ -1123,7 +1161,8 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
                      byName: Boolean = false,
                      groupFilterOnKey: Boolean = false,
                      asOfGeneration: Option[Long] = None,
-                     withAudit: Option[String] = None)
+                     withAudit: Option[String] = None,
+                     branchOnly: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -1298,8 +1337,23 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
                 "it was never written, already published, or aborted"))
           view0.copy(excl = view0.excl -- ks)
         }
-        (LakeReader.listTableKeys(store, table, hr, Some(view)), view.dvs,
-          view.eqdels)
+        if (branchOnly) {
+          // WAP-branch DML: the plan is EXACTLY the staged batch —
+          // live keys never enter it (the scrub-the-batch contract);
+          // hour-range pruning still applies below like any listing
+          val staged = LakeVersions.readIntent(store, table,
+            s"audit-${withAudit.get}").getOrElse(Nil)
+          val ranged = hr.fold(staged) { case (from, to) =>
+            import java.time.temporal.ChronoUnit
+            val lo = LakeKeys.datePrefix(from.truncatedTo(ChronoUnit.HOURS))
+            val hi = LakeKeys.datePrefix(to.truncatedTo(ChronoUnit.HOURS))
+            staged.filter { k =>
+              val h = LakeKeys.hourPrefixOf(k); h >= lo && h <= hi }
+          }
+          (ranged, view.dvs, view.eqdels)
+        } else
+          (LakeReader.listTableKeys(store, table, hr, Some(view)), view.dvs,
+            view.eqdels)
     }
     val eqCompiled = LakeEqDeletes.compile(store, table, eqList)
     def eqScoped(k: String): Boolean = eqCompiled.exists(_.inScope(k))

@@ -4296,6 +4296,76 @@ object Pipeline {
              |  min(event_id) AS min_id, max(event_id) AS max_id
              |FROM live""".stripMargin)),
 
+    // ---------------- WAP-branch DML (l40)
+    // The scrub-before-publish workflow (the Iceberg `spark.wap.branch`
+    // surface as `spark.graft.wap.branch`): a staged batch fails
+    // validation PARTIALLY — under the branch session, row-level
+    // DELETE/UPDATE fix the batch itself (hidden staged objects rewrite,
+    // the audit intent swaps; the generation chain is untouched — gated
+    // in-query), and publish_audit lands the SCRUBBED batch at one CAS.
+    // Oracle: the parquet + the batch as scrubbed, closed-form.
+    "l40_lake_wap_branch" -> QueryDef(
+      (s, dir) => {
+        import graft.lake.{LakeCatalog, LakeVersions, LakeWriter}
+        import graft.types.{ColType, TableSchema}
+        val schema = TableSchema("events_wb", Seq(
+          "event_id" -> ColType.CInteger, "user_id" -> ColType.CInteger,
+          "vc" -> ColType.CInteger))
+        val root = rtSlot("graft-wapbr-lake", dir)
+        val store = new graft.lake.HadoopStore(root)
+        store.deletePrefix("")
+        val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        LakeWriter.write(ev.repartitionByRange(4, col("event_id")),
+          schema, root, java.time.Instant.parse("2024-06-01T00:00:00Z"),
+          zoneMaps = true)
+        val cat = s"l40cat${math.abs(root.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // the audited batch: 100 good rows + 50 poison rows (vc = -777)
+        val hot = java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-06-01T03:00:00Z"))
+        s.range(150).select(
+            (lit(50000000000L) + col("id")).as("event_id"),
+            lit(-1L).as("user_id"),
+            when(col("id") < 100, col("id") * 10L).otherwise(-777L).as("vc"),
+            lit(hot).as("_event_hour"))
+          .coalesce(1)
+          .write.format("graft-lake").option("table", "events_wb")
+          .option("auditId", "scrub").mode("append").save(root)
+        val gensBefore = LakeVersions.listDir(store, "events_wb").gens
+        s.conf.set("spark.graft.wap.branch", "scrub")
+        try {
+          // validation found the poison: scrub it on the branch, and
+          // normalize a slice of the good rows
+          s.sql(s"DELETE FROM $cat.events_wb WHERE vc = -777")
+          s.sql(s"UPDATE $cat.events_wb SET vc = vc + 1 " +
+            "WHERE event_id >= 50000000090 AND vc >= 0")
+        } finally s.conf.unset("spark.graft.wap.branch")
+        require(LakeVersions.listDir(store, "events_wb").gens == gensBefore,
+          "branch DML must not mint generations (intent swap only)")
+        val n = ev.count()
+        require(s.table(s"$cat.events_wb").count() == n,
+          "the scrubbed batch stays invisible until publish")
+        s.sql(s"CALL $cat.system.publish_audit(table => 'events_wb', " +
+          "audit_id => 'scrub')").collect()
+        s.table(s"$cat.events_wb")
+          .agg(count(lit(1)).as("n_rows"), sum("vc").as("sum_vc"),
+            min("vc").as("min_vc"), max("event_id").as("max_id"))
+      },
+      Some("""WITH live AS (
+             |  SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+             |  FROM events
+             |  UNION ALL
+             |  SELECT 50000000000 + i AS event_id,
+             |    i * 10 + (CASE WHEN i >= 90 THEN 1 ELSE 0 END) AS vc
+             |  FROM range(100) t(i))
+             |SELECT count(*) AS n_rows,
+             |  CAST(sum(vc) AS BIGINT) AS sum_vc,
+             |  CAST(min(vc) AS BIGINT) AS min_vc,
+             |  max(event_id) AS max_id
+             |FROM live""".stripMargin)),
+
     // ---------------- write-audit-publish (l38)
     // The staged-batch workflow (LakeDvs sibling feature, r16): an
     // audited append lands INVISIBLY (plain reads and COUNT pushdown

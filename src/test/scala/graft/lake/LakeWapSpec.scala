@@ -185,6 +185,70 @@ class LakeWapSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("WAP-branch DML (spark.graft.wap.branch): DELETE/UPDATE scrub the staged batch; live data and the chain untouched; publish is one CAS; a bad branch aborts untraced") {
+    val (cat, root, store) = fixture()
+    land(root) // 500 live rows
+    auditWrite(root, "fix-me", 10000, 200) // staged ids 10000..10199
+    val gensBefore = LakeVersions.listDir(store, "ev").gens
+    spark.conf.set("spark.graft.wap.branch", "fix-me")
+    try {
+      // branch reads = live ∪ staged
+      assert(spark.table(s"$cat.ev").count() == 700L)
+      // scrub: DELETE part of the batch — a probe-shaped predicate must
+      // NOT take the metadata path under a branch
+      spark.sql(s"DELETE FROM $cat.ev WHERE id >= 10100")
+      assert(spark.table(s"$cat.ev").count() == 600L,
+        "the branch view drops the scrubbed rows")
+      // …and UPDATE another part
+      spark.sql(s"UPDATE $cat.ev SET tag = 'fixed' WHERE id >= 10000 " +
+        "AND id < 10050")
+      assert(spark.table(s"$cat.ev").where(col("tag") === "fixed")
+        .count() == 50L)
+      // a predicate matching only LIVE rows is a branch no-op — the
+      // scrub scopes to the batch (documented), live rows never scanned
+      spark.sql(s"DELETE FROM $cat.ev WHERE id < 100")
+      assert(spark.table(s"$cat.ev").count() == 600L)
+      // MERGE under a branch refuses with the remedy
+      import spark.implicits._
+      Seq(1L).toDF("sid").createOrReplaceTempView("wap_branch_src")
+      val e = intercept[Exception] { spark.sql(
+        s"""MERGE INTO $cat.ev t USING wap_branch_src s ON t.id = s.sid
+           |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin) }
+      assert(chainMsg(e).contains("branch"), chainMsg(e))
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // outside the branch: live table untouched, NO generation minted
+    // (the scrub was an intent swap, not a commit)
+    assert(spark.table(s"$cat.ev").count() == 500L)
+    assert(LakeVersions.listDir(store, "ev").gens == gensBefore,
+      "branch DML must not touch the generation chain")
+    // publish: ONE CAS lands the scrubbed batch; its record's inserted
+    // set IS the final list (CDC delivers it exactly once from here,
+    // the l38-pinned machinery)
+    spark.sql(s"CALL $cat.system.publish_audit(table => 'ev', " +
+      "audit_id => 'fix-me')").collect()
+    assert(spark.table(s"$cat.ev").count() == 600L)
+    assert(spark.table(s"$cat.ev").where(col("tag") === "fixed").count() == 50L)
+    assert(spark.table(s"$cat.ev").where(col("id") >= 10100).count() == 0L)
+    val head = LakeVersions.head(store, "ev",
+      LakeVersions.listDir(store, "ev")).get
+    assert(head.op == "publish_audit" && head.inserted.nonEmpty,
+      s"the publish record carries the scrubbed batch: $head")
+    // a BAD branch: stage, scrub, then abort — untraced
+    auditWrite(root, "bad-branch", 20000, 100)
+    spark.conf.set("spark.graft.wap.branch", "bad-branch")
+    try spark.sql(s"DELETE FROM $cat.ev WHERE id >= 20050")
+    finally spark.conf.unset("spark.graft.wap.branch")
+    spark.sql(s"CALL $cat.system.abort_audit(table => 'ev', " +
+      "audit_id => 'bad-branch')").collect()
+    assert(spark.table(s"$cat.ev").count() == 600L,
+      "an aborted scrubbed branch leaves no trace")
+    assert(spark.table(s"$cat.ev").where(col("id") >= 20000).count() == 0L)
+  }
+
+  private def chainMsg(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
   test("audit × manifest: a seal that captured a pending batch's hidden keys is invalidated on abort (and, conservatively, on publish)") {
     val (cat, root, store) = fixture()
     // a past flushTime places the audit's keys in a SEALABLE hour —
