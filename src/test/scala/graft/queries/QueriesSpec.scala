@@ -9,11 +9,11 @@ class QueriesSpec extends SparkSuite {
 
   test("every query has oracle SQL or a documented rows-only reason") {
     val noOracle = SparkEntry.all.collect { case (k, QueryDef(_, None)) => k }.toSet
-    // true sketches only (round 5 converted d07/d10 to planted exact-top-k
-    // oracles, m02 to a real PNG codec round-trip with an arithmetic
-    // oracle; round 8 made SimHash d04/d05 hash-exact via the two-lane
-    // rolling token hash)
-    assert(noOracle == Set("q28_approx_distinct", "q43_percentile_approx"))
+    // EMPTY since round 17: the last two sketches (q28 HLL, q43 GK)
+    // oracle by ERROR BOUND — exact counts plus booleans asserting the
+    // sketch held its declared accuracy, hash-compared like any row
+    assert(noOracle == Set.empty[String],
+      s"every query must carry oracle SQL, rows-only found: $noOracle")
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
