@@ -98,10 +98,33 @@ object LakeChanges {
     val toEqC = LakeEqDeletes.compile(store, table, toEq)
     def effEq(eqs: Seq[LakeEqDeletes.Compiled], k: String): Set[String] =
       eqs.filter(_.inScope(k)).map(_.ref.key).toSet
-    val eqChanged =
+    val eqChanged0 =
       if (fromEq.isEmpty && toEq.isEmpty) Set.empty[String]
       else (old intersect cur).filter(k =>
         effEq(fromEqC, k) != effEq(toEqC, k))
+    // BLOOM-PRUNED eq scope (round 17): an eq-delete's scope is every
+    // older object, but an object whose bloom sidecar REFUTES all of
+    // the differing deletes' values holds no matching row — its rows
+    // are identical on both sides and would cancel in the signed
+    // aggregation anyway. Skip reading it at all: a GDPR delete's feed
+    // window then reads O(containing objects), not O(scope). One
+    // metadata-sized sidecar read per candidate decides; missing/torn
+    // blooms keep conservatively (read — never wrong, just unpruned).
+    val eqChanged =
+      if (eqChanged0.isEmpty) eqChanged0
+      else {
+        val byKey = (fromEqC ++ toEqC)
+          .groupBy(_.ref.key).map { case (k, cs) => k -> cs.head }
+        eqChanged0.filter { k =>
+          val differing = (effEq(fromEqC, k) union effEq(toEqC, k)) --
+            (effEq(fromEqC, k) intersect effEq(toEqC, k))
+          val blooms = BloomMaps.read(store, k)
+          differing.exists { refKey =>
+            val c = byKey(refKey)
+            c.values.exists(v => BloomMaps.mightContain(blooms, c.ref.col, v))
+          }
+        }
+      }
     val gone = (old -- cur ++ dvChanged ++ eqChanged).toSeq.sorted
     val fresh = (cur -- old ++ dvChanged ++ eqChanged).toSeq.sorted
     // EVOLVED table: both sides align onto the DECLARED schema (the

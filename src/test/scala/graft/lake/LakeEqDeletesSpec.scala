@@ -188,6 +188,38 @@ class LakeEqDeletesSpec extends SparkSuite {
     assert(feed.where(col("uid") === 5L).count() == 10L)
   }
 
+  test("the changes feed bloom-prunes the eq scope: only objects that might contain the deleted values are read") {
+    // uid = id here, id-sorted 250-row objects → DISJOINT uid ranges per
+    // object, so the uid bloom REFUTES 3 of 4 objects for a delete of
+    // uids 10,11 (object 0's range) — the feed must read ~1 object per
+    // side, not the whole scope
+    val (cat, root, store) = fixture()
+    import spark.implicits._
+    LakeWriter.write(
+      (0 until 1000).map(i => (i.toLong, i.toLong, s"t${i % 5}", i * 1.0))
+        .toDF("id", "uid", "tag", "v").orderBy("id").coalesce(1),
+      schema, root, Instant.parse("2024-07-01T08:00:00Z"),
+      maxRecordsPerObject = 250L, zoneMaps = true, bloomColumns = Seq("uid"))
+    spark.sql(s"CALL $cat.system.set_retention(table => 'ev', retain => true)")
+    morOn(cat)
+    spark.sql(s"CALL $cat.system.tag(table => 'ev', name => 'pre')")
+    spark.sql(s"DELETE FROM $cat.ev WHERE uid IN (10, 11)")
+    val objBytes = LakeReader.listTableKeys(store, "ev", None).map { k =>
+      val in = store.open(k); try in.readAllBytes().length.toLong
+      finally in.close()
+    }
+    val (feedRows, m) = graft.Meter.measure(spark) {
+      LakeChanges.since(spark, root, "ev", "pre").collect()
+    }
+    assert(feedRows.length == 2 && feedRows.forall(r =>
+      r.getAs[String](LakeChanges.ChangeTypeCol) == "delete"))
+    // pruned: ~2 object-side reads (object 0 on each side), not 8 —
+    // bound at half the unpruned cost with headroom for codec framing
+    assert(m.inputBytes < objBytes.sum,
+      s"the feed must bloom-prune the eq scope: read ${m.inputBytes} " +
+        s"of ${2 * objBytes.sum} unpruned bytes")
+  }
+
   test("compact folds the filters into clean objects and drops the list; the janitor reclaims the file") {
     val (cat, root, store) = fixture()
     land(root)
