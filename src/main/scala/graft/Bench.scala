@@ -127,7 +127,8 @@ object Bench {
       "l27_lake_stream_pruned_backfill", "l30_lake_sql_update",
       "l31_lake_sql_merge", "l34_lake_time_travel",
       "l35_lake_changes_feed", "l36_lake_schema_evolution",
-      "l37_lake_mor_dml", "l39_lake_eq_delete", "t18_heavy_hitters")
+      "l37_lake_mor_dml", "l39_lake_eq_delete", "l41_lake_txn",
+      "t18_heavy_hitters")
     val metered: Map[String, Meter.Metrics] = meterSet.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         try {

@@ -129,6 +129,15 @@ object BenchGates {
     // of the fixture
     "l39_lake_eq_delete" -> Ceiling(Some(5 * MB), None,
       maxStoreOps = Some(400)),
+    // 0.84 MB in / 1.03 MB shuffled / ~177 store RPCs (round 18): the
+    // cross-table transaction's protocol cost is O(parts) — two pending
+    // records, ONE decision file, two intent deletions — on top of the
+    // fixture writes. A protocol that re-listed or re-read per object
+    // (or a coordinator that republished batches on retry) multiplies
+    // the RPC count; the byte meters pin that the commit itself moves
+    // METADATA, not data
+    "l41_lake_txn" -> Ceiling(Some(4 * MB), Some(4 * MB),
+      maxStoreOps = Some(500)),
   )
 
   /** Human-readable violations; empty = all metered queries in bounds.

@@ -15,7 +15,7 @@ object MeterProbe {
       val (_, m) = Meter.measure(spark) {
         fn(spark, args(0)).write.format("noop").mode("overwrite").save()
       }
-      println(f"METER $n input=${m.inputBytes}%,d shuffle=${m.shuffleBytes}%,d task_ms=${m.taskMs}%,d")
+      println(f"METER $n input=${m.inputBytes}%,d shuffle=${m.shuffleBytes}%,d task_ms=${m.taskMs}%,d store_ops=${m.storeOps}%,d")
     }
     spark.stop()
   }

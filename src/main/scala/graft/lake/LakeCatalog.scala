@@ -313,7 +313,7 @@ private[lake] object LakeProcedures {
     "seal_manifest", "retire_objects", "delete_where", "sweep_staging",
     "stats", "set_retention", "expire_versions", "history", "tag",
     "drop_tag", "changes_summary", "set_dml_mode", "publish_audit",
-    "abort_audit")
+    "abort_audit", "commit_transaction")
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(new CompactProcedure(root))
@@ -333,6 +333,7 @@ private[lake] object LakeProcedures {
     case "set_dml_mode" => Some(new SetDmlModeProcedure(root))
     case "publish_audit" => Some(new PublishAuditProcedure(root))
     case "abort_audit" => Some(new AbortAuditProcedure(root))
+    case "commit_transaction" => Some(new CommitTransactionProcedure(root))
     case _ => None
   }
 
@@ -647,6 +648,72 @@ private[lake] object LakeProcedures {
       result(StructType(Seq(
         StructField("objects_dropped", IntegerType, nullable = false))),
         Integer.valueOf(keys.size))
+    }
+  }
+
+  private final class CommitTransactionProcedure(root: String)
+      extends MaintenanceProcedure("commit_transaction") {
+    override def description(): String =
+      "CROSS-TABLE atomic commit: publish every named table's staged " +
+        "audit batch (df.write.option('auditId', id) per table, SAME " +
+        "id) as ONE transaction — readers can never observe a subset. " +
+        "replace => true makes each part an atomic INSERT OVERWRITE " +
+        "(the staged batch replaces the table's live objects). A " +
+        "broken attempt leaves every staged batch intact for retry; " +
+        "abort_audit per table discards them."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("tables", StringType).build(),
+      ProcedureParameter.in("audit_id", StringType).build(),
+      ProcedureParameter.in("replace", BooleanType)
+        .defaultValue("false").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tables = commaCols(input.getUTF8String(0))
+      val id = input.getUTF8String(1).toString.trim
+      val replace = input.getBoolean(2)
+      require(tables.nonEmpty, "graft-lake commit_transaction: no tables")
+      val store = new HadoopStore(root)
+      val parts = tables.map { t =>
+        val keys = LakeVersions.readIntent(store, t, s"audit-$id")
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-lake: no staged audit '$id' on table '$t' — stage " +
+              "every participating table with df.write.option('auditId', " +
+              s"'$id') before committing the transaction"))
+        // replace mode: the part removes the table's whole live scope
+        // (version-aware listing — staged keys are intent-excluded, and
+        // tombstoned keys are already logically gone); the scope is
+        // validated live at the part's CAS like any overwrite
+        val removed =
+          if (!replace) Nil
+          else LakeReader.listTableKeys(store, t, None)
+            .filterNot(keys.toSet)
+        LakeTxn.Part(t, inserted = keys, intentId = s"audit-$id",
+          removed = removed, dropEqdels = replace)
+      }
+      val recs = LakeTxn.publish(store, parts,
+        op = if (replace) "txn_overwrite" else "txn_publish")
+      // post-decision follow-ups, per table (the same contract as after
+      // any single-table commit): invalidate manifests the batch's
+      // hours may have raced, physically retire replaced scopes
+      parts.zip(recs).foreach { case (p, rec) =>
+        val hours = (p.inserted ++ p.removed).map(LakeKeys.hourPrefixOf)
+        if (hours.nonEmpty)
+          Manifests.invalidateIfCovers(store, p.table, hours.min)
+        if (p.removed.nonEmpty && !LakeVersions.isRetained(store, p.table)) {
+          LakeMaintenance.physicalRetireDistributed(
+            SparkSession.active, root, p.removed)
+          LakeVersions.pruneChainIfLarge(store, p.table, p.removed.size)
+        }
+      }
+      resultRows(StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("generation", LongType, nullable = false),
+        StructField("objects_published", IntegerType, nullable = false),
+        StructField("objects_replaced", IntegerType, nullable = false))),
+        parts.zip(recs).map { case (p, rec) => Seq(
+          UTF8String.fromString(p.table),
+          java.lang.Long.valueOf(rec.gen),
+          Integer.valueOf(p.inserted.size),
+          Integer.valueOf(p.removed.size)) })
     }
   }
 

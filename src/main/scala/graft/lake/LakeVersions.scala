@@ -143,7 +143,15 @@ object LakeVersions {
                              // nearest checkpoint — O(checkpoint
                              // interval) record reads, never O(live
                              // objects) record WRITES per commit.
-                             appended: Option[Seq[String]] = None)
+                             appended: Option[Seq[String]] = None,
+                             // CROSS-TABLE transaction id ([[LakeTxn]]):
+                             // Some(id) = this record is one table's half
+                             // of a multi-table commit, visible iff
+                             // `_txns/txn-<id>` reads `committed` — see
+                             // [[visible]]. None (every single-table
+                             // commit) = visible by its own CAS, no
+                             // decision file consulted.
+                             txn: Option[String] = None)
 
   // ------------------------------------------------------------- wire
 
@@ -174,6 +182,7 @@ object LakeVersions {
           s"${e.key} ${e.col} ${e.count} ${e.upToHour}"))
       r.schemaV.foreach(v => section("schemav", Seq(v.toString)))
       r.appended.foreach(a => section("appended", a))
+      r.txn.foreach(id => section("txn", Seq(id)))
       section("tombstones", r.tombstones)
       r.live match {
         case Some(l) => section("live", l)
@@ -210,7 +219,7 @@ object LakeVersions {
       // (its semantics are unknown, and half-reading a commit is worse
       // than treating it as torn)
       val Known = Set("removed", "added", "inserted", "sources", "dvs",
-        "eqdels", "schemav", "appended", "tombstones", "live")
+        "eqdels", "schemav", "appended", "txn", "tombstones", "live")
       val sections = scala.collection.mutable.Map.empty[String, Option[Seq[String]]]
       var line = Option(rd.readLine()).getOrElse(return None)
       while (line != "end") {
@@ -255,7 +264,8 @@ object LakeVersions {
         schemaV = sections.get("schemav").flatten
           .flatMap(_.headOption).map(_.toLong),
         eqdels = eqdels,
-        appended = sections.get("appended").flatten)
+        appended = sections.get("appended").flatten,
+        txn = sections.get("txn").flatten.flatMap(_.headOption))
     } catch { case _: Exception => None }
     finally { try raw.close() catch { case _: Exception => () } }
   }
@@ -295,11 +305,32 @@ object LakeVersions {
     sys.error("unreachable")
   }
 
-  /** Highest PARSEABLE (committed) record — a torn head is skipped, its
-    * slot reclaimable by the next writer. */
+  /** Whether a record is COMMITTED from a reader's point of view: a
+    * plain record is committed by its own CAS; a cross-table
+    * transaction's record ([[GenRecord.txn]]) is committed iff its
+    * decision file reads `committed` ([[LakeTxn]]) — pending and
+    * aborted records read as "not yet there", and head selection falls
+    * through to the parent. The common single-table chain never pays a
+    * decision read. */
+  def visible(store: Store, rec: GenRecord): Boolean =
+    rec.txn.forall(id => LakeTxn.committed(store, id))
+
+  /** Highest VISIBLE record — a torn head is skipped (its slot
+    * reclaimable by the next writer), and so is a pending/aborted
+    * cross-table transaction record (its committed parent is the state
+    * readers see until the transaction decides). */
   def head(store: Store, table: String, st: DirState): Option[GenRecord] =
     st.gens.sorted.reverse.view
-      .flatMap(g => readRecord(store, table, g)).headOption
+      .flatMap(g => readRecord(store, table, g)).find(visible(store, _))
+
+  /** [[readRecord]] restricted to COMMITTED records — the read every
+    * user-addressed generation (time travel, tags, dv/eqdel state at a
+    * version) must use: a pending transaction's record is not yet a
+    * version of the table, and an aborted one never will be. Ancestor
+    * walks below a visible head keep plain [[readRecord]] — a record
+    * can only gain visible descendants after its own decision. */
+  def readCommitted(store: Store, table: String, gen: Long): Option[GenRecord] =
+    readRecord(store, table, gen).filter(visible(store, _))
 
   /** Keys a version-aware reader must EXCLUDE from a raw listing:
     * the head's tombstones (logically deleted, possibly still present —
@@ -399,8 +430,15 @@ object LakeVersions {
     def refresh(): CachedChain = synchronized {
       val st = listDir(store, table)
       st.gens.foreach { g =>
+        // only VISIBLE records enter the cache: committed records are
+        // immutable, but a pending cross-table transaction's record may
+        // yet abort and its SLOT be reclaimed and rewritten — caching it
+        // would serve the aborted content forever. A pending record is
+        // re-read each refresh until its transaction decides (a short
+        // window on a rare, explicit operation).
         if (!records.contains(g))
-          readRecord(store, table, g).foreach(records.update(g, _))
+          readRecord(store, table, g).filter(visible(store, _))
+            .foreach(records.update(g, _))
       }
       val h = st.gens.sorted.reverse.view.flatMap(records.get).headOption
       val pending: Set[String] =
@@ -456,7 +494,7 @@ object LakeVersions {
     * complement of [[liveAt]] (a retained snapshot's rows are its live
     * keys MINUS that generation's vectors). */
   def dvsAt(store: Store, table: String, gen: Long): Map[String, DvRef] =
-    readRecord(store, table, gen).map(_.dvs).getOrElse(
+    readCommitted(store, table, gen).map(_.dvs).getOrElse(
       throw new IllegalArgumentException(
         s"graft-lake: no generation $gen for table '$table' — it never " +
           "committed, or CALL lake.system.expire_versions reclaimed it " +
@@ -465,7 +503,7 @@ object LakeVersions {
   /** The live equality deletes AT generation `gen` — the time-travel
     * complement of [[dvsAt]] for the equality MOR shape. */
   def eqdelsAt(store: Store, table: String, gen: Long): Seq[LakeEqDeletes.EqRef] =
-    readRecord(store, table, gen).map(_.eqdels).getOrElse(
+    readCommitted(store, table, gen).map(_.eqdels).getOrElse(
       throw new IllegalArgumentException(
         s"graft-lake: no generation $gen for table '$table' — it never " +
           "committed, or CALL lake.system.expire_versions reclaimed it " +
@@ -568,7 +606,14 @@ object LakeVersions {
              // aborts this rewrite LOUDLY (republishing rows read under
              // a stale filter would resurrect equality-deleted rows) —
              // the eq twin of dvBasis
-             eqBasis: Option[Seq[String]] = None): GenRecord = {
+             eqBasis: Option[Seq[String]] = None,
+             // CROSS-TABLE transaction id ([[LakeTxn]]): the record
+             // publishes PENDING (invisible until the transaction's
+             // decision file reads committed), and the intent is NOT
+             // deleted here — it must keep covering the renamed keys
+             // until the decision; the coordinator cleans up after
+             // deciding
+             txn: Option[String] = None): GenRecord = {
     val removedD = removed.distinct
     var attempt = 0
     while (true) {
@@ -713,7 +758,7 @@ object LakeVersions {
         sources = sources.distinct, dvs = nextDvs,
         schemaV = Some(schemaV),
         eqdels = (if (dropEqdels) Nil else parentEqdels) ++ eqdelAdds,
-        appended = appendedDelta)
+        appended = appendedDelta, txn = txn)
       beforeCasHook(table)
       val won =
         try { writeRecord(store, genKey(table, rec.gen), rec); true }
@@ -740,24 +785,61 @@ object LakeVersions {
         // crash-window case); the common commit deletes just its own.
         val foreign = st.intents.filterNot(intentId.contains)
         if (foreign.nonEmpty) {
+          // VISIBLE records only: a pending cross-table transaction's
+          // intent is still doing its job — deleting it would flash the
+          // staged keys visible before the decision
           val onChain = st.gens.flatMap(g =>
-            readRecord(store, table, g)).flatMap(_.intent).toSet
+            readRecord(store, table, g)).filter(visible(store, _))
+            .flatMap(_.intent).toSet
           foreign.filter(onChain).foreach(id =>
             store.delete(intentKey(table, id)))
         }
-        intentId.foreach(id => store.delete(intentKey(table, id)))
+        // a transaction commit keeps its intent alive until the DECISION
+        // (the keys must stay hidden while the record pends) — the
+        // coordinator deletes it after deciding
+        if (txn.isEmpty)
+          intentId.foreach(id => store.delete(intentKey(table, id)))
         return rec
       }
       // lost the slot: if the occupant record is TORN (a crashed
       // committer), wait, confirm it is not being actively written,
-      // reclaim; if committed, loop — validation re-runs against the
-      // new head and disjoint writers commit the generation after
-      if (readRecord(store, table, rec.gen).isEmpty) {
-        val sizeBefore = sizeOf(store, genKey(table, rec.gen))
-        Thread.sleep(TornSlotReclaimMs)
-        if (readRecord(store, table, rec.gen).isEmpty &&
-            sizeOf(store, genKey(table, rec.gen)) == sizeBefore)
-          store.delete(genKey(table, rec.gen))
+      // reclaim; if a PENDING cross-table transaction, give its
+      // coordinator a moment then BREAK it (decide aborted, reclaim the
+      // slot — the staged batches stay intact for a retry); if an
+      // ABORTED one, reclaim immediately; if committed, loop —
+      // validation re-runs against the new head and disjoint writers
+      // commit the generation after
+      readRecord(store, table, rec.gen) match {
+        case None =>
+          val sizeBefore = sizeOf(store, genKey(table, rec.gen))
+          Thread.sleep(TornSlotReclaimMs)
+          if (readRecord(store, table, rec.gen).isEmpty &&
+              sizeOf(store, genKey(table, rec.gen)) == sizeBefore)
+            store.delete(genKey(table, rec.gen))
+        case Some(occ) if occ.txn.isDefined && !visible(store, occ) =>
+          val tid = occ.txn.get
+          // re-verify the slot still holds THIS transaction's record
+          // immediately before any delete: the coordinator's own
+          // rollback (or another contender) may have reclaimed it and a
+          // fresh record committed there
+          def reclaim(): Unit =
+            if (readRecord(store, table, rec.gen).exists(_.txn.contains(tid)))
+              store.delete(genKey(table, rec.gen))
+          LakeTxn.decision(store, tid) match {
+            case Some(LakeTxn.Aborted) => reclaim()
+            case Some(_) => () // committed between reads: loop revalidates
+            case None =>
+              if (System.currentTimeMillis() - occ.at > LakeTxn.breakAfterMs) {
+                if (LakeTxn.decide(store, tid, LakeTxn.Aborted) == LakeTxn.Aborted)
+                  reclaim()
+              } else
+                // wait out the coordinator's CAS-to-decision window
+                // (milliseconds when alive); long enough per attempt
+                // that the retry budget comfortably crosses
+                // breakAfterMs for a genuinely dead one
+                Thread.sleep(math.min(500L, math.max(50L, LakeTxn.breakAfterMs / 8)))
+          }
+        case Some(_) => ()
       }
       if (attempt > maxRetries)
         throw new LakeConcurrentModificationException(
@@ -861,7 +943,7 @@ object LakeVersions {
     * Checkpoint records answer in one read; delta records walk
     * O(checkpoint interval) records — never a listing. */
   def liveAt(store: Store, table: String, gen: Long): Seq[String] = {
-    val rec = readRecord(store, table, gen).getOrElse(
+    val rec = readCommitted(store, table, gen).getOrElse(
       throw new IllegalArgumentException(
         s"graft-lake: no generation $gen for table '$table' — it never " +
           "committed, or CALL lake.system.expire_versions reclaimed it " +
@@ -887,6 +969,7 @@ object LakeVersions {
     val st = listDir(store, table)
     st.gens.sorted.reverse.view
       .flatMap(g => readRecord(store, table, g))
+      .filter(visible(store, _))
       .find(_.at <= millis).map(_.gen)
   }
 
@@ -907,7 +990,7 @@ object LakeVersions {
   def setTag(store: Store, table: String, name: String, gen: Long): Unit = {
     require(TagNameRe.pattern.matcher(name).matches(),
       s"graft-lake: tag names are [A-Za-z0-9._-]{1,64}, got '$name'")
-    val rec = readRecord(store, table, gen).getOrElse(
+    val rec = readCommitted(store, table, gen).getOrElse(
       throw new IllegalArgumentException(
         s"graft-lake: cannot tag generation $gen of '$table' — it never " +
           s"committed or was reclaimed (present: " +

@@ -4227,6 +4227,90 @@ object Pipeline {
              |FROM live""".stripMargin)),
 
     // ---------------- equality deletes (l39)
+    // ---------------- cross-table transactions (l41)
+    // The multi-table atomic commit ([[graft.lake.LakeTxn]]): a corpus
+    // table and its DERIVED per-user stats table ingest a day's batch
+    // as ONE transaction — each table stages its half behind the same
+    // audit id (hidden, gated in-query), then `commit_transaction`
+    // CAS-publishes per-table txn-marked records and flips ONE
+    // decision file. Readers can never observe the corpus half without
+    // the stats half (the drift a reprocessing pipeline cannot repair:
+    // metrics derived from rows that "aren't there"). The result JOINs
+    // the re-aggregated corpus against the stats table — n_consistent
+    // == n_users proves the two halves agree user-by-user. Oracle:
+    // closed-form from the parquet + the synthetic batch.
+    "l41_lake_txn" -> QueryDef(
+      (s, dir) => {
+        import graft.lake.{LakeCatalog, LakeReader, LakeWriter}
+        import graft.types.{ColType, TableSchema}
+        val root = rtSlot("graft-txn-lake", dir)
+        val store = new graft.lake.HadoopStore(root)
+        store.deletePrefix("")
+        val ev = t(s, dir, "events").select(col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        // base state: the corpus and its per-user additive stats table
+        LakeWriter.write(ev.repartitionByRange(4, col("user_id")),
+          TableSchema("ev_tx", Seq("user_id" -> ColType.CInteger,
+            "vc" -> ColType.CInteger)),
+          root, java.time.Instant.parse("2024-06-01T00:00:00Z"))
+        LakeWriter.write(
+          ev.groupBy("user_id").agg(count(lit(1)).as("n"),
+            sum("vc").as("sum_vc")).coalesce(1),
+          TableSchema("evstats_tx", Seq("user_id" -> ColType.CInteger,
+            "n" -> ColType.CInteger, "sum_vc" -> ColType.CInteger)),
+          root, java.time.Instant.parse("2024-06-01T00:00:00Z"))
+        val cat = s"l41cat${math.abs(root.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // the day's batch: 200 corpus rows + their per-user partials,
+        // STAGED on both tables under one audit id
+        val hot = java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-06-02T00:00:00Z"))
+        val batch = s.range(200).select(
+          (col("id") % 50).cast("long").as("user_id"),
+          (col("id") * 3L).as("vc"))
+        batch.withColumn("_event_hour", lit(hot)).coalesce(1)
+          .write.format("graft-lake").option("table", "ev_tx")
+          .option("auditId", "day2").mode("append").save(root)
+        batch.groupBy("user_id").agg(count(lit(1)).as("n"),
+            sum("vc").as("sum_vc"))
+          .withColumn("_event_hour", lit(hot)).coalesce(1)
+          .write.format("graft-lake").option("table", "evstats_tx")
+          .option("auditId", "day2").mode("append").save(root)
+        val nUsers = ev.select("user_id").distinct().count()
+        require(s.table(s"$cat.ev_tx").count() == ev.count() &&
+          s.table(s"$cat.evstats_tx").count() == nUsers,
+          "both staged halves must be invisible before the decision")
+        s.sql(s"CALL $cat.system.commit_transaction(" +
+          "tables => 'ev_tx,evstats_tx', audit_id => 'day2')").collect()
+        val re = LakeReader.read(s, root, "ev_tx")
+          .groupBy("user_id").agg(count(lit(1)).as("n"),
+            sum("vc").as("sum_vc"))
+        val st = LakeReader.read(s, root, "evstats_tx")
+          .groupBy("user_id").agg(sum("n").as("n"),
+            sum("sum_vc").as("sum_vc"))
+        st.as("s").join(re.as("r"), Seq("user_id"), "full_outer")
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("s.n") === col("r.n") &&
+              col("s.sum_vc") === col("r.sum_vc"), 1L).otherwise(0L))
+              .as("n_consistent"),
+            sum(col("s.n")).as("n_events"),
+            sum(col("s.sum_vc")).as("sum_vc"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+             |  FROM events
+             |  UNION ALL
+             |  SELECT i % 50 AS user_id, i * 3 AS vc FROM range(200) t(i)),
+             |st AS (
+             |  SELECT user_id, count(*) AS n, CAST(sum(vc) AS BIGINT) AS sum_vc
+             |  FROM ev GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(count(*) AS BIGINT) AS n_consistent,
+             |  CAST(sum(n) AS BIGINT) AS n_events,
+             |  CAST(sum(sum_vc) AS BIGINT) AS sum_vc
+             |FROM st""".stripMargin)),
+
     // Iceberg-v2's OTHER merge-on-read shape ([[graft.lake
     // .LakeEqDeletes]]): `DELETE WHERE user_id = X` on a MOR table
     // writes ONE small value file + one CAS — O(1) writes where

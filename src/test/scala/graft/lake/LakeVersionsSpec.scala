@@ -396,7 +396,11 @@ class LakeVersionsSpec extends SparkSuite {
         dvs = Seq.fill(rnd.nextInt(4))(key() ->
           LakeVersions.DvRef(s"_dv/vt/${java.util.UUID.randomUUID()}.dv.gz",
             1L + rnd.nextInt(100000))).toMap,
-        schemaV = if (rnd.nextBoolean()) Some(rnd.nextInt(5).toLong) else None)
+        schemaV = if (rnd.nextBoolean()) Some(rnd.nextInt(5).toLong) else None,
+        // the r18 cross-table transaction marker — omitted most of the
+        // time (single-table commits never carry it)
+        txn = if (rnd.nextInt(4) == 0)
+          Some(java.util.UUID.randomUUID().toString) else None)
       // write through the same wire as commit() does
       LakeVersions.writeRecord(store, LakeVersions.genKey("vt", i.toLong), rec)
       assert(LakeVersions.readRecord(store, "vt", i.toLong).contains(rec),
