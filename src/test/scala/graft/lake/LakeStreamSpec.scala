@@ -664,6 +664,63 @@ class LakeStreamSpec extends SparkSuite {
       "appends after DML flow normally")
   }
 
+  test("a CROSS-TABLE transaction is CDC-exact: nothing delivers while pending records exist (triggers fire at the brink of the decision), the batch delivers exactly once from the publish") {
+    val root = freshRoot()
+    val ckpt = freshCkpt()
+    land(root, "2024-06-10T08:00:00Z", 0 until 30)
+    // the sibling table completing the transaction
+    import spark.implicits._
+    LakeWriter.write((0L until 5L).map(i => (i, s"s$i")).toDF("id", "tag")
+        .coalesce(1),
+      TableSchema("st2", Seq("id" -> ColType.CInteger,
+        "tag" -> ColType.CString)),
+      root, Instant.parse("2024-06-10T08:00:00Z"))
+    val cat = s"txs${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val got = new scala.collection.mutable.ArrayBuffer[Long]
+    val q = readStreamDf(root).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("id").collect().map(_.getLong(0))
+        got.synchronized { got ++= ids }; ()
+      }.start()
+    q.processAllAvailable()
+    assert(got.sorted == (0L until 30L), "initial drain")
+    // stage both halves
+    val hot = java.sql.Timestamp.from(Instant.parse("2024-06-10T09:00:00Z"))
+    (100L until 110L).map(i => (i, "tx")).toDF("id", "tag")
+      .withColumn("_event_hour", lit(hot)).coalesce(1)
+      .write.format("graft-lake").option("table", "st")
+      .option("auditId", "xtx").mode("append").save(root)
+    (100L until 103L).map(i => (i, "tx")).toDF("id", "tag")
+      .withColumn("_event_hour", lit(hot)).coalesce(1)
+      .write.format("graft-lake").option("table", "st2")
+      .option("auditId", "xtx").mode("append").save(root)
+    q.processAllAvailable()
+    assert(got.size == 30, "staged batches must not deliver")
+    // at the BRINK of the decision — every pending record CAS'd — fire
+    // triggers: the txn-marked records are invisible, nothing delivers
+    var atBrink = -1
+    LakeTxn.beforeDecideHook = () => {
+      q.processAllAvailable()
+      atBrink = got.synchronized(got.size)
+    }
+    try
+      spark.sql(s"CALL $cat.system.commit_transaction(" +
+        "tables => 'st,st2', audit_id => 'xtx')").collect()
+    finally LakeTxn.beforeDecideHook = () => ()
+    assert(atBrink == 30,
+      s"pending transaction records delivered rows: $atBrink")
+    // from the decision: the batch delivers exactly once, and the
+    // sibling table's half is visible to batch reads
+    q.processAllAvailable()
+    q.stop()
+    assert(got.sorted == ((0L until 30L) ++ (100L until 110L)).sorted,
+      s"txn batch must deliver exactly once: ${got.sorted.mkString(",")}")
+    assert(spark.table(s"$cat.st2").count() == 8)
+  }
+
   test("DML on an hour older than the admission window is INVISIBLE to a running stream (the maxHourAge bound, pinned)") {
     val root = freshRoot()
     val ckpt = freshCkpt()

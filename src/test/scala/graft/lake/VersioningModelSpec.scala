@@ -38,6 +38,12 @@ class VersioningModelSpec extends SparkSuite {
     // id -> (vc, hour)
     val model = scala.collection.mutable.Map.empty[Long, (Long, Instant)]
     var nextId = 0L
+    // the SIBLING table for cross-table transactions (mv's "derived"
+    // table): id -> vc; created lazily at the first transaction verb
+    val model2 = scala.collection.mutable.Map.empty[Long, Long]
+    var next2 = 0L
+    val schema2 = TableSchema("mv2", Seq(
+      "id" -> ColType.CInteger, "vc" -> ColType.CInteger))
 
     def append(): String = {
       val hour = Seq(OldHour, HourA, HourB)(rnd.nextInt(3))
@@ -62,11 +68,68 @@ class VersioningModelSpec extends SparkSuite {
         (if (n == 0) 0L else r.getLong(2)) == si,
         s"step $step: sum(vc)=${r.getLong(1)} sum(id)=${r.getLong(2)} " +
           s"vs model ($sv, $si)")
+      if (model2.nonEmpty) {
+        val r2 = spark.table(s"$cat.mv2").agg(count(lit(1)), sum("vc")).head
+        assert(r2.getLong(0) == model2.size.toLong &&
+          r2.getLong(1) == model2.values.sum,
+          s"step $step: mv2 (${r2.getLong(0)}, ${r2.getLong(1)}) vs model2 " +
+            s"(${model2.size}, ${model2.values.sum})")
+      }
     }
 
     for (step <- 1 to 30) {
-      val what = rnd.nextInt(12) match {
+      val what = rnd.nextInt(13) match {
         case 0 | 1 => append()
+        case 12 => // CROSS-TABLE TRANSACTION: mv + its sibling mv2 gain
+          // a batch each, flipping at ONE decision ([[LakeTxn]]); half
+          // the time the second table's CAS is faulted first — the
+          // whole transaction must roll back (verified by the model:
+          // nothing applies) and the RETRY must publish both from the
+          // surviving staged batches
+          if (next2 == 0L) {
+            val base = (0L until 10L)
+            next2 = 10L
+            LakeWriter.write(
+              base.map(i => (i, i)).toDF("id", "vc").orderBy("id").coalesce(1),
+              schema2, root, HourA)
+            base.foreach(i => model2(i) = i)
+          }
+          val hour = Seq(HourA, HourB)(rnd.nextInt(2))
+          val hot = java.sql.Timestamp.from(hour)
+          val aid = s"t$step"
+          val ids = nextId until nextId + 20L
+          nextId += 20L
+          ids.map(i => (i, i)).toDF("id", "vc")
+            .withColumn("_event_hour", lit(hot)).coalesce(1)
+            .write.format("graft-lake").option("table", "mv")
+            .option("auditId", aid).mode("append").save(root)
+          val ids2 = next2 until next2 + 10L
+          next2 += 10L
+          ids2.map(i => (i, 5L * i)).toDF("id", "vc")
+            .withColumn("_event_hour", lit(hot)).coalesce(1)
+            .write.format("graft-lake").option("table", "mv2")
+            .option("auditId", aid).mode("append").save(root)
+          val faulted = rnd.nextBoolean()
+          if (faulted) {
+            LakeVersions.beforeCasHook = t =>
+              if (t == "mv2") sys.error(s"injected txn fault @$step")
+            val thrown =
+              try {
+                spark.sql(s"CALL $cat.system.commit_transaction(" +
+                  s"tables => 'mv,mv2', audit_id => '$aid')").collect()
+                false
+              } catch { case _: Throwable => true }
+              finally LakeVersions.beforeCasHook = _ => ()
+            assert(thrown, s"step $step: the injected txn fault must abort")
+            // NOTHING applied: both tables must still equal the models
+            verify(step)
+          }
+          // clean publish (or the retry after the injected abort)
+          spark.sql(s"CALL $cat.system.commit_transaction(" +
+            s"tables => 'mv,mv2', audit_id => '$aid')").collect()
+          ids.foreach(i => model(i) = (i, hour))
+          ids2.foreach(i => model2(i) = 5L * i)
+          s"txn +20/mv +10/mv2 @$hour${if (faulted) " (faulted once)" else ""}"
         case 10 | 11 => // MERGE (position-delta): both arms against
           // whatever state exists — matched ids bump vc, source ids the
           // table lacks (including previously DELETED ones) insert
@@ -156,6 +219,13 @@ class VersioningModelSpec extends SparkSuite {
     val expect = model.toSeq.map { case (i, (v, _)) => (i, v) }.toDF("id", "vc")
     assert(table.exceptAll(expect).count() == 0 &&
       expect.exceptAll(table).count() == 0, "full rows equal the model")
+    // the seeded sequence must actually exercise the transaction verb
+    // (a reseed that skips case 12 would silently gut this coverage)
+    assert(model2.nonEmpty, "the transaction verb never fired — reseed")
+    val t2 = spark.table(s"$cat.mv2").select("id", "vc")
+    val e2 = model2.toSeq.toDF("id", "vc")
+    assert(t2.exceptAll(e2).count() == 0 && e2.exceptAll(t2).count() == 0,
+      "mv2 full rows equal the model")
   }
 
   /** Delegating store with S3-style semantics: copy+delete renames, an
