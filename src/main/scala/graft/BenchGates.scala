@@ -129,6 +129,12 @@ object BenchGates {
     // of the fixture
     "l39_lake_eq_delete" -> Ceiling(Some(5 * MB), None,
       maxStoreOps = Some(400)),
+    // 0.52 MB in / ~103 store RPCs (round 18): the CONJUNCTION is still
+    // one value file + one CAS — a fallback to the probe rewrite (or a
+    // per-column file split) multiplies the RPC count; input stays at
+    // one pass of the fixture
+    "l42_lake_eq_delete_multi" -> Ceiling(Some(4 * MB), None,
+      maxStoreOps = Some(400)),
     // 0.84 MB in / 1.03 MB shuffled / ~177 store RPCs (round 18): the
     // cross-table transaction's protocol cost is O(parts) — two pending
     // records, ONE decision file, two intent deletions — on top of the

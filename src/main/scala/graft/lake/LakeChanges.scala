@@ -120,8 +120,12 @@ object LakeChanges {
             (effEq(fromEqC, k) intersect effEq(toEqC, k))
           val blooms = BloomMaps.read(store, k)
           differing.exists { refKey =>
-            val c = byKey(refKey)
-            c.values.exists(v => BloomMaps.mightContain(blooms, c.ref.col, v))
+            // a CONJUNCTION can match a row only if EVERY column's
+            // bloom might contain SOME value of its set (absent blooms
+            // keep conservatively — BloomMaps.mightContain is true)
+            byKey(refKey).conj.forall { case (cn, vs) =>
+              vs.exists(v => BloomMaps.mightContain(blooms, cn, v))
+            }
           }
         }
       }

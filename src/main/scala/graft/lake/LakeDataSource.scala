@@ -1666,18 +1666,28 @@ final class LakeObjectReader(rootUri: String, lakeSchema: TableSchema,
 
   // equality deletes, resolved to wire ordinals against THIS object's
   // own header (by name — evolved objects resolve correctly; an object
-  // lacking the column matches nothing, the SQL `= NULL` direction)
-  private val eqResolved: Array[(Int, Set[String])] =
+  // lacking ANY of a filter's columns matches nothing, the SQL `= NULL`
+  // direction — the whole conjunction drops for that object). A row is
+  // dead when EVERY column of some filter's conjunction matches its set.
+  private val eqResolved: Array[Array[(Int, Set[String])]] =
     if (rd == null || eqs.isEmpty) Array.empty
-    else eqs.map(f => (objCols.indexWhere(_._1 == f.col), f.values))
-      .filter(_._1 >= 0).toArray
+    else eqs.map(f => f.conj.map { case (c, vs) =>
+        (objCols.indexWhere(_._1 == c), vs) }.toArray)
+      .filter(_.forall(_._1 >= 0)).toArray
 
   private def eqDead(fields: Array[String]): Boolean = {
     var i = 0
     while (i < eqResolved.length) {
-      val (idx, set) = eqResolved(i)
-      if (idx < fields.length && fields(idx).nonEmpty &&
-          set.contains(fields(idx))) return true
+      val conj = eqResolved(i)
+      var j = 0
+      var all = true
+      while (all && j < conj.length) {
+        val (idx, set) = conj(j)
+        all = idx < fields.length && fields(idx).nonEmpty &&
+          set.contains(fields(idx))
+        j += 1
+      }
+      if (all) return true
       i += 1
     }
     false

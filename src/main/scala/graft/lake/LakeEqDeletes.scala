@@ -33,22 +33,35 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   * wrongly in scope, so such writes REFUSE while equality deletes are
   * live ([[guardBackfill]]; `compact` folds them away and unblocks).
   *
-  * '''Eligibility''': single column, of a type whose wire form is
-  * canonical — INTEGER, STRING, UUID, BOOLEAN. FLOAT/TIME equality
-  * deletes fall to the existing probe/vector paths (float equality is a
-  * data-modeling bug; TIME has multiple wire spellings). Values are
-  * stored in the exact wire form [[TypedCsv]] writes, so the read-side
-  * match is a string compare against the raw field — no parsing on the
-  * hot path. NULL never matches (SQL `= NULL` semantics), so rows with
-  * a missing/absent column always survive.
+  * '''Eligibility''': a CONJUNCTION of per-column equality/IN probes
+  * (`user_id = X`, or `tenant = T AND user_id = X` — the multi-tenant
+  * GDPR shape), every column of a type whose wire form is canonical —
+  * INTEGER, STRING, UUID, BOOLEAN. FLOAT/TIME equality deletes fall to
+  * the existing probe/vector paths (float equality is a data-modeling
+  * bug; TIME has multiple wire spellings). Values are stored in the
+  * exact wire form [[TypedCsv]] writes, so the read-side match is a
+  * string compare against the raw field — no parsing on the hot path.
+  * NULL never matches (SQL `= NULL` semantics), so rows with a
+  * missing/absent column always survive — and a conjunction over a
+  * column the object's header lacks is unsatisfiable there.
   *
   * '''File format''' (gzip text; load-bearing like a delete vector — a
   * REFERENCED file that is missing or torn fails the read LOUDLY,
-  * because ignoring it resurrects deleted rows):
+  * because ignoring it resurrects deleted rows). Single-column deletes
+  * keep the v1 wire byte-identically; multi-column conjunctions write
+  * v2 with one `set` section per column:
   * {{{
   * graft-eqdel v1 table=<t> col=<c> values=<n> upTo=YYYY/MM/DD/HH boundary=<m>
   * <value>      — n lines, TypedCsv-quoted wire form
   * <object key> — m lines, the frozen boundary-hour key list
+  * end
+  *
+  * graft-eqdel v2 table=<t> cols=<a,b> upTo=YYYY/MM/DD/HH boundary=<m>
+  * set <a> <n1>
+  * <value>      — n1 lines
+  * set <b> <n2>
+  * <value>      — n2 lines
+  * <object key> — m lines
   * end
   * }}} */
 object LakeEqDeletes {
@@ -89,37 +102,63 @@ object LakeEqDeletes {
   }
 
   /** The committed reference a generation record carries (the
-    * values/boundary live in the FILE; the record stays slim). */
+    * values/boundary live in the FILE; the record stays slim). `col`
+    * is comma-joined for a MULTI-COLUMN delete ("a,b" — a conjunction
+    * of per-column IN-sets: `a IN (..) AND b IN (..)`, the tuple-exact
+    * GDPR shape when each set is one value). */
   final case class EqRef(key: String, col: String, count: Long,
-                         upToHour: String)
+                         upToHour: String) {
+    def cols: Seq[String] = col.split(',').toSeq
+  }
 
   /** What an EXECUTOR needs to apply one delete to one in-scope object:
-    * the column name (resolved against the object's own header, so
-    * evolved objects work by name; an object lacking the column never
-    * matches — null semantics) and the raw-wire value set. */
-  final case class Filter(col: String, values: Set[String])
+    * a CONJUNCTION of (column name, raw-wire value set) — a row is dead
+    * iff EVERY column's value is in its set. Columns resolve against
+    * the object's own header (by name — evolved objects work); an
+    * object lacking ANY of the columns never matches (SQL `= NULL`
+    * semantics make the conjunction unsatisfiable there). */
+  final case class Filter(conj: Seq[(String, Set[String])])
       extends Serializable
 
-  /** A loaded, ready-to-apply delete: raw-wire value set + scope. */
-  final case class Compiled(ref: EqRef, values: Set[String],
+  /** A loaded, ready-to-apply delete: per-column value sets + scope. */
+  final case class Compiled(ref: EqRef, conj: Seq[(String, Set[String])],
                             boundary: Set[String]) extends Serializable {
     /** Whether `objKey` is in this delete's scope (see the scaladoc). */
     def inScope(objKey: String): Boolean = {
       val h = LakeKeys.hourPrefixOf(objKey)
       h < ref.upToHour || (h == ref.upToHour && boundary.contains(objKey))
     }
-    def filter: Filter = Filter(ref.col, values)
+    def filter: Filter = Filter(conj)
+    /** Single-column value set (the common shape) — the v1 accessor. */
+    def values: Set[String] = conj.head._2
   }
 
-  def write(store: Store, key: String, table: String, colName: String,
-            values: Seq[String], upToHour: String,
+  /** Write one equality delete: `probes` is the conjunction, one
+    * (column, values) per column. Single-column files keep the v1 wire
+    * (byte-identical to every earlier round); multi-column files write
+    * v2 with one `set` section per column. */
+  def write(store: Store, key: String, table: String,
+            probes: Seq[(String, Seq[String])], upToHour: String,
             boundary: Seq[String]): Unit = {
+    require(probes.nonEmpty, "graft-eqdel: empty conjunction")
     val out = new BufferedWriter(new OutputStreamWriter(
       new GZIPOutputStream(store.create(key)), StandardCharsets.UTF_8))
     try {
-      out.write(s"graft-eqdel v1 table=$table col=$colName " +
-        s"values=${values.size} upTo=$upToHour boundary=${boundary.size}\n")
-      values.foreach { v => out.write(TypedCsv.quoteField(v)); out.write("\n") }
+      if (probes.size == 1) {
+        val (colName, values) = probes.head
+        out.write(s"graft-eqdel v1 table=$table col=$colName " +
+          s"values=${values.size} upTo=$upToHour boundary=${boundary.size}\n")
+        values.foreach { v => out.write(TypedCsv.quoteField(v)); out.write("\n") }
+      } else {
+        out.write(s"graft-eqdel v2 table=$table " +
+          s"cols=${probes.map(_._1).mkString(",")} " +
+          s"upTo=$upToHour boundary=${boundary.size}\n")
+        probes.foreach { case (colName, values) =>
+          out.write(s"set $colName ${values.size}\n")
+          values.foreach { v =>
+            out.write(TypedCsv.quoteField(v)); out.write("\n") }
+        }
+      }
       boundary.foreach { k => out.write(k); out.write("\n") }
       out.write("end\n")
     } finally out.close()
@@ -128,6 +167,10 @@ object LakeEqDeletes {
   private val HeaderRe =
     ("""^graft-eqdel v1 table=(\S+) col=(\S+) values=(\d+) """ +
       """upTo=(\d{4}/\d{2}/\d{2}/\d{2}) boundary=(\d+)$""").r
+  private val HeaderV2Re =
+    ("""^graft-eqdel v2 table=(\S+) cols=(\S+) """ +
+      """upTo=(\d{4}/\d{2}/\d{2}/\d{2}) boundary=(\d+)$""").r
+  private val SetRe = """^set (\S+) (\d+)$""".r
 
   /** Load a referenced equality-delete file — LOUD on missing/torn
     * (load-bearing: silence resurrects deleted rows). */
@@ -141,24 +184,42 @@ object LakeEqDeletes {
     try {
       val rd = new BufferedReader(new InputStreamReader(
         new GZIPInputStream(raw), StandardCharsets.UTF_8))
-      val m = HeaderRe.findFirstMatchIn(Option(rd.readLine()).getOrElse(""))
-        .getOrElse(throw new IllegalStateException(
-          s"graft-eqdel: torn/foreign header in ${ref.key}"))
-      require(m.group(1) == table && m.group(2) == ref.col,
-        s"graft-eqdel: ${ref.key} is for table=${m.group(1)} " +
-          s"col=${m.group(2)}, expected $table.${ref.col}")
-      val n = m.group(3).toInt
-      val b = m.group(5).toInt
+      val header = Option(rd.readLine()).getOrElse("")
       def lines(k: Int): Seq[String] = (0 until k).map { _ =>
         Option(rd.readLine()).getOrElse(throw new IllegalStateException(
           s"graft-eqdel: truncated file ${ref.key}"))
       }
-      val values = lines(n).map(l => TypedCsv.splitLine(l).headOption
-        .getOrElse(""))
+      def parseValues(k: Int): Seq[String] =
+        lines(k).map(l => TypedCsv.splitLine(l).headOption.getOrElse(""))
+      val (conj, b) = HeaderRe.findFirstMatchIn(header) match {
+        case Some(m) =>
+          require(m.group(1) == table && m.group(2) == ref.col,
+            s"graft-eqdel: ${ref.key} is for table=${m.group(1)} " +
+              s"col=${m.group(2)}, expected $table.${ref.col}")
+          (Seq(m.group(2) -> parseValues(m.group(3).toInt).toSet),
+            m.group(5).toInt)
+        case None =>
+          val m = HeaderV2Re.findFirstMatchIn(header)
+            .getOrElse(throw new IllegalStateException(
+              s"graft-eqdel: torn/foreign header in ${ref.key}"))
+          require(m.group(1) == table && m.group(2) == ref.col,
+            s"graft-eqdel: ${ref.key} is for table=${m.group(1)} " +
+              s"cols=${m.group(2)}, expected $table.${ref.col}")
+          val conj = m.group(2).split(',').toSeq.map { expect =>
+            val s = SetRe.findFirstMatchIn(Option(rd.readLine()).getOrElse(""))
+              .getOrElse(throw new IllegalStateException(
+                s"graft-eqdel: torn set section in ${ref.key}"))
+            require(s.group(1) == expect,
+              s"graft-eqdel: ${ref.key} set order drifted " +
+                s"(${s.group(1)} vs $expect)")
+            expect -> parseValues(s.group(2).toInt).toSet
+          }
+          (conj, m.group(4).toInt)
+      }
       val boundary = lines(b)
       require(rd.readLine() == "end",
         s"graft-eqdel: missing end marker in ${ref.key}")
-      Compiled(ref, values.toSet, boundary.toSet)
+      Compiled(ref, conj, boundary.toSet)
     } finally { try raw.close() catch { case _: Exception => () } }
   }
 

@@ -334,22 +334,23 @@ object LakeRowLevel {
                     evolved: Boolean = false): Unit = md match {
     case DeleteByProbe(ps, hr) =>
       val types = schema.columns.toMap
-      // MERGE-ON-READ tables route the canonical GDPR shape — ONE
-      // column's equality/IN probe, unbounded hours — to an EQUALITY
-      // DELETE ([[LakeEqDeletes]]): one small file + one CAS, O(1)
-      // writes where the probe rewrite opens O(matching objects).
-      // Everything else (multi-column, hour-bounded, ineligible types)
+      // MERGE-ON-READ tables route the canonical GDPR shapes — a
+      // conjunction of equality/IN probes over eligible columns,
+      // unbounded hours (`user_id = X`; `tenant = T AND user_id = X`)
+      // — to an EQUALITY DELETE ([[LakeEqDeletes]]): one small file +
+      // one CAS, O(1) writes where the probe rewrite opens O(matching
+      // objects). Everything else (hour-bounded, ineligible types)
       // keeps the bloom-bounded rewrite — still exact.
-      val eqEligible = hr.isEmpty && ps.size == 1 && {
-        val (c, vs) = ps.head
-        LakeDvs.isMor(store, table) && LakeEqDeletes.eligible(types(c)) &&
-          vs.nonEmpty && vs.forall(v =>
+      val eqEligible = hr.isEmpty && ps.nonEmpty &&
+        LakeDvs.isMor(store, table) && ps.forall { case (c, vs) =>
+          LakeEqDeletes.eligible(types(c)) && vs.nonEmpty && vs.forall(v =>
             LakeEqDeletes.wireForm(types(c), coerce(types(c), v)).isDefined)
-      }
+        }
       if (eqEligible) {
-        val (c, vs) = ps.head
-        executeEqDelete(store, table, schema, c,
-          vs.map(v => LakeEqDeletes.wireForm(types(c), coerce(types(c), v)).get))
+        executeEqDelete(store, table, schema, ps.map { case (c, vs) =>
+          c -> vs.map(v =>
+            LakeEqDeletes.wireForm(types(c), coerce(types(c), v)).get)
+        })
       } else {
         val p = policyFor(store, table, schema)
         LakeMaintenance.deleteWhereMulti(spark, store, table,
@@ -383,8 +384,8 @@ object LakeRowLevel {
     * presence falls this statement back to the exact probe rewrite —
     * checked cheaply via the bounded hour walk. */
   private def executeEqDelete(store: Store, table: String,
-                              schema: TableSchema, colName: String,
-                              wireValues: Seq[String]): Unit = {
+                              schema: TableSchema,
+                              probes: Seq[(String, Seq[String])]): Unit = {
     val now = Instant.now()
     val upToHour = LakeKeys.datePrefix(now)
     val futureHours = LakeReader.walkHourPrefixes(store,
@@ -396,9 +397,10 @@ object LakeRowLevel {
       // future-dated data cannot be scoped by the hour watermark —
       // exactness wins: take the probe rewrite instead
       val p = policyFor(store, table, schema)
-      val t = schema.columns.toMap.apply(colName)
+      val types = schema.columns.toMap
       LakeMaintenance.deleteWhereMulti(SparkSession.active, store, table,
-        Seq((colName, wireValues.map(wireBack(t, _)))), None,
+        probes.map { case (c, vs) => (c, vs.map(wireBack(types(c), _))) },
+        None,
         gzip = p.gzip, zoneMaps = p.zoneMaps, bloomColumns = p.bloomColumns)
       return
     }
@@ -413,12 +415,12 @@ object LakeRowLevel {
     val eqKey = LakeEqDeletes.freshKey(table)
     val intentId = java.util.UUID.randomUUID().toString
     LakeVersions.writeIntent(store, table, intentId, Seq(eqKey))
-    LakeEqDeletes.write(store, eqKey, table, colName, wireValues,
-      upToHour, boundary)
+    LakeEqDeletes.write(store, eqKey, table, probes, upToHour, boundary)
     try LakeVersions.commit(store, table, op = "delete_eq", removed = Nil,
       intentId = Some(intentId),
-      eqdelAdds = Seq(LakeEqDeletes.EqRef(eqKey, colName,
-        wireValues.size.toLong, upToHour)))
+      eqdelAdds = Seq(LakeEqDeletes.EqRef(eqKey,
+        probes.map(_._1).mkString(","),
+        probes.map(_._2.size.toLong).sum, upToHour)))
     catch { case e: Throwable =>
       store.delete(eqKey)
       store.delete(LakeVersions.intentKey(table, intentId))

@@ -4380,6 +4380,69 @@ object Pipeline {
              |  min(event_id) AS min_id, max(event_id) AS max_id
              |FROM live""".stripMargin)),
 
+    // ---------------- multi-column equality delete (l42)
+    // The conjunction shape of l39 ([[graft.lake.LakeEqDeletes]] v2):
+    // `DELETE WHERE user_id IN (..) AND event_type = '..'` — the
+    // multi-tenant GDPR statement ("this user's click data") — still
+    // writes ONE small file + one CAS, and kills ONLY rows matching
+    // EVERY column (user 11's non-click rows and other users' clicks
+    // survive — both gated in-query). Oracle: closed-form conjunction
+    // complement from the parquet + the post-delete same-tuple insert.
+    "l42_lake_eq_delete_multi" -> QueryDef(
+      (s, dir) => {
+        import graft.lake.{LakeCatalog, LakeEqDeletes, LakeReader, LakeVersions, LakeWriter}
+        import graft.types.{ColType, TableSchema}
+        val schema = TableSchema("events_mc", Seq(
+          "event_id" -> ColType.CInteger, "user_id" -> ColType.CInteger,
+          "etype" -> ColType.CString, "vc" -> ColType.CInteger))
+        val root = rtSlot("graft-eqmc-lake", dir)
+        val store = new graft.lake.HadoopStore(root)
+        store.deletePrefix("")
+        val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("event_type").as("etype"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        LakeWriter.write(ev.repartitionByRange(4, col("event_id")),
+          schema, root, java.time.Instant.parse("2024-06-01T00:00:00Z"),
+          zoneMaps = true, bloomColumns = Seq("user_id", "etype"))
+        val cat = s"l42cat${math.abs(root.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CALL $cat.system.set_dml_mode(table => 'events_mc', " +
+          "mode => 'merge-on-read')").collect()
+        val before = LakeReader.listTableKeys(store, "events_mc", None).toSet
+        s.sql(s"DELETE FROM $cat.events_mc " +
+          "WHERE user_id IN (11, 12) AND etype = 'click'")
+        require(LakeReader.listTableKeys(store, "events_mc", None)
+          .toSet == before,
+          "an equality delete must not add, remove, or rewrite any object")
+        require(store.list(LakeEqDeletes.dir("events_mc")).size == 1,
+          "exactly ONE file for the whole conjunction (the O(1) claim)")
+        require(LakeVersions.currentDvs(store, "events_mc").isEmpty,
+          "no position vectors on the equality path")
+        require(LakeVersions.currentEqdels(store, "events_mc")
+          .exists(e => e.cols == Seq("user_id", "etype") && e.count == 3L),
+          "the generation record must reference the conjunction")
+        // sequencing: a LATER insert of the SAME tuple survives
+        import s.implicits._
+        LakeWriter.write(
+          Seq((40000000000L, 11L, "click", 555L))
+            .toDF("event_id", "user_id", "etype", "vc"),
+          schema, root)
+        s.table(s"$cat.events_mc").groupBy("etype")
+          .agg(count(lit(1)).as("n_rows"), sum("vc").as("sum_vc"),
+            sum("user_id").as("sum_uid"))
+      },
+      Some("""WITH live AS (
+             |  SELECT event_type AS etype, user_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+             |  FROM events
+             |  WHERE NOT (user_id IN (11, 12) AND event_type = 'click')
+             |  UNION ALL SELECT 'click', 11, 555)
+             |SELECT etype, count(*) AS n_rows,
+             |  CAST(sum(vc) AS BIGINT) AS sum_vc,
+             |  CAST(sum(user_id) AS BIGINT) AS sum_uid
+             |FROM live GROUP BY 1""".stripMargin)),
+
     // ---------------- WAP-branch DML (l40)
     // The scrub-before-publish workflow (the Iceberg `spark.wap.branch`
     // surface as `spark.graft.wap.branch`): a staged batch fails

@@ -106,7 +106,7 @@ class LakeEqDeletesSpec extends SparkSuite {
       "the list accumulates")
   }
 
-  test("NULL values never match; IN-lists and string columns work; FLOAT and multi-column fall to the exact rewrite") {
+  test("NULL values never match; IN-lists and string columns work; FLOAT falls to the exact rewrite; multi-column conjunctions take the eq path") {
     val (cat, root, store) = fixture()
     land(root)
     // rows with NULL uid (empty wire field)
@@ -131,11 +131,74 @@ class LakeEqDeletesSpec extends SparkSuite {
     assert(store.list(LakeEqDeletes.dir("ev")).size == 2,
       "float equality must not take the eq path")
     assert(spark.table(s"$cat.ev").where(col("v") === 500.0).count() == 0L)
-    // multi-column conjunction: ineligible — exact rewrite
+    // multi-column conjunction: first-class since r18 — ONE v2 file
     spark.sql(s"DELETE FROM $cat.ev WHERE uid = 11 AND tag = 't1'")
-    assert(store.list(LakeEqDeletes.dir("ev")).size == 2)
+    assert(store.list(LakeEqDeletes.dir("ev")).size == 3,
+      "a conjunction over eligible columns takes the eq path")
     assert(spark.table(s"$cat.ev")
       .where(col("uid") === 11L && col("tag") === "t1").count() == 0L)
+    // FLOAT in the conjunction poisons eligibility: exact rewrite
+    spark.sql(s"DELETE FROM $cat.ev WHERE uid = 12 AND v = 212.0")
+    assert(store.list(LakeEqDeletes.dir("ev")).size == 3,
+      "a conjunction with an ineligible column must not take the eq path")
+    assert(spark.table(s"$cat.ev")
+      .where(col("uid") === 12L && col("v") === 212.0).count() == 0L)
+  }
+
+  test("MULTI-COLUMN conjunction is tuple-exact: only rows matching EVERY column die, one O(1) v2 file, scope + feed + fold hold") {
+    val (cat, root, store) = fixture()
+    // tag varies WITHIN each uid (id/100 decouples it from id%100):
+    // uid 12 appears 10x with tags t0..t4 — the conjunction kills only
+    // the (12, t3) pair, 2 rows, never the whole uid
+    import spark.implicits._
+    val keys = LakeWriter.write(
+      (0 until 1000).map(i =>
+        (i.toLong, (i % 100).toLong, s"t${(i / 100) % 5}", i * 1.0))
+        .toDF("id", "uid", "tag", "v").orderBy("id").coalesce(1),
+      schema, root, Instant.parse("2024-07-01T08:00:00Z"),
+      maxRecordsPerObject = 250L, zoneMaps = true,
+      bloomColumns = Seq("uid", "tag")).map(_.key)
+    spark.sql(s"CALL $cat.system.set_retention(table => 'ev', retain => true)")
+    morOn(cat)
+    spark.sql(s"CALL $cat.system.tag(table => 'ev', name => 'pre')")
+    val before = keys.map(k => k -> bytesOf(store, k)).toMap
+    spark.sql(s"DELETE FROM $cat.ev WHERE uid = 12 AND tag = 't3'")
+    // O(1) write shape: one v2 file, no vectors, no data churn
+    assert(store.list(LakeEqDeletes.dir("ev")).size == 1)
+    assert(LakeVersions.currentDvs(store, "ev").isEmpty)
+    keys.foreach(k => assert(bytesOf(store, k).sameElements(before(k))))
+    val eq = LakeVersions.currentEqdels(store, "ev").head
+    assert(eq.col == "uid,tag" && eq.cols == Seq("uid", "tag") &&
+      eq.count == 2L)
+    // tuple-exact: 2 rows die; the uid's other 8 and the tag's other
+    // 198 survive
+    assert(spark.table(s"$cat.ev").count() == 998L)
+    assert(spark.table(s"$cat.ev").where(col("uid") === 12L).count() == 8L)
+    assert(spark.table(s"$cat.ev").where(col("tag") === "t3").count() == 198L)
+    assert(LakeReader.read(spark, root, "ev")
+      .where(col("uid") === 12L && col("tag") === "t3").count() == 0L)
+    // the feed across the delete emits exactly the 2 dead rows (the
+    // conjunction bloom-prune: every column must might-match)
+    val feed = LakeChanges.since(spark, root, "ev", "pre")
+    assert(feed.count() == 2L &&
+      feed.where(col(LakeChanges.ChangeTypeCol) === "delete").count() == 2L)
+    // scope: a post-delete insert of the SAME tuple survives
+    Seq((9999L, 12L, "t3", 0.0)).toDF("id", "uid", "tag", "v")
+      .withColumn("_event_hour",
+        lit(java.sql.Timestamp.from(Instant.parse("2024-07-01T08:00:00Z"))))
+      .coalesce(1)
+      .write.format("graft-lake").option("table", "ev")
+      .mode("append").save(root)
+    assert(spark.table(s"$cat.ev")
+      .where(col("uid") === 12L && col("tag") === "t3").count() == 1L,
+      "a same-tuple insert AFTER the delete must survive")
+    // compact folds the conjunction and drops the list
+    spark.sql(s"CALL $cat.system.compact(table => 'ev', " +
+      "target_records => 2000)").collect()
+    assert(LakeVersions.currentEqdels(store, "ev").isEmpty)
+    assert(spark.table(s"$cat.ev").count() == 999L)
+    assert(spark.table(s"$cat.ev")
+      .where(col("uid") === 12L && col("tag") === "t3").count() == 1L)
   }
 
   test("stream × eq: undelivered objects deliver filtered; post-delete appends flow; glob stream refuses") {
@@ -297,7 +360,7 @@ class LakeEqDeletesSpec extends SparkSuite {
     // survives a janitor run at a realistic hours-old cutoff…
     val pending = LakeEqDeletes.freshKey("ev")
     LakeVersions.writeIntent(store, "ev", "eq-mid", Seq(pending))
-    LakeEqDeletes.write(store, pending, "ev", "uid", Seq("77"),
+    LakeEqDeletes.write(store, pending, "ev", Seq("uid" -> Seq("77")),
       "2024/07/01/08", Nil)
     LakeMaintenance.sweepStaging(store,
       java.time.Instant.now().minusSeconds(3600))
