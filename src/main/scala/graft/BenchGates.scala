@@ -135,6 +135,13 @@ object BenchGates {
     // one pass of the fixture
     "l42_lake_eq_delete_multi" -> Ceiling(Some(4 * MB), None,
       maxStoreOps = Some(400)),
+    // 3.1 MB in / 1.4 MB shuffled / ~391 store RPCs (round 18): the
+    // cross-branch DML ships only CHANGED rows through the delta plan
+    // and rewrites only the objects the patches name — a fallback to a
+    // whole-view rewrite (every branch object through the plan) blows
+    // input/shuffle; the RPC count pins the per-statement swap cost
+    "l43_lake_branch_live_dml" -> Ceiling(Some(12 * MB), Some(6 * MB),
+      maxStoreOps = Some(1200)),
     // 0.84 MB in / 1.03 MB shuffled / ~177 store RPCs (round 18): the
     // cross-table transaction's protocol cost is O(parts) — two pending
     // records, ONE decision file, two intent deletions — on top of the

@@ -588,29 +588,51 @@ private[lake] object LakeProcedures {
       val table = input.getUTF8String(0).toString
       val id = input.getUTF8String(1).toString.trim
       val store = new HadoopStore(root)
-      val keys = LakeVersions.readIntent(store, table, s"audit-$id")
+      val (keys, branch) = LakeVersions.readIntentFull(store, table,
+        s"audit-$id")
         .getOrElse(throw new IllegalArgumentException(
           s"graft-lake: no staged audit '$id' on table '$table' — it " +
             "was never written, already published, or aborted"))
       // the batch is genuinely NEW rows — `inserted`, so a CDC-aware
-      // stream delivers it exactly once, starting at this CAS; the
-      // commit deletes the audit intent, flipping visibility atomically
+      // stream delivers it exactly once, starting at this CAS. A
+      // CROSS-BRANCH audit (v2 state) additionally removes the live
+      // originals its DML replaced (VALIDATED still live — a concurrent
+      // mutation of a replaced object aborts this publish loudly, the
+      // branch is stale) and adds their replacements (`added`: CDC
+      // skips them, their provenance was delivered). The commit deletes
+      // the audit intent, flipping visibility atomically.
+      val st = branch.getOrElse(LakeVersions.BranchState(keys, Nil, Nil, Nil))
       val rec = LakeVersions.commit(store, table, op = "publish_audit",
-        removed = Nil, inserted = keys, intentId = Some(s"audit-$id"))
+        removed = st.removedKeys, added = st.repl, inserted = st.batch,
+        intentId = Some(s"audit-$id"),
+        dvBasis = st.removed.toMap,
+        eqBasis = if (st.removed.nonEmpty) Some(st.eqBasis) else None)
+      // the replaced live originals retire like any COW statement's
+      // (their tombstones already hide them; kept on disk under
+      // retention)
+      if (st.removedKeys.nonEmpty &&
+          !LakeVersions.isRetained(store, table)) {
+        LakeMaintenance.physicalRetireDistributed(
+          SparkSession.active, root, st.removedKeys)
+        LakeVersions.pruneChainIfLarge(store, table, st.removedKeys.size)
+      }
       // a seal run while the audit PENDED captured the hidden keys (seal
       // lists raw keys) — but a seal whose listing RACED the stage
       // renames can hold only part of the batch, and after publish a
       // manifest-fed read would silently miss the rest. Invalidate
       // conservatively: the manifest is an advisory accelerator, cheap
       // to rebuild; a silent partial read is not. No-op in the common
-      // case (a current-hour stage is never inside a seal's upTo).
-      if (keys.nonEmpty)
-        Manifests.invalidateIfCovers(store, table,
-          keys.map(LakeKeys.hourPrefixOf).min)
+      // case (a current-hour stage is never inside a seal's upTo). A
+      // cross-branch publish also touches the REPLACED originals' hours.
+      val hours = (keys ++ st.removedKeys).map(LakeKeys.hourPrefixOf)
+      if (hours.nonEmpty)
+        Manifests.invalidateIfCovers(store, table, hours.min)
       result(StructType(Seq(
         StructField("generation", LongType, nullable = false),
-        StructField("objects_published", IntegerType, nullable = false))),
-        java.lang.Long.valueOf(rec.gen), Integer.valueOf(keys.size))
+        StructField("objects_published", IntegerType, nullable = false),
+        StructField("objects_replaced", IntegerType, nullable = false))),
+        java.lang.Long.valueOf(rec.gen), Integer.valueOf(keys.size),
+        Integer.valueOf(st.removedKeys.size))
     }
   }
 

@@ -290,20 +290,20 @@ final class LakeTable(rootUri: String, tableName: String,
                       // already resolved whether a DECLARED schema
                       // record exists; None = derive lazily
                       preEvolved: Option[Boolean] = None,
-                      // WAP BRANCH session (round 17 — the Iceberg
-                      // `spark.wap.branch` shape via the session conf
-                      // `spark.graft.wap.branch = <auditId>`): reads
-                      // resolve the withAudit view (live ∪ staged) and
-                      // row-level DELETE/UPDATE scope to the STAGED
-                      // BATCH — the scrub-before-publish workflow. A
-                      // branch DML rewrites hidden staged objects and
-                      // swaps the audit intent; the table's generation
-                      // chain is untouched until publish_audit's one
-                      // CAS (and abort_audit drops the scrubbed batch
-                      // untraced). Cross-branch DML over LIVE rows is
-                      // deliberately out of scope — live rows are not
-                      // scanned by a branch DML; mutate them after
-                      // publish (documented, refused shapes throw).
+                      // WAP BRANCH session (r17, cross-branch r18 — the
+                      // full Iceberg `spark.wap.branch` semantics via
+                      // the session conf `spark.graft.wap.branch =
+                      // <auditId>`): reads resolve the BRANCH VIEW
+                      // (live ∪ staged, replaced live originals swapped
+                      // for their hidden replacements) and row-level
+                      // DELETE/UPDATE mutate the whole view — batch
+                      // scrubs swap hidden staged objects; touched LIVE
+                      // objects are recorded replaced in the audit
+                      // intent's v2 state, their rewrites hidden. The
+                      // generation chain is untouched until
+                      // publish_audit's one validated CAS (abort_audit
+                      // drops every hidden key, live untouched). MERGE
+                      // and TRUNCATE refuse under a branch.
                       branchAudit: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -366,10 +366,12 @@ final class LakeTable(rootUri: String, tableName: String,
         "table would rewrite drifted objects onto the merged header as " +
         "a side effect — run CALL lake.system.compact first, then " +
         "retry without reconcile")
-    // WAP BRANCH: DELETE/UPDATE scope to the staged batch (scrub before
-    // publish), always the group-based rewrite — the branch publish is
-    // an intent swap, not a generation commit. MERGE has no
-    // batch-scoped meaning (its source drives inserts) — refused.
+    // WAP BRANCH: DELETE/UPDATE mutate the branch view (batch + live) —
+    // always the position-delta plan with the branch rewrite commit
+    // (the patches name each touched object, which is what makes the
+    // batch-vs-live lineage split exact); the branch "commit" is an
+    // intent-state swap, not a generation commit. MERGE's inserts have
+    // no sound branch lineage — refused.
     branchAudit.foreach { id =>
       require(info.command() !=
           org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE,
@@ -1034,14 +1036,13 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
                             // time travel: plan generation N's retained
                             // snapshot instead of the live listing
                             asOfGeneration: Option[Long] = None,
-                            // write-audit-publish validation read: ALSO
-                            // scan the named audit's staged (hidden) keys
-                            withAudit: Option[String] = None,
-                            // WAP-branch DML scope: plan ONLY the
-                            // audit's staged keys (the scrub-the-batch
-                            // contract — live rows are never scanned by
-                            // a branch DML)
-                            branchOnly: Boolean = false)
+                            // write-audit-publish branch view
+                            // (validation reads and branch DML): ALSO
+                            // scan the named audit's staged (hidden)
+                            // keys, and exclude the branch's replaced
+                            // live originals (their replacements stand
+                            // in)
+                            withAudit: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -1146,7 +1147,7 @@ final class LakeScanBuilder(rootUri: String, table: String, lakeSchema: TableSch
       val s = new LakeScan(rootUri, table, lakeSchema, required, pushed,
         pushedLimit, pushedTopN, clusterByHour, streamOptions, byName,
         groupFilterOnKey = cowMode, asOfGeneration = asOfGeneration,
-        withAudit = withAudit, branchOnly = branchOnly)
+        withAudit = withAudit)
       if (onBuild != null) onBuild(s)
       s
   }
@@ -1161,8 +1162,7 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
                      byName: Boolean = false,
                      groupFilterOnKey: Boolean = false,
                      asOfGeneration: Option[Long] = None,
-                     withAudit: Option[String] = None,
-                     branchOnly: Boolean = false)
+                     withAudit: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -1327,33 +1327,23 @@ final class LakeScan(rootUri: String, table: String, lakeSchema: TableSchema,
         }, dvs, eqRefs)
       case (None, hr) =>
         val view0 = LakeVersions.tableView(store, table)
-        // write-audit-publish validation read: the named audit's staged
-        // keys leave the exclusion set — the scan sees live ∪ staged
-        // (hour pruning and sidecar probes apply to them like any key)
+        // write-audit-publish branch view (validation reads AND branch
+        // DML scans): the named audit's hidden keys leave the exclusion
+        // set — the scan sees live ∪ staged — and the branch's REPLACED
+        // live originals JOIN it (their branch replacements stand in;
+        // plain readers keep seeing the originals until publish). Hour
+        // pruning and sidecar probes apply to them like any key.
         val view = withAudit.fold(view0) { id =>
-          val ks = LakeVersions.readIntent(store, table, s"audit-$id")
+          val (ks, branch) = LakeVersions.readIntentFull(store, table,
+            s"audit-$id")
             .getOrElse(throw new IllegalArgumentException(
               s"graft-lake: no staged audit '$id' on table '$table' — " +
                 "it was never written, already published, or aborted"))
-          view0.copy(excl = view0.excl -- ks)
+          view0.copy(excl = view0.excl -- ks ++
+            branch.map(_.removedKeys).getOrElse(Nil))
         }
-        if (branchOnly) {
-          // WAP-branch DML: the plan is EXACTLY the staged batch —
-          // live keys never enter it (the scrub-the-batch contract);
-          // hour-range pruning still applies below like any listing
-          val staged = LakeVersions.readIntent(store, table,
-            s"audit-${withAudit.get}").getOrElse(Nil)
-          val ranged = hr.fold(staged) { case (from, to) =>
-            import java.time.temporal.ChronoUnit
-            val lo = LakeKeys.datePrefix(from.truncatedTo(ChronoUnit.HOURS))
-            val hi = LakeKeys.datePrefix(to.truncatedTo(ChronoUnit.HOURS))
-            staged.filter { k =>
-              val h = LakeKeys.hourPrefixOf(k); h >= lo && h <= hi }
-          }
-          (ranged, view.dvs, view.eqdels)
-        } else
-          (LakeReader.listTableKeys(store, table, hr, Some(view)), view.dvs,
-            view.eqdels)
+        (LakeReader.listTableKeys(store, table, hr, Some(view)), view.dvs,
+          view.eqdels)
     }
     val eqCompiled = LakeEqDeletes.compile(store, table, eqList)
     def eqScoped(k: String): Boolean = eqCompiled.exists(_.inScope(k))

@@ -386,7 +386,16 @@ final class LakeDeltaOperation(rootUri: String, tableName: String,
                                byName: Boolean = false,
                                cmd: RowLevelOperation.Command =
                                  RowLevelOperation.Command.MERGE,
-                               mor: Boolean = false)
+                               mor: Boolean = false,
+                               // WAP branch ([[LakeTable]]'s
+                               // branchAudit): the scan resolves the
+                               // BRANCH VIEW (live ∪ staged, replaced
+                               // originals swapped for their
+                               // replacements) and commit updates the
+                               // audit intent's branch state instead of
+                               // CAS-ing a generation — cross-branch
+                               // DML, round 18
+                               private[lake] val branch: Option[String] = None)
     extends RowLevelOperation with SupportsDelta {
 
   /** The operation's CONFIGURED scan (the [[LakeRowLevelOperation
@@ -414,6 +423,7 @@ final class LakeDeltaOperation(rootUri: String, tableName: String,
     // plannedKeys contract — the patches name the touched objects exactly
     new LakeScanBuilder(rootUri, tableName, lakeSchema, byName = byName,
       cowMode = true,
+      withAudit = branch,
       onBuild = s => if (deltaScan == null) deltaScan = s)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
@@ -484,14 +494,120 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
       // a statement that matched nothing and inserted nothing is a true
       // no-op: no rewrite job, no generation
       if (stagedIns.isEmpty && stagedUpd.isEmpty && stagedPatch.isEmpty) return
-      if (mor) commitMor(store, table, p, stagedIns.toSeq, stagedUpd.toSeq,
-        stagedPatch.toSeq)
+      if (op != null && op.branch.isDefined) {
+        require(stagedUpd.isEmpty && stagedIns.isEmpty,
+          "graft-lake delta: a branch DML stages only patches " +
+            "(MERGE under a branch is refused)")
+        commitBranchRewrite(store, table, p, op.branch.get, stagedPatch.toSeq)
+      }
+      else if (mor) commitMor(store, table, p, stagedIns.toSeq,
+        stagedUpd.toSeq, stagedPatch.toSeq)
       else {
         require(stagedUpd.isEmpty, // writer routes upd/ only under mor
           "graft-lake delta: update-row objects staged outside merge-on-read")
         commitRewrite(store, table, p, stagedIns.toSeq, stagedPatch.toSeq)
       }
     } finally cleanupStaging(store)
+  }
+
+  /** CROSS-BRANCH DML (round 18, the full `spark.wap.branch`
+    * semantics): the branch scan resolved live ∪ staged, so the patches
+    * may touch BOTH lineages — and because every patch names its object,
+    * the split is exact where the group-based ReplaceData write (table
+    * columns only) could never tell them apart:
+    *
+    *  - a touched STAGED-BATCH object (or a prior scrub's output) swaps
+    *    inside the hidden batch exactly as r17 scrubs did — its
+    *    original deletes (hidden garbage);
+    *  - a touched prior live-REPLACEMENT swaps inside the hidden repl
+    *    set the same way (its source original stays recorded);
+    *  - a touched LIVE object is NEVER deleted here — plain readers own
+    *    it until publish; it is recorded in the intent's v2 REPLACED
+    *    set (with its scan-time delete-vector basis) and its hidden
+    *    rewrite joins the repl set, standing in for branch readers.
+    *
+    * The generation chain is untouched; `publish_audit` turns the whole
+    * state into ONE CAS (removed = replaced originals VALIDATED live,
+    * added = replacements — CDC-skippable, inserted = the batch), and
+    * `abort_audit` drops every hidden key with live data untouched.
+    *
+    * The swap: a TEMP intent hides the fresh rewrites, they rename into
+    * place, replaced hidden originals delete, and the AUDIT intent is
+    * REPLACED via write-to-temp + rename-over (one file carries hidden
+    * list, lineage split, replaced set — a reader racing an in-place
+    * rewrite would momentarily see a TORN intent, which reads as "no
+    * hidden keys": the whole batch would flash visible). A crash
+    * mid-swap leaves intent-hidden garbage the janitor's orphaned-
+    * intent sweep reclaims (the temp intent commits no generation). */
+  private def commitBranchRewrite(store: Store, table: String,
+                                  p: LakeRowLevel.SidecarPolicy,
+                                  auditId: String,
+                                  stagedPatch: Seq[String]): Unit = {
+    val ik = s"audit-$auditId"
+    val (oldList, oldBranch) = LakeVersions.readIntentFull(store, table, ik)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-lake: no staged audit '$auditId' on table '$table' — " +
+          "it was published or aborted under this branch session"))
+    val prev = oldBranch.getOrElse(
+      LakeVersions.BranchState(oldList, Nil, Nil, Nil))
+    // the branch scan ran under the table's CURRENT equality-delete
+    // list; replacements computed under a DIFFERENT list than an
+    // earlier branch DML's would resurrect rows at publish — refuse
+    // with the remedy (the same loud posture as eqBasis at a CAS)
+    val scanEq = scanEqdels.sorted
+    if (prev.removed.nonEmpty && prev.eqBasis.sorted != scanEq)
+      throw new LakeVersions.LakeConcurrentModificationException(
+        s"graft-lake: the equality-delete list of '$table' changed " +
+          s"between this branch's DML statements — publish or abort " +
+          s"audit '$auditId', then re-branch against the current table")
+    val basis = scanDvs
+    // per-object local rewrite, vector-applied — the patches NAME each
+    // touched object, so lineage is exact by construction
+    val rewrites = LakeDelta.rewriteTouched(SparkSession.active, rootUri,
+      lakeSchema, stagedPatch, s"$staging/rw/", p, byName,
+      dvs = basis.map { case (k, r) => k -> r.key })
+    if (rewrites.isEmpty) return
+    def dstOf(k: String): String = k.stripPrefix(s"$staging/rw/")
+    val batchSet = prev.batch.toSet
+    val replSet = prev.repl.toSet
+    val touchedBatch = rewrites.filter(r => batchSet(r._1))
+    val touchedRepl = rewrites.filter(r => replSet(r._1))
+    val touchedLive = rewrites.filterNot(r => batchSet(r._1) || replSet(r._1))
+    val dsts = rewrites.flatMap(_._2).map(dstOf)
+    val tempId = java.util.UUID.randomUUID().toString
+    LakeVersions.writeIntent(store, table, tempId, dsts)
+    rewrites.flatMap(_._2).foreach { k =>
+      val dst = dstOf(k)
+      store.rename(k, dst)
+      if (p.zoneMaps) store.rename(ZoneMaps.statsKey(k), ZoneMaps.statsKey(dst))
+      if (p.bloomColumns.nonEmpty)
+        store.rename(BloomMaps.bloomKey(k), BloomMaps.bloomKey(dst))
+    }
+    (touchedBatch ++ touchedRepl).map(_._1).foreach { k =>
+      store.delete(k)
+      ZoneMaps.deleteSidecarSignaled(store, k, "graft-lake branch dml")
+      store.delete(BloomMaps.bloomKey(k))
+    }
+    val newState = LakeVersions.BranchState(
+      batch = (prev.batch.filterNot(touchedBatch.map(_._1).toSet) ++
+        touchedBatch.flatMap(_._2).map(dstOf)).distinct,
+      repl = (prev.repl.filterNot(touchedRepl.map(_._1).toSet) ++
+        touchedRepl.flatMap(_._2).map(dstOf) ++
+        touchedLive.flatMap(_._2).map(dstOf)).distinct,
+      removed = (prev.removed ++ touchedLive.map(r =>
+        r._1 -> basis.get(r._1).map(_.key))).distinct,
+      eqBasis = if (prev.removed.nonEmpty) prev.eqBasis
+                else if (touchedLive.nonEmpty) scanEq else Nil)
+    // a branch that never touched live rows keeps the v1 intent —
+    // byte-identical to every earlier round's scrub workflow
+    val tmpIntent = s"${LakeVersions.dir(table)}/tmpint-$tempId"
+    if (newState.repl.isEmpty && newState.removed.isEmpty)
+      LakeVersions.writeIntentTo(store, tmpIntent, table, ik, newState.batch)
+    else
+      LakeVersions.writeIntentTo(store, tmpIntent, table, ik,
+        newState.batch ++ newState.repl, branch = Some(newState))
+    store.rename(tmpIntent, LakeVersions.intentKey(table, ik))
+    store.delete(LakeVersions.intentKey(table, tempId))
   }
 
   /** `mor = false`: the r15 rewrite commit — touched objects rewritten

@@ -875,6 +875,15 @@ object LakeMaintenance {
     // CAS are milliseconds apart; the cutoff is hours), and a committed
     // intent's keys are live data — referenced, so never touched here.
     store.listDirs(LakeVersions.Prefix.stripSuffix("/")).foreach { table =>
+      // a branch DML that crashed between writing its replacement
+      // intent to `tmpint-*` and renaming it over the audit intent
+      // leaves the temp file behind — harmless (no reader consults
+      // it), reclaimed here once old
+      store.list(LakeVersions.dir(table))
+        .filter(_.stripPrefix(LakeVersions.dir(table) + "/")
+          .startsWith("tmpint-"))
+        .filter(k => store.newestModification(k).exists(_.isBefore(olderThan)))
+        .foreach { k => store.delete(k); swept += 1 }
       val st = LakeVersions.listDir(store, table)
       if (st.intents.nonEmpty) {
         val referenced = st.gens.flatMap(g =>

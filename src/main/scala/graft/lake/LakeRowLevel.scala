@@ -457,14 +457,7 @@ object LakeRowLevel {
 final class LakeRowLevelOperation(rootUri: String, tableName: String,
                                   lakeSchema: TableSchema,
                                   cmd: RowLevelOperation.Command,
-                                  byName: Boolean = false,
-                                  // WAP branch ([[LakeTable]]'s
-                                  // branchAudit): the DML scopes to the
-                                  // audit's STAGED batch — the scan
-                                  // plans only its keys, and commit
-                                  // swaps the audit intent instead of
-                                  // CAS-ing a generation
-                                  private[lake] val branch: Option[String] = None)
+                                  byName: Boolean = false)
     extends RowLevelOperation {
 
   /** The operation's CONFIGURED scan — the one Spark plans the
@@ -489,7 +482,6 @@ final class LakeRowLevelOperation(rootUri: String, tableName: String,
     new LakeScanBuilder(rootUri, tableName, lakeSchema,
       byName = byName,
       cowMode = true,
-      withAudit = branch, branchOnly = branch.isDefined,
       onBuild = s => if (cowScan == null) cowScan = s)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -524,12 +516,16 @@ final class LakeRowLevelOperationBuilder(rootUri: String, tableName: String,
                                          branch: Option[String] = None)
     extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation = {
-    // a WAP-branch DML always takes the group rewrite: the branch
-    // publish is an intent swap over hidden staged objects — vectors/
-    // deltas have no meaning before the batch exists on the chain
+    // a WAP-branch DML always takes the DELTA path with the REWRITE
+    // commit (never vectors — they have no meaning before the branch
+    // exists on the chain): patches name each touched object exactly,
+    // which is what gives cross-branch DML its per-object LINEAGE
+    // (rewrites of the staged batch stay batch; rewrites of LIVE
+    // objects become branch replacements — the group-based ReplaceData
+    // write carries only table columns and cannot tell them apart)
     if (branch.isDefined)
-      return new LakeRowLevelOperation(rootUri, tableName, lakeSchema,
-        info.command(), byName, branch = branch)
+      return new LakeDeltaOperation(rootUri, tableName, lakeSchema, byName,
+        cmd = info.command(), mor = false, branch = branch)
     val mor = LakeDvs.isMor(new HadoopStore(rootUri), tableName)
     if (mor || info.command() == RowLevelOperation.Command.MERGE)
       new LakeDeltaOperation(rootUri, tableName, lakeSchema, byName,
@@ -582,10 +578,6 @@ final class LakeCowWrite(rootUri: String, lakeSchema: TableSchema,
       // written) is a true no-op: never mint a generation for it — a
       // no-op UPDATE must not turn a never-mutated table versioned
       if (retired.isEmpty && staged.isEmpty) return
-      if (op.branch.isDefined) {
-        commitBranch(store, table, p, op.branch.get, staged.toSeq, retired)
-        return
-      }
       // the CDC boundary: `ins/`-staged objects hold genuinely NEW rows
       // (MERGE INSERT) — a stream must always deliver them; the rest
       // are REWRITES of the retired groups' surviving rows, skippable
@@ -654,51 +646,6 @@ final class LakeCowWrite(rootUri: String, lakeSchema: TableSchema,
     } finally cleanupStaging(store)
   }
 
-  /** WAP-BRANCH publish (round 17): the DML rewrote part of the STAGED
-    * batch — live data and the generation chain stay untouched. The
-    * swap: a TEMP intent hides the fresh replacement keys, they rename
-    * into place, the replaced staged originals delete, the AUDIT intent
-    * rewrites to the new full list, the temp intent drops. Plain
-    * readers see nothing at any point (every key is intent-hidden or
-    * gone); a withAudit validation read racing the swap sees a
-    * transitional batch (validation re-reads — its contract). A crash
-    * mid-swap leaves intent-hidden garbage the janitor's orphaned-
-    * intent sweep reclaims (the temp intent commits no generation), and
-    * abort_audit/publish_audit read whatever list the audit intent
-    * holds — the batch aborts untraced or publishes atomically exactly
-    * as before. */
-  private def commitBranch(store: Store, table: String,
-                           p: LakeRowLevel.SidecarPolicy, auditId: String,
-                           staged: Seq[String], retired: Seq[String]): Unit = {
-    val ik = s"audit-$auditId"
-    val oldList = LakeVersions.readIntent(store, table, ik).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-lake: no staged audit '$auditId' on table '$table' — " +
-          "it was published or aborted under this branch session"))
-    require(retired.forall(oldList.contains),
-      s"graft-lake: branch DML on audit '$auditId' planned objects " +
-        "outside the staged batch — the branch scan contract broke")
-    def dstOf(k: String): String =
-      k.stripPrefix(s"$staging/ins/").stripPrefix(s"$staging/")
-    val dsts = staged.map(dstOf)
-    val tempId = java.util.UUID.randomUUID().toString
-    LakeVersions.writeIntent(store, table, tempId, dsts)
-    staged.foreach { k =>
-      val dst = dstOf(k)
-      store.rename(k, dst)
-      if (p.zoneMaps) store.rename(ZoneMaps.statsKey(k), ZoneMaps.statsKey(dst))
-      if (p.bloomColumns.nonEmpty)
-        store.rename(BloomMaps.bloomKey(k), BloomMaps.bloomKey(dst))
-    }
-    retired.foreach { k =>
-      store.delete(k)
-      ZoneMaps.deleteSidecarSignaled(store, k, "graft-lake branch dml")
-      store.delete(BloomMaps.bloomKey(k))
-    }
-    LakeVersions.writeIntent(store, table, ik,
-      (oldList.filterNot(retired.toSet) ++ dsts).distinct)
-    store.delete(LakeVersions.intentKey(table, tempId))
-  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     cleanupStaging(new HadoopStore(rootUri))

@@ -450,7 +450,14 @@ object LakeVersions {
             h.flatMap(r => records.get(r.parent)
               .orElse(readRecord(store, table, r.parent))).flatMap(_.intent).toSet
           st.intents.filterNot(committed).flatMap { id =>
-            intentCache.get(id).orElse {
+            // AUDIT intents are MUTABLE — a WAP branch DML rewrites the
+            // file in place (scrubs swap batch keys; cross-branch DML
+            // adds replacements) — so they are re-read every refresh:
+            // a cached stale hidden-list would let the stream deliver a
+            // branch's hidden replacement keys. Ordinary statement
+            // intents stay write-once and cache by immutability.
+            if (id.startsWith("audit-")) readIntent(store, table, id)
+            else intentCache.get(id).orElse {
               val read = readIntent(store, table, id)
               read.foreach(intentCache.update(id, _)) // torn stays uncached
               read
@@ -511,40 +518,114 @@ object LakeVersions {
 
   // ---------------------------------------------------------- intents
 
+  /** The CROSS-BRANCH state a WAP audit intent may carry (v2 — written
+    * only once a branch DML touches LIVE rows; batch-only audits stay
+    * v1 byte-identically): the hidden keys split by LINEAGE (`batch` =
+    * the audited batch and its scrubs → `inserted` at publish; `repl` =
+    * replacements of live objects the branch rewrote → `added`), the
+    * REPLACED live originals with their scan-time delete-vector basis
+    * (→ `removed`, validated live at the publish CAS — a concurrent
+    * mutation of a replaced object aborts the publish loudly), and the
+    * equality-delete list the branch scan ran under (→ the publish's
+    * `eqBasis`). Living INSIDE the intent file keeps the whole branch
+    * state one atomic rename-swap — the same crash posture branch
+    * scrubs always had, no second file to tear against. */
+  final case class BranchState(batch: Seq[String], repl: Seq[String],
+                               removed: Seq[(String, Option[String])],
+                               eqBasis: Seq[String]) {
+    def removedKeys: Seq[String] = removed.map(_._1)
+  }
+
   /** Write the pre-publish intent: the final keys about to rename into
-    * place. Fresh uuid key — no exclusivity needed. */
+    * place. Fresh uuid key — no exclusivity needed. With `branch` set
+    * (a cross-branch WAP audit), the v2 form carries the lineage split
+    * and replaced-set; `keys` must then equal batch ++ repl. */
   def writeIntent(store: Store, table: String, id: String,
-                  keys: Seq[String]): Unit = {
+                  keys: Seq[String],
+                  branch: Option[BranchState] = None): Unit =
+    writeIntentTo(store, intentKey(table, id), table, id, keys, branch)
+
+  /** [[writeIntent]] to an arbitrary key — branch DML REPLACES a live
+    * audit intent by writing the new state to a temp key and renaming
+    * over it (atomic on POSIX; copy-over stores degrade to a torn
+    * window that reads as a torn intent — hidden keys briefly exposed,
+    * the documented branch-swap race, no worse than the in-place
+    * rewrite it replaces). */
+  private[lake] def writeIntentTo(store: Store, key: String, table: String,
+                                  id: String, keys: Seq[String],
+                                  branch: Option[BranchState] = None): Unit = {
     val out = new BufferedWriter(new OutputStreamWriter(
-      new GZIPOutputStream(store.create(intentKey(table, id))),
+      new GZIPOutputStream(store.create(key)),
       StandardCharsets.UTF_8))
     try {
-      out.write(s"graft-intent v1 table=$table id=$id count=${keys.size}\n")
-      keys.foreach { k => out.write(k); out.write("\n") }
+      branch match {
+        case None =>
+          out.write(s"graft-intent v1 table=$table id=$id count=${keys.size}\n")
+          keys.foreach { k => out.write(k); out.write("\n") }
+        case Some(b) =>
+          require((b.batch ++ b.repl).sorted == keys.sorted,
+            "graft-intent v2: hidden keys must equal batch ++ repl")
+          out.write(s"graft-intent v2 table=$table id=$id " +
+            s"batch=${b.batch.size} repl=${b.repl.size} " +
+            s"removed=${b.removed.size} eqb=${b.eqBasis.size}\n")
+          b.batch.foreach { k => out.write(k); out.write("\n") }
+          b.repl.foreach { k => out.write(k); out.write("\n") }
+          b.removed.foreach { case (k, dv) =>
+            out.write(s"$k ${dv.getOrElse("-")}"); out.write("\n") }
+          b.eqBasis.foreach { k => out.write(k); out.write("\n") }
+      }
     } finally out.close()
   }
 
   private val IntentRe =
     """^graft-intent v1 table=(\S+) id=(\S+) count=(\d+)$""".r
+  private val IntentV2Re =
+    ("""^graft-intent v2 table=(\S+) id=(\S+) batch=(\d+) repl=(\d+) """ +
+      """removed=(\d+) eqb=(\d+)$""").r
 
   /** None = torn/absent (a torn intent names nothing — its publish
-    * renames cannot have started: the intent is written BEFORE them). */
-  def readIntent(store: Store, table: String, id: String): Option[Seq[String]] = {
+    * renames cannot have started: the intent is written BEFORE them).
+    * Returns ALL hidden keys (for a v2 branch intent: batch ++ repl) —
+    * the exclusion contract every caller relies on. */
+  def readIntent(store: Store, table: String, id: String): Option[Seq[String]] =
+    readIntentFull(store, table, id).map(_._1)
+
+  /** [[readIntent]] plus the branch state a v2 intent carries. */
+  def readIntentFull(store: Store, table: String,
+                     id: String): Option[(Seq[String], Option[BranchState])] = {
     val raw = try store.open(intentKey(table, id))
               catch { case _: Exception => return None }
     try {
       val rd = new BufferedReader(new InputStreamReader(
         new GZIPInputStream(raw), StandardCharsets.UTF_8))
-      val m = IntentRe.findFirstMatchIn(Option(rd.readLine()).getOrElse(""))
-        .getOrElse(return None)
-      val n = m.group(3).toInt
-      val b = Vector.newBuilder[String]
-      var i = 0
-      while (i < n) {
-        b += Option(rd.readLine()).getOrElse(return None)
-        i += 1
+      val header = Option(rd.readLine()).getOrElse(return None)
+      def lines(n: Int): Option[Seq[String]] = {
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < n) {
+          b += Option(rd.readLine()).getOrElse(return None)
+          i += 1
+        }
+        Some(b.result())
       }
-      Some(b.result())
+      IntentRe.findFirstMatchIn(header) match {
+        case Some(m) => lines(m.group(3).toInt).map(ks => (ks, None))
+        case None =>
+          val m = IntentV2Re.findFirstMatchIn(header).getOrElse(return None)
+          for {
+            batch <- lines(m.group(3).toInt)
+            repl <- lines(m.group(4).toInt)
+            removedRaw <- lines(m.group(5).toInt)
+            eqb <- lines(m.group(6).toInt)
+            removed <- Some(removedRaw.map { l =>
+              val i = l.lastIndexOf(' ')
+              if (i < 0) return None
+              val dv = l.substring(i + 1)
+              (l.substring(0, i), if (dv == "-") None else Some(dv))
+            })
+          } yield (batch ++ repl,
+            Some(BranchState(batch, repl, removed, eqb)))
+      }
     } catch { case _: Exception => None }
     finally { try raw.close() catch { case _: Exception => () } }
   }

@@ -4380,6 +4380,85 @@ object Pipeline {
              |  min(event_id) AS min_id, max(event_id) AS max_id
              |FROM live""".stripMargin)),
 
+    // ---------------- cross-branch DML over LIVE rows (l43)
+    // The FULL Iceberg wap.branch semantics (round 18 — l40's batch
+    // scrub widened to the whole branch view): under the branch, DML
+    // mutates LIVE rows too — replaced live originals stay visible to
+    // plain readers (gated in-query) while the branch sees their hidden
+    // rewrites; publish_audit lands batch + live rewrites + removals at
+    // ONE CAS. Oracle: closed-form — live rows with the branch's DELETE
+    // + UPDATE applied, plus the staged batch.
+    "l43_lake_branch_live_dml" -> QueryDef(
+      (s, dir) => {
+        import graft.lake.{LakeCatalog, LakeReader, LakeVersions, LakeWriter}
+        import graft.types.{ColType, TableSchema}
+        val schema = TableSchema("events_xb", Seq(
+          "event_id" -> ColType.CInteger, "user_id" -> ColType.CInteger,
+          "vc" -> ColType.CInteger))
+        val root = rtSlot("graft-xb-lake", dir)
+        val store = new graft.lake.HadoopStore(root)
+        store.deletePrefix("")
+        val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        LakeWriter.write(ev.repartitionByRange(4, col("event_id")),
+          schema, root, java.time.Instant.parse("2024-06-01T00:00:00Z"),
+          zoneMaps = true)
+        val cat = s"l43cat${math.abs(root.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val n = ev.count()
+        // stage the day's batch (validated-before-visible)
+        val hot = java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-06-01T03:00:00Z"))
+        s.range(100).select((lit(60000000000L) + col("id")).as("event_id"),
+            lit(-1L).as("user_id"), (col("id") * 2L).as("vc"),
+            lit(hot).as("_event_hour"))
+          .coalesce(1)
+          .write.format("graft-lake").option("table", "events_xb")
+          .option("auditId", "fix").mode("append").save(root)
+        val gensBefore = LakeVersions.listDir(store, "events_xb").gens
+        // validation found bad LIVE data too: fix live rows AND the
+        // batch on the branch, in one workflow
+        s.conf.set("spark.graft.wap.branch", "fix")
+        try {
+          // a LIVE-row fix: users 3 and 4's rows get vc zeroed
+          s.sql(s"UPDATE $cat.events_xb SET vc = 0 WHERE user_id IN (3, 4)")
+          // a LIVE-row purge: user 5's rows leave entirely
+          s.sql(s"DELETE FROM $cat.events_xb WHERE user_id = 5")
+          // and a batch scrub in the same branch
+          s.sql(s"DELETE FROM $cat.events_xb WHERE event_id >= 60000000080")
+        } finally s.conf.unset("spark.graft.wap.branch")
+        require(LakeVersions.listDir(store, "events_xb").gens == gensBefore,
+          "branch DML must not mint generations")
+        val plain = LakeReader.read(s, root, "events_xb")
+        require(plain.count() == n &&
+          plain.where(col("user_id") === 5L).count() > 0 &&
+          plain.where(col("user_id").isin(3L, 4L) && col("vc") === 0L)
+            .count() == 0L,
+          "plain readers must be untouched by branch DML over live rows")
+        s.sql(s"CALL $cat.system.publish_audit(table => 'events_xb', " +
+          "audit_id => 'fix')").collect()
+        s.table(s"$cat.events_xb")
+          .agg(count(lit(1)).as("n_rows"), sum("vc").as("sum_vc"),
+            sum(when(col("user_id").isin(3L, 4L), col("vc"))
+              .otherwise(0L)).as("sum_fixed"),
+            sum("user_id").as("sum_uid"), max("event_id").as("max_id"))
+      },
+      Some("""WITH live AS (
+             |  SELECT event_id, user_id,
+             |    CASE WHEN user_id IN (3, 4) THEN 0
+             |         ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS vc
+             |  FROM events WHERE user_id <> 5
+             |  UNION ALL
+             |  SELECT 60000000000 + i, -1, i * 2 FROM range(80) t(i))
+             |SELECT count(*) AS n_rows,
+             |  CAST(sum(vc) AS BIGINT) AS sum_vc,
+             |  CAST(sum(CASE WHEN user_id IN (3, 4) THEN vc ELSE 0 END)
+             |    AS BIGINT) AS sum_fixed,
+             |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+             |  max(event_id) AS max_id
+             |FROM live""".stripMargin)),
+
     // ---------------- multi-column equality delete (l42)
     // The conjunction shape of l39 ([[graft.lake.LakeEqDeletes]] v2):
     // `DELETE WHERE user_id IN (..) AND event_type = '..'` — the

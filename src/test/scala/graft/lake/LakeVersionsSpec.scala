@@ -420,6 +420,53 @@ class LakeVersionsSpec extends SparkSuite {
     }
   }
 
+  test("intents round-trip exactly — v1 lists and v2 branch state (seeded randomized); torn prefixes parse as ABSENT") {
+    val root =
+      s"file://${Files.createTempDirectory("graft-intent-wire").toFile.getAbsolutePath}"
+    val store = new HadoopStore(root)
+    val rnd = new scala.util.Random(20260816L)
+    def key() = f"2024/07/${1 + rnd.nextInt(28)}%02d/${rnd.nextInt(24)}%02d/" +
+      s"it/${new java.util.UUID(rnd.nextLong(), rnd.nextLong())}.csv"
+    for (i <- 1 to 40) {
+      val id = s"audit-x$i"
+      val branch =
+        if (rnd.nextBoolean()) None
+        else Some(LakeVersions.BranchState(
+          batch = Seq.fill(1 + rnd.nextInt(4))(key()),
+          repl = Seq.fill(rnd.nextInt(4))(key()),
+          removed = Seq.fill(rnd.nextInt(4))(key() ->
+            (if (rnd.nextBoolean())
+              Some(s"_dv/it/${java.util.UUID.randomUUID()}.dv.gz")
+            else None)),
+          eqBasis = Seq.fill(rnd.nextInt(3))(
+            s"_eqdel/it/${java.util.UUID.randomUUID()}.eq.gz")))
+      val keys = branch.fold(Seq.fill(1 + rnd.nextInt(6))(key()))(b =>
+        b.batch ++ b.repl)
+      LakeVersions.writeIntent(store, "it", id, keys, branch)
+      val got = LakeVersions.readIntentFull(store, "it", id)
+      assert(got.map(_._1.sorted).contains(keys.sorted), s"keys at $i")
+      assert(got.flatMap(_._2) == branch, s"branch state at $i")
+      // torn prefixes: ABSENT or the exact complete content (a cut in
+      // the gzip trailer can still deliver every decompressed byte —
+      // and every section is count-prefixed, so a PARTIAL list can
+      // never parse as complete) — never wrong data
+      if (i <= 3) {
+        val in = store.open(LakeVersions.intentKey("it", id))
+        val whole = try in.readAllBytes() finally in.close()
+        for (cut <- Seq(1, whole.length / 2, whole.length - 1)) {
+          val out = store.create(LakeVersions.intentKey("it", "torn"))
+          out.write(whole.take(cut)); out.close()
+          val torn = LakeVersions.readIntentFull(store, "it", "torn")
+          assert(torn.isEmpty ||
+            (torn.get._1.sorted == keys.sorted && torn.get._2 == branch),
+            s"torn prefix $cut of ${whole.length} must read absent or " +
+              s"complete, got $torn")
+        }
+        store.delete(LakeVersions.intentKey("it", "torn"))
+      }
+    }
+  }
+
   private def chainMsg(e: Throwable): String =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")

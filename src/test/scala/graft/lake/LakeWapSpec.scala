@@ -204,10 +204,6 @@ class LakeWapSpec extends SparkSuite {
         "AND id < 10050")
       assert(spark.table(s"$cat.ev").where(col("tag") === "fixed")
         .count() == 50L)
-      // a predicate matching only LIVE rows is a branch no-op — the
-      // scrub scopes to the batch (documented), live rows never scanned
-      spark.sql(s"DELETE FROM $cat.ev WHERE id < 100")
-      assert(spark.table(s"$cat.ev").count() == 600L)
       // MERGE under a branch refuses with the remedy
       import spark.implicits._
       Seq(1L).toDF("sid").createOrReplaceTempView("wap_branch_src")
@@ -243,6 +239,105 @@ class LakeWapSpec extends SparkSuite {
     assert(spark.table(s"$cat.ev").count() == 600L,
       "an aborted scrubbed branch leaves no trace")
     assert(spark.table(s"$cat.ev").where(col("id") >= 20000).count() == 0L)
+  }
+
+  test("CROSS-BRANCH DML mutates LIVE rows in the branch view only; publish lands batch + live rewrites + removals at ONE CAS; a stream delivers the batch once and never the rewrites") {
+    val (cat, root, store) = fixture()
+    land(root) // ids 0..499 as two 250-row objects
+    // a stream watches throughout: branch work must deliver NOTHING,
+    // the publish exactly the batch (live rewrites are CDC-skippable)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-wap-xb-ckpt").toFile.getAbsolutePath
+    val got = new scala.collection.mutable.ArrayBuffer[Long]
+    val q = spark.readStream.format("graft-lake").option("table", "ev")
+      .load(root).writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("id").collect().map(_.getLong(0))
+        got.synchronized { got ++= ids }; ()
+      }.start()
+    q.processAllAvailable()
+    assert(got.size == 500, "initial drain")
+    auditWrite(root, "xb", 10000, 100)
+    val gensBefore = LakeVersions.listDir(store, "ev").gens
+    spark.conf.set("spark.graft.wap.branch", "xb")
+    try {
+      assert(spark.table(s"$cat.ev").count() == 600L)
+      // live rows ARE in the branch scope now (the full Iceberg
+      // wap.branch semantics): kill 100 live rows, update 10 more
+      spark.sql(s"DELETE FROM $cat.ev WHERE id < 100")
+      assert(spark.table(s"$cat.ev").count() == 500L,
+        "the branch view drops the deleted LIVE rows")
+      spark.sql(s"UPDATE $cat.ev SET tag = 'xb' WHERE id >= 300 AND id < 310")
+      assert(spark.table(s"$cat.ev").where(col("tag") === "xb").count() == 10L)
+      // …and a batch scrub in the same branch still works
+      spark.sql(s"DELETE FROM $cat.ev WHERE id >= 10090")
+      assert(spark.table(s"$cat.ev").count() == 490L)
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // plain readers: COMPLETELY untouched — the replaced live originals
+    // are still what they see; no generation minted; nothing delivered
+    assert(LakeReader.read(spark, root, "ev").count() == 500L)
+    assert(LakeReader.read(spark, root, "ev")
+      .where(col("tag") === "xb").count() == 0L)
+    assert(LakeVersions.listDir(store, "ev").gens == gensBefore,
+      "branch DML must not touch the generation chain")
+    q.processAllAvailable()
+    assert(got.size == 500, "branch work must deliver nothing")
+    // the intent carries the v2 branch state: both live objects
+    // replaced, replacements hidden
+    val (_, brSt) = LakeVersions.readIntentFull(store, "ev", "audit-xb").get
+    assert(brSt.exists(_.removed.size == 2),
+      s"both rewritten live objects must be recorded: $brSt")
+    assert(brSt.exists(_.repl.nonEmpty) && brSt.exists(_.batch.nonEmpty))
+    // publish: ONE CAS — removals validated, rewrites `added`, batch
+    // `inserted`
+    spark.sql(s"CALL $cat.system.publish_audit(table => 'ev', " +
+      "audit_id => 'xb')").collect()
+    val t = spark.table(s"$cat.ev")
+    assert(t.count() == 490L)
+    assert(t.where(col("id") < 100).count() == 0L)
+    assert(t.where(col("tag") === "xb").count() == 10L)
+    assert(t.where(col("id") >= 10000).count() == 90L)
+    val head = LakeVersions.head(store, "ev",
+      LakeVersions.listDir(store, "ev")).get
+    assert(head.op == "publish_audit" && head.removed.size == 2 &&
+      head.added.nonEmpty && head.inserted.nonEmpty,
+      s"the publish record must carry the exact CDC split: $head")
+    // the stream: exactly the batch (90 surviving staged rows), never
+    // the live rewrites (their provenance was delivered)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.sorted == ((0L until 500L) ++ (10000L until 10090L)).sorted,
+      s"publish must deliver the batch once and skip live rewrites: " +
+        s"${got.size} rows")
+  }
+
+  test("a concurrent mutation of a replaced live object ABORTS the publish loudly; the branch stays staged; abort_audit leaves live untouched") {
+    val (cat, root, store) = fixture()
+    land(root)
+    auditWrite(root, "stale", 20000, 50)
+    spark.conf.set("spark.graft.wap.branch", "stale")
+    try spark.sql(s"DELETE FROM $cat.ev WHERE id < 100") // replaces object 0
+    finally spark.conf.unset("spark.graft.wap.branch")
+    // a concurrent writer rewrites the SAME live object outside the
+    // branch (id 200 lives in object 0) — the branch is now stale
+    spark.sql(s"UPDATE $cat.ev SET v = 0.0 WHERE id = 200")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.publish_audit(table => 'ev', " +
+        "audit_id => 'stale')").collect()
+    }
+    assert(chainMsg(e).toLowerCase.contains("concurrent"), chainMsg(e))
+    // nothing published: the live table shows only the outside UPDATE
+    val t = spark.table(s"$cat.ev")
+    assert(t.count() == 500L && t.where(col("id") >= 20000).count() == 0L)
+    assert(t.where(col("id") === 200 && col("v") === 0.0).count() == 1L)
+    // the staged state survived the failed publish — abort discards it
+    // without touching live data
+    assert(LakeVersions.readIntentFull(store, "ev", "audit-stale").isDefined)
+    spark.sql(s"CALL $cat.system.abort_audit(table => 'ev', " +
+      "audit_id => 'stale')").collect()
+    assert(spark.table(s"$cat.ev").count() == 500L)
+    assert(store.list(LakeVersions.dir("ev"))
+      .count(_.contains("intent")) == 0, "the audit intent is gone")
   }
 
   private def chainMsg(e: Throwable): String =
