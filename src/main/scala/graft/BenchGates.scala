@@ -135,6 +135,12 @@ object BenchGates {
     // one pass of the fixture
     "l42_lake_eq_delete_multi" -> Ceiling(Some(4 * MB), None,
       maxStoreOps = Some(400)),
+    // 13.3 MB in / ~133 store RPCs (round 18): auto_compact reads the
+    // two DIRTY hours once (plus the fixture write) — a selection that
+    // lost its size tier (reading/rewriting the clean hour, or looping
+    // on a debt-free table) grows input and the RPC count together
+    "l44_lake_auto_compact" -> Ceiling(Some(24 * MB), None,
+      maxStoreOps = Some(400)),
     // 3.1 MB in / 1.4 MB shuffled / ~391 store RPCs (round 18): the
     // cross-branch DML ships only CHANGED rows through the delta plan
     // and rewrites only the objects the patches name — a fallback to a

@@ -309,7 +309,7 @@ final class LakeCatalog extends TableCatalog with ProcedureCatalog {
   * the operation's report as a one-row result. */
 private[lake] object LakeProcedures {
 
-  val Names: Seq[String] = Seq("compact", "expire", "ensure_indexes",
+  val Names: Seq[String] = Seq("compact", "auto_compact", "expire", "ensure_indexes",
     "seal_manifest", "retire_objects", "delete_where", "sweep_staging",
     "stats", "set_retention", "expire_versions", "history", "tag",
     "drop_tag", "changes_summary", "set_dml_mode", "publish_audit",
@@ -317,6 +317,7 @@ private[lake] object LakeProcedures {
 
   def load(root: String, name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(new CompactProcedure(root))
+    case "auto_compact" => Some(new AutoCompactProcedure(root))
     case "expire" => Some(new ExpireProcedure(root))
     case "ensure_indexes" => Some(new EnsureIndexesProcedure(root))
     case "seal_manifest" => Some(new SealManifestProcedure(root))
@@ -393,6 +394,51 @@ private[lake] object LakeProcedures {
         StructField("records", LongType, nullable = false))),
         Integer.valueOf(rep.oldObjects), Integer.valueOf(rep.newObjects),
         java.lang.Long.valueOf(rep.records))
+    }
+  }
+
+  private final class AutoCompactProcedure(root: String)
+      extends MaintenanceProcedure("auto_compact") {
+    override def description(): String =
+      "SIZE-TIERED auto-compaction: rewrite only the hours carrying " +
+        "small-file debt (>= min_objects objects) or merge-on-read " +
+        "delete vectors (fold reclaims them), dirtiest first, at most " +
+        "max_hours per run — bounded maintenance proportional to the " +
+        "DEBT, never the table. Clean hours are never read. dry_run " +
+        "reports and mutates nothing."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target_records", LongType)
+        .defaultValue("200000").build(),
+      ProcedureParameter.in("min_objects", IntegerType)
+        .defaultValue("4").build(),
+      ProcedureParameter.in("max_hours", IntegerType)
+        .defaultValue("64").build(),
+      ProcedureParameter.in("zone_maps", BooleanType)
+        .defaultValue("false").build(),
+      ProcedureParameter.in("bloom_columns", StringType)
+        .defaultValue("''").build(),
+      ProcedureParameter.in("dry_run", BooleanType)
+        .defaultValue("false").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rep = LakeMaintenance.autoCompact(SparkSession.active,
+        new HadoopStore(root), input.getUTF8String(0).toString,
+        targetRecords = input.getLong(1),
+        minObjects = input.getInt(2),
+        maxHours = input.getInt(3),
+        zoneMaps = input.getBoolean(4),
+        bloomColumns = commaCols(input.getUTF8String(5)),
+        dryRun = input.getBoolean(6))
+      result(StructType(Seq(
+        StructField("hours_total", IntegerType, nullable = false),
+        StructField("hours_selected", IntegerType, nullable = false),
+        StructField("old_objects", IntegerType, nullable = false),
+        StructField("new_objects", IntegerType, nullable = false),
+        StructField("records", LongType, nullable = false))),
+        Integer.valueOf(rep.hoursTotal), Integer.valueOf(rep.hoursSelected),
+        Integer.valueOf(rep.compaction.oldObjects),
+        Integer.valueOf(rep.compaction.newObjects),
+        java.lang.Long.valueOf(rep.compaction.records))
     }
   }
 
@@ -695,21 +741,41 @@ private[lake] object LakeProcedures {
       require(tables.nonEmpty, "graft-lake commit_transaction: no tables")
       val store = new HadoopStore(root)
       val parts = tables.map { t =>
-        val keys = LakeVersions.readIntent(store, t, s"audit-$id")
+        val (keys, branchSt) = LakeVersions.readIntentFull(store, t,
+          s"audit-$id")
           .getOrElse(throw new IllegalArgumentException(
             s"graft-lake: no staged audit '$id' on table '$t' — stage " +
               "every participating table with df.write.option('auditId', " +
               s"'$id') before committing the transaction"))
-        // replace mode: the part removes the table's whole live scope
-        // (version-aware listing — staged keys are intent-excluded, and
-        // tombstoned keys are already logically gone); the scope is
-        // validated live at the part's CAS like any overwrite
-        val removed =
-          if (!replace) Nil
-          else LakeReader.listTableKeys(store, t, None)
-            .filterNot(keys.toSet)
-        LakeTxn.Part(t, inserted = keys, intentId = s"audit-$id",
-          removed = removed, dropEqdels = replace)
+        branchSt match {
+          case Some(st) =>
+            // the audit carries BRANCH state (live-row scrubs under
+            // spark.graft.wap.branch): the part publishes the exact CDC
+            // split a publish_audit would — the transactional scrubbed
+            // publish. replace + branch is contradictory (two removed
+            // scopes) — refuse with the remedy.
+            require(!replace,
+              s"graft-lake commit_transaction: audit '$id' on '$t' " +
+                "carries branch DML over live rows — replace => true " +
+                "would name a second removed scope; publish without " +
+                "replace, or abort and restage")
+            LakeTxn.Part(t, inserted = st.batch, intentId = s"audit-$id",
+              removed = st.removedKeys, added = st.repl,
+              dvBasis = st.removed.toMap,
+              eqBasis = if (st.removed.nonEmpty) Some(st.eqBasis) else None)
+          case None =>
+            // replace mode: the part removes the table's whole live
+            // scope (version-aware listing — staged keys are
+            // intent-excluded, and tombstoned keys are already
+            // logically gone); the scope is validated live at the
+            // part's CAS like any overwrite
+            val removed =
+              if (!replace) Nil
+              else LakeReader.listTableKeys(store, t, None)
+                .filterNot(keys.toSet)
+            LakeTxn.Part(t, inserted = keys, intentId = s"audit-$id",
+              removed = removed, dropEqdels = replace)
+        }
       }
       val recs = LakeTxn.publish(store, parts,
         op = if (replace) "txn_overwrite" else "txn_publish")
@@ -717,7 +783,8 @@ private[lake] object LakeProcedures {
       // any single-table commit): invalidate manifests the batch's
       // hours may have raced, physically retire replaced scopes
       parts.zip(recs).foreach { case (p, rec) =>
-        val hours = (p.inserted ++ p.removed).map(LakeKeys.hourPrefixOf)
+        val hours = (p.inserted ++ p.added ++ p.removed)
+          .map(LakeKeys.hourPrefixOf)
         if (hours.nonEmpty)
           Manifests.invalidateIfCovers(store, p.table, hours.min)
         if (p.removed.nonEmpty && !LakeVersions.isRetained(store, p.table)) {
@@ -734,7 +801,7 @@ private[lake] object LakeProcedures {
         parts.zip(recs).map { case (p, rec) => Seq(
           UTF8String.fromString(p.table),
           java.lang.Long.valueOf(rec.gen),
-          Integer.valueOf(p.inserted.size),
+          Integer.valueOf(p.inserted.size + p.added.size),
           Integer.valueOf(p.removed.size)) })
     }
   }

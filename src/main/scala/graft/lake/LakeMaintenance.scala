@@ -67,6 +67,59 @@ object LakeMaintenance {
     // Same pruned listing plan as the reader: never a full-lake walk.
     val oldKeys = LakeReader.listTableKeys(store, table, hourRange)
     if (oldKeys.isEmpty) return CompactionReport(0, 0, 0L, Seq.empty)
+    compactCore(spark, store, table, oldKeys, targetRecords, gzip,
+      zoneMaps, bloomColumns, dryRun, dropAllEqdels = hourRange.isEmpty)
+  }
+
+  final case class AutoCompactReport(hoursTotal: Int, hoursSelected: Int,
+                                     compaction: CompactionReport)
+
+  /** SIZE-TIERED auto-compaction — the scheduled-maintenance half of
+    * `compact`: instead of rewriting every listed object, select only
+    * the hours WORTH compacting (≥ `minObjects` objects — the
+    * small-file debt DML and frequent flushes accumulate — or any
+    * object carrying a merge-on-read delete vector, whose fold
+    * reclaims the vector file and its per-read subtraction), dirtiest
+    * first, capped at `maxHours` per run so one maintenance invocation
+    * is BOUNDED work however far behind the table is. Clean hours are
+    * never read, never rewritten. At 100-TB scale this is the
+    * difference between maintenance proportional to the DEBT and
+    * maintenance proportional to the table. */
+  def autoCompact(spark: SparkSession, store: Store, table: String,
+                  targetRecords: Long = 200000L,
+                  minObjects: Int = 4,
+                  maxHours: Int = 64,
+                  gzip: Boolean = true,
+                  zoneMaps: Boolean = false,
+                  bloomColumns: Seq[String] = Nil,
+                  dryRun: Boolean = false): AutoCompactReport = {
+    require(minObjects >= 2, s"minObjects must be >= 2, got $minObjects")
+    require(maxHours >= 1, s"maxHours must be >= 1, got $maxHours")
+    val all = LakeReader.listTableKeys(store, table, None)
+    if (all.isEmpty) return AutoCompactReport(0, 0,
+      CompactionReport(0, 0, 0L, Seq.empty))
+    val dvs = LakeVersions.currentDvs(store, table)
+    val byHour = all.groupBy(LakeKeys.hourPrefixOf)
+    val picked = byHour.toSeq
+      .filter { case (_, ks) => ks.size >= minObjects || ks.exists(dvs.contains) }
+      .sortBy { case (h, ks) => (-ks.size, h) }
+      .take(maxHours)
+    val keys = picked.flatMap(_._2)
+    val rep =
+      if (keys.isEmpty) CompactionReport(0, 0, 0L, Seq.empty)
+      else compactCore(spark, store, table, keys, targetRecords, gzip,
+        zoneMaps, bloomColumns, dryRun,
+        // the equality-delete list may drop only when EVERYTHING is
+        // rewritten under it (the full-compact fold rule)
+        dropAllEqdels = keys.size == all.size)
+    AutoCompactReport(byHour.size, picked.size, rep)
+  }
+
+  private def compactCore(spark: SparkSession, store: Store, table: String,
+                          oldKeys: Seq[String], targetRecords: Long,
+                          gzip: Boolean, zoneMaps: Boolean,
+                          bloomColumns: Seq[String], dryRun: Boolean,
+                          dropAllEqdels: Boolean): CompactionReport = {
     // EVOLVED table: compact is the wholesale migration tool — reads
     // resolve each object by name against the declared schema, the
     // rewrite emits it, and the table leaves single-header
@@ -173,7 +226,7 @@ object LakeMaintenance {
         removed = oldKeys, added = dsts.map(_.key), intentId = Some(intentId),
         dvBasis = oldKeys.map(k => k -> dvMap.get.get(k).map(_.key)).toMap,
         eqBasis = Some(eqList.map(_.key)),
-        dropEqdels = hourRange.isEmpty && eqList.nonEmpty)
+        dropEqdels = dropAllEqdels && eqList.nonEmpty)
       catch { case e: Throwable =>
         // un-publish: our keys never committed, so deleting them (and
         // the intent) restores the exact pre-statement table

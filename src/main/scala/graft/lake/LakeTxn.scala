@@ -182,10 +182,17 @@ object LakeTxn {
     * already renamed to their final locations behind the intent
     * `intentId` (the write-audit-publish staging discipline); `removed`
     * is the live scope this part replaces (empty for a pure append
-    * part), validated at its CAS like any single-table commit. */
+    * part), validated at its CAS like any single-table commit. A part
+    * whose audit carries BRANCH state (live-row scrubs under
+    * `spark.graft.wap.branch`) additionally names its live rewrites in
+    * `added` (CDC-skippable) with the scan-time vector/equality bases
+    * the CAS must validate — the transactional scrubbed publish. */
   final case class Part(table: String, inserted: Seq[String],
                         intentId: String, removed: Seq[String] = Nil,
-                        dropEqdels: Boolean = false)
+                        dropEqdels: Boolean = false,
+                        added: Seq[String] = Nil,
+                        dvBasis: Map[String, Option[String]] = Map.empty,
+                        eqBasis: Option[Seq[String]] = None)
 
   /** Publish `parts` as ONE atomic cross-table transaction: CAS each
     * table's PENDING generation record (txn-marked, invisible), then
@@ -213,8 +220,9 @@ object LakeTxn {
     if (parts.size == 1) {
       val p = parts.head
       return Seq(LakeVersions.commit(store, p.table, op,
-        removed = p.removed, inserted = p.inserted,
-        intentId = Some(p.intentId), dropEqdels = p.dropEqdels))
+        removed = p.removed, added = p.added, inserted = p.inserted,
+        intentId = Some(p.intentId), dropEqdels = p.dropEqdels,
+        dvBasis = p.dvBasis, eqBasis = p.eqBasis))
     }
     val id = java.util.UUID.randomUUID().toString
     val done = scala.collection.mutable.ArrayBuffer.empty[LakeVersions.GenRecord]
@@ -231,8 +239,9 @@ object LakeTxn {
     }
     try parts.foreach { p =>
       done += LakeVersions.commit(store, p.table, op,
-        removed = p.removed, inserted = p.inserted,
+        removed = p.removed, added = p.added, inserted = p.inserted,
         intentId = Some(p.intentId), dropEqdels = p.dropEqdels,
+        dvBasis = p.dvBasis, eqBasis = p.eqBasis,
         txn = Some(id))
     } catch { case e: Throwable =>
       // decide FIRST so a contender cannot commit the half-published

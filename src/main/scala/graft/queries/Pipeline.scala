@@ -4380,6 +4380,60 @@ object Pipeline {
              |  min(event_id) AS min_id, max(event_id) AS max_id
              |FROM live""".stripMargin)),
 
+    // ---------------- size-tiered auto-compaction (l44)
+    // The scheduled-maintenance face of l07 ([[graft.lake
+    // .LakeMaintenance.autoCompact]]): two hours carry small-file debt
+    // (8 objects each), one is already clean — auto_compact selects
+    // and rewrites ONLY the dirty hours (clean hour byte-identical,
+    // selection gated in-query), and the consolidated lake aggregates
+    // hash-exact against the original parquet. A second run selects
+    // nothing and mints no generation (the bounded-debt claim).
+    "l44_lake_auto_compact" -> QueryDef(
+      (s, dir) => {
+        import graft.lake.{LakeMaintenance, LakeReader, LakeVersions, LakeWriter}
+        import graft.types.{ColType, TableSchema}
+        val schema = TableSchema("events_ac", Seq(
+          "event_id" -> ColType.CInteger, "user_id" -> ColType.CInteger,
+          "vc" -> ColType.CInteger))
+        val root = rtSlot("graft-ac-lake", dir)
+        val store = new graft.lake.HadoopStore(root)
+        store.deletePrefix("")
+        val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        // hours 00/01: 8 small objects each (debt); hour 02: one (clean)
+        for (h <- 0 until 3)
+          LakeWriter.write(
+            ev.filter(pmod(col("event_id"), lit(3)) === h)
+              .repartition(if (h == 2) 1 else 8),
+            schema, root, java.time.Instant.parse(f"2024-06-01T0$h%d:00:00Z"))
+        val cleanKeys = store.list("2024/06/01/02")
+          .filter(_.contains("/events_ac/"))
+        val rep = LakeMaintenance.autoCompact(s, store, "events_ac",
+          targetRecords = 1000000L, minObjects = 4)
+        require(rep.hoursTotal == 3 && rep.hoursSelected == 2 &&
+          rep.compaction.oldObjects == 16 && rep.compaction.newObjects == 2,
+          s"auto_compact must rewrite exactly the two dirty hours: $rep")
+        require(store.list("2024/06/01/02")
+          .filter(_.contains("/events_ac/")) == cleanKeys,
+          "the clean hour must be untouched")
+        // debt paid: a re-run is a no-op and mints no generation
+        val gens = LakeVersions.listDir(store, "events_ac").gens
+        val again = LakeMaintenance.autoCompact(s, store, "events_ac",
+          targetRecords = 1000000L, minObjects = 4)
+        require(again.hoursSelected == 0 &&
+          LakeVersions.listDir(store, "events_ac").gens == gens,
+          "a debt-free run must select nothing and commit nothing")
+        LakeReader.read(s, root, "events_ac")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum("vc").as("sum_vc"),
+            max("event_id").as("max_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_vc,
+             |  max(event_id) AS max_id
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // ---------------- cross-branch DML over LIVE rows (l43)
     // The FULL Iceberg wap.branch semantics (round 18 — l40's batch
     // scrub widened to the whole branch view): under the branch, DML

@@ -208,6 +208,74 @@ class LakeSpec extends SparkSuite {
     assert(back.agg(sum("id")).collect()(0).getLong(0) == (0L until 400L).sum)
   }
 
+  test("auto_compact selects only DIRTY hours: small-file debt and vectored objects rewrite, clean hours stay byte-identical, max_hours bounds a run, re-run is a no-op") {
+    import spark.implicits._
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    val cat = s"ac${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // hour 10: 6 tiny objects (dirty); hour 11: ONE object (clean);
+    // hour 12: 5 tiny objects (dirty); hour 13: 2 objects (below
+    // min_objects — clean) — ids disjoint per hour
+    def landHour(h: Int, objects: Int, lo: Int): Unit =
+      (0 until objects).foreach { b =>
+        LakeWriter.write(
+          (0 until 10).map(i => ((lo + b * 10 + i).toLong, i / 2.0, s"h$h"))
+            .toDF("id", "v", "tag").coalesce(1),
+          schema, root, Instant.parse(f"2024-06-01T$h%02d:00:00Z"))
+      }
+    landHour(10, 6, 0); landHour(11, 1, 1000)
+    landHour(12, 5, 2000); landHour(13, 2, 3000)
+    def bytesOf(k: String) = {
+      val in = store.open(k); try in.readAllBytes() finally in.close() }
+    val cleanKeys = (store.list("2024/06/01/11") ++ store.list("2024/06/01/13"))
+      .filter(_.contains("/ev/"))
+    val cleanBytes = cleanKeys.map(k => k -> bytesOf(k)).toMap
+    val totalBefore = LakeReader.read(spark, root, "ev").count()
+    // dry_run: reports the selection, mutates nothing
+    val dry = LakeMaintenance.autoCompact(spark, store, "ev",
+      targetRecords = 100L, minObjects = 4, dryRun = true)
+    assert(dry.hoursTotal == 4 && dry.hoursSelected == 2, dry.toString)
+    assert(store.list("").count(k =>
+      k.contains("/ev/") && !k.startsWith(LakeVersions.Prefix)) == 14)
+    // max_hours = 1 bounds the run to the DIRTIEST hour (10, 6 objects)
+    val first = spark.sql(s"CALL $cat.system.auto_compact(table => 'ev', " +
+      "target_records => 100, max_hours => 1)").collect().head
+    assert(first.getInt(1) == 1 && first.getInt(2) == 6 &&
+      first.getInt(3) == 1, first.toString)
+    // the second run picks up hour 12; clean hours never touched
+    val second = LakeMaintenance.autoCompact(spark, store, "ev",
+      targetRecords = 100L, minObjects = 4)
+    assert(second.hoursSelected == 1 &&
+      second.compaction.oldObjects == 5 && second.compaction.newObjects == 1,
+      second.toString)
+    cleanKeys.foreach(k => assert(bytesOf(k).sameElements(cleanBytes(k)),
+      s"clean-hour object $k must be byte-identical"))
+    assert(LakeReader.read(spark, root, "ev").count() == totalBefore)
+    // debt paid: a re-run selects nothing and commits nothing
+    val gens = LakeVersions.listDir(store, "ev").gens
+    val third = LakeMaintenance.autoCompact(spark, store, "ev",
+      targetRecords = 100L, minObjects = 4)
+    assert(third.hoursSelected == 0 &&
+      LakeVersions.listDir(store, "ev").gens == gens,
+      "a debt-free table must be a no-op (no generation minted)")
+    // a VECTORED hour becomes dirty regardless of object count: MOR
+    // delete in (now single-object) hour 10, then auto_compact folds it
+    spark.sql(s"CALL $cat.system.set_dml_mode(table => 'ev', " +
+      "mode => 'merge-on-read')").collect()
+    // a modulo predicate is not metadata/equality-translatable — it
+    // takes the MOR row-level path and publishes a delete VECTOR
+    spark.sql(s"DELETE FROM $cat.ev WHERE id % 97 = 7 AND id < 50")
+    assert(LakeVersions.currentDvs(store, "ev").nonEmpty)
+    val fourth = LakeMaintenance.autoCompact(spark, store, "ev",
+      targetRecords = 100L, minObjects = 4)
+    assert(fourth.hoursSelected == 1, fourth.toString)
+    assert(LakeVersions.currentDvs(store, "ev").isEmpty,
+      "the fold must reclaim the vector mapping")
+    assert(LakeReader.read(spark, root, "ev").count() == totalBefore - 1)
+  }
+
   test("compaction preserves hour attribution across a multi-hour range") {
     import spark.implicits._
     val root = freshRoot()

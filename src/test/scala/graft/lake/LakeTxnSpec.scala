@@ -185,6 +185,50 @@ class LakeTxnSpec extends SparkSuite {
       "the replaced base object must be physically retired")
   }
 
+  test("TRANSACTIONAL SCRUBBED PUBLISH: branch DML (live rows included) on one table composes with commit_transaction — both tables flip atomically with the scrub's exact CDC split") {
+    val (cat, root, store) = fixture()
+    land(root, "th", 100); land(root, "ti", 50)
+    stage(root, "th", "b5", 1000L, 20, 7L)
+    stage(root, "ti", "b5", 2000L, 10, 9L)
+    // scrub table th under the branch: drop half the batch AND fix a
+    // LIVE row (id 3 gets vc bumped) — the cross-branch workflow
+    spark.conf.set("spark.graft.wap.branch", "b5")
+    try {
+      spark.sql(s"DELETE FROM $cat.th WHERE id >= 1010")
+      spark.sql(s"UPDATE $cat.th SET vc = 777 WHERE id = 3")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // plain readers: untouched on both tables
+    assert(count(root, "th") == 100 && count(root, "ti") == 50)
+    assert(LakeReader.read(spark, root, "th")
+      .where(col("id") === 3L && col("vc") === 777L).count() == 0L)
+    // the audit on th carries branch state (a replaced live object)
+    val (_, brSt) = LakeVersions.readIntentFull(store, "th", "audit-b5").get
+    assert(brSt.exists(_.removed.nonEmpty), s"branch state expected: $brSt")
+    // replace + branch state refuses loudly (two removed scopes)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.commit_transaction(" +
+        "tables => 'th,ti', audit_id => 'b5', replace => true)").collect()
+    }
+    assert(chainMsg(e).contains("branch DML"), chainMsg(e))
+    // the transactional publish: ONE decision flips the scrubbed batch
+    // + live fix on th AND the plain batch on ti
+    spark.sql(s"CALL $cat.system.commit_transaction(" +
+      "tables => 'th,ti', audit_id => 'b5')").collect()
+    val th = LakeReader.read(spark, root, "th")
+    assert(th.count() == 110) // 100 live + 10 surviving batch rows
+    assert(th.where(col("id") === 3L && col("vc") === 777L).count() == 1L,
+      "the live fix must land with the publish")
+    assert(th.where(col("id") >= 1010L).count() == 0L)
+    assert(count(root, "ti") == 60)
+    // the CDC split on th's record: removed = the replaced live object,
+    // added = its rewrite, inserted = the surviving batch
+    val h = LakeVersions.head(store, "th", LakeVersions.listDir(store, "th")).get
+    assert(h.txn.isDefined && h.removed.nonEmpty && h.added.nonEmpty &&
+      h.inserted.nonEmpty, s"exact CDC split expected: $h")
+    assert(!store.exists(h.removed.head),
+      "the replaced live original must retire after the publish")
+  }
+
   private def chainMsg(e: Throwable): String =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
