@@ -303,7 +303,9 @@ final class LakeTable(rootUri: String, tableName: String,
                       // generation chain is untouched until
                       // publish_audit's one validated CAS (abort_audit
                       // drops every hidden key, live untouched). MERGE
-                      // and TRUNCATE refuse under a branch.
+                      // works too (r19): matched arms patch the view,
+                      // NOT-MATCHED inserts take batch lineage. Only
+                      // TRUNCATE refuses under a branch.
                       branchAudit: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -366,18 +368,16 @@ final class LakeTable(rootUri: String, tableName: String,
         "table would rewrite drifted objects onto the merged header as " +
         "a side effect — run CALL lake.system.compact first, then " +
         "retry without reconcile")
-    // WAP BRANCH: DELETE/UPDATE mutate the branch view (batch + live) —
-    // always the position-delta plan with the branch rewrite commit
+    // WAP BRANCH: every DML verb mutates the branch view (batch + live)
+    // through the position-delta plan with the branch rewrite commit
     // (the patches name each touched object, which is what makes the
     // batch-vs-live lineage split exact); the branch "commit" is an
-    // intent-state swap, not a generation commit. MERGE's inserts have
-    // no sound branch lineage — refused.
-    branchAudit.foreach { id =>
-      require(info.command() !=
-          org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE,
-        s"graft-lake: MERGE under WAP branch '$id' is not supported — " +
-          "scrub the staged batch with DELETE/UPDATE, or publish first " +
-          "and MERGE against the table")
+    // intent-state swap, not a generation commit. MERGE's matched arms
+    // are ordinary patches; its NOT-MATCHED inserts take BATCH lineage
+    // (hidden until publish, delivered as `inserted` by the CDC split,
+    // dropped by abort_audit) — a branch insert is semantically a late
+    // member of the staged batch, not a live append.
+    branchAudit.foreach { _ =>
       return new LakeRowLevelOperationBuilder(rootUri, tableName,
         lakeSchema, info, byName = evolved, branch = branchAudit)
     }

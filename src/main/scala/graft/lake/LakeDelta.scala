@@ -495,10 +495,11 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
       // no-op: no rewrite job, no generation
       if (stagedIns.isEmpty && stagedUpd.isEmpty && stagedPatch.isEmpty) return
       if (op != null && op.branch.isDefined) {
-        require(stagedUpd.isEmpty && stagedIns.isEmpty,
-          "graft-lake delta: a branch DML stages only patches " +
-            "(MERGE under a branch is refused)")
-        commitBranchRewrite(store, table, p, op.branch.get, stagedPatch.toSeq)
+        require(stagedUpd.isEmpty, // branch DML never runs in mor mode
+          "graft-lake delta: update-row objects staged under a branch — " +
+            "branch DML always takes the rewrite path")
+        commitBranchRewrite(store, table, p, op.branch.get,
+          stagedIns.toSeq, stagedPatch.toSeq)
       }
       else if (mor) commitMor(store, table, p, stagedIns.toSeq,
         stagedUpd.toSeq, stagedPatch.toSeq)
@@ -524,7 +525,12 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
     *  - a touched LIVE object is NEVER deleted here — plain readers own
     *    it until publish; it is recorded in the intent's v2 REPLACED
     *    set (with its scan-time delete-vector basis) and its hidden
-    *    rewrite joins the repl set, standing in for branch readers.
+    *    rewrite joins the repl set, standing in for branch readers;
+    *  - MERGE's NOT-MATCHED inserts (r19) take BATCH lineage: hidden
+    *    alongside the staged batch, `inserted` at publish_audit's CDC
+    *    split (a stream delivers them exactly once, from the publish),
+    *    dropped wholesale by abort_audit — a branch insert is a late
+    *    member of the staged batch, never a live append.
     *
     * The generation chain is untouched; `publish_audit` turns the whole
     * state into ONE CAS (removed = replaced originals VALIDATED live,
@@ -534,14 +540,18 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
     * The swap: a TEMP intent hides the fresh rewrites, they rename into
     * place, replaced hidden originals delete, and the AUDIT intent is
     * REPLACED via write-to-temp + rename-over (one file carries hidden
-    * list, lineage split, replaced set — a reader racing an in-place
-    * rewrite would momentarily see a TORN intent, which reads as "no
-    * hidden keys": the whole batch would flash visible). A crash
-    * mid-swap leaves intent-hidden garbage the janitor's orphaned-
-    * intent sweep reclaims (the temp intent commits no generation). */
+    * list, lineage split, replaced set). The rename-over is ATOMIC —
+    * [[HadoopStore.rename]] takes a POSIX atomic move when the local fs
+    * refuses an existing destination (and an object store replaces
+    * atomically at PUT) — so a racing intent read sees the OLD or the
+    * NEW state, never a torn file that would read as "no hidden keys"
+    * and flash the whole batch visible to a stream. A crash mid-swap
+    * leaves intent-hidden garbage the janitor's orphaned-intent sweep
+    * reclaims (the temp intent commits no generation). */
   private def commitBranchRewrite(store: Store, table: String,
                                   p: LakeRowLevel.SidecarPolicy,
                                   auditId: String,
+                                  stagedIns: Seq[String],
                                   stagedPatch: Seq[String]): Unit = {
     val ik = s"audit-$auditId"
     val (oldList, oldBranch) = LakeVersions.readIntentFull(store, table, ik)
@@ -566,17 +576,24 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
     val rewrites = LakeDelta.rewriteTouched(SparkSession.active, rootUri,
       lakeSchema, stagedPatch, s"$staging/rw/", p, byName,
       dvs = basis.map { case (k, r) => k -> r.key })
-    if (rewrites.isEmpty) return
-    def dstOf(k: String): String = k.stripPrefix(s"$staging/rw/")
+    if (rewrites.isEmpty && stagedIns.isEmpty) return
+    def dstOf(k: String): String =
+      k.stripPrefix(s"$staging/ins/").stripPrefix(s"$staging/rw/")
     val batchSet = prev.batch.toSet
     val replSet = prev.repl.toSet
     val touchedBatch = rewrites.filter(r => batchSet(r._1))
     val touchedRepl = rewrites.filter(r => replSet(r._1))
     val touchedLive = rewrites.filterNot(r => batchSet(r._1) || replSet(r._1))
-    val dsts = rewrites.flatMap(_._2).map(dstOf)
+    // MERGE's NOT-MATCHED inserts: BATCH lineage — hidden alongside the
+    // staged batch, delivered as `inserted` by publish_audit's CDC
+    // split, dropped wholesale by abort_audit. A branch insert is a
+    // late member of the staged batch, never a live append (the
+    // generation chain stays untouched until the publish CAS).
+    val insDsts = stagedIns.map(dstOf)
+    val dsts = rewrites.flatMap(_._2).map(dstOf) ++ insDsts
     val tempId = java.util.UUID.randomUUID().toString
     LakeVersions.writeIntent(store, table, tempId, dsts)
-    rewrites.flatMap(_._2).foreach { k =>
+    (rewrites.flatMap(_._2) ++ stagedIns).foreach { k =>
       val dst = dstOf(k)
       store.rename(k, dst)
       if (p.zoneMaps) store.rename(ZoneMaps.statsKey(k), ZoneMaps.statsKey(dst))
@@ -590,7 +607,7 @@ final class LakeDeltaWrite(rootUri: String, lakeSchema: TableSchema,
     }
     val newState = LakeVersions.BranchState(
       batch = (prev.batch.filterNot(touchedBatch.map(_._1).toSet) ++
-        touchedBatch.flatMap(_._2).map(dstOf)).distinct,
+        touchedBatch.flatMap(_._2).map(dstOf) ++ insDsts).distinct,
       repl = (prev.repl.filterNot(touchedRepl.map(_._1).toSet) ++
         touchedRepl.flatMap(_._2).map(dstOf) ++
         touchedLive.flatMap(_._2).map(dstOf)).distinct,

@@ -79,7 +79,19 @@ object StoreOps {
   * or `s3a://bucket/prefix`). */
 final class HadoopStore(val rootUri: String) extends Store {
   @transient private lazy val conf = new Configuration()
-  @transient private lazy val fs   = FileSystem.get(new URI(rootUri), conf)
+  @transient private lazy val fs = {
+    val f = FileSystem.get(new URI(rootUri), conf)
+    f match {
+      // the RAW local fs, not the checksummed wrapper: `.crc` sidecars
+      // break the atomic rename-OVER swap (moving the data file leaves
+      // a stale checksum that poisons the next read), and a lake object
+      // store carries its own integrity story — the checksum wrapper
+      // buys nothing here. Raw rename onto an existing destination is
+      // POSIX rename(2): an atomic replace, old or new, never torn.
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+  }
   private def p(key: String) =
     if (key.isEmpty) new Path(new URI(rootUri)) else new Path(new Path(new URI(rootUri)), key)
 
@@ -165,7 +177,25 @@ final class HadoopStore(val rootUri: String) extends Store {
     StoreOps.writes.incrementAndGet()
     val d = p(dst)
     fs.mkdirs(d.getParent) // HDFS/local rename requires an existing parent
-    if (!fs.rename(p(src), d)) super.rename(src, dst) // e.g. cross-volume
+    if (!fs.rename(p(src), d)) {
+      // Hadoop's local rename REFUSES an existing destination — but the
+      // rename-OVER swap (a WAP audit intent replaced mid-branch-DML)
+      // must be atomic for readers: the put-fallback's in-place
+      // truncate+write opens a TORN window in which a racing intent
+      // read sees "no hidden keys" and a stream delivers the branch's
+      // hidden objects. Local fs gets the POSIX atomic move (old or new
+      // content, never torn); a real object store replaces atomically
+      // at PUT, so the streaming fallback is safe there.
+      if ("file" == d.toUri.getScheme || rootUri.startsWith("file:")) {
+        val sp = java.nio.file.Paths.get(p(src).toUri.getPath)
+        try java.nio.file.Files.move(sp,
+          java.nio.file.Paths.get(d.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          super.rename(src, dst) // genuine cross-volume: no atomic path
+        }
+      } else super.rename(src, dst) // e.g. cross-volume
+    }
   }
 
   override def deletePrefix(prefix: String): Unit = {

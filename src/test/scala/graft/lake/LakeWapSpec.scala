@@ -204,13 +204,15 @@ class LakeWapSpec extends SparkSuite {
         "AND id < 10050")
       assert(spark.table(s"$cat.ev").where(col("tag") === "fixed")
         .count() == 50L)
-      // MERGE under a branch refuses with the remedy
+      // MERGE scrubs the staged batch too (r19 — the fix-shaped verb):
+      // a matched-update against a BATCH row swaps inside the batch
       import spark.implicits._
-      Seq(1L).toDF("sid").createOrReplaceTempView("wap_branch_src")
-      val e = intercept[Exception] { spark.sql(
+      Seq(10060L).toDF("sid").createOrReplaceTempView("wap_branch_src")
+      spark.sql(
         s"""MERGE INTO $cat.ev t USING wap_branch_src s ON t.id = s.sid
-           |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin) }
-      assert(chainMsg(e).contains("branch"), chainMsg(e))
+           |WHEN MATCHED THEN UPDATE SET tag = 'merged'""".stripMargin)
+      assert(spark.table(s"$cat.ev").where(col("tag") === "merged")
+        .count() == 1L)
     } finally spark.conf.unset("spark.graft.wap.branch")
     // outside the branch: live table untouched, NO generation minted
     // (the scrub was an intent swap, not a commit)
@@ -239,6 +241,100 @@ class LakeWapSpec extends SparkSuite {
     assert(spark.table(s"$cat.ev").count() == 600L,
       "an aborted scrubbed branch leaves no trace")
     assert(spark.table(s"$cat.ev").where(col("id") >= 20000).count() == 0L)
+  }
+
+  test("BRANCH MERGE, all four arms: matched UPDATE/DELETE patch the branch view across lineages, NOT-MATCHED inserts take BATCH lineage; plain readers isolated; publish is one CAS with the exact CDC split; the stream delivers batch+inserts once, never live rewrites") {
+    val (cat, root, store) = fixture()
+    land(root) // ids 0..499 as two 250-row objects (hour 08)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-wap-bm-ckpt").toFile.getAbsolutePath
+    val got = new scala.collection.mutable.ArrayBuffer[Long]
+    val q = spark.readStream.format("graft-lake").option("table", "ev")
+      .load(root).writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("id").collect().map(_.getLong(0))
+        got.synchronized { got ++= ids }; ()
+      }.start()
+    q.processAllAvailable()
+    assert(got.size == 500, "initial drain")
+    auditWrite(root, "bm", 10000, 100) // staged ids 10000..10099 (hour 09)
+    val gensBefore = LakeVersions.listDir(store, "ev").gens
+    import spark.implicits._
+    // one source row per arm shape: matched-update and matched-delete
+    // against BOTH lineages (live 50/60, batch 10010/10020), plus two
+    // genuinely new ids for the NOT-MATCHED insert arm
+    Seq((50L, "u"), (60L, "d"), (10010L, "u"), (10020L, "d"),
+        (30000L, "i"), (30001L, "i"))
+      .toDF("sid", "act").createOrReplaceTempView("wap_bm_src")
+    spark.conf.set("spark.graft.wap.branch", "bm")
+    try {
+      assert(spark.table(s"$cat.ev").count() == 600L)
+      spark.sql(
+        s"""MERGE INTO $cat.ev t USING wap_bm_src s ON t.id = s.sid
+           |WHEN MATCHED AND s.act = 'u' THEN UPDATE SET tag = 'merged'
+           |WHEN MATCHED AND s.act = 'd' THEN DELETE
+           |WHEN NOT MATCHED THEN
+           |  INSERT (id, tag, v, _event_hour)
+           |  VALUES (s.sid, 'ins', 1.0,
+           |          TIMESTAMP '2024-07-01 09:00:00+00:00')
+           |WHEN NOT MATCHED BY SOURCE AND t.id = 70 THEN
+           |  UPDATE SET tag = 'nmbs'
+           |""".stripMargin)
+      val bv = spark.table(s"$cat.ev")
+      assert(bv.count() == 600L, // -2 deletes +2 inserts
+        "the branch view reflects all four arms")
+      assert(bv.where(col("tag") === "merged").count() == 2L,
+        "matched-update hit one live and one batch row")
+      assert(bv.where(col("id").isin(60L, 10020L)).count() == 0L,
+        "matched-delete killed one live and one batch row")
+      assert(bv.where(col("tag") === "ins").count() == 2L &&
+        bv.where(col("id") >= 30000L).count() == 2L,
+        "NOT-MATCHED inserted both new rows into the branch view")
+      assert(bv.where(col("tag") === "nmbs").count() == 1L,
+        "NOT MATCHED BY SOURCE updated exactly id 70")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // plain readers: COMPLETELY isolated — live untouched, no
+    // generation minted, nothing delivered to the stream
+    val plain = LakeReader.read(spark, root, "ev")
+    assert(plain.count() == 500L)
+    assert(plain.where(col("tag").isin("merged", "nmbs", "ins"))
+      .count() == 0L, "no branch mutation leaks to plain readers")
+    assert(LakeVersions.listDir(store, "ev").gens == gensBefore,
+      "branch MERGE must not touch the generation chain")
+    q.processAllAvailable()
+    assert(got.size == 500, "branch MERGE must deliver nothing")
+    // the intent's v2 state: ONE live object replaced (ids 50/60/70 all
+    // live in the first 250-row object), inserts joined the BATCH set
+    val (_, brSt) = LakeVersions.readIntentFull(store, "ev", "audit-bm").get
+    assert(brSt.exists(_.removed.size == 1),
+      s"one rewritten live object recorded replaced: $brSt")
+    assert(brSt.exists(_.batch.size > 1),
+      s"the insert objects took batch lineage: $brSt")
+    // publish: ONE CAS — removals validated, live rewrites `added`
+    // (CDC-skippable), batch + inserts `inserted` (CDC-delivered)
+    spark.sql(s"CALL $cat.system.publish_audit(table => 'ev', " +
+      "audit_id => 'bm')").collect()
+    val t = spark.table(s"$cat.ev")
+    assert(t.count() == 600L)
+    assert(t.where(col("tag") === "merged").count() == 2L)
+    assert(t.where(col("tag") === "nmbs").count() == 1L)
+    assert(t.where(col("tag") === "ins").count() == 2L)
+    assert(t.where(col("id").isin(60L, 10020L)).count() == 0L)
+    val head = LakeVersions.head(store, "ev",
+      LakeVersions.listDir(store, "ev")).get
+    assert(head.op == "publish_audit" && head.removed.size == 1 &&
+      head.added.nonEmpty && head.inserted.nonEmpty,
+      s"the publish record must carry the exact CDC split: $head")
+    // the stream: the surviving batch (99 rows) + the merged inserts
+    // (2), never the live rewrites (their provenance was delivered)
+    q.processAllAvailable()
+    q.stop()
+    val want = ((0L until 500L) ++
+      (10000L until 10100L).filterNot(_ == 10020L) ++
+      Seq(30000L, 30001L)).sorted
+    assert(got.sorted == want,
+      s"publish delivers batch+inserts once, skips live rewrites: " +
+        s"got ${got.size} rows")
   }
 
   test("CROSS-BRANCH DML mutates LIVE rows in the branch view only; publish lands batch + live rewrites + removals at ONE CAS; a stream delivers the batch once and never the rewrites") {
