@@ -148,6 +148,13 @@ object BenchGates {
     // input/shuffle; the RPC count pins the per-statement swap cost
     "l43_lake_branch_live_dml" -> Ceiling(Some(12 * MB), Some(6 * MB),
       maxStoreOps = Some(1200)),
+    // 2.6 MB in / 3.5 MB shuffled / ~218 store RPCs (round 19): branch
+    // MERGE ships only changed rows through the delta plan, rewrites
+    // only patched objects, and commits by ONE intent swap (no
+    // generation) — a fallback to a whole-view rewrite or a per-object
+    // protocol blows these together
+    "l45_lake_branch_merge" -> Ceiling(Some(12 * MB), Some(16 * MB),
+      maxStoreOps = Some(700)),
     // 0.84 MB in / 1.03 MB shuffled / ~177 store RPCs (round 18): the
     // cross-table transaction's protocol cost is O(parts) — two pending
     // records, ONE decision file, two intent deletions — on top of the

@@ -1000,6 +1000,36 @@ object LakeMaintenance {
         }
       }
     }
+    // TRANSACTION DECISIONS (round 19): a decision file is chain
+    // metadata while ANY table's generation record still references its
+    // txn id — visibility resolves through it ([[LakeVersions.visible]]).
+    // Once no record does (the committed records expired, or an aborted
+    // transaction's slots were reclaimed and rewritten), the decision is
+    // unreachable: nothing can ever read it again, so it sweeps. This
+    // bounds `_txns/` at O(live references) instead of
+    // O(transactions-ever) on a long-lived warehouse. Ordering: list
+    // `_txns/` FIRST, then scan records — a decision is created only
+    // AFTER its pending records CAS, so any decision old enough to make
+    // the first listing has its referencing records visible to the later
+    // scan (or they are already gone, which IS the reclaim criterion).
+    // The age cutoff additionally spares any in-flight decide window.
+    val txnListed = store.list(LakeTxn.Prefix.stripSuffix("/"))
+    if (txnListed.nonEmpty) {
+      val referenced: Set[String] =
+        store.listDirs(LakeVersions.Prefix.stripSuffix("/")).flatMap { table =>
+          LakeVersions.listDir(store, table).gens
+            .flatMap(g => LakeVersions.readRecord(store, table, g))
+            .flatMap(_.txn)
+        }.toSet
+      txnListed.foreach { k =>
+        val id = k.stripPrefix(LakeTxn.Prefix).stripPrefix("txn-")
+        if (!referenced.contains(id) &&
+            store.newestModification(k).exists(_.isBefore(olderThan))) {
+          store.delete(k)
+          swept += 1
+        } else kept += 1
+      }
+    }
     StagingSweepReport(swept, kept)
   }
 }

@@ -61,8 +61,21 @@ object LakeTxn {
     * specs shrink it to exercise the break path. */
   @volatile private[graft] var breakAfterMs: Long = 5000L
 
+  /** Decided states, process-wide — BOUNDED (round 19): an LRU capped
+    * at [[DecidedCacheMax]] entries so a transaction-per-minute pipeline
+    * cannot grow driver memory without bound. Eviction only costs a
+    * re-read of the (immutable) decision file; correctness never
+    * depends on a hit. Synchronized LinkedHashMap in access order —
+    * decisions are rare, explicit operations, never the append hot
+    * path, so a lock here is noise. */
+  private val DecidedCacheMax = 4096
   private val decidedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, String]): Boolean =
+          size() > DecidedCacheMax
+      })
 
   private val TxnIdRe = "[A-Za-z0-9._-]{1,64}".r
 

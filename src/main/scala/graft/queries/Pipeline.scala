@@ -4434,6 +4434,119 @@ object Pipeline {
              |  max(event_id) AS max_id
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // ---------------- branch MERGE, all four arms (l45)
+    // The one DML verb r18 still refused under `spark.graft.wap.branch`
+    // (round 19): MERGE against the BRANCH VIEW — matched UPDATE/DELETE
+    // patch both lineages (live rows join the intent's replaced set,
+    // batch rows swap hidden), NOT-MATCHED inserts take BATCH lineage
+    // (hidden until publish, `inserted` in the CDC split, dropped by
+    // abort), NOT-MATCHED-BY-SOURCE sweeps unmatched target rows. Gated
+    // in-query: no generation minted by the MERGE, plain readers fully
+    // isolated (no insert/batch key visible, live rows intact), ONE
+    // publish CAS. Oracle: closed-form — live ∪ batch with the four
+    // arms applied, plus the inserted rows.
+    "l45_lake_branch_merge" -> QueryDef(
+      (s, dir) => {
+        import graft.lake.{LakeCatalog, LakeReader, LakeVersions, LakeWriter}
+        import graft.types.{ColType, TableSchema}
+        val schema = TableSchema("events_bm", Seq(
+          "event_id" -> ColType.CInteger, "user_id" -> ColType.CInteger,
+          "vc" -> ColType.CInteger))
+        val root = rtSlot("graft-bm-lake", dir)
+        val store = new graft.lake.HadoopStore(root)
+        store.deletePrefix("")
+        val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        LakeWriter.write(ev.repartitionByRange(4, col("event_id")),
+          schema, root, java.time.Instant.parse("2024-06-01T00:00:00Z"),
+          zoneMaps = true)
+        val cat = s"l45cat${math.abs(root.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val n = ev.count()
+        // stage the day's batch (validated-before-visible)
+        val hot = java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-06-01T03:00:00Z"))
+        s.range(100).select((lit(70000000000L) + col("id")).as("event_id"),
+            lit(-1L).as("user_id"), (col("id") * 2L).as("vc"),
+            lit(hot).as("_event_hour"))
+          .coalesce(1)
+          .write.format("graft-lake").option("table", "events_bm")
+          .option("auditId", "bm").mode("append").save(root)
+        val gensBefore = LakeVersions.listDir(store, "events_bm").gens
+        // the fix-shaped source: update user 3's LIVE rows and the
+        // batch's first ten, delete user 5's LIVE rows and the batch's
+        // last ten, insert fifty genuinely new rows
+        val src = t(s, dir, "events").where(col("user_id").isin(3L, 5L))
+          .select(col("event_id").as("sid"),
+            when(col("user_id") === 3L, "u").otherwise("d").as("act"))
+          .unionAll(s.range(10).select(
+            (lit(70000000000L) + col("id")).as("sid"), lit("u").as("act")))
+          .unionAll(s.range(10).select(
+            (lit(70000000090L) + col("id")).as("sid"), lit("d").as("act")))
+          .unionAll(s.range(50).select(
+            (lit(90000000000L) + col("id")).as("sid"), lit("i").as("act")))
+        src.createOrReplaceTempView("l45_src")
+        s.conf.set("spark.graft.wap.branch", "bm")
+        try s.sql(
+          s"""MERGE INTO $cat.events_bm t USING l45_src s
+             |ON t.event_id = s.sid
+             |WHEN MATCHED AND s.act = 'u' THEN UPDATE SET vc = 0
+             |WHEN MATCHED AND s.act = 'd' THEN DELETE
+             |WHEN NOT MATCHED AND s.act = 'i' THEN
+             |  INSERT (event_id, user_id, vc, _event_hour)
+             |  VALUES (s.sid, -2, 7, TIMESTAMP '2024-06-01 03:00:00+00:00')
+             |WHEN NOT MATCHED BY SOURCE AND t.user_id = 7 THEN
+             |  UPDATE SET vc = 1
+             |""".stripMargin)
+        finally s.conf.unset("spark.graft.wap.branch")
+        require(LakeVersions.listDir(store, "events_bm").gens == gensBefore,
+          "branch MERGE must not mint generations")
+        val plain = LakeReader.read(s, root, "events_bm")
+        require(plain.count() == n &&
+          plain.where(col("user_id") === 5L).count() > 0 &&
+          plain.where(col("event_id") >= 70000000000L).count() == 0L,
+          "plain readers must be untouched by a branch MERGE (no batch " +
+            "key, no insert key, live rows intact)")
+        s.sql(s"CALL $cat.system.publish_audit(table => 'events_bm', " +
+          "audit_id => 'bm')").collect()
+        s.table(s"$cat.events_bm")
+          .agg(count(lit(1)).as("n_rows"), sum("vc").as("sum_vc"),
+            sum(when(col("user_id") === -2L, 1L).otherwise(0L)).as("n_ins"),
+            sum(when(col("user_id") === 7L, col("vc")).otherwise(0L))
+              .as("sum_u7"),
+            max("event_id").as("max_id"))
+      },
+      Some("""WITH batch AS (
+             |  SELECT 70000000000 + i AS event_id,
+             |    CAST(-1 AS BIGINT) AS user_id,
+             |    CAST(i * 2 AS BIGINT) AS vc FROM range(100) t(i)),
+             |live AS (
+             |  SELECT event_id, user_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+             |  FROM events),
+             |tgt AS (SELECT * FROM live UNION ALL SELECT * FROM batch),
+             |merged AS (
+             |  SELECT event_id, user_id,
+             |    CASE WHEN user_id = 3
+             |           OR event_id BETWEEN 70000000000 AND 70000000009
+             |         THEN 0
+             |         WHEN user_id = 7 THEN 1
+             |         ELSE vc END AS vc
+             |  FROM tgt
+             |  WHERE user_id <> 5
+             |    AND event_id NOT BETWEEN 70000000090 AND 70000000099
+             |  UNION ALL
+             |  SELECT 90000000000 + i, -2, 7 FROM range(50) t(i))
+             |SELECT count(*) AS n_rows,
+             |  CAST(sum(vc) AS BIGINT) AS sum_vc,
+             |  CAST(sum(CASE WHEN user_id = -2 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_ins,
+             |  CAST(sum(CASE WHEN user_id = 7 THEN vc ELSE 0 END)
+             |    AS BIGINT) AS sum_u7,
+             |  max(event_id) AS max_id
+             |FROM merged""".stripMargin)),
+
     // ---------------- cross-branch DML over LIVE rows (l43)
     // The FULL Iceberg wap.branch semantics (round 18 — l40's batch
     // scrub widened to the whole branch view): under the branch, DML

@@ -229,6 +229,63 @@ class LakeTxnSpec extends SparkSuite {
       "the replaced live original must retire after the publish")
   }
 
+  test("janitor reclaims unreachable decisions: referenced ones survive every sweep, expired ones drop, an ABORTED decision lives exactly while a pending record still names it") {
+    val (cat, root, store) = fixture()
+    land(root, "ta", 20); land(root, "tb", 10)
+    var lastTxn: Option[String] = None
+    (1 to 3).foreach { i =>
+      stage(root, "ta", s"b$i", 10000L * i, 5, i.toLong)
+      stage(root, "tb", s"b$i", 20000L * i, 5, i.toLong)
+      spark.sql(s"CALL $cat.system.commit_transaction(" +
+        s"tables => 'ta,tb', audit_id => 'b$i')").collect()
+      lastTxn = LakeVersions.head(store, "ta",
+        LakeVersions.listDir(store, "ta")).flatMap(_.txn)
+    }
+    def decisions = store.list(LakeTxn.Prefix.stripSuffix("/")).toSet
+    assert(decisions.size == 3)
+    val future = java.time.Instant.now().plusSeconds(3600)
+    LakeMaintenance.sweepStaging(store, future)
+    assert(decisions.size == 3,
+      "decisions referenced by chain records must survive the sweep")
+    // expire the history holding txn 1 and 2's records on BOTH tables —
+    // the records referencing the last transaction stay (keep_last=1
+    // keeps the head, which IS txn 3's record at expire time)
+    Seq("ta", "tb").foreach { t =>
+      spark.sql(s"CALL $cat.system.expire_versions(table => '$t', " +
+        "keep_last => 1)").collect()
+    }
+    LakeMaintenance.sweepStaging(store, future)
+    assert(decisions == Set(LakeTxn.decisionKey(lastTxn.get)),
+      s"only the still-referenced decision survives: $decisions")
+    assert(LakeTxn.committed(store, lastTxn.get),
+      "the surviving decision still resolves")
+    assert(count(root, "ta") == 35 && count(root, "tb") == 25,
+      "reclamation must not move data")
+    // an ABORTED decision is kept while a pending record still names
+    // its transaction (a reader needs it to know the record is dead)...
+    stage(root, "ta", "b9", 90000L, 5, 9L)
+    val keys = LakeVersions.readIntent(store, "ta", "audit-b9").get
+    val ghost = java.util.UUID.randomUUID().toString
+    val pending = LakeVersions.commit(store, "ta", op = "txn_publish",
+      removed = Nil, inserted = keys, intentId = Some("audit-b9"),
+      txn = Some(ghost))
+    assert(LakeTxn.decide(store, ghost, LakeTxn.Aborted) == LakeTxn.Aborted)
+    LakeMaintenance.sweepStaging(store, future)
+    assert(decisions.contains(LakeTxn.decisionKey(ghost)),
+      "an aborted decision must survive while its pending record exists")
+    // ...and sweeps once the slot is reclaimed (the next writer sees
+    // the aborted decision and takes the generation) and the record
+    // history referencing it expires
+    val rec = LakeVersions.commit(store, "ta", op = "test",
+      removed = Nil, validateLive = false)
+    assert(rec.gen == pending.gen, "the writer must reclaim the slot")
+    LakeMaintenance.sweepStaging(store, future)
+    assert(!decisions.contains(LakeTxn.decisionKey(ghost)),
+      "an aborted decision with no referencing record must sweep")
+    assert(count(root, "ta") == 35,
+      "the aborted batch stays invisible (still staged for retry)")
+  }
+
   private def chainMsg(e: Throwable): String =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
