@@ -287,22 +287,16 @@ object LakeReader {
     * exist). `maxFilesPerTrigger` bounds micro-batch size for backfills over
     * years of hours.
     *
-    * '''Merge-on-read guard is START-TIME ONLY.''' The guard below
-    * refuses to start on a table that carries delete vectors, but it is
-    * a snapshot check: the glob stream is Spark's own file source, which
-    * exposes no per-trigger hook, so a vector committed AFTER the stream
-    * starts — on an object the stream has not yet delivered — makes the
-    * raw file read deliver that object's full physical rows,
-    * resurrecting the vector-deleted ones. The operational contract is
-    * therefore the same shape as the compaction contract below: do not
-    * run merge-on-read DML on a table a glob stream is consuming (keep
-    * such tables on copy-on-write mode, whose rewrites this stream
-    * handles via its file ledger), or stream through the connector
-    * source (`spark.readStream.format("graft-lake")`), which applies
-    * the head vector at delivery on every trigger. This is documented
-    * rather than enforced per trigger by design — a per-partition
-    * executor-side chain probe would add a version-directory RPC per
-    * task to a path whose whole point is Spark-native simplicity.
+    * '''Merge-on-read guard is ENFORCED PER TRIGGER''' (round 19 — it
+    * was start-time-only through r18). The start-time check below gives
+    * the friendly early refusal; after that the stream's glob resolves
+    * through [[GuardedLakeFs]] (`graftlake://`), whose driver-side
+    * per-trigger listing probes the table's chain and FAILS the query
+    * loudly — the next trigger after a delete vector or equality delete
+    * lands — with the connector-source remedy in the message. The
+    * executor read path is untouched (tasks only `open()`, which
+    * delegates straight through): zero per-task RPCs, one memoized
+    * chain probe per trigger on the driver.
     *
     * Compaction contract: do NOT run [[LakeMaintenance.compact]] on hours a
     * streaming consumer has not finished — the source tracks files, so a
@@ -328,13 +322,21 @@ object LakeReader {
         "glob-based readStreamOf would resurrect equality-deleted rows — " +
         "use spark.readStream.format(\"graft-lake\") instead, or CALL " +
         "lake.system.compact to fold the deletes first")
+    // the per-trigger tripwire: route the glob through the guarded
+    // scheme — its driver-side listing re-probes the chain every
+    // trigger (see the Scaladoc above and [[GuardedLakeFs]])
+    val token = GuardedLakeFs.token(rootUri, table)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.graftlake.impl", classOf[GuardedLakeFs].getName)
+    hconf.set(s"graft.lake.guard.$token.root", rootUri)
+    hconf.set(s"graft.lake.guard.$token.table", table)
     val base = spark.readStream
       .schema(schema.structType)
       .options(CodecOptions)
     val tuned = maxFilesPerTrigger.fold(base)(n =>
       base.option("maxFilesPerTrigger", n.toString))
     tuned
-      .csv(s"${rootUri.stripSuffix("/")}/*/*/*/*/$table/*")
+      .csv(s"graftlake://$token/*/*/*/*/$table/*")
       .withColumn("_event_hour", eventHourCol)
   }
 

@@ -582,4 +582,39 @@ class LakeMorSpec extends SparkSuite {
     assert(e.getMessage.contains("graft-lake") ||
       e.getMessage.contains("vector"))
   }
+
+  test("readStreamOf is guarded PER TRIGGER: a vector committed MID-STREAM fails the next trigger loudly with the connector remedy") {
+    val (cat, root, _) = fixture()
+    land(root)
+    val was = GuardedLakeFs.probeMemoMs
+    GuardedLakeFs.probeMemoMs = 0L // every trigger probes
+    val ckpt = Files.createTempDirectory("graft-mor-guard-ckpt")
+      .toFile.getAbsolutePath
+    var delivered = 0L
+    val q = LakeReader.readStreamOf(spark, root, "ev", schema)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        delivered += df.count(); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(delivered == 1000L, "initial drain through the guarded glob")
+      // merge-on-read DML lands a vector WHILE the stream runs — the
+      // start-time check cannot see it; the per-trigger probe must
+      morOn(cat)
+      spark.sql(s"DELETE FROM $cat.ev WHERE v < 10.0")
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("DELETE VECTOR") && msgs.contains("graft-lake"),
+        s"the failure names the vector and the remedy: $msgs")
+      assert(msgs.toLowerCase.contains("connector") ||
+        msgs.contains("format(\"graft-lake\")"),
+        s"the remedy names the connector source: $msgs")
+    } finally {
+      GuardedLakeFs.probeMemoMs = was
+      try q.stop() catch { case _: Exception => () }
+    }
+  }
 }
