@@ -102,39 +102,65 @@ object LakeChanges {
       if (fromEq.isEmpty && toEq.isEmpty) Set.empty[String]
       else (old intersect cur).filter(k =>
         effEq(fromEqC, k) != effEq(toEqC, k))
-    // BLOOM-PRUNED eq scope (round 17): an eq-delete's scope is every
-    // older object, but an object whose bloom sidecar REFUTES all of
-    // the differing deletes' values holds no matching row — its rows
-    // are identical on both sides and would cancel in the signed
-    // aggregation anyway. Skip reading it at all: a GDPR delete's feed
-    // window then reads O(containing objects), not O(scope). One
-    // metadata-sized sidecar read per candidate decides; missing/torn
-    // blooms keep conservatively (read — never wrong, just unpruned).
+    // EVOLVED table: both sides align onto the DECLARED schema (the
+    // `from` snapshot may predate an ALTER — its rows null-fill/widen,
+    // so a row whose values did not change never shows as changed).
+    // Hoisted above the eq prune: the declared columns also type the
+    // wire values for the zone-band check below.
+    val declared = LakeSchemas.current(store, table).map(_.schema)
+    // SIDECAR-PRUNED eq scope (blooms round 17, zone bands round 19):
+    // an eq-delete's scope is every older object, but an object whose
+    // sidecars REFUTE all of the differing deletes' values holds no
+    // matching row — its rows are identical on both sides and would
+    // cancel in the signed aggregation anyway. Skip reading it at all:
+    // a GDPR delete's feed window then reads O(containing objects),
+    // not O(scope). Two metadata-sized sidecar reads per candidate
+    // decide; the checks COMPOSE — the bloom refutes exact membership
+    // where a bloom was built, the zone band refutes by VALUE RANGE on
+    // numeric/time columns the tracker covers even where no bloom
+    // exists (a ranged user-id delete over an id-clustered table skips
+    // every out-of-band object the bloom alone would keep). Missing/
+    // torn sidecars keep conservatively (read — never wrong, just
+    // unpruned).
     val eqChanged =
       if (eqChanged0.isEmpty) eqChanged0
       else {
         val byKey = (fromEqC ++ toEqC)
           .groupBy(_.ref.key).map { case (k, cs) => k -> cs.head }
+        // wire → zone-band conversion needs column types: the declared
+        // schema when present, else one header peek (metadata-sized,
+        // once per feed) — unknown columns skip the band check
+        val colTypes: Map[String, graft.types.ColType] =
+          declared.map(_.columns.toMap).getOrElse(
+            try LakeReader.peekSchema(store, eqChanged0.head, table)
+              .columns.toMap
+            catch { case _: Exception => Map.empty })
+        def bandOf(cn: String, wire: String)
+            : Option[java.math.BigDecimal] =
+          colTypes.get(cn).flatMap { t =>
+            try LakeReader.probeBand(t, LakeDelta.externalFromWire(t)(wire))
+            catch { case _: Exception => None } // unparsable wire: keep
+          }
         eqChanged0.filter { k =>
           val differing = (effEq(fromEqC, k) union effEq(toEqC, k)) --
             (effEq(fromEqC, k) intersect effEq(toEqC, k))
-          val blooms = BloomMaps.read(store, k)
+          lazy val blooms = BloomMaps.read(store, k)
+          lazy val stats = ZoneMaps.read(store, k)
           differing.exists { refKey =>
-            // a CONJUNCTION can match a row only if EVERY column's
-            // bloom might contain SOME value of its set (absent blooms
-            // keep conservatively — BloomMaps.mightContain is true)
+            // a CONJUNCTION can match a row only if EVERY column holds
+            // SOME value its bloom might contain AND its zone band
+            // admits (absent sidecars keep conservatively)
             byKey(refKey).conj.forall { case (cn, vs) =>
-              vs.exists(v => BloomMaps.mightContain(blooms, cn, v))
+              vs.exists(v =>
+                BloomMaps.mightContain(blooms, cn, v) &&
+                  bandOf(cn, v).forall(b =>
+                    ZoneMaps.mayContain(stats, cn, b, b)))
             }
           }
         }
       }
     val gone = (old -- cur ++ dvChanged ++ eqChanged).toSeq.sorted
     val fresh = (cur -- old ++ dvChanged ++ eqChanged).toSeq.sorted
-    // EVOLVED table: both sides align onto the DECLARED schema (the
-    // `from` snapshot may predate an ALTER — its rows null-fill/widen,
-    // so a row whose values did not change never shows as changed)
-    val declared = LakeSchemas.current(store, table).map(_.schema)
     def readAligned(keys: Seq[String],
                     dvs: Map[String, LakeVersions.DvRef],
                     eqs: Seq[LakeEqDeletes.Compiled]): DataFrame =

@@ -113,6 +113,45 @@ class LakeChangesSpec extends SparkSuite {
         s"feed=${feed.inputBytes} full=${full.inputBytes}")
   }
 
+  test("eq-delete scope prunes by ZONE BAND where blooms cannot: an id-ranged delete over an id-clustered table reads O(containing objects), and the feed stays row-exact") {
+    val (cat, root, store) = fixture()
+    // five hours, id-clustered 200-row objects — NO bloom exists for
+    // `id` (blooms cover `tag` only), so the round-17 bloom prune keeps
+    // every in-scope object; the id zone band is what can refute
+    for (h <- 10 to 14) land(root, s"2024-07-01T$h:00:00Z", (h - 10) * 1000, 1000)
+    spark.sql(s"CALL $cat.system.set_retention(table => 'ch', retain => true)")
+    spark.sql(s"CALL $cat.system.tag(table => 'ch', name => 'pin')")
+    spark.sql(s"CALL $cat.system.set_dml_mode(table => 'ch', " +
+      "mode => 'merge-on-read')")
+    // the equality delete: two ids inside ONE object's band (0..199)
+    spark.sql(s"DELETE FROM $cat.ch WHERE id IN (3, 7)")
+    require(LakeVersions.currentEqdels(store, "ch").nonEmpty,
+      "fixture: the delete must take the equality path")
+    // the eq-filtered read path is a custom reader (no Spark input
+    // metrics), so the prune evidence is STORE RPCs: 25 objects are in
+    // the delete's scope, the id band keeps exactly ONE — the feed
+    // opens it on both sides plus sidecars/metadata; the bloom-only
+    // feed opened all 25 on both sides (≥48 more data-object reads)
+    val (n, feed) = graft.Meter.measure(spark) {
+      LakeChanges.since(spark, root, "ch", "pin").count()
+    }
+    assert(n == 2L, s"exactly the two eq-deleted rows, got $n")
+    // measured 73 with the band prune; bloom-only re-opens the other
+    // 24 objects on both sides (+48 deterministic read RPCs → ~121)
+    assert(feed.storeOps < 100,
+      s"band pruning must skip the out-of-band objects " +
+        s"(bloom-only read all 25 on both sides): storeOps=${feed.storeOps}")
+    // and the pruned feed is still row-exact vs the brute snapshot diff
+    val changes = LakeChanges.since(spark, root, "ch", "pin")
+    val pin = spark.sql(s"SELECT * FROM $cat.ch VERSION AS OF 'pin'")
+    val now = spark.table(s"$cat.ch")
+    val expect = now.exceptAll(pin).withColumn("_change_type", lit("insert"))
+      .unionByName(pin.exceptAll(now).withColumn("_change_type", lit("delete")))
+    assert(changes.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(changes).count() == 0,
+      "the band-pruned feed must equal the full snapshot diff")
+  }
+
   test("between(a, b) bounds both ends; empty diff is an empty, correctly-shaped feed") {
     val (cat, root, store) = fixture()
     land(root, "2024-07-01T08:00:00Z", 0, 500)
