@@ -105,9 +105,42 @@ object RehearsalR18 {
     require(again.hoursSelected == 0 && idleOps < 80,
       s"a debt-free run must cost O(hour listings): $idleOps ops")
 
+    // ---- record-weighted ranking (round 19): equal OBJECT counts,
+    // opposite debt. Hour 00 holds 16 tiny objects (debt 15 — one
+    // object suffices at the target); hour 01 holds 16 objects ALREADY
+    // at the target (debt 0). Object-count tiers rank them equal and
+    // would rewrite 640k packed rows for nothing; record-weighted debt
+    // selects only the tiny hour and never opens the packed one.
+    val rootC =
+      s"file://${Files.createTempDirectory("graft-r18c").toFile.getAbsolutePath}"
+    val storeC = new HadoopStore(rootC)
+    LakeWriter.write(
+      spark.range(0L, 40000L).select(col("id"),
+        pmod(col("id"), lit(5000)).as("uid"), (col("id") * 1.0).as("v"))
+        .repartition(16),
+      schema, rootC, Instant.parse("2024-06-01T00:00:00Z"), zoneMaps = true)
+    for (b <- 0 until 16)
+      LakeWriter.write(
+        spark.range(100000L + b * 40000L, 100000L + (b + 1) * 40000L)
+          .select(col("id"), pmod(col("id"), lit(5000)).as("uid"),
+            (col("id") * 1.0).as("v")).coalesce(1),
+        schema, rootC, Instant.parse("2024-06-01T01:00:00Z"), zoneMaps = true)
+    val (repRank, mRank) = Meter.measure(spark) {
+      LakeMaintenance.autoCompact(spark, storeC, "ev",
+        targetRecords = 40000L, minObjects = 4, zoneMaps = true)
+    }
+    println(s"RANK   tiny-vs-packed: hours=${repRank.hoursSelected}/" +
+      s"${repRank.hoursTotal} old=${repRank.compaction.oldObjects} " +
+      s"rows=${repRank.compaction.records} input=${fmtMb(mRank.inputBytes)}")
+    require(repRank.hoursSelected == 1 &&
+      repRank.compaction.oldObjects == 16 &&
+      repRank.compaction.records == 40000L,
+      s"record-weighted debt must select ONLY the tiny hour: $repRank")
+
     println(f"CLAIM: auto reads ${mAuto.inputBytes * 100.0 / mFull.inputBytes}%.1f%% " +
       f"of the full pass's bytes and lands ${autoWrites * 100.0 / fullWrites}%.1f%% " +
-      "of its write RPCs, on a table where 3 of 48 hours carry debt")
+      "of its write RPCs, on a table where 3 of 48 hours carry debt; " +
+      "record-weighted tiers skip a target-packed hour outright")
     spark.stop()
   }
 }

@@ -100,10 +100,34 @@ object LakeMaintenance {
       CompactionReport(0, 0, 0L, Seq.empty))
     val dvs = LakeVersions.currentDvs(store, table)
     val byHour = all.groupBy(LakeKeys.hourPrefixOf)
+    // RECORD-WEIGHTED debt (round 19): how many objects the hour holds
+    // BEYOND what a target-sized packing of its rows needs — 64 tiny
+    // objects of 1k rows carry debt 63 (one object suffices) while 64
+    // objects already at target carry debt 0 (a rewrite achieves
+    // nothing and must not rank equal, nor run at all). Row counts come
+    // from the zone-map sidecars (one metadata read per object, only
+    // for hours past the object-count gate); an hour with ANY sidecar
+    // missing falls back to object-count debt — conservative, and
+    // byte-identical to the pre-r19 behavior on unsidecarred lakes.
+    def debtOf(ks: Seq[String]): Long = {
+      val recs = ks.map(k => ZoneMaps.read(store, k).map(_.records))
+      if (recs.exists(_.isEmpty)) ks.size.toLong
+      else {
+        val total = recs.flatten.sum
+        val ideal = math.max(1L, (total + targetRecords - 1) / targetRecords)
+        math.max(0L, ks.size.toLong - ideal)
+      }
+    }
     val picked = byHour.toSeq
       .filter { case (_, ks) => ks.size >= minObjects || ks.exists(dvs.contains) }
-      .sortBy { case (h, ks) => (-ks.size, h) }
+      .map { case (h, ks) => (h, ks, debtOf(ks)) }
+      // a vectored hour always compacts (the fold reclaims the vector
+      // and its per-read subtraction); a debt-free unvectored hour is
+      // already ideally packed — skip it entirely
+      .filter { case (_, ks, debt) => debt > 0 || ks.exists(dvs.contains) }
+      .sortBy { case (h, _, debt) => (-debt, h) }
       .take(maxHours)
+      .map { case (h, ks, _) => (h, ks) }
     val keys = picked.flatMap(_._2)
     val rep =
       if (keys.isEmpty) CompactionReport(0, 0, 0L, Seq.empty)

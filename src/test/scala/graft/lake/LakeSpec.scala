@@ -276,6 +276,57 @@ class LakeSpec extends SparkSuite {
     assert(LakeReader.read(spark, root, "ev").count() == totalBefore - 1)
   }
 
+  test("auto_compact ranks by RECORD-WEIGHTED debt: a many-tiny-objects hour outranks an equal-count hour, and a target-packed hour never rewrites") {
+    import spark.implicits._
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    // equal OBJECT counts, opposite debt (target_records = 100):
+    // hour 10: 6 × 5-row objects  — one object suffices, debt 5
+    // hour 11: 6 × 100-row objects — already target-packed, debt 0
+    // hour 12: 6 × 20-row objects — two objects suffice, debt 4
+    def landHour(h: Int, objects: Int, rows: Int, lo: Int): Unit =
+      (0 until objects).foreach { b =>
+        LakeWriter.write(
+          (0 until rows).map(i => ((lo + b * rows + i).toLong, i / 2.0, s"h$h"))
+            .toDF("id", "v", "tag").coalesce(1),
+          schema, root, Instant.parse(f"2024-06-01T$h%02d:00:00Z"),
+          zoneMaps = true)
+      }
+    landHour(10, 6, 5, 0); landHour(11, 6, 100, 10000)
+    landHour(12, 6, 20, 100000)
+    def bytesOf(k: String) = {
+      val in = store.open(k); try in.readAllBytes() finally in.close() }
+    val packedKeys = store.list("2024/06/01/11").filter(_.contains("/ev/"))
+    val packedBytes = packedKeys.map(k => k -> bytesOf(k)).toMap
+    val total = LakeReader.read(spark, root, "ev").count()
+    // the object-count rule alone would select all three hours and rank
+    // them equal; record-weighted debt selects 10 and 12, tiniest first
+    val dry = LakeMaintenance.autoCompact(spark, store, "ev",
+      targetRecords = 100L, minObjects = 4, dryRun = true)
+    assert(dry.hoursTotal == 3 && dry.hoursSelected == 2, dry.toString)
+    val first = LakeMaintenance.autoCompact(spark, store, "ev",
+      targetRecords = 100L, minObjects = 4, maxHours = 1)
+    assert(first.hoursSelected == 1 && first.compaction.oldObjects == 6 &&
+      first.compaction.records == 30L,
+      s"max_hours=1 must pick the TINIEST hour (debt 5, 30 rows): $first")
+    val second = LakeMaintenance.autoCompact(spark, store, "ev",
+      targetRecords = 100L, minObjects = 4)
+    assert(second.hoursSelected == 1 &&
+      second.compaction.records == 120L,
+      s"the second run picks hour 12 (debt 4): $second")
+    // the target-packed hour is debt-free: never selected, never read,
+    // byte-identical — and the table is now a no-op, minting nothing
+    val gens = LakeVersions.listDir(store, "ev").gens
+    val third = LakeMaintenance.autoCompact(spark, store, "ev",
+      targetRecords = 100L, minObjects = 4)
+    assert(third.hoursSelected == 0 &&
+      LakeVersions.listDir(store, "ev").gens == gens,
+      s"a packed hour must not count as debt: $third")
+    packedKeys.foreach(k => assert(bytesOf(k).sameElements(packedBytes(k)),
+      s"target-packed object $k must stay byte-identical"))
+    assert(LakeReader.read(spark, root, "ev").count() == total)
+  }
+
   test("compaction preserves hour attribution across a multi-hour range") {
     import spark.implicits._
     val root = freshRoot()
