@@ -1383,6 +1383,50 @@ object Pipeline {
     // GUARDED: a shingle in more than maxSources sources raises in-plan
     // (per-domain keys fed here would otherwise be 10¹⁰ pair rows from
     // one stop-word shingle — see the Dedup.sourceOverlap scaladoc).
+    // NATURAL-DATA recall bound for the two approximate ANN scale paths
+    // (round 19, the q28/q43 error-bound pattern): d07/d10 are held
+    // hash-exact on PLANTED corpora (where ground truth is pinned by
+    // construction); this row holds them to a recall floor on the RAW
+    // embeddings table, where the exact answer is genuinely hard. The
+    // query computes brute-force top-5 (the exact pass — d06's
+    // operator), SRP and IVF top-5 over the same 20 queries, and hashes
+    // the bound BOOLEANS plus the exact row count; the oracle's TRUE
+    // literals check the floor itself — a silent recall regression
+    // (a broken band hash, a mis-probed cell) flips a hashed value.
+    // Floors are honest with margin: measured srp 81–85%, ivf 90–99%
+    // across sf0.001/0.01/0.1; bounds 60%/70%.
+    "d25_ann_recall_bound" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 20)
+        def ids(df: org.apache.spark.sql.DataFrame) =
+          df.select("query_id", "neighbor_id")
+        val bf = ids(Similarity.bruteForceTopK(emb, queries, 5))
+        val srp = ids(Similarity.srpTopK(emb, queries, 5))
+        val ivf = ids(Similarity.ivfTopK(emb, queries, 5))
+        bf.select(count(lit(1)).as("n_exact"))
+          .crossJoin(bf.intersect(srp).select(count(lit(1)).as("srp_hits")))
+          .crossJoin(bf.intersect(ivf).select(count(lit(1)).as("ivf_hits")))
+          .select(col("n_exact"),
+            (col("srp_hits") * 10L >= col("n_exact") * 6L)
+              .as("srp_recall_ge_p60"),
+            (col("ivf_hits") * 10L >= col("n_exact") * 7L)
+              .as("ivf_recall_ge_p70"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+             |           FROM embeddings),
+             |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 20),
+             |s AS (SELECT q.qid, e.vec_id,
+             |        list_cosine_similarity(q.qemb, e.emb) AS cos
+             |      FROM q, e WHERE q.qid <> e.vec_id),
+             |r AS (SELECT qid, row_number() OVER (
+             |        PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+             |      FROM s)
+             |SELECT count(*) AS n_exact,
+             |  TRUE AS srp_recall_ge_p60,
+             |  TRUE AS ivf_recall_ge_p70
+             |FROM r WHERE rank <= 5""".stripMargin)),
+
     "d24_source_overlap" -> QueryDef(
       (s, dir) => graft.operators.Dedup.sourceOverlap(
           t(s, dir, "documents"), "source", "text", n = 5, maxSources = 64)
