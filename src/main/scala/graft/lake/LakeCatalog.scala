@@ -371,6 +371,8 @@ private[lake] object LakeProcedures {
     override def description(): String =
       "Compact a lake table's objects (staged publish, hour-preserving); " +
         "zone_maps/bloom_columns re-index the compacted objects; " +
+        "cluster_by => 'a,b' | 'zorder(a,b)' RE-CLUSTERS each hour's rows " +
+        "(the OPTIMIZE ZORDER face — pair with zone_maps); " +
         "dry_run => true reports (listing + sizing counts) and mutates nothing"
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
@@ -381,13 +383,17 @@ private[lake] object LakeProcedures {
       ProcedureParameter.in("bloom_columns", StringType)
         .defaultValue("''").build(),
       ProcedureParameter.in("dry_run", BooleanType)
-        .defaultValue("false").build())
+        .defaultValue("false").build(),
+      ProcedureParameter.in("cluster_by", StringType)
+        .defaultValue("''").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val rep = LakeMaintenance.compact(SparkSession.active,
         new HadoopStore(root), input.getUTF8String(0).toString,
         targetRecords = input.getLong(1), zoneMaps = input.getBoolean(2),
         bloomColumns = commaCols(input.getUTF8String(3)),
-        dryRun = input.getBoolean(4))
+        dryRun = input.getBoolean(4),
+        clusterBy = Option(input.getUTF8String(5).toString.trim)
+          .filter(_.nonEmpty))
       result(StructType(Seq(
         StructField("old_objects", IntegerType, nullable = false),
         StructField("new_objects", IntegerType, nullable = false),

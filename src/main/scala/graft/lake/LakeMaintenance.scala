@@ -63,12 +63,22 @@ object LakeMaintenance {
               gzip: Boolean = true,
               zoneMaps: Boolean = false,
               bloomColumns: Seq[String] = Nil,
-              dryRun: Boolean = false): CompactionReport = {
+              dryRun: Boolean = false,
+              // RE-CLUSTER while compacting (round 19 — the OPTIMIZE
+              // ZORDER face): same spec grammar as the write path's
+              // `clusterBy` option — a column list (lexicographic range
+              // layout) or `zorder(a,b)` (Morton layout). Each hour's
+              // rows land range-partitioned and sorted on the requested
+              // layout, so existing unclustered data gains the write
+              // path's data-skipping retroactively (pair with
+              // zoneMaps = true or the layout buys nothing).
+              clusterBy: Option[String] = None): CompactionReport = {
     // Same pruned listing plan as the reader: never a full-lake walk.
     val oldKeys = LakeReader.listTableKeys(store, table, hourRange)
     if (oldKeys.isEmpty) return CompactionReport(0, 0, 0L, Seq.empty)
     compactCore(spark, store, table, oldKeys, targetRecords, gzip,
-      zoneMaps, bloomColumns, dryRun, dropAllEqdels = hourRange.isEmpty)
+      zoneMaps, bloomColumns, dryRun, dropAllEqdels = hourRange.isEmpty,
+      clusterBy = clusterBy)
   }
 
   final case class AutoCompactReport(hoursTotal: Int, hoursSelected: Int,
@@ -143,7 +153,8 @@ object LakeMaintenance {
                           oldKeys: Seq[String], targetRecords: Long,
                           gzip: Boolean, zoneMaps: Boolean,
                           bloomColumns: Seq[String], dryRun: Boolean,
-                          dropAllEqdels: Boolean): CompactionReport = {
+                          dropAllEqdels: Boolean,
+                          clusterBy: Option[String] = None): CompactionReport = {
     // EVOLVED table: compact is the wholesale migration tool — reads
     // resolve each object by name against the declared schema, the
     // rewrite emits it, and the table leaves single-header
@@ -189,6 +200,30 @@ object LakeMaintenance {
     val staging = s"_staging/${java.util.UUID.randomUUID()}"
     val schema = declared.getOrElse(
       LakeReader.peekSchema(store, oldKeys.head, table))
+    // the re-cluster layout, validated EARLY against the rewrite schema
+    // (same grammar and same refusals as the write path's clusterBy)
+    val (clusterCols, zorderBy) = LakeDataSource.parseClusterBy(clusterBy)
+    val colTypes = schema.columns.toMap
+    (clusterCols ++ zorderBy.toSeq.flatMap(z => Seq(z._1, z._2))).foreach(c =>
+      require(colTypes.contains(c),
+        s"compact clusterBy column '$c' is not a column of '$table' " +
+          s"(${schema.columnNames.mkString(", ")})"))
+    zorderBy.toSeq.flatMap(z => Seq(z._1, z._2)).foreach(c =>
+      require(colTypes(c) == graft.types.ColType.CInteger ||
+          colTypes(c) == graft.types.ColType.CTime,
+        s"zorder column $c must be INTEGER or TIME (got ${colTypes(c)}); " +
+          "fractional casts would degenerate the layout"))
+    def shaped(df: org.apache.spark.sql.DataFrame, parts: Int)
+        : org.apache.spark.sql.DataFrame = (clusterCols, zorderBy) match {
+      case (Nil, None) => df.repartition(parts)
+      case (_, Some((a, b))) =>
+        graft.operators.Layout.zorder(df,
+          org.apache.spark.sql.functions.col(a),
+          org.apache.spark.sql.functions.col(b), parts)
+      case (cs, None) =>
+        val cols = cs.map(org.apache.spark.sql.functions.col)
+        df.repartitionByRange(parts, cols: _*).sortWithinPartitions(cols: _*)
+    }
     val byHour = oldKeys.groupBy(k => LakeKeys.parseKey(k).get._1).toSeq.sortBy(_._1)
     // Hour groups compact as CONCURRENT Spark jobs (bounded pool): a
     // long-lived table has hundreds of hour groups, and serializing their
@@ -222,7 +257,7 @@ object LakeMaintenance {
           val n = df.count()
           val parts = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
           LakeWriter.write(
-            df.repartition(parts), schema, store.rootUri, hour, gzip,
+            shaped(df, parts), schema, store.rootUri, hour, gzip,
             maxRecordsPerObject = targetRecords, keyPrefix = s"$staging/",
             zoneMaps = zoneMaps, bloomColumns = bloomColumns)
           // staged only: the publish is ONE statement-level commit below

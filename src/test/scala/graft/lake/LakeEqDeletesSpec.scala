@@ -232,6 +232,32 @@ class LakeEqDeletesSpec extends SparkSuite {
     assert(e.getMessage.contains("equality"))
   }
 
+  test("the glob stream's per-trigger guard catches an equality delete landing MID-STREAM (the eq arm of the r19 tripwire)") {
+    val (cat, root, _) = fixture()
+    land(root)
+    val was = GuardedLakeFs.probeMemoMs
+    GuardedLakeFs.probeMemoMs = 0L
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-eq-guard-ckpt").toFile.getAbsolutePath
+    val q = LakeReader.readStreamOf(spark, root, "ev", schema)
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("noop").start()
+    try {
+      q.processAllAvailable()
+      morOn(cat)
+      spark.sql(s"DELETE FROM $cat.ev WHERE uid = 9") // one eq file + CAS
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("EQUALITY DELETE") && msgs.contains("graft-lake"),
+        s"the failure names the equality delete and the remedy: $msgs")
+    } finally {
+      GuardedLakeFs.probeMemoMs = was
+      try q.stop() catch { case _: Exception => () }
+    }
+  }
+
   test("time travel reads each generation under its OWN eq state; the changes feed emits the deleted rows") {
     val (cat, root, store) = fixture()
     land(root)

@@ -327,6 +327,51 @@ class LakeSpec extends SparkSuite {
     assert(LakeReader.read(spark, root, "ev").count() == total)
   }
 
+  test("compact re-clusters: cluster_by => 'zorder(x,y)' retrofits the Morton layout onto existing unclustered data (the OPTIMIZE ZORDER face)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val store = new HadoopStore(root)
+    val cat = s"rc${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val zschema = TableSchema("zt", Seq(
+      "x" -> ColType.CInteger, "y" -> ColType.CInteger))
+    // a 64x64 grid scrambled across 8 objects: every object spans BOTH
+    // full ranges, so a narrow band on either column prunes nothing
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y").repartition(8)
+    LakeWriter.write(grid, zschema, root,
+      Instant.parse("2024-06-10T12:00:00Z"), zoneMaps = true)
+    def kept(lo: Long, hi: Long, col: String): Int =
+      LakeReader.readPruned(spark, root, "zt", col,
+        java.math.BigDecimal.valueOf(lo),
+        java.math.BigDecimal.valueOf(hi))._2.kept
+    assert(kept(10, 17, "y") == 8, "scrambled objects cannot prune")
+    // re-cluster in place: 16 z-ordered objects, sidecars rebuilt
+    val rep = spark.sql(s"CALL $cat.system.compact(table => 'zt', " +
+      "target_records => 256, zone_maps => true, " +
+      "cluster_by => 'zorder(x,y)')").collect().head
+    assert(rep.getInt(0) == 8 && rep.getInt(1) == 16, rep.toString)
+    // rows are layout-only: everything survives exactly once
+    val back = LakeReader.read(spark, root, "zt")
+    assert(back.count() == 4096 &&
+      back.select("x", "y").distinct().count() == 4096)
+    // and NOW either column's narrow band prunes (the Morton boxes
+    // band both dimensions — the write path's l-shaped claim, gained
+    // retroactively by existing data)
+    val ky = kept(10, 17, "y")
+    val kx = kept(10, 17, "x")
+    assert(ky <= 12 && kx <= 12,
+      s"z-banded objects must prune on either column alone: y=$ky x=$kx of 16")
+    // a FLOAT zorder column refuses with the real reason
+    val e = intercept[Exception] {
+      LakeMaintenance.compact(spark, store, "zt",
+        clusterBy = Some("zorder(x,score)"))
+    }
+    assert(e.getMessage.contains("not a column") ||
+      e.getMessage.contains("INTEGER or TIME"), e.getMessage)
+  }
+
   test("compaction preserves hour attribution across a multi-hour range") {
     import spark.implicits._
     val root = freshRoot()

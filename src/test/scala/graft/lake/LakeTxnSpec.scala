@@ -196,6 +196,18 @@ class LakeTxnSpec extends SparkSuite {
     try {
       spark.sql(s"DELETE FROM $cat.th WHERE id >= 1010")
       spark.sql(s"UPDATE $cat.th SET vc = 777 WHERE id = 3")
+      // and a branch MERGE (r19): a matched live fix + a NOT-MATCHED
+      // insert whose object takes BATCH lineage — the transaction must
+      // publish it in the same flip
+      import spark.implicits._
+      Seq((5L, "u"), (99999L, "i")).toDF("sid", "act")
+        .createOrReplaceTempView("txn_bm_src")
+      spark.sql(
+        s"""MERGE INTO $cat.th t USING txn_bm_src s ON t.id = s.sid
+           |WHEN MATCHED THEN UPDATE SET vc = 555
+           |WHEN NOT MATCHED THEN INSERT (id, vc, _event_hour)
+           |  VALUES (s.sid, 11, TIMESTAMP '2024-07-01 09:00:00+00:00')
+           |""".stripMargin)
     } finally spark.conf.unset("spark.graft.wap.branch")
     // plain readers: untouched on both tables
     assert(count(root, "th") == 100 && count(root, "ti") == 50)
@@ -215,10 +227,14 @@ class LakeTxnSpec extends SparkSuite {
     spark.sql(s"CALL $cat.system.commit_transaction(" +
       "tables => 'th,ti', audit_id => 'b5')").collect()
     val th = LakeReader.read(spark, root, "th")
-    assert(th.count() == 110) // 100 live + 10 surviving batch rows
+    assert(th.count() == 111) // 100 live + 10 surviving batch + 1 insert
     assert(th.where(col("id") === 3L && col("vc") === 777L).count() == 1L,
       "the live fix must land with the publish")
-    assert(th.where(col("id") >= 1010L).count() == 0L)
+    assert(th.where(col("id") === 5L && col("vc") === 555L).count() == 1L,
+      "the branch MERGE's matched arm must land with the publish")
+    assert(th.where(col("id") === 99999L && col("vc") === 11L).count() == 1L,
+      "the branch MERGE's insert must ride the batch lineage to publish")
+    assert(th.where(col("id") >= 1010L && col("id") < 99999L).count() == 0L)
     assert(count(root, "ti") == 60)
     // the CDC split on th's record: removed = the replaced live object,
     // added = its rewrite, inserted = the surviving batch

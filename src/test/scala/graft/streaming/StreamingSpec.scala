@@ -469,6 +469,44 @@ class StreamingSpec extends SparkSuite {
     assert(hours.length == 1 && hours(0).getTimestamp(0) != null)
   }
 
+  test("lake glob stream resumes from its checkpoint across a restart: guarded-scheme offsets re-resolve, nothing replays") {
+    import graft.lake.LakeWriter
+    import spark.implicits._
+    val root = s"file://${Files.createTempDirectory("graft-lake-rs").toFile.getAbsolutePath}"
+    val schema = TableSchema("events_r", Seq(
+      "event_id" -> ColType.CInteger, "ts" -> ColType.CTime,
+      "user_id" -> ColType.CInteger, "value" -> ColType.CFloat))
+    def batch(from: Int, n: Int) = (from until from + n)
+      .map(i => Ev(i, ts("2024-07-01T00:00:00Z"), i % 5, i * 1.0)).toDF()
+    LakeWriter.write(batch(0, 100), schema, root)
+    val ckpt = Files.createTempDirectory("graft-lake-rs-ckpt")
+      .toFile.getAbsolutePath
+    // incarnation 1: drains the first flush, checkpoints graftlake://
+    // offsets (the r19 guarded scheme), stops
+    val got1 = new java.util.concurrent.atomic.AtomicLong
+    val q1 = LakeReader.readStreamOf(spark, root, "events_r", schema)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got1.addAndGet(df.count()); ()
+      }.start()
+    q1.processAllAvailable(); q1.stop()
+    assert(got1.get() == 100L, "first incarnation drains the flush")
+    LakeWriter.write(batch(100, 50), schema, root)
+    // incarnation 2, rebuilt through readStreamOf (which re-registers
+    // the guard token): the checkpointed graftlake:// offsets resolve
+    // and ONLY the new flush delivers — a failed resolution would
+    // error, a ledger reset would replay all 150
+    val got2 = new java.util.concurrent.atomic.AtomicLong
+    val q2 = LakeReader.readStreamOf(spark, root, "events_r", schema)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got2.addAndGet(df.count()); ()
+      }.start()
+    q2.processAllAvailable(); q2.stop()
+    assert(got2.get() == 50L,
+      s"the restart must deliver exactly the new flush, got ${got2.get()}")
+  }
+
   test("flatMapGroupsWithState: inactivity summary emits on timeout, state evicted") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
