@@ -155,6 +155,12 @@ object BenchGates {
     // protocol blows these together
     "l45_lake_branch_merge" -> Ceiling(Some(12 * MB), Some(16 * MB),
       maxStoreOps = Some(700)),
+    // 27.7 MB in / ~241 store RPCs (round 19): the re-cluster compact
+    // reads the fixture hour ONCE and rewrites it z-banded — a layout
+    // that re-read per band or lost its single-pass rewrite multiplies
+    // input and RPCs together
+    "l46_lake_recluster" -> Ceiling(Some(60 * MB), None,
+      maxStoreOps = Some(600)),
     // 0.84 MB in / 1.03 MB shuffled / ~177 store RPCs (round 18): the
     // cross-table transaction's protocol cost is O(parts) — two pending
     // records, ONE decision file, two intent deletions — on top of the

@@ -425,7 +425,9 @@ private[lake] object LakeProcedures {
       ProcedureParameter.in("bloom_columns", StringType)
         .defaultValue("''").build(),
       ProcedureParameter.in("dry_run", BooleanType)
-        .defaultValue("false").build())
+        .defaultValue("false").build(),
+      ProcedureParameter.in("cluster_by", StringType)
+        .defaultValue("''").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val rep = LakeMaintenance.autoCompact(SparkSession.active,
         new HadoopStore(root), input.getUTF8String(0).toString,
@@ -434,7 +436,9 @@ private[lake] object LakeProcedures {
         maxHours = input.getInt(3),
         zoneMaps = input.getBoolean(4),
         bloomColumns = commaCols(input.getUTF8String(5)),
-        dryRun = input.getBoolean(6))
+        dryRun = input.getBoolean(6),
+        clusterBy = Option(input.getUTF8String(7).toString.trim)
+          .filter(_.nonEmpty))
       result(StructType(Seq(
         StructField("hours_total", IntegerType, nullable = false),
         StructField("hours_selected", IntegerType, nullable = false),

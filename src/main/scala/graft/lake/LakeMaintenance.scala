@@ -102,7 +102,10 @@ object LakeMaintenance {
                   gzip: Boolean = true,
                   zoneMaps: Boolean = false,
                   bloomColumns: Seq[String] = Nil,
-                  dryRun: Boolean = false): AutoCompactReport = {
+                  dryRun: Boolean = false,
+                  // re-cluster the selected hours while compacting —
+                  // the scheduled OPTIMIZE ZORDER (see [[compact]])
+                  clusterBy: Option[String] = None): AutoCompactReport = {
     require(minObjects >= 2, s"minObjects must be >= 2, got $minObjects")
     require(maxHours >= 1, s"maxHours must be >= 1, got $maxHours")
     val all = LakeReader.listTableKeys(store, table, None)
@@ -145,7 +148,8 @@ object LakeMaintenance {
         zoneMaps, bloomColumns, dryRun,
         // the equality-delete list may drop only when EVERYTHING is
         // rewritten under it (the full-compact fold rule)
-        dropAllEqdels = keys.size == all.size)
+        dropAllEqdels = keys.size == all.size,
+        clusterBy = clusterBy)
     AutoCompactReport(byHour.size, picked.size, rep)
   }
 

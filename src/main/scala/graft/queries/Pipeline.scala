@@ -4478,6 +4478,60 @@ object Pipeline {
              |  max(event_id) AS max_id
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // ---------------- re-clustering compaction (l46)
+    // The OPTIMIZE ZORDER face (round 19): `compact(cluster_by =>
+    // 'zorder(a,b)')` retrofits the Morton write layout onto EXISTING
+    // unclustered data — each hour's rows re-land range-partitioned on
+    // the z-value with fresh zone-map sidecars, so either column's
+    // narrow band prunes where the scrambled layout pruned nothing.
+    // Gated in-query: pre-layout keeps everything, post-layout prunes
+    // BOTH single-column bands. Oracle: rows are layout-only — the
+    // aggregate over the re-clustered table matches the raw parquet.
+    "l46_lake_recluster" -> QueryDef(
+      (s, dir) => {
+        import graft.lake.{LakeMaintenance, LakeReader, LakeWriter}
+        import graft.types.{ColType, TableSchema}
+        val schema = TableSchema("events_rc", Seq(
+          "event_id" -> ColType.CInteger, "user_id" -> ColType.CInteger,
+          "vc" -> ColType.CInteger))
+        val root = rtSlot("graft-rc-lake", dir)
+        val store = new graft.lake.HadoopStore(root)
+        store.deletePrefix("")
+        val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        // scrambled: every object spans both full ranges
+        LakeWriter.write(ev.repartition(8), schema, root,
+          java.time.Instant.parse("2024-06-01T00:00:00Z"), zoneMaps = true)
+        // a narrow band on the WIDE-domain column (event_id spans the
+        // table; a 1/8 band prunes at every SF, where a user band's
+        // few-bit domain washes out of the interleave at tiny scale)
+        val maxId = ev.agg(max("event_id")).head.getLong(0)
+        def kept(colName: String, lo: Long, hi: Long): Int =
+          LakeReader.readPruned(s, root, "events_rc", colName,
+            java.math.BigDecimal.valueOf(lo),
+            java.math.BigDecimal.valueOf(hi))._2.kept
+        require(kept("event_id", 0L, maxId / 8) == 8,
+          "fixture: the scrambled layout must prune nothing")
+        val rep = LakeMaintenance.compact(s, store, "events_rc",
+          targetRecords = math.max(1L, ev.count() / 16),
+          zoneMaps = true, clusterBy = Some("zorder(user_id,event_id)"))
+        require(rep.oldObjects == 8 && rep.newObjects >= 8,
+          s"the re-cluster rewrites the hour into z-banded objects: $rep")
+        val ke = kept("event_id", 0L, maxId / 8)
+        require(ke < rep.newObjects / 2,
+          s"the retrofitted layout must prune a narrow event band: " +
+            s"$ke of ${rep.newObjects}")
+        LakeReader.read(s, root, "events_rc")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum("vc").as("sum_vc"),
+            max("event_id").as("max_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |    AS sum_vc,
+             |  max(event_id) AS max_id
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // ---------------- branch MERGE, all four arms (l45)
     // The one DML verb r18 still refused under `spark.graft.wap.branch`
     // (round 19): MERGE against the BRANCH VIEW — matched UPDATE/DELETE
