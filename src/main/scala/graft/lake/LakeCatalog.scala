@@ -311,7 +311,7 @@ private[lake] object LakeProcedures {
 
   val Names: Seq[String] = Seq("compact", "auto_compact", "expire", "ensure_indexes",
     "seal_manifest", "retire_objects", "delete_where", "sweep_staging",
-    "stats", "set_retention", "expire_versions", "history", "tag",
+    "stats", "set_retention", "expire_versions", "history", "tag", "rollback",
     "drop_tag", "changes_summary", "set_dml_mode", "publish_audit",
     "abort_audit", "commit_transaction")
 
@@ -329,6 +329,7 @@ private[lake] object LakeProcedures {
     case "expire_versions" => Some(new ExpireVersionsProcedure(root))
     case "history" => Some(new HistoryProcedure(root))
     case "tag" => Some(new TagProcedure(root))
+    case "rollback" => Some(new RollbackProcedure(root))
     case "drop_tag" => Some(new DropTagProcedure(root))
     case "changes_summary" => Some(new ChangesSummaryProcedure(root))
     case "set_dml_mode" => Some(new SetDmlModeProcedure(root))
@@ -883,6 +884,40 @@ private[lake] object LakeProcedures {
         StructField("objects_reclaimed", IntegerType, nullable = false))),
         Integer.valueOf(rep.recordsDropped),
         Integer.valueOf(rep.objectsReclaimed))
+    }
+  }
+
+  private final class RollbackProcedure(root: String)
+      extends MaintenanceProcedure("rollback") {
+    override def description(): String =
+      "Roll the table back to a retained generation or tag (the bad-" +
+        "commit remedy): mints ONE new generation whose live keys, " +
+        "delete-vector map and equality-delete list equal the target's " +
+        "— pure metadata at any table size, history preserved (the " +
+        "rolled-back range stays time-travelable; re-rollback undoes " +
+        "the undo). Data rolls back; the declared schema does not " +
+        "(by-name resolution covers resurrected objects)."
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rep = LakeVersions.rollbackTo(new HadoopStore(root),
+        input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString)
+      result(StructType(Seq(
+        StructField("gen", LongType, nullable = false),
+        StructField("target", LongType, nullable = false),
+        StructField("restored", IntegerType, nullable = false),
+        StructField("removed", IntegerType, nullable = false),
+        StructField("dv_restored", IntegerType, nullable = false),
+        StructField("dv_dropped", IntegerType, nullable = false),
+        StructField("eqdels_reset", BooleanType, nullable = false),
+        StructField("noop", BooleanType, nullable = false))),
+        java.lang.Long.valueOf(rep.gen), java.lang.Long.valueOf(rep.target),
+        Integer.valueOf(rep.restored), Integer.valueOf(rep.removed),
+        Integer.valueOf(rep.dvRestored), Integer.valueOf(rep.dvDropped),
+        java.lang.Boolean.valueOf(rep.eqdelsReset),
+        java.lang.Boolean.valueOf(rep.noop))
     }
   }
 

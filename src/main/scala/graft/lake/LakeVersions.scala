@@ -471,8 +471,12 @@ object LakeVersions {
         TableView(h.map(_.tombstones.toSet).getOrElse(Set.empty) ++ pending,
           h.map(_.dvs).getOrElse(Map.empty),
           h.map(_.eqdels).getOrElse(Nil)),
-        records.values.flatMap(r =>
-          r.added.map(_ -> (r.removed ++ r.sources))).toMap,
+        // ascending-generation fold so a key `added` by MORE than one
+        // record (rollback resurrecting a previously-rewritten key)
+        // deterministically carries the NEWEST record's provenance —
+        // mutable-map iteration order must never decide a skip
+        records.toSeq.sortBy(_._1).iterator.flatMap { case (_, r) =>
+          r.added.map(_ -> (r.removed ++ r.sources)) }.toMap,
         h.map(_.dvs).getOrElse(Map.empty),
         h.map(_.gen).getOrElse(0L),
         h.map(_.eqdels).getOrElse(Nil))
@@ -676,6 +680,14 @@ object LakeVersions {
              // the rewrite aborts it LOUDLY — republishing rows read
              // under a stale vector would resurrect deleted rows
              dvBasis: Map[String, Option[String]] = Map.empty,
+             // objects whose delete vector this commit DROPS while the
+             // object stays live (rollback un-applying a merge-on-read
+             // delete — the rows resurrect by design). Every key here
+             // MUST also appear in `dvBasis` with the vector the drop
+             // was planned against, so a racing MOR commit aborts this
+             // statement rather than having its deletions silently
+             // discarded.
+             dvRemovals: Seq[String] = Nil,
              // equality deletes to APPEND to the live list (one commit
              // = one or more new eq-delete files)
              eqdelAdds: Seq[LakeEqDeletes.EqRef] = Nil,
@@ -696,6 +708,10 @@ object LakeVersions {
              // deciding
              txn: Option[String] = None): GenRecord = {
     val removedD = removed.distinct
+    require(dvRemovals.forall(dvBasis.contains),
+      "graft-lake: every dvRemovals key needs its planned-against vector " +
+        "in dvBasis — an unvalidated vector drop would silently discard " +
+        "a racing merge-on-read commit's deletions")
     var attempt = 0
     while (true) {
       attempt += 1
@@ -751,7 +767,11 @@ object LakeVersions {
         // the committed vector (a racing MOR statement superseded it →
         // re-merging is the caller's job, same loud-abort posture)
         val tombs = h.map(_.tombstones.toSet).getOrElse(Set.empty)
-        val deadTargets = dvUpserts.keys.filter(tombs.contains)
+        // a key this same commit restores to the live set (rollback) is
+        // a legitimate vector target even while the PARENT tombstones it
+        val revived = (added ++ inserted).toSet
+        val deadTargets =
+          dvUpserts.keys.filter(k => tombs.contains(k) && !revived.contains(k))
         if (deadTargets.nonEmpty)
           throw new LakeConcurrentModificationException(
             s"graft-lake $op on '$table': ${deadTargets.size} delete-" +
@@ -823,7 +843,7 @@ object LakeVersions {
       // retired object's vector dies with it — readers read its rows
       // vector-applied through readKeys, so replacements hold only live
       // rows) PLUS this commit's upserts
-      val nextDvs = (parentDvs -- removedD) ++
+      val nextDvs = (parentDvs -- removedD -- dvRemovals) ++
         dvUpserts.map { case (obj, up) => obj -> up.ref }
       // schema-AT-snapshot: the record pins the declared-schema version
       // live at this commit (0 = not evolved), so `VERSION AS OF` reads
@@ -832,9 +852,14 @@ object LakeVersions {
       val schemaV = st.schemaVersions.sorted.reverse.view
         .find(v => LakeSchemas.readRecord(store, table, v).isDefined)
         .getOrElse(0L)
+      // a key this commit adds back to the live set leaves the tombstone
+      // set (rollback resurrecting retained history): live and tombstoned
+      // are mutually exclusive — exclusions would otherwise keep hiding
+      // the restored object from every versioned listing
       val rec = GenRecord(table, headGen + 1, headGen, op, intentId,
         removedD, added, inserted,
-        (keptTombs ++ removedD).distinct, live,
+        (keptTombs ++ removedD).distinct
+          .filterNot((added ++ inserted).toSet), live,
         at = System.currentTimeMillis(),
         sources = sources.distinct, dvs = nextDvs,
         schemaV = Some(schemaV),
@@ -1116,6 +1141,145 @@ object LakeVersions {
         s"graft-lake: '$v' is neither a generation number nor a tag of " +
           s"'$table' (tags: ${listTags(store, table).keys.toSeq.sorted
             .mkString(", ")})"))
+  }
+
+  // ---------------------------------------------------------- rollback
+
+  final case class RollbackReport(gen: Long, target: Long,
+                                  restored: Int, removed: Int,
+                                  dvRestored: Int, dvDropped: Int,
+                                  eqdelsReset: Boolean, noop: Boolean)
+
+  /** ROLL the table BACK to a retained generation — the bad-commit
+    * remedy (Delta `RESTORE` / Iceberg `rollback_to_snapshot`). Forward-
+    * rolling: mints a NEW generation whose effective state (live keys +
+    * delete-vector map + equality-delete list) equals the target's, so
+    * history is preserved — the rolled-back range stays addressable with
+    * `VERSION AS OF`, the changes feed across the rollback commit is the
+    * row-exact inverse of the feed across the rolled-back range, and a
+    * second rollback can re-apply what the first undid.
+    *
+    * PURE METADATA at any table size: one generation-record CAS; no data
+    * object moves (retained bytes never left, sidecars/blooms/manifests
+    * intact — manifests seal from RAW listings, so a resurrected key was
+    * listed all along and only the exclusion set decided). Protocol cost
+    * is O(changed keys) record bytes + O(chain) reads, never O(objects).
+    *
+    * Semantics notes:
+    *  - DATA rolls back; the DECLARED SCHEMA does not (by-name header
+    *    resolution serves resurrected objects under the current schema,
+    *    the same machinery every evolution read uses). `VERSION AS OF`
+    *    the target still reads schema-at-snapshot.
+    *  - Streams: a ledger that delivered a resurrected key never
+    *    redelivers it (exactly-once by the seen set); a stream that
+    *    started after the key's removal delivers it once, post-rollback
+    *    (the record's `added` + self-`sources` provenance keeps the
+    *    CDC skip decision honest). Removals emit no retraction — the
+    *    append-stream posture every DML verb already has.
+    *  - Races: a concurrent commit aborts this statement loudly
+    *    (validateLive / dv-basis / eq-basis, like every DML); a
+    *    concurrent `expire_versions` dropping the TARGET generation is
+    *    an operator conflict that fails loudly here or at read, never
+    *    silently (same maintenance-race class as every swept artifact).
+    *  - A pending WAP-branch publish is NOT blocked; its own CAS
+    *    validation aborts the publish if this rollback invalidated its
+    *    basis (the established concurrent-mutation posture). */
+  def rollbackTo(store: Store, table: String,
+                 version: String): RollbackReport = {
+    val tgtGen = resolveVersion(store, table, version)
+    val st = listDir(store, table)
+    val h = head(store, table, st).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake: cannot roll back '$table' — no committed " +
+          "generation exists"))
+    if (tgtGen == h.gen)
+      return RollbackReport(h.gen, tgtGen, 0, 0, 0, 0,
+        eqdelsReset = false, noop = true)
+    require(tgtGen < h.gen,
+      s"graft-lake: cannot roll '$table' back to generation $tgtGen — " +
+        s"the head is ${h.gen}")
+    val tgt = readCommitted(store, table, tgtGen).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake: no generation $tgtGen for table '$table' — it " +
+          "never committed, or CALL lake.system.expire_versions " +
+          s"reclaimed it (present: ${st.gens.mkString(", ")})"))
+    val tgtLive = liveAt(store, table, tgtGen) // loud sans retention
+    val curLive = LakeReader.listTableKeys(store, table, None)
+    val curSet = curLive.toSet
+    val tgtSet = tgtLive.toSet
+    val removed = curLive.filterNot(tgtSet).sorted
+    val restored = tgtLive.filterNot(curSet).sorted
+    // the resurrected BYTES must still exist — expire_versions is the
+    // only thing that deletes retained history, and it spares every
+    // kept generation's snapshot, so a miss here means the target was
+    // expired under this statement's feet. Loud, with the remedy.
+    val missing = stillPresent(store, restored, expectAll = true)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-lake rollback on '$table': ${missing.size} object(s) of " +
+          s"generation $tgtGen no longer exist — e.g. " +
+          s"${missing.take(3).mkString(", ")}. CALL " +
+          "lake.system.expire_versions reclaimed the target (or raced " +
+          "this statement); roll back to a retained generation.")
+    // delete-vector plan: the new head's dv map must EQUAL the target's
+    // (restricted to its live set). Three cases per object —
+    // restore a vector (re-added object, or a live object whose vector
+    // was superseded since), drop a vector (merge-on-read deletes landed
+    // after the target — the rows resurrect), keep (identical).
+    val curDvs = h.dvs
+    val tgtDvs = tgt.dvs.filter { case (obj, _) => tgtSet.contains(obj) }
+    val dvUp = scala.collection.mutable.Map.empty[String, DvUpsert]
+    val dvBasis = scala.collection.mutable.Map.empty[String, Option[String]]
+    val dvDrop = Seq.newBuilder[String]
+    var drops = 0
+    tgtDvs.foreach { case (obj, ref) =>
+      val have = if (curSet.contains(obj)) curDvs.get(obj) else None
+      if (!have.map(_.key).contains(ref.key)) {
+        if (!store.exists(ref.key))
+          throw new IllegalStateException(
+            s"graft-lake rollback on '$table': delete-vector file " +
+              s"${ref.key} of generation $tgtGen no longer exists — " +
+              "expire_versions reclaimed the target's history; roll " +
+              "back to a retained generation.")
+        dvUp.update(obj, DvUpsert(have.map(_.key), ref))
+      }
+    }
+    curDvs.foreach { case (obj, ref) =>
+      if (curSet.contains(obj) && tgtSet.contains(obj) &&
+          !tgtDvs.contains(obj)) {
+        dvDrop += obj; drops += 1
+        dvBasis.update(obj, Some(ref.key))
+      }
+    }
+    // equality-delete plan: reset the live list to the target's when it
+    // differs; eqBasis pins the list this statement planned under so a
+    // racing equality DELETE aborts us instead of being discarded.
+    val eqDiffers = h.eqdels.map(_.key) != tgt.eqdels.map(_.key)
+    if (eqDiffers) tgt.eqdels.foreach { e =>
+      if (!store.exists(e.key))
+        throw new IllegalStateException(
+          s"graft-lake rollback on '$table': equality-delete file " +
+            s"${e.key} of generation $tgtGen no longer exists — " +
+            "expire_versions reclaimed the target's history; roll back " +
+            "to a retained generation.")
+    }
+    if (removed.isEmpty && restored.isEmpty && dvUp.isEmpty &&
+        drops == 0 && !eqDiffers)
+      return RollbackReport(h.gen, tgtGen, 0, 0, 0, 0,
+        eqdelsReset = false, noop = true)
+    val rec = commit(store, table, op = "rollback",
+      removed = removed, added = restored,
+      // self-provenance: a resurrected object's rows ARE its own rows —
+      // the stream's skip decision must never treat them as rewrites of
+      // the `removed` set (different logical rows entirely)
+      sources = restored,
+      dvUpserts = dvUp.toMap, dvBasis = dvBasis.toMap,
+      dvRemovals = dvDrop.result(),
+      eqdelAdds = if (eqDiffers) tgt.eqdels else Nil,
+      dropEqdels = eqDiffers,
+      eqBasis = Some(h.eqdels.map(_.key)))
+    RollbackReport(rec.gen, tgtGen, restored.size, removed.size,
+      dvUp.size, drops, eqdelsReset = eqDiffers, noop = false)
   }
 
   /** Enable/disable history retention: with the marker set, mutating

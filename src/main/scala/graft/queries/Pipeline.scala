@@ -4532,6 +4532,94 @@ object Pipeline {
              |  max(event_id) AS max_id
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // ---------------- rollback / RESTORE (l47)
+    // The bad-commit remedy (round 20): `CALL lake.system.rollback`
+    // mints ONE generation whose live keys + delete-vector map +
+    // equality-delete list equal a retained target's — Delta RESTORE /
+    // Iceberg rollback_to_snapshot, forward-rolling so history is
+    // preserved. Gated in-query: the raw data-object listing is
+    // BIT-IDENTICAL across both rollbacks (pure metadata at any table
+    // size — resurrection is bookkeeping, not bytes), the rolled-back
+    // state equals the time-travel read exactly (vectors and equality
+    // deletes dropped, rows resurrected), and the roll-FORWARD re-applies
+    // them exactly. Oracle: closed-form — the post-DML state the second
+    // rollback restores.
+    "l47_lake_rollback" -> QueryDef(
+      (s, dir) => {
+        import graft.lake.{LakeCatalog, LakeVersions, LakeWriter}
+        import graft.types.{ColType, TableSchema}
+        val schema = TableSchema("events_rb", Seq(
+          "event_id" -> ColType.CInteger, "user_id" -> ColType.CInteger,
+          "vc" -> ColType.CInteger))
+        val root = rtSlot("graft-rb-lake", dir)
+        val store = new graft.lake.HadoopStore(root)
+        store.deletePrefix("")
+        val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        LakeWriter.write(ev.repartitionByRange(4, col("event_id")),
+          schema, root, java.time.Instant.parse("2024-06-01T00:00:00Z"),
+          zoneMaps = true, bloomColumns = Seq("user_id"))
+        val cat = s"l47cat${math.abs(root.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val n = ev.count()
+        s.sql(s"CALL $cat.system.set_retention(table => 'events_rb', " +
+          "retain => true)").collect()                             // gen 1
+        s.sql(s"CALL $cat.system.set_dml_mode(table => 'events_rb', " +
+          "mode => 'merge-on-read')").collect()
+        s.sql(s"DELETE FROM $cat.events_rb WHERE user_id = 3")     // gen 2: eq
+        s.sql(s"DELETE FROM $cat.events_rb " +
+          "WHERE event_id % 10 < 2")                               // gen 3: dv
+        s.sql(s"UPDATE $cat.events_rb SET vc = vc + 1000 " +
+          "WHERE user_id = 7")                                     // gen 4
+        def dataKeys() = store.list("").filter(k =>
+          graft.lake.LakeKeys.parseKey(k).exists(_._2 == "events_rb")).sorted
+        val bytesAt4 = dataKeys()
+        val selCols = Seq(col("event_id"), col("user_id"), col("vc"))
+        s.sql(s"CALL $cat.system.rollback(table => 'events_rb', " +
+          "version => '1')").collect()                             // gen 5
+        val head5 = LakeVersions.head(store, "events_rb",
+          LakeVersions.listDir(store, "events_rb")).get
+        require(head5.dvs.isEmpty && head5.eqdels.isEmpty,
+          "rollback to the pre-DML snapshot must reset vectors and " +
+            s"equality deletes: dvs=${head5.dvs.size} eqdels=${head5.eqdels.size}")
+        require(dataKeys() == bytesAt4,
+          "rollback must move ZERO data objects — resurrection is " +
+            "bookkeeping, not bytes")
+        val now5 = s.table(s"$cat.events_rb").select(selCols: _*)
+        val at1 = s.sql(
+          s"SELECT event_id, user_id, vc FROM $cat.events_rb VERSION AS OF 1")
+        require(now5.count() == n &&
+          now5.exceptAll(at1).count() == 0 && at1.exceptAll(now5).count() == 0,
+          "the rolled-back table must equal the time-travel read exactly")
+        s.sql(s"CALL $cat.system.rollback(table => 'events_rb', " +
+          "version => '4')").collect()                             // gen 6
+        require(dataKeys() == bytesAt4,
+          "the roll-forward must move zero data objects too")
+        val now6 = s.table(s"$cat.events_rb").select(selCols: _*)
+        val at4 = s.sql(
+          s"SELECT event_id, user_id, vc FROM $cat.events_rb VERSION AS OF 4")
+        require(now6.exceptAll(at4).count() == 0 &&
+          at4.exceptAll(now6).count() == 0,
+          "rollback of the rollback must re-apply the undone DML exactly")
+        require(LakeVersions.listDir(store, "events_rb").gens.max == 6L,
+          "two rollbacks mint exactly two generations")
+        now6.agg(count(lit(1)).as("n_rows"), sum("vc").as("sum_vc"),
+          sum(when(col("user_id") === 7L, col("vc")).otherwise(0L))
+            .as("sum_u7"),
+          max("event_id").as("max_id"))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(sum(vc) AS BIGINT) AS sum_vc,
+             |  CAST(sum(CASE WHEN user_id = 7 THEN vc ELSE 0 END)
+             |    AS BIGINT) AS sum_u7,
+             |  max(event_id) AS max_id
+             |FROM (
+             |  SELECT event_id, user_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT)
+             |      + CASE WHEN user_id = 7 THEN 1000 ELSE 0 END AS vc
+             |  FROM events
+             |  WHERE user_id <> 3 AND event_id % 10 >= 2)""".stripMargin)),
+
     // ---------------- branch MERGE, all four arms (l45)
     // The one DML verb r18 still refused under `spark.graft.wap.branch`
     // (round 19): MERGE against the BRANCH VIEW — matched UPDATE/DELETE
