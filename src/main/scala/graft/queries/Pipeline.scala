@@ -4620,6 +4620,98 @@ object Pipeline {
              |  FROM events
              |  WHERE user_id <> 3 AND event_id % 10 >= 2)""".stripMargin)),
 
+    // ---------------- streaming change-data-feed (l48)
+    // format("graft-lake-cdf") (round 20): generation-numbered offsets
+    // over LakeChanges' per-commit row-exact diffs — the Delta
+    // readChangeFeed shape. Gated in-query: every change row carries its
+    // EXACT commit generation (catch-up windows keep per-commit
+    // attribution), each per-commit slice equals the batch-side diff,
+    // and a second drain of the same checkpoint delivers nothing
+    // (exactly-once). Oracle: closed-form — an update is delete(pre) +
+    // insert(post), a delete is its pre-images.
+    "l48_lake_cdf_stream" -> QueryDef(
+      (s, dir) => {
+        import graft.lake.{LakeCatalog, LakeChanges, LakeWriter}
+        import graft.types.{ColType, TableSchema}
+        val schema = TableSchema("events_cf", Seq(
+          "event_id" -> ColType.CInteger, "user_id" -> ColType.CInteger,
+          "vc" -> ColType.CInteger))
+        val root = rtSlot("graft-cf-lake", dir)
+        val store = new graft.lake.HadoopStore(root)
+        store.deletePrefix("")
+        val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        LakeWriter.write(ev.repartitionByRange(4, col("event_id")),
+          schema, root, java.time.Instant.parse("2024-06-01T00:00:00Z"),
+          zoneMaps = true)
+        val cat = s"l48cat${math.abs(root.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CALL $cat.system.set_retention(table => 'events_cf', " +
+          "retain => true)").collect()                             // gen 1
+        s.sql(s"UPDATE $cat.events_cf SET vc = vc + 1000 " +
+          "WHERE user_id = 3")                                     // gen 2
+        s.sql(s"DELETE FROM $cat.events_cf WHERE user_id = 5")     // gen 3
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-cf-ckpt").toFile.getAbsolutePath
+        def drainOnce(): Seq[org.apache.spark.sql.DataFrame] = {
+          val got =
+            new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]
+          val q = s.readStream.format("graft-lake-cdf")
+            .option("table", "events_cf").option("startingVersion", "1")
+            .load(root).writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              val c = df.persist(); c.count()
+              got.synchronized { got += c }; ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(120000)
+          got.synchronized(got.toSeq).filter(_.count() > 0)
+        }
+        val feed = drainOnce().reduce(_ unionByName _).persist()
+        require(feed.where(!col("_commit_gen").isin(2L, 3L)).count() == 0,
+          "every change row must carry the exact commit it belongs to")
+        for (g <- 2L to 3L) {
+          val slice = feed.where(col("_commit_gen") === g).drop("_commit_gen")
+          val batch = LakeChanges.between(s, root, "events_cf",
+            (g - 1).toString, g.toString)
+          require(slice.exceptAll(batch).count() == 0 &&
+            batch.exceptAll(slice).count() == 0,
+            s"generation $g: the streamed slice must equal the batch diff")
+        }
+        require(drainOnce().isEmpty,
+          "a drained checkpoint must redeliver nothing (exactly-once)")
+        feed.agg(count(lit(1)).as("n_changes"),
+          sum(when(col("_change_type") === "insert", col("vc"))
+            .otherwise(0L)).as("sum_ins"),
+          sum(when(col("_change_type") === "delete", col("vc"))
+            .otherwise(0L)).as("sum_del"),
+          sum(col("_commit_gen")).as("sum_gen"),
+          max("event_id").as("max_id"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+             |  FROM events),
+             |changes AS (
+             |  SELECT event_id, vc, 'delete' AS ct, 2 AS g
+             |  FROM ev WHERE user_id = 3
+             |  UNION ALL
+             |  SELECT event_id, vc + 1000, 'insert', 2
+             |  FROM ev WHERE user_id = 3
+             |  UNION ALL
+             |  SELECT event_id, vc, 'delete', 3 FROM ev WHERE user_id = 5)
+             |SELECT count(*) AS n_changes,
+             |  CAST(sum(CASE WHEN ct = 'insert' THEN vc ELSE 0 END)
+             |    AS BIGINT) AS sum_ins,
+             |  CAST(sum(CASE WHEN ct = 'delete' THEN vc ELSE 0 END)
+             |    AS BIGINT) AS sum_del,
+             |  CAST(sum(g) AS BIGINT) AS sum_gen,
+             |  max(event_id) AS max_id
+             |FROM changes""".stripMargin)),
+
     // ---------------- branch MERGE, all four arms (l45)
     // The one DML verb r18 still refused under `spark.graft.wap.branch`
     // (round 19): MERGE against the BRANCH VIEW — matched UPDATE/DELETE

@@ -1,0 +1,174 @@
+package graft.lake
+
+import graft.SparkSuite
+import graft.types.{ColType, TableSchema}
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** `format("graft-lake-cdf")` ([[LakeCdfProvider]]) — the STREAMING
+  * change-data-feed: generation-numbered offsets over [[LakeChanges]]'
+  * row-exact per-commit diffs. The suite pins: per-commit batches with
+  * exact `_commit_gen` attribution (update = delete+insert, catch-up
+  * windows keep every commit's rows distinct), exactly-once across a
+  * checkpoint restart (replay recomputes identical batches from
+  * immutable records), append invisibility until the next commit's
+  * snapshot captures them, composition with rollback (the feed delivers
+  * the inverse), and the loud no-retention refusal. */
+class LakeCdfSpec extends SparkSuite {
+
+  private val schema = TableSchema("ct", Seq(
+    "id" -> ColType.CInteger, "uid" -> ColType.CInteger,
+    "vc" -> ColType.CInteger))
+
+  private def fixture(): (String, String, HadoopStore) = {
+    val root =
+      s"file://${Files.createTempDirectory("graft-cdf-spec").toFile.getAbsolutePath}"
+    val cat = s"cdf${math.abs(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root, new HadoopStore(root))
+  }
+
+  private def land(root: String, hour: String = "2024-07-01T08:00:00Z",
+                   lo: Int = 0, n: Int = 500): Unit = {
+    import spark.implicits._
+    LakeWriter.write(
+      (lo until lo + n).map(i => (i.toLong, (i % 50).toLong, i.toLong))
+        .toDF("id", "uid", "vc").orderBy("id").coalesce(1),
+      schema, root, Instant.parse(hour), maxRecordsPerObject = 250L,
+      zoneMaps = true); ()
+  }
+
+  private def retainOn(cat: String): Unit = {
+    spark.sql(s"CALL $cat.system.set_retention(table => 'ct', " +
+      "retain => true)").collect(); ()
+  }
+
+  /** Drain the CDF feed once; returns the collected batches in order. */
+  private def drain(root: String, ckpt: String,
+                    opts: Map[String, String] = Map.empty)
+      : Seq[DataFrame] = {
+    val got = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    val base = spark.readStream.format("graft-lake-cdf").option("table", "ct")
+    val q = opts.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }
+      .load(root).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val cached = df.persist()
+        cached.count() // materialize before the trigger moves on
+        got.synchronized { got += cached }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    got.synchronized(got.toSeq).filter(_.count() > 0)
+  }
+
+  private def freshCkpt(): String =
+    Files.createTempDirectory("graft-cdf-ckpt").toFile.getAbsolutePath
+
+  test("per-commit attribution: each change row carries its exact generation; an update is delete+insert; the feed equals the batch diff") {
+    val (cat, root, _) = fixture()
+    land(root)
+    retainOn(cat)                                                  // gen 1
+    spark.sql(s"UPDATE $cat.ct SET vc = vc + 1000 WHERE id < 20")  // gen 2
+    spark.sql(s"DELETE FROM $cat.ct WHERE id >= 480")              // gen 3
+    val batches = drain(root, freshCkpt(),
+      Map("startingVersion" -> "1"))
+    val all = batches.reduce(_ unionByName _)
+    // exact per-commit attribution at ANY window size
+    val g2 = all.where(col("_commit_gen") === 2L)
+    val g3 = all.where(col("_commit_gen") === 3L)
+    assert(all.where(!col("_commit_gen").isin(2L, 3L)).count() == 0)
+    // gen 2: 20 deletes (pre-image) + 20 inserts (post-image)
+    assert(g2.where(col("_change_type") === "delete").count() == 20 &&
+      g2.where(col("_change_type") === "insert").count() == 20)
+    assert(g2.where(col("_change_type") === "insert")
+      .agg(sum("vc")).head.getLong(0) == (0L until 20L).sum + 20L * 1000L)
+    // gen 3: 20 deletes, no inserts
+    assert(g3.where(col("_change_type") === "delete").count() == 20 &&
+      g3.where(col("_change_type") === "insert").count() == 0)
+    // and each per-commit slice equals the batch-side diff exactly
+    for (g <- 2L to 3L) {
+      val feed = all.where(col("_commit_gen") === g)
+        .drop("_commit_gen")
+      val batch = LakeChanges.between(spark, root, "ct",
+        (g - 1).toString, g.toString)
+      assert(feed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(feed).count() == 0,
+        s"generation $g: the feed must equal LakeChanges.between")
+    }
+  }
+
+  test("exactly-once across restarts: a drained checkpoint redelivers nothing; later commits deliver from the checkpointed offset") {
+    val (cat, root, _) = fixture()
+    land(root)
+    retainOn(cat)                                                  // gen 1
+    spark.sql(s"UPDATE $cat.ct SET vc = vc + 100 WHERE id < 5")    // gen 2
+    val ckpt = freshCkpt()
+    val first = drain(root, ckpt, Map("startingVersion" -> "1"))
+    assert(first.map(_.count()).sum == 10) // 5 deletes + 5 inserts
+    assert(drain(root, ckpt).isEmpty, "a drained feed redelivers nothing")
+    spark.sql(s"DELETE FROM $cat.ct WHERE id < 3")                 // gen 3
+    val second = drain(root, ckpt)
+    assert(second.map(_.count()).sum == 3,
+      "only the NEW commit delivers after restart")
+    assert(second.head.agg(max("_commit_gen")).head.getLong(0) == 3L)
+  }
+
+  test("plain appends are invisible until a commit's snapshot captures them; the capturing commit delivers them as inserts") {
+    val (cat, root, _) = fixture()
+    land(root)
+    retainOn(cat)                                                  // gen 1
+    val ckpt = freshCkpt()
+    assert(drain(root, ckpt).isEmpty, "no commit yet — nothing to deliver")
+    // an append mints no generation: still nothing to deliver
+    land(root, hour = "2024-07-01T09:00:00Z", lo = 1000, n = 100)
+    assert(drain(root, ckpt).isEmpty,
+      "appends are outside the chain until a commit captures them")
+    // the next commit's snapshot captures the appended hour (the update
+    // must CHANGE its row — an identical pre/post image cancels)
+    spark.sql(s"UPDATE $cat.ct SET vc = 123456 WHERE id = 0")      // gen 2
+    val got = drain(root, ckpt)
+    val all = got.reduce(_ unionByName _)
+    assert(all.where(col("_change_type") === "insert" &&
+      col("id") >= 1000L).count() == 100,
+      "the capturing commit delivers the appended rows as inserts")
+    assert(all.count() == 100 + 2) // + the update's delete+insert
+  }
+
+  test("rollback composes: the feed delivers the rollback commit as the row-exact inverse") {
+    val (cat, root, _) = fixture()
+    land(root)
+    retainOn(cat)                                                  // gen 1
+    spark.sql(s"DELETE FROM $cat.ct WHERE id >= 400")              // gen 2
+    val ckpt = freshCkpt()
+    assert(drain(root, ckpt, Map("startingVersion" -> "1"))
+      .map(_.count()).sum == 100)
+    spark.sql(s"CALL $cat.system.rollback(table => 'ct', " +
+      "version => '1')").collect()                                 // gen 3
+    val got = drain(root, ckpt)
+    val all = got.reduce(_ unionByName _)
+    assert(all.where(col("_change_type") === "insert").count() == 100 &&
+      all.where(col("_change_type") === "delete").count() == 0,
+      "the rollback delivers the deleted rows back as inserts")
+    assert(all.agg(min("id")).head.getLong(0) == 400L)
+  }
+
+  test("no retention refuses loudly with the remedy; a data column named _commit_gen refuses") {
+    val (cat, root, _) = fixture()
+    land(root)
+    spark.sql(s"UPDATE $cat.ct SET vc = 0 WHERE id = 0")           // gen 1
+    spark.sql(s"UPDATE $cat.ct SET vc = 1 WHERE id = 0")           // gen 2
+    val e = intercept[Exception] {
+      drain(root, freshCkpt(), Map("startingVersion" -> "1"))
+    }
+    val m = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(m.contains("set_retention"), s"remedy must be named: $m")
+  }
+}
