@@ -161,6 +161,22 @@ object BenchGates {
     // input and RPCs together
     "l46_lake_recluster" -> Ceiling(Some(60 * MB), None,
       maxStoreOps = Some(600)),
+    // 4.0 MB in / 11.4 MB shuffled / ~588 store RPCs (round 20): the
+    // rollback itself is ~40 RPCs and ZERO data bytes (RehearsalR20,
+    // flat at 100x) — the meter here is fixture + three DMLs + two
+    // rollbacks + the four exceptAll equivalence gates. A rollback that
+    // rewrote data (instead of re-pointing the chain) or a time-travel
+    // read that lost key resolution multiplies input and RPCs together
+    "l47_lake_rollback" -> Ceiling(Some(12 * MB), Some(40 * MB),
+      maxStoreOps = Some(1500)),
+    // 37.4 MB in / 22.9 MB shuffled / ~331 store RPCs (round 20): the
+    // CDF drain reads each commit's CHANGED objects once per per-commit
+    // diff plus the in-query batch-equivalence gates — a feed that
+    // re-read the whole lake per generation (or a second full drain
+    // where the checkpoint should deliver nothing) blows input; the
+    // signed-count diffs bound the shuffle
+    "l48_lake_cdf_stream" -> Ceiling(Some(80 * MB), Some(60 * MB),
+      maxStoreOps = Some(1000)),
     // 0.84 MB in / 1.03 MB shuffled / ~177 store RPCs (round 18): the
     // cross-table transaction's protocol cost is O(parts) — two pending
     // records, ONE decision file, two intent deletions — on top of the
