@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 
 /** STREAMING change-data-feed over the version chain — the Delta
   * `readChangeFeed` / Iceberg incremental-scan idea as a continuous
@@ -26,7 +26,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * table's version chain, delivered as the UNION of PER-COMMIT row-exact
   * diffs ([[LakeChanges.between]] per generation, the Delta-CDF
   * per-commit granularity): `insert` and `delete` rows with the table's
-  * columns plus [[LakeChanges.ChangeTypeCol]] and `_commit_gen` — the
+  * columns plus [[LakeChanges.ChangeTypeCol]], `_commit_gen` and
+  * `_commit_at` (the commit's wall-clock stamp) — the
   * exact commit each change row belongs to, at ANY window size (a
   * catch-up batch over N commits keeps every commit's attribution; a row
   * inserted then deleted across two commits shows BOTH events, never a
@@ -88,20 +89,26 @@ final class LakeCdfProvider extends StreamSourceProvider with DataSourceRegister
 private[lake] object LakeCdf {
 
   val CommitGenCol = "_commit_gen"
+  val CommitAtCol = "_commit_at"
 
   /** Table columns (declared schema when ALTERed, else one header peek)
-    * + `_change_type` + `_commit_gen` — the feed's fixed shape. */
+    * + `_change_type` + `_commit_gen` + `_commit_at` (the commit's
+    * wall-clock stamp, the Delta `_commit_timestamp` analogue) — the
+    * feed's fixed shape. */
   def feedStruct(root: String, table: String): StructType = {
     val store = new HadoopStore(root)
     val base = LakeSchemas.current(store, table).map(_.schema)
       .getOrElse(LakeDataSource.peek(root, table))
     val cols = LakeDataSource.outputStruct(base)
-    require(!cols.fieldNames.contains(CommitGenCol),
-      s"graft-lake-cdf: table '$table' carries a data column named " +
-        s"'$CommitGenCol' — the feed cannot shadow it")
+    Seq(CommitGenCol, CommitAtCol).foreach { c =>
+      require(!cols.fieldNames.contains(c),
+        s"graft-lake-cdf: table '$table' carries a data column named " +
+          s"'$c' — the feed cannot shadow it")
+    }
     StructType(cols.fields :+
       StructField(LakeChanges.ChangeTypeCol, StringType, nullable = false) :+
-      StructField(CommitGenCol, LongType, nullable = false))
+      StructField(CommitGenCol, LongType, nullable = false) :+
+      StructField(CommitAtCol, TimestampType, nullable = false))
   }
 }
 
@@ -165,10 +172,18 @@ private final class LakeCdfSource(sqlContext: SQLContext, root: String,
     val t = asGen(end)
     lastPlanned = math.max(lastPlanned, t)
     // one row-exact diff PER COMMIT in the window, each stamped with its
-    // own generation — catch-up batches keep per-commit attribution
+    // own generation and commit wall-clock — catch-up batches keep
+    // per-commit attribution
     val perGen = (f + 1) to t map { g =>
+      val at = LakeVersions.readCommitted(store, table, g).map(_.at)
+        .getOrElse(throw new IllegalStateException(
+          s"graft-lake-cdf: generation $g of '$table' vanished under " +
+            "the stream — expire_versions reclaimed history the " +
+            "checkpoint still needs; keep retention above checkpoint lag"))
       LakeChanges.between(spark, root, table, (g - 1).toString, g.toString)
         .withColumn(LakeCdf.CommitGenCol, lit(g))
+        .withColumn(LakeCdf.CommitAtCol,
+          lit(new java.sql.Timestamp(at)))
     }
     val out = perGen.reduceOption(_ unionByName _).getOrElse {
       // recovery edge: an already-committed empty window re-plans as an

@@ -4674,7 +4674,8 @@ object Pipeline {
         require(feed.where(!col("_commit_gen").isin(2L, 3L)).count() == 0,
           "every change row must carry the exact commit it belongs to")
         for (g <- 2L to 3L) {
-          val slice = feed.where(col("_commit_gen") === g).drop("_commit_gen")
+          val slice = feed.where(col("_commit_gen") === g)
+            .drop("_commit_gen", "_commit_at")
           val batch = LakeChanges.between(s, root, "events_cf",
             (g - 1).toString, g.toString)
           require(slice.exceptAll(batch).count() == 0 &&

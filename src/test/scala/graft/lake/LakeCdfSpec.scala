@@ -92,10 +92,19 @@ class LakeCdfSpec extends SparkSuite {
     // gen 3: 20 deletes, no inserts
     assert(g3.where(col("_change_type") === "delete").count() == 20 &&
       g3.where(col("_change_type") === "insert").count() == 0)
+    // _commit_at carries each commit's OWN record wall-clock stamp
+    val store = new HadoopStore(root)
+    for (g <- 2L to 3L) {
+      val at = LakeVersions.readCommitted(store, "ct", g).get.at
+      assert(all.where(col("_commit_gen") === g)
+        .select("_commit_at").distinct().collect()
+        .map(_.getTimestamp(0).getTime).toSeq == Seq(at),
+        s"generation $g must stamp its record's commit time")
+    }
     // and each per-commit slice equals the batch-side diff exactly
     for (g <- 2L to 3L) {
       val feed = all.where(col("_commit_gen") === g)
-        .drop("_commit_gen")
+        .drop("_commit_gen", "_commit_at")
       val batch = LakeChanges.between(spark, root, "ct",
         (g - 1).toString, g.toString)
       assert(feed.exceptAll(batch).count() == 0 &&
