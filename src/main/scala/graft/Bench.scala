@@ -131,7 +131,7 @@ object Bench {
       "l42_lake_eq_delete_multi", "l43_lake_branch_live_dml",
       "l44_lake_auto_compact", "l45_lake_branch_merge",
       "l46_lake_recluster", "l47_lake_rollback", "l48_lake_cdf_stream",
-      "t18_heavy_hitters")
+      "l49_lake_objects_meta", "t18_heavy_hitters")
     val metered: Map[String, Meter.Metrics] = meterSet.flatMap { n =>
       SparkEntry.queries.get(n).flatMap { fn =>
         try {

@@ -177,6 +177,12 @@ object BenchGates {
     // signed-count diffs bound the shuffle
     "l48_lake_cdf_stream" -> Ceiling(Some(80 * MB), Some(60 * MB),
       maxStoreOps = Some(1000)),
+    // 0.38 MB in / ~114 store RPCs (round 20): the objects metadata
+    // read costs the fixture write + one listing + per-object stat and
+    // sidecar probes — a read that opened the DATA objects (the whole
+    // point is that it never does) multiplies input by the table size
+    "l49_lake_objects_meta" -> Ceiling(Some(2 * MB), None,
+      maxStoreOps = Some(400)),
     // 0.84 MB in / 1.03 MB shuffled / ~177 store RPCs (round 18): the
     // cross-table transaction's protocol cost is O(parts) — two pending
     // records, ONE decision file, two intent deletions — on top of the

@@ -106,6 +106,10 @@ final class LakeDataSource extends TableProvider with DataSourceRegister {
     }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    if (LakeObjectsMeta.requested(options)) {
+      LakeObjectsMeta.validate(options)
+      return LakeObjectsMeta.Schema
+    }
     val (root, table) = LakeDataSource.resolve(options)
     LakeDataSource.outputStruct(
       schemaOf(root, table, LakeDataSource.reconcileOpt(options),
@@ -116,6 +120,10 @@ final class LakeDataSource extends TableProvider with DataSourceRegister {
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (root, table) = LakeDataSource.resolve(opts)
+    if (LakeObjectsMeta.requested(opts)) {
+      LakeObjectsMeta.validate(opts)
+      return new LakeObjectsTable(root, table, LakeDataSource.asOfOpt(opts))
+    }
     val reconcile = LakeDataSource.reconcileOpt(opts)
     val asOf = LakeDataSource.asOfOpt(opts)
     val (s, ev) = schemaOf(root, table, reconcile, asOf)

@@ -37,6 +37,10 @@ trait Store extends Serializable {
   def open(key: String): InputStream
   def list(prefix: String): Seq[String]
   def exists(key: String): Boolean
+  /** Byte size of `key` (one stat RPC), None where the backend cannot
+    * answer without a download — the objects metadata read degrades its
+    * `bytes` column to null there rather than reading data. */
+  def size(key: String): Option[Long] = None
   /** Remove `key` (idempotent: missing keys are a no-op). */
   def delete(key: String): Unit
   /** Move `src` to `dst` (copy+delete where the backend has no rename —
@@ -166,6 +170,12 @@ final class HadoopStore(val rootUri: String) extends Store {
   override def exists(key: String): Boolean = {
     StoreOps.reads.incrementAndGet()
     fs.exists(p(key))
+  }
+
+  override def size(key: String): Option[Long] = {
+    StoreOps.reads.incrementAndGet()
+    try Some(fs.getFileStatus(p(key)).getLen)
+    catch { case _: java.io.FileNotFoundException => None }
   }
 
   override def delete(key: String): Unit = {

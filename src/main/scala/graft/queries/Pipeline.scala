@@ -4620,6 +4620,59 @@ object Pipeline {
              |  FROM events
              |  WHERE user_id <> 3 AND event_id % 10 >= 2)""".stripMargin)),
 
+    // ---------------- objects metadata read (l49)
+    // option("metadata", "objects") (round 20): the table$files /
+    // DESCRIBE DETAIL read — one row per live object with hour, bytes,
+    // sidecar record counts, delete-vector state and equality-delete
+    // scope, planned from the version-aware listing, computed on
+    // executors, NO data object opened. Gated in-query: exact object
+    // coverage, bytes/stats present, and the live_records = records −
+    // vector arithmetic. Oracle: the metadata sums equal the row-level
+    // truth computed by DuckDB on the raw parquet.
+    "l49_lake_objects_meta" -> QueryDef(
+      (s, dir) => {
+        import graft.lake.{LakeCatalog, LakeObjectsMeta, LakeWriter}
+        import graft.types.{ColType, TableSchema}
+        val schema = TableSchema("events_om", Seq(
+          "event_id" -> ColType.CInteger, "user_id" -> ColType.CInteger,
+          "vc" -> ColType.CInteger))
+        val root = rtSlot("graft-om-lake", dir)
+        val store = new graft.lake.HadoopStore(root)
+        store.deletePrefix("")
+        val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        LakeWriter.write(ev.repartitionByRange(4, col("event_id")),
+          schema, root, java.time.Instant.parse("2024-06-01T00:00:00Z"),
+          zoneMaps = true, bloomColumns = Seq("user_id"))
+        val cat = s"l49cat${math.abs(root.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CALL $cat.system.set_dml_mode(table => 'events_om', " +
+          "mode => 'merge-on-read')").collect()
+        // a position delete: every object holds in-range ids → vectors
+        s.sql(s"DELETE FROM $cat.events_om WHERE event_id % 10 < 1")
+        val df = LakeObjectsMeta.read(s, root, "events_om").persist()
+        val nObjs = graft.lake.LakeReader
+          .listTableKeys(store, "events_om", None).size
+        require(df.count() == nObjs,
+          s"one row per live object: ${df.count()} vs $nObjs")
+        require(df.where(col("bytes") > 0L && col("has_stats")).count()
+          == nObjs, "every object must surface bytes and stats")
+        require(df.where(col("dv_key").isNotNull &&
+          col("live_records") =!= col("records") - col("dv_count"))
+          .count() == 0,
+          "live_records must be records − vector count everywhere")
+        df.agg(sum("records").as("total_records"),
+          sum("live_records").as("total_live"),
+          sum(coalesce(col("dv_count"), lit(0L))).as("dv_total"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS total_records,
+             |  CAST(sum(CASE WHEN event_id % 10 >= 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS total_live,
+             |  CAST(sum(CASE WHEN event_id % 10 < 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS dv_total
+             |FROM events""".stripMargin)),
+
     // ---------------- streaming change-data-feed (l48)
     // format("graft-lake-cdf") (round 20): generation-numbered offsets
     // over LakeChanges' per-commit row-exact diffs — the Delta
