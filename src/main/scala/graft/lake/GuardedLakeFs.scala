@@ -71,10 +71,17 @@ final class GuardedLakeFs extends FileSystem {
     new Path(myUri.toString + (if (rel.startsWith("/")) rel else s"/$rel"))
   }
 
+  // DELIBERATELY without permission/owner/group: the raw local fs
+  // loads those LAZILY by shelling `ls` per file, which both costs a
+  // process per listed entry and THROWS if the entry vanished between
+  // enumeration and the stat (a commit deleting its healed intent
+  // under a racing glob expansion — observed in the wild). The
+  // streaming source reads only length/mtime/path; len and mtime are
+  // materialized eagerly at enumeration, so this translate touches
+  // nothing that can race.
   private def translate(st: FileStatus): FileStatus =
     new FileStatus(st.getLen, st.isDirectory, st.getReplication,
-      st.getBlockSize, st.getModificationTime, st.getAccessTime,
-      st.getPermission, st.getOwner, st.getGroup, fromInner(st.getPath))
+      st.getBlockSize, st.getModificationTime, fromInner(st.getPath))
 
   override def listStatus(f: Path): Array[FileStatus] = {
     GuardedLakeFs.probe(realRoot, table)

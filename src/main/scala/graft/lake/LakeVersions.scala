@@ -1192,12 +1192,13 @@ object LakeVersions {
       throw new IllegalArgumentException(
         s"graft-lake: cannot roll back '$table' — no committed " +
           "generation exists"))
-    if (tgtGen == h.gen)
-      return RollbackReport(h.gen, tgtGen, 0, 0, 0, 0,
-        eqdelsReset = false, noop = true)
-    require(tgtGen < h.gen,
+    require(tgtGen <= h.gen,
       s"graft-lake: cannot roll '$table' back to generation $tgtGen — " +
         s"the head is ${h.gen}")
+    // tgtGen == head is NOT an automatic no-op: plain appends landed
+    // since the head commit are part of the CURRENT state but not of
+    // its snapshot — "rollback(v) ⇒ table ≡ VERSION AS OF v" holds for
+    // every v, head included (the no-change case below returns noop)
     val tgt = readCommitted(store, table, tgtGen).getOrElse(
       throw new IllegalArgumentException(
         s"graft-lake: no generation $tgtGen for table '$table' — it " +

@@ -56,6 +56,21 @@ class VersioningModelSpec extends SparkSuite {
       s"append 50 @$hour"
     }
     append() // the table must exist before SQL can name it
+    // retention ON (gen 1 baseline): every later commit is a rollback
+    // target, and hour-expire retires instead of deleting — the model's
+    // rollback verb can resurrect across expire/compact/DML/txn history
+    spark.sql(s"CALL $cat.system.set_retention(table => 'mv', " +
+      "retain => true)").collect()
+    def headGen(): Long = {
+      val st = LakeVersions.listDir(store, "mv")
+      LakeVersions.head(store, "mv", st).map(_.gen).getOrElse(0L)
+    }
+    // gen -> the model state AT that commit's mint (first capture wins:
+    // a later append mutates the model but not the snapshot at the gen,
+    // exactly like liveAt excludes post-commit appends)
+    val captured = scala.collection.mutable.Map.empty[Long, Map[Long, (Long, Instant)]]
+    captured(headGen()) = model.toMap
+    var rolledBack = false
 
     def verify(step: Int): Unit = {
       val r = spark.table(s"$cat.mv")
@@ -78,7 +93,26 @@ class VersioningModelSpec extends SparkSuite {
     }
 
     for (step <- 1 to 30) {
-      val what = rnd.nextInt(13) match {
+      // DETERMINISTIC coverage floor: whatever the seed draws, the two
+      // rarest verbs fire at least once — a reseed can no longer
+      // silently gut transaction or rollback coverage
+      val forced: Option[Int] =
+        if (step >= 27 && next2 == 0L) Some(12)
+        else if (step >= 29 && !rolledBack) Some(13)
+        else None
+      val what = forced.getOrElse(rnd.nextInt(15)) match {
+        case 13 | 14 => // ROLLBACK to a captured retained generation:
+          // the table must land exactly on the model state captured at
+          // that commit's mint — across whatever COW/MOR/compact/
+          // expire/txn history separates them. The model re-applies
+          // the captured copy; everything after stays addressable.
+          val pool = captured.keys.toSeq.sorted
+          val g = pool(rnd.nextInt(pool.size))
+          spark.sql(s"CALL $cat.system.rollback(table => 'mv', " +
+            s"version => '$g')").collect()
+          model.clear(); model ++= captured(g)
+          rolledBack = true
+          s"rollback -> gen $g"
         case 0 | 1 => append()
         case 12 => // CROSS-TABLE TRANSACTION: mv + its sibling mv2 gain
           // a batch each, flipping at ONE decision ([[LakeTxn]]); half
@@ -213,6 +247,7 @@ class VersioningModelSpec extends SparkSuite {
             s"b(%5=$rb +$kb)"
       }
       withClue(s"after step $step: $what") { verify(step) }
+      captured.getOrElseUpdate(headGen(), model.toMap); ()
     }
     // full-row equivalence at the end, not just aggregates
     val table = spark.table(s"$cat.mv").select("id", "vc")
@@ -222,6 +257,7 @@ class VersioningModelSpec extends SparkSuite {
     // the seeded sequence must actually exercise the transaction verb
     // (a reseed that skips case 12 would silently gut this coverage)
     assert(model2.nonEmpty, "the transaction verb never fired — reseed")
+    assert(rolledBack, "the rollback verb never fired — reseed")
     val t2 = spark.table(s"$cat.mv2").select("id", "vc")
     val e2 = model2.toSeq.toDF("id", "vc")
     assert(t2.exceptAll(e2).count() == 0 && e2.exceptAll(t2).count() == 0,
