@@ -1021,20 +1021,31 @@ private[lake] object LakeProcedures {
       val rows = st.gens.sorted.reverse.flatMap(g =>
         LakeVersions.readRecord(store, table, g)).map { r =>
         Seq[Any](java.lang.Long.valueOf(r.gen),
+          java.lang.Long.valueOf(r.parent),
           UTF8String.fromString(r.op),
           Integer.valueOf(r.removed.size), Integer.valueOf(r.added.size),
           Integer.valueOf(r.inserted.size),
           java.lang.Boolean.valueOf(LakeVersions.isSnapshot(r)),
-          java.lang.Long.valueOf(r.at * 1000L)) // millis -> micros
+          java.lang.Long.valueOf(r.at * 1000L), // millis -> micros
+          // the newer chain-state columns (merge-on-read vectors,
+          // equality deletes, declared-schema pin, transaction marker)
+          Integer.valueOf(r.dvs.size), Integer.valueOf(r.eqdels.size),
+          r.schemaV.map(java.lang.Long.valueOf).orNull,
+          r.txn.map(UTF8String.fromString).orNull)
       }
       resultRows(StructType(Seq(
         StructField("gen", LongType, nullable = false),
+        StructField("parent", LongType, nullable = false),
         StructField("op", StringType, nullable = false),
         StructField("removed", IntegerType, nullable = false),
         StructField("added", IntegerType, nullable = false),
         StructField("inserted", IntegerType, nullable = false),
         StructField("has_snapshot", BooleanType, nullable = false),
-        StructField("committed_at", TimestampType, nullable = false))), rows)
+        StructField("committed_at", TimestampType, nullable = false),
+        StructField("dv_objects", IntegerType, nullable = false),
+        StructField("eqdel_files", IntegerType, nullable = false),
+        StructField("schema_version", LongType, nullable = true),
+        StructField("txn", StringType, nullable = true))), rows)
     }
   }
 

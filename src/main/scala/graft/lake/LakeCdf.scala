@@ -129,16 +129,36 @@ private final class LakeCdfSource(sqlContext: SQLContext, root: String,
 
   /** The BASELINE generation: changes strictly after it stream. Default
     * = the head at source creation ("subscribe to future commits");
-    * `startingVersion` (a generation or tag) replays history from a
-    * retained snapshot forward. */
-  private val startGen: Long = parameters.get("startingVersion") match {
-    case Some(v) =>
-      val g = LakeVersions.resolveVersion(store, table, v)
-      require(g <= headGen(),
-        s"graft-lake-cdf: startingVersion $g of '$table' is above the " +
-          s"head (${headGen()})")
-      g
-    case None => headGen()
+    * `startingVersion` (a generation or tag) or `startingTimestamp`
+    * (ISO-8601 instant or epoch millis — resolves to the newest commit
+    * at or before it, the `TIMESTAMP AS OF` rule) replays history from
+    * a retained snapshot forward. */
+  private val startGen: Long = {
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft-lake-cdf: startingVersion and startingTimestamp are " +
+        "mutually exclusive")
+    parameters.get("startingVersion") match {
+      case Some(v) =>
+        val g = LakeVersions.resolveVersion(store, table, v)
+        require(g <= headGen(),
+          s"graft-lake-cdf: startingVersion $g of '$table' is above the " +
+            s"head (${headGen()})")
+        g
+      case None => parameters.get("startingTimestamp") match {
+        case Some(ts) =>
+          val millis =
+            try java.time.Instant.parse(ts).toEpochMilli
+            catch { case _: Exception => ts.trim.toLong }
+          LakeVersions.genAtTimestamp(store, table, millis).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-lake-cdf: no commit of '$table' at or before $ts — " +
+                "the feed streams CHANGES since a baseline snapshot; " +
+                "pass startingVersion naming the earliest retained " +
+                "generation instead"))
+        case None => headGen()
+      }
+    }
   }
 
   // newest window END handed to getOffset — the v1 rate-limit state

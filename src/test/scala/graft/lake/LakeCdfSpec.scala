@@ -168,6 +168,29 @@ class LakeCdfSpec extends SparkSuite {
     assert(all.agg(min("id")).head.getLong(0) == 400L)
   }
 
+  test("startingTimestamp resolves to the newest commit at or before it (the TIMESTAMP AS OF rule); exclusive with startingVersion") {
+    val (cat, root, _) = fixture()
+    land(root)
+    retainOn(cat)                                                  // gen 1
+    spark.sql(s"UPDATE $cat.ct SET vc = vc + 9 WHERE id < 4")      // gen 2
+    val store = new HadoopStore(root)
+    val at1 = LakeVersions.readCommitted(store, "ct", 1L).get.at
+    // baseline = gen 1 (the newest commit at/before its own stamp):
+    // exactly gen 2's changes deliver
+    val got = drain(root, freshCkpt(),
+      Map("startingTimestamp" ->
+        java.time.Instant.ofEpochMilli(at1).toString))
+    assert(got.map(_.count()).sum == 8) // 4 deletes + 4 inserts
+    assert(got.head.agg(max("_commit_gen")).head.getLong(0) == 2L)
+    val e = intercept[Exception] {
+      drain(root, freshCkpt(), Map(
+        "startingVersion" -> "1", "startingTimestamp" -> at1.toString))
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      .contains("mutually exclusive"))
+  }
+
   test("no retention refuses loudly with the remedy; a data column named _commit_gen refuses") {
     val (cat, root, _) = fixture()
     land(root)

@@ -271,7 +271,9 @@ class LakeVersionsSpec extends SparkSuite {
     // CALL history lists the chain newest-first with snapshot flags
     val hist = spark.sql(s"CALL $cat.system.history(table => 'vt')").collect()
     assert(hist.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
-    assert(hist.forall(_.getBoolean(5)), "every retained gen has a snapshot")
+    assert(hist.forall(_.getAs[Boolean]("has_snapshot")),
+      "every retained gen has a snapshot")
+    assert(hist.forall(r => r.getAs[Long]("parent") == r.getAs[Long]("gen") - 1))
   }
 
   test("expire_versions reclaims history: dropped generations refuse loudly, kept ones still read, reclaimed bytes leave the store") {
