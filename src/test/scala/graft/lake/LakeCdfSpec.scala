@@ -168,6 +168,34 @@ class LakeCdfSpec extends SparkSuite {
     assert(all.agg(min("id")).head.getLong(0) == 400L)
   }
 
+  test("a compaction commit delivers an EMPTY change batch (rows identical, layout-only); expire reclaiming a needed generation fails the replay loudly") {
+    val (cat, root, store) = fixture()
+    land(root)
+    retainOn(cat)                                                  // gen 1
+    spark.sql(s"UPDATE $cat.ct SET vc = vc + 1 WHERE id < 10")     // gen 2
+    LakeMaintenance.compact(spark, store, "ct", targetRecords = 10000L,
+      zoneMaps = true)                                             // gen 3
+    val ckpt = freshCkpt()
+    val got = drain(root, ckpt, Map("startingVersion" -> "1"))
+    val all = got.reduce(_ unionByName _)
+    // gen 2's update delivers; gen 3 (the compact) nets to NOTHING —
+    // every row survived the rewrite, so the signed diff cancels
+    assert(all.where(col("_commit_gen") === 2L).count() == 20)
+    assert(all.where(col("_commit_gen") === 3L).count() == 0,
+      "a layout-only commit must deliver no change rows")
+    // a replay whose baseline was reclaimed fails loudly, never wrong:
+    // expire everything below the head, then restart from the OLD
+    // checkpointed offset with more commits pending
+    spark.sql(s"UPDATE $cat.ct SET vc = vc + 1 WHERE id < 2")      // gen 4
+    spark.sql(s"CALL $cat.system.expire_versions(table => 'ct', " +
+      "keep_last => 1)").collect()                                 // gen 5
+    val e = intercept[Exception] { drain(root, ckpt) }
+    val m = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(m.contains("expire_versions") || m.contains("retention"),
+      s"a reclaimed replay range must name the remedy: $m")
+  }
+
   test("startingTimestamp resolves to the newest commit at or before it (the TIMESTAMP AS OF rule); exclusive with startingVersion") {
     val (cat, root, _) = fixture()
     land(root)
