@@ -219,6 +219,40 @@ class LakeCdfSpec extends SparkSuite {
       .contains("mutually exclusive"))
   }
 
+  test("branch state is invisible to the feed until publish; the publish generation delivers the batch + the scrub's exact split at once") {
+    val (cat, root, _) = fixture()
+    land(root)
+    retainOn(cat)                                                  // gen 1
+    val ckpt = freshCkpt()
+    assert(drain(root, ckpt).isEmpty)
+    // stage a batch and scrub a live row under the branch: all hidden
+    import spark.implicits._
+    val hot = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-07-01T10:00:00Z"))
+    (0 until 10).map(i => (5000L + i, -1L, 0L)).toDF("id", "uid", "vc")
+      .withColumn("_event_hour", lit(hot)).coalesce(1)
+      .write.format("graft-lake").option("table", "ct")
+      .option("auditId", "cf").mode("append").save(root)
+    spark.conf.set("spark.graft.wap.branch", "cf")
+    try spark.sql(s"UPDATE $cat.ct SET vc = -1 WHERE id = 3")
+    finally spark.conf.unset("spark.graft.wap.branch")
+    assert(drain(root, ckpt).isEmpty,
+      "staged + branch-hidden state must not reach the feed")
+    spark.sql(s"CALL $cat.system.publish_audit(table => 'ct', " +
+      "audit_id => 'cf')").collect()                               // gen 2
+    val all = drain(root, ckpt).reduce(_ unionByName _)
+    // ONE generation delivers everything: 10 batch inserts + the
+    // scrubbed row's delete(pre) + insert(post)
+    assert(all.select("_commit_gen").distinct().count() == 1)
+    assert(all.where(col("_change_type") === "insert" &&
+      col("id") >= 5000L).count() == 10)
+    assert(all.where(col("id") === 3L &&
+      col("_change_type") === "delete").count() == 1)
+    assert(all.where(col("id") === 3L && col("vc") === -1L &&
+      col("_change_type") === "insert").count() == 1)
+    assert(all.count() == 12)
+  }
+
   test("no retention refuses loudly with the remedy; a data column named _commit_gen refuses") {
     val (cat, root, _) = fixture()
     land(root)

@@ -248,6 +248,47 @@ class LakeRollbackSpec extends SparkSuite {
       LakeVersions.listDir(store, "rt")).get.eqdels.size == 2)
   }
 
+  test("a pending branch publish whose replaced originals a rollback removed aborts loudly, staged state intact for abort_audit") {
+    val (cat, root, store) = fixture()
+    land(root)                                                     // hour 08
+    retainOn(cat)                                                  // gen 1
+    // appended AFTER the baseline: rollback to gen 1 will remove it
+    land(root, hour = "2024-07-01T09:00:00Z", lo = 1000, n = 100)
+    // stage a batch and run branch DML that REPLACES the appended
+    // object (its rewrite hides behind the audit intent)
+    import spark.implicits._
+    val hot = java.sql.Timestamp.from(Instant.parse("2024-07-01T10:00:00Z"))
+    (0 until 10).map(i => (5000L + i, -1L, 0L)).toDF("id", "uid", "vc")
+      .withColumn("_event_hour", lit(hot)).coalesce(1)
+      .write.format("graft-lake").option("table", "rt")
+      .option("auditId", "br").mode("append").save(root)
+    spark.conf.set("spark.graft.wap.branch", "br")
+    try spark.sql(s"UPDATE $cat.rt SET vc = 0 WHERE id >= 1000")
+    finally spark.conf.unset("spark.graft.wap.branch")
+    // the rollback lands first: the appended object (the branch's
+    // replaced original) leaves the live set
+    spark.sql(s"CALL $cat.system.rollback(table => 'rt', " +
+      "version => '1')").collect()
+    assert(spark.table(s"$cat.rt").count() == 500)
+    // the publish must abort LOUDLY — committing would resurrect the
+    // rolled-back rows through the branch's rewrite
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.publish_audit(table => 'rt', " +
+        "audit_id => 'br')").collect()
+    }
+    val m = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(m.toLowerCase.contains("concurrent") || m.contains("removed"),
+      s"the publish must name the conflict: $m")
+    // the table is exactly the rolled-back state, and abort cleans up
+    assert(spark.table(s"$cat.rt").count() == 500)
+    spark.sql(s"CALL $cat.system.abort_audit(table => 'rt', " +
+      "audit_id => 'br')").collect()
+    assert(spark.table(s"$cat.rt").count() == 500)
+    assert(LakeVersions.listDir(store, "rt").intents.isEmpty,
+      "abort must clear the audit intent")
+  }
+
   test("streams: a ledger that delivered a resurrected key never redelivers it; a post-removal stream delivers it exactly once") {
     val (cat, root, _) = fixture()
     land(root)
