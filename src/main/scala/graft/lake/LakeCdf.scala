@@ -1,6 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
@@ -32,10 +33,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * catch-up batch over N commits keeps every commit's attribution; a row
   * inserted then deleted across two commits shows BOTH events, never a
   * net). Per-commit cost is bounded by that commit's changed objects.
-  * `maxGensPerTrigger` caps the window for processing-time triggers;
-  * leave it unset under `Trigger.AvailableNow` (the engine runs a v1
-  * source as ONE batch per AvailableNow run, so a cap there drains only
-  * one window per run — re-trigger or run uncapped).
+  * `maxGensPerTrigger` caps each batch's window, and
+  * `Trigger.AvailableNow` is first-class (`SupportsTriggerAvailableNow`,
+  * the FileStreamSource posture): the drain target pins at prepare
+  * time and a capped run drains the WHOLE backlog in per-window
+  * batches, then stops.
   *
   * '''Offsets are generation numbers''' — checkpointable, replayable:
   * committed records are immutable and `liveAt` re-resolves the same
@@ -115,7 +117,7 @@ private[lake] object LakeCdf {
 private final class LakeCdfSource(sqlContext: SQLContext, root: String,
                                   table: String,
                                   parameters: Map[String, String])
-    extends Source {
+    extends Source with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
   private val store = new HadoopStore(root)
@@ -172,20 +174,43 @@ private final class LakeCdfSource(sqlContext: SQLContext, root: String,
 
   override val schema: StructType = LakeCdf.feedStruct(root, table)
 
-  /** The newest window END to offer. The engine owns the window START
-    * (the checkpointed offset — `startGen` seeds only the very first,
-    * checkpoint-less batch via getBatch's `start = None`), so this must
-    * never suppress delivery based on `startGen`: after a restart the
-    * source's own `startGen` re-resolves to the CURRENT head while the
-    * checkpoint may still trail it. */
+  // Trigger.AvailableNow pins the drain TARGET at prepare time; the
+  // rate limit still applies per batch, so a capped AvailableNow run
+  // drains the whole backlog in per-window batches (the FileStreamSource
+  // posture — v1 Source + SupportsAdmissionControl + AvailableNow)
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(headGen())
+
+  /** The newest window END to offer from `base`. The engine owns the
+    * window START (the checkpointed offset — `startGen` seeds only the
+    * very first, checkpoint-less batch via getBatch's `start = None`),
+    * so this must never suppress delivery based on `startGen`: after a
+    * restart the source's own `startGen` re-resolves to the CURRENT
+    * head while the checkpoint may still trail it. */
+  private def nextEnd(base0: Long): Long = {
+    val head = availableNowTarget.getOrElse(headGen())
+    val base = math.max(base0, startGen)
+    // saturating: maxGens defaults to Long.MaxValue
+    if (base >= head || Long.MaxValue - maxGens < base) head
+    else math.min(head, base + maxGens)
+  }
+
   override def getOffset: Option[V1Offset] = {
-    val head = headGen()
-    val base = math.max(lastPlanned, startGen)
-    val cap = // saturating: maxGens defaults to Long.MaxValue
-      if (base >= head || Long.MaxValue - maxGens < base) head
-      else math.min(head, base + maxGens)
+    val cap = nextEnd(lastPlanned)
     if (cap <= 0L) None else Some(LongOffset(cap))
   }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val base = Option(start).map(asGenAny).getOrElse(
+      math.max(lastPlanned, startGen))
+    LongOffset(math.max(0L, nextEnd(base)))
+  }
+
+  override def reportLatestOffset(): V2Offset = LongOffset(headGen())
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val f = start.map(asGen).getOrElse(startGen)
@@ -221,6 +246,11 @@ private final class LakeCdfSource(sqlContext: SQLContext, root: String,
   }
 
   private def asGen(o: V1Offset): Long = o match {
+    case LongOffset(g) => g
+    case other => other.json.trim.toLong
+  }
+
+  private def asGenAny(o: V2Offset): Long = o match {
     case LongOffset(g) => g
     case other => other.json.trim.toLong
   }

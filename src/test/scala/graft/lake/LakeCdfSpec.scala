@@ -219,6 +219,22 @@ class LakeCdfSpec extends SparkSuite {
       .contains("mutually exclusive"))
   }
 
+  test("AvailableNow + maxGensPerTrigger drains the whole backlog in per-window batches, then stops (first-class AvailableNow)") {
+    val (cat, root, _) = fixture()
+    land(root)
+    retainOn(cat)                                                  // gen 1
+    spark.sql(s"UPDATE $cat.ct SET vc = vc + 1 WHERE id < 3")      // gen 2
+    spark.sql(s"UPDATE $cat.ct SET vc = vc + 1 WHERE id < 2")      // gen 3
+    spark.sql(s"DELETE FROM $cat.ct WHERE id = 0")                 // gen 4
+    val got = drain(root, freshCkpt(),
+      Map("startingVersion" -> "1", "maxGensPerTrigger" -> "1"))
+    // THREE one-commit batches in ONE AvailableNow run
+    assert(got.size == 3, s"per-window batches: ${got.size}")
+    assert(got.map(_.agg(max("_commit_gen")).head.getLong(0)) ==
+      Seq(2L, 3L, 4L))
+    assert(got.map(_.count()) == Seq(6L, 4L, 1L))
+  }
+
   test("branch state is invisible to the feed until publish; the publish generation delivers the batch + the scrub's exact split at once") {
     val (cat, root, _) = fixture()
     land(root)
