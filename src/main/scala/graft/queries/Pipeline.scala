@@ -1507,6 +1507,145 @@ object Pipeline {
     // the current table with plain exceptAll, both directions: rows a
     // later curation DELETE removed AND rows a later MERGE inserted.
     // Oracle: both diff sides in closed form over the original parquet.
+    // CDF-driven INCREMENTAL curation (round 20): the standing-query
+    // twin of p01's batch pipeline, and the "right to be forgotten
+    // reaches derived corpora" requirement made mechanical. A curated
+    // lake table is seeded from the corpus's retained baseline snapshot
+    // (quality-gated), then maintained per CDF batch by ONE distributed
+    // MERGE each: inserts enter iff they pass the quality gate,
+    // deletes (GDPR takedowns) propagate, and a replacement that now
+    // fails quality leaves. Gated in-query: the maintenance processes
+    // exactly the CHANGE rows (never a corpus rescan) and the final
+    // curated table is row-identical to the batch recompute over the
+    // final corpus. Oracle: the closed-form quality filter over the
+    // surviving documents.
+    "p14_incremental_curation" -> QueryDef(
+      (s, dir) => {
+        import graft.lake.{LakeCatalog, LakeWriter}
+        import graft.types.{ColType, TableSchema}
+        val corpusSchema = TableSchema("docs_ic", Seq(
+          "doc_id" -> ColType.CInteger, "text" -> ColType.CString))
+        val curSchema = TableSchema("docs_cur", Seq(
+          "doc_id" -> ColType.CInteger, "text" -> ColType.CString))
+        val root = rtSlot("graft-inccur-lake", dir)
+        val store = new graft.lake.HadoopStore(root)
+        store.deletePrefix("")
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val hour0 = java.time.Instant.parse("2024-06-01T00:00:00Z")
+        // half A is the baseline corpus; half B arrives later
+        LakeWriter.write(docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .repartitionByRange(2, col("doc_id")), corpusSchema, root, hour0)
+        val cat = s"p14cat${math.abs(root.hashCode)}"
+        s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CALL $cat.system.set_retention(table => 'docs_ic', " +
+          "retain => true)").collect()                             // gen 1
+        // the curated table SEEDS from the baseline snapshot the feed
+        // streams changes against — quality-gated
+        val qc = Text.qualityColumns(col("text")).toMap
+        def quality(df: org.apache.spark.sql.DataFrame) = df.filter(
+          qc("n_words") >= 10 && qc("alpha_ratio_milli") >= 500 &&
+            Text.langId(col("text")) === "en")
+        LakeWriter.write(
+          quality(s.sql(
+            s"SELECT doc_id, text FROM $cat.docs_ic VERSION AS OF 1"))
+            .repartitionByRange(2, col("doc_id")), curSchema, root, hour0)
+        // the corpus moves on: half B lands, then two takedown waves
+        LakeWriter.write(docs.where(pmod(col("doc_id"), lit(2)) === 1)
+          .repartitionByRange(2, col("doc_id")), corpusSchema, root,
+          java.time.Instant.parse("2024-06-01T01:00:00Z"))
+        s.sql(s"DELETE FROM $cat.docs_ic WHERE doc_id % 13 = 3")   // gen 2
+        s.sql(s"DELETE FROM $cat.docs_ic WHERE doc_id % 13 = 7")   // gen 3
+        // ---- the incremental maintainer: one MERGE per CDF batch
+        val hot = java.sql.Timestamp.from(hour0)
+        var changeRows = 0L
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-p14-ckpt").toFile.getAbsolutePath
+        val q = s.readStream.format("graft-lake-cdf")
+          .option("table", "docs_ic").option("startingVersion", "1")
+          .load(root).writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val batch = b.persist()
+            changeRows += batch.count()
+            // net action per doc across the WINDOW: the LATEST commit
+            // wins (a doc inserted at gen N and taken down at gen N+1
+            // in one catch-up batch must net to delete); within one
+            // commit an insert beats its paired delete (the update
+            // shape: delete(pre) + insert(post) nets to the post-image)
+            val latest = batch.withColumn("_rk",
+              row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy("doc_id")
+                  .orderBy(col("_commit_gen").desc,
+                    when(col("_change_type") === "insert", 0)
+                      .otherwise(1))))
+              .where(col("_rk") === 1)
+            val ins = latest.where(col("_change_type") === "insert")
+              .select(col("doc_id"), col("text"))
+            val del = latest.where(col("_change_type") === "delete")
+              .select(col("doc_id"))
+            // quality decides entry — a quality-failing (re)insert must
+            // also LEAVE the curated table if present
+            val upserts = quality(ins)
+              .select(col("doc_id"), col("text"), lit("u").as("act"))
+            val drops = del.join(ins, Seq("doc_id"), "left_anti")
+              .unionByName(ins.join(quality(ins), Seq("doc_id"), "left_anti")
+                .select("doc_id"))
+              .select(col("doc_id"), lit(null).cast("string").as("text"),
+                lit("d").as("act"))
+            // the batch's own (cloned) session: a temp view registered
+            // here is invisible to the outer session and vice versa
+            val bs = batch.sparkSession
+            upserts.unionByName(drops)
+              .createOrReplaceTempView("p14_net")
+            bs.sql(
+              s"""MERGE INTO $cat.docs_cur t USING p14_net s
+                 |ON t.doc_id = s.doc_id
+                 |WHEN MATCHED AND s.act = 'd' THEN DELETE
+                 |WHEN MATCHED AND s.act = 'u' THEN UPDATE SET text = s.text
+                 |WHEN NOT MATCHED AND s.act = 'u' THEN
+                 |  INSERT (doc_id, text, _event_hour)
+                 |  VALUES (s.doc_id, s.text, TIMESTAMP '2024-06-01 00:00:00+00:00')
+                 |""".stripMargin)
+            batch.unpersist(); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+        // the maintenance touched exactly the CHANGE rows, never the
+        // corpus: |B| minus its takedowns entering as inserts, plus the
+        // live takedown rows leaving as deletes
+        val total = docs.count()
+        val halfB = docs.where(pmod(col("doc_id"), lit(2)) === 1).count()
+        val b13_3 = docs.where(pmod(col("doc_id"), lit(2)) === 1 &&
+          pmod(col("doc_id"), lit(13)) === 3).count()
+        val t1 = docs.where(pmod(col("doc_id"), lit(13)) === 3).count()
+        val t2 = docs.where(pmod(col("doc_id"), lit(13)) === 7).count()
+        val expected = (halfB - b13_3) + (t1 - b13_3) + t2
+        require(changeRows == expected,
+          s"the feed must carry exactly the change: $changeRows vs " +
+            s"$expected (corpus $total)")
+        // the incrementally-maintained table IS the batch recompute
+        val cur = s.table(s"$cat.docs_cur").select("doc_id", "text")
+        val recomputed = quality(s.table(s"$cat.docs_ic")
+          .select("doc_id", "text"))
+        require(cur.exceptAll(recomputed).count() == 0 &&
+          recomputed.exceptAll(cur).count() == 0,
+          "incremental maintenance must equal the batch recompute")
+        cur.agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum(length(col("text"))).as("sum_len"), max("doc_id").as("max_id"))
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+              |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+              |  max(doc_id) AS max_id
+              |FROM documents
+              |WHERE doc_id % 13 <> 3 AND doc_id % 13 <> 7
+              |  AND CAST(len($sqlTokens) AS BIGINT) >= 10
+              |  AND ($alphaMilliSql) >= 500
+              |  AND ($langCaseSql) = 'en'""".stripMargin)),
+
     "p13_corpus_diff" -> QueryDef(
       (s, dir) => {
         import graft.lake.LakeCatalog
