@@ -899,11 +899,14 @@ private[lake] object LakeProcedures {
         "(by-name resolution covers resurrected objects)."
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("version", StringType).build())
+      ProcedureParameter.in("version", StringType).build(),
+      ProcedureParameter.in("dry_run", BooleanType)
+        .defaultValue("false").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val rep = LakeVersions.rollbackTo(new HadoopStore(root),
         input.getUTF8String(0).toString,
-        input.getUTF8String(1).toString)
+        input.getUTF8String(1).toString,
+        dryRun = input.getBoolean(2))
       result(StructType(Seq(
         StructField("gen", LongType, nullable = false),
         StructField("target", LongType, nullable = false),

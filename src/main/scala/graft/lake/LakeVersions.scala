@@ -1184,8 +1184,8 @@ object LakeVersions {
     *  - A pending WAP-branch publish is NOT blocked; its own CAS
     *    validation aborts the publish if this rollback invalidated its
     *    basis (the established concurrent-mutation posture). */
-  def rollbackTo(store: Store, table: String,
-                 version: String): RollbackReport = {
+  def rollbackTo(store: Store, table: String, version: String,
+                 dryRun: Boolean = false): RollbackReport = {
     val tgtGen = resolveVersion(store, table, version)
     val st = listDir(store, table)
     val h = head(store, table, st).getOrElse(
@@ -1268,6 +1268,11 @@ object LakeVersions {
         drops == 0 && !eqDiffers)
       return RollbackReport(h.gen, tgtGen, 0, 0, 0, 0,
         eqdelsReset = false, noop = true)
+    if (dryRun)
+      // the full plan (diff, presence checks, dv/eq arithmetic) ran;
+      // nothing commits — `gen` reports the head that WOULD parent it
+      return RollbackReport(h.gen, tgtGen, restored.size, removed.size,
+        dvUp.size, drops, eqdelsReset = eqDiffers, noop = true)
     val rec = commit(store, table, op = "rollback",
       removed = removed, added = restored,
       // self-provenance: a resurrected object's rows ARE its own rows —

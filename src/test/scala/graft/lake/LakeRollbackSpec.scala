@@ -76,9 +76,19 @@ class LakeRollbackSpec extends SparkSuite {
     spark.sql(s"DELETE FROM $cat.rt WHERE id >= 400")              // gen 3
     val dataBytes = store.list("").filter(k =>
       LakeKeys.parseKey(k).exists(_._2 == "rt")).sorted
+    // dry_run reports the exact plan and mints NOTHING
+    val dry = spark.sql(s"CALL $cat.system.rollback(table => 'rt', " +
+      "version => '1', dry_run => true)").head
+    assert(dry.getAs[Boolean]("noop") && dry.getAs[Int]("removed") > 0 &&
+      dry.getAs[Int]("restored") > 0)
+    assert(LakeVersions.listDir(store, "rt").gens.max == 3L,
+      "dry_run must not commit")
     val rep = spark.sql(s"CALL $cat.system.rollback(table => 'rt', " +
       "version => '1')").head                                      // gen 4
     assert(rep.getAs[Long]("gen") == 4L && rep.getAs[Long]("target") == 1L)
+    assert(rep.getAs[Int]("removed") == dry.getAs[Int]("removed") &&
+      rep.getAs[Int]("restored") == dry.getAs[Int]("restored"),
+      "the dry run's plan is the real run's plan")
     assert(!rep.getAs[Boolean]("noop"))
     // state ≡ VERSION AS OF 1, exactly
     sameRows(spark.table(s"$cat.rt").select("id", "uid", "vc"), snap(cat, 1))
