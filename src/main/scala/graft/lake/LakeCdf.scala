@@ -121,6 +121,11 @@ private final class LakeCdfSource(sqlContext: SQLContext, root: String,
 
   private val spark = sqlContext.sparkSession
   private val store = new HadoopStore(root)
+  // ONE chain view per source — a steady-state trigger pays one
+  // version-directory listing and ZERO record re-reads (the round-16
+  // metadata-amplification lesson the other streaming source learned;
+  // committed records cache by immutability inside)
+  private val chain = new LakeVersions.ChainCache(store, table)
 
   private val maxGens: Long = {
     val n = parameters.get("maxGensPerTrigger").map(_.toLong)
@@ -151,7 +156,17 @@ private final class LakeCdfSource(sqlContext: SQLContext, root: String,
         case Some(ts) =>
           val millis =
             try java.time.Instant.parse(ts).toEpochMilli
-            catch { case _: Exception => ts.trim.toLong }
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                try ts.trim.toLong
+                catch {
+                  case _: NumberFormatException =>
+                    throw new IllegalArgumentException(
+                      s"graft-lake-cdf: cannot parse startingTimestamp " +
+                        s"'$ts' — pass an ISO-8601 instant " +
+                        "(2024-06-01T00:00:00Z) or epoch millis")
+                }
+            }
           LakeVersions.genAtTimestamp(store, table, millis).getOrElse(
             throw new IllegalArgumentException(
               s"graft-lake-cdf: no commit of '$table' at or before $ts — " +
@@ -167,10 +182,7 @@ private final class LakeCdfSource(sqlContext: SQLContext, root: String,
   // (rebuilt from the checkpoint via getBatch's start on restart)
   @volatile private var lastPlanned: Long = -1L
 
-  private def headGen(): Long = {
-    val st = LakeVersions.listDir(store, table)
-    LakeVersions.head(store, table, st).map(_.gen).getOrElse(0L)
-  }
+  private def headGen(): Long = chain.refresh().headGen
 
   override val schema: StructType = LakeCdf.feedStruct(root, table)
 
@@ -185,13 +197,14 @@ private final class LakeCdfSource(sqlContext: SQLContext, root: String,
 
   /** The newest window END to offer from `base`. The engine owns the
     * window START (the checkpointed offset — `startGen` seeds only the
-    * very first, checkpoint-less batch via getBatch's `start = None`),
-    * so this must never suppress delivery based on `startGen`: after a
-    * restart the source's own `startGen` re-resolves to the CURRENT
-    * head while the checkpoint may still trail it. */
+    * very first, checkpoint-less batch): `startGen` must NOT fold into
+    * an existing base — in default head-subscribe mode a restart
+    * re-resolves it to the CURRENT head, and maxing it in would let
+    * one batch swallow the whole checkpoint-to-head backlog, bypassing
+    * the admission cap exactly in the catch-up case it exists for. */
   private def nextEnd(base0: Long): Long = {
     val head = availableNowTarget.getOrElse(headGen())
-    val base = math.max(base0, startGen)
+    val base = if (base0 < 0L) startGen else base0
     // saturating: maxGens defaults to Long.MaxValue
     if (base >= head || Long.MaxValue - maxGens < base) head
     else math.min(head, base + maxGens)
@@ -205,15 +218,21 @@ private final class LakeCdfSource(sqlContext: SQLContext, root: String,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
-    val base = Option(start).map(asGenAny).getOrElse(
-      math.max(lastPlanned, startGen))
+    val base = Option(start).map(asGenAny).getOrElse(lastPlanned)
     LongOffset(math.max(0L, nextEnd(base)))
   }
 
-  override def reportLatestOffset(): V2Offset = LongOffset(headGen())
+  override def reportLatestOffset(): V2Offset =
+    LongOffset(chain.currentOrRefresh().headGen)
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val f = start.map(asGen).getOrElse(startGen)
+    // baseline FLOOR at generation 1: the chain's first commit has no
+    // parent snapshot to diff against (a stream started on a not-yet-
+    // committed table has startGen 0 — on a retained table gen 1 is
+    // the set_retention baseline, and "nothing changed yet" is exactly
+    // right; an unretained gen 1 still fails the first REAL window
+    // loudly with the retention remedy)
+    val f = math.max(start.map(asGen).getOrElse(startGen), 1L)
     val t = asGen(end)
     lastPlanned = math.max(lastPlanned, t)
     // one row-exact diff PER COMMIT in the window, each stamped with its

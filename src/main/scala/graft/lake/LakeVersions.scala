@@ -706,7 +706,14 @@ object LakeVersions {
              // deleted here — it must keep covering the renamed keys
              // until the decision; the coordinator cleans up after
              // deciding
-             txn: Option[String] = None): GenRecord = {
+             txn: Option[String] = None,
+             // PIN the parent: the commit must land exactly on this
+             // generation or abort loudly (rollback — whose whole plan
+             // was computed against that head and would otherwise merge
+             // with a DISJOINT concurrent commit into a state equal to
+             // neither the target nor an abort). None = the normal
+             // disjoint-writers-retry posture.
+             expectParent: Option[Long] = None): GenRecord = {
     val removedD = removed.distinct
     require(dvRemovals.forall(dvBasis.contains),
       "graft-lake: every dvRemovals key needs its planned-against vector " +
@@ -718,6 +725,14 @@ object LakeVersions {
       val st = listDir(store, table)
       val h = head(store, table, st)
       val headGen = h.map(_.gen).getOrElse(0L)
+      expectParent.foreach { p =>
+        if (headGen != p)
+          throw new LakeConcurrentModificationException(
+            s"graft-lake $op on '$table': the table moved from generation " +
+              s"$p to $headGen under this statement — its plan is stale. " +
+              "The statement aborted with no effect; re-run it against " +
+              "the current table state.")
+      }
       if (validateLive && removedD.nonEmpty) {
         val tombs = h.map(_.tombstones.toSet).getOrElse(Set.empty)
         val clashed = removedD.filter(tombs.contains)
@@ -1283,7 +1298,12 @@ object LakeVersions {
       dvRemovals = dvDrop.result(),
       eqdelAdds = if (eqDiffers) tgt.eqdels else Nil,
       dropEqdels = eqDiffers,
-      eqBasis = Some(h.eqdels.map(_.key)))
+      eqBasis = Some(h.eqdels.map(_.key)),
+      // the WHOLE plan (removed/restored/dv/eq) was computed against
+      // h — ANY intervening commit, even a disjoint one, invalidates
+      // it (merging would yield a state equal to neither the target
+      // nor an abort)
+      expectParent = Some(h.gen))
     RollbackReport(rec.gen, tgtGen, restored.size, removed.size,
       dvUp.size, drops, eqdelsReset = eqDiffers, noop = false)
   }

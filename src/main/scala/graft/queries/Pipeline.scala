@@ -1557,7 +1557,6 @@ object Pipeline {
         s.sql(s"DELETE FROM $cat.docs_ic WHERE doc_id % 13 = 3")   // gen 2
         s.sql(s"DELETE FROM $cat.docs_ic WHERE doc_id % 13 = 7")   // gen 3
         // ---- the incremental maintainer: one MERGE per CDF batch
-        val hot = java.sql.Timestamp.from(hour0)
         var changeRows = 0L
         val ckpt = java.nio.file.Files
           .createTempDirectory("graft-p14-ckpt").toFile.getAbsolutePath

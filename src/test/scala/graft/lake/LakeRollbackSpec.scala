@@ -250,12 +250,55 @@ class LakeRollbackSpec extends SparkSuite {
     }
     val chain = Iterator.iterate(err.get())(_.getCause).takeWhile(_ != null)
       .map(_.getMessage).mkString(" | ")
-    assert(err.get() != null && chain.contains("concurrent"),
+    assert(err.get() != null && (chain.contains("concurrent") ||
+      chain.contains("moved from generation")),
       s"the rollback must abort loudly naming the conflict: $chain")
     // BOTH deletes stand — nothing was discarded
     assert(spark.table(s"$cat.rt").count() == 500 - 20)
     assert(LakeVersions.head(store, "rt",
       LakeVersions.listDir(store, "rt")).get.eqdels.size == 2)
+  }
+
+  test("ANY concurrent commit aborts a rollback, even one DISJOINT from its plan — the plan is pinned to the head it was computed against") {
+    val (cat, root, store) = fixture()
+    land(root)
+    retainOn(cat)                                                  // gen 1
+    spark.sql(s"UPDATE $cat.rt SET vc = vc + 1000 WHERE id < 10")  // gen 2
+    // rollback-to-1 plans against head gen 2; a DISJOINT update (rows
+    // the rollback's removed/restored/dv/eq sets never touch... but the
+    // MERGED state would equal neither the target nor an abort) lands
+    // before its CAS
+    val entered = new CountDownLatch(1)
+    val gate = new CountDownLatch(1)
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    LakeVersions.beforeCasHook = _ =>
+      if (armed.getAndSet(false)) {
+        entered.countDown()
+        gate.await(60, TimeUnit.SECONDS); ()
+      }
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try {
+        spark.sql(s"CALL $cat.system.rollback(table => 'rt', " +
+          "version => '1')").collect(); ()
+      } catch { case e: Throwable => err.set(e) })
+    try {
+      t.start()
+      assert(entered.await(60, TimeUnit.SECONDS), "rollback never reached CAS")
+      spark.sql(s"UPDATE $cat.rt SET vc = vc + 5 WHERE id >= 490") // gen 3
+    } finally {
+      gate.countDown()
+      t.join(120000)
+      LakeVersions.beforeCasHook = _ => ()
+    }
+    val chain = Iterator.iterate(err.get())(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(err.get() != null && chain.contains("moved from generation"),
+      s"a stale rollback plan must abort loudly: $chain")
+    // both updates stand, nothing rolled back
+    assert(LakeVersions.listDir(store, "rt").gens.max == 3L)
+    assert(spark.table(s"$cat.rt").agg(sum("vc")).head.getLong(0) ==
+      (0L until 500L).sum + 10L * 1000L + 10L * 5L)
   }
 
   test("a pending branch publish whose replaced originals a rollback removed aborts loudly, staged state intact for abort_audit") {
