@@ -8,7 +8,6 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 import java.time.Instant
 import java.util.UUID
-import java.util.zip.GZIPOutputStream
 
 import scala.collection.mutable
 import scala.util.control.NonFatal
@@ -142,7 +141,8 @@ final class Collector(store: Store, config: CollectorConfig = CollectorConfig())
     val tmp = Files.createTempFile(s"graft-analytics-$id", ext).toFile
     val raw = new FileOutputStream(tmp)
     val out = new BufferedWriter(new OutputStreamWriter(
-      if (config.batchZip) new GZIPOutputStream(raw) else raw, StandardCharsets.UTF_8), 64 * 1024)
+      if (config.batchZip) graft.lake.GzipOut(raw) else raw,
+      StandardCharsets.UTF_8), 64 * 1024)
     out.write(schema.typesHeader); out.write("\n")
     out.write(schema.namesHeader); out.write("\n")
     new Batch(id, schemaTable, resolved, schema, tmp, out, System.currentTimeMillis())

@@ -6,7 +6,6 @@ import java.io.{BufferedWriter, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
 import java.time.Instant
 import java.util.UUID
-import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.DataFrame
 
@@ -152,7 +151,7 @@ object LakeWriter {
       key = keyPrefix + LakeKeys.objectKey(schema.name, flushTime, id, gzip)
       val raw = store.create(key)
       out = new BufferedWriter(new OutputStreamWriter(
-        if (gzip) new GZIPOutputStream(raw) else raw, StandardCharsets.UTF_8), 256 * 1024)
+        if (gzip) GzipOut(raw) else raw, StandardCharsets.UTF_8), 256 * 1024)
       out.write(schema.typesHeader); out.write("\n")
       out.write(schema.namesHeader); out.write("\n")
       n = 0L

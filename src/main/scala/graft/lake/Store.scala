@@ -14,6 +14,23 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * (`StoreFS.ts`) and `StoreS3` (`StoreS3.ts`): on a real cluster the same
   * code path lands objects in S3 via the S3A committer.
   */
+/** Deflate tuning for the DATA-volume gzip writers ([[LakeWriter]] and
+  * the Collector spool). Default BEST_SPEED (level 1), overridable with
+  * `-Dgraft.gzip.level=N`: measured on this wire format (typed-CSV rows —
+  * short, low-redundancy fields) level 1 compresses ~6× faster than the
+  * JDK default level 6 for ~0.6 pp worse ratio, so the default level
+  * spends the ingest path's CPU on compression that buys almost no
+  * bytes (guide §2.3: "there is no universal answer — measure ... with
+  * each"; measured r16). Metadata writers (generation records, sidecars,
+  * manifests — tiny, write-once) keep the JDK default: their cost is the
+  * RPC, not the deflate. */
+object GzipOut {
+  val level: Int = sys.props.get("graft.gzip.level").map(_.toInt)
+    .getOrElse(java.util.zip.Deflater.BEST_SPEED)
+  def apply(raw: OutputStream): java.util.zip.GZIPOutputStream =
+    new java.util.zip.GZIPOutputStream(raw) { `def`.setLevel(level) }
+}
+
 trait Store extends Serializable {
   /** Stream `data` to `key`, creating parent dirs as needed. */
   def put(key: String, data: InputStream): Unit

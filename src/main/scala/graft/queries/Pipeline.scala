@@ -1615,22 +1615,29 @@ object Pipeline {
         // the maintenance touched exactly the CHANGE rows, never the
         // corpus: |B| minus its takedowns entering as inserts, plus the
         // live takedown rows leaving as deletes
-        val total = docs.count()
-        val halfB = docs.where(pmod(col("doc_id"), lit(2)) === 1).count()
-        val b13_3 = docs.where(pmod(col("doc_id"), lit(2)) === 1 &&
-          pmod(col("doc_id"), lit(13)) === 3).count()
-        val t1 = docs.where(pmod(col("doc_id"), lit(13)) === 3).count()
-        val t2 = docs.where(pmod(col("doc_id"), lit(13)) === 7).count()
+        // ONE aggregate job for all five expected-change counts (r16
+        // optimization: five separate .count() actions were five scans
+        // of the same parquet for one gate's arithmetic)
+        val cnt = docs.agg(
+          count(lit(1)).as("total"),
+          count(when(pmod(col("doc_id"), lit(2)) === 1, 1)).as("halfB"),
+          count(when(pmod(col("doc_id"), lit(2)) === 1 &&
+            pmod(col("doc_id"), lit(13)) === 3, 1)).as("b13_3"),
+          count(when(pmod(col("doc_id"), lit(13)) === 3, 1)).as("t1"),
+          count(when(pmod(col("doc_id"), lit(13)) === 7, 1)).as("t2")).head()
+        val (total, halfB, b13_3, t1, t2) = (cnt.getLong(0), cnt.getLong(1),
+          cnt.getLong(2), cnt.getLong(3), cnt.getLong(4))
         val expected = (halfB - b13_3) + (t1 - b13_3) + t2
         require(changeRows == expected,
           s"the feed must carry exactly the change: $changeRows vs " +
             s"$expected (corpus $total)")
-        // the incrementally-maintained table IS the batch recompute
+        // the incrementally-maintained table IS the batch recompute —
+        // multiset-signature gate (the l23/l27 pattern, r16 optimization:
+        // the two-direction exceptAll read both tables twice)
         val cur = s.table(s"$cat.docs_cur").select("doc_id", "text")
         val recomputed = quality(s.table(s"$cat.docs_ic")
           .select("doc_id", "text"))
-        require(cur.exceptAll(recomputed).count() == 0 &&
-          recomputed.exceptAll(cur).count() == 0,
+        require(multisetSig(cur) == multisetSig(recomputed),
           "incremental maintenance must equal the batch recompute")
         cur.agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
           sum(length(col("text"))).as("sum_len"), max("doc_id").as("max_id"))
@@ -3543,8 +3550,14 @@ object Pipeline {
         val df = s.read.format("graft-lake").option("table", "docs_evo2")
           .option("reconcile", "true").load(root)
         val bespoke = LakeReader.readReconciled(s, root, "docs_evo2")
-        require(df.exceptAll(bespoke).count() == 0 &&
-            bespoke.exceptAll(df).count() == 0,
+        // multiset-signature gate (the l23/l27 pattern, r16 optimization):
+        // the two-direction exceptAll cost four full reads + two wide
+        // hash-aggregate shuffles and dominated this entry's wall time;
+        // the signature pins the same multiset equality in one single-
+        // pass scan per side (the CORRECTNESS oracle still value-compares
+        // the query's real output).
+        require(multisetSig(df) ==
+            multisetSig(bespoke.select(df.columns.map(col).toSeq: _*)),
           "connector reconcile must be row-identical to readReconciled")
         // zone-map bands recorded under three different headers still
         // prune the widened doc_id scan through plain Catalyst filters
@@ -4727,8 +4740,14 @@ object Pipeline {
         val now5 = s.table(s"$cat.events_rb").select(selCols: _*)
         val at1 = s.sql(
           s"SELECT event_id, user_id, vc FROM $cat.events_rb VERSION AS OF 1")
-        require(now5.count() == n &&
-          now5.exceptAll(at1).count() == 0 && at1.exceptAll(now5).count() == 0,
+        // multiset-signature gates (the l23/l27 pattern, r16
+        // optimization): each two-direction exceptAll re-read both lake
+        // snapshots twice through wide hash-aggregate shuffles — the
+        // gate, not the rollback, dominated this entry's wall time. The
+        // signature pins the same multiset equality (and its row count
+        // covers the n check) in one single-pass scan per side.
+        val sigNow5 = multisetSig(now5)
+        require(sigNow5.getLong(0) == n && sigNow5 == multisetSig(at1),
           "the rolled-back table must equal the time-travel read exactly")
         s.sql(s"CALL $cat.system.rollback(table => 'events_rb', " +
           "version => '4')").collect()                             // gen 6
@@ -4737,8 +4756,7 @@ object Pipeline {
         val now6 = s.table(s"$cat.events_rb").select(selCols: _*)
         val at4 = s.sql(
           s"SELECT event_id, user_id, vc FROM $cat.events_rb VERSION AS OF 4")
-        require(now6.exceptAll(at4).count() == 0 &&
-          at4.exceptAll(now6).count() == 0,
+        require(multisetSig(now6) == multisetSig(at4),
           "rollback of the rollback must re-apply the undone DML exactly")
         require(LakeVersions.listDir(store, "events_rb").gens.max == 6L,
           "two rollbacks mint exactly two generations")
@@ -4869,8 +4887,12 @@ object Pipeline {
             .drop("_commit_gen", "_commit_at")
           val batch = LakeChanges.between(s, root, "events_cf",
             (g - 1).toString, g.toString)
-          require(slice.exceptAll(batch).count() == 0 &&
-            batch.exceptAll(slice).count() == 0,
+          // multiset-signature gate (the l23/l27 pattern, r16
+          // optimization): the two-direction exceptAll computed the
+          // batch diff twice per generation; the signature pins the
+          // same multiset equality with one pass per side.
+          require(multisetSig(slice) ==
+            multisetSig(batch.select(slice.columns.map(col).toSeq: _*)),
             s"generation $g: the streamed slice must equal the batch diff")
         }
         require(drainOnce().isEmpty,

@@ -678,12 +678,26 @@ object Relational {
     "q28_approx_distinct" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        t(s, dir, "lineitem")
-          .groupBy($"l_returnflag")
+        // OPTIMIZATION round 16 (guide §1.2 "the distributed algorithm",
+        // §5 memory): mixing countDistinct with approx_count_distinct in
+        // ONE agg plans an Expand whose partial aggregate is keyed by
+        // (flag, gid, partkey, orderkey) — ~2·|lineitem| groups — and
+        // carries BOTH ~4 KB HLL buffers in EVERY group's buffer row:
+        // gigabytes of aggregation-map churn at sf0.1 (6.1 s, the
+        // slowest bench entry) and an OOM-shaped plan at 100 TB. The
+        // sketches now aggregate separately (3 groups → 3 buffer pairs)
+        // and broadcast-join back; the exact distincts keep the normal
+        // q27-shaped expand. Same values: HLL register state is
+        // duplicate- and order-insensitive, so the estimate is
+        // bit-identical to the fused plan's.
+        val li = t(s, dir, "lineitem")
+        val exact = li.groupBy($"l_returnflag")
           .agg(countDistinct($"l_partkey").as("n_parts"),
-               countDistinct($"l_orderkey").as("n_orders"),
-               approx_count_distinct($"l_partkey", 0.02).as("ap"),
+               countDistinct($"l_orderkey").as("n_orders"))
+        val approx = li.groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_partkey", 0.02).as("ap"),
                approx_count_distinct($"l_orderkey", 0.02).as("ao"))
+        exact.join(broadcast(approx), "l_returnflag")
           .select($"l_returnflag", $"n_parts", $"n_orders",
             (abs($"ap" - $"n_parts") <= $"n_parts" * 0.06 &&
              abs($"ao" - $"n_orders") <= $"n_orders" * 0.06)
