@@ -91,7 +91,16 @@ object Dedup {
       val stop = freq.filter(col("f") > maxShingleFreq).select("sh")
       sh.join(stop, Seq("sh"), "left_anti")
     } else sh
-    val posting = capped.join(freq, "sh")
+    // MATERIALIZE the posting list once (r16 optimization, guide §3.3
+    // "materialising an intermediate truncates the plan" / §1.2 "don't
+    // compute things twice"): posting is consumed by the ranked-prefix
+    // branch AND the verification branch, and DataFrame reuse re-EXPANDS
+    // the subtree per reference — the pre-change physical plan held ~6
+    // copies of the shingle explode + frequency aggregation (140
+    // Exchange nodes), re-shingling the corpus per copy. localCheckpoint
+    // (the connectedComponents pattern: blocks freed by the
+    // ContextCleaner, lineage truncated) computes it exactly once.
+    val posting = capped.join(freq, "sh").localCheckpoint()
     // Global rarest-first order (freq, then shingle) ranked within each doc.
     // Both window columns share one partition+order spec (sz uses the full
     // frame), so they evaluate in a single sorted WindowExec — one shuffle
@@ -109,9 +118,11 @@ object Dedup {
     // include) would be pruned from the candidate set. Integer-exact:
     // ⌈τ'·sz⌉ = ⌈(2·tm − 1)·sz / 2000⌉.
     val tm2 = 2 * tm - 1
+    // self-joined below — materialize so the window ranking runs once,
+    // not once per join side
     val prefix = ranked
       .filter(col("r") <= col("sz") - floor((col("sz") * tm2 + 1999) / 2000) + 1)
-      .select("id", "sh", "sz")
+      .select("id", "sh", "sz").localCheckpoint()
     val candIds = prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
@@ -120,12 +131,14 @@ object Dedup {
           col("b.sz") * tm2 <= col("a.sz") * 2000)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+      .localCheckpoint() // consumed three times (both candDocs legs + verify)
     // Exact verification over the full (capped-universe) sets of candidate
     // docs only: a semi-join bounds the collect_list to candidates.
     val candDocs = candIds.select(col("a_id").as("id"))
       .union(candIds.select(col("b_id").as("id"))).distinct()
     val sets = posting.join(candDocs, Seq("id"), "left_semi")
       .groupBy("id").agg(collect_list(col("sh")).as("shs"))
+      .localCheckpoint() // joined on both pair sides — aggregate once
     candIds
       .join(sets.select(col("id").as("a_id"), col("shs").as("a_sh")), "a_id")
       .join(sets.select(col("id").as("b_id"), col("shs").as("b_sh")), "b_id")
@@ -167,6 +180,9 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+      // three consumers (both candDocs legs + the verify join) re-expand
+      // the banded self-join per reference — materialize once (r16)
+      .localCheckpoint()
     // Exact-Jaccard verification shingles ONLY candidate docs, each ONCE:
     // a semi-join against the candidate id set bounds the shingling (the
     // corpus streams through unshuffled; AQE broadcasts the id set), and
@@ -178,6 +194,7 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"), col(textCol).as("txt"))
       .join(candDocs, Seq("id"), "left_semi")
       .select(col("id"), Text.shinglesOfText(col("txt"), shingleN).as("sh"))
+      .localCheckpoint() // joined on both pair sides — shingle once
     val cands = candIds
       .join(sets.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sets.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -315,6 +332,9 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("b.id").as("b_id"), col("a.id").as("o_id")) // later id is on trial
     val cands = vsCorpus.union(vsBatch).dropDuplicates("b_id", "o_id")
+      // three consumers (both involved legs + the verify join) would
+      // re-run both banded joins per reference — materialize once (r16)
+      .localCheckpoint()
     // exact verification: shingle only the docs that appear in a candidate
     // pair (semi-join bound), each once, from whichever side holds them
     val all = batch.select(col(idCol).as("id"), col(textCol).as("txt"))
@@ -323,6 +343,7 @@ object Dedup {
       .union(cands.select(col("o_id").as("id"))).distinct()
     val sets = all.join(involved, Seq("id"), "left_semi")
       .select(col("id"), Text.shinglesOfText(col("txt"), shingleN).as("sh"))
+      .localCheckpoint() // joined on both pair sides — shingle once
     val dropped = cands
       .join(sets.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .join(sets.select(col("id").as("o_id"), col("sh").as("o_sh")), "o_id")
@@ -624,11 +645,16 @@ object Dedup {
     val toks = docs
       .select(col(idCol).as("_doc"), posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
     val leads = (1 until n).map(i => lead("tok", i).over(w).as(s"t$i"))
+    // consumed twice (the cross-corpus dup aggregate AND the position
+    // join) — materialize once so the tokenize + positional-window
+    // pipeline doesn't re-run per consumer (r16, guide §3.3; the
+    // jaccardPairs/connectedComponents localCheckpoint pattern)
     val sh = toks
       .select((Seq(col("_doc"), col("pos"), col("tok")) ++ leads): _*)
       .filter(col(s"t${n - 1}").isNotNull)
       .select(col("_doc"), col("pos"),
         concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*).as("shv"))
+      .localCheckpoint()
     val dup = sh.groupBy("shv")
       .agg(countDistinct(col("_doc")).as("nd")).filter(col("nd") > 1)
       .select("shv")

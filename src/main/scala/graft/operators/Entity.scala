@@ -191,9 +191,12 @@ object Entity {
         posexplode(expr(
           s"transform(sequence(1, int(_len) - ${q - 1}), i -> substring(_key, i, $q))")))
       .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_gram")
+    // self-joined below — materialize once (r16, guide §3.3) so the
+    // gram explode + frequency join + rank window don't run per side
     val prefix = ranked.filter(col("_r") <= kq + 1)
       .select("_id", "_len", "_gram", "_pos")
       .unionByName(shortGrams.select("_id", "_len", "_gram", "_pos"))
+      .localCheckpoint()
     val idxCand = prefix.as("a").join(prefix.as("b"),
         col("a._gram") === col("b._gram") &&
           col("a._id") < col("b._id") &&

@@ -1688,9 +1688,14 @@ object Pipeline {
           s"""MERGE INTO $cat.docs_cd t USING p13_src s ON t.doc_id = s.doc_id
              |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars, _event_hour)
              |  VALUES (s.doc_id, s.lang, s.n_chars, s._event_hour)""".stripMargin)
+        // each side feeds BOTH exceptAll directions and an aggregate —
+        // materialize once (r16, guide §3.3) so the lake snapshot reads
+        // run once instead of once per consumer
         val runA = s.sql(
-          s"SELECT doc_id, lang, n_chars FROM $cat.docs_cd VERSION AS OF 'run-2024-06'")
+          s"SELECT doc_id, lang, n_chars FROM $cat.docs_cd " +
+            "VERSION AS OF 'run-2024-06'").localCheckpoint()
         val now = s.table(s"$cat.docs_cd").select("doc_id", "lang", "n_chars")
+          .localCheckpoint()
         val removed = runA.exceptAll(now)
         val added = now.exceptAll(runA)
         runA.agg(count(lit(1)).as("n_run")).crossJoin(
@@ -1976,9 +1981,13 @@ object Pipeline {
         // Levenshtein is symmetric: evaluate each unordered pair ONCE
         // (a_id < b_id — half the DP work, the dominant cost) and mirror
         // the result row instead of re-running the DP in both directions.
+        // localCheckpoint makes the evaluate-once claim TRUE (r16): the
+        // union's two branches re-EXPAND `half` in the physical plan, so
+        // without materialization the join + DP ran twice anyway
         val half = a.join(b, "source").filter(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
             levenshtein(col("a_head"), col("b_head")).cast("long").as("dist"))
+          .localCheckpoint()
         val sym = half.unionAll(half.select(col("b_id").as("a_id"),
           col("a_id").as("b_id"), col("dist")))
         // min(struct(dist, b_id)) replaces the per-key row_number window:
