@@ -56,8 +56,13 @@ object Indexing {
       .contains(keyType),
       s"globalIndex requires an integral key column (got $keyType); " +
         "hash or rank non-integral keys into a long first")
-    val bounds = df.agg(min(key).cast("long").as("lo"), max(key).cast("long").as("hi")).head()
-    if (bounds.isNullAt(0)) return df.withColumn("global_idx",
+    // THREE downstream consumers (the bounds aggregate, the offsets
+    // aggregate, the index join) would each re-expand the caller's whole
+    // upstream — p09's source-sequence window ran three times before this
+    // (r16, guide §3.3). Materialize once; consumers scan the blocks.
+    val d = df.localCheckpoint()
+    val bounds = d.agg(min(key).cast("long").as("lo"), max(key).cast("long").as("hi")).head()
+    if (bounds.isNullAt(0)) return d.withColumn("global_idx",
       row_number().over(Window.orderBy(key)).cast("long")) // degenerate all-null input: plain window
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     // All bucket arithmetic in BigInt/decimal(38,0): a hash-valued key
@@ -74,7 +79,7 @@ object Indexing {
     val bucketExpr = when(key.isNull, lit(-1L).cast(dec)).otherwise(
       floor((key.cast("long").cast(dec) - lit(new java.math.BigDecimal(lo)))
         / lit(new java.math.BigDecimal(width.bigInteger))))
-    val withB = df.withColumn("_gidx_bucket", bucketExpr.cast("long"))
+    val withB = d.withColumn("_gidx_bucket", bucketExpr.cast("long"))
     // bucket table: `buckets` rows — the prefix-sum window here is single-
     // partition BY DESIGN (model-sized state, like a centroid table)
     val offsets = withB.groupBy("_gidx_bucket").agg(count(lit(1)).as("_gidx_n"))

@@ -2535,8 +2535,10 @@ object Pipeline {
           .partitionBy("source").orderBy("doc_id")
         val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
         val seqd = docs.withColumn("src_seq", row_number().over(wSrc).cast("long"))
-        // dense 0-based source index; the source registry is model-sized
-        val srcs = seqd.select("source").distinct()
+        // dense 0-based source index; the source registry is model-sized.
+        // Derived from `docs`, not `seqd` (r16): the distinct doesn't need
+        // the sequence window, and referencing seqd re-ran the window here
+        val srcs = docs.select("source").distinct()
           .withColumn("src_idx", row_number().over(
             org.apache.spark.sql.expressions.Window.orderBy("source")).cast("long") - 1)
         val nSrc = srcs.count()
