@@ -25,8 +25,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * manifests — tiny, write-once) keep the JDK default: their cost is the
   * RPC, not the deflate. */
 object GzipOut {
-  val level: Int = sys.props.get("graft.gzip.level").map(_.toInt)
-    .getOrElse(java.util.zip.Deflater.BEST_SPEED)
+  val level: Int = sys.props.get("graft.gzip.level") match {
+    case None => java.util.zip.Deflater.BEST_SPEED
+    case Some(v) =>
+      // validate HERE with the property named (r16 ADVICE): an unchecked
+      // toInt surfaced as ExceptionInInitializerError, and an out-of-range
+      // value as an anonymous IllegalArgumentException from
+      // Deflater.setLevel deep inside the first batch flush
+      val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"-Dgraft.gzip.level must be an integer in -1..9, got '$v'"))
+      require(n >= -1 && n <= 9,
+        s"-Dgraft.gzip.level must be in -1..9 (java.util.zip.Deflater levels), got $n")
+      n
+  }
   def apply(raw: OutputStream): java.util.zip.GZIPOutputStream =
     new java.util.zip.GZIPOutputStream(raw) { `def`.setLevel(level) }
 }

@@ -105,7 +105,7 @@ object Clustering {
     // vec_id-partitioned anti-join cannot) — the d16 banded-rows lesson.
     val a = assigned(corpus, cents, idCol, embCol)
       .select(col("vec_id"), col("emb"), col("cluster_id"))
-      .localCheckpoint()
+      .transform(Materialize.cut)
     val dropped = a.as("a")
       .join(a.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&

@@ -100,7 +100,7 @@ object Dedup {
     // Exchange nodes), re-shingling the corpus per copy. localCheckpoint
     // (the connectedComponents pattern: blocks freed by the
     // ContextCleaner, lineage truncated) computes it exactly once.
-    val posting = capped.join(freq, "sh").localCheckpoint()
+    val posting = capped.join(freq, "sh").transform(Materialize.cut)
     // Global rarest-first order (freq, then shingle) ranked within each doc.
     // Both window columns share one partition+order spec (sz uses the full
     // frame), so they evaluate in a single sorted WindowExec — one shuffle
@@ -122,7 +122,7 @@ object Dedup {
     // not once per join side
     val prefix = ranked
       .filter(col("r") <= col("sz") - floor((col("sz") * tm2 + 1999) / 2000) + 1)
-      .select("id", "sh", "sz").localCheckpoint()
+      .select("id", "sh", "sz").transform(Materialize.cut)
     val candIds = prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
@@ -131,14 +131,14 @@ object Dedup {
           col("b.sz") * tm2 <= col("a.sz") * 2000)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-      .localCheckpoint() // consumed three times (both candDocs legs + verify)
+      .transform(Materialize.cut) // consumed three times (both candDocs legs + verify)
     // Exact verification over the full (capped-universe) sets of candidate
     // docs only: a semi-join bounds the collect_list to candidates.
     val candDocs = candIds.select(col("a_id").as("id"))
       .union(candIds.select(col("b_id").as("id"))).distinct()
     val sets = posting.join(candDocs, Seq("id"), "left_semi")
       .groupBy("id").agg(collect_list(col("sh")).as("shs"))
-      .localCheckpoint() // joined on both pair sides — aggregate once
+      .transform(Materialize.cut) // joined on both pair sides — aggregate once
     candIds
       .join(sets.select(col("id").as("a_id"), col("shs").as("a_sh")), "a_id")
       .join(sets.select(col("id").as("b_id"), col("shs").as("b_sh")), "b_id")
@@ -182,7 +182,7 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
       // three consumers (both candDocs legs + the verify join) re-expand
       // the banded self-join per reference — materialize once (r16)
-      .localCheckpoint()
+      .transform(Materialize.cut)
     // Exact-Jaccard verification shingles ONLY candidate docs, each ONCE:
     // a semi-join against the candidate id set bounds the shingling (the
     // corpus streams through unshuffled; AQE broadcasts the id set), and
@@ -194,7 +194,7 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"), col(textCol).as("txt"))
       .join(candDocs, Seq("id"), "left_semi")
       .select(col("id"), Text.shinglesOfText(col("txt"), shingleN).as("sh"))
-      .localCheckpoint() // joined on both pair sides — shingle once
+      .transform(Materialize.cut) // joined on both pair sides — shingle once
     val cands = candIds
       .join(sets.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sets.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -238,15 +238,15 @@ object Dedup {
     // the blocks when the result is consumed (persist() would leak them in
     // the cache manager for the session's lifetime). Pair lists are small
     // by construction (near-dups).
-    val p = pairs.localCheckpoint() // run the pair producer exactly once
+    val p = pairs.transform(Materialize.cut) // run the pair producer exactly once
     val edges = p.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(p.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().localCheckpoint()
+      .distinct().transform(Materialize.cut)
     // Seed with round 0 fused into the init: label = min(self, neighbors).
     // Cliques (the common dup-cluster shape) converge immediately and pay
     // exactly one convergence-check round.
     var labels = edges.groupBy(col("u").as("node"))
-      .agg(least(min(col("v")), first(col("u"))).as("label")).localCheckpoint()
+      .agg(least(min(col("v")), first(col("u"))).as("label")).transform(Materialize.cut)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -261,7 +261,7 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("prev"))
-        .localCheckpoint() // referenced twice below (self-join) — run once
+        .transform(Materialize.cut) // referenced twice below (self-join) — run once
       // pointer doubling: follow the label one more hop through THIS
       // round's half-updated table (label(label(u))). Every label value is
       // itself a node (a min over reachable ids), so the lookup is a
@@ -273,7 +273,7 @@ object Dedup {
         .select(col("h.node").as("node"),
           least(col("h.label"), coalesce(col("plabel"), col("h.label"))).as("label"),
           col("h.prev").as("prev"))
-        .localCheckpoint()
+        .transform(Materialize.cut)
       changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.select("node", "label")
       i += 1
@@ -319,7 +319,7 @@ object Dedup {
     // banded shape is (id, band, bkey), bands × |batch| slim rows, never
     // the shingle arrays. The corpus side has exactly one consumer and
     // streams through unmaterialized.
-    val bb = bandedOf(batch).localCheckpoint()
+    val bb = bandedOf(batch).transform(Materialize.cut)
     val cb = bandedOf(corpus)
     val vsCorpus = bb.as("a")
       .join(cb.as("b"),
@@ -334,7 +334,7 @@ object Dedup {
     val cands = vsCorpus.union(vsBatch).dropDuplicates("b_id", "o_id")
       // three consumers (both involved legs + the verify join) would
       // re-run both banded joins per reference — materialize once (r16)
-      .localCheckpoint()
+      .transform(Materialize.cut)
     // exact verification: shingle only the docs that appear in a candidate
     // pair (semi-join bound), each once, from whichever side holds them
     val all = batch.select(col(idCol).as("id"), col(textCol).as("txt"))
@@ -343,7 +343,7 @@ object Dedup {
       .union(cands.select(col("o_id").as("id"))).distinct()
     val sets = all.join(involved, Seq("id"), "left_semi")
       .select(col("id"), Text.shinglesOfText(col("txt"), shingleN).as("sh"))
-      .localCheckpoint() // joined on both pair sides — shingle once
+      .transform(Materialize.cut) // joined on both pair sides — shingle once
     val dropped = cands
       .join(sets.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .join(sets.select(col("id").as("o_id"), col("sh").as("o_sh")), "o_id")
@@ -654,7 +654,7 @@ object Dedup {
       .filter(col(s"t${n - 1}").isNotNull)
       .select(col("_doc"), col("pos"),
         concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*).as("shv"))
-      .localCheckpoint()
+      .transform(Materialize.cut)
     val dup = sh.groupBy("shv")
       .agg(countDistinct(col("_doc")).as("nd")).filter(col("nd") > 1)
       .select("shv")

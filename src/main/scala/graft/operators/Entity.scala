@@ -196,7 +196,7 @@ object Entity {
     val prefix = ranked.filter(col("_r") <= kq + 1)
       .select("_id", "_len", "_gram", "_pos")
       .unionByName(shortGrams.select("_id", "_len", "_gram", "_pos"))
-      .localCheckpoint()
+      .transform(Materialize.cut)
     val idxCand = prefix.as("a").join(prefix.as("b"),
         col("a._gram") === col("b._gram") &&
           col("a._id") < col("b._id") &&

@@ -27,7 +27,7 @@ object Graph {
     val und = edges
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().transform(Materialize.cut)
     val deg = und.select(col("u").as("node")).unionAll(und.select(col("v")))
       .groupBy("node").agg(count(lit(1)).as("d"))
     val o = und
@@ -38,7 +38,7 @@ object Graph {
           col("u")).otherwise(col("v")).as("src"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint() // three self-join consumers; compute the DAG once
+      .transform(Materialize.cut) // three self-join consumers; compute the DAG once
     val tri = o.select(col("src").as("a"), col("dst").as("b"))
       .join(o.select(col("src").as("b"), col("dst").as("c")), "b")
       .join(o.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))

@@ -60,7 +60,7 @@ object Indexing {
     // aggregate, the index join) would each re-expand the caller's whole
     // upstream — p09's source-sequence window ran three times before this
     // (r16, guide §3.3). Materialize once; consumers scan the blocks.
-    val d = df.localCheckpoint()
+    val d = df.transform(Materialize.cut)
     val bounds = d.agg(min(key).cast("long").as("lo"), max(key).cast("long").as("hi")).head()
     if (bounds.isNullAt(0)) return d.withColumn("global_idx",
       row_number().over(Window.orderBy(key)).cast("long")) // degenerate all-null input: plain window

@@ -35,8 +35,8 @@ object PageRank {
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // one-time: pin outdeg onto the edges; everything downstream re-joins
     // only node-sized tables
-    val e = edges.join(outDeg, "src").localCheckpoint()
-    var pr = nodes.select(col("id"), lit(1.0 / n).as("pr")).localCheckpoint()
+    val e = edges.join(outDeg, "src").transform(Materialize.cut)
+    var pr = nodes.select(col("id"), lit(1.0 / n).as("pr")).transform(Materialize.cut)
     for (_ <- 1 to iters) {
       val inflow = e.join(pr, e("src") === pr("id"))
         .select(e("dst").as("id"), (col("pr") / col("outdeg")).as("c"))
@@ -44,7 +44,7 @@ object PageRank {
       pr = nodes.join(inflow, Seq("id"), "left")
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
-        .localCheckpoint()
+        .transform(Materialize.cut)
     }
     pr
   }

@@ -43,7 +43,7 @@ object Timeseries {
     val hourly = Upsert.latest(obs, Seq("key", "bucket_ts"),
         col("_gf_ts"), col("value"))
       .select("key", "bucket_ts", "value")
-      .localCheckpoint()
+      .transform(Materialize.cut)
     val grid = hourly.groupBy("key")
       .agg(min("bucket_ts").as("_gf_t0"), max("bucket_ts").as("_gf_t1"))
       .select(col("key"),

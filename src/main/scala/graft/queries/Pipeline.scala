@@ -96,7 +96,13 @@ object Pipeline {
     * query's real output value-exactly; this gate only guards the
     * in-bench drain). */
   private def multisetSig(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Row =
-    df.select(xxhash64(df.columns.map(col).toSeq: _*).as("__h"))
+    // per-column null indicators ride along in the hash input (r16 ADVICE):
+    // xxhash64 SKIPS null arguments (a null leaves the accumulator
+    // unchanged), so without them (a,null,c) and (null,a,c) over same-typed
+    // columns would collide and two genuinely different frames could pass
+    // the gate. The isNull bytes make every column occupy a position.
+    df.select(xxhash64((df.columns.map(col) ++
+        df.columns.map(c => col(c).isNull)).toSeq: _*).as("__h"))
       .agg(count(lit(1)).as("n"),
         // decimal(38,0) sum: 2⁶³-magnitude terms never overflow it at
         // any realistic row count (ANSI mode makes a long sum throw)

@@ -697,8 +697,14 @@ object Relational {
         val approx = li.groupBy($"l_returnflag")
           .agg(approx_count_distinct($"l_partkey", 0.02).as("ap"),
                approx_count_distinct($"l_orderkey", 0.02).as("ao"))
-        exact.join(broadcast(approx), "l_returnflag")
-          .select($"l_returnflag", $"n_parts", $"n_orders",
+        // null-safe join key (r16 ADVICE): the fused single-aggregate plan
+        // emitted a null-flag group; a plain inner equi-join would silently
+        // drop it. TPC-H l_returnflag is non-null so the output is
+        // unchanged — the <=> keeps the split provably equivalent anyway.
+        exact.as("e").join(broadcast(approx.as("a")),
+            col("e.l_returnflag") <=> col("a.l_returnflag"))
+          .select(col("e.l_returnflag").as("l_returnflag"),
+            $"n_parts", $"n_orders",
             (abs($"ap" - $"n_parts") <= $"n_parts" * 0.06 &&
              abs($"ao" - $"n_orders") <= $"n_orders" * 0.06)
               .as("approx_within_3rsd"))
