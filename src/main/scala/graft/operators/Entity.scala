@@ -78,13 +78,21 @@ object Entity {
   def canonicalize(df: DataFrame, idCol: String, blockCol: Column,
                    keyCol: Column, maxDist: Int,
                    maxBlockRows: Long = 0L): DataFrame = {
+    // spread the probe side (r17, guide §2.5): the per-block pair join
+    // multiplies rows by the block size and every surviving pair pays a
+    // levenshtein DP, all INSIDE the probe side's scan stage (the block
+    // side broadcasts) — an unsplittable input file would serialize the
+    // whole quadratic onto its one scan task. Hashing on the unique id
+    // costs one slim pre-fan-out exchange and parallelizes the DP.
     val base = df.select(col(idCol), blockCol.as("_blk"), keyCol.as("_key"))
     // guard ONE side only: side a scans every row, so every block is
     // checked exactly once — guarding both sides would evaluate the slim
     // count subtree twice for the same raise semantics
-    val a = guardBlockSize(base, col("_blk"), maxBlockRows,
-        "Entity.canonicalize")
+    val a = guardBlockSize(Materialize.spread(base, col(idCol)),
+        col("_blk"), maxBlockRows, "Entity.canonicalize")
       .select(col(idCol).as("a_id"), col("_blk"), col("_key").as("a_key"))
+    // b stays on the raw projection: it is the (broadcast) build side, so
+    // spreading it would only add an exchange under the broadcast
     val b = base.select(col(idCol).as("b_id"), col("_blk"), col("_key").as("b_key"))
     val pairs = a.join(b, "_blk").filter(col("a_id") < col("b_id"))
       .filter(levenshtein(col("a_key"), col("b_key"), maxDist) =!= -1)

@@ -42,4 +42,26 @@ object Materialize {
       case other => throw new IllegalArgumentException(
         s"spark.graft.materialize must be local|reliable|persist, got '$other'")
     }
+
+  /** Raise `df`'s partition count to the session's shuffle parallelism
+    * when (and only when) the input arrives with fewer partitions — the
+    * guide §2.5 "one huge unsplittable file" remedy, for the case where
+    * heavy per-row compute (an edit-distance DP fanned out by a pair
+    * join, a full-text kernel) would otherwise serialize on the scan's
+    * task count (a single-row-group parquet file scans as ONE task no
+    * matter what `minPartitionNum` asks for).
+    *
+    * Scale posture: on a real cluster a large input already carries
+    * ≥ numShufflePartitions splits, so this is a NO-OP there — it never
+    * adds an exchange to a properly-parallel scan (shuffling a corpus
+    * to "spread" a single-pass kernel would double its I/O, guide §8).
+    * The repartition hashes on `keys` (deterministic under retry —
+    * guide §2.5 warns off round-robin's sort + SPARK-38388 hazards;
+    * callers pass a unique id so the hash spreads evenly). */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= n) df
+    else if (keys.isEmpty) df.repartition(n)
+    else df.repartition(n, keys: _*)
+  }
 }

@@ -1979,8 +1979,12 @@ object Pipeline {
         val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
           substring(col("text"), 1, 24).as("head"))
         // guard ONE side only (side a scans every row, so every block is
-        // checked once; guarding both sides doubles the count subtree)
-        val a = graft.operators.Entity.guardBlockSize(d, col("source"),
+        // checked once; guarding both sides doubles the count subtree).
+        // spread the probe side (r17, guide §2.5): the pair join fans out
+        // inside a's scan stage (b broadcasts), so an unsplittable input
+        // file serializes ALL the DP work onto one task without it
+        val a = graft.operators.Entity.guardBlockSize(
+            graft.operators.Materialize.spread(d, col("doc_id")), col("source"),
             100000L, "t17 fuzzy-match")
           .select(col("doc_id").as("a_id"), col("source"), col("head").as("a_head"))
         val b = d.select(col("doc_id").as("b_id"), col("source"), col("head").as("b_head"))
