@@ -198,25 +198,55 @@ class PipelineSpec extends SparkSuite {
     // the pathological shape for pure label propagation (O(diameter)
     // rounds, round 7's documented abort at 25): a single 1001-node path.
     // Pointer doubling must close it in ~log2(1000) rounds, and the min
-    // label must ripple the full length.
-    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val (df, rounds) = Dedup.connectedComponentsWithRounds(chain, "a_id", "b_id")
-    val labels = df.collect().map(r => r.getLong(0) -> r.getLong(1))
-    assert(labels.length == 1001)
-    assert(labels.forall(_._2 == 0L), "every chain node must label to the min id 0")
-    assert(rounds < 15, s"pointer jumping should need ~11 rounds, took $rounds")
+    // label must ripple the full length. Cap 0 FORCES the distributed
+    // loop (r17's small-graph fast path would otherwise absorb it).
+    spark.conf.set("spark.graft.cc.localEdgeCap", "0")
+    try {
+      val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      val (df, rounds) = Dedup.connectedComponentsWithRounds(chain, "a_id", "b_id")
+      val labels = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(labels.length == 1001)
+      assert(labels.forall(_._2 == 0L), "every chain node must label to the min id 0")
+      assert(rounds < 15, s"pointer jumping should need ~11 rounds, took $rounds")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeCap")
   }
 
   test("connected components: star and clique converge in a round or two") {
     import spark.implicits._
-    val star = (1L to 50L).map(i => (0L, i)).toDF("a_id", "b_id")
-    val (sdf, srounds) = Dedup.connectedComponentsWithRounds(star, "a_id", "b_id")
-    assert(sdf.collect().forall(_.getLong(1) == 0L))
-    assert(srounds <= 2, s"star took $srounds rounds")
-    val clique = (for (i <- 0L to 9L; j <- i + 1 to 9L) yield (i, j)).toDF("a_id", "b_id")
-    val (cdf, crounds) = Dedup.connectedComponentsWithRounds(clique, "a_id", "b_id")
-    assert(cdf.collect().forall(_.getLong(1) == 0L))
-    assert(crounds <= 2, s"clique took $crounds rounds")
+    spark.conf.set("spark.graft.cc.localEdgeCap", "0") // force the loop
+    try {
+      val star = (1L to 50L).map(i => (0L, i)).toDF("a_id", "b_id")
+      val (sdf, srounds) = Dedup.connectedComponentsWithRounds(star, "a_id", "b_id")
+      assert(sdf.collect().forall(_.getLong(1) == 0L))
+      assert(srounds <= 2, s"star took $srounds rounds")
+      val clique = (for (i <- 0L to 9L; j <- i + 1 to 9L) yield (i, j)).toDF("a_id", "b_id")
+      val (cdf, crounds) = Dedup.connectedComponentsWithRounds(clique, "a_id", "b_id")
+      assert(cdf.collect().forall(_.getLong(1) == 0L))
+      assert(crounds <= 2, s"clique took $crounds rounds")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeCap")
+  }
+
+  test("connected components: local union-find path equals the distributed loop") {
+    import spark.implicits._
+    // r17 small-graph fast path: same labeling, zero loop rounds. A
+    // seeded random graph with chains, cliques, self-loops and
+    // singletons-by-absence; compare label maps path-vs-path exactly.
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 400).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong) } ++
+      (500L to 520L).map(i => (i, i + 1)) // a chain away from the blob
+    val pairs = es.toDF("a_id", "b_id")
+    val (local, lr) = Dedup.connectedComponentsWithRounds(pairs, "a_id", "b_id")
+    assert(lr == 0, "under the cap the fast path must answer without rounds")
+    val localMap = local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cc.localEdgeCap", "0")
+    val distMap = try {
+      val (dist, dr) = Dedup.connectedComponentsWithRounds(pairs, "a_id", "b_id")
+      assert(dr > 0)
+      dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally spark.conf.unset("spark.graft.cc.localEdgeCap")
+    assert(localMap == distMap,
+      "the two paths must produce the identical min-id labeling")
   }
 
   test("exact dedup groups byte-identical docs") {
