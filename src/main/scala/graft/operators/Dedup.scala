@@ -71,7 +71,12 @@ object Dedup {
                    shingleN: Int = 3, threshold: Double = 0.8,
                    maxShingleFreq: Int = 0): DataFrame = {
     val tm = (threshold * 1000).toLong // integer milli-threshold: exact ⌈τ·sz⌉
-    val sh = df.select(col(idCol).as("id"),
+    // spread (r17, guide §2.5): the shingle explode + hash is the heavy
+    // per-row kernel and runs in the INPUT's scan stage — a single-split
+    // input would serialize it onto one task (no-op when the input
+    // already arrives parallel)
+    val dfS = Materialize.spread(df.select(col(idCol), col(textCol)), col(idCol))
+    val sh = dfS.select(col(idCol).as("id"),
       explode(Text.shinglesOfText(col(textCol), shingleN)).as("sh"))
     // Frequency annotation, skew-safe at corpus scale: a count-over-window
     // by shingle would pin every posting of a viral shingle into ONE window
@@ -167,7 +172,11 @@ object Dedup {
     // scale bug). The shingle→signature pipeline is one projection, consumed
     // exactly once; no cache needed (caching the shingled corpus at 100 TB
     // would itself be the scale bug).
-    val banded = df
+    // spread (r17, guide §2.5): shingle+minhash is the per-row kernel in
+    // the scan stage; parallelize off single-split inputs (no-op when
+    // the input is already parallel)
+    val dfS = Materialize.spread(df.select(col(idCol), col(textCol)), col(idCol))
+    val banded = dfS
       .select(col(idCol).as("id"),
         HashFunctions.minhash(Text.shinglesOfText(col(textCol), shingleN), k, seed).as("sig"))
       .select(col("id"),
@@ -191,7 +200,7 @@ object Dedup {
     // by the pair degree.
     val candDocs = candIds.select(col("a_id").as("id"))
       .union(candIds.select(col("b_id").as("id"))).distinct()
-    val sets = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val sets = dfS.select(col(idCol).as("id"), col(textCol).as("txt"))
       .join(candDocs, Seq("id"), "left_semi")
       .select(col("id"), Text.shinglesOfText(col("txt"), shingleN).as("sh"))
       .transform(Materialize.cut) // joined on both pair sides — shingle once
@@ -509,8 +518,10 @@ object Dedup {
   def decontaminate(train: DataFrame, trainId: String, trainText: String,
                     bench: DataFrame, benchId: String, benchText: String,
                     shingleN: Int = 5): DataFrame = {
-    val tSh = train.select(col(trainId).as("doc_id"),
-      explode(Text.shinglesOfText(col(trainText), shingleN)).as("sh"))
+    val tSh = Materialize.spread( // r17: shingle off the scan stage
+        train.select(col(trainId), col(trainText)), col(trainId))
+      .select(col(trainId).as("doc_id"),
+        explode(Text.shinglesOfText(col(trainText), shingleN)).as("sh"))
     val bSh = bench.select(col(benchId).as("bench_id"),
       explode(Text.shinglesOfText(col(benchText), shingleN)).as("sh"))
     tSh.join(broadcast(bSh), "sh")
@@ -529,7 +540,9 @@ object Dedup {
     * pigeonhole) then verified with bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fp = simhash(df, idCol, textCol)
+    // spread (r17): the token+simhash kernel rides the scan stage
+    val fp = simhash(Materialize.spread(
+      df.select(col(idCol), col(textCol)), col(idCol)), idCol, textCol)
     val banded = fp.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -701,7 +714,8 @@ object Dedup {
     require(n >= 2, s"shingle width must be >= 2, got $n")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_doc").orderBy("pos")
-    val toks = docs
+    val toks = Materialize.spread( // r17: tokenize off the scan stage
+        docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("_doc"), posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
     val leads = (1 until n).map(i => lead("tok", i).over(w).as(s"t$i"))
     // consumed twice (the cross-corpus dup aggregate AND the position
@@ -745,8 +759,10 @@ object Dedup {
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
                     n: Int = 5, maxSources: Int = 64): DataFrame = {
     require(maxSources >= 2, s"maxSources must be >= 2, got $maxSources")
-    val sh = docs.select(col(srcCol).as("_src"),
-      explode(Text.shinglesOfText(col(textCol), n)).as("shv"))
+    val sh = Materialize.spread( // r17: shingle off the scan stage
+        docs.select(col(srcCol), col(textCol)), col(textCol))
+      .select(col(srcCol).as("_src"),
+        explode(Text.shinglesOfText(col(textCol), n)).as("shv"))
     // collect_set dedups sources per shingle itself (map-side combined) —
     // a pre-distinct would just add a second full exchange of the
     // exploded shingle stream for the same result
