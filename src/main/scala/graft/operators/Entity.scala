@@ -172,7 +172,11 @@ object Entity {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val kq = maxDist.toLong * q
-    val base = df.select(col(idCol).as("_id"), keyCol.as("_key"))
+    // spread (r17, guide §2.5): the positional q-gram explode is the
+    // heavy per-row kernel and rides the input's scan stage — serialize-
+    // proof single-split inputs (no-op on already-parallel inputs)
+    val base = Materialize.spread(
+        df.select(col(idCol).as("_id"), keyCol.as("_key")), col("_id"))
       .withColumn("_len", length(col("_key")).cast("long"))
     val isShort = col("_len") - (q - 1) <= kq // gram count len−q+1 ≤ k·q
     // positional q-grams of the long strings (0-based positions)
@@ -292,7 +296,9 @@ object Entity {
   def segmentCandidates(df: DataFrame, idCol: String, keyCol: Column,
                         maxDist: Int, maxShortPool: Long = 100000L): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val base = df.select(col(idCol).as("_id"), keyCol.as("_key"))
+    // spread (r17): the segment/probe-substring explodes ride the scan
+    val base = Materialize.spread(
+        df.select(col(idCol).as("_id"), keyCol.as("_key")), col("_id"))
       .withColumn("_len", length(col("_key")).cast("long"))
     val isShort = col("_len") <= maxDist
     val idxCand = segIndexRows(base, maxDist).join(segProbeRows(base, maxDist),
@@ -414,10 +420,13 @@ object Entity {
                               maxShortPool: Long = 100000L): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val k = maxDist
-    val b = batch.select(col(idCol).as("_id"), batchKey.as("_key"))
+    // spread (r17): both sides' segment explodes ride their scan stages
+    val b = Materialize.spread(
+        batch.select(col(idCol).as("_id"), batchKey.as("_key")), col("_id"))
       .withColumn("_len", length(col("_key")).cast("long"))
-    val c = corpus.select(col(idCol).as("_id"), col(clusterCol).as("_cl"),
-        corpusKey.as("_key"))
+    val c = Materialize.spread(
+        corpus.select(col(idCol).as("_id"), col(clusterCol).as("_cl"),
+          corpusKey.as("_key")), col("_id"))
       .withColumn("_len", length(col("_key")).cast("long"))
     // (1) batch-internal pairs — the batch is the only thing that self-joins
     val bb = segmentPairs(batch, idCol, batchKey, k, maxShortPool)

@@ -59,6 +59,19 @@ object Materialize {
     * guide §2.5 warns off round-robin's sort + SPARK-38388 hazards;
     * callers pass a unique id so the hash spreads evenly). */
   def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // Only scan-shaped plans (projections/filters over a leaf) can be
+    // partition-starved by an unsplittable input; anything containing a
+    // join/aggregate/window/etc. is downstream of an exchange and already
+    // carries the session's parallelism. The shape check also keeps the
+    // .rdd partition probe SAFE: under AQE, .rdd on a plan with exchanges
+    // eagerly materializes its query stages (running real jobs for a
+    // probe) — on an exchange-free scan plan it is a pure metadata walk.
+    val scanShaped = df.queryExecution.optimizedPlan.collect {
+      case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
+        !p.isInstanceOf[SubqueryAlias] && p.children.nonEmpty => p
+    }.isEmpty
+    if (!scanShaped) return df
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions >= n) df
     else if (keys.isEmpty) df.repartition(n)
