@@ -71,12 +71,10 @@ object Dedup {
                    shingleN: Int = 3, threshold: Double = 0.8,
                    maxShingleFreq: Int = 0): DataFrame = {
     val tm = (threshold * 1000).toLong // integer milli-threshold: exact ⌈τ·sz⌉
-    // spread (r17, guide §2.5): the shingle explode + hash is the heavy
-    // per-row kernel and runs in the INPUT's scan stage — a single-split
-    // input would serialize it onto one task (no-op when the input
-    // already arrives parallel)
-    val dfS = Materialize.spread(df.select(col(idCol), col(textCol)), col(idCol))
-    val sh = dfS.select(col(idCol).as("id"),
+    // (r17 note: a Materialize.spread here measured 0.85x — the posting
+    // pipeline's first shuffle is the frequency aggregate, so the extra
+    // exchange buys parallelism the plan reaches one stage later anyway)
+    val sh = df.select(col(idCol).as("id"),
       explode(Text.shinglesOfText(col(textCol), shingleN)).as("sh"))
     // Frequency annotation, skew-safe at corpus scale: a count-over-window
     // by shingle would pin every posting of a viral shingle into ONE window
@@ -518,10 +516,8 @@ object Dedup {
   def decontaminate(train: DataFrame, trainId: String, trainText: String,
                     bench: DataFrame, benchId: String, benchText: String,
                     shingleN: Int = 5): DataFrame = {
-    val tSh = Materialize.spread( // r17: shingle off the scan stage
-        train.select(col(trainId), col(trainText)), col(trainId))
-      .select(col(trainId).as("doc_id"),
-        explode(Text.shinglesOfText(col(trainText), shingleN)).as("sh"))
+    val tSh = train.select(col(trainId).as("doc_id"),
+      explode(Text.shinglesOfText(col(trainText), shingleN)).as("sh"))
     val bSh = bench.select(col(benchId).as("bench_id"),
       explode(Text.shinglesOfText(col(benchText), shingleN)).as("sh"))
     tSh.join(broadcast(bSh), "sh")

@@ -60,6 +60,11 @@ object Materialize {
     * callers pass a unique id so the hash spreads evenly). */
   def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    // kill switch (spark.graft.spread.enabled): deployments whose inputs
+    // always arrive well-split can skip even the plan-shape probe; also
+    // the lever for same-binary A/B evidence (plans/r17)
+    if (df.sparkSession.conf.get("spark.graft.spread.enabled", "true") != "true")
+      return df
     // Only scan-shaped plans (projections/filters over a leaf) can be
     // partition-starved by an unsplittable input; anything containing a
     // join/aggregate/window/etc. is downstream of an exchange and already

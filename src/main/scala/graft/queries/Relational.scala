@@ -1165,6 +1165,12 @@ object Relational {
           .select($"user_id", $"ts", floor($"value" * 100 + 0.5).cast("long").as("vc"))
         graft.operators.Timeseries.gapFillHourly(ev, $"user_id", $"ts", $"vc")
           .select($"key".as("user_id"), $"bucket_ts", $"value".as("v_cents"))
+          // r17: cut before the global sort — RangePartitioning's bounds
+          // sampling re-executes the pre-sort segment (grid explode +
+          // fill window over ~1M rows here); sampling materialized
+          // blocks instead costs one checkpoint and saves a full
+          // re-execution (measured 1.73 s -> 1.33 s same-session A/B)
+          .transform(graft.operators.Materialize.cut)
           .orderBy("user_id", "bucket_ts")
       },
       Some("""WITH obs AS (
