@@ -686,94 +686,46 @@ object LakeMaintenance {
       math.min(8, kept.size))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val jobGroup = s"graft-delete-$staging"
-    // batch size for the fused probe (r17): how many candidate objects'
-    // live rows sit in checkpoint blocks at once — the memory envelope
-    // the old 8-thread per-object pool implied, now explicit config
-    val probeBatch = math.max(1, spark.conf
-      .get("spark.graft.delete.batchObjects", "32").toInt)
     try {
-      val results = kept.grouped(probeBatch).flatMap { batch =>
-        spark.sparkContext.setJobGroup(jobGroup,
-          s"delete_where $table probe ${batch.size} objects",
-          interruptOnCancel = true)
-        // FUSED probe (r17, guide §1.2 "don't pay N actions for N
-        // scalars"): the old per-object loop ran checkpoint + count +
-        // keep-count = 3 single-task driver-round-trip jobs PER OBJECT
-        // (measured: 48 jobs for one 16-object DELETE — the jobs, not
-        // the bytes, dominated local DML wall). One union leg per object
-        // keeps every object read EXACTLY once (same bytes, same
-        // vector/eq-filter application), the whole batch checkpoints in
-        // ONE job, and one grouped aggregate yields every object's
-        // (rows, matches) pair.
-        // plain keys (no vector, no eq-delete in scope, no schema drift)
-        // ride ONE multi-path scan — constant plan size however many
-        // objects the batch holds — with provenance recovered from the
-        // file name (keys are `YYYY/MM/DD/HH/table/object`); only
-        // vector/eq-routed keys and evolved tables fall back to one leg
-        // per key (each needs its own merge-on-read routing / header
-        // alignment)
-        val routed = batch.filter(k => dvMap.get.contains(k) ||
-          eqMap2.get.exists(_.inScope(k)))
-        val plain = if (declared.isDefined) Nil else batch.diff(routed)
-        val keyFromFile = org.apache.spark.sql.functions.regexp_extract(
-          org.apache.spark.sql.functions.input_file_name(),
-          "(\\d{4}/\\d{2}/\\d{2}/\\d{2}/[^/]+/[^/]+)$", 1)
-        val plainLeg =
-          if (plain.isEmpty) Nil
-          else Seq(LakeReader.readKeys(spark, store, table, plain, dvMap, eqMap2)
-            .drop("_event_hour").withColumn("_probe_src", keyFromFile))
-        val legs = plainLeg ++ batch.diff(plain).map { key =>
-          declared.fold(
+      val futures = kept.map { key =>
+        Future {
+          spark.sparkContext.setJobGroup(jobGroup,
+            s"delete_where $table $key", interruptOnCancel = true)
+          val hour = LakeKeys.parseKey(key).get._1
+          // snapshot the object once; the match count and the rewrite
+          // both run off the checkpoint, not a second object read
+          val df = declared.fold(
             LakeReader.readKeys(spark, store, table, Seq(key), dvMap, eqMap2))(d =>
             LakeReader.readKeysAligned(spark, store, table, Seq(key), d,
               dvMap, eqMap2))
-            .drop("_event_hour")
-            .withColumn("_probe_src", lit(key))
-        }
-        val all = legs.reduce(_.unionByName(_)).localCheckpoint()
-        val matches = matchRule
-        import org.apache.spark.sql.functions.{count => fcount, sum, when}
-        val counts = all.groupBy(col("_probe_src"))
-          .agg(fcount(lit(1)).as("n"),
-            sum(when(matches, 1L).otherwise(0L)).as("d"))
-          .collect().map(r => r.getString(0) ->
-            (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
-        // rewrites (objects with survivors AND matches) still run as
-        // CONCURRENT jobs in the bounded pool, reading the checkpointed
-        // blocks — never the object a second time
-        val futures = batch.map { key =>
-          Future {
-            spark.sparkContext.setJobGroup(jobGroup,
-              s"delete_where $table $key", interruptOnCancel = true)
-            val (n, nDel) = counts.getOrElse(key, (0L, 0L))
-            val nKeep = n - nDel
-            if (nDel == 0L || nKeep == 0L)
-              (key, nDel, nKeep, Seq.empty[(String, String)])
-            else {
-              val hour = LakeKeys.parseKey(key).get._1
-              val keepDf = all // NULL rows never match: kept
-                .filter(col("_probe_src") === key && not(matches))
-                .drop("_probe_src")
-              val staged = LakeWriter.write(keepDf.coalesce(1), schema,
-                store.rootUri, hour, gzip, maxRecordsPerObject = 0L,
-                keyPrefix = s"$staging/", zoneMaps = zoneMaps,
-                bloomColumns = bloomColumns)
-              // FRESH replacement names (the staged uuids), never derived
-              // from the original: the generation pointer owns crash
-              // healing now (a pre-CAS crash leaves intent-hidden orphans
-              // the janitor sweeps; tombstones cover post-CAS), and
-              // deterministic names were actively UNSAFE under
-              // concurrency — two statements scanning the same original
-              // derive the same destination, so the loser's publish or
-              // cleanup could overwrite or delete the winner's live object
-              val pairs = staged.map(w =>
-                (w.key, w.key.stripPrefix(s"$staging/")))
-              (key, nDel, nKeep, pairs)
-            }
+            .drop("_event_hour").localCheckpoint()
+          val n = df.count()
+          val matches = matchRule
+          val keepDf = df.filter(not(matches)) // NULL rows never match: kept
+          val nKeep = keepDf.count()
+          val nDel = n - nKeep
+          if (nDel == 0L) (key, nDel, nKeep, Seq.empty[(String, String)])
+          else if (nKeep == 0L) (key, nDel, nKeep, Seq.empty[(String, String)])
+          else {
+            val staged = LakeWriter.write(keepDf.coalesce(1), schema,
+              store.rootUri, hour, gzip, maxRecordsPerObject = 0L,
+              keyPrefix = s"$staging/", zoneMaps = zoneMaps,
+              bloomColumns = bloomColumns)
+            // FRESH replacement names (the staged uuids), never derived
+            // from the original: the generation pointer owns crash
+            // healing now (a pre-CAS crash leaves intent-hidden orphans
+            // the janitor sweeps; tombstones cover post-CAS), and
+            // deterministic names were actively UNSAFE under
+            // concurrency — two statements scanning the same original
+            // derive the same destination, so the loser's publish or
+            // cleanup could overwrite or delete the winner's live object
+            val pairs = staged.map(w =>
+              (w.key, w.key.stripPrefix(s"$staging/")))
+            (key, nDel, nKeep, pairs)
           }
         }
-        futures.map(Await.result(_, Duration.Inf))
-      }.toVector
+      }
+      val results = futures.map(Await.result(_, Duration.Inf))
       // ONE statement-level versioned commit publishes every rewrite
       // (LakeVersions protocol): intent → clear+rename the replacements
       // into their derived keys (readers exclude them until the CAS) →
